@@ -1,0 +1,11 @@
+from chemharmony_spark.functions.ids import (  # noqa: F401
+    content_id,
+    group_id,
+    row_id,
+    surrogate_aid,
+)
+from chemharmony_spark.functions.json_payload import (  # noqa: F401
+    canonicalize_json_udf,
+    json_get,
+    to_data_payload,
+)

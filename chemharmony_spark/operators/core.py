@@ -1,0 +1,213 @@
+"""The generic operator kit (SURVEY.md §2.2-2.9, §7 step 3).
+
+Every operator the reference's 15 integration scripts use, as composable,
+lazy DataFrame transformations built from Spark built-ins — no Python UDFs,
+so the whole kit stays inside whole-stage codegen and Catalyst can push
+filters/prune columns through it.
+
+Scale notes per operator are inline; the common theme: express the logic as
+one groupBy/window on an explicit key so the shuffle count is visible and
+minimal, broadcast anything dimension-sized, and never collect to the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def recode(col: Column | str, mapping: Mapping[str, str],
+           default: Column | str | None = None, lowercase: bool = False) -> Column:
+    """Multi-branch value recode: chained ``when/otherwise`` (P6).
+
+    reference: 02_integrate_chembl.R:31-37,43-51 (case_when on activity
+    comments, lowered first at 02:42); 07_integrate_ctdbase.R:63-70.
+    Unmapped values -> ``default`` (None drops them downstream via filter).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if lowercase:
+        c = F.lower(c)
+    expr: Column | None = None
+    for k, v in mapping.items():
+        branch = F.when(c == F.lit(k), F.lit(v))
+        expr = branch if expr is None else expr.when(c == F.lit(k), F.lit(v))
+    assert expr is not None, "recode() needs a non-empty mapping"
+    if default is None:
+        return expr.otherwise(F.lit(None))
+    return expr.otherwise(F.lit(default) if isinstance(default, str) else default)
+
+
+def strip_qualifiers_to_double(col: Column | str, pattern: str = "[><=~ ]") -> Column:
+    """Strip comparison qualifiers then cast to double (P8).
+
+    reference: 10_integrate_bindingdb.R:76 ``as.numeric(gsub(">|<","",value))``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, pattern, "").cast("double")
+
+
+def keep_unique_keys(df: DataFrame, *keys: str) -> DataFrame:
+    """Keep only rows whose key occurs exactly once (W1).
+
+    reference: 09_integrate_pubchem.py:28-29 — count over a partition window,
+    filter count==1, drop the helper column. One shuffle on the key; at scale
+    AQE coalesces the window shuffle and skew-splits hot keys.
+    """
+    w = Window.partitionBy(*keys)
+    return (
+        df.withColumn("__n", F.count(F.lit(1)).over(w))
+        .where(F.col("__n") == 1)
+        .drop("__n")
+    )
+
+
+def discordance_filter(df: DataFrame, keys: Sequence[str], value_col: str) -> DataFrame:
+    """Drop key groups whose value is not unanimous (W4).
+
+    reference: 02_integrate_chembl.R:60; 03_integrate_tox21.R:47 — per
+    (sid,pid) keep rows iff exactly one distinct value. Implemented as a
+    windowed distinct-count (one shuffle, no join back).
+    """
+    w = Window.partitionBy(*keys)
+    return (
+        df.withColumn("__nv", F.size(F.collect_set(value_col).over(w)))
+        .where(F.col("__nv") == 1)
+        .drop("__nv")
+    )
+
+
+def having_filter(df: DataFrame, keys: Sequence[str], predicate_agg: Column) -> DataFrame:
+    """Keep groups satisfying an aggregate predicate; return original rows (A8).
+
+    reference: 01_integrate_toxvaldb.R:23 (``n() > 500``);
+    03:50; 05:52-54; 06:99,139. Implemented as agg + broadcast-friendly
+    left-semi join back — Catalyst broadcasts the (usually tiny) surviving
+    key set, so the fact table is *not* shuffled (vs. the window formulation
+    which always shuffles all rows).
+    """
+    surviving = df.groupBy(*keys).agg(predicate_agg.alias("__ok")).where("__ok")
+    return df.join(surviving.select(*keys), on=list(keys), how="left_semi")
+
+
+def grouped_median_binarize(
+    df: DataFrame,
+    substance_keys: Sequence[str],
+    property_keys: Sequence[str],
+    value_col: str,
+    out_col: str = "value",
+    positive_when_low: bool = True,
+) -> DataFrame:
+    """Collapse replicates to a per-(substance,property) median, then binarize
+    each at the per-property median threshold (A3/W5).
+
+    reference: 01_integrate_toxvaldb.R:22-25 — ``median(value)`` per (sid,pid)
+    then ``value <= median(value) per pid -> positive`` (toxicology: lower
+    dose = more potent = positive). Two shuffles: one agg on
+    (substance,property), one window on property. Exact ``F.median``
+    (Spark 3.4+) so a DuckDB oracle reproduces it bit-for-bit.
+    """
+    all_keys = [*substance_keys, *property_keys]
+    collapsed = df.groupBy(*all_keys).agg(F.median(value_col).alias("medvalue"))
+    w = Window.partitionBy(*property_keys)
+    thresholded = collapsed.withColumn("__pthresh", F.median("medvalue").over(w))
+    cmp = F.col("medvalue") <= F.col("__pthresh")
+    if not positive_when_low:
+        cmp = F.col("medvalue") >= F.col("__pthresh")
+    return thresholded.withColumn(
+        out_col, F.when(cmp, F.lit("positive")).otherwise(F.lit("negative"))
+    ).drop("__pthresh")
+
+
+def pivot_value_counts(df: DataFrame, key: str, value_col: str,
+                       values: Sequence[str] | None = None) -> DataFrame:
+    """Long -> wide count pivot (A6).
+
+    reference: 09_integrate_pubchem.py:66 ``groupBy('pid').pivot('value').count()``.
+    Pass ``values`` explicitly at scale — it skips the extra distinct-values job.
+    """
+    p = df.groupBy(key).pivot(value_col, list(values) if values else None)
+    return p.count()
+
+
+def melt(df: DataFrame, ids: Sequence[str], value_cols: Sequence[str],
+         var_name: str = "metric", value_name: str = "value",
+         drop_nulls: bool = True) -> DataFrame:
+    """Unpivot wide measurement columns to long (O14) — narrow, no shuffle.
+
+    reference: 10_integrate_bindingdb.R:54 (Ki/IC50/Kd/EC50/kon/koff ->
+    (metric, value), values_drop_na=TRUE); 13_integrate_skinsensdb.py:9.
+    """
+    out = df.unpivot(list(ids), list(value_cols), var_name, value_name)
+    if drop_nulls:
+        out = out.where(F.col(value_name).isNotNull())
+    return out
+
+
+def balanced_class_floor(df: DataFrame, keys: Sequence[str], value_col: str,
+                         positive: str = "positive", negative: str = "negative",
+                         floor: int = 50) -> DataFrame:
+    """Keep groups having more than ``floor`` of *both* classes (A5).
+
+    reference: 02_integrate_chembl.R:62 (``sum(value=='positive') > 50`` and
+    negatives likewise); 05:52-53. Single agg + semi join.
+    """
+    pos = F.sum(F.when(F.col(value_col) == positive, 1).otherwise(0))
+    neg = F.sum(F.when(F.col(value_col) == negative, 1).otherwise(0))
+    return having_filter(df, keys, (pos > floor) & (neg > floor))
+
+
+def grid_negatives(
+    df: DataFrame,
+    substance_key: str,
+    property_keys: Sequence[str],
+    value_col: str = "value",
+    negative_label: str = "negative",
+) -> DataFrame:
+    """Synthesize negatives: cross-join the distinct substance set with the
+    distinct property set, right-join observed rows onto the grid, and label
+    unobserved combinations negative (J5/J7).
+
+    reference: 06_integrate_ice.R:102-104 (``expand.grid`` then right join,
+    ``is.na -> 'negative'``). Scale note: the grid is |S| x |P| — property
+    side is dimension-sized here, so Spark broadcasts it into a
+    BroadcastNestedLoopJoin; the subsequent left join shuffles on the
+    composite key once.
+    """
+    subs = df.select(substance_key).distinct()
+    props = df.select(*property_keys).distinct()
+    grid = subs.crossJoin(F.broadcast(props))
+    joined = grid.join(df, on=[substance_key, *property_keys], how="left")
+    return joined.withColumn(
+        value_col, F.coalesce(F.col(value_col), F.lit(negative_label))
+    )
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    strata: Sequence[str],
+    n_per_stratum: Column | int,
+    order_by: Column | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Exactly-n-per-stratum sample (R1) — the reference's
+    ``group_by(...) |> sample_n(mincnt)`` (06_integrate_ice.R:107-110).
+
+    ``df.sampleBy`` is only approximate, so: row_number over a per-stratum
+    window ordered by ``order_by`` (default: seeded ``F.rand``), filter
+    ``<= n``. With ``order_by=F.md5(...)`` the sample is deterministic across
+    engines (oracle-reproducible); with F.rand(seed) it is reproducible
+    across re-runs of the same plan. One shuffle on the strata.
+    ``n_per_stratum`` may be a per-row Column (e.g. the minority-class count
+    for balanced downsampling, 06:107-108).
+    """
+    order = order_by if order_by is not None else F.rand(seed)
+    w = Window.partitionBy(*strata).orderBy(order)
+    n = F.lit(n_per_stratum) if isinstance(n_per_stratum, int) else n_per_stratum
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n)
+        .drop("__rn")
+    )

@@ -1,0 +1,160 @@
+"""The flagship query: staging -> harmonized brick (SURVEY.md §3.3).
+
+Re-expression of reference 80_harmonize.py as one lazy Spark plan per output
+table, with explicit materialization points where the reference checkpoints
+to scratch parquet (80:42-43,57-58,76-77) — those breaks are load-bearing:
+they truncate lineage before the re-key joins and let the dim frames be
+reused by three consumers without recomputation.
+
+Dataflow (per 80_harmonize.py):
+  1. glob-scan per-source properties + provenance      (80:33-35)
+  2. distinct -> canonicalize JSON -> pid=md5(data)    (80:37,39-40)
+  3. same for substances -> sid=md5(data)              (80:48-58)
+  4. activities: glob-scan, distinct, binary_value     (80:63-68)
+  5. smiles from inchi via deduped UDF + join back     (80:71-73)
+  6. re-key activities on (source, local sid/pid)      (80:76-78)
+  7. aid = md5(sid||pid||inchi||value), distinct       (80:81-84)
+  8. invariant asserts                                 (80:96-105)
+
+Scale design: the two re-key joins shuffle activities on (source, sid) then
+(source, pid). The id maps are dimension-sized relative to activities
+(1e6/1e3 vs 1e7+ rows) -> broadcast them, turning both joins into map-side
+hash joins with zero shuffle of the fact table. At 100 TB, if the substance
+map outgrows broadcast, pre-bucket both sides by sid instead.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chemharmony_spark.functions.chem import inchi_to_smiles, with_derived_column_deduped
+from chemharmony_spark.functions.ids import surrogate_aid
+from chemharmony_spark.functions.json_payload import canonicalize_json_udf
+from chemharmony_spark.sources.readers import read_staging_glob
+
+
+@dataclass
+class HarmonizeResult:
+    substances: DataFrame
+    properties: DataFrame
+    activities: DataFrame
+
+
+def _harmonize_dim(spark: SparkSession, glob: str, sources: list[str],
+                   local_id: str, global_id: str) -> DataFrame:
+    """Steps 1-3 for one dim table: provenance, distinct, canonical md5 id."""
+    dim = read_staging_glob(spark, glob, sources).select(local_id, "data", "source")
+    dim = dim.distinct()
+    dim = dim.withColumn("data", canonicalize_json_udf("data"))
+    return dim.withColumn(global_id, F.md5(F.col("data")))
+
+
+def harmonize(
+    spark: SparkSession,
+    staging_root: str,
+    sources: list[str],
+    scratch_dir: str | None = None,
+    derive_smiles: bool = True,
+    check_invariants: bool = True,
+    min_rows: tuple[int, int, int] = (0, 0, 0),
+) -> HarmonizeResult:
+    """Run the harmonize plan; returns the three brick DataFrames (lazy,
+    unless ``scratch_dir`` is given — then dims are checkpointed like the
+    reference's cache/harmonize, 80_harmonize.py:20,42-43,76-77).
+
+    ``min_rows``: (substances, properties, activities) floors — the
+    reference's production values are (1e6, 1e3, 1e7) (80:96-98).
+    """
+    props = _harmonize_dim(
+        spark, f"{staging_root}/*/properties.parquet", sources, "pid", "newpid"
+    )
+    subs = _harmonize_dim(
+        spark, f"{staging_root}/*/substances.parquet", sources, "sid", "newsid"
+    )
+
+    if scratch_dir:  # checkpoint: truncate lineage before fan-out reuse
+        props.write.mode("overwrite").parquet(f"{scratch_dir}/properties")
+        subs.write.mode("overwrite").parquet(f"{scratch_dir}/substances")
+        props = spark.read.parquet(f"{scratch_dir}/properties")
+        subs = spark.read.parquet(f"{scratch_dir}/substances")
+
+    acts = read_staging_glob(
+        spark, f"{staging_root}/*/activities.parquet", sources
+    ).distinct()
+    if check_invariants:
+        # must run BEFORE the inner re-key joins: a staged file whose path
+        # matches no declared source yields NULL provenance here, and the
+        # joins would silently drop those rows (the reference's post-hoc
+        # check at 80:100-101 has this blind spot; we close it)
+        n_null = acts.where(F.col("source").isNull()).count()
+        assert n_null == 0, (
+            f"{n_null} staged activity rows have unresolvable provenance "
+            f"(staging dir not in declared sources {sources})"
+        )
+    acts = acts.withColumn(
+        "binary_value", F.when(F.col("value") == "positive", 1).otherwise(0)
+    )
+
+    if derive_smiles:  # 80:71-73: dedup-before-UDF then join back
+        acts = with_derived_column_deduped(acts, "inchi", "smiles", inchi_to_smiles("inchi"))
+
+    # re-key: local (source, sid/pid) -> global md5 ids (80:76-78).
+    sid_map = subs.select("source", F.col("sid").alias("__localsid"), "newsid").distinct()
+    pid_map = props.select("source", F.col("pid").alias("__localpid"), "newpid").distinct()
+    acts = (
+        acts.withColumnRenamed("sid", "__localsid")
+        .withColumnRenamed("pid", "__localpid")
+        .join(F.broadcast(sid_map), on=["source", "__localsid"], how="inner")
+        .join(F.broadcast(pid_map), on=["source", "__localpid"], how="inner")
+        .drop("__localsid", "__localpid")
+        .withColumnRenamed("newsid", "sid")
+        .withColumnRenamed("newpid", "pid")
+    )
+
+    keep = ["sid", "pid", "source", "inchi", "value", "binary_value"]
+    if "smiles" in acts.columns:
+        keep.append("smiles")
+    if "numvalue" in acts.columns:
+        keep.append("numvalue")
+    acts = (
+        acts.select(*keep)
+        .withColumn("aid", surrogate_aid())  # 80:83
+        .distinct()
+    )
+
+    substances = subs.select(F.col("newsid").alias("sid"), "source", "data").distinct()
+    properties = props.select(F.col("newpid").alias("pid"), "source", "data").distinct()
+
+    if check_invariants:
+        _assert_invariants(substances, properties, acts, sources, min_rows)
+
+    return HarmonizeResult(substances=substances, properties=properties, activities=acts)
+
+
+def _assert_invariants(substances, properties, activities, sources, min_rows):
+    """Reference asserts 80_harmonize.py:96-105 + tests.py:17-56 invariants."""
+    ns, np_, na = substances.count(), properties.count(), activities.count()
+    assert ns > min_rows[0], f"substances {ns} <= floor {min_rows[0]}"
+    assert np_ > min_rows[1], f"properties {np_} <= floor {min_rows[1]}"
+    assert na > min_rows[2], f"activities {na} <= floor {min_rows[2]}"
+    # every source value in the declared source list (80:100-101); NULL means
+    # a staged file whose path matched no declared source — equally fatal
+    bad = (
+        activities.select("source").distinct()
+        .where(F.col("source").isNull() | ~F.col("source").isin(sources))
+    )
+    assert bad.count() == 0, "activities contain undeclared/unresolvable sources"
+    # pid <-> data bijection: one canonical payload per pid (80:104-105; the
+    # same payload arriving from two sources keeps per-source rows, so pid is
+    # unique after dropping source)
+    n_pid = properties.select("pid").distinct().count()
+    n_pd = properties.select("pid", "data").distinct().count()
+    assert n_pid == n_pd, "pid collision: same pid maps to different data"
+    # referential integrity: activities sid/pid resolve to dims
+    orphan_s = activities.join(substances.select("sid"), "sid", "left_anti").count()
+    orphan_p = activities.join(properties.select("pid"), "pid", "left_anti").count()
+    assert orphan_s == 0, f"{orphan_s} activities with unknown sid"
+    assert orphan_p == 0, f"{orphan_p} activities with unknown pid"

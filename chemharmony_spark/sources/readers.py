@@ -1,0 +1,62 @@
+"""Sources (SURVEY.md §2.1 S1-S8).
+
+All readers return lazy DataFrames; filters/projections applied by callers
+push down into the parquet scan (verify with ``.explain`` — PushedFilters /
+ReadSchema).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def read_parquet(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    """S1/S3: parquet dataset scan (reference: 09_integrate_pubchem.py:24)."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.parquet(path)
+
+
+def read_staging_glob(spark: SparkSession, glob: str, sources: Sequence[str]) -> DataFrame:
+    """S2: recursive glob scan + provenance column derived from the file path.
+
+    reference: 80_harmonize.py:33-37 uses ``input_file_name`` + a Python UDF
+    (``match_source``, 80:24-28) to pick the staging dir segment out of the
+    path. Spark-first: the same with *built-ins only* —
+    ``element_at(filter(split(path,'/'), seg -> seg in sources), -1)`` —
+    so provenance stays inside codegen (no Python worker per row).
+    """
+    src_array = F.array(*[F.lit(s) for s in sources])
+    segs = F.split(F.input_file_name(), "/")
+    # try_element_at: a path with no declared source segment yields NULL
+    # provenance (caught by the harmonize invariant) instead of crashing
+    source_col = F.try_element_at(
+        F.filter(segs, lambda s: F.array_contains(src_array, s)), F.lit(-1)
+    )
+    return spark.read.parquet(glob).withColumn("source", source_col)
+
+
+def read_tsv(spark: SparkSession, path: str, header: bool = True) -> DataFrame:
+    """S5: TSV dimension scan (reference: 05_integrate_reach.R:11, ghs.txt)."""
+    return spark.read.csv(path, sep="\t", header=header, inferSchema=False)
+
+
+def read_literal(spark: SparkSession, rows, schema) -> DataFrame:
+    """S6: in-memory literal table (reference: 13_integrate_BBBP.py:52)."""
+    return spark.createDataFrame(rows, schema)
+
+
+def read_jdbc_table(spark: SparkSession, url: str, table: str,
+                    properties: dict | None = None) -> DataFrame:
+    """S4: JDBC scan (reference: 11_integrate_toxrefdb.R:3 reads SQLite).
+
+    On a cluster, pass ``partitionColumn/lowerBound/upperBound/numPartitions``
+    via ``properties`` to parallelize the read; a single JDBC cursor is a
+    driver-side bottleneck at scale.
+    """
+    return spark.read.jdbc(url, table, properties=properties or {})
