@@ -1,0 +1,429 @@
+"""Oracle-checked query library over the driver test tables.
+
+One entry per operator family in SURVEY.md §2 (+ the training-data-pipeline
+operators). Each query is a (spark, sf_dir) -> DataFrame callable, paired in
+``__spark_entry__.oracle_sql`` with ANSI SQL DuckDB reproduces exactly.
+
+Determinism rules that make cross-engine value-hash comparison possible:
+- money aggregates are computed in *exact decimal* and cast to double at the
+  end (double summation is order-dependent; decimal is not);
+- every sample/top-k orders by an md5 of the row key (portable, unique);
+- dates are rendered as 'yyyy-MM-dd' strings; timestamps via unix_micros.
+
+Scale notes are inline per query; the common pattern: filters sit directly on
+the scan (pushdown), dims join via broadcast, aggregations are single-shuffle
+hash aggs, windows partition on high-cardinality keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from chemharmony_spark.functions.ids import group_id
+from chemharmony_spark.operators.core import (
+    balanced_class_floor,
+    discordance_filter,
+    grid_negatives,
+    having_filter,
+    keep_unique_keys,
+    melt,
+    pivot_value_counts,
+    recode,
+    stratified_sample_exact,
+)
+
+DEC = "decimal(18,2)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ``ts`` as long nanoseconds (see session.py nanosAsLong);
+    ``ts_ts`` adds a proper TimestampType view (microsecond truncation)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.withColumn("ts_ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _d(c) -> F.Column:
+    return (F.col(c) if isinstance(c, str) else c).cast(DEC)
+
+
+# --------------------------------------------------------------------------
+# Relational core (SURVEY.md §2.2-2.9)
+# --------------------------------------------------------------------------
+
+def q01_pricing_summary(spark, sf):
+    """TPC-H Q1 shape: multi-metric grouped agg (A1/A5/A7).
+
+    Exact-decimal sums -> double; single hash-agg shuffle with map-side
+    partial aggregation; scan reads only 6 columns (pruning).
+    """
+    li = _t(spark, sf, "lineitem").where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    disc = F.lit(1).cast("decimal(8,4)") - F.col("l_discount").cast("decimal(8,4)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_d("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_d("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(_d("l_extendedprice") * disc).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn("avg_qty", F.col("sum_qty") / F.col("count_order"))
+    )
+
+
+def q02_top_orders(spark, sf):
+    """TPC-H Q3 shape: join + agg + deterministic top-k (J1, O1-O3)."""
+    cust = _t(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    disc = F.lit(1).cast("decimal(8,4)") - F.col("l_discount").cast("decimal(8,4)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(_d("l_extendedprice") * disc).cast("double").alias("revenue"))
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q03_region_revenue(spark, sf):
+    """TPC-H Q5 shape: 6-table join, dims broadcast (J1/J3)."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    supp = _t(spark, sf, "supplier")
+    nation = _t(spark, sf, "nation")
+    region = _t(spark, sf, "region")
+    disc = F.lit(1).cast("decimal(8,4)") - F.col("l_discount").cast("decimal(8,4)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+              (orders.o_custkey == F.col("c_custkey"))
+              & (supp.s_nationkey == F.col("c_nationkey")))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(_d("l_extendedprice") * disc).cast("double").alias("revenue"))
+    )
+
+
+def q04_filter_predicates(spark, sf):
+    """P3/P4/P5: isin + range + null predicates, pushed to the parquet scan."""
+    li = _t(spark, sf, "lineitem").where(
+        F.col("l_returnflag").isin("A", "R")
+        & F.col("l_quantity").between(10, 20)
+        & F.col("l_shipdate").isNotNull()
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_d("l_quantity")).cast("double").alias("qty"),
+    )
+
+
+def q05_recode(spark, sf):
+    """P6 multi-branch recode (reference case_when, 02_integrate_chembl.R:43-51)."""
+    orders = _t(spark, sf, "orders").withColumn(
+        "status",
+        recode("o_orderstatus", {"O": "open", "F": "filled", "P": "pending"},
+               default="other"),
+    )
+    return orders.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q06_regex_strip_cast(spark, sf):
+    """P8 regex strip + cast (reference 10_integrate_bindingdb.R:76), on the
+    priority code digit of o_orderpriority ('1-URGENT' -> 1.0)."""
+    orders = _t(spark, sf, "orders").withColumn(
+        "prio_num", F.regexp_replace("o_orderpriority", "[^0-9]", "").cast("double")
+    )
+    return orders.groupBy("prio_num").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q07_distinct(spark, sf):
+    """P10 distinct (reference: used after nearly every shaping step)."""
+    return _t(spark, sf, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+def q08_pivot_counts(spark, sf):
+    """A6 pivot (reference 09_integrate_pubchem.py:66). Explicit value list
+    skips the extra distinct job at scale."""
+    piv = pivot_value_counts(
+        _t(spark, sf, "orders"), "o_orderpriority", "o_orderstatus", ["F", "O", "P"]
+    )
+    return piv.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(f"n_{c.lower()}") for c in ("F", "O", "P")],
+    )
+
+
+def q09_melt(spark, sf):
+    """O14 unpivot (reference 10_integrate_bindingdb.R:54) + agg per metric."""
+    long = melt(
+        _t(spark, sf, "lineitem"),
+        ids=["l_orderkey", "l_linenumber"],
+        value_cols=["l_quantity", "l_extendedprice", "l_discount"],
+        var_name="metric",
+        value_name="value",
+    )
+    return long.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+
+
+def q10_window_rownumber(spark, sf):
+    """W3 row_number per key: each customer's 3 most recent orders."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey")
+    )
+    return (
+        _t(spark, sf, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+def q11_keep_unique_keys(spark, sf):
+    """W1 windowed count==1 dedup (reference 09_integrate_pubchem.py:28-29):
+    customers having exactly one order."""
+    return keep_unique_keys(_t(spark, sf, "orders"), "o_custkey").select(
+        "o_custkey", "o_orderkey"
+    )
+
+
+def q12_window_median(spark, sf):
+    """W5/A3 exact grouped median (reference 01_integrate_toxvaldb.R:22-24)."""
+    w = Window.partitionBy("l_partkey")
+    return (
+        _t(spark, sf, "lineitem")
+        .withColumn("med_qty", F.median("l_quantity").over(w))
+        .select("l_partkey", "med_qty")
+        .distinct()
+    )
+
+
+def q13_discordance(spark, sf):
+    """W4 unanimity filter (reference 02:60, 03:47): parts whose lineitems all
+    share one returnflag."""
+    kept = discordance_filter(_t(spark, sf, "lineitem"), ["l_partkey"], "l_returnflag")
+    return kept.groupBy("l_partkey").agg(
+        F.min("l_returnflag").alias("flag"), F.count(F.lit(1)).alias("n")
+    )
+
+
+def q14_having_floor(spark, sf):
+    """A8 having-filter returning original rows (reference 01:23 n()>500),
+    then re-aggregated for a compact comparable output."""
+    kept = having_filter(
+        _t(spark, sf, "lineitem"), ["l_partkey"], F.count(F.lit(1)) > 320
+    )
+    return kept.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q15_conditional_sum(spark, sf):
+    """A5 conditional sums (reference 02:62 sum(value=='positive') > 50)."""
+    return _t(spark, sf, "lineitem").groupBy("l_returnflag").agg(
+        F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0)).alias("n_hi_disc"),
+        F.sum(F.when(F.col("l_discount") <= 0.05, 1).otherwise(0)).alias("n_lo_disc"),
+    )
+
+
+def q16_group_min_two_level(spark, sf):
+    """A2 two-level agg (reference 91_property_categories.py:19-22): per part,
+    the minority count across returnflag classes."""
+    counts = _t(spark, sf, "lineitem").groupBy("l_partkey", "l_returnflag").count()
+    return counts.groupBy("l_partkey").agg(F.min("count").alias("mincnt"))
+
+
+def q17_count_distinct(spark, sf):
+    """A4 per-group distinct count (reference 02:60-62 n_distinct)."""
+    return _t(spark, sf, "lineitem").groupBy("l_partkey").agg(
+        F.countDistinct("l_suppkey").alias("nsupp")
+    )
+
+
+def q18_union_by_name(spark, sf):
+    """U1/U2 union of heterogeneous slices (reference 17:87-89, 03:33-40)."""
+    orders = _t(spark, sf, "orders")
+    open_ = orders.where("o_orderstatus = 'O'").select(
+        "o_orderkey", F.lit("open").alias("bucket")
+    )
+    filled = orders.where("o_orderstatus = 'F'").select(
+        "o_orderkey", F.lit("filled").alias("bucket")
+    )
+    return open_.unionByName(filled).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def q19_intersect_except(spark, sf):
+    """Set ops beyond the reference (engine completeness): nations having
+    customers vs suppliers."""
+    cn = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nk"))
+    sn = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nk"))
+    both = cn.intersect(sn).withColumn("op", F.lit("both"))
+    only_c = cn.subtract(sn).withColumn("op", F.lit("cust_only"))  # EXCEPT DISTINCT
+    return both.unionByName(only_c)
+
+
+def q20_grid_negatives(spark, sf):
+    """J5/J7 combination grid + fill (reference 06_integrate_ice.R:102-104):
+    every (nation, orderstatus) combo with observed order count, 0 if absent."""
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    nation = _t(spark, sf, "nation")
+    observed = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    grid = nation.select("n_name").distinct().crossJoin(
+        F.broadcast(orders.select("o_orderstatus").distinct())
+    )
+    return grid.join(observed, on=["n_name", "o_orderstatus"], how="left").select(
+        "n_name", "o_orderstatus", F.coalesce("n", F.lit(0)).alias("n")
+    )
+
+
+def q21_semi_anti_join(spark, sf):
+    """J8 semi + anti joins (reference 91:24 inner-on-keys ≡ semi; anti is the
+    engine's cache-miss idiom, SURVEY.md §2.3)."""
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders").select("o_custkey")
+    with_orders = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+    without = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    # global agg (no groupBy) so an empty side still yields its zero row
+    a = with_orders.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("with_orders").alias("bucket"), "n"
+    )
+    b = without.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("without_orders").alias("bucket"), "n"
+    )
+    return a.unionByName(b)
+
+
+def q22_left_join_histogram(spark, sf):
+    """J4 left join + null fill (reference 07:37-38): order-count histogram."""
+    cust = _t(spark, sf, "customer")
+    per_cust = _t(spark, sf, "orders").groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    joined = cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left").select(
+        F.coalesce("cnt", F.lit(0)).alias("n_orders")
+    )
+    return joined.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+def q23_full_outer_consistency(spark, sf):
+    """J6 full outer + coalesce (reference src/tests.py:33-37): per-nation
+    customer vs supplier counts."""
+    ncust = _t(spark, sf, "customer").groupBy(
+        F.col("c_nationkey").alias("nationkey")
+    ).agg(F.count(F.lit(1)).alias("ncust"))
+    nsupp = _t(spark, sf, "supplier").groupBy(
+        F.col("s_nationkey").alias("nationkey")
+    ).agg(F.count(F.lit(1)).alias("nsupp"))
+    return ncust.join(nsupp, "nationkey", "outer").select(
+        "nationkey",
+        F.coalesce("ncust", F.lit(0)).alias("ncust"),
+        F.coalesce("nsupp", F.lit(0)).alias("nsupp"),
+    )
+
+
+def q24_group_id_md5(spark, sf):
+    """W2 deterministic group ids (reference R UUID-per-group idiom replaced
+    by md5-of-keys, SURVEY.md §2.5 W2)."""
+    return (
+        _t(spark, sf, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .distinct()
+        .withColumn("gid", group_id("l_returnflag", "l_linestatus"))
+    )
+
+
+def q25_content_id_json(spark, sf):
+    """F8/F14/F1: content-addressed id = md5(to_json(struct(...))) — the
+    harmonize identity model (reference 80_harmonize.py:39-40) on part attrs."""
+    return (
+        _t(spark, sf, "part")
+        .select(
+            "p_partkey",
+            F.to_json(F.struct("p_brand", "p_size", "p_type")).alias("data"),
+        )
+        .withColumn("cid", F.md5("data"))
+    )
+
+
+def q26_stratified_sample(spark, sf):
+    """R1 exact per-stratum sampling (reference 06:110 sample_n), made
+    engine-portable by ordering on md5 of the unique row key."""
+    li = _t(spark, sf, "lineitem")
+    return stratified_sample_exact(
+        li,
+        strata=["l_returnflag"],
+        n_per_stratum=5,
+        order_by=F.md5(F.concat_ws("|", F.col("l_orderkey"), F.col("l_linenumber"))),
+    ).select("l_returnflag", "l_orderkey", "l_linenumber")
+
+
+def q27_json_extract(spark, sf):
+    """F15 JSON payload access in-engine (reference does json.loads on the
+    driver, 91:30): events.props -> $.k."""
+    ev = _events(spark, sf).withColumn(
+        "k", F.get_json_object("props", "$.k").cast("int")
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+def q28_tumbling_window(spark, sf):
+    """§2.12 batch-equivalent tumbling window: hourly event rollup keyed by
+    epoch-hour (portable across engines; the streaming surface uses F.window
+    over the same data — see chemharmony_spark.streaming)."""
+    ev = _events(spark, sf).withColumn(
+        "hour_bucket", F.expr("ts div 3600000000000")  # integer ns -> hour
+    )
+    return ev.groupBy("hour_bucket", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+    )
+
+
+def q29_sessionize(spark, sf):
+    """Stateful sessionization as a batch window plan (gap > 30 min starts a
+    new session): lag + cumulative sum — the batch twin of
+    applyInPandasWithState in the streaming surface."""
+    w_order = Window.partitionBy("user_id").orderBy("ts")
+    gap_ns = F.col("ts") - F.lag("ts").over(w_order)
+    is_new = F.when(gap_ns.isNull() | (gap_ns > 1_800_000_000_000), 1).otherwise(0)
+    sessions = (
+        _events(spark, sf)
+        .withColumn("is_new", is_new)
+        .withColumn(
+            "session_id",
+            F.sum("is_new").over(
+                w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return sessions.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions"), F.count(F.lit(1)).alias("n_events")
+    )

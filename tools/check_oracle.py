@@ -1,0 +1,127 @@
+"""Local mimic of the driver's t2 correctness gate.
+
+Runs every ``queries()`` entry on Spark at sf0.01 AND its ``oracle_sql()``
+on DuckDB over the same parquet tables, then compares row count, column
+names, and an order-insensitive value hash (columns sorted by name, rows
+sorted, exact cell equality — floats must match bit-for-bit, which is why
+engine queries compute aggregates in exact decimal and cast at the end).
+
+Usage: python tools/check_oracle.py [query_name ...] [--sf DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import math
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        # unify null representations and value rendering
+        def render(v):
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                return "\x00NULL"
+            if isinstance(v, float):
+                return repr(v)  # bit-faithful
+            if isinstance(v, (list, tuple)) or str(type(v)).find("ndarray") >= 0:
+                return "[" + ",".join(render(x) for x in v) + "]"
+            return str(v)
+        df[c] = s.map(render)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    h = hashlib.sha256()
+    for row in df.itertuples(index=False):
+        h.update("\x1f".join(row).encode())
+        h.update(b"\x1e")
+    return h.hexdigest()
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("names", nargs="*")
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    args = ap.parse_args()
+
+    import __spark_entry__ as entrymod
+    from chemharmony_spark.session import get_spark
+
+    spark = get_spark(app_name="check_oracle")
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    names = args.names or list(qs)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
+        )
+
+    n_pass = n_fail = n_weak = 0
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, args.sf).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {exc}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"weak  {name}: rows={len(sdf)} (no oracle, rows-only check)")
+            n_weak += 1
+            continue
+        try:
+            odf = con.sql(oracles[name]).df()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {exc}")
+            n_fail += 1
+            continue
+        problems = []
+        if len(sdf) != len(odf):
+            problems.append(f"rowcount spark={len(sdf)} oracle={len(odf)}")
+        if sorted(sdf.columns) != sorted(odf.columns):
+            problems.append(f"schema spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
+        if not problems:
+            ns, no = normalize(sdf), normalize(odf)
+            hs, ho = value_hash(ns), value_hash(no)
+            if hs != ho:
+                diff = (ns != no)
+                bad_cols = [c for c in ns.columns if diff[c].any()]
+                first_bad = diff.any(axis=1).idxmax()
+                problems.append(
+                    f"value-hash mismatch; cols={bad_cols}; first diff row {first_bad}: "
+                    f"spark={ns.iloc[first_bad].to_dict()} oracle={no.iloc[first_bad].to_dict()}"
+                )
+        dt = time.time() - t0
+        if problems:
+            print(f"FAIL  {name} ({dt:.1f}s): " + " | ".join(problems))
+            n_fail += 1
+        else:
+            print(f"pass  {name} ({dt:.1f}s, {len(sdf)} rows)")
+            n_pass += 1
+
+    print(f"\n{n_pass} pass, {n_weak} rows-only, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
