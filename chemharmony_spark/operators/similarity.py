@@ -1,0 +1,135 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- :func:`cosine_topk` — brute-force exact top-k: broadcast the (small) query
+  set against the corpus; dot products via ``zip_with`` + ``aggregate``
+  (sequential left fold — bit-reproducible, and the same fold DuckDB's
+  ``list_reduce`` performs, so the op is oracle-checkable). At 100 TB the
+  corpus side stays partitioned; only queries broadcast.
+- :func:`lsh_bucket_topk` — the scale path: random-hyperplane LSH buckets
+  (signs of dot products with deterministic md5-derived hyperplanes) shrink
+  the candidate set; exact rerank inside buckets. Recall < 1 by design;
+  tested against brute force in tests/test_similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (deterministic across engines)."""
+    prods = F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(_as_double(a), F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Plan shape: broadcast-nested-loop join (queries tiny) -> per-row cosine
+    (codegen) -> per-query top-k via row_number window partitioned by the
+    query id (high-cardinality partitioning, shuffle sized |Q| x |corpus|).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", cosine(F.col("qvec"), F.col("cvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def _hyperplane(plane: int, dim: int) -> F.Column:
+    """Deterministic pseudo-random ±1 coefficient for (plane, dim): parity of
+    the first hex char of md5('p<plane>:<dim>')."""
+    h = F.md5(F.lit(f"p{plane}:{dim}"))
+    v = F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - 1
+    return (v % 2) * 2 - 1
+
+
+def signature_bits(vec_col: Column, n_planes: int, dims: int,
+                   plane_offset: int = 0) -> Column:
+    """LSH bucket id: concatenated signs of dots with n_planes hyperplanes.
+    ``plane_offset`` selects an independent plane family per hash table."""
+    arr = _as_double(vec_col)
+    bits = []
+    for p in range(plane_offset, plane_offset + n_planes):
+        coefs = F.array(*[F.lit(1.0) * _hyperplane(p, d) for d in range(dims)])
+        d_ = F.aggregate(
+            F.zip_with(arr, coefs, lambda x, y: x * y), F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(d_ >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                    n_planes: int = 4, n_tables: int = 4, dims: int = 64,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: compare only vectors sharing a query's LSH bucket
+    in ANY of ``n_tables`` independent hash tables (standard L-tables LSH —
+    more tables buy recall with linear extra candidate cost).
+
+    At scale the table buckets become partition keys (write the corpus
+    partitioned by (table, bucket) once; every query then touches L
+    partitions — partition pruning does the candidate selection for free).
+    """
+    def with_buckets(df, id_alias, vec_alias):
+        cols = [F.col(id_col).alias(id_alias), F.col(vec_col).alias(vec_alias)]
+        for t in range(n_tables):
+            sig = signature_bits(
+                F.col(vec_col), n_planes, dims, plane_offset=t * n_planes
+            )
+            cols.append(sig.alias(f"b{t}"))
+        return df.select(*cols)
+
+    c = with_buckets(corpus, "neighbor_id", "cvec")
+    q = with_buckets(queries, "query_id", "qvec")
+    # candidates: same bucket in any table -> union + dedup, then one exact
+    # rerank per distinct (query, neighbor) pair
+    cand = None
+    for t in range(n_tables):
+        ct = c.select("neighbor_id", "cvec", F.col(f"b{t}").alias("bucket"))
+        qt = q.select("query_id", F.col(f"b{t}").alias("bucket"))
+        pairs = ct.join(F.broadcast(qt), on="bucket").drop("bucket")
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.dropDuplicates(["query_id", "neighbor_id"])
+    scored = (
+        cand.join(F.broadcast(q.select("query_id", "qvec")), on="query_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", cosine(F.col("qvec"), F.col("cvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )

@@ -1,0 +1,111 @@
+"""Text-analysis operators for training-data pipelines (BASELINE.json
+north-star: language-ID, quality scoring, token counting, fingerprinting
+over the ``documents`` table).
+
+All pure Column expressions — JVM-side, codegen-friendly, no UDFs — so at
+100 TB these run at scan speed with full predicate pushdown below them.
+Semantics are deliberately engine-portable (regex + md5 only) so every
+operator is DuckDB-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword marker sets for the n-gram/stopword heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "und", "die", "nicht"),
+    "en": ("the", "and", "of", "is"),
+    "es": ("el", "los", "que", "de"),
+    "fr": ("le", "les", "des", "est"),
+    "zh": ("de", "shi", "le", "bu"),
+}
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Lowercase, strip non-alphanumerics (keep spaces), collapse whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.lower(c)
+    c = F.regexp_replace(c, "[^a-z0-9 ]", "")
+    c = F.regexp_replace(c, " +", " ")
+    return F.trim(c)
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of the normalized text (empties removed)."""
+    return F.filter(F.split(normalize_text(col), " "), lambda x: x != "")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def alnum_ratio(col: Column | str) -> Column:
+    """Fraction of characters that are alphanumeric-or-space — a cheap
+    quality signal (high punctuation/noise ratio -> low score)."""
+    c = F.col(col) if isinstance(col, str) else col
+    clean_len = F.length(F.regexp_replace(c, "[^a-zA-Z0-9 ]", ""))
+    return clean_len / F.length(c)
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+
+    The text twin of the harmonize content-id (reference 80_harmonize.py:40):
+    same canonical content -> same id, across engines and runs.
+    """
+    return F.md5(normalize_text(col))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach token/char/ratio quality features."""
+    return (
+        df.withColumn("n_tokens", token_count(text_col))
+        .withColumn("n_chars_obs", F.length(text_col))
+        .withColumn("alnum_ratio", alnum_ratio(text_col))
+        .withColumn(
+            "avg_token_len",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.aggregate(
+                    F.transform(tokens(text_col), F.length),
+                    F.lit(0),
+                    lambda a, x: a + x,
+                ) / F.col("n_tokens"),
+            ),
+        )
+    )
+
+
+def langid_scores(df: DataFrame, text_col: str = "text",
+                  markers: dict[str, tuple[str, ...]] | None = None) -> DataFrame:
+    """Stopword-marker language ID: for each candidate language, count how
+    many of its marker words occur as tokens; predict the argmax
+    (ties -> lexicographically first language). Pure expressions: the marker
+    sets are compiled into the plan as literals (broadcast-free)."""
+    markers = markers or LANG_MARKERS
+    toks = tokens(text_col)
+    scored = df.withColumn("__toks", toks)
+    score_cols = []
+    for lang, words in sorted(markers.items()):
+        hits = sum(
+            (F.array_contains("__toks", w).cast("int") for w in words),
+            start=F.lit(0),
+        )
+        scored = scored.withColumn(f"__score_{lang}", hits)
+        score_cols.append(lang)
+    # argmax via a sorted array of (negscore, lang) structs — deterministic
+    pairs = F.array(
+        *[
+            F.struct(
+                (-F.col(f"__score_{lang}")).alias("neg"), F.lit(lang).alias("lang")
+            )
+            for lang in score_cols
+        ]
+    )
+    best = F.array_sort(pairs)[0]
+    out = scored.withColumn("pred_lang", best["lang"]).withColumn(
+        "pred_score", -best["neg"]
+    )
+    return out.drop("__toks", *[f"__score_{lang}" for lang in score_cols])

@@ -22,6 +22,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from chemharmony_spark.functions.ids import group_id
+from chemharmony_spark.operators import dedup as DD
+from chemharmony_spark.operators import multimodal as MM
+from chemharmony_spark.operators import similarity as SIM
+from chemharmony_spark.operators import text as TX
 from chemharmony_spark.operators.core import (
     balanced_class_floor,
     discordance_filter,
@@ -427,3 +431,93 @@ def q29_sessionize(spark, sf):
     return sessions.groupBy("user_id").agg(
         F.max("session_id").alias("n_sessions"), F.count(F.lit(1)).alias("n_events")
     )
+
+
+# --------------------------------------------------------------------------
+# Training-data pipeline operators (BASELINE.json north-star additions)
+# --------------------------------------------------------------------------
+
+def q30_dedup_exact(spark, sf):
+    """Exact dedup: md5-of-normalized-text fingerprint -> hash groupBy."""
+    docs = _t(spark, sf, "documents")
+    return DD.exact_dedup_groups(docs, "doc_id", "text")
+
+
+def q31_text_quality(spark, sf):
+    """Quality features: token count, char count, alnum ratio, avg token len."""
+    docs = TX.quality_features(_t(spark, sf, "documents"))
+    return docs.select(
+        "doc_id", "n_tokens", "n_chars_obs", "alnum_ratio", "avg_token_len"
+    )
+
+
+def q32_langid(spark, sf):
+    """Stopword-marker language ID (argmax with lexicographic tie-break)."""
+    scored = TX.langid_scores(_t(spark, sf, "documents"))
+    return scored.select("doc_id", "pred_lang", "pred_score")
+
+
+def q33_fingerprint_rollup(spark, sf):
+    """Per-source doc counts + distinct content fingerprints."""
+    docs = _t(spark, sf, "documents").withColumn("fp", TX.fingerprint("text"))
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fp").alias("n_fingerprints"),
+    )
+
+
+def q34_minhash_signatures(spark, sf):
+    """MinHash band signatures (4 bands, 3-word shingles, md5 hash family)."""
+    return DD.minhash_signatures(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+def q35_lsh_band_counts(spark, sf):
+    """LSH candidate pairs per band (docs sharing a band-minhash bucket)."""
+    sig = DD.minhash_signatures(_t(spark, sf, "documents"), "doc_id", "text")
+    left = sig.select("band", "minhash", F.col("id").alias("a"))
+    right = sig.select("band", "minhash", F.col("id").alias("b"))
+    pairs = (
+        left.join(right, on=["band", "minhash"])
+        .where(F.col("a") < F.col("b"))
+        .select("band", "a", "b")
+        .distinct()
+    )
+    return pairs.groupBy("band").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+def q36_jaccard_near_dups(spark, sf):
+    """Exact word-set Jaccard on LSH candidates; deterministic top-20."""
+    docs = _t(spark, sf, "documents")
+    sig = DD.minhash_signatures(docs, "doc_id", "text")
+    cands = DD.lsh_candidate_pairs(sig)
+    scored = DD.jaccard_pairs(docs, cands, "doc_id", "text")
+    return (
+        scored.select("a", "b", "n_inter", "na", "nb", "jaccard")
+        .orderBy(F.col("jaccard").desc(), "a", "b")
+        .limit(20)
+    )
+
+
+def q37_simhash(spark, sf):
+    """16-bit SimHash signatures over distinct token sets."""
+    return DD.simhash16(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+def q38_cosine_topk(spark, sf):
+    """Brute-force exact top-5 cosine neighbors for query vectors (id < 10)."""
+    emb = _t(spark, sf, "embeddings")
+    return SIM.cosine_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+def q39_multimodal_meta(spark, sf):
+    """Binary-payload metadata extraction via mapInPandas (deterministic
+    stub decode; real decode is PIL-gated — see operators/multimodal.py)."""
+    docs = MM.attach_binary_payload(_t(spark, sf, "documents"), "text")
+    return MM.extract_image_meta(docs)
+
+
+def q40_ann_lsh(spark, sf):
+    """Approximate NN via random-hyperplane LSH buckets (scale path; recall
+    vs brute force asserted in tests — rows-only driver check)."""
+    emb = _t(spark, sf, "embeddings")
+    return SIM.lsh_bucket_topk(emb, emb.where(F.col("vec_id") < 10), k=5)

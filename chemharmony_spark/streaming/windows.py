@@ -1,0 +1,78 @@
+"""Structured Streaming surface over the events table.
+
+The reference has no streaming (SURVEY.md §2.12 — confirmed none), but the
+engine exposes the batch window semantics through ``readStream`` so the same
+rollup runs incrementally: parquet source -> event-time tumbling window ->
+sink. Batch/stream parity is asserted in tests/test_streaming.py (the batch
+twin is queries.q28_tumbling_window).
+
+Scale notes: a real deployment points the same code at a Kafka/file source;
+the watermark bounds state, and the windowed agg shuffles on
+(window, event_type) exactly like the batch plan. Sessionization
+(queries.q29) maps to ``session_window`` / ``applyInPandasWithState`` in
+this surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), True),
+        StructField("ts", LongType(), True),  # ns since epoch (nanosAsLong)
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+        StructField("props", StringType(), True),
+    ]
+)
+
+
+def stream_tumbling_counts(
+    spark: SparkSession,
+    events_dir: str,
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+    with_watermark: bool = False,
+) -> DataFrame:
+    """Streaming hourly rollup per event_type (tumbling event-time window).
+
+    ``with_watermark=False`` + complete output mode gives exact batch parity
+    for a bounded replay; set True for unbounded sources (bounds state, may
+    hold back the trailing window until the watermark passes it).
+    """
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(events_dir)
+    )
+    src = src.withColumn("ts_ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if with_watermark:
+        src = src.withWatermark("ts_ts", watermark)
+    return src.groupBy(F.window("ts_ts", window), "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+
+
+def run_stream_to_memory(agg: DataFrame, name: str, mode: str = "complete") -> DataFrame:
+    """Drain a bounded stream into an in-memory table (availableNow trigger)
+    and return the result as a batch DataFrame."""
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return agg.sparkSession.sql(f"SELECT * FROM {name}")

@@ -1,0 +1,100 @@
+"""Unit tests for the generic operator kit (SURVEY.md §2) on tiny frames."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from chemharmony_spark.operators.core import (
+    balanced_class_floor,
+    discordance_filter,
+    grid_negatives,
+    grouped_median_binarize,
+    having_filter,
+    keep_unique_keys,
+    melt,
+    recode,
+    stratified_sample_exact,
+    strip_qualifiers_to_double,
+)
+
+
+def test_recode_with_default_and_lowercase(spark):
+    df = spark.createDataFrame(
+        [("Active",), ("inactive",), ("weird",)], ["outcome"]
+    ).withColumn(
+        "value",
+        recode("outcome", {"active": "positive", "inactive": "negative"},
+               lowercase=True),
+    )
+    vals = {r.outcome: r.value for r in df.collect()}
+    assert vals == {"Active": "positive", "inactive": "negative", "weird": None}
+
+
+def test_strip_qualifiers(spark):
+    df = spark.createDataFrame([(">100",), ("<5.5",), ("42",)], ["v"]).withColumn(
+        "n", strip_qualifiers_to_double("v")
+    )
+    assert [r.n for r in df.collect()] == [100.0, 5.5, 42.0]
+
+
+def test_keep_unique_and_discordance(spark):
+    df = spark.createDataFrame(
+        [("k1", "a"), ("k1", "b"), ("k2", "a"), ("k3", "x"), ("k3", "x")],
+        ["k", "v"],
+    )
+    assert {r.k for r in keep_unique_keys(df, "k").collect()} == {"k2"}
+    # k3 is unanimous (both x), k1 discordant
+    kept = discordance_filter(df, ["k"], "v")
+    assert {r.k for r in kept.collect()} == {"k2", "k3"}
+
+
+def test_having_and_class_floor(spark):
+    rows = [("p1", "positive")] * 3 + [("p1", "negative")] * 2 + [("p2", "positive")]
+    df = spark.createDataFrame(rows, ["pid", "value"])
+    assert having_filter(df, ["pid"], F.count(F.lit(1)) > 2).count() == 5
+    assert balanced_class_floor(df, ["pid"], "value", floor=1).count() == 5
+    assert balanced_class_floor(df, ["pid"], "value", floor=2).count() == 0
+
+
+def test_grouped_median_binarize(spark):
+    # property p: per-substance medians 1, 3, 5 -> threshold median 3
+    rows = [
+        ("s1", "p", 1.0), ("s2", "p", 3.0), ("s3", "p", 5.0),
+        ("s1", "p", 1.0),  # replicate collapses first
+    ]
+    df = spark.createDataFrame(rows, ["sid", "pid", "v"])
+    out = grouped_median_binarize(df, ["sid"], ["pid"], "v")
+    vals = {r.sid: r.value for r in out.collect()}
+    assert vals == {"s1": "positive", "s2": "positive", "s3": "negative"}
+
+
+def test_melt_drops_nulls(spark):
+    df = spark.createDataFrame([(1, 10.0, None)], "id long, a double, b double")
+    out = melt(df, ["id"], ["a", "b"])
+    assert [(r.metric, r.value) for r in out.collect()] == [("a", 10.0)]
+
+
+def test_grid_negatives_fills_unobserved(spark):
+    df = spark.createDataFrame(
+        [("s1", "p1", "positive"), ("s2", "p2", "positive")],
+        ["sid", "pid", "value"],
+    )
+    out = grid_negatives(df, "sid", ["pid"])
+    vals = {(r.sid, r.pid): r.value for r in out.collect()}
+    assert len(vals) == 4
+    assert vals[("s1", "p2")] == "negative" and vals[("s2", "p1")] == "negative"
+    assert vals[("s1", "p1")] == "positive"
+
+
+def test_stratified_sample_exact_and_deterministic(spark):
+    rows = [(f"id{i}", "a" if i % 2 else "b") for i in range(40)]
+    df = spark.createDataFrame(rows, ["id", "stratum"])
+    order = F.md5(F.col("id"))
+    s1 = stratified_sample_exact(df, ["stratum"], 5, order_by=order)
+    s2 = stratified_sample_exact(df, ["stratum"], 5, order_by=order)
+    r1 = sorted((r.stratum, r.id) for r in s1.collect())
+    assert r1 == sorted((r.stratum, r.id) for r in s2.collect())
+    per = {}
+    for st, _ in r1:
+        per[st] = per.get(st, 0) + 1
+    assert per == {"a": 5, "b": 5}
