@@ -1,0 +1,203 @@
+"""Integration-pipeline tests over FIXTURES.md F2/F4/F5/F6 shapes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from chemharmony_spark.plans.integrations import (
+    MetricThreshold,
+    OutcomeConfig,
+    integrate_measurements,
+    integrate_outcomes,
+    integrate_wide_labels,
+    integrate_wide_measurements,
+)
+from chemharmony_spark.plans.qa import (
+    check_binary_consistency,
+    check_referential_integrity,
+    check_unique,
+    check_values_in,
+    run_checks,
+)
+
+
+def _check_contract(res):
+    assert res.substances.columns == ["sid", "data"]
+    assert res.properties.columns == ["pid", "data"]
+    for c in ("aid", "sid", "pid", "inchi", "value"):
+        assert c in res.activities.columns
+    run_checks(
+        check_unique(res.substances, "sid"),
+        check_unique(res.properties, "pid"),
+        check_values_in(res.activities, "value"),
+        check_referential_integrity(res.activities, res.substances, "sid"),
+        check_referential_integrity(res.activities, res.properties, "pid"),
+    )
+
+
+def test_wide_labels_moleculenet_shape(spark):
+    df = spark.createDataFrame(
+        [
+            ("c1", "CCO", 1, 0),
+            ("c2", "CCN", 0, None),
+            ("c3", None, 1, 1),  # null smiles dropped
+            ("c4", "CCC", None, 1),
+        ],
+        "cid string, smiles string, tox int, bbb int",
+    )
+    res = integrate_wide_labels(
+        df, compound_id="cid", smiles_col="smiles", label_cols=["tox", "bbb"],
+        property_meta={"tox": {"desc": "toxicity"}, "bbb": {"desc": "barrier"}},
+    )
+    _check_contract(res)
+    assert res.substances.count() == 3
+    assert res.properties.count() == 2
+    acts = res.activities.collect()
+    # c1: tox=1 -> positive, bbb=0 -> negative; null labels dropped by melt
+    assert len(acts) == 2 + 1 + 1
+    # determinism across runs
+    res2 = integrate_wide_labels(
+        df, compound_id="cid", smiles_col="smiles", label_cols=["tox", "bbb"],
+        property_meta={"tox": {"desc": "toxicity"}, "bbb": {"desc": "barrier"}},
+    )
+    assert sorted(map(tuple, acts)) == sorted(map(tuple, res2.activities.collect()))
+
+
+def test_measurements_median_binarization(spark):
+    rows = []
+    # one property group with 6 substances straddling the median (>5 floor)
+    for i, v in enumerate([1.0, 2.0, 3.0, 4.0, 5.0, 6.0]):
+        rows += [(f"s{i}", f"InChI=1S/X{i}", "LD50", "rat", v)]
+    rows += [("s0", "InChI=1S/X0", "LD50", "rat", 1.0)]  # replicate
+    df = spark.createDataFrame(
+        rows, "dtxsid string, inchi string, assay string, species string, v double"
+    )
+    res = integrate_measurements(
+        df, substance_cols=["dtxsid"], property_cols=["assay", "species"],
+        value_col="v", inchi_col="inchi", min_group_size=5,
+    )
+    _check_contract(res)
+    acts = {r.inchi: r.value for r in res.activities.collect()}
+    # median of per-substance medians = 3.5; lower half positive
+    assert acts["InChI=1S/X0"] == "positive" and acts["InChI=1S/X5"] == "negative"
+    run_checks(check_binary_consistency(
+        res.activities.withColumn(
+            "binary_value", F.when(F.col("value") == "positive", 1).otherwise(0))
+    ))
+
+
+def test_wide_measurements_bindingdb_shape(spark):
+    df = spark.createDataFrame(
+        [
+            ("InChI=1S/A", "T1", "5", None),
+            ("InChI=1S/B", "T1", ">500", "50"),
+            ("InChI=1S/C", "T2", None, "<2"),
+        ],
+        "inchi string, target string, ki string, ic50 string",
+    )
+    res = integrate_wide_measurements(
+        df, substance_cols=["inchi"], property_cols=["target"],
+        metric_cols={"ki": MetricThreshold(10.0), "ic50": MetricThreshold(100.0)},
+        inchi_col="inchi",
+    )
+    _check_contract(res)
+    got = {(r.inchi, r.metric): (r.value, r.numvalue) for r in res.activities.collect()}
+    assert got[("InChI=1S/A", "ki")] == ("positive", 5.0)
+    assert got[("InChI=1S/B", "ki")] == ("negative", 500.0)  # qualifier stripped
+    assert got[("InChI=1S/B", "ic50")] == ("positive", 50.0)
+    assert got[("InChI=1S/C", "ic50")] == ("positive", 2.0)
+
+
+def test_outcomes_discordance_and_floors(spark):
+    rows = []
+    # assay A: 12 substances, clean outcomes, balanced classes
+    for i in range(6):
+        rows += [(f"c{i}", "InChI=1S/P%d" % i, "assayA", "Active")]
+        rows += [(f"d{i}", "InChI=1S/Q%d" % i, "assayA", "inactive")]
+    # discordant substance in assayA
+    rows += [("c0", "InChI=1S/P0", "assayA", "inactive")]
+    # assay B: below the substance floor
+    rows += [("c0", "InChI=1S/P0", "assayB", "Active")]
+    df = spark.createDataFrame(rows, "cmp string, inchi string, assay string, outcome string")
+    cfg = OutcomeConfig(
+        compound_cols=["cmp", "inchi"], property_cols=["assay"],
+        outcome_col="outcome", inchi_col="inchi",
+        recode_map={"active": "positive", "inactive": "negative"},
+        min_substances=5, class_floor=4,
+    )
+    res = integrate_outcomes(df, cfg)
+    _check_contract(res)
+    acts = res.activities.collect()
+    srcs = {r.inchi for r in acts}
+    assert "InChI=1S/P0" not in srcs  # discordant dropped
+    assert all("assayB" not in r.pid for r in acts)  # under-floor assay gone
+    assert len(acts) == 11  # 12 clean minus the discordant c0
+
+
+def test_enrichment_cache_and_anti_join(spark, tmp_path):
+    from chemharmony_spark.plans.enrichment import (
+        assign_categories,
+        assign_titles,
+        big_properties,
+    )
+
+    props = spark.createDataFrame(
+        [("p1", '{"assay":"a1","endpoint":"e1"}'), ("p2", '{"assay":"a2","endpoint":"e2"}')],
+        "pid string, data string",
+    )
+    cache = str(tmp_path / "cat_cache")
+    r1 = assign_categories(spark, props, cache)
+    assert r1.n_model_calls == 2
+    out1 = sorted(map(tuple, r1.table.collect()))
+    # second run: all hits, no model calls, same output
+    r2 = assign_categories(spark, props, cache)
+    assert r2.n_model_calls == 0
+    assert sorted(map(tuple, r2.table.collect())) == out1
+
+    tcache = str(tmp_path / "title_cache")
+    t1 = assign_titles(spark, props, tcache)
+    titles = [r.title for r in t1.table.collect()]
+    assert len(titles) == len(set(titles)) == 2
+    t2 = assign_titles(spark, props, tcache)
+    assert t2.n_model_calls == 0
+
+    # big-pid filter: two-level agg semantics
+    acts = spark.createDataFrame(
+        [("p1", 1)] * 3 + [("p1", 0)] * 3 + [("p2", 1)] * 5,
+        "pid string, binary_value int",
+    )
+    big = big_properties(acts, min_per_class=3)
+    assert [r.pid for r in big.collect()] == ["p1"]
+
+
+def test_pipeline_runner_order_and_filtering():
+    from chemharmony_spark.plans.runner import Pipeline
+
+    p = Pipeline()
+    calls = []
+
+    @p.stage("a")
+    def a():
+        calls.append("a")
+        return 1
+
+    @p.stage("b", deps=["a"])
+    def b(a):
+        calls.append("b")
+        return a + 1
+
+    @p.stage("c", deps=["a"])
+    def c(a):
+        calls.append("c")
+        return a + 10
+
+    @p.stage("d", deps=["b", "c"])
+    def d(b, c):
+        calls.append("d")
+        return b + c
+
+    res = p.run()
+    assert res["d"] == 13 and calls.index("a") == 0 and calls.index("d") == 3
+    calls.clear()
+    res = p.run(only=["b"])
+    assert set(calls) == {"a", "b"} and res["b"] == 2
