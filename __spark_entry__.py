@@ -67,6 +67,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_cosine_topk": Q.q38_cosine_topk,
         "q39_multimodal_meta": Q.q39_multimodal_meta,
         "q40_ann_lsh": Q.q40_ann_lsh,
+        "q41_harmonize_shape": Q.q41_harmonize_shape,
+        "q42_median_binarize": Q.q42_median_binarize,
+        "q43_balanced_class_floor": Q.q43_balanced_class_floor,
+        "q44_char_ngram_jaccard": Q.q44_char_ngram_jaccard,
     }
 
 
@@ -463,4 +467,89 @@ def oracle_sql() -> dict[str, str]:
         """,
         # q40_ann_lsh: intentionally no oracle — approximate operator whose
         # recall is asserted against brute force in tests/test_similarity.py
+        "q41_harmonize_shape": """
+            WITH cust AS (
+              SELECT c_custkey,
+                     md5(to_json(struct_pack(c_mktsegment := c_mktsegment,
+                                             c_name := c_name,
+                                             c_nationkey := c_nationkey))::VARCHAR)
+                       AS sid
+              FROM customer),
+            part_t AS (
+              SELECT p_partkey,
+                     md5(to_json(struct_pack(p_brand := p_brand,
+                                             p_size := p_size,
+                                             p_type := p_type))::VARCHAR) AS pid
+              FROM part),
+            raw AS (
+              SELECT DISTINCT o_custkey, l_partkey,
+                     CASE WHEN l_returnflag = 'R' THEN 'positive'
+                          ELSE 'negative' END AS value
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+            SELECT DISTINCT sid, pid, value,
+                   md5(concat_ws('', sid, pid, value)) AS aid
+            FROM raw
+            JOIN cust ON o_custkey = c_custkey
+            JOIN part_t ON l_partkey = p_partkey
+        """,
+        "q42_median_binarize": """
+            WITH collapsed AS (
+              SELECT l_suppkey, l_partkey, median(l_quantity) AS medvalue
+              FROM lineitem GROUP BY l_suppkey, l_partkey),
+            th AS (
+              SELECT *, quantile_cont(medvalue, 0.5)
+                          OVER (PARTITION BY l_partkey) AS t
+              FROM collapsed)
+            SELECT l_suppkey, l_partkey, medvalue,
+                   CASE WHEN medvalue <= t THEN 'positive'
+                        ELSE 'negative' END AS value
+            FROM th
+        """,
+        "q43_balanced_class_floor": """
+            WITH collapsed AS (
+              SELECT l_suppkey, l_partkey, median(l_quantity) AS medvalue
+              FROM lineitem GROUP BY l_suppkey, l_partkey),
+            th AS (
+              SELECT *, quantile_cont(medvalue, 0.5)
+                          OVER (PARTITION BY l_partkey) AS t
+              FROM collapsed),
+            labeled AS (
+              SELECT l_partkey,
+                     CASE WHEN medvalue <= t THEN 'positive'
+                          ELSE 'negative' END AS value
+              FROM th),
+            kept AS (
+              SELECT l_partkey FROM labeled GROUP BY l_partkey
+              HAVING COUNT(*) FILTER (WHERE value = 'positive') > 2
+                 AND COUNT(*) FILTER (WHERE value = 'negative') > 2)
+            SELECT l_partkey, COUNT(*) AS n,
+                   CAST(COUNT(*) FILTER (WHERE value = 'positive') AS BIGINT)
+                     AS n_pos
+            FROM labeled
+            WHERE l_partkey IN (SELECT l_partkey FROM kept)
+            GROUP BY l_partkey
+        """,
+        "q44_char_ngram_jaccard": f"""
+            WITH docs AS (
+              SELECT doc_id, source, {_NORM} AS norm FROM documents),
+            grams AS (
+              SELECT DISTINCT doc_id, source, unnest(
+                list_distinct(list_transform(
+                  range(1, greatest(length(norm) - 2, 0) + 1),
+                  i -> substr(norm, i, 3)))) AS g
+              FROM docs),
+            sizes AS (SELECT doc_id, COUNT(*) AS ng FROM grams GROUP BY doc_id),
+            inter AS (
+              SELECT ga.doc_id AS a, gb.doc_id AS b, COUNT(*) AS n_inter
+              FROM grams ga
+              JOIN grams gb ON ga.source = gb.source AND ga.g = gb.g
+                           AND ga.doc_id < gb.doc_id
+              GROUP BY ga.doc_id, gb.doc_id)
+            SELECT a, b, n_inter / (sa.ng + sb.ng - n_inter) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            ORDER BY jaccard DESC, a, b
+            LIMIT 10
+        """,
     }

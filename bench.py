@@ -28,11 +28,57 @@ HEADLINE = [
 ]
 
 
+def _prepare_staging(spark, sf_dir: str, root: str) -> list[str]:
+    """Synthesize a two-source staging area from the TPC-H tables (customer
+    payloads as substances, part payloads as properties, lineitem x orders as
+    activities) so the flagship harmonize job can be benchmarked end-to-end
+    at the same scale factor. Built once per sf; reused across runs."""
+    from pyspark.sql import functions as F
+
+    sources = ["src0", "src1"]
+    if os.path.isdir(f"{root}/{sources[-1]}"):
+        return sources
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").cast("string").alias("sid"),
+        F.to_json(F.struct("c_mktsegment", "c_name", "c_nationkey")).alias("data"),
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        F.col("p_partkey").cast("string").alias("pid"),
+        F.to_json(F.struct("p_brand", "p_size", "p_type")).alias("data"),
+    )
+    acts = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .join(
+            spark.read.parquet(f"{sf_dir}/orders.parquet"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.concat_ws("-", "l_orderkey", "l_linenumber").alias("aid"),
+            F.col("o_custkey").cast("string").alias("sid"),
+            F.col("l_partkey").cast("string").alias("pid"),
+            F.concat(F.lit("InChI=1S/C"), F.col("l_partkey")).alias("inchi"),
+            F.when(F.col("l_returnflag") == "R", "positive")
+            .otherwise("negative")
+            .alias("value"),
+            (F.col("l_orderkey") % 2).alias("shard"),
+        )
+    )
+    for i, src in enumerate(sources):
+        d = f"{root}/{src}"
+        cust.write.mode("overwrite").parquet(f"{d}/substances.parquet")
+        part.write.mode("overwrite").parquet(f"{d}/properties.parquet")
+        acts.where(F.col("shard") == i).drop("shard").write.mode(
+            "overwrite"
+        ).parquet(f"{d}/activities.parquet")
+    return sources
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
     import __spark_entry__ as entrymod
+    from chemharmony_spark.plans.harmonize import harmonize
     from chemharmony_spark.session import get_spark
 
     spark = get_spark(app_name="bench")
@@ -48,6 +94,16 @@ def main() -> None:
         # driver-collect overhead of toPandas on wide results
         qs[name](spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
+
+    # flagship: the harmonize job end-to-end (scan -> canonicalize ->
+    # content ids -> re-key joins -> global aid -> invariant checks)
+    staging_root = f"/tmp/chemharmony_bench_staging_sf{sf}"
+    sources = _prepare_staging(spark, sf_dir, staging_root)
+    t0 = time.time()
+    res = harmonize(spark, staging_root, sources)
+    n_acts = res.activities.count()
+    timings["harmonize_e2e"] = round(time.time() - t0, 3)
+    assert n_acts > 0
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

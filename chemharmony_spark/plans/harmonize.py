@@ -129,6 +129,11 @@ def harmonize(
     properties = props.select(F.col("newpid").alias("pid"), "source", "data").distinct()
 
     if check_invariants:
+        # the invariant suite runs ~8 actions over these frames; persist so
+        # each plan executes once (the reference gets the same effect by
+        # writing the brick to parquet before asserting, 80:86-105)
+        for frame in (substances, properties, acts):
+            frame.persist()
         _assert_invariants(substances, properties, acts, sources, min_rows)
 
     return HarmonizeResult(substances=substances, properties=properties, activities=acts)

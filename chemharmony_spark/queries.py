@@ -521,3 +521,104 @@ def q40_ann_lsh(spark, sf):
     vs brute force asserted in tests — rows-only driver check)."""
     emb = _t(spark, sf, "embeddings")
     return SIM.lsh_bucket_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+def q41_harmonize_shape(spark, sf):
+    """The flagship harmonize dataflow (reference 80_harmonize.py) expressed
+    on the driver tables so the oracle can check it end-to-end: local keys ->
+    canonical JSON payloads -> md5 content ids -> re-key joins -> global aid.
+    """
+    cust = _t(spark, sf, "customer").select(
+        "c_custkey",
+        F.to_json(F.struct("c_mktsegment", "c_name", "c_nationkey")).alias("sdata"),
+    ).withColumn("sid", F.md5("sdata"))
+    part = _t(spark, sf, "part").select(
+        "p_partkey",
+        F.to_json(F.struct("p_brand", "p_size", "p_type")).alias("pdata"),
+    ).withColumn("pid", F.md5("pdata"))
+    acts = (
+        _t(spark, sf, "lineitem")
+        .join(_t(spark, sf, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "o_custkey", "l_partkey",
+            F.when(F.col("l_returnflag") == "R", "positive")
+            .otherwise("negative").alias("value"),
+        )
+        .distinct()
+        .join(F.broadcast(cust.select("c_custkey", "sid")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(part.select("p_partkey", "pid")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "sid", "pid", "value",
+            F.md5(F.concat_ws("", "sid", "pid", "value")).alias("aid"),
+        )
+        .distinct()
+    )
+    return acts
+
+
+def q42_median_binarize(spark, sf):
+    """A3/W5 via the actual operator: per-(supplier,part) median quantity,
+    binarized at the per-part median threshold (toxvaldb semantics,
+    reference 01_integrate_toxvaldb.R:22-25)."""
+    from chemharmony_spark.operators.core import grouped_median_binarize
+
+    return grouped_median_binarize(
+        _t(spark, sf, "lineitem"),
+        substance_keys=["l_suppkey"],
+        property_keys=["l_partkey"],
+        value_col="l_quantity",
+    )
+
+
+def q43_balanced_class_floor(spark, sf):
+    """A5 class floors via the actual operator on q42's labels (reference
+    02_integrate_chembl.R:62): parts with > 2 of each label class."""
+    from chemharmony_spark.operators.core import balanced_class_floor
+
+    labeled = q42_median_binarize(spark, sf)
+    kept = balanced_class_floor(labeled, ["l_partkey"], "value", floor=2)
+    return kept.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("value") == "positive", 1).otherwise(0)).alias("n_pos"),
+    )
+
+
+def q44_char_ngram_jaccard(spark, sf):
+    """Character-trigram Jaccard near-dup scoring: distinct char 3-grams of
+    the normalized text, pairwise within source, deterministic top-10."""
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", "source", TX.normalize_text("text").alias("norm")
+    )
+    grams = docs.select(
+        "doc_id", "source",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.length("norm") - 2, F.lit(0))),
+                    lambda i: F.col("norm").substr(i, F.lit(3)),
+                )
+            )
+        ).alias("g"),
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ng"))
+    ga = grams.select(F.col("doc_id").alias("a"), F.col("source").alias("src"), "g")
+    gb = grams.select(F.col("doc_id").alias("b"), F.col("source").alias("src"), "g")
+    inter = (
+        ga.join(gb, on=["src", "g"])
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("a"), F.col("ng").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("b"), F.col("ng").alias("nb"))
+    return (
+        inter.join(F.broadcast(na), on="a")
+        .join(F.broadcast(nb), on="b")
+        .withColumn("jaccard",
+                    F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")))
+        .orderBy(F.col("jaccard").desc(), "a", "b")
+        .limit(10)
+        .select("a", "b", "jaccard")
+    )
