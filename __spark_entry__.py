@@ -21,8 +21,13 @@ from chemharmony_spark import queries as Q  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return Q.q01_pricing_summary(spark, "/root/testdata/sf0.001")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    The harmonize dataflow (the reference's headline job, 80_harmonize.py):
+    canonical JSON payloads -> md5 content ids -> broadcast re-key joins ->
+    global activity ids. Oracle-checked as q41.
+    """
+    return Q.q41_harmonize_shape(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -71,6 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_median_binarize": Q.q42_median_binarize,
         "q43_balanced_class_floor": Q.q43_balanced_class_floor,
         "q44_char_ngram_jaccard": Q.q44_char_ngram_jaccard,
+        "q45_simhash_hamming": Q.q45_simhash_hamming,
     }
 
 
@@ -551,5 +557,29 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = b
             ORDER BY jaccard DESC, a, b
             LIMIT 10
+        """,
+        "q45_simhash_hamming": f"""
+            WITH words AS (
+              SELECT DISTINCT doc_id, unnest(toks) AS word
+              FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)),
+            h AS (SELECT doc_id, {_hex4("md5(word)", 1)} AS h16 FROM words),
+            bits AS (
+              SELECT doc_id, j,
+                     SUM(((h16 // CAST(power(2, j) AS BIGINT)) % 2) * 2 - 1) AS s
+              FROM h, (SELECT unnest(range(0, 16)) AS j)
+              GROUP BY doc_id, j),
+            sig AS (
+              SELECT b.doc_id AS id, d.source,
+                     CAST(SUM(CASE WHEN s > 0
+                                   THEN CAST(power(2, j) AS BIGINT)
+                                   ELSE 0 END) AS BIGINT) AS simhash
+              FROM bits b JOIN documents d ON d.doc_id = b.doc_id
+              GROUP BY b.doc_id, d.source)
+            SELECT sa.source, sa.id AS a, sb.id AS b,
+                   CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INTEGER)
+                     AS hamming
+            FROM sig sa JOIN sig sb
+              ON sa.source = sb.source AND sa.id < sb.id
+            WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 6
         """,
     }

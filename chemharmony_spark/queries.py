@@ -622,3 +622,22 @@ def q44_char_ngram_jaccard(spark, sf):
         .limit(10)
         .select("a", "b", "jaccard")
     )
+
+
+def q45_simhash_hamming(spark, sf):
+    """SimHash near-dup candidates: same-source doc pairs whose 16-bit
+    signatures are within Hamming distance 6 (bitwise xor + popcount —
+    the cheap pre-filter that precedes exact Jaccard at scale)."""
+    docs = _t(spark, sf, "documents")
+    sig = DD.simhash16(docs, "doc_id", "text").join(
+        docs.select(F.col("doc_id").alias("id"), "source"), on="id"
+    )
+    a = sig.select(F.col("id").alias("a"), F.col("simhash").alias("ha"), "source")
+    b = sig.select(F.col("id").alias("b"), F.col("simhash").alias("hb"), "source")
+    return (
+        a.join(b, on="source")
+        .where(F.col("a") < F.col("b"))
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .where(F.col("hamming") <= 6)
+        .select("source", "a", "b", "hamming")
+    )

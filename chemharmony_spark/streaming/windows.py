@@ -64,6 +64,33 @@ def stream_tumbling_counts(
     )
 
 
+def stream_session_counts(
+    spark: SparkSession,
+    events_dir: str,
+    gap: str = "30 minutes",
+    with_watermark: bool = False,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming sessionization: Spark's built-in ``session_window`` stateful
+    operator (dynamic-gap session windows merged incrementally). The batch
+    twin is queries.q29_sessionize (lag + cumulative sum); parity is
+    asserted in tests/test_streaming.py."""
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(events_dir)
+    )
+    src = src.withColumn("ts_ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if with_watermark:
+        src = src.withWatermark("ts_ts", watermark)
+    # one stateful operator per stream: emit session-level rows; roll up
+    # per-user downstream (a second stateful agg in the same stream trips
+    # Spark's global-watermark correctness check)
+    return src.groupBy(F.session_window("ts_ts", gap), "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
 def run_stream_to_memory(agg: DataFrame, name: str, mode: str = "complete") -> DataFrame:
     """Drain a bounded stream into an in-memory table (availableNow trigger)
     and return the result as a batch DataFrame."""

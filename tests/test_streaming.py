@@ -5,9 +5,10 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from chemharmony_spark.queries import q28_tumbling_window
+from chemharmony_spark.queries import q28_tumbling_window, q29_sessionize
 from chemharmony_spark.streaming.windows import (
     run_stream_to_memory,
+    stream_session_counts,
     stream_tumbling_counts,
 )
 
@@ -27,3 +28,19 @@ def test_stream_matches_batch(spark, sf_dir):
     s = sorted(map(tuple, streamed.collect()))
     b = sorted(map(tuple, batch.collect()))
     assert s == b
+
+
+def test_streaming_sessionization_matches_batch(spark, sf_dir):
+    """The stateful session_window streaming op agrees with the oracle-checked
+    lag+cumsum batch sessionizer on per-user session counts."""
+    agg = stream_session_counts(spark, sf_dir)
+    sessions = run_stream_to_memory(agg, "stream_sessions")
+    rollup = sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"), F.sum("n").alias("n_events")
+    )
+    ours = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in q29_sessionize(spark, sf_dir).collect()
+    }
+    theirs = {r.user_id: (r.n_sessions, r.n_events) for r in rollup.collect()}
+    assert ours == theirs
