@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_balanced_class_floor": Q.q43_balanced_class_floor,
         "q44_char_ngram_jaccard": Q.q44_char_ngram_jaccard,
         "q45_simhash_hamming": Q.q45_simhash_hamming,
+        "q46_embedding_near_dups": Q.q46_embedding_near_dups,
     }
 
 
@@ -354,12 +355,16 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n_tokens > 0 THEN
                      list_reduce(list_transform(toks, x -> len(x)),
                                  (a, b) -> a + b) / n_tokens
-                   END AS avg_token_len
+                   END AS avg_token_len,
+                   n_bpe_tokens
             FROM (
               SELECT doc_id, {_TOKS} AS toks, len({_TOKS}) AS n_tokens,
                      length(text) AS n_chars_obs,
                      length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
-                       / length(text) AS alnum_ratio
+                       / length(text) AS alnum_ratio,
+                     CAST(len(regexp_extract_all(
+                       text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))
+                       AS INTEGER) AS n_bpe_tokens
               FROM documents)
         """,
         "q32_langid": f"""
@@ -581,5 +586,21 @@ def oracle_sql() -> dict[str, str]:
             FROM sig sa JOIN sig sb
               ON sa.source = sb.source AND sa.id < sb.id
             WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 6
+        """,
+        "q46_embedding_near_dups": """
+            WITH e AS (SELECT vec_id,
+                              list_transform(embedding, x -> x::DOUBLE) AS v
+                       FROM embeddings),
+            scored AS (
+              SELECT ea.vec_id AS a, eb.vec_id AS b,
+                     list_reduce(list_transform(list_zip(ea.v, eb.v),
+                                                x -> x[1] * x[2]),
+                                 (p, q) -> p + q)
+                       / (sqrt(list_reduce(list_transform(ea.v, x -> x * x),
+                                           (p, q) -> p + q))
+                          * sqrt(list_reduce(list_transform(eb.v, x -> x * x),
+                                             (p, q) -> p + q))) AS sim
+              FROM e ea JOIN e eb ON ea.vec_id < eb.vec_id)
+            SELECT a, b, sim FROM scored WHERE sim >= 0.25
         """,
     }

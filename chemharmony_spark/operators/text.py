@@ -49,6 +49,18 @@ def alnum_ratio(col: Column | str) -> Column:
     return clean_len / F.length(c)
 
 
+# BPE-ish pre-tokenization pattern: letter runs, digit runs, single other
+# marks — approximates subword pre-splitting for token-count estimation
+BPE_ISH_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Estimated token count under a BPE-style pre-tokenizer (regexp_count —
+    JVM-side, no UDF)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_ISH_PATTERN))
+
+
 def fingerprint(col: Column | str) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text.
 

@@ -444,10 +444,12 @@ def q30_dedup_exact(spark, sf):
 
 
 def q31_text_quality(spark, sf):
-    """Quality features: token count, char count, alnum ratio, avg token len."""
+    """Quality features: whitespace + BPE-ish token counts, char count,
+    alnum ratio, avg token length."""
     docs = TX.quality_features(_t(spark, sf, "documents"))
     return docs.select(
-        "doc_id", "n_tokens", "n_chars_obs", "alnum_ratio", "avg_token_len"
+        "doc_id", "n_tokens", "n_chars_obs", "alnum_ratio", "avg_token_len",
+        TX.bpe_ish_token_count("text").alias("n_bpe_tokens"),
     )
 
 
@@ -641,3 +643,22 @@ def q45_simhash_hamming(spark, sf):
         .where(F.col("hamming") <= 6)
         .select("source", "a", "b", "hamming")
     )
+
+
+def q46_embedding_near_dups(spark, sf):
+    """Embedding-cosine near-duplicate pairs: exact brute force over the
+    corpus, keep pairs (a < b) with cosine >= 0.25 (synthetic random
+    embeddings rarely exceed this, so the survivor set is small and stable).
+    The LSH-bucketed scale path for the same predicate is q40/lsh_bucket_topk.
+    """
+    emb = _t(spark, sf, "embeddings")
+    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    pairs = (
+        a.crossJoin(b)
+        .where(F.col("a") < F.col("b"))
+        .withColumn("sim", SIM.cosine(F.col("va"), F.col("vb")))
+        .where(F.col("sim") >= 0.25)
+        .select("a", "b", "sim")
+    )
+    return pairs

@@ -44,3 +44,23 @@ def test_streaming_sessionization_matches_batch(spark, sf_dir):
     }
     theirs = {r.user_id: (r.n_sessions, r.n_events) for r in rollup.collect()}
     assert ours == theirs
+
+
+def test_custom_stateful_operator_matches_batch(spark, sf_dir):
+    """applyInPandasWithState per-user profiles == declarative batch agg."""
+    from chemharmony_spark.streaming.stateful import (
+        batch_user_profiles,
+        stream_user_profiles,
+    )
+
+    agg = stream_user_profiles(spark, sf_dir)
+    streamed = run_stream_to_memory(agg, "stream_profiles", mode="update")
+    ours = {
+        r.user_id: (r.n_events, round(r.total_value, 2), r.n_event_types, r.event_types)
+        for r in streamed.collect()
+    }
+    batch = {
+        r.user_id: (r.n_events, round(r.total_value, 2), r.n_event_types, r.event_types)
+        for r in batch_user_profiles(spark, sf_dir).collect()
+    }
+    assert ours == batch
