@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_char_ngram_jaccard": Q.q44_char_ngram_jaccard,
         "q45_simhash_hamming": Q.q45_simhash_hamming,
         "q46_embedding_near_dups": Q.q46_embedding_near_dups,
+        "q47_ann_ivf": Q.q47_ann_ivf,
     }
 
 

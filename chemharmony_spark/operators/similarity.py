@@ -89,6 +89,61 @@ def signature_bits(vec_col: Column, n_planes: int, dims: int,
     return F.concat(*bits)
 
 
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             n_cells: int = 16, n_probe: int = 3,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF-flat approximate top-k: partition the corpus into inverted-file
+    cells around centroid vectors; search only each query's ``n_probe``
+    nearest cells.
+
+    Centroids here are a deterministic sample of corpus vectors (the
+    ``n_cells`` smallest md5(vec_id) — stable across runs/engines); a
+    production deployment would train them offline (e.g. pyspark.ml KMeans)
+    and broadcast the trained codebook the same way. At scale the cell id
+    becomes the corpus partition key, so probing is partition pruning.
+    """
+    hashed = corpus.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"),
+        F.md5(F.col(id_col).cast("string")).alias("h"),
+    )
+    centroids = (
+        hashed.orderBy("h").limit(n_cells)
+        .select(F.col("cid").alias("cell_id"), F.col("cvec").alias("centroid"))
+    )
+
+    def assign(df, id_alias, vec_alias, n_nearest):
+        scored = (
+            df.select(F.col(id_col).alias(id_alias), F.col(vec_col).alias(vec_alias))
+            .crossJoin(F.broadcast(centroids))
+            .withColumn("csim", cosine(F.col(vec_alias), F.col("centroid")))
+        )
+        w = Window.partitionBy(id_alias).orderBy(
+            F.col("csim").desc(), F.col("cell_id")
+        )
+        return (
+            scored.withColumn("crank", F.row_number().over(w))
+            .where(F.col("crank") <= n_nearest)
+            .select(id_alias, vec_alias, "cell_id")
+        )
+
+    corpus_cells = assign(corpus, "neighbor_id", "cvec", 1)
+    query_cells = assign(queries, "query_id", "qvec", n_probe)
+    scored = (
+        corpus_cells.join(F.broadcast(query_cells), on="cell_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", cosine(F.col("qvec"), F.col("cvec")))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
 def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                     n_planes: int = 4, n_tables: int = 4, dims: int = 64,
                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

@@ -662,3 +662,10 @@ def q46_embedding_near_dups(spark, sf):
         .select("a", "b", "sim")
     )
     return pairs
+
+
+def q47_ann_ivf(spark, sf):
+    """IVF-flat approximate NN (cell-probed search; recall vs brute force
+    asserted in tests — rows-only driver check, like q40)."""
+    emb = _t(spark, sf, "embeddings")
+    return SIM.ivf_topk(emb, emb.where(F.col("vec_id") < 10), k=5)

@@ -4,7 +4,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from chemharmony_spark.operators.similarity import cosine_topk, lsh_bucket_topk
+from chemharmony_spark.operators.similarity import (
+    cosine_topk,
+    ivf_topk,
+    lsh_bucket_topk,
+)
 
 
 def _load(spark, sf_dir):
@@ -47,4 +51,22 @@ def test_lsh_results_subset_of_bucket_and_recall(spark, sf_dir):
     assert recall > 0.2, f"LSH recall collapsed: {recall}"
     # determinism
     approx2 = lsh_bucket_topk(emb, queries, k=5).collect()
+    assert sorted(map(tuple, approx)) == sorted(map(tuple, approx2))
+
+
+def test_ivf_topk_recall_and_determinism(spark, sf_dir):
+    emb = _load(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 20)
+    exact = cosine_topk(emb, queries, k=5).collect()
+    approx = ivf_topk(emb, queries, k=5).collect()
+    es, as_ = {}, {}
+    for r in exact:
+        es.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in approx:
+        as_.setdefault(r.query_id, set()).add(r.neighbor_id)
+    total = sum(len(v) for v in es.values())
+    hits = sum(len(v & as_.get(q, set())) for q, v in es.items())
+    recall = hits / total
+    assert recall > 0.1, f"IVF recall collapsed: {recall}"
+    approx2 = ivf_topk(emb, queries, k=5).collect()
     assert sorted(map(tuple, approx)) == sorted(map(tuple, approx2))
