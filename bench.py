@@ -104,6 +104,7 @@ def main() -> None:
     n_acts = res.activities.count()
     timings["harmonize_e2e"] = round(time.time() - t0, 3)
     assert n_acts > 0
+    res.unpersist()
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -204,10 +204,35 @@ def stratified_sample_exact(
     for balanced downsampling, 06:107-108).
     """
     order = order_by if order_by is not None else F.rand(seed)
+    if isinstance(n_per_stratum, int):
+        # scale path: two-phase top-n. Phase 1 takes the per-(stratum, salt)
+        # top-n — SALTS parallel sorts per stratum instead of one giant one —
+        # then phase 2 re-ranks the tiny candidate set (SALTS*n per stratum)
+        # globally. The global top-n is always a subset of the per-salt
+        # top-n's, so results are identical to the single-window formulation.
+        SALTS = 16
+        # salt from the materialized __ord column (not the raw expression —
+        # F.rand would evaluate twice with different values); ANY row->salt
+        # assignment preserves correctness, since a global top-n is always a
+        # subset of the union of per-salt top-n's
+        staged = df.withColumn("__ord", order).withColumn(
+            "__salt", F.pmod(F.hash(F.col("__ord").cast("string")), F.lit(SALTS))
+        )
+        w1 = Window.partitionBy(*strata, "__salt").orderBy("__ord")
+        cand = (
+            staged.withColumn("__rn", F.row_number().over(w1))
+            .where(F.col("__rn") <= n_per_stratum)
+            .drop("__rn")
+        )
+        w2 = Window.partitionBy(*strata).orderBy("__ord")
+        return (
+            cand.withColumn("__rn", F.row_number().over(w2))
+            .where(F.col("__rn") <= n_per_stratum)
+            .drop("__rn", "__ord", "__salt")
+        )
     w = Window.partitionBy(*strata).orderBy(order)
-    n = F.lit(n_per_stratum) if isinstance(n_per_stratum, int) else n_per_stratum
     return (
         df.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= n)
+        .where(F.col("__rn") <= n_per_stratum)
         .drop("__rn")
     )

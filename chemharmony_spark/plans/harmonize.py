@@ -42,6 +42,11 @@ class HarmonizeResult:
     properties: DataFrame
     activities: DataFrame
 
+    def unpersist(self) -> None:
+        """Release the caches taken out for the invariant suite."""
+        for frame in (self.substances, self.properties, self.activities):
+            frame.unpersist()
+
 
 def _harmonize_dim(spark: SparkSession, glob: str, sources: list[str],
                    local_id: str, global_id: str) -> DataFrame:

@@ -201,3 +201,49 @@ def test_pipeline_runner_order_and_filtering():
     calls.clear()
     res = p.run(only=["b"])
     assert set(calls) == {"a", "b"} and res["b"] == 2
+
+
+def test_long_keyvalue_pubchem_shape(spark):
+    from chemharmony_spark.plans.integrations import integrate_long_keyvalue
+
+    compounds = spark.createDataFrame(
+        [
+            (1, "INCHI", "InChI=1S/AA"),
+            (2, "INCHI", "InChI=1S/BB"),
+            (2, "OTHER", "x"),
+            (3, "INCHI", "InChI=1S/CC1"),
+            (3, "INCHI", "InChI=1S/CC2"),  # conflicting inchi -> cid dropped
+        ],
+        "id long, property string, value string",
+    )
+    outcomes = spark.createDataFrame(
+        [
+            (1, 100, "Active"),
+            (2, 100, "Inactive"),
+            (2, 200, "Inconclusive"),  # unmapped -> dropped
+            (3, 100, "Active"),  # cid 3 dropped upstream
+        ],
+        "cid long, assay long, outcome string",
+    )
+    properties = spark.createDataFrame(
+        [(100, "CYP inhibition", "conc"), (200, "hERG", "binary")],
+        "assay long, name string, kind string",
+    )
+    res = integrate_long_keyvalue(
+        compounds.withColumnRenamed("id", "cid"),
+        outcomes,
+        properties,
+        compound_key="cid",
+        inchi_property="INCHI",
+        outcome_compound_key="cid",
+        outcome_property_key="assay",
+        property_key="assay",
+        property_meta_cols=["name", "kind"],
+        value_col="outcome",
+        value_map={"Active": "positive", "Inactive": "negative"},
+    )
+    _check_contract(res)
+    acts = res.activities.collect()
+    got = {(r.inchi, r.value) for r in acts}
+    assert got == {("InChI=1S/AA", "positive"), ("InChI=1S/BB", "negative")}
+    assert res.properties.count() == 2  # property dim keeps both assays
