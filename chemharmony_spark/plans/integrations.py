@@ -19,6 +19,8 @@ Shapes:
   columns -> melt -> qualifier strip -> per-metric threshold recode.
 - :func:`integrate_outcomes`        — chembl/tox21/ctdbase shape (02/03/07):
   categorical outcomes -> recode map -> discordance removal -> class floors.
+- :func:`integrate_relational`      — toxrefdb shape (11): multi-table
+  relational source with dose-level-derived labels.
 
 All ids are deterministic (md5 of content / of key tuples — SURVEY.md §1.4);
 the reference's per-source UUID/monotonic ids are run-dependent, ours are
@@ -357,6 +359,73 @@ def integrate_outcomes(df: DataFrame, cfg: OutcomeConfig) -> StagingTables:
             "sid", "pid", F.col(cfg.inchi_col).alias("inchi"), "value"
         )
         .withColumn("aid", group_id("sid", "pid", "inchi", "value"))
+        .distinct()
+    )
+    return StagingTables(
+        substances=subs.select("sid", "data").distinct(),
+        properties=props.select("pid", "data").distinct(),
+        activities=acts,
+    )
+
+
+def integrate_relational(
+    chemical: DataFrame,
+    study: DataFrame,
+    guideline: DataFrame,
+    pod: DataFrame,
+    pod_type: str = "noael",
+) -> StagingTables:
+    """ToxRefDB shape (reference 11_integrate_toxrefdb.R): a relational
+    multi-table source — chemical ⋈ pod ⋈ study ⋈ guideline — where the
+    label derives from point-of-departure dose levels: positive iff the
+    effect dose is below the max tested dose (11:48-50); studies without a
+    guideline number are dropped (11:34).
+
+    Expected columns:
+      chemical(chemical_id, dsstox_substance_id, casrn, preferred_name)
+      study(study_id, guideline_id)
+      guideline(guideline_id, guideline_number, name)
+      pod(chemical_id, study_id, pod_type, dose_level, max_dose_level)
+    """
+    studies = (
+        study.join(F.broadcast(guideline), on="guideline_id")
+        .where(F.col("guideline_number").isNotNull())
+        .select("study_id", "guideline_number", F.col("name").alias("guideline_name"))
+    )
+    labeled = (
+        pod.where(F.lower(F.col("pod_type")) == pod_type)
+        .join(F.broadcast(studies), on="study_id")
+        .withColumn(
+            "value",
+            F.when(F.col("dose_level") < F.col("max_dose_level"), "positive")
+            .otherwise("negative"),
+        )
+        .join(F.broadcast(chemical), on="chemical_id")
+    )
+    subs = (
+        labeled.select("dsstox_substance_id", "casrn", "preferred_name")
+        .distinct()
+        .withColumn("data", _payload("dsstox_substance_id", "casrn", "preferred_name"))
+        .withColumn("sid", F.md5(F.col("data")))
+    )
+    props = (
+        labeled.select("guideline_number", "guideline_name")
+        .distinct()
+        .withColumn("data", _payload("guideline_number", "guideline_name"))
+        .withColumn("pid", F.md5(F.col("data")))
+    )
+    acts = (
+        labeled.join(
+            subs.select("dsstox_substance_id", "casrn", "preferred_name", "sid"),
+            on=["dsstox_substance_id", "casrn", "preferred_name"],
+        )
+        .join(props.select("guideline_number", "guideline_name", "pid"),
+              on=["guideline_number", "guideline_name"])
+        .select(
+            "sid", "pid", F.lit(None).cast("string").alias("inchi"), "value",
+            F.col("dose_level").cast("double").alias("numvalue"),
+        )
+        .withColumn("aid", group_id("sid", "pid", "value", "numvalue"))
         .distinct()
     )
     return StagingTables(

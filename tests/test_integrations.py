@@ -247,3 +247,57 @@ def test_long_keyvalue_pubchem_shape(spark):
     got = {(r.inchi, r.value) for r in acts}
     assert got == {("InChI=1S/AA", "positive"), ("InChI=1S/BB", "negative")}
     assert res.properties.count() == 2  # property dim keeps both assays
+
+
+def test_relational_toxrefdb_shape(spark):
+    from chemharmony_spark.plans.integrations import integrate_relational
+
+    chemical = spark.createDataFrame(
+        [(1, "DTX1", "50-00-0", "formaldehyde"), (2, "DTX2", "50-78-2", "aspirin")],
+        "chemical_id long, dsstox_substance_id string, casrn string, preferred_name string",
+    )
+    study = spark.createDataFrame(
+        [(10, 100), (11, 101), (12, 102)], "study_id long, guideline_id long"
+    )
+    guideline = spark.createDataFrame(
+        [(100, "OECD-408", "subchronic"), (101, None, "orphan"), (102, "OECD-414", "devtox")],
+        "guideline_id long, guideline_number string, name string",
+    )
+    pod = spark.createDataFrame(
+        [
+            (1, 10, "noael", 2, 4),   # effect below max dose -> positive
+            (2, 10, "noael", 4, 4),   # at max dose -> negative
+            (1, 11, "noael", 1, 4),   # guideline_number null -> dropped
+            (2, 12, "noael", 1, 3),   # positive on devtox
+            (1, 12, "loael", 1, 3),   # wrong pod_type -> dropped
+        ],
+        "chemical_id long, study_id long, pod_type string, dose_level int, max_dose_level int",
+    )
+    res = integrate_relational(chemical, study, guideline, pod)
+    _check_contract(res)
+    acts = res.activities.collect()
+    assert len(acts) == 3
+    by_num = {(r.numvalue, r.value) for r in acts}
+    assert (2.0, "positive") in by_num and (4.0, "negative") in by_num
+    assert res.properties.count() == 2  # two guidelines with numbers
+
+
+def test_cached_lookup_rate_limited_fetch(spark, tmp_path):
+    from chemharmony_spark.plans.lookup import cached_lookup
+
+    calls = []
+
+    def fetch(k):
+        calls.append(k)
+        return f"cid-{k}"
+
+    keys = spark.createDataFrame([("50-00-0",), ("50-78-2",), (None,)], "key string")
+    cache = str(tmp_path / "pug_cache")
+    m1 = cached_lookup(spark, keys, cache, fetch)
+    assert sorted(r.key for r in m1.collect()) == ["50-00-0", "50-78-2"]
+    assert sorted(calls) == ["50-00-0", "50-78-2"]
+    calls.clear()
+    m2 = cached_lookup(spark, keys, cache, fetch)
+    assert calls == []  # all cache hits
+    assert sorted((r.key, r.value) for r in m2.collect()) == [
+        ("50-00-0", "cid-50-00-0"), ("50-78-2", "cid-50-78-2")]
