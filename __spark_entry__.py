@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_simhash_hamming": Q.q45_simhash_hamming,
         "q46_embedding_near_dups": Q.q46_embedding_near_dups,
         "q47_ann_ivf": Q.q47_ann_ivf,
+        "q48_winnowing_fingerprints": Q.q48_winnowing_fingerprints,
     }
 
 
@@ -563,6 +564,25 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = b
             ORDER BY jaccard DESC, a, b
             LIMIT 10
+        """,
+        "q48_winnowing_fingerprints": f"""
+            WITH g AS (
+              SELECT doc_id, norm, length(norm) AS L
+              FROM (SELECT doc_id, {_NORM} AS norm FROM documents)),
+            h AS (
+              SELECT doc_id,
+                     list_transform(range(1, L - 5 + 2),
+                       i -> {_hex4("md5(substr(norm, i, 5))", 1)}) AS hashes
+              FROM g),
+            m AS (
+              SELECT doc_id,
+                     list_sort(list_distinct(
+                       list_transform(range(1, len(hashes) - 4 + 2),
+                         j -> list_aggregate(hashes[j:j+3], 'min')))) AS fps
+              FROM h)
+            SELECT doc_id, CAST(len(fps) AS INTEGER) AS n_fp,
+                   fps[1] AS min_fp, fps[len(fps)] AS max_fp
+            FROM m
         """,
         "q45_simhash_hamming": f"""
             WITH words AS (

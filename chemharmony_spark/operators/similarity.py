@@ -89,8 +89,41 @@ def signature_bits(vec_col: Column, n_planes: int, dims: int,
     return F.concat(*bits)
 
 
+def _sampled_centroids(corpus: DataFrame, n_cells: int,
+                       id_col: str, vec_col: str) -> DataFrame:
+    """Deterministic corpus-sample codebook: the n_cells vectors with the
+    smallest md5(id) — stable across runs and engines."""
+    hashed = corpus.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"),
+        F.md5(F.col(id_col).cast("string")).alias("h"),
+    )
+    return (
+        hashed.orderBy("h").limit(n_cells)
+        .select(F.col("cid").alias("cell_id"), F.col("cvec").alias("centroid"))
+    )
+
+
+def kmeans_centroids(corpus: DataFrame, n_cells: int = 16, seed: int = 42,
+                     vec_col: str = "embedding") -> DataFrame:
+    """Trained codebook: pyspark.ml KMeans over the embedding column
+    (array<float> -> ml Vector -> fit -> centroid table). Deterministic for
+    a fixed seed + input. At 100 TB, train on a sample and persist the
+    codebook as a tiny dimension table."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(train)
+    spark = corpus.sparkSession
+    rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return spark.createDataFrame(rows, "cell_id int, centroid array<double>")
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              n_cells: int = 16, n_probe: int = 3,
+             centroids: DataFrame | None = None,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """IVF-flat approximate top-k: partition the corpus into inverted-file
     cells around centroid vectors; search only each query's ``n_probe``
@@ -102,14 +135,8 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     and broadcast the trained codebook the same way. At scale the cell id
     becomes the corpus partition key, so probing is partition pruning.
     """
-    hashed = corpus.select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"),
-        F.md5(F.col(id_col).cast("string")).alias("h"),
-    )
-    centroids = (
-        hashed.orderBy("h").limit(n_cells)
-        .select(F.col("cid").alias("cell_id"), F.col("cvec").alias("centroid"))
-    )
+    if centroids is None:
+        centroids = _sampled_centroids(corpus, n_cells, id_col, vec_col)
 
     def assign(df, id_alias, vec_alias, n_nearest):
         scored = (

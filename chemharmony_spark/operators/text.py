@@ -70,6 +70,55 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(normalize_text(col))
 
 
+def winnowing_fingerprints(df: DataFrame, text_col: str, out_col: str = "fps",
+                           k: int = 5, w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (rolling-hash family, MOSS-style):
+    16-bit hashes of the k-char grams of the normalized text; each window of
+    ``w`` consecutive gram hashes contributes its minimum; the fingerprint
+    set is the distinct, sorted window minimums.
+
+    Pure array expressions — zero shuffles, runs at scan speed. Two
+    documents sharing a sufficiently long substring share fingerprints, so
+    a join on exploded fingerprints finds local (substring-level) overlap
+    that whole-document hashing misses.
+
+    DataFrame-level on purpose: each stage (norm, gram hashes, window mins)
+    is materialized as a column before the next lambda references it — an
+    inline expression would be re-expanded per array element (no CSE across
+    lambda scopes; measured catastrophic on the minhash operator).
+    """
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    from chemharmony_spark.operators.dedup import token_hash16
+
+    empty = F.array().cast(ArrayType(IntegerType()))
+    norm = F.col("__winnow_norm")
+    n_grams = F.length(norm) - (k - 1)
+    # NB: Spark sequence(1, n) with n < 1 counts DOWN — guard explicitly
+    hashes = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: token_hash16(norm.substr(i, F.lit(k))).cast("int"),
+        ),
+    ).otherwise(empty)
+    hcol = F.col("__winnow_hashes")
+    n_windows = F.size(hcol) - (w - 1)
+    mins = F.when(
+        n_windows >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda j: F.array_min(F.slice(hcol, j, w)),
+        ),
+    ).otherwise(empty)
+    return (
+        df.withColumn("__winnow_norm", normalize_text(text_col))
+        .withColumn("__winnow_hashes", hashes)
+        .withColumn(out_col, F.array_sort(F.array_distinct(mins)))
+        .drop("__winnow_norm", "__winnow_hashes")
+    )
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach token/char/ratio quality features."""
     return (

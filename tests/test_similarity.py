@@ -70,3 +70,24 @@ def test_ivf_topk_recall_and_determinism(spark, sf_dir):
     assert recall > 0.1, f"IVF recall collapsed: {recall}"
     approx2 = ivf_topk(emb, queries, k=5).collect()
     assert sorted(map(tuple, approx)) == sorted(map(tuple, approx2))
+
+
+def test_kmeans_centroids_improve_ivf_recall(spark, sf_dir):
+    from chemharmony_spark.operators.similarity import kmeans_centroids
+
+    emb = _load(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 20)
+    cents = kmeans_centroids(emb, n_cells=8)
+    exact = cosine_topk(emb, queries, k=5).collect()
+    approx = ivf_topk(emb, queries, k=5, centroids=cents).collect()
+    es, as_ = {}, {}
+    for r in exact:
+        es.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in approx:
+        as_.setdefault(r.query_id, set()).add(r.neighbor_id)
+    total = sum(len(v) for v in es.values())
+    hits = sum(len(v & as_.get(q, set())) for q, v in es.items())
+    assert hits / total > 0.2
+    # trained codebook is deterministic for fixed seed + data
+    c2 = kmeans_centroids(emb, n_cells=8)
+    assert sorted(map(tuple, cents.collect())) == sorted(map(tuple, c2.collect()))

@@ -64,3 +64,84 @@ def test_custom_stateful_operator_matches_batch(spark, sf_dir):
         for r in batch_user_profiles(spark, sf_dir).collect()
     }
     assert ours == batch
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode windowed agg with a 30-min watermark over a 3-batch file
+    replay: batch2 advances the watermark past batch1's window (finalizing
+    it); batch3's late rows for that window arrive behind the watermark and
+    must NOT change the emitted result."""
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "late_events"
+    d.mkdir()
+    H = 3_600_000_000_000  # ns per hour
+    T0 = 1_700_000_000_000_000_000  # aligned-ish epoch ns base
+
+    def write(name, rows, mtime):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.int64()),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array(["click"] * len(rows)),
+                "value": pa.array([1.0] * len(rows)),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        p = d / name
+        pq.write_table(tbl, p)
+        os.utime(p, (mtime, mtime))
+
+    base = _time.time() - 1000
+    t_h0 = (T0 // H) * H  # hour-aligned
+    # batch 1: three events in hour H0
+    write("b1.parquet", [(0, t_h0 + 60 * 10**9), (1, t_h0 + 120 * 10**9),
+                         (2, t_h0 + 180 * 10**9)], base)
+    # batch 2: an event two hours later -> advances the watermark past H0's
+    # window end (effective from the NEXT batch)
+    write("b2.parquet", [(3, t_h0 + 2 * H)], base + 10)
+    # batch 3: another current event; during this batch the advanced
+    # watermark evicts + emits the H0 window. (Empirically, a late row
+    # arriving in the SAME batch as the eviction still gets counted — the
+    # drop only applies once the window's state is gone.)
+    write("b3.parquet", [(4, t_h0 + 2 * H + 60 * 10**9)], base + 20)
+    # batch 4: LATE rows for H0 — state evicted, behind watermark -> dropped
+    write("b4.parquet", [(5, t_h0 + 200 * 10**9), (6, t_h0 + 240 * 10**9)],
+          base + 30)
+
+    src = (
+        spark.readStream.schema(
+            __import__(
+                "chemharmony_spark.streaming.windows", fromlist=["EVENTS_SCHEMA"]
+            ).EVENTS_SCHEMA
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    src = src.withColumn("ts_ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        src.withWatermark("ts_ts", "30 minutes")
+        .groupBy(F.window("ts_ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql("SELECT unix_micros(window.start) AS ws, n FROM late_test").collect()
+    by_window = {r.ws: r.n for r in out}
+    h0_us = t_h0 // 1000
+    # H0's window was finalized with batch-1's three rows only; the two late
+    # batch-3 rows were discarded by the watermark
+    assert by_window.get(h0_us) == 3, f"windows emitted: {by_window}"
+    # the H2 window is still open at end-of-stream (append mode) -> absent
+    assert len(by_window) == 1
