@@ -104,6 +104,7 @@ def assign_categories(
     client: Callable[[str], str] = fake_category_client,
     categories: tuple[str, ...] = DEFAULT_CATEGORIES,
     max_retries: int = 3,
+    max_workers: int = 8,
 ) -> EnrichmentResult:
     """D6: property -> (category, reason, strength), cache-first.
 
@@ -125,16 +126,22 @@ def assign_categories(
     )
     miss_rows = misses.collect()  # property-scale: small by design
 
-    new_rows = []
-    for r in miss_rows:
-        parsed = None
+    def resolve(row):
         for _ in range(max_retries):
-            parsed = parse_category_response(client(r.data), categories)
+            parsed = parse_category_response(client(row.data), categories)
             if parsed is not None:
-                break
-        if parsed is None:
-            continue  # reference drops after 3 invalid responses
-        new_rows.append((r.pid, parsed["category"], parsed["reason"], parsed["strength"]))
+                return (row.pid, parsed["category"], parsed["reason"],
+                        parsed["strength"])
+        return None  # reference drops after 3 invalid responses
+
+    # bounded-concurrency calls, mirroring the reference's
+    # ThreadPoolExecutor(max_workers=8) (91_property_categories.py:47-52);
+    # results are keyed by pid so completion order doesn't matter
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=max_workers) as ex:
+        new_rows = [r for r in ex.map(resolve, miss_rows) if r is not None]
+    new_rows.sort()
 
     if new_rows:
         new_df = spark.createDataFrame(

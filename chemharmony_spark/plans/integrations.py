@@ -313,6 +313,31 @@ def integrate_wide_measurements(
     )
 
 
+def fold_directional_outcomes(
+    df: DataFrame,
+    direction_col: str,
+    positive_direction: str,
+    negative_direction: str,
+    out_col: str = "value",
+) -> DataFrame:
+    """CTD flip-to-negative pattern (reference 07_integrate_ctdbase.R:55-70):
+    directional interaction pairs like 'increases^expression' /
+    'decreases^expression' fold into ONE property with the opposing
+    direction mapped to the negative label. The direction column is consumed
+    (dropped) so both directions share a property key downstream."""
+    return (
+        df.withColumn(
+            out_col,
+            F.when(F.lower(F.col(direction_col)) == positive_direction.lower(),
+                   "positive")
+            .when(F.lower(F.col(direction_col)) == negative_direction.lower(),
+                  "negative"),
+        )
+        .where(F.col(out_col).isNotNull())
+        .drop(direction_col)
+    )
+
+
 @dataclass
 class OutcomeConfig:
     """chembl/tox21/ctdbase shape config (reference 02/03/07)."""

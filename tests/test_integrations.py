@@ -301,3 +301,50 @@ def test_cached_lookup_rate_limited_fetch(spark, tmp_path):
     assert calls == []  # all cache hits
     assert sorted((r.key, r.value) for r in m2.collect()) == [
         ("50-00-0", "cid-50-00-0"), ("50-78-2", "cid-50-78-2")]
+
+
+def test_directional_fold(spark):
+    from chemharmony_spark.plans.integrations import fold_directional_outcomes
+
+    df = spark.createDataFrame(
+        [
+            ("c1", "expression", "increases"),
+            ("c2", "expression", "decreases"),
+            ("c3", "expression", "affects"),  # unmapped -> dropped
+        ],
+        "cmp string, interaction string, direction string",
+    )
+    out = fold_directional_outcomes(df, "direction", "increases", "decreases")
+    got = {(r.cmp, r.interaction): r.value for r in out.collect()}
+    assert got == {("c1", "expression"): "positive",
+                   ("c2", "expression"): "negative"}
+    assert "direction" not in out.columns  # both directions share a property
+
+
+def test_incremental_runner_skips_unchanged(tmp_path):
+    from chemharmony_spark.plans.runner import Pipeline
+
+    src = tmp_path / "in.txt"
+    out = tmp_path / "out.txt"
+    src.write_text("v1")
+    calls = []
+
+    def build_pipeline():
+        p = Pipeline(state_path=str(tmp_path / "state.json"))
+
+        @p.stage("build", inputs=[str(src)], outputs=[str(out)])
+        def build():
+            calls.append("build")
+            out.write_text(src.read_text().upper())
+            return str(out)
+
+        return p
+
+    build_pipeline().run()
+    assert calls == ["build"] and out.read_text() == "V1"
+    build_pipeline().run()
+    assert calls == ["build"]  # unchanged input + existing output -> skipped
+    import os
+    os.utime(src, (1, 1))  # touch -> fingerprint changes
+    build_pipeline().run()
+    assert calls == ["build", "build"]
