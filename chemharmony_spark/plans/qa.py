@@ -97,3 +97,26 @@ def run_checks(*checks: CheckResult, raise_on_fail: bool = True) -> list[CheckRe
         msgs = "; ".join(f"{c.name}: {c.detail}" for c in failures)
         raise AssertionError(f"QA failures: {msgs}")
     return list(checks)
+
+
+def check_category_coverage(categories: DataFrame, min_categories: int = 10,
+                            min_props_per_category: int = 10) -> CheckResult:
+    """reference 91_property_categories.py:62-80: at least N categories each
+    covering at least M properties."""
+    ok = (
+        categories.groupBy("category")
+        .agg(F.countDistinct("pid").alias("np"))
+        .where(F.col("np") >= min_props_per_category)
+        .count()
+    )
+    return CheckResult("category_coverage", ok >= min_categories,
+                       f"categories_with_{min_props_per_category}+_props={ok}")
+
+
+def check_titles_unique(titles: DataFrame) -> CheckResult:
+    """reference 92_llm_property_titles.py:70,78-83: titles globally unique
+    and exactly one per pid."""
+    dup_titles = titles.groupBy("title").count().where("count > 1").count()
+    dup_pids = titles.groupBy("pid").count().where("count > 1").count()
+    return CheckResult("titles_unique", dup_titles == 0 and dup_pids == 0,
+                       f"dup_titles={dup_titles} dup_pids={dup_pids}")

@@ -475,7 +475,9 @@ def q34_minhash_signatures(spark, sf):
 
 def q35_lsh_band_counts(spark, sf):
     """LSH candidate pairs per band (docs sharing a band-minhash bucket)."""
-    sig = DD.minhash_signatures(_t(spark, sf, "documents"), "doc_id", "text")
+    # persist: the self-join below would otherwise recompute the signature
+    # pipeline twice (signatures are tiny — 4 rows/doc)
+    sig = DD.minhash_signatures(_t(spark, sf, "documents"), "doc_id", "text").persist()
     left = sig.select("band", "minhash", F.col("id").alias("a"))
     right = sig.select("band", "minhash", F.col("id").alias("b"))
     pairs = (
@@ -490,7 +492,7 @@ def q35_lsh_band_counts(spark, sf):
 def q36_jaccard_near_dups(spark, sf):
     """Exact word-set Jaccard on LSH candidates; deterministic top-20."""
     docs = _t(spark, sf, "documents")
-    sig = DD.minhash_signatures(docs, "doc_id", "text")
+    sig = DD.minhash_signatures(docs, "doc_id", "text").persist()
     cands = DD.lsh_candidate_pairs(sig)
     scored = DD.jaccard_pairs(docs, cands, "doc_id", "text")
     return (

@@ -348,3 +348,23 @@ def test_incremental_runner_skips_unchanged(tmp_path):
     os.utime(src, (1, 1))  # touch -> fingerprint changes
     build_pipeline().run()
     assert calls == ["build", "build"]
+
+
+def test_enrichment_qa_checks(spark):
+    from chemharmony_spark.plans.qa import check_category_coverage, check_titles_unique
+
+    cats = spark.createDataFrame(
+        [(f"p{i}", f"cat{i % 2}", "r", 5.0) for i in range(20)],
+        "pid string, category string, reason string, strength double",
+    )
+    assert check_category_coverage(cats, min_categories=2,
+                                   min_props_per_category=10).ok
+    assert not check_category_coverage(cats, min_categories=3,
+                                       min_props_per_category=10).ok
+    titles = spark.createDataFrame(
+        [("p1", "t1", "{}"), ("p2", "t2", "{}")],
+        "pid string, title string, prop_json_data string",
+    )
+    assert check_titles_unique(titles).ok
+    bad = titles.union(spark.createDataFrame([("p3", "t1", "{}")], titles.schema))
+    assert not check_titles_unique(bad).ok

@@ -44,3 +44,37 @@ def test_partitioned_write_and_pruning(spark, tmp_path):
     assert sorted(
         d for d in os.listdir(out) if d.startswith("source=")
     ) == ["source=srcA", "source=srcB"]
+
+
+def test_jdbc_scan_via_embedded_derby(spark):
+    """S4 relational scan (reference 11_integrate_toxrefdb.R:3 reads SQLite
+    via RSQLite; here: Spark's bundled Derby as the embedded JDBC source)."""
+    from chemharmony_spark.sources.readers import read_jdbc_table
+
+    jvm = spark._sc._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(
+        "jdbc:derby:memory:chemdb;create=true"
+    )
+    st = conn.createStatement()
+    try:
+        st.execute("DROP TABLE chemical")
+    except Exception:
+        pass
+    st.execute(
+        "CREATE TABLE chemical (chemical_id INT, casrn VARCHAR(20), "
+        "preferred_name VARCHAR(60))"
+    )
+    st.execute(
+        "INSERT INTO chemical VALUES (1, '50-00-0', 'formaldehyde'), "
+        "(2, '50-78-2', 'aspirin')"
+    )
+    conn.commit()
+
+    df = read_jdbc_table(
+        spark,
+        "jdbc:derby:memory:chemdb",
+        "chemical",
+        properties={"driver": "org.apache.derby.jdbc.EmbeddedDriver"},
+    )
+    rows = {r.CHEMICAL_ID: (r.CASRN, r.PREFERRED_NAME) for r in df.collect()}
+    assert rows == {1: ("50-00-0", "formaldehyde"), 2: ("50-78-2", "aspirin")}
