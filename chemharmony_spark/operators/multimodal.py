@@ -98,3 +98,110 @@ def extract_image_meta(df: DataFrame, id_col: str = "doc_id",
     return df.select(id_col, payload_col).mapInPandas(
         decode_batches, schema=IMAGE_META_SCHEMA
     )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), True),
+        StructField("frame", BinaryType(), True),
+    ]
+)
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("features", StringType(), True),  # csv of 8 floats
+    ]
+)
+
+
+def resize_images(df: DataFrame, width: int, height: int,
+                  id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Batch image resize over binary payloads (mapInPandas; Arrow batches).
+
+    Real path (PIL) is gated; the stub emits a deterministic truncated/padded
+    payload of width*height bytes so partitioning, batch shapes, and output
+    schema are exercised for real.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if HAVE_PIL:  # pragma: no cover
+                raise NotImplementedError(
+                    "real resize: PIL.Image.open(payload).resize((w, h))"
+                )
+            target = width * height
+            # ljust: a zero-length payload still yields width*height bytes
+            out = [
+                (bytes(p) * (target // max(len(bytes(p)), 1) + 1))
+                .ljust(target, b"\0")[:target]
+                for p in pdf[payload_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "payload": out,
+                    "width": [width] * len(pdf),
+                    "height": [height] * len(pdf),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4,
+                  id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Frame sampling for video-like payloads: one output row per sampled
+    frame (mapInPandas fan-out — the multimodal analogue of explode).
+
+    Stub: frames are equal byte-slices of the payload; a real decoder would
+    seek keyframes. Row-fanout shape (1 -> n_frames) is the part that
+    matters for partitioning and memory at scale.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if HAVE_PIL:  # pragma: no cover
+                raise NotImplementedError("real frame sampling needs a video lib")
+            ids, idxs, frames = [], [], []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(p)
+                step = max(len(raw) // n_frames, 1)
+                for j in range(n_frames):
+                    ids.append(int(i))
+                    idxs.append(j)
+                    frames.append(raw[j * step:(j + 1) * step])
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df.select(id_col, payload_col).mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+def extract_features(df: DataFrame, id_col: str = "doc_id",
+                     payload_col: str = "payload") -> DataFrame:
+    """Feature extraction stub: 8 deterministic floats from the payload md5
+    (a real extractor would run an image/audio model over the batch —
+    same mapInPandas shape, GPU-friendly batch size via
+    spark.sql.execution.arrow.maxRecordsPerBatch)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = []
+            for p in pdf[payload_col]:
+                h = hashlib.md5(bytes(p)).hexdigest()
+                vals = [int(h[i * 4:(i + 1) * 4], 16) / 65535.0 for i in range(8)]
+                feats.append(",".join(f"{v:.6f}" for v in vals))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "features": feats}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, schema=FEATURE_SCHEMA)

@@ -1,0 +1,47 @@
+"""Multimodal plumbing: schemas, Arrow batch shapes, fan-out, determinism."""
+
+from __future__ import annotations
+
+from chemharmony_spark.operators.multimodal import (
+    attach_binary_payload,
+    extract_image_meta,
+    extract_features,
+    resize_images,
+    sample_frames,
+)
+
+
+def _docs(spark, sf_dir):
+    return attach_binary_payload(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20), "text"
+    )
+
+
+def test_image_meta_schema_and_determinism(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    m1 = sorted(map(tuple, extract_image_meta(docs).collect()))
+    m2 = sorted(map(tuple, extract_image_meta(docs).collect()))
+    assert m1 == m2 and len(m1) == 20
+    for _, n_bytes, w, h, fmt in m1:
+        assert 0 <= w < 640 and 0 <= h < 480 and n_bytes > 0
+        assert fmt in ("png", "jpeg", "webp", "gif")
+
+
+def test_resize_and_frames_fanout(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    resized = resize_images(docs, 32, 16).collect()
+    assert all(len(r.payload) == 32 * 16 for r in resized)
+    frames = sample_frames(docs, n_frames=4).collect()
+    assert len(frames) == 20 * 4
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+    assert all(sorted(v) == [0, 1, 2, 3] for v in by_doc.values())
+
+
+def test_feature_extraction_shape(spark, sf_dir):
+    feats = extract_features(_docs(spark, sf_dir)).collect()
+    assert len(feats) == 20
+    for r in feats:
+        vals = [float(x) for x in r.features.split(",")]
+        assert len(vals) == 8 and all(0.0 <= v <= 1.0 for v in vals)
