@@ -86,19 +86,19 @@ def harmonize(
         props = spark.read.parquet(f"{scratch_dir}/properties")
         subs = spark.read.parquet(f"{scratch_dir}/substances")
 
-    acts = read_staging_glob(
-        spark, f"{staging_root}/*/activities.parquet", sources
-    ).distinct()
+    acts_raw = read_staging_glob(spark, f"{staging_root}/*/activities.parquet", sources)
     if check_invariants:
         # must run BEFORE the inner re-key joins: a staged file whose path
         # matches no declared source yields NULL provenance here, and the
         # joins would silently drop those rows (the reference's post-hoc
-        # check at 80:100-101 has this blind spot; we close it)
-        n_null = acts.where(F.col("source").isNull()).count()
+        # check at 80:100-101 has this blind spot; we close it). Checked on
+        # the raw scan — a map-side filter + count, no distinct shuffle.
+        n_null = acts_raw.where(F.col("source").isNull()).count()
         assert n_null == 0, (
             f"{n_null} staged activity rows have unresolvable provenance "
             f"(staging dir not in declared sources {sources})"
         )
+    acts = acts_raw.distinct()
     acts = acts.withColumn(
         "binary_value", F.when(F.col("value") == "positive", 1).otherwise(0)
     )
