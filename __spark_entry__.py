@@ -19,6 +19,44 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from chemharmony_spark import queries as Q  # noqa: E402
 
+_PREPARED: set[int] = set()
+
+
+def _prepare(spark: SparkSession) -> None:
+    """Make any externally-created SparkSession able to run our queries:
+
+    - the events table carries TIMESTAMP(NANOS) parquet, which Spark only
+      reads with the nanosAsLong legacy conf (runtime-settable);
+    - pandas_udf/mapInPandas queries unpickle ``chemharmony_spark`` inside
+      Python workers — ship the package via addPyFile so a session created
+      without our PYTHONPATH still resolves it.
+    """
+    key = id(spark)
+    if key in _PREPARED:
+        return
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "chemharmony_spark")
+    zip_base = os.path.join(tempfile.gettempdir(), "chemharmony_spark_pkg")
+    zip_path = zip_base + ".zip"
+    if not os.path.exists(zip_path):
+        shutil.make_archive(zip_base, "zip",
+                            root_dir=os.path.dirname(pkg_dir),
+                            base_dir="chemharmony_spark")
+    spark.sparkContext.addPyFile(zip_path)
+    _PREPARED.add(key)
+
+
+def _wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _prepare(spark)
+        return fn(spark, sf_dir)
+
+    return run
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
@@ -27,10 +65,15 @@ def entry(spark: SparkSession) -> DataFrame:
     canonical JSON payloads -> md5 content ids -> broadcast re-key joins ->
     global activity ids. Oracle-checked as q41.
     """
+    _prepare(spark)
     return Q.q41_harmonize_shape(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {k: _wrap(v) for k, v in _raw_queries().items()}
+
+
+def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": Q.q01_pricing_summary,
         "q02_top_orders": Q.q02_top_orders,
