@@ -63,15 +63,21 @@ def smiles_to_inchi(smiles: pd.Series) -> pd.Series:
 
 
 def with_derived_column_deduped(
-    df: DataFrame, src_col: str, out_col: str, udf_col: Column
+    df: DataFrame, src_col: str, out_col: str, udf_col: Column,
+    broadcast: bool = True,
 ) -> DataFrame:
     """Apply an expensive scalar UDF over *distinct* inputs, then join back.
 
-    reference idiom: 80_harmonize.py:72-73. The mapping side is tiny relative
-    to the fact table, so Catalyst broadcast-joins it when under threshold.
+    reference idiom: 80_harmonize.py:72-73. Pass ``broadcast=False`` when the
+    distinct input set is itself fact-scale (e.g. 1e8+ distinct structures) —
+    a forced broadcast hint at that size OOMs the executors; without the hint
+    Catalyst/AQE picks a shuffled join and can still broadcast if the map
+    turns out small at runtime.
     """
     mapping = (
         df.select(src_col).where(F.col(src_col).isNotNull()).distinct()
         .withColumn(out_col, udf_col)
     )
-    return df.join(F.broadcast(mapping), on=src_col, how="left")
+    if broadcast:
+        mapping = F.broadcast(mapping)
+    return df.join(mapping, on=src_col, how="left")
