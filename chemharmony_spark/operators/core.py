@@ -236,3 +236,28 @@ def stratified_sample_exact(
         .where(F.col("__rn") <= n_per_stratum)
         .drop("__rn")
     )
+
+
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the skewed side with a random bucket
+    and replicate the small side across all buckets, so one hot key spreads
+    over ``n_salts`` tasks instead of one straggler.
+
+    AQE's skew-join splitting usually makes this unnecessary (session.py
+    enables it); use this when AQE can't help — e.g. the skew is inside a
+    single shuffle block, or on engines/paths without AQE. Results are
+    identical to a plain join (verified in tests); cost is n_salts x
+    duplication of the small side.
+    """
+    keys = list(on)
+    salt = F.pmod(F.hash(F.rand(seed=0).cast("string")), F.lit(n_salts))
+    left = skewed.withColumn("__salt", salt)
+    salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("__salt")
+    right = small.select("*", salts)
+    return left.join(right, on=[*keys, "__salt"], how=how).drop("__salt")

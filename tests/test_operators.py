@@ -98,3 +98,18 @@ def test_stratified_sample_exact_and_deterministic(spark):
     for st, _ in r1:
         per[st] = per.get(st, 0) + 1
     assert per == {"a": 5, "b": 5}
+
+
+def test_salted_join_matches_plain_join(spark):
+    from chemharmony_spark.operators.core import salted_join
+
+    # heavily skewed left side: 90% of rows share one key
+    left = spark.createDataFrame(
+        [("hot" if i % 10 else f"k{i}", i) for i in range(1000)], "k string, v long"
+    )
+    right = spark.createDataFrame(
+        [("hot", "H"), ("k10", "A"), ("k20", "B")], "k string, tag string"
+    )
+    plain = sorted(map(tuple, left.join(right, on="k").collect()))
+    salted = sorted(map(tuple, salted_join(left, right, on=["k"]).collect()))
+    assert salted == plain and len(plain) == 902
