@@ -123,6 +123,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_embedding_near_dups": Q.q46_embedding_near_dups,
         "q47_ann_ivf": Q.q47_ann_ivf,
         "q48_winnowing_fingerprints": Q.q48_winnowing_fingerprints,
+        "q49_corpus_curation": Q.q49_corpus_curation,
     }
 
 
@@ -626,6 +627,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(len(fps) AS INTEGER) AS n_fp,
                    fps[1] AS min_fp, fps[len(fps)] AS max_fp
             FROM m
+        """,
+        "q49_corpus_curation": f"""
+            WITH fps AS (
+              SELECT doc_id, md5({_NORM}) AS fp FROM documents),
+            keepers AS (
+              SELECT MIN(doc_id) AS doc_id FROM fps GROUP BY fp),
+            kept AS (
+              SELECT d.doc_id, d.text FROM documents d
+              JOIN keepers k ON d.doc_id = k.doc_id),
+            feats AS (
+              SELECT doc_id, text, {_TOKS} AS toks,
+                     len({_TOKS}) AS n_tokens,
+                     length(text) AS n_chars_obs,
+                     length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+                       / length(text) AS alnum_ratio
+              FROM kept),
+            curated AS (
+              SELECT * FROM feats
+              WHERE n_tokens >= 10 AND alnum_ratio >= 0.8 AND n_chars_obs >= 50),
+            scores AS (
+              SELECT doc_id,
+                list_contains(toks,'der')::INT + list_contains(toks,'und')::INT
+                  + list_contains(toks,'die')::INT + list_contains(toks,'nicht')::INT AS de,
+                list_contains(toks,'the')::INT + list_contains(toks,'and')::INT
+                  + list_contains(toks,'of')::INT + list_contains(toks,'is')::INT AS en,
+                list_contains(toks,'el')::INT + list_contains(toks,'los')::INT
+                  + list_contains(toks,'que')::INT + list_contains(toks,'de')::INT AS es,
+                list_contains(toks,'le')::INT + list_contains(toks,'les')::INT
+                  + list_contains(toks,'des')::INT + list_contains(toks,'est')::INT AS fr,
+                list_contains(toks,'de')::INT + list_contains(toks,'shi')::INT
+                  + list_contains(toks,'le')::INT + list_contains(toks,'bu')::INT AS zh
+              FROM curated),
+            pred AS (
+              SELECT doc_id, lang AS pred_lang
+              FROM scores UNPIVOT (score FOR lang IN (de, en, es, fr, zh))
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                                         ORDER BY score DESC, lang) = 1)
+            SELECT pred_lang, COUNT(*) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                   MIN(c.doc_id) AS min_doc_id
+            FROM curated c JOIN pred USING (doc_id)
+            GROUP BY pred_lang
         """,
         "q45_simhash_hamming": f"""
             WITH words AS (

@@ -685,3 +685,28 @@ def q48_winnowing_fingerprints(spark, sf):
         F.try_element_at("fps", F.lit(-1)).alias("max_fp"),
     )
     return per_doc
+
+
+def q49_corpus_curation(spark, sf):
+    """End-to-end training-corpus curation (the composite the individual
+    q30-q48 operators exist for): exact-dedup -> quality gates (length,
+    alnum ratio, token floor) -> language ID -> per-language rollup of
+    kept docs and token budget."""
+    docs = _t(spark, sf, "documents")
+    # exact dedup: keep the minimum doc_id per content fingerprint
+    keepers = DD.exact_dedup_groups(docs, "doc_id", "text").select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    kept = docs.join(keepers, on="doc_id", how="left_semi")
+    feats = TX.quality_features(kept, "text")
+    curated = feats.where(
+        (F.col("n_tokens") >= 10)
+        & (F.col("alnum_ratio") >= 0.8)
+        & (F.col("n_chars_obs") >= 50)
+    )
+    scored = TX.langid_scores(curated, "text")
+    return scored.groupBy("pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
