@@ -19,7 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from chemharmony_spark import queries as Q  # noqa: E402
 
-_PREPARED: set[int] = set()
+_PREPARED: set[str] = set()
 
 
 def _prepare(spark: SparkSession) -> None:
@@ -31,7 +31,9 @@ def _prepare(spark: SparkSession) -> None:
       Python workers — ship the package via addPyFile so a session created
       without our PYTHONPATH still resolves it.
     """
-    key = id(spark)
+    # applicationId is unique per SparkContext — unlike id(spark), which the
+    # allocator can reuse after a stopped session is collected
+    key = spark.sparkContext.applicationId
     if key in _PREPARED:
         return
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
