@@ -126,6 +126,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_ann_ivf": Q.q47_ann_ivf,
         "q48_winnowing_fingerprints": Q.q48_winnowing_fingerprints,
         "q49_corpus_curation": Q.q49_corpus_curation,
+        "q50_asof_join": Q.q50_asof_join,
+        "q51_range_join": Q.q51_range_join,
     }
 
 
@@ -711,5 +713,27 @@ def oracle_sql() -> dict[str, str]:
                                              (p, q) -> p + q))) AS sim
               FROM e ea JOIN e eb ON ea.vec_id < eb.vec_id)
             SELECT a, b, sim FROM scored WHERE sim >= 0.25
+        """,
+        "q50_asof_join": """
+            SELECT c.user_id, c.event_id, epoch_us(c.ts) AS ts,
+                   c.value AS click_value,
+                   epoch_us(p.ts) AS last_buy_ts,
+                   p.value AS last_buy_value
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            ASOF LEFT JOIN
+                 (SELECT * FROM events WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        "q51_range_join": """
+            WITH iv AS (SELECT user_id, epoch_us(ts) AS w_start,
+                               epoch_us(ts) + 3600000000 AS w_end
+                        FROM events WHERE event_type = 'purchase'),
+                 pt AS (SELECT user_id, epoch_us(ts) AS pt, value FROM events)
+            SELECT iv.user_id, iv.w_start,
+                   COUNT(*) AS n_in_window, MAX(pt.value) AS max_value
+            FROM pt JOIN iv
+              ON pt.user_id = iv.user_id
+             AND iv.w_start <= pt.pt AND pt.pt < iv.w_end
+            GROUP BY 1, 2
         """,
     }

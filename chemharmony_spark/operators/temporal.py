@@ -1,0 +1,182 @@
+"""Temporal join operators: as-of join and bin-based range join.
+
+The reference has no temporal joins (SURVEY.md §2.3 notes "No
+theta/range/as-of/interval joins exist in the reference"), but a
+training-data pipeline over event streams needs both: attach the most
+recent profile/label to each observation (as-of), and map points into
+intervals (range). Spark has no built-in for either, so they are
+implemented here as compositions of existing DataFrame ops — the
+(a)-tier strategy for custom operators: no Python workers, everything
+stays in whole-stage codegen.
+
+Scale design:
+- ``asof_join`` is the union+window plan: ONE shuffle on the equality
+  keys, no replication of either side, no theta join. The naive
+  alternative (inequality join then per-left-row argmax) replicates the
+  fact table by every candidate match and re-shuffles for the argmax —
+  quadratic in hot keys. Here each (key) partition is sorted once and a
+  running ``last(ignorenulls)`` carries the most recent right payload
+  forward; AQE skew-splitting handles hot keys.
+- ``range_join`` buckets both sides by a caller-chosen bin width so the
+  equi-join on (key, bin) prunes the cross product to adjacent bins,
+  then applies the exact interval predicate. Without binning Spark
+  plans interval containment as BroadcastNestedLoopJoin (quadratic);
+  with it, the plan is a plain shuffled equi-join whose fan-out is
+  bounded by interval_width/bin_width + 1 copies of each interval.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: Sequence[str] | None = None,
+    how: str = "inner",
+    tolerance: int | float | None = None,
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Backward as-of join: for every left row, attach the latest right row
+    with ``right_ts <= left_ts``, matched on equality keys ``on``.
+
+    Semantics match DuckDB ``ASOF JOIN`` / pandas ``merge_asof``
+    (inclusive at equality). ``how`` is ``inner`` (drop unmatched left
+    rows) or ``left`` (keep them with null right payload). ``tolerance``
+    (same units as the ts columns) rejects matches older than
+    ``left_ts - tolerance``. Ties between right rows sharing
+    (keys, right_ts) are broken arbitrarily — pre-dedupe the right side
+    if that matters (as the oracle query does).
+
+    Plan: tag each side, union with null-padded payloads, sort each key
+    partition by (ts, side) — right rows sort before left rows at equal
+    ts, which is exactly the inclusive-at-equality rule — and carry the
+    right payload forward with ``last(..., ignorenulls=True)`` over an
+    unbounded-preceding row frame. One shuffle total, all built-ins.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in {*keys, right_ts}]
+    left_payload = [c for c in left.columns if c not in keys]
+    out_right = [right_prefix + c for c in [right_ts, *right_cols]]
+
+    tagged_left = left.select(
+        *keys,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in left_payload],
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(right_prefix + c)
+            for c in [right_ts, *right_cols]
+        ],
+    )
+    tagged_right = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_payload],
+        *[F.col(c).alias(right_prefix + c) for c in [right_ts, *right_cols]],
+    )
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = tagged_left.unionByName(tagged_right).select(
+        "*",
+        *[F.last(c, ignorenulls=True).over(w).alias("__f_" + c) for c in out_right],
+    )
+
+    matched_ts = F.col("__f_" + right_prefix + right_ts)
+    result = filled.where(F.col("__side") == 1)
+    if tolerance is not None:
+        # A match older than the tolerance is no match at all.
+        in_tol = matched_ts >= F.col("__ts") - F.lit(tolerance)
+        result = result.select(
+            *keys,
+            "__ts",
+            *left_payload,
+            *[
+                F.when(in_tol, F.col("__f_" + c)).alias("__f_" + c)
+                for c in out_right
+            ],
+        )
+        matched_ts = F.col("__f_" + right_prefix + right_ts)
+    if how == "inner":
+        result = result.where(matched_ts.isNotNull())
+    elif how != "left":
+        raise ValueError(f"asof_join: how must be 'inner' or 'left', got {how!r}")
+    return result.select(
+        *keys,
+        *left_payload,
+        *[F.col("__f_" + c).alias(c) for c in out_right],
+    )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str | Sequence[str] | None,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bin_width: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval-containment join: pair every point row with every interval
+    row (optionally sharing equality keys ``on``) where
+    ``start_col <= point < end_col``  (half-open, the SQL-standard
+    convention for tiling windows).
+
+    Plan: both sides get integer bin ids (``value div bin_width``);
+    intervals are exploded to one row per overlapped bin via
+    ``sequence()``; the join is then a plain equi-join on
+    (keys..., bin) followed by the exact predicate. Choose ``bin_width``
+    near the typical interval length: fan-out per interval is
+    ``len/bin_width + 1`` rows, and each point probes exactly one bin.
+    ``how='left'`` keeps unmatched points with null interval payload
+    (implemented as the equi-join in left mode plus a post-predicate
+    null-out, so it is still never a nested-loop plan).
+    """
+    keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
+    if how not in ("inner", "left"):
+        raise ValueError(f"range_join: how must be 'inner' or 'left', got {how!r}")
+
+    p_bin = (F.col(point_col) / F.lit(bin_width)).cast("long")
+    binned_points = points.withColumn("__bin", p_bin)
+    # end is exclusive: the last overlapped bin is the one containing end-1
+    iv = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                (F.col(start_col) / F.lit(bin_width)).cast("long"),
+                ((F.col(end_col) - 1) / F.lit(bin_width)).cast("long"),
+            )
+        ),
+    )
+    contained = (F.col(start_col) <= F.col(point_col)) & (
+        F.col(point_col) < F.col(end_col)
+    )
+    if how == "inner":
+        return binned_points.join(iv, [*keys, "__bin"]).where(contained).drop("__bin")
+    # left mode: inner matches plus exactly ONE null row per unmatched point.
+    # A bin-only left join is wrong here — a bin holding k non-containing
+    # intervals would emit k null rows per point — so tag each point row,
+    # inner-join, and anti-join the tags back for the unmatched remainder.
+    iv_payload = [c for c in intervals.columns if c not in keys]
+    tagged = binned_points.withColumn("__pid", F.monotonically_increasing_id())
+    inner = tagged.join(iv, [*keys, "__bin"]).where(contained)
+    unmatched = tagged.join(inner.select("__pid"), "__pid", "left_anti").select(
+        *points.columns,
+        *[F.lit(None).cast(intervals.schema[c].dataType).alias(c) for c in iv_payload],
+    )
+    return inner.select(*points.columns, *iv_payload).unionByName(unmatched)

@@ -710,3 +710,54 @@ def q49_corpus_curation(spark, sf):
         F.sum("n_tokens").alias("total_tokens"),
         F.min("doc_id").alias("min_doc_id"),
     )
+
+
+def q50_asof_join(spark, sf):
+    """Backward as-of join (temporal.asof_join): for every click, the most
+    recent purchase by the same user at-or-before the click. Reference has
+    no temporal joins (SURVEY.md §2.3); DuckDB ``ASOF LEFT JOIN`` is the
+    oracle. Union+window plan: one shuffle on user_id, no theta join."""
+    from chemharmony_spark.operators.temporal import asof_join
+
+    # microsecond precision: DuckDB truncates parquet TIMESTAMP(NANOS) to
+    # micros, and micros (unlike nanos) are exact in float64 for the compare
+    ev = _events(spark, sf).withColumn("ts", F.expr("ts div 1000"))
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    j = asof_join(
+        clicks, buys, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["value"], how="left",
+    )
+    return j.select(
+        "user_id", "event_id", "ts",
+        F.col("value").alias("click_value"),
+        F.col("r_ts").alias("last_buy_ts"),
+        F.col("r_value").alias("last_buy_value"),
+    )
+
+
+def q51_range_join(spark, sf):
+    """Binned interval-containment join (temporal.range_join): events falling
+    inside the 1-hour window opened by each purchase of the same user.
+    Bin-explode turns the interval predicate into a plain equi-join on
+    (user_id, bin) — never a BroadcastNestedLoopJoin."""
+    from chemharmony_spark.operators.temporal import range_join
+
+    HOUR = 3_600_000_000  # us (micros match DuckDB TIMESTAMP precision)
+    ev = _events(spark, sf).withColumn("ts", F.expr("ts div 1000"))
+    pts = ev.select("user_id", F.col("ts").alias("pt"), "value")
+    iv = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.lit(HOUR)).alias("w_end"),
+    )
+    j = range_join(
+        pts, iv, on="user_id", point_col="pt",
+        start_col="w_start", end_col="w_end", bin_width=HOUR,
+    )
+    return j.groupBy("user_id", "w_start").agg(
+        F.count(F.lit(1)).alias("n_in_window"),
+        F.max("value").alias("max_value"),
+    )

@@ -1,0 +1,148 @@
+"""Unit tests for operators/temporal.py (as-of join, binned range join).
+
+The reference has no temporal joins (SURVEY.md §2.3); semantics here are
+pinned to DuckDB ASOF JOIN / pandas merge_asof conventions, which the
+q50/q51 oracles check at scale — these tests cover the edge cases the
+oracle data doesn't reach (ties, tolerance, empty right side, left-mode
+null rows, bins larger/smaller than intervals).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from chemharmony_spark.operators.temporal import asof_join, range_join
+
+
+def _left(spark):
+    return spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 10, "d"), (3, 10, "e")],
+        "k int, ts int, tag string",
+    )
+
+
+def _right(spark):
+    return spark.createDataFrame(
+        [(1, 10, 1.0), (1, 15, 2.0), (2, 11, 3.0)],
+        "k int, ts int, v double",
+    )
+
+
+def test_asof_inner_inclusive_at_equality(spark):
+    out = asof_join(_left(spark), _right(spark), on="k", how="inner")
+    rows = {(r.k, r.ts): (r.r_ts, r.r_v) for r in out.collect()}
+    # left (1,10) matches right ts=10 (inclusive), (1,20) matches ts=15,
+    # (1,5) has no prior right row, (2,10) predates right ts=11, k=3 empty.
+    assert rows == {(1, 10): (10, 1.0), (1, 20): (15, 2.0)}
+
+
+def test_asof_left_keeps_unmatched_with_nulls(spark):
+    out = asof_join(_left(spark), _right(spark), on="k", how="left")
+    rows = {(r.k, r.ts): (r.r_ts, r.r_v) for r in out.collect()}
+    assert len(rows) == 5
+    assert rows[(1, 5)] == (None, None)
+    assert rows[(2, 10)] == (None, None)
+    assert rows[(3, 10)] == (None, None)
+    assert rows[(1, 20)] == (15, 2.0)
+
+
+def test_asof_tolerance_rejects_stale_matches(spark):
+    out = asof_join(_left(spark), _right(spark), on="k", how="left", tolerance=3)
+    rows = {(r.k, r.ts): (r.r_ts, r.r_v) for r in out.collect()}
+    # (1,20) would match ts=15 but 20-15=5 > 3 -> nulled out
+    assert rows[(1, 20)] == (None, None)
+    assert rows[(1, 10)] == (10, 1.0)  # 10-10=0 <= 3 kept
+
+
+def test_asof_empty_right_side(spark):
+    empty = _right(spark).where(F.lit(False))
+    assert asof_join(_left(spark), empty, on="k", how="inner").count() == 0
+    left = asof_join(_left(spark), empty, on="k", how="left")
+    assert left.count() == 5
+    assert all(r.r_v is None for r in left.collect())
+
+
+def test_asof_multi_key_and_prefix(spark):
+    l = spark.createDataFrame([(1, "x", 10)], "k int, g string, ts int")
+    r = spark.createDataFrame(
+        [(1, "x", 9, 7.0), (1, "y", 9, 8.0)], "k int, g string, ts int, v double"
+    )
+    out = asof_join(l, r, on=["k", "g"], right_prefix="m_").collect()
+    assert len(out) == 1 and out[0].m_v == 7.0
+
+
+def test_asof_rejects_bad_how(spark):
+    with pytest.raises(ValueError):
+        asof_join(_left(spark), _right(spark), on="k", how="outer").collect()
+
+
+def _points(spark):
+    return spark.createDataFrame(
+        [(1, 5), (1, 10), (1, 19), (1, 20), (2, 7)], "k int, p int"
+    )
+
+
+def _intervals(spark):
+    # overlapping intervals for k=1; k=2 interval missing point 7
+    return spark.createDataFrame(
+        [(1, 0, 10, "A"), (1, 5, 20, "B"), (2, 8, 9, "C")],
+        "k int, s int, e int, name string",
+    )
+
+
+def test_range_join_inner_half_open(spark):
+    out = range_join(
+        _points(spark), _intervals(spark), on="k",
+        point_col="p", start_col="s", end_col="e", bin_width=4,
+    )
+    got = sorted((r.k, r.p, r.name) for r in out.collect())
+    # p=5 in A[0,10) and B[5,20); p=10 only B (A end-exclusive);
+    # p=19 in B; p=20 excluded (B end-exclusive); (2,7) not in C[8,9)
+    assert got == [(1, 5, "A"), (1, 5, "B"), (1, 10, "B"), (1, 19, "B")]
+
+
+@pytest.mark.parametrize("bw", [1, 3, 100])
+def test_range_join_bin_width_invariance(spark, bw):
+    out = range_join(
+        _points(spark), _intervals(spark), on="k",
+        point_col="p", start_col="s", end_col="e", bin_width=bw,
+    )
+    assert sorted((r.k, r.p, r.name) for r in out.collect()) == [
+        (1, 5, "A"), (1, 5, "B"), (1, 10, "B"), (1, 19, "B"),
+    ]
+
+
+def test_range_join_left_exactly_one_null_row_per_unmatched(spark):
+    # (2,7) shares bin(bw=8)=0 with C's bin 1? ensure unmatched points never
+    # duplicate even when several non-containing intervals share their bin
+    iv = spark.createDataFrame(
+        [(1, 0, 2, "A"), (1, 3, 4, "B")], "k int, s int, e int, name string"
+    )
+    pts = spark.createDataFrame([(1, 2), (1, 2)], "k int, p int")  # dup points
+    out = range_join(
+        pts, iv, on="k", point_col="p", start_col="s", end_col="e",
+        bin_width=100, how="left",
+    ).collect()
+    # both intervals share bin 0 with p=2 but neither contains it (A half-open)
+    assert sorted((r.k, r.p, r.name) for r in out) == [(1, 2, None), (1, 2, None)]
+
+
+def test_range_join_left_mixed(spark):
+    out = range_join(
+        _points(spark), _intervals(spark), on="k",
+        point_col="p", start_col="s", end_col="e", bin_width=4, how="left",
+    )
+    got = sorted(((r.k, r.p, r.name) for r in out.collect()), key=str)
+    assert (2, 7, None) in got and (1, 20, None) in got
+    assert got.count((1, 5, "A")) == 1 and got.count((1, 5, "B")) == 1
+    assert len(got) == 6  # 4 matches + 2 null rows
+
+
+def test_range_join_no_keys(spark):
+    pts = spark.createDataFrame([(5,), (50,)], "p int")
+    iv = spark.createDataFrame([(0, 10, "A")], "s int, e int, name string")
+    out = range_join(
+        pts, iv, on=None, point_col="p", start_col="s", end_col="e", bin_width=10
+    ).collect()
+    assert [(r.p, r.name) for r in out] == [(5, "A")]
