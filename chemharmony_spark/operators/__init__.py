@@ -32,6 +32,10 @@ from chemharmony_spark.operators.similarity import (  # noqa: F401
     kmeans_centroids,
     lsh_bucket_topk,
 )
+from chemharmony_spark.operators.temporal import (  # noqa: F401
+    asof_join,
+    range_join,
+)
 from chemharmony_spark.operators.text import (  # noqa: F401
     alnum_ratio,
     bpe_ish_token_count,

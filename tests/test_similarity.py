@@ -91,3 +91,31 @@ def test_kmeans_centroids_improve_ivf_recall(spark, sf_dir):
     # trained codebook is deterministic for fixed seed + data
     c2 = kmeans_centroids(emb, n_cells=8)
     assert sorted(map(tuple, cents.collect())) == sorted(map(tuple, c2.collect()))
+
+
+def test_ivf_multi_assign_lifts_recall_without_dup_pairs(spark, sf_dir):
+    emb = _load(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 20)
+    exact = cosine_topk(emb, queries, k=5).collect()
+    es = {}
+    for r in exact:
+        es.setdefault(r.query_id, set()).add(r.neighbor_id)
+    total = sum(len(v) for v in es.values())
+
+    def recall(df):
+        as_ = {}
+        for r in df.collect():
+            as_.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return sum(len(v & as_.get(q, set())) for q, v in es.items()) / total
+
+    single = ivf_topk(emb, queries, k=5, corpus_assign=1)
+    multi = ivf_topk(emb, queries, k=5, corpus_assign=2)
+    assert recall(multi) >= recall(single)
+    # a pair reachable through two shared cells must still appear once
+    rows = multi.collect()
+    assert len(rows) == len({(r.query_id, r.neighbor_id) for r in rows})
+    # rank column stays dense 1..k per query
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
