@@ -595,18 +595,18 @@ def q44_char_ngram_jaccard(spark, sf):
     docs = _t(spark, sf, "documents").select(
         "doc_id", "source", TX.normalize_text("text").alias("norm")
     )
-    grams = docs.select(
+    gram_arr = docs.select(
         "doc_id", "source",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.greatest(F.length("norm") - 2, F.lit(0))),
-                    lambda i: F.col("norm").substr(i, F.lit(3)),
-                )
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length("norm") - 2, F.lit(0))),
+                lambda i: F.col("norm").substr(i, F.lit(3)),
             )
-        ).alias("g"),
+        ).alias("gs"),
     )
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ng"))
+    grams = gram_arr.select("doc_id", "source", F.explode("gs").alias("g"))
+    # gram-set size falls out of the array — no groupBy re-shuffle needed
+    sizes = gram_arr.select("doc_id", F.size("gs").alias("ng"))
     ga = grams.select(F.col("doc_id").alias("a"), F.col("source").alias("src"), "g")
     gb = grams.select(F.col("doc_id").alias("b"), F.col("source").alias("src"), "g")
     inter = (
