@@ -633,9 +633,7 @@ def q45_simhash_hamming(spark, sf):
     signatures are within Hamming distance 6 (bitwise xor + popcount —
     the cheap pre-filter that precedes exact Jaccard at scale)."""
     docs = _t(spark, sf, "documents")
-    sig = DD.simhash16(docs, "doc_id", "text").join(
-        docs.select(F.col("doc_id").alias("id"), "source"), on="id"
-    )
+    sig = DD.simhash16(docs, "doc_id", "text", carry=("source",))
     a = sig.select(F.col("id").alias("a"), F.col("simhash").alias("ha"), "source")
     b = sig.select(F.col("id").alias("b"), F.col("simhash").alias("hb"), "source")
     return (

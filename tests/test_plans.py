@@ -43,3 +43,60 @@ def test_q34_minhash_no_shuffle_before_unpivot(spark):
     # AQE's final coalesce of the scan output (no aggregate exchange)
     plan = _plan(Q.q34_minhash_signatures(spark, SF))
     assert "HashAggregate" not in plan
+
+
+# Every query's audited shuffle budget (sf0.001 plans). A new plan may
+# shuffle LESS, never more — raising a number here needs a SCALE.md entry
+# explaining why the extra exchange is unavoidable.
+SHUFFLE_BUDGET = {
+    "q01_pricing_summary": 1, "q02_top_orders": 1, "q03_region_revenue": 1,
+    "q04_filter_predicates": 1, "q05_recode": 1, "q06_regex_strip_cast": 1,
+    "q07_distinct": 1, "q08_pivot_counts": 2, "q09_melt": 1,
+    "q10_window_rownumber": 1, "q11_keep_unique_keys": 1,
+    "q12_window_median": 1, "q13_discordance": 1, "q14_having_floor": 2,
+    "q15_conditional_sum": 1, "q16_group_min_two_level": 2,
+    "q17_count_distinct": 2, "q18_union_by_name": 1,
+    "q19_intersect_except": 2, "q20_grid_negatives": 4,
+    "q21_semi_anti_join": 2, "q22_left_join_histogram": 2,
+    "q23_full_outer_consistency": 2, "q24_group_id_md5": 1,
+    "q25_content_id_json": 0, "q26_stratified_sample": 2,
+    "q27_json_extract": 1, "q28_tumbling_window": 1, "q29_sessionize": 1,
+    "q30_dedup_exact": 1, "q31_text_quality": 0, "q32_langid": 0,
+    "q33_fingerprint_rollup": 2, "q34_minhash_signatures": 0,
+    "q35_lsh_band_counts": 2, "q36_jaccard_near_dups": 1, "q37_simhash": 0,
+    "q38_cosine_topk": 1, "q39_multimodal_meta": 0, "q40_ann_lsh": 2,
+    "q41_harmonize_shape": 2, "q42_median_binarize": 2,
+    "q43_balanced_class_floor": 4, "q44_char_ngram_jaccard": 1,
+    "q45_simhash_hamming": 2, "q46_embedding_near_dups": 0,
+    "q47_ann_ivf": 3, "q48_winnowing_fingerprints": 0,
+    "q49_corpus_curation": 2, "q50_asof_join": 1, "q51_range_join": 1,
+}
+
+# Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
+# provably dimension/constant-sized and broadcast): q20 grid = substances x
+# broadcast property dim; q38/q46 = exact-scoring baselines whose documented
+# scale path is q40/q47; q47 = 16-row centroid codebook cross join.
+BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
+                "q46_embedding_near_dups", "q47_ann_ivf"}
+
+
+def test_every_query_plan_within_scale_budget(spark):
+    """Full-inventory plan audit: no cartesian products, no row-at-a-time
+    Python evals, nested-loop joins only where designed, and the shuffle
+    count of every query at or under its audited budget."""
+    import __spark_entry__ as e
+
+    for name, fn in e._raw_queries().items():
+        plan = _plan(fn(spark, SF))
+        shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+        assert "BatchEvalPython" not in plan, f"{name}: row-based Python UDF"
+        if name not in BNLJ_ALLOWED:
+            assert "BroadcastNestedLoopJoin" not in plan, f"{name}: stray BNLJ"
+        assert shuffles <= SHUFFLE_BUDGET[name], (
+            f"{name}: {shuffles} shuffles > audited budget "
+            f"{SHUFFLE_BUDGET[name]}"
+        )
+    assert set(SHUFFLE_BUDGET) == set(e._raw_queries()), (
+        "budget table out of sync with the query inventory"
+    )
