@@ -25,6 +25,9 @@ HEADLINE = [
     "q34_minhash_signatures",
     "q36_jaccard_near_dups",
     "q38_cosine_topk",
+    "q45_simhash_hamming",
+    "q50_asof_join",
+    "q51_range_join",
 ]
 
 
