@@ -128,6 +128,12 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_corpus_curation": Q.q49_corpus_curation,
         "q50_asof_join": Q.q50_asof_join,
         "q51_range_join": Q.q51_range_join,
+        "q52_repetition_filters": Q.q52_repetition_filters,
+        "q53_grouped_topk": Q.q53_grouped_topk,
+        "q54_rollup": Q.q54_rollup,
+        "q55_doc_chunking": Q.q55_doc_chunking,
+        "q56_sequence_packing": Q.q56_sequence_packing,
+        "q57_centroid_outliers": Q.q57_centroid_outliers,
     }
 
 
@@ -735,5 +741,134 @@ def oracle_sql() -> dict[str, str]:
               ON pt.user_id = iv.user_id
              AND iv.w_start <= pt.pt AND pt.pt < iv.w_end
             GROUP BY 1, 2
+        """,
+        "q52_repetition_filters": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            g AS (
+              SELECT doc_id, toks,
+                     CASE WHEN len(toks) >= 2 THEN
+                       [array_to_string(toks[i:i+1], ' ')
+                        for i in generate_series(1, len(toks) - 1)]
+                     ELSE []::VARCHAR[] END AS grams
+              FROM t),
+            counts AS (
+              SELECT doc_id, gram, COUNT(*) AS c
+              FROM (SELECT doc_id, unnest(grams) AS gram FROM g)
+              GROUP BY doc_id, gram),
+            tops AS (
+              SELECT doc_id, MAX(c) AS top_c, COUNT(*) AS n_distinct
+              FROM counts GROUP BY doc_id)
+            SELECT g.doc_id,
+                   len(toks) AS n_tokens,
+                   len(grams) AS n_ngrams,
+                   COALESCE(n_distinct, 0) AS n_distinct_ngrams,
+                   COALESCE(top_c, 0) AS top_ngram_count,
+                   CASE WHEN len(grams) > 0
+                        THEN top_c / len(grams) END AS top_ngram_frac,
+                   CASE WHEN len(grams) > 0
+                        THEN (len(grams) - n_distinct) / len(grams)
+                        END AS dup_ngram_frac,
+                   CASE WHEN len(toks) > 0
+                        THEN len(list_distinct(toks)) / len(toks)
+                        END AS unique_token_ratio,
+                   CASE WHEN len(toks) > 0 THEN
+                     len(list_filter(toks, x -> list_contains(
+                       ['a','an','and','in','is','of','the','to'], x)))
+                       / len(toks) END AS stopword_ratio
+            FROM g LEFT JOIN tops ON g.doc_id = tops.doc_id
+        """,
+        "q53_grouped_topk": """
+            SELECT n_name, o_orderkey, o_totalprice,
+                   CAST(ROW_NUMBER() OVER (
+                     PARTITION BY n_name
+                     ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rank
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            QUALIFY rank <= 3
+        """,
+        "q54_rollup": f"""
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS {_DEC})) AS DOUBLE) AS sum_qty,
+                   COUNT(*) AS n_rows,
+                   CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "q55_doc_chunking": f"""
+            WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+            c AS (
+              SELECT doc_id, source,
+                     CASE WHEN len(toks) > 0 THEN
+                       [toks[(i * 50 + 1):least((i + 1) * 50, len(toks))]
+                        for i in generate_series(0, (len(toks) - 1) // 50)]
+                     ELSE []::VARCHAR[][] END AS chunks
+              FROM t),
+            e AS (
+              SELECT doc_id, source,
+                     CAST(generate_subscripts(chunks, 1) - 1 AS BIGINT)
+                       AS chunk_idx,
+                     unnest(chunks) AS ctoks
+              FROM c)
+            SELECT doc_id, source, chunk_idx,
+                   CAST(len(ctoks) AS INTEGER) AS n_chunk_tokens,
+                   md5(array_to_string(ctoks, ' ')) AS chunk_hash
+            FROM e
+        """,
+        "q56_sequence_packing": f"""
+            WITH d AS (
+              SELECT doc_id, len({_TOKS}) AS n_tokens,
+                     md5(CAST(doc_id AS VARCHAR)) AS h
+              FROM documents),
+            cum AS (
+              SELECT doc_id, n_tokens,
+                     SUM(n_tokens) OVER (ORDER BY h
+                       ROWS UNBOUNDED PRECEDING) AS cum
+              FROM d)
+            SELECT CAST(floor((cum - n_tokens) / 1000.0) AS BIGINT) AS bin,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+                   MIN(doc_id) AS min_doc_id
+            FROM cum GROUP BY 1
+        """,
+        "q57_centroid_outliers": """
+            WITH base AS (
+              SELECT vec_id, label,
+                     [CAST(floor(x * 1000000.0) AS BIGINT)
+                      for x in list_transform(embedding, e -> CAST(e AS DOUBLE))]
+                       AS qi
+              FROM embeddings),
+            ex AS (
+              SELECT label, generate_subscripts(qi, 1) AS pos,
+                     unnest(qi) AS qv
+              FROM base),
+            cent AS (
+              SELECT label, pos, CAST(SUM(qv) AS BIGINT) AS cs
+              FROM ex GROUP BY label, pos),
+            carr AS (
+              SELECT label, list(cs ORDER BY pos) AS cs_arr
+              FROM cent GROUP BY label),
+            scored AS (
+              SELECT vec_id, b.label,
+                     list_reduce(
+                       [CAST(qi[i] AS HUGEINT) * CAST(cs_arr[i] AS HUGEINT)
+                        for i in generate_series(1, len(qi))],
+                       (p, q) -> p + q) AS dot,
+                     list_reduce(
+                       [CAST(qi[i] AS HUGEINT) * CAST(qi[i] AS HUGEINT)
+                        for i in generate_series(1, len(qi))],
+                       (p, q) -> p + q) AS n1,
+                     list_reduce(
+                       [CAST(cs_arr[i] AS HUGEINT) * CAST(cs_arr[i] AS HUGEINT)
+                        for i in generate_series(1, len(cs_arr))],
+                       (p, q) -> p + q) AS n2
+              FROM base b JOIN carr ON b.label = carr.label)
+            SELECT vec_id, label, cos_micro, cos_micro < 100000 AS is_outlier
+            FROM (
+              SELECT vec_id, label,
+                     CAST(floor(CAST(dot AS DOUBLE)
+                       / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE)))
+                       * 1000000) AS BIGINT) AS cos_micro
+              FROM scored)
         """,
     }

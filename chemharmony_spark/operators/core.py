@@ -238,6 +238,127 @@ def stratified_sample_exact(
     )
 
 
+def grouped_topk(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[Column],
+    k: int,
+    rank_col: str = "rank",
+    two_phase: bool = False,
+) -> DataFrame:
+    """Per-group top-k (row_number <= k). ``order_cols`` must be a *total*
+    order (tie-broken by a unique key) for deterministic, engine-portable
+    results.
+
+    ``two_phase=True`` is the low-cardinality-group scale path: a window
+    partitioned only by a handful of groups funnels the whole table through
+    |groups| tasks. Phase 1 takes top-k within (group, input-partition) —
+    the partition id acts as a free salt, so the heavy pass spreads over
+    |groups| x |partitions| tasks; any row of the true global top-k is
+    necessarily in the top-k of its own partition, so phase 2 (the plain
+    window over <= |partitions| x k survivors per group) is exact. Same
+    output as one-phase, verified in tests.
+    """
+    order = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    if two_phase:
+        w1 = Window.partitionBy(*group_cols, "__tk_salt").orderBy(*order)
+        df = (
+            df.withColumn("__tk_salt", F.spark_partition_id())
+            .withColumn("__tk_r", F.row_number().over(w1))
+            .where(F.col("__tk_r") <= k)
+            .drop("__tk_salt", "__tk_r")
+        )
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return df.withColumn(rank_col, F.row_number().over(w)).where(
+        F.col(rank_col) <= k
+    )
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "cumsum",
+    num_partitions: int | None = None,
+    bucket: Column | None = None,
+) -> DataFrame:
+    """Scalable global prefix sum over a total order.
+
+    ``Window.orderBy`` with no ``partitionBy`` — the naive spelling — drags
+    the entire table through ONE task; at 100 TB that is the job. The
+    distributed decomposition: split the order into contiguous buckets,
+    running-sum *within* each bucket, then add each bucket's broadcast
+    offset (the sum of all earlier buckets).
+
+    ``bucket`` (preferred): a caller-supplied Column mapping each row to an
+    ordered bucket id that is *monotone non-decreasing in the order key*
+    (e.g. a hex prefix of an md5 order key — uniform AND monotone). The
+    bucket totals aggregate map-side into a |buckets|-row table, so the
+    whole op costs ONE full-data shuffle (the per-bucket window) plus a
+    second cheap scan of two columns.
+
+    Without ``bucket``: fall back to sampled range repartitioning with
+    ``spark_partition_id`` as the bucket. Correct for any orderable key,
+    but the nondeterministic pid column blocks exchange reuse, so the plan
+    pays two range shuffles + one hash shuffle. Use an explicit bucket
+    whenever the key distribution allows.
+
+    ``order_col`` must be unique (a total order), or intra-bucket tie order
+    is undefined.
+    """
+    if bucket is not None:
+        w_off = Window.orderBy("__cs_b").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offsets = (
+            df.groupBy(bucket.alias("__cs_b"))
+            .agg(F.sum(value_col).alias("__cs_tot"))
+            .withColumn(
+                "__cs_off", F.coalesce(F.sum("__cs_tot").over(w_off), F.lit(0))
+            )
+            .select("__cs_b", "__cs_off")
+        )
+        w_intra = (
+            Window.partitionBy("__cs_b")
+            .orderBy(order_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            df.withColumn("__cs_b", bucket)
+            .withColumn("__cs_run", F.sum(value_col).over(w_intra))
+            .join(F.broadcast(offsets), on="__cs_b")
+            .withColumn(out_col, F.col("__cs_run") + F.col("__cs_off"))
+            .drop("__cs_b", "__cs_run", "__cs_off")
+        )
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    part = df.repartitionByRange(num_partitions, F.col(order_col)).withColumn(
+        "__cs_pid", F.spark_partition_id()
+    )
+    w_intra = (
+        Window.partitionBy("__cs_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # offsets: exclusive prefix of per-partition totals — |partitions| rows,
+    # so the unpartitioned window is over a tiny table, not the data
+    w_off = Window.orderBy("__cs_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        part.groupBy("__cs_pid")
+        .agg(F.sum(value_col).alias("__cs_tot"))
+        .withColumn("__cs_off", F.coalesce(F.sum("__cs_tot").over(w_off), F.lit(0)))
+        .select("__cs_pid", "__cs_off")
+    )
+    return (
+        part.withColumn("__cs_run", F.sum(value_col).over(w_intra))
+        .join(F.broadcast(offsets), on="__cs_pid")
+        .withColumn(out_col, F.col("__cs_run") + F.col("__cs_off"))
+        .drop("__cs_pid", "__cs_run", "__cs_off")
+    )
+
+
 def salted_join(
     skewed: DataFrame,
     small: DataFrame,

@@ -36,6 +36,73 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def group_centroid_cosine(
+    df: DataFrame,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Cosine of every vector to its group's centroid — the curation signal
+    behind embedding-based outlier pruning (vectors far from their cluster
+    center are mislabeled / noise).
+
+    Exactness design (what makes this oracle-checkable cross-engine): floats
+    are quantized to integers (``floor(x * scale)``), so the centroid *sums*
+    are exact and order-independent; and since ``cos(v, sum/n) ==
+    cos(v, sum)`` (positive scalars cancel), the mean division never
+    happens — every accumulation is integer/decimal-exact and only the final
+    ``dot / (sqrt(n1) * sqrt(n2))`` runs in float, identically in any
+    IEEE-754 engine. Output ``cos_micro = floor(cos * 1e6)``.
+
+    Plan shape: one posexplode -> groupBy(group, pos) with map-side partial
+    aggregation builds the (|groups| x dims)-row centroid table; everything
+    else is a broadcast join + per-row array folds — the corpus is traversed
+    twice, shuffled (in aggregate form) once. Fold accumulators are
+    decimal(38,0), so no bound on |group| overflows.
+    """
+    qi = F.transform(
+        _as_double(F.col(vec_col)),
+        lambda x: F.floor(x * scale).cast("long"),
+    )
+    base = df.select(
+        F.col(id_col), F.col(group_col), qi.alias("__qi")
+    )
+    ex = base.select(group_col, F.posexplode("__qi").alias("pos", "qv"))
+    cent = ex.groupBy(group_col, "pos").agg(F.sum("qv").alias("cs"))
+    cent_arr = cent.groupBy(group_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cs"))),
+            lambda s: s["cs"],
+        ).alias("__cs")
+    )
+    DEC0 = F.lit(0).cast("decimal(38,0)")
+
+    def fold_sq(arr: Column) -> Column:
+        return F.aggregate(
+            arr, DEC0,
+            lambda acc, x: acc + x.cast("decimal(18,0)") * x.cast("decimal(18,0)"),
+        )
+
+    dot_ = F.aggregate(
+        F.zip_with(
+            F.col("__qi"), F.col("__cs"),
+            lambda a, b: a.cast("decimal(18,0)") * b.cast("decimal(18,0)"),
+        ),
+        DEC0,
+        lambda acc, x: acc + x,
+    )
+    cos = dot_.cast("double") / (
+        F.sqrt(fold_sq(F.col("__qi")).cast("double"))
+        * F.sqrt(fold_sq(F.col("__cs")).cast("double"))
+    )
+    return (
+        base.join(F.broadcast(cent_arr), on=group_col)
+        .withColumn("cos_micro", F.floor(cos * 1_000_000).cast("long"))
+        .drop("__qi", "__cs")
+    )
+
+
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.

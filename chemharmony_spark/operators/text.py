@@ -139,6 +139,124 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def chunk_tokens(df: DataFrame, text_col: str = "text",
+                 chunk_size: int = 50,
+                 keep_cols: tuple[str, ...] = ("doc_id",)) -> DataFrame:
+    """Split each document's token stream into fixed-budget chunks — the
+    fan-out step of a context-window packing pipeline (one row per chunk:
+    ``chunk_idx``, ``n_chunk_tokens``, ``chunk_hash``).
+
+    Per-row array arithmetic + one ``posexplode`` — no shuffle at all; the
+    1->n fan-out happens inside the scan stage, so at 100 TB this runs at
+    read speed and downstream stages see chunk-sized rows. Documents with
+    zero tokens produce zero chunks (inner explode).
+    """
+    toks = F.col("__ck_toks")
+    n = F.size(toks)
+    n_chunks = F.floor((n - 1) / chunk_size) + 1
+    chunks = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.slice(toks, i * chunk_size + 1, chunk_size),
+        ),
+    ).otherwise(F.array().cast("array<array<string>>"))
+    return (
+        df.withColumn("__ck_toks", tokens(text_col))
+        .select(*keep_cols, F.posexplode(chunks).alias("chunk_idx", "__ck_c"))
+        .select(
+            *keep_cols,
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.size("__ck_c").alias("n_chunk_tokens"),
+            F.md5(F.array_join("__ck_c", " ")).alias("chunk_hash"),
+        )
+    )
+
+
+# small English stopword set for the C4-ish stopword-ratio quality signal
+EN_STOPWORDS: tuple[str, ...] = (
+    "a", "an", "and", "in", "is", "of", "the", "to",
+)
+
+
+def stopword_ratio(col: Column | str,
+                   stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    """Fraction of tokens that are common-English stopwords. C4's quality
+    heuristic in reverse: natural prose has a healthy stopword ratio, while
+    keyword-stuffed / boilerplate text sits near zero. Pure expressions: the
+    stopword set compiles into the plan as an array literal."""
+    toks = tokens(col)
+    sw = F.array(*[F.lit(w) for w in sorted(stopwords)])
+    hits = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+    return F.when(F.size(toks) > 0, hits / F.size(toks))
+
+
+def repetition_features(df: DataFrame, text_col: str = "text",
+                        n: int = 2) -> DataFrame:
+    """Gopher-style repetition metrics over token ``n``-grams (Rae et al.
+    2021, "Scaling Language Models", Table A1 — public paper): documents
+    dominated by a few repeated n-grams are boilerplate/spam and get
+    filtered before training.
+
+    Adds: ``n_tokens``, ``n_ngrams``, ``n_distinct_ngrams``,
+    ``top_ngram_count`` (occurrences of the modal n-gram),
+    ``top_ngram_frac`` (= top_ngram_count / n_ngrams),
+    ``dup_ngram_frac`` (fraction of n-gram slots that are repeats),
+    ``unique_token_ratio``.
+
+    Scale design: everything is per-row array arithmetic — zero shuffles,
+    runs at scan speed inside WholeStageCodegen. The modal-n-gram count is a
+    single ``aggregate`` fold over the *sorted* gram array (longest equal
+    run), not an explode + groupBy: no (doc_id, gram) shuffle, no skew from
+    pathological documents. Each intermediate array is materialized as a
+    column before a lambda references it (no CSE across lambda scopes).
+    """
+    toks = F.col("__rep_toks")
+    n_tok = F.size(toks)
+    grams = F.when(
+        n_tok >= n,
+        F.transform(
+            F.sequence(F.lit(1), n_tok - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sg = F.col("__rep_sorted")
+    acc0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def _merge(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    top_count = F.aggregate(sg, acc0, _merge, lambda acc: acc["best"])
+    n_grams = F.size(sg)
+    return (
+        df.withColumn("__rep_toks", tokens(text_col))
+        .withColumn("__rep_sorted", F.array_sort(grams))
+        .withColumn("n_tokens", n_tok)
+        .withColumn("n_ngrams", n_grams)
+        .withColumn("n_distinct_ngrams", F.size(F.array_distinct(sg)))
+        .withColumn("top_ngram_count", top_count)
+        .withColumn(
+            "top_ngram_frac",
+            F.when(n_grams > 0, top_count / n_grams),
+        )
+        .withColumn(
+            "dup_ngram_frac",
+            F.when(n_grams > 0, (n_grams - F.col("n_distinct_ngrams")) / n_grams),
+        )
+        .withColumn(
+            "unique_token_ratio",
+            F.when(n_tok > 0, F.size(F.array_distinct(toks)) / n_tok),
+        )
+        .drop("__rep_toks", "__rep_sorted")
+    )
+
+
 def langid_scores(df: DataFrame, text_col: str = "text",
                   markers: dict[str, tuple[str, ...]] | None = None) -> DataFrame:
     """Stopword-marker language ID: for each candidate language, count how

@@ -741,6 +741,115 @@ def q50_asof_join(spark, sf):
     )
 
 
+def q52_repetition_filters(spark, sf):
+    """Gopher-style repetition quality metrics (Rae et al. 2021 Table A1):
+    modal-bigram fraction, duplicate-bigram fraction, unique-token ratio,
+    stopword ratio — the filters that strip boilerplate/spam before
+    training. Shuffle-free: the modal-bigram count is a sorted-array
+    longest-run fold per row, not an explode+groupBy."""
+    docs = _t(spark, sf, "documents")
+    rep = TX.repetition_features(docs, "text", n=2)
+    return rep.select(
+        "doc_id", "n_tokens", "n_ngrams", "n_distinct_ngrams",
+        "top_ngram_count", "top_ngram_frac", "dup_ngram_frac",
+        "unique_token_ratio",
+        TX.stopword_ratio("text").alias("stopword_ratio"),
+    )
+
+
+def q53_grouped_topk(spark, sf):
+    """Per-group top-k (two-phase): the 3 highest-value orders per customer
+    nation. Nation cardinality is tiny (25), so the naive per-group window
+    would funnel all orders through 25 tasks — grouped_topk(two_phase=True)
+    pre-filters within (group, input-partition) first (see core.py)."""
+    from chemharmony_spark.operators.core import grouped_topk
+
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    nat = _t(spark, sf, "nation").select("n_nationkey", "n_name")
+    orders = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    with_nation = orders.join(
+        F.broadcast(cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)),
+        orders.o_custkey == F.col("c_custkey"),
+    )
+    top = grouped_topk(
+        with_nation,
+        ["n_name"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        k=3,
+        two_phase=True,
+    )
+    return top.select("n_name", "o_orderkey", "o_totalprice", "rank")
+
+
+def q54_rollup(spark, sf):
+    """OLAP grouping sets: ROLLUP over (returnflag, linestatus) with
+    subtotal + grand-total rows disambiguated by grouping_id. Decimal-exact
+    sums; one hash-agg shuffle covers all grouping sets (Spark expands
+    rollup into a single Expand + aggregate, not one pass per set)."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_d("l_quantity")).cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+
+
+def q55_doc_chunking(spark, sf):
+    """Context-window chunking: split every document into 50-token chunks
+    (1->n fan-out inside the scan stage — zero shuffles). The pre-tokenize
+    step of a sequence-packing pipeline; chunk identity is an md5 of the
+    chunk's tokens so the output stays narrow."""
+    docs = _t(spark, sf, "documents")
+    return TX.chunk_tokens(docs, "text", chunk_size=50,
+                           keep_cols=("doc_id", "source"))
+
+
+def q56_sequence_packing(spark, sf):
+    """Greedy sequence packing: order documents by a deterministic md5
+    shuffle key, running-total their token counts, and cut bins every 1000
+    tokens (bin = starting-offset div budget). The cumulative sum uses
+    core.global_cumsum with an explicit hex-prefix bucket (md5 keys are
+    uniform AND prefix-monotone), so the whole prefix sum costs one
+    full-data shuffle — never a single-task global window."""
+    from chemharmony_spark.operators.core import global_cumsum
+
+    BUDGET = 1000
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    cum = global_cumsum(
+        docs, "h", "n_tokens", out_col="cum",
+        bucket=F.conv(F.substring("h", 1, 2), 16, 10).cast("int"),
+    )
+    binned = cum.withColumn(
+        "bin", F.floor((F.col("cum") - F.col("n_tokens")) / BUDGET)
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+def q57_centroid_outliers(spark, sf):
+    """Embedding-centroid outlier scoring: cosine of each vector to its
+    label centroid, integer-exact accumulation end to end (see
+    similarity.group_centroid_cosine); outlier flag at cos < 0.1."""
+    emb = _t(spark, sf, "embeddings")
+    scored = SIM.group_centroid_cosine(
+        emb, group_col="label", id_col="vec_id", vec_col="embedding"
+    )
+    return scored.select(
+        "vec_id", "label", "cos_micro",
+        (F.col("cos_micro") < 100_000).alias("is_outlier"),
+    )
+
+
 def q51_range_join(spark, sf):
     """Binned interval-containment join (temporal.range_join): events falling
     inside the 1-hour window opened by each purchase of the same user.

@@ -1,0 +1,159 @@
+"""Tests for the training-data curation additions: repetition metrics,
+per-group top-k, scalable prefix sums, token chunking, centroid cosine."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from chemharmony_spark.operators.core import global_cumsum, grouped_topk
+from chemharmony_spark.operators.similarity import group_centroid_cosine
+from chemharmony_spark.operators.text import (
+    EN_STOPWORDS,
+    chunk_tokens,
+    repetition_features,
+    stopword_ratio,
+)
+
+DOCS = [
+    (0, "the cat sat on the mat the cat sat again"),
+    (1, "spam spam spam spam spam spam"),
+    (2, "one two three four five six seven"),
+    (3, ""),           # zero tokens
+    (4, "word"),       # one token -> zero bigrams
+    (5, "a b a b a b a b"),
+]
+
+
+def _brute_rep(text: str, n: int = 2):
+    toks = [t for t in text.lower().split() if t]
+    grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+    c = Counter(grams)
+    top = max(c.values()) if c else 0
+    return {
+        "n_tokens": len(toks),
+        "n_ngrams": len(grams),
+        "n_distinct_ngrams": len(set(grams)),
+        "top_ngram_count": top,
+        "top_ngram_frac": top / len(grams) if grams else None,
+        "dup_ngram_frac": (len(grams) - len(set(grams))) / len(grams)
+        if grams else None,
+        "unique_token_ratio": len(set(toks)) / len(toks) if toks else None,
+    }
+
+
+def test_repetition_features_match_bruteforce(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in repetition_features(df).collect()}
+    for doc_id, text in DOCS:
+        want = _brute_rep(text)
+        for k, v in want.items():
+            g = got[doc_id][k]
+            if v is None:
+                assert g is None, (doc_id, k, g)
+            elif isinstance(v, float):
+                assert g is not None and abs(g - v) < 1e-12, (doc_id, k, g, v)
+            else:
+                assert g == v, (doc_id, k, g, v)
+
+
+def test_stopword_ratio(spark):
+    df = spark.createDataFrame(
+        [(0, "the cat is in the hat"), (1, "zebra xylophone quark"), (2, "")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["r"] for r in df.select(
+        "doc_id", stopword_ratio("text").alias("r")).collect()}
+    assert abs(rows[0] - 4 / 6) < 1e-12  # the, is, in, the
+    assert rows[1] == 0.0
+    assert rows[2] is None
+    assert "the" in EN_STOPWORDS
+
+
+def test_grouped_topk_two_phase_matches_one_phase(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        (F.col("o_custkey") % 5).alias("grp"),
+    ).repartition(7)  # several input partitions so phase 1 actually salts
+    order = [F.col("o_totalprice").desc(), F.col("o_orderkey")]
+    one = grouped_topk(orders, ["grp"], order, k=4, two_phase=False)
+    two = grouped_topk(orders, ["grp"], order, k=4, two_phase=True)
+    key = ["grp", "rank", "o_orderkey"]
+    assert sorted(map(tuple, one.select(key).collect())) == \
+        sorted(map(tuple, two.select(key).collect()))
+    # exactly k rows per group, ranks 1..k
+    per = {r["grp"]: r["n"] for r in
+           two.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert all(n == 4 for n in per.values())
+
+
+def test_global_cumsum_matches_single_window(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(f"k{i:04d}", rng.randint(0, 100)) for i in range(500)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "k string, v int").repartition(9)
+    got = global_cumsum(df, "k", "v", out_col="cum", num_partitions=6)
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = df.withColumn("cum", F.sum("v").over(w))
+    assert sorted(map(tuple, got.select("k", "cum").collect())) == \
+        sorted(map(tuple, want.select("k", "cum").collect()))
+
+
+def test_global_cumsum_bucketed_matches_single_window(spark):
+    df = (
+        spark.range(400)
+        .select(
+            F.md5(F.col("id").cast("string")).alias("k"),
+            (F.col("id") % 13).cast("int").alias("v"),
+        )
+        .repartition(5)
+    )
+    bucket = F.conv(F.substring("k", 1, 1), 16, 10).cast("int")
+    got = global_cumsum(df, "k", "v", out_col="cum", bucket=bucket)
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = df.withColumn("cum", F.sum("v").over(w))
+    assert sorted(map(tuple, got.select("k", "cum").collect())) == \
+        sorted(map(tuple, want.select("k", "cum").collect()))
+
+
+def test_chunk_tokens_shapes_and_edges(spark):
+    df = spark.createDataFrame(
+        [(0, " ".join(f"t{i}" for i in range(12))),  # 12 toks -> 3 chunks of 5,5,2
+         (1, "a b c"),                                # 1 chunk of 3
+         (2, ""),                                     # no chunks
+         (3, " ".join(f"t{i}" for i in range(10)))],  # exact multiple -> 2 chunks
+        "doc_id long, text string",
+    )
+    out = chunk_tokens(df, "text", chunk_size=5).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert [r["n_chunk_tokens"] for r in sorted(by_doc[0], key=lambda r: r["chunk_idx"])] == [5, 5, 2]
+    assert [r["n_chunk_tokens"] for r in by_doc[1]] == [3]
+    assert 2 not in by_doc
+    assert [r["n_chunk_tokens"] for r in sorted(by_doc[3], key=lambda r: r["chunk_idx"])] == [5, 5]
+    # chunk hashes are distinct across the token stream
+    assert len({r["chunk_hash"] for r in by_doc[0]}) == 3
+
+
+def test_group_centroid_cosine_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(40, 8)).astype("float32")
+    labels = [i % 4 for i in range(40)]
+    rows = [(i, labels[i], [float(x) for x in vecs[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    got = {r["vec_id"]: r["cos_micro"] for r in
+           group_centroid_cosine(df, "label", "vec_id", "embedding").collect()}
+    q = np.floor(vecs.astype("float64") * 1_000_000)
+    for i in range(40):
+        mates = q[[j for j in range(40) if labels[j] == labels[i]]]
+        c = mates.sum(axis=0)
+        cos = float(q[i] @ c / (math.sqrt(q[i] @ q[i]) * math.sqrt(c @ c)))
+        assert abs(got[i] - math.floor(cos * 1_000_000)) <= 1, (i, got[i], cos)

@@ -70,6 +70,18 @@ SHUFFLE_BUDGET = {
     "q45_simhash_hamming": 2, "q46_embedding_near_dups": 0,
     "q47_ann_ivf": 3, "q48_winnowing_fingerprints": 0,
     "q49_corpus_curation": 2, "q50_asof_join": 1, "q51_range_join": 1,
+    # q52/q55: pure per-row array arithmetic — zero shuffles
+    "q52_repetition_filters": 0, "q55_doc_chunking": 0,
+    # q53: two-phase top-k = salted pre-window + exact final window
+    "q53_grouped_topk": 2,
+    # q54: one Expand+agg pass covers all rollup grouping sets
+    "q54_rollup": 1,
+    # q56: ONE full-data shuffle (per-bucket window); +3 tiny offset-table
+    # exchanges (map-side-combined bucket totals, 256-row window, final agg)
+    "q56_sequence_packing": 4,
+    # q57: (group,dim) partial-agg shuffle + centroid-array agg; corpus
+    # itself never shuffles (broadcast join back)
+    "q57_centroid_outliers": 2,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
