@@ -134,6 +134,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_doc_chunking": Q.q55_doc_chunking,
         "q56_sequence_packing": Q.q56_sequence_packing,
         "q57_centroid_outliers": Q.q57_centroid_outliers,
+        "q58_grouped_percentiles": Q.q58_grouped_percentiles,
+        "q59_funnel": Q.q59_funnel,
+        "q60_cohort_retention": Q.q60_cohort_retention,
+        "q61_pii_redaction": Q.q61_pii_redaction,
     }
 
 
@@ -870,5 +874,74 @@ def oracle_sql() -> dict[str, str]:
                        / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE)))
                        * 1000000) AS BIGINT) AS cos_micro
               FROM scored)
+        """,
+        "q58_grouped_percentiles": """
+            WITH ranked AS (
+              SELECT event_type, value,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                                        ORDER BY value) AS rn,
+                     COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM events)
+            SELECT event_type,
+                   MAX(CASE WHEN rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+                            THEN value END) AS p50,
+                   MAX(CASE WHEN rn = greatest(1, CAST(ceil(0.9 * n) AS BIGINT))
+                            THEN value END) AS p90,
+                   MAX(CASE WHEN rn = greatest(1, CAST(ceil(0.99 * n) AS BIGINT))
+                            THEN value END) AS p99
+            FROM ranked GROUP BY event_type
+        """,
+        "q59_funnel": """
+            WITH t1 AS (
+              SELECT user_id, MIN(epoch_us(ts)) AS t_view
+              FROM events WHERE event_type = 'view' GROUP BY user_id),
+            t2 AS (
+              SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_click
+              FROM events e JOIN t1 ON e.user_id = t1.user_id
+              WHERE e.event_type = 'click' AND epoch_us(e.ts) >= t1.t_view
+              GROUP BY e.user_id),
+            t3 AS (
+              SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_purchase
+              FROM events e JOIN t2 ON e.user_id = t2.user_id
+              WHERE e.event_type = 'purchase'
+                AND epoch_us(e.ts) >= t2.t_click
+              GROUP BY e.user_id)
+            SELECT (SELECT COUNT(*) FROM t1) AS n_view,
+                   (SELECT COUNT(*) FROM t2) AS n_click_after_view,
+                   (SELECT COUNT(*) FROM t3) AS n_purchase_after_click
+        """,
+        "q60_cohort_retention": """
+            WITH cohorts AS (
+              SELECT user_id,
+                     CAST(floor(MIN(epoch_us(ts)) / 604800000000.0) AS BIGINT)
+                       AS cohort_week
+              FROM events WHERE event_type = 'signup' GROUP BY user_id),
+            active AS (
+              SELECT user_id,
+                     CAST(floor(epoch_us(ts) / 604800000000.0) AS BIGINT)
+                       AS week
+              FROM events)
+            SELECT cohort_week, week - cohort_week AS week_offset,
+                   COUNT(DISTINCT a.user_id) AS n_users
+            FROM active a JOIN cohorts c ON a.user_id = c.user_id
+            WHERE week >= cohort_week
+            GROUP BY 1, 2
+        """,
+        "q61_pii_redaction": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                     '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}'))
+                     AS INTEGER) AS n_email,
+                   CAST(len(regexp_extract_all(text, 'https?://[^\\s]+'))
+                     AS INTEGER) AS n_url,
+                   CAST(len(regexp_extract_all(text,
+                     '\\+?[0-9][0-9()\\- ]{7,}[0-9]')) AS INTEGER) AS n_phone,
+                   md5(regexp_replace(regexp_replace(regexp_replace(text,
+                     '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}',
+                     '<EMAIL>', 'g'),
+                     'https?://[^\\s]+', '<URL>', 'g'),
+                     '\\+?[0-9][0-9()\\- ]{7,}[0-9]', '<PHONE>', 'g'))
+                     AS redacted_hash
+            FROM documents
         """,
     }

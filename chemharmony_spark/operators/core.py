@@ -238,6 +238,41 @@ def stratified_sample_exact(
     )
 
 
+def grouped_percentiles_disc(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    quantiles: Sequence[float],
+) -> DataFrame:
+    """Exact *discrete* per-group percentiles: the value at sorted position
+    ``ceil(q * n)`` (lower quantile-disc convention). Discrete on purpose —
+    no float interpolation, so results are bit-identical across engines
+    (continuous interpolation formulas differ by ulps between
+    implementations).
+
+    One window shuffle; the follow-up groupBy is on the same keys, so
+    Catalyst reuses the partitioning (no second exchange). Output columns:
+    ``p50``-style names. Low-cardinality key caveat: the window funnels each
+    group through one task — at 100 TB use approx_percentile or a
+    distributed selection algorithm instead (documented trade-off; this
+    operator is the exact-answer path).
+    """
+    w = Window.partitionBy(*keys).orderBy(value_col)
+    ranked = df.withColumn("__pq_rn", F.row_number().over(w)).withColumn(
+        "__pq_n", F.count(F.lit(1)).over(Window.partitionBy(*keys))
+    )
+    aggs = []
+    for q in quantiles:
+        target = F.greatest(F.lit(1), F.ceil(F.lit(q) * F.col("__pq_n")))
+        name = f"p{int(round(q * 100)):02d}"
+        aggs.append(
+            F.max(
+                F.when(F.col("__pq_rn") == target, F.col(value_col))
+            ).alias(name)
+        )
+    return ranked.groupBy(*keys).agg(*aggs)
+
+
 def grouped_topk(
     df: DataFrame,
     group_cols: Sequence[str],

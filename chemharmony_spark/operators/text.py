@@ -10,6 +10,8 @@ operator is DuckDB-oracle-checkable.
 
 from __future__ import annotations
 
+from collections.abc import Mapping
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -137,6 +139,34 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         )
     )
+
+
+# PII patterns kept deliberately engine-portable (no lookarounds/backrefs —
+# runs identically under Java regex and RE2-family engines)
+PII_PATTERNS: dict[str, str] = {
+    "email": "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}",
+    "url": "https?://[^\\s]+",
+    "phone": "\\+?[0-9][0-9()\\- ]{7,}[0-9]",
+}
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               out_col: str = "redacted",
+               patterns: Mapping[str, str] | None = None) -> DataFrame:
+    """Scrub PII-shaped spans (emails, URLs, phone numbers) before training,
+    and count what was removed per category (``n_<name>`` columns).
+
+    Pure ``regexp_replace``/``regexp_count`` chains — JVM-side, zero
+    shuffles, runs at scan speed; counts let the pipeline alert on documents
+    that are mostly PII rather than silently shipping holes.
+    """
+    patterns = dict(patterns or PII_PATTERNS)
+    out = df
+    red: Column = F.col(text_col)
+    for name, pat in patterns.items():
+        out = out.withColumn(f"n_{name}", F.regexp_count(text_col, F.lit(pat)))
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    return out.withColumn(out_col, red)
 
 
 def chunk_tokens(df: DataFrame, text_col: str = "text",

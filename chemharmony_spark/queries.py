@@ -850,6 +850,88 @@ def q57_centroid_outliers(spark, sf):
     )
 
 
+def q58_grouped_percentiles(spark, sf):
+    """Exact discrete p50/p90/p99 of event value per event type
+    (core.grouped_percentiles_disc). Discrete selection — value at sorted
+    position ceil(q*n) — so no float interpolation crosses engines. The
+    groupBy after the window reuses the window's partitioning (one
+    exchange total)."""
+    from chemharmony_spark.operators.core import grouped_percentiles_disc
+
+    ev = _events(spark, sf).select("event_type", "value")
+    return grouped_percentiles_disc(ev, ["event_type"], "value",
+                                    [0.5, 0.9, 0.99])
+
+
+def q59_funnel(spark, sf):
+    """Ordered conversion funnel over the events stream: first view ->
+    first click at-or-after it -> first purchase at-or-after that. Three
+    conditional min-aggregations, all keyed on user_id, so the first
+    shuffle's partitioning carries through the follow-up joins (AQE/SMJ
+    co-partitioned). Single-row output of stage survivor counts."""
+    ev = _events(spark, sf).select(
+        "user_id", "event_type", F.expr("ts div 1000").alias("us")
+    )
+    t1 = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("us").alias("t_view")
+    )
+    t2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(t1, on="user_id")
+        .where(F.col("us") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_click"), F.first("t_view").alias("t_view"))
+    )
+    t3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(t2, on="user_id")
+        .where(F.col("us") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_purchase"))
+    )
+    return (
+        t1.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(t2.agg(F.count(F.lit(1)).alias("n_click_after_view")))
+        .crossJoin(t3.agg(F.count(F.lit(1)).alias("n_purchase_after_click")))
+    )
+
+
+def q60_cohort_retention(spark, sf):
+    """Cohort retention triangle: users grouped by signup week; for each
+    (cohort week, week offset) the distinct users active that week.
+    Integer week arithmetic on the microsecond timestamps — deterministic
+    and portable. Two shuffles: the signup agg and the final
+    (cohort, offset) distinct-count."""
+    WEEK = 604_800_000_000  # us
+    ev = _events(spark, sf).select(
+        "user_id", "event_type", F.expr("ts div 1000").alias("us")
+    )
+    cohorts = ev.where(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.floor(F.min("us") / WEEK).alias("cohort_week")
+    )
+    active = ev.select("user_id", F.floor(F.col("us") / WEEK).alias("week"))
+    return (
+        active.join(cohorts, on="user_id")
+        .where(F.col("week") >= F.col("cohort_week"))
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+def q61_pii_redaction(spark, sf):
+    """PII scrubbing pass (emails/URLs/phones -> typed placeholders) with
+    per-category removal counts — zero shuffles, pure regexp chains at scan
+    speed. Counts are 0 on the synthetic corpus (no PII by construction);
+    the operator's semantics are exercised on adversarial strings in
+    tests/test_curation.py."""
+    docs = _t(spark, sf, "documents")
+    red = TX.redact_pii(docs, "text")
+    return red.select(
+        "doc_id", "n_email", "n_url", "n_phone",
+        F.md5("redacted").alias("redacted_hash"),
+    )
+
+
 def q51_range_join(spark, sf):
     """Binned interval-containment join (temporal.range_join): events falling
     inside the 1-hour window opened by each purchase of the same user.

@@ -141,6 +141,80 @@ def test_chunk_tokens_shapes_and_edges(spark):
     assert len({r["chunk_hash"] for r in by_doc[0]}) == 3
 
 
+def test_grouped_percentiles_disc_match_sorted_selection(spark):
+    import random
+
+    from chemharmony_spark.operators.core import grouped_percentiles_disc
+
+    rng = random.Random(11)
+    rows = [(f"g{i % 3}", rng.uniform(0, 100)) for i in range(301)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r["g"]: r for r in
+           grouped_percentiles_disc(df, ["g"], "v", [0.5, 0.9, 0.99]).collect()}
+    by_g: dict[str, list[float]] = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, vs in by_g.items():
+        vs.sort()
+        for q, name in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            want = vs[max(1, math.ceil(q * len(vs))) - 1]
+            assert got[g][name] == want, (g, name)
+
+
+def test_redact_pii_semantics(spark):
+    from chemharmony_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail me at jo.doe+x@ex-ample.org or visit https://a.io/x?q=1"),
+            (1, "call +1 (555) 123-4567 today"),
+            (2, "clean text with no pii at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in redact_pii(df, "text").collect()}
+    assert rows[0]["n_email"] == 1 and rows[0]["n_url"] == 1
+    assert rows[0]["redacted"] == "mail me at <EMAIL> or visit <URL>"
+    assert rows[1]["n_phone"] == 1 and "<PHONE>" in rows[1]["redacted"]
+    assert rows[2]["redacted"] == rows[2]["text"]
+    assert rows[2]["n_email"] == rows[2]["n_url"] == rows[2]["n_phone"] == 0
+
+
+def test_funnel_and_retention_on_synthetic_events(spark, sf_dir, tmp_path):
+    # hand-built event log with known funnel truth:
+    # u1 completes view->click->purchase in order; u2 clicks BEFORE their
+    # first view (must not count); u3 views only.
+    rows = [
+        (1, 1_000, "signup"), (1, 2_000, "view"), (1, 3_000, "click"),
+        (1, 4_000, "purchase"),
+        (2, 1_000, "click"), (2, 2_000, "view"),
+        (3, 1_000, "view"),
+    ]
+    import pandas as pd
+
+    p = str(tmp_path / "events.parquet")
+    pd.DataFrame(
+        [(uid, pd.Timestamp(us, unit="us"), t) for uid, us, t in rows],
+        columns=["user_id", "ts", "event_type"],
+    ).assign(event_id=range(len(rows)), value=1.0, props="{}").to_parquet(p)
+
+    # the session reads TIMESTAMP(NANOS) parquet as long nanos
+    # (nanosAsLong) — same integer `div` arithmetic as the real queries
+    ev = spark.read.parquet(p).withColumn(
+        "us", F.expr("ts div 1000")
+    ).select("user_id", "event_type", "us")
+    t1 = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("us").alias("t_view"))
+    t2 = (ev.where(F.col("event_type") == "click").join(t1, "user_id")
+          .where(F.col("us") >= F.col("t_view")).groupBy("user_id")
+          .agg(F.min("us").alias("t_click")))
+    t3 = (ev.where(F.col("event_type") == "purchase").join(t2, "user_id")
+          .where(F.col("us") >= F.col("t_click")).groupBy("user_id")
+          .agg(F.min("us").alias("t_purchase")))
+    assert t1.count() == 3 and t2.count() == 1 and t3.count() == 1
+    assert t3.collect()[0]["user_id"] == 1
+
+
 def test_group_centroid_cosine_matches_numpy(spark):
     import numpy as np
 

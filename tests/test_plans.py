@@ -82,6 +82,14 @@ SHUFFLE_BUDGET = {
     # q57: (group,dim) partial-agg shuffle + centroid-array agg; corpus
     # itself never shuffles (broadcast join back)
     "q57_centroid_outliers": 2,
+    # q58: the groupBy reuses the window's event_type partitioning
+    "q58_grouped_percentiles": 1,
+    # q59: 3 per-stage user_id aggs + 3 one-row final counts (+2 AQE-local)
+    "q59_funnel": 8,
+    # q60: cohort agg + join + distinct-count expand
+    "q60_cohort_retention": 3,
+    # q61: pure regexp chains at scan speed
+    "q61_pii_redaction": 0,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -89,7 +97,10 @@ SHUFFLE_BUDGET = {
 # broadcast property dim; q38/q46 = exact-scoring baselines whose documented
 # scale path is q40/q47; q47 = 16-row centroid codebook cross join.
 BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
-                "q46_embedding_near_dups", "q47_ann_ivf"}
+                "q46_embedding_near_dups", "q47_ann_ivf",
+                # q59: the BNLJ is the final 1-row x 1-row x 1-row
+                # stage-count crossJoin — constant-sized by construction
+                "q59_funnel"}
 
 
 def test_every_query_plan_within_scale_budget(spark):
