@@ -28,6 +28,10 @@ HEADLINE = [
     "q45_simhash_hamming",
     "q50_asof_join",
     "q51_range_join",
+    "q52_repetition_filters",
+    "q56_sequence_packing",
+    "q57_centroid_outliers",
+    "q58_grouped_percentiles",
 ]
 
 

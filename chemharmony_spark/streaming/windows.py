@@ -91,6 +91,36 @@ def stream_session_counts(
     )
 
 
+def stream_dedup(
+    spark: SparkSession,
+    events_dir: str,
+    keys: list[str] | None = None,
+    watermark: str = "1 hour",
+    within_watermark: bool = True,
+) -> DataFrame:
+    """Streaming exact deduplication on ``keys``.
+
+    ``within_watermark=True`` uses ``dropDuplicatesWithinWatermark`` — the
+    bounded-state form: a duplicate arriving within the watermark interval
+    of its first sighting is dropped, and state for keys older than the
+    watermark is evicted. That is the ONLY sane form at 100 TB/day: plain
+    ``dropDuplicates`` on a stream keeps every key ever seen in the state
+    store. The batch twin (exact parity on a bounded replay where all dups
+    arrive inside one interval) is a plain ``dropDuplicates``.
+    """
+    keys = keys or ["event_id"]
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(events_dir)
+    )
+    src = src.withColumn("ts_ts", F.timestamp_micros(F.expr("ts div 1000")))
+    src = src.withWatermark("ts_ts", watermark)
+    if within_watermark:
+        return src.dropDuplicatesWithinWatermark(keys)
+    return src.dropDuplicates(keys)
+
+
 def run_stream_to_memory(agg: DataFrame, name: str, mode: str = "complete") -> DataFrame:
     """Drain a bounded stream into an in-memory table (availableNow trigger)
     and return the result as a batch DataFrame."""

