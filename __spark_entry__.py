@@ -138,6 +138,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_funnel": Q.q59_funnel,
         "q60_cohort_retention": Q.q60_cohort_retention,
         "q61_pii_redaction": Q.q61_pii_redaction,
+        "q62_containment_dedup": Q.q62_containment_dedup,
+        "q63_heavy_hitters": Q.q63_heavy_hitters,
     }
 
 
@@ -943,5 +945,47 @@ def oracle_sql() -> dict[str, str]:
                      '\\+?[0-9][0-9()\\- ]{7,}[0-9]', '<PHONE>', 'g'))
                      AS redacted_hash
             FROM documents
+        """,
+        "q62_containment_dedup": f"""
+            WITH g AS (
+              SELECT doc_id, source, norm, length(norm) AS L
+              FROM (SELECT doc_id, source, {_NORM} AS norm FROM documents)),
+            h AS (
+              SELECT doc_id, source,
+                     list_transform(range(1, L - 5 + 2),
+                       i -> {_hex4("md5(substr(norm, i, 5))", 1)}) AS hashes
+              FROM g),
+            m AS (
+              SELECT doc_id, source,
+                     list_sort(list_distinct(
+                       list_transform(range(1, len(hashes) - 4 + 2),
+                         j -> list_aggregate(hashes[j:j+3], 'min')))) AS fps
+              FROM h),
+            ex AS (SELECT doc_id, source, unnest(fps) AS f FROM m),
+            shared AS (
+              SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_shared
+              FROM ex a JOIN ex b
+                ON a.f = b.f AND a.source = b.source AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            sizes AS (SELECT doc_id, CAST(len(fps) AS INTEGER) AS nf FROM m)
+            SELECT da, db, n_shared, sa.nf AS nf_a, sb.nf AS nf_b,
+                   greatest(n_shared / sa.nf, n_shared / sb.nf) AS containment
+            FROM shared
+            JOIN sizes sa ON sa.doc_id = da
+            JOIN sizes sb ON sb.doc_id = db
+            WHERE greatest(n_shared / sa.nf, n_shared / sb.nf) >= 0.6
+        """,
+        "q63_heavy_hitters": f"""
+            WITH toks AS (
+              SELECT source, unnest({_TOKS}) AS token FROM documents),
+            counts AS (
+              SELECT source, token, COUNT(*) AS n
+              FROM toks GROUP BY source, token)
+            SELECT source, token, n,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                           ORDER BY n DESC, token)
+                        AS INTEGER) AS rank
+            FROM counts
+            QUALIFY rank <= 10
         """,
     }

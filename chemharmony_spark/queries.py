@@ -932,6 +932,66 @@ def q61_pii_redaction(spark, sf):
     )
 
 
+def q62_containment_dedup(spark, sf):
+    """Substring-level (containment) near-dup detection: two documents that
+    share a high fraction of winnowing fingerprints overlap in long
+    substrings even when whole-document hashes differ (MOSS-style).
+    containment(A in B) = |fp(A) ∩ fp(B)| / |fp(A)|.
+
+    Candidates are restricted within source (the cross-source variant would
+    use the LSH bucket-cap idiom of q35/q36 to bound hot fingerprints).
+    Pairs flow from one exploded self-join on fingerprint + one count agg —
+    fingerprints are distinct per doc, so count(*) IS the intersection."""
+    docs = _t(spark, sf, "documents").select("doc_id", "source", "text")
+    fp = TX.winnowing_fingerprints(docs, "text", k=5, w=4).select(
+        "doc_id", "source", "fps"
+    ).persist()
+    ex = fp.select("doc_id", "source", F.explode("fps").alias("f"))
+    a, b = ex.alias("a"), ex.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.f") == F.col("b.f"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sizes = fp.select("doc_id", F.size("fps").alias("nf"))
+    out = (
+        shared.join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("nf", "nf_a"), on="da")
+        .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("nf", "nf_b"), on="db")
+        .withColumn("containment", F.greatest(
+            F.col("n_shared") / F.col("nf_a"), F.col("n_shared") / F.col("nf_b")
+        ))
+        .where(F.col("containment") >= 0.6)
+    )
+    return out.select("da", "db", "n_shared", "nf_a", "nf_b", "containment")
+
+
+def q63_heavy_hitters(spark, sf):
+    """Per-source top-10 most frequent tokens (vocabulary heavy hitters —
+    the exact form; the sketch form at 100 TB is count-min/Misra-Gries over
+    the same explode). Classic wordcount with map-side combine, then a
+    per-source window over the aggregated (source, token) counts — the
+    window input is vocabulary-sized, not corpus-sized."""
+    from chemharmony_spark.operators.core import grouped_topk
+
+    docs = _t(spark, sf, "documents").select(
+        "source", F.explode(TX.tokens("text")).alias("token")
+    )
+    counts = docs.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    top = grouped_topk(
+        counts, ["source"], [F.col("n").desc(), F.col("token")], k=10
+    )
+    return top.select("source", "token", "n", "rank")
+
+
 def q51_range_join(spark, sf):
     """Binned interval-containment join (temporal.range_join): events falling
     inside the 1-hour window opened by each purchase of the same user.

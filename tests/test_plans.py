@@ -90,6 +90,11 @@ SHUFFLE_BUDGET = {
     "q60_cohort_retention": 3,
     # q61: pure regexp chains at scan speed
     "q61_pii_redaction": 0,
+    # q62: persisted fingerprint frame -> one pair-count shuffle; size
+    # lookups join back via broadcast
+    "q62_containment_dedup": 1,
+    # q63: wordcount agg (map-side combine) + vocabulary-sized window
+    "q63_heavy_hitters": 2,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
