@@ -140,6 +140,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_pii_redaction": Q.q61_pii_redaction,
         "q62_containment_dedup": Q.q62_containment_dedup,
         "q63_heavy_hitters": Q.q63_heavy_hitters,
+        "q64_tfidf": Q.q64_tfidf,
     }
 
 
@@ -987,5 +988,19 @@ def oracle_sql() -> dict[str, str]:
                         AS INTEGER) AS rank
             FROM counts
             QUALIFY rank <= 10
+        """,
+        "q64_tfidf": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+            tf AS (
+              SELECT doc_id, token, COUNT(*) AS tf
+              FROM toks GROUP BY doc_id, token),
+            dfreq AS (
+              SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+            n AS (SELECT COUNT(*) AS n_docs FROM documents)
+            SELECT doc_id, token, tf, df,
+                   CAST(floor(tf * ln(CAST(n_docs AS DOUBLE) / df) * 1000000)
+                        AS BIGINT) AS tfidf_micro
+            FROM tf JOIN dfreq USING (token), n
         """,
     }

@@ -1,0 +1,66 @@
+"""Data-layout operators: Z-order (Morton) clustering for multi-dimension
+data skipping.
+
+A plain sort before write gives perfect parquet min/max pruning on ONE
+column and none on the others. Interleaving the bits of several columns
+(Morton order) and range-sorting by the interleaved key makes every file a
+compact hyper-rectangle in ALL clustered dimensions, so predicate pushdown
+on any of them skips most files. At 100 TB this is the difference between
+a full scan and touching a handful of files for a 2-predicate query.
+
+Pure Column bit arithmetic — no UDFs; the write is a normal
+``repartitionByRange + sortWithinPartitions`` so it composes with any sink.
+Effectiveness (per-file bounding boxes shrink on both dims vs a linear
+sort) is asserted from real parquet footers in tests/test_layout.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def zorder_key(cols: Sequence[Column | str], bits: int = 16) -> Column:
+    """Morton key: interleave the low ``bits`` bits of each column.
+
+    Inputs must be non-negative integers already scaled to [0, 2^bits) —
+    use ``scale_to_bits`` for doubles/skewed ints. With n columns the key
+    uses n*bits bits (keep n*bits <= 62)."""
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    n = len(cs)
+    assert n * bits <= 62, "interleaved key must fit a signed long"
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(cs):
+            bit = F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, b * n + i))
+    return key
+
+
+def scale_to_bits(col: Column | str, lo: float, hi: float,
+                  bits: int = 16) -> Column:
+    """Affine-scale a numeric column into [0, 2^bits) for zorder_key.
+    Bounds come from stats the caller already has (or a cheap agg)."""
+    c = F.col(col) if isinstance(col, str) else col
+    span = float(hi) - float(lo)
+    scaled = ((c.cast("double") - float(lo)) / span) * ((1 << bits) - 1)
+    return F.least(
+        F.lit((1 << bits) - 1),
+        F.greatest(F.lit(0), F.floor(scaled).cast("long")),
+    )
+
+
+def cluster_by_zorder(df: DataFrame, cols: Sequence[Column | str],
+                      num_files: int, bits: int = 16) -> DataFrame:
+    """Arrange ``df`` so each output partition (-> parquet file) is a
+    compact Z-order block: range-repartition on the Morton key, then sort
+    within partitions. Write the result with any writer."""
+    key = zorder_key(cols, bits)
+    return (
+        df.withColumn("__z", key)
+        .repartitionByRange(num_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )

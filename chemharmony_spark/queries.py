@@ -992,6 +992,29 @@ def q63_heavy_hitters(spark, sf):
     return top.select("source", "token", "n", "rank")
 
 
+def q64_tfidf(spark, sf):
+    """Per-(doc, token) TF-IDF weights: tf * ln(N / df). The doc-frequency
+    table is vocabulary-sized and broadcasts back onto the term-frequency
+    table, so the corpus-side rows shuffle once (the tf agg) and never
+    again. Scores ship as floor(1e6 * x) so a last-ulp ln() difference
+    between engines cannot flip a hash compare."""
+    docs = _t(spark, sf, "documents")
+    toks = docs.select("doc_id", F.explode(TX.tokens("text")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(F.broadcast(df_), on="token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id", "token", "tf", "df",
+            F.floor(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")) * 1_000_000
+            ).cast("long").alias("tfidf_micro"),
+        )
+    )
+
+
 def q51_range_join(spark, sf):
     """Binned interval-containment join (temporal.range_join): events falling
     inside the 1-hour window opened by each purchase of the same user.

@@ -95,6 +95,8 @@ SHUFFLE_BUDGET = {
     "q62_containment_dedup": 1,
     # q63: wordcount agg (map-side combine) + vocabulary-sized window
     "q63_heavy_hitters": 2,
+    # q64: tf agg (recomputed for the df branch) + df agg + 1-row N
+    "q64_tfidf": 4,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -105,7 +107,9 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 "q46_embedding_near_dups", "q47_ann_ivf",
                 # q59: the BNLJ is the final 1-row x 1-row x 1-row
                 # stage-count crossJoin — constant-sized by construction
-                "q59_funnel"}
+                "q59_funnel",
+                # q64: broadcast of the 1-row corpus-size scalar
+                "q64_tfidf"}
 
 
 def test_every_query_plan_within_scale_budget(spark):
