@@ -141,6 +141,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_containment_dedup": Q.q62_containment_dedup,
         "q63_heavy_hitters": Q.q63_heavy_hitters,
         "q64_tfidf": Q.q64_tfidf,
+        "q65_small_quantity_revenue": Q.q65_small_quantity_revenue,
+        "q66_exists_anti_pattern": Q.q66_exists_anti_pattern,
+        "q67_hash_sample": Q.q67_hash_sample,
+        "q68_bigram_lm_quality": Q.q68_bigram_lm_quality,
     }
 
 
@@ -1002,5 +1006,59 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(tf * ln(CAST(n_docs AS DOUBLE) / df) * 1000000)
                         AS BIGINT) AS tfidf_micro
             FROM tf JOIN dfreq USING (token), n
+        """,
+        "q65_small_quantity_revenue": """
+            SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                             AS DOUBLE) / 7.0 AS avg_yearly
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_brand = 'Brand#13'
+              AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                                FROM lineitem l2
+                                WHERE l2.l_partkey = p_partkey)
+        """,
+        "q66_exists_anti_pattern": """
+            SELECT c_custkey, c_name
+            FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey)
+              AND NOT EXISTS (SELECT 1 FROM orders o2
+                              WHERE o2.o_custkey = c.c_custkey
+                                AND o2.o_orderpriority = '1-URGENT')
+        """,
+        "q67_hash_sample": f"""
+            SELECT o_orderpriority, COUNT(*) AS n_sampled,
+                   MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+            FROM (
+              SELECT o_orderpriority, o_orderkey,
+                     {_hex4("md5(CAST(o_orderkey AS VARCHAR))", 1)} AS h
+              FROM orders)
+            WHERE h < 4096
+            GROUP BY o_orderpriority
+        """,
+        "q68_bigram_lm_quality": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            g AS (
+              SELECT doc_id,
+                     unnest(CASE WHEN len(toks) >= 2 THEN
+                       [{{'w1': toks[i], 'w2': toks[i+1]}}
+                        for i in generate_series(1, len(toks) - 1)]
+                     ELSE [] END) AS gg
+              FROM t),
+            pairs AS (SELECT doc_id, gg.w1 AS w1, gg.w2 AS w2 FROM g),
+            c12 AS (SELECT w1, w2, COUNT(*) AS c12
+                    FROM pairs GROUP BY w1, w2),
+            c1 AS (SELECT w1, COUNT(*) AS c1 FROM pairs GROUP BY w1),
+            terms AS (
+              SELECT doc_id,
+                     CAST(floor(ln(CAST(c12.c12 AS DOUBLE)
+                                   / CAST(c1.c1 AS DOUBLE)) * 1000000)
+                          AS BIGINT) AS term
+              FROM pairs JOIN c12 USING (w1, w2) JOIN c1 USING (w1))
+            SELECT doc_id, COUNT(*) AS n_bigrams,
+                   CAST(SUM(term) AS BIGINT) AS sum_lp_micro,
+                   CAST(floor(CAST(SUM(term) AS BIGINT)
+                              / CAST(COUNT(*) AS BIGINT)) AS BIGINT)
+                     AS avg_lp_micro
+            FROM terms GROUP BY doc_id
         """,
     }

@@ -1015,6 +1015,112 @@ def q64_tfidf(spark, sf):
     )
 
 
+def q65_small_quantity_revenue(spark, sf):
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    quantity threshold) expressed through the SQL API — Catalyst
+    decorrelates it into an aggregate + join, no per-row re-execution.
+    Quantities are small integers in doubles, so their sums are exact and
+    the 0.2*avg threshold is engine-identical; revenue stays decimal."""
+    _t(spark, sf, "lineitem").createOrReplaceTempView("v65_lineitem")
+    _t(spark, sf, "part").createOrReplaceTempView("v65_part")
+    return spark.sql("""
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                         AS DOUBLE) / 7.0 AS avg_yearly
+        FROM v65_lineitem JOIN v65_part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#13'
+          AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                            FROM v65_lineitem l2
+                            WHERE l2.l_partkey = p_partkey)
+    """)
+
+
+def q66_exists_anti_pattern(spark, sf):
+    """EXISTS + NOT EXISTS decorrelation (TPC-H Q21/Q22 family): customers
+    who have ordered but never at '1-URGENT' priority. Catalyst rewrites
+    both subqueries into semi/anti hash joins on o_custkey — verified no
+    per-row subquery execution in the plan audit."""
+    _t(spark, sf, "customer").createOrReplaceTempView("v66_customer")
+    _t(spark, sf, "orders").createOrReplaceTempView("v66_orders")
+    return spark.sql("""
+        SELECT c_custkey, c_name
+        FROM v66_customer c
+        WHERE EXISTS (SELECT 1 FROM v66_orders o
+                      WHERE o.o_custkey = c.c_custkey)
+          AND NOT EXISTS (SELECT 1 FROM v66_orders o2
+                          WHERE o2.o_custkey = c.c_custkey
+                            AND o2.o_orderpriority = '1-URGENT')
+    """)
+
+
+def q67_hash_sample(spark, sf):
+    """Deterministic hash sampling: keep rows whose md5(key) prefix falls
+    under a threshold (rate = 4096/65536 = 1/16). Unlike rand()-based
+    sampling this is stable across runs, engines, partitionings, and
+    retries — the property that makes samples reproducible pipeline-wide.
+    Zero shuffles up to the final rollup; the filter pushes to the scan."""
+    orders = _t(spark, sf, "orders")
+    h = F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 4),
+               16, 10).cast("int")
+    return (
+        orders.withColumn("h", h)
+        .where(F.col("h") < 4096)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )
+
+
+def q68_bigram_lm_quality(spark, sf):
+    """CCNet-style LM quality score: average log-probability of each
+    document's token bigrams under the corpus's own MLE bigram model
+    (ln(c(w1,w2)/c(w1·))). Low scores flag unnatural/boilerplate text.
+
+    Exactness: each term ships as floor(1e6*ln(p)) BEFORE the per-doc sum,
+    so the aggregation is integer-exact and order-independent — a raw
+    double sum over an unordered group would not hash-match across
+    engines. Count tables are vocabulary-sized and broadcast back; the
+    corpus rows shuffle once (the bigram-count agg) plus the per-doc agg."""
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", TX.tokens("text").alias("toks")
+    )
+    toks = F.col("toks")
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    pairs = docs.select("doc_id", F.explode(grams).alias("g")).select(
+        "doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2")
+    )
+    c12 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    term = F.floor(
+        F.log(F.col("c12") / F.col("c1")) * 1_000_000
+    ).cast("long")
+    return (
+        pairs.join(F.broadcast(c12), on=["w1", "w2"])
+        .join(F.broadcast(c1), on="w1")
+        .withColumn("term", term)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("term").alias("sum_lp_micro"),
+        )
+        .withColumn(
+            "avg_lp_micro",
+            F.floor(F.col("sum_lp_micro") / F.col("n_bigrams")).cast("long"),
+        )
+    )
+
+
 def q51_range_join(spark, sf):
     """Binned interval-containment join (temporal.range_join): events falling
     inside the 1-hour window opened by each purchase of the same user.

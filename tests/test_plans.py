@@ -97,6 +97,15 @@ SHUFFLE_BUDGET = {
     "q63_heavy_hitters": 2,
     # q64: tf agg (recomputed for the df branch) + df agg + 1-row N
     "q64_tfidf": 4,
+    # q65: decorrelated per-part avg agg + 1-row final agg (no BNLJ —
+    # Catalyst rewrote the correlated scalar subquery into a join)
+    "q65_small_quantity_revenue": 2,
+    # q66: EXISTS/NOT EXISTS -> broadcast semi + anti joins, zero shuffles
+    "q66_exists_anti_pattern": 0,
+    # q67: pushdown-friendly hash filter + one rollup agg
+    "q67_hash_sample": 1,
+    # q68: bigram-count agg + first-token agg + per-doc agg
+    "q68_bigram_lm_quality": 3,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
