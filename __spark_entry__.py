@@ -145,6 +145,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_exists_anti_pattern": Q.q66_exists_anti_pattern,
         "q67_hash_sample": Q.q67_hash_sample,
         "q68_bigram_lm_quality": Q.q68_bigram_lm_quality,
+        "q69_dedup_clusters": Q.q69_dedup_clusters,
     }
 
 
@@ -167,6 +168,40 @@ def _hex4(expr: str, start: int) -> str:
     ]
     return "(" + " + ".join(parts) + ")"
 
+
+# winnowing-containment pair CTE chain (shared by q62 and the q69
+# cluster rollup; mirrors operators/text.py::winnowing_fingerprints with
+# k=5, w=4 and the q62 containment >= 0.6 gate)
+_CONTAIN_CTES = f"""
+            g AS (
+              SELECT doc_id, source, norm, length(norm) AS L
+              FROM (SELECT doc_id, source, {_NORM} AS norm FROM documents)),
+            h AS (
+              SELECT doc_id, source,
+                     list_transform(range(1, L - 5 + 2),
+                       i -> {_hex4("md5(substr(norm, i, 5))", 1)}) AS hashes
+              FROM g),
+            m AS (
+              SELECT doc_id, source,
+                     list_sort(list_distinct(
+                       list_transform(range(1, len(hashes) - 4 + 2),
+                         j -> list_aggregate(hashes[j:j+3], 'min')))) AS fps
+              FROM h),
+            ex AS (SELECT doc_id, source, unnest(fps) AS f FROM m),
+            shared AS (
+              SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_shared
+              FROM ex a JOIN ex b
+                ON a.f = b.f AND a.source = b.source AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            sizes AS (SELECT doc_id, CAST(len(fps) AS INTEGER) AS nf FROM m),
+            cpairs AS (
+              SELECT da, db, n_shared, sa.nf AS nf_a, sb.nf AS nf_b,
+                     greatest(n_shared / sa.nf, n_shared / sb.nf) AS containment
+              FROM shared
+              JOIN sizes sa ON sa.doc_id = da
+              JOIN sizes sb ON sb.doc_id = db
+              WHERE greatest(n_shared / sa.nf, n_shared / sb.nf) >= 0.6)
+"""
 
 _SIG_SQL = f"""
     SELECT doc_id AS id, band,
@@ -952,33 +987,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "q62_containment_dedup": f"""
-            WITH g AS (
-              SELECT doc_id, source, norm, length(norm) AS L
-              FROM (SELECT doc_id, source, {_NORM} AS norm FROM documents)),
-            h AS (
-              SELECT doc_id, source,
-                     list_transform(range(1, L - 5 + 2),
-                       i -> {_hex4("md5(substr(norm, i, 5))", 1)}) AS hashes
-              FROM g),
-            m AS (
-              SELECT doc_id, source,
-                     list_sort(list_distinct(
-                       list_transform(range(1, len(hashes) - 4 + 2),
-                         j -> list_aggregate(hashes[j:j+3], 'min')))) AS fps
-              FROM h),
-            ex AS (SELECT doc_id, source, unnest(fps) AS f FROM m),
-            shared AS (
-              SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_shared
-              FROM ex a JOIN ex b
-                ON a.f = b.f AND a.source = b.source AND a.doc_id < b.doc_id
-              GROUP BY 1, 2),
-            sizes AS (SELECT doc_id, CAST(len(fps) AS INTEGER) AS nf FROM m)
-            SELECT da, db, n_shared, sa.nf AS nf_a, sb.nf AS nf_b,
-                   greatest(n_shared / sa.nf, n_shared / sb.nf) AS containment
-            FROM shared
-            JOIN sizes sa ON sa.doc_id = da
-            JOIN sizes sb ON sb.doc_id = db
-            WHERE greatest(n_shared / sa.nf, n_shared / sb.nf) >= 0.6
+            WITH {_CONTAIN_CTES}
+            SELECT * FROM cpairs
         """,
         "q63_heavy_hitters": f"""
             WITH toks AS (
@@ -1060,5 +1070,24 @@ def oracle_sql() -> dict[str, str]:
                               / CAST(COUNT(*) AS BIGINT)) AS BIGINT)
                      AS avg_lp_micro
             FROM terms GROUP BY doc_id
+        """,
+        "q69_dedup_clusters": f"""
+            WITH RECURSIVE {_CONTAIN_CTES},
+            sym AS (
+              SELECT da AS a, db AS b FROM cpairs
+              UNION
+              SELECT db AS a, da AS b FROM cpairs),
+            nodes AS (SELECT DISTINCT a AS node FROM sym),
+            reach AS (
+              SELECT node, node AS peer FROM nodes
+              UNION
+              SELECT r.node, s.b AS peer
+              FROM reach r JOIN sym s ON r.peer = s.a),
+            comp AS (
+              SELECT node, MIN(peer) AS component FROM reach GROUP BY node)
+            SELECT component, COUNT(*) AS n_members,
+                   md5(string_agg(CAST(node AS VARCHAR), ','
+                                  ORDER BY node)) AS members_hash
+            FROM comp GROUP BY component
         """,
     }

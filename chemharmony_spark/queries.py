@@ -1121,6 +1121,31 @@ def q68_bigram_lm_quality(spark, sf):
     )
 
 
+def q69_dedup_clusters(spark, sf):
+    """Pairs -> clusters: connected components over the q62 containment
+    pairs (operators/graph.py min-label propagation), rolled up to one row
+    per cluster with the canonical keeper (min doc_id == the component
+    label). The step that turns pairwise near-dup evidence into an
+    actionable keep/drop decision. Oracle: recursive-CTE transitive
+    closure over the identical pair set."""
+    from chemharmony_spark.operators.graph import connected_components
+
+    pairs = q62_containment_dedup(spark, sf).select("da", "db")
+    comp = connected_components(pairs, "da", "db")
+    return comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("node")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            )
+        ).alias("members_hash"),
+    )
+
+
 def q51_range_join(spark, sf):
     """Binned interval-containment join (temporal.range_join): events falling
     inside the 1-hour window opened by each purchase of the same user.

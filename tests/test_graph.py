@@ -1,0 +1,62 @@
+"""Connected components: parity with a Python union-find on structured and
+random graphs (chains force multi-round propagation)."""
+
+from __future__ import annotations
+
+import random
+
+from chemharmony_spark.operators.graph import connected_components
+
+
+def _union_find(edges):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical min-label per node
+    return {n: find(n) for n in parent}
+
+
+def _check(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["component"]
+           for r in connected_components(df).collect()}
+    want = _union_find(edges)
+    # union-find roots are path-compressed mins only if we normalize:
+    comp_min: dict[int, int] = {}
+    for n, r in want.items():
+        comp_min[r] = min(comp_min.get(r, n), n)
+    want_min = {n: comp_min[r] for n, r in want.items()}
+    assert got == want_min, (got, want_min)
+
+
+def test_chain_two_components_and_clique(spark):
+    # a 7-node chain (needs several propagation rounds), a triangle, an
+    # isolated edge — labels must be the min node of each component
+    edges = [(10, 11), (11, 12), (12, 13), (13, 14), (14, 15), (15, 16),
+             (1, 2), (2, 3), (1, 3),
+             (100, 200)]
+    _check(spark, edges)
+
+
+def test_random_graph_matches_union_find(spark):
+    rng = random.Random(5)
+    nodes = list(range(60))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(45)]
+    edges = [(a, b) for a, b in edges if a != b]
+    _check(spark, edges)
+
+
+def test_chain_descending_ids(spark):
+    # worst case for min-propagation: the min id sits at the chain's end
+    edges = [(i + 1, i) for i in range(12)]
+    _check(spark, edges)

@@ -106,6 +106,10 @@ SHUFFLE_BUDGET = {
     "q67_hash_sample": 1,
     # q68: bigram-count agg + first-token agg + per-doc agg
     "q68_bigram_lm_quality": 3,
+    # q69: final rollup over checkpointed component labels (the iterative
+    # label-propagation rounds execute eagerly during construction, each a
+    # bounded join+agg on the pair set — see operators/graph.py)
+    "q69_dedup_clusters": 1,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
