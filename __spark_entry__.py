@@ -146,6 +146,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q67_hash_sample": Q.q67_hash_sample,
         "q68_bigram_lm_quality": Q.q68_bigram_lm_quality,
         "q69_dedup_clusters": Q.q69_dedup_clusters,
+        "q70_scd2_history": Q.q70_scd2_history,
     }
 
 
@@ -1089,5 +1090,32 @@ def oracle_sql() -> dict[str, str]:
                    md5(string_agg(CAST(node AS VARCHAR), ','
                                   ORDER BY node)) AS members_hash
             FROM comp GROUP BY component
+        """,
+        "q70_scd2_history": """
+            WITH ev AS (
+              SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+              FROM events),
+            marked AS (
+              SELECT *,
+                     CASE WHEN LAG(event_type) OVER w IS NULL
+                            OR LAG(event_type) OVER w <> event_type
+                          THEN 1 ELSE 0 END AS chg
+              FROM ev
+              WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+            segged AS (
+              SELECT *,
+                     SUM(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS seg
+              FROM marked),
+            runs AS (
+              SELECT user_id, seg, MIN(event_type) AS event_type,
+                     MIN(us) AS valid_from, COUNT(*) AS n_events
+              FROM segged GROUP BY user_id, seg)
+            SELECT user_id, CAST(seg AS BIGINT) AS seg, event_type,
+                   valid_from,
+                   LEAD(valid_from) OVER (PARTITION BY user_id
+                                          ORDER BY valid_from) AS valid_to,
+                   n_events
+            FROM runs
         """,
     }

@@ -32,6 +32,55 @@ def approx_distinct(df: DataFrame, keys: Sequence[str], value_col: str,
     )
 
 
+def countmin_counts(df: DataFrame, item_col: str, width: int = 1024,
+                    depth: int = 4) -> DataFrame:
+    """Count-min sketch estimates for every distinct item: ``depth``
+    independent hash rows of ``width`` counters; the estimate is the MIN of
+    an item's counters across rows (always an over-estimate; error <=
+    2N/width with prob 1 - 2^-depth).
+
+    Dataflow: one groupBy per hash row over bucket ids (state = depth x
+    width counters TOTAL, vs one counter per distinct item for the exact
+    count) — the sketch rows union into one skinny table that broadcasts
+    back onto the distinct items. The point at 100 TB: heavy-hitter
+    estimation whose state is independent of vocabulary size. Exact
+    counterpart: q63 heavy hitters.
+    """
+    item = F.col(item_col)
+    buckets = df.select(
+        item.alias("item"),
+        *[
+            F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"r{r}:"), item)), 1, 8),
+                    16, 10,
+                ).cast("long"),
+                F.lit(width),
+            ).alias(f"b{r}")
+            for r in range(depth)
+        ],
+    )
+    rows = None
+    for r in range(depth):
+        row = buckets.groupBy(F.col(f"b{r}").alias("bucket")).agg(
+            F.count(F.lit(1)).alias("c")
+        ).select(F.lit(r).alias("row"), "bucket", "c")
+        rows = row if rows is None else rows.unionByName(row)
+    items = buckets.select(
+        "item", *[F.col(f"b{r}") for r in range(depth)]
+    ).distinct()
+    est = items
+    for r in range(depth):
+        sk = rows.where(F.col("row") == r).select(
+            F.col("bucket").alias(f"b{r}"), F.col("c").alias(f"c{r}")
+        )
+        est = est.join(F.broadcast(sk), on=f"b{r}")
+    return est.select(
+        "item",
+        F.least(*[F.col(f"c{r}") for r in range(depth)]).alias("est_count"),
+    )
+
+
 def approx_quantiles(df: DataFrame, keys: Sequence[str], value_col: str,
                      quantiles: Sequence[float],
                      accuracy: int = 10_000) -> DataFrame:

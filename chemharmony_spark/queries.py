@@ -1146,6 +1146,45 @@ def q69_dedup_clusters(spark, sf):
     )
 
 
+def q70_scd2_history(spark, sf):
+    """Type-2 history build (gaps-and-islands): collapse each user's
+    consecutive same-type events into validity intervals
+    [valid_from, valid_to) with the next segment's start as the close —
+    the warehouse pattern for turning an event log into a
+    slowly-changing-dimension table. Two windows + one agg, all
+    partitioned on user_id (high cardinality, one logical shuffle that
+    AQE reuses across the chained window/agg steps)."""
+    ev = _events(spark, sf).select(
+        "user_id", "event_type", F.expr("ts div 1000").alias("us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    seg = (
+        ev.withColumn(
+            "chg",
+            F.when(
+                F.lag("event_type").over(w).isNull()
+                | (F.lag("event_type").over(w) != F.col("event_type")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("seg", F.sum("chg").over(w))
+    )
+    runs = seg.groupBy("user_id", "seg").agg(
+        F.min("event_type").alias("event_type"),
+        F.min("us").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    return runs.select(
+        "user_id",
+        F.col("seg").cast("long").alias("seg"),
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_events",
+    )
+
+
 def q51_range_join(spark, sf):
     """Binned interval-containment join (temporal.range_join): events falling
     inside the 1-hour window opened by each purchase of the same user.

@@ -110,6 +110,8 @@ SHUFFLE_BUDGET = {
     # label-propagation rounds execute eagerly during construction, each a
     # bounded join+agg on the pair set — see operators/graph.py)
     "q69_dedup_clusters": 1,
+    # q70: windows + run agg + lead all reuse the user_id partitioning
+    "q70_scd2_history": 1,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side

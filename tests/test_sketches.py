@@ -49,3 +49,26 @@ def test_sketches_merge_under_repartition(spark):
     a = approx_distinct(df.repartition(1), ["g"], "v").collect()[0][1]
     b = approx_distinct(df.repartition(17), ["g"], "v").collect()[0][1]
     assert a == b
+
+
+def test_countmin_overestimates_within_bound(spark):
+    """CM estimates are >= true counts and within the 2N/width bound for
+    a Zipf-ish distribution; heavy hitters rank correctly."""
+    from chemharmony_spark.operators.sketches import countmin_counts
+
+    # item i appears ~1000/i times, i in 1..50 -> N ~ 4500
+    rows = []
+    for i in range(1, 51):
+        rows.extend([(f"item{i:02d}",)] * (1000 // i))
+    df = spark.createDataFrame(rows, "w string").repartition(8)
+    truth = {f"item{i:02d}": 1000 // i for i in range(1, 51)}
+    n_total = sum(truth.values())
+    est = {r["item"]: r["est_count"]
+           for r in countmin_counts(df, "w", width=256, depth=4).collect()}
+    assert set(est) == set(truth)
+    bound = 2 * n_total / 256
+    for item, t in truth.items():
+        assert est[item] >= t, (item, est[item], t)
+        assert est[item] - t <= bound, (item, est[item], t, bound)
+    # the top heavy hitter is unambiguous
+    assert max(est, key=est.get) == "item01"
