@@ -147,6 +147,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_bigram_lm_quality": Q.q68_bigram_lm_quality,
         "q69_dedup_clusters": Q.q69_dedup_clusters,
         "q70_scd2_history": Q.q70_scd2_history,
+        "q71_rolling_stats": Q.q71_rolling_stats,
+        "q72_rank_family": Q.q72_rank_family,
+        "q73_first_last_events": Q.q73_first_last_events,
     }
 
 
@@ -1117,5 +1120,44 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY valid_from) AS valid_to,
                    n_events
             FROM runs
+        """,
+        "q71_rolling_stats": """
+            SELECT user_id, event_id,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                     AS mov_sum,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                     / COUNT(*) OVER w AS mov_avg,
+                   COUNT(*) OVER w AS frame_n
+            FROM (SELECT user_id, event_id, epoch_us(ts) AS us, value
+                  FROM events)
+            WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        """,
+        "q72_rank_family": """
+            SELECT event_type, event_id,
+                   RANK() OVER wv AS rnk,
+                   DENSE_RANK() OVER wv AS drnk,
+                   PERCENT_RANK() OVER wv AS prnk,
+                   CUME_DIST() OVER wv AS cdist,
+                   CAST(NTILE(4) OVER wt AS INTEGER) AS quartile
+            FROM events
+            WINDOW wv AS (PARTITION BY event_type ORDER BY value),
+                   wt AS (PARTITION BY event_type ORDER BY value, event_id)
+        """,
+        "q73_first_last_events": """
+            WITH per_row AS (
+              SELECT user_id,
+                     FIRST_VALUE(event_type) OVER w AS first_type,
+                     LAST_VALUE(event_type) OVER w AS last_type,
+                     NTH_VALUE(event_type, 2) OVER w AS second_type
+              FROM (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+                    FROM events)
+              WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND UNBOUNDED FOLLOWING))
+            SELECT user_id, MIN(first_type) AS first_type,
+                   MIN(last_type) AS last_type,
+                   MIN(second_type) AS second_type
+            FROM per_row GROUP BY user_id
         """,
     }

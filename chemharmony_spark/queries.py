@@ -1185,6 +1185,73 @@ def q70_scd2_history(spark, sf):
     )
 
 
+def q71_rolling_stats(spark, sf):
+    """Sliding-frame window aggregation: per-user 3-row moving sum/avg of
+    event value (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW). Sums run in
+    decimal so the short frame is order-exact; the frame order is total
+    (us, event_id). One user_id shuffle."""
+    ev = _events(spark, sf).select(
+        "user_id", "event_id", F.expr("ts div 1000").alias("us"), "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return ev.select(
+        "user_id", "event_id",
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("mov_sum"),
+        (
+            F.sum(F.col("value").cast(DEC)).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("mov_avg"),
+        F.count(F.lit(1)).over(w).alias("frame_n"),
+    )
+
+
+def q72_rank_family(spark, sf):
+    """Rank-family windows: rank / dense_rank / percent_rank / cume_dist
+    over value within event_type (peer-group semantics make ties
+    deterministic), plus ntile(4) over a total order. Single window
+    shuffle serves all five functions."""
+    ev = _events(spark, sf).select("event_type", "event_id", "value")
+    w_val = Window.partitionBy("event_type").orderBy("value")
+    w_total = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_type", "event_id",
+        F.rank().over(w_val).alias("rnk"),
+        F.dense_rank().over(w_val).alias("drnk"),
+        F.percent_rank().over(w_val).alias("prnk"),
+        F.cume_dist().over(w_val).alias("cdist"),
+        F.ntile(4).over(w_total).alias("quartile"),
+    )
+
+
+def q73_first_last_events(spark, sf):
+    """first_value / last_value / nth_value over an explicit unbounded
+    frame (the default frame stops at CURRENT ROW — the classic
+    last_value trap), reduced to one row per user. One shuffle."""
+    ev = _events(spark, sf).select(
+        "user_id", "event_id", F.expr("ts div 1000").alias("us"), "event_type"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    per_row = ev.select(
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+        F.nth_value("event_type", 2).over(w).alias("second_type"),
+    )
+    return per_row.groupBy("user_id").agg(
+        F.min("first_type").alias("first_type"),
+        F.min("last_type").alias("last_type"),
+        F.min("second_type").alias("second_type"),
+    )
+
+
 def q51_range_join(spark, sf):
     """Binned interval-containment join (temporal.range_join): events falling
     inside the 1-hour window opened by each purchase of the same user.

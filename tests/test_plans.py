@@ -112,6 +112,8 @@ SHUFFLE_BUDGET = {
     "q69_dedup_clusters": 1,
     # q70: windows + run agg + lead all reuse the user_id partitioning
     "q70_scd2_history": 1,
+    # q71-q73: one window shuffle each (frames/ranks/first-last share it)
+    "q71_rolling_stats": 1, "q72_rank_family": 1, "q73_first_last_events": 1,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
