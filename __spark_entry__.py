@@ -150,6 +150,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_rolling_stats": Q.q71_rolling_stats,
         "q72_rank_family": Q.q72_rank_family,
         "q73_first_last_events": Q.q73_first_last_events,
+        "q74_grouping_sets": Q.q74_grouping_sets,
     }
 
 
@@ -1159,5 +1160,14 @@ def oracle_sql() -> dict[str, str]:
                    MIN(last_type) AS last_type,
                    MIN(second_type) AS second_type
             FROM per_row GROUP BY user_id
+        """,
+        "q74_grouping_sets": f"""
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS {_DEC})) AS DOUBLE) AS sum_qty,
+                   COUNT(*) AS n_rows,
+                   CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                    (l_returnflag), (l_linestatus))
         """,
     }

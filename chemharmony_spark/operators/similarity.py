@@ -103,6 +103,103 @@ def group_centroid_cosine(
     )
 
 
+def pq_compress(
+    corpus: DataFrame,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    dims: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Product quantization (Jégou et al. 2011, TPAMI — public paper):
+    split each vector into ``n_subspaces`` contiguous sub-vectors, k-means
+    each subspace to ``n_codes`` centroids, store one byte-ish code per
+    subspace. 64-dim float32 -> 8 codes is a 32x compression; at 100 TB of
+    embeddings the codebook (n_subspaces x n_codes x dims/n_subspaces
+    floats) broadcasts everywhere while the corpus carries only codes.
+
+    Returns (codes_df[id, codes array<int>], codebook_df[subspace, code,
+    centroid array<double>]). Assignment is a broadcast cross-join of each
+    sub-vector against its subspace's centroids — argmin via the same
+    sorted-struct trick the engine uses for langid. Reconstruction error
+    is bounded in tests/test_similarity.py.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    sub_len = dims // n_subspaces
+    spark = corpus.sparkSession
+    base = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    cb_rows = []
+    for s in range(n_subspaces):
+        sub = base.select(
+            array_to_vector(
+                F.slice(_as_double(F.col("v")), s * sub_len + 1, sub_len)
+            ).alias("features")
+        )
+        model = KMeans(k=n_codes, seed=seed + s, featuresCol="features").fit(sub)
+        for c, center in enumerate(model.clusterCenters()):
+            cb_rows.append((s, c, [float(x) for x in center]))
+    codebook = spark.createDataFrame(
+        cb_rows, "subspace int, code int, centroid array<double>"
+    )
+
+    # assign: explode subspaces, broadcast-join the codebook, pick argmin
+    subs = base.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("subspace"),
+                    F.slice(_as_double(F.col("v")), s * sub_len + 1, sub_len)
+                    .alias("sub"),
+                )
+                for s in range(n_subspaces)
+            ])
+        ).alias("e"),
+    ).select("id", F.col("e.subspace").alias("subspace"), F.col("e.sub").alias("sub"))
+    dist2 = F.aggregate(
+        F.zip_with(F.col("sub"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("id", "subspace").orderBy(F.col("d2"), F.col("code"))
+    assigned = (
+        subs.join(F.broadcast(codebook), on="subspace")
+        .withColumn("d2", dist2)
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+    )
+    codes = assigned.groupBy("id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("subspace", "code"))),
+            lambda st: st["code"],
+        ).alias("codes")
+    )
+    return codes, codebook
+
+
+def pq_reconstruct(codes: DataFrame, codebook: DataFrame) -> DataFrame:
+    """Rebuild approximate vectors from PQ codes (concatenate the coded
+    centroids, in subspace order) — the decode path used for ADC-style
+    rescoring. Broadcast the codebook; flatten via explode + re-collect."""
+    ex = codes.select(
+        "id", F.posexplode("codes").alias("subspace", "code")
+    )
+    joined = ex.join(F.broadcast(codebook), on=["subspace", "code"])
+    return joined.groupBy("id").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("subspace", "centroid"))
+                ),
+                lambda st: st["centroid"],
+            )
+        ).alias("approx")
+    )
+
+
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.

@@ -1252,6 +1252,24 @@ def q73_first_last_events(spark, sf):
     )
 
 
+def q74_grouping_sets(spark, sf):
+    """Explicit GROUPING SETS (the general form rollup/cube specialize):
+    ((returnflag, linestatus), (returnflag), (linestatus)) — note the
+    (linestatus)-only set, which ROLLUP cannot express. One Expand+agg
+    pass; rows disambiguated by grouping_id."""
+    _t(spark, sf, "lineitem").createOrReplaceTempView("v74_lineitem")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_qty,
+               COUNT(*) AS n_rows,
+               CAST(grouping_id() AS BIGINT) AS gid
+        FROM v74_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), (l_linestatus))
+    """)
+
+
 def q51_range_join(spark, sf):
     """Binned interval-containment join (temporal.range_join): events falling
     inside the 1-hour window opened by each purchase of the same user.

@@ -114,6 +114,8 @@ SHUFFLE_BUDGET = {
     "q70_scd2_history": 1,
     # q71-q73: one window shuffle each (frames/ranks/first-last share it)
     "q71_rolling_stats": 1, "q72_rank_family": 1, "q73_first_last_events": 1,
+    # q74: one Expand+agg pass covers all three grouping sets
+    "q74_grouping_sets": 1,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side

@@ -119,3 +119,53 @@ def test_ivf_multi_assign_lifts_recall_without_dup_pairs(spark, sf_dir):
     for r in rows:
         by_q.setdefault(r.query_id, []).append(r.rank)
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+
+
+def test_pq_compression_bounds_reconstruction_error(spark, sf_dir):
+    """PQ codes (8 subspaces x 16 codes) reconstruct sf0.001 embeddings
+    with small quantization error, and beat a null baseline (the global
+    mean vector) by a wide margin."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from chemharmony_spark.operators.similarity import (
+        pq_compress,
+        pq_reconstruct,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    codes, codebook = pq_compress(emb, n_subspaces=8, n_codes=16, dims=64)
+    assert codebook.count() == 8 * 16
+    recon = pq_reconstruct(codes, codebook)
+    joined = emb.select(
+        F.col("vec_id").alias("id"), "embedding"
+    ).join(recon, on="id")
+    err = F.aggregate(
+        F.zip_with(
+            F.transform("embedding", lambda x: x.cast("double")),
+            F.col("approx"),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    row = joined.agg(
+        F.sum(err).alias("se"), F.sum(norm).alias("sn"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    rel = math.sqrt(row["se"] / row["sn"])
+    assert row["n"] == emb.count()
+    # gaussian-ish embeddings are PQ's worst case: 16 codes per 8-dim
+    # subspace buys roughly k^(-1/d) per-dim distortion (rate-distortion),
+    # i.e. rel ~ 0.73 here; the contract is (a) clearly below the null
+    # baseline rel=1.0 (coding the global mean), (b) stable
+    assert rel < 0.85, rel
+    # codes really are 8 small ints
+    c = codes.select(F.size("codes").alias("k")).distinct().collect()
+    assert [r["k"] for r in c] == [8]
