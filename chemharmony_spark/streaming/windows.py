@@ -121,6 +121,50 @@ def stream_dedup(
     return src.dropDuplicates(keys)
 
 
+def stream_stream_join(
+    spark: SparkSession,
+    events_dir: str,
+    window: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: each click joined to purchases by the
+    same user within ``window`` AFTER the click. Both sides carry
+    watermarks and the join condition bounds event time on both ends —
+    the two requirements that let Spark evict join state instead of
+    buffering both streams forever (the only viable shape at 100 TB/day).
+    Batch parity on a bounded replay is asserted in tests/test_streaming.py
+    against the q51-style interval-join semantics.
+    """
+    def side(event_type: str, alias: str) -> DataFrame:
+        src = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(events_dir)
+        )
+        return (
+            src.where(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{alias}_user"),
+                F.col("event_id").alias(f"{alias}_id"),
+                F.timestamp_micros(F.expr("ts div 1000")).alias(f"{alias}_ts"),
+            )
+            .withWatermark(f"{alias}_ts", watermark)
+        )
+
+    clicks = side("click", "c")
+    buys = side("purchase", "p")
+    return clicks.join(
+        buys,
+        F.expr(
+            f"""
+            c_user = p_user AND
+            p_ts >= c_ts AND
+            p_ts <= c_ts + INTERVAL {window}
+            """
+        ),
+    )
+
+
 def run_stream_to_memory(agg: DataFrame, name: str, mode: str = "complete") -> DataFrame:
     """Drain a bounded stream into an in-memory table (availableNow trigger)
     and return the result as a batch DataFrame."""

@@ -213,3 +213,41 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     # and the packaged helper compiles to a streaming plan with dedup state
     plan_df = stream_dedup(spark, str(d))
     assert plan_df.isStreaming
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """Watermarked stream-stream interval join == the batch interval join
+    on a bounded replay."""
+    from chemharmony_spark.streaming.windows import stream_stream_join
+
+    joined = stream_stream_join(spark, sf_dir, window="30 minutes")
+    streamed = run_stream_to_memory(joined, "ss_join", mode="append")
+    got = sorted(
+        (r["c_id"], r["p_id"])
+        for r in streamed.select("c_id", "p_id").collect()
+    )
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("us", F.expr("ts div 1000"))
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("c_id"),
+        F.col("us").alias("c_us"),
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("p_id"),
+        F.col("us").alias("p_us"),
+    )
+    HALF_HOUR_US = 30 * 60 * 1_000_000
+    want = sorted(
+        (r["c_id"], r["p_id"])
+        for r in clicks.join(
+            buys,
+            (F.col("cu") == F.col("pu"))
+            & (F.col("p_us") >= F.col("c_us"))
+            & (F.col("p_us") <= F.col("c_us") + HALF_HOUR_US),
+        ).select("c_id", "p_id").collect()
+    )
+    assert len(want) > 0  # the replay actually exercises the join
+    assert got == want
