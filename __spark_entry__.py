@@ -151,6 +151,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_rank_family": Q.q72_rank_family,
         "q73_first_last_events": Q.q73_first_last_events,
         "q74_grouping_sets": Q.q74_grouping_sets,
+        "q75_typed_json_parse": Q.q75_typed_json_parse,
+        "q76_resample_forward_fill": Q.q76_resample_forward_fill,
     }
 
 
@@ -1169,5 +1171,47 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
                                     (l_returnflag), (l_linestatus))
+        """,
+        "q75_typed_json_parse": """
+            SELECT CAST(floor(k / 10.0) AS BIGINT) AS bucket,
+                   COUNT(*) AS n,
+                   CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_bad,
+                   MIN(k) AS min_k, MAX(k) AS max_k
+            FROM (SELECT CAST(json_extract_string(props, '$.k') AS INTEGER)
+                           AS k
+                  FROM events)
+            GROUP BY bucket
+        """,
+        "q76_resample_forward_fill": """
+            WITH ev AS (
+              SELECT user_id, epoch_us(ts) AS us, value, event_id
+              FROM events),
+            slots AS (
+              SELECT user_id, CAST(floor(us / 3600000000.0) AS BIGINT)
+                       AS slot, us, value, event_id
+              FROM ev),
+            slot_val AS (
+              SELECT user_id, slot, value AS slot_value
+              FROM slots
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, slot
+                                         ORDER BY us DESC, event_id DESC) = 1),
+            span AS (
+              SELECT user_id,
+                     CAST(floor(MIN(us) / 3600000000.0) AS BIGINT) AS s0,
+                     CAST(floor(MAX(us) / 3600000000.0) AS BIGINT) AS s1
+              FROM ev GROUP BY user_id),
+            grid AS (
+              SELECT user_id, unnest(generate_series(s0, s1)) AS slot
+              FROM span)
+            SELECT g.user_id, g.slot,
+                   LAST_VALUE(sv.slot_value IGNORE NULLS) OVER (
+                     PARTITION BY g.user_id ORDER BY g.slot
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS filled_value,
+                   sv.slot_value IS NOT NULL AS is_observed
+            FROM grid g
+            LEFT JOIN slot_val sv
+              ON sv.user_id = g.user_id AND sv.slot = g.slot
         """,
     }

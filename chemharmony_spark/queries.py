@@ -1270,6 +1270,71 @@ def q74_grouping_sets(spark, sf):
     """)
 
 
+def q75_typed_json_parse(spark, sf):
+    """Typed semi-structured parsing: ``from_json`` with an explicit schema
+    (the scalable path — one parse per row into a struct, vs q27's
+    per-field string extraction) then decile-bucket the extracted field.
+    Malformed rows become NULL structs, counted explicitly — the
+    silent-drop failure mode made visible."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    schema = StructType([StructField("k", IntegerType())])
+    ev = _t(spark, sf, "events").withColumn(
+        "p", F.from_json("props", schema)
+    )
+    return (
+        ev.withColumn("k", F.col("p.k"))
+        .withColumn("bucket", F.floor(F.col("k") / 10).cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("p").isNull(), 1).otherwise(0)).alias("n_bad"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def q76_resample_forward_fill(spark, sf):
+    """Time-series regularization: resample each user's event stream onto
+    an hourly grid, forward-filling each slot with the latest observed
+    value at-or-before it (gaps carry the previous reading). The grid is
+    generated per user (sequence+explode inside the scan stage); the fill
+    is last-ignoreNulls over one user_id window — no per-gap joins."""
+    H = 3_600_000_000  # us per hour
+    ev = _events(spark, sf).select(
+        "user_id", F.expr("ts div 1000").alias("us"), "value", "event_id"
+    )
+    slots = ev.withColumn("slot", F.floor(F.col("us") / H))
+    w_last = Window.partitionBy("user_id", "slot").orderBy(
+        F.col("us").desc(), F.col("event_id").desc()
+    )
+    slot_val = (
+        slots.withColumn("rn", F.row_number().over(w_last))
+        .where(F.col("rn") == 1)
+        .select("user_id", "slot", F.col("value").alias("slot_value"))
+    )
+    span = ev.groupBy("user_id").agg(
+        F.floor(F.min("us") / H).alias("s0"), F.floor(F.max("us") / H).alias("s1")
+    )
+    grid = span.select(
+        "user_id", F.explode(F.sequence("s0", "s1")).alias("slot")
+    )
+    w_fill = (
+        Window.partitionBy("user_id")
+        .orderBy("slot")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(slot_val, on=["user_id", "slot"], how="left")
+        .withColumn(
+            "filled_value", F.last("slot_value", ignorenulls=True).over(w_fill)
+        )
+        .withColumn("is_observed", F.col("slot_value").isNotNull())
+        .select("user_id", "slot", "filled_value", "is_observed")
+    )
+
+
 def q51_range_join(spark, sf):
     """Binned interval-containment join (temporal.range_join): events falling
     inside the 1-hour window opened by each purchase of the same user.

@@ -116,6 +116,11 @@ SHUFFLE_BUDGET = {
     "q71_rolling_stats": 1, "q72_rank_family": 1, "q73_first_last_events": 1,
     # q74: one Expand+agg pass covers all three grouping sets
     "q74_grouping_sets": 1,
+    # q75: one agg after the typed parse (parse runs in the scan stage)
+    "q75_typed_json_parse": 1,
+    # q76: (user_id,slot) latest-window + one user_id shuffle shared by
+    # span agg, grid join, and the forward-fill window
+    "q76_resample_forward_fill": 2,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
