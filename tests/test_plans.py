@@ -156,3 +156,40 @@ def test_every_query_plan_within_scale_budget(spark):
     assert set(SHUFFLE_BUDGET) == set(e._raw_queries()), (
         "budget table out of sync with the query inventory"
     )
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join handling (the engine's default skew answer — SCALE.md
+    rule 2) actually engages: a 90%-one-key join, with the skew thresholds
+    scaled down to test size, ends with skew=true on the join node."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(60_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id"))
+            .alias("k"),
+            F.md5(F.col("id").cast("string")).alias("payload"),
+        )
+        right = spark.range(2_000).select(
+            F.col("id").alias("k"), F.lit("dim").alias("d")
+        )
+        joined = left.join(right, on="k")
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
