@@ -153,6 +153,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q74_grouping_sets": Q.q74_grouping_sets,
         "q75_typed_json_parse": Q.q75_typed_json_parse,
         "q76_resample_forward_fill": Q.q76_resample_forward_fill,
+        "q77_edit_distance_rerank": Q.q77_edit_distance_rerank,
+        "q78_calendar_rollup": Q.q78_calendar_rollup,
     }
 
 
@@ -1213,5 +1215,32 @@ def oracle_sql() -> dict[str, str]:
             FROM grid g
             LEFT JOIN slot_val sv
               ON sv.user_id = g.user_id AND sv.slot = g.slot
+        """,
+        "q77_edit_distance_rerank": f"""
+            WITH sig AS ({_SIG_SQL}),
+            cands AS (
+              SELECT DISTINCT l.id AS a, r.id AS b
+              FROM sig l JOIN sig r
+                ON l.band = r.band AND l.minhash = r.minhash AND l.id < r.id),
+            norms AS (SELECT doc_id, {_NORM} AS norm FROM documents)
+            SELECT a, b,
+                   levenshtein(na.norm, nb.norm) AS dist,
+                   CAST(length(na.norm) AS INTEGER) AS len_a,
+                   CAST(length(nb.norm) AS INTEGER) AS len_b,
+                   1 - levenshtein(na.norm, nb.norm)
+                       / greatest(length(na.norm), length(nb.norm)) AS sim
+            FROM cands
+            JOIN norms na ON na.doc_id = a
+            JOIN norms nb ON nb.doc_id = b
+        """,
+        "q78_calendar_rollup": f"""
+            SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+                   CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+                   CAST(month(o_orderdate) AS INTEGER) AS mo,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS {_DEC})) AS DOUBLE)
+                     AS revenue
+            FROM orders
+            GROUP BY 1, 2, 3
         """,
     }

@@ -1335,6 +1335,52 @@ def q76_resample_forward_fill(spark, sf):
     )
 
 
+def q77_edit_distance_rerank(spark, sf):
+    """Edit-distance rerank of LSH candidates: exact Levenshtein on the
+    normalized text of candidate pairs ONLY (never all-pairs — the LSH
+    stage bounds the quadratic step, the standard candidate-then-verify
+    split). Similarity = 1 - d/max(len); integer arithmetic end to end."""
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", TX.normalize_text("text").alias("norm")
+    )
+    sig = DD.minhash_signatures(_t(spark, sf, "documents"), "doc_id", "text")
+    cands = DD.lsh_candidate_pairs(sig)
+    na = docs.select(F.col("doc_id").alias("a"), F.col("norm").alias("norm_a"))
+    nb = docs.select(F.col("doc_id").alias("b"), F.col("norm").alias("norm_b"))
+    return (
+        cands.join(na, on="a")
+        .join(nb, on="b")
+        .withColumn("dist", F.levenshtein("norm_a", "norm_b"))
+        .withColumn("len_a", F.length("norm_a"))
+        .withColumn("len_b", F.length("norm_b"))
+        .withColumn(
+            "sim",
+            1 - F.col("dist") / F.greatest("len_a", "len_b"),
+        )
+        .select("a", "b", "dist", "len_a", "len_b", "sim")
+    )
+
+
+def q78_calendar_rollup(spark, sf):
+    """Calendar-dimension rollup: order counts and decimal-exact revenue by
+    (year, quarter, month) extracted from the order date — the date
+    scalar-function family (§2.10) over one hash-agg shuffle."""
+    orders = _t(spark, sf, "orders")
+    return (
+        orders.select(
+            F.year("o_orderdate").alias("yr"),
+            F.quarter("o_orderdate").alias("qtr"),
+            F.month("o_orderdate").alias("mo"),
+            F.col("o_totalprice"),
+        )
+        .groupBy("yr", "qtr", "mo")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_d("o_totalprice")).cast("double").alias("revenue"),
+        )
+    )
+
+
 def q51_range_join(spark, sf):
     """Binned interval-containment join (temporal.range_join): events falling
     inside the 1-hour window opened by each purchase of the same user.

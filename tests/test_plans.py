@@ -121,6 +121,10 @@ SHUFFLE_BUDGET = {
     # q76: (user_id,slot) latest-window + one user_id shuffle shared by
     # span agg, grid join, and the forward-fill window
     "q76_resample_forward_fill": 2,
+    # q77: candidate-pair dedup shuffle; norm lookups broadcast back
+    "q77_edit_distance_rerank": 1,
+    # q78: one hash-agg over the extracted calendar keys
+    "q78_calendar_rollup": 1,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
