@@ -32,6 +32,8 @@ HEADLINE = [
     "q56_sequence_packing",
     "q57_centroid_outliers",
     "q58_grouped_percentiles",
+    "q63_heavy_hitters",
+    "q76_resample_forward_fill",
 ]
 
 

@@ -78,3 +78,41 @@ def test_jdbc_scan_via_embedded_derby(spark):
     )
     rows = {r.CHEMICAL_ID: (r.CASRN, r.PREFERRED_NAME) for r in df.collect()}
     assert rows == {1: ("50-00-0", "formaldehyde"), 2: ("50-78-2", "aspirin")}
+
+
+def test_cli_handlers(spark, sf_dir, tmp_path, capsys):
+    """CLI surface: list names, run a query, harmonize a staging dir —
+    handlers invoked in-process with the fixture session."""
+    import json as _json
+
+    import pandas as pd
+
+    from chemharmony_spark.__main__ import build_parser, cmd_list
+
+    parser = build_parser()
+    assert cmd_list(spark, None) == 0
+    out = capsys.readouterr().out
+    assert "q01_pricing_summary" in out and "q78_calendar_rollup" in out
+
+    args = parser.parse_args(["query", "q07_distinct", "--sf-dir", sf_dir])
+    assert args.fn(spark, args) == 0
+    assert "l_returnflag" in capsys.readouterr().out
+
+    staging = tmp_path / "staging"
+    for src in ("sA", "sB"):
+        d = staging / src
+        d.mkdir(parents=True)
+        pd.DataFrame({"sid": [f"{src}-s"], "data": [_json.dumps({"n": src})]}
+                     ).to_parquet(d / "substances.parquet")
+        pd.DataFrame({"pid": [f"{src}-p"], "data": [_json.dumps({"a": 1})]}
+                     ).to_parquet(d / "properties.parquet")
+        pd.DataFrame({"aid": [f"{src}-a"], "sid": [f"{src}-s"],
+                      "pid": [f"{src}-p"], "inchi": ["InChI=1S/H2O/h1H2"],
+                      "value": ["positive"]}).to_parquet(d / "activities.parquet")
+    args = parser.parse_args([
+        "harmonize", "--staging", str(staging), "--sources", "sA,sB",
+        "--out", str(tmp_path / "brick"),
+    ])
+    assert args.fn(spark, args) == 0
+    acts = spark.read.parquet(str(tmp_path / "brick" / "activities.parquet"))
+    assert acts.count() == 2
