@@ -238,6 +238,40 @@ def stratified_sample_exact(
     )
 
 
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: Mapping[str, float],
+    out_col: str = "split",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: buckets of md5(salt:key)
+    proportioned by ``weights``. Unlike randomSplit this is stable across
+    runs, engines, partitionings, and retries, rows with the same key
+    always land in the same split (no leakage between train and eval when
+    a document appears twice), and membership is reproducible from the key
+    alone — no assignment table to persist.
+    """
+    total = sum(weights.values())
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    u = h / F.lit(float(16 ** 8))
+    expr: Column | None = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        branch = F.when(u < acc, F.lit(name))
+        expr = branch if expr is None else expr.when(u < acc, F.lit(name))
+    out = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn(out_col, out)
+
+
 def grouped_percentiles_disc(
     df: DataFrame,
     keys: Sequence[str],

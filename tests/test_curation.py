@@ -231,3 +231,28 @@ def test_group_centroid_cosine_matches_numpy(spark):
         c = mates.sum(axis=0)
         cos = float(q[i] @ c / (math.sqrt(q[i] @ q[i]) * math.sqrt(c @ c)))
         assert abs(got[i] - math.floor(cos * 1_000_000)) <= 1, (i, got[i], cos)
+
+
+def test_hash_split_deterministic_disjoint_proportioned(spark):
+    from chemharmony_spark.operators.core import hash_split
+
+    df = spark.range(10_000).select(F.col("id").alias("k"))
+    split = hash_split(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in
+              split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] - 8000) < 300
+    assert abs(counts["val"] - 1000) < 150
+    assert abs(counts["test"] - 1000) < 150
+    # stable across partitioning and repeated evaluation
+    a = sorted(map(tuple, split.select("k", "split").collect()))
+    b = sorted(map(tuple,
+                   hash_split(df.repartition(13), "k",
+                              {"train": 0.8, "val": 0.1, "test": 0.1})
+                   .select("k", "split").collect()))
+    assert a == b
+    # same key -> same split even across duplicate rows
+    dup = df.union(df)
+    n_distinct = (hash_split(dup, "k", {"train": 0.5, "test": 0.5})
+                  .select("k", "split").distinct().count())
+    assert n_distinct == 10_000
