@@ -205,3 +205,84 @@ def extract_features(df: DataFrame, id_col: str = "doc_id",
             )
 
     return df.select(id_col, payload_col).mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("ahash", LongType(), True),
+    ]
+)
+
+
+def ahash64(df: DataFrame, id_col: str = "doc_id",
+            payload_col: str = "payload") -> DataFrame:
+    """64-bit average hash (aHash) of each binary payload — the classic
+    perceptual image fingerprint: downscale, threshold each cell against
+    the mean, pack the bits. Near-identical payloads differ in few bits,
+    so Hamming distance finds visually-duplicate media that byte-exact
+    hashing misses.
+
+    The stub 'decode' average-pools the raw byte stream into 64 cells —
+    locality-preserving exactly like a real downscale (a small payload
+    edit perturbs one cell), so the Hamming-space behavior is faithful;
+    with PIL the same pooling runs over real grayscale pixels. One
+    mapInPandas pass, no shuffle."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for p in pdf[payload_col]:
+                arr = np.frombuffer(bytes(p), dtype=np.uint8).astype("float64")
+                if arr.size == 0:
+                    out.append(0)
+                    continue
+                cells = np.array(
+                    [c.mean() for c in np.array_split(arr, 64)], dtype="float64"
+                )
+                bits = cells > cells.mean()
+                val = 0
+                for b in bits:
+                    val = (val << 1) | int(b)
+                # two's-complement into a signed 64-bit long
+                if val >= 1 << 63:
+                    val -= 1 << 64
+                out.append(val)
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "ahash": out}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, AHASH_SCHEMA)
+
+
+def ahash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Near-duplicate media pairs by aHash Hamming distance: band the 64
+    bits into 4x16-bit keys (a pair within ``max_hamming`` <= 15 bits must
+    agree on at least one band — pigeonhole), equi-join per band, then one
+    exact xor+bit_count filter. Same candidate-then-verify shape as the
+    SimHash text path; never an all-pairs comparison."""
+    h = hashes.select(F.col("doc_id").alias("id"), "ahash")
+    bands = [
+        F.shiftrightunsigned(F.col("ahash"), 16 * b).bitwiseAND(F.lit(0xFFFF))
+        .alias(f"band{b}")
+        for b in range(4)
+    ]
+    banded = h.select("id", "ahash", *bands)
+    cand = None
+    for b in range(4):
+        l = banded.select(F.col("id").alias("a"), F.col("ahash").alias("ha"),
+                          F.col(f"band{b}").alias("k"))
+        r = banded.select(F.col("id").alias("b"), F.col("ahash").alias("hb"),
+                          F.col(f"band{b}").alias("k"))
+        p = l.join(r, on="k").where(F.col("a") < F.col("b")).drop("k")
+        cand = p if cand is None else cand.unionByName(p)
+    return (
+        cand.dropDuplicates(["a", "b"])
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

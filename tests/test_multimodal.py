@@ -45,3 +45,41 @@ def test_feature_extraction_shape(spark, sf_dir):
     for r in feats:
         vals = [float(x) for x in r.features.split(",")]
         assert len(vals) == 8 and all(0.0 <= v <= 1.0 for v in vals)
+
+
+def test_ahash_locality_and_near_dup_pairs(spark):
+    """aHash: identical payloads collide; a one-char edit stays within a
+    few bits (locality of the pooled decode); unrelated payloads sit near
+    32 bits; the banded pair join finds exactly the near-dup pairs."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from chemharmony_spark.operators.multimodal import (
+        ahash64,
+        ahash_near_dup_pairs,
+        attach_binary_payload,
+    )
+
+    rng = random.Random(3)
+    base = "".join(rng.choice("abcdefgh ") for _ in range(512))
+    edited = base[:200] + "X" + base[201:]          # one-char edit
+    other = "".join(rng.choice("zyxwvuts ") for _ in range(512))
+    df = attach_binary_payload(
+        spark.createDataFrame(
+            [(0, base), (1, base), (2, edited), (3, other)],
+            "doc_id long, text string",
+        )
+    )
+    hashes = ahash64(df)
+    h = {r["doc_id"]: r["ahash"] for r in hashes.collect()}
+    assert h[0] == h[1]
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham(h[0], h[2]) <= 6, ham(h[0], h[2])
+    assert ham(h[0], h[3]) > 10, ham(h[0], h[3])
+
+    pairs = {(r["a"], r["b"]): r["hamming"]
+             for r in ahash_near_dup_pairs(hashes, max_hamming=6).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 0
+    assert (0, 2) in pairs and (1, 2) in pairs
+    assert (0, 3) not in pairs and (2, 3) not in pairs
