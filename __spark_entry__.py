@@ -155,6 +155,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q76_resample_forward_fill": Q.q76_resample_forward_fill,
         "q77_edit_distance_rerank": Q.q77_edit_distance_rerank,
         "q78_calendar_rollup": Q.q78_calendar_rollup,
+        "q79_media_near_dups": Q.q79_media_near_dups,
     }
 
 
@@ -1242,5 +1243,52 @@ def oracle_sql() -> dict[str, str]:
                      AS revenue
             FROM orders
             GROUP BY 1, 2, 3
+        """,
+        "q79_media_near_dups": """
+            WITH codes AS (
+              SELECT doc_id,
+                     [ord(substr(text, p, 1))
+                      for p in generate_series(1, length(text))] AS cs,
+                     length(text) AS n
+              FROM documents),
+            sums AS (
+              SELECT doc_id, cs, n,
+                     CAST(list_aggregate(cs, 'sum') AS BIGINT) AS total
+              FROM codes WHERE n > 0),
+            -- np.array_split semantics: first (n % 64) cells get an extra
+            -- element; cell i (0-based) starts at i*q + least(i, r)
+            hashes AS (
+              SELECT doc_id,
+                     CAST(list_aggregate(
+                       [CASE WHEN (CASE WHEN i < (n % 64)
+                                        THEN (n // 64) + 1
+                                        ELSE (n // 64) END) > 0
+                                  AND CAST(COALESCE(list_aggregate(
+                                        cs[(i * (n // 64) + least(i, n % 64) + 1):
+                                           (i * (n // 64) + least(i, n % 64)
+                                            + (CASE WHEN i < (n % 64)
+                                                    THEN (n // 64) + 1
+                                                    ELSE (n // 64) END))],
+                                        'sum'), 0) AS HUGEINT) * n
+                                      > CAST(total AS HUGEINT)
+                                        * (CASE WHEN i < (n % 64)
+                                                THEN (n // 64) + 1
+                                                ELSE (n // 64) END)
+                             THEN CAST(1 AS HUGEINT) << (63 - i)
+                             ELSE CAST(0 AS HUGEINT) END
+                        for i in generate_series(0, 63)], 'sum') AS HUGEINT)
+                       AS uval
+              FROM sums),
+            signed AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN uval >= CAST(1 AS HUGEINT) << 63
+                               THEN uval - (CAST(1 AS HUGEINT) << 64)
+                               ELSE uval END AS BIGINT) AS ahash
+              FROM hashes)
+            SELECT l.doc_id AS a, r.doc_id AS b,
+                   CAST(bit_count(xor(l.ahash, r.ahash)) AS INTEGER)
+                     AS hamming
+            FROM signed l JOIN signed r ON l.doc_id < r.doc_id
+            WHERE bit_count(xor(l.ahash, r.ahash)) <= 10
         """,
     }

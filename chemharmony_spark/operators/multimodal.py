@@ -227,24 +227,29 @@ def ahash64(df: DataFrame, id_col: str = "doc_id",
     locality-preserving exactly like a real downscale (a small payload
     edit perturbs one cell), so the Hamming-space behavior is faithful;
     with PIL the same pooling runs over real grayscale pixels. One
-    mapInPandas pass, no shuffle."""
+    mapInPandas pass, no shuffle.
+
+    The threshold is *integer-exact*: bit_i = (cell_sum_i * n_bytes >
+    total_sum * cell_len_i) — cross-multiplication instead of float means,
+    so the hash is bit-identical in any engine and the whole op is
+    DuckDB-oracle-checkable (q79) despite being a Python mapInPandas."""
     import numpy as np
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = []
             for p in pdf[payload_col]:
-                arr = np.frombuffer(bytes(p), dtype=np.uint8).astype("float64")
-                if arr.size == 0:
+                arr = np.frombuffer(bytes(p), dtype=np.uint8)
+                n = int(arr.size)
+                if n == 0:
                     out.append(0)
                     continue
-                cells = np.array(
-                    [c.mean() for c in np.array_split(arr, 64)], dtype="float64"
-                )
-                bits = cells > cells.mean()
+                total = int(arr.sum(dtype="int64"))
                 val = 0
-                for b in bits:
-                    val = (val << 1) | int(b)
+                for c in np.array_split(arr, 64):
+                    s, ln = int(c.sum(dtype="int64")), int(c.size)
+                    bit = 1 if s * n > total * ln else 0
+                    val = (val << 1) | bit
                 # two's-complement into a signed 64-bit long
                 if val >= 1 << 63:
                     val -= 1 << 64

@@ -1381,6 +1381,20 @@ def q78_calendar_rollup(spark, sf):
     )
 
 
+def q79_media_near_dups(spark, sf):
+    """Perceptual-hash media dedup, fully oracle-checked DESPITE being a
+    Python mapInPandas op: the aHash threshold is integer cross-multiplied
+    (multimodal.ahash64), so DuckDB reproduces every bit from the same
+    bytes. Banded candidate join + exact Hamming filter; the band scheme
+    is pigeonhole-complete for the threshold, so the oracle's all-pairs
+    formulation yields the identical pair set."""
+    docs = MM.attach_binary_payload(_t(spark, sf, "documents"), "text")
+    # persist: the banded self-join references the hash frame 8 times —
+    # without it the Python hashing pass re-runs per band side
+    hashes = MM.ahash64(docs).persist()
+    return MM.ahash_near_dup_pairs(hashes, max_hamming=10)
+
+
 def q51_range_join(spark, sf):
     """Binned interval-containment join (temporal.range_join): events falling
     inside the 1-hour window opened by each purchase of the same user.

@@ -125,6 +125,8 @@ SHUFFLE_BUDGET = {
     "q77_edit_distance_rerank": 1,
     # q78: one hash-agg over the extracted calendar keys
     "q78_calendar_rollup": 1,
+    # q79: persisted hash frame -> banded joins broadcast; one dedup shuffle
+    "q79_media_near_dups": 1,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
