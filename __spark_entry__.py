@@ -156,6 +156,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q77_edit_distance_rerank": Q.q77_edit_distance_rerank,
         "q78_calendar_rollup": Q.q78_calendar_rollup,
         "q79_media_near_dups": Q.q79_media_near_dups,
+        "q80_corpus_splits": Q.q80_corpus_splits,
     }
 
 
@@ -1290,5 +1291,30 @@ def oracle_sql() -> dict[str, str]:
                      AS hamming
             FROM signed l JOIN signed r ON l.doc_id < r.doc_id
             WHERE bit_count(xor(l.ahash, r.ahash)) <= 10
+        """,
+        "q80_corpus_splits": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            c AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) > 0 THEN
+                       [toks[(i * 50 + 1):least((i + 1) * 50, len(toks))]
+                        for i in generate_series(0, (len(toks) - 1) // 50)]
+                     ELSE []::VARCHAR[][] END AS chunks
+              FROM t),
+            e AS (SELECT doc_id, unnest(chunks) AS ctoks FROM c),
+            assigned AS (
+              SELECT doc_id, len(ctoks) AS nct,
+                     ({_hex4("md5('split:' || CAST(doc_id AS VARCHAR))", 1)}
+                      * 65536.0
+                      + {_hex4("md5('split:' || CAST(doc_id AS VARCHAR))", 5)})
+                     / 4294967296.0 AS u
+              FROM e)
+            SELECT CASE WHEN u < 0.8 THEN 'train'
+                        WHEN u < 0.9 THEN 'val'
+                        ELSE 'test' END AS split,
+                   COUNT(*) AS n_chunks,
+                   CAST(SUM(nct) AS BIGINT) AS n_tokens,
+                   COUNT(DISTINCT doc_id) AS n_docs
+            FROM assigned GROUP BY 1
         """,
     }

@@ -1395,6 +1395,26 @@ def q79_media_near_dups(spark, sf):
     return MM.ahash_near_dup_pairs(hashes, max_hamming=10)
 
 
+def q80_corpus_splits(spark, sf):
+    """Capstone composite: chunk every document into 50-token windows
+    (chunk_tokens), assign train/val/test by hashed doc_id (hash_split —
+    all of a doc's chunks land in one split, no leakage), and roll up
+    chunk/token/doc counts per split. Zero-shuffle until the final
+    3-group agg."""
+    from chemharmony_spark.operators.core import hash_split
+
+    docs = _t(spark, sf, "documents")
+    chunks = TX.chunk_tokens(docs, "text", chunk_size=50,
+                             keep_cols=("doc_id",))
+    split = hash_split(chunks, "doc_id",
+                       {"train": 0.8, "val": 0.1, "test": 0.1})
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_chunk_tokens").alias("n_tokens"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+
+
 def q51_range_join(spark, sf):
     """Binned interval-containment join (temporal.range_join): events falling
     inside the 1-hour window opened by each purchase of the same user.

@@ -127,6 +127,8 @@ SHUFFLE_BUDGET = {
     "q78_calendar_rollup": 1,
     # q79: persisted hash frame -> banded joins broadcast; one dedup shuffle
     "q79_media_near_dups": 1,
+    # q80: count_distinct expands to two agg exchanges over 3 groups
+    "q80_corpus_splits": 2,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
