@@ -157,6 +157,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q78_calendar_rollup": Q.q78_calendar_rollup,
         "q79_media_near_dups": Q.q79_media_near_dups,
         "q80_corpus_splits": Q.q80_corpus_splits,
+        "q81_winsorize": Q.q81_winsorize,
+        "q82_prefix_filter_join": Q.q82_prefix_filter_join,
     }
 
 
@@ -1316,5 +1318,69 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(nct) AS BIGINT) AS n_tokens,
                    COUNT(DISTINCT doc_id) AS n_docs
             FROM assigned GROUP BY 1
+        """,
+        "q81_winsorize": """
+            WITH ranked AS (
+              SELECT event_type, event_id, value,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                                        ORDER BY value) AS rn,
+                     COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM events),
+            bounds AS (
+              SELECT event_type,
+                     MAX(CASE WHEN rn = greatest(1,
+                           CAST(ceil(0.05 * n) AS BIGINT))
+                         THEN value END) AS p05,
+                     MAX(CASE WHEN rn = greatest(1,
+                           CAST(ceil(0.95 * n) AS BIGINT))
+                         THEN value END) AS p95
+              FROM ranked GROUP BY event_type),
+            capped AS (
+              SELECT e.event_type, e.value,
+                     least(greatest(e.value, b.p05), b.p95) AS v_cap,
+                     b.p05, b.p95
+              FROM events e JOIN bounds b ON e.event_type = b.event_type)
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(CASE WHEN value != v_cap THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_clipped,
+                   CAST(SUM(CAST(v_cap AS DECIMAL(18,2))) AS DOUBLE)
+                     AS sum_capped,
+                   MIN(p05) AS p05, MIN(p95) AS p95
+            FROM capped GROUP BY event_type
+        """,
+        "q82_prefix_filter_join": f"""
+            WITH words AS (
+              SELECT DISTINCT doc_id AS id, unnest(toks) AS w
+              FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)),
+            freq AS (SELECT w, COUNT(*) AS df FROM words GROUP BY w),
+            ordered AS (
+              SELECT id, w,
+                     ROW_NUMBER() OVER (PARTITION BY id
+                                        ORDER BY df, w) AS pos,
+                     COUNT(*) OVER (PARTITION BY id) AS nw
+              FROM words JOIN freq USING (w)),
+            prefix AS (
+              SELECT id, w FROM ordered
+              WHERE pos <= nw - CAST(ceil(0.8 * nw) AS BIGINT) + 1),
+            cands AS (
+              SELECT DISTINCT l.id AS a, r.id AS b
+              FROM prefix l JOIN prefix r
+                ON l.w = r.w AND l.id < r.id),
+            sizes AS (SELECT id, COUNT(*) AS nw FROM words GROUP BY id),
+            inter AS (
+              SELECT a, b, COUNT(*) AS n_inter
+              FROM cands
+              JOIN words wa ON wa.id = a
+              JOIN words wb ON wb.id = b AND wb.w = wa.w
+              GROUP BY a, b)
+            SELECT a, b,
+                   CAST(n_inter AS INTEGER) AS n_inter,
+                   CAST(sa.nw AS INTEGER) AS na,
+                   CAST(sb.nw AS INTEGER) AS nb,
+                   n_inter / (sa.nw + sb.nw - n_inter) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.id = a
+            JOIN sizes sb ON sb.id = b
+            WHERE n_inter / (sa.nw + sb.nw - n_inter) >= 0.8
         """,
     }

@@ -207,3 +207,45 @@ def simhash16(df: DataFrame, id_col: str, text_col: str,
     for j in range(1, 16):
         sig = sig + bit(j)
     return hs.select("id", *carry, sig.alias("simhash"))
+
+
+def prefix_filter_pairs(df: DataFrame, id_col: str, text_col: str,
+                        threshold: float = 0.6) -> DataFrame:
+    """PPJoin-style prefix-filtered candidates for Jaccard >= threshold
+    (Xiao et al., "Efficient Similarity Joins for Near Duplicate
+    Detection", WWW 2008 — public paper): order each doc's distinct tokens
+    by ascending global frequency (rarest first), keep only the first
+    |set| - ceil(t*|set|) + 1 tokens; any pair with Jaccard >= t MUST
+    share a prefix token (pigeonhole on the overlap bound), so the
+    candidate join touches rare tokens only — the high-threshold
+    complement to MinHash LSH (exact recall, no bands to tune).
+
+    Plan: one (id, token) explode + a broadcast vocabulary-frequency join,
+    one window for the in-doc frequency order, then the self-join on
+    prefix tokens. The frequency ordering is what makes it cheap: prefixes
+    are the RARE tokens, so join groups are small by construction (the
+    opposite of the stop-word blowup a naive token join hits).
+    """
+    from pyspark.sql.window import Window
+
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("w"),
+    )
+    freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    ordered = words.join(F.broadcast(freq), on="w").withColumn(
+        "pos",
+        F.row_number().over(
+            Window.partitionBy("id").orderBy("df", "w")
+        ),
+    ).withColumn("nw", F.count(F.lit(1)).over(Window.partitionBy("id")))
+    prefix_len = F.col("nw") - F.ceil(F.lit(threshold) * F.col("nw")) + 1
+    prefix = ordered.where(F.col("pos") <= prefix_len).select("id", "w")
+    left = prefix.select(F.col("id").alias("a"), "w")
+    right = prefix.select(F.col("id").alias("b"), "w")
+    return (
+        left.join(right, on="w")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )

@@ -1415,6 +1415,44 @@ def q80_corpus_splits(spark, sf):
     )
 
 
+def q81_winsorize(spark, sf):
+    """Winsorization: clip event values at their group's exact discrete
+    p05/p95 (grouped_percentiles_disc) — the standard outlier-capping
+    preprocessor. The tiny per-group bounds table broadcasts back, so the
+    fact rows never shuffle; capped sums run in decimal."""
+    from chemharmony_spark.operators.core import grouped_percentiles_disc
+
+    ev = _events(spark, sf).select("event_type", "event_id", "value")
+    bounds = grouped_percentiles_disc(ev, ["event_type"], "value",
+                                      [0.05, 0.95])
+    capped = ev.join(F.broadcast(bounds), on="event_type").withColumn(
+        "v_cap", F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    )
+    return capped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("value") != F.col("v_cap"), 1).otherwise(0)).alias(
+            "n_clipped"
+        ),
+        F.sum(_d("v_cap")).cast("double").alias("sum_capped"),
+        F.min("p05").alias("p05"),
+        F.min("p95").alias("p95"),
+    )
+
+
+def q82_prefix_filter_join(spark, sf):
+    """Exact set-similarity self-join via PPJoin prefix filtering
+    (dedup.prefix_filter_pairs): lossless for its threshold — unlike the
+    MinHash path (q36) there is no recall tuning, candidates touch only
+    each doc's rarest tokens. Verified with the same array-native exact
+    Jaccard."""
+    t = 0.8
+    docs = _t(spark, sf, "documents")
+    cands = DD.prefix_filter_pairs(docs, "doc_id", "text", threshold=t)
+    return DD.jaccard_pairs(docs, cands, "doc_id", "text").where(
+        F.col("jaccard") >= t
+    )
+
+
 def q51_range_join(spark, sf):
     """Binned interval-containment join (temporal.range_join): events falling
     inside the 1-hour window opened by each purchase of the same user.

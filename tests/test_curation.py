@@ -256,3 +256,46 @@ def test_hash_split_deterministic_disjoint_proportioned(spark):
     n_distinct = (hash_split(dup, "k", {"train": 0.5, "test": 0.5})
                   .select("k", "split").distinct().count())
     assert n_distinct == 10_000
+
+
+def test_prefix_filter_complete_vs_allpairs(spark):
+    """Prefix filtering is lossless for its threshold: every pair with
+    Jaccard >= t appears in the candidate set (pigeonhole guarantee),
+    and the candidate count is far below all-pairs."""
+    from chemharmony_spark.operators.dedup import (
+        jaccard_pairs,
+        prefix_filter_pairs,
+    )
+
+    import random
+    rng = random.Random(9)
+    vocab = [f"w{i:03d}" for i in range(60)]
+    docs = []
+    for i in range(40):
+        base = rng.sample(vocab, 12)
+        docs.append((i, " ".join(base)))
+        if i % 4 == 0:  # planted near-dup: one token swapped
+            mod = list(base)
+            mod[0] = rng.choice(vocab)
+            docs.append((100 + i, " ".join(mod)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    t = 0.6
+    cands = prefix_filter_pairs(df, "doc_id", "text", threshold=t)
+    verified = jaccard_pairs(df, cands, "doc_id", "text")
+    got = {(r["a"], r["b"]) for r in
+           verified.where(F.col("jaccard") >= t).collect()}
+
+    ids = [d[0] for d in docs]
+    all_pairs = spark.createDataFrame(
+        [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:] if a < b]
+        + [(b, a) for i, a in enumerate(ids) for b in ids[i + 1:] if b < a],
+        "a long, b long",
+    )
+    truth = {(r["a"], r["b"]) for r in
+             jaccard_pairs(df, all_pairs, "doc_id", "text")
+             .where(F.col("jaccard") >= t).collect()}
+    assert got == truth and len(truth) >= 10
+    # the filter actually filters
+    n_all = all_pairs.count()
+    assert cands.count() < n_all / 2, (cands.count(), n_all)

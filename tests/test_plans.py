@@ -129,6 +129,10 @@ SHUFFLE_BUDGET = {
     "q79_media_near_dups": 1,
     # q80: count_distinct expands to two agg exchanges over 3 groups
     "q80_corpus_splits": 2,
+    # q81: bounds window + final agg; bounds broadcast back (facts unshuffled)
+    "q81_winsorize": 2,
+    # q82: words explode + freq agg + in-doc order window + candidate dedup
+    "q82_prefix_filter_join": 4,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
