@@ -159,6 +159,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q80_corpus_splits": Q.q80_corpus_splits,
         "q81_winsorize": Q.q81_winsorize,
         "q82_prefix_filter_join": Q.q82_prefix_filter_join,
+        "q83_weighted_sample": Q.q83_weighted_sample,
     }
 
 
@@ -1382,5 +1383,21 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.id = a
             JOIN sizes sb ON sb.id = b
             WHERE n_inter / (sa.nw + sb.nw - n_inter) >= 0.8
+        """,
+        "q83_weighted_sample": f"""
+            WITH keyed AS (
+              SELECT o_orderpriority, o_orderkey, o_totalprice,
+                     ln(({_hex4("md5('ws:' || CAST(o_orderkey AS VARCHAR))", 1)}
+                         * 65536.0
+                         + {_hex4("md5('ws:' || CAST(o_orderkey AS VARCHAR))", 5)}
+                         + 1) / 4294967297.0)
+                       / o_totalprice AS es_key
+              FROM orders)
+            SELECT o_orderpriority, o_orderkey, o_totalprice,
+                   CAST(ROW_NUMBER() OVER (
+                     PARTITION BY o_orderpriority
+                     ORDER BY es_key DESC, o_orderkey) AS INTEGER) AS rank
+            FROM keyed
+            QUALIFY rank <= 5
         """,
     }

@@ -272,6 +272,44 @@ def hash_split(
     return df.withColumn(out_col, out)
 
 
+def weighted_sample(
+    df: DataFrame,
+    keys: Sequence[str],
+    weight_col: str,
+    id_col: str,
+    k: int,
+    salt: str = "ws",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement, per group:
+    Efraimidis-Spirakis (2006, public paper) with *hash-derived* uniforms —
+    each row's key is ln(u)/w for u = md5-uniform(salt:id), and the k
+    largest keys per group are the sample. Selection probability is
+    proportional to weight (the E-S theorem), yet the draw is a pure
+    function of (salt, id, weight): reproducible across runs, engines, and
+    partitionings, re-drawable by changing the salt.
+
+    ln only — no pow — so the key is bit-identical cross-engine (pow
+    implementations differ in final ulps; ln is correctly rounded
+    everywhere). One window shuffle via grouped_topk.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    u = (h + 1) / F.lit(float((1 << 32) + 1))
+    key = F.log(u) / F.col(weight_col)
+    ranked = grouped_topk(
+        df.withColumn("__es_key", key),
+        keys,
+        [F.col("__es_key").desc(), F.col(id_col)],
+        k,
+    )
+    return ranked.drop("__es_key")
+
+
 def grouped_percentiles_disc(
     df: DataFrame,
     keys: Sequence[str],

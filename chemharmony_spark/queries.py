@@ -1453,6 +1453,21 @@ def q82_prefix_filter_join(spark, sf):
     )
 
 
+def q83_weighted_sample(spark, sf):
+    """Deterministic weighted sampling (core.weighted_sample): 5 orders per
+    priority with selection probability proportional to o_totalprice —
+    Efraimidis-Spirakis keys from hash uniforms, so the draw hash-matches
+    across engines AND is re-drawable by salt."""
+    from chemharmony_spark.operators.core import weighted_sample
+
+    orders = _t(spark, sf, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    return weighted_sample(
+        orders, ["o_orderpriority"], "o_totalprice", "o_orderkey", k=5
+    )
+
+
 def q51_range_join(spark, sf):
     """Binned interval-containment join (temporal.range_join): events falling
     inside the 1-hour window opened by each purchase of the same user.

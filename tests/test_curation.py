@@ -299,3 +299,38 @@ def test_prefix_filter_complete_vs_allpairs(spark):
     # the filter actually filters
     n_all = all_pairs.count()
     assert cands.count() < n_all / 2, (cands.count(), n_all)
+
+
+def test_weighted_sample_is_weighted_and_deterministic(spark):
+    """E-S hash sampling: per-draw determinism in Spark; weighting law
+    validated in pure Python over 400 salts (the key formula is a pure
+    function of (salt, id, weight), identical in any engine)."""
+    import hashlib
+    import math
+
+    from chemharmony_spark.operators.core import weighted_sample
+
+    rows = [(f"g", i, float(w)) for i, w in enumerate([1, 1, 1, 1, 10, 10])]
+    df = spark.createDataFrame(rows, "g string, id long, w double")
+    a = sorted(r["id"] for r in
+               weighted_sample(df, ["g"], "w", "id", k=2).collect())
+    b = sorted(r["id"] for r in
+               weighted_sample(df.repartition(5), ["g"], "w", "id", k=2)
+               .collect())
+    assert a == b  # partitioning-invariant draw
+
+    # weighting law: items 4,5 (weight 10) must win far more often than
+    # weight-1 items across independent salts
+    wins = [0] * 6
+    weights = [1, 1, 1, 1, 10, 10]
+    for s in range(400):
+        keys = []
+        for i, w in enumerate(weights):
+            h = int(hashlib.md5(f"s{s}:{i}".encode()).hexdigest()[:8], 16)
+            u = (h + 1) / (2**32 + 1)
+            keys.append((math.log(u) / w, i))
+        for _, i in sorted(keys, reverse=True)[:2]:
+            wins[i] += 1
+    heavy = wins[4] + wins[5]
+    light = sum(wins[:4])
+    assert heavy > 3 * light, wins

@@ -133,6 +133,8 @@ SHUFFLE_BUDGET = {
     "q81_winsorize": 2,
     # q82: words explode + freq agg + in-doc order window + candidate dedup
     "q82_prefix_filter_join": 4,
+    # q83: one per-group selection window (E-S keys computed in the scan)
+    "q83_weighted_sample": 1,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
