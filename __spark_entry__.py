@@ -160,6 +160,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q81_winsorize": Q.q81_winsorize,
         "q82_prefix_filter_join": Q.q82_prefix_filter_join,
         "q83_weighted_sample": Q.q83_weighted_sample,
+        "q84_value_histogram": Q.q84_value_histogram,
     }
 
 
@@ -1399,5 +1400,16 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY es_key DESC, o_orderkey) AS INTEGER) AS rank
             FROM keyed
             QUALIFY rank <= 5
+        """,
+        "q84_value_histogram": """
+            SELECT event_type,
+                   CAST(CASE WHEN value < 0.0 THEN 0
+                             WHEN value >= 100.0 THEN 21
+                             ELSE floor(value / 5.0) + 1 END AS BIGINT)
+                     AS bucket,
+                   COUNT(*) AS n,
+                   MIN(value) AS lo, MAX(value) AS hi
+            FROM events
+            GROUP BY 1, 2
         """,
     }

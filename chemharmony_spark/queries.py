@@ -1468,6 +1468,30 @@ def q83_weighted_sample(spark, sf):
     )
 
 
+def q84_value_histogram(spark, sf):
+    """Equi-width histogram of event values per type (width_bucket
+    semantics spelled as explicit floor arithmetic — identical in any
+    engine: below-range → 0, at-or-above max → n+1). The binning is a
+    scalar expression in the scan stage; one hash-agg shuffle over
+    (type, bucket)."""
+    ev = _events(spark, sf).select("event_type", "value")
+    v = F.col("value")
+    bucket = (
+        F.when(v < 0.0, F.lit(0))
+        .when(v >= 100.0, F.lit(21))
+        .otherwise(F.floor(v / 5.0) + 1)
+    ).cast("long")
+    return (
+        ev.withColumn("bucket", bucket)
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )
+
+
 def q51_range_join(spark, sf):
     """Binned interval-containment join (temporal.range_join): events falling
     inside the 1-hour window opened by each purchase of the same user.

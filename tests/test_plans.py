@@ -135,6 +135,8 @@ SHUFFLE_BUDGET = {
     "q82_prefix_filter_join": 4,
     # q83: one per-group selection window (E-S keys computed in the scan)
     "q83_weighted_sample": 1,
+    # q84: binning in the scan stage; one (type, bucket) hash agg
+    "q84_value_histogram": 1,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
