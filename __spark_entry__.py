@@ -161,6 +161,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q82_prefix_filter_join": Q.q82_prefix_filter_join,
         "q83_weighted_sample": Q.q83_weighted_sample,
         "q84_value_histogram": Q.q84_value_histogram,
+        "q85_asof_forward": Q.q85_asof_forward,
     }
 
 
@@ -1411,5 +1412,15 @@ def oracle_sql() -> dict[str, str]:
                    MIN(value) AS lo, MAX(value) AS hi
             FROM events
             GROUP BY 1, 2
+        """,
+        "q85_asof_forward": """
+            SELECT c.user_id, c.event_id, epoch_us(c.ts) AS ts,
+                   c.value AS click_value,
+                   epoch_us(p.ts) AS next_buy_ts,
+                   p.value AS next_buy_value
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            ASOF LEFT JOIN
+                 (SELECT * FROM events WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id AND c.ts <= p.ts
         """,
     }

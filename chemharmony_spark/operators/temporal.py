@@ -44,23 +44,26 @@ def asof_join(
     how: str = "inner",
     tolerance: int | float | None = None,
     right_prefix: str = "r_",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for every left row, attach the latest right row
-    with ``right_ts <= left_ts``, matched on equality keys ``on``.
+    """As-of join: for every left row, attach the nearest right row matched
+    on equality keys ``on`` — ``direction='backward'`` (default) takes the
+    latest right row with ``right_ts <= left_ts``; ``direction='forward'``
+    the earliest with ``right_ts >= left_ts``.
 
     Semantics match DuckDB ``ASOF JOIN`` / pandas ``merge_asof``
-    (inclusive at equality). ``how`` is ``inner`` (drop unmatched left
-    rows) or ``left`` (keep them with null right payload). ``tolerance``
-    (same units as the ts columns) rejects matches older than
-    ``left_ts - tolerance``. Ties between right rows sharing
-    (keys, right_ts) are broken arbitrarily — pre-dedupe the right side
-    if that matters (as the oracle query does).
+    (inclusive at equality, both directions). ``how`` is ``inner`` (drop
+    unmatched left rows) or ``left`` (keep them with null right payload).
+    ``tolerance`` (same units as the ts columns) rejects matches further
+    than ``tolerance`` from ``left_ts`` in the join direction. Ties
+    between right rows sharing (keys, right_ts) are broken arbitrarily —
+    pre-dedupe the right side if that matters (as the oracle query does).
 
     Plan: tag each side, union with null-padded payloads, sort each key
-    partition by (ts, side) — right rows sort before left rows at equal
-    ts, which is exactly the inclusive-at-equality rule — and carry the
-    right payload forward with ``last(..., ignorenulls=True)`` over an
-    unbounded-preceding row frame. One shuffle total, all built-ins.
+    partition by ts with the right side ordered toward the frame — and
+    carry the right payload across with ``last``/``first`` (ignorenulls)
+    over an unbounded row frame pointing backward/forward. One shuffle
+    total, all built-ins, either direction.
     """
     keys = [on] if isinstance(on, str) else list(on)
     if right_cols is None:
@@ -86,21 +89,41 @@ def asof_join(
         *[F.col(c).alias(right_prefix + c) for c in [right_ts, *right_cols]],
     )
 
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy("__ts", "__side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    if direction == "backward":
+        # right rows (side 0) sort BEFORE left rows at equal ts -> a right
+        # row at the same ts is inside the preceding frame (inclusive rule)
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy("__ts", "__side")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        pick = F.last
+    elif direction == "forward":
+        # flip the tie order so an equal-ts right row lands in the
+        # FOLLOWING frame, and take the first right payload ahead
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy("__ts", F.col("__side").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        pick = F.first
+    else:
+        raise ValueError(
+            f"asof_join: direction must be 'backward' or 'forward', got {direction!r}"
+        )
     filled = tagged_left.unionByName(tagged_right).select(
         "*",
-        *[F.last(c, ignorenulls=True).over(w).alias("__f_" + c) for c in out_right],
+        *[pick(c, ignorenulls=True).over(w).alias("__f_" + c) for c in out_right],
     )
 
     matched_ts = F.col("__f_" + right_prefix + right_ts)
     result = filled.where(F.col("__side") == 1)
     if tolerance is not None:
-        # A match older than the tolerance is no match at all.
-        in_tol = matched_ts >= F.col("__ts") - F.lit(tolerance)
+        # A match further than the tolerance is no match at all.
+        if direction == "backward":
+            in_tol = matched_ts >= F.col("__ts") - F.lit(tolerance)
+        else:
+            in_tol = matched_ts <= F.col("__ts") + F.lit(tolerance)
         result = result.select(
             *keys,
             "__ts",

@@ -1492,6 +1492,33 @@ def q84_value_histogram(spark, sf):
     )
 
 
+def q85_asof_forward(spark, sf):
+    """Forward as-of join (temporal.asof_join direction='forward'): for
+    every click, the EARLIEST purchase by the same user at-or-after it —
+    the time-to-convert primitive. Same one-shuffle union+window plan as
+    the backward form, frame flipped. DuckDB's ASOF with '<=' is the
+    oracle."""
+    from chemharmony_spark.operators.temporal import asof_join
+
+    ev = _events(spark, sf).withColumn("ts", F.expr("ts div 1000"))
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    j = asof_join(
+        clicks, buys, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["value"], how="left", direction="forward",
+    )
+    return j.select(
+        "user_id", "event_id", "ts",
+        F.col("value").alias("click_value"),
+        F.col("r_ts").alias("next_buy_ts"),
+        F.col("r_value").alias("next_buy_value"),
+    )
+
+
 def q51_range_join(spark, sf):
     """Binned interval-containment join (temporal.range_join): events falling
     inside the 1-hour window opened by each purchase of the same user.

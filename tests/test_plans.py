@@ -137,6 +137,8 @@ SHUFFLE_BUDGET = {
     "q83_weighted_sample": 1,
     # q84: binning in the scan stage; one (type, bucket) hash agg
     "q84_value_histogram": 1,
+    # q85: forward as-of = same union+window single shuffle as q50
+    "q85_asof_forward": 1,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side

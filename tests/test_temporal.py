@@ -146,3 +146,34 @@ def test_range_join_no_keys(spark):
         pts, iv, on=None, point_col="p", start_col="s", end_col="e", bin_width=10
     ).collect()
     assert [(r.p, r.name) for r in out] == [(5, "A")]
+
+
+def test_asof_forward_matches_pandas_merge_asof(spark):
+    """direction='forward' == pandas merge_asof(direction='forward'),
+    including tolerance and unmatched-left behavior."""
+    import pandas as pd
+
+    from chemharmony_spark.operators.temporal import asof_join
+
+    left = [(1, 10), (1, 25), (1, 99), (2, 5)]
+    right = [(1, 12, 1.0), (1, 25, 2.0), (1, 60, 3.0), (2, 4, 9.0)]
+    ldf = spark.createDataFrame(left, "k long, ts long")
+    rdf = spark.createDataFrame(right, "k long, ts long, v double")
+
+    for tol in (None, 10):
+        got = asof_join(
+            ldf, rdf, on="k", right_cols=["v"], how="left",
+            direction="forward", tolerance=tol,
+        ).orderBy("k", "ts").collect()
+        want = pd.merge_asof(
+            pd.DataFrame(left, columns=["k", "ts"]).sort_values("ts"),
+            pd.DataFrame(right, columns=["k", "ts", "v"]).sort_values("ts"),
+            on="ts", by="k", direction="forward",
+            tolerance=tol, suffixes=("", "_r"),
+        ).sort_values(["k", "ts"])
+        for g, (_, w) in zip(got, want.iterrows()):
+            assert (g["k"], g["ts"]) == (w["k"], w["ts"])
+            if pd.isna(w["v"]):
+                assert g["r_v"] is None, (tol, g)
+            else:
+                assert g["r_v"] == w["v"], (tol, g)
