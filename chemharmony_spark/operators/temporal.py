@@ -59,11 +59,16 @@ def asof_join(
     between right rows sharing (keys, right_ts) are broken arbitrarily —
     pre-dedupe the right side if that matters (as the oracle query does).
 
+    ``direction='nearest'`` picks whichever of the two candidates is
+    closer in time (ties -> the backward match, pandas-compatible); both
+    frames run over the SAME sorted partition, so nearest still costs the
+    single shuffle.
+
     Plan: tag each side, union with null-padded payloads, sort each key
     partition by ts with the right side ordered toward the frame — and
     carry the right payload across with ``last``/``first`` (ignorenulls)
     over an unbounded row frame pointing backward/forward. One shuffle
-    total, all built-ins, either direction.
+    total, all built-ins, any direction.
     """
     keys = [on] if isinstance(on, str) else list(on)
     if right_cols is None:
@@ -89,51 +94,77 @@ def asof_join(
         *[F.col(c).alias(right_prefix + c) for c in [right_ts, *right_cols]],
     )
 
-    if direction == "backward":
-        # right rows (side 0) sort BEFORE left rows at equal ts -> a right
-        # row at the same ts is inside the preceding frame (inclusive rule)
-        w = (
-            Window.partitionBy(*keys)
-            .orderBy("__ts", "__side")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        pick = F.last
-    elif direction == "forward":
-        # flip the tie order so an equal-ts right row lands in the
-        # FOLLOWING frame, and take the first right payload ahead
-        w = (
-            Window.partitionBy(*keys)
-            .orderBy("__ts", F.col("__side").desc())
-            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        )
-        pick = F.first
-    else:
+    if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
-            f"asof_join: direction must be 'backward' or 'forward', got {direction!r}"
+            "asof_join: direction must be 'backward', 'forward', or "
+            f"'nearest', got {direction!r}"
         )
-    filled = tagged_left.unionByName(tagged_right).select(
-        "*",
-        *[pick(c, ignorenulls=True).over(w).alias("__f_" + c) for c in out_right],
+    # backward frame: right rows (side 0) sort BEFORE left rows at equal
+    # ts -> an equal-ts right row is inside the preceding frame (inclusive)
+    w_b = (
+        Window.partitionBy(*keys)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-
-    matched_ts = F.col("__f_" + right_prefix + right_ts)
+    # forward frame: flipped tie order so an equal-ts right row lands in
+    # the FOLLOWING frame. Same partition keys -> one exchange serves both.
+    w_f = (
+        Window.partitionBy(*keys)
+        .orderBy("__ts", F.col("__side").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    unioned = tagged_left.unionByName(tagged_right)
+    fills = []
+    if direction in ("backward", "nearest"):
+        fills += [
+            F.last(c, ignorenulls=True).over(w_b).alias("__b_" + c)
+            for c in out_right
+        ]
+    if direction in ("forward", "nearest"):
+        fills += [
+            F.first(c, ignorenulls=True).over(w_f).alias("__fw_" + c)
+            for c in out_right
+        ]
+    filled = unioned.select("*", *fills)
     result = filled.where(F.col("__side") == 1)
+
+    def _tol_gate(prefix: str, cond) -> list[Column]:
+        return [
+            F.when(cond, F.col(prefix + c)).alias(prefix + c) for c in out_right
+        ]
+
+    ts_l = F.col("__ts")
     if tolerance is not None:
         # A match further than the tolerance is no match at all.
-        if direction == "backward":
-            in_tol = matched_ts >= F.col("__ts") - F.lit(tolerance)
-        else:
-            in_tol = matched_ts <= F.col("__ts") + F.lit(tolerance)
-        result = result.select(
-            *keys,
-            "__ts",
-            *left_payload,
-            *[
-                F.when(in_tol, F.col("__f_" + c)).alias("__f_" + c)
-                for c in out_right
-            ],
+        gated: list[Column] = []
+        if direction in ("backward", "nearest"):
+            gated += _tol_gate(
+                "__b_", F.col("__b_" + right_prefix + right_ts) >= ts_l - F.lit(tolerance)
+            )
+        if direction in ("forward", "nearest"):
+            gated += _tol_gate(
+                "__fw_", F.col("__fw_" + right_prefix + right_ts) <= ts_l + F.lit(tolerance)
+            )
+        result = result.select(*keys, "__ts", *left_payload, *gated)
+
+    if direction == "backward":
+        picked = [F.col("__b_" + c).alias("__f_" + c) for c in out_right]
+    elif direction == "forward":
+        picked = [F.col("__fw_" + c).alias("__f_" + c) for c in out_right]
+    else:
+        # nearest: the closer candidate wins; ties -> backward (pandas rule)
+        b_ts = F.col("__b_" + right_prefix + right_ts)
+        f_ts = F.col("__fw_" + right_prefix + right_ts)
+        use_b = b_ts.isNotNull() & (
+            f_ts.isNull() | ((ts_l - b_ts) <= (f_ts - ts_l))
         )
-        matched_ts = F.col("__f_" + right_prefix + right_ts)
+        picked = [
+            F.when(use_b, F.col("__b_" + c)).otherwise(F.col("__fw_" + c))
+            .alias("__f_" + c)
+            for c in out_right
+        ]
+    result = result.select(*keys, "__ts", *left_payload, *picked)
+    matched_ts = F.col("__f_" + right_prefix + right_ts)
     if how == "inner":
         result = result.where(matched_ts.isNotNull())
     elif how != "left":

@@ -177,3 +177,42 @@ def test_asof_forward_matches_pandas_merge_asof(spark):
                 assert g["r_v"] is None, (tol, g)
             else:
                 assert g["r_v"] == w["v"], (tol, g)
+
+
+def test_asof_nearest_matches_pandas(spark):
+    """direction='nearest' == pandas merge_asof(direction='nearest'),
+    with the backward-on-tie rule; still a single-exchange plan."""
+    import pandas as pd
+
+    from chemharmony_spark.operators.temporal import asof_join
+
+    left = [(1, 10), (1, 20), (1, 99), (2, 5), (3, 1)]
+    right = [(1, 8, 1.0), (1, 26, 2.0), (1, 60, 3.0), (2, 4, 9.0)]
+    ldf = spark.createDataFrame(left, "k long, ts long")
+    rdf = spark.createDataFrame(right, "k long, ts long, v double")
+    j = asof_join(ldf, rdf, on="k", right_cols=["v"], how="left",
+                  direction="nearest")
+    got = {(r["k"], r["ts"]): r["r_v"] for r in j.collect()}
+    want = pd.merge_asof(
+        pd.DataFrame(left, columns=["k", "ts"]).sort_values("ts"),
+        pd.DataFrame(right, columns=["k", "ts", "v"]).sort_values("ts"),
+        on="ts", by="k", direction="nearest", suffixes=("", "_r"),
+    )
+    for _, w in want.iterrows():
+        g = got[(w["k"], w["ts"])]
+        if pd.isna(w["v"]):
+            assert g is None, (w["k"], w["ts"], g)
+        else:
+            assert g == w["v"], (w["k"], w["ts"], g, w["v"])
+    # both frames share the key partitioning: one shuffle boundary in the
+    # static plan (AQE's final string can render the union's exchange
+    # per-branch, so allow that artifact; the structure check is that the
+    # SECOND window sits on a local re-Sort, not another Exchange)
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    n_shuffle = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert n_shuffle <= 2, plan[:500]
+    assert "BroadcastNestedLoopJoin" not in plan
+    import re
+
+    # window -> sort -> window chain with no exchange between them
+    assert re.search(r"Window .*\n\s*\+- Sort .*\n\s*\+- Window", plan), plan[:800]
