@@ -162,6 +162,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q83_weighted_sample": Q.q83_weighted_sample,
         "q84_value_histogram": Q.q84_value_histogram,
         "q85_asof_forward": Q.q85_asof_forward,
+        "q86_grouped_regression": Q.q86_grouped_regression,
     }
 
 
@@ -1422,5 +1423,31 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN
                  (SELECT * FROM events WHERE event_type = 'purchase') p
               ON c.user_id = p.user_id AND c.ts <= p.ts
+        """,
+        "q86_grouped_regression": """
+            WITH stats AS (
+              SELECT l_returnflag, COUNT(*) AS n,
+                     SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+                     SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+                     SUM(CAST(l_quantity AS DECIMAL(18,2))
+                         * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+                     SUM(CAST(l_quantity AS DECIMAL(18,2))
+                         * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+                     SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy
+              FROM lineitem GROUP BY l_returnflag)
+            SELECT l_returnflag, n,
+                   CAST(sx AS DOUBLE) AS sum_x,
+                   CAST(sy AS DOUBLE) AS sum_y,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+                   (CAST(sy AS DOUBLE)
+                    - (CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE))
+                      * CAST(sx AS DOUBLE)) / n AS intercept,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r
+            FROM stats
         """,
     }

@@ -1519,6 +1519,42 @@ def q85_asof_forward(spark, sf):
     )
 
 
+def q86_grouped_regression(spark, sf):
+    """Grouped Pearson correlation + OLS slope/intercept of extendedprice
+    on quantity. Built-in corr()/regr_slope() stream doubles in partition
+    order — not reproducible — so this computes *decimal-exact sufficient
+    statistics* (Sx, Sy, Sxy, Sxx, Syy) in one agg and derives the
+    estimators in double from exact inputs: identical bits in any engine.
+    One hash-agg shuffle."""
+    li = _t(spark, sf, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    stats = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    n = F.col("n")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dxx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dyy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = num / dxx
+    return stats.select(
+        "l_returnflag", "n",
+        F.col("sx").cast("double").alias("sum_x"),
+        F.col("sy").cast("double").alias("sum_y"),
+        slope.alias("slope"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / n
+        ).alias("intercept"),
+        (num / (F.sqrt(dxx) * F.sqrt(dyy))).alias("r"),
+    )
+
+
 def q51_range_join(spark, sf):
     """Binned interval-containment join (temporal.range_join): events falling
     inside the 1-hour window opened by each purchase of the same user.

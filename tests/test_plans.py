@@ -139,6 +139,8 @@ SHUFFLE_BUDGET = {
     "q84_value_histogram": 1,
     # q85: forward as-of = same union+window single shuffle as q50
     "q85_asof_forward": 1,
+    # q86: one hash agg computes all five sufficient statistics
+    "q86_grouped_regression": 1,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
