@@ -163,6 +163,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q84_value_histogram": Q.q84_value_histogram,
         "q85_asof_forward": Q.q85_asof_forward,
         "q86_grouped_regression": Q.q86_grouped_regression,
+        "q87_token_entropy": Q.q87_token_entropy,
     }
 
 
@@ -1449,5 +1450,34 @@ def oracle_sql() -> dict[str, str]:
                      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
                         * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r
             FROM stats
+        """,
+        "q87_token_entropy": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            g AS (
+              SELECT doc_id, tok, COUNT(*) AS c
+              FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+              GROUP BY doc_id, tok),
+            counts AS (
+              SELECT doc_id, list(c ORDER BY tok) AS cs
+              FROM g GROUP BY doc_id)
+            SELECT t.doc_id,
+                   CAST(len(t.toks) AS INTEGER) AS n_tokens,
+                   CASE WHEN len(t.toks) > 0 THEN
+                     CAST(floor((ln(CAST(len(t.toks) AS DOUBLE))
+                       - list_reduce(
+                           list_transform(counts.cs,
+                             c -> CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))),
+                           (a, b) -> a + b) / len(t.toks)) * 1000000)
+                       AS BIGINT)
+                   END AS entropy_micro,
+                   CASE WHEN len(t.toks) > 0 THEN
+                     CAST(floor((ln(CAST(len(t.toks) AS DOUBLE))
+                       - list_reduce(
+                           list_transform(counts.cs,
+                             c -> CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))),
+                           (a, b) -> a + b) / len(t.toks)) * 1000000)
+                       AS BIGINT) < 2000000
+                   END AS is_low_entropy
+            FROM t LEFT JOIN counts ON t.doc_id = counts.doc_id
         """,
     }

@@ -287,6 +287,50 @@ def repetition_features(df: DataFrame, text_col: str = "text",
     )
 
 
+def token_entropy(col: Column | str) -> Column:
+    """Shannon entropy (nats) of the document's token distribution:
+    H = ln(n) - (1/n) * sum(c_i * ln(c_i)) over per-token counts c_i.
+    Low entropy = repetitive/keyword-stuffed text (the information-theoretic
+    cousin of the Gopher repetition filters).
+
+    Shuffle-free AND cross-engine exact: counts are run lengths of the
+    SORTED token array (one fold), and the c*ln(c) terms are folded in
+    that same sorted order — a sequential left fold, the operation DuckDB's
+    ordered ``list_reduce`` reproduces bit-for-bit. A groupBy-based count
+    would sum doubles in partition order and lose that.
+    """
+    toks = F.array_sort(tokens(col))
+    n = F.size(toks)
+    # run lengths of the sorted array: fold to struct(prev, run, counts[])
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("int").alias("run"),
+        F.array().cast("array<int>").alias("counts"),
+    )
+
+    def _merge(acc: Column, x: Column) -> Column:
+        same = acc["prev"].isNotNull() & (x == acc["prev"])
+        run = F.when(same, acc["run"] + 1).otherwise(F.lit(1))
+        counts = F.when(
+            same | acc["prev"].isNull(), acc["counts"]
+        ).otherwise(F.concat(acc["counts"], F.array(acc["run"])))
+        return F.struct(x.alias("prev"), run.alias("run"), counts.alias("counts"))
+
+    def _finish(acc: Column) -> Column:
+        return F.when(
+            acc["prev"].isNotNull(),
+            F.concat(acc["counts"], F.array(acc["run"])),
+        ).otherwise(acc["counts"])
+
+    counts = F.aggregate(toks, acc0, _merge, _finish)
+    clnc = F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda a, c: a + c.cast("double") * F.log(c.cast("double")),
+    )
+    return F.when(n > 0, F.log(n.cast("double")) - clnc / n)
+
+
 def langid_scores(df: DataFrame, text_col: str = "text",
                   markers: dict[str, tuple[str, ...]] | None = None) -> DataFrame:
     """Stopword-marker language ID: for each candidate language, count how

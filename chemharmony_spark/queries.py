@@ -1555,6 +1555,22 @@ def q86_grouped_regression(spark, sf):
     )
 
 
+def q87_token_entropy(spark, sf):
+    """Per-document Shannon entropy of the token distribution
+    (text.token_entropy) with a low-entropy spam flag — zero shuffles,
+    and cross-engine exact because the c*ln(c) terms fold in sorted-token
+    order on both engines (sequential fold ≙ DuckDB ordered list_reduce)."""
+    docs = _t(spark, sf, "documents")
+    ent = TX.token_entropy("text")
+    # floor-micro the result: Java's Math.log is 1-ulp, not correctly
+    # rounded, so raw double entropies differ from libm in the last digit
+    return docs.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        F.floor(ent * 1_000_000).cast("long").alias("entropy_micro"),
+    ).withColumn("is_low_entropy", F.col("entropy_micro") < 2_000_000)
+
+
 def q51_range_join(spark, sf):
     """Binned interval-containment join (temporal.range_join): events falling
     inside the 1-hour window opened by each purchase of the same user.

@@ -334,3 +334,31 @@ def test_weighted_sample_is_weighted_and_deterministic(spark):
     heavy = wins[4] + wins[5]
     light = sum(wins[:4])
     assert heavy > 3 * light, wins
+
+
+def test_token_entropy_matches_manual(spark):
+    import math
+    from collections import Counter
+
+    from chemharmony_spark.operators.text import token_entropy
+
+    rows = [
+        (0, "a a a a"),                       # H = 0
+        (1, "a b c d"),                       # H = ln 4
+        (2, "a a b b c c"),                   # H = ln 3
+        (3, ""),                              # null
+        (4, "the cat sat on the mat"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["h"] for r in
+           df.select("doc_id", token_entropy("text").alias("h")).collect()}
+    for doc_id, text in rows:
+        toks = [t for t in text.split() if t]
+        if not toks:
+            assert got[doc_id] is None
+            continue
+        c = Counter(toks)
+        n = len(toks)
+        want = math.log(n) - sum(v * math.log(v) for v in c.values()) / n
+        assert abs(got[doc_id] - want) < 1e-12, (doc_id, got[doc_id], want)
+    assert abs(got[0]) < 1e-12 and abs(got[1] - math.log(4)) < 1e-12

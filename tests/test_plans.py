@@ -141,6 +141,8 @@ SHUFFLE_BUDGET = {
     "q85_asof_forward": 1,
     # q86: one hash agg computes all five sufficient statistics
     "q86_grouped_regression": 1,
+    # q87: run-length + entropy folds are per-row array ops — zero shuffles
+    "q87_token_entropy": 0,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
