@@ -164,6 +164,13 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q85_asof_forward": Q.q85_asof_forward,
         "q86_grouped_regression": Q.q86_grouped_regression,
         "q87_token_entropy": Q.q87_token_entropy,
+        "q88_streaks": Q.q88_streaks,
+        "q89_majority_vote": Q.q89_majority_vote,
+        "q90_cube": Q.q90_cube,
+        "q91_markov_transitions": Q.q91_markov_transitions,
+        "q92_chisq_contingency": Q.q92_chisq_contingency,
+        "q93_keep_best_dedup": Q.q93_keep_best_dedup,
+        "q94_inverted_index": Q.q94_inverted_index,
     }
 
 
@@ -1479,5 +1486,111 @@ def oracle_sql() -> dict[str, str]:
                        AS BIGINT) < 2000000
                    END AS is_low_entropy
             FROM t LEFT JOIN counts ON t.doc_id = counts.doc_id
+        """,
+        "q88_streaks": """
+            WITH r AS (
+              SELECT user_id, event_type, epoch_us(ts) AS ts, event_id,
+                     CASE WHEN lag(event_type) OVER w IS NULL
+                            OR lag(event_type) OVER w <> event_type
+                          THEN 1 ELSE 0 END AS new_run
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+            ), runs AS (
+              SELECT user_id, event_type, ts,
+                     SUM(new_run) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS run_seq
+              FROM r)
+            SELECT user_id, CAST(run_seq AS BIGINT) AS run_seq, event_type,
+                   COUNT(*) AS streak_len,
+                   MIN(ts) AS start_ts, MAX(ts) AS end_ts
+            FROM runs GROUP BY 1, 2, 3
+        """,
+        "q89_majority_vote": """
+            WITH votes AS (
+              SELECT l_partkey, l_returnflag, COUNT(*) AS n
+              FROM lineitem GROUP BY 1, 2)
+            SELECT l_partkey, l_returnflag AS label, n AS n_votes,
+                   CAST(SUM(n) OVER (PARTITION BY l_partkey) AS BIGINT)
+                     AS n_total,
+                   CAST(n AS DOUBLE)
+                     / CAST(SUM(n) OVER (PARTITION BY l_partkey) AS DOUBLE)
+                     AS share
+            FROM votes
+            QUALIFY ROW_NUMBER() OVER (
+              PARTITION BY l_partkey ORDER BY n DESC, l_returnflag) = 1
+        """,
+        "q90_cube": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(GROUPING(l_returnflag) * 2
+                        + GROUPING(l_linestatus) AS BIGINT) AS gid,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                     AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS sum_price
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "q91_markov_transitions": """
+            WITH seq AS (
+              SELECT event_type AS src,
+                     lead(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id) AS dst
+              FROM events),
+            trans AS (
+              SELECT src, dst, COUNT(*) AS n FROM seq
+              WHERE dst IS NOT NULL GROUP BY 1, 2),
+            totals AS (SELECT src, SUM(n) AS n_src FROM trans GROUP BY 1)
+            SELECT t.src, t.dst, t.n, CAST(tt.n_src AS BIGINT) AS n_src,
+                   CAST(t.n AS DOUBLE) / CAST(tt.n_src AS DOUBLE) AS prob
+            FROM trans t JOIN totals tt ON t.src = tt.src
+        """,
+        "q92_chisq_contingency": """
+            WITH cells AS (
+              SELECT lang, source, COUNT(*) AS o
+              FROM documents GROUP BY 1, 2),
+            rt AS (SELECT lang, SUM(o) AS rt FROM cells GROUP BY 1),
+            ct AS (SELECT source, SUM(o) AS ct FROM cells GROUP BY 1),
+            nn AS (SELECT SUM(o) AS nn FROM cells)
+            SELECT cells.lang, cells.source, cells.o,
+                   CAST(floor((CAST(rt.rt * ct.ct AS DOUBLE)
+                               / CAST(nn.nn AS DOUBLE)) * 1000000) AS BIGINT)
+                     AS e_micro,
+                   CAST(floor((
+                     (CAST(cells.o AS DOUBLE)
+                      - CAST(rt.rt * ct.ct AS DOUBLE) / CAST(nn.nn AS DOUBLE))
+                     * (CAST(cells.o AS DOUBLE)
+                      - CAST(rt.rt * ct.ct AS DOUBLE) / CAST(nn.nn AS DOUBLE))
+                     / (CAST(rt.rt * ct.ct AS DOUBLE) / CAST(nn.nn AS DOUBLE))
+                   ) * 1000000) AS BIGINT) AS contrib_micro
+            FROM cells
+            JOIN rt ON cells.lang = rt.lang
+            JOIN ct ON cells.source = ct.source
+            CROSS JOIN nn
+        """,
+        "q93_keep_best_dedup": f"""
+            WITH keyed AS (
+              SELECT doc_id, n_chars,
+                     md5(substr({_NORM}, 1, 64)) AS dup_key
+              FROM documents)
+            SELECT dup_key, doc_id, n_chars,
+                   COUNT(*) OVER (PARTITION BY dup_key) AS group_size
+            FROM keyed
+            QUALIFY ROW_NUMBER() OVER (
+              PARTITION BY dup_key ORDER BY n_chars DESC, doc_id) = 1
+        """,
+        "q94_inverted_index": f"""
+            WITH pairs AS (
+              SELECT DISTINCT doc_id, unnest({_TOKS}) AS tok
+              FROM documents),
+            keep AS (
+              SELECT tok, COUNT(*) AS df FROM pairs
+              GROUP BY 1 HAVING COUNT(*) BETWEEN 2 AND 500)
+            SELECT p.tok, keep.df,
+                   list(p.doc_id ORDER BY p.doc_id) AS postings
+            FROM pairs p JOIN keep ON p.tok = keep.tok
+            GROUP BY p.tok, keep.df
         """,
     }

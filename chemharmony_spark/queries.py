@@ -1594,3 +1594,189 @@ def q51_range_join(spark, sf):
         F.count(F.lit(1)).alias("n_in_window"),
         F.max("value").alias("max_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Wave 6: sequence analytics, label resolution, multi-dim aggregation
+# --------------------------------------------------------------------------
+
+def q88_streaks(spark, sf):
+    """Gaps-and-islands / run-length encoding: maximal runs of the same
+    event_type per user, ordered by (ts, event_id). Complements q29
+    sessionize (time-gap islands) with *value-change* islands — the
+    classic streak detector. ONE shuffle: the lag window, the running-sum
+    window, and the per-run aggregation all partition by user_id, so the
+    exchange is planned once and reused."""
+    ev = _events(spark, sf).withColumn("ts", F.expr("ts div 1000"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("event_type").over(w)
+    new_run = F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0)
+    runs = ev.select("user_id", "event_type", "ts", "event_id").withColumn(
+        "run_seq", F.sum(new_run).over(wrun)
+    )
+    return runs.groupBy("user_id", "run_seq", "event_type").agg(
+        F.count(F.lit(1)).alias("streak_len"),
+        F.min("ts").alias("start_ts"),
+        F.max("ts").alias("end_ts"),
+    )
+
+
+def q89_majority_vote(spark, sf):
+    """Majority-vote label resolution — the harmonization answer to
+    conflicting per-source labels (the reference's discordance problem,
+    02_integrate_chembl.R:60: it *drops* discordant (sid,pid) groups;
+    this operator *resolves* them instead). Winner = most votes, ties
+    broken by label asc — fully deterministic. Vote share is one exact
+    int/int division (correctly rounded -> bit-stable cross-engine).
+    Two shuffles: the (key,label) count agg, then the per-key window."""
+    li = _t(spark, sf, "lineitem")
+    votes = li.groupBy("l_partkey", "l_returnflag").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("l_partkey")
+    wpick = w.orderBy(F.col("n").desc(), "l_returnflag")
+    return (
+        votes.withColumn("n_total", F.sum("n").over(w))
+        .withColumn("rn", F.row_number().over(wpick))
+        .where(F.col("rn") == 1)
+        .select(
+            "l_partkey",
+            F.col("l_returnflag").alias("label"),
+            F.col("n").alias("n_votes"),
+            "n_total",
+            (F.col("n").cast("double") / F.col("n_total").cast("double"))
+            .alias("share"),
+        )
+    )
+
+
+def q90_cube(spark, sf):
+    """CUBE over (returnflag, linestatus): all 4 grouping combinations in
+    one pass, disambiguated by grouping_id — completes the multi-dim agg
+    family (q54 ROLLUP, q74 GROUPING SETS). Exact-decimal sums; Spark
+    expands the cube map-side, so it stays a single hash-agg shuffle."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_d("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_d("l_extendedprice")).cast("double").alias("sum_price"),
+        )
+    )
+
+
+def q91_markov_transitions(spark, sf):
+    """First-order Markov transition matrix over per-user event sequences
+    (lead + count): P(next=dst | cur=src). The behavioral-sequence model
+    a curation pipeline uses to find bot-like traffic. Transition
+    probability is one exact int/int division. Three shuffles in ONE
+    pipeline: the per-user sequence window, the (src,dst) hash agg, and a
+    per-src totals window — the window form avoids materializing the
+    transition table twice (an agg+join spelling re-runs the whole
+    sequence scan for the totals branch). The totals exchange moves only
+    |event_types|^2 rows."""
+    ev = _events(spark, sf).withColumn("ts", F.expr("ts div 1000"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "ts", "event_id",
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    trans = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    return trans.select(
+        "src", "dst", "n",
+        F.sum("n").over(Window.partitionBy("src")).alias("n_src"),
+    ).withColumn(
+        "prob", F.col("n").cast("double") / F.col("n_src").cast("double")
+    )
+
+
+def q92_chisq_contingency(spark, sf):
+    """Chi-square contingency table lang x source over documents: observed
+    counts, expected under independence, and per-cell chi^2 contribution.
+    Association testing between categorical metadata columns is a standard
+    corpus-audit step (is quality label independent of source?).
+
+    Determinism: o, row/col totals and N are exact ints; e = (rt*ct)/N and
+    contrib = (o-e)^2/e are fixed sequences of individually correctly-
+    rounded IEEE doubles (one division, one subtract, one multiply, one
+    divide) written identically in both engines, then floor-micro'd.
+    ONE full-data shuffle — the cell-count agg; the row/col/grand totals
+    are windows over the already-aggregated cell table, so those three
+    exchanges move only |lang| x |source| rows (an agg+join spelling
+    would re-run the document scan once per totals branch)."""
+    docs = _t(spark, sf, "documents")
+    cells = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    tot = cells.select(
+        "lang", "source", "o",
+        F.sum("o").over(Window.partitionBy("lang")).alias("rt"),
+        F.sum("o").over(Window.partitionBy("source")).alias("ct"),
+        F.sum("o").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("nn"),
+    )
+    e = (F.col("rt") * F.col("ct")).cast("double") / F.col("nn").cast("double")
+    diff = F.col("o").cast("double") - e
+    return tot.select(
+        "lang", "source", "o",
+        F.floor(e * 1_000_000).cast("long").alias("e_micro"),
+        F.floor((diff * diff / e) * 1_000_000)
+        .cast("long").alias("contrib_micro"),
+    )
+
+
+def q93_keep_best_dedup(spark, sf):
+    """Keep-best dedup: group documents by a normalized-prefix content key
+    and keep one canonical representative per group — the *resolving*
+    counterpart to q30's drop-exact-dups (curation pipelines keep the
+    longest/cleanest copy, not an arbitrary one). Winner = max n_chars,
+    tie-break doc_id asc. Single shuffle: one window partitioned by the
+    md5 key computed in the scan stage."""
+    docs = _t(spark, sf, "documents")
+    from chemharmony_spark.operators.text import normalize_text
+
+    key = F.md5(F.substring(normalize_text("text"), 1, 64))
+    w = Window.partitionBy("dup_key")
+    wpick = w.orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        docs.withColumn("dup_key", key)
+        .withColumn("group_size", F.count(F.lit(1)).over(w))
+        .withColumn("rn", F.row_number().over(wpick))
+        .where(F.col("rn") == 1)
+        .select("dup_key", "doc_id", "n_chars", "group_size")
+    )
+
+
+def q94_inverted_index(spark, sf):
+    """Inverted-index build: token -> document frequency + sorted postings
+    list, kept for discriminative tokens (2 <= df <= 500) — the exact-
+    match search primitive next to the ANN family (q38/q40/q47).
+
+    Two-phase on purpose: df counts first (map-side combine makes hot
+    stopwords cheap), THEN postings only for surviving tokens — a one-pass
+    collect_list would materialize a multi-GB postings array for every
+    stopword before dropping it. All three ops (df agg, filter join,
+    postings agg) hash-partition by tok, so the exploded pairs are
+    exchanged once and the exchange is reused."""
+    docs = _t(spark, sf, "documents")
+    from chemharmony_spark.operators.text import tokens
+
+    pairs = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
+    )
+    keep = (
+        pairs.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= 500))
+    )
+    return (
+        pairs.join(keep, "tok")
+        .groupBy("tok", "df")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("postings"))
+        .select("tok", "df", "postings")
+    )

@@ -143,6 +143,24 @@ SHUFFLE_BUDGET = {
     "q86_grouped_regression": 1,
     # q87: run-length + entropy folds are per-row array ops — zero shuffles
     "q87_token_entropy": 0,
+    # q88: lag window, running-sum window and per-run agg all partition by
+    # user_id — one exchange, planned once and reused
+    "q88_streaks": 1,
+    # q89: (key,label) vote counts, then the per-key winner window
+    "q89_majority_vote": 2,
+    # q90: cube expands map-side — still a single hash-agg exchange
+    "q90_cube": 1,
+    # q91: sequence window + (src,dst) agg + per-src totals window (the
+    # third exchange moves only |event_types|^2 rows)
+    "q91_markov_transitions": 3,
+    # q92: ONE full-data shuffle (cell counts); the totals windows
+    # re-exchange only the |lang|x|source| cell table
+    "q92_chisq_contingency": 2,
+    # q93: one window partitioned by the scan-stage md5 dup key
+    "q93_keep_best_dedup": 1,
+    # q94: exploded pairs exchanged once on tok and reused by the df agg,
+    # the filter join, and the postings agg
+    "q94_inverted_index": 2,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
