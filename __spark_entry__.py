@@ -206,20 +206,20 @@ _CONTAIN_CTES = f"""
                      list_transform(range(1, L - 5 + 2),
                        i -> {_hex4("md5(substr(norm, i, 5))", 1)}) AS hashes
               FROM g),
-            m AS (
+            m AS MATERIALIZED (
               SELECT doc_id, source,
                      list_sort(list_distinct(
                        list_transform(range(1, len(hashes) - 4 + 2),
                          j -> list_aggregate(hashes[j:j+3], 'min')))) AS fps
               FROM h),
-            ex AS (SELECT doc_id, source, unnest(fps) AS f FROM m),
+            ex AS MATERIALIZED (SELECT doc_id, source, unnest(fps) AS f FROM m),
             shared AS (
               SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_shared
               FROM ex a JOIN ex b
                 ON a.f = b.f AND a.source = b.source AND a.doc_id < b.doc_id
               GROUP BY 1, 2),
             sizes AS (SELECT doc_id, CAST(len(fps) AS INTEGER) AS nf FROM m),
-            cpairs AS (
+            cpairs AS MATERIALIZED (
               SELECT da, db, n_shared, sa.nf AS nf_a, sb.nf AS nf_b,
                      greatest(n_shared / sa.nf, n_shared / sb.nf) AS containment
               FROM shared
@@ -1098,7 +1098,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q69_dedup_clusters": f"""
             WITH RECURSIVE {_CONTAIN_CTES},
-            sym AS (
+            sym AS MATERIALIZED (
               SELECT da AS a, db AS b FROM cpairs
               UNION
               SELECT db AS a, da AS b FROM cpairs),
