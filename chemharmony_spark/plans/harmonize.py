@@ -88,17 +88,22 @@ def harmonize(
         subs = spark.read.parquet(f"{scratch_dir}/substances")
 
     acts_raw = read_staging_glob(spark, f"{staging_root}/*/activities.parquet", sources)
+    null_prov_future = None
     if check_invariants:
-        # must run BEFORE the inner re-key joins: a staged file whose path
-        # matches no declared source yields NULL provenance here, and the
-        # joins would silently drop those rows (the reference's post-hoc
-        # check at 80:100-101 has this blind spot; we close it). Checked on
-        # the raw scan — a map-side filter + count, no distinct shuffle.
-        n_null = acts_raw.where(F.col("source").isNull()).count()
-        assert n_null == 0, (
-            f"{n_null} staged activity rows have unresolvable provenance "
-            f"(staging dir not in declared sources {sources})"
+        # must be checked on the raw scan, BEFORE the inner re-key joins: a
+        # staged file whose path matches no declared source yields NULL
+        # provenance here, and the joins would silently drop those rows (the
+        # reference's post-hoc check at 80:100-101 has this blind spot; we
+        # close it). Submitted from a driver thread so this map-side count
+        # overlaps the main job's scan instead of gating it — the assert
+        # fires before anything is returned, so a violation still aborts.
+        from concurrent.futures import ThreadPoolExecutor
+
+        _null_pool = ThreadPoolExecutor(max_workers=1)
+        null_prov_future = _null_pool.submit(
+            lambda: acts_raw.where(F.col("source").isNull()).count()
         )
+        _null_pool.shutdown(wait=False)
     # the reference distincts immediately after the scan (80:67); the final
     # distinct after aid derivation subsumes it (all derivations are
     # deterministic row-functions), so the default skips this extra full
@@ -108,9 +113,6 @@ def harmonize(
     acts = acts.withColumn(
         "binary_value", F.when(F.col("value") == "positive", 1).otherwise(0)
     )
-
-    if derive_smiles:  # 80:71-73: dedup-before-UDF then join back
-        acts = with_derived_column_deduped(acts, "inchi", "smiles", inchi_to_smiles("inchi"))
 
     # re-key: local (source, sid/pid) -> global md5 ids (80:76-78).
     sid_map = subs.select("source", F.col("sid").alias("__localsid"), "newsid").distinct()
@@ -126,15 +128,28 @@ def harmonize(
     )
 
     keep = ["sid", "pid", "source", "inchi", "value", "binary_value"]
-    if "smiles" in acts.columns:
-        keep.append("smiles")
     if "numvalue" in acts.columns:
         keep.append("numvalue")
+    # the dedup shuffle runs on the narrow columns only: aid is derived
+    # AFTER distinct (md5 of a subset of the distinct key — deterministic,
+    # so distinct-then-derive ≡ the reference's derive-then-distinct,
+    # 80:83-84), and smiles joins AFTER distinct (pure function of inchi,
+    # so it can't split groups). Keeps ~60 bytes/row of derived strings out
+    # of the biggest exchange, and the smiles broadcast build no longer
+    # gates the shuffle map stage.
     acts = (
         acts.select(*keep)
-        .withColumn("aid", surrogate_aid())  # 80:83
         .distinct()
+        .withColumn("aid", surrogate_aid())  # 80:83
     )
+    if derive_smiles:  # 80:71-73: dedup-before-UDF then join back
+        acts = with_derived_column_deduped(
+            acts, "inchi", "smiles", inchi_to_smiles("inchi")
+        )
+        # contract column order (smiles before aid, matching the reference
+        # envelope; README.md:17-25)
+        cols = [c for c in acts.columns if c not in ("aid", "smiles")]
+        acts = acts.select(*cols, "smiles", "aid")
 
     substances = subs.select(F.col("newsid").alias("sid"), "source", "data").distinct()
     properties = props.select(F.col("newpid").alias("pid"), "source", "data").distinct()
@@ -146,6 +161,11 @@ def harmonize(
         for frame in (substances, properties, acts):
             frame.persist()
         _assert_invariants(substances, properties, acts, sources, min_rows)
+        n_null = null_prov_future.result()
+        assert n_null == 0, (
+            f"{n_null} staged activity rows have unresolvable provenance "
+            f"(staging dir not in declared sources {sources})"
+        )
 
     return HarmonizeResult(substances=substances, properties=properties, activities=acts)
 
@@ -154,26 +174,56 @@ def _assert_invariants(substances, properties, activities, sources, min_rows):
     """Reference asserts 80_harmonize.py:96-105 + tests.py:17-56 invariants.
 
     Consolidated into four Spark actions (one agg per dim, one over
-    activities, one for referential integrity) — per-job fixed overhead
-    dominates on persisted frames, so fewer/wider actions beat many narrow
-    ones (measured ~2x on the invariant suite at sf0.1).
+    activities, one for referential integrity), submitted CONCURRENTLY from
+    driver threads: the actions are independent reads of persisted frames,
+    so the scheduler interleaves their small stages across the executor
+    cores and wall time collapses toward the slowest action instead of the
+    sum (measured ~2x on the invariant suite at sf0.1; same effect on a
+    real cluster, where per-job overhead is even higher).
     """
-    s = substances.agg(F.count(F.lit(1)).alias("n")).collect()[0]
-    p = properties.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.countDistinct("pid").alias("n_pid"),
-        F.countDistinct("pid", "data").alias("n_pd"),
-    ).collect()[0]
-    a = activities.agg(
-        F.count(F.lit(1)).alias("n"),
-        # every source ∈ declared list (80:100-101); NULL = staged file whose
-        # path matched no declared source — equally fatal
-        F.sum(
-            F.when(
-                F.col("source").isNull() | ~F.col("source").isin(list(sources)), 1
-            ).otherwise(0)
-        ).alias("bad_src"),
-    ).collect()[0]
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _s():
+        return substances.agg(F.count(F.lit(1)).alias("n")).collect()[0]
+
+    def _p():
+        return properties.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("pid").alias("n_pid"),
+            F.countDistinct("pid", "data").alias("n_pd"),
+        ).collect()[0]
+
+    def _a():
+        return activities.agg(
+            F.count(F.lit(1)).alias("n"),
+            # every source ∈ declared list (80:100-101); NULL = staged file
+            # whose path matched no declared source — equally fatal
+            F.sum(
+                F.when(
+                    F.col("source").isNull()
+                    | ~F.col("source").isin(list(sources)), 1
+                ).otherwise(0)
+            ).alias("bad_src"),
+        ).collect()[0]
+
+    def _ri():
+        # referential integrity in one pass: left-join both dims, count misses
+        return (
+            activities.select("sid", "pid")
+            .join(substances.select("sid").distinct().withColumn("__s", F.lit(1)),
+                  "sid", "left")
+            .join(properties.select("pid").distinct().withColumn("__p", F.lit(1)),
+                  "pid", "left")
+            .agg(
+                F.sum(F.when(F.col("__s").isNull(), 1).otherwise(0)).alias("orphan_s"),
+                F.sum(F.when(F.col("__p").isNull(), 1).otherwise(0)).alias("orphan_p"),
+            )
+            .collect()[0]
+        )
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        fs, fp, fa, fri = (pool.submit(f) for f in (_s, _p, _a, _ri))
+        s, p, a, ri = fs.result(), fp.result(), fa.result(), fri.result()
     assert s.n > min_rows[0], f"substances {s.n} <= floor {min_rows[0]}"
     assert p.n > min_rows[1], f"properties {p.n} <= floor {min_rows[1]}"
     assert a.n > min_rows[2], f"activities {a.n} <= floor {min_rows[2]}"
@@ -182,18 +232,5 @@ def _assert_invariants(substances, properties, activities, sources, min_rows):
     )
     # pid <-> data bijection: one canonical payload per pid (80:104-105)
     assert p.n_pid == p.n_pd, "pid collision: same pid maps to different data"
-    # referential integrity in one pass: left-join both dims, count misses
-    ri = (
-        activities.select("sid", "pid")
-        .join(substances.select("sid").distinct().withColumn("__s", F.lit(1)),
-              "sid", "left")
-        .join(properties.select("pid").distinct().withColumn("__p", F.lit(1)),
-              "pid", "left")
-        .agg(
-            F.sum(F.when(F.col("__s").isNull(), 1).otherwise(0)).alias("orphan_s"),
-            F.sum(F.when(F.col("__p").isNull(), 1).otherwise(0)).alias("orphan_p"),
-        )
-        .collect()[0]
-    )
     assert ri.orphan_s == 0, f"{ri.orphan_s} activities with unknown sid"
     assert ri.orphan_p == 0, f"{ri.orphan_p} activities with unknown pid"
