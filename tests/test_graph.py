@@ -60,3 +60,42 @@ def test_chain_descending_ids(spark):
     # worst case for min-propagation: the min id sits at the chain's end
     edges = [(i + 1, i) for i in range(12)]
     _check(spark, edges)
+
+
+def _check_star(spark, edges, max_iter=30):
+    from chemharmony_spark.operators.graph import connected_components_star
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["component"]
+           for r in connected_components_star(df, max_iter=max_iter).collect()}
+    want = _union_find(edges)
+    comp_min: dict[int, int] = {}
+    for n, r in want.items():
+        comp_min[r] = min(comp_min.get(r, n), n)
+    want_min = {n: comp_min[r] for n, r in want.items()}
+    assert got == want_min, (got, want_min)
+
+
+def test_star_alg_chain_clique_isolated(spark):
+    edges = [(10, 11), (11, 12), (12, 13), (13, 14), (14, 15), (15, 16),
+             (1, 2), (2, 3), (1, 3),
+             (100, 200)]
+    _check_star(spark, edges)
+
+
+def test_star_alg_random_matches_union_find(spark):
+    import random
+
+    rng = random.Random(7)
+    nodes = list(range(80))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(60)]
+    edges = [(a, b) for a, b in edges if a != b]
+    _check_star(spark, edges)
+
+
+def test_star_alg_long_chain_logarithmic_rounds(spark):
+    # the adversarial case for min-label propagation: a 128-node descending
+    # chain (diameter 127 would need ~127 label rounds). large/small-star
+    # must solve it within a logarithmic round budget.
+    edges = [(i + 1, i) for i in range(127)]
+    _check_star(spark, edges, max_iter=10)
