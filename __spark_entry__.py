@@ -171,6 +171,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q92_chisq_contingency": Q.q92_chisq_contingency,
         "q93_keep_best_dedup": Q.q93_keep_best_dedup,
         "q94_inverted_index": Q.q94_inverted_index,
+        "q95_quantile_binning": Q.q95_quantile_binning,
+        "q96_snapshot_diff": Q.q96_snapshot_diff,
+        "q97_max_concurrency": Q.q97_max_concurrency,
+        "q98_decayed_popularity": Q.q98_decayed_popularity,
     }
 
 
@@ -1592,5 +1596,89 @@ def oracle_sql() -> dict[str, str]:
                    list(p.doc_id ORDER BY p.doc_id) AS postings
             FROM pairs p JOIN keep ON p.tok = keep.tok
             GROUP BY p.tok, keep.df
+        """,
+        "q95_quantile_binning": """
+            WITH ranked AS (
+              SELECT event_type, value,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                                        ORDER BY value) AS rn,
+                     COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM events),
+            bounds AS (
+              SELECT event_type,
+                     MAX(CASE WHEN rn = greatest(1, CAST(ceil(0.25 * n) AS BIGINT))
+                              THEN value END) AS p25,
+                     MAX(CASE WHEN rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+                              THEN value END) AS p50,
+                     MAX(CASE WHEN rn = greatest(1, CAST(ceil(0.75 * n) AS BIGINT))
+                              THEN value END) AS p75
+              FROM ranked GROUP BY event_type)
+            SELECT e.event_id, e.event_type, e.value,
+                   1 + CAST(e.value > b.p25 AS INTEGER)
+                     + CAST(e.value > b.p50 AS INTEGER)
+                     + CAST(e.value > b.p75 AS INTEGER) AS bucket
+            FROM events e JOIN bounds b ON e.event_type = b.event_type
+        """,
+        "q96_snapshot_diff": """
+            WITH ev AS (
+              SELECT user_id, event_type, value, epoch_us(ts) AS ts, event_id
+              FROM events),
+            lims AS (SELECT (MIN(ts) + MAX(ts)) // 2 AS cutoff FROM ev),
+            old AS (
+              SELECT user_id, event_type AS old_type, value AS old_value
+              FROM ev CROSS JOIN lims
+              WHERE ts < cutoff
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                                         ORDER BY ts DESC, event_id DESC) = 1),
+            new AS (
+              SELECT user_id, event_type AS new_type, value AS new_value
+              FROM ev
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                                         ORDER BY ts DESC, event_id DESC) = 1)
+            SELECT new.user_id, old.old_type, old.old_value,
+                   new.new_type, new.new_value,
+                   CASE WHEN old.old_type IS NULL THEN 'insert'
+                        WHEN old.old_type <> new.new_type
+                          OR old.old_value <> new.new_value THEN 'update'
+                        ELSE 'unchanged' END AS change
+            FROM new LEFT JOIN old ON new.user_id = old.user_id
+        """,
+        "q97_max_concurrency": """
+            WITH buys AS (
+              SELECT user_id, epoch_us(ts) AS ts, event_id
+              FROM events WHERE event_type = 'purchase'),
+            deltas AS (
+              SELECT user_id, ts AS t, 1 AS delta, event_id FROM buys
+              UNION ALL
+              SELECT user_id, ts + 3600000000 AS t, -1 AS delta, event_id
+              FROM buys),
+            swept AS (
+              SELECT user_id,
+                     SUM(delta) OVER (PARTITION BY user_id
+                                      ORDER BY t, delta, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS open_now
+              FROM deltas)
+            SELECT user_id,
+                   CAST(COUNT(*) / 2 AS BIGINT) AS n_windows,
+                   CAST(MAX(open_now) AS BIGINT) AS max_concurrent
+            FROM swept GROUP BY user_id
+        """,
+        "q98_decayed_popularity": """
+            WITH mx AS (SELECT MAX(CAST(l_shipdate AS DATE)) AS maxd
+                        FROM lineitem),
+            weighted AS (
+              SELECT l_partkey,
+                     date_diff('day', CAST(l_shipdate AS DATE), maxd) // 7
+                       AS k
+              FROM lineitem CROSS JOIN mx)
+            SELECT l_partkey, COUNT(*) AS n,
+                   CAST(SUM(CASE WHEN k <= 40
+                             THEN CAST(1 AS BIGINT) << CAST(40 - k AS INTEGER)
+                             ELSE 0 END) AS BIGINT) AS pop_scaled,
+                   CAST(SUM(CASE WHEN k <= 40
+                             THEN CAST(1 AS BIGINT) << CAST(40 - k AS INTEGER)
+                             ELSE 0 END) AS BIGINT) / 1099511627776.0
+                     AS pop_score
+            FROM weighted GROUP BY l_partkey
         """,
     }

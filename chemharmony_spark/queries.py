@@ -1780,3 +1780,144 @@ def q94_inverted_index(spark, sf):
         .agg(F.sort_array(F.collect_list("doc_id")).alias("postings"))
         .select("tok", "df", "postings")
     )
+
+
+def q95_quantile_binning(spark, sf):
+    """Feature discretization: per-event-type quartile buckets (1-4) for
+    every row — the ML-prep step after q58's percentile computation and
+    q81's winsorization. Bounds come from the same exact discrete
+    (ceil(q*n)) selection, broadcast back onto the un-shuffled fact scan;
+    bucket = 1 + #bounds strictly below the value, so engines agree
+    bit-for-bit (pure comparisons, no interpolation)."""
+    from chemharmony_spark.operators.core import grouped_percentiles_disc
+
+    ev = _events(spark, sf)
+    bounds = grouped_percentiles_disc(
+        ev, ["event_type"], "value", [0.25, 0.50, 0.75]
+    )
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_id", "event_type", "value",
+            (
+                F.lit(1)
+                + (F.col("value") > F.col("p25")).cast("int")
+                + (F.col("value") > F.col("p50")).cast("int")
+                + (F.col("value") > F.col("p75")).cast("int")
+            ).alias("bucket"),
+        )
+    )
+
+
+def q96_snapshot_diff(spark, sf):
+    """CDC-style snapshot diff: latest state per user at the stream's
+    midpoint vs at the end — classifies every user as insert (new since
+    the cutoff), update (state changed), or unchanged. The midpoint is an
+    exact integer micro timestamp ((min+max) div 2), both 'latest' picks
+    are deterministic argmax windows (ts desc, event_id desc), and the
+    final full-outer join is co-partitioned with the windows on user_id
+    (the exchange is reused, not repeated)."""
+    ev = _events(spark, sf).withColumn("ts", F.expr("ts div 1000"))
+    lims = ev.agg(
+        F.min("ts").alias("mn"), F.max("ts").alias("mx")
+    ).select(F.expr("(mn + mx) div 2").alias("cutoff"))
+    ev = ev.crossJoin(F.broadcast(lims))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    old = (
+        ev.where(F.col("ts") < F.col("cutoff"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("old_type"),
+            F.col("value").alias("old_value"),
+        )
+    )
+    new = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("new_type"),
+            F.col("value").alias("new_value"),
+        )
+    )
+    return new.join(old, "user_id", "left").select(
+        "user_id", "old_type", "old_value", "new_type", "new_value",
+        F.when(F.col("old_type").isNull(), "insert")
+        .when(
+            (F.col("old_type") != F.col("new_type"))
+            | (F.col("old_value") != F.col("new_value")),
+            "update",
+        )
+        .otherwise("unchanged")
+        .alias("change"),
+    )
+
+
+def q97_max_concurrency(spark, sf):
+    """Sweep-line interval concurrency: each purchase opens a 1-hour
+    window; per user, the peak number of simultaneously open windows
+    (overlap analytics — the interval-join family's aggregate cousin,
+    q51). Boundaries become +1/-1 deltas; a running sum ordered by
+    (t, delta, event_id) — ends before starts at the same instant, so
+    half-open [t, t+1h) semantics — and its max is the answer. The
+    running-sum window and the final agg share the user_id partitioning:
+    one full shuffle."""
+    HOUR = 3_600_000_000
+    ev = _events(spark, sf).withColumn("ts", F.expr("ts div 1000"))
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    deltas = buys.select(
+        "user_id", F.col("ts").alias("t"), F.lit(1).alias("delta"), "event_id"
+    ).unionByName(
+        buys.select(
+            "user_id", (F.col("ts") + F.lit(HOUR)).alias("t"),
+            F.lit(-1).alias("delta"), "event_id",
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "delta", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    swept = deltas.withColumn("open_now", F.sum("delta").over(w))
+    return swept.groupBy("user_id").agg(
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_windows"),
+        F.max("open_now").cast("long").alias("max_concurrent"),
+    )
+
+
+def q98_decayed_popularity(spark, sf):
+    """Exponential-decay popularity (trending score) per part with a
+    7-day half-life — recency weighting for training-data sampling.
+    Exact across engines by dyadic arithmetic: weight = 2^(40-k) as a
+    BIGINT (k = age in weeks, capped at 40 -> weight 0), summed as exact
+    integers; the final score is ONE double division by 2^40. No pow(),
+    no float accumulation. One hash-agg shuffle; the global max-date
+    scalar broadcasts."""
+    li = _t(spark, sf, "lineitem")
+    mx = li.agg(F.max(F.to_date("l_shipdate")).alias("maxd"))
+    return (
+        li.crossJoin(F.broadcast(mx))
+        .withColumn(
+            "k", F.expr("datediff(maxd, to_date(l_shipdate)) div 7")
+        )
+        .withColumn(
+            "w",
+            F.when(
+                F.col("k") <= 40,
+                F.expr("shiftleft(cast(1 as bigint), cast(40 - k as int))"),
+            ).otherwise(F.lit(0).cast("bigint")),
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("w").alias("pop_scaled"),
+        )
+        .withColumn(
+            "pop_score",
+            F.col("pop_scaled").cast("double") / F.lit(float(2 ** 40)),
+        )
+    )

@@ -161,6 +161,16 @@ SHUFFLE_BUDGET = {
     # q94: exploded pairs exchanged once on tok and reused by the df agg,
     # the filter join, and the postings agg
     "q94_inverted_index": 2,
+    # q95: the bounds window is the only exchange; facts take the
+    # broadcast join un-shuffled
+    "q95_quantile_binning": 1,
+    # q96: min/max scalar agg + two argmax windows (different filters, so
+    # no exchange reuse) + the final user_id join
+    "q96_snapshot_diff": 4,
+    # q97: running-sum window and per-user agg share the user_id exchange
+    "q97_max_concurrency": 1,
+    # q98: max-date scalar agg + the per-part hash agg
+    "q98_decayed_popularity": 2,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -173,7 +183,9 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 # stage-count crossJoin — constant-sized by construction
                 "q59_funnel",
                 # q64: broadcast of the 1-row corpus-size scalar
-                "q64_tfidf"}
+                "q64_tfidf",
+                # q96/q98: broadcast of a 1-row min/max scalar
+                "q96_snapshot_diff", "q98_decayed_popularity"}
 
 
 def test_every_query_plan_within_scale_budget(spark):
