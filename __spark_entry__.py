@@ -175,6 +175,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q96_snapshot_diff": Q.q96_snapshot_diff,
         "q97_max_concurrency": Q.q97_max_concurrency,
         "q98_decayed_popularity": Q.q98_decayed_popularity,
+        "q99_path_trigrams": Q.q99_path_trigrams,
+        "q100_profile_table": Q.q100_profile_table,
+        "q101_wow_growth": Q.q101_wow_growth,
     }
 
 
@@ -1680,5 +1683,56 @@ def oracle_sql() -> dict[str, str]:
                              ELSE 0 END) AS BIGINT) / 1099511627776.0
                      AS pop_score
             FROM weighted GROUP BY l_partkey
+        """,
+        "q99_path_trigrams": """
+            WITH seq AS (
+              SELECT event_type AS s1,
+                     lead(event_type, 1) OVER w AS s2,
+                     lead(event_type, 2) OVER w AS s3
+              FROM events
+              WINDOW w AS (PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id))
+            SELECT s1 || '>' || s2 || '>' || s3 AS path, COUNT(*) AS n
+            FROM seq WHERE s2 IS NOT NULL AND s3 IS NOT NULL
+            GROUP BY 1
+            ORDER BY n DESC, path
+            LIMIT 20
+        """,
+        "q100_profile_table": """
+            SELECT COUNT(*) AS n_rows,
+                   CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS qty_nulls,
+                   COUNT(DISTINCT l_quantity) AS qty_ndv,
+                   MIN(l_quantity) AS qty_min,
+                   MAX(l_quantity) AS qty_max,
+                   CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS flag_nulls,
+                   COUNT(DISTINCT l_returnflag) AS flag_ndv,
+                   MIN(l_returnflag) AS flag_min,
+                   MAX(l_returnflag) AS flag_max,
+                   COUNT(DISTINCT CAST(l_shipdate AS DATE)) AS ship_ndv,
+                   strftime(MIN(CAST(l_shipdate AS DATE)), '%Y-%m-%d')
+                     AS ship_min,
+                   strftime(MAX(CAST(l_shipdate AS DATE)), '%Y-%m-%d')
+                     AS ship_max
+            FROM lineitem
+        """,
+        "q101_wow_growth": """
+            WITH weekly AS (
+              SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS week,
+                     SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (CAST(1 AS DECIMAL(8,4))
+                            - CAST(l_discount AS DECIMAL(8,4)))) AS rev_dec
+              FROM lineitem GROUP BY 1),
+            lagged AS (
+              SELECT week, rev_dec,
+                     lag(rev_dec) OVER (ORDER BY week) AS prev_dec
+              FROM weekly)
+            SELECT strftime(week, '%Y-%m-%d') AS week,
+                   CAST(rev_dec AS DOUBLE) AS revenue,
+                   CAST(prev_dec AS DOUBLE) AS prev_revenue,
+                   CAST(rev_dec - prev_dec AS DOUBLE)
+                     / CAST(prev_dec AS DOUBLE) AS wow_growth
+            FROM lagged
         """,
     }

@@ -1921,3 +1921,79 @@ def q98_decayed_popularity(spark, sf):
             F.col("pop_scaled").cast("double") / F.lit(float(2 ** 40)),
         )
     )
+
+
+def q99_path_trigrams(spark, sf):
+    """User-journey mining: the 20 most common 3-step event paths
+    (lead x2 over per-user sequences, then count). The sequence-model
+    complement to q91's first-order transitions. Deterministic top-k:
+    (count desc, path asc). One user_id window shuffle + the path agg;
+    the final top-20 sorts only |distinct paths| rows."""
+    ev = _events(spark, sf).withColumn("ts", F.expr("ts div 1000"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("s1"),
+        F.lead("event_type", 1).over(w).alias("s2"),
+        F.lead("event_type", 2).over(w).alias("s3"),
+    ).where(F.col("s2").isNotNull() & F.col("s3").isNotNull())
+    return (
+        seq.select(F.concat_ws(">", "s1", "s2", "s3").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(20)
+    )
+
+
+def q100_profile_table(spark, sf):
+    """One-pass data profiling (the ANALYZE TABLE shape a curation
+    pipeline runs first): row count plus per-column null count, exact
+    distinct count, and min/max for a numeric, a string, and a date
+    column — all in a SINGLE aggregation over one scan. Output stays
+    native-typed (one wide row) because cross-engine float->string
+    rendering is not canonical. Multiple exact COUNT(DISTINCT) in one agg
+    expand the input (one replica per distinct column) — the documented
+    cost of exactness; swap in HLL sketches (operators/sketches.py) when
+    approximate is acceptable."""
+    li = _t(spark, sf, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("l_quantity").isNull(), 1).otherwise(0)).alias("qty_nulls"),
+        F.countDistinct("l_quantity").alias("qty_ndv"),
+        F.min("l_quantity").alias("qty_min"),
+        F.max("l_quantity").alias("qty_max"),
+        F.sum(F.when(F.col("l_returnflag").isNull(), 1).otherwise(0)).alias("flag_nulls"),
+        F.countDistinct("l_returnflag").alias("flag_ndv"),
+        F.min("l_returnflag").alias("flag_min"),
+        F.max("l_returnflag").alias("flag_max"),
+        F.countDistinct(F.to_date("l_shipdate")).alias("ship_ndv"),
+        F.date_format(F.min(F.to_date("l_shipdate")), "yyyy-MM-dd").alias("ship_min"),
+        F.date_format(F.max(F.to_date("l_shipdate")), "yyyy-MM-dd").alias("ship_max"),
+    )
+
+
+def q101_wow_growth(spark, sf):
+    """Week-over-week revenue growth: ISO-week (Monday-truncated) revenue
+    in exact decimal, then lag + one double division for the growth rate.
+    The weekly agg is the only full shuffle; the lag window runs over the
+    ~400-row week table (single partition by design — dimension-sized)."""
+    li = _t(spark, sf, "lineitem")
+    disc = F.lit(1).cast("decimal(8,4)") - F.col("l_discount").cast("decimal(8,4)")
+    weekly = (
+        li.withColumn("week", F.date_trunc("week", "l_shipdate").cast("date"))
+        .groupBy("week")
+        .agg(F.sum(_d("l_extendedprice") * disc).alias("rev_dec"))
+    )
+    w = Window.partitionBy().orderBy("week")
+    return (
+        weekly.withColumn("prev_dec", F.lag("rev_dec").over(w))
+        .select(
+            F.date_format("week", "yyyy-MM-dd").alias("week"),
+            F.col("rev_dec").cast("double").alias("revenue"),
+            F.col("prev_dec").cast("double").alias("prev_revenue"),
+            (
+                (F.col("rev_dec") - F.col("prev_dec")).cast("double")
+                / F.col("prev_dec").cast("double")
+            ).alias("wow_growth"),
+        )
+    )

@@ -171,6 +171,14 @@ SHUFFLE_BUDGET = {
     "q97_max_concurrency": 1,
     # q98: max-date scalar agg + the per-part hash agg
     "q98_decayed_popularity": 2,
+    # q99: user_id sequence window + path count agg (top-20 sorts only the
+    # distinct-path table)
+    "q99_path_trigrams": 2,
+    # q100: one scan, one global agg; the second exchange is the Expand
+    # replica merge that exact multi-column COUNT(DISTINCT) costs
+    "q100_profile_table": 2,
+    # q101: weekly decimal agg + the lag window over the ~400-row week table
+    "q101_wow_growth": 2,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
