@@ -178,6 +178,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q99_path_trigrams": Q.q99_path_trigrams,
         "q100_profile_table": Q.q100_profile_table,
         "q101_wow_growth": Q.q101_wow_growth,
+        "q102_bloom_pruned_join": Q.q102_bloom_pruned_join,
+        "q103_basket_pairs": Q.q103_basket_pairs,
+        "q104_funnel": Q.q104_funnel,
     }
 
 
@@ -1734,5 +1737,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(rev_dec - prev_dec AS DOUBLE)
                      / CAST(prev_dec AS DOUBLE) AS wow_growth
             FROM lagged
+        """,
+        "q102_bloom_pruned_join": """
+            SELECT l_returnflag,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (CAST(1 AS DECIMAL(8,4))
+                               - CAST(l_discount AS DECIMAL(8,4))))
+                        AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderpriority = '1-URGENT'
+            GROUP BY 1
+            ORDER BY 1
+        """,
+        "q103_basket_pairs": """
+            WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+            SELECT a.l_partkey AS p1, c.l_partkey AS p2,
+                   COUNT(*) AS n_orders
+            FROM b a JOIN b c
+              ON a.l_orderkey = c.l_orderkey
+             AND a.l_partkey < c.l_partkey
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 2
+            ORDER BY n_orders DESC, p1, p2
+        """,
+        "q104_funnel": """
+            WITH e AS (
+              SELECT user_id, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY epoch_us(ts), event_id)
+                       AS rn
+              FROM events),
+            s1 AS (SELECT user_id, MIN(rn) AS r1 FROM e
+                   WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (SELECT e.user_id, MIN(e.rn) AS r2
+                   FROM e JOIN s1 ON e.user_id = s1.user_id
+                   WHERE e.event_type = 'click' AND e.rn > s1.r1
+                   GROUP BY 1),
+            s3 AS (SELECT e.user_id, MIN(e.rn) AS r3
+                   FROM e JOIN s2 ON e.user_id = s2.user_id
+                   WHERE e.event_type = 'purchase' AND e.rn > s2.r2
+                   GROUP BY 1)
+            SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS step1_view,
+                   CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS step2_click,
+                   CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
+                     AS step3_purchase
         """,
     }

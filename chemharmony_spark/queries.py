@@ -1997,3 +1997,100 @@ def q101_wow_growth(spark, sf):
             ).alias("wow_growth"),
         )
     )
+
+
+def q102_bloom_pruned_join(spark, sf):
+    """Selective fact-to-fact join: revenue by return flag for URGENT orders
+    only. The filter keeps ~1/5 of orders, so at cluster scale Spark's
+    runtime bloom-filter injection (spark.sql.optimizer.runtime.bloomFilter,
+    on by default) builds a bloom filter over the surviving o_orderkey set
+    and pushes `might_contain` into the lineitem SCAN — the probe side is
+    pruned before the shuffle, which is the difference between shuffling
+    100 TB and shuffling 20 TB. At bench scale the filtered side fits under
+    the broadcast threshold and Catalyst picks BHJ instead (strictly
+    better); tests/test_plans.py forces the SMJ path and proves the bloom
+    filter actually lands in the plan. Reference analogue: every
+    staging-source integration joins a filtered id set back to activities
+    (e.g. 09_integrate_pubchem.py:56)."""
+    li = _t(spark, sf, "lineitem")
+    keys = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    disc = F.lit(1).cast("decimal(8,4)") - F.col("l_discount").cast("decimal(8,4)")
+    return (
+        li.join(keys, li.l_orderkey == keys.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(_d("l_extendedprice") * disc).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q103_basket_pairs(spark, sf):
+    """Market-basket pair mining: part pairs co-occurring in >= 2 orders.
+    Array-native pair generation — collect each order's distinct parts into
+    a sorted array (ONE shuffle), then emit the i<j pairs with
+    transform+slice+flatten INSIDE the row, so the quadratic step is
+    bounded by basket size (<= 7 in TPC-H) and never touches the shuffle.
+    The classic self-join spelling shuffles the fact table twice and
+    materializes every matched row pair; this moves only |baskets| rows
+    plus the pair counts. Deterministic output: (n desc, p1, p2)."""
+    li = _t(spark, sf, "lineitem")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .where(F.size("parts") >= 2)
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (x, i) ->"
+                " transform(slice(parts, i + 2, size(parts)),"
+                " y -> struct(x AS p1, y AS p2))))"
+            )
+        ).alias("pr")
+    )
+    return (
+        pairs.groupBy(
+            F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= 2)
+        .orderBy(F.col("n_orders").desc(), "p1", "p2")
+    )
+
+
+def q104_funnel(spark, sf):
+    """Ordered conversion funnel (view -> click -> purchase): count users
+    reaching each stage, where each step must occur strictly AFTER the
+    previous one in the user's (ts, event_id) sequence. One state machine
+    per user, run as an F.aggregate fold over the sorted event array — the
+    whole funnel costs ONE user_id shuffle + a single-row final agg,
+    versus one join+agg per stage in the relational spelling. Late/out-of-
+    order events are handled by the explicit sort inside the array, the
+    same contract the streaming sessionizer (q29) gets from watermarks."""
+    ev = _events(spark, sf).withColumn("ts", F.expr("ts div 1000"))
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("seq")
+    )
+    stage = F.aggregate(
+        "seq",
+        F.lit(0),
+        lambda acc, x: (
+            F.when((acc == 0) & (x["event_type"] == "view"), 1)
+            .when((acc == 1) & (x["event_type"] == "click"), 2)
+            .when((acc == 2) & (x["event_type"] == "purchase"), 3)
+            .otherwise(acc)
+        ),
+    )
+    return per_user.select(stage.alias("stage")).agg(
+        F.sum(F.when(F.col("stage") >= 1, 1).otherwise(0)).alias("step1_view"),
+        F.sum(F.when(F.col("stage") >= 2, 1).otherwise(0)).alias("step2_click"),
+        F.sum(F.when(F.col("stage") >= 3, 1).otherwise(0)).alias("step3_purchase"),
+    )

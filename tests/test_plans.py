@@ -179,6 +179,13 @@ SHUFFLE_BUDGET = {
     "q100_profile_table": 2,
     # q101: weekly decimal agg + the lag window over the ~400-row week table
     "q101_wow_growth": 2,
+    # q102: flag agg + presentation sort (the urgent-keys join broadcasts)
+    "q102_bloom_pruned_join": 2,
+    # q103: basket collect + pair agg + deterministic sort; pair generation
+    # itself is in-row (transform/slice/flatten), never an exchange
+    "q103_basket_pairs": 3,
+    # q104: ONE user_id exchange for the sequence collect + the 1-row agg
+    "q104_funnel": 2,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -247,6 +254,37 @@ def test_aqe_splits_skewed_join_partitions(spark):
         joined.collect()
         plan = joined._jdf.queryExecution().executedPlan().toString()
         assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """Runtime bloom-filter injection (q102's 100 TB story): when the
+    filtered build side is too big to broadcast, Spark builds a bloom
+    filter over its join keys and applies might_contain on the probe side
+    BEFORE the shuffle. The application-side size threshold defaults to
+    10 GB (cluster-scale); scaled down here to prove the rewrite engages
+    on exactly the q102 join shape."""
+    from chemharmony_spark import queries as Q
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = Q.q102_bloom_pruned_join(spark, SF)
+        optimized = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in optimized, optimized[:2000]
+        assert "might_contain" in optimized, optimized[:2000]
     finally:
         for k, v in old.items():
             if v is None:
