@@ -181,6 +181,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q102_bloom_pruned_join": Q.q102_bloom_pruned_join,
         "q103_basket_pairs": Q.q103_basket_pairs,
         "q104_funnel": Q.q104_funnel,
+        "q105_triangle_count": Q.q105_triangle_count,
+        "q106_rfm_segments": Q.q106_rfm_segments,
+        "q107_mad_outliers": Q.q107_mad_outliers,
+        "q108_skew_profile": Q.q108_skew_profile,
     }
 
 
@@ -1782,5 +1786,138 @@ def oracle_sql() -> dict[str, str]:
                    CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS step2_click,
                    CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
                      AS step3_purchase
+        """,
+        "q105_triangle_count": """
+            WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            edges AS (
+              SELECT a.l_partkey AS p1, c.l_partkey AS p2
+              FROM b a JOIN b c
+                ON a.l_orderkey = c.l_orderkey
+               AND a.l_partkey < c.l_partkey
+              GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+            SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+            FROM edges e1
+            JOIN edges e2 ON e1.p2 = e2.p1
+            WHERE EXISTS (SELECT 1 FROM edges e3
+                          WHERE e3.p1 = e1.p1 AND e3.p2 = e2.p2)
+            ORDER BY a, b, c
+        """,
+        "q106_rfm_segments": """
+            WITH per AS (
+              SELECT o_custkey,
+                     CAST(date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                               (SELECT CAST(MAX(o_orderdate) AS DATE)
+                                  FROM orders)) AS INT)
+                       AS recency,
+                     CAST(COUNT(*) AS BIGINT) AS frequency,
+                     SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS mon_dec
+              FROM orders GROUP BY 1),
+            rk AS (
+              SELECT per.*,
+                     ROW_NUMBER() OVER (ORDER BY recency) AS rr,
+                     ROW_NUMBER() OVER (ORDER BY frequency) AS fr,
+                     ROW_NUMBER() OVER (ORDER BY mon_dec) AS mr,
+                     COUNT(*) OVER () AS n
+              FROM per),
+            bounds AS (
+              SELECT
+                MAX(CASE WHEN rr = greatest(1, CAST(ceil(0.25*n) AS BIGINT))
+                         THEN recency END) AS r25,
+                MAX(CASE WHEN rr = greatest(1, CAST(ceil(0.50*n) AS BIGINT))
+                         THEN recency END) AS r50,
+                MAX(CASE WHEN rr = greatest(1, CAST(ceil(0.75*n) AS BIGINT))
+                         THEN recency END) AS r75,
+                MAX(CASE WHEN fr = greatest(1, CAST(ceil(0.25*n) AS BIGINT))
+                         THEN frequency END) AS f25,
+                MAX(CASE WHEN fr = greatest(1, CAST(ceil(0.50*n) AS BIGINT))
+                         THEN frequency END) AS f50,
+                MAX(CASE WHEN fr = greatest(1, CAST(ceil(0.75*n) AS BIGINT))
+                         THEN frequency END) AS f75,
+                MAX(CASE WHEN mr = greatest(1, CAST(ceil(0.25*n) AS BIGINT))
+                         THEN mon_dec END) AS m25,
+                MAX(CASE WHEN mr = greatest(1, CAST(ceil(0.50*n) AS BIGINT))
+                         THEN mon_dec END) AS m50,
+                MAX(CASE WHEN mr = greatest(1, CAST(ceil(0.75*n) AS BIGINT))
+                         THEN mon_dec END) AS m75
+              FROM rk)
+            SELECT o_custkey, recency, frequency,
+                   CAST(mon_dec AS DOUBLE) AS monetary,
+                   CAST(4 - ((recency > r25)::INT + (recency > r50)::INT
+                             + (recency > r75)::INT) AS INT) AS r_score,
+                   CAST(1 + ((frequency > f25)::INT + (frequency > f50)::INT
+                             + (frequency > f75)::INT) AS INT) AS f_score,
+                   CAST(1 + ((mon_dec > m25)::INT + (mon_dec > m50)::INT
+                             + (mon_dec > m75)::INT) AS INT) AS m_score,
+                   CAST((4 - ((recency > r25)::INT + (recency > r50)::INT
+                              + (recency > r75)::INT)) * 100
+                        + (1 + ((frequency > f25)::INT + (frequency > f50)::INT
+                                + (frequency > f75)::INT)) * 10
+                        + (1 + ((mon_dec > m25)::INT + (mon_dec > m50)::INT
+                                + (mon_dec > m75)::INT)) AS INT) AS segment
+            FROM per CROSS JOIN bounds
+        """,
+        "q107_mad_outliers": """
+            WITH ranked AS (
+              SELECT event_id, event_type, value,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                                        ORDER BY value) AS rn,
+                     COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM events),
+            med AS (
+              SELECT event_type,
+                     MAX(CASE WHEN rn = greatest(1,
+                           CAST(ceil(0.5 * n) AS BIGINT))
+                         THEN value END) AS med
+              FROM ranked GROUP BY 1),
+            dev AS (
+              SELECT e.event_id, e.event_type, e.value, m.med,
+                     abs(e.value - m.med) AS absdev
+              FROM events e JOIN med m USING (event_type)),
+            dranked AS (
+              SELECT dev.*,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                                        ORDER BY absdev) AS rn,
+                     COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM dev),
+            mad AS (
+              SELECT event_type,
+                     MAX(CASE WHEN rn = greatest(1,
+                           CAST(ceil(0.5 * n) AS BIGINT))
+                         THEN absdev END) AS mad
+              FROM dranked GROUP BY 1)
+            SELECT d.event_id, d.event_type, d.value, d.med, a.mad
+            FROM dev d JOIN mad a USING (event_type)
+            WHERE d.absdev > 3.0 * a.mad
+            ORDER BY d.event_type, d.event_id
+        """,
+        "q108_skew_profile": """
+            WITH counts AS (
+              SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+              FROM events GROUP BY 1),
+            ranked AS (
+              SELECT n,
+                     ROW_NUMBER() OVER (ORDER BY n) AS rn,
+                     COUNT(*) OVER () AS nk
+              FROM counts),
+            stats AS (
+              SELECT
+                MAX(CASE WHEN rn = greatest(1, CAST(ceil(0.5*nk) AS BIGINT))
+                         THEN n END) AS p50_rows,
+                MAX(CASE WHEN rn = greatest(1, CAST(ceil(0.99*nk) AS BIGINT))
+                         THEN n END) AS p99_rows,
+                CAST(COUNT(*) AS BIGINT) AS n_keys,
+                CAST(SUM(n) AS BIGINT) AS total_rows
+              FROM ranked),
+            top AS (
+              SELECT user_id, n,
+                     ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS rank
+              FROM counts
+              ORDER BY n DESC, user_id LIMIT 10)
+            SELECT CAST(rank AS INT) AS rank, user_id,
+                   n AS n_rows,
+                   CAST(n * 1000000 // total_rows AS BIGINT) AS share_ppm,
+                   n_keys, total_rows, p50_rows, p99_rows
+            FROM top CROSS JOIN stats
+            ORDER BY rank
         """,
     }

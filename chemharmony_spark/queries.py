@@ -2094,3 +2094,201 @@ def q104_funnel(spark, sf):
         F.sum(F.when(F.col("stage") >= 2, 1).otherwise(0)).alias("step2_click"),
         F.sum(F.when(F.col("stage") >= 3, 1).otherwise(0)).alias("step3_purchase"),
     )
+
+
+def q105_triangle_count(spark, sf):
+    """Triangle enumeration on the co-purchase graph (edges = part pairs
+    sharing >= 2 orders, from the q103 basket miner). Classic
+    compact-forward: every edge is stored oriented p1 < p2, so a wedge
+    (a,b)x(b,c) already satisfies a < b < c and each triangle is emitted
+    exactly once — no 6-way symmetry blowup, no post-dedup. The edge table
+    is persisted once and reused by all three sides; at cluster scale the
+    two probe sides broadcast (edge set ~ O(parts), orders of magnitude
+    smaller than the fact table that produced it) so the only full shuffle
+    is the basket agg itself. For skewed (power-law) graphs, orient by
+    degree instead of id — same plan shape, bounded wedge fan-out."""
+    li = _t(spark, sf, "lineitem")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .where(F.size("parts") >= 2)
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (x, i) ->"
+                " transform(slice(parts, i + 2, size(parts)),"
+                " y -> struct(x AS p1, y AS p2))))"
+            )
+        ).alias("pr")
+    )
+    edges = (
+        pairs.groupBy(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+        .select("p1", "p2")
+        .localCheckpoint(eager=False)
+    )
+    wedge = edges.alias("e1").join(
+        F.broadcast(edges.alias("e2")), F.col("e1.p2") == F.col("e2.p1")
+    )
+    tri = wedge.join(
+        F.broadcast(edges.alias("e3")),
+        (F.col("e3.p1") == F.col("e1.p1")) & (F.col("e3.p2") == F.col("e2.p2")),
+        "left_semi",
+    )
+    return tri.select(
+        F.col("e1.p1").alias("a"),
+        F.col("e1.p2").alias("b"),
+        F.col("e2.p2").alias("c"),
+    ).orderBy("a", "b", "c")
+
+
+def q106_rfm_segments(spark, sf):
+    """RFM customer segmentation: recency (days since last order, vs the
+    corpus max date), frequency (order count), monetary (exact-decimal
+    lifetime spend), each quartile-binned with the same discrete
+    (ceil(q*n)) selection q58/q95 use — pure comparisons against broadcast
+    bounds, no interpolation, so engines agree bit-for-bit. Scores follow
+    the marketing convention: 4 is best (recent / frequent / big spender),
+    so recency is inverted. One customer-key shuffle builds the RFM table;
+    all nine quantile bounds come from ONE ranked pass over the customer
+    *dimension* (three row_numbers sharing a single-partition sort stage,
+    then a 1-row agg) — at 100 TB swap that pass for approx_percentile
+    and keep the fact-side plan unchanged."""
+    od = _t(spark, sf, "orders")
+    mx = od.agg(F.max("o_orderdate").alias("mxd"))
+    per = (
+        od.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_date"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(_d("o_totalprice")).alias("mon_dec"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .withColumn("recency", F.datediff("mxd", "last_date"))
+        .drop("mxd", "last_date")
+    )
+    qs = [0.25, 0.50, 0.75]
+    rk = per.select(
+        "*",
+        F.row_number().over(Window.orderBy("recency")).alias("rr"),
+        F.row_number().over(Window.orderBy("frequency")).alias("fr"),
+        F.row_number().over(Window.orderBy("mon_dec")).alias("mr"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+
+    def pick(rn, col, q, pfx):
+        tgt = F.greatest(F.lit(1), F.ceil(F.lit(q) * F.col("n")))
+        return F.max(F.when(F.col(rn) == tgt, F.col(col))).alias(
+            f"{pfx}{int(q*100)}"
+        )
+
+    bounds = rk.agg(
+        *[pick("rr", "recency", q, "r") for q in qs],
+        *[pick("fr", "frequency", q, "f") for q in qs],
+        *[pick("mr", "mon_dec", q, "m") for q in qs],
+    )
+    scored = per.crossJoin(F.broadcast(bounds))
+
+    def score(col, pfx, invert=False):
+        raw = (
+            (F.col(col) > F.col(f"{pfx}25")).cast("int")
+            + (F.col(col) > F.col(f"{pfx}50")).cast("int")
+            + (F.col(col) > F.col(f"{pfx}75")).cast("int")
+        )
+        return (F.lit(4) - raw) if invert else (F.lit(1) + raw)
+
+    return scored.select(
+        "o_custkey",
+        "recency",
+        "frequency",
+        F.col("mon_dec").cast("double").alias("monetary"),
+        score("recency", "r", invert=True).alias("r_score"),
+        score("frequency", "f").alias("f_score"),
+        score("mon_dec", "m").alias("m_score"),
+    ).withColumn(
+        "segment",
+        F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"),
+    )
+
+
+def q107_mad_outliers(spark, sf):
+    """Robust outlier detection: flag events whose |value - median| exceeds
+    3x the median absolute deviation of their event type. Two passes of
+    the discrete-median selector (value, then absolute deviation), each
+    broadcast back onto the un-shuffled fact scan — the fact table itself
+    never shuffles. Every float op the verdict depends on is a single IEEE
+    primitive (one subtract, one multiply, one compare), so the flag is
+    bit-identical across engines. MAD tolerates up to 50% contamination —
+    the right gate for raw training-data feeds where mean/stddev z-scores
+    (q36 family) are themselves dragged by the outliers."""
+    from chemharmony_spark.operators.core import grouped_percentiles_disc
+
+    ev = _events(spark, sf).select("event_id", "event_type", "value")
+    med = grouped_percentiles_disc(ev, ["event_type"], "value", [0.5]) \
+        .withColumnRenamed("p50", "med")
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "absdev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = grouped_percentiles_disc(dev, ["event_type"], "absdev", [0.5]) \
+        .withColumnRenamed("p50", "mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .where(F.col("absdev") > F.lit(3.0) * F.col("mad"))
+        .select("event_id", "event_type", "value", "med", "mad")
+        .orderBy("event_type", "event_id")
+    )
+
+
+def q108_skew_profile(spark, sf):
+    """Join-key skew diagnostic — the profiling step you run BEFORE picking
+    a join strategy at 100 TB: per-key row counts for events.user_id, the
+    10 heaviest keys with their load share (exact integer ppm — no float
+    division), and the p50/p99 key-count quantiles whose ratio is the
+    skew factor AQE's skewJoin threshold needs. One fact-table shuffle
+    (the count agg); everything downstream runs over the key *dimension* —
+    quantiles, key count, and row total all from ONE ranked pass + 1-row
+    agg. Top-10 is TakeOrdered (no global sort), ties broken by key id."""
+    ev = _events(spark, sf).select("user_id")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    rk = counts.select(
+        "n",
+        F.row_number().over(Window.orderBy("n")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nk"),
+    )
+
+    def pick(q, name):
+        tgt = F.greatest(F.lit(1), F.ceil(F.lit(q) * F.col("nk")))
+        return F.max(F.when(F.col("rn") == tgt, F.col("n"))).alias(name)
+
+    stats = rk.agg(
+        pick(0.5, "p50_rows"),
+        pick(0.99, "p99_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("total_rows"),
+    )
+    top = (
+        counts.orderBy(F.col("n").desc(), "user_id")
+        .limit(10)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("n").desc(), "user_id")
+            ),
+        )
+    )
+    return (
+        top.crossJoin(F.broadcast(stats))
+        .select(
+            "rank",
+            "user_id",
+            F.col("n").alias("n_rows"),
+            F.expr("n * 1000000L div total_rows").alias("share_ppm"),
+            "n_keys",
+            "total_rows",
+            "p50_rows",
+            "p99_rows",
+        )
+        .orderBy("rank")
+    )

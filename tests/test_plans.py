@@ -186,6 +186,18 @@ SHUFFLE_BUDGET = {
     "q103_basket_pairs": 3,
     # q104: ONE user_id exchange for the sequence collect + the 1-row agg
     "q104_funnel": 2,
+    # q105: the basket agg is the ONLY exchange — pair gen is in-row, the
+    # edge table is checkpointed once, and both probe sides broadcast
+    "q105_triangle_count": 1,
+    # q106: customer agg (x2 subplans) + the single-partition ranked pass
+    # for the nine quantile bounds; bounds/max-date are 1-row broadcasts
+    "q106_rfm_segments": 5,
+    # q107: two single-partition median windows + their groupBys; the fact
+    # scan itself never shuffles (both medians broadcast back)
+    "q107_mad_outliers": 4,
+    # q108: key-count agg (x2 subplans) + single-partition ranked pass;
+    # top-10 is TakeOrdered, stats a 1-row broadcast
+    "q108_skew_profile": 3,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -200,7 +212,11 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 # q64: broadcast of the 1-row corpus-size scalar
                 "q64_tfidf",
                 # q96/q98: broadcast of a 1-row min/max scalar
-                "q96_snapshot_diff", "q98_decayed_popularity"}
+                "q96_snapshot_diff", "q98_decayed_popularity",
+                # q106: 1-row max-date + 1-row quantile-bounds broadcasts
+                "q106_rfm_segments",
+                # q108: 1-row skew-stats broadcast onto the 10-row top-k
+                "q108_skew_profile"}
 
 
 def test_every_query_plan_within_scale_budget(spark):
