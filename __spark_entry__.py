@@ -185,6 +185,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q106_rfm_segments": Q.q106_rfm_segments,
         "q107_mad_outliers": Q.q107_mad_outliers,
         "q108_skew_profile": Q.q108_skew_profile,
+        "q109_pmi_pairs": Q.q109_pmi_pairs,
+        "q110_constraint_audit": Q.q110_constraint_audit,
+        "q111_incremental_agg": Q.q111_incremental_agg,
+        "q112_pagerank": Q.q112_pagerank,
     }
 
 
@@ -256,6 +260,44 @@ _SIG_SQL = f"""
       (SELECT unnest([0, 1, 2, 3]) AS band)
     GROUP BY doc_id, band
 """
+
+
+def _pagerank_sql(iters: int = 4) -> str:
+    """Unrolled-CTE PageRank matching queries.q112_pagerank: 4 fixed
+    iterations of pure-integer micro-unit updates (rank div degree,
+    85%-damped sum), so the trajectory is bit-identical to the Spark loop.
+    Unrolled because the recursive term would need a GROUP BY; with a
+    fixed iteration count the chain of CTEs IS the ANSI spelling."""
+    ctes = [
+        "b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        """e0 AS (
+          SELECT a.l_partkey AS p1, c.l_partkey AS p2
+          FROM b a JOIN b c
+            ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2)""",
+        """sym AS (SELECT p1, p2 FROM e0
+                   UNION ALL SELECT p2 AS p1, p1 AS p2 FROM e0)""",
+        """deg AS (SELECT p1 AS node, CAST(COUNT(*) AS BIGINT) AS deg
+                   FROM sym GROUP BY 1)""",
+        "nodes AS (SELECT node FROM deg)",
+        "r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes)",
+    ]
+    for k in range(iters):
+        ctes.append(f"""c{k} AS (
+          SELECT e.p2 AS node, SUM(r.r // d.deg) AS s
+          FROM sym e
+          JOIN r{k} r ON r.node = e.p1
+          JOIN deg d ON d.node = e.p1
+          GROUP BY 1)""")
+        ctes.append(f"""r{k + 1} AS (
+          SELECT n.node,
+                 CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT)
+                   AS r
+          FROM nodes n LEFT JOIN c{k} c ON c.node = n.node)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, r AS rank_micro FROM r{iters} ORDER BY node"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1920,4 +1962,65 @@ def oracle_sql() -> dict[str, str]:
             FROM top CROSS JOIN stats
             ORDER BY rank
         """,
+        "q109_pmi_pairs": """
+            WITH bp AS (SELECT DISTINCT l_orderkey, l_partkey
+                        FROM lineitem),
+            marg AS (SELECT l_partkey AS p, CAST(COUNT(*) AS BIGINT) AS m
+                     FROM bp GROUP BY 1),
+            tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM orders),
+            pairs AS (
+              SELECT a.l_partkey AS p1, c.l_partkey AS p2,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM bp a JOIN bp c
+                ON a.l_orderkey = c.l_orderkey
+               AND a.l_partkey < c.l_partkey
+              GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+            SELECT p1, p2, n AS n_pair, m1.m AS m1, m2.m AS m2,
+                   CAST(floor(1000000.0 * ln(
+                        CAST(n * t AS DOUBLE)
+                        / CAST(m1.m * m2.m AS DOUBLE))) AS BIGINT)
+                     AS pmi_micro
+            FROM pairs
+            JOIN marg m1 ON m1.p = pairs.p1
+            JOIN marg m2 ON m2.p = pairs.p2
+            CROSS JOIN tot
+            ORDER BY p1, p2
+        """,
+        "q110_constraint_audit": """
+            WITH checks AS (
+              SELECT 'complete_custkey' AS "check",
+                     CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0
+                              END) AS BIGINT) AS violations
+              FROM orders
+              UNION ALL
+              SELECT 'unique_orderkey',
+                     CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c - 1 END), 0)
+                          AS BIGINT)
+              FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey)
+              UNION ALL
+              SELECT 'ref_lineitem_orderkey', CAST(COUNT(*) AS BIGINT)
+              FROM lineitem
+              WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+              UNION ALL
+              SELECT 'range_totalprice_pos',
+                     CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0
+                              END) AS BIGINT)
+              FROM orders
+              UNION ALL
+              SELECT 'domain_orderstatus',
+                     CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                              THEN 1 ELSE 0 END) AS BIGINT)
+              FROM orders)
+            SELECT "check", violations, violations = 0 AS passed
+            FROM checks ORDER BY "check"
+        """,
+        "q111_incremental_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                     AS sum_qty,
+                   CAST(COUNT(*) AS BIGINT) AS count_rows
+            FROM lineitem
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q112_pagerank": _pagerank_sql(),
     }

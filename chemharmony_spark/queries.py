@@ -2096,18 +2096,12 @@ def q104_funnel(spark, sf):
     )
 
 
-def q105_triangle_count(spark, sf):
-    """Triangle enumeration on the co-purchase graph (edges = part pairs
-    sharing >= 2 orders, from the q103 basket miner). Classic
-    compact-forward: every edge is stored oriented p1 < p2, so a wedge
-    (a,b)x(b,c) already satisfies a < b < c and each triangle is emitted
-    exactly once — no 6-way symmetry blowup, no post-dedup. The edge table
-    is persisted once and reused by all three sides; at cluster scale the
-    two probe sides broadcast (edge set ~ O(parts), orders of magnitude
-    smaller than the fact table that produced it) so the only full shuffle
-    is the basket agg itself. For skewed (power-law) graphs, orient by
-    degree instead of id — same plan shape, bounded wedge fan-out."""
-    li = _t(spark, sf, "lineitem")
+def _copurchase_edges(li: DataFrame) -> DataFrame:
+    """Co-purchase graph edges: part pairs sharing >= 2 orders, oriented
+    p1 < p2. Pair generation happens inside the row (transform/slice/
+    flatten over the sorted basket array, the q103 idiom) so the quadratic
+    step is bounded by basket size and the basket agg is the only
+    exchange."""
     baskets = (
         li.groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
@@ -2122,12 +2116,27 @@ def q105_triangle_count(spark, sf):
             )
         ).alias("pr")
     )
-    edges = (
+    return (
         pairs.groupBy(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
         .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") >= 2)
-        .select("p1", "p2")
-        .localCheckpoint(eager=False)
+    )
+
+
+def q105_triangle_count(spark, sf):
+    """Triangle enumeration on the co-purchase graph (edges = part pairs
+    sharing >= 2 orders, from the q103 basket miner). Classic
+    compact-forward: every edge is stored oriented p1 < p2, so a wedge
+    (a,b)x(b,c) already satisfies a < b < c and each triangle is emitted
+    exactly once — no 6-way symmetry blowup, no post-dedup. The edge table
+    is persisted once and reused by all three sides; at cluster scale the
+    two probe sides broadcast (edge set ~ O(parts), orders of magnitude
+    smaller than the fact table that produced it) so the only full shuffle
+    is the basket agg itself. For skewed (power-law) graphs, orient by
+    degree instead of id — same plan shape, bounded wedge fan-out."""
+    li = _t(spark, sf, "lineitem")
+    edges = (
+        _copurchase_edges(li).select("p1", "p2").localCheckpoint(eager=False)
     )
     wedge = edges.alias("e1").join(
         F.broadcast(edges.alias("e2")), F.col("e1.p2") == F.col("e2.p1")
@@ -2292,3 +2301,174 @@ def q108_skew_profile(spark, sf):
         )
         .orderBy("rank")
     )
+
+
+def q109_pmi_pairs(spark, sf):
+    """Pointwise mutual information for co-purchased part pairs — the
+    word-association statistic (positive PMI = bought together more than
+    chance), computed over baskets. Counts are exact integers (pair count,
+    per-part basket count, total baskets); the score is the q64/q68
+    floor-micro idiom: ONE double division + ONE ln + floor at 1e-6
+    granularity, so libm ulp differences can't flip the result. Marginals
+    are part-dimension sized and broadcast; the basket total reads the
+    orders table (1 row per order — no countDistinct over the fact), so
+    the only full shuffles are the marginal/basket/pair aggs (all
+    map-side combined)."""
+    li = _t(spark, sf, "lineitem")
+    bp = li.select("l_orderkey", "l_partkey").distinct()
+    marg = bp.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    tot = _t(spark, sf, "orders").agg(F.count(F.lit(1)).alias("t"))
+    pairs = _copurchase_edges(li)
+    return (
+        pairs.join(F.broadcast(marg.withColumnRenamed("p", "p1")
+                               .withColumnRenamed("m", "m1")), "p1")
+        .join(F.broadcast(marg.withColumnRenamed("p", "p2")
+                          .withColumnRenamed("m", "m2")), "p2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "p1", "p2",
+            F.col("n").alias("n_pair"),
+            "m1", "m2",
+            F.floor(
+                F.lit(1_000_000.0)
+                * F.log(
+                    (F.col("n") * F.col("t")).cast("double")
+                    / (F.col("m1") * F.col("m2")).cast("double")
+                )
+            ).cast("long").alias("pmi_micro"),
+        )
+        .orderBy("p1", "p2")
+    )
+
+
+def q110_constraint_audit(spark, sf):
+    """Deequ-style data-quality audit: five declarative constraints over
+    the orders/lineitem feed (completeness, key uniqueness, referential
+    integrity, value range, domain membership), reported as one row per
+    check with the exact violation count. Each check is an independent
+    1-row aggregate unioned at the end, so they run CONCURRENTLY inside
+    one job and the audit costs max(check), not sum(check); the
+    referential check reuses the orders scan as a broadcast-able key set.
+    At 100 TB this is the pre-ingest gate that runs before any of the
+    curation queries touch the batch."""
+    od = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+
+    def row(name, df_cnt):
+        return df_cnt.select(
+            F.lit(name).alias("check"),
+            F.col("violations").cast("long").alias("violations"),
+            (F.col("violations") == 0).alias("passed"),
+        )
+
+    null_cust = od.agg(
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .alias("violations")
+    )
+    dup_keys = (
+        od.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.coalesce(F.sum(F.when(F.col("c") > 1, F.col("c") - 1)),
+                        F.lit(0)).alias("violations"))
+    )
+    orphans = (
+        li.join(od.select(F.col("o_orderkey").alias("l_orderkey")),
+                "l_orderkey", "left_anti")
+        .agg(F.count(F.lit(1)).alias("violations"))
+    )
+    bad_price = od.agg(
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+        .alias("violations")
+    )
+    bad_status = od.agg(
+        F.sum(F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)
+              .otherwise(0)).alias("violations")
+    )
+    return (
+        row("complete_custkey", null_cust)
+        .unionByName(row("unique_orderkey", dup_keys))
+        .unionByName(row("ref_lineitem_orderkey", orphans))
+        .unionByName(row("range_totalprice_pos", bad_price))
+        .unionByName(row("domain_orderstatus", bad_status))
+        .orderBy("check")
+    )
+
+
+def q111_incremental_agg(spark, sf):
+    """Incremental aggregate maintenance: the nightly-batch pattern where
+    yesterday's aggregate is MERGED with today's delta instead of
+    rescanning history. Split at a fixed ship date, aggregate each side
+    independently (sum/count partials in exact decimal), then re-aggregate
+    the union of partials — associativity makes the merged result equal a
+    full recompute, which is exactly what the oracle computes. At 100 TB
+    the 'base' side is a tiny stored aggregate, so the daily cost is the
+    delta scan alone; the merge is a dimension-sized union re-agg."""
+    li = _t(spark, sf, "lineitem")
+    cutoff = F.lit("1995-06-17")
+
+    def partial(side):
+        return side.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum(_d("l_quantity")).alias("qty_dec"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+
+    base = partial(li.where(F.col("l_shipdate") < cutoff))
+    delta = partial(li.where(F.col("l_shipdate") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("qty_dec").cast("double").alias("sum_qty"),
+            F.sum("cnt").alias("count_rows"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q112_pagerank(spark, sf):
+    """PageRank (4 fixed iterations, damping 0.85) on the symmetrized
+    co-purchase graph — importance scoring for dedup-cluster canonical
+    picks or crawl prioritization. Every update is INTEGER arithmetic in
+    micro-units: contribution = rank div degree, new rank = 150000 +
+    (85 * sum) div 100 — no float accumulation anywhere, so the fixpoint
+    trajectory is bit-identical across engines, partitionings, and the
+    oracle's unrolled-CTE spelling. The per-iteration plan is one
+    hash-agg shuffle (the contribution sum): the EDGE table — the big side
+    — never moves, while the node-dimension rank/degree tables broadcast
+    onto it (at 1e9+ nodes, switch those to co-partitioned joins on the
+    edge key and reuse the exchange). Each iteration is lazily
+    localCheckpoint'ed so the lineage (and the driver's plan) stays O(1)
+    in the iteration count — the same pattern operators/graph.py uses for
+    connected components."""
+    li = _t(spark, sf, "lineitem")
+    e = _copurchase_edges(li).select("p1", "p2")
+    sym = (
+        e.unionByName(e.select(F.col("p2").alias("p1"),
+                               F.col("p1").alias("p2")))
+        .localCheckpoint(eager=False)
+    )
+    deg = sym.groupBy("p1").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = deg.select(F.col("p1").alias("node")).localCheckpoint(eager=False)
+    ranks = nodes.withColumn("r", F.lit(1_000_000).cast("long"))
+    for _ in range(4):
+        contrib = (
+            sym.join(F.broadcast(ranks.withColumnRenamed("node", "p1")), "p1")
+            .join(F.broadcast(deg), "p1")
+            .select(F.col("p2").alias("node"),
+                    F.expr("r div deg").alias("c"))
+        )
+        s = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(s, "node", "left")
+            .select(
+                "node",
+                F.expr(
+                    "CAST(150000 + (85 * coalesce(s, CAST(0 AS BIGINT)))"
+                    " div 100 AS BIGINT)"
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select("node", F.col("r").alias("rank_micro")) \
+        .orderBy("node")

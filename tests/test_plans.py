@@ -198,6 +198,20 @@ SHUFFLE_BUDGET = {
     # q108: key-count agg (x2 subplans) + single-partition ranked pass;
     # top-10 is TakeOrdered, stats a 1-row broadcast
     "q108_skew_profile": 3,
+    # q109: (order,part) distinct + marginal agg (appearing as TWO
+    # broadcast subplans, m1/m2 — identical exchanges, deduped by
+    # ReuseExchange at runtime) + basket/pair aggs + presentation sort;
+    # basket total is a 1-row orders-count broadcast
+    "q109_pmi_pairs": 8,
+    # q110: five concurrent 1-row check aggs (dup-key check pays 2) +
+    # the referential anti-join's broadcast build
+    "q110_constraint_audit": 6,
+    # q111: base + delta partial aggs + the dimension-sized merge re-agg
+    "q111_incremental_agg": 3,
+    # q112: the final iteration's contribution agg is the only exchange
+    # VISIBLE here — earlier iterations sit behind lazy localCheckpoints
+    # (one contribution-agg shuffle each at runtime, lineage kept O(1))
+    "q112_pagerank": 1,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -216,7 +230,9 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 # q106: 1-row max-date + 1-row quantile-bounds broadcasts
                 "q106_rfm_segments",
                 # q108: 1-row skew-stats broadcast onto the 10-row top-k
-                "q108_skew_profile"}
+                "q108_skew_profile",
+                # q109: 1-row basket-total scalar broadcast
+                "q109_pmi_pairs"}
 
 
 def test_every_query_plan_within_scale_budget(spark):
