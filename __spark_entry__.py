@@ -25,8 +25,8 @@ _PREPARED: set[str] = set()
 def _prepare(spark: SparkSession) -> None:
     """Make any externally-created SparkSession able to run our queries:
 
-    - the events table carries TIMESTAMP(NANOS) parquet, which Spark only
-      reads with the nanosAsLong legacy conf (runtime-settable);
+    - time arithmetic (events ``ts`` long-nanos view, date rendering) assumes
+      a UTC session timezone — pin it (runtime-settable);
     - pandas_udf/mapInPandas queries unpickle ``chemharmony_spark`` inside
       Python workers — ship the package via addPyFile so a session created
       without our PYTHONPATH still resolves it.
@@ -36,7 +36,7 @@ def _prepare(spark: SparkSession) -> None:
     key = spark.sparkContext.applicationId
     if key in _PREPARED:
         return
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     import shutil
     import tempfile
 

@@ -97,32 +97,42 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         t0 = time.time()
-        # count() forces full execution of every operator without the
-        # driver-collect overhead of toPandas on wide results
-        qs[name](spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+        try:
+            # count() forces full execution of every operator without the
+            # driver-collect overhead of toPandas on wide results
+            qs[name](spark, sf_dir).count()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # one bad query must never zero the whole run
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
 
     # flagship: the harmonize job end-to-end (scan -> canonicalize ->
     # content ids -> re-key joins -> global aid -> invariant checks)
-    staging_root = f"/tmp/chemharmony_bench_staging_sf{sf}"
-    sources = _prepare_staging(spark, sf_dir, staging_root)
-    t0 = time.time()
-    res = harmonize(spark, staging_root, sources)
-    n_acts = res.activities.count()
-    timings["harmonize_e2e"] = round(time.time() - t0, 3)
-    assert n_acts > 0
-    res.unpersist()
+    try:
+        staging_root = f"/tmp/chemharmony_bench_staging_sf{sf}"
+        sources = _prepare_staging(spark, sf_dir, staging_root)
+        t0 = time.time()
+        res = harmonize(spark, staging_root, sources)
+        n_acts = res.activities.count()
+        timings["harmonize_e2e"] = round(time.time() - t0, 3)
+        assert n_acts > 0
+        res.unpersist()
+    except Exception as e:
+        errors["harmonize_e2e"] = f"{type(e).__name__}: {e}"[:300]
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline_query_wall_time",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -46,10 +46,27 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ``ts`` as long nanoseconds (see session.py nanosAsLong);
-    ``ts_ts`` adds a proper TimestampType view (microsecond truncation)."""
+    """events normalized to two time views regardless of the parquet physical
+    type of ``ts``:
+
+    - ``ts``   — BIGINT nanoseconds since epoch (what the downstream integer
+      window / bucketing arithmetic consumes);
+    - ``ts_ts`` — TimestampType (UTC session tz; microsecond precision).
+
+    PySpark 4.x reads the testdata's plain ``timestamp[us]`` parquet column
+    as TIMESTAMP_NTZ; older nanos-annotated files under the nanosAsLong
+    legacy conf arrive as BIGINT ns. Branch on the observed dtype so both
+    layouts yield identical ``ts``/``ts_ts`` values (session tz is pinned to
+    UTC, so NTZ->timestamp cast is a pure re-tag)."""
     ev = _t(spark, sf_dir, "events")
-    return ev.withColumn("ts_ts", F.timestamp_micros(F.expr("ts div 1000")))
+    dt = dict(ev.dtypes)["ts"]
+    if dt in ("bigint", "long"):
+        return ev.withColumn("ts_ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_ts = F.col("ts").cast("timestamp")
+    return (
+        ev.withColumn("ts_ts", ts_ts)
+        .withColumn("ts", F.unix_micros(ts_ts) * F.lit(1000).cast("long"))
+    )
 
 
 def _d(c) -> F.Column:

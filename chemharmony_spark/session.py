@@ -67,10 +67,6 @@ def get_spark(
         # --- IO ---
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.parquet.filterPushdown", "true")
-        # driver testdata carries TIMESTAMP(NANOS) parquet columns, which
-        # Spark refuses by default; read them as long (ns since epoch) and
-        # convert explicitly where timestamp semantics are needed
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         # --- Python boundary: always Arrow, never row-at-a-time pickle ---

@@ -23,18 +23,35 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
 EVENTS_SCHEMA = StructType(
     [
         StructField("event_id", LongType(), True),
-        StructField("ts", LongType(), True),  # ns since epoch (nanosAsLong)
+        StructField("ts", TimestampNTZType(), True),  # parquet timestamp[us]
         StructField("user_id", LongType(), True),
         StructField("event_type", StringType(), True),
         StructField("value", DoubleType(), True),
         StructField("props", StringType(), True),
     ]
 )
+
+
+def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
+    """readStream over events.parquet with the two time views every streaming
+    plan consumes: ``ts`` re-derived as BIGINT ns since epoch and ``ts_ts``
+    as TimestampType (session tz is UTC, so the NTZ cast is a pure re-tag).
+    Mirrors queries._events so batch/stream twins share semantics."""
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(events_dir)
+    )
+    ts_ts = F.col("ts").cast("timestamp")
+    return src.withColumn("ts_ts", ts_ts).withColumn(
+        "ts", F.unix_micros(ts_ts) * F.lit(1000).cast("long")
+    )
 
 
 def stream_tumbling_counts(
@@ -50,12 +67,7 @@ def stream_tumbling_counts(
     for a bounded replay; set True for unbounded sources (bounds state, may
     hold back the trailing window until the watermark passes it).
     """
-    src = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(events_dir)
-    )
-    src = src.withColumn("ts_ts", F.timestamp_micros(F.expr("ts div 1000")))
+    src = stream_events(spark, events_dir)
     if with_watermark:
         src = src.withWatermark("ts_ts", watermark)
     return src.groupBy(F.window("ts_ts", window), "event_type").agg(
@@ -75,12 +87,7 @@ def stream_session_counts(
     operator (dynamic-gap session windows merged incrementally). The batch
     twin is queries.q29_sessionize (lag + cumulative sum); parity is
     asserted in tests/test_streaming.py."""
-    src = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(events_dir)
-    )
-    src = src.withColumn("ts_ts", F.timestamp_micros(F.expr("ts div 1000")))
+    src = stream_events(spark, events_dir)
     if with_watermark:
         src = src.withWatermark("ts_ts", watermark)
     # one stateful operator per stream: emit session-level rows; roll up
@@ -109,12 +116,7 @@ def stream_dedup(
     arrive inside one interval) is a plain ``dropDuplicates``.
     """
     keys = keys or ["event_id"]
-    src = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(events_dir)
-    )
-    src = src.withColumn("ts_ts", F.timestamp_micros(F.expr("ts div 1000")))
+    src = stream_events(spark, events_dir)
     src = src.withWatermark("ts_ts", watermark)
     if within_watermark:
         return src.dropDuplicatesWithinWatermark(keys)
@@ -136,17 +138,13 @@ def stream_stream_join(
     against the q51-style interval-join semantics.
     """
     def side(event_type: str, alias: str) -> DataFrame:
-        src = (
-            spark.readStream.schema(EVENTS_SCHEMA)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(events_dir)
-        )
+        src = stream_events(spark, events_dir)
         return (
             src.where(F.col("event_type") == event_type)
             .select(
                 F.col("user_id").alias(f"{alias}_user"),
                 F.col("event_id").alias(f"{alias}_id"),
-                F.timestamp_micros(F.expr("ts div 1000")).alias(f"{alias}_ts"),
+                F.col("ts_ts").alias(f"{alias}_ts"),
             )
             .withWatermark(f"{alias}_ts", watermark)
         )

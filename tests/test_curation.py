@@ -196,12 +196,14 @@ def test_funnel_and_retention_on_synthetic_events(spark, sf_dir, tmp_path):
     pd.DataFrame(
         [(uid, pd.Timestamp(us, unit="us"), t) for uid, us, t in rows],
         columns=["user_id", "ts", "event_type"],
-    ).assign(event_id=range(len(rows)), value=1.0, props="{}").to_parquet(p)
+    ).astype({"ts": "datetime64[us]"}).assign(
+        event_id=range(len(rows)), value=1.0, props="{}"
+    ).to_parquet(p)
 
-    # the session reads TIMESTAMP(NANOS) parquet as long nanos
-    # (nanosAsLong) — same integer `div` arithmetic as the real queries
+    # ts reads as TIMESTAMP_NTZ under PySpark 4.x — same micros arithmetic
+    # as the real queries via unix_micros
     ev = spark.read.parquet(p).withColumn(
-        "us", F.expr("ts div 1000")
+        "us", F.unix_micros(F.col("ts").cast("timestamp"))
     ).select("user_id", "event_type", "us")
     t1 = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(
         F.min("us").alias("t_view"))

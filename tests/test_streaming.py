@@ -86,7 +86,9 @@ def test_watermark_drops_late_rows(spark, tmp_path):
         tbl = pa.table(
             {
                 "event_id": pa.array([r[0] for r in rows], pa.int64()),
-                "ts": pa.array([r[1] for r in rows], pa.int64()),
+                # rows carry epoch ns; the table stores plain timestamp[us]
+                # like the driver testdata
+                "ts": pa.array([r[1] // 1000 for r in rows], pa.timestamp("us")),
                 "user_id": pa.array([1] * len(rows), pa.int64()),
                 "event_type": pa.array(["click"] * len(rows)),
                 "value": pa.array([1.0] * len(rows)),
@@ -123,7 +125,7 @@ def test_watermark_drops_late_rows(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(str(d))
     )
-    src = src.withColumn("ts_ts", F.timestamp_micros(F.expr("ts div 1000")))
+    src = src.withColumn("ts_ts", F.col("ts").cast("timestamp"))
     agg = (
         src.withWatermark("ts_ts", "30 minutes")
         .groupBy(F.window("ts_ts", "1 hour"))
@@ -168,7 +170,7 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         tbl = pa.table(
             {
                 "event_id": pa.array([r[0] for r in rows], pa.int64()),
-                "ts": pa.array([r[1] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] // 1000 for r in rows], pa.timestamp("us")),
                 "user_id": pa.array([1] * len(rows), pa.int64()),
                 "event_type": pa.array(["click"] * len(rows)),
                 "value": pa.array([1.0] * len(rows)),
@@ -194,7 +196,7 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .parquet(str(d))
-        .withColumn("ts_ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("ts_ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts_ts", "1 hour")
         .dropDuplicatesWithinWatermark(["event_id"])
     )
@@ -229,7 +231,7 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
 
     ev = (
         spark.read.parquet(f"{sf_dir}/events.parquet")
-        .withColumn("us", F.expr("ts div 1000"))
+        .withColumn("us", F.unix_micros(F.col("ts").cast("timestamp")))
     )
     clicks = ev.where(F.col("event_type") == "click").select(
         F.col("user_id").alias("cu"), F.col("event_id").alias("c_id"),
