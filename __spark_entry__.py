@@ -659,8 +659,52 @@ def oracle_sql() -> dict[str, str]:
                      {_HEXV.format(c="substr(md5(text), 9, 1)")} % 4 AS fmt_idx
               FROM documents)
         """,
-        # q40_ann_lsh: intentionally no oracle — approximate operator whose
-        # recall is asserted against brute force in tests/test_similarity.py
+        # q40/q47: approximate-NN operators, but every ingredient is
+        # deterministic (md5-derived hyperplanes/centroid sample, sequential
+        # left-fold float arithmetic) so DuckDB reproduces them bit-for-bit
+        # the same way q38/q79 do. Recall vs brute force is additionally
+        # asserted in tests/test_similarity.py.
+        "q40_ann_lsh": f"""
+            WITH e AS (SELECT vec_id,
+                              list_transform(embedding, x -> x::DOUBLE) AS v
+                       FROM embeddings),
+            planes AS (
+              SELECT p, list_transform(range(64), d ->
+                       ((({_HEXV.format(c="substr(md5('p' || p || ':' || d), 1, 1)")})
+                         % 2) * 2 - 1)::DOUBLE) AS coefs
+              FROM (SELECT unnest(range(16)) AS p)),
+            sigs AS (
+              SELECT vec_id, p // 4 AS tbl,
+                     string_agg(CASE WHEN dotp >= 0 THEN '1' ELSE '0' END,
+                                '' ORDER BY p) AS bucket
+              FROM (SELECT vec_id, p,
+                           list_reduce(list_transform(list_zip(v, coefs),
+                                                      x -> x[1] * x[2]),
+                                       (a, b) -> a + b) AS dotp
+                    FROM e CROSS JOIN planes)
+              GROUP BY vec_id, p // 4),
+            cand AS (
+              SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+              FROM sigs q JOIN sigs c
+                ON q.tbl = c.tbl AND q.bucket = c.bucket
+              WHERE q.vec_id < 10 AND c.vec_id != q.vec_id),
+            scored AS (
+              SELECT query_id, neighbor_id,
+                     list_reduce(list_transform(list_zip(eq.v, ec.v),
+                                                x -> x[1] * x[2]),
+                                 (a, b) -> a + b)
+                       / (sqrt(list_reduce(list_transform(eq.v, x -> x * x),
+                                           (a, b) -> a + b))
+                          * sqrt(list_reduce(list_transform(ec.v, x -> x * x),
+                                             (a, b) -> a + b))) AS sim
+              FROM cand JOIN e eq ON eq.vec_id = query_id
+                        JOIN e ec ON ec.vec_id = neighbor_id)
+            SELECT query_id, neighbor_id, rank, sim FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY sim DESC, neighbor_id) AS rank
+              FROM scored)
+            WHERE rank <= 5
+        """,
         "q41_harmonize_shape": """
             WITH cust AS (
               SELECT c_custkey,
@@ -846,6 +890,56 @@ def oracle_sql() -> dict[str, str]:
                                              (p, q) -> p + q))) AS sim
               FROM e ea JOIN e eb ON ea.vec_id < eb.vec_id)
             SELECT a, b, sim FROM scored WHERE sim >= 0.25
+        """,
+        "q47_ann_ivf": """
+            WITH e AS (SELECT vec_id,
+                              list_transform(embedding, x -> x::DOUBLE) AS v
+                       FROM embeddings),
+            cents AS (
+              SELECT vec_id AS cell_id, v AS centroid
+              FROM e ORDER BY md5(vec_id::VARCHAR) LIMIT 16),
+            csims AS (
+              SELECT e.vec_id, cell_id,
+                     list_reduce(list_transform(list_zip(v, centroid),
+                                                x -> x[1] * x[2]),
+                                 (a, b) -> a + b)
+                       / (sqrt(list_reduce(list_transform(v, x -> x * x),
+                                           (a, b) -> a + b))
+                          * sqrt(list_reduce(list_transform(centroid, x -> x * x),
+                                             (a, b) -> a + b))) AS csim
+              FROM e CROSS JOIN cents),
+            corpus_cells AS (
+              SELECT vec_id AS neighbor_id, cell_id FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                             ORDER BY csim DESC, cell_id) AS crank
+                FROM csims)
+              WHERE crank <= 2),
+            query_cells AS (
+              SELECT vec_id AS query_id, cell_id FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                             ORDER BY csim DESC, cell_id) AS crank
+                FROM csims WHERE vec_id < 10)
+              WHERE crank <= 3),
+            cand AS (
+              SELECT DISTINCT query_id, neighbor_id
+              FROM corpus_cells JOIN query_cells USING (cell_id)
+              WHERE neighbor_id != query_id),
+            scored AS (
+              SELECT query_id, neighbor_id,
+                     list_reduce(list_transform(list_zip(eq.v, ec.v),
+                                                x -> x[1] * x[2]),
+                                 (a, b) -> a + b)
+                       / (sqrt(list_reduce(list_transform(eq.v, x -> x * x),
+                                           (a, b) -> a + b))
+                          * sqrt(list_reduce(list_transform(ec.v, x -> x * x),
+                                             (a, b) -> a + b))) AS sim
+              FROM cand JOIN e eq ON eq.vec_id = query_id
+                        JOIN e ec ON ec.vec_id = neighbor_id)
+            SELECT query_id, neighbor_id, rank, sim FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY sim DESC, neighbor_id) AS rank
+              FROM scored)
+            WHERE rank <= 5
         """,
         "q50_asof_join": """
             SELECT c.user_id, c.event_id, epoch_us(c.ts) AS ts,

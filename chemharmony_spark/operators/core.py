@@ -322,27 +322,66 @@ def grouped_percentiles_disc(
     (continuous interpolation formulas differ by ulps between
     implementations).
 
-    One window shuffle; the follow-up groupBy is on the same keys, so
-    Catalyst reuses the partitioning (no second exchange). Output columns:
-    ``p50``-style names. Low-cardinality key caveat: the window funnels each
-    group through one task — at 100 TB use approx_percentile or a
-    distributed selection algorithm instead (documented trade-off; this
-    operator is the exact-answer path).
+    Scale design (no group ever funnels through one task):
+
+    1. the full table is reduced FIRST by a ``groupBy(keys, value)`` count —
+       a hash aggregation with map-side partial combine, so the only
+       full-data exchange carries one row per distinct (group, value);
+    2. distinct values are bucketed by a deterministic linear split of the
+       group's [min, max] value range into ``n_buckets`` cells, so the
+       cumulative-count window partitions on (group, bucket) — bounded
+       parallelism even when the value column is near-unique (doubles);
+    3. per-bucket subtotals (≤ n_buckets rows per group) roll up into
+       bucket offsets, global cum = bucket offset + in-bucket running
+       count, and the value at rank r is the smallest value whose cum
+       reaches r.
+
+    Bucket boundaries are pure arithmetic on broadcast min/max scalars —
+    deterministic, so re-computed plan branches always agree (unlike
+    ``spark_partition_id`` after a sampled ``repartitionByRange``). Output
+    is identical to ranking every row; only the physical shape changes.
     """
-    w = Window.partitionBy(*keys).orderBy(value_col)
-    ranked = df.withColumn("__pq_rn", F.row_number().over(w)).withColumn(
-        "__pq_n", F.count(F.lit(1)).over(Window.partitionBy(*keys))
+    n_buckets = 64
+    keys = list(keys)
+    counts = df.groupBy(*keys, value_col).agg(F.count(F.lit(1)).alias("__pq_c"))
+    rng = counts.groupBy(*keys).agg(
+        F.min(value_col).alias("__pq_mn"), F.max(value_col).alias("__pq_mx")
     )
+    v = F.col(value_col).cast("double")
+    mn = F.col("__pq_mn").cast("double")
+    mx = F.col("__pq_mx").cast("double")
+    width = (mx - mn) / F.lit(float(n_buckets))
+    bucket = F.when(mx == mn, F.lit(0)).otherwise(
+        F.least(F.lit(n_buckets - 1), F.floor((v - mn) / width))
+    ).cast("int")
+    joined = (
+        counts.join(F.broadcast(rng), on=keys)
+        if keys
+        else counts.crossJoin(F.broadcast(rng))  # 1-row global min/max
+    )
+    b = joined.withColumn("__pq_b", bucket).drop("__pq_mn", "__pq_mx")
+    wloc = Window.partitionBy(*keys, "__pq_b").orderBy(value_col)
+    loc = b.withColumn("__pq_lcum", F.sum("__pq_c").over(wloc))
+    per_b = b.groupBy(*keys, "__pq_b").agg(F.sum("__pq_c").alias("__pq_bc"))
+    woff = (
+        Window.partitionBy(*keys)
+        .orderBy("__pq_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = per_b.select(
+        *keys,
+        "__pq_b",
+        F.coalesce(F.sum("__pq_bc").over(woff), F.lit(0)).alias("__pq_off"),
+        F.sum("__pq_bc").over(Window.partitionBy(*keys)).alias("__pq_n"),
+    )
+    j = loc.join(F.broadcast(offs), on=[*keys, "__pq_b"])
+    cum = F.col("__pq_lcum") + F.col("__pq_off")
     aggs = []
     for q in quantiles:
         target = F.greatest(F.lit(1), F.ceil(F.lit(q) * F.col("__pq_n")))
         name = f"p{int(round(q * 100)):02d}"
-        aggs.append(
-            F.max(
-                F.when(F.col("__pq_rn") == target, F.col(value_col))
-            ).alias(name)
-        )
-    return ranked.groupBy(*keys).agg(*aggs)
+        aggs.append(F.min(F.when(cum >= target, F.col(value_col))).alias(name))
+    return j.groupBy(*keys).agg(*aggs)
 
 
 def grouped_topk(

@@ -59,12 +59,29 @@ def attach_binary_payload(df: DataFrame, src_col: str = "text",
 
 def _fake_decode(payload: bytes) -> tuple[int, int, str]:
     """Deterministic stand-in for image decode: width/height/format derived
-    from the payload md5. Replace with PIL decode when available."""
+    from the payload md5. Used when PIL is absent OR the payload is not a
+    decodable image (the synthetic corpora are utf-8 text bytes)."""
     h = hashlib.md5(payload).hexdigest()
     width = int(h[0:4], 16) % 640
     height = int(h[4:8], 16) % 480
     fmt = _FORMATS[int(h[8], 16) % len(_FORMATS)]
     return width, height, fmt
+
+
+def _open_image(payload: bytes):
+    """PIL image for the payload, or None (no PIL / not a valid image).
+    Every real codec path below funnels through this so installing PIL
+    upgrades behavior per-payload without ever breaking the pipeline."""
+    if not HAVE_PIL:
+        return None
+    import io
+
+    try:
+        img = Image.open(io.BytesIO(payload))
+        img.load()
+        return img
+    except Exception:
+        return None
 
 
 def extract_image_meta(df: DataFrame, id_col: str = "doc_id",
@@ -79,12 +96,16 @@ def extract_image_meta(df: DataFrame, id_col: str = "doc_id",
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf[payload_col]
-            if HAVE_PIL:  # pragma: no cover
-                raise NotImplementedError(
-                    "real image decode path: open payload bytes with PIL, "
-                    "emit (width, height, format)"
-                )
-            metas = [_fake_decode(bytes(p)) for p in payloads]
+            metas = []
+            for p in payloads:
+                raw = bytes(p)
+                img = _open_image(raw)
+                if img is not None:  # pragma: no cover - needs PIL
+                    metas.append(
+                        (img.width, img.height, (img.format or "raw").lower())
+                    )
+                else:
+                    metas.append(_fake_decode(raw))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
@@ -129,24 +150,27 @@ def resize_images(df: DataFrame, width: int, height: int,
                   id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
     """Batch image resize over binary payloads (mapInPandas; Arrow batches).
 
-    Real path (PIL) is gated; the stub emits a deterministic truncated/padded
-    payload of width*height bytes so partitioning, batch shapes, and output
-    schema are exercised for real.
+    Decodable payloads (PIL present) resize for real — grayscale convert +
+    ``resize((w, h))`` + raw ``tobytes()``, so the output contract is the
+    same width*height bytes the stub emits; anything else falls back to the
+    deterministic truncated/padded stub so partitioning, batch shapes, and
+    output schema are exercised identically either way.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if HAVE_PIL:  # pragma: no cover
-                raise NotImplementedError(
-                    "real resize: PIL.Image.open(payload).resize((w, h))"
-                )
             target = width * height
-            # ljust: a zero-length payload still yields width*height bytes
-            out = [
-                (bytes(p) * (target // max(len(bytes(p)), 1) + 1))
-                .ljust(target, b"\0")[:target]
-                for p in pdf[payload_col]
-            ]
+
+            def one(p: bytes) -> bytes:
+                img = _open_image(p)
+                if img is not None:  # pragma: no cover - needs PIL
+                    return img.convert("L").resize((width, height)).tobytes()
+                # ljust: a zero-length payload still yields width*height bytes
+                return (
+                    p * (target // max(len(p), 1) + 1)
+                ).ljust(target, b"\0")[:target]
+
+            out = [one(bytes(p)) for p in pdf[payload_col]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
@@ -164,18 +188,29 @@ def sample_frames(df: DataFrame, n_frames: int = 4,
     """Frame sampling for video-like payloads: one output row per sampled
     frame (mapInPandas fan-out — the multimodal analogue of explode).
 
-    Stub: frames are equal byte-slices of the payload; a real decoder would
-    seek keyframes. Row-fanout shape (1 -> n_frames) is the part that
-    matters for partitioning and memory at scale.
+    Multi-frame payloads PIL can open (animated GIF/WebP) sample n_frames
+    evenly across the real frame sequence (raw grayscale bytes per frame);
+    everything else falls back to equal byte-slices of the payload. A true
+    video codec is out of scope for this container — the row-fanout shape
+    (1 -> n_frames) is the part that matters for partitioning and memory
+    at scale, and it is identical on both paths.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if HAVE_PIL:  # pragma: no cover
-                raise NotImplementedError("real frame sampling needs a video lib")
             ids, idxs, frames = [], [], []
             for i, p in zip(pdf[id_col], pdf[payload_col]):
                 raw = bytes(p)
+                img = _open_image(raw)
+                if img is not None and getattr(img, "n_frames", 1) > 1:
+                    # pragma: no cover - needs PIL
+                    total = img.n_frames
+                    for j in range(n_frames):
+                        img.seek(min(j * total // n_frames, total - 1))
+                        ids.append(int(i))
+                        idxs.append(j)
+                        frames.append(img.convert("L").tobytes())
+                    continue
                 step = max(len(raw) // n_frames, 1)
                 for j in range(n_frames):
                     ids.append(int(i))
@@ -239,7 +274,11 @@ def ahash64(df: DataFrame, id_col: str = "doc_id",
         for pdf in it:
             out = []
             for p in pdf[payload_col]:
-                arr = np.frombuffer(bytes(p), dtype=np.uint8)
+                raw = bytes(p)
+                img = _open_image(raw)
+                if img is not None:  # pragma: no cover - needs PIL
+                    raw = img.convert("L").tobytes()  # real grayscale pixels
+                arr = np.frombuffer(raw, dtype=np.uint8)
                 n = int(arr.size)
                 if n == 0:
                     out.append(0)

@@ -237,6 +237,65 @@ def _hyperplane(plane: int, dim: int) -> F.Column:
     return (v % 2) * 2 - 1
 
 
+def all_pairs_cosine(
+    corpus: DataFrame,
+    threshold: float,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine similarity above ``threshold`` via triangle
+    block distribution — the distributed form of an O(n²) self-comparison
+    with NO cartesian-product node in the plan.
+
+    Each vector lands in block ``id % n_blocks``; a tiny broadcast table
+    enumerates the B(B+1)/2 unordered block pairs; the left side replicates
+    each vector into the block pairs where its block is the row block, the
+    right side likewise for the column block, and an ordinary equi-join on
+    the block-pair id co-locates exactly one copy of every vector pair.
+    Work per task is |block|², spread evenly over B(B+1)/2 tasks; each side
+    is replicated ≤ B times, so the shuffled volume is n·B rows — the
+    standard way to scale an inherently quadratic exact comparison across
+    executors (the *sub*-quadratic path is LSH candidates + verify, which
+    trades recall; see lsh_bucket_topk).
+
+    Cross-block pairs surface in one arbitrary orientation (blocks are not
+    ordered by id), so the output canonicalizes to a = least, b = greatest;
+    cosine is orientation-invariant down to the bit (x*y == y*x in IEEE,
+    fold order fixed by element order).
+    """
+    spark = corpus.sparkSession
+    pair_rows = [
+        (bi * n_blocks + bj, bi, bj)
+        for bi in range(n_blocks)
+        for bj in range(bi, n_blocks)
+    ]
+    pairs = spark.createDataFrame(pair_rows, "p int, bi int, bj int")
+    v = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int").alias("__blk"),
+    )
+    left = v.join(
+        F.broadcast(pairs), F.col("__blk") == F.col("bi")
+    ).select("p", "bi", "bj", F.col(id_col).alias("__a"), F.col(vec_col).alias("__va"))
+    right = v.join(
+        F.broadcast(pairs.select(F.col("p").alias("p2"), F.col("bj").alias("bj2"))),
+        F.col("__blk") == F.col("bj2"),
+    ).select("p2", F.col(id_col).alias("__b"), F.col(vec_col).alias("__vb"))
+    return (
+        left.join(right, F.col("p") == F.col("p2"))
+        .where((F.col("bi") != F.col("bj")) | (F.col("__a") < F.col("__b")))
+        .withColumn("sim", cosine(F.col("__va"), F.col("__vb")))
+        .where(F.col("sim") >= threshold)
+        .select(
+            F.least("__a", "__b").alias("a"),
+            F.greatest("__a", "__b").alias("b"),
+            "sim",
+        )
+    )
+
+
 def signature_bits(vec_col: Column, n_planes: int, dims: int,
                    plane_offset: int = 0) -> Column:
     """LSH bucket id: concatenated signs of dots with n_planes hyperplanes.

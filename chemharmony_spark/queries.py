@@ -666,22 +666,14 @@ def q45_simhash_hamming(spark, sf):
 
 
 def q46_embedding_near_dups(spark, sf):
-    """Embedding-cosine near-duplicate pairs: exact brute force over the
-    corpus, keep pairs (a < b) with cosine >= 0.25 (synthetic random
-    embeddings rarely exceed this, so the survivor set is small and stable).
-    The LSH-bucketed scale path for the same predicate is q40/lsh_bucket_topk.
-    """
+    """Embedding-cosine near-duplicate pairs: EXACT all-pairs above 0.25,
+    executed as a triangle-block-distributed equi-join
+    (similarity.all_pairs_cosine) — no cartesian-product node; the
+    inherently quadratic comparison is spread evenly over B(B+1)/2
+    co-located tasks. The *sub*-quadratic recall-trading path for the same
+    predicate is q40/lsh_bucket_topk."""
     emb = _t(spark, sf, "embeddings")
-    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
-    pairs = (
-        a.crossJoin(b)
-        .where(F.col("a") < F.col("b"))
-        .withColumn("sim", SIM.cosine(F.col("va"), F.col("vb")))
-        .where(F.col("sim") >= 0.25)
-        .select("a", "b", "sim")
-    )
-    return pairs
+    return SIM.all_pairs_cosine(emb, threshold=0.25)
 
 
 def q47_ann_ivf(spark, sf):
@@ -2178,10 +2170,10 @@ def q106_rfm_segments(spark, sf):
     bounds, no interpolation, so engines agree bit-for-bit. Scores follow
     the marketing convention: 4 is best (recent / frequent / big spender),
     so recency is inverted. One customer-key shuffle builds the RFM table;
-    all nine quantile bounds come from ONE ranked pass over the customer
-    *dimension* (three row_numbers sharing a single-partition sort stage,
-    then a 1-row agg) — at 100 TB swap that pass for approx_percentile
-    and keep the fact-side plan unchanged."""
+    all nine quantile bounds come from ONE melted (metric, value) pass
+    through the bucket-distributed exact selector
+    (core.grouped_percentiles_disc) — no single-partition ranked stage
+    anywhere, so the bounds pass scales with the customer dimension."""
     od = _t(spark, sf, "orders")
     mx = od.agg(F.max("o_orderdate").alias("mxd"))
     per = (
@@ -2196,24 +2188,29 @@ def q106_rfm_segments(spark, sf):
         .drop("mxd", "last_date")
     )
     qs = [0.25, 0.50, 0.75]
-    rk = per.select(
-        "*",
-        F.row_number().over(Window.orderBy("recency")).alias("rr"),
-        F.row_number().over(Window.orderBy("frequency")).alias("fr"),
-        F.row_number().over(Window.orderBy("mon_dec")).alias("mr"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-    )
+    from chemharmony_spark.operators.core import grouped_percentiles_disc
 
-    def pick(rn, col, q, pfx):
-        tgt = F.greatest(F.lit(1), F.ceil(F.lit(q) * F.col("n")))
-        return F.max(F.when(F.col(rn) == tgt, F.col(col))).alias(
-            f"{pfx}{int(q*100)}"
-        )
-
-    bounds = rk.agg(
-        *[pick("rr", "recency", q, "r") for q in qs],
-        *[pick("fr", "frequency", q, "f") for q in qs],
-        *[pick("mr", "mon_dec", q, "m") for q in qs],
+    DECM = "decimal(30,2)"  # lossless common type for int/long/decimal(.,2)
+    melted = per.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("r").alias("__m"),
+                         F.col("recency").cast(DECM).alias("__v")),
+                F.struct(F.lit("f").alias("__m"),
+                         F.col("frequency").cast(DECM).alias("__v")),
+                F.struct(F.lit("m").alias("__m"),
+                         F.col("mon_dec").cast(DECM).alias("__v")),
+            )
+        ).alias("mv")
+    ).select(F.col("mv.__m").alias("__m"), F.col("mv.__v").alias("__v"))
+    pcts = grouped_percentiles_disc(melted, ["__m"], "__v", qs)
+    bounds = pcts.agg(
+        *[
+            F.max(F.when(F.col("__m") == m, F.col(f"p{int(q * 100)}")))
+            .alias(f"{m}{int(q * 100)}")
+            for m in ["r", "f", "m"]
+            for q in qs
+        ]
     )
     scored = per.crossJoin(F.broadcast(bounds))
 
@@ -2248,19 +2245,39 @@ def q107_mad_outliers(spark, sf):
     primitive (one subtract, one multiply, one compare), so the flag is
     bit-identical across engines. MAD tolerates up to 50% contamination —
     the right gate for raw training-data feeds where mean/stddev z-scores
-    (q36 family) are themselves dragged by the outliers."""
+    (q36 family) are themselves dragged by the outliers.
+
+    Plan shape: each median is its own bucket-distributed selector job
+    whose 5-row result is collected and re-broadcast as a map literal —
+    the harmonize invariant-scalar pattern (plans/harmonize.py). Chaining
+    the two selectors lazily instead would embed pass 1's lineage in every
+    branch of pass 2 (measured 64 runtime exchanges vs ~18 this way); a
+    5-number driver hop is what a production threshold pipeline does."""
     from chemharmony_spark.operators.core import grouped_percentiles_disc
 
     ev = _events(spark, sf).select("event_id", "event_type", "value")
-    med = grouped_percentiles_disc(ev, ["event_type"], "value", [0.5]) \
-        .withColumnRenamed("p50", "med")
-    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+
+    def as_map(df, col):
+        rows = df.collect()
+        entries = []
+        for r in rows:
+            entries.extend([F.lit(r["event_type"]), F.lit(float(r[col]))])
+        return F.create_map(*entries)[F.col("event_type")]
+
+    med = as_map(
+        grouped_percentiles_disc(ev, ["event_type"], "value", [0.5]), "p50"
+    )
+    dev = ev.withColumn("med", med).withColumn(
         "absdev", F.abs(F.col("value") - F.col("med"))
     )
-    mad = grouped_percentiles_disc(dev, ["event_type"], "absdev", [0.5]) \
-        .withColumnRenamed("p50", "mad")
+    mad = as_map(
+        grouped_percentiles_disc(
+            dev.select("event_type", "absdev"), ["event_type"], "absdev", [0.5]
+        ),
+        "p50",
+    )
     return (
-        dev.join(F.broadcast(mad), "event_type")
+        dev.withColumn("mad", mad)
         .where(F.col("absdev") > F.lit(3.0) * F.col("mad"))
         .select("event_id", "event_type", "value", "med", "mad")
         .orderBy("event_type", "event_id")
@@ -2274,26 +2291,21 @@ def q108_skew_profile(spark, sf):
     division), and the p50/p99 key-count quantiles whose ratio is the
     skew factor AQE's skewJoin threshold needs. One fact-table shuffle
     (the count agg); everything downstream runs over the key *dimension* —
-    quantiles, key count, and row total all from ONE ranked pass + 1-row
-    agg. Top-10 is TakeOrdered (no global sort), ties broken by key id."""
+    the p50/p99 quantiles go through the bucket-distributed exact selector
+    (no single-partition ranked pass even over the dimension), key count
+    and row total are a 1-row agg. Top-10 is TakeOrdered (no global sort),
+    ties broken by key id."""
+    from chemharmony_spark.operators.core import grouped_percentiles_disc
+
     ev = _events(spark, sf).select("user_id")
     counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
-    rk = counts.select(
-        "n",
-        F.row_number().over(Window.orderBy("n")).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("nk"),
+    pcts = grouped_percentiles_disc(counts, [], "n", [0.5, 0.99]).select(
+        F.col("p50").alias("p50_rows"), F.col("p99").alias("p99_rows")
     )
-
-    def pick(q, name):
-        tgt = F.greatest(F.lit(1), F.ceil(F.lit(q) * F.col("nk")))
-        return F.max(F.when(F.col("rn") == tgt, F.col("n"))).alias(name)
-
-    stats = rk.agg(
-        pick(0.5, "p50_rows"),
-        pick(0.99, "p99_rows"),
-        F.count(F.lit(1)).alias("n_keys"),
-        F.sum("n").alias("total_rows"),
+    totals = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"), F.sum("n").alias("total_rows")
     )
+    stats = pcts.crossJoin(F.broadcast(totals))
     top = (
         counts.orderBy(F.col("n").desc(), "user_id")
         .limit(10)

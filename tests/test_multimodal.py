@@ -83,3 +83,43 @@ def test_ahash_locality_and_near_dup_pairs(spark):
     assert (0, 1) in pairs and pairs[(0, 1)] == 0
     assert (0, 2) in pairs and (1, 2) in pairs
     assert (0, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_real_pil_decode_branch(spark):
+    """When PIL is importable the decode/resize/ahash operators must use it
+    on decodable payloads (and still stub non-image bytes) — guards against
+    re-inverting the HAVE_PIL gate. Skipped cleanly where PIL is absent."""
+    import pytest
+
+    from chemharmony_spark.operators.multimodal import (
+        HAVE_PIL,
+        ahash64,
+        extract_image_meta,
+        resize_images,
+    )
+
+    if not HAVE_PIL:
+        pytest.skip("PIL not installed in this container")
+
+    import io
+
+    from PIL import Image  # pragma: no cover - needs PIL
+
+    buf = io.BytesIO()
+    Image.new("L", (5, 3), color=128).save(buf, format="PNG")
+    png = buf.getvalue()
+    df = spark.createDataFrame(
+        [(0, bytearray(png)), (1, bytearray(b"not an image"))],
+        "doc_id long, payload binary",
+    )
+    meta = {r["doc_id"]: r for r in extract_image_meta(df).collect()}
+    assert (meta[0]["width"], meta[0]["height"], meta[0]["format"]) == (5, 3, "png")
+    # non-image payload falls back to the md5 stub, never raises
+    assert meta[1]["width"] is not None
+
+    rs = {r["doc_id"]: r for r in resize_images(df, 4, 2).collect()}
+    assert len(bytes(rs[0]["payload"])) == 8  # real resize: 4x2 gray bytes
+    assert len(bytes(rs[1]["payload"])) == 8  # stub pads to the same contract
+
+    h = {r["doc_id"]: r["ahash"] for r in ahash64(df).collect()}
+    assert isinstance(h[0], int) and isinstance(h[1], int)

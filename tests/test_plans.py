@@ -67,7 +67,12 @@ SHUFFLE_BUDGET = {
     "q38_cosine_topk": 1, "q39_multimodal_meta": 0, "q40_ann_lsh": 2,
     "q41_harmonize_shape": 2, "q42_median_binarize": 2,
     "q43_balanced_class_floor": 4, "q44_char_ngram_jaccard": 1,
-    "q45_simhash_hamming": 2, "q46_embedding_near_dups": 0,
+    "q45_simhash_hamming": 2,
+    # q46: triangle-block-distributed exact all-pairs — the 2 exchanges are
+    # the block-pair equi-join's two sides (n·B replicated rows each);
+    # replaces the old 0-shuffle broadcast cartesian, which was a
+    # single-executor scale-killer (SCALE.md "q46 rewrite")
+    "q46_embedding_near_dups": 2,
     "q47_ann_ivf": 3, "q48_winnowing_fingerprints": 0,
     "q49_corpus_curation": 2, "q50_asof_join": 1, "q51_range_join": 1,
     # q52/q55: pure per-row array arithmetic — zero shuffles
@@ -82,8 +87,13 @@ SHUFFLE_BUDGET = {
     # q57: (group,dim) partial-agg shuffle + centroid-array agg; corpus
     # itself never shuffles (broadcast join back)
     "q57_centroid_outliers": 2,
-    # q58: the groupBy reuses the window's event_type partitioning
-    "q58_grouped_percentiles": 1,
+    # q58: bucket-distributed exact percentiles — ONE full-data exchange
+    # (the (type,value) count agg); the rest move the distinct-value table
+    # ((type,bucket) window + map-side-combined bucket totals + tiny offset
+    # windows + final per-type agg). Replaces the old single-exchange plan
+    # whose window funneled each event_type through one task (SCALE.md
+    # "percentile rewrite")
+    "q58_grouped_percentiles": 8,
     # q59: 3 per-stage user_id aggs + 3 one-row final counts (+2 AQE-local)
     "q59_funnel": 8,
     # q60: cohort agg + join + distinct-count expand
@@ -129,8 +139,10 @@ SHUFFLE_BUDGET = {
     "q79_media_near_dups": 1,
     # q80: count_distinct expands to two agg exchanges over 3 groups
     "q80_corpus_splits": 2,
-    # q81: bounds window + final agg; bounds broadcast back (facts unshuffled)
-    "q81_winsorize": 2,
+    # q81: bucket-distributed p05/p95 bounds (all exchanges past the count
+    # agg move the distinct-value table); bounds broadcast back (facts
+    # unshuffled) — SCALE.md "percentile rewrite"
+    "q81_winsorize": 9,
     # q82: words explode + freq agg + in-doc order window + candidate dedup
     "q82_prefix_filter_join": 4,
     # q83: one per-group selection window (E-S keys computed in the scan)
@@ -161,9 +173,10 @@ SHUFFLE_BUDGET = {
     # q94: exploded pairs exchanged once on tok and reused by the df agg,
     # the filter join, and the postings agg
     "q94_inverted_index": 2,
-    # q95: the bounds window is the only exchange; facts take the
-    # broadcast join un-shuffled
-    "q95_quantile_binning": 1,
+    # q95: bucket-distributed decile bounds (exchanges past the count agg
+    # move the distinct-value table); facts take the broadcast join
+    # un-shuffled — SCALE.md "percentile rewrite"
+    "q95_quantile_binning": 8,
     # q96: min/max scalar agg + two argmax windows (different filters, so
     # no exchange reuse) + the final user_id join
     "q96_snapshot_diff": 4,
@@ -189,15 +202,23 @@ SHUFFLE_BUDGET = {
     # q105: the basket agg is the ONLY exchange — pair gen is in-row, the
     # edge table is checkpointed once, and both probe sides broadcast
     "q105_triangle_count": 1,
-    # q106: customer agg (x2 subplans) + the single-partition ranked pass
-    # for the nine quantile bounds; bounds/max-date are 1-row broadcasts
-    "q106_rfm_segments": 5,
-    # q107: two single-partition median windows + their groupBys; the fact
-    # scan itself never shuffles (both medians broadcast back)
-    "q107_mad_outliers": 4,
-    # q108: key-count agg (x2 subplans) + single-partition ranked pass;
-    # top-10 is TakeOrdered, stats a 1-row broadcast
-    "q108_skew_profile": 3,
+    # q106: customer agg (one per plan branch; ReuseExchange dedupes at
+    # runtime) + the melted bounds pass through the bucket-distributed
+    # percentile selector (its exchanges all move the ≤ 3·|distinct|
+    # metric-value table); bounds/max-date are 1-row broadcasts. Replaces
+    # the single-partition three-row_number ranked stage (SCALE.md
+    # "percentile rewrite")
+    "q106_rfm_segments": 19,
+    # q107: med/mad run as separate bucket-distributed selector jobs whose
+    # 5-row results inline as map literals (harmonize invariant-scalar
+    # pattern); the RETURNED fact plan's only exchange is the presentation
+    # sort — SCALE.md "percentile rewrite"
+    "q107_mad_outliers": 1,
+    # q108: key-count agg (one per plan branch) + the bucket-distributed
+    # p50/p99 selector over the key dimension (no single-partition ranked
+    # pass); top-10 is TakeOrdered, stats a 1-row broadcast — SCALE.md
+    # "percentile rewrite"
+    "q108_skew_profile": 15,
     # q109: (order,part) distinct + marginal agg (appearing as TWO
     # broadcast subplans, m1/m2 — identical exchanges, deduped by
     # ReuseExchange at runtime) + basket/pair aggs + presentation sort;
@@ -219,7 +240,7 @@ SHUFFLE_BUDGET = {
 # broadcast property dim; q38/q46 = exact-scoring baselines whose documented
 # scale path is q40/q47; q47 = 16-row centroid codebook cross join.
 BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
-                "q46_embedding_near_dups", "q47_ann_ivf",
+                "q47_ann_ivf",
                 # q59: the BNLJ is the final 1-row x 1-row x 1-row
                 # stage-count crossJoin — constant-sized by construction
                 "q59_funnel",
@@ -233,6 +254,37 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 "q108_skew_profile",
                 # q109: 1-row basket-total scalar broadcast
                 "q109_pmi_pairs"}
+
+
+def test_no_headline_query_has_unpartitioned_ranked_window(spark):
+    """No bench headline query may rank (row_number/rank/ntile) over an
+    unpartitioned window — that funnels the whole input through ONE task,
+    the canonical 100 TB scale-killer. Non-ranked unpartitioned windows
+    over provably bounded aggregates (e.g. q56's 256-row bucket-offset
+    cumsum) are allowed; full-table ranking is not."""
+    import json
+
+    import bench
+
+    for name in bench.HEADLINE:
+        df = getattr(Q, name)(spark, SF)
+        tree = json.loads(df._jdf.queryExecution().executedPlan().toJSON())
+        for node in tree:
+            cls = node.get("class", "")
+            if cls.endswith("WindowExec") or cls.endswith(
+                "WindowGroupLimitExec"
+            ):
+                ranked_src = json.dumps(
+                    node.get("windowExpression",
+                             node.get("rankLikeFunction", []))
+                )
+                ranked = any(
+                    k in ranked_src
+                    for k in ("RowNumber", "Rank", "NTile", "DenseRank")
+                )
+                assert node.get("partitionSpec") or not ranked, (
+                    f"{name}: unpartitioned ranked window ({cls})"
+                )
 
 
 def test_every_query_plan_within_scale_budget(spark):
