@@ -103,9 +103,10 @@ def grouped_median_binarize(
     """Collapse replicates to a per-(substance,property) median, then binarize
     each at the per-property median threshold (A3/W5).
 
-    reference: 01_integrate_toxvaldb.R:22-25 — ``median(value)`` per (sid,pid)
-    then ``value <= median(value) per pid -> positive`` (toxicology: lower
-    dose = more potent = positive). Two shuffles: one agg on
+    reference: 01_integrate_toxvaldb.R:22-27 — ``median(value)`` per (sid,pid)
+    then threshold at the per-pid median (the script maps below-median to
+    "negative", i.e. ``positive_when_low=False``; the default here keeps
+    the toxicology orientation lower-dose-is-potent). Two shuffles: one agg on
     (substance,property), one window on property. Exact ``F.median``
     (Spark 3.4+) so a DuckDB oracle reproduces it bit-for-bit.
     """
