@@ -110,6 +110,13 @@ def assign_categories(
 
     properties: (pid, data). The cache table is (pid, category, reason,
     strength) parquet; misses = properties anti-join cache.
+
+    ``client`` is THE production seam (reference 91_property_categories.py:9
+    calls GPT-4 here): any ``prompt -> response-text`` callable — e.g.
+    ``lambda p: openai_client.chat.completions.create(...)`` or an
+    Anthropic/messages call — drops in unchanged; retries, JSON validation,
+    category whitelisting, and the parquet cache all wrap it. The default
+    ``fake_category_client`` keeps the pipeline deterministic offline.
     """
     try:
         cache = spark.read.parquet(cache_path)
@@ -183,6 +190,11 @@ def assign_titles(
     (as in the reference), ordered by pid for determinism (92's sorted
     iteration, 91:26). Cached titles are honored first; collisions on new
     titles get a deterministic numeric suffix after max_retries.
+
+    ``client`` is the production LLM seam (reference
+    92_llm_property_titles.py:27-44 via cache_helper): a
+    ``(prompt, taken_titles) -> title`` callable; swap in a real API call
+    and the cache/uniqueness/retry machinery is unchanged.
     """
     try:
         cache = spark.read.parquet(cache_path)

@@ -892,7 +892,24 @@ CATALOG: dict[str, SourceSpec] = {
                                      substance_meta=["mol_id"]),
         notes="the 12 Tox21 assay labels with assay descriptions",
     ),
+    # Present in the reference src/ but NOT wired into dvc.yaml — shipped
+    # as an extra so "every query they run today" includes the shelf too.
+    # (src/13_integrate_skinsensdb.py is left out deliberately: the
+    # reference script is unfinished — it stops at '# thresholds' before
+    # defining any value recode, so there is no behavior to reproduce.)
+    "HIV": SourceSpec(
+        name="HIV", shape="wide_labels",
+        reference="src/12_integrate_HIV.py (not dvc-wired)",
+        tables=("raw",),
+        builder=_wide_labels_builder(
+            ["HIV_active"],
+            meta={"HIV_active": {"property": "HIV_active"}},
+        ),
+        notes="single HIV_active label; structural-only substance payload",
+    ),
 }
+
+DVC_WIRED = frozenset(CATALOG) - {"HIV"}  # dvc.yaml:4-104 stages
 
 
 def build_source(spark: SparkSession, name: str,

@@ -38,12 +38,16 @@ def _check_contract(res, allow_extra_act_cols=True):
 
 
 def test_catalog_is_complete():
-    """dvc.yaml:4-104 wires exactly these 15 integration stages."""
-    assert set(CATALOG) == {
+    """dvc.yaml:4-104 wires exactly these 15 integration stages; HIV ships
+    as a non-dvc extra (12_integrate_HIV.py)."""
+    from chemharmony_spark.plans.sources_catalog import DVC_WIRED
+
+    assert set(DVC_WIRED) == {
         "toxvaldb", "chembl", "tox21", "toxcast", "reach", "ice", "ctdbase",
         "pubchem", "toxrefdb", "bindingdb",
         "BBBP", "BACE", "sider", "clintox", "tox21_12",
     }
+    assert set(CATALOG) == set(DVC_WIRED) | {"HIV"}
     for spec in CATALOG.values():
         assert spec.reference.startswith("src/")
 
@@ -457,6 +461,10 @@ def test_toxrefdb(spark):
          "smiles string, FDA_APPROVED long, CT_TOX long",
          [("CC", 1, 0), ("CO", 0, 1)],
          2),
+        ("HIV", "smiles",
+         "smiles string, HIV_active long",
+         [("CC", 1), ("CO", 0)],
+         1),
     ],
 )
 def test_moleculenet_sources(spark, name, smiles_col, rows_schema, rows,
