@@ -189,6 +189,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q110_constraint_audit": Q.q110_constraint_audit,
         "q111_incremental_agg": Q.q111_incremental_agg,
         "q112_pagerank": Q.q112_pagerank,
+        "q113_decontamination": Q.q113_decontamination,
+        "q114_mixture_sample": Q.q114_mixture_sample,
     }
 
 
@@ -2117,4 +2119,45 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "q112_pagerank": _pagerank_sql(),
+        "q113_decontamination": f"""
+            WITH g AS (
+              SELECT doc_id, source, norm, length(norm) AS L
+              FROM (SELECT doc_id, source, {_NORM} AS norm FROM documents)),
+            h AS (
+              SELECT doc_id, source,
+                     list_transform(range(1, L - 5 + 2),
+                       i -> {_hex4("md5(substr(norm, i, 5))", 1)}) AS hashes
+              FROM g),
+            m AS MATERIALIZED (
+              SELECT doc_id, source,
+                     list_sort(list_distinct(
+                       list_transform(range(1, len(hashes) - 4 + 2),
+                         j -> list_aggregate(hashes[j:j+3], 'min')))) AS fps
+              FROM h),
+            ex AS MATERIALIZED (
+              SELECT doc_id, source, CAST(len(fps) AS BIGINT) AS nf,
+                     unnest(fps) AS f
+              FROM m),
+            eval_fps AS (
+              SELECT DISTINCT f FROM ex WHERE source IN ('src0', 'src1'))
+            SELECT doc_id, source, COUNT(*) AS n_shared, nf,
+                   COUNT(*) * 1000000 // nf AS shared_ppm
+            FROM ex JOIN eval_fps USING (f)
+            WHERE source NOT IN ('src0', 'src1')
+            GROUP BY doc_id, source, nf
+            HAVING COUNT(*) >= 3
+        """,
+        "q114_mixture_sample": f"""
+            WITH d AS (
+              SELECT doc_id, source, len({_TOKS}) AS n_tokens,
+                     md5(CAST(doc_id AS VARCHAR)) AS h
+              FROM documents),
+            cum AS (
+              SELECT doc_id, source, n_tokens,
+                     SUM(n_tokens) OVER (PARTITION BY source ORDER BY h
+                       ROWS UNBOUNDED PRECEDING) AS cum
+              FROM d)
+            SELECT doc_id, source, n_tokens, CAST(cum AS BIGINT) AS cum
+            FROM cum WHERE cum - n_tokens < 500
+        """,
     }

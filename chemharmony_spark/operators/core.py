@@ -454,29 +454,56 @@ def global_cumsum(
     is undefined.
     """
     if bucket is not None:
-        w_off = Window.orderBy("__cs_b").rowsBetween(
-            Window.unboundedPreceding, -1
+        return grouped_cumsum(
+            df, (), order_col, value_col, out_col=out_col, bucket=bucket
+        )
+
+
+def grouped_cumsum(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    value_col: str,
+    out_col: str = "cumsum",
+    num_partitions: int | None = None,
+    bucket: Column | None = None,
+) -> DataFrame:
+    """Per-group prefix sum with the same bucketed decomposition as
+    :func:`global_cumsum` — the running-sum window partitions on
+    (keys, bucket) and the per-bucket offsets roll up per group, so a
+    low-cardinality ``keys`` (e.g. corpus source) never funnels its whole
+    group through one task. ``keys=()`` degenerates to the global form."""
+    keys = list(keys)
+    if bucket is not None:
+        w_off = (
+            Window.partitionBy(*keys).orderBy("__cs_b")
+            .rowsBetween(Window.unboundedPreceding, -1)
         )
         offsets = (
-            df.groupBy(bucket.alias("__cs_b"))
+            df.groupBy(*keys, bucket.alias("__cs_b"))
             .agg(F.sum(value_col).alias("__cs_tot"))
             .withColumn(
                 "__cs_off", F.coalesce(F.sum("__cs_tot").over(w_off), F.lit(0))
             )
-            .select("__cs_b", "__cs_off")
+            .select(*keys, "__cs_b", "__cs_off")
         )
         w_intra = (
-            Window.partitionBy("__cs_b")
+            Window.partitionBy(*keys, "__cs_b")
             .orderBy(order_col)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         return (
             df.withColumn("__cs_b", bucket)
             .withColumn("__cs_run", F.sum(value_col).over(w_intra))
-            .join(F.broadcast(offsets), on="__cs_b")
+            .join(F.broadcast(offsets), on=[*keys, "__cs_b"])
             .withColumn(out_col, F.col("__cs_run") + F.col("__cs_off"))
             .drop("__cs_b", "__cs_run", "__cs_off")
         )
+    raise ValueError(
+        "grouped_cumsum requires an explicit bucket Column monotone in "
+        "order_col (e.g. an md5 hex prefix); the sampled-range fallback "
+        "lives in global_cumsum only"
+    )
     if num_partitions is None:
         num_partitions = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")

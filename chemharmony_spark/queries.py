@@ -2501,3 +2501,76 @@ def q112_pagerank(spark, sf):
         )
     return ranks.select("node", F.col("r").alias("rank_micro")) \
         .orderBy("node")
+
+
+def q113_decontamination(spark, sf):
+    """Benchmark decontamination — THE pre-training hygiene pass: flag
+    training documents that share verbatim substrings with a held-out
+    evaluation corpus (here: sources src0/src1 play the eval set).
+
+    Mechanics: winnowing fingerprints (q48/q62 machinery) on both sides;
+    the eval side collapses to a DISTINCT fingerprint dimension that
+    BROADCASTS (an eval suite is benchmark-sized, never corpus-sized), so
+    the training corpus is scanned once, joined map-side, and aggregated
+    per doc — one shuffle carrying only matching (doc, fp) rows. A train
+    doc with >= 3 shared fingerprints is contaminated; shared_ppm
+    (integer parts-per-million of its fingerprint set) grades severity
+    float-free. At 100 TB the eval dimension stays a few MB and the plan
+    shape is unchanged.
+
+    The fingerprint frame is persisted and every derived view (explode,
+    sizes) branches off it — referencing ``fps`` twice in one projection
+    re-expands the whole rolling-hash lambda chain per exploded row (the
+    q34/q62 CSE pitfall, SCALE.md rule 5; measured: hang vs seconds)."""
+    docs = _t(spark, sf, "documents").select("doc_id", "source", "text")
+    fp = (
+        TX.winnowing_fingerprints(docs, "text", k=5, w=4)
+        .select("doc_id", "source", "fps")
+        .persist()
+    )
+    ex = fp.select("doc_id", "source", F.explode("fps").alias("f"))
+    sizes = fp.select("doc_id", F.size("fps").alias("nf"))
+    is_eval = F.col("source").isin("src0", "src1")
+    eval_fps = ex.where(is_eval).select("f").distinct()
+    hits = (
+        ex.where(~is_eval)
+        .join(F.broadcast(eval_fps), on="f")
+        # winnowing fps are distinct per doc -> count(*) IS the overlap
+        .groupBy("doc_id", "source")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= 3)
+    )
+    return hits.join(F.broadcast(sizes), on="doc_id").select(
+        "doc_id", "source", "n_shared", "nf",
+        F.expr("n_shared * 1000000L div nf").alias("shared_ppm"),
+    )
+
+
+def q114_mixture_sample(spark, sf):
+    """Data-mixture sampling — the other canonical pre-training op: cap
+    each source's contribution at a token budget, taking documents in a
+    deterministic md5 shuffle order until the budget fills (greedy
+    start-offset rule, the q56 convention). Emits the kept sample with
+    per-doc cumulative positions.
+
+    Scale shape: per-source token cumsum via core.grouped_cumsum — the
+    running-sum window partitions on (source, md5-hex-prefix bucket) with
+    per-source broadcast bucket offsets, so a 100 TB source never funnels
+    through one task; the budget filter is then a pure per-row predicate.
+    One full-data exchange total."""
+    BUDGET = 500  # tokens per source
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", "source",
+        TX.token_count("text").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    from chemharmony_spark.operators.core import grouped_cumsum
+
+    cum = grouped_cumsum(
+        docs, ["source"], "h", "n_tokens", out_col="cum",
+        bucket=F.conv(F.substring("h", 1, 2), 16, 10).cast("int"),
+    )
+    return (
+        cum.where(F.col("cum") - F.col("n_tokens") < BUDGET)
+        .select("doc_id", "source", "n_tokens", F.col("cum").cast("long").alias("cum"))
+    )

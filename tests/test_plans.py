@@ -233,6 +233,13 @@ SHUFFLE_BUDGET = {
     # VISIBLE here — earlier iterations sit behind lazy localCheckpoints
     # (one contribution-agg shuffle each at runtime, lineage kept O(1))
     "q112_pagerank": 1,
+    # q113: per-doc overlap agg (matching rows only) + the final
+    # presentation exchange; eval fingerprints + sizes broadcast off the
+    # persisted fingerprint frame
+    "q113_decontamination": 2,
+    # q114: (source, bucket) cumsum window + map-side-combined bucket
+    # offsets + their per-source offset window (tiny)
+    "q114_mixture_sample": 3,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
