@@ -651,9 +651,11 @@ def q44_char_ngram_jaccard(spark, sf):
 def q45_simhash_hamming(spark, sf):
     """SimHash near-dup candidates: same-source doc pairs whose 16-bit
     signatures are within Hamming distance 6 (bitwise xor + popcount —
-    the cheap pre-filter that precedes exact Jaccard at scale)."""
+    the cheap pre-filter that precedes exact Jaccard at scale). The
+    signature frame persists before the self-join (q35/q36 idiom) so the
+    16-fold token hashing runs once, not once per join side."""
     docs = _t(spark, sf, "documents")
-    sig = DD.simhash16(docs, "doc_id", "text", carry=("source",))
+    sig = DD.simhash16(docs, "doc_id", "text", carry=("source",)).persist()
     a = sig.select(F.col("id").alias("a"), F.col("simhash").alias("ha"), "source")
     b = sig.select(F.col("id").alias("b"), F.col("simhash").alias("hb"), "source")
     return (
