@@ -104,3 +104,85 @@ def batch_user_profiles(spark: SparkSession, events_dir: str) -> DataFrame:
             "event_types"
         ),
     )
+
+
+# -------------------------------------------------------------------------
+# Spark 4 transformWithStateInPandas: the successor API to
+# applyInPandasWithState — typed state handles (ValueState/ListState/
+# MapState), timers, and TTL support. Same per-user profile maintained
+# through a StatefulProcessor so both stateful surfaces stay covered;
+# parity vs the batch twin asserted in tests/test_streaming.py.
+#
+# Runtime requirements beyond applyInPandasWithState: the RocksDB state
+# store provider (spark.sql.streaming.stateStore.providerClass) AND the
+# python `protobuf` package (the TWS state server speaks protobuf to the
+# JVM). HAVE_TWS gates on the latter so environments without it (like
+# this container) keep a working applyInPandasWithState surface and skip
+# the TWS test cleanly.
+# -------------------------------------------------------------------------
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+try:  # pragma: no cover - protobuf not in the test container
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+
+    HAVE_TWS = True
+except ImportError:
+    HAVE_TWS = False
+
+
+class ProfileProcessor(StatefulProcessor):
+    """Per-user running profile as a Spark-4 StatefulProcessor.
+
+    State is one ValueState row (n, exact integer cents, sorted types csv)
+    — the same layout the applyInPandasWithState twin keeps, so the two
+    APIs are directly comparable. At scale the state store shards by
+    user_id across executors exactly as before; what the new API adds is
+    typed composite state, per-key timers, and TTL eviction."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState("profile", STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        (user_id,) = key
+        if self._state.exists():
+            n, total_cents, types_csv = self._state.get()
+            types = set(types_csv.split(",")) if types_csv else set()
+        else:
+            n, total_cents, types = 0, 0, set()
+        for pdf in rows:
+            n += len(pdf)
+            total_cents += int(pdf["value"].mul(100).round().sum())
+            types.update(pdf["event_type"].unique().tolist())
+        types_csv = ",".join(sorted(types))
+        self._state.update((n, total_cents, types_csv))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "total_value": [total_cents / 100.0],
+                "n_event_types": [len(types)],
+                "event_types": [types_csv],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def stream_user_profiles_tws(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Streaming per-user profiles via transformWithStateInPandas."""
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(events_dir)
+    )
+    return src.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=ProfileProcessor(),
+        outputStructType=PROFILE_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -253,3 +253,49 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
     )
     assert len(want) > 0  # the replay actually exercises the join
     assert got == want
+
+
+def test_transform_with_state_matches_batch(spark, sf_dir):
+    """Spark-4 transformWithStateInPandas profile == the declarative batch
+    agg (and therefore == the applyInPandasWithState twin)."""
+    import pytest
+
+    from chemharmony_spark.streaming.stateful import (
+        HAVE_TWS,
+        batch_user_profiles,
+        stream_user_profiles_tws,
+    )
+
+    if not HAVE_TWS:
+        pytest.skip("python protobuf package unavailable — the "
+                    "transformWithState state server requires it")
+
+    # transformWithState requires the RocksDB state store provider
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        agg = stream_user_profiles_tws(spark, sf_dir)
+        streamed = run_stream_to_memory(agg, "stream_profiles_tws",
+                                        mode="update")
+        streamed = streamed.localCheckpoint()
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    ours = {
+        r.user_id: (r.n_events, round(r.total_value, 2), r.n_event_types,
+                    r.event_types)
+        for r in streamed.collect()
+    }
+    batch = {
+        r.user_id: (r.n_events, round(r.total_value, 2), r.n_event_types,
+                    r.event_types)
+        for r in batch_user_profiles(spark, sf_dir).collect()
+    }
+    assert ours == batch
