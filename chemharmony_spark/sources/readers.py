@@ -60,3 +60,27 @@ def read_jdbc_table(spark: SparkSession, url: str, table: str,
     driver-side bottleneck at scale.
     """
     return spark.read.jdbc(url, table, properties=properties or {})
+
+
+def read_jsonl(spark: SparkSession, path: str,
+               schema: StructType | None = None) -> DataFrame:
+    """JSON-lines scan (engine addition; the dominant raw-text interchange
+    format for LLM training corpora). Always pass ``schema`` at scale —
+    schema inference is a full extra pass over 100 TB; with an explicit
+    schema the reader is a single streaming pass and unknown fields prune
+    at the scan."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)
+
+
+def read_orc(spark: SparkSession, path: str,
+             schema: StructType | None = None) -> DataFrame:
+    """ORC scan (engine addition). Same pushdown/pruning contract as
+    parquet — predicate pushdown and column pruning reach the stripe
+    reader, verified in tests/test_sources.py."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.orc(path)

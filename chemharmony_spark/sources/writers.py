@@ -26,3 +26,52 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
         w.bucketBy(n, *cols).sortBy(*cols).option("path", path).saveAsTable(table_name)
         return
     w.parquet(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite",
+              partition_by: list[str] | None = None) -> None:
+    """ORC sink (engine addition) — same layout contract as write_parquet."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink (engine addition) — the export format downstream
+    tokenizer/training jobs consume."""
+    df.write.mode(mode).json(path)
+
+
+def compact_parquet(spark, path: str, target_file_bytes: int = 128 * 1024 * 1024,
+                    out_path: str | None = None) -> int:
+    """Small-files compaction — the operational fix for the classic
+    100 TB failure mode where streaming/incremental writers leave millions
+    of KB-sized files and every scan drowns in open() overhead.
+
+    Sizes the output file count from the ACTUAL input bytes (filesystem
+    listing, no data pass), round-robins into ceil(bytes/target) files,
+    and rewrites. Returns the output file count. In-place compaction
+    (out_path=None) writes to a sibling temp dir then swaps, so a crashed
+    compaction never destroys the input."""
+    import math
+    import shutil
+    import tempfile
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    in_place = out_path is None
+    dest = tempfile.mkdtemp(prefix="compact_") if in_place else out_path
+    df.repartition(n_out).write.mode("overwrite").parquet(dest)
+    if in_place:
+        swap = path.rstrip("/") + ".compact_old"
+        os.rename(path, swap)
+        shutil.move(dest, path)
+        shutil.rmtree(swap)
+    return n_out
