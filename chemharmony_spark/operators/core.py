@@ -457,6 +457,33 @@ def global_cumsum(
         return grouped_cumsum(
             df, (), order_col, value_col, out_col=out_col, bucket=bucket
         )
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    part = df.repartitionByRange(num_partitions, F.col(order_col)).withColumn(
+        "__cs_pid", F.spark_partition_id()
+    )
+    w_intra = (
+        Window.partitionBy("__cs_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # offsets: exclusive prefix of per-partition totals — |partitions| rows,
+    # so the unpartitioned window is over a tiny table, not the data
+    w_off = Window.orderBy("__cs_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        part.groupBy("__cs_pid")
+        .agg(F.sum(value_col).alias("__cs_tot"))
+        .withColumn("__cs_off", F.coalesce(F.sum("__cs_tot").over(w_off), F.lit(0)))
+        .select("__cs_pid", "__cs_off")
+    )
+    return (
+        part.withColumn("__cs_run", F.sum(value_col).over(w_intra))
+        .join(F.broadcast(offsets), on="__cs_pid")
+        .withColumn(out_col, F.col("__cs_run") + F.col("__cs_off"))
+        .drop("__cs_pid", "__cs_run", "__cs_off")
+    )
 
 
 def grouped_cumsum(
@@ -503,33 +530,6 @@ def grouped_cumsum(
         "grouped_cumsum requires an explicit bucket Column monotone in "
         "order_col (e.g. an md5 hex prefix); the sampled-range fallback "
         "lives in global_cumsum only"
-    )
-    if num_partitions is None:
-        num_partitions = int(
-            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-        )
-    part = df.repartitionByRange(num_partitions, F.col(order_col)).withColumn(
-        "__cs_pid", F.spark_partition_id()
-    )
-    w_intra = (
-        Window.partitionBy("__cs_pid")
-        .orderBy(order_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    # offsets: exclusive prefix of per-partition totals — |partitions| rows,
-    # so the unpartitioned window is over a tiny table, not the data
-    w_off = Window.orderBy("__cs_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = (
-        part.groupBy("__cs_pid")
-        .agg(F.sum(value_col).alias("__cs_tot"))
-        .withColumn("__cs_off", F.coalesce(F.sum("__cs_tot").over(w_off), F.lit(0)))
-        .select("__cs_pid", "__cs_off")
-    )
-    return (
-        part.withColumn("__cs_run", F.sum(value_col).over(w_intra))
-        .join(F.broadcast(offsets), on="__cs_pid")
-        .withColumn(out_col, F.col("__cs_run") + F.col("__cs_off"))
-        .drop("__cs_pid", "__cs_run", "__cs_off")
     )
 
 
