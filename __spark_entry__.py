@@ -191,6 +191,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q112_pagerank": Q.q112_pagerank,
         "q113_decontamination": Q.q113_decontamination,
         "q114_mixture_sample": Q.q114_mixture_sample,
+        "q115_semantic_cluster_dedup": Q.q115_semantic_cluster_dedup,
     }
 
 
@@ -299,6 +300,62 @@ def _pagerank_sql(iters: int = 4) -> str:
     return (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT node, r AS rank_micro FROM r{iters} ORDER BY node"
+    )
+
+
+def _kmeans_oracle(dims: int = 64, n_cells: int = 8, iters: int = 2,
+                   quant: int = 1 << 20, threshold: float = 0.25) -> str:
+    """Mirror similarity.lloyd_kmeans + cluster_pruned_pairs (q115):
+    md5-sampled seeds, per-iteration (assign by squared-L2 fold with
+    (dist, cell_id) tie-break; update = integer-quantized exact mean),
+    then in-cell cosine pairs. Every step is the same IEEE/integer
+    arithmetic the Spark plan performs, so values hash-match."""
+    dist = ("list_reduce(list_transform(list_zip(e.v, c.cent), "
+            "p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b)")
+
+    def assign(cent_cte: str) -> str:
+        return (
+            f"SELECT vec_id, v, cell_id FROM ("
+            f" SELECT e.vec_id, e.v, c.cell_id,"
+            f" ROW_NUMBER() OVER (PARTITION BY e.vec_id"
+            f" ORDER BY {dist}, c.cell_id) AS rn"
+            f" FROM e, {cent_cte} c) WHERE rn = 1"
+        )
+
+    sums = ", ".join(
+        f"SUM(CAST(trunc(v[{i + 1}] * {quant}.0) AS BIGINT)) AS s{i}"
+        for i in range(dims)
+    )
+    comps = ", ".join(
+        f"CAST(s{i} AS DOUBLE) / n / {quant}.0" for i in range(dims)
+    )
+    ctes = [
+        "e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v"
+        " FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cell_id, v AS cent FROM e"
+        f" ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {n_cells})",
+    ]
+    for it in range(1, iters + 1):
+        ctes.append(f"a{it} AS ({assign(f'c{it - 1}')})")
+        ctes.append(
+            f"u{it} AS (SELECT cell_id, COUNT(*) AS n, {sums}"
+            f" FROM a{it} GROUP BY cell_id)"
+        )
+        ctes.append(f"c{it} AS (SELECT cell_id, [{comps}] AS cent FROM u{it})")
+    ctes.append(f"af AS ({assign(f'c{iters}')})")
+    dot = ("list_reduce(list_transform(list_zip(x.v, y.v),"
+           " p -> p[1] * p[2]), (a, b) -> a + b)")
+    nrm = ("sqrt(list_reduce(list_transform({s}.v, q -> q * q),"
+           " (a, b) -> a + b))")
+    cos = f"{dot} / ({nrm.format(s='x')} * {nrm.format(s='y')})"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+        SELECT cell_id, a, b, sim FROM (
+          SELECT x.cell_id, x.vec_id AS a, y.vec_id AS b, {cos} AS sim
+          FROM af x JOIN af y
+            ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id)
+        WHERE sim >= {threshold}"""
     )
 
 
@@ -2160,4 +2217,5 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, n_tokens, CAST(cum AS BIGINT) AS cum
             FROM cum WHERE cum - n_tokens < 500
         """,
+        "q115_semantic_cluster_dedup": _kmeans_oracle(),
     }

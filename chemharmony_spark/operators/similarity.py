@@ -296,6 +296,149 @@ def all_pairs_cosine(
     )
 
 
+def lloyd_kmeans(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    iters: int = 2,
+    dims: int | None = None,
+    quant: int = 1 << 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd k-means over an embedding column, expressed so the
+    whole training run is bit-reproducible in ANSI SQL (the q115 oracle
+    mirrors it in DuckDB).
+
+    Per iteration:
+    - **assign**: broadcast the k×dims centroid table against the corpus,
+      squared-L2 via a sequential ``zip_with``/``aggregate`` fold, winner =
+      row_number over (dist, cell_id) — ties break on cell id, so the
+      argmin is total-ordered and engine-independent.
+    - **update**: per-cell mean computed from *integer-quantized* component
+      sums — each double component is scaled by 2^20 and truncated to a
+      BIGINT, so the cross-row summation is exact integer math (no
+      order-dependent FP rounding); the new component is
+      double(sum)/n/2^20, identical IEEE arithmetic on any engine. The agg
+      is ``groupBy(cell_id)`` over k groups × dims SUM columns —
+      map-side combinable, one narrow shuffle of k×dims longs.
+
+    New centroids are **collected (k×dims scalars) and re-inlined as
+    literals** each iteration — the harmonize invariant-scalar pattern —
+    so iteration N+1's plan does not embed iteration N's lineage (the q107
+    composed-selector blowup). At 100 TB: assignment is a broadcast join
+    (centroids are KBs), the update shuffle is k×dims regardless of corpus
+    size, and the driver loop is `iters` tiny jobs. Empty cells drop out
+    (standard Lloyd); seeds are the ``n_cells`` smallest-md5(id) corpus
+    vectors (deterministic, engine-independent).
+    """
+    if dims is None:
+        dims = len(corpus.select(vec_col).first()[0])
+    seeds = _sampled_centroids(corpus, n_cells, id_col, vec_col).collect()
+    cents: list[tuple[int, list[float]]] = [
+        (int(r.cell_id), [float(x) for x in r.centroid]) for r in seeds
+    ]
+    spark = corpus.sparkSession
+    qd = float(quant)
+    for _ in range(iters):
+        assigned = assign_cells(corpus, _centroid_df(spark, cents),
+                                id_col=id_col, vec_col=vec_col)
+        sums = (
+            assigned.groupBy("cell_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(
+                        (F.col(vec_col)[i].cast("double") * F.lit(qd))
+                        .cast("long")
+                    ).alias(f"s{i}")
+                    for i in range(dims)
+                ],
+            )
+            .collect()
+        )
+        # float(s) first: double(sum)/n/2^20, the exact arithmetic the SQL
+        # oracle performs (CAST(s AS DOUBLE) / n / quant)
+        cents = sorted(
+            (
+                int(r["cell_id"]),
+                [float(r[f"s{i}"]) / r["n"] / qd for i in range(dims)],
+            )
+            for r in sums
+        )
+    return _centroid_df(spark, cents)
+
+
+def _centroid_df(spark, cents: list[tuple[int, list[float]]]) -> DataFrame:
+    return spark.createDataFrame(cents, "cell_id bigint, centroid array<double>")
+
+
+def assign_cells(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment: corpus × broadcast(centroids), squared
+    L2 as a sequential fold, winner by (dist, cell_id) row_number. The
+    window partitions on the high-cardinality vector id — scale-safe."""
+    dist = F.aggregate(
+        F.zip_with(
+            _as_double(F.col(vec_col)),
+            F.col("centroid"),
+            lambda x, c: (x - c) * (x - c),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy(id_col).orderBy("__dist", "cell_id")
+    return (
+        corpus.crossJoin(F.broadcast(centroids))
+        .withColumn("__dist", dist)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "__dist", "centroid")
+    )
+
+
+def cluster_pruned_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    n_cells: int = 8,
+    iters: int = 2,
+    centroids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic near-duplicate pairs with k-means cluster pruning: train a
+    Lloyd codebook (or take one), assign every vector to its nearest cell,
+    and compare pairs ONLY within a cell — the equi-join on ``cell_id``
+    replaces q46's full triangle-blocked O(n²).
+
+    Recall < 1 by construction (cross-cell near-dups are unseen); this is
+    the standard semantic-dedup trade (SemDeDup-style): candidate volume
+    drops from n²/2 to Σ|cell|²/2. At scale, fat cells are the hazard —
+    sub-block a hot cell with all_pairs_cosine's triangle scheme, or raise
+    n_cells. Output is canonicalized (a < b) and deterministic."""
+    if centroids is None:
+        centroids = lloyd_kmeans(corpus, n_cells=n_cells, iters=iters,
+                                 id_col=id_col, vec_col=vec_col)
+    assigned = assign_cells(corpus, centroids, id_col=id_col, vec_col=vec_col)
+    left = assigned.select(
+        F.col("cell_id"), F.col(id_col).alias("a"), F.col(vec_col).alias("__va")
+    )
+    right = assigned.select(
+        F.col("cell_id").alias("cell_id2"), F.col(id_col).alias("b"),
+        F.col(vec_col).alias("__vb"),
+    )
+    return (
+        left.join(right, (F.col("cell_id") == F.col("cell_id2"))
+                  & (F.col("a") < F.col("b")))
+        .withColumn("sim", cosine(F.col("__va"), F.col("__vb")))
+        .where(F.col("sim") >= threshold)
+        .select("cell_id", "a", "b", "sim")
+    )
+
+
 def signature_bits(vec_col: Column, n_planes: int, dims: int,
                    plane_offset: int = 0) -> Column:
     """LSH bucket id: concatenated signs of dots with n_planes hyperplanes.

@@ -2548,6 +2548,24 @@ def q113_decontamination(spark, sf):
     )
 
 
+def q115_semantic_cluster_dedup(spark, sf):
+    """Semantic near-duplicate pairs with k-means cluster pruning
+    (SemDeDup-style): train an 8-cell Lloyd codebook (2 iterations,
+    deterministic md5-sampled seeds, integer-quantized exact mean updates),
+    assign every embedding to its nearest cell, and run the exact cosine
+    pair comparison ONLY within cells.
+
+    vs q46 (exact all-pairs): candidate volume drops from n²/2 to
+    Σ|cell|²/2 at the price of cross-cell recall; vs q40 (LSH): the
+    codebook adapts to the data distribution. Scale shape: training is
+    `iters` broadcast-assign jobs + a k×dims-wide map-side-combined agg
+    (shuffle size independent of corpus); the pair join is an equi-join on
+    cell_id. Every arithmetic step is IEEE/integer-exact, so DuckDB
+    reproduces the full training run + pair set bit-for-bit."""
+    emb = _t(spark, sf, "embeddings")
+    return SIM.cluster_pruned_pairs(emb, threshold=0.25, n_cells=8, iters=2)
+
+
 def q114_mixture_sample(spark, sf):
     """Data-mixture sampling — the other canonical pre-training op: cap
     each source's contribution at a token budget, taking documents in a

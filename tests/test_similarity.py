@@ -169,3 +169,55 @@ def test_pq_compression_bounds_reconstruction_error(spark, sf_dir):
     # codes really are 8 small ints
     c = codes.select(F.size("codes").alias("k")).distinct().collect()
     assert [r["k"] for r in c] == [8]
+
+
+def test_lloyd_kmeans_deterministic_and_partitioning(spark, sf_dir):
+    from chemharmony_spark.operators.similarity import assign_cells, lloyd_kmeans
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    c1 = lloyd_kmeans(emb, n_cells=4, iters=2)
+    c2 = lloyd_kmeans(emb, n_cells=4, iters=2)
+    r1 = sorted(map(tuple, ((r.cell_id, tuple(r.centroid)) for r in c1.collect())))
+    r2 = sorted(map(tuple, ((r.cell_id, tuple(r.centroid)) for r in c2.collect())))
+    assert r1 == r2  # bit-identical across runs
+    assigned = assign_cells(emb, c1)
+    # every vector lands in exactly one cell
+    assert assigned.count() == emb.count()
+    assert assigned.select("vec_id").distinct().count() == emb.count()
+    # Lloyd update reduces total within-cell SSE vs the raw seed codebook
+    from chemharmony_spark.operators.similarity import _sampled_centroids
+
+    def sse(cents):
+        a = assign_cells(emb, cents.selectExpr(
+            "cell_id", "transform(centroid, x -> CAST(x AS DOUBLE)) AS centroid"))
+        joined = a.join(cents.withColumnRenamed("cell_id", "c2"),
+                        F.col("cell_id") == F.col("c2"))
+        d = F.aggregate(
+            F.zip_with(F.transform("embedding", lambda x: x.cast("double")),
+                       F.col("centroid"), lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0), lambda acc, x: acc + x)
+        return joined.agg(F.sum(d)).first()[0]
+
+    seeds = _sampled_centroids(emb, 4, "vec_id", "embedding").selectExpr(
+        "cell_id", "transform(centroid, x -> CAST(x AS DOUBLE)) AS centroid")
+    assert sse(c1) < sse(seeds)
+
+
+def test_cluster_pruned_pairs_subset_of_exact(spark, sf_dir):
+    from chemharmony_spark.operators.similarity import (
+        all_pairs_cosine,
+        cluster_pruned_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {(r.a, r.b): r.sim
+             for r in all_pairs_cosine(emb, threshold=0.25).collect()}
+    pruned = {(r.a, r.b): r.sim
+              for r in cluster_pruned_pairs(emb, threshold=0.25,
+                                            n_cells=8, iters=2).collect()}
+    assert pruned  # nonempty at sf0.001
+    assert set(pruned) <= set(exact)
+    for k, v in pruned.items():
+        assert v == exact[k]  # identical IEEE sims
+    recall = len(pruned) / len(exact)
+    assert recall >= 0.2  # pruning trades recall; must keep a real fraction
