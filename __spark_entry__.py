@@ -192,6 +192,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q113_decontamination": Q.q113_decontamination,
         "q114_mixture_sample": Q.q114_mixture_sample,
         "q115_semantic_cluster_dedup": Q.q115_semantic_cluster_dedup,
+        "q116_edit_distance_join": Q.q116_edit_distance_join,
+        "q117_rollup_revenue": Q.q117_rollup_revenue,
     }
 
 
@@ -2218,4 +2220,26 @@ def oracle_sql() -> dict[str, str]:
             FROM cum WHERE cum - n_tokens < 500
         """,
         "q115_semantic_cluster_dedup": _kmeans_oracle(),
+        "q116_edit_distance_join": """
+            SELECT x.c_custkey AS a, y.c_custkey AS b,
+                   levenshtein(x.c_name, y.c_name) AS dist
+            FROM customer x JOIN customer y
+              ON x.c_custkey < y.c_custkey
+             AND abs(length(x.c_name) - length(y.c_name)) <= 2
+            WHERE x.c_custkey < 300 AND y.c_custkey < 300
+              AND levenshtein(x.c_name, y.c_name) <= 2
+        """,
+        "q117_rollup_revenue": f"""
+            SELECT COALESCE(r_name, 'ALL') AS region,
+                   COALESCE(n_name, 'ALL') AS nation,
+                   CAST(SUM(CAST(o_totalprice AS {_DEC})) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_orders,
+                   CAST(GROUPING(r_name) AS INT) AS g_region,
+                   CAST(GROUPING(n_name) AS INT) AS g_nation
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP(r_name, n_name)
+        """,
     }

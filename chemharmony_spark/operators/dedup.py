@@ -249,3 +249,40 @@ def prefix_filter_pairs(df: DataFrame, id_col: str, text_col: str,
         .select("a", "b")
         .distinct()
     )
+
+
+def edit_distance_pairs(df: DataFrame, id_col: str, text_col: str,
+                        max_dist: int = 2) -> DataFrame:
+    """Typo-join: all pairs whose strings are within Levenshtein distance
+    ``max_dist`` — the short-string complement to the token-set joins above
+    (entity keys, names, codes; NOT long documents).
+
+    |len(a) - len(b)| > max_dist forces distance > max_dist, so the theta
+    predicate becomes an EQUI-join: each row keys on its own length, one
+    side replicates across its ±max_dist length neighborhood (2d+1 copies
+    of a short-string column), and the JVM-side ``F.levenshtein`` verifies
+    survivors. Join groups are length bands — at scale add a second
+    blocking key (e.g. a character-frequency histogram prefix or the
+    first character) to the equi-key to split fat bands; candidate count
+    is Σ|band|·(2d+1), never n².
+
+    Same banding as plans/labeler.py's uniqueness join (reference
+    helper/magentic_label.py:11-12 does the O(n²) driver-side scan).
+    Output canonicalized a < b with the measured distance.
+    """
+    base = df.select(F.col(id_col).alias("a"), F.col(text_col).alias("ta"),
+                     F.length(text_col).alias("len"))
+    fan = df.select(
+        F.col(id_col).alias("b"), F.col(text_col).alias("tb"),
+        F.explode(
+            F.sequence(F.length(text_col) - max_dist,
+                       F.length(text_col) + max_dist)
+        ).alias("len"),
+    )
+    return (
+        base.join(fan, on="len")
+        .where(F.col("a") < F.col("b"))
+        .withColumn("dist", F.levenshtein("ta", "tb"))
+        .where(F.col("dist") <= max_dist)
+        .select("a", "b", "dist")
+    )

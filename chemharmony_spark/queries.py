@@ -2566,6 +2566,52 @@ def q115_semantic_cluster_dedup(spark, sf):
     return SIM.cluster_pruned_pairs(emb, threshold=0.25, n_cells=8, iters=2)
 
 
+def q116_edit_distance_join(spark, sf):
+    """Typo-join (fuzzy entity matching): customer-name pairs within
+    Levenshtein distance 2, via dedup.edit_distance_pairs — the
+    length-banded equi-join + JVM levenshtein verify. Filter pushes to the
+    scan; the join key is the length band (theta predicate eliminated)."""
+    cust = (
+        _t(spark, sf, "customer")
+        .where(F.col("c_custkey") < 300)
+        .select("c_custkey", "c_name")
+    )
+    return DD.edit_distance_pairs(cust, "c_custkey", "c_name", max_dist=2)
+
+
+def q117_rollup_revenue(spark, sf):
+    """Hierarchical grouping-sets aggregation: revenue + order counts at
+    (region, nation), (region), and grand-total levels in ONE pass —
+    Spark's rollup produces all three grouping sets from a single shuffle
+    (Expand + hash-agg; no re-scan per level). Exact-decimal sums; explicit
+    per-column grouping flags (engine-portable, unlike grouping_id bit
+    conventions)."""
+    cust = _t(spark, sf, "customer")
+    nation = _t(spark, sf, "nation")
+    region = _t(spark, sf, "region")
+    orders = _t(spark, sf, "orders")
+    dim = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "r_name", "n_name")
+    )
+    return (
+        orders.join(dim, orders.o_custkey == dim.c_custkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.sum(_d("o_totalprice")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping("r_name").cast("int").alias("g_region"),
+            F.grouping("n_name").cast("int").alias("g_nation"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "revenue", "n_orders", "g_region", "g_nation",
+        )
+    )
+
+
 def q114_mixture_sample(spark, sf):
     """Data-mixture sampling — the other canonical pre-training op: cap
     each source's contribution at a token budget, taking documents in a

@@ -113,3 +113,28 @@ def test_salted_join_matches_plain_join(spark):
     plain = sorted(map(tuple, left.join(right, on="k").collect()))
     salted = sorted(map(tuple, salted_join(left, right, on=["k"]).collect()))
     assert salted == plain and len(plain) == 902
+
+
+def test_edit_distance_pairs_matches_bruteforce(spark):
+    from chemharmony_spark.operators.dedup import edit_distance_pairs
+
+    words = ["alpha", "alphq", "alpja", "beta", "betas", "bet",
+             "gamma", "gamma ray", "delta"]
+    df = spark.createDataFrame(list(enumerate(words)), "id long, w string")
+    got = {(r.a, r.b): r.dist
+           for r in edit_distance_pairs(df, "id", "w", max_dist=2).collect()}
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = {(i, j): lev(a, b)
+            for i, a in enumerate(words) for j, b in enumerate(words)
+            if i < j and lev(a, b) <= 2}
+    assert got == want
