@@ -378,26 +378,44 @@ def assign_cells(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Nearest-centroid assignment: corpus × broadcast(centroids), squared
-    L2 as a sequential fold, winner by (dist, cell_id) row_number. The
-    window partitions on the high-cardinality vector id — scale-safe."""
-    dist = F.aggregate(
-        F.zip_with(
-            _as_double(F.col(vec_col)),
-            F.col("centroid"),
-            lambda x, c: (x - c) * (x - c),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    """Nearest-centroid assignment with the codebook INLINED as literal
+    expressions: the k×dims centroid table is dimension-sized by
+    construction (KBs), so instead of a broadcast cross-join (k× row
+    replication) + per-vector argmin window (a full hash shuffle on
+    ``id_col``), each row evaluates k squared-L2 folds in whole-stage
+    codegen and takes ``array_min`` over (dist, cell_id) structs — same
+    total order (ties break on cell id), ZERO joins, ZERO shuffles. At
+    100 TB the assignment is a pure map over the scan.
+
+    The per-component arithmetic — sequential ``zip_with``/``aggregate``
+    fold of (x-c)² — is expression-identical to the previous join
+    formulation, so the DuckDB oracle that replays it stays bit-exact."""
+    cents = sorted(
+        (int(r["cell_id"]), [float(x) for x in r["centroid"]])
+        for r in centroids.select("cell_id", "centroid").collect()
     )
-    w = Window.partitionBy(id_col).orderBy("__dist", "cell_id")
-    return (
-        corpus.crossJoin(F.broadcast(centroids))
-        .withColumn("__dist", dist)
-        .withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn", "__dist", "centroid")
+    vec = _as_double(F.col(vec_col))
+
+    def sqdist(vals: list[float]) -> Column:
+        cent = F.array(*[F.lit(x) for x in vals])
+        return F.aggregate(
+            F.zip_with(vec, cent, lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    sqdist(v).alias("d"),
+                    F.lit(c).cast("bigint").alias("cell_id"),
+                )
+                for c, v in cents
+            ]
+        )
     )
+    return corpus.withColumn("cell_id", best["cell_id"])
 
 
 def cluster_pruned_pairs(

@@ -240,6 +240,15 @@ SHUFFLE_BUDGET = {
     # q114: (source, bucket) cumsum window + map-side-combined bucket
     # offsets + their per-source offset window (tiny)
     "q114_mixture_sample": 3,
+    # q115: literal-inlined centroid assignment is shuffle-free (pure map
+    # over the scan); the in-cell pair join broadcasts at test scale —
+    # allow 2 for the non-broadcast SMJ (both sides exchange on cell_id)
+    "q115_semantic_cluster_dedup": 2,
+    # q116: length-band self equi-join (broadcast at test scale; 2 when
+    # both sides shuffle on the band key)
+    "q116_edit_distance_join": 2,
+    # q117: ONE Expand+hash-agg exchange produces all rollup levels
+    "q117_rollup_revenue": 1,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
