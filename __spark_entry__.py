@@ -194,6 +194,12 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q115_semantic_cluster_dedup": Q.q115_semantic_cluster_dedup,
         "q116_edit_distance_join": Q.q116_edit_distance_join,
         "q117_rollup_revenue": Q.q117_rollup_revenue,
+        "q118_pareto_frontier": Q.q118_pareto_frontier,
+        "q119_twap": Q.q119_twap,
+        "q120_group_auc": Q.q120_group_auc,
+        "q121_calibration_bins": Q.q121_calibration_bins,
+        "q122_merge_upsert": Q.q122_merge_upsert,
+        "q123_dedup_pipeline": Q.q123_dedup_pipeline,
     }
 
 
@@ -2241,5 +2247,125 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY ROLLUP(r_name, n_name)
+        """,
+        "q118_pareto_frontier": """
+            SELECT p_partkey, p_name,
+                   p_retailprice AS price, p_size AS size
+            FROM part a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM part b
+              WHERE b.p_retailprice <= a.p_retailprice
+                AND b.p_size >= a.p_size
+                AND (b.p_retailprice < a.p_retailprice
+                     OR b.p_size > a.p_size))
+        """,
+        "q119_twap": f"""
+            WITH iv AS (
+              SELECT user_id,
+                     lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id)
+                       - epoch_us(ts) AS dt,
+                     CAST(CAST(value AS {_DEC}) * 100 AS BIGINT) AS vc
+              FROM events)
+            SELECT user_id,
+                   COUNT(*) AS n_intervals,
+                   CAST(SUM(dt) AS BIGINT) AS span_us,
+                   (CAST(SUM(vc * dt) AS DOUBLE)
+                      / CAST(SUM(dt) AS DOUBLE)) / 100.0 AS twap
+            FROM iv
+            WHERE dt IS NOT NULL
+            GROUP BY user_id
+            HAVING SUM(dt) > 0
+        """,
+        "q120_group_auc": """
+            WITH base AS (
+              SELECT CAST(EXTRACT(year FROM ts) AS INT) AS yr, value,
+                     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+              FROM events),
+            cnt AS (
+              SELECT yr, value, SUM(pos) AS npos, SUM(1 - pos) AS nneg
+              FROM base GROUP BY yr, value),
+            cum AS (
+              SELECT yr, npos, nneg,
+                     SUM(nneg) OVER (PARTITION BY yr ORDER BY value
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) - nneg AS below
+              FROM cnt)
+            SELECT yr, CAST(SUM(npos) AS BIGINT) AS npos,
+                   CAST(SUM(nneg) AS BIGINT) AS nneg,
+                   CAST(SUM(npos * (2 * below + nneg)) AS DOUBLE)
+                     / CAST(2 * SUM(npos) * SUM(nneg) AS DOUBLE) AS auc
+            FROM cum GROUP BY yr
+        """,
+        "q121_calibration_bins": f"""
+            SELECT CAST(LEAST(FLOOR(value / 50.0), 9) AS INT) AS bin,
+                   COUNT(*) AS n,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS npos,
+                   CAST(SUM(CAST(value AS {_DEC})) AS DOUBLE) / COUNT(*)
+                     AS mean_value,
+                   SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                     / COUNT(*) AS pos_rate
+            FROM events
+            GROUP BY 1
+        """,
+        "q122_merge_upsert": f"""
+            WITH base AS (
+              SELECT o_orderkey, CAST(o_totalprice AS {_DEC}) AS bprice,
+                     o_orderstatus AS bstatus
+              FROM orders WHERE o_orderkey % 10 <> 0),
+            delta AS (
+              SELECT o_orderkey, CAST(o_totalprice AS {_DEC}) AS dprice,
+                     'R' AS dstatus
+              FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01')
+            SELECT COALESCE(b.o_orderkey, d.o_orderkey) AS o_orderkey,
+                   CAST(COALESCE(dprice, bprice) AS DOUBLE) AS price,
+                   COALESCE(dstatus, bstatus) AS status,
+                   CASE WHEN bprice IS NOT NULL AND dprice IS NOT NULL
+                          THEN 'update'
+                        WHEN bprice IS NULL THEN 'insert'
+                        ELSE 'keep' END AS action
+            FROM base b FULL OUTER JOIN delta d USING (o_orderkey)
+        """,
+        "q123_dedup_pipeline": f"""
+            WITH RECURSIVE words AS MATERIALIZED (
+              SELECT DISTINCT doc_id AS id, unnest(toks) AS word
+              FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)),
+            sizes AS (SELECT id, COUNT(*) AS nw FROM words GROUP BY id),
+            inter AS (
+              SELECT wa.id AS a, wb.id AS b, COUNT(*) AS n_inter
+              FROM words wa
+              JOIN words wb ON wb.word = wa.word AND wa.id < wb.id
+              GROUP BY 1, 2),
+            pairs AS MATERIALIZED (
+              SELECT a, b FROM inter
+              JOIN sizes sa ON sa.id = a
+              JOIN sizes sb ON sb.id = b
+              WHERE n_inter / (sa.nw + sb.nw - n_inter) >= 0.6),
+            sym AS MATERIALIZED (
+              SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+            nodes AS (SELECT DISTINCT a AS node FROM sym),
+            reach AS (
+              SELECT node, node AS peer FROM nodes
+              UNION
+              SELECT r.node, s.b AS peer
+              FROM reach r JOIN sym s ON r.peer = s.a),
+            comps AS (SELECT node, MIN(peer) AS component
+                      FROM reach GROUP BY node),
+            lab AS (
+              SELECT d.doc_id, d.source, d.n_chars,
+                     COALESCE(c.component, d.doc_id) AS component
+              FROM documents d LEFT JOIN comps c ON c.node = d.doc_id),
+            win AS (
+              SELECT source,
+                     CASE WHEN ROW_NUMBER() OVER (
+                            PARTITION BY component
+                            ORDER BY n_chars DESC, doc_id) = 1
+                          THEN 1 ELSE 0 END AS keep
+              FROM lab)
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(keep) AS BIGINT) AS n_kept,
+                   CAST(COUNT(*) - SUM(keep) AS BIGINT) AS n_removed
+            FROM win GROUP BY source
         """,
     }

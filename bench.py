@@ -34,6 +34,8 @@ HEADLINE = [
     "q58_grouped_percentiles",
     "q63_heavy_hitters",
     "q76_resample_forward_fill",
+    "q115_semantic_cluster_dedup",
+    "q123_dedup_pipeline",
 ]
 
 

@@ -2640,3 +2640,252 @@ def q114_mixture_sample(spark, sf):
         cum.where(F.col("cum") - F.col("n_tokens") < BUDGET)
         .select("doc_id", "source", "n_tokens", F.col("cum").cast("long").alias("cum"))
     )
+
+
+def q118_pareto_frontier(spark, sf):
+    """Skyline / Pareto frontier over part on (min price, max size) — the
+    multi-objective "best tradeoff" query (Borzsony et al., ICDE 2001).
+    The oracle runs the O(n²) dominance NOT-EXISTS; the engine plan is the
+    O(n log n) prefix-max decomposition: a part survives iff its size
+    equals the max size at its exact price AND strictly exceeds the max
+    size over all strictly cheaper prices.
+
+    Scale shape: per-price max (ONE map-side-combined full-data exchange)
+    -> distinct-price table bucketed by floor(price/10), in-bucket strict
+    prefix-max window + |buckets|-row exclusive bucket offsets (the
+    global_cumsum decomposition with a MAX monoid — no single-task
+    whole-table window) -> the surviving (price, size) frontier is
+    skyline-sized by nature, broadcast back onto the un-shuffled scan."""
+    part = _t(spark, sf, "part")
+    per_price = part.groupBy("p_retailprice").agg(F.max("p_size").alias("best"))
+    bucket = F.floor(F.col("p_retailprice") / F.lit(10.0))
+    SENT = F.lit(-2147483648)
+    w_off = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        per_price.groupBy(bucket.alias("__b"))
+        .agg(F.max("best").alias("__bt"))
+        .withColumn("__off", F.max("__bt").over(w_off))
+        .select("__b", "__off")
+    )
+    w_in = (
+        Window.partitionBy("__b")
+        .orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = (
+        per_price.withColumn("__b", bucket)
+        .withColumn("__in", F.max("best").over(w_in))
+        .join(F.broadcast(offsets), on="__b")
+        .where(
+            F.col("best")
+            > F.greatest(F.coalesce("__in", SENT), F.coalesce("__off", SENT))
+        )
+        .select("p_retailprice", F.col("best").alias("p_size"))
+    )
+    return (
+        part.join(F.broadcast(frontier), on=["p_retailprice", "p_size"])
+        .select(
+            "p_partkey",
+            "p_name",
+            F.col("p_retailprice").alias("price"),
+            F.col("p_size").alias("size"),
+        )
+    )
+
+
+def q119_twap(spark, sf):
+    """Per-user time-weighted average event value (TWAP): each reading
+    holds until the user's next event; weight = interval length. Exact
+    cross-row math: value in integer centi-units × interval micros —
+    BIGINT products summed associatively (order-independent; bounded by
+    5e4 × interval span, so no overflow below ~1e14 user-seconds — switch
+    the product to DECIMAL(38,0) beyond that), then ONE double division
+    chain at the end that DuckDB replays IEEE-identically. The lead window
+    and the aggregation share a single user_id exchange."""
+    ev = _events(spark, sf).select(
+        "user_id", "event_id", F.expr("ts div 1000").alias("us"),
+        (_d("value") * 100).cast("long").alias("vc"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    iv = ev.withColumn("dt", F.lead("us").over(w) - F.col("us")).where(
+        F.col("dt").isNotNull()
+    )
+    return (
+        iv.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("dt").alias("span_us"),
+            F.sum(F.col("vc") * F.col("dt")).alias("wsum"),
+        )
+        .where(F.col("span_us") > 0)
+        .select(
+            "user_id",
+            "n_intervals",
+            "span_us",
+            (
+                (F.col("wsum").cast("double") / F.col("span_us").cast("double"))
+                / F.lit(100.0)
+            ).alias("twap"),
+        )
+    )
+
+
+def q120_group_auc(spark, sf):
+    """Distributed AUC (Mann-Whitney rank-sum with tie correction) of
+    `value` as a score predicting purchase events, per event year — the
+    model-evaluation aggregate every training pipeline runs over scored
+    tables too big to collect. 2·AUC·P·N = Σ_v npos(v)·(2·nneg_below(v) +
+    nneg(v)), all in exact integers until ONE double division.
+
+    Scale shape: per-(year, value) label counts is the only full-data
+    exchange (map-side combined); the cumulative negatives-below pass runs
+    on the distinct-value table via the bucketed grouped_cumsum (floor(
+    value) buckets), so a low-cardinality year never funnels its whole
+    score distribution through one task. BIGINT pair counts overflow past
+    ~3e9 positives×negatives per group — switch the contribution column to
+    DECIMAL(38,0) there."""
+    from chemharmony_spark.operators.core import grouped_cumsum
+
+    ev = _events(spark, sf).select(
+        F.year("ts_ts").alias("yr"),
+        "value",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+    )
+    cnt = ev.groupBy("yr", "value").agg(
+        F.sum("pos").alias("npos"),
+        F.sum(F.lit(1) - F.col("pos")).alias("nneg"),
+    )
+    cum = grouped_cumsum(
+        cnt, ["yr"], "value", "nneg", out_col="cumneg",
+        bucket=F.floor("value").cast("long"),
+    )
+    contrib = F.col("npos") * (
+        2 * (F.col("cumneg") - F.col("nneg")) + F.col("nneg")
+    )
+    return (
+        cum.groupBy("yr")
+        .agg(
+            F.sum("npos").alias("npos"),
+            F.sum("nneg").alias("nneg"),
+            F.sum(contrib).alias("num2x"),
+        )
+        .select(
+            "yr",
+            "npos",
+            "nneg",
+            (
+                F.col("num2x").cast("double")
+                / (2 * F.col("npos") * F.col("nneg")).cast("double")
+            ).alias("auc"),
+        )
+    )
+
+
+def q121_calibration_bins(spark, sf):
+    """Reliability-diagram calibration table: bucket the score (`value`)
+    into 10 equi-width bins and compare each bin's mean score against its
+    observed purchase rate. Pure single-shuffle groupBy over 10 groups
+    (map-side combined); mean = exact-decimal sum with one double division
+    — no AVG() (engines disagree on decimal-avg result types)."""
+    ev = _events(spark, sf).select(
+        F.least(F.floor(F.col("value") / F.lit(50.0)), F.lit(9))
+        .cast("int")
+        .alias("bin"),
+        "value",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+    )
+    return (
+        ev.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("pos").alias("npos"),
+            F.sum(_d("value")).alias("vsum"),
+        )
+        .select(
+            "bin",
+            "n",
+            "npos",
+            (F.col("vsum").cast("double") / F.col("n")).alias("mean_value"),
+            (F.col("npos") / F.col("n")).alias("pos_rate"),
+        )
+    )
+
+
+def q122_merge_upsert(spark, sf):
+    """CDC MERGE (the Delta-Lake `MERGE INTO` shape) expressed engine-side:
+    apply a delta of updates + inserts onto a base snapshot with ONE
+    co-partitioned full-outer join — matched keys take the delta row
+    (update), unmatched delta keys append (insert), unmatched base rows
+    carry over (keep). Both sides exchange once on the merge key; at scale
+    pre-bucketing base and delta by the key makes the join shuffle-free
+    (sources/writers.py bucket_by)."""
+    orders = _t(spark, sf, "orders")
+    base = orders.where(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey", _d("o_totalprice").alias("bprice"),
+        F.col("o_orderstatus").alias("bstatus"),
+    )
+    delta = orders.where(F.col("o_orderdate") >= F.lit("1999-01-01")).select(
+        "o_orderkey", _d("o_totalprice").alias("dprice"),
+        F.lit("R").alias("dstatus"),
+    )
+    b, d = base.alias("b"), delta.alias("d")
+    return (
+        b.join(d, on="o_orderkey", how="full_outer")
+        .select(
+            "o_orderkey",
+            F.coalesce("dprice", "bprice").cast("double").alias("price"),
+            F.coalesce("dstatus", "bstatus").alias("status"),
+            F.when(
+                F.col("bprice").isNotNull() & F.col("dprice").isNotNull(),
+                "update",
+            )
+            .when(F.col("bprice").isNull(), "insert")
+            .otherwise("keep")
+            .alias("action"),
+        )
+    )
+
+
+def q123_dedup_pipeline(spark, sf):
+    """End-to-end near-duplicate REMOVAL — the full training-data dedup
+    pipeline in one query: PPJoin prefix-filtered candidates (EXACT recall
+    at t=0.6, no LSH bands to tune) -> exact Jaccard verify -> connected
+    components over surviving pairs -> keep-best representative per
+    cluster (max n_chars, tie min doc_id) -> per-source keep/remove
+    counts. The oracle replays it as brute-force Jaccard + recursive-CTE
+    transitive closure.
+
+    Scale shape: candidates touch rare-token prefixes only (bounded
+    groups); verify is codegen array_intersect on candidates only; the
+    component step is min-label propagation (O(log n) rounds,
+    localCheckpoint-bounded lineage); the representative window partitions
+    on component id (high cardinality). No stage is all-pairs."""
+    from chemharmony_spark.operators.graph import connected_components
+
+    docs = _t(spark, sf, "documents")
+    cands = DD.prefix_filter_pairs(docs, "doc_id", "text", threshold=0.6)
+    pairs = (
+        DD.jaccard_pairs(docs, cands, "doc_id", "text")
+        .where(F.col("jaccard") >= 0.6)
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    comp = connected_components(pairs, "src", "dst")
+    labeled = (
+        docs.join(comp, docs.doc_id == comp.node, "left")
+        .withColumn("component", F.coalesce("component", F.col("doc_id")))
+        .select("doc_id", "source", "n_chars", "component")
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    flagged = labeled.withColumn(
+        "keep", F.when(F.row_number().over(w) == 1, 1).otherwise(0)
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("keep").alias("n_kept"),
+            (F.count(F.lit(1)) - F.sum("keep")).alias("n_removed"),
+        )
+    )

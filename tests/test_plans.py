@@ -249,6 +249,25 @@ SHUFFLE_BUDGET = {
     "q116_edit_distance_join": 2,
     # q117: ONE Expand+hash-agg exchange produces all rollup levels
     "q117_rollup_revenue": 1,
+    # q118: ONE full-data exchange (per-price max); the other four move
+    # the distinct-price table only (bucket agg + offset window + in-bucket
+    # window + frontier presentation)
+    "q118_pareto_frontier": 5,
+    # q119: lead window + agg share the single user_id exchange
+    "q119_twap": 1,
+    # q120: ONE full-data exchange (per-(yr,value) counts); the remaining
+    # five move the distinct-value table through the bucketed cumsum
+    # (bucket agg, offset window, in-bucket window, broadcast-join prep,
+    # final per-year agg)
+    "q120_group_auc": 6,
+    # q121: single 10-group hash agg, map-side combined
+    "q121_calibration_bins": 1,
+    # q122: base and delta each exchange once on the merge key
+    "q122_merge_upsert": 2,
+    # q123: token explode/window for prefixes + candidate join + component
+    # rounds on the pair set + the final source agg; all post-candidate
+    # exchanges carry pairs/components, not the corpus
+    "q123_dedup_pipeline": 4,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
