@@ -2863,7 +2863,10 @@ def q123_dedup_pipeline(spark, sf):
     from chemharmony_spark.operators.graph import connected_components
 
     docs = _t(spark, sf, "documents")
-    cands = DD.prefix_filter_pairs(docs, "doc_id", "text", threshold=0.6)
+    # persist the candidate set: it feeds the verify join's probe side and
+    # would otherwise be re-derived inside the component step's eager
+    # checkpoint job with the whole prefix pipeline inlined
+    cands = DD.prefix_filter_pairs(docs, "doc_id", "text", threshold=0.6).persist()
     pairs = (
         DD.jaccard_pairs(docs, cands, "doc_id", "text")
         .where(F.col("jaccard") >= 0.6)
