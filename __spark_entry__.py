@@ -200,6 +200,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q121_calibration_bins": Q.q121_calibration_bins,
         "q122_merge_upsert": Q.q122_merge_upsert,
         "q123_dedup_pipeline": Q.q123_dedup_pipeline,
+        "q124_last_touch_attribution": Q.q124_last_touch_attribution,
+        "q125_quantile_normalize": Q.q125_quantile_normalize,
+        "q126_kcore": Q.q126_kcore,
     }
 
 
@@ -280,8 +283,8 @@ def _pagerank_sql(iters: int = 4) -> str:
     Unrolled because the recursive term would need a GROUP BY; with a
     fixed iteration count the chain of CTEs IS the ANSI spelling."""
     ctes = [
-        "b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
-        """e0 AS (
+        "b AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        """e0 AS MATERIALIZED (
           SELECT a.l_partkey AS p1, c.l_partkey AS p2
           FROM b a JOIN b c
             ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
@@ -2367,5 +2370,77 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(keep) AS BIGINT) AS n_kept,
                    CAST(COUNT(*) - SUM(keep) AS BIGINT) AS n_removed
             FROM win GROUP BY source
+        """,
+        "q124_last_touch_attribution": f"""
+            WITH tagged AS (
+              SELECT ts, event_type, value,
+                     last_value(CASE WHEN event_type <> 'purchase'
+                                     THEN event_type END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS channel
+              FROM events)
+            SELECT CAST(EXTRACT(year FROM ts) AS INT) AS yr,
+                   COALESCE(channel, 'none') AS channel,
+                   COUNT(*) AS n_purchases,
+                   CAST(SUM(CAST(value AS {_DEC})) AS DOUBLE) AS revenue
+            FROM tagged
+            WHERE event_type = 'purchase'
+            GROUP BY 1, 2
+        """,
+        "q125_quantile_normalize": """
+            WITH cnt AS (
+              SELECT value, COUNT(*) AS cnt FROM events GROUP BY value),
+            cum AS (
+              SELECT value, cnt,
+                     SUM(cnt) OVER (ORDER BY value
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum,
+                     SUM(cnt) OVER () AS n
+              FROM cnt)
+            SELECT e.event_id, e.value,
+                   CAST(2 * (cum - cnt) + cnt AS DOUBLE)
+                     / CAST(2 * n AS DOUBLE) AS pct
+            FROM events e JOIN cum USING (value)
+        """,
+        "q126_kcore": """
+            WITH b AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            e0 AS MATERIALIZED (
+              SELECT a.l_partkey AS p1, c.l_partkey AS p2
+              FROM b a JOIN b c
+                ON a.l_orderkey = c.l_orderkey
+               AND a.l_partkey < c.l_partkey
+              GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+            d1 AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM (
+                     SELECT p1 AS node FROM e0
+                     UNION ALL SELECT p2 FROM e0) GROUP BY node),
+            k1 AS MATERIALIZED (SELECT node FROM d1 WHERE deg >= 3),
+            e1 AS MATERIALIZED (SELECT p1, p2 FROM e0
+                   WHERE p1 IN (SELECT node FROM k1)
+                     AND p2 IN (SELECT node FROM k1)),
+            d2 AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM (
+                     SELECT p1 AS node FROM e1
+                     UNION ALL SELECT p2 FROM e1) GROUP BY node),
+            k2 AS MATERIALIZED (SELECT node FROM d2 WHERE deg >= 3),
+            e2 AS MATERIALIZED (SELECT p1, p2 FROM e1
+                   WHERE p1 IN (SELECT node FROM k2)
+                     AND p2 IN (SELECT node FROM k2)),
+            d3 AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM (
+                     SELECT p1 AS node FROM e2
+                     UNION ALL SELECT p2 FROM e2) GROUP BY node),
+            k3 AS MATERIALIZED (SELECT node FROM d3 WHERE deg >= 3),
+            e3 AS MATERIALIZED (SELECT p1, p2 FROM e2
+                   WHERE p1 IN (SELECT node FROM k3)
+                     AND p2 IN (SELECT node FROM k3)),
+            d4 AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM (
+                     SELECT p1 AS node FROM e3
+                     UNION ALL SELECT p2 FROM e3) GROUP BY node),
+            k4 AS MATERIALIZED (SELECT node FROM d4 WHERE deg >= 3),
+            e4 AS (SELECT p1, p2 FROM e3
+                   WHERE p1 IN (SELECT node FROM k4)
+                     AND p2 IN (SELECT node FROM k4))
+            SELECT node, COUNT(*) AS deg FROM (
+              SELECT p1 AS node FROM e4
+              UNION ALL SELECT p2 FROM e4) GROUP BY node
         """,
     }

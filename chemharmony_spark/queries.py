@@ -2892,3 +2892,112 @@ def q123_dedup_pipeline(spark, sf):
             (F.count(F.lit(1)) - F.sum("keep")).alias("n_removed"),
         )
     )
+
+
+def q124_last_touch_attribution(spark, sf):
+    """Last-touch marketing attribution: every purchase is credited to the
+    user's most recent preceding non-purchase event (the "channel"), then
+    rolled up to (year, channel) purchase counts + exact-decimal revenue.
+    The carry-forward is `last(..., ignorenulls)` over an UNBOUNDED
+    PRECEDING .. 1 PRECEDING frame — running state, not a per-row
+    self-join — and shares its single user_id exchange with nothing else;
+    the rollup agg is a handful of groups, map-side combined."""
+    ev = _events(spark, sf)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chan = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    pur = (
+        ev.withColumn("channel", chan)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.year("ts_ts").alias("yr"),
+            F.coalesce("channel", F.lit("none")).alias("channel"),
+            "value",
+        )
+    )
+    return pur.groupBy("yr", "channel").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(_d("value")).cast("double").alias("revenue"),
+    )
+
+
+def q125_quantile_normalize(spark, sf):
+    """Exact mid-rank percentile transform (the quantile-normalization /
+    percentile-feature op): every event value maps to its exact fractional
+    rank in the global distribution — (2·cnt_below + cnt_at) / (2·n),
+    integers until ONE double division.
+
+    The naive spelling is an unpartitioned RANK() over the fact table (a
+    single-task sort at 100 TB). This plan never ranks facts: per-value
+    counts (the one full-data exchange, map-side combined) -> bucketed
+    global cumsum over the DISTINCT-value table (floor(value) buckets) ->
+    the (value, pct) map broadcasts back onto the un-shuffled scan. For
+    value domains too wide to broadcast, swap the map join to a shuffled
+    equi-join — the fact table then exchanges once on value."""
+    from chemharmony_spark.operators.core import grouped_cumsum
+
+    ev = _events(spark, sf)
+    cnt = ev.groupBy("value").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = grouped_cumsum(
+        cnt, (), "value", "cnt", out_col="cum",
+        bucket=F.floor("value").cast("long"),
+    )
+    tot = cum.withColumn("n", F.max("cum").over(Window.partitionBy()))
+    pct_tbl = tot.select(
+        "value",
+        (
+            (2 * (F.col("cum") - F.col("cnt")) + F.col("cnt")).cast("double")
+            / (2 * F.col("n")).cast("double")
+        ).alias("pct"),
+    )
+    return ev.select("event_id", "value").join(
+        F.broadcast(pct_tbl), on="value"
+    ).select("event_id", "value", "pct")
+
+
+def q126_kcore(spark, sf):
+    """k-core peeling (k=3, 4 unrolled rounds — the q112 fixed-iteration
+    convention) on the co-purchase graph: repeatedly drop nodes with
+    degree < k and their edges; returns the surviving nodes with their
+    in-subgraph degree. Converges to the true 3-core when a round removes
+    nothing; at scale run the same loop with the CC driver-side
+    changed-count early exit.
+
+    Per round: degree agg over the current edge set + two broadcast
+    semi-joins (the keep set is node-dimension-sized); edges
+    localCheckpoint each round so round N+1's plan does not embed round
+    N's lineage."""
+    li = _t(spark, sf, "lineitem")
+    k = 3
+    edges = _copurchase_edges(li).select("p1", "p2").localCheckpoint(eager=True)
+    for _ in range(4):
+        deg = (
+            edges.select(F.col("p1").alias("node"))
+            .union(edges.select(F.col("p2").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.where(F.col("deg") >= k).select("node")
+        edges = (
+            edges.join(
+                F.broadcast(keep.withColumnRenamed("node", "p1")),
+                on="p1", how="left_semi",
+            )
+            .join(
+                F.broadcast(keep.withColumnRenamed("node", "p2")),
+                on="p2", how="left_semi",
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        edges.select(F.col("p1").alias("node"))
+        .union(edges.select(F.col("p2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )

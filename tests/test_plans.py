@@ -268,6 +268,16 @@ SHUFFLE_BUDGET = {
     # rounds on the pair set + the final source agg; all post-candidate
     # exchanges carry pairs/components, not the corpus
     "q123_dedup_pipeline": 4,
+    # q124: user_id window exchange + the handful-of-groups rollup
+    "q124_last_touch_attribution": 2,
+    # q125: ONE full-data exchange (per-value counts); the rest move the
+    # distinct-value table through the bucketed cumsum + total window;
+    # the (value, pct) map broadcasts back onto the un-shuffled scan
+    "q125_quantile_normalize": 6,
+    # q126: the final degree agg — per-round exchanges are behind the
+    # round's localCheckpoint (each round = degree agg + two broadcast
+    # semi joins, audited in the docstring, not visible in the final plan)
+    "q126_kcore": 1,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
