@@ -84,3 +84,24 @@ def read_orc(spark: SparkSession, path: str,
     if schema is not None:
         r = r.schema(schema)
     return r.orc(path)
+
+
+def read_binary_files(spark: SparkSession, path: str,
+                      glob: str | None = None) -> DataFrame:
+    """Raw binary-file scan (engine addition) — the ingestion path for
+    multimodal corpora (images/audio/video) that arrive as loose files
+    rather than parquet blobs: each row is (path, modificationTime,
+    length, content binary), the schema the operators/multimodal.py
+    decode/feature UDFs consume directly.
+
+    Scale notes: binaryFile packs many small files per task
+    (spark.sql.files.maxPartitionBytes governs packing, same as parquet),
+    so million-file image dirs don't become million-task jobs; pair with
+    sources/writers.py::compact_parquet to convert the loose-file corpus
+    into blob-parquet once, after which every downstream pass reads the
+    columnar form. ``pathGlobFilter`` prunes non-matching files at listing
+    time (no data touched), e.g. glob="*.png"."""
+    r = spark.read.format("binaryFile")
+    if glob is not None:
+        r = r.option("pathGlobFilter", glob)
+    return r.load(path)

@@ -178,3 +178,33 @@ def test_compact_parquet_inplace(spark, tmp_path):
     assert len(files) == n_out < 40
     after = sorted(r["id"] for r in spark.read.parquet(p).collect())
     assert after == before
+
+
+def test_binary_file_scan_globs_and_reads_content(spark, tmp_path):
+    """binaryFile ingest: rows are (path, mtime, length, content) — the
+    multimodal UDF input schema — and pathGlobFilter prunes non-matching
+    files at listing time."""
+    from chemharmony_spark.sources.readers import read_binary_files
+
+    for i in range(3):
+        (tmp_path / f"img{i}.png").write_bytes(b"\x89PNG" + bytes([i]) * 10)
+    (tmp_path / "notes.txt").write_text("not an image")
+
+    df = read_binary_files(spark, str(tmp_path), glob="*.png")
+    assert [f.name for f in df.schema.fields] == [
+        "path", "modificationTime", "length", "content",
+    ]
+    rows = df.select("path", "length", "content").collect()
+    assert len(rows) == 3  # the .txt is pruned by the glob
+    assert all(r.length == 14 and bytes(r.content[:4]) == b"\x89PNG"
+               for r in rows)
+    # ties into the multimodal layer: content is the binary payload the
+    # operators/multimodal.py fingerprint consumes directly
+    from chemharmony_spark.operators.multimodal import ahash64
+
+    keyed = df.select(
+        F.abs(F.hash("path")).cast("long").alias("doc_id"),
+        F.col("content").alias("payload"),
+    )
+    hashed = ahash64(keyed).collect()
+    assert len(hashed) == 3 and all(r.ahash is not None for r in hashed)
