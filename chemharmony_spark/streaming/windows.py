@@ -175,3 +175,44 @@ def run_stream_to_memory(agg: DataFrame, name: str, mode: str = "complete") -> D
     )
     q.awaitTermination()
     return agg.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def stream_enrich(
+    spark: SparkSession,
+    events_dir: str,
+    dim: DataFrame,
+    on: str = "event_type",
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch hash-joins against
+    the static (bounded) ``dim`` frame — the standard pattern for decorating
+    an event stream with reference data. The dim side is re-resolved per
+    micro-batch, so a dim that reads from a refreshable view/table picks up
+    updates without restarting the query; broadcast keeps the join
+    shuffle-free on the stream side (state-free, unlike stream-stream
+    joins — no watermark needed)."""
+    return stream_events(spark, events_dir).join(F.broadcast(dim), on=on, how=how)
+
+
+def run_stream_foreach_batch(
+    df: DataFrame,
+    batch_fn,
+    checkpoint_dir: str,
+    mode: str = "update",
+) -> None:
+    """Drain a bounded stream through a ``foreachBatch`` sink — the escape
+    hatch for sinks Structured Streaming lacks natively (JDBC upserts,
+    MERGE targets, multi-table fan-out). ``batch_fn(batch_df, epoch_id)``
+    runs on the driver per micro-batch with a BATCH DataFrame (full batch
+    API available). Exactly-once contract: replays after failure re-deliver
+    a batch with the SAME epoch_id, so the sink must be idempotent per
+    epoch (write to epoch-keyed paths, or MERGE on a key) — the checkpoint
+    only guarantees at-least-once delivery into ``batch_fn``."""
+    q = (
+        df.writeStream.foreachBatch(batch_fn)
+        .outputMode(mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -392,3 +392,59 @@ def test_streaming_checkpoint_recovery(spark, tmp_path):
           base + 10)
     second = run("cp_run2")
     assert second == {1: (3, 13.5), 3: (1, 1.0)}, second
+
+
+def test_stream_static_enrich_matches_batch(spark, sf_dir):
+    """Stream-static broadcast join parity: enriching the event stream with
+    a static dim gives the same rows as the batch join."""
+    from chemharmony_spark.streaming.windows import (
+        run_stream_to_memory,
+        stream_enrich,
+    )
+
+    dim = spark.createDataFrame(
+        [("click", 1), ("view", 2), ("purchase", 10),
+         ("signup", 5), ("error", 0)],
+        "event_type string, weight int",
+    )
+    enriched = stream_enrich(spark, sf_dir, dim).select(
+        "event_id", "event_type", "weight"
+    )
+    got = run_stream_to_memory(enriched, "enrich_par", mode="append")
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    want = ev.join(F.broadcast(dim), on="event_type", how="left").select(
+        "event_id", "event_type", "weight"
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_foreach_batch_sink_is_epoch_idempotent(spark, sf_dir, tmp_path):
+    """foreachBatch sink: batches land exactly once under availableNow (one
+    epoch-keyed parquet dir per delivered batch), and the union of all
+    epochs equals the source."""
+    from chemharmony_spark.streaming.windows import (
+        run_stream_foreach_batch,
+        stream_events,
+    )
+
+    out = tmp_path / "sink"
+    out.mkdir()
+
+    def write_epoch(batch_df, epoch_id):
+        # epoch-keyed path = idempotent under replay
+        batch_df.write.mode("overwrite").parquet(str(out / f"epoch={epoch_id}"))
+
+    src = stream_events(spark, sf_dir).select("event_id", "event_type")
+    run_stream_foreach_batch(
+        src, write_epoch, str(tmp_path / "ckpt"), mode="append"
+    )
+
+    epochs = list(out.glob("epoch=*"))
+    assert len(epochs) >= 1
+    got = spark.read.parquet(str(out / "epoch=*"))
+    want = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert got.count() == want.count()
+    assert got.select("event_id").exceptAll(want.select("event_id")).count() == 0
