@@ -203,6 +203,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q124_last_touch_attribution": Q.q124_last_touch_attribution,
         "q125_quantile_normalize": Q.q125_quantile_normalize,
         "q126_kcore": Q.q126_kcore,
+        "q127_psi_drift": Q.q127_psi_drift,
+        "q128_model_metrics": Q.q128_model_metrics,
     }
 
 
@@ -2442,5 +2444,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT node, COUNT(*) AS deg FROM (
               SELECT p1 AS node FROM e4
               UNION ALL SELECT p2 FROM e4) GROUP BY node
+        """,
+        "q127_psi_drift": """
+            WITH base AS (
+              SELECT event_type,
+                     CAST(LEAST(FLOOR(value / 50.0), 9) AS INT) AS bin,
+                     CASE WHEN EXTRACT(day FROM ts) <= 15 THEN 1 ELSE 0 END
+                       AS is_ref
+              FROM events),
+            cnt AS (
+              SELECT event_type, bin,
+                     CAST(SUM(is_ref) AS BIGINT) AS a,
+                     CAST(SUM(1 - is_ref) AS BIGINT) AS b
+              FROM base GROUP BY event_type, bin),
+            tot AS (
+              SELECT event_type, bin, a, b,
+                     CAST(SUM(a) OVER (PARTITION BY event_type) AS BIGINT) AS ta,
+                     CAST(SUM(b) OVER (PARTITION BY event_type) AS BIGINT) AS tb
+              FROM cnt)
+            SELECT event_type,
+                   CAST(MAX(ta) AS BIGINT) AS n_ref,
+                   CAST(MAX(tb) AS BIGINT) AS n_cur,
+                   CAST(SUM(CASE WHEN a > 0 AND b > 0 THEN
+                     CAST(FLOOR(((a / ta - b / tb)
+                                 * ln((a * tb) / (b * ta))) * 1000000.0)
+                          AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS psi_micro
+            FROM tot GROUP BY event_type
+        """,
+        "q128_model_metrics": """
+            WITH terms AS (
+              SELECT CAST(EXTRACT(year FROM ts) AS INT) AS yr,
+                     CAST(FLOOR((value / 500.0
+                                 - CASE WHEN event_type = 'purchase'
+                                        THEN 1.0 ELSE 0.0 END)
+                                * (value / 500.0
+                                   - CASE WHEN event_type = 'purchase'
+                                          THEN 1.0 ELSE 0.0 END)
+                                * 1e9) AS BIGINT) AS sq,
+                     CAST(FLOOR(-(CASE WHEN event_type = 'purchase'
+                                       THEN ln(value / 500.0)
+                                       ELSE ln(1.0 - value / 500.0) END)
+                                * 1000000.0) AS BIGINT) AS ll
+              FROM events)
+            SELECT yr, COUNT(*) AS n,
+                   CAST(SUM(sq) AS BIGINT) AS brier_nano_sum,
+                   CAST(SUM(ll) AS BIGINT) AS logloss_micro_sum,
+                   CAST(CAST(SUM(sq) AS BIGINT) AS DOUBLE) / COUNT(*) / 1e9
+                     AS brier,
+                   CAST(CAST(SUM(ll) AS BIGINT) AS DOUBLE) / COUNT(*) / 1e6
+                     AS logloss
+            FROM terms GROUP BY yr
         """,
     }

@@ -3001,3 +3001,94 @@ def q126_kcore(spark, sf):
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
+
+
+def q127_psi_drift(spark, sf):
+    """Population-stability-index drift report per event_type — the
+    standard "did my feature distribution shift" monitor for production
+    ML: score distribution binned 10-wide, first-half-of-month traffic as
+    reference vs second-half as current, PSI = Σ (p_i − q_i)·ln(p_i/q_i)
+    over bins populated in BOTH halves (the support-only convention keeps
+    the sum finite and deterministic).
+
+    Exactness: integer bin counts all the way; each bin's contribution is
+    one fixed IEEE sequence — (a/A − b/B)·ln((a·B)/(b·A)) — floor-micro'd
+    to a BIGINT BEFORE the per-type sum (order-independent; the q64/q68
+    idiom). ln arg uses integer products a·B / b·A (switch to DECIMAL
+    ratios past ~1e9-row bins). One full-data exchange (the bin counts);
+    the per-type totals are windows over the 10-bin table."""
+    ev = _events(spark, sf).select(
+        "event_type",
+        F.least(F.floor(F.col("value") / F.lit(50.0)), F.lit(9))
+        .cast("int")
+        .alias("bin"),
+        F.when(F.dayofmonth("ts_ts") <= 15, 1).otherwise(0).alias("is_ref"),
+    )
+    cnt = ev.groupBy("event_type", "bin").agg(
+        F.sum("is_ref").alias("a"),
+        F.sum(F.lit(1) - F.col("is_ref")).alias("b"),
+    )
+    w = Window.partitionBy("event_type")
+    tot = cnt.withColumn("ta", F.sum("a").over(w)).withColumn(
+        "tb", F.sum("b").over(w)
+    )
+    contrib = F.floor(
+        (
+            (F.col("a") / F.col("ta") - F.col("b") / F.col("tb"))
+            * F.log((F.col("a") * F.col("tb")) / (F.col("b") * F.col("ta")))
+        )
+        * F.lit(1_000_000.0)
+    ).cast("long")
+    return (
+        tot.withColumn(
+            "c",
+            F.when((F.col("a") > 0) & (F.col("b") > 0), contrib).otherwise(
+                F.lit(0).cast("long")
+            ),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max("ta").alias("n_ref"),
+            F.max("tb").alias("n_cur"),
+            F.sum("c").alias("psi_micro"),
+        )
+    )
+
+
+def q128_model_metrics(spark, sf):
+    """Distributed model-evaluation aggregates — Brier score and log-loss
+    of `value/500` as a purchase-probability prediction, per event year.
+    Per-row terms ((p−y)², −[y·ln p + (1−y)·ln(1−p)]) are each ONE fixed
+    IEEE sequence floor-quantized to nano/micro BIGINTs BEFORE the sum, so
+    the cross-row accumulation is exact integer math on any partitioning;
+    the final per-metric division is one double op. p ∈ (0, 0.981] by
+    construction, so no probability clipping is needed. Single map-side-
+    combined exchange."""
+    p = F.col("value") / F.lit(500.0)
+    y = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    sq_nano = F.floor((p - y.cast("double")) * (p - y.cast("double")) * F.lit(1e9)).cast("long")
+    ll_micro = F.floor(
+        -F.when(y == 1, F.log(p)).otherwise(F.log(F.lit(1.0) - p))
+        * F.lit(1_000_000.0)
+    ).cast("long")
+    ev = _events(spark, sf).select(
+        F.year("ts_ts").alias("yr"),
+        sq_nano.alias("sq"),
+        ll_micro.alias("ll"),
+    )
+    return (
+        ev.groupBy("yr")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("sq").alias("brier_nano_sum"),
+            F.sum("ll").alias("logloss_micro_sum"),
+        )
+        .select(
+            "yr",
+            "n",
+            "brier_nano_sum",
+            "logloss_micro_sum",
+            (F.col("brier_nano_sum").cast("double") / F.col("n") / F.lit(1e9)).alias("brier"),
+            (F.col("logloss_micro_sum").cast("double") / F.col("n") / F.lit(1e6)).alias("logloss"),
+        )
+    )

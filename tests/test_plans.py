@@ -278,6 +278,11 @@ SHUFFLE_BUDGET = {
     # round's localCheckpoint (each round = degree agg + two broadcast
     # semi joins, audited in the docstring, not visible in the final plan)
     "q126_kcore": 1,
+    # q127: bin-count agg (the full-data exchange) + the per-type totals
+    # window + final agg over the 50-row bin table
+    "q127_psi_drift": 2,
+    # q128: single map-side-combined per-year agg
+    "q128_model_metrics": 1,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
