@@ -205,6 +205,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q126_kcore": Q.q126_kcore,
         "q127_psi_drift": Q.q127_psi_drift,
         "q128_model_metrics": Q.q128_model_metrics,
+        "q129_entity_resolution": Q.q129_entity_resolution,
+        "q130_cohort_retention": Q.q130_cohort_retention,
     }
 
 
@@ -2495,5 +2497,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(SUM(ll) AS BIGINT) AS DOUBLE) / COUNT(*) / 1e6
                      AS logloss
             FROM terms GROUP BY yr
+        """,
+        "q129_entity_resolution": """
+            WITH RECURSIVE pt AS MATERIALIZED (
+              SELECT p_partkey, p_name FROM part),
+            pairs AS MATERIALIZED (
+              SELECT x.p_partkey AS a, y.p_partkey AS b
+              FROM pt x JOIN pt y
+                ON x.p_partkey < y.p_partkey
+               AND abs(length(x.p_name) - length(y.p_name)) <= 2
+              WHERE levenshtein(x.p_name, y.p_name) <= 2),
+            sym AS MATERIALIZED (
+              SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+            nodes AS (SELECT DISTINCT a AS node FROM sym),
+            reach AS (
+              SELECT node, node AS peer FROM nodes
+              UNION
+              SELECT r.node, s.b AS peer
+              FROM reach r JOIN sym s ON r.peer = s.a),
+            comps AS (SELECT node, MIN(peer) AS component
+                      FROM reach GROUP BY node),
+            lab AS (
+              SELECT c.p_partkey, c.p_name,
+                     COALESCE(p.component, c.p_partkey) AS entity
+              FROM pt c LEFT JOIN comps p ON p.node = c.p_partkey)
+            SELECT entity, COUNT(*) AS n_members,
+                   MAX(CASE WHEN rn = 1 THEN p_name END) AS canonical_name
+            FROM (SELECT entity, p_name,
+                         ROW_NUMBER() OVER (PARTITION BY entity
+                                            ORDER BY p_partkey) AS rn
+                  FROM lab)
+            GROUP BY entity
+        """,
+        "q130_cohort_retention": """
+            WITH um AS (
+              SELECT user_id,
+                     CAST(date_diff('day', DATE '2024-01-01',
+                                    CAST(ts AS DATE)) AS INT) AS m,
+                     COUNT(*) AS n_events
+              FROM events GROUP BY 1, 2),
+            aged AS (
+              SELECT user_id,
+                     MIN(m) OVER (PARTITION BY user_id) AS cohort_m,
+                     m
+              FROM um)
+            SELECT cohort_m, m - cohort_m AS age_days,
+                   COUNT(*) AS n_users
+            FROM aged GROUP BY 1, 2
         """,
     }

@@ -3092,3 +3092,69 @@ def q128_model_metrics(spark, sf):
             (F.col("logloss_micro_sum").cast("double") / F.col("n") / F.lit(1e6)).alias("logloss"),
         )
     )
+
+
+def q129_entity_resolution(spark, sf):
+    """Entity-resolution "golden record" pipeline (the MDM shape): fuzzy
+    product-name matching (length-banded Levenshtein ≤ 2 equi-join, no
+    n² scan) -> connected components over match pairs -> one canonical
+    record per entity cluster (min partkey wins, the stable-survivor
+    rule) -> cluster size + canonical name report: 2,000 raw SKUs resolve
+    to the ~40 real products behind the typo'd/duplicated names. Composes
+    the q116 typo-join with the q123 component machinery over entity keys
+    rather than documents.
+
+    Scale: candidate volume is Σ|length band|·(2d+1); components run on
+    the (sparse) match-pair set; the canonical window partitions on
+    cluster id. Unmatched records pass through as their own entity."""
+    from chemharmony_spark.operators.graph import connected_components
+
+    part = _t(spark, sf, "part").select("p_partkey", "p_name")
+    pairs = DD.edit_distance_pairs(part, "p_partkey", "p_name", max_dist=2)
+    comp = connected_components(
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+        "src", "dst",
+    )
+    labeled = (
+        part.join(comp, part.p_partkey == comp.node, "left")
+        .withColumn("entity", F.coalesce("component", F.col("p_partkey")))
+        .select("p_partkey", "p_name", "entity")
+    )
+    w = Window.partitionBy("entity").orderBy("p_partkey")
+    return (
+        labeled.withColumn("rn", F.row_number().over(w))
+        .groupBy("entity")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(F.when(F.col("rn") == 1, F.col("p_name"))).alias(
+                "canonical_name"
+            ),
+        )
+    )
+
+
+def q130_cohort_retention(spark, sf):
+    """Cohort retention triangle: users grouped by first-activity day
+    (their cohort; the synthetic stream spans one month, so day is the
+    natural grain — swap the truncation for month on multi-year data),
+    counted as retained at every later age they appear.
+    THE product-analytics query. The only full-data exchange is the
+    (user, day) dedup agg (map-side combined); the cohort-min window and
+    the (cohort, age) rollup move the per-user-day table only; day arithmetic is a pure
+    integer datediff from a fixed epoch (no fractional months_between —
+    engines disagree on it)."""
+    ev = _events(spark, sf).select(
+        "user_id",
+        F.datediff(F.to_date("ts_ts"), F.lit("2024-01-01")).alias("m"),
+    )
+    um = ev.groupBy("user_id", "m").agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("user_id")
+    aged = um.withColumn("cohort_m", F.min("m").over(w)).select(
+        "user_id",
+        "cohort_m",
+        (F.col("m") - F.col("cohort_m")).alias("age_days"),
+    )
+    return (
+        aged.groupBy("cohort_m", "age_days")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -283,6 +283,12 @@ SHUFFLE_BUDGET = {
     "q127_psi_drift": 2,
     # q128: single map-side-combined per-year agg
     "q128_model_metrics": 1,
+    # q129: length-band candidate join + component rounds + canonical
+    # window/agg over the entity table (post-checkpoint plan)
+    "q129_entity_resolution": 3,
+    # q130: (user, day) dedup agg (the full-data exchange) + cohort-min
+    # window + (cohort, age) rollup over the per-user-day table
+    "q130_cohort_retention": 3,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
