@@ -440,7 +440,11 @@ def cluster_pruned_pairs(
     if centroids is None:
         centroids = lloyd_kmeans(corpus, n_cells=n_cells, iters=iters,
                                  id_col=id_col, vec_col=vec_col)
-    assigned = assign_cells(corpus, centroids, id_col=id_col, vec_col=vec_col)
+    # persist: the assignment (k × dims codegen folds over the corpus)
+    # feeds BOTH sides of the self-join and would otherwise evaluate twice
+    assigned = assign_cells(
+        corpus, centroids, id_col=id_col, vec_col=vec_col
+    ).persist()
     left = assigned.select(
         F.col("cell_id"), F.col(id_col).alias("a"), F.col(vec_col).alias("__va")
     )

@@ -216,3 +216,74 @@ def run_stream_foreach_batch(
         .start()
     )
     q.awaitTermination()
+
+
+DOCS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def stream_novel_docs(
+    spark: SparkSession,
+    docs_dir: str,
+    index_dir: str,
+    admitted_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Incremental near-dup admission control — the production pattern for
+    growing a deduplicated corpus: stream incoming documents and, per
+    micro-batch (foreachBatch = full BATCH semantics, so the per-doc
+    anti-join needs no streaming state), compute MinHash band signatures,
+    drop any doc sharing a (band, minhash) bucket with the historical
+    index, append the survivors to ``admitted_dir`` and THEIR signatures
+    to ``index_dir`` — so batch N+1 is checked against everything admitted
+    through batch N.
+
+    Exactly-once: both writes are idempotent per epoch (epoch-keyed
+    subdirs), the run_stream_foreach_batch contract. The index side is
+    re-read per batch — it grows between batches by construction. False
+    negatives (a near-dup admitted because no band collided) are bounded
+    by the LSH band/row trade-off, exactly as in the batch q35/q36
+    pipeline."""
+    import os
+
+    from chemharmony_spark.operators.dedup import minhash_signatures
+
+    src = spark.readStream.schema(DOCS_SCHEMA).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(docs_dir)
+
+    def admit(batch_df, epoch_id):
+        sigs = minhash_signatures(batch_df, "doc_id", "text").persist()
+        sess = batch_df.sparkSession
+        try:
+            index = sess.read.parquet(os.path.join(index_dir, "*"))
+            hit_ids = (
+                sigs.join(
+                    index.select("band", "minhash").distinct(),
+                    on=["band", "minhash"],
+                    how="left_semi",
+                )
+                .select(F.col("id").alias("doc_id"))
+                .distinct()
+            )
+            novel = batch_df.join(hit_ids, on="doc_id", how="left_anti")
+        except Exception:  # first batch: no index yet
+            novel = batch_df
+        novel.write.mode("overwrite").parquet(
+            os.path.join(admitted_dir, f"epoch={epoch_id}")
+        )
+        sigs.join(
+            novel.select(F.col("doc_id").alias("id")), on="id", how="left_semi"
+        ).write.mode("overwrite").parquet(
+            os.path.join(index_dir, f"epoch={epoch_id}")
+        )
+        sigs.unpersist()
+
+    run_stream_foreach_batch(src, admit, checkpoint_dir, mode="append")

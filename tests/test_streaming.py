@@ -448,3 +448,49 @@ def test_foreach_batch_sink_is_epoch_idempotent(spark, sf_dir, tmp_path):
     want = spark.read.parquet(f"{sf_dir}/events.parquet")
     assert got.count() == want.count()
     assert got.select("event_id").exceptAll(want.select("event_id")).count() == 0
+
+
+def test_incremental_near_dup_admission(spark, sf_dir, tmp_path):
+    """stream_novel_docs: batch-sequential admission parity. Docs arrive in
+    two micro-batches; batch 2 docs sharing a MinHash band bucket with
+    batch 1's ADMITTED docs are dropped, matching the reference
+    computation run sequentially in batch."""
+    import os
+
+    from chemharmony_spark.operators.dedup import minhash_signatures
+    from chemharmony_spark.streaming.windows import stream_novel_docs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    half1 = docs.where(F.col("doc_id") % 2 == 0)
+    half2 = docs.where(F.col("doc_id") % 2 == 1)
+    src = tmp_path / "incoming"
+    # one file per half => maxFilesPerTrigger=1 yields two deterministic
+    # micro-batches in arrival order
+    half1.coalesce(1).write.parquet(str(src / "batch1"))
+    half2.coalesce(1).write.parquet(str(src / "batch2"))
+    # flatten: the reader globs files, order = listing order of the two
+    # part files; rename so batch1 sorts first
+    files = sorted(str(p) for p in src.rglob("part-*.parquet"))
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    os.rename(files[0], stage / "a_documents.parquet")
+    os.rename(files[1], stage / "b_documents.parquet")
+
+    idx, adm, ckpt = (tmp_path / d for d in ("index", "admitted", "ckpt"))
+    stream_novel_docs(spark, str(stage), str(idx), str(adm), str(ckpt))
+
+    got = spark.read.parquet(str(adm / "*")).select("doc_id")
+
+    # reference: sequential batch admission
+    sig1 = minhash_signatures(half1, "doc_id", "text")
+    hit2 = (
+        minhash_signatures(half2, "doc_id", "text")
+        .join(sig1.select("band", "minhash").distinct(),
+              on=["band", "minhash"], how="left_semi")
+        .select(F.col("id").alias("doc_id")).distinct()
+    )
+    want = half1.select("doc_id").union(
+        half2.join(hit2, on="doc_id", how="left_anti").select("doc_id")
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
