@@ -207,6 +207,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q128_model_metrics": Q.q128_model_metrics,
         "q129_entity_resolution": Q.q129_entity_resolution,
         "q130_cohort_retention": Q.q130_cohort_retention,
+        "q131_weighted_median": Q.q131_weighted_median,
     }
 
 
@@ -2544,5 +2545,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT cohort_m, m - cohort_m AS age_days,
                    COUNT(*) AS n_users
             FROM aged GROUP BY 1, 2
+        """,
+        "q131_weighted_median": """
+            WITH fact AS (
+              SELECT p_brand, l_extendedprice AS v,
+                     CAST(l_quantity AS BIGINT) AS wt
+              FROM lineitem JOIN part ON l_partkey = p_partkey),
+            cnt AS (
+              SELECT p_brand, v, CAST(SUM(wt) AS BIGINT) AS w
+              FROM fact GROUP BY p_brand, v),
+            cum AS (
+              SELECT p_brand, v, w,
+                     CAST(SUM(w) OVER (PARTITION BY p_brand ORDER BY v
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS BIGINT) AS cum,
+                     CAST(SUM(w) OVER (PARTITION BY p_brand) AS BIGINT) AS tw
+              FROM cnt)
+            SELECT p_brand, v AS weighted_median, tw AS total_weight
+            FROM cum
+            WHERE 2 * cum >= tw AND 2 * (cum - w) < tw
         """,
     }

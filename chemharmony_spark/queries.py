@@ -3158,3 +3158,42 @@ def q130_cohort_retention(spark, sf):
         aged.groupBy("cohort_m", "age_days")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def q131_weighted_median(spark, sf):
+    """Exact weighted median of extended price per part brand, weighted by
+    line quantity — the weighted extension of the q58 distributed
+    selector: per-(brand, value) integer weight sums (the only full-data
+    exchange) -> bucketed cumulative weights over the DISTINCT-value table
+    (floor(value/1000) buckets, so a brand never funnels through one task)
+    -> the crossing row (smallest value whose doubled cumulative weight
+    reaches the brand total: 2·cum ≥ W > 2·(cum − w), the lower-median
+    convention — pure integer comparisons, no interpolation). Brand totals
+    ride a window over the distinct-value table."""
+    from chemharmony_spark.operators.core import grouped_cumsum
+
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part").select("p_partkey", "p_brand")
+    fact = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "p_brand",
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast("long").alias("wt"),
+    )
+    cnt = fact.groupBy("p_brand", "v").agg(F.sum("wt").alias("w"))
+    cum = grouped_cumsum(
+        cnt, ["p_brand"], "v", "w", out_col="cum",
+        bucket=F.floor(F.col("v") / F.lit(1000.0)),
+    )
+    w_tot = Window.partitionBy("p_brand")
+    return (
+        cum.withColumn("tw", F.sum("w").over(w_tot))
+        .where(
+            (2 * F.col("cum") >= F.col("tw"))
+            & (2 * (F.col("cum") - F.col("w")) < F.col("tw"))
+        )
+        .select(
+            "p_brand",
+            F.col("v").alias("weighted_median"),
+            F.col("tw").alias("total_weight"),
+        )
+    )

@@ -289,6 +289,11 @@ SHUFFLE_BUDGET = {
     # q130: (user, day) dedup agg (the full-data exchange) + cohort-min
     # window + (cohort, age) rollup over the per-user-day table
     "q130_cohort_retention": 3,
+    # q131: ONE full-data exchange (per-(brand, value) weight sums); the
+    # remaining five move the distinct-value table through the bucketed
+    # cumsum (bucket agg, offset window, in-bucket window, join prep,
+    # brand-total window)
+    "q131_weighted_median": 6,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
