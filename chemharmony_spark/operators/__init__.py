@@ -47,3 +47,4 @@ from chemharmony_spark.operators.text import (  # noqa: F401
     tokens,
     winnowing_fingerprints,
 )
+from chemharmony_spark.operators.ml import grouped_isotonic  # noqa: E402,F401

@@ -1,0 +1,114 @@
+"""Scaling soak: measure how representative queries scale when the data
+grows K× (default 8×) — the local evidence for the 100 TB design claims.
+
+Builds /tmp/spark_soak/base (a copy of $SOAK_SRC, default sf0.1) and
+/tmp/spark_soak/xK (K disjoint self-similar replicas: every join/window key
+is offset by replica·10^9 and every document token is prefixed with a
+replica tag, so similarity/dedup vocabularies are disjoint and the TRUE
+output of every pairwise op scales linearly — any superlinear runtime is
+therefore the ENGINE's fault, not output growth).
+
+Usage: python tools/scaling_soak.py [K]
+Prints one markdown table row per query: t_base, t_xK, ratio (ratio ≈ K or
+below = linear or better; local[32] hides cluster network costs, but a
+shuffle/plan that blows up quadratically shows up here regardless).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from chemharmony_spark.session import get_spark  # noqa: E402
+
+SRC = os.environ.get("SOAK_SRC", "/root/testdata/sf0.1")
+ROOT = "/tmp/spark_soak"
+OFF = 1_000_000_000
+
+# (table, [key columns to offset], text column to replica-salt or None)
+TABLES = [
+    ("lineitem", ["l_orderkey", "l_partkey", "l_suppkey"], None),
+    ("orders", ["o_orderkey", "o_custkey"], None),
+    ("customer", ["c_custkey", "c_nationkey"], None),
+    ("part", ["p_partkey"], None),
+    ("supplier", ["s_suppkey", "s_nationkey"], None),
+    ("region", [], None),
+    ("nation", [], None),
+    ("events", ["event_id", "user_id"], None),
+    ("documents", ["doc_id"], "text"),
+    ("embeddings", ["vec_id"], None),
+]
+
+QUERIES = [
+    "q01_pricing_summary",     # scan + hash agg
+    "q12_window_median",       # high-cardinality window
+    "q26_stratified_sample",   # two-phase top-k
+    "q30_dedup_exact",         # fingerprint groupBy
+    "q34_minhash_signatures",  # zero-shuffle signature scan
+    "q36_jaccard_near_dups",   # LSH candidates + verify
+    "q58_grouped_percentiles", # bucketed exact selector
+    "q76_resample_forward_fill",
+    "q104_funnel",             # single-pass state machine
+    "q123_dedup_pipeline",     # PPJoin -> CC -> keep-best
+    "q131_weighted_median",    # weighted bucketed selector
+]
+
+
+def build(spark, k: int) -> tuple[str, str]:
+    base, xk = f"{ROOT}/base", f"{ROOT}/x{k}"
+    if os.path.exists(ROOT):
+        shutil.rmtree(ROOT)
+    for name, keys, text in TABLES:
+        df = spark.read.parquet(f"{SRC}/{name}.parquet")
+        df.write.parquet(f"{base}/{name}.parquet")
+        # nation/region are fixed dims (25/5 rows) shared by all replicas;
+        # replicated copies would break their PK-ness
+        reps = 1 if not keys else k
+        parts = []
+        for i in range(reps):
+            r = df
+            for c in keys:
+                r = r.withColumn(c, F.col(c) + F.lit(i * OFF))
+            if text is not None and i > 0:
+                # disjoint token space per replica: prefix every token
+                r = r.withColumn(
+                    text,
+                    F.regexp_replace(F.col(text), r"(^|\s)(\S)", f"$1r{i}z$2"),
+                )
+            parts.append(r)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.union(p)
+        out.write.parquet(f"{xk}/{name}.parquet")
+    return base, xk
+
+
+def main() -> int:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    spark = get_spark()
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    print(f"building base + x{k} replicas from {SRC} ...", flush=True)
+    base, xk = build(spark, k)
+    print("| query | t_base (s) | t_x%d (s) | ratio |" % k)
+    print("|---|---|---|---|")
+    for name in QUERIES:
+        times = []
+        for d in (base, xk):
+            t0 = time.time()
+            qs[name](spark, d).count()
+            times.append(time.time() - t0)
+        tb, tk = times
+        print(f"| {name} | {tb:.2f} | {tk:.2f} | {tk / tb:.1f}x |", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
