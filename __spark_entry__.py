@@ -208,6 +208,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q129_entity_resolution": Q.q129_entity_resolution,
         "q130_cohort_retention": Q.q130_cohort_retention,
         "q131_weighted_median": Q.q131_weighted_median,
+        "q132_grouped_mode": Q.q132_grouped_mode,
+        "q133_inactivity_gaps": Q.q133_inactivity_gaps,
     }
 
 
@@ -2564,5 +2566,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_brand, v AS weighted_median, tw AS total_weight
             FROM cum
             WHERE 2 * cum >= tw AND 2 * (cum - w) < tw
+        """,
+        "q132_grouped_mode": """
+            WITH cnt AS (
+              SELECT event_type, EXTRACT(hour FROM ts) AS h, COUNT(*) AS n
+              FROM events GROUP BY 1, 2)
+            SELECT event_type,
+                   CAST(h AS INT) AS modal_hour,
+                   n AS n_at_mode
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                               ORDER BY n DESC, h) AS rn
+                  FROM cnt)
+            WHERE rn = 1
+        """,
+        "q133_inactivity_gaps": """
+            WITH seq AS (
+              SELECT user_id, epoch_us(ts) AS us,
+                     lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS nxt
+              FROM events)
+            SELECT user_id, us AS gap_start_us, nxt AS gap_end_us,
+                   (nxt - us) / 3600000000.0 AS gap_hours
+            FROM seq
+            WHERE nxt - us > 21600000000
         """,
     }

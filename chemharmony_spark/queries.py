@@ -3197,3 +3197,49 @@ def q131_weighted_median(spark, sf):
             F.col("tw").alias("total_weight"),
         )
     )
+
+
+def q132_grouped_mode(spark, sf):
+    """Deterministic per-group mode: each event type's most frequent
+    hour-of-day (ties -> smallest hour). The mode is a two-level counting
+    agg + ONE max_by-style pick — expressed as counts + a per-group
+    row_number window over the 24-row-per-group count table (never the
+    facts). The only full-data exchange is the (type, hour) count."""
+    ev = _events(spark, sf).select(
+        "event_type", F.hour("ts_ts").alias("h")
+    )
+    cnt = ev.groupBy("event_type", "h").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy(F.col("n").desc(), "h")
+    return (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("h").alias("modal_hour"),
+            F.col("n").alias("n_at_mode"),
+        )
+    )
+
+
+def q133_inactivity_gaps(spark, sf):
+    """Inactivity-gap detection: per user, the intervals between
+    consecutive events longer than 6 hours — the data-quality /
+    churn-signal twin of q29's sessionize (which groups the activity;
+    this emits the SILENCE). One lead window on the shared user_id
+    exchange; the gap predicate is a pure per-row integer comparison on
+    microsecond timestamps."""
+    GAP_US = 6 * 3600 * 1_000_000
+    ev = _events(spark, sf).select(
+        "user_id", "event_id", F.expr("ts div 1000").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    return (
+        ev.withColumn("nxt", F.lead("us").over(w))
+        .where(F.col("nxt") - F.col("us") > GAP_US)
+        .select(
+            "user_id",
+            F.col("us").alias("gap_start_us"),
+            F.col("nxt").alias("gap_end_us"),
+            ((F.col("nxt") - F.col("us")) / F.lit(3600e6)).alias("gap_hours"),
+        )
+    )

@@ -294,6 +294,10 @@ SHUFFLE_BUDGET = {
     # cumsum (bucket agg, offset window, in-bucket window, join prep,
     # brand-total window)
     "q131_weighted_median": 6,
+    # q132: (type, hour) count agg + the 24-rows-per-group pick window
+    "q132_grouped_mode": 2,
+    # q133: one lead window on the user_id exchange
+    "q133_inactivity_gaps": 1,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
