@@ -494,6 +494,7 @@ def grouped_cumsum(
     out_col: str = "cumsum",
     num_partitions: int | None = None,
     bucket: Column | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """Per-group prefix sum with the same bucketed decomposition as
     :func:`global_cumsum` — the running-sum window partitions on
@@ -502,27 +503,44 @@ def grouped_cumsum(
     group through one task. ``keys=()`` degenerates to the global form."""
     keys = list(keys)
     if bucket is not None:
-        w_off = (
-            Window.partitionBy(*keys).orderBy("__cs_b")
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        offsets = (
-            df.groupBy(*keys, bucket.alias("__cs_b"))
-            .agg(F.sum(value_col).alias("__cs_tot"))
-            .withColumn(
-                "__cs_off", F.coalesce(F.sum("__cs_tot").over(w_off), F.lit(0))
-            )
-            .select(*keys, "__cs_b", "__cs_off")
-        )
         w_intra = (
             Window.partitionBy(*keys, "__cs_b")
             .orderBy(order_col)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
+        run = df.withColumn("__cs_b", bucket).withColumn(
+            "__cs_run", F.sum(value_col).over(w_intra)
+        )
+        if materialize:
+            # the windowed frame feeds BOTH the output join and the
+            # offsets agg; persisting guarantees the caller's upstream
+            # pipeline evaluates once even when Catalyst's ReusedExchange
+            # can't prove the two branches canonical-equal (pushed-filter
+            # asymmetry). Use when upstream >> frame size — e.g. a fact
+            # aggregation feeding a distinct-value cumsum.
+            run = run.persist()
+        # Bucket totals come from the WINDOWED frame (the running sum at
+        # the bucket's last order position — max_by, correct for negative
+        # values too), not from a second aggregation over ``df``: both
+        # consumers then share the identical (keys, bucket) exchange over
+        # the same child, so Catalyst's ReusedExchange evaluates the
+        # caller's upstream pipeline ONCE (the old formulation re-derived
+        # ``df`` — at 100 TB, a second pass over the fact aggregation —
+        # inside the offsets branch).
+        w_off = (
+            Window.partitionBy(*keys).orderBy("__cs_b")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = (
+            run.groupBy(*keys, "__cs_b")
+            .agg(F.max_by("__cs_run", order_col).alias("__cs_tot"))
+            .withColumn(
+                "__cs_off", F.coalesce(F.sum("__cs_tot").over(w_off), F.lit(0))
+            )
+            .select(*keys, "__cs_b", "__cs_off")
+        )
         return (
-            df.withColumn("__cs_b", bucket)
-            .withColumn("__cs_run", F.sum(value_col).over(w_intra))
-            .join(F.broadcast(offsets), on=[*keys, "__cs_b"])
+            run.join(F.broadcast(offsets), on=[*keys, "__cs_b"])
             .withColumn(out_col, F.col("__cs_run") + F.col("__cs_off"))
             .drop("__cs_b", "__cs_run", "__cs_off")
         )

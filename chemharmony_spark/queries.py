@@ -2758,6 +2758,7 @@ def q120_group_auc(spark, sf):
     cum = grouped_cumsum(
         cnt, ["yr"], "value", "nneg", out_col="cumneg",
         bucket=F.floor("value").cast("long"),
+        materialize=True,
     )
     contrib = F.col("npos") * (
         2 * (F.col("cumneg") - F.col("nneg")) + F.col("nneg")
@@ -2947,6 +2948,7 @@ def q125_quantile_normalize(spark, sf):
     cum = grouped_cumsum(
         cnt, (), "value", "cnt", out_col="cum",
         bucket=F.floor("value").cast("long"),
+        materialize=True,
     )
     tot = cum.withColumn("n", F.max("cum").over(Window.partitionBy()))
     pct_tbl = tot.select(
@@ -3183,6 +3185,7 @@ def q131_weighted_median(spark, sf):
     cum = grouped_cumsum(
         cnt, ["p_brand"], "v", "w", out_col="cum",
         bucket=F.floor(F.col("v") / F.lit(1000.0)),
+        materialize=True,
     )
     w_tot = Window.partitionBy("p_brand")
     return (

@@ -255,11 +255,13 @@ SHUFFLE_BUDGET = {
     "q118_pareto_frontier": 5,
     # q119: lead window + agg share the single user_id exchange
     "q119_twap": 1,
-    # q120: ONE full-data exchange (per-(yr,value) counts); the remaining
-    # five move the distinct-value table through the bucketed cumsum
-    # (bucket agg, offset window, in-bucket window, broadcast-join prep,
-    # final per-year agg)
-    "q120_group_auc": 6,
+    # q120/q125/q131 (the materialize=True cumsum callers): the TEXTUAL
+    # count rose 6->7 because the persisted windowed frame's cached plan
+    # (which contains the fact-agg exchange) prints under BOTH consumers —
+    # but the cache means that upstream now EXECUTES once, where the old
+    # plan ran the fact aggregation twice (one evaluation per branch).
+    # ONE real full-data exchange; the rest move the distinct-value table.
+    "q120_group_auc": 7,
     # q121: single 10-group hash agg, map-side combined
     "q121_calibration_bins": 1,
     # q122: base and delta each exchange once on the merge key
@@ -273,7 +275,7 @@ SHUFFLE_BUDGET = {
     # q125: ONE full-data exchange (per-value counts); the rest move the
     # distinct-value table through the bucketed cumsum + total window;
     # the (value, pct) map broadcasts back onto the un-shuffled scan
-    "q125_quantile_normalize": 6,
+    "q125_quantile_normalize": 7,
     # q126: the final degree agg — per-round exchanges are behind the
     # round's localCheckpoint (each round = degree agg + two broadcast
     # semi joins, audited in the docstring, not visible in the final plan)
@@ -293,7 +295,7 @@ SHUFFLE_BUDGET = {
     # remaining five move the distinct-value table through the bucketed
     # cumsum (bucket agg, offset window, in-bucket window, join prep,
     # brand-total window)
-    "q131_weighted_median": 6,
+    "q131_weighted_median": 7,
     # q132: (type, hour) count agg + the 24-rows-per-group pick window
     "q132_grouped_mode": 2,
     # q133: one lead window on the user_id exchange
