@@ -344,7 +344,16 @@ def grouped_percentiles_disc(
     """
     n_buckets = 64
     keys = list(keys)
-    counts = df.groupBy(*keys, value_col).agg(F.count(F.lit(1)).alias("__pq_c"))
+    # persisted: three consumers (min/max range agg, the in-bucket window,
+    # the per-bucket subtotal agg) would otherwise each re-run the
+    # full-data count aggregation — the same single-evaluation rule as
+    # grouped_cumsum(materialize=True). MEMORY_AND_DISK, distinct-value
+    # sized (the reduction is the point of step 1).
+    counts = (
+        df.groupBy(*keys, value_col)
+        .agg(F.count(F.lit(1)).alias("__pq_c"))
+        .persist()
+    )
     rng = counts.groupBy(*keys).agg(
         F.min(value_col).alias("__pq_mn"), F.max(value_col).alias("__pq_mx")
     )

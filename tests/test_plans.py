@@ -255,13 +255,10 @@ SHUFFLE_BUDGET = {
     "q118_pareto_frontier": 5,
     # q119: lead window + agg share the single user_id exchange
     "q119_twap": 1,
-    # q120/q125/q131 (the materialize=True cumsum callers): the TEXTUAL
-    # count rose 6->7 because the persisted windowed frame's cached plan
-    # (which contains the fact-agg exchange) prints under BOTH consumers —
-    # but the cache means that upstream now EXECUTES once, where the old
-    # plan ran the fact aggregation twice (one evaluation per branch).
-    # ONE real full-data exchange; the rest move the distinct-value table.
-    "q120_group_auc": 7,
+    # q120/q125/q131 (the materialize=True cumsum callers): ONE real
+    # full-data exchange (the fact agg, now cached and executed once);
+    # the rest move the distinct-value table.
+    "q120_group_auc": 6,
     # q121: single 10-group hash agg, map-side combined
     "q121_calibration_bins": 1,
     # q122: base and delta each exchange once on the merge key
@@ -275,7 +272,7 @@ SHUFFLE_BUDGET = {
     # q125: ONE full-data exchange (per-value counts); the rest move the
     # distinct-value table through the bucketed cumsum + total window;
     # the (value, pct) map broadcasts back onto the un-shuffled scan
-    "q125_quantile_normalize": 7,
+    "q125_quantile_normalize": 6,
     # q126: the final degree agg — per-round exchanges are behind the
     # round's localCheckpoint (each round = degree agg + two broadcast
     # semi joins, audited in the docstring, not visible in the final plan)
@@ -295,7 +292,7 @@ SHUFFLE_BUDGET = {
     # remaining five move the distinct-value table through the bucketed
     # cumsum (bucket agg, offset window, in-bucket window, join prep,
     # brand-total window)
-    "q131_weighted_median": 7,
+    "q131_weighted_median": 6,
     # q132: (type, hour) count agg + the 24-rows-per-group pick window
     "q132_grouped_mode": 2,
     # q133: one lead window on the user_id exchange
@@ -360,9 +357,29 @@ def test_every_query_plan_within_scale_budget(spark):
     count of every query at or under its audited budget."""
     import __spark_entry__ as e
 
+    import re
+
+    def count_shuffles(plan: str) -> int:
+        """Distinct physical (non-broadcast) exchanges. A persisted
+        frame's cached subtree prints once per consumer, so a textual
+        count double-bills exchanges that execute once — dedup by
+        plan_id (same id == same physical node)."""
+        ids, anon = set(), 0
+        for ln in plan.splitlines():
+            t = ln.strip(" +:-*")
+            if (t.startswith("Exchange")
+                    and "BroadcastExchange" not in t
+                    and "ReusedExchange" not in t):
+                m = re.search(r"plan_id=(\d+)", t)
+                if m:
+                    ids.add(m.group(1))
+                else:
+                    anon += 1
+        return len(ids) + anon
+
     for name, fn in e._raw_queries().items():
         plan = _plan(fn(spark, SF))
-        shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+        shuffles = count_shuffles(plan)
         assert "CartesianProduct" not in plan, f"{name}: cartesian product"
         assert "BatchEvalPython" not in plan, f"{name}: row-based Python UDF"
         if name not in BNLJ_ALLOWED:
