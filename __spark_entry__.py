@@ -210,6 +210,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q131_weighted_median": Q.q131_weighted_median,
         "q132_grouped_mode": Q.q132_grouped_mode,
         "q133_inactivity_gaps": Q.q133_inactivity_gaps,
+        "q134_bm25_topk": Q.q134_bm25_topk,
+        "q135_dsir_weights": Q.q135_dsir_weights,
+        "q136_split_leakage_audit": Q.q136_split_leakage_audit,
+        "q137_hopping_window": Q.q137_hopping_window,
     }
 
 
@@ -2589,5 +2593,115 @@ def oracle_sql() -> dict[str, str]:
                    (nxt - us) / 3600000000.0 AS gap_hours
             FROM seq
             WHERE nxt - us > 21600000000
+        """,
+        "q134_bm25_topk": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+            tf AS MATERIALIZED (
+              SELECT doc_id, token, COUNT(*) AS tf
+              FROM toks GROUP BY 1, 2),
+            dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+                   FROM tf GROUP BY 1),
+            dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+            stats AS (SELECT COUNT(*) AS n_docs,
+                             CAST(SUM(dl) AS BIGINT) AS total_tokens
+                      FROM dl),
+            qterms AS (
+              SELECT token, df FROM dfreq
+              QUALIFY ROW_NUMBER() OVER (ORDER BY df DESC, token) <= 5),
+            scored AS (
+              SELECT tf.doc_id,
+                     CAST(floor(
+                       ln(1.0 + ((CAST(n_docs - df AS DOUBLE) + 0.5)
+                                 / (CAST(df AS DOUBLE) + 0.5)))
+                       * ((CAST(tf AS DOUBLE) * 2.2)
+                          / (CAST(tf AS DOUBLE)
+                             + 1.2 * (0.25 + 0.75
+                                      * (CAST(dl * n_docs AS DOUBLE)
+                                         / total_tokens))))
+                       * 1000000) AS BIGINT) AS s_micro
+              FROM tf JOIN qterms USING (token) JOIN dl USING (doc_id), stats)
+            SELECT doc_id, COUNT(*) AS n_terms,
+                   CAST(SUM(s_micro) AS BIGINT) AS score_micro
+            FROM scored GROUP BY doc_id
+            ORDER BY score_micro DESC, doc_id
+            LIMIT 20
+        """,
+        "q135_dsir_weights": f"""
+            WITH tokb AS (
+              SELECT doc_id, lang, ({_hex4("md5(token)", 1)} % 1024) AS bucket
+              FROM (SELECT doc_id, lang, unnest({_TOKS}) AS token
+                    FROM documents)),
+            dbt AS MATERIALIZED (
+              SELECT doc_id, lang, bucket, COUNT(*) AS n
+              FROM tokb GROUP BY 1, 2, 3),
+            model AS MATERIALIZED (
+              SELECT bucket, CAST(SUM(n) AS BIGINT) AS cr,
+                     CAST(SUM(CASE WHEN lang = 'en' THEN n ELSE 0 END)
+                          AS BIGINT) AS ct
+              FROM dbt GROUP BY 1),
+            tots AS (SELECT CAST(SUM(cr) AS BIGINT) AS tr,
+                            CAST(SUM(ct) AS BIGINT) AS tt
+                     FROM model),
+            weights AS (
+              SELECT bucket,
+                     CAST(floor(
+                       ln(CAST((ct + 1) * (tr + 1024) AS DOUBLE)
+                          / CAST((cr + 1) * (tt + 1024) AS DOUBLE))
+                       * 1000000) AS BIGINT) AS w_micro
+              FROM model, tots)
+            SELECT doc_id, lang, CAST(SUM(n) AS BIGINT) AS n_tokens,
+                   CAST(SUM(n * w_micro) AS BIGINT) AS weight_micro
+            FROM dbt JOIN weights USING (bucket)
+            GROUP BY doc_id, lang
+        """,
+        "q136_split_leakage_audit": f"""
+            WITH g AS (
+              SELECT doc_id,
+                     CASE WHEN u < 0.8 THEN 'train'
+                          WHEN u < 0.9 THEN 'val'
+                          ELSE 'test' END AS split,
+                     norm, length(norm) AS L
+              FROM (
+                SELECT doc_id,
+                       ({_hex4("md5('split:' || CAST(doc_id AS VARCHAR))", 1)}
+                        * 65536.0
+                        + {_hex4("md5('split:' || CAST(doc_id AS VARCHAR))", 5)})
+                       / 4294967296.0 AS u,
+                       {_NORM} AS norm
+                FROM documents)),
+            h AS (
+              SELECT doc_id, split,
+                     list_transform(range(1, L - 5 + 2),
+                       i -> {_hex4("md5(substr(norm, i, 5))", 1)}) AS hashes
+              FROM g),
+            m AS MATERIALIZED (
+              SELECT doc_id, split,
+                     list_sort(list_distinct(
+                       list_transform(range(1, len(hashes) - 4 + 2),
+                         j -> list_aggregate(hashes[j:j+3], 'min')))) AS fps
+              FROM h),
+            ex AS MATERIALIZED (
+              SELECT doc_id, split, unnest(fps) AS f FROM m),
+            tfps AS (SELECT DISTINCT f FROM ex WHERE split = 'train'),
+            leaked AS (
+              SELECT split, COUNT(*) AS n_leaked FROM (
+                SELECT DISTINCT e.split, e.doc_id
+                FROM ex e JOIN tfps USING (f)
+                WHERE e.split <> 'train')
+              GROUP BY 1),
+            base AS (SELECT split, COUNT(*) AS n_docs
+                     FROM m WHERE split <> 'train' GROUP BY 1)
+            SELECT base.split, n_docs,
+                   COALESCE(n_leaked, 0) AS n_leaked,
+                   (COALESCE(n_leaked, 0) * 1000000) // n_docs AS leaked_ppm
+            FROM base LEFT JOIN leaked USING (split)
+        """,
+        "q137_hopping_window": """
+            SELECT ((epoch_us(ts) // 900000000) - k) * 900000000
+                     AS window_start_us,
+                   event_type, COUNT(*) AS n
+            FROM events, (SELECT unnest(range(4)) AS k)
+            GROUP BY 1, 2
         """,
     }

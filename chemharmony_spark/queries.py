@@ -3246,3 +3246,213 @@ def q133_inactivity_gaps(spark, sf):
             ((F.col("nxt") - F.col("us")) / F.lit(3600e6)).alias("gap_hours"),
         )
     )
+
+
+def q134_bm25_topk(spark, sf):
+    """BM25 document ranking (k1=1.2, b=0.75) for the corpus's five most
+    document-frequent tokens — the IR scoring complement of q64's TF-IDF.
+
+    Shape: ONE (doc, token) tf aggregation feeds everything: doc lengths
+    (re-agg by doc_id), document frequencies (re-agg by token), and the
+    scored rows. The 5-term query dimension and the 1-row corpus stats
+    broadcast; the tf->dl join runs keyed on doc_id (sort-merge at scale —
+    both sides are corpus-sized, neither broadcastable at 100 TB). Top-20
+    is a TakeOrdered, never a global sort.
+
+    Determinism: tf/df/dl/N/T are exact integers; each (doc, term) score
+    is ONE fixed IEEE sequence — ln(1 + (N-df+0.5)/(df+0.5)) *
+    ((tf*2.2) / (tf + 1.2*(0.25 + 0.75*(dl*N/T)))) — floor-micro'd to
+    BIGINT before the per-doc sum, so accumulation is order-independent
+    and the oracle replays it bit-for-bit."""
+    docs = _t(spark, sf, "documents")
+    toks = docs.select("doc_id", F.explode(TX.tokens("text")).alias("token"))
+    tf = (
+        toks.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_tokens"),
+    )
+    qterms = dfreq.orderBy(F.col("df").desc(), "token").limit(5)
+    x = (F.col("dl") * F.col("n_docs")).cast("double") / F.col("total_tokens")
+    denom = F.col("tf").cast("double") + 1.2 * (0.25 + 0.75 * x)
+    idf = F.log(
+        1.0
+        + (
+            ((F.col("n_docs") - F.col("df")).cast("double") + 0.5)
+            / (F.col("df").cast("double") + 0.5)
+        )
+    )
+    term_score = (
+        F.floor(idf * ((F.col("tf").cast("double") * 2.2) / denom) * 1_000_000)
+        .cast("long")
+        .alias("s_micro")
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), on="token")
+        .join(dl, on="doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", term_score)
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("s_micro").alias("score_micro"),
+        )
+        .orderBy(F.col("score_micro").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+def q135_dsir_weights(spark, sf):
+    """DSIR-style importance weights for domain-targeted data selection
+    (Xie et al. 2023, "Data Selection for Language Models via Importance
+    Resampling"): score every document by how much its hashed-unigram
+    distribution looks like the target domain (lang='en') vs the raw
+    corpus — log p_target(d) - log p_raw(d) under two hashed bag-of-words
+    models with add-one smoothing over B=1024 buckets.
+
+    Shape: ONE (doc, bucket) count aggregation; the two B-row bucket
+    models and their totals are tiny re-aggs of it; the per-bucket
+    log-ratio table (B rows) BROADCASTS back, so the corpus-side rows
+    shuffle once for the count and once (narrow: doc x bucket) for the
+    final per-doc sum. At 100 TB the model stays 1024 rows regardless of
+    corpus size — that's the point of hashed features.
+
+    Determinism: bucket = md5-based token_hash16 % 1024 (engine-portable
+    char arithmetic); counts/totals are exact integers; the only float op
+    is ONE ln of a ratio of exact BIGINT products, floor-micro'd per
+    bucket BEFORE the weighted per-doc sum (integer multiply-accumulate,
+    order-independent)."""
+    from chemharmony_spark.operators.dedup import token_hash16
+
+    B = 1024
+    docs = _t(spark, sf, "documents").select("doc_id", "lang", "text")
+    tokb = docs.select(
+        "doc_id", "lang", F.explode(TX.tokens("text")).alias("token")
+    ).select(
+        "doc_id", "lang", (token_hash16(F.col("token")) % B).alias("bucket")
+    )
+    dbt = (
+        tokb.groupBy("doc_id", "lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    # both models in ONE pass over the cached counts: raw = every token,
+    # target = lang='en' tokens (conditional sum == the left-join/0-fill
+    # two-table formulation, mirrored as CASE WHEN in the oracle)
+    model = (
+        dbt.groupBy("bucket")
+        .agg(
+            F.sum("n").alias("cr"),
+            F.sum(
+                F.when(F.col("lang") == "en", F.col("n")).otherwise(F.lit(0))
+            ).alias("ct"),
+        )
+        .persist()
+    )
+    tots = model.agg(F.sum("cr").alias("tr"), F.sum("ct").alias("tt"))
+    weights = (
+        model.crossJoin(F.broadcast(tots))
+        .select(
+            "bucket",
+            F.floor(
+                F.log(
+                    ((F.col("ct") + 1) * (F.col("tr") + B)).cast("double")
+                    / ((F.col("cr") + 1) * (F.col("tt") + B)).cast("double")
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("w_micro"),
+        )
+    )
+    return (
+        dbt.join(F.broadcast(weights), on="bucket")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.sum(F.col("n") * F.col("w_micro")).alias("weight_micro"),
+        )
+    )
+
+
+def q136_split_leakage_audit(spark, sf):
+    """Train/eval split-leakage audit — the QA pass that certifies q80's
+    corpus splits: for every val/test document, does it share a verbatim
+    winnowing fingerprint (k=5, w=4) with ANY train document? Reports
+    per-split leaked-doc counts and integer ppm rates.
+
+    Shape: split assignment is a pure md5 expression on the scan (no
+    assignment table); the train fingerprint set is corpus-scale, so the
+    eval->train match is a SHUFFLE equi-join on the fingerprint value
+    (NOT a broadcast — 80% of a 100 TB corpus doesn't broadcast; contrast
+    q113 where the eval benchmark is the small side). The train side is
+    DISTINCT fps, so join output is bounded by the eval explode — no fat
+    buckets. The fingerprint frame is persisted (q113's CSE rule: every
+    downstream branch re-expands the rolling-hash lambda chain
+    otherwise)."""
+    from chemharmony_spark.operators.core import hash_split
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    split = hash_split(docs, "doc_id",
+                       {"train": 0.8, "val": 0.1, "test": 0.1})
+    fp = (
+        TX.winnowing_fingerprints(split, "text", k=5, w=4)
+        .select("doc_id", "split", "fps")
+        .persist()
+    )
+    ex = fp.select("doc_id", "split", F.explode("fps").alias("f"))
+    train_fps = ex.where(F.col("split") == "train").select("f").distinct()
+    leaked = (
+        ex.where(F.col("split") != "train")
+        .join(train_fps, on="f")
+        .select("split", "doc_id")
+        .distinct()
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_leaked"))
+    )
+    base = (
+        fp.where(F.col("split") != "train")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return (
+        base.join(F.broadcast(leaked), on="split", how="left")
+        .na.fill({"n_leaked": 0})
+        .select(
+            "split", "n_docs", "n_leaked",
+            F.expr("n_leaked * 1000000L div n_docs").alias("leaked_ppm"),
+        )
+    )
+
+
+def q137_hopping_window(spark, sf):
+    """Hopping (sliding) window counts in BATCH: per event type, event
+    counts over 1-hour windows advancing every 15 minutes — the
+    overlapping-window twin of q28's tumbling aggregation, via the
+    built-in F.window(slideDuration=...) which expands each event into
+    its windowDuration/slideDuration = 4 containing windows JVM-side.
+
+    ONE shuffle: the (window, event_type) hash agg over the 4x-expanded
+    stream; partial aggregation absorbs the expansion map-side. Window
+    starts are epoch-grid-aligned integers (floor to the 15-min grid),
+    reproduced in the oracle as pure BIGINT arithmetic."""
+    ev = _events(spark, sf).select("ts_ts", "event_type")
+    return (
+        ev.groupBy(
+            F.window("ts_ts", "1 hour", "15 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_micros("w.start").alias("window_start_us"),
+            "event_type",
+            "n",
+        )
+    )

@@ -364,3 +364,57 @@ def test_token_entropy_matches_manual(spark):
         want = math.log(n) - sum(v * math.log(v) for v in c.values()) / n
         assert abs(got[doc_id] - want) < 1e-12, (doc_id, got[doc_id], want)
     assert abs(got[0]) < 1e-12 and abs(got[1] - math.log(4)) < 1e-12
+
+
+def test_hopping_window_conserves_counts(spark, sf_dir):
+    """Every event lands in exactly windowDuration/slideDuration = 4
+    hopping windows, so the window-count total is 4x the event count and
+    each window's start sits on the 15-minute epoch grid."""
+    from chemharmony_spark import queries as Q
+
+    out = Q.q137_hopping_window(spark, sf_dir).collect()
+    n_events = Q._events(spark, sf_dir).count()
+    assert sum(r.n for r in out) == 4 * n_events
+    assert all(r.window_start_us % (15 * 60 * 1_000_000) == 0 for r in out)
+
+
+def test_bm25_scores_rank_term_rich_docs(spark, sf_dir):
+    """BM25 invariants: 20 rows, scores non-increasing, every returned
+    doc matched at least one of the 5 query terms."""
+    from chemharmony_spark import queries as Q
+
+    rows = Q.q134_bm25_topk(spark, sf_dir).collect()
+    assert len(rows) == 20
+    scores = [r.score_micro for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(1 <= r.n_terms <= 5 for r in rows)
+
+
+def test_dsir_weights_favor_target_lang(spark, sf_dir):
+    """The importance weight is a log-likelihood ratio toward the target
+    (lang='en') hashed-unigram model — the MEAN per-token weight of
+    English docs must exceed that of non-English docs, and every doc in
+    the corpus gets exactly one row."""
+    from chemharmony_spark import queries as Q
+
+    rows = Q.q135_dsir_weights(spark, sf_dir).collect()
+    docs = Q._t(spark, sf_dir, "documents")
+    n_docs_with_tokens = docs.where("trim(text) <> ''").count()
+    assert len(rows) == n_docs_with_tokens
+    en = [r.weight_micro / r.n_tokens for r in rows if r.lang == "en"]
+    other = [r.weight_micro / r.n_tokens for r in rows if r.lang != "en"]
+    assert en and other
+    assert sum(en) / len(en) > sum(other) / len(other)
+
+
+def test_split_leakage_audit_shape(spark, sf_dir):
+    """One row per non-train split; leaked counts bounded by split size;
+    ppm consistent with the integer division."""
+    from chemharmony_spark import queries as Q
+
+    rows = {r.split: r for r in
+            Q.q136_split_leakage_audit(spark, sf_dir).collect()}
+    assert set(rows) == {"val", "test"}
+    for r in rows.values():
+        assert 0 <= r.n_leaked <= r.n_docs
+        assert r.leaked_ppm == r.n_leaked * 1_000_000 // r.n_docs

@@ -297,6 +297,20 @@ SHUFFLE_BUDGET = {
     "q132_grouped_mode": 2,
     # q133: one lead window on the user_id exchange
     "q133_inactivity_gaps": 1,
+    # q134: the persisted (doc, token) tf agg prints under its three
+    # consumers (dl / dfreq / scored) but executes once; the tf->dl join
+    # runs keyed on doc_id (both sides corpus-sized at 100 TB); query
+    # terms + corpus stats broadcast; top-20 is a TakeOrdered
+    "q134_bm25_topk": 8,
+    # q135: persisted (doc, bucket) counts (prints per consumer) + the
+    # 1024-row model agg + its 1-row totals + the final per-doc sum;
+    # the weight table broadcasts back
+    "q135_dsir_weights": 7,
+    # q136: fingerprints are zero-shuffle; distinct train fps + the
+    # fp-keyed eval join + per-doc distinct + per-split aggs
+    "q136_split_leakage_audit": 4,
+    # q137: ONE (window, type) hash agg over the 4x window expansion
+    "q137_hopping_window": 1,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -317,7 +331,9 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 # q108: 1-row skew-stats broadcast onto the 10-row top-k
                 "q108_skew_profile",
                 # q109: 1-row basket-total scalar broadcast
-                "q109_pmi_pairs"}
+                "q109_pmi_pairs",
+                # q134/q135: 1-row corpus-stats / model-totals broadcasts
+                "q134_bm25_topk", "q135_dsir_weights"}
 
 
 def test_no_headline_query_has_unpartitioned_ranked_window(spark):
