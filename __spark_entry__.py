@@ -214,6 +214,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q135_dsir_weights": Q.q135_dsir_weights,
         "q136_split_leakage_audit": Q.q136_split_leakage_audit,
         "q137_hopping_window": Q.q137_hopping_window,
+        "q138_ohlc_bars": Q.q138_ohlc_bars,
+        "q139_cusum_alarms": Q.q139_cusum_alarms,
+        "q140_jsd_source_similarity": Q.q140_jsd_source_similarity,
     }
 
 
@@ -2703,5 +2706,89 @@ def oracle_sql() -> dict[str, str]:
                    event_type, COUNT(*) AS n
             FROM events, (SELECT unnest(range(4)) AS k)
             GROUP BY 1, 2
+        """,
+        "q138_ohlc_bars": """
+            SELECT event_type,
+                   epoch_us(ts) - (epoch_us(ts) % 3600000000)
+                     AS hr_start_us,
+                   (min(struct_pack(us := epoch_us(ts), eid := event_id,
+                                    v := value))).v AS open,
+                   max(value) AS high,
+                   min(value) AS low,
+                   (max(struct_pack(us := epoch_us(ts), eid := event_id,
+                                    v := value))).v AS close,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                     AS volume
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "q139_cusum_alarms": """
+            WITH seq AS (
+              SELECT user_id,
+                     list(struct_pack(us := epoch_us(ts), eid := event_id,
+                                      v := value)
+                          ORDER BY epoch_us(ts), event_id) AS sq,
+                     COUNT(*) AS n_events
+              FROM events GROUP BY 1),
+            folded AS (
+              SELECT user_id, n_events,
+                     list_reduce(
+                       list_transform(sq, e -> struct_pack(
+                         n := CASE WHEN greatest(0.0, e.v - 60.0) > 500.0
+                                   THEN 1 ELSE 0 END,
+                         s := CASE WHEN greatest(0.0, e.v - 60.0) > 500.0
+                                   THEN 0.0
+                                   ELSE greatest(0.0, e.v - 60.0) END,
+                         v := e.v)),
+                       (acc, x) -> struct_pack(
+                         n := acc.n
+                              + CASE WHEN greatest(0.0,
+                                           acc.s + (x.v - 60.0)) > 500.0
+                                     THEN 1 ELSE 0 END,
+                         s := CASE WHEN greatest(0.0,
+                                        acc.s + (x.v - 60.0)) > 500.0
+                                   THEN 0.0
+                                   ELSE greatest(0.0,
+                                        acc.s + (x.v - 60.0)) END,
+                         v := x.v)) AS st
+              FROM seq)
+            SELECT user_id, n_events, st.n AS n_alarms,
+                   CAST(floor(st.s * 1000000) AS BIGINT) AS final_s_micro
+            FROM folded
+        """,
+        "q140_jsd_source_similarity": f"""
+            WITH sb AS MATERIALIZED (
+              SELECT source, ({_hex4("md5(token)", 1)} % 1024) AS bucket,
+                     COUNT(*) AS n
+              FROM (SELECT source, unnest({_TOKS}) AS token FROM documents)
+              GROUP BY 1, 2),
+            tot AS (SELECT source, CAST(SUM(n) AS BIGINT) AS t
+                    FROM sb GROUP BY 1),
+            pairs AS (
+              SELECT a.source AS src_a, a.t AS ta,
+                     b.source AS src_b, b.t AS tb
+              FROM tot a JOIN tot b ON a.source < b.source),
+            grid AS (
+              SELECT src_a, ta, src_b, tb, CAST(r.range AS INT) AS bucket
+              FROM pairs, range(1024) r),
+            j AS (
+              SELECT g.src_a, g.src_b,
+                     CAST(COALESCE(x.n, 0) AS DOUBLE) / g.ta AS p,
+                     CAST(COALESCE(y.n, 0) AS DOUBLE) / g.tb AS q,
+                     COALESCE(x.n, 0) AS ca, COALESCE(y.n, 0) AS cb
+              FROM grid g
+              LEFT JOIN sb x ON x.source = g.src_a AND x.bucket = g.bucket
+              LEFT JOIN sb y ON y.source = g.src_b AND y.bucket = g.bucket)
+            SELECT src_a, src_b,
+                   CAST(SUM(CAST(floor(
+                     (CASE WHEN ca > 0
+                           THEN p * ln((2.0 * p) / (p + q))
+                           ELSE 0.0 END
+                      + CASE WHEN cb > 0
+                             THEN q * ln((2.0 * q) / (p + q))
+                             ELSE 0.0 END) * 500000) AS BIGINT))
+                     AS BIGINT) AS jsd_micro
+            FROM j GROUP BY 1, 2
         """,
     }

@@ -3456,3 +3456,155 @@ def q137_hopping_window(spark, sf):
             "n",
         )
     )
+
+
+def q138_ohlc_bars(spark, sf):
+    """OHLC candlestick bars: per event type and hour, the open/high/low/
+    close of ``value`` plus count and exact-decimal volume — the classic
+    time-series downsampling aggregate.
+
+    Open/close are single-pass MIN/MAX over (ts, event_id, value)
+    structs (struct ordering = event order; no ranked window, no
+    self-join), so the whole query is ONE hash agg with map-side
+    partials — the q28 tumbling shape with positional endpoints. Values
+    ship raw (no float arithmetic); volume sums in decimal."""
+    ev = _events(spark, sf).select(
+        "event_type", "event_id", "value",
+        F.expr("ts div 1000").alias("us"),
+    )
+    hr = (F.col("us") - (F.col("us") % F.lit(3_600_000_000).cast("long")))
+    return (
+        ev.groupBy("event_type", hr.alias("hr_start_us"))
+        .agg(
+            F.min(F.struct("us", "event_id", "value")).alias("o"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.struct("us", "event_id", "value")).alias("c"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_d("value")).cast("double").alias("volume"),
+        )
+        .select(
+            "event_type", "hr_start_us",
+            F.col("o.value").alias("open"),
+            "high", "low",
+            F.col("c.value").alias("close"),
+            "n", "volume",
+        )
+    )
+
+
+def q139_cusum_alarms(spark, sf):
+    """Per-user CUSUM change-point alarms: the one-sided cumulative-sum
+    control chart S <- max(0, S + (x - 60)) with an alarm (and reset)
+    whenever S crosses 500 — sequential drift detection that no window
+    function expresses (the state resets are data-dependent). Runs as an
+    F.aggregate fold over each user's sorted event array (the q104
+    state-machine idiom): ONE user_id shuffle for the whole chart.
+
+    Cross-engine determinism: the fold visits events in the same total
+    (ts, event_id) order in both engines, so the double accumulation is
+    the SAME IEEE sequence — no floor-micro needed until the final state
+    is rendered. The DuckDB replay seeds 2-arg list_reduce through
+    list_transform (first element = fold of the empty state), and packs
+    the alarm count BEFORE the new S: DuckDB 1.0.0 evaluates struct_pack
+    fields sequentially against a partially-updated accumulator, so each
+    field may only read acc fields not yet written."""
+    ev = _events(spark, sf).select(
+        "user_id", "event_id", "value", F.expr("ts div 1000").alias("us")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("us", "event_id", "value"))
+        ).alias("seq"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+    def step(acc, x):
+        s1 = F.greatest(F.lit(0.0), acc["s"] + (x["value"] - F.lit(60.0)))
+        alarm = s1 > F.lit(500.0)
+        return F.struct(
+            F.when(alarm, F.lit(0.0)).otherwise(s1).alias("s"),
+            (acc["n"] + F.when(alarm, 1).otherwise(0)).alias("n"),
+        )
+
+    init = F.struct(F.lit(0.0).alias("s"), F.lit(0).alias("n"))
+    st = F.aggregate("seq", init, step)
+    return per_user.select(
+        "user_id", "n_events",
+        st["n"].alias("n_alarms"),
+        F.floor(st["s"] * 1_000_000).cast("long").alias("final_s_micro"),
+    )
+
+
+def q140_jsd_source_similarity(spark, sf):
+    """Pairwise Jensen-Shannon divergence between the sources'
+    hashed-unigram distributions — corpus-composition analytics (which
+    sources are interchangeable, which add diversity) over the same
+    1024-bucket hashed feature space as q135.
+
+    Shape: ONE corpus-side shuffle (the (source, bucket) count agg);
+    everything after lives in model space — sources x 1024 rows
+    regardless of corpus size — so pair enumeration, the dense
+    (pair, bucket) grid, and both count lookups are broadcast joins.
+    Zero-count buckets contribute the q*ln(2) mass, hence the dense grid
+    rather than an inner join on present buckets.
+
+    Determinism: counts/totals exact integers; each (pair, bucket)
+    contribution p*ln(2p/(p+q)) + q*ln(2q/(p+q)) (= twice its JSD mass)
+    is one fixed IEEE sequence over p = ca/ta, q = cb/tb, floored at
+    x500000 — folding in the 0.5 — so the stored unit is micro-JSD."""
+    from chemharmony_spark.operators.dedup import token_hash16
+
+    B = 1024
+    docs = _t(spark, sf, "documents").select("source", "text")
+    sb = (
+        docs.select("source", F.explode(TX.tokens("text")).alias("token"))
+        .select("source", (token_hash16(F.col("token")) % B).alias("bucket"))
+        .groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    tot = sb.groupBy("source").agg(F.sum("n").alias("t"))
+    pairs = (
+        tot.select(F.col("source").alias("src_a"), F.col("t").alias("ta"))
+        .join(
+            F.broadcast(
+                tot.select(F.col("source").alias("src_b"),
+                           F.col("t").alias("tb"))
+            ),
+            F.col("src_a") < F.col("src_b"),
+        )
+    )
+    buckets = spark.range(B).select(F.col("id").cast("int").alias("bucket"))
+    grid = (
+        pairs.crossJoin(F.broadcast(buckets))
+        .join(
+            F.broadcast(
+                sb.select(F.col("source").alias("src_a"), "bucket",
+                          F.col("n").alias("ca"))
+            ),
+            ["src_a", "bucket"], "left",
+        )
+        .join(
+            F.broadcast(
+                sb.select(F.col("source").alias("src_b"), "bucket",
+                          F.col("n").alias("cb"))
+            ),
+            ["src_b", "bucket"], "left",
+        )
+        .na.fill({"ca": 0, "cb": 0})
+    )
+    p = F.col("ca").cast("double") / F.col("ta")
+    q = F.col("cb").cast("double") / F.col("tb")
+    term_a = F.when(
+        F.col("ca") > 0, p * F.log((2.0 * p) / (p + q))
+    ).otherwise(F.lit(0.0))
+    term_b = F.when(
+        F.col("cb") > 0, q * F.log((2.0 * q) / (p + q))
+    ).otherwise(F.lit(0.0))
+    contrib = F.floor((term_a + term_b) * 500_000).cast("long")
+    return (
+        grid.select("src_a", "src_b", contrib.alias("c"))
+        .groupBy("src_a", "src_b")
+        .agg(F.sum("c").alias("jsd_micro"))
+    )

@@ -311,6 +311,14 @@ SHUFFLE_BUDGET = {
     "q136_split_leakage_audit": 4,
     # q137: ONE (window, type) hash agg over the 4x window expansion
     "q137_hopping_window": 1,
+    # q138: ONE (type, hour) hash agg; open/close are struct-min/max
+    # endpoints inside the same agg (no ranked window, no self-join)
+    "q138_ohlc_bars": 1,
+    # q139: ONE user_id shuffle; the CUSUM chart folds inside the row
+    "q139_cusum_alarms": 1,
+    # q140: ONE corpus-side (source, bucket) count (prints per consumer);
+    # everything after is model-space broadcast joins + the 45-row agg
+    "q140_jsd_source_similarity": 6,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -333,7 +341,10 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 # q109: 1-row basket-total scalar broadcast
                 "q109_pmi_pairs",
                 # q134/q135: 1-row corpus-stats / model-totals broadcasts
-                "q134_bm25_topk", "q135_dsir_weights"}
+                "q134_bm25_topk", "q135_dsir_weights",
+                # q140: source-pair (a < b) enumeration + the dense
+                # (pair, bucket) grid — all model-space tiny dims
+                "q140_jsd_source_similarity"}
 
 
 def test_no_headline_query_has_unpartitioned_ranked_window(spark):

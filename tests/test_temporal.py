@@ -216,3 +216,57 @@ def test_asof_nearest_matches_pandas(spark):
 
     # window -> sort -> window chain with no exchange between them
     assert re.search(r"Window .*\n\s*\+- Sort .*\n\s*\+- Window", plan), plan[:800]
+
+
+def test_ohlc_bars_endpoints_bracket_extremes(spark, sf_dir):
+    """low <= min(open, close) and high >= max(open, close) per bar, and
+    bar counts conserve the event count."""
+    from chemharmony_spark import queries as Q
+
+    rows = Q.q138_ohlc_bars(spark, sf_dir).collect()
+    n_events = Q._events(spark, sf_dir).count()
+    assert sum(r.n for r in rows) == n_events
+    for r in rows:
+        assert r.low <= min(r.open, r.close)
+        assert r.high >= max(r.open, r.close)
+        assert r.hr_start_us % 3_600_000_000 == 0
+
+
+def test_cusum_matches_python_reference(spark, sf_dir):
+    """The distributed fold replays the sequential CUSUM chart exactly:
+    compare against a plain-Python reference per user."""
+    from collections import defaultdict
+
+    from chemharmony_spark import queries as Q
+
+    got = {r.user_id: (r.n_alarms, r.final_s_micro)
+           for r in Q.q139_cusum_alarms(spark, sf_dir).collect()}
+    ev = defaultdict(list)
+    for r in Q._events(spark, sf_dir).select(
+            "user_id", "event_id", "value",
+            Q.F.expr("ts div 1000").alias("us")).collect():
+        ev[r.user_id].append((r.us, r.event_id, r.value))
+    import math
+    for uid, seq in ev.items():
+        s, n = 0.0, 0
+        for _, _, v in sorted(seq):
+            s = max(0.0, s + (v - 60.0))
+            if s > 500.0:
+                n, s = n + 1, 0.0
+        assert got[uid] == (n, math.floor(s * 1_000_000))
+    assert set(got) == set(ev)
+
+
+def test_jsd_is_bounded_and_symmetric_in_construction(spark, sf_dir):
+    """JSD in [0, ln 2]; one row per unordered source pair."""
+    from chemharmony_spark import queries as Q
+
+    rows = Q.q140_jsd_source_similarity(spark, sf_dir).collect()
+    srcs = {r.source for r in
+            Q._t(spark, sf_dir, "documents").select("source")
+            .distinct().collect()}
+    assert len(rows) == len(srcs) * (len(srcs) - 1) // 2
+    for r in rows:
+        assert r.src_a < r.src_b
+        # bound: JSD <= ln(2) ~ 0.693147 nats
+        assert -1 <= r.jsd_micro <= 693_148
