@@ -217,6 +217,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q138_ohlc_bars": Q.q138_ohlc_bars,
         "q139_cusum_alarms": Q.q139_cusum_alarms,
         "q140_jsd_source_similarity": Q.q140_jsd_source_similarity,
+        "q141_scd2_intervals": Q.q141_scd2_intervals,
+        "q142_rrf_fusion": Q.q142_rrf_fusion,
+        "q143_interpolation_resample": Q.q143_interpolation_resample,
     }
 
 
@@ -2790,5 +2793,133 @@ def oracle_sql() -> dict[str, str]:
                              ELSE 0.0 END) * 500000) AS BIGINT))
                      AS BIGINT) AS jsd_micro
             FROM j GROUP BY 1, 2
+        """,
+        "q141_scd2_intervals": """
+            WITH e AS (
+              SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+                     lag(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY epoch_us(ts), event_id)
+                       AS prev_type
+              FROM events),
+            r AS (
+              SELECT *, SUM(CASE WHEN prev_type IS NULL
+                                   OR prev_type <> event_type
+                                 THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS run_id
+              FROM e),
+            runs AS (
+              SELECT user_id, run_id, MIN(event_type) AS event_type,
+                     MIN(us) AS valid_from_us, COUNT(*) AS n_events
+              FROM r GROUP BY 1, 2)
+            SELECT user_id, event_type, valid_from_us,
+                   COALESCE(lead(valid_from_us)
+                              OVER (PARTITION BY user_id
+                                    ORDER BY valid_from_us),
+                            -1) AS valid_to_us,
+                   n_events
+            FROM runs
+        """,
+        "q142_rrf_fusion": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+            tf AS MATERIALIZED (
+              SELECT doc_id, token, COUNT(*) AS tf
+              FROM toks GROUP BY 1, 2),
+            dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+                   FROM tf GROUP BY 1),
+            dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+            stats AS (SELECT COUNT(*) AS n_docs,
+                             CAST(SUM(dl) AS BIGINT) AS total_tokens
+                      FROM dl),
+            qterms AS (
+              SELECT token, df FROM dfreq
+              QUALIFY ROW_NUMBER() OVER (ORDER BY df DESC, token) <= 5),
+            matches AS (
+              SELECT tf.doc_id,
+                     CAST(floor(
+                       ln(1.0 + ((CAST(n_docs - df AS DOUBLE) + 0.5)
+                                 / (CAST(df AS DOUBLE) + 0.5)))
+                       * ((CAST(tf AS DOUBLE) * 2.2)
+                          / (CAST(tf AS DOUBLE)
+                             + 1.2 * (0.25 + 0.75
+                                      * (CAST(dl * n_docs AS DOUBLE)
+                                         / total_tokens))))
+                       * 1000000) AS BIGINT) AS s_micro,
+                     tf
+              FROM tf JOIN qterms USING (token) JOIN dl USING (doc_id),
+                   stats),
+            per_doc AS MATERIALIZED (
+              SELECT doc_id, CAST(SUM(s_micro) AS BIGINT) AS bm25_micro,
+                     CAST(SUM(tf) AS BIGINT) AS tf_total
+              FROM matches GROUP BY 1),
+            ra AS (
+              SELECT doc_id,
+                     CAST(ROW_NUMBER() OVER (ORDER BY bm25_micro DESC,
+                                             doc_id) AS INT) AS rank_bm25
+              FROM per_doc QUALIFY rank_bm25 <= 100),
+            rb AS (
+              SELECT doc_id,
+                     CAST(ROW_NUMBER() OVER (ORDER BY tf_total DESC,
+                                             doc_id) AS INT) AS rank_tf
+              FROM per_doc QUALIFY rank_tf <= 100)
+            SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+                   COALESCE(rank_bm25, -1) AS rank_bm25,
+                   COALESCE(rank_tf, -1) AS rank_tf,
+                   CAST(CASE WHEN rank_bm25 IS NOT NULL
+                             THEN 1000000 // (60 + rank_bm25) ELSE 0 END
+                        + CASE WHEN rank_tf IS NOT NULL
+                               THEN 1000000 // (60 + rank_tf) ELSE 0 END
+                        AS BIGINT) AS rrf_micro
+            FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+            ORDER BY rrf_micro DESC, doc_id
+            LIMIT 20
+        """,
+        "q143_interpolation_resample": """
+            WITH e AS (
+              SELECT user_id, event_id, value, epoch_us(ts) AS us
+              FROM events),
+            span AS (
+              SELECT user_id,
+                     (MIN(us) + 3599999999) // 3600000000 AS g0,
+                     MAX(us) // 3600000000 AS g1
+              FROM e GROUP BY 1),
+            grid AS (
+              SELECT user_id,
+                     unnest(range(g0, g1 + 1)) * 3600000000 AS us
+              FROM span WHERE g0 <= g1),
+            pts AS (
+              SELECT user_id, us, 0 AS kind, event_id, value FROM e
+              UNION ALL
+              SELECT user_id, us, 1 AS kind, NULL::BIGINT AS event_id,
+                     NULL::DOUBLE AS value
+              FROM grid),
+            m AS (
+              SELECT *,
+                     last_value(CASE WHEN kind = 0
+                                     THEN struct_pack(t := us, v := value)
+                                END IGNORE NULLS)
+                       OVER (PARTITION BY user_id
+                             ORDER BY us, kind, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS p,
+                     first_value(CASE WHEN kind = 0
+                                      THEN struct_pack(t := us, v := value)
+                                 END IGNORE NULLS)
+                       OVER (PARTITION BY user_id
+                             ORDER BY us, kind, event_id
+                             ROWS BETWEEN CURRENT ROW
+                             AND UNBOUNDED FOLLOWING) AS nx
+              FROM pts)
+            SELECT user_id, us AS slot_us,
+                   CAST(floor(
+                     CASE WHEN p.t = us THEN p.v
+                          ELSE p.v + (nx.v - p.v)
+                               * (CAST(us - p.t AS DOUBLE)
+                                  / CAST(nx.t - p.t AS DOUBLE)) END
+                     * 1000000) AS BIGINT) AS interp_micro
+            FROM m
+            WHERE kind = 1 AND p.t IS NOT NULL AND nx.t IS NOT NULL
         """,
     }

@@ -3608,3 +3608,207 @@ def q140_jsd_source_similarity(spark, sf):
         .groupBy("src_a", "src_b")
         .agg(F.sum("c").alias("jsd_micro"))
     )
+
+
+def q141_scd2_intervals(spark, sf):
+    """Gaps-and-islands run compression into SCD type-2 validity
+    intervals: per user, consecutive events of the same type collapse to
+    one [valid_from, valid_to) row (valid_to = next run's start, -1 for
+    the open current run) — the dimension-history builder behind every
+    warehouse's slowly-changing-dimension table.
+
+    All three passes (change-flag lag, run-id conditional cumsum, next-run
+    lead) ride ONE user_id-partitioned sort; only the per-run aggregate
+    re-keys to (user_id, run_id) — rows shrink to one per run before the
+    lead window moves them a third time. No self-joins."""
+    ev = _events(spark, sf).select(
+        "user_id", "event_type", "event_id",
+        F.expr("ts div 1000").alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    runs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .withColumn(
+            "chg",
+            F.when(
+                F.col("prev_type").isNull()
+                | (F.col("prev_type") != F.col("event_type")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "run_id",
+            F.sum("chg").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    per_run = runs.groupBy("user_id", "run_id").agg(
+        # event_type is constant within a run by construction
+        F.min("event_type").alias("event_type"),
+        F.min("us").alias("valid_from_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w_next = Window.partitionBy("user_id").orderBy("valid_from_us")
+    return per_run.select(
+        "user_id", "event_type", "valid_from_us",
+        F.coalesce(
+            F.lead("valid_from_us").over(w_next), F.lit(-1).cast("long")
+        ).alias("valid_to_us"),
+        "n_events",
+    )
+
+
+def q142_rrf_fusion(spark, sf):
+    """Reciprocal-rank fusion of two retrieval systems — BM25 (q134's
+    scorer) and raw term-frequency — for the corpus's 5 heaviest query
+    terms: rrf(d) = sum over systems of 1/(60 + rank_s(d)), the standard
+    hybrid-search combiner (Cormack et al.).
+
+    Scale contract: global ranking is confined to each system's TOP-100
+    list (TakeOrdered — never an unpartitioned ranked window over the
+    corpus); the two 100-row lists rank + full-outer-join + fuse in a
+    single tiny stage, the IR-standard top-k fusion. Fusion is PURE
+    INTEGER: 1000000 div (60 + rank) — no floats anywhere."""
+    docs = _t(spark, sf, "documents")
+    toks = docs.select("doc_id", F.explode(TX.tokens("text")).alias("token"))
+    tf = (
+        toks.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_tokens"),
+    )
+    qterms = dfreq.orderBy(F.col("df").desc(), "token").limit(5)
+    x = (F.col("dl") * F.col("n_docs")).cast("double") / F.col("total_tokens")
+    denom = F.col("tf").cast("double") + 1.2 * (0.25 + 0.75 * x)
+    idf = F.log(
+        1.0
+        + (
+            ((F.col("n_docs") - F.col("df")).cast("double") + 0.5)
+            / (F.col("df").cast("double") + 0.5)
+        )
+    )
+    matches = (
+        tf.join(F.broadcast(qterms), on="token")
+        .join(dl, on="doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.floor(
+                idf * ((F.col("tf").cast("double") * 2.2) / denom) * 1_000_000
+            ).cast("long").alias("s_micro"),
+            "tf",
+        )
+    )
+    per_doc = matches.groupBy("doc_id").agg(
+        F.sum("s_micro").alias("bm25_micro"),
+        F.sum("tf").alias("tf_total"),
+    ).persist()  # read twice: once per ranking system
+    top_a = per_doc.orderBy(F.col("bm25_micro").desc(), "doc_id").limit(100)
+    top_b = per_doc.orderBy(F.col("tf_total").desc(), "doc_id").limit(100)
+    ra = top_a.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25_micro").desc(), "doc_id"))
+        .alias("rank_bm25"),
+    )
+    rb = top_b.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("tf_total").desc(), "doc_id"))
+        .alias("rank_tf"),
+    )
+    fused = (
+        ra.join(rb, on="doc_id", how="full")
+        .select(
+            "doc_id",
+            F.coalesce("rank_bm25", F.lit(-1)).alias("rank_bm25"),
+            F.coalesce("rank_tf", F.lit(-1)).alias("rank_tf"),
+            (
+                F.when(
+                    F.col("rank_bm25").isNotNull(),
+                    F.expr("1000000 div (60 + rank_bm25)"),
+                ).otherwise(F.lit(0).cast("long"))
+                + F.when(
+                    F.col("rank_tf").isNotNull(),
+                    F.expr("1000000 div (60 + rank_tf)"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("rrf_micro"),
+        )
+    )
+    return fused.orderBy(F.col("rrf_micro").desc(), "doc_id").limit(20)
+
+
+def q143_interpolation_resample(spark, sf):
+    """Hourly-grid resampling by LINEAR INTERPOLATION — the
+    between-readings twin of q76's forward fill: each grid instant t
+    takes v0 + (v1-v0) * (t-t0)/(t1-t0) from the surrounding events.
+
+    No per-gap joins: grid points UNION with the events and both
+    neighbors arrive via two ignore-nulls running windows over ONE
+    user_id-partitioned sort (events order before grid points at equal
+    timestamps, so an exactly-hit grid point interpolates to the event's
+    own value). Interpolation is one fixed IEEE sequence floor-micro'd
+    for the hash compare."""
+    H = 3_600_000_000
+    ev = _events(spark, sf).select(
+        "user_id", "event_id", "value", F.expr("ts div 1000").alias("us")
+    )
+    # integer ceil/floor division (us >= 0) — no double rounding hazard
+    span = ev.groupBy("user_id").agg(
+        F.min("us").alias("mn"), F.max("us").alias("mx")
+    ).select(
+        "user_id",
+        F.expr(f"(mn + {H - 1}L) div {H}L").alias("g0"),
+        F.expr(f"mx div {H}L").alias("g1"),
+    )
+    grid = (
+        span.where(F.col("g0") <= F.col("g1"))
+        .select("user_id", F.explode(F.sequence("g0", "g1")).alias("g"))
+        .select(
+            "user_id",
+            (F.col("g") * H).alias("us"),
+        )
+        .select(
+            "user_id", "us",
+            F.lit(1).alias("kind"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("double").alias("value"),
+        )
+    )
+    pts = ev.select(
+        "user_id", "us", F.lit(0).alias("kind"), "event_id", "value"
+    ).unionByName(grid)
+    obs = F.when(
+        F.col("kind") == 0, F.struct(F.col("us").alias("t"),
+                                     F.col("value").alias("v"))
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "kind", "event_id")
+    w_prev = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_next = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    marked = (
+        pts.withColumn("p", F.last(obs, ignorenulls=True).over(w_prev))
+        .withColumn("nx", F.first(obs, ignorenulls=True).over(w_next))
+    )
+    t0, v0 = F.col("p.t"), F.col("p.v")
+    t1, v1 = F.col("nx.t"), F.col("nx.v")
+    interp = F.when(t0 == F.col("us"), v0).otherwise(
+        v0
+        + (v1 - v0)
+        * ((F.col("us") - t0).cast("double") / (t1 - t0).cast("double"))
+    )
+    return (
+        marked.where(
+            (F.col("kind") == 1) & t0.isNotNull() & t1.isNotNull()
+        )
+        .select(
+            "user_id",
+            F.col("us").alias("slot_us"),
+            F.floor(interp * 1_000_000).cast("long").alias("interp_micro"),
+        )
+    )

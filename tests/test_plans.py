@@ -319,6 +319,16 @@ SHUFFLE_BUDGET = {
     # q140: ONE corpus-side (source, bucket) count (prints per consumer);
     # everything after is model-space broadcast joins + the 45-row agg
     "q140_jsd_source_similarity": 6,
+    # q141: lag + run-cumsum + per-run agg + lead all ride ONE user_id
+    # exchange (Catalyst reuses the window partitioning for the agg)
+    "q141_scd2_intervals": 1,
+    # q142: TWO persisted frames (tf, per_doc) print their subtrees under
+    # every consumer — textual count 16, executed exchanges ~6 (q134's
+    # chain + one per-doc agg); both rankings are 100-row TakeOrdereds
+    "q142_rrf_fusion": 16,
+    # q143: span agg + the union'd grid/event window sort share the
+    # user_id key — two executed exchanges
+    "q143_interpolation_resample": 2,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -344,7 +354,9 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 "q134_bm25_topk", "q135_dsir_weights",
                 # q140: source-pair (a < b) enumeration + the dense
                 # (pair, bucket) grid — all model-space tiny dims
-                "q140_jsd_source_similarity"}
+                "q140_jsd_source_similarity",
+                # q142: q134's 1-row corpus-stats broadcast
+                "q142_rrf_fusion"}
 
 
 def test_no_headline_query_has_unpartitioned_ranked_window(spark):

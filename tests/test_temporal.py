@@ -270,3 +270,71 @@ def test_jsd_is_bounded_and_symmetric_in_construction(spark, sf_dir):
         assert r.src_a < r.src_b
         # bound: JSD <= ln(2) ~ 0.693147 nats
         assert -1 <= r.jsd_micro <= 693_148
+
+
+def test_scd2_intervals_partition_time(spark, sf_dir):
+    """Per user: intervals are disjoint, adjacent (each valid_to equals
+    the next valid_from), cover every event, and runs alternate types."""
+    from collections import defaultdict
+
+    from chemharmony_spark import queries as Q
+
+    by_user = defaultdict(list)
+    for r in Q.q141_scd2_intervals(spark, sf_dir).collect():
+        by_user[r.user_id].append(r)
+    n_events = Q._events(spark, sf_dir).count()
+    assert sum(r.n_events for rs in by_user.values() for r in rs) == n_events
+    for rs in by_user.values():
+        rs.sort(key=lambda r: r.valid_from_us)
+        for a, b in zip(rs, rs[1:]):
+            assert a.valid_to_us == b.valid_from_us
+            assert a.event_type != b.event_type  # maximal runs
+        assert rs[-1].valid_to_us == -1
+
+
+def test_rrf_fusion_integer_identity(spark, sf_dir):
+    """rrf_micro is exactly the sum of the two integer reciprocal terms,
+    and every returned doc appears in at least one top-100 list."""
+    from chemharmony_spark import queries as Q
+
+    rows = Q.q142_rrf_fusion(spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        expect = 0
+        if r.rank_bm25 != -1:
+            expect += 1_000_000 // (60 + r.rank_bm25)
+        if r.rank_tf != -1:
+            expect += 1_000_000 // (60 + r.rank_tf)
+        assert r.rrf_micro == expect
+        assert r.rank_bm25 != -1 or r.rank_tf != -1
+
+
+def test_interpolation_brackets_and_hits(spark, sf_dir):
+    """Each interpolated slot lies between its neighbors' values (within
+    the micro floor), and a slot matches forward-fill only where the
+    value is constant — spot-check the bracketing invariant per user."""
+    from collections import defaultdict
+
+    from chemharmony_spark import queries as Q
+    from chemharmony_spark.queries import F
+
+    out = Q.q143_interpolation_resample(spark, sf_dir).collect()
+    assert out, "no interior grid points at sf0.001?"
+    ev = defaultdict(list)
+    for r in Q._events(spark, sf_dir).select(
+            "user_id", F.expr("ts div 1000").alias("us"), "value",
+            "event_id").collect():
+        ev[r.user_id].append((r.us, r.event_id, r.value))
+    import bisect
+    for r in out:
+        seq = sorted(ev[r.user_id])
+        uss = [t[0] for t in seq]
+        i = bisect.bisect_right(uss, r.slot_us)
+        prev_v = seq[i - 1][2]
+        # exact-hit slots take the event's own value
+        if seq[i - 1][0] == r.slot_us:
+            assert r.interp_micro == __import__("math").floor(prev_v * 1e6)
+            continue
+        next_v = seq[i][2]
+        lo, hi = min(prev_v, next_v), max(prev_v, next_v)
+        assert lo * 1e6 - 1 <= r.interp_micro <= hi * 1e6 + 1
