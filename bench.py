@@ -36,6 +36,8 @@ HEADLINE = [
     "q76_resample_forward_fill",
     "q115_semantic_cluster_dedup",
     "q123_dedup_pipeline",
+    "q134_bm25_topk",
+    "q139_cusum_alarms",
 ]
 
 

@@ -186,3 +186,93 @@ def stream_user_profiles_tws(spark: SparkSession, events_dir: str) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+# -------------------------------------------------------------------------
+# Streaming CUSUM change-point detection — the stateful-streaming twin of
+# queries.q139_cusum_alarms. The chart state (S, alarm count) lives in the
+# state store keyed by user_id and folds FORWARD across micro-batches:
+# batch N+1 resumes exactly where batch N's fold left off, so a bounded
+# replay equals the batch fold bit-for-bit (Python floats are IEEE
+# doubles — the same add/max sequence the Column fold runs JVM-side).
+# Within a batch rows sort by (us, event_id); across batches correctness
+# requires event-time-ordered arrival (the standard file/Kafka-partition
+# contract; late data would need a watermark + buffer variant).
+# -------------------------------------------------------------------------
+
+CUSUM_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("n_events", LongType(), True),
+        StructField("n_alarms", LongType(), True),
+        StructField("final_s_micro", LongType(), True),
+    ]
+)
+
+CUSUM_STATE_SCHEMA = StructType(
+    [
+        StructField("s", DoubleType(), True),
+        StructField("n_alarms", LongType(), True),
+        StructField("cnt", LongType(), True),
+    ]
+)
+
+
+def _update_cusum(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    import math
+
+    (user_id,) = key
+    if state.exists:
+        s, n_alarms, cnt = state.get
+    else:
+        s, n_alarms, cnt = 0.0, 0, 0
+    frames = list(pdfs)
+    pdf = pd.concat(frames).sort_values(["us", "event_id"])
+    for v in pdf["value"].tolist():
+        s = max(0.0, s + (v - 60.0))
+        if s > 500.0:
+            n_alarms += 1
+            s = 0.0
+    cnt += len(pdf)
+    state.update((s, n_alarms, cnt))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [cnt],
+            "n_alarms": [n_alarms],
+            "final_s_micro": [math.floor(s * 1_000_000)],
+        }
+    )
+
+
+def stream_cusum(
+    spark: SparkSession,
+    events_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming per-user CUSUM chart (see queries.q139_cusum_alarms for
+    the batch twin and the chart constants)."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA).option(
+        "pathGlobFilter", glob
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(max_files_per_trigger)
+        )
+    src = reader.parquet(events_dir).select(
+        "user_id",
+        # schema reads ts as TIMESTAMP_NTZ; session tz is UTC so the cast
+        # is a pure re-tag (same convention as queries._events)
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id", "value",
+    )
+    return src.groupBy("user_id").applyInPandasWithState(
+        _update_cusum,
+        outputStructType=CUSUM_OUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -494,3 +494,50 @@ def test_incremental_near_dup_admission(spark, sf_dir, tmp_path):
     )
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
+
+
+def test_streaming_cusum_matches_batch_across_batches(spark, sf_dir, tmp_path):
+    """The CUSUM chart state folds FORWARD across micro-batches: replaying
+    the events in two time-ordered batches yields exactly the batch fold
+    (q139) — alarm counts, event counts, and the final S value."""
+    import os
+
+    from chemharmony_spark.queries import q139_cusum_alarms
+    from chemharmony_spark.streaming.stateful import stream_cusum
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    mid = ev.selectExpr(
+        "percentile_approx(unix_micros(CAST(ts AS TIMESTAMP)), 0.5) AS m"
+    ).collect()[0].m
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    for name, half in (
+        ("a_events.parquet",
+         ev.where(F.unix_micros(F.col("ts").cast("timestamp")) < mid)),
+        ("b_events.parquet",
+         ev.where(F.unix_micros(F.col("ts").cast("timestamp")) >= mid)),
+    ):
+        tmp = tmp_path / ("w_" + name)
+        half.coalesce(1).write.parquet(str(tmp))
+        part = next(tmp.glob("part-*.parquet"))
+        os.rename(part, stage / name)
+    # oldest-first file ordering => batch a, then batch b
+    os.utime(stage / "a_events.parquet", (1, 1))
+    os.utime(stage / "b_events.parquet", (2, 2))
+
+    streamed = run_stream_to_memory(
+        stream_cusum(spark, str(stage), glob="*_events.parquet",
+                     max_files_per_trigger=1),
+        "stream_cusum", mode="update",
+    )
+    # a user's latest update is the one with the largest cumulative count
+    final = streamed.groupBy("user_id").agg(
+        F.max(F.struct("n_events", "n_alarms", "final_s_micro")).alias("f")
+    )
+    ours = {r.user_id: (r.f.n_events, r.f.n_alarms, r.f.final_s_micro)
+            for r in final.collect()}
+    batch = {r.user_id: (r.n_events, r.n_alarms, r.final_s_micro)
+             for r in q139_cusum_alarms(spark, sf_dir).collect()}
+    assert ours == batch
+    # the split genuinely produced two batches (some user alarms straddle)
+    assert streamed.count() > len(batch)
