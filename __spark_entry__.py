@@ -220,6 +220,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q141_scd2_intervals": Q.q141_scd2_intervals,
         "q142_rrf_fusion": Q.q142_rrf_fusion,
         "q143_interpolation_resample": Q.q143_interpolation_resample,
+        "q144_cumulative_distinct": Q.q144_cumulative_distinct,
+        "q145_percentile_cont": Q.q145_percentile_cont,
     }
 
 
@@ -232,6 +234,19 @@ _NORM = ("trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')
          " ' +', ' ', 'g'))")
 _TOKS = f"list_filter(string_split({_NORM}, ' '), x -> x != '')"
 _HEXV = "(instr('0123456789abcdef', {c}) - 1)"
+
+
+def _pcont_expr(name: str, num: int, den: int) -> str:
+    """SQL for one exact continuous percentile over the `ranked` CTE
+    (columns rn, n, value) — mirrors operators.core.grouped_percentile_cont:
+    lo = 1 + (n-1)*num div den, frac = ((n-1)*num % den) / den, linear
+    interpolation between the bracketing row ranks."""
+    lo = f"(1 + (((n - 1) * {num}) // {den}))"
+    hi = f"least({lo} + 1, n)"
+    v_lo = f"MIN(CASE WHEN rn = {lo} THEN value END)"
+    v_hi = f"MIN(CASE WHEN rn = {hi} THEN value END)"
+    frac = f"(CAST(MIN(((n - 1) * {num}) % {den}) AS DOUBLE) / {den}.0)"
+    return f"({v_lo} + ({v_hi} - {v_lo}) * {frac}) AS {name}"
 
 
 def _hex4(expr: str, start: int) -> str:
@@ -2921,5 +2936,34 @@ def oracle_sql() -> dict[str, str]:
                      * 1000000) AS BIGINT) AS interp_micro
             FROM m
             WHERE kind = 1 AND p.t IS NOT NULL AND nx.t IS NOT NULL
+        """,
+        "q144_cumulative_distinct": """
+            WITH e AS (
+              SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+                     CASE WHEN ROW_NUMBER()
+                              OVER (PARTITION BY user_id, event_type
+                                    ORDER BY epoch_us(ts), event_id) = 1
+                          THEN 1 ELSE 0 END AS first_seen
+              FROM events)
+            SELECT user_id, us, event_id,
+                   CAST(SUM(first_seen)
+                          OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT)
+                     AS n_types_so_far
+            FROM e
+        """,
+        "q145_percentile_cont": f"""
+            WITH ranked AS (
+              SELECT event_type, value,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                                        ORDER BY value) AS rn,
+                     COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM events)
+            SELECT event_type,
+                   {_pcont_expr("p25", 1, 4)},
+                   {_pcont_expr("p50", 1, 2)},
+                   {_pcont_expr("p90", 9, 10)}
+            FROM ranked GROUP BY event_type
         """,
     }

@@ -311,17 +311,16 @@ def weighted_sample(
     return ranked.drop("__es_key")
 
 
-def grouped_percentiles_disc(
+def _grouped_value_cum(
     df: DataFrame,
     keys: Sequence[str],
     value_col: str,
-    quantiles: Sequence[float],
+    n_buckets: int = 64,
 ) -> DataFrame:
-    """Exact *discrete* per-group percentiles: the value at sorted position
-    ``ceil(q * n)`` (lower quantile-disc convention). Discrete on purpose —
-    no float interpolation, so results are bit-identical across engines
-    (continuous interpolation formulas differ by ulps between
-    implementations).
+    """Shared selector core for the exact percentile family: one row per
+    distinct (group, value) with ``__pq_cum`` (running count of ROWS with
+    value <= this value, duplicates included) and ``__pq_n`` (group row
+    count). See grouped_percentiles_disc for the scale rationale.
 
     Scale design (no group ever funnels through one task):
 
@@ -342,7 +341,6 @@ def grouped_percentiles_disc(
     ``spark_partition_id`` after a sampled ``repartitionByRange``). Output
     is identical to ranking every row; only the physical shape changes.
     """
-    n_buckets = 64
     keys = list(keys)
     # persisted: three consumers (min/max range agg, the in-bucket window,
     # the per-bucket subtotal agg) would otherwise each re-run the
@@ -385,12 +383,64 @@ def grouped_percentiles_disc(
         F.sum("__pq_bc").over(Window.partitionBy(*keys)).alias("__pq_n"),
     )
     j = loc.join(F.broadcast(offs), on=[*keys, "__pq_b"])
-    cum = F.col("__pq_lcum") + F.col("__pq_off")
+    return j.withColumn("__pq_cum", F.col("__pq_lcum") + F.col("__pq_off"))
+
+
+def grouped_percentiles_disc(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    quantiles: Sequence[float],
+) -> DataFrame:
+    """Exact *discrete* per-group percentiles: the value at sorted position
+    ``ceil(q * n)`` (lower quantile-disc convention). Discrete on purpose —
+    no float interpolation, so results are bit-identical across engines
+    (continuous interpolation formulas differ by ulps between
+    implementations). Physical shape: the bucketed distinct-value selector
+    (_grouped_value_cum)."""
+    keys = list(keys)
+    j = _grouped_value_cum(df, keys, value_col)
+    cum = F.col("__pq_cum")
     aggs = []
     for q in quantiles:
         target = F.greatest(F.lit(1), F.ceil(F.lit(q) * F.col("__pq_n")))
         name = f"p{int(round(q * 100)):02d}"
         aggs.append(F.min(F.when(cum >= target, F.col(value_col))).alias(name))
+    return j.groupBy(*keys).agg(*aggs)
+
+
+def grouped_percentile_cont(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    quantiles: Sequence[tuple[str, int, int]],
+) -> DataFrame:
+    """Exact *continuous* (PERCENTILE_CONT / type-7) per-group percentiles:
+    the value at fractional position 1 + (n-1)*q, linearly interpolated
+    between the two bracketing row ranks.
+
+    ``quantiles`` are (name, num, den) EXACT RATIONALS (e.g. ("p90", 9,
+    10)) so the bracketing ranks and the interpolation fraction are pure
+    integer arithmetic — lo = 1 + (n-1)*num div den, frac = ((n-1)*num %
+    den) / den — and the single interpolation expression v_lo + (v_hi -
+    v_lo) * frac is one fixed IEEE sequence, engine-identical.
+
+    Same physical shape as the discrete selector (_grouped_value_cum):
+    the full table shuffles once into distinct-value counts; both
+    bracketing values come out of the same conditional MIN aggregation —
+    no ranked window over the facts."""
+    keys = list(keys)
+    j = _grouped_value_cum(df, keys, value_col)
+    cum = F.col("__pq_cum")
+    aggs = []
+    for name, num, den in quantiles:
+        lo = F.expr(f"1L + (((__pq_n - 1) * {num}) div {den})")
+        fnum = F.expr(f"((__pq_n - 1) * {num}) % {den}")
+        hi = F.least(lo + 1, F.col("__pq_n"))
+        v_lo = F.min(F.when(cum >= lo, F.col(value_col)))
+        v_hi = F.min(F.when(cum >= hi, F.col(value_col)))
+        frac = F.min(fnum).cast("double") / F.lit(float(den))
+        aggs.append((v_lo + (v_hi - v_lo) * frac).alias(name))
     return j.groupBy(*keys).agg(*aggs)
 
 

@@ -3812,3 +3812,50 @@ def q143_interpolation_resample(spark, sf):
             F.floor(interp * 1_000_000).cast("long").alias("interp_micro"),
         )
     )
+
+
+def q144_cumulative_distinct(spark, sf):
+    """Running distinct-count: after every event, how many distinct event
+    types has this user produced so far? COUNT(DISTINCT) over an
+    expanding window is unsupported/expensive in every engine — the
+    scalable identity is first-seen flags (row_number == 1 per
+    (user, type)) cumulatively summed per user. Two window passes, each
+    on a high-cardinality partition key."""
+    ev = _events(spark, sf).select(
+        "user_id", "event_type", "event_id", F.expr("ts div 1000").alias("us")
+    )
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        "us", "event_id"
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.withColumn(
+            "first_seen",
+            F.when(F.row_number().over(w_first) == 1, 1).otherwise(0),
+        )
+        .withColumn("n_types_so_far", F.sum("first_seen").over(w_cum))
+        .select("user_id", "us", "event_id", "n_types_so_far")
+    )
+
+
+def q145_percentile_cont(spark, sf):
+    """Exact continuous (PERCENTILE_CONT) p25/p50/p90 of event value per
+    type, through the bucketed distinct-value selector — the interpolated
+    completion of q58's discrete family. The facts shuffle ONCE into
+    (type, value) counts; both bracketing ranks come from one conditional
+    MIN aggregation (no per-group ranked funnel); the interpolation
+    fraction is exact integer arithmetic, leaving a single IEEE
+    interpolation expression per quantile (engine-identical — the oracle
+    replays rank selection + interpolation literally, NOT DuckDB's
+    built-in quantile_cont)."""
+    from chemharmony_spark.operators.core import grouped_percentile_cont
+
+    ev = _events(spark, sf).select("event_type", "value")
+    return grouped_percentile_cont(
+        ev, ["event_type"], "value",
+        [("p25", 1, 4), ("p50", 1, 2), ("p90", 9, 10)],
+    )

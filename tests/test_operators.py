@@ -138,3 +138,60 @@ def test_edit_distance_pairs_matches_bruteforce(spark):
             for i, a in enumerate(words) for j, b in enumerate(words)
             if i < j and lev(a, b) <= 2}
     assert got == want
+
+
+def test_percentile_cont_matches_numpy(spark, sf_dir):
+    """grouped_percentile_cont == numpy's linear (type-7) quantile per
+    group, bit-for-bit at the interpolation level."""
+    import numpy as np
+
+    from chemharmony_spark import queries as Q
+    from chemharmony_spark.operators.core import grouped_percentile_cont
+
+    ev = Q._events(spark, sf_dir).select("event_type", "value")
+    got = {
+        r.event_type: (r.p25, r.p50, r.p90)
+        for r in grouped_percentile_cont(
+            ev, ["event_type"], "value",
+            [("p25", 1, 4), ("p50", 1, 2), ("p90", 9, 10)],
+        ).collect()
+    }
+    rows = ev.collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r.value)
+    for t, vals in by_type.items():
+        a = np.sort(np.array(vals))
+        n = len(a)
+        for got_v, (num, den) in zip(got[t], [(1, 4), (1, 2), (9, 10)]):
+            lo = (n - 1) * num // den
+            fr = ((n - 1) * num % den) / den
+            hi = min(lo + 1, n - 1)
+            want = a[lo] + (a[hi] - a[lo]) * fr
+            assert got_v == want, (t, num, den, got_v, want)
+
+
+def test_cumulative_distinct_monotone_and_final(spark, sf_dir):
+    """n_types_so_far is non-decreasing per user and ends at the user's
+    true distinct-type count."""
+    from collections import defaultdict
+
+    from chemharmony_spark import queries as Q
+    from chemharmony_spark.queries import F as SF
+
+    rows = Q.q144_cumulative_distinct(spark, sf_dir).collect()
+    seq = defaultdict(list)
+    for r in rows:
+        seq[r.user_id].append(((r.us, r.event_id), r.n_types_so_far))
+    truth = {
+        r.user_id: r.n
+        for r in Q._events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(SF.countDistinct("event_type").alias("n"))
+        .collect()
+    }
+    for uid, pairs in seq.items():
+        pairs.sort()
+        counts = [c for _, c in pairs]
+        assert all(a <= b for a, b in zip(counts, counts[1:]))
+        assert counts[-1] == truth[uid]

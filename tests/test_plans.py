@@ -329,6 +329,11 @@ SHUFFLE_BUDGET = {
     # q143: span agg + the union'd grid/event window sort share the
     # user_id key — two executed exchanges
     "q143_interpolation_resample": 2,
+    # q144: first-seen window on (user, type) + running sum on user
+    "q144_cumulative_distinct": 2,
+    # q145: the q58 selector shape (persisted counts print per consumer)
+    # + two extra prints for the second bracketing-rank consumer
+    "q145_percentile_cont": 10,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
