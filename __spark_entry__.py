@@ -222,6 +222,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q143_interpolation_resample": Q.q143_interpolation_resample,
         "q144_cumulative_distinct": Q.q144_cumulative_distinct,
         "q145_percentile_cont": Q.q145_percentile_cont,
+        "q146_label_propagation": Q.q146_label_propagation,
     }
 
 
@@ -343,6 +344,37 @@ def _pagerank_sql(iters: int = 4) -> str:
     return (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT node, r AS rank_micro FROM r{iters} ORDER BY node"
+    )
+
+
+def _lpa_sql(iters: int = 3) -> str:
+    """Unrolled-CTE deterministic label propagation matching
+    queries.q146_label_propagation: per round each node takes the most
+    frequent neighbor label, smallest label on ties — integer counts +
+    a fixed tie-break, so the trajectory replays exactly."""
+    ctes = [
+        "b AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        """e0 AS MATERIALIZED (
+          SELECT a.l_partkey AS p1, c.l_partkey AS p2
+          FROM b a JOIN b c
+            ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2)""",
+        """sym AS MATERIALIZED (SELECT p1, p2 FROM e0
+                   UNION ALL SELECT p2 AS p1, p1 AS p2 FROM e0)""",
+        "l0 AS (SELECT DISTINCT p1 AS node, p1 AS lbl FROM sym)",
+    ]
+    for k in range(iters):
+        ctes.append(f"""n{k} AS (
+          SELECT s.p1 AS node, l.lbl, COUNT(*) AS n
+          FROM sym s JOIN l{k} l ON l.node = s.p2
+          GROUP BY 1, 2)""")
+        ctes.append(f"""l{k + 1} AS MATERIALIZED (
+          SELECT node, lbl FROM n{k}
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY node
+                                     ORDER BY n DESC, lbl) = 1)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, lbl FROM l{iters} ORDER BY node"
     )
 
 
@@ -2966,4 +2998,5 @@ def oracle_sql() -> dict[str, str]:
                    {_pcont_expr("p90", 9, 10)}
             FROM ranked GROUP BY event_type
         """,
+        "q146_label_propagation": _lpa_sql(3),
     }

@@ -3859,3 +3859,44 @@ def q145_percentile_cont(spark, sf):
         ev, ["event_type"], "value",
         [("p25", 1, 4), ("p50", 1, 2), ("p90", 9, 10)],
     )
+
+
+def q146_label_propagation(spark, sf):
+    """Community detection by DETERMINISTIC label propagation (3 fixed
+    rounds) on the symmetrized co-purchase graph: each round every node
+    adopts the most frequent label among its neighbors, ties broken by
+    the SMALLEST label — the async-coin-flip of textbook LPA replaced by
+    a fixed tie-break so the trajectory is engine-replayable (q112's
+    fixed-iteration discipline applied to communities).
+
+    Per round: the edge table never moves — the node-sized label
+    dimension broadcasts onto it; the (node, label) count agg is the one
+    shuffle; the winner pick is a window over the per-node label-count
+    table (bounded by each node's distinct neighbor labels, never the
+    fact table). Lineage stays O(1) via lazy localCheckpoint per round."""
+    li = _t(spark, sf, "lineitem")
+    e = _copurchase_edges(li).select("p1", "p2")
+    sym = (
+        e.unionByName(e.select(F.col("p2").alias("p1"),
+                               F.col("p1").alias("p2")))
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        sym.select(F.col("p1").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(3):
+        nb = sym.join(
+            F.broadcast(labels.withColumnRenamed("node", "p2")), "p2"
+        ).select(F.col("p1").alias("node"), "lbl")
+        cnt = nb.groupBy("node", "lbl").agg(F.count(F.lit(1)).alias("n"))
+        w = Window.partitionBy("node").orderBy(F.col("n").desc(), "lbl")
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", "lbl")
+            .localCheckpoint(eager=False)
+        )
+    return labels.orderBy("node")

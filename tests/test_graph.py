@@ -99,3 +99,36 @@ def test_star_alg_long_chain_logarithmic_rounds(spark):
     # must solve it within a logarithmic round budget.
     edges = [(i + 1, i) for i in range(127)]
     _check_star(spark, edges, max_iter=10)
+
+
+def test_label_propagation_deterministic_and_connected(spark, sf_dir):
+    """LPA invariants: every node keeps a label that exists among the
+    graph's node ids; a node and its labelmates are in the same connected
+    component (labels never cross components); re-running yields the
+    identical assignment (fixed tie-break => deterministic)."""
+    from chemharmony_spark import queries as Q
+
+    a = {r.node: r.lbl
+         for r in Q.q146_label_propagation(spark, sf_dir).collect()}
+    b = {r.node: r.lbl
+         for r in Q.q146_label_propagation(spark, sf_dir).collect()}
+    assert a == b
+    nodes = set(a)
+    assert set(a.values()) <= nodes
+    # labels respect components: build components via union-find locally
+    li = Q._t(spark, sf_dir, "lineitem")
+    edges = Q._copurchase_edges(li).collect()
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for e in edges:
+        ra, rb = find(e.p1), find(e.p2)
+        if ra != rb:
+            parent[ra] = rb
+    for node, lbl in a.items():
+        assert find(node) == find(lbl), (node, lbl)

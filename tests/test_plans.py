@@ -334,6 +334,9 @@ SHUFFLE_BUDGET = {
     # q145: the q58 selector shape (persisted counts print per consumer)
     # + two extra prints for the second bracketing-rank consumer
     "q145_percentile_cont": 10,
+    # q146: per-round count agg is the only exchange visible past the
+    # lazy localCheckpoint (q112's lineage discipline)
+    "q146_label_propagation": 1,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
