@@ -223,6 +223,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q144_cumulative_distinct": Q.q144_cumulative_distinct,
         "q145_percentile_cont": Q.q145_percentile_cont,
         "q146_label_propagation": Q.q146_label_propagation,
+        "q147_seasonal_baseline": Q.q147_seasonal_baseline,
+        "q148_hhi_concentration": Q.q148_hhi_concentration,
     }
 
 
@@ -2999,4 +3001,38 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked GROUP BY event_type
         """,
         "q146_label_propagation": _lpa_sql(3),
+        "q147_seasonal_baseline": """
+            WITH cnt AS (
+              SELECT event_type,
+                     ((epoch_us(ts) // 3600000000) + 72) % 168 AS how,
+                     COUNT(*) AS obs
+              FROM events GROUP BY 1, 2),
+            tot AS (SELECT event_type, CAST(SUM(obs) AS BIGINT) AS total
+                    FROM cnt GROUP BY 1)
+            SELECT event_type, how, obs,
+                   CAST((obs * 168 - total) * 1000000 // total AS BIGINT)
+                     AS dev_ppm
+            FROM cnt JOIN tot USING (event_type)
+        """,
+        "q148_hhi_concentration": """
+            WITH per_cust AS (
+              SELECT c_nationkey, c_custkey,
+                     CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                   AS BIGINT)) AS BIGINT) AS cents
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              GROUP BY 1, 2),
+            tot AS (SELECT c_nationkey,
+                           CAST(SUM(cents) AS BIGINT) AS total_cents
+                    FROM per_cust GROUP BY 1),
+            shares AS (
+              SELECT p.c_nationkey,
+                     cents * 1000000 // total_cents AS share_ppm
+              FROM per_cust p JOIN tot USING (c_nationkey))
+            SELECT n_name AS nation,
+                   COUNT(*) AS n_customers,
+                   CAST(SUM(share_ppm * share_ppm) // 1000000 AS BIGINT)
+                     AS hhi_ppm
+            FROM shares JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1
+        """,
     }

@@ -3900,3 +3900,83 @@ def q146_label_propagation(spark, sf):
             .localCheckpoint(eager=False)
         )
     return labels.orderBy("node")
+
+
+def q147_seasonal_baseline(spark, sf):
+    """Seasonality profile + anomaly residuals: observed event count per
+    (type, hour-of-week) vs the type's flat baseline (total/168), with
+    the deviation as INTEGER ppm — (obs*168 - total) * 1e6 div total —
+    so the residual ranking is float-free. The monitoring primitive
+    behind 'traffic this hour is 40% below its weekly pattern'.
+
+    ONE fact shuffle (the (type, how) count); the per-type totals are a
+    168-row re-agg broadcast back. Hour-of-week derives from the epoch
+    day index (1970-01-01 = Thursday), not locale-dependent date parts."""
+    ev = _events(spark, sf).select(
+        "event_type", F.expr("ts div 1000").alias("us")
+    )
+    # hour-of-week with Monday 00:00 as slot 0: epoch hour + 72h shift
+    # (Thu->Mon), mod 168
+    how = F.expr("((us div 3600000000) + 72) % 168")
+    cnt = (
+        ev.select("event_type", how.alias("how"))
+        .groupBy("event_type", "how")
+        .agg(F.count(F.lit(1)).alias("obs"))
+        .persist()  # (type, 168)-sized; two consumers (totals + join)
+    )
+    tot = cnt.groupBy("event_type").agg(F.sum("obs").alias("total"))
+    return (
+        cnt.join(F.broadcast(tot), on="event_type")
+        .select(
+            "event_type", "how", "obs",
+            F.expr("(obs * 168 - total) * 1000000L div total")
+            .alias("dev_ppm"),
+        )
+    )
+
+
+def q148_hhi_concentration(spark, sf):
+    """Herfindahl-Hirschman concentration index of order revenue per
+    nation: how concentrated is each nation's revenue across its
+    customers? Shares are ppm-quantized FIRST — share_ppm_i = cents_i *
+    1e6 div T — then HHI_ppm = sum(share_ppm_i^2) div 1e6: PURE INTEGER
+    on exact cent totals, and every intermediate is bounded (share_ppm
+    <= 1e6, the squared sum <= n * 1e12) regardless of data scale — the
+    naive sum(cents^2) * 1e6 would overflow BIGINT on large customers.
+
+    Shape: one (nation, customer) revenue agg (the only full-data
+    shuffle); nation totals re-agg from it and broadcast back onto the
+    customer-sized table; the customer->nation dim broadcasts onto
+    orders."""
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    nat = _t(spark, sf, "nation").select("n_nationkey", "n_name")
+    orders = _t(spark, sf, "orders").select("o_custkey", "o_totalprice")
+    per_cust = (
+        orders.join(F.broadcast(cust),
+                    orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast(DEC) * 100).cast("long")
+            ).alias("cents")
+        )
+        .persist()  # customer-sized; two consumers (totals + shares)
+    )
+    tot = per_cust.groupBy("c_nationkey").agg(
+        F.sum("cents").alias("total_cents")
+    )
+    shares = per_cust.join(F.broadcast(tot), on="c_nationkey").select(
+        "c_nationkey",
+        F.expr("cents * 1000000L div total_cents").alias("share_ppm"),
+    )
+    return (
+        shares.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.expr("CAST(sum(share_ppm * share_ppm) div 1000000 AS BIGINT)")
+            .alias("hhi_ppm"),
+        )
+        .join(F.broadcast(nat),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(F.col("n_name").alias("nation"), "n_customers", "hhi_ppm")
+    )

@@ -195,3 +195,34 @@ def test_cumulative_distinct_monotone_and_final(spark, sf_dir):
         counts = [c for _, c in pairs]
         assert all(a <= b for a, b in zip(counts, counts[1:]))
         assert counts[-1] == truth[uid]
+
+
+def test_seasonal_baseline_residuals_sum_to_zeroish(spark, sf_dir):
+    """Per type: obs sums to total and dev_ppm of a flat profile sums to
+    ~0 (integer floor keeps it within 168 ppm-units of zero)."""
+    from collections import defaultdict
+
+    from chemharmony_spark import queries as Q
+
+    per_type = defaultdict(list)
+    for r in Q.q147_seasonal_baseline(spark, sf_dir).collect():
+        per_type[r.event_type].append(r)
+        assert 0 <= r.how < 168
+    for rs in per_type.values():
+        total = sum(r.obs for r in rs)
+        for r in rs:
+            n = (r.obs * 168 - total) * 1_000_000
+            trunc = abs(n) // total * (1 if n >= 0 else -1)  # div truncates
+            assert r.dev_ppm == trunc
+
+
+def test_hhi_bounds(spark, sf_dir):
+    """HHI in (0, 1e6]; a nation with n customers has HHI >= ~1e6/n."""
+    from chemharmony_spark import queries as Q
+
+    rows = Q.q148_hhi_concentration(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.hhi_ppm <= 1_000_000
+        # lower bound for equal shares, slack for ppm floor quantization
+        assert r.hhi_ppm >= 1_000_000 // r.n_customers - r.n_customers

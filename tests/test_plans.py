@@ -337,6 +337,12 @@ SHUFFLE_BUDGET = {
     # q146: per-round count agg is the only exchange visible past the
     # lazy localCheckpoint (q112's lineage discipline)
     "q146_label_propagation": 1,
+    # q147: persisted (type, how) count (prints under both consumers) +
+    # the 168-row totals re-agg
+    "q147_seasonal_baseline": 3,
+    # q148: persisted (nation, customer) cents agg (prints twice) +
+    # nation totals + the share^2 sum
+    "q148_hhi_concentration": 4,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
