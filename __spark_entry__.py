@@ -225,6 +225,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q146_label_propagation": Q.q146_label_propagation,
         "q147_seasonal_baseline": Q.q147_seasonal_baseline,
         "q148_hhi_concentration": Q.q148_hhi_concentration,
+        "q149_embedding_moments": Q.q149_embedding_moments,
     }
 
 
@@ -3034,5 +3035,30 @@ def oracle_sql() -> dict[str, str]:
                      AS hhi_ppm
             FROM shares JOIN nation ON c_nationkey = n_nationkey
             GROUP BY 1
+        """,
+        "q149_embedding_moments": """
+            WITH base AS (
+              SELECT label,
+                     [CAST(floor(CAST(e AS DOUBLE) * 1000000) AS BIGINT)
+                      for e in embedding] AS qi
+              FROM embeddings),
+            ex AS (
+              SELECT label, generate_subscripts(qi, 1) - 1 AS dim,
+                     unnest(qi) AS qv
+              FROM base),
+            stats AS (
+              SELECT label, dim, COUNT(*) AS n,
+                     CAST(SUM(qv) AS BIGINT) AS s,
+                     SUM(CAST(qv AS HUGEINT) * CAST(qv AS HUGEINT)) AS ss
+              FROM ex GROUP BY 1, 2)
+            SELECT label, CAST(dim AS INT) AS dim, n,
+                   CAST(CASE WHEN s >= 0 THEN s // n
+                             ELSE -((-s) // n) END AS BIGINT) AS mean_micro,
+                   CAST(floor(
+                     CAST(n * ss - CAST(s AS HUGEINT) * CAST(s AS HUGEINT)
+                          AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                     / 1000000.0) AS BIGINT) AS var_micro
+            FROM stats
         """,
     }

@@ -3980,3 +3980,45 @@ def q148_hhi_concentration(spark, sf):
               F.col("c_nationkey") == F.col("n_nationkey"))
         .select(F.col("n_name").alias("nation"), "n_customers", "hhi_ppm")
     )
+
+
+def q149_embedding_moments(spark, sf):
+    """Per-(label, dimension) embedding moments — the feature-statistics
+    pass behind drift monitors and whitening transforms: count, mean,
+    and population variance for each of the 64 dimensions per label.
+
+    Exactness (q57's quantization discipline): components quantize to
+    integer micro-units, so per-dim sums and sums-of-squares are exact
+    (sum-of-squares in decimal(38,0) — no bound on group size overflows);
+    mean is integer division; variance uses the exact integer identity
+    (n*ss - s*s) / n^2, with ONE double division chain + floor at the
+    end. One posexplode shuffle (the (label, dim) agg with map-side
+    partials); nothing else moves."""
+    emb = _t(spark, sf, "embeddings")
+    qi = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1_000_000).cast("long"),
+    )
+    ex = emb.select(
+        "label", F.posexplode(qi).alias("dim", "qv")
+    )
+    D18 = "decimal(18,0)"
+    stats = ex.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qv").alias("s"),
+        F.sum(F.col("qv").cast(D18) * F.col("qv").cast(D18)).alias("ss"),
+    )
+    d = (
+        F.col("n").cast("decimal(38,0)") * F.col("ss")
+        - F.col("s").cast(D18) * F.col("s").cast(D18)
+    )
+    var_micro = F.floor(
+        d.cast("double")
+        / (F.col("n").cast("double") * F.col("n").cast("double"))
+        / 1_000_000.0
+    ).cast("long")
+    return stats.select(
+        "label", "dim", "n",
+        F.expr("s div n").alias("mean_micro"),
+        var_micro.alias("var_micro"),
+    )

@@ -343,6 +343,8 @@ SHUFFLE_BUDGET = {
     # q148: persisted (nation, customer) cents agg (prints twice) +
     # nation totals + the share^2 sum
     "q148_hhi_concentration": 4,
+    # q149: ONE (label, dim) agg over the posexplode
+    "q149_embedding_moments": 1,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side

@@ -221,3 +221,30 @@ def test_cluster_pruned_pairs_subset_of_exact(spark, sf_dir):
         assert v == exact[k]  # identical IEEE sims
     recall = len(pruned) / len(exact)
     assert recall >= 0.2  # pruning trades recall; must keep a real fraction
+
+
+def test_embedding_moments_match_numpy(spark, sf_dir):
+    """Quantized per-(label, dim) mean/variance equal the numpy reference
+    on the same integer-quantized components."""
+    import math
+
+    import numpy as np
+
+    from chemharmony_spark import queries as Q
+
+    got = {(r.label, r.dim): (r.n, r.mean_micro, r.var_micro)
+           for r in Q.q149_embedding_moments(spark, sf_dir).collect()}
+    rows = Q._t(spark, sf_dir, "embeddings").collect()
+    by_label = {}
+    for r in rows:
+        q = [math.floor(float(x) * 1_000_000) for x in r.embedding]
+        by_label.setdefault(r.label, []).append(q)
+    for label, vecs in by_label.items():
+        a = np.array(vecs, dtype=object)  # exact python ints
+        n = len(vecs)
+        for dim in range(a.shape[1]):
+            col = [int(v) for v in a[:, dim]]
+            s, ss = sum(col), sum(v * v for v in col)
+            mean = abs(s) // n * (1 if s >= 0 else -1)
+            var = math.floor((n * ss - s * s) / (n * n) / 1_000_000)
+            assert got[(label, dim)] == (n, mean, var), (label, dim)
