@@ -226,6 +226,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q147_seasonal_baseline": Q.q147_seasonal_baseline,
         "q148_hhi_concentration": Q.q148_hhi_concentration,
         "q149_embedding_moments": Q.q149_embedding_moments,
+        "q150_interval_merge": Q.q150_interval_merge,
+        "q151_topk_with_others": Q.q151_topk_with_others,
     }
 
 
@@ -3060,5 +3062,55 @@ def oracle_sql() -> dict[str, str]:
                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
                      / 1000000.0) AS BIGINT) AS var_micro
             FROM stats
+        """,
+        "q150_interval_merge": """
+            WITH iv AS (
+              SELECT user_id, epoch_us(ts) AS s, event_id,
+                     epoch_us(ts) + 1800000000 AS e
+              FROM events),
+            marked AS (
+              SELECT user_id, s, e,
+                     CASE WHEN s > COALESCE(
+                            MAX(e) OVER (PARTITION BY user_id
+                                         ORDER BY s, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), -1)
+                          THEN 1 ELSE 0 END AS new_island,
+                     event_id
+              FROM iv),
+            isl AS (
+              SELECT user_id, s, e,
+                     SUM(new_island) OVER (PARTITION BY user_id
+                                           ORDER BY s, event_id
+                                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS island
+              FROM marked),
+            merged AS (
+              SELECT user_id, island, MIN(s) AS is_, MAX(e) AS ie
+              FROM isl GROUP BY 1, 2)
+            SELECT user_id, COUNT(*) AS n_intervals,
+                   CAST(SUM(ie - is_) AS BIGINT) AS covered_us
+            FROM merged GROUP BY 1
+        """,
+        "q151_topk_with_others": """
+            WITH per_nation AS MATERIALIZED (
+              SELECT n_name,
+                     SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+              FROM orders
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              GROUP BY 1),
+            top AS (
+              SELECT n_name, rev FROM per_nation
+              QUALIFY ROW_NUMBER() OVER (ORDER BY rev DESC, n_name) <= 5)
+            SELECT n_name AS nation, CAST(rev AS DOUBLE) AS revenue,
+                   CAST(1 AS BIGINT) AS n_nations
+            FROM top
+            UNION ALL
+            SELECT 'OTHER' AS nation,
+                   CAST(SUM(rev) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_nations
+            FROM per_nation
+            WHERE n_name NOT IN (SELECT n_name FROM top)
         """,
     }

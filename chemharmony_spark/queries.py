@@ -4022,3 +4022,78 @@ def q149_embedding_moments(spark, sf):
         F.expr("s div n").alias("mean_micro"),
         var_micro.alias("var_micro"),
     )
+
+
+def q150_interval_merge(spark, sf):
+    """Interval union / coverage: give each event a 30-minute activity
+    interval, merge overlapping intervals per user, and report each
+    user's merged-interval count and total covered microseconds — the
+    classic 'merge overlapping intervals' in its distributed spelling
+    (capacity planning, on-call coverage, session stitching).
+
+    Island detection without self-joins: an interval starts a new island
+    iff its start exceeds the running max end of all PRECEDING intervals
+    (exclusive frame); islands = cumsum of the start flags; then one agg
+    per (user, island) and one rollup per user. All three windows and
+    both aggs ride the user_id sort order — ONE full-data exchange."""
+    IV = 30 * 60 * 1_000_000
+    ev = _events(spark, sf).select(
+        "user_id", F.expr("ts div 1000").alias("s"), "event_id"
+    ).withColumn("e", F.col("s") + IV)
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    w_prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    marked = ev.withColumn(
+        "new_island",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(w_prev),
+                                    F.lit(-1).cast("long")),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    islands = marked.groupBy("user_id", "island").agg(
+        F.min("s").alias("is_"), F.max("e").alias("ie")
+    )
+    return islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum(F.col("ie") - F.col("is_")).alias("covered_us"),
+    )
+
+
+def q151_topk_with_others(spark, sf):
+    """Top-K + OTHER rollup — the BI staple: revenue by the 5 largest
+    nations plus one aggregated 'OTHER' bucket covering the tail, with
+    exact-decimal money. The per-nation agg is the only full-data
+    exchange; the top-5 cut is a 25-row sort; the tail collapses via a
+    broadcast semi/anti split of the tiny nation table (no second pass
+    over facts)."""
+    orders = _t(spark, sf, "orders").select("o_custkey", "o_totalprice")
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    nat = _t(spark, sf, "nation").select("n_nationkey", "n_name")
+    per_nation = (
+        orders.join(F.broadcast(cust),
+                    orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("rev"))
+        .join(F.broadcast(nat),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "rev")
+        .persist()  # 25 rows; consumed by the top cut and the tail
+    )
+    top = per_nation.orderBy(F.col("rev").desc(), "n_name").limit(5)
+    tail = per_nation.join(F.broadcast(top.select("n_name")),
+                           on="n_name", how="left_anti")
+    other = tail.agg(
+        F.lit("OTHER").alias("nation"),
+        F.sum("rev").cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_nations"),
+    )
+    return top.select(
+        F.col("n_name").alias("nation"),
+        F.col("rev").cast("double").alias("revenue"),
+        F.lit(1).cast("long").alias("n_nations"),
+    ).unionByName(other)

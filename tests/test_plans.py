@@ -345,6 +345,11 @@ SHUFFLE_BUDGET = {
     "q148_hhi_concentration": 4,
     # q149: ONE (label, dim) agg over the posexplode
     "q149_embedding_moments": 1,
+    # q150: three windows + two aggs all ride one user_id exchange
+    "q150_interval_merge": 1,
+    # q151: one fact agg; the persisted 25-row nation table prints under
+    # the top cut and the OTHER tail
+    "q151_topk_with_others": 4,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side

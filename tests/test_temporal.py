@@ -338,3 +338,55 @@ def test_interpolation_brackets_and_hits(spark, sf_dir):
         next_v = seq[i][2]
         lo, hi = min(prev_v, next_v), max(prev_v, next_v)
         assert lo * 1e6 - 1 <= r.interp_micro <= hi * 1e6 + 1
+
+
+def test_interval_merge_reference(spark, sf_dir):
+    """Merged coverage equals a plain-Python sweep over each user's
+    [s, s+30min) intervals."""
+    from collections import defaultdict
+
+    from chemharmony_spark import queries as Q
+    from chemharmony_spark.queries import F as SF
+
+    IV = 30 * 60 * 1_000_000
+    got = {r.user_id: (r.n_intervals, r.covered_us)
+           for r in Q.q150_interval_merge(spark, sf_dir).collect()}
+    ev = defaultdict(list)
+    for r in Q._events(spark, sf_dir).select(
+            "user_id", SF.expr("ts div 1000").alias("us")).collect():
+        ev[r.user_id].append(r.us)
+    for uid, starts in ev.items():
+        starts.sort()
+        n, covered, cur_s, cur_e = 0, 0, None, None
+        for s in starts:
+            e = s + IV
+            if cur_e is None or s > cur_e:
+                if cur_e is not None:
+                    covered += cur_e - cur_s
+                n, cur_s, cur_e = n + 1, s, e
+            else:
+                cur_e = max(cur_e, e)
+        covered += cur_e - cur_s
+        assert got[uid] == (n, covered), uid
+    assert set(got) == set(ev)
+
+
+def test_topk_with_others_conserves_revenue(spark, sf_dir):
+    """5 named nations + OTHER; bucket revenues sum to the global total
+    (decimal-exact, so equality is exact in cents)."""
+    from chemharmony_spark import queries as Q
+
+    rows = Q.q151_topk_with_others(spark, sf_dir).collect()
+    assert len(rows) == 6
+    named = [r for r in rows if r.nation != "OTHER"]
+    other = [r for r in rows if r.nation == "OTHER"]
+    assert len(named) == 5 and len(other) == 1
+    total = (
+        Q._t(spark, sf_dir, "orders")
+        .join(Q._t(spark, sf_dir, "customer"),
+              Q.F.col("o_custkey") == Q.F.col("c_custkey"))
+        .agg(Q.F.sum(Q.F.col("o_totalprice").cast(Q.DEC)).cast("double"))
+        .collect()[0][0]
+    )
+    assert abs(sum(r.revenue for r in rows) - total) < 0.01
+    assert other[0].n_nations == 20
