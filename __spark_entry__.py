@@ -228,6 +228,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q149_embedding_moments": Q.q149_embedding_moments,
         "q150_interval_merge": Q.q150_interval_merge,
         "q151_topk_with_others": Q.q151_topk_with_others,
+        "q152_ab_test": Q.q152_ab_test,
+        "q153_benford_digits": Q.q153_benford_digits,
     }
 
 
@@ -3112,5 +3114,52 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_nations
             FROM per_nation
             WHERE n_name NOT IN (SELECT n_name FROM top)
+        """,
+        "q152_ab_test": """
+            WITH per_user AS (
+              SELECT user_id,
+                     CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                                        THEN 1 ELSE 0 END) * 5 >= COUNT(*)
+                          THEN 1 ELSE 0 END AS converted
+              FROM events GROUP BY 1),
+            arms AS (
+              SELECT user_id % 2 AS arm, COUNT(*) AS n,
+                     CAST(SUM(converted) AS BIGINT) AS conv
+              FROM per_user GROUP BY 1),
+            a AS (SELECT n AS na, conv AS ca FROM arms WHERE arm = 0),
+            b AS (SELECT n AS nb, conv AS cb FROM arms WHERE arm = 1)
+            SELECT na, ca, nb, cb,
+                   CAST(ca * 1000000 // na AS BIGINT) AS rate_a_ppm,
+                   CAST(cb * 1000000 // nb AS BIGINT) AS rate_b_ppm,
+                   CASE WHEN sqrt((CAST(ca + cb AS DOUBLE) / (na + nb))
+                            * (1.0 - CAST(ca + cb AS DOUBLE) / (na + nb))
+                            * (1.0 / na + 1.0 / nb)) > 0.0
+                        THEN CAST(floor(
+                     (CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+                     / sqrt((CAST(ca + cb AS DOUBLE) / (na + nb))
+                            * (1.0 - CAST(ca + cb AS DOUBLE) / (na + nb))
+                            * (1.0 / na + 1.0 / nb))
+                     * 1000000) AS BIGINT) END AS z_micro
+            FROM a, b
+        """,
+        "q153_benford_digits": """
+            WITH cnt AS MATERIALIZED (
+              SELECT CAST(substr(regexp_replace(
+                       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                       '[^1-9]', '', 'g'), 1, 1) AS INT) AS d,
+                     COUNT(*) AS n
+              FROM orders GROUP BY 1),
+            tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM cnt),
+            ex AS (SELECT * FROM (VALUES
+                     (1, 301029), (2, 176091), (3, 124938), (4, 96910),
+                     (5, 79181), (6, 66946), (7, 57991), (8, 51152),
+                     (9, 45757)) e(d, exp_ppm))
+            SELECT d, n,
+                   CAST(n * 1000000 // t AS BIGINT) AS obs_ppm,
+                   exp_ppm,
+                   CAST((n * 1000000 // t - exp_ppm)
+                        * (n * 1000000 // t - exp_ppm)
+                        // exp_ppm AS BIGINT) AS dev
+            FROM cnt JOIN ex USING (d), tot
         """,
     }

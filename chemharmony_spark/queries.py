@@ -4097,3 +4097,102 @@ def q151_topk_with_others(spark, sf):
         F.col("rev").cast("double").alias("revenue"),
         F.lit(1).cast("long").alias("n_nations"),
     ).unionByName(other)
+
+
+def q152_ab_test(spark, sf):
+    """Two-proportion z-test for a deterministic 50/50 experiment split
+    (user_id parity): did variant B's purchase-conversion rate differ
+    from A's? The experiment-analysis primitive.
+
+    Counts are exact integers (ONE user-level agg shuffle, then a 2-row
+    rollup); conversion ppm is integer division; the z statistic is one
+    fixed IEEE sequence over the four exact counts — p1-p2 over
+    sqrt(p*(1-p)*(1/n1+1/n2)) — floor-micro'd once."""
+    ev = _events(spark, sf).select("user_id", "event_type")
+    # conversion = purchases are >= 20% of the user's events (MAX(any
+    # purchase) is degenerate on this data — every user has one)
+    per_user = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ) * 5
+            >= F.count(F.lit(1)),
+            1,
+        )
+        .otherwise(0)
+        .alias("converted")
+    )
+    arms = (
+        per_user.withColumn("arm", F.expr("user_id % 2"))
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("converted").alias("conv"),
+        )
+    )
+    a = arms.where(F.col("arm") == 0).select(
+        F.col("n").alias("na"), F.col("conv").alias("ca"))
+    b = arms.where(F.col("arm") == 1).select(
+        F.col("n").alias("nb"), F.col("conv").alias("cb"))
+    j = a.crossJoin(F.broadcast(b))
+    p1 = F.col("ca").cast("double") / F.col("na")
+    p2 = F.col("cb").cast("double") / F.col("nb")
+    pp = (F.col("ca") + F.col("cb")).cast("double") / (
+        F.col("na") + F.col("nb")
+    )
+    se = F.sqrt(
+        pp * (1.0 - pp)
+        * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+    )
+    return j.select(
+        "na", "ca", "nb", "cb",
+        F.expr("ca * 1000000L div na").alias("rate_a_ppm"),
+        F.expr("cb * 1000000L div nb").alias("rate_b_ppm"),
+        F.when(se > 0.0, F.floor((p1 - p2) / se * 1_000_000).cast("long"))
+        .alias("z_micro"),
+    )
+
+
+def q153_benford_digits(spark, sf):
+    """Benford's-law first-digit audit of order totals — the forensic
+    data-quality screen: observed share of each leading digit vs the
+    log10(1 + 1/d) expectation, with a chi-square-style deviation score.
+
+    First digit extracted lexically from the decimal rendering (no float
+    log); ONE 9-group agg shuffle; expectations are hard integer ppm
+    constants (floor(log10(1+1/d) * 1e6) precomputed — no runtime
+    transcendental); the deviation term (obs_ppm - exp_ppm)^2 div
+    exp_ppm is pure integer."""
+    BENFORD_PPM = {1: 301029, 2: 176091, 3: 124938, 4: 96910,
+                   5: 79181, 6: 66946, 7: 57991, 8: 51152, 9: 45757}
+    orders = _t(spark, sf, "orders").select("o_totalprice")
+    digit = F.substring(
+        F.regexp_replace(
+            F.col("o_totalprice").cast(DEC).cast("string"), "[^1-9]", ""
+        ),
+        1, 1,
+    ).cast("int")
+    cnt = (
+        orders.select(digit.alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()  # 9 rows; two consumers (total + output)
+    )
+    tot = cnt.agg(F.sum("n").alias("t"))
+    exp_map = F.create_map(
+        *[F.lit(x) for kv in BENFORD_PPM.items() for x in kv]
+    )
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "d", "n",
+            F.expr("n * 1000000L div t").alias("obs_ppm"),
+            exp_map[F.col("d")].alias("exp_ppm"),
+        )
+        .withColumn(
+            "dev",
+            F.expr(
+                "(obs_ppm - exp_ppm) * (obs_ppm - exp_ppm) div exp_ppm"
+            ),
+        )
+    )

@@ -226,3 +226,29 @@ def test_hhi_bounds(spark, sf_dir):
         assert 0 < r.hhi_ppm <= 1_000_000
         # lower bound for equal shares, slack for ppm floor quantization
         assert r.hhi_ppm >= 1_000_000 // r.n_customers - r.n_customers
+
+
+def test_ab_test_reference(spark, sf_dir):
+    """z statistic equals the python reference on exact counts."""
+    import math
+
+    from chemharmony_spark import queries as Q
+
+    r = Q.q152_ab_test(spark, sf_dir).collect()[0]
+    p1, p2 = r.ca / r.na, r.cb / r.nb
+    pp = (r.ca + r.cb) / (r.na + r.nb)
+    se = math.sqrt(pp * (1.0 - pp) * (1.0 / r.na + 1.0 / r.nb))
+    assert r.z_micro == math.floor((p1 - p2) / se * 1_000_000)
+    assert r.rate_a_ppm == r.ca * 1_000_000 // r.na
+
+
+def test_benford_shares_sum_to_one(spark, sf_dir):
+    """Nine digits; observed ppm sums to ~1e6 (floor slack < 9)."""
+    from chemharmony_spark import queries as Q
+
+    rows = Q.q153_benford_digits(spark, sf_dir).collect()
+    assert {r.d for r in rows} == set(range(1, 10))
+    s = sum(r.obs_ppm for r in rows)
+    assert 1_000_000 - 9 <= s <= 1_000_000
+    for r in rows:
+        assert r.dev == (r.obs_ppm - r.exp_ppm) ** 2 // r.exp_ppm

@@ -350,6 +350,11 @@ SHUFFLE_BUDGET = {
     # q151: one fact agg; the persisted 25-row nation table prints under
     # the top cut and the OTHER tail
     "q151_topk_with_others": 4,
+    # q152: user-level conversion agg + the 2-row arm rollup (prints per
+    # arm filter branch); the 1-row arm frames cross via broadcast
+    "q152_ab_test": 4,
+    # q153: persisted 9-row digit counts (prints twice) + 1-row total
+    "q153_benford_digits": 3,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -377,7 +382,9 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 # (pair, bucket) grid — all model-space tiny dims
                 "q140_jsd_source_similarity",
                 # q142: q134's 1-row corpus-stats broadcast
-                "q142_rrf_fusion"}
+                "q142_rrf_fusion",
+                # q152/q153: 1-row arm/total scalar broadcasts
+                "q152_ab_test", "q153_benford_digits"}
 
 
 def test_no_headline_query_has_unpartitioned_ranked_window(spark):
