@@ -57,6 +57,10 @@ QUERIES = [
     "q104_funnel",             # single-pass state machine
     "q123_dedup_pipeline",     # PPJoin -> CC -> keep-best
     "q131_weighted_median",    # weighted bucketed selector
+    "q134_bm25_topk",          # persisted tf + doc_id-keyed join + TakeOrdered
+    "q145_percentile_cont",    # shared bucketed selector, interpolated
+    "q146_label_propagation",  # 3 broadcast-label rounds, checkpointed
+    "q150_interval_merge",     # running-max-end islands, one exchange
 ]
 
 
