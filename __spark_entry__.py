@@ -230,6 +230,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q151_topk_with_others": Q.q151_topk_with_others,
         "q152_ab_test": Q.q152_ab_test,
         "q153_benford_digits": Q.q153_benford_digits,
+        "q154_knn_classify": Q.q154_knn_classify,
+        "q155_degree_powerlaw": Q.q155_degree_powerlaw,
     }
 
 
@@ -3161,5 +3163,72 @@ def oracle_sql() -> dict[str, str]:
                         * (n * 1000000 // t - exp_ppm)
                         // exp_ppm AS BIGINT) AS dev
             FROM cnt JOIN ex USING (d), tot
+        """,
+        "q154_knn_classify": """
+            WITH e AS (SELECT vec_id, label,
+                              list_transform(embedding, x -> x::DOUBLE) AS v
+                       FROM embeddings),
+            q AS (SELECT vec_id AS qid, label AS tlabel, v AS qv
+                  FROM e WHERE vec_id < 50),
+            t AS (SELECT vec_id, label, v FROM e WHERE vec_id >= 50),
+            scored AS (
+              SELECT qid, t.vec_id AS nid, t.label AS nlabel,
+                     list_reduce(list_transform(list_zip(qv, v),
+                                                x -> x[1] * x[2]),
+                                 (a, b) -> a + b)
+                       / (sqrt(list_reduce(list_transform(qv, x -> x * x),
+                                           (a, b) -> a + b))
+                          * sqrt(list_reduce(list_transform(v, x -> x * x),
+                                             (a, b) -> a + b))) AS sim
+              FROM t, q),
+            top AS (
+              SELECT qid, nlabel FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                             ORDER BY sim DESC, nid) AS rank
+                FROM scored)
+              WHERE rank <= 5),
+            votes AS (SELECT qid, nlabel, COUNT(*) AS votes
+                      FROM top GROUP BY 1, 2),
+            pred AS (
+              SELECT qid, nlabel, votes FROM votes
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+                                         ORDER BY votes DESC, nlabel) = 1)
+            SELECT p.qid AS query_id, p.nlabel AS pred_label, p.votes,
+                   q2.tlabel AS true_label,
+                   p.nlabel = q2.tlabel AS correct
+            FROM pred p JOIN q q2 ON q2.qid = p.qid
+        """,
+        "q155_degree_powerlaw": """
+            WITH b AS MATERIALIZED (
+              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            e0 AS MATERIALIZED (
+              SELECT a.l_partkey AS p1, c.l_partkey AS p2
+              FROM b a JOIN b c
+                ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+              GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+            sym AS (SELECT p1, p2 FROM e0
+                    UNION ALL SELECT p2 AS p1, p1 AS p2 FROM e0),
+            deg AS (SELECT p1, COUNT(*) AS degree FROM sym GROUP BY 1),
+            hist AS (SELECT degree, COUNT(*) AS n_nodes
+                     FROM deg GROUP BY 1),
+            pts AS (
+              SELECT CAST(floor(ln(CAST(degree AS DOUBLE)) * 1000000)
+                          AS BIGINT) AS x,
+                     CAST(floor(ln(CAST(n_nodes AS DOUBLE)) * 1000000)
+                          AS BIGINT) AS y
+              FROM hist),
+            s AS (
+              SELECT COUNT(*) AS n,
+                     CAST(SUM(x) AS BIGINT) AS sx,
+                     CAST(SUM(y) AS BIGINT) AS sy,
+                     SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+                     SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+              FROM pts)
+            SELECT n,
+                   CAST(floor(CAST(n * sxy - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE) / CAST(n * sxx - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DOUBLE) * 1000000) AS BIGINT) AS slope_micro,
+                   CAST(floor((CAST(sy AS DOUBLE)
+                               - CAST(n * sxy - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE) / CAST(n * sxx - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DOUBLE) * CAST(sx AS DOUBLE)) / n)
+                        AS BIGINT) AS intercept_micro
+            FROM s
         """,
     }

@@ -4196,3 +4196,93 @@ def q153_benford_digits(spark, sf):
             ),
         )
     )
+
+
+def q154_knn_classify(spark, sf):
+    """k-NN label prediction (k=5, exact cosine): vectors with vec_id < 50
+    are the unlabeled queries, the rest the labeled corpus; predict by
+    majority vote over the top-5 neighbors, ties to the smallest label —
+    the weak-labeling / label-spreading primitive for curation.
+
+    Shape: q38's broadcast-queries/partitioned-corpus top-k (corpus never
+    shuffles; the |Q| x k result is tiny), then label join + vote count +
+    one pick window over the <= 5-rows-per-query vote table. Prediction
+    quality is measured against the held-out true labels in-row
+    (``correct``)."""
+    emb = _t(spark, sf, "embeddings")
+    train = emb.where(F.col("vec_id") >= 50)
+    queries = emb.where(F.col("vec_id") < 50)
+    nn = SIM.cosine_topk(train, queries, k=5)
+    labeled = nn.join(
+        train.select(F.col("vec_id").alias("neighbor_id"),
+                     F.col("label").alias("nlabel")),
+        on="neighbor_id",
+    )
+    votes = labeled.groupBy("query_id", "nlabel").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), "nlabel"
+    )
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("query_id", F.col("nlabel").alias("pred_label"), "votes")
+    )
+    truth = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return pred.join(F.broadcast(truth), on="query_id").withColumn(
+        "correct", F.col("pred_label") == F.col("true_label")
+    )
+
+
+def q155_degree_powerlaw(spark, sf):
+    """Degree-distribution power-law fit of the co-purchase graph: OLS
+    slope of ln(n_nodes) on ln(degree) over the degree histogram — the
+    scale-free-ness diagnostic that decides whether skew mitigation
+    (salting, AQE skew join) is needed on graph keys.
+
+    Integer-exact OLS (q86's sufficient-statistics discipline): ln values
+    floor-micro'd per histogram row BEFORE the sums, slope/intercept from
+    the closed form with ONE double division each. The histogram is two
+    tiny re-aggs of the checkpointed edge table; the fit runs on the
+    <=|degrees| rows."""
+    li = _t(spark, sf, "lineitem")
+    e = _copurchase_edges(li).select("p1", "p2")
+    sym = e.unionByName(
+        e.select(F.col("p2").alias("p1"), F.col("p1").alias("p2"))
+    )
+    deg = sym.groupBy("p1").agg(F.count(F.lit(1)).alias("degree"))
+    hist = deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+    pts = hist.select(
+        F.floor(F.log(F.col("degree").cast("double")) * 1_000_000)
+        .cast("long").alias("x"),
+        F.floor(F.log(F.col("n_nodes").cast("double")) * 1_000_000)
+        .cast("long").alias("y"),
+    )
+    D18 = "decimal(18,0)"
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        # products in decimal(38,0): n*Sxy etc. overflow BIGINT at scale
+        F.sum(F.col("x").cast(D18) * F.col("y").cast(D18)).alias("sxy"),
+        F.sum(F.col("x").cast(D18) * F.col("x").cast(D18)).alias("sxx"),
+    )
+    D38 = "decimal(38,0)"
+    slope = (
+        (F.col("n").cast(D38) * F.col("sxy")
+         - F.col("sx").cast(D18) * F.col("sy").cast(D18)).cast("double")
+        / (F.col("n").cast(D38) * F.col("sxx")
+           - F.col("sx").cast(D18) * F.col("sx").cast(D18)).cast("double")
+    )
+    intercept = (
+        F.col("sy").cast("double")
+        - slope * F.col("sx").cast("double")
+    ) / F.col("n")
+    return s.select(
+        "n",
+        F.floor(slope * 1_000_000).cast("long").alias("slope_micro"),
+        F.floor(intercept).cast("long").alias("intercept_micro"),
+    )

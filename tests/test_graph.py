@@ -132,3 +132,31 @@ def test_label_propagation_deterministic_and_connected(spark, sf_dir):
             parent[ra] = rb
     for node, lbl in a.items():
         assert find(node) == find(lbl), (node, lbl)
+
+
+def test_degree_powerlaw_fit_reference(spark, sf_dir):
+    """Slope/intercept equal the python closed-form OLS on the
+    floor-micro'd log histogram."""
+    import math
+    from collections import Counter
+
+    from chemharmony_spark import queries as Q
+
+    r = Q.q155_degree_powerlaw(spark, sf_dir).collect()[0]
+    edges = Q._copurchase_edges(Q._t(spark, sf_dir, "lineitem")).collect()
+    deg = Counter()
+    for e in edges:
+        deg[e.p1] += 1
+        deg[e.p2] += 1
+    hist = Counter(deg.values())
+    pts = [(math.floor(math.log(d) * 1e6), math.floor(math.log(n) * 1e6))
+           for d, n in hist.items()]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert r.n == n
+    assert r.slope_micro == math.floor(slope * 1e6)
+    assert r.intercept_micro == math.floor((sy - slope * sx) / n)

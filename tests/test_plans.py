@@ -355,6 +355,12 @@ SHUFFLE_BUDGET = {
     "q152_ab_test": 4,
     # q153: persisted 9-row digit counts (prints twice) + 1-row total
     "q153_benford_digits": 3,
+    # q154: ONE top-k window shuffle (corpus never moves; queries/labels
+    # broadcast; votes/pick run on the |Q| x 5 result)
+    "q154_knn_classify": 1,
+    # q155: the co-purchase derivation chain (basket agg, pair agg, deg,
+    # hist, 1-row fit) — each exchange strictly smaller than the last
+    "q155_degree_powerlaw": 7,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -384,7 +390,9 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 # q142: q134's 1-row corpus-stats broadcast
                 "q142_rrf_fusion",
                 # q152/q153: 1-row arm/total scalar broadcasts
-                "q152_ab_test", "q153_benford_digits"}
+                "q152_ab_test", "q153_benford_digits",
+                # q154: q38's broadcast-queries exact top-k
+                "q154_knn_classify"}
 
 
 def test_no_headline_query_has_unpartitioned_ranked_window(spark):

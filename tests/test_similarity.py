@@ -248,3 +248,33 @@ def test_embedding_moments_match_numpy(spark, sf_dir):
             mean = abs(s) // n * (1 if s >= 0 else -1)
             var = math.floor((n * ss - s * s) / (n * n) / 1_000_000)
             assert got[(label, dim)] == (n, mean, var), (label, dim)
+
+
+def test_knn_classify_reference(spark, sf_dir):
+    """Prediction equals a numpy brute-force 5-NN majority vote."""
+    import numpy as np
+
+    from chemharmony_spark import queries as Q
+
+    got = {r.query_id: (r.pred_label, r.votes, r.true_label, r.correct)
+           for r in Q.q154_knn_classify(spark, sf_dir).collect()}
+    rows = Q._t(spark, sf_dir, "embeddings").collect()
+    train = [(r.vec_id, r.label, np.array(r.embedding, dtype=np.float64))
+             for r in rows if r.vec_id >= 50]
+    queries = [(r.vec_id, r.label, np.array(r.embedding, dtype=np.float64))
+               for r in rows if r.vec_id < 50]
+    assert set(got) == {q[0] for q in queries}
+    for qid, tlabel, qv in queries:
+        sims = sorted(
+            ((float(qv @ v / (np.linalg.norm(qv) * np.linalg.norm(v))), nid,
+              lbl) for nid, lbl, v in train),
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        from collections import Counter
+
+        c = Counter(lbl for _, _, lbl in sims)
+        best = max(c.items(), key=lambda kv: (kv[1], -kv[0]))
+        pred = min(l for l, n in c.items() if n == best[1])
+        assert got[qid][0] == pred, qid
+        assert got[qid][2] == tlabel
+        assert got[qid][3] == (pred == tlabel)
