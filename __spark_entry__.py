@@ -232,6 +232,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q153_benford_digits": Q.q153_benford_digits,
         "q154_knn_classify": Q.q154_knn_classify,
         "q155_degree_powerlaw": Q.q155_degree_powerlaw,
+        "q156_trend_forecast": Q.q156_trend_forecast,
+        "q157_funnel_latency": Q.q157_funnel_latency,
     }
 
 
@@ -3230,5 +3232,61 @@ def oracle_sql() -> dict[str, str]:
                                - CAST(n * sxy - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE) / CAST(n * sxx - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DOUBLE) * CAST(sx AS DOUBLE)) / n)
                         AS BIGINT) AS intercept_micro
             FROM s
+        """,
+        "q156_trend_forecast": """
+            WITH cnt AS MATERIALIZED (
+              SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+                     COUNT(*) AS n
+              FROM events GROUP BY 1, 2),
+            span AS (SELECT event_type, MIN(h) AS h0, MAX(h) AS h1
+                     FROM cnt GROUP BY 1),
+            grid AS (SELECT event_type, h0, h1,
+                            unnest(range(h0, h1 + 1)) AS h
+                     FROM span),
+            series AS (
+              SELECT g.event_type, g.h1, g.h - g.h0 AS x,
+                     COALESCE(c.n, 0) AS y
+              FROM grid g LEFT JOIN cnt c
+                ON c.event_type = g.event_type AND c.h = g.h),
+            s AS (
+              SELECT event_type, COUNT(*) AS n,
+                     CAST(SUM(x) AS BIGINT) AS sx,
+                     CAST(SUM(y) AS BIGINT) AS sy,
+                     SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+                     SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+              FROM series GROUP BY 1)
+            SELECT event_type, n,
+                   CAST(floor(CAST(n * sxy - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE) / CAST(n * sxx - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DOUBLE) * 1000000) AS BIGINT) AS slope_micro,
+                   CAST(floor(((CAST(sy AS DOUBLE) - CAST(n * sxy - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE) / CAST(n * sxx - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DOUBLE) * CAST(sx AS DOUBLE)) / n) * 1000000) AS BIGINT)
+                     AS intercept_micro,
+                   CAST(floor((((CAST(sy AS DOUBLE) - CAST(n * sxy - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE) / CAST(n * sxx - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DOUBLE) * CAST(sx AS DOUBLE)) / n) + CAST(n * sxy - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE) / CAST(n * sxx - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DOUBLE) * CAST(n AS DOUBLE))
+                              * 1000000) AS BIGINT) AS next_hour_micro
+            FROM s
+        """,
+        "q157_funnel_latency": """
+            WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+                       FROM events),
+            fv AS (SELECT user_id, MIN(us) AS v0 FROM e
+                   WHERE event_type = 'view' GROUP BY 1),
+            lat AS (
+              SELECT e.user_id, MIN(us) - MIN(v0) AS latency_us
+              FROM e JOIN fv USING (user_id)
+              WHERE event_type = 'purchase' AND us > v0
+              GROUP BY 1),
+            ranked AS (
+              SELECT latency_us,
+                     ROW_NUMBER() OVER (ORDER BY latency_us) AS rn,
+                     COUNT(*) OVER () AS n
+              FROM lat)
+            SELECT MAX(CASE WHEN rn = greatest(1,
+                         CAST(ceil(0.25 * n) AS BIGINT))
+                            THEN latency_us END) AS p25_us,
+                   MAX(CASE WHEN rn = greatest(1,
+                         CAST(ceil(0.5 * n) AS BIGINT))
+                            THEN latency_us END) AS p50_us,
+                   MAX(CASE WHEN rn = greatest(1,
+                         CAST(ceil(0.9 * n) AS BIGINT))
+                            THEN latency_us END) AS p90_us
+            FROM ranked
         """,
     }

@@ -4286,3 +4286,103 @@ def q155_degree_powerlaw(spark, sf):
         F.floor(slope * 1_000_000).cast("long").alias("slope_micro"),
         F.floor(intercept).cast("long").alias("intercept_micro"),
     )
+
+
+def q156_trend_forecast(spark, sf):
+    """Per-type linear trend + next-hour forecast: OLS of hourly event
+    counts against the hour index (q86's integer sufficient-statistics
+    discipline — counts and hour indexes are exact integers, products in
+    decimal(38,0), ONE double division per coefficient), extrapolated
+    one step ahead. The capacity-planning primitive.
+
+    Missing hours count as zero — the hour grid is densified per type
+    from the type's own [min, max] span (sequence+explode in the scan
+    stage), so the fit is over the true time series, not just nonempty
+    hours. One fact shuffle (the (type, hour) count)."""
+    ev = _events(spark, sf).select(
+        "event_type", F.expr("(ts div 1000) div 3600000000").alias("h")
+    )
+    cnt = (
+        ev.groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    span = cnt.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = span.select(
+        "event_type", "h0", "h1",
+        F.explode(F.sequence("h0", "h1")).alias("h"),
+    )
+    series = (
+        grid.join(cnt, on=["event_type", "h"], how="left")
+        .na.fill({"n": 0})
+        .select(
+            "event_type", "h1",
+            (F.col("h") - F.col("h0")).alias("x"),
+            F.col("n").alias("y"),
+        )
+    )
+    D18 = "decimal(18,0)"
+    D38 = "decimal(38,0)"
+    s = series.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast(D18) * F.col("y").cast(D18)).alias("sxy"),
+        F.sum(F.col("x").cast(D18) * F.col("x").cast(D18)).alias("sxx"),
+        F.max("h1").alias("h1"),
+    )
+    slope = (
+        (F.col("n").cast(D38) * F.col("sxy")
+         - F.col("sx").cast(D18) * F.col("sy").cast(D18)).cast("double")
+        / (F.col("n").cast(D38) * F.col("sxx")
+           - F.col("sx").cast(D18) * F.col("sx").cast(D18)).cast("double")
+    )
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n")
+    forecast = intercept + slope * F.col("n").cast("double")
+    return s.select(
+        "event_type", "n",
+        F.floor(slope * 1_000_000).cast("long").alias("slope_micro"),
+        F.floor(intercept * 1_000_000).cast("long").alias("intercept_micro"),
+        F.floor(forecast * 1_000_000).cast("long").alias("next_hour_micro"),
+    )
+
+
+def q157_funnel_latency(spark, sf):
+    """Funnel latency distribution: per user, microseconds from FIRST
+    view to the first purchase strictly after it; then exact discrete
+    p25/p50/p90 of those latencies — 'how long does conversion take',
+    the follow-up every funnel count (q59/q104) gets asked.
+
+    Per-user extraction is one conditional-min aggregation pass (no
+    joins): min view ts, then min purchase ts after it via a second
+    conditional agg over the same shuffle... expressed as two chained
+    aggs on ONE user_id exchange; the latency table (<= |users| rows)
+    runs through the bucketed discrete selector (q58 machinery)."""
+    from chemharmony_spark.operators.core import grouped_percentiles_disc
+
+    ev = _events(spark, sf).select(
+        "user_id", "event_type", F.expr("ts div 1000").alias("us")
+    )
+    first_view = ev.where(F.col("event_type") == "view").groupBy(
+        "user_id"
+    ).agg(F.min("us").alias("v0"))
+    lat = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(first_view, on="user_id")
+        .where(F.col("us") > F.col("v0"))
+        .groupBy("user_id")
+        .agg((F.min("us") - F.min("v0")).alias("latency_us"))
+    )
+    out = grouped_percentiles_disc(
+        lat.withColumn("all", F.lit(1)), ["all"], "latency_us",
+        [0.25, 0.50, 0.90],
+    )
+    return out.select(
+        F.col("p25").alias("p25_us"),
+        F.col("p50").alias("p50_us"),
+        F.col("p90").alias("p90_us"),
+    )

@@ -361,6 +361,13 @@ SHUFFLE_BUDGET = {
     # q155: the co-purchase derivation chain (basket agg, pair agg, deg,
     # hist, 1-row fit) — each exchange strictly smaller than the last
     "q155_degree_powerlaw": 7,
+    # q156: persisted (type, hour) counts (prints under span/series) +
+    # the per-type fit agg
+    "q156_trend_forecast": 3,
+    # q157: the funnel-latency chain prints under every consumer of the
+    # selector's persisted count table — 18 textual, ~4 executed (view
+    # agg, purchase join agg, selector count, selector windows)
+    "q157_funnel_latency": 18,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side

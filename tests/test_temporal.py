@@ -390,3 +390,42 @@ def test_topk_with_others_conserves_revenue(spark, sf_dir):
     )
     assert abs(sum(r.revenue for r in rows) - total) < 0.01
     assert other[0].n_nations == 20
+
+
+def test_trend_forecast_reference(spark, sf_dir):
+    """Slope/intercept/forecast equal python OLS over the zero-filled
+    hourly series."""
+    import math
+    from collections import Counter
+
+    from chemharmony_spark import queries as Q
+    from chemharmony_spark.queries import F as SF
+
+    got = {r.event_type: r for r in
+           Q.q156_trend_forecast(spark, sf_dir).collect()}
+    rows = Q._events(spark, sf_dir).select(
+        "event_type", SF.expr("(ts div 1000) div 3600000000").alias("h")
+    ).collect()
+    series = {}
+    for r in rows:
+        series.setdefault(r.event_type, Counter())[r.h] += 1
+    for t, cnt in series.items():
+        h0, h1 = min(cnt), max(cnt)
+        pts = [(h - h0, cnt.get(h, 0)) for h in range(h0, h1 + 1)]
+        n = len(pts)
+        sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts); sxx = sum(x * x for x, _ in pts)
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        icept = (sy - slope * sx) / n
+        g = got[t]
+        assert g.n == n
+        assert g.slope_micro == math.floor(slope * 1e6)
+        assert g.intercept_micro == math.floor(icept * 1e6)
+        assert g.next_hour_micro == math.floor((icept + slope * n) * 1e6)
+
+
+def test_funnel_latency_positive_and_ordered(spark, sf_dir):
+    from chemharmony_spark import queries as Q
+
+    r = Q.q157_funnel_latency(spark, sf_dir).collect()[0]
+    assert 0 < r.p25_us <= r.p50_us <= r.p90_us
