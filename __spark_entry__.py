@@ -234,6 +234,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q155_degree_powerlaw": Q.q155_degree_powerlaw,
         "q156_trend_forecast": Q.q156_trend_forecast,
         "q157_funnel_latency": Q.q157_funnel_latency,
+        "q158_user_features": Q.q158_user_features,
+        "q159_langid_confusion": Q.q159_langid_confusion,
     }
 
 
@@ -246,6 +248,31 @@ _NORM = ("trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')
          " ' +', ' ', 'g'))")
 _TOKS = f"list_filter(string_split({_NORM}, ' '), x -> x != '')"
 _HEXV = "(instr('0123456789abcdef', {c}) - 1)"
+
+
+_LANGID_CTES = f"""
+            t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            scores AS (
+              SELECT doc_id,
+                list_contains(toks,'der')::INT + list_contains(toks,'und')::INT
+                  + list_contains(toks,'die')::INT + list_contains(toks,'nicht')::INT AS de,
+                list_contains(toks,'the')::INT + list_contains(toks,'and')::INT
+                  + list_contains(toks,'of')::INT + list_contains(toks,'is')::INT AS en,
+                list_contains(toks,'el')::INT + list_contains(toks,'los')::INT
+                  + list_contains(toks,'que')::INT + list_contains(toks,'de')::INT AS es,
+                list_contains(toks,'le')::INT + list_contains(toks,'les')::INT
+                  + list_contains(toks,'des')::INT + list_contains(toks,'est')::INT AS fr,
+                list_contains(toks,'de')::INT + list_contains(toks,'shi')::INT
+                  + list_contains(toks,'le')::INT + list_contains(toks,'bu')::INT AS zh
+              FROM t),
+            longf AS (
+              SELECT doc_id, lang, score
+              FROM scores UNPIVOT (score FOR lang IN (de, en, es, fr, zh))),
+            lpred AS (
+              SELECT doc_id, lang AS pred_lang, score AS pred_score FROM longf
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                                         ORDER BY score DESC, lang) = 1)
+"""
 
 
 def _pcont_expr(name: str, num: int, den: int) -> str:
@@ -696,26 +723,8 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
         """,
         "q32_langid": f"""
-            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-            scores AS (
-              SELECT doc_id,
-                list_contains(toks,'der')::INT + list_contains(toks,'und')::INT
-                  + list_contains(toks,'die')::INT + list_contains(toks,'nicht')::INT AS de,
-                list_contains(toks,'the')::INT + list_contains(toks,'and')::INT
-                  + list_contains(toks,'of')::INT + list_contains(toks,'is')::INT AS en,
-                list_contains(toks,'el')::INT + list_contains(toks,'los')::INT
-                  + list_contains(toks,'que')::INT + list_contains(toks,'de')::INT AS es,
-                list_contains(toks,'le')::INT + list_contains(toks,'les')::INT
-                  + list_contains(toks,'des')::INT + list_contains(toks,'est')::INT AS fr,
-                list_contains(toks,'de')::INT + list_contains(toks,'shi')::INT
-                  + list_contains(toks,'le')::INT + list_contains(toks,'bu')::INT AS zh
-              FROM t),
-            longf AS (
-              SELECT doc_id, lang, score
-              FROM scores UNPIVOT (score FOR lang IN (de, en, es, fr, zh)))
-            SELECT doc_id, lang AS pred_lang, score AS pred_score FROM longf
-            QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
-                                       ORDER BY score DESC, lang) = 1
+            WITH {_LANGID_CTES}
+            SELECT doc_id, pred_lang, pred_score FROM lpred
         """,
         "q33_fingerprint_rollup": f"""
             SELECT source, COUNT(*) AS n_docs,
@@ -3288,5 +3297,36 @@ def oracle_sql() -> dict[str, str]:
                          CAST(ceil(0.9 * n) AS BIGINT))
                             THEN latency_us END) AS p90_us
             FROM ranked
+        """,
+        "q158_user_features": """
+            SELECT user_id,
+                   COUNT(*) AS n_events,
+                   COUNT(DISTINCT event_type) AS n_types,
+                   COUNT(DISTINCT epoch_us(ts) // 86400000000)
+                     AS active_days,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                     AS total_value,
+                   MIN(epoch_us(ts)) AS first_us,
+                   MAX(epoch_us(ts)) AS last_us,
+                   MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS span_us,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_purchases,
+                   CAST(COUNT(*) * 1000000
+                        // COUNT(DISTINCT epoch_us(ts) // 86400000000)
+                        AS BIGINT) AS events_per_day_ppm
+            FROM events GROUP BY user_id
+        """,
+        "q159_langid_confusion": f"""
+            WITH {_LANGID_CTES},
+            cells AS MATERIALIZED (
+              SELECT d.lang, p.pred_lang, COUNT(*) AS n
+              FROM documents d JOIN lpred p USING (doc_id)
+              GROUP BY 1, 2),
+            tot AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS t
+                    FROM cells GROUP BY 1)
+            SELECT cells.lang AS actual, pred_lang AS predicted, n,
+                   CAST(n * 1000000 // t AS BIGINT) AS share_ppm
+            FROM cells JOIN tot USING (lang)
         """,
     }

@@ -4386,3 +4386,59 @@ def q157_funnel_latency(spark, sf):
         F.col("p50").alias("p50_us"),
         F.col("p90").alias("p90_us"),
     )
+
+
+def q158_user_features(spark, sf):
+    """Per-user ML feature vector in ONE aggregation pass — the feature-
+    engineering staple (churn/propensity models): event count, distinct
+    types, active days, exact-decimal value sum, first/last timestamps,
+    span, and events-per-active-day ppm. No windows, no self-joins — all
+    nine features are conditional/aggregate expressions sharing the
+    single user_id shuffle; cross-engine exactness via decimal money,
+    integer microseconds, and integer ppm rates."""
+    ev = _events(spark, sf).select(
+        "user_id", "event_type", "value",
+        F.expr("ts div 1000").alias("us"),
+    )
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("event_type").alias("n_types"),
+        F.count_distinct(F.expr("us div 86400000000")).alias("active_days"),
+        F.sum(_d("value")).cast("double").alias("total_value"),
+        F.min("us").alias("first_us"),
+        F.max("us").alias("last_us"),
+        (F.max("us") - F.min("us")).alias("span_us"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("n_purchases"),
+        F.expr(
+            "count(1) * 1000000L div count(distinct (us div 86400000000))"
+        ).alias("events_per_day_ppm"),
+    )
+
+
+def q159_langid_confusion(spark, sf):
+    """Language-ID confusion matrix: the stopword-marker classifier's
+    (q32) predictions against the corpus's labeled ``lang`` column, as
+    (actual, predicted, n) cells plus integer recall ppm per cell — the
+    evaluation loop every heuristic curation filter needs.
+
+    One label join on doc_id (both sides corpus-partitioned) and one
+    9-ish-row count agg; the per-actual totals re-agg from the persisted
+    cell table."""
+    docs = _t(spark, sf, "documents")
+    pred = TX.langid_scores(docs).select("doc_id", "pred_lang")
+    cells = (
+        docs.select("doc_id", "lang")
+        .join(pred, on="doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    tot = cells.groupBy("lang").agg(F.sum("n").alias("t"))
+    return cells.join(F.broadcast(tot), on="lang").select(
+        F.col("lang").alias("actual"),
+        F.col("pred_lang").alias("predicted"),
+        "n",
+        F.expr("n * 1000000L div t").alias("share_ppm"),
+    )

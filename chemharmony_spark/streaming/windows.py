@@ -76,6 +76,22 @@ def stream_tumbling_counts(
     )
 
 
+def stream_hopping_counts(
+    spark: SparkSession,
+    events_dir: str,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+) -> DataFrame:
+    """Streaming hopping-window counts — the stream twin of the batch
+    q137_hopping_window: each event expands JVM-side into its
+    window/slide = 4 overlapping windows before the stateful agg. Same
+    complete-mode bounded-replay parity contract as the tumbling rollup."""
+    src = stream_events(spark, events_dir)
+    return src.groupBy(
+        F.window("ts_ts", window, slide), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
 def stream_session_counts(
     spark: SparkSession,
     events_dir: str,

@@ -418,3 +418,42 @@ def test_split_leakage_audit_shape(spark, sf_dir):
     for r in rows.values():
         assert 0 <= r.n_leaked <= r.n_docs
         assert r.leaked_ppm == r.n_leaked * 1_000_000 // r.n_docs
+
+
+def test_user_features_consistency(spark, sf_dir):
+    """Feature invariants: spans/purchase counts/ppm rates consistent
+    with the raw per-user event lists."""
+    from collections import defaultdict
+
+    from chemharmony_spark import queries as Q
+
+    got = {r.user_id: r for r in Q.q158_user_features(spark, sf_dir).collect()}
+    ev = defaultdict(list)
+    for r in Q._events(spark, sf_dir).select(
+            "user_id", "event_type", Q.F.expr("ts div 1000").alias("us")
+    ).collect():
+        ev[r.user_id].append((r.us, r.event_type))
+    for uid, rows in ev.items():
+        g = got[uid]
+        assert g.n_events == len(rows)
+        assert g.span_us == max(u for u, _ in rows) - min(u for u, _ in rows)
+        assert g.n_purchases == sum(1 for _, t in rows if t == "purchase")
+        days = {u // 86_400_000_000 for u, _ in rows}
+        assert g.active_days == len(days)
+        assert g.events_per_day_ppm == len(rows) * 1_000_000 // len(days)
+
+
+def test_langid_confusion_covers_corpus(spark, sf_dir):
+    """Cell counts sum to the corpus size; per-actual shares sum to ~1e6."""
+    from collections import defaultdict
+
+    from chemharmony_spark import queries as Q
+
+    rows = Q.q159_langid_confusion(spark, sf_dir).collect()
+    n_docs = Q._t(spark, sf_dir, "documents").count()
+    assert sum(r.n for r in rows) == n_docs
+    per_actual = defaultdict(int)
+    for r in rows:
+        per_actual[r.actual] += r.share_ppm
+    for actual, s in per_actual.items():
+        assert 1_000_000 - 10 <= s <= 1_000_000, actual

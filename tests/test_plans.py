@@ -368,6 +368,10 @@ SHUFFLE_BUDGET = {
     # selector's persisted count table — 18 textual, ~4 executed (view
     # agg, purchase join agg, selector count, selector windows)
     "q157_funnel_latency": 18,
+    # q158: one user agg (count_distinct expands to a second exchange)
+    "q158_user_features": 2,
+    # q159: doc_id label join + persisted cell counts + 5-row totals
+    "q159_langid_confusion": 3,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side

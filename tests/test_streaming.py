@@ -541,3 +541,20 @@ def test_streaming_cusum_matches_batch_across_batches(spark, sf_dir, tmp_path):
     assert ours == batch
     # the split genuinely produced two batches (some user alarms straddle)
     assert streamed.count() > len(batch)
+
+
+def test_streaming_hopping_window_matches_batch(spark, sf_dir):
+    """Sliding-window streaming agg == the batch hopping-window rollup
+    (q137) on a bounded replay."""
+    from chemharmony_spark.queries import q137_hopping_window
+    from chemharmony_spark.streaming.windows import stream_hopping_counts
+
+    agg = stream_hopping_counts(spark, sf_dir)
+    streamed = run_stream_to_memory(agg, "stream_hopping").select(
+        F.unix_micros(F.col("window.start")).alias("window_start_us"),
+        "event_type",
+        "n",
+    )
+    s = sorted(map(tuple, streamed.collect()))
+    b = sorted(map(tuple, q137_hopping_window(spark, sf_dir).collect()))
+    assert s == b
