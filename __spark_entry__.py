@@ -236,6 +236,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q157_funnel_latency": Q.q157_funnel_latency,
         "q158_user_features": Q.q158_user_features,
         "q159_langid_confusion": Q.q159_langid_confusion,
+        "q160_lsh_recall_audit": Q.q160_lsh_recall_audit,
     }
 
 
@@ -3328,5 +3329,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT cells.lang AS actual, pred_lang AS predicted, n,
                    CAST(n * 1000000 // t AS BIGINT) AS share_ppm
             FROM cells JOIN tot USING (lang)
+        """,
+        "q160_lsh_recall_audit": f"""
+            WITH sig AS ({_SIG_SQL}),
+            words AS MATERIALIZED (
+              SELECT DISTINCT doc_id AS id, unnest(toks) AS word
+              FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)),
+            sizes AS (SELECT id, COUNT(*) AS nw FROM words GROUP BY id),
+            inter AS MATERIALIZED (
+              SELECT wa.id AS a, wb.id AS b, COUNT(*) AS n_inter
+              FROM words wa JOIN words wb
+                ON wb.word = wa.word AND wa.id < wb.id
+              GROUP BY 1, 2),
+            truth AS MATERIALIZED (
+              SELECT a, b FROM inter
+              JOIN sizes sa ON sa.id = a
+              JOIN sizes sb ON sb.id = b
+              WHERE n_inter / (sa.nw + sb.nw - n_inter) >= 0.8),
+            cands AS MATERIALIZED (
+              SELECT DISTINCT l.id AS a, r.id AS b
+              FROM sig l JOIN sig r
+                ON l.band = r.band AND l.minhash = r.minhash
+               AND l.id < r.id),
+            hits AS MATERIALIZED (
+              SELECT c.a, c.b FROM cands c
+              JOIN inter i ON i.a = c.a AND i.b = c.b
+              JOIN sizes sa ON sa.id = c.a
+              JOIN sizes sb ON sb.id = c.b
+              WHERE n_inter / (sa.nw + sb.nw - n_inter) >= 0.8),
+            found AS (SELECT t.a FROM truth t
+                      JOIN hits h ON h.a = t.a AND h.b = t.b)
+            SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+                   (SELECT COUNT(*) FROM cands) AS n_lsh_candidates,
+                   (SELECT COUNT(*) FROM hits) AS n_lsh_verified,
+                   (SELECT COUNT(*) FROM found) AS n_found,
+                   CAST((SELECT COUNT(*) FROM found) * 1000000
+                        // (SELECT COUNT(*) FROM truth) AS BIGINT)
+                     AS recall_ppm
         """,
     }

@@ -4442,3 +4442,53 @@ def q159_langid_confusion(spark, sf):
         "n",
         F.expr("n * 1000000L div t").alias("share_ppm"),
     )
+
+
+def q160_lsh_recall_audit(spark, sf):
+    """LSH recall audit — quantifies the approximate/exact tradeoff as a
+    first-class query: ground-truth Jaccard>=0.8 pairs from the EXACT
+    PPJoin path (q82, lossless by construction) vs the MinHash-LSH
+    candidate path (q36), reporting candidate volume, verified hits, and
+    recall ppm. This is the measurement loop that justifies (or rejects)
+    the LSH configuration before a 100 TB dedup run.
+
+    Both pipelines are the existing bucketed/candidate designs — nothing
+    quadratic; the final report is four 1-row aggregates cross-joined
+    (broadcast). The oracle reproduces ground truth by brute force
+    (inverted-index self-join) — feasible at oracle scale, and the
+    equality doubles as a PPJoin exactness proof."""
+    t = 0.8
+    docs = _t(spark, sf, "documents")
+    truth = (
+        DD.jaccard_pairs(
+            docs, DD.prefix_filter_pairs(docs, "doc_id", "text",
+                                         threshold=t),
+            "doc_id", "text",
+        )
+        .where(F.col("jaccard") >= t)
+        .select("a", "b")
+        .persist()
+    )
+    sig = DD.minhash_signatures(docs, "doc_id", "text").persist()
+    cands = DD.lsh_candidate_pairs(sig).persist()
+    hits = (
+        DD.jaccard_pairs(docs, cands, "doc_id", "text")
+        .where(F.col("jaccard") >= t)
+        .select("a", "b")
+        .persist()
+    )
+    nt = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    nc = cands.agg(F.count(F.lit(1)).alias("n_lsh_candidates"))
+    nh = hits.agg(F.count(F.lit(1)).alias("n_lsh_verified"))
+    nf = truth.join(hits, on=["a", "b"], how="left_semi").agg(
+        F.count(F.lit(1)).alias("n_found")
+    )
+    return (
+        nt.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(nh))
+        .crossJoin(F.broadcast(nf))
+        .select(
+            "n_true", "n_lsh_candidates", "n_lsh_verified", "n_found",
+            F.expr("n_found * 1000000L div n_true").alias("recall_ppm"),
+        )
+    )

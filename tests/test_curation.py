@@ -457,3 +457,15 @@ def test_langid_confusion_covers_corpus(spark, sf_dir):
         per_actual[r.actual] += r.share_ppm
     for actual, s in per_actual.items():
         assert 1_000_000 - 10 <= s <= 1_000_000, actual
+
+
+def test_lsh_recall_audit_invariants(spark, sf_dir):
+    """Verified LSH hits are a subset of ground truth (same threshold),
+    so n_found == n_lsh_verified <= min(n_true, n_lsh_candidates)."""
+    from chemharmony_spark import queries as Q
+
+    r = Q.q160_lsh_recall_audit(spark, sf_dir).collect()[0]
+    assert r.n_found == r.n_lsh_verified
+    assert r.n_lsh_verified <= r.n_lsh_candidates
+    assert r.n_found <= r.n_true
+    assert r.recall_ppm == r.n_found * 1_000_000 // r.n_true

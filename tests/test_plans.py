@@ -372,6 +372,10 @@ SHUFFLE_BUDGET = {
     "q158_user_features": 2,
     # q159: doc_id label join + persisted cell counts + 5-row totals
     "q159_langid_confusion": 3,
+    # q160: four persisted pipelines (truth/sig/cands/hits) print their
+    # subtrees under every 1-row count consumer — 16 textual; executed
+    # work is the q82 + q36 pipelines once each
+    "q160_lsh_recall_audit": 16,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -403,7 +407,9 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 # q152/q153: 1-row arm/total scalar broadcasts
                 "q152_ab_test", "q153_benford_digits",
                 # q154: q38's broadcast-queries exact top-k
-                "q154_knn_classify"}
+                "q154_knn_classify",
+                # q160: 1-row count frames cross-joined for the report
+                "q160_lsh_recall_audit"}
 
 
 def test_no_headline_query_has_unpartitioned_ranked_window(spark):
