@@ -451,6 +451,12 @@ def test_every_query_plan_within_scale_budget(spark):
 
     import re
 
+    # frames persisted by OTHER tests register in the CacheManager and get
+    # substituted into these plans (cached subtrees print once per
+    # consumer with fresh plan_ids), making textual counts depend on test
+    # order — audit from a clean cache catalog
+    spark.catalog.clearCache()
+
     def count_shuffles(plan: str) -> int:
         """Distinct physical (non-broadcast) exchanges. A persisted
         frame's cached subtree prints once per consumer, so a textual
