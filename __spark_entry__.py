@@ -237,6 +237,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q158_user_features": Q.q158_user_features,
         "q159_langid_confusion": Q.q159_langid_confusion,
         "q160_lsh_recall_audit": Q.q160_lsh_recall_audit,
+        "q161_ks_test": Q.q161_ks_test,
+        "q162_rare_category_collapse": Q.q162_rare_category_collapse,
     }
 
 
@@ -3366,5 +3368,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST((SELECT COUNT(*) FROM found) * 1000000
                         // (SELECT COUNT(*) FROM truth) AS BIGINT)
                      AS recall_ppm
+        """,
+        "q161_ks_test": """
+            WITH cnt AS (
+              SELECT value,
+                     CAST(SUM(CASE WHEN event_type = 'view'
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                     CAST(SUM(CASE WHEN event_type = 'purchase'
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS c2
+              FROM events
+              WHERE event_type IN ('view', 'purchase')
+              GROUP BY 1),
+            cum AS (
+              SELECT value,
+                     SUM(c1) OVER (ORDER BY value
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cum1,
+                     SUM(c2) OVER (ORDER BY value
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cum2
+              FROM cnt),
+            tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+                           CAST(SUM(c2) AS BIGINT) AS n2
+                    FROM cnt)
+            SELECT n1, n2,
+                   CAST(floor(
+                     CAST(MAX(abs(cum1 * n2 - cum2 * n1)) AS DOUBLE)
+                     / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                     * 1000000) AS BIGINT) AS d_ppm
+            FROM cum, tot
+            GROUP BY n1, n2
+        """,
+        "q162_rare_category_collapse": """
+            WITH hist AS (
+              SELECT p_type, COUNT(*) AS n FROM part GROUP BY 1)
+            SELECT CASE WHEN n < 10 THEN 'OTHER' ELSE p_type END
+                     AS category,
+                   CAST(SUM(n) AS BIGINT) AS n_parts,
+                   COUNT(*) AS n_merged_types
+            FROM hist
+            GROUP BY 1
         """,
     }

@@ -4492,3 +4492,80 @@ def q160_lsh_recall_audit(spark, sf):
             F.expr("n_found * 1000000L div n_true").alias("recall_ppm"),
         )
     )
+
+
+def q161_ks_test(spark, sf):
+    """Two-sample Kolmogorov-Smirnov distance between the value
+    distributions of 'view' and 'purchase' events — the distribution-
+    shift test (train/serve skew, segment drift) that PSI (q127) bins
+    away and this computes exactly: D = max_v |F1(v) - F2(v)|.
+
+    Exact integers throughout: per-value counts for both samples in ONE
+    conditional agg (the only full-data exchange); both empirical CDFs
+    via the bucketed grouped_cumsum on the distinct-value table (no
+    unpartitioned window); |cum1*n2 - cum2*n1| in decimal(38,0) (exact
+    at any scale), ONE double division chain for the final ppm."""
+    from chemharmony_spark.operators.core import grouped_cumsum
+
+    ev = _events(spark, sf).where(
+        F.col("event_type").isin("view", "purchase")
+    ).select(
+        "value",
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("is1"),
+    )
+    cnt = ev.groupBy("value").agg(
+        F.sum("is1").alias("c1"),
+        F.sum(F.lit(1) - F.col("is1")).alias("c2"),
+    )
+    cum1 = grouped_cumsum(cnt, (), "value", "c1", out_col="cum1",
+                          bucket=F.floor("value").cast("long"))
+    cum2 = grouped_cumsum(cum1, (), "value", "c2", out_col="cum2",
+                          bucket=F.floor("value").cast("long"))
+    D38 = "decimal(38,0)"
+    tot = cum2.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    diff = F.abs(
+        F.col("cum1").cast(D38) * F.col("n2").cast(D38)
+        - F.col("cum2").cast(D38) * F.col("n1").cast(D38)
+    )
+    return (
+        cum2.crossJoin(F.broadcast(tot))
+        .agg(
+            F.min("n1").alias("n1"),
+            F.min("n2").alias("n2"),
+            F.max(diff).alias("maxdiff"),
+        )
+        .select(
+            "n1", "n2",
+            F.floor(
+                F.col("maxdiff").cast("double")
+                / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+                * 1_000_000
+            ).cast("long").alias("d_ppm"),
+        )
+    )
+
+
+def q162_rare_category_collapse(spark, sf):
+    """Rare-category collapse — the feature-prep recode that keeps
+    one-hot/embedding cardinality bounded: part types with fewer than 10
+    parts fold into 'OTHER'. The category histogram (the only full-data
+    exchange, map-side combined) is re-used for both the rare set and the
+    output rollup; the rare dimension stays in category space (never
+    corpus-scaled), so the recode join is a broadcast."""
+    parts = _t(spark, sf, "part").select("p_type")
+    hist = (
+        parts.groupBy("p_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    K = 10
+    recoded = hist.select(
+        F.when(F.col("n") < K, F.lit("OTHER"))
+        .otherwise(F.col("p_type"))
+        .alias("category"),
+        "n",
+    )
+    return recoded.groupBy("category").agg(
+        F.sum("n").alias("n_parts"),
+        F.count(F.lit(1)).alias("n_merged_types"),
+    )

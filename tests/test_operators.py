@@ -252,3 +252,37 @@ def test_benford_shares_sum_to_one(spark, sf_dir):
     assert 1_000_000 - 9 <= s <= 1_000_000
     for r in rows:
         assert r.dev == (r.obs_ppm - r.exp_ppm) ** 2 // r.exp_ppm
+
+
+def test_ks_test_matches_scipy_free_reference(spark, sf_dir):
+    """D equals the plain-python two-sample KS on the same data."""
+    import math
+    from collections import Counter
+
+    from chemharmony_spark import queries as Q
+
+    r = Q.q161_ks_test(spark, sf_dir).collect()[0]
+    rows = Q._events(spark, sf_dir).select("event_type", "value").collect()
+    a = sorted(x.value for x in rows if x.event_type == "view")
+    b = sorted(x.value for x in rows if x.event_type == "purchase")
+    ca, cb = Counter(a), Counter(b)
+    values = sorted(set(a) | set(b))
+    cum1 = cum2 = 0
+    best = 0
+    for v in values:
+        cum1 += ca.get(v, 0)
+        cum2 += cb.get(v, 0)
+        best = max(best, abs(cum1 * len(b) - cum2 * len(a)))
+    assert (r.n1, r.n2) == (len(a), len(b))
+    assert r.d_ppm == math.floor(best / (len(a) * len(b)) * 1_000_000)
+
+
+def test_rare_category_collapse_conserves_counts(spark, sf_dir):
+    from chemharmony_spark import queries as Q
+
+    rows = Q.q162_rare_category_collapse(spark, sf_dir).collect()
+    total = Q._t(spark, sf_dir, "part").count()
+    assert sum(r.n_parts for r in rows) == total
+    named = [r for r in rows if r.category != "OTHER"]
+    for r in named:
+        assert r.n_merged_types == 1 and r.n_parts >= 10

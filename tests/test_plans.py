@@ -376,6 +376,12 @@ SHUFFLE_BUDGET = {
     # subtrees under every 1-row count consumer — 16 textual; executed
     # work is the q82 + q36 pipelines once each
     "q160_lsh_recall_audit": 16,
+    # q161: one fact agg + TWO chained bucketed cumsums over the
+    # distinct-value table (each: bucket window + offset chain) — 17
+    # textual, the distinct-value frames print per consumer
+    "q161_ks_test": 17,
+    # q162: persisted category histogram + the collapse rollup
+    "q162_rare_category_collapse": 2,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -409,7 +415,9 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 # q154: q38's broadcast-queries exact top-k
                 "q154_knn_classify",
                 # q160: 1-row count frames cross-joined for the report
-                "q160_lsh_recall_audit"}
+                "q160_lsh_recall_audit",
+                # q161: 1-row sample-size broadcast
+                "q161_ks_test"}
 
 
 def test_no_headline_query_has_unpartitioned_ranked_window(spark):
