@@ -239,6 +239,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q160_lsh_recall_audit": Q.q160_lsh_recall_audit,
         "q161_ks_test": Q.q161_ks_test,
         "q162_rare_category_collapse": Q.q162_rare_category_collapse,
+        "q163_k_anonymity": Q.q163_k_anonymity,
+        "q164_media_dedup_clusters": Q.q164_media_dedup_clusters,
     }
 
 
@@ -275,6 +277,55 @@ _LANGID_CTES = f"""
               SELECT doc_id, lang AS pred_lang, score AS pred_score FROM longf
               QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
                                          ORDER BY score DESC, lang) = 1)
+"""
+
+
+_AHASH_PAIRS_SQL = """
+            WITH codes AS (
+              SELECT doc_id,
+                     [ord(substr(text, p, 1))
+                      for p in generate_series(1, length(text))] AS cs,
+                     length(text) AS n
+              FROM documents),
+            sums AS (
+              SELECT doc_id, cs, n,
+                     CAST(list_aggregate(cs, 'sum') AS BIGINT) AS total
+              FROM codes WHERE n > 0),
+            -- np.array_split semantics: first (n % 64) cells get an extra
+            -- element; cell i (0-based) starts at i*q + least(i, r)
+            hashes AS (
+              SELECT doc_id,
+                     CAST(list_aggregate(
+                       [CASE WHEN (CASE WHEN i < (n % 64)
+                                        THEN (n // 64) + 1
+                                        ELSE (n // 64) END) > 0
+                                  AND CAST(COALESCE(list_aggregate(
+                                        cs[(i * (n // 64) + least(i, n % 64) + 1):
+                                           (i * (n // 64) + least(i, n % 64)
+                                            + (CASE WHEN i < (n % 64)
+                                                    THEN (n // 64) + 1
+                                                    ELSE (n // 64) END))],
+                                        'sum'), 0) AS HUGEINT) * n
+                                      > CAST(total AS HUGEINT)
+                                        * (CASE WHEN i < (n % 64)
+                                                THEN (n // 64) + 1
+                                                ELSE (n // 64) END)
+                             THEN CAST(1 AS HUGEINT) << (63 - i)
+                             ELSE CAST(0 AS HUGEINT) END
+                        for i in generate_series(0, 63)], 'sum') AS HUGEINT)
+                       AS uval
+              FROM sums),
+            signed AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN uval >= CAST(1 AS HUGEINT) << 63
+                               THEN uval - (CAST(1 AS HUGEINT) << 64)
+                               ELSE uval END AS BIGINT) AS ahash
+              FROM hashes)
+            SELECT l.doc_id AS a, r.doc_id AS b,
+                   CAST(bit_count(xor(l.ahash, r.ahash)) AS INTEGER)
+                     AS hamming
+            FROM signed l JOIN signed r ON l.doc_id < r.doc_id
+            WHERE bit_count(xor(l.ahash, r.ahash)) <= 10
 """
 
 
@@ -1566,53 +1617,7 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY 1, 2, 3
         """,
-        "q79_media_near_dups": """
-            WITH codes AS (
-              SELECT doc_id,
-                     [ord(substr(text, p, 1))
-                      for p in generate_series(1, length(text))] AS cs,
-                     length(text) AS n
-              FROM documents),
-            sums AS (
-              SELECT doc_id, cs, n,
-                     CAST(list_aggregate(cs, 'sum') AS BIGINT) AS total
-              FROM codes WHERE n > 0),
-            -- np.array_split semantics: first (n % 64) cells get an extra
-            -- element; cell i (0-based) starts at i*q + least(i, r)
-            hashes AS (
-              SELECT doc_id,
-                     CAST(list_aggregate(
-                       [CASE WHEN (CASE WHEN i < (n % 64)
-                                        THEN (n // 64) + 1
-                                        ELSE (n // 64) END) > 0
-                                  AND CAST(COALESCE(list_aggregate(
-                                        cs[(i * (n // 64) + least(i, n % 64) + 1):
-                                           (i * (n // 64) + least(i, n % 64)
-                                            + (CASE WHEN i < (n % 64)
-                                                    THEN (n // 64) + 1
-                                                    ELSE (n // 64) END))],
-                                        'sum'), 0) AS HUGEINT) * n
-                                      > CAST(total AS HUGEINT)
-                                        * (CASE WHEN i < (n % 64)
-                                                THEN (n // 64) + 1
-                                                ELSE (n // 64) END)
-                             THEN CAST(1 AS HUGEINT) << (63 - i)
-                             ELSE CAST(0 AS HUGEINT) END
-                        for i in generate_series(0, 63)], 'sum') AS HUGEINT)
-                       AS uval
-              FROM sums),
-            signed AS (
-              SELECT doc_id,
-                     CAST(CASE WHEN uval >= CAST(1 AS HUGEINT) << 63
-                               THEN uval - (CAST(1 AS HUGEINT) << 64)
-                               ELSE uval END AS BIGINT) AS ahash
-              FROM hashes)
-            SELECT l.doc_id AS a, r.doc_id AS b,
-                   CAST(bit_count(xor(l.ahash, r.ahash)) AS INTEGER)
-                     AS hamming
-            FROM signed l JOIN signed r ON l.doc_id < r.doc_id
-            WHERE bit_count(xor(l.ahash, r.ahash)) <= 10
-        """,
+        "q79_media_near_dups": _AHASH_PAIRS_SQL,
         "q80_corpus_splits": f"""
             WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
             c AS (
@@ -3408,5 +3413,38 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_merged_types
             FROM hist
             GROUP BY 1
+        """,
+        "q163_k_anonymity": """
+            WITH g AS (
+              SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+              FROM customer GROUP BY 1, 2)
+            SELECT COUNT(*) AS n_groups,
+                   CAST(SUM(n) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_unsafe_groups,
+                   CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+                     AS n_suppressed_rows,
+                   CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) * 1000000
+                        // SUM(n) AS BIGINT) AS suppressed_ppm
+            FROM g
+        """,
+        "q164_media_dedup_clusters": f"""
+            WITH RECURSIVE pairs AS MATERIALIZED ({_AHASH_PAIRS_SQL}),
+            sym AS MATERIALIZED (
+              SELECT a, b FROM pairs
+              UNION
+              SELECT b AS a, a AS b FROM pairs),
+            nodes AS (SELECT DISTINCT a AS node FROM sym),
+            reach AS (
+              SELECT node, node AS peer FROM nodes
+              UNION
+              SELECT r.node, s.b AS peer
+              FROM reach r JOIN sym s ON r.peer = s.a),
+            comp AS (
+              SELECT node, MIN(peer) AS component FROM reach GROUP BY node)
+            SELECT component, COUNT(*) AS n_members,
+                   md5(string_agg(CAST(node AS VARCHAR), ','
+                                  ORDER BY node)) AS members_hash
+            FROM comp GROUP BY component
         """,
     }

@@ -4569,3 +4569,60 @@ def q162_rare_category_collapse(spark, sf):
         F.sum("n").alias("n_parts"),
         F.count(F.lit(1)).alias("n_merged_types"),
     )
+
+
+def q163_k_anonymity(spark, sf):
+    """k-anonymity audit (k=5) on the (nation, market-segment) quasi-
+    identifier: how many customers sit in groups small enough to
+    re-identify — the privacy gate before sharing derived tables.
+
+    ONE quasi-identifier group count (map-side combined) feeds a 1-row
+    integer report: group/row totals, unsafe groups (< k members), rows
+    needing suppression, and the suppression rate in ppm."""
+    K = 5
+    cust = _t(spark, sf, "customer").select("c_nationkey", "c_mktsegment")
+    g = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("n").alias("n_rows"),
+        F.sum(F.when(F.col("n") < K, 1).otherwise(0)).alias(
+            "n_unsafe_groups"
+        ),
+        F.sum(F.when(F.col("n") < K, F.col("n")).otherwise(0)).alias(
+            "n_suppressed_rows"
+        ),
+    ).select(
+        "n_groups", "n_rows", "n_unsafe_groups", "n_suppressed_rows",
+        F.expr("n_suppressed_rows * 1000000L div n_rows").alias(
+            "suppressed_ppm"
+        ),
+    )
+
+
+def q164_media_dedup_clusters(spark, sf):
+    """Multimodal dedup end-to-end: q79's perceptual-hash near-dup pairs
+    (Arrow mapInPandas aHash, banded candidates, exact Hamming <= 10)
+    fed through connected components into one row per media cluster with
+    the member-set hash — the binary-payload twin of q69's text
+    pipeline, proving the pairs->clusters machinery is modality-neutral.
+
+    The pair frame is persisted before CC (its eager localCheckpoint
+    otherwise re-derives the whole Python hashing pass — SCALE.md rule)."""
+    from chemharmony_spark.operators.graph import connected_components
+
+    pairs = q79_media_near_dups(spark, sf).select("a", "b").persist()
+    comp = connected_components(pairs, "a", "b")
+    return comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("node")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            )
+        ).alias("members_hash"),
+    )

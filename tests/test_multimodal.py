@@ -123,3 +123,23 @@ def test_real_pil_decode_branch(spark):
 
     h = {r["doc_id"]: r["ahash"] for r in ahash64(df).collect()}
     assert isinstance(h[0], int) and isinstance(h[1], int)
+
+
+def test_media_dedup_clusters_partition_pairs(spark, sf_dir):
+    """Every near-dup pair's endpoints share a cluster, and member counts
+    sum to the number of distinct paired docs."""
+    from chemharmony_spark import queries as Q
+
+    pairs = Q.q79_media_near_dups(spark, sf_dir).select("a", "b").collect()
+    clusters = Q.q164_media_dedup_clusters(spark, sf_dir).collect()
+    # rebuild membership from the deterministic components
+    from chemharmony_spark.operators.graph import connected_components
+    from pyspark.sql import functions as F
+
+    docs = {d for p in pairs for d in (p.a, p.b)}
+    assert sum(c.n_members for c in clusters) == len(docs)
+    comp = {r.node: r.component for r in connected_components(
+        Q.q79_media_near_dups(spark, sf_dir).select("a", "b").persist(),
+        "a", "b").collect()}
+    for p in pairs:
+        assert comp[p.a] == comp[p.b]

@@ -286,3 +286,20 @@ def test_rare_category_collapse_conserves_counts(spark, sf_dir):
     named = [r for r in rows if r.category != "OTHER"]
     for r in named:
         assert r.n_merged_types == 1 and r.n_parts >= 10
+
+
+def test_k_anonymity_reference(spark, sf_dir):
+    from collections import Counter
+
+    from chemharmony_spark import queries as Q
+
+    r = Q.q163_k_anonymity(spark, sf_dir).collect()[0]
+    rows = Q._t(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment").collect()
+    g = Counter((x.c_nationkey, x.c_mktsegment) for x in rows)
+    unsafe = {k: n for k, n in g.items() if n < 5}
+    assert r.n_groups == len(g)
+    assert r.n_rows == len(rows)
+    assert r.n_unsafe_groups == len(unsafe)
+    assert r.n_suppressed_rows == sum(unsafe.values())
+    assert r.suppressed_ppm == sum(unsafe.values()) * 1_000_000 // len(rows)

@@ -382,6 +382,11 @@ SHUFFLE_BUDGET = {
     "q161_ks_test": 17,
     # q162: persisted category histogram + the collapse rollup
     "q162_rare_category_collapse": 2,
+    # q163: quasi-identifier group count + the 1-row report agg
+    "q163_k_anonymity": 2,
+    # q164: final rollup over checkpointed component labels (q69 shape);
+    # the aHash pair derivation executes during CC construction
+    "q164_media_dedup_clusters": 1,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
