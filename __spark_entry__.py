@@ -241,6 +241,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q162_rare_category_collapse": Q.q162_rare_category_collapse,
         "q163_k_anonymity": Q.q163_k_anonymity,
         "q164_media_dedup_clusters": Q.q164_media_dedup_clusters,
+        "q165_cross_perplexity": Q.q165_cross_perplexity,
+        "q166_vocab_overlap": Q.q166_vocab_overlap,
     }
 
 
@@ -3446,5 +3448,49 @@ def oracle_sql() -> dict[str, str]:
                    md5(string_agg(CAST(node AS VARCHAR), ','
                                   ORDER BY node)) AS members_hash
             FROM comp GROUP BY component
+        """,
+        "q165_cross_perplexity": f"""
+            WITH dw AS MATERIALIZED (
+              SELECT doc_id, source, w, COUNT(*) AS c
+              FROM (SELECT doc_id, source, unnest({_TOKS}) AS w
+                    FROM documents)
+              GROUP BY 1, 2, 3),
+            ref AS (
+              SELECT w, CAST(SUM(c) AS BIGINT) AS ca
+              FROM dw
+              WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')
+              GROUP BY 1),
+            ta AS (SELECT CAST(SUM(ca) AS BIGINT) AS ta FROM ref),
+            vocab AS (SELECT COUNT(DISTINCT w) AS v FROM dw),
+            terms AS (
+              SELECT d.w,
+                     CAST(floor(
+                       ln(CAST(COALESCE(ca, 0) + 1 AS DOUBLE) / (ta + v))
+                       * 1000000) AS BIGINT) AS term
+              FROM (SELECT DISTINCT w FROM dw) d
+              LEFT JOIN ref USING (w), ta, vocab)
+            SELECT doc_id, source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   CAST(SUM(c * term) AS BIGINT) AS logprob_micro
+            FROM dw JOIN terms USING (w)
+            GROUP BY 1, 2
+        """,
+        "q166_vocab_overlap": f"""
+            WITH sw AS MATERIALIZED (
+              SELECT DISTINCT source, w
+              FROM (SELECT source, unnest({_TOKS}) AS w FROM documents)),
+            sizes AS (SELECT source, COUNT(*) AS nv FROM sw GROUP BY 1),
+            shared AS (
+              SELECT l.source AS src_a, r.source AS src_b,
+                     COUNT(*) AS n_shared
+              FROM sw l JOIN sw r
+                ON l.w = r.w AND l.source < r.source
+              GROUP BY 1, 2)
+            SELECT src_a, src_b, n_shared,
+                   sa.nv AS na, sb.nv AS nb,
+                   CAST(n_shared * 1000000 // (sa.nv + sb.nv - n_shared)
+                        AS BIGINT) AS jaccard_ppm
+            FROM shared
+            JOIN sizes sa ON sa.source = src_a
+            JOIN sizes sb ON sb.source = src_b
         """,
     }

@@ -4626,3 +4626,102 @@ def q164_media_dedup_clusters(spark, sf):
             )
         ).alias("members_hash"),
     )
+
+
+def q165_cross_perplexity(spark, sf):
+    """Cross-source LM scoring for data valuation (the Pile/DSIR-style
+    'does this document look like the reference domain' signal, exact):
+    an add-one-smoothed unigram model trained on sources src0-src4
+    scores EVERY document; low log-prob = out-of-domain/noise.
+
+    Per-token terms are floor-micro'd ln((c_ref+1)/(T_ref+V)) computed
+    ONCE per distinct word (vocabulary-sized table, broadcast back — the
+    q68 contract), then integer multiply-accumulated per doc. OOV words
+    hit the smoothing floor via the 0-coalesced left join. Corpus rows
+    shuffle once (the (doc, word) count) + the per-doc rollup."""
+    REF = ["src0", "src1", "src2", "src3", "src4"]
+    docs = _t(spark, sf, "documents").select("doc_id", "source", "text")
+    dw = (
+        docs.select(
+            "doc_id", "source", F.explode(TX.tokens("text")).alias("w")
+        )
+        .groupBy("doc_id", "source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    ref = (
+        dw.where(F.col("source").isin(REF))
+        .groupBy("w")
+        .agg(F.sum("c").alias("ca"))
+    )
+    ta = ref.agg(F.sum("ca").alias("ta"))
+    vocab = dw.select("w").distinct().agg(F.count(F.lit(1)).alias("v"))
+    terms = (
+        dw.select("w").distinct()
+        .join(F.broadcast(ref), on="w", how="left")
+        .na.fill({"ca": 0})
+        .crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w",
+            F.floor(
+                F.log(
+                    (F.col("ca") + 1).cast("double")
+                    / (F.col("ta") + F.col("v"))
+                )
+                * 1_000_000
+            ).cast("long").alias("term"),
+        )
+    )
+    return (
+        dw.join(F.broadcast(terms), on="w")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("term")).alias("logprob_micro"),
+        )
+    )
+
+
+def q166_vocab_overlap(spark, sf):
+    """Pairwise vocabulary Jaccard between sources — the lexical
+    companion to q140's distributional JSD (which sources share words at
+    all vs how they weight them). One (source, word) distinct pass; the
+    pair counting is an inverted-index self-join on the word (bounded by
+    shared-vocab size, never documents); integer Jaccard ppm."""
+    docs = _t(spark, sf, "documents").select("source", "text")
+    sw = (
+        docs.select("source", F.explode(TX.tokens("text")).alias("w"))
+        .distinct()
+        .persist()
+    )
+    sizes = sw.groupBy("source").agg(F.count(F.lit(1)).alias("nv"))
+    shared = (
+        sw.alias("l")
+        .join(sw.alias("r"),
+              (F.col("l.w") == F.col("r.w"))
+              & (F.col("l.source") < F.col("r.source")))
+        .groupBy(
+            F.col("l.source").alias("src_a"),
+            F.col("r.source").alias("src_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(
+            F.broadcast(sizes.withColumnsRenamed(
+                {"source": "src_a", "nv": "na"})),
+            on="src_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnsRenamed(
+                {"source": "src_b", "nv": "nb"})),
+            on="src_b",
+        )
+        .select(
+            "src_a", "src_b", "n_shared", "na", "nb",
+            F.expr(
+                "n_shared * 1000000L div (na + nb - n_shared)"
+            ).alias("jaccard_ppm"),
+        )
+    )

@@ -469,3 +469,31 @@ def test_lsh_recall_audit_invariants(spark, sf_dir):
     assert r.n_lsh_verified <= r.n_lsh_candidates
     assert r.n_found <= r.n_true
     assert r.recall_ppm == r.n_found * 1_000_000 // r.n_true
+
+
+def test_cross_perplexity_in_domain_scores_higher(spark, sf_dir):
+    """Reference-domain sources average a higher per-token log-prob than
+    the rest, and every doc with tokens gets exactly one row."""
+    from chemharmony_spark import queries as Q
+
+    rows = Q.q165_cross_perplexity(spark, sf_dir).collect()
+    n_docs = Q._t(spark, sf_dir, "documents").where(
+        "trim(text) <> ''").count()
+    assert len(rows) == n_docs
+    ref = [r.logprob_micro / r.n_tokens for r in rows
+           if r.source in ("src0", "src1", "src2", "src3", "src4")]
+    other = [r.logprob_micro / r.n_tokens for r in rows
+             if r.source not in ("src0", "src1", "src2", "src3", "src4")]
+    assert ref and other
+    assert sum(ref) / len(ref) > sum(other) / len(other)
+
+
+def test_vocab_overlap_bounds(spark, sf_dir):
+    from chemharmony_spark import queries as Q
+
+    rows = Q.q166_vocab_overlap(spark, sf_dir).collect()
+    for r in rows:
+        assert r.src_a < r.src_b
+        assert 0 < r.n_shared <= min(r.na, r.nb)
+        assert r.jaccard_ppm == r.n_shared * 1_000_000 // (
+            r.na + r.nb - r.n_shared)

@@ -387,6 +387,12 @@ SHUFFLE_BUDGET = {
     # q164: final rollup over checkpointed component labels (q69 shape);
     # the aHash pair derivation executes during CC construction
     "q164_media_dedup_clusters": 1,
+    # q165: persisted (doc, word) counts print under the ref-model /
+    # vocab / term / per-doc consumers (1-row totals via BNLJ broadcast)
+    "q165_cross_perplexity": 12,
+    # q166: persisted (source, word) distinct + the word-keyed pair join
+    # + sizes re-agg
+    "q166_vocab_overlap": 7,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -422,7 +428,9 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 # q160: 1-row count frames cross-joined for the report
                 "q160_lsh_recall_audit",
                 # q161: 1-row sample-size broadcast
-                "q161_ks_test"}
+                "q161_ks_test",
+                # q165: 1-row model-total / vocab-size broadcasts
+                "q165_cross_perplexity"}
 
 
 def test_no_headline_query_has_unpartitioned_ranked_window(spark):
