@@ -243,6 +243,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q164_media_dedup_clusters": Q.q164_media_dedup_clusters,
         "q165_cross_perplexity": Q.q165_cross_perplexity,
         "q166_vocab_overlap": Q.q166_vocab_overlap,
+        "q167_item_similarity": Q.q167_item_similarity,
     }
 
 
@@ -3492,5 +3493,43 @@ def oracle_sql() -> dict[str, str]:
             FROM shared
             JOIN sizes sa ON sa.source = src_a
             JOIN sizes sb ON sb.source = src_b
+        """,
+        "q167_item_similarity": """
+            WITH b AS MATERIALIZED (
+              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            sized AS (SELECT l_orderkey FROM b GROUP BY 1
+                      HAVING COUNT(*) >= 2),
+            bb AS MATERIALIZED (
+              SELECT b.l_orderkey, l_partkey FROM b
+              JOIN sized USING (l_orderkey)),
+            pairs AS (
+              SELECT x.l_partkey AS p1, y.l_partkey AS p2,
+                     COUNT(*) AS nij
+              FROM bb x JOIN bb y
+                ON x.l_orderkey = y.l_orderkey
+               AND x.l_partkey < y.l_partkey
+              GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+            freq AS (SELECT l_partkey AS item, COUNT(*) AS ni
+                     FROM bb GROUP BY 1),
+            sym AS (
+              SELECT p1, p2, nij FROM pairs
+              UNION ALL
+              SELECT p2 AS p1, p1 AS p2, nij FROM pairs),
+            scored AS (
+              SELECT s.p1 AS item, s.p2 AS neighbor, nij,
+                     CAST(floor(
+                       CAST(nij AS DOUBLE)
+                       / sqrt(CAST(fa.ni AS DOUBLE) * fb.ni)
+                       * 1000000) AS BIGINT) AS sim_micro
+              FROM sym s
+              JOIN freq fa ON fa.item = s.p1
+              JOIN freq fb ON fb.item = s.p2)
+            SELECT item, neighbor, nij, sim_micro,
+                   CAST(rank AS INTEGER) AS rank
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY item
+                                               ORDER BY sim_micro DESC,
+                                                        neighbor) AS rank
+                  FROM scored)
+            WHERE rank <= 5
         """,
     }

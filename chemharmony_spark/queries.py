@@ -4725,3 +4725,68 @@ def q166_vocab_overlap(spark, sf):
             ).alias("jaccard_ppm"),
         )
     )
+
+
+def q167_item_similarity(spark, sf):
+    """Item-item collaborative-filtering similarity (recsys candidate
+    generation): cosine over co-purchase incidence — sim(i, j) =
+    n_ij / sqrt(n_i * n_j) — with the top-5 neighbors per item.
+
+    Shape: q103's in-row pair generation (quadratic step bounded by
+    basket size, ONE basket shuffle); item frequencies are a dimension-
+    sized re-agg broadcast onto the symmetrized pair table; the top-5
+    pick is a window over each item's neighbor list (bounded by the
+    item's co-purchase degree, never the fact table). Score is one IEEE
+    chain floor-micro'd; ranks tie-break on (score desc, neighbor)."""
+    li = _t(spark, sf, "lineitem")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .where(F.size("parts") >= 2)
+        .persist()
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) ->"
+                    " transform(slice(parts, i + 2, size(parts)),"
+                    " y -> struct(x AS p1, y AS p2))))"
+                )
+            ).alias("pr")
+        )
+        .groupBy(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("nij"))
+        .where(F.col("nij") >= 2)
+    )
+    freq = baskets.select(
+        F.explode("parts").alias("item")
+    ).groupBy("item").agg(F.count(F.lit(1)).alias("ni"))
+    sym = pairs.unionByName(
+        pairs.select(
+            F.col("p2").alias("p1"), F.col("p1").alias("p2"), "nij"
+        )
+    )
+    scored = (
+        sym.join(F.broadcast(freq.withColumnsRenamed(
+            {"item": "p1", "ni": "ni"})), on="p1")
+        .join(F.broadcast(freq.withColumnsRenamed(
+            {"item": "p2", "ni": "nj"})), on="p2")
+        .select(
+            F.col("p1").alias("item"),
+            F.col("p2").alias("neighbor"),
+            "nij",
+            F.floor(
+                F.col("nij").cast("double")
+                / F.sqrt(F.col("ni").cast("double") * F.col("nj"))
+                * 1_000_000
+            ).cast("long").alias("sim_micro"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.col("sim_micro").desc(), "neighbor"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+    )

@@ -160,3 +160,34 @@ def test_degree_powerlaw_fit_reference(spark, sf_dir):
     assert r.n == n
     assert r.slope_micro == math.floor(slope * 1e6)
     assert r.intercept_micro == math.floor((sy - slope * sx) / n)
+
+
+def test_item_similarity_reference(spark, sf_dir):
+    """Scores equal the python cosine over co-purchase incidence and the
+    neighbor relation is symmetric in score."""
+    import math
+    from collections import Counter, defaultdict
+
+    from chemharmony_spark import queries as Q
+
+    rows = Q.q167_item_similarity(spark, sf_dir).collect()
+    li = Q._t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey").distinct().collect()
+    baskets = defaultdict(set)
+    for r in li:
+        baskets[r.l_orderkey].add(r.l_partkey)
+    baskets = {k: v for k, v in baskets.items() if len(v) >= 2}
+    ni = Counter(p for parts in baskets.values() for p in parts)
+    nij = Counter()
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1:]:
+                nij[(a, b)] += 1
+    for r in rows:
+        a, b = min(r.item, r.neighbor), max(r.item, r.neighbor)
+        assert nij[(a, b)] == r.nij >= 2
+        want = math.floor(
+            r.nij / math.sqrt(ni[r.item] * ni[r.neighbor]) * 1e6)
+        assert r.sim_micro == want
+        assert 1 <= r.rank <= 5

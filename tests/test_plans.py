@@ -393,6 +393,9 @@ SHUFFLE_BUDGET = {
     # q166: persisted (source, word) distinct + the word-keyed pair join
     # + sizes re-agg
     "q166_vocab_overlap": 7,
+    # q167: persisted baskets print under pair/freq branches; pair agg,
+    # freq re-agg, sym union agg, per-item pick window
+    "q167_item_similarity": 9,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
