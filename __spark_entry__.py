@@ -244,6 +244,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q165_cross_perplexity": Q.q165_cross_perplexity,
         "q166_vocab_overlap": Q.q166_vocab_overlap,
         "q167_item_similarity": Q.q167_item_similarity,
+        "q168_link_prediction": Q.q168_link_prediction,
+        "q169_readability": Q.q169_readability,
     }
 
 
@@ -3531,5 +3533,59 @@ def oracle_sql() -> dict[str, str]:
                                                         neighbor) AS rank
                   FROM scored)
             WHERE rank <= 5
+        """,
+        "q168_link_prediction": """
+            WITH b AS MATERIALIZED (
+              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            e0 AS MATERIALIZED (
+              SELECT a.l_partkey AS p1, c.l_partkey AS p2
+              FROM b a JOIN b c
+                ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+              GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+            sym AS MATERIALIZED (
+              SELECT p1, p2 FROM e0
+              UNION ALL SELECT p2 AS p1, p1 AS p2 FROM e0),
+            deg AS (SELECT p1, COUNT(*) AS deg FROM sym GROUP BY 1),
+            wedges AS (
+              SELECT l.p2 AS a, r.p2 AS b, COUNT(*) AS n_common
+              FROM sym l JOIN sym r
+                ON l.p1 = r.p1 AND l.p2 < r.p2
+              GROUP BY 1, 2),
+            cand AS (
+              SELECT w.* FROM wedges w
+              WHERE NOT EXISTS (SELECT 1 FROM e0
+                                WHERE e0.p1 = w.a AND e0.p2 = w.b))
+            SELECT a, b, n_common,
+                   CAST(n_common * 1000000 // (da.deg + db.deg - n_common)
+                        AS BIGINT) AS jaccard_ppm
+            FROM cand
+            JOIN deg da ON da.p1 = a
+            JOIN deg db ON db.p1 = b
+            ORDER BY jaccard_ppm DESC, a, b
+            LIMIT 20
+        """,
+        "q169_readability": f"""
+            WITH base AS (
+              SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+            m AS (
+              SELECT doc_id,
+                     len(toks) AS n_words,
+                     greatest(1, CAST(regexp_extract_all(text, '[.!?]+')
+                                      .len() AS INT)) AS n_sents,
+                     CAST(list_aggregate(
+                       list_transform(toks,
+                         w -> greatest(1,
+                              CAST(len(regexp_extract_all(w, '[aeiouy]+'))
+                                   AS INT))),
+                       'sum') AS INT) AS n_syllables
+              FROM base
+              WHERE len(toks) > 0)
+            SELECT doc_id, n_words, n_sents, n_syllables,
+                   CAST(floor(
+                     (206.835
+                      - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+                      - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words))
+                     * 1000) AS BIGINT) AS flesch_milli
+            FROM m
         """,
     }

@@ -4790,3 +4790,93 @@ def q167_item_similarity(spark, sf):
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 5)
     )
+
+
+def q168_link_prediction(spark, sf):
+    """Link prediction by common-neighbor Jaccard on the co-purchase
+    graph: for unlinked node pairs two hops apart, score
+    |N(a) n N(b)| / |N(a) u N(b)| and keep the global top-20 — the
+    classic graph-completion baseline (recommend parts never yet
+    co-bought).
+
+    Shape: wedges enumerate through the oriented 2-path join (the q105
+    compact-forward idiom — both probe sides are the same edge table,
+    keyed on the middle node); existing edges are removed with one
+    anti-join; degrees broadcast (node-dim). At 100 TB hub nodes need a
+    degree cap before the wedge join (documented: the standard
+    mitigation) — here degrees are basket-bounded. Integer counts, one
+    integer ppm division, TakeOrdered top-20."""
+    li = _t(spark, sf, "lineitem")
+    e = _copurchase_edges(li).select("p1", "p2").persist()
+    sym = e.unionByName(
+        e.select(F.col("p2").alias("p1"), F.col("p1").alias("p2"))
+    )
+    deg = sym.groupBy("p1").agg(F.count(F.lit(1)).alias("deg"))
+    # wedges a -mid- b with a < b; count = common neighbors
+    wedges = (
+        sym.alias("l")
+        .join(
+            sym.alias("r"),
+            (F.col("l.p1") == F.col("r.p1"))
+            & (F.col("l.p2") < F.col("r.p2")),
+        )
+        .select(F.col("l.p2").alias("a"), F.col("r.p2").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    cand = wedges.join(
+        e, (F.col("a") == F.col("p1")) & (F.col("b") == F.col("p2")),
+        how="left_anti",
+    )
+    return (
+        cand.join(F.broadcast(deg.withColumnsRenamed(
+            {"p1": "a", "deg": "da"})), on="a")
+        .join(F.broadcast(deg.withColumnsRenamed(
+            {"p1": "b", "deg": "db"})), on="b")
+        .select(
+            "a", "b", "n_common",
+            F.expr(
+                "n_common * 1000000L div (da + db - n_common)"
+            ).alias("jaccard_ppm"),
+        )
+        .orderBy(F.col("jaccard_ppm").desc(), "a", "b")
+        .limit(20)
+    )
+
+
+def q169_readability(spark, sf):
+    """Flesch-style readability scoring as a corpus-quality filter:
+    per document, sentences (punctuation runs), words, and
+    vowel-run 'syllables' — all pure column/array expressions at scan
+    speed (ZERO shuffles) — combined in the Flesch formula
+    206.835 - 1.015*(W/S) - 84.6*(Y/W), one fixed IEEE chain
+    floor-milli'd. The oracle replays the same regexp arithmetic."""
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    toks = TX.tokens("text")
+    n_words = F.size(toks)
+    n_sents = F.greatest(
+        F.lit(1),
+        F.expr(r"regexp_count(text, '[.!?]+')").cast("int"),
+    )
+    syl = F.aggregate(
+        F.transform(
+            toks,
+            lambda w: F.greatest(
+                F.lit(1), F.regexp_count(w, F.lit("[aeiouy]+")).cast("int")
+            ),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    score = (
+        F.lit(206.835)
+        - 1.015 * (n_words.cast("double") / n_sents)
+        - 84.6 * (syl.cast("double") / n_words)
+    )
+    return docs.where(n_words > 0).select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sents.alias("n_sents"),
+        syl.alias("n_syllables"),
+        F.floor(score * 1_000).cast("long").alias("flesch_milli"),
+    )

@@ -497,3 +497,27 @@ def test_vocab_overlap_bounds(spark, sf_dir):
         assert 0 < r.n_shared <= min(r.na, r.nb)
         assert r.jaccard_ppm == r.n_shared * 1_000_000 // (
             r.na + r.nb - r.n_shared)
+
+
+def test_readability_reference(spark, sf_dir):
+    """flesch_milli equals the python formula on the same token stream."""
+    import math
+    import re
+
+    from chemharmony_spark import queries as Q
+
+    rows = Q.q169_readability(spark, sf_dir).collect()
+    docs = {r.doc_id: r.text
+            for r in Q._t(spark, sf_dir, "documents").collect()}
+    for r in rows[:100]:
+        text = docs[r.doc_id]
+        norm = re.sub(r" +", " ",
+                      re.sub(r"[^a-z0-9 ]", "", text.lower())).strip()
+        toks = [t for t in norm.split(" ") if t]
+        n_words = len(toks)
+        n_sents = max(1, len(re.findall(r"[.!?]+", text)))
+        syl = sum(max(1, len(re.findall(r"[aeiouy]+", t))) for t in toks)
+        assert (r.n_words, r.n_sents, r.n_syllables) == (
+            n_words, n_sents, syl)
+        score = 206.835 - 1.015 * (n_words / n_sents) - 84.6 * (syl / n_words)
+        assert r.flesch_milli == math.floor(score * 1000)

@@ -191,3 +191,17 @@ def test_item_similarity_reference(spark, sf_dir):
             r.nij / math.sqrt(ni[r.item] * ni[r.neighbor]) * 1e6)
         assert r.sim_micro == want
         assert 1 <= r.rank <= 5
+
+
+def test_link_prediction_excludes_existing_edges(spark, sf_dir):
+    """No predicted pair is already an edge; scores are valid Jaccards."""
+    from chemharmony_spark import queries as Q
+
+    edges = {(e.p1, e.p2) for e in
+             Q._copurchase_edges(Q._t(spark, sf_dir, "lineitem")).collect()}
+    rows = Q.q168_link_prediction(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert (r.a, r.b) not in edges
+        assert r.a < r.b
+        assert 0 < r.jaccard_ppm <= 1_000_000

@@ -396,6 +396,12 @@ SHUFFLE_BUDGET = {
     # q167: persisted baskets print under pair/freq branches; pair agg,
     # freq re-agg, sym union agg, per-item pick window
     "q167_item_similarity": 9,
+    # q168: the persisted edge table prints under sym's union branches x
+    # (deg, wedge-left, wedge-right, anti-join) — 21 textual; executed:
+    # edge derivation once + wedge agg + anti + TakeOrdered
+    "q168_link_prediction": 21,
+    # q169: pure column/array expressions at scan speed
+    "q169_readability": 0,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
