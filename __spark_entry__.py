@@ -246,6 +246,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q167_item_similarity": Q.q167_item_similarity,
         "q168_link_prediction": Q.q168_link_prediction,
         "q169_readability": Q.q169_readability,
+        "q170_duplicate_payments": Q.q170_duplicate_payments,
+        "q171_cycle_time": Q.q171_cycle_time,
+        "q172_boilerplate_lines": Q.q172_boilerplate_lines,
+        "q173_window_funnel": Q.q173_window_funnel,
     }
 
 
@@ -3587,5 +3591,103 @@ def oracle_sql() -> dict[str, str]:
                       - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words))
                      * 1000) AS BIGINT) AS flesch_milli
             FROM m
+        """,
+        "q170_duplicate_payments": """
+            WITH ev AS (
+              SELECT user_id, event_id,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       AS cents,
+                     epoch_us(ts) AS us
+              FROM events),
+            l AS (
+              SELECT *, lag(us) OVER w AS prev_us,
+                     lag(event_id) OVER w AS prev_id
+              FROM ev
+              WINDOW w AS (PARTITION BY user_id, cents
+                           ORDER BY us, event_id))
+            SELECT user_id, cents, prev_id AS first_event_id,
+                   event_id AS dup_event_id, us - prev_us AS gap_us
+            FROM l WHERE us - prev_us <= 604800000000
+        """,
+        "q171_cycle_time": """
+            WITH g AS (
+              SELECT o_orderpriority,
+                     CAST(CAST(l_shipdate AS DATE)
+                          - CAST(o_orderdate AS DATE) AS INTEGER) AS days
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+            ranked AS (
+              SELECT o_orderpriority, days,
+                     ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                        ORDER BY days) AS rn,
+                     COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+              FROM g)
+            SELECT o_orderpriority,
+                   MAX(CASE WHEN rn = greatest(1,
+                         CAST(ceil(0.5 * n) AS BIGINT))
+                            THEN days END) AS p50,
+                   MAX(CASE WHEN rn = greatest(1,
+                         CAST(ceil(0.9 * n) AS BIGINT))
+                            THEN days END) AS p90,
+                   MAX(CASE WHEN rn = greatest(1,
+                         CAST(ceil(0.99 * n) AS BIGINT))
+                            THEN days END) AS p99
+            FROM ranked GROUP BY 1
+        """,
+        "q172_boilerplate_lines": """
+            WITH ds AS MATERIALIZED (
+              SELECT DISTINCT doc_id, md5(s) AS h
+              FROM (
+                SELECT doc_id,
+                       unnest(list_filter(
+                         list_transform(string_split(text, '.'),
+                                        s -> trim(lower(s))),
+                         s -> length(s) >= 20)) AS s
+                FROM documents)),
+            common AS (SELECT h FROM ds GROUP BY h HAVING COUNT(*) >= 5),
+            per_doc AS (SELECT doc_id, COUNT(*) AS n_sents
+                        FROM ds GROUP BY 1),
+            bp AS (SELECT doc_id, COUNT(*) AS n_boiler
+                   FROM ds JOIN common USING (h) GROUP BY 1)
+            SELECT doc_id, n_sents, COALESCE(n_boiler, 0) AS n_boiler,
+                   CAST((COALESCE(n_boiler, 0) * 1000000) // n_sents
+                        AS BIGINT) AS boiler_ppm
+            FROM per_doc LEFT JOIN bp USING (doc_id)
+        """,
+        "q173_window_funnel": """
+            WITH seq AS (
+              SELECT user_id,
+                     list(struct_pack(us := epoch_us(ts),
+                                      eid := event_id,
+                                      et := event_type)
+                          ORDER BY epoch_us(ts), event_id) AS sq
+              FROM events GROUP BY 1),
+            folded AS (
+              SELECT user_id,
+                     list_reduce(
+                       list_transform(sq, e -> struct_pack(
+                         t0 := CASE WHEN e.et = 'view'
+                                    THEN e.us ELSE CAST(0 AS BIGINT) END,
+                         stage := CASE WHEN e.et = 'view'
+                                       THEN 1 ELSE 0 END,
+                         us := e.us, et := e.et)),
+                       (acc, x) -> struct_pack(
+                         t0 := CASE WHEN acc.stage = 0 AND x.et = 'view'
+                                    THEN x.us ELSE acc.t0 END,
+                         stage := CASE
+                           WHEN acc.stage = 0 AND x.et = 'view' THEN 1
+                           WHEN acc.stage = 1 AND x.et = 'click'
+                                AND x.us - acc.t0 <= 604800000000 THEN 2
+                           WHEN acc.stage = 2 AND x.et = 'purchase'
+                                AND x.us - acc.t0 <= 604800000000 THEN 3
+                           ELSE acc.stage END,
+                         us := x.us, et := x.et)) AS st
+              FROM seq)
+            SELECT CAST(SUM(CASE WHEN st.stage >= 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS s1_view,
+                   CAST(SUM(CASE WHEN st.stage >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS s2_click,
+                   CAST(SUM(CASE WHEN st.stage >= 3 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS s3_purchase_7d
+            FROM folded
         """,
     }

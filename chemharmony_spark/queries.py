@@ -4880,3 +4880,153 @@ def q169_readability(spark, sf):
         syl.alias("n_syllables"),
         F.floor(score * 1_000).cast("long").alias("flesch_milli"),
     )
+
+
+def q170_duplicate_payments(spark, sf):
+    """Duplicate-payment / double-fire detection: events by the same user
+    with the SAME value (exact cents) within 7 days of each other —
+    the fraud/idempotency audit. No self-join: sort each (user, cents)
+    stream once and compare adjacent timestamps (a duplicate within the
+    window is always adjacent after sorting), ONE window shuffle."""
+    W_US = 7 * 86400 * 1_000_000
+    ev = _events(spark, sf).select(
+        "user_id", "event_id",
+        (F.col("value").cast(DEC) * 100).cast("long").alias("cents"),
+        F.expr("ts div 1000").alias("us"),
+    )
+    w = Window.partitionBy("user_id", "cents").orderBy("us", "event_id")
+    return (
+        ev.withColumn("prev_us", F.lag("us").over(w))
+        .withColumn("prev_id", F.lag("event_id").over(w))
+        .where(F.col("us") - F.col("prev_us") <= W_US)
+        .select(
+            "user_id", "cents",
+            F.col("prev_id").alias("first_event_id"),
+            F.col("event_id").alias("dup_event_id"),
+            (F.col("us") - F.col("prev_us")).alias("gap_us"),
+        )
+    )
+
+
+def q171_cycle_time(spark, sf):
+    """Order-to-ship cycle time percentiles per priority: days from
+    o_orderdate to each lineitem's l_shipdate, exact discrete p50/p90/p99
+    through the bucketed selector — the operations-SLA rollup.
+
+    The orders dim joins broadcast (key-only projection); day gaps are
+    exact integers (datediff); the selector keeps the per-priority
+    distribution distributed (no ranked funnel)."""
+    from chemharmony_spark.operators.core import grouped_percentiles_disc
+
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    gaps = li.join(
+        F.broadcast(orders),
+        li.l_orderkey == orders.o_orderkey,
+    ).select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("l_shipdate").cast("date"),
+            F.col("o_orderdate").cast("date"),
+        ).alias("days"),
+    )
+    return grouped_percentiles_disc(
+        gaps, ["o_orderpriority"], "days", [0.5, 0.9, 0.99]
+    )
+
+
+def q172_boilerplate_lines(spark, sf):
+    """C4-style boilerplate detection: sentences (the '.'-delimited units
+    of these documents) appearing in >= 5 DISTINCT documents are
+    boilerplate; report each document's boilerplate share in ppm. The
+    pre-training cleaner that strips navigation chrome / license
+    footers.
+
+    One (doc, sentence-hash) distinct explode is the only corpus-wide
+    exchange; the common-sentence dimension (a tiny fraction of the
+    sentence space) broadcasts back; shares are integer ppm."""
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    sent = F.filter(
+        F.transform(
+            F.split(F.col("text"), r"\."),
+            lambda s: F.trim(F.lower(s)),
+        ),
+        lambda s: F.length(s) >= 20,
+    )
+    ds = (
+        docs.select("doc_id", F.explode(sent).alias("s"))
+        .select("doc_id", F.md5("s").alias("h"))
+        .distinct()
+        .persist()
+    )
+    common = (
+        ds.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .where(F.col("nd") >= 5)
+        .select("h")
+    )
+    per_doc = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sents"))
+    bp = (
+        ds.join(common, on="h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_boiler"))
+    )
+    return (
+        per_doc.join(bp, on="doc_id", how="left")
+        .na.fill({"n_boiler": 0})
+        .select(
+            "doc_id", "n_sents", "n_boiler",
+            F.expr("n_boiler * 1000000L div n_sents").alias("boiler_ppm"),
+        )
+    )
+
+
+def q173_window_funnel(spark, sf):
+    """windowFunnel (ClickHouse semantics): the deepest funnel stage
+    (view -> click -> purchase) each user reaches where every step
+    follows the FIRST stage within 7 days — q104's state machine with a
+    deadline, the time-boxed conversion metric ad analytics runs.
+
+    Same single-user_id-shuffle fold; the state carries (stage, t0) and
+    only advances inside the window — data-dependent sequential logic no
+    window function expresses."""
+    WIN = 7 * 86_400_000_000
+    ev = _events(spark, sf).withColumn("us", F.expr("ts div 1000"))
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("us", "event_id", "event_type"))
+        ).alias("seq")
+    )
+
+    def step(acc, x):
+        in_win = x["us"] - acc["t0"] <= F.lit(WIN)
+        return (
+            F.when(
+                (acc["stage"] == 0) & (x["event_type"] == "view"),
+                F.struct(F.lit(1).alias("stage"), x["us"].alias("t0")),
+            )
+            .when(
+                (acc["stage"] == 1) & (x["event_type"] == "click") & in_win,
+                F.struct(F.lit(2).alias("stage"), acc["t0"].alias("t0")),
+            )
+            .when(
+                (acc["stage"] == 2) & (x["event_type"] == "purchase")
+                & in_win,
+                F.struct(F.lit(3).alias("stage"), acc["t0"].alias("t0")),
+            )
+            .otherwise(acc)
+        )
+
+    init = F.struct(
+        F.lit(0).alias("stage"), F.lit(0).cast("long").alias("t0")
+    )
+    st = F.aggregate("seq", init, step)
+    return per_user.select(st["stage"].alias("stage")).groupBy().agg(
+        F.sum(F.when(F.col("stage") >= 1, 1).otherwise(0)).alias("s1_view"),
+        F.sum(F.when(F.col("stage") >= 2, 1).otherwise(0)).alias("s2_click"),
+        F.sum(F.when(F.col("stage") >= 3, 1).otherwise(0)).alias(
+            "s3_purchase_7d"
+        ),
+    )

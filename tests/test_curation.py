@@ -521,3 +521,13 @@ def test_readability_reference(spark, sf_dir):
             n_words, n_sents, syl)
         score = 206.835 - 1.015 * (n_words / n_sents) - 84.6 * (syl / n_words)
         assert r.flesch_milli == math.floor(score * 1000)
+
+
+def test_boilerplate_shares_bounded(spark, sf_dir):
+    from chemharmony_spark import queries as Q
+
+    rows = Q.q172_boilerplate_lines(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_boiler <= r.n_sents
+        assert r.boiler_ppm == r.n_boiler * 1_000_000 // r.n_sents

@@ -402,6 +402,16 @@ SHUFFLE_BUDGET = {
     "q168_link_prediction": 21,
     # q169: pure column/array expressions at scan speed
     "q169_readability": 0,
+    # q170: one (user, cents) lag window
+    "q170_duplicate_payments": 1,
+    # q171: the q58 selector over (priority, day-gap) — broadcast dim join
+    # feeds it, selector exchanges move the distinct-value table
+    "q171_cycle_time": 10,
+    # q172: persisted (doc, sentence-hash) distinct prints under the
+    # common-set / per-doc / boilerplate consumers
+    "q172_boilerplate_lines": 6,
+    # q173: ONE user_id fold shuffle + the 1-row rollup
+    "q173_window_funnel": 2,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side

@@ -429,3 +429,40 @@ def test_funnel_latency_positive_and_ordered(spark, sf_dir):
 
     r = Q.q157_funnel_latency(spark, sf_dir).collect()[0]
     assert 0 < r.p25_us <= r.p50_us <= r.p90_us
+
+
+def test_duplicate_payments_reference(spark, sf_dir):
+    """Pairs equal the python adjacent-duplicate scan per (user, cents)."""
+    from collections import defaultdict
+
+    from chemharmony_spark import queries as Q
+
+    got = {(r.user_id, r.cents, r.first_event_id, r.dup_event_id, r.gap_us)
+           for r in Q.q170_duplicate_payments(spark, sf_dir).collect()}
+    ev = defaultdict(list)
+    for r in Q._events(spark, sf_dir).select(
+            "user_id", "event_id", "value",
+            Q.F.expr("ts div 1000").alias("us")).collect():
+        cents = round(r.value * 100)
+        ev[(r.user_id, cents)].append((r.us, r.event_id))
+    want = set()
+    W = 7 * 86400 * 1_000_000
+    for (uid, cents), rows in ev.items():
+        rows.sort()
+        for (u0, e0), (u1, e1) in zip(rows, rows[1:]):
+            if u1 - u0 <= W:
+                want.add((uid, cents, e0, e1, u1 - u0))
+    assert got == want
+
+
+def test_window_funnel_tighter_than_unbounded(spark, sf_dir):
+    """The 7-day windowFunnel reaches each stage with at most as many
+    users as the unbounded q104 funnel, and stage counts are monotone."""
+    from chemharmony_spark import queries as Q
+
+    wf = Q.q173_window_funnel(spark, sf_dir).collect()[0]
+    q104 = Q.q104_funnel(spark, sf_dir).collect()[0]
+    assert wf.s1_view >= wf.s2_click >= wf.s3_purchase_7d >= 0
+    assert wf.s1_view <= q104.step1_view
+    assert wf.s2_click <= q104.step2_click
+    assert wf.s3_purchase_7d <= q104.step3_purchase
