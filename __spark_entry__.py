@@ -250,6 +250,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q171_cycle_time": Q.q171_cycle_time,
         "q172_boilerplate_lines": Q.q172_boilerplate_lines,
         "q173_window_funnel": Q.q173_window_funnel,
+        "q174_pareto_8020": Q.q174_pareto_8020,
+        "q175_zscore_normalize": Q.q175_zscore_normalize,
     }
 
 
@@ -3689,5 +3691,55 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN st.stage >= 3 THEN 1 ELSE 0 END)
                         AS BIGINT) AS s3_purchase_7d
             FROM folded
+        """,
+        "q174_pareto_8020": """
+            WITH per_cust AS (
+              SELECT o_custkey,
+                     CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                   * 100 AS BIGINT)) AS BIGINT) AS cents
+              FROM orders GROUP BY 1),
+            keyed AS (
+              SELECT o_custkey, cents,
+                     -cents * 1000000000 + o_custkey AS ord
+              FROM per_cust),
+            cum AS (
+              SELECT *, CAST(SUM(cents) OVER (ORDER BY ord
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS cum_cents
+              FROM keyed),
+            tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS t,
+                           COUNT(*) AS n_customers
+                    FROM per_cust),
+            r AS (SELECT * FROM cum, tot WHERE cum_cents * 5 >= t * 4)
+            SELECT n_customers,
+                   n_customers - COUNT(*) + 1 AS n_top,
+                   CAST((n_customers - COUNT(*) + 1) * 1000000
+                        // n_customers AS BIGINT) AS top_share_ppm,
+                   CAST(MIN(cum_cents) * 1000000 // MIN(t) AS BIGINT)
+                     AS revenue_share_ppm
+            FROM r GROUP BY n_customers
+        """,
+        "q175_zscore_normalize": """
+            WITH ev AS (
+              SELECT event_type, event_id,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       AS cents
+              FROM events),
+            stats AS (
+              SELECT event_type, COUNT(*) AS n,
+                     CAST(SUM(cents) AS BIGINT) AS s,
+                     SUM(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT))
+                       AS ss
+              FROM ev GROUP BY 1)
+            SELECT event_type, event_id,
+                   CASE WHEN CAST(n * ss - CAST(s AS HUGEINT)
+                                  * CAST(s AS HUGEINT) AS DOUBLE) > 0.0
+                        THEN CAST(floor(
+                          (CAST(cents AS DOUBLE) * n - s)
+                          / sqrt(CAST(n * ss - CAST(s AS HUGEINT)
+                                       * CAST(s AS HUGEINT) AS DOUBLE))
+                          * 1000000) AS BIGINT)
+                   END AS z_micro
+            FROM ev JOIN stats USING (event_type)
         """,
     }

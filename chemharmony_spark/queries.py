@@ -5030,3 +5030,95 @@ def q173_window_funnel(spark, sf):
             "s3_purchase_7d"
         ),
     )
+
+
+def q174_pareto_8020(spark, sf):
+    """Pareto concentration: how many top customers drive 80% of revenue
+    — the 80/20 rule measured exactly. Customers sort by revenue DESC
+    through the bucketed global cumsum (bucket = -cents div 10^6 is
+    monotone in the order — no single-task global window); the crossing
+    row (first cumulative share >= 80%) reduces via one MIN aggregate.
+    Integer cents everywhere; shares as integer ppm."""
+    from chemharmony_spark.operators.core import global_cumsum
+
+    orders = _t(spark, sf, "orders").select("o_custkey", "o_totalprice")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum((F.col("o_totalprice").cast(DEC) * 100).cast("long"))
+        .alias("cents")
+    )
+    # unique total order: (-cents, custkey) ascending == revenue desc
+    keyed = per_cust.select(
+        "o_custkey", "cents",
+        # 1e9 key space: custkey stays below it up to sf ~6000
+        F.expr("-cents * 1000000000L + o_custkey").alias("ord"),
+    )
+    cum = global_cumsum(
+        keyed, "ord", "cents", out_col="cum_cents",
+        bucket=F.expr("ord div 1000000000000L"),
+    )
+    tot = per_cust.agg(
+        F.sum("cents").alias("t"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+    ranked = cum.crossJoin(F.broadcast(tot)).withColumn(
+        "reaches", F.col("cum_cents") * 5 >= F.col("t") * 4  # >= 80%
+    )
+    return (
+        ranked.where(F.col("reaches"))
+        .agg(
+            F.min(F.struct("ord", "o_custkey", "cum_cents")).alias("cross"),
+            F.min("t").alias("t"),
+            F.min("n_customers").alias("n_customers"),
+        )
+        .crossJoin(
+            F.broadcast(
+                ranked.where(F.col("reaches")).agg(
+                    F.count(F.lit(1)).alias("n_after")
+                )
+            )
+        )
+        .select(
+            "n_customers",
+            (F.col("n_customers") - F.col("n_after") + 1).alias("n_top"),
+            F.expr(
+                "(n_customers - n_after + 1) * 1000000L div n_customers"
+            ).alias("top_share_ppm"),
+            F.expr("cross.cum_cents * 1000000L div t").alias(
+                "revenue_share_ppm"
+            ),
+        )
+    )
+
+
+def q175_zscore_normalize(spark, sf):
+    """Per-group z-score standardization — the transform twin of q125's
+    quantile normalization: every event value standardized against its
+    type's exact moments. Sufficient statistics (n, Σcents, Σcents²) in
+    ONE agg (decimal(38,0) squares — exact at any scale), broadcast back
+    onto the never-shuffled scan; z is one IEEE chain floor-micro'd
+    (population std)."""
+    ev = _events(spark, sf).select(
+        "event_type", "event_id",
+        (F.col("value").cast(DEC) * 100).cast("long").alias("cents"),
+    )
+    D18 = "decimal(18,0)"
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents").cast(D18) * F.col("cents").cast(D18))
+        .alias("ss"),
+    )
+    # var*n^2 = n*ss - s^2 (exact); z = (x*n - s) / sqrt(n*ss - s*s)
+    var_n2 = (
+        F.col("n").cast("decimal(38,0)") * F.col("ss")
+        - F.col("s").cast(D18) * F.col("s").cast(D18)
+    ).cast("double")
+    z = (
+        (F.col("cents").cast("double") * F.col("n") - F.col("s"))
+        / F.sqrt(var_n2)
+    )
+    return ev.join(F.broadcast(stats), on="event_type").select(
+        "event_type", "event_id",
+        F.when(var_n2 > 0.0, F.floor(z * 1_000_000).cast("long"))
+        .alias("z_micro"),
+    )

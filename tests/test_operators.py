@@ -303,3 +303,43 @@ def test_k_anonymity_reference(spark, sf_dir):
     assert r.n_unsafe_groups == len(unsafe)
     assert r.n_suppressed_rows == sum(unsafe.values())
     assert r.suppressed_ppm == sum(unsafe.values()) * 1_000_000 // len(rows)
+
+
+def test_pareto_8020_reference(spark, sf_dir):
+    """Crossing point equals the python sort-and-accumulate reference."""
+    from collections import defaultdict
+
+    from chemharmony_spark import queries as Q
+
+    r = Q.q174_pareto_8020(spark, sf_dir).collect()[0]
+    rev = defaultdict(int)
+    for o in Q._t(spark, sf_dir, "orders").select(
+            "o_custkey", "o_totalprice").collect():
+        rev[o.o_custkey] += round(o.o_totalprice * 100)
+    t = sum(rev.values())
+    order = sorted(rev.items(), key=lambda kv: (-kv[1], kv[0]))
+    cum = 0
+    for i, (_, c) in enumerate(order, start=1):
+        cum += c
+        if cum * 5 >= t * 4:
+            break
+    assert r.n_customers == len(rev)
+    assert r.n_top == i
+    assert r.top_share_ppm == i * 1_000_000 // len(rev)
+    assert r.revenue_share_ppm == cum * 1_000_000 // t
+
+
+def test_zscore_moments(spark, sf_dir):
+    """Per type: z mean ~ 0 and z^2 mean ~ 1 (floor-quantized)."""
+    from collections import defaultdict
+
+    from chemharmony_spark import queries as Q
+
+    groups = defaultdict(list)
+    for r in Q.q175_zscore_normalize(spark, sf_dir).collect():
+        assert r.z_micro is not None
+        groups[r.event_type].append(r.z_micro / 1e6)
+    for zs in groups.values():
+        n = len(zs)
+        assert abs(sum(zs) / n) < 1e-3
+        assert abs(sum(z * z for z in zs) / n - 1.0) < 1e-2

@@ -412,6 +412,11 @@ SHUFFLE_BUDGET = {
     "q172_boilerplate_lines": 6,
     # q173: ONE user_id fold shuffle + the 1-row rollup
     "q173_window_funnel": 2,
+    # q174: per-customer agg + bucketed global cumsum chain; branches
+    # print the agg per consumer (totals / crossing / suffix count)
+    "q174_pareto_8020": 16,
+    # q175: ONE stats agg broadcast back onto the never-shuffled scan
+    "q175_zscore_normalize": 1,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -449,7 +454,9 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 # q161: 1-row sample-size broadcast
                 "q161_ks_test",
                 # q165: 1-row model-total / vocab-size broadcasts
-                "q165_cross_perplexity"}
+                "q165_cross_perplexity",
+                # q174: 1-row totals / suffix-count broadcasts
+                "q174_pareto_8020"}
 
 
 def test_no_headline_query_has_unpartitioned_ranked_window(spark):
