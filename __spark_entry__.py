@@ -252,6 +252,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q173_window_funnel": Q.q173_window_funnel,
         "q174_pareto_8020": Q.q174_pareto_8020,
         "q175_zscore_normalize": Q.q175_zscore_normalize,
+        "q176_rolling_active_users": Q.q176_rolling_active_users,
+        "q177_association_rules": Q.q177_association_rules,
     }
 
 
@@ -3741,5 +3743,45 @@ def oracle_sql() -> dict[str, str]:
                           * 1000000) AS BIGINT)
                    END AS z_micro
             FROM ev JOIN stats USING (event_type)
+        """,
+        "q176_rolling_active_users": """
+            WITH ud AS MATERIALIZED (
+              SELECT DISTINCT user_id,
+                     epoch_us(ts) // 86400000000 AS day
+              FROM events),
+            dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY 1),
+            expanded AS (
+              SELECT user_id, day + k AS wend
+              FROM ud, (SELECT unnest(range(7)) AS k)),
+            wau AS (SELECT wend, COUNT(DISTINCT user_id) AS wau
+                    FROM expanded GROUP BY 1)
+            SELECT day, dau, wau,
+                   CAST(dau * 1000000 // wau AS BIGINT) AS stickiness_ppm
+            FROM dau JOIN wau ON day = wend
+        """,
+        "q177_association_rules": """
+            WITH baskets AS MATERIALIZED (
+              SELECT l_orderkey,
+                     list_sort(list(DISTINCT l_partkey)) AS parts
+              FROM lineitem GROUP BY 1),
+            nbt AS (SELECT COUNT(*) AS nb FROM baskets),
+            bb AS MATERIALIZED (
+              SELECT l_orderkey, unnest(parts) AS item FROM baskets),
+            freq AS (SELECT item, COUNT(*) AS ni FROM bb GROUP BY 1),
+            pairs AS (
+              SELECT x.item AS p1, y.item AS p2, COUNT(*) AS nij
+              FROM bb x JOIN bb y
+                ON x.l_orderkey = y.l_orderkey AND x.item < y.item
+              GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+            SELECT p1, p2, nij,
+                   CAST(nij * 1000000 // nb AS BIGINT) AS support_ppm,
+                   CAST(nij * 1000000 // fa.ni AS BIGINT) AS conf_ppm,
+                   CAST(nij * nb * 1000000 // (fa.ni * fb.ni) AS BIGINT)
+                     AS lift_ppm
+            FROM pairs
+            JOIN freq fa ON fa.item = p1
+            JOIN freq fb ON fb.item = p2, nbt
+            ORDER BY lift_ppm DESC, p1, p2
+            LIMIT 20
         """,
     }

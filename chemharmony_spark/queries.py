@@ -5122,3 +5122,83 @@ def q175_zscore_normalize(spark, sf):
         F.when(var_n2 > 0.0, F.floor(z * 1_000_000).cast("long"))
         .alias("z_micro"),
     )
+
+
+def q176_rolling_active_users(spark, sf):
+    """Rolling 7-day active users (the WAU curve) + same-day DAU and the
+    DAU/WAU stickiness ratio — THE product-analytics metric family.
+    Exact sliding distinct counts without sliding-window state: dedup to
+    (user, day) once, expand each active day into the 7 windows it
+    affects (the q137 hopping idiom, JVM-side), then one count_distinct
+    per window-end day. Integer ppm stickiness."""
+    ev = _events(spark, sf).select(
+        "user_id", F.expr("(ts div 1000) div 86400000000").alias("day")
+    )
+    ud = ev.distinct().persist()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    expanded = ud.select(
+        "user_id", F.explode(
+            F.sequence(F.col("day"), F.col("day") + 6)
+        ).alias("wend"),
+    )
+    wau = expanded.groupBy("wend").agg(
+        F.count_distinct("user_id").alias("wau")
+    )
+    return (
+        dau.join(wau, dau.day == wau.wend)
+        .select(
+            "day", "dau", "wau",
+            F.expr("dau * 1000000L div wau").alias("stickiness_ppm"),
+        )
+    )
+
+
+def q177_association_rules(spark, sf):
+    """Association rules over co-purchase pairs: support, confidence and
+    LIFT for the 20 highest-lift part pairs (>= 3 co-orders) — the
+    market-basket rule miner on top of q103's counts.
+
+    All three metrics from exact integers over ONE basket shuffle:
+    support_ppm = nij*1e6/N, confidence = nij/ni, lift = nij*N/(ni*nj)
+    — each ONE integer-ratio expression (ppm). Item frequencies and the
+    basket total broadcast; TakeOrdered top-20."""
+    li = _t(spark, sf, "lineitem")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .persist()
+    )
+    n_baskets = baskets.agg(F.count(F.lit(1)).alias("nb"))
+    pairs = (
+        baskets.where(F.size("parts") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) ->"
+                    " transform(slice(parts, i + 2, size(parts)),"
+                    " y -> struct(x AS p1, y AS p2))))"
+                )
+            ).alias("pr")
+        )
+        .groupBy(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("nij"))
+        .where(F.col("nij") >= 3)
+    )
+    freq = baskets.select(F.explode("parts").alias("item")).groupBy(
+        "item"
+    ).agg(F.count(F.lit(1)).alias("ni"))
+    return (
+        pairs.join(F.broadcast(freq.withColumnsRenamed(
+            {"item": "p1", "ni": "ni"})), on="p1")
+        .join(F.broadcast(freq.withColumnsRenamed(
+            {"item": "p2", "ni": "nj"})), on="p2")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "p1", "p2", "nij",
+            F.expr("nij * 1000000L div nb").alias("support_ppm"),
+            F.expr("nij * 1000000L div ni").alias("conf_ppm"),
+            F.expr("nij * nb * 1000000L div (ni * nj)").alias("lift_ppm"),
+        )
+        .orderBy(F.col("lift_ppm").desc(), "p1", "p2")
+        .limit(20)
+    )

@@ -417,6 +417,11 @@ SHUFFLE_BUDGET = {
     "q174_pareto_8020": 16,
     # q175: ONE stats agg broadcast back onto the never-shuffled scan
     "q175_zscore_normalize": 1,
+    # q176: persisted (user, day) dedup prints under DAU/expansion; WAU
+    # count_distinct expands; final day join
+    "q176_rolling_active_users": 5,
+    # q177: persisted baskets print under pair/freq/total branches
+    "q177_association_rules": 8,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -456,7 +461,9 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 # q165: 1-row model-total / vocab-size broadcasts
                 "q165_cross_perplexity",
                 # q174: 1-row totals / suffix-count broadcasts
-                "q174_pareto_8020"}
+                "q174_pareto_8020",
+                # q177: 1-row basket-total broadcast
+                "q177_association_rules"}
 
 
 def test_no_headline_query_has_unpartitioned_ranked_window(spark):

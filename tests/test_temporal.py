@@ -466,3 +466,39 @@ def test_window_funnel_tighter_than_unbounded(spark, sf_dir):
     assert wf.s1_view <= q104.step1_view
     assert wf.s2_click <= q104.step2_click
     assert wf.s3_purchase_7d <= q104.step3_purchase
+
+
+def test_rolling_active_users_reference(spark, sf_dir):
+    """WAU equals the python 7-day sliding distinct union per day."""
+    from collections import defaultdict
+
+    from chemharmony_spark import queries as Q
+
+    got = {r.day: (r.dau, r.wau, r.stickiness_ppm)
+           for r in Q.q176_rolling_active_users(spark, sf_dir).collect()}
+    by_day = defaultdict(set)
+    for r in Q._events(spark, sf_dir).select(
+            "user_id",
+            Q.F.expr("(ts div 1000) div 86400000000").alias("day")
+    ).collect():
+        by_day[r.day].add(r.user_id)
+    for day, users in by_day.items():
+        wau = set()
+        for d in range(day - 6, day + 1):
+            wau |= by_day.get(d, set())
+        assert got[day] == (
+            len(users), len(wau), len(users) * 1_000_000 // len(wau))
+    assert set(got) == set(by_day)
+
+
+def test_association_rules_metrics(spark, sf_dir):
+    from chemharmony_spark import queries as Q
+
+    rows = Q.q177_association_rules(spark, sf_dir).collect()
+    nb = Q._t(spark, sf_dir, "lineitem").select(
+        "l_orderkey").distinct().count()
+    for r in rows:
+        assert r.nij >= 3 and r.p1 < r.p2
+        assert r.support_ppm == r.nij * 1_000_000 // nb
+        assert 0 < r.conf_ppm <= 1_000_000
+        assert r.lift_ppm > 0
