@@ -254,6 +254,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q175_zscore_normalize": Q.q175_zscore_normalize,
         "q176_rolling_active_users": Q.q176_rolling_active_users,
         "q177_association_rules": Q.q177_association_rules,
+        "q178_ewma_smoothing": Q.q178_ewma_smoothing,
+        "q179_lsh_bucket_skew": Q.q179_lsh_bucket_skew,
     }
 
 
@@ -3783,5 +3785,42 @@ def oracle_sql() -> dict[str, str]:
             JOIN freq fb ON fb.item = p2, nbt
             ORDER BY lift_ppm DESC, p1, p2
             LIMIT 20
+        """,
+        "q178_ewma_smoothing": """
+            WITH cnt AS MATERIALIZED (
+              SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+                     COUNT(*) AS n
+              FROM events GROUP BY 1, 2),
+            span AS (SELECT event_type, MIN(h) AS h0, MAX(h) AS h1
+                     FROM cnt GROUP BY 1),
+            grid AS (SELECT event_type, unnest(range(h0, h1 + 1)) AS h
+                     FROM span),
+            series AS (
+              SELECT g.event_type,
+                     list(CAST(COALESCE(c.n, 0) AS DOUBLE)
+                          ORDER BY g.h) AS seq
+              FROM grid g LEFT JOIN cnt c
+                ON c.event_type = g.event_type AND c.h = g.h
+              GROUP BY 1)
+            SELECT event_type,
+                   CAST(len(seq) AS INTEGER) AS n_hours,
+                   CAST(floor(list_reduce(seq,
+                     (acc, x) -> acc + 0.3 * (x - acc)) * 1000000)
+                     AS BIGINT) AS level_micro
+            FROM series
+        """,
+        "q179_lsh_bucket_skew": f"""
+            WITH sig AS ({_SIG_SQL}),
+            buckets AS (
+              SELECT band, minhash, COUNT(*) AS c
+              FROM sig GROUP BY 1, 2)
+            SELECT band,
+                   COUNT(*) AS n_buckets,
+                   CAST(MAX(c) AS BIGINT) AS max_bucket,
+                   CAST(SUM(CASE WHEN c > 16 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_fat,
+                   CAST(SUM(c * (c - 1) // 2) AS BIGINT)
+                     AS n_candidate_pairs
+            FROM buckets GROUP BY band
         """,
     }

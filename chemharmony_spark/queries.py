@@ -5202,3 +5202,74 @@ def q177_association_rules(spark, sf):
         .orderBy(F.col("lift_ppm").desc(), "p1", "p2")
         .limit(20)
     )
+
+
+def q178_ewma_smoothing(spark, sf):
+    """Exponential smoothing (EWMA, alpha=0.3) of each type's hourly
+    event counts — the streaming-friendly forecaster next to q156's
+    linear fit. Sequential by definition (each level depends on the
+    previous), so it runs as the q104/q139 fold over the zero-filled
+    hourly series collected per type: ONE (type, hour) count shuffle +
+    one fold per series row.
+
+    Both engines fold the SAME ordered double sequence with the SAME
+    expression (acc + 0.3*(x - acc)), so the result is IEEE-identical
+    with no quantization until the final floor-micro render. Per-series
+    state assumes a series fits in one row (17k hours/2y here) — at
+    longer horizons, fold per window and chain."""
+    ev = _events(spark, sf).select(
+        "event_type", F.expr("(ts div 1000) div 3600000000").alias("h")
+    )
+    cnt = (
+        ev.groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    span = cnt.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = span.select(
+        "event_type", "h0",
+        F.explode(F.sequence("h0", "h1")).alias("h"),
+    )
+    series = (
+        grid.join(cnt, on=["event_type", "h"], how="left")
+        .na.fill({"n": 0})
+        .groupBy("event_type")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("h", "n"))),
+                lambda s: s["n"].cast("double"),
+            ).alias("seq")
+        )
+    )
+    level = F.aggregate(
+        F.slice(F.col("seq"), 2, F.size("seq") - 1),
+        F.element_at(F.col("seq"), 1),
+        lambda acc, x: acc + 0.3 * (x - acc),
+    )
+    return series.select(
+        "event_type",
+        F.size("seq").alias("n_hours"),
+        F.floor(level * 1_000_000).cast("long").alias("level_micro"),
+    )
+
+
+def q179_lsh_bucket_skew(spark, sf):
+    """LSH bucket-skew report: per MinHash band, the bucket count, the
+    FAT-bucket statistics (max size, number of buckets above the
+    candidate cap), and the exact candidate-pair volume sum(c*(c-1)/2) —
+    the tuning read-out that justifies lsh_candidate_pairs'
+    max_bucket_size guard before a 100 TB dedup run. Two tiny re-aggs
+    over the signature table (which itself is zero-shuffle)."""
+    docs = _t(spark, sf, "documents")
+    sig = DD.minhash_signatures(docs, "doc_id", "text")
+    buckets = sig.groupBy("band", "minhash").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return buckets.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("c").alias("max_bucket"),
+        F.sum(F.when(F.col("c") > 16, 1).otherwise(0)).alias("n_fat"),
+        F.sum(F.expr("c * (c - 1) div 2")).alias("n_candidate_pairs"),
+    )

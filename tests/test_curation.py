@@ -531,3 +531,23 @@ def test_boilerplate_shares_bounded(spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_boiler <= r.n_sents
         assert r.boiler_ppm == r.n_boiler * 1_000_000 // r.n_sents
+
+
+def test_lsh_bucket_skew_consistent_with_candidates(spark, sf_dir):
+    """Candidate-pair volume ties out with the signature table."""
+    from collections import Counter
+
+    from chemharmony_spark import queries as Q
+    from chemharmony_spark.operators import dedup as DD
+
+    rows = {r.band: r for r in
+            Q.q179_lsh_bucket_skew(spark, sf_dir).collect()}
+    sig = DD.minhash_signatures(
+        Q._t(spark, sf_dir, "documents"), "doc_id", "text").collect()
+    buckets = Counter((s.band, s.minhash) for s in sig)
+    for band in rows:
+        cs = [c for (b, _), c in buckets.items() if b == band]
+        r = rows[band]
+        assert r.n_buckets == len(cs)
+        assert r.max_bucket == max(cs)
+        assert r.n_candidate_pairs == sum(c * (c - 1) // 2 for c in cs)

@@ -422,6 +422,10 @@ SHUFFLE_BUDGET = {
     "q176_rolling_active_users": 5,
     # q177: persisted baskets print under pair/freq/total branches
     "q177_association_rules": 8,
+    # q178: persisted hourly counts + span re-agg + per-type series agg
+    "q178_ewma_smoothing": 3,
+    # q179: bucket-size agg + the 4-row band rollup (signatures zero-shuffle)
+    "q179_lsh_bucket_skew": 2,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side

@@ -502,3 +502,27 @@ def test_association_rules_metrics(spark, sf_dir):
         assert r.support_ppm == r.nij * 1_000_000 // nb
         assert 0 < r.conf_ppm <= 1_000_000
         assert r.lift_ppm > 0
+
+
+def test_ewma_matches_python_fold(spark, sf_dir):
+    """The distributed fold replays the sequential EWMA exactly."""
+    import math
+    from collections import Counter
+
+    from chemharmony_spark import queries as Q
+
+    got = {r.event_type: (r.n_hours, r.level_micro)
+           for r in Q.q178_ewma_smoothing(spark, sf_dir).collect()}
+    rows = Q._events(spark, sf_dir).select(
+        "event_type", Q.F.expr("(ts div 1000) div 3600000000").alias("h")
+    ).collect()
+    series = {}
+    for r in rows:
+        series.setdefault(r.event_type, Counter())[r.h] += 1
+    for t, cnt in series.items():
+        h0, h1 = min(cnt), max(cnt)
+        seq = [float(cnt.get(h, 0)) for h in range(h0, h1 + 1)]
+        s = seq[0]
+        for x in seq[1:]:
+            s = s + 0.3 * (x - s)
+        assert got[t] == (len(seq), math.floor(s * 1_000_000))
