@@ -256,6 +256,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q177_association_rules": Q.q177_association_rules,
         "q178_ewma_smoothing": Q.q178_ewma_smoothing,
         "q179_lsh_bucket_skew": Q.q179_lsh_bucket_skew,
+        "q180_cohort_ltv": Q.q180_cohort_ltv,
+        "q181_zipf_fit": Q.q181_zipf_fit,
+        "q182_cross_source_dups": Q.q182_cross_source_dups,
     }
 
 
@@ -3822,5 +3825,85 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(c * (c - 1) // 2) AS BIGINT)
                      AS n_candidate_pairs
             FROM buckets GROUP BY band
+        """,
+        "q180_cohort_ltv": """
+            WITH ev AS (
+              SELECT user_id, value,
+                     epoch_us(ts) // 604800000000 AS wk
+              FROM events),
+            first AS (SELECT user_id, MIN(wk) AS cohort
+                      FROM ev GROUP BY 1),
+            aged AS (
+              SELECT cohort, wk - cohort AS age_weeks,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       AS cents
+              FROM ev JOIN first USING (user_id)),
+            cell AS (
+              SELECT cohort, age_weeks,
+                     CAST(SUM(cents) AS BIGINT) AS cents,
+                     COUNT(*) AS n_events
+              FROM aged GROUP BY 1, 2)
+            SELECT cohort, age_weeks, n_events,
+                   CAST(SUM(cents) OVER (PARTITION BY cohort
+                                         ORDER BY age_weeks
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS BIGINT)
+                     AS cum_cents
+            FROM cell
+        """,
+        "q181_zipf_fit": f"""
+            WITH wc AS (
+              SELECT w, COUNT(*) AS c
+              FROM (SELECT unnest({_TOKS}) AS w FROM documents)
+              GROUP BY 1),
+            ranked AS (
+              SELECT c, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, w)
+                             AS BIGINT) AS rank
+              FROM wc
+              QUALIFY rank <= 1000),
+            pts AS (
+              SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000)
+                          AS BIGINT) AS x,
+                     CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000)
+                          AS BIGINT) AS y
+              FROM ranked),
+            s AS (
+              SELECT COUNT(*) AS n,
+                     CAST(SUM(x) AS BIGINT) AS sx,
+                     CAST(SUM(y) AS BIGINT) AS sy,
+                     SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+                     SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+              FROM pts)
+            SELECT n, CAST(floor(CAST(n * sxy - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE) / CAST(n * sxx - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DOUBLE) * 1000000) AS BIGINT) AS slope_micro
+            FROM s
+        """,
+        "q182_cross_source_dups": f"""
+            WITH sig AS ({_SIG_SQL}),
+            cands AS (
+              SELECT DISTINCT l.id AS a, r.id AS b
+              FROM sig l JOIN sig r
+                ON l.band = r.band AND l.minhash = r.minhash
+               AND l.id < r.id),
+            words AS (
+              SELECT DISTINCT doc_id AS id, unnest(toks) AS word
+              FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)),
+            sizes AS (SELECT id, COUNT(*) AS nw FROM words GROUP BY id),
+            hits AS (
+              SELECT a, b FROM (
+                SELECT c.a, c.b, COUNT(*) AS n_inter
+                FROM cands c
+                JOIN words wa ON wa.id = c.a
+                JOIN words wb ON wb.id = c.b AND wb.word = wa.word
+                GROUP BY 1, 2) i
+              JOIN sizes sa ON sa.id = i.a
+              JOIN sizes sb ON sb.id = i.b
+              WHERE n_inter / (sa.nw + sb.nw - n_inter) >= 0.8)
+            SELECT least(da.source, db.source) AS src_a,
+                   greatest(da.source, db.source) AS src_b,
+                   COUNT(*) AS n_dup_pairs
+            FROM hits
+            JOIN documents da ON da.doc_id = a
+            JOIN documents db ON db.doc_id = b
+            GROUP BY 1, 2
         """,
     }

@@ -5273,3 +5273,113 @@ def q179_lsh_bucket_skew(spark, sf):
         F.sum(F.when(F.col("c") > 16, 1).otherwise(0)).alias("n_fat"),
         F.sum(F.expr("c * (c - 1) div 2")).alias("n_candidate_pairs"),
     )
+
+
+def q180_cohort_ltv(spark, sf):
+    """Cohort lifetime-value curve: cumulative revenue per signup-week
+    cohort by weeks-since-signup — the LTV triangle that payback-period
+    decisions read. Cohort assignment is a per-user min (one agg),
+    (cohort, age) revenue is exact decimal cents, and the running
+    cumulative rides a window over the tiny (cohort x age) table (the
+    facts exchange twice: user agg + cohort-age agg)."""
+    ev = _events(spark, sf).select(
+        "user_id", "value", F.expr("(ts div 1000) div 604800000000")
+        .alias("wk"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    aged = ev.join(first, on="user_id").select(
+        "cohort",
+        (F.col("wk") - F.col("cohort")).alias("age_weeks"),
+        (F.col("value").cast(DEC) * 100).cast("long").alias("cents"),
+    )
+    cell = aged.groupBy("cohort", "age_weeks").agg(
+        F.sum("cents").alias("cents"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cell.select(
+        "cohort", "age_weeks", "n_events",
+        F.sum("cents").over(w).alias("cum_cents"),
+    )
+
+
+def q181_zipf_fit(spark, sf):
+    """Zipf's-law fit of the token frequency distribution: OLS slope of
+    ln(frequency) on ln(rank) over the top-1000 tokens — the corpus-
+    linguistics health check (natural text ~ -1; generated/boilerplate
+    corpora bend away). Word counts are ONE corpus shuffle; the ranked
+    top-1000 is a TakeOrdered + a 1000-row window; the fit reuses q155's
+    integer-exact OLS on floor-micro'd logs."""
+    docs = _t(spark, sf, "documents")
+    wc = (
+        docs.select(F.explode(TX.tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = wc.orderBy(F.col("c").desc(), "w").limit(1000)
+    ranked = top.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), "w"))
+        .alias("rank"),
+    )
+    pts = ranked.select(
+        F.floor(F.log(F.col("rank").cast("double")) * 1_000_000)
+        .cast("long").alias("x"),
+        F.floor(F.log(F.col("c").cast("double")) * 1_000_000)
+        .cast("long").alias("y"),
+    )
+    D18 = "decimal(18,0)"
+    D38 = "decimal(38,0)"
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast(D18) * F.col("y").cast(D18)).alias("sxy"),
+        F.sum(F.col("x").cast(D18) * F.col("x").cast(D18)).alias("sxx"),
+    )
+    slope = (
+        (F.col("n").cast(D38) * F.col("sxy")
+         - F.col("sx").cast(D18) * F.col("sy").cast(D18)).cast("double")
+        / (F.col("n").cast(D38) * F.col("sxx")
+           - F.col("sx").cast(D18) * F.col("sx").cast(D18)).cast("double")
+    )
+    return s.select(
+        "n",
+        F.floor(slope * 1_000_000).cast("long").alias("slope_micro"),
+    )
+
+
+def q182_cross_source_dups(spark, sf):
+    """Cross-source duplication matrix: verified near-dup pairs (the q36
+    LSH->Jaccard path at 0.8) rolled up by SOURCE pair — which feeds
+    duplicate content into the corpus, the acquisition-dedup decision
+    table. Within-source pairs count on the diagonal. Same bucketed
+    candidate shapes; the doc->source dimension broadcasts onto the tiny
+    verified-pair set."""
+    t = 0.8
+    docs = _t(spark, sf, "documents")
+    sig = DD.minhash_signatures(docs, "doc_id", "text").persist()
+    hits = (
+        DD.jaccard_pairs(docs, DD.lsh_candidate_pairs(sig),
+                         "doc_id", "text")
+        .where(F.col("jaccard") >= t)
+        .select("a", "b")
+    )
+    src = docs.select("doc_id", "source")
+    return (
+        hits.join(F.broadcast(src.withColumnsRenamed(
+            {"doc_id": "a", "source": "sa"})), on="a")
+        .join(F.broadcast(src.withColumnsRenamed(
+            {"doc_id": "b", "source": "sb"})), on="b")
+        .select(
+            F.least("sa", "sb").alias("src_a"),
+            F.greatest("sa", "sb").alias("src_b"),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+    )

@@ -551,3 +551,30 @@ def test_lsh_bucket_skew_consistent_with_candidates(spark, sf_dir):
         assert r.n_buckets == len(cs)
         assert r.max_bucket == max(cs)
         assert r.n_candidate_pairs == sum(c * (c - 1) // 2 for c in cs)
+
+
+def test_zipf_slope_negative_and_steep(spark, sf_dir):
+    """Token frequencies decay with rank: slope strictly negative."""
+    from chemharmony_spark import queries as Q
+
+    r = Q.q181_zipf_fit(spark, sf_dir).collect()[0]
+    assert r.n >= 10  # sf0.001's synthetic vocabulary is small
+    assert r.slope_micro < 0
+
+
+def test_cross_source_dups_symmetric_rollup(spark, sf_dir):
+    """Pair counts sum to the verified near-dup pair total."""
+    from chemharmony_spark import queries as Q
+    from chemharmony_spark.operators import dedup as DD
+
+    rows = Q.q182_cross_source_dups(spark, sf_dir).collect()
+    docs = Q._t(spark, sf_dir, "documents")
+    sig = DD.minhash_signatures(docs, "doc_id", "text").persist()
+    n_hits = (
+        DD.jaccard_pairs(docs, DD.lsh_candidate_pairs(sig),
+                         "doc_id", "text")
+        .where(Q.F.col("jaccard") >= 0.8).count()
+    )
+    assert sum(r.n_dup_pairs for r in rows) == n_hits
+    for r in rows:
+        assert r.src_a <= r.src_b

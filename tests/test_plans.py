@@ -426,6 +426,14 @@ SHUFFLE_BUDGET = {
     "q178_ewma_smoothing": 3,
     # q179: bucket-size agg + the 4-row band rollup (signatures zero-shuffle)
     "q179_lsh_bucket_skew": 2,
+    # q180: user cohort agg + (cohort, age) agg + tiny cohort window
+    "q180_cohort_ltv": 3,
+    # q181: ONE wordcount shuffle; ranking confined to the 1000-row
+    # TakeOrdered output (q142's bounded-list contract)
+    "q181_zipf_fit": 1,
+    # q182: persisted signatures feed candidates; verified pairs roll up
+    # with broadcast source dims
+    "q182_cross_source_dups": 2,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side

@@ -526,3 +526,29 @@ def test_ewma_matches_python_fold(spark, sf_dir):
         for x in seq[1:]:
             s = s + 0.3 * (x - s)
         assert got[t] == (len(seq), math.floor(s * 1_000_000))
+
+
+def test_cohort_ltv_monotone_cumulative(spark, sf_dir):
+    """cum_cents is non-decreasing within a cohort and the final total
+    equals the cohort's full revenue."""
+    from collections import defaultdict
+
+    from chemharmony_spark import queries as Q
+
+    by_cohort = defaultdict(list)
+    for r in Q.q180_cohort_ltv(spark, sf_dir).collect():
+        by_cohort[r.cohort].append((r.age_weeks, r.cum_cents))
+    totals = defaultdict(int)
+    first = {}
+    ev = Q._events(spark, sf_dir).select(
+        "user_id", "value",
+        Q.F.expr("(ts div 1000) div 604800000000").alias("wk")).collect()
+    for r in ev:
+        first[r.user_id] = min(first.get(r.user_id, r.wk), r.wk)
+    for r in ev:
+        totals[first[r.user_id]] += round(r.value * 100)
+    for cohort, cells in by_cohort.items():
+        cells.sort()
+        cums = [c for _, c in cells]
+        assert all(a <= b for a, b in zip(cums, cums[1:]))
+        assert cums[-1] == totals[cohort]
