@@ -259,6 +259,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q180_cohort_ltv": Q.q180_cohort_ltv,
         "q181_zipf_fit": Q.q181_zipf_fit,
         "q182_cross_source_dups": Q.q182_cross_source_dups,
+        "q183_gini_index": Q.q183_gini_index,
+        "q184_mann_whitney": Q.q184_mann_whitney,
+        "q185_kaplan_meier": Q.q185_kaplan_meier,
+        "q186_clustering_coefficient": Q.q186_clustering_coefficient,
     }
 
 
@@ -3905,5 +3909,150 @@ def oracle_sql() -> dict[str, str]:
             JOIN documents da ON da.doc_id = a
             JOIN documents db ON db.doc_id = b
             GROUP BY 1, 2
+        """,
+        "q183_gini_index": """
+            WITH spend AS (
+              SELECT o_custkey,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                          AS BIGINT) AS cents
+              FROM orders GROUP BY 1),
+            x AS (
+              SELECT c_nationkey, cents, c_custkey
+              FROM customer JOIN spend ON c_custkey = o_custkey),
+            ranked AS (
+              SELECT c_nationkey, cents,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                             ORDER BY cents, c_custkey)
+                          AS BIGINT) AS i
+              FROM x),
+            s AS (
+              SELECT c_nationkey, COUNT(*) AS n_customers,
+                     CAST(SUM(cents) AS BIGINT) AS sx,
+                     SUM(CAST(i AS HUGEINT) * CAST(cents AS HUGEINT)) AS six
+              FROM ranked GROUP BY 1)
+            SELECT c_nationkey, n_customers,
+                   CAST(floor(
+                     CAST(2 * six - (CAST(n_customers AS HUGEINT) + 1)
+                          * CAST(sx AS HUGEINT) AS DOUBLE)
+                     / CAST(CAST(n_customers AS HUGEINT)
+                            * CAST(sx AS HUGEINT) AS DOUBLE)
+                     * 1000000) AS BIGINT) AS gini_ppm
+            FROM s
+        """,
+        "q184_mann_whitney": """
+            WITH cust AS (
+              SELECT c_custkey,
+                     CASE WHEN c_mktsegment = 'BUILDING' THEN 1
+                          ELSE 0 END AS g
+              FROM customer
+              WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+            obs AS (
+              SELECT g,
+                     CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS cents
+              FROM orders JOIN cust ON o_custkey = c_custkey),
+            byval AS (
+              SELECT cents, CAST(SUM(g) AS BIGINT) AS n1v,
+                     COUNT(*) AS nv
+              FROM obs GROUP BY 1),
+            ranked AS (
+              SELECT n1v, nv,
+                     COALESCE(SUM(nv) OVER (ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cumb
+              FROM byval),
+            s AS (
+              SELECT CAST(SUM(n1v) AS BIGINT) AS n1,
+                     CAST(SUM(nv - n1v) AS BIGINT) AS n2,
+                     SUM(CAST(n1v AS HUGEINT)
+                         * CAST(2 * cumb + nv + 1 AS HUGEINT)) AS r1x2,
+                     SUM(CAST(nv AS HUGEINT) * CAST(nv AS HUGEINT)
+                         * CAST(nv AS HUGEINT) - CAST(nv AS HUGEINT))
+                       AS ties
+              FROM ranked)
+            SELECT n1, n2,
+                   CAST(r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS BIGINT)
+                     AS u1_x2,
+                   CAST(floor(
+                     CAST(r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1)
+                          - CAST(n1 AS HUGEINT) * n2 AS DOUBLE)
+                     / (2 * sqrt(
+                         CAST(CAST(n1 AS HUGEINT) * n2
+                              * ((CAST(n1 + n2 AS HUGEINT) + 1)
+                                 * (n1 + n2) * (n1 + n2 - 1) - ties)
+                              AS DOUBLE)
+                         / CAST(12 * CAST(n1 + n2 AS HUGEINT)
+                                * (n1 + n2 - 1) AS DOUBLE)))
+                     * 1000000) AS BIGINT) AS z_micro
+            FROM s
+        """,
+        "q185_kaplan_meier": """
+            WITH per_user AS (
+              SELECT user_id, epoch_us(MIN(ts)) AS t0,
+                     epoch_us(MIN(CASE WHEN event_type = 'purchase'
+                                        AND value >= 95
+                                       THEN ts END)) AS td
+              FROM events GROUP BY 1),
+            horizon AS (SELECT epoch_us(MAX(ts)) AS tmax FROM events),
+            dur AS MATERIALIZED (
+              SELECT CASE WHEN td IS NOT NULL
+                          THEN (td - t0) // 86400000000
+                          ELSE (tmax - t0) // 86400000000 END AS day,
+                     CASE WHEN td IS NOT NULL THEN 1 ELSE 0 END
+                       AS observed
+              FROM per_user, horizon),
+            n_total AS (SELECT COUNT(*) AS n FROM dur),
+            byday AS (
+              SELECT day, CAST(SUM(observed) AS BIGINT) AS d,
+                     COUNT(*) AS leaving
+              FROM dur GROUP BY 1),
+            risk AS (
+              SELECT day, d,
+                     n - COALESCE(SUM(leaving) OVER (ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS at_risk
+              FROM byday, n_total
+              QUALIFY d > 0),
+            terms AS (
+              SELECT day, d, at_risk,
+                     CAST(floor(ln(1.0 - CAST(d AS DOUBLE)
+                                   / CAST(at_risk AS DOUBLE))
+                                * 1000000) AS BIGINT) AS t_micro
+              FROM risk WHERE d < at_risk)
+            SELECT day, d, CAST(at_risk AS BIGINT) AS at_risk,
+                   CAST(SUM(t_micro) OVER (ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS ln_surv_micro
+            FROM terms
+        """,
+        "q186_clustering_coefficient": """
+            WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            edges AS MATERIALIZED (
+              SELECT a.l_partkey AS p1, c.l_partkey AS p2
+              FROM b a JOIN b c
+                ON a.l_orderkey = c.l_orderkey
+               AND a.l_partkey < c.l_partkey
+              GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+            tri AS MATERIALIZED (
+              SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+              FROM edges e1
+              JOIN edges e2 ON e1.p2 = e2.p1
+              WHERE EXISTS (SELECT 1 FROM edges e3
+                            WHERE e3.p1 = e1.p1 AND e3.p2 = e2.p2)),
+            corners AS (
+              SELECT a AS node FROM tri
+              UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri),
+            ntri AS (SELECT node, COUNT(*) AS n_tri FROM corners
+                     GROUP BY 1),
+            ends AS (
+              SELECT p1 AS node FROM edges
+              UNION ALL SELECT p2 FROM edges),
+            deg AS (SELECT node, COUNT(*) AS deg FROM ends GROUP BY 1)
+            SELECT deg.node, deg, COALESCE(n_tri, 0) AS n_tri,
+                   CAST(2 * COALESCE(n_tri, 0) * 1000000
+                        // (deg * (deg - 1)) AS BIGINT) AS coeff_ppm
+            FROM deg LEFT JOIN ntri ON deg.node = ntri.node
+            WHERE deg >= 2
         """,
     }

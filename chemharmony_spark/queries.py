@@ -5383,3 +5383,220 @@ def q182_cross_source_dups(spark, sf):
         .groupBy("src_a", "src_b")
         .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
     )
+
+
+def q183_gini_index(spark, sf):
+    """Gini coefficient of customer lifetime spend within each nation —
+    the inequality measure that complements q148's HHI (market
+    concentration) and q174's Pareto 80/20 (top-share): G =
+    (2*sum(i*x_i) - (n+1)*sum(x_i)) / (n*sum(x_i)) over the ascending
+    spend ranks. Spend is exact cents (ONE customer shuffle); the rank
+    window partitions by nation — 25 groups here, but each group only
+    carries its own customers, and at 100 TB the same two-phase trick as
+    q26 (salted partial ranks) drops in without changing the formula.
+    Ties are rank-invariant: equal x across a tied block contributes a
+    fixed sum(i) regardless of permutation, so the md5-free
+    (cents, custkey) order is safe. All arithmetic stays integer
+    (decimal(38,0) cross terms) until the final ppm render."""
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(DEC) * 100)
+        .cast("long").alias("cents")
+    )
+    x = cust.join(
+        spend, cust.c_custkey == spend.o_custkey
+    ).select("c_nationkey", "cents", "c_custkey")
+    w = Window.partitionBy("c_nationkey").orderBy("cents", "c_custkey")
+    ranked = x.select(
+        "c_nationkey", "cents",
+        F.row_number().over(w).cast("long").alias("i"),
+    )
+    D38 = "decimal(38,0)"
+    s = ranked.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").alias("sx"),
+        F.sum(F.col("i").cast(D38) * F.col("cents").cast(D38)).alias("six"),
+    )
+    num = (
+        2 * F.col("six")
+        - (F.col("n_customers").cast(D38) + 1) * F.col("sx").cast(D38)
+    ).cast("double")
+    den = (F.col("n_customers").cast(D38) * F.col("sx").cast(D38)).cast("double")
+    return s.select(
+        "c_nationkey", "n_customers",
+        F.floor(num / den * 1_000_000).cast("long").alias("gini_ppm"),
+    )
+
+
+def q184_mann_whitney(spark, sf):
+    """Mann-Whitney U rank-sum test: do BUILDING and MACHINERY customers
+    draw different order-value distributions? The non-parametric
+    complement to q152's proportion z-test and q161's KS statistic.
+    Average ranks come from the tie-grouped value table (rank arithmetic
+    doubled so midranks stay integer: 2*avgrank = 2*cum_before + nv + 1),
+    U and the tie-corrected variance are assembled from exact
+    decimal(38,0)/HUGEINT sums, and only the final z divides+sqrts in
+    IEEE double. The cumulative window runs over DISTINCT values — a
+    table orders of magnitude smaller than the facts; at 100 TB swap in
+    the q58 bucketed cumsum (same expression, bucket-distributed)."""
+    cust = _t(spark, sf, "customer").where(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    ).select(
+        "c_custkey",
+        (F.col("c_mktsegment") == "BUILDING").cast("long").alias("g"),
+    )
+    orders = _t(spark, sf, "orders")
+    obs = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select(
+        "g",
+        (F.col("o_totalprice").cast(DEC) * 100).cast("long").alias("cents"),
+    )
+    byval = obs.groupBy("cents").agg(
+        F.sum("g").alias("n1v"),
+        F.count(F.lit(1)).alias("nv"),
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = byval.select(
+        "n1v", "nv",
+        F.coalesce(F.sum("nv").over(w), F.lit(0)).alias("cumb"),
+    )
+    D38 = "decimal(38,0)"
+    s = ranked.agg(
+        F.sum("n1v").alias("n1"),
+        F.sum(F.col("nv") - F.col("n1v")).alias("n2"),
+        F.sum(
+            F.col("n1v").cast(D38)
+            * (2 * F.col("cumb") + F.col("nv") + 1).cast(D38)
+        ).alias("r1x2"),
+        F.sum(
+            F.col("nv").cast(D38) * F.col("nv").cast(D38) * F.col("nv").cast(D38)
+            - F.col("nv").cast(D38)
+        ).alias("ties"),
+    )
+    n1, n2 = F.col("n1").cast(D38), F.col("n2").cast(D38)
+    N = n1 + n2
+    u1x2 = F.col("r1x2") - n1 * (n1 + 1)
+    varnum = (n1 * n2 * ((N + 1) * N * (N - 1) - F.col("ties"))).cast("double")
+    varden = (12 * N * (N - 1)).cast("double")
+    z = (u1x2 - n1 * n2).cast("double") / (
+        2 * F.sqrt(varnum / varden)
+    )
+    return s.select(
+        "n1", "n2",
+        u1x2.cast("long").alias("u1_x2"),
+        F.floor(z * 1_000_000).cast("long").alias("z_micro"),
+    )
+
+
+def q185_kaplan_meier(spark, sf):
+    """Kaplan-Meier survival curve for "time to first big purchase"
+    (value >= 95): per distinct event day, the at-risk count, deaths,
+    and the cumulative log-survival sum_{t_i<=t} ln(1 - d_i/n_i) — the
+    censoring-aware estimator that plain conversion rates (q152) get
+    wrong. Users whose window ends without a qualifying purchase are
+    censored at the global horizon (1-row broadcast crossJoin — the
+    sanctioned BNLJ pattern). Deaths/at-risk reduce to ONE user shuffle
+    plus day-level aggs; the cumulative products ride the distinct-day
+    table (hundreds of rows — at scale, q58's bucketed cumsum). Each ln
+    term is floor-micro'd BEFORE the cumulative sum, so engines add
+    identical integers in identical order; the degenerate S(t)=0 tail
+    row (d == n) is omitted rather than rendered as -inf."""
+    ev = _events(spark, sf).select(
+        "user_id", "event_type", "value", F.expr("ts div 1000").alias("us")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min("us").alias("t0"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") >= 95),
+                F.col("us"),
+            )
+        ).alias("td"),
+    )
+    horizon = ev.agg(F.max("us").alias("tmax"))
+    dur = per_user.crossJoin(F.broadcast(horizon)).select(
+        F.expr(
+            "CASE WHEN td IS NOT NULL THEN (td - t0) div 86400000000"
+            "     ELSE (tmax - t0) div 86400000000 END"
+        ).alias("day"),
+        F.col("td").isNotNull().cast("long").alias("observed"),
+    ).persist()
+    n_total = dur.agg(F.count(F.lit(1)).alias("n")).withColumnRenamed("n", "n")
+    byday = dur.groupBy("day").agg(
+        F.sum("observed").alias("d"),
+        F.count(F.lit(1)).alias("leaving"),
+    )
+    w_excl = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    risk = byday.crossJoin(F.broadcast(n_total)).select(
+        "day", "d",
+        (F.col("n") - F.coalesce(F.sum("leaving").over(w_excl), F.lit(0)))
+        .alias("at_risk"),
+    ).where(F.col("d") > 0)
+    term = F.floor(
+        F.log(
+            F.lit(1.0)
+            - F.col("d").cast("double") / F.col("at_risk").cast("double")
+        )
+        * 1_000_000
+    ).cast("long")
+    w_cum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    out = risk.where(F.col("d") < F.col("at_risk")).select(
+        "day", "d", "at_risk", term.alias("t_micro")
+    )
+    return out.select(
+        "day", "d", "at_risk",
+        F.sum("t_micro").over(w_cum).alias("ln_surv_micro"),
+    )
+
+
+def q186_clustering_coefficient(spark, sf):
+    """Per-node local clustering coefficient on the co-purchase graph:
+    2*triangles / (deg*(deg-1)) — how clique-like each part's
+    neighborhood is, the node-level read-out on top of q105's global
+    triangle enumeration (same compact-forward plan, edges persisted
+    once and probed twice via broadcast). Triangle incidence unions the
+    three corner roles and re-aggregates; degree is one pass over the
+    oriented edge list counted at both ends. Exact integer ppm via the
+    shared positive-operand div. Only parts with deg >= 2 appear (the
+    coefficient is undefined below)."""
+    li = _t(spark, sf, "lineitem")
+    edges = (
+        _copurchase_edges(li).select("p1", "p2").localCheckpoint(eager=False)
+    )
+    wedge = edges.alias("e1").join(
+        F.broadcast(edges.alias("e2")), F.col("e1.p2") == F.col("e2.p1")
+    )
+    tri = wedge.join(
+        F.broadcast(edges.alias("e3")),
+        (F.col("e3.p1") == F.col("e1.p1")) & (F.col("e3.p2") == F.col("e2.p2")),
+        "left_semi",
+    ).select(
+        F.col("e1.p1").alias("a"),
+        F.col("e1.p2").alias("b"),
+        F.col("e2.p2").alias("c"),
+    ).persist()
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    ntri = corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
+    ends = (
+        edges.select(F.col("p1").alias("node"))
+        .unionAll(edges.select(F.col("p2").alias("node")))
+    )
+    deg = ends.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    return (
+        deg.where(F.col("deg") >= 2)
+        .join(ntri, on="node", how="left")
+        .na.fill({"n_tri": 0})
+        .select(
+            "node", "deg", "n_tri",
+            F.expr("2 * n_tri * 1000000 div (deg * (deg - 1))")
+            .alias("coeff_ppm"),
+        )
+    )

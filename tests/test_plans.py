@@ -434,6 +434,16 @@ SHUFFLE_BUDGET = {
     # q182: persisted signatures feed candidates; verified pairs roll up
     # with broadcast source dims
     "q182_cross_source_dups": 2,
+    # q183: customer spend agg + per-nation rank window + nation rollup
+    "q183_gini_index": 3,
+    # q184: order-value agg + distinct-value cumsum + 1-row final agg
+    "q184_mann_whitney": 3,
+    # q185: persisted per-user durations print under day agg / total /
+    # horizon consumers; day-level windows ride the tiny distinct-day set
+    "q185_kaplan_meier": 6,
+    # q186: persisted triangle corners re-agg + degree agg (edges reused
+    # from the q105 compact-forward plan, probes broadcast)
+    "q186_clustering_coefficient": 8,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -475,7 +485,9 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 # q174: 1-row totals / suffix-count broadcasts
                 "q174_pareto_8020",
                 # q177: 1-row basket-total broadcast
-                "q177_association_rules"}
+                "q177_association_rules",
+                # q185: 1-row horizon / total-user scalar broadcasts
+                "q185_kaplan_meier"}
 
 
 def test_no_headline_query_has_unpartitioned_ranked_window(spark):
