@@ -263,6 +263,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q184_mann_whitney": Q.q184_mann_whitney,
         "q185_kaplan_meier": Q.q185_kaplan_meier,
         "q186_clustering_coefficient": Q.q186_clustering_coefficient,
+        "q187_proration": Q.q187_proration,
+        "q188_autocorrelation": Q.q188_autocorrelation,
+        "q189_lexical_diversity": Q.q189_lexical_diversity,
+        "q190_throttle_dedup": Q.q190_throttle_dedup,
     }
 
 
@@ -4054,5 +4058,116 @@ def oracle_sql() -> dict[str, str]:
                         // (deg * (deg - 1)) AS BIGINT) AS coeff_ppm
             FROM deg LEFT JOIN ntri ON deg.node = ntri.node
             WHERE deg >= 2
+        """,
+        "q187_proration": """
+            WITH ord AS (
+              SELECT o_orderkey,
+                     CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS t_cents
+              FROM orders WHERE o_orderkey % 50 = 0),
+            li AS (
+              SELECT l_orderkey, l_linenumber, t_cents,
+                     CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS w
+              FROM lineitem JOIN ord ON l_orderkey = o_orderkey),
+            staged AS (
+              SELECT l_orderkey, l_linenumber, t_cents, w,
+                     SUM(w) OVER (PARTITION BY l_orderkey) AS tw,
+                     CAST(CAST(t_cents AS HUGEINT) * w
+                          // SUM(w) OVER (PARTITION BY l_orderkey)
+                          AS BIGINT) AS base
+              FROM li),
+            remd AS (
+              SELECT *,
+                     CAST(CAST(t_cents AS HUGEINT) * w
+                          - CAST(base AS HUGEINT) * tw AS BIGINT) AS rem
+              FROM staged),
+            ranked AS (
+              SELECT l_orderkey, l_linenumber, base,
+                     t_cents - SUM(base) OVER (PARTITION BY l_orderkey)
+                       AS leftover,
+                     ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                        ORDER BY rem DESC, l_linenumber)
+                       AS rn
+              FROM remd)
+            SELECT l_orderkey, l_linenumber,
+                   CAST(base + CASE WHEN rn <= leftover THEN 1 ELSE 0 END
+                        AS BIGINT) AS alloc_cents
+            FROM ranked
+        """,
+        "q188_autocorrelation": """
+            WITH cnt AS MATERIALIZED (
+              SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS c
+              FROM events GROUP BY 1),
+            span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM cnt),
+            grid AS (SELECT unnest(range(d0, d1 + 1)) AS day FROM span),
+            d AS MATERIALIZED (
+              SELECT g.day, COALESCE(c.c, 0) AS c
+              FROM grid g LEFT JOIN cnt c ON c.day = g.day),
+            xk AS (
+              SELECT day, c AS x, unnest(range(1, 8)) AS lag FROM d),
+            pairs AS (
+              SELECT lag, x, y.c AS y
+              FROM xk JOIN d y ON y.day = xk.day + xk.lag),
+            s AS (
+              SELECT lag, COUNT(*) AS n_pairs,
+                     CAST(SUM(x) AS BIGINT) AS sx,
+                     CAST(SUM(y) AS BIGINT) AS sy,
+                     SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                     SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                     SUM(CAST(y AS HUGEINT) * y) AS syy
+              FROM pairs GROUP BY 1)
+            SELECT CAST(lag AS INT) AS lag, n_pairs,
+                   CAST(floor(
+                     CAST(n_pairs * sxy - CAST(sx AS HUGEINT) * sy
+                          AS DOUBLE)
+                     / (sqrt(CAST(n_pairs * sxx
+                                  - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+                        * sqrt(CAST(n_pairs * syy
+                                    - CAST(sy AS HUGEINT) * sy AS DOUBLE)))
+                     * 1000000) AS BIGINT) AS r_micro
+            FROM s
+        """,
+        "q189_lexical_diversity": f"""
+            WITH wc AS (
+              SELECT source, w, COUNT(*) AS c
+              FROM (SELECT source, unnest({_TOKS}) AS w FROM documents)
+              GROUP BY 1, 2),
+            per AS (
+              SELECT source,
+                     CAST(SUM(c) AS BIGINT) AS n_tokens,
+                     COUNT(*) AS n_types,
+                     CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_hapax
+              FROM wc GROUP BY 1)
+            SELECT source, n_tokens, n_types, n_hapax,
+                   CAST(n_types * 1000000 // n_tokens AS BIGINT) AS ttr_ppm,
+                   CAST(n_hapax * 1000000 // n_types AS BIGINT)
+                     AS hapax_ppm
+            FROM per
+        """,
+        "q190_throttle_dedup": """
+            -- accumulator is ONE BIGINT (last_us * 1000 + kept): DuckDB
+            -- 1.0.0 list_reduce corrupts STRUCT accumulators when the
+            -- fold runs vectorized over many rows (row-filtered runs are
+            -- fine, full-table runs are not) -- scalar state sidesteps it
+            WITH per AS (
+              SELECT user_id, event_type,
+                     list(epoch_us(ts) ORDER BY epoch_us(ts)) AS sq,
+                     COUNT(*) AS n_raw
+              FROM events GROUP BY 1, 2),
+            folded AS (
+              SELECT event_type, n_raw,
+                     list_reduce(
+                       list_transform(sq, x -> x * 1000 + 1),
+                       (acc, x) -> CASE
+                         WHEN x // 1000 - acc // 1000 >= 300000000
+                         THEN x + (acc % 1000)
+                         ELSE acc END) AS st
+              FROM per)
+            SELECT event_type,
+                   CAST(SUM(n_raw) AS BIGINT) AS n_raw,
+                   CAST(SUM(st % 1000) AS BIGINT) AS n_kept
+            FROM folded GROUP BY 1
         """,
     }

@@ -5600,3 +5600,174 @@ def q186_clustering_coefficient(spark, sf):
             .alias("coeff_ppm"),
         )
     )
+
+
+def q187_proration(spark, sf):
+    """Largest-remainder proration: allocate each order's total price
+    (exact cents) across its lineitems proportional to extended price so
+    the per-line allocations sum EXACTLY to the order total — the
+    rounding-safe money split every billing/attribution pipeline needs
+    (naive per-line rounding leaks cents). base = T*w div W per line;
+    the leftover cents (< n_items by construction) go to the largest
+    remainders, ties broken by line number. All three windows share ONE
+    l_orderkey exchange (high-cardinality partition — scale-safe), and
+    the order dim is filtered 50x before the broadcast join. Products
+    ride decimal(38,0)/HUGEINT so a 100 TB ledger can't overflow."""
+    orders = _t(spark, sf, "orders").where(
+        F.expr("o_orderkey % 50 = 0")
+    ).select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast(DEC) * 100).cast("long").alias("t_cents"),
+    )
+    li = _t(spark, sf, "lineitem").join(
+        F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey")
+    ).select(
+        "l_orderkey", "l_linenumber", "t_cents",
+        (F.col("l_extendedprice").cast(DEC) * 100).cast("long").alias("w"),
+    )
+    win = Window.partitionBy("l_orderkey")
+    D38 = "decimal(38,0)"
+    staged = li.select(
+        "l_orderkey", "l_linenumber", "t_cents", "w",
+        F.sum("w").over(win).alias("tw"),
+    ).select(
+        "*",
+        F.expr(
+            "CAST((CAST(t_cents AS DECIMAL(38,0)) * CAST(w AS DECIMAL(38,0)))"
+            " div CAST(tw AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("base"),
+    ).select(
+        "*",
+        (
+            F.col("t_cents").cast(D38) * F.col("w").cast(D38)
+            - F.col("base").cast(D38) * F.col("tw").cast(D38)
+        ).cast("long").alias("rem"),
+    )
+    ranked = staged.select(
+        "*",
+        (F.col("t_cents") - F.sum("base").over(win)).alias("leftover"),
+        F.row_number().over(
+            win.orderBy(F.col("rem").desc(), "l_linenumber")
+        ).alias("rn"),
+    )
+    return ranked.select(
+        "l_orderkey", "l_linenumber",
+        (
+            F.col("base")
+            + (F.col("rn") <= F.col("leftover")).cast("long")
+        ).alias("alloc_cents"),
+    )
+
+
+def q188_autocorrelation(spark, sf):
+    """Lag-1..7 autocorrelation of the daily event count series — the
+    seasonality detector that justifies q147's weekly baseline (a lag-7
+    spike = weekly rhythm). The zero-filled day grid comes from the
+    1-row span broadcast (sanctioned BNLJ); each lag's Pearson r is
+    assembled from exact decimal(38,0) sums over the (day, day+k)
+    self-join, with IEEE doubles only at the final divide+sqrt. The
+    series table is |days| rows — tiny next to the facts that built it —
+    so the 7x lag expansion and self-join are model-space work."""
+    ev = _events(spark, sf).select(
+        F.expr("(ts div 1000) div 86400000000").alias("day")
+    )
+    cnt = ev.groupBy("day").agg(F.count(F.lit(1)).alias("c"))
+    span = cnt.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    grid = span.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    d = (
+        grid.join(cnt, on="day", how="left")
+        .na.fill({"c": 0})
+        .persist()
+    )
+    xk = d.select(
+        "day", F.col("c").alias("x"),
+        F.explode(F.sequence(F.lit(1), F.lit(7))).alias("lag"),
+    )
+    y = d.select(F.col("day").alias("day2"), F.col("c").alias("y"))
+    pairs = xk.join(y, F.col("day2") == F.col("day") + F.col("lag"))
+    D38 = "decimal(38,0)"
+    s = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast(D38) * F.col("y").cast(D38)).alias("sxy"),
+        F.sum(F.col("x").cast(D38) * F.col("x").cast(D38)).alias("sxx"),
+        F.sum(F.col("y").cast(D38) * F.col("y").cast(D38)).alias("syy"),
+    )
+    n = F.col("n_pairs").cast(D38)
+    cov = (n * F.col("sxy") - F.col("sx").cast(D38) * F.col("sy").cast(D38))
+    vx = (n * F.col("sxx") - F.col("sx").cast(D38) * F.col("sx").cast(D38))
+    vy = (n * F.col("syy") - F.col("sy").cast(D38) * F.col("sy").cast(D38))
+    r = cov.cast("double") / (
+        F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))
+    )
+    return s.select(
+        "lag", "n_pairs",
+        F.floor(r * 1_000_000).cast("long").alias("r_micro"),
+    )
+
+
+def q189_lexical_diversity(spark, sf):
+    """Type-token ratio and hapax-legomenon share per source — the
+    lexical-diversity corpus health check next to q181's Zipf slope
+    (template/generated text shows low TTR and a thin hapax tail; both
+    together fingerprint low-entropy sources before they flood a
+    training mix). ONE (source, word) shuffle plus a source rollup;
+    ratios are exact integer ppm."""
+    docs = _t(spark, sf, "documents")
+    wc = (
+        docs.select("source", F.explode(TX.tokens("text")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per = wc.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum((F.col("c") == 1).cast("long")).alias("n_hapax"),
+    )
+    return per.select(
+        "source", "n_tokens", "n_types", "n_hapax",
+        F.expr("n_types * 1000000 div n_tokens").alias("ttr_ppm"),
+        F.expr("n_hapax * 1000000 div n_types").alias("hapax_ppm"),
+    )
+
+
+def q190_throttle_dedup(spark, sf):
+    """Throttling dedup: within each (user, event_type) stream, keep an
+    event only if >= 300 s have passed since the LAST KEPT event — the
+    batch twin of streaming dropDuplicatesWithinWatermark, and the exact
+    semantics (kept depends on prior keeps) that no fixed tumbling
+    bucket reproduces. Runs as the q139 fold over each stream's sorted
+    timestamp array: ONE (user, type) shuffle + a tiny per-type rollup.
+    The DuckDB replay seeds 2-arg list_reduce via list_transform and
+    orders struct_pack fields so each reads only not-yet-written
+    accumulator state."""
+    ev = _events(spark, sf).select(
+        "user_id", "event_type", F.expr("ts div 1000").alias("us")
+    )
+    per = ev.groupBy("user_id", "event_type").agg(
+        F.array_sort(F.collect_list("us")).alias("seq"),
+        F.count(F.lit(1)).alias("n_raw"),
+    )
+    gap = 300_000_000  # 300 s in micros
+
+    def step(acc, x):
+        keep = (x - acc["last"]) >= F.lit(gap)
+        return F.struct(
+            F.when(keep, x).otherwise(acc["last"]).alias("last"),
+            (acc["kept"] + F.when(keep, 1).otherwise(0)).alias("kept"),
+        )
+
+    init = F.struct(
+        F.lit(-(10**18)).cast("long").alias("last"),
+        F.lit(0).alias("kept"),
+    )
+    st = F.aggregate("seq", init, step)
+    return (
+        per.select("event_type", "n_raw", st["kept"].alias("kept"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_raw").alias("n_raw"),
+            F.sum("kept").alias("n_kept"),
+        )
+    )

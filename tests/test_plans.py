@@ -444,6 +444,16 @@ SHUFFLE_BUDGET = {
     # q186: persisted triangle corners re-agg + degree agg (edges reused
     # from the q105 compact-forward plan, probes broadcast)
     "q186_clustering_coefficient": 8,
+    # q187: broadcast order dim; all three windows share ONE orderkey
+    # exchange
+    "q187_proration": 1,
+    # q188: day-count agg + lag-pair join + per-lag rollup (span is a
+    # 1-row broadcast; the series table is model-space)
+    "q188_autocorrelation": 3,
+    # q189: (source, word) agg + source rollup
+    "q189_lexical_diversity": 2,
+    # q190: ONE (user, type) fold shuffle + tiny per-type rollup
+    "q190_throttle_dedup": 2,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
