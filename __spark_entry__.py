@@ -267,6 +267,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q188_autocorrelation": Q.q188_autocorrelation,
         "q189_lexical_diversity": Q.q189_lexical_diversity,
         "q190_throttle_dedup": Q.q190_throttle_dedup,
+        "q191_g2_collocations": Q.q191_g2_collocations,
+        "q192_max_drawdown": Q.q192_max_drawdown,
+        "q193_weekday_anova": Q.q193_weekday_anova,
+        "q194_fano_burstiness": Q.q194_fano_burstiness,
     }
 
 
@@ -4169,5 +4173,139 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_raw) AS BIGINT) AS n_raw,
                    CAST(SUM(st % 1000) AS BIGINT) AS n_kept
             FROM folded GROUP BY 1
+        """,
+        "q191_g2_collocations": f"""
+            WITH t AS (SELECT {_TOKS} AS toks FROM documents),
+            g AS (
+              SELECT unnest(CASE WHEN len(toks) >= 2 THEN
+                       [{{'w1': toks[i], 'w2': toks[i+1]}}
+                        for i in generate_series(1, len(toks) - 1)]
+                     ELSE [] END) AS gg
+              FROM t),
+            pairs AS MATERIALIZED (
+              SELECT gg.w1 AS w1, gg.w2 AS w2 FROM g),
+            c12 AS (SELECT w1, w2, COUNT(*) AS c12
+                    FROM pairs GROUP BY 1, 2),
+            c1 AS (SELECT w1, COUNT(*) AS c1 FROM pairs GROUP BY 1),
+            c2 AS (SELECT w2, COUNT(*) AS c2 FROM pairs GROUP BY 1),
+            tot AS (SELECT COUNT(*) AS nn FROM pairs),
+            scored AS (
+              SELECT w1, w2, c12,
+                     CAST(floor(2 * (
+                       (CASE WHEN c12 > 0 THEN CAST(c12 AS DOUBLE)
+                          * ln(CAST(c12 AS DOUBLE) * CAST(nn AS DOUBLE)
+                               / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE)))
+                          ELSE 0.0 END)
+                       + (CASE WHEN c1 - c12 > 0
+                          THEN CAST(c1 - c12 AS DOUBLE)
+                          * ln(CAST(c1 - c12 AS DOUBLE) * CAST(nn AS DOUBLE)
+                               / (CAST(c1 AS DOUBLE)
+                                  * CAST(nn - c2 AS DOUBLE)))
+                          ELSE 0.0 END)
+                       + (CASE WHEN c2 - c12 > 0
+                          THEN CAST(c2 - c12 AS DOUBLE)
+                          * ln(CAST(c2 - c12 AS DOUBLE) * CAST(nn AS DOUBLE)
+                               / (CAST(nn - c1 AS DOUBLE)
+                                  * CAST(c2 AS DOUBLE)))
+                          ELSE 0.0 END)
+                       + (CASE WHEN nn - c1 - c2 + c12 > 0
+                          THEN CAST(nn - c1 - c2 + c12 AS DOUBLE)
+                          * ln(CAST(nn - c1 - c2 + c12 AS DOUBLE)
+                               * CAST(nn AS DOUBLE)
+                               / (CAST(nn - c1 AS DOUBLE)
+                                  * CAST(nn - c2 AS DOUBLE)))
+                          ELSE 0.0 END)
+                     ) * 1000000) AS BIGINT) AS g2_micro
+              FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2), tot)
+            SELECT w1, w2, c12, g2_micro
+            FROM scored
+            ORDER BY g2_micro DESC, w1, w2
+            LIMIT 20
+        """,
+        "q192_max_drawdown": """
+            WITH daily AS (
+              SELECT CAST(o_orderdate AS DATE) AS day,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                          AS BIGINT) AS cents
+              FROM orders GROUP BY 1),
+            cumc AS (
+              SELECT day,
+                     SUM(cents) OVER (ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+              FROM daily),
+            curve AS MATERIALIZED (
+              SELECT day, cum,
+                     MAX(cum) OVER (ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - cum AS dd
+              FROM cumc),
+            mx AS (SELECT MAX(dd) AS max_dd FROM curve)
+            SELECT COUNT(*) AS n_trough_days,
+                   CAST(MAX(max_dd) AS BIGINT) AS max_drawdown_cents,
+                   strftime(MIN(day), '%Y-%m-%d') AS trough_day
+            FROM curve, mx
+            WHERE dd = max_dd
+        """,
+        "q193_weekday_anova": """
+            WITH daily AS (
+              SELECT date_diff('day', DATE '1970-01-01',
+                               CAST(o_orderdate AS DATE)) AS dnum,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                          AS BIGINT) AS cents
+              FROM orders GROUP BY 1),
+            stats AS (
+              SELECT (dnum + 4) % 7 AS dow, COUNT(*) AS ng,
+                     CAST(SUM(cents) AS BIGINT) AS sg,
+                     SUM(CAST(cents AS HUGEINT) * cents) AS ssg
+              FROM daily GROUP BY 1),
+            one AS (
+              SELECT list(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+                          / CAST(ng AS DOUBLE) ORDER BY dow) AS terms,
+                     CAST(SUM(ng) AS BIGINT) AS n,
+                     CAST(SUM(sg) AS BIGINT) AS s,
+                     SUM(ssg) AS ss,
+                     COUNT(*) AS k
+              FROM stats)
+            SELECT n, k,
+                   CAST(floor(
+                     ((list_reduce(terms, (acc, x) -> acc + x)
+                       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                         / CAST(n AS DOUBLE))
+                      / CAST(k - 1 AS DOUBLE))
+                     / ((CAST(ss AS DOUBLE)
+                         - list_reduce(terms, (acc, x) -> acc + x))
+                        / CAST(n - k AS DOUBLE))
+                     * 1000000) AS BIGINT) AS f_micro
+            FROM one
+        """,
+        "q194_fano_burstiness": """
+            WITH cnt AS MATERIALIZED (
+              SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+                     COUNT(*) AS n
+              FROM events GROUP BY 1, 2),
+            span AS (SELECT event_type, MIN(h) AS h0, MAX(h) AS h1
+                     FROM cnt GROUP BY 1),
+            grid AS (SELECT event_type, unnest(range(h0, h1 + 1)) AS h
+                     FROM span),
+            filled AS (
+              SELECT g.event_type, COALESCE(c.n, 0) AS n
+              FROM grid g LEFT JOIN cnt c
+                ON c.event_type = g.event_type AND c.h = g.h),
+            s AS (
+              SELECT event_type, COUNT(*) AS n_hours,
+                     CAST(SUM(n) AS BIGINT) AS sc,
+                     SUM(CAST(n AS HUGEINT) * n) AS ssc
+              FROM filled GROUP BY 1)
+            SELECT event_type, n_hours,
+                   CAST(sc * 1000000 // n_hours AS BIGINT) AS mean_micro,
+                   CAST(floor(
+                     CAST(n_hours * ssc - CAST(sc AS HUGEINT) * sc
+                          AS DOUBLE)
+                     / CAST(CAST(n_hours AS HUGEINT) * (n_hours - 1)
+                            AS DOUBLE)
+                     / (CAST(sc AS DOUBLE) / CAST(n_hours AS DOUBLE))
+                     * 1000000) AS BIGINT) AS fano_micro
+            FROM s
         """,
     }

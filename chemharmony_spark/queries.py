@@ -5771,3 +5771,206 @@ def q190_throttle_dedup(spark, sf):
             F.sum("kept").alias("n_kept"),
         )
     )
+
+
+def q191_g2_collocations(spark, sf):
+    """Dunning log-likelihood (G-squared) collocations: the top-20
+    adjacent token bigrams whose co-occurrence most exceeds chance under
+    the 2x2 contingency of (w1?, w2?) bigram slots — the
+    collocation-mining complement to q109's PMI (G2 doesn't over-reward
+    rare pairs). Counts are exact integers from ONE bigram-pair shuffle
+    plus two margin re-aggs; each of the four O*ln(O*N/(m_r*m_c)) terms
+    is evaluated in the SAME fixed expression order in both engines (all
+    products < 2^53, so the doubles are exact until ln). Margins join
+    back on word keys (vocabulary-sized, model-space); the top-20 is a
+    TakeOrdered."""
+    docs = _t(spark, sf, "documents").select(TX.tokens("text").alias("toks"))
+    toks = F.col("toks")
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array())
+    pairs = docs.select(F.explode(grams).alias("g")).select(
+        F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2")
+    ).persist()
+    c12 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    c2 = pairs.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
+    tot = pairs.agg(F.count(F.lit(1)).alias("nn"))
+    j = (
+        c12.join(c1, on="w1")
+        .join(c2, on="w2")
+        .crossJoin(F.broadcast(tot))
+    )
+
+    def term(o, mr, mc):
+        od = o.cast("double")
+        return F.when(
+            o > 0,
+            od * F.log(
+                od * F.col("nn").cast("double")
+                / (mr.cast("double") * mc.cast("double"))
+            ),
+        ).otherwise(F.lit(0.0))
+
+    o11 = F.col("c12")
+    o12 = F.col("c1") - F.col("c12")
+    o21 = F.col("c2") - F.col("c12")
+    o22 = F.col("nn") - F.col("c1") - F.col("c2") + F.col("c12")
+    nc1 = F.col("nn") - F.col("c1")
+    nc2 = F.col("nn") - F.col("c2")
+    g2 = 2 * (
+        term(o11, F.col("c1"), F.col("c2"))
+        + term(o12, F.col("c1"), nc2)
+        + term(o21, nc1, F.col("c2"))
+        + term(o22, nc1, nc2)
+    )
+    scored = j.select(
+        "w1", "w2", "c12",
+        F.floor(g2 * 1_000_000).cast("long").alias("g2_micro"),
+    )
+    return scored.orderBy(F.col("g2_micro").desc(), "w1", "w2").limit(20)
+
+
+def q192_max_drawdown(spark, sf):
+    """Maximum drawdown of the cumulative daily-revenue curve: the
+    largest peak-to-trough drop (exact cents) and the first day it
+    bottoms — the risk statistic q119's TWAP and q147's baselines don't
+    see. ONE day-level agg; both running windows (cumsum + running max)
+    share the single-partition order over the model-space day table
+    (thousands of rows; the q56 bucketed cumsum drops in at longer
+    horizons), and the 1-row max broadcast picks the first arg-min day
+    exactly."""
+    orders = _t(spark, sf, "orders")
+    daily = orders.groupBy(
+        F.expr("CAST(o_orderdate AS DATE)").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast(DEC) * 100)
+        .cast("long").alias("cents")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    curve = daily.select(
+        "day", F.sum("cents").over(w).alias("cum")
+    ).select(
+        "day", "cum", (F.max("cum").over(w) - F.col("cum")).alias("dd")
+    ).persist()
+    mx = curve.agg(F.max("dd").alias("max_dd"))
+    return (
+        curve.crossJoin(F.broadcast(mx))
+        .where(F.col("dd") == F.col("max_dd"))
+        .agg(
+            F.count(F.lit(1)).alias("n_trough_days"),
+            F.max("max_dd").alias("max_drawdown_cents"),
+            F.date_format(F.min("day"), "yyyy-MM-dd").alias("trough_day"),
+        )
+    )
+
+
+def q193_weekday_anova(spark, sf):
+    """One-way ANOVA across weekdays of daily revenue: does the day of
+    week move the mean (the significance test behind q147's seasonal
+    baseline)? Day-of-week is computed portably as (epoch_day + 4) % 7.
+    Group sums stay exact integers; the 7 between-group terms s_g^2/n_g
+    are folded in fixed dow order from a sorted collected array (q178
+    idiom, scalar accumulator), so the double additions are the same
+    IEEE sequence in both engines. Facts shuffle once for the day agg;
+    everything after is model-space."""
+    orders = _t(spark, sf, "orders")
+    daily = orders.groupBy(
+        F.expr("datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')")
+        .alias("dnum")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast(DEC) * 100)
+        .cast("long").alias("cents")
+    )
+    D38 = "decimal(38,0)"
+    stats = daily.select(
+        F.expr("(dnum + 4) % 7").alias("dow"), "cents"
+    ).groupBy("dow").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum("cents").alias("sg"),
+        F.sum(F.col("cents").cast(D38) * F.col("cents").cast(D38))
+        .alias("ssg"),
+    )
+    one = stats.agg(
+        F.array_sort(F.collect_list(F.struct("dow", "ng", "sg"))).alias("gr"),
+        F.sum("ng").alias("n"),
+        F.sum("sg").alias("s"),
+        F.sum("ssg").alias("ss"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    a = F.aggregate(
+        F.transform(
+            F.col("gr"),
+            lambda g: g["sg"].cast("double") * g["sg"].cast("double")
+            / g["ng"].cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    s2n = (
+        F.col("s").cast("double") * F.col("s").cast("double")
+        / F.col("n").cast("double")
+    )
+    ssb = a - s2n
+    ssw = F.col("ss").cast("double") - a
+    fstat = (ssb / (F.col("k") - 1).cast("double")) / (
+        ssw / (F.col("n") - F.col("k")).cast("double")
+    )
+    return one.select(
+        "n", "k",
+        F.floor(fstat * 1_000_000).cast("long").alias("f_micro"),
+    )
+
+
+def q194_fano_burstiness(spark, sf):
+    """Fano factor (variance-to-mean ratio) of each type's zero-filled
+    hourly event counts — the burstiness read-out (Poisson arrivals sit
+    at 1; bursty traffic blows past it) that tells q139's CUSUM what a
+    calm baseline looks like. Same grid shapes as q178 (count agg + span
+    re-agg + per-type rollup); n/s/ss stay exact integers and the
+    variance/mean divide to IEEE double only at the end."""
+    ev = _events(spark, sf).select(
+        "event_type", F.expr("(ts div 1000) div 3600000000").alias("h")
+    )
+    cnt = (
+        ev.groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    span = cnt.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = span.select(
+        "event_type", F.explode(F.sequence("h0", "h1")).alias("h")
+    )
+    filled = grid.join(cnt, on=["event_type", "h"], how="left").na.fill(
+        {"n": 0}
+    )
+    D38 = "decimal(38,0)"
+    s = filled.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("n").alias("sc"),
+        F.sum(F.col("n").cast(D38) * F.col("n").cast(D38)).alias("ssc"),
+    )
+    nh = F.col("n_hours").cast(D38)
+    varnum = (nh * F.col("ssc")
+              - F.col("sc").cast(D38) * F.col("sc").cast(D38))
+    fano = (
+        varnum.cast("double")
+        / (nh * (nh - 1)).cast("double")
+        / (F.col("sc").cast("double") / F.col("n_hours").cast("double"))
+    )
+    return s.select(
+        "event_type", "n_hours",
+        F.expr("sc * 1000000 div n_hours").alias("mean_micro"),
+        F.floor(fano * 1_000_000).cast("long").alias("fano_micro"),
+    )

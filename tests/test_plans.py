@@ -454,6 +454,16 @@ SHUFFLE_BUDGET = {
     "q189_lexical_diversity": 2,
     # q190: ONE (user, type) fold shuffle + tiny per-type rollup
     "q190_throttle_dedup": 2,
+    # q191: persisted bigram pairs print under c12/c1/c2 margins + the
+    # margin joins; top-20 is a TakeOrdered
+    "q191_g2_collocations": 4,
+    # q192: day agg + single-partition curve windows; persisted curve
+    # prints under the max/trough consumers
+    "q192_max_drawdown": 4,
+    # q193: day agg + 7-row dow agg + 1-row fold assembly
+    "q193_weekday_anova": 3,
+    # q194: (type, hour) agg + span re-agg + per-type rollup (q178 grid)
+    "q194_fano_burstiness": 2,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -497,7 +507,11 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 # q177: 1-row basket-total broadcast
                 "q177_association_rules",
                 # q185: 1-row horizon / total-user scalar broadcasts
-                "q185_kaplan_meier"}
+                "q185_kaplan_meier",
+                # q191: 1-row bigram-total broadcast
+                "q191_g2_collocations",
+                # q192: 1-row max-drawdown broadcast
+                "q192_max_drawdown"}
 
 
 def test_no_headline_query_has_unpartitioned_ranked_window(spark):
