@@ -271,6 +271,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q192_max_drawdown": Q.q192_max_drawdown,
         "q193_weekday_anova": Q.q193_weekday_anova,
         "q194_fano_burstiness": Q.q194_fano_burstiness,
+        "q195_sequential_patterns": Q.q195_sequential_patterns,
+        "q196_session_stats": Q.q196_session_stats,
+        "q197_lloyd_iteration": Q.q197_lloyd_iteration,
     }
 
 
@@ -4307,5 +4310,110 @@ def oracle_sql() -> dict[str, str]:
                      / (CAST(sc AS DOUBLE) / CAST(n_hours AS DOUBLE))
                      * 1000000) AS BIGINT) AS fano_micro
             FROM s
+        """,
+        "q195_sequential_patterns": """
+            WITH ev AS (
+              SELECT user_id, event_type,
+                     epoch_us(ts) // 86400000000 AS day,
+                     epoch_us(ts) AS us
+              FROM events),
+            ft AS MATERIALIZED (
+              SELECT user_id, day, event_type, MIN(us) AS fus
+              FROM ev GROUP BY 1, 2, 3),
+            tot AS (
+              SELECT COUNT(*) AS n_sessions
+              FROM (SELECT DISTINCT user_id, day FROM ft)),
+            hits AS (
+              SELECT a.event_type AS t_a, b.event_type AS t_b,
+                     COUNT(*) AS n_hits
+              FROM ft a JOIN ft b
+                ON a.user_id = b.user_id AND a.day = b.day
+               AND a.event_type != b.event_type AND a.fus < b.fus
+              GROUP BY 1, 2)
+            SELECT t_a, t_b, n_hits,
+                   CAST(n_hits * 1000000 // n_sessions AS BIGINT)
+                     AS support_ppm
+            FROM hits, tot
+        """,
+        "q196_session_stats": """
+            WITH ev AS (
+              SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+                     epoch_us(ts) AS us
+              FROM events),
+            sess AS MATERIALIZED (
+              SELECT user_id, day, COUNT(*) AS n_events,
+                     MAX(us) - MIN(us) AS dur_us
+              FROM ev GROUP BY 1, 2),
+            tot AS (
+              SELECT COUNT(*) AS n_sessions,
+                     CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_bounce,
+                     CAST(SUM(dur_us) AS BIGINT) AS sum_dur
+              FROM sess),
+            ranked AS (
+              SELECT dur_us,
+                     ROW_NUMBER() OVER (ORDER BY dur_us, user_id, day)
+                       AS rn
+              FROM sess),
+            med AS (
+              SELECT dur_us AS median_dur_us
+              FROM ranked, tot
+              WHERE rn = CAST(ceil(n_sessions / 2.0) AS BIGINT))
+            SELECT n_sessions,
+                   CAST(n_bounce * 1000000 // n_sessions AS BIGINT)
+                     AS bounce_ppm,
+                   CAST(sum_dur // n_sessions AS BIGINT) AS mean_dur_us,
+                   median_dur_us
+            FROM tot, med
+        """,
+        "q197_lloyd_iteration": """
+            WITH seeds AS (
+              SELECT embedding, md5(CAST(vec_id AS VARCHAR)) AS h
+              FROM embeddings ORDER BY h LIMIT 16),
+            cent AS MATERIALIZED (
+              SELECT ROW_NUMBER() OVER (ORDER BY h) AS cid,
+                     embedding AS cv
+              FROM seeds),
+            scored AS (
+              SELECT vec_id, embedding, cid, cv,
+                     list_reduce(list_transform(
+                       list_zip(
+                         list_transform(embedding,
+                                        x -> CAST(x AS DOUBLE)),
+                         list_transform(cv, x -> CAST(x AS DOUBLE))),
+                       p -> (p[1] - p[2]) * (p[1] - p[2])),
+                       (a, b) -> a + b) AS d2
+              FROM embeddings, cent),
+            assigned AS MATERIALIZED (
+              SELECT vec_id, cid, embedding, cv
+              FROM scored
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY d2, cid) = 1),
+            by_dim AS (
+              SELECT cid, p.dim AS dim, p.xq AS xq, p.sq AS sq
+              FROM (
+                SELECT cid,
+                       unnest([{'dim': i - 1,
+                                'xq': CAST(floor(CAST(embedding[i]
+                                       AS DOUBLE) * 1000000) AS BIGINT),
+                                'sq': CAST(floor(CAST(cv[i] AS DOUBLE)
+                                       * 1000000) AS BIGINT)}
+                               for i in generate_series(1,
+                                         len(embedding))]) AS p
+                FROM assigned)),
+            upd AS (
+              SELECT cid, dim, COUNT(*) AS n,
+                     CASE WHEN SUM(xq) >= 0
+                          THEN CAST(SUM(xq) AS BIGINT) // COUNT(*)
+                          ELSE -((-CAST(SUM(xq) AS BIGINT)) // COUNT(*))
+                     END AS mean_q,
+                     MIN(sq) AS sq
+              FROM by_dim GROUP BY 1, 2)
+            SELECT cid,
+                   CAST(MIN(n) AS BIGINT) AS n_members,
+                   CAST(SUM(abs(mean_q - sq)) AS BIGINT) AS shift_q,
+                   md5(string_agg(CAST(mean_q AS VARCHAR), ','
+                                  ORDER BY dim)) AS centroid_hash
+            FROM upd GROUP BY cid
         """,
     }

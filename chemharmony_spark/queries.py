@@ -5974,3 +5974,158 @@ def q194_fano_burstiness(spark, sf):
         F.expr("sc * 1000000 div n_hours").alias("mean_micro"),
         F.floor(fano * 1_000_000).cast("long").alias("fano_micro"),
     )
+
+
+def q195_sequential_patterns(spark, sf):
+    """Gap-tolerant sequential pattern mining: for every ordered pair of
+    event types (a, b), in how many user-day sessions does a's FIRST
+    occurrence strictly precede b's — the next-step signal q91's Markov
+    chain (adjacent transitions only) can't see. First-occurrence times
+    are ONE (user, day, type) agg; the pair join stays inside the same
+    (user, day) key (co-partitioned self-join, no data explosion beyond
+    the 5x4 type grid); support normalizes by the 1-row session total."""
+    ev = _events(spark, sf).select(
+        "user_id", "event_type",
+        F.expr("(ts div 1000) div 86400000000").alias("day"),
+        F.expr("ts div 1000").alias("us"),
+    )
+    ft = ev.groupBy("user_id", "day", "event_type").agg(
+        F.min("us").alias("fus")
+    ).persist()
+    tot = ft.select("user_id", "day").distinct().agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+    a = ft.withColumnsRenamed({"event_type": "t_a", "fus": "ua"})
+    b = ft.withColumnsRenamed({"event_type": "t_b", "fus": "ub"})
+    hits = (
+        a.join(b, on=["user_id", "day"])
+        .where((F.col("t_a") != F.col("t_b")) & (F.col("ua") < F.col("ub")))
+        .groupBy("t_a", "t_b")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return hits.crossJoin(F.broadcast(tot)).select(
+        "t_a", "t_b", "n_hits",
+        F.expr("n_hits * 1000000 div n_sessions").alias("support_ppm"),
+    )
+
+
+def q196_session_stats(spark, sf):
+    """Session-level engagement summary over user-day sessions: session
+    count, bounce share (single-event sessions), and the exact mean +
+    median session duration — the product-analytics companion to q176's
+    DAU/WAU. ONE (user, day) shuffle builds the session table; the exact
+    median rides a ranked pass over it (model-space rows; the q58
+    bucketed selector is the documented 100 TB path) with the
+    (dur, user, day) tiebreak making row selection total-ordered."""
+    ev = _events(spark, sf).select(
+        "user_id",
+        F.expr("(ts div 1000) div 86400000000").alias("day"),
+        F.expr("ts div 1000").alias("us"),
+    )
+    sess = ev.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("us") - F.min("us")).alias("dur_us"),
+    ).persist()
+    ranked = sess.select(
+        "dur_us",
+        F.row_number().over(
+            Window.orderBy("dur_us", "user_id", "day")
+        ).alias("rn"),
+    )
+    tot = sess.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum((F.col("n_events") == 1).cast("long")).alias("n_bounce"),
+        F.sum("dur_us").alias("sum_dur"),
+    )
+    med = (
+        ranked.crossJoin(F.broadcast(tot))
+        .where(F.col("rn") == F.expr("CAST(ceil(n_sessions / 2.0) AS BIGINT)"))
+        .select(F.col("dur_us").alias("median_dur_us"))
+    )
+    return tot.crossJoin(F.broadcast(med)).select(
+        "n_sessions",
+        F.expr("n_bounce * 1000000 div n_sessions").alias("bounce_ppm"),
+        F.expr("sum_dur div n_sessions").alias("mean_dur_us"),
+        "median_dur_us",
+    )
+
+
+def q197_lloyd_iteration(spark, sf):
+    """One exact Lloyd (k-means) iteration over the embedding corpus:
+    assign every vector to its nearest of 16 md5-seeded centroids
+    (squared-L2 in sequential-fold double — the q38 determinism recipe),
+    then recompute centroids as per-dimension integer-quantized means
+    and report each cluster's size, total centroid shift, and a
+    value-hash of the new centroid. The iterative-ML building block on
+    top of q47's one-shot IVF assignment: centroids broadcast (16 x 64
+    — model-space), the corpus never shuffles for assignment, and the
+    update is ONE (cluster, dim) agg. Mean uses truncating div in BOTH
+    engines (components go negative)."""
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    seeds = (
+        emb.select(
+            "embedding", F.md5(F.col("vec_id").cast("string")).alias("h")
+        )
+        .orderBy("h")
+        .limit(16)
+    )
+    cent = seeds.select(
+        F.row_number().over(Window.orderBy("h")).alias("cid"),
+        F.col("embedding").alias("cv"),
+    )
+
+    def sqdist(a, b):
+        diffs = F.zip_with(
+            F.transform(a, lambda x: x.cast("double")),
+            F.transform(b, lambda x: x.cast("double")),
+            lambda x, y: (x - y) * (x - y),
+        )
+        return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "embedding", "cid", "cv",
+        sqdist(F.col("embedding"), F.col("cv")).alias("d2"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cid", "embedding", "cv")
+    )
+    by_dim = assigned.select(
+        "cid",
+        F.posexplode(
+            F.zip_with(
+                F.transform("embedding", lambda x: x.cast("double")),
+                F.transform("cv", lambda x: x.cast("double")),
+                lambda x, y: F.struct(
+                    F.floor(x * 1_000_000).cast("long").alias("xq"),
+                    F.floor(y * 1_000_000).cast("long").alias("sq"),
+                ),
+            )
+        ).alias("dim", "p"),
+    ).select("cid", "dim", F.col("p.xq").alias("xq"), F.col("p.sq").alias("sq"))
+    upd = by_dim.groupBy("cid", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xq").alias("sx"),
+        F.min("sq").alias("sq"),
+    ).select(
+        "cid", "dim", "n",
+        F.expr("sx div n").alias("mean_q"),
+        "sq",
+    )
+    return upd.groupBy("cid").agg(
+        F.min("n").alias("n_members"),
+        F.sum(F.abs(F.col("mean_q") - F.col("sq"))).alias("shift_q"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("dim", "mean_q"))
+                    ),
+                    lambda s: s["mean_q"].cast("string"),
+                ),
+            )
+        ).alias("centroid_hash"),
+    )

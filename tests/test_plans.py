@@ -464,6 +464,14 @@ SHUFFLE_BUDGET = {
     "q193_weekday_anova": 3,
     # q194: (type, hour) agg + span re-agg + per-type rollup (q178 grid)
     "q194_fano_burstiness": 2,
+    # q195: persisted first-occurrence table prints under session total /
+    # co-partitioned pair join / pair rollup
+    "q195_sequential_patterns": 4,
+    # q196: persisted session table prints under totals / ranked median
+    "q196_session_stats": 4,
+    # q197: 16-row seed TakeOrdered + per-vec argmin window + (cid, dim)
+    # update agg (assignment itself never shuffles the corpus)
+    "q197_lloyd_iteration": 3,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -511,7 +519,11 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 # q191: 1-row bigram-total broadcast
                 "q191_g2_collocations",
                 # q192: 1-row max-drawdown broadcast
-                "q192_max_drawdown"}
+                "q192_max_drawdown",
+                # q195/q196: 1-row session-total / median scalar broadcasts
+                "q195_sequential_patterns", "q196_session_stats",
+                # q197: 16-row centroid codebook cross join (q47 pattern)
+                "q197_lloyd_iteration"}
 
 
 def test_no_headline_query_has_unpartitioned_ranked_window(spark):
