@@ -274,6 +274,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q195_sequential_patterns": Q.q195_sequential_patterns,
         "q196_session_stats": Q.q196_session_stats,
         "q197_lloyd_iteration": Q.q197_lloyd_iteration,
+        "q198_bfs_distance": Q.q198_bfs_distance,
+        "q199_sorted_neighborhood": Q.q199_sorted_neighborhood,
+        "q200_degree_assortativity": Q.q200_degree_assortativity,
+        "q201_theil_sen": Q.q201_theil_sen,
     }
 
 
@@ -4415,5 +4419,116 @@ def oracle_sql() -> dict[str, str]:
                    md5(string_agg(CAST(mean_q AS VARCHAR), ','
                                   ORDER BY dim)) AS centroid_hash
             FROM upd GROUP BY cid
+        """,
+        "q198_bfs_distance": """
+            WITH RECURSIVE b AS (
+              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            edges0 AS MATERIALIZED (
+              SELECT a.l_partkey AS p1, c.l_partkey AS p2
+              FROM b a JOIN b c
+                ON a.l_orderkey = c.l_orderkey
+               AND a.l_partkey < c.l_partkey
+              GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+            sym AS MATERIALIZED (
+              SELECT p1, p2 FROM edges0
+              UNION ALL SELECT p2, p1 FROM edges0),
+            deg AS (SELECT p1, COUNT(*) AS deg FROM sym GROUP BY 1),
+            seed AS (SELECT p1 AS node FROM deg
+                     ORDER BY deg DESC, p1 LIMIT 1),
+            walk AS (
+              SELECT node, 0 AS dist FROM seed
+              UNION
+              SELECT s.p2, w.dist + 1
+              FROM walk w JOIN sym s ON s.p1 = w.node
+              WHERE w.dist < 4),
+            mind AS (SELECT node, MIN(dist) AS dist FROM walk GROUP BY 1)
+            SELECT dist, COUNT(*) AS n_nodes,
+                   MIN(node) AS min_node, MAX(node) AS max_node
+            FROM mind GROUP BY 1
+        """,
+        "q199_sorted_neighborhood": f"""
+            WITH t AS (
+              SELECT doc_id, {_NORM} AS norm, {_TOKS} AS toks
+              FROM documents),
+            ranked AS MATERIALIZED (
+              SELECT doc_id, toks,
+                     ROW_NUMBER() OVER (ORDER BY substr(norm, 1, 40),
+                                        doc_id) AS rn
+              FROM t),
+            pairs AS (
+              SELECT l.doc_id AS a, r.doc_id AS b,
+                     len(list_intersect(list_distinct(l.toks),
+                                        list_distinct(r.toks))) AS ii,
+                     len(list_distinct(l.toks))
+                       + len(list_distinct(r.toks)) AS uu
+              FROM ranked l JOIN ranked r
+                ON r.rn BETWEEN l.rn + 1 AND l.rn + 3)
+            SELECT a, b,
+                   CAST(CAST(ii AS BIGINT) * 1000000
+                        // CAST(uu - ii AS BIGINT) AS BIGINT)
+                     AS jaccard_ppm
+            FROM pairs
+            WHERE uu > ii AND ii * 2 >= uu - ii
+        """,
+        "q200_degree_assortativity": """
+            WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            edges0 AS MATERIALIZED (
+              SELECT a.l_partkey AS p1, c.l_partkey AS p2
+              FROM b a JOIN b c
+                ON a.l_orderkey = c.l_orderkey
+               AND a.l_partkey < c.l_partkey
+              GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+            sym AS MATERIALIZED (
+              SELECT p1, p2 FROM edges0
+              UNION ALL SELECT p2, p1 FROM edges0),
+            deg AS MATERIALIZED (
+              SELECT p1, COUNT(*) AS deg FROM sym GROUP BY 1),
+            pts AS (
+              SELECT da.deg AS xa, db.deg AS xb
+              FROM sym
+              JOIN deg da ON da.p1 = sym.p1
+              JOIN deg db ON db.p1 = sym.p2),
+            s AS (
+              SELECT COUNT(*) AS n_edges,
+                     CAST(SUM(xa) AS BIGINT) AS sx,
+                     CAST(SUM(xb) AS BIGINT) AS sy,
+                     SUM(CAST(xa AS HUGEINT) * xb) AS sxy,
+                     SUM(CAST(xa AS HUGEINT) * xa) AS sxx,
+                     SUM(CAST(xb AS HUGEINT) * xb) AS syy
+              FROM pts)
+            SELECT n_edges,
+                   CAST(floor(
+                     CAST(n_edges * sxy - CAST(sx AS HUGEINT) * sy
+                          AS DOUBLE)
+                     / (sqrt(CAST(n_edges * sxx
+                                  - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+                        * sqrt(CAST(n_edges * syy
+                                    - CAST(sy AS HUGEINT) * sy
+                                    AS DOUBLE)))
+                     * 1000000) AS BIGINT) AS assortativity_micro
+            FROM s
+        """,
+        "q201_theil_sen": """
+            WITH daily AS MATERIALIZED (
+              SELECT date_diff('day', DATE '1970-01-01',
+                               CAST(o_orderdate AS DATE)) AS d,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                          AS BIGINT) AS c
+              FROM orders GROUP BY 1),
+            slopes AS MATERIALIZED (
+              SELECT a.d AS di, b.d AS dj,
+                     CASE WHEN (b.c - a.c) >= 0
+                          THEN (b.c - a.c) * 1000000 // (b.d - a.d)
+                          ELSE -((-(b.c - a.c)) * 1000000 // (b.d - a.d))
+                     END AS s_micro
+              FROM daily a JOIN daily b ON b.d > a.d),
+            tot AS (SELECT COUNT(*) AS n_pairs FROM slopes),
+            ranked AS (
+              SELECT s_micro,
+                     ROW_NUMBER() OVER (ORDER BY s_micro, di, dj) AS rn
+              FROM slopes)
+            SELECT n_pairs, s_micro AS median_slope_micro
+            FROM ranked, tot
+            WHERE rn = CAST(ceil(n_pairs / 2.0) AS BIGINT)
         """,
     }

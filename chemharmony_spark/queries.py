@@ -6129,3 +6129,185 @@ def q197_lloyd_iteration(spark, sf):
             )
         ).alias("centroid_hash"),
     )
+
+
+def q198_bfs_distance(spark, sf):
+    """BFS shortest-path distances (unweighted, <= 4 hops) from the
+    highest-degree hub of the symmetrized co-purchase graph — the
+    level-synchronous frontier expansion that underlies reachability /
+    blast-radius queries, next to q112's fixpoint PageRank. Each of the
+    4 rounds joins the (small) frontier against the stationary edge
+    table via broadcast — the edges never shuffle — and the visited set
+    grows by anti-join; lineage stays O(1) through lazy localCheckpoint.
+    Distances are exact level numbers, so the oracle's bounded
+    recursive-CTE min-dist replay matches bit-for-bit."""
+    li = _t(spark, sf, "lineitem")
+    e = _copurchase_edges(li).select("p1", "p2")
+    sym = (
+        e.unionByName(e.select(F.col("p2").alias("p1"),
+                               F.col("p1").alias("p2")))
+        .localCheckpoint(eager=False)
+    )
+    deg = sym.groupBy("p1").agg(F.count(F.lit(1)).alias("deg"))
+    seed = (
+        deg.orderBy(F.col("deg").desc(), "p1")
+        .limit(1)
+        .select(F.col("p1").alias("node"), F.lit(0).alias("dist"))
+    )
+    visited = seed.localCheckpoint(eager=False)
+    frontier = visited
+    for level in range(1, 5):
+        nxt = (
+            sym.join(
+                F.broadcast(frontier.withColumnRenamed("node", "p1")), "p1"
+            )
+            .select(F.col("p2").alias("node"))
+            .distinct()
+            .join(visited, on="node", how="left_anti")
+            .select("node", F.lit(level).alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    return visited.groupBy("dist").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("node").alias("min_node"),
+        F.max("node").alias("max_node"),
+    )
+
+
+def q199_sorted_neighborhood(spark, sf):
+    """Sorted-neighborhood blocking for near-dup detection: sort the
+    corpus by a normalized prefix key, pair each doc with its next 3
+    neighbors in sort order, and verify token-Jaccard >= 0.5 — the
+    classic record-linkage alternative to hash blocking (q35 LSH,
+    q82 PPJoin) that catches prefix-aligned near-dups with a LINEAR
+    candidate count (3n pairs, vs LSH's bucket blowup on fat keys).
+    The rank rides a single sort (range-partition the sort key at 100
+    TB — rank windows over a global order parallelize per range); the
+    neighbor pairing is a 3-way self-join on rank offsets."""
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.substring(TX.normalize_text("text"), 1, 40).alias("k"),
+        TX.tokens("text").alias("toks"),
+    )
+    ranked = docs.select(
+        "doc_id", "toks",
+        F.row_number().over(Window.orderBy("k", "doc_id")).alias("rn"),
+    ).persist()
+    right = ranked.select(
+        F.col("doc_id").alias("b"),
+        F.col("toks").alias("btoks"),
+        F.col("rn").alias("rb"),
+    )
+    off = ranked.select(
+        "doc_id", "toks", "rn",
+        F.explode(F.sequence(F.lit(1), F.lit(3))).alias("o"),
+    )
+    pairs = off.join(right, F.col("rb") == F.col("rn") + F.col("o"))
+    inter = F.size(F.array_intersect(F.array_distinct("toks"),
+                                     F.array_distinct("btoks")))
+    uni = (
+        F.size(F.array_distinct("toks"))
+        + F.size(F.array_distinct("btoks"))
+    )
+    jac_ppm = F.expr(
+        "CAST(ii AS BIGINT) * 1000000 div CAST(uu - ii AS BIGINT)"
+    )
+    return (
+        pairs.select(
+            F.col("doc_id").alias("a"), "b",
+            inter.alias("ii"), uni.alias("uu"),
+        )
+        .where(
+            (F.col("uu") > F.col("ii"))
+            & (F.col("ii") * 2 >= F.col("uu") - F.col("ii"))
+        )
+        .select("a", "b", jac_ppm.alias("jaccard_ppm"))
+    )
+
+
+def q200_degree_assortativity(spark, sf):
+    """Degree assortativity of the co-purchase graph: the Pearson
+    correlation of endpoint degrees over all (symmetrized) edges — do
+    hubs link to hubs? The one-number topology fingerprint that decides
+    whether q105/q186's triangle counts need degree-orientation at
+    scale (disassortative power-law graphs do). Degrees are one agg on
+    the stationary edge table; endpoint degrees broadcast back onto the
+    edges; the correlation is assembled from exact decimal(38,0) sums
+    with IEEE doubles only in the final divide/sqrt."""
+    li = _t(spark, sf, "lineitem")
+    e = _copurchase_edges(li).select("p1", "p2")
+    sym = (
+        e.unionByName(e.select(F.col("p2").alias("p1"),
+                               F.col("p1").alias("p2")))
+        .localCheckpoint(eager=False)
+    )
+    deg = sym.groupBy("p1").agg(F.count(F.lit(1)).alias("deg"))
+    pts = (
+        sym.join(F.broadcast(deg), "p1")
+        .withColumnRenamed("deg", "xa")
+        .join(
+            F.broadcast(deg.withColumnsRenamed({"p1": "p2", "deg": "xb"})),
+            "p2",
+        )
+        .select("xa", "xb")
+    )
+    D38 = "decimal(38,0)"
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum("xa").alias("sx"),
+        F.sum("xb").alias("sy"),
+        F.sum(F.col("xa").cast(D38) * F.col("xb").cast(D38)).alias("sxy"),
+        F.sum(F.col("xa").cast(D38) * F.col("xa").cast(D38)).alias("sxx"),
+        F.sum(F.col("xb").cast(D38) * F.col("xb").cast(D38)).alias("syy"),
+    )
+    n = F.col("n_edges").cast(D38)
+    cov = n * F.col("sxy") - F.col("sx").cast(D38) * F.col("sy").cast(D38)
+    vx = n * F.col("sxx") - F.col("sx").cast(D38) * F.col("sx").cast(D38)
+    vy = n * F.col("syy") - F.col("sy").cast(D38) * F.col("sy").cast(D38)
+    r = cov.cast("double") / (
+        F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))
+    )
+    return s.select(
+        "n_edges",
+        F.floor(r * 1_000_000).cast("long").alias("assortativity_micro"),
+    )
+
+
+def q201_theil_sen(spark, sf):
+    """Theil-Sen robust trend: the exact median of all pairwise slopes
+    of the daily-revenue series — the outlier-proof alternative to
+    q156/q181's OLS (one crazy day can't move it). Slopes are INTEGER
+    micro-cents/day via the shared truncating div (mirrored onto
+    DuckDB's floor //), so the median selection — ceil(n/2) over the
+    ranked slope multiset with a (slope, i, j) total order — is
+    bit-exact. The day table is model-space (thousands of rows), so the
+    O(d^2) pair join is bounded; at longer horizons sample day pairs by
+    hash, same shape."""
+    orders = _t(spark, sf, "orders")
+    daily = orders.groupBy(
+        F.expr("datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')")
+        .alias("d")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast(DEC) * 100)
+        .cast("long").alias("c")
+    ).persist()
+    a = daily.withColumnsRenamed({"d": "di", "c": "ci"})
+    b = daily.withColumnsRenamed({"d": "dj", "c": "cj"})
+    slopes = a.join(b, F.col("dj") > F.col("di")).select(
+        "di", "dj",
+        F.expr("(cj - ci) * 1000000 div (dj - di)").alias("s_micro"),
+    ).persist()
+    tot = slopes.agg(F.count(F.lit(1)).alias("n_pairs"))
+    ranked = slopes.select(
+        "s_micro",
+        F.row_number().over(
+            Window.orderBy("s_micro", "di", "dj")
+        ).alias("rn"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .where(F.col("rn") == F.expr("CAST(ceil(n_pairs / 2.0) AS BIGINT)"))
+        .select("n_pairs", F.col("s_micro").alias("median_slope_micro"))
+    )

@@ -472,6 +472,15 @@ SHUFFLE_BUDGET = {
     # q197: 16-row seed TakeOrdered + per-vec argmin window + (cid, dim)
     # update agg (assignment itself never shuffles the corpus)
     "q197_lloyd_iteration": 3,
+    # q198: level rollup only — frontier expansion is checkpointed
+    # broadcast joins against the stationary edge table
+    "q198_bfs_distance": 1,
+    # q199: ONE global-sort rank; neighbor pairing joins on rank offsets
+    "q199_sorted_neighborhood": 1,
+    # q200: degree agg + endpoint joins (broadcast) + 1-row correlation
+    "q200_degree_assortativity": 3,
+    # q201: day agg + pair-join rank + 1-row total broadcast
+    "q201_theil_sen": 3,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -523,7 +532,9 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 # q195/q196: 1-row session-total / median scalar broadcasts
                 "q195_sequential_patterns", "q196_session_stats",
                 # q197: 16-row centroid codebook cross join (q47 pattern)
-                "q197_lloyd_iteration"}
+                "q197_lloyd_iteration",
+                # q201: 1-row pair-total broadcast
+                "q201_theil_sen"}
 
 
 def test_no_headline_query_has_unpartitioned_ranked_window(spark):
