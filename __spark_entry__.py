@@ -278,6 +278,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q199_sorted_neighborhood": Q.q199_sorted_neighborhood,
         "q200_degree_assortativity": Q.q200_degree_assortativity,
         "q201_theil_sen": Q.q201_theil_sen,
+        "q202_skipgram_pmi": Q.q202_skipgram_pmi,
+        "q203_reco_precision": Q.q203_reco_precision,
+        "q204_hill_estimator": Q.q204_hill_estimator,
+        "q205_seasonal_decomposition": Q.q205_seasonal_decomposition,
     }
 
 
@@ -4530,5 +4534,131 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_pairs, s_micro AS median_slope_micro
             FROM ranked, tot
             WHERE rn = CAST(ceil(n_pairs / 2.0) AS BIGINT)
+        """,
+        "q202_skipgram_pmi": f"""
+            WITH t AS MATERIALIZED (
+              SELECT {_TOKS} AS toks FROM documents),
+            pairs AS MATERIALIZED (
+              SELECT gg.w1 AS w1, gg.w2 AS w2 FROM (
+                SELECT unnest(CASE WHEN len(toks) >= 2 THEN
+                  flatten([[{{'w1': least(toks[i], toks[i+o]),
+                             'w2': greatest(toks[i], toks[i+o])}}
+                    for o in generate_series(1,
+                              least(2, len(toks) - i))]
+                    for i in generate_series(1, len(toks) - 1)])
+                  ELSE [] END) AS gg
+                FROM t)),
+            uni AS MATERIALIZED (SELECT unnest(toks) AS w FROM t),
+            cw AS (SELECT w, COUNT(*) AS cw FROM uni GROUP BY 1),
+            tot AS (
+              SELECT (SELECT COUNT(*) FROM uni) AS tt,
+                     (SELECT COUNT(*) FROM pairs) AS pp),
+            cab AS (
+              SELECT w1, w2, COUNT(*) AS cab
+              FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+            j AS (
+              SELECT w1, w2, cab, ca.cw AS ca, cb.cw AS cb, tt, pp
+              FROM cab
+              JOIN cw ca ON ca.w = w1
+              JOIN cw cb ON cb.w = w2, tot)
+            SELECT w1, w2, cab,
+                   CAST(floor(ln(
+                     CAST(cab AS DOUBLE) * CAST(tt AS DOUBLE)
+                     * CAST(tt AS DOUBLE)
+                     / (CAST(pp AS DOUBLE) * CAST(ca AS DOUBLE)
+                        * CAST(cb AS DOUBLE))) * 1000000) AS BIGINT)
+                     AS pmi_micro
+            FROM j
+            ORDER BY pmi_micro DESC, w1, w2
+            LIMIT 20
+        """,
+        "q203_reco_precision": """
+            WITH b AS MATERIALIZED (
+              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            train AS (SELECT * FROM b WHERE l_orderkey % 4 != 0),
+            test AS MATERIALIZED (
+              SELECT * FROM b WHERE l_orderkey % 4 = 0),
+            tp AS (
+              SELECT x.l_partkey AS item, y.l_partkey AS rec,
+                     COUNT(*) AS cooc
+              FROM train x JOIN train y
+                ON x.l_orderkey = y.l_orderkey
+               AND x.l_partkey != y.l_partkey
+              GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+            recs AS (
+              SELECT item, rec FROM (
+                SELECT item, rec,
+                       ROW_NUMBER() OVER (PARTITION BY item
+                                          ORDER BY cooc DESC, rec) AS rn
+                FROM tp)
+              WHERE rn <= 3),
+            multi AS (SELECT l_orderkey FROM test
+                      GROUP BY 1 HAVING COUNT(*) >= 2),
+            cases AS MATERIALIZED (
+              SELECT t.l_orderkey, t.l_partkey AS item
+              FROM test t JOIN multi USING (l_orderkey)),
+            hits AS MATERIALIZED (
+              SELECT DISTINCT c.l_orderkey, c.item
+              FROM cases c
+              JOIN recs r ON r.item = c.item
+              JOIN test t2 ON t2.l_orderkey = c.l_orderkey
+                          AND t2.l_partkey = r.rec)
+            SELECT (SELECT COUNT(*) FROM cases) AS n_cases,
+                   (SELECT COUNT(*) FROM hits) AS n_hits,
+                   CAST((SELECT COUNT(*) FROM hits) * 1000000
+                        // (SELECT COUNT(*) FROM cases) AS BIGINT)
+                     AS hitrate_ppm
+        """,
+        "q204_hill_estimator": """
+            WITH top AS MATERIALIZED (
+              SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS cents,
+                     o_orderkey
+              FROM orders ORDER BY cents DESC, o_orderkey LIMIT 100),
+            xk AS (SELECT MIN(cents) AS xk FROM top),
+            terms AS (
+              SELECT CAST(floor(ln(CAST(cents AS DOUBLE)
+                                   / CAST(xk AS DOUBLE)) * 1000000)
+                          AS BIGINT) AS t
+              FROM top, xk WHERE cents > xk)
+            SELECT COUNT(*) AS n_tail,
+                   CAST(SUM(t) // COUNT(*) AS BIGINT) AS gamma_micro,
+                   CAST(1000000000000 // (SUM(t) // COUNT(*)) AS BIGINT)
+                     AS alpha_micro
+            FROM terms
+        """,
+        "q205_seasonal_decomposition": """
+            WITH daily AS (
+              SELECT date_diff('day', DATE '1970-01-01',
+                               CAST(o_orderdate AS DATE)) AS d,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                          AS BIGINT) AS c
+              FROM orders GROUP BY 1),
+            ma AS MATERIALIZED (
+              SELECT d, c,
+                     COUNT(*) OVER w AS nw,
+                     CAST(SUM(c) OVER w AS BIGINT) AS sw
+              FROM daily
+              WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING
+                           AND 3 FOLLOWING)),
+            det AS (
+              SELECT d, c - sw // 7 AS det, (d + 4) % 7 AS dow
+              FROM ma WHERE nw = 7),
+            seas AS (
+              SELECT dow, COUNT(*) AS n_days,
+                     CAST(SUM(det) AS BIGINT) AS sdet,
+                     SUM(CAST(det AS HUGEINT) * det) AS ssdet
+              FROM det GROUP BY 1)
+            SELECT dow, n_days,
+                   CASE WHEN sdet >= 0
+                        THEN CAST(sdet // n_days AS BIGINT)
+                        ELSE CAST(-((-sdet) // n_days) AS BIGINT)
+                   END AS seasonal_cents,
+                   CAST(floor(
+                     CAST(n_days * ssdet - CAST(sdet AS HUGEINT) * sdet
+                          AS DOUBLE)
+                     / CAST(CAST(n_days AS HUGEINT) * (n_days - 1)
+                            AS DOUBLE)) AS BIGINT) AS resid_var_floor
+            FROM seas
         """,
     }

@@ -6311,3 +6311,213 @@ def q201_theil_sen(spark, sf):
         .where(F.col("rn") == F.expr("CAST(ceil(n_pairs / 2.0) AS BIGINT)"))
         .select("n_pairs", F.col("s_micro").alias("median_slope_micro"))
     )
+
+
+def q202_skipgram_pmi(spark, sf):
+    """Skip-gram PMI over a +/-2 token window — the word2vec-style
+    training-pair generator, scored: unordered co-occurrences within
+    distance 2, pointwise mutual information ln(c_ab*T^2 / (P*c_a*c_b)),
+    min pair count 5, top-20. The windowed complement to q109's
+    basket PMI and q191's adjacent-bigram G2. Pair arrays are built
+    JVM-side per document (no positional row blowup — the doc's token
+    array never leaves the row until the single pair explode); unigram
+    and total counts re-aggregate the same exploded streams; every
+    product stays < 2^53 so the doubles entering ln are exact."""
+    docs = _t(spark, sf, "documents").select(TX.tokens("text").alias("toks"))
+    toks = F.col("toks")
+    pair_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda i: F.transform(
+                F.sequence(
+                    F.lit(1), F.least(F.lit(2), F.size(toks) - i)
+                ),
+                lambda o: F.struct(
+                    F.least(
+                        F.element_at(toks, i), F.element_at(toks, i + o)
+                    ).alias("w1"),
+                    F.greatest(
+                        F.element_at(toks, i), F.element_at(toks, i + o)
+                    ).alias("w2"),
+                ),
+            ),
+        )
+    )
+    pairs = docs.where(F.size(toks) >= 2).select(
+        F.explode(pair_arr).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")).persist()
+    uni = docs.select(F.explode(toks).alias("w")).persist()
+    cw = uni.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    totals = uni.agg(F.count(F.lit(1)).alias("tt")).crossJoin(
+        pairs.agg(F.count(F.lit(1)).alias("pp"))
+    )
+    cab = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .where(F.col("cab") >= 5)
+    )
+    j = (
+        cab.join(cw.withColumnsRenamed({"w": "w1", "cw": "ca"}), "w1")
+        .join(cw.withColumnsRenamed({"w": "w2", "cw": "cb"}), "w2")
+        .crossJoin(F.broadcast(totals))
+    )
+    pmi = F.log(
+        F.col("cab").cast("double")
+        * F.col("tt").cast("double") * F.col("tt").cast("double")
+        / (
+            F.col("pp").cast("double")
+            * F.col("ca").cast("double") * F.col("cb").cast("double")
+        )
+    )
+    scored = j.select(
+        "w1", "w2", "cab",
+        F.floor(pmi * 1_000_000).cast("long").alias("pmi_micro"),
+    )
+    return scored.orderBy(F.col("pmi_micro").desc(), "w1", "w2").limit(20)
+
+
+def q203_reco_precision(spark, sf):
+    """Offline recommender evaluation: train item-item co-occurrence on
+    3/4 of the orders (hash split), recommend each item's top-3
+    co-purchased neighbors, and measure leave-one-out hit rate on the
+    held-out orders — the eval harness that turns q167's similarity
+    table into a number. Train pairs are the q103 basket shape
+    (bounded per order); the top-3 cut is a per-item window; the test
+    probe joins recs on the seed item and checks membership with a
+    co-partitioned semi-join on (order, item). Split by key hash, so
+    train/test assignment is reproducible anywhere."""
+    li = _t(spark, sf, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct().persist()
+    train = b.where(F.expr("l_orderkey % 4 != 0"))
+    test = b.where(F.expr("l_orderkey % 4 = 0")).persist()
+    tp = (
+        train.alias("x")
+        .join(train.alias("y"), "l_orderkey")
+        .where(F.col("x.l_partkey") != F.col("y.l_partkey"))
+        .groupBy(
+            F.col("x.l_partkey").alias("item"),
+            F.col("y.l_partkey").alias("rec"),
+        )
+        .agg(F.count(F.lit(1)).alias("cooc"))
+        .where(F.col("cooc") >= 2)
+    )
+    w = Window.partitionBy("item").orderBy(F.col("cooc").desc(), "rec")
+    recs = (
+        tp.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("item", "rec")
+    )
+    multi = (
+        test.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .where(F.col("sz") >= 2)
+        .select("l_orderkey")
+    )
+    cases = test.join(multi, "l_orderkey").select(
+        "l_orderkey", F.col("l_partkey").alias("item")
+    ).persist()
+    cand = cases.join(recs, "item")
+    hits = (
+        cand.join(
+            test.withColumnsRenamed({"l_partkey": "rec"}),
+            on=["l_orderkey", "rec"],
+            how="left_semi",
+        )
+        .select("l_orderkey", "item")
+        .distinct()
+    )
+    return cases.agg(F.count(F.lit(1)).alias("n_cases")).crossJoin(
+        F.broadcast(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+    ).select(
+        "n_cases", "n_hits",
+        F.expr("n_hits * 1000000 div n_cases").alias("hitrate_ppm"),
+    )
+
+
+def q204_hill_estimator(spark, sf):
+    """Hill tail-index estimator over the top-100 order values: gamma =
+    mean ln(x_i/x_100), alpha = 1/gamma — the heavy-tail exponent that
+    says whether revenue concentration (q174's Pareto share, q148's
+    HHI) is a power law or just skew. ONE TakeOrdered pulls the 100
+    order statistics (cents, keyed tiebreak); each ln ratio is
+    floor-micro'd BEFORE the integer mean, so engines agree exactly;
+    alpha inverts in pure integer arithmetic."""
+    orders = _t(spark, sf, "orders")
+    top = (
+        orders.select(
+            (F.col("o_totalprice").cast(DEC) * 100).cast("long")
+            .alias("cents"),
+            "o_orderkey",
+        )
+        .orderBy(F.col("cents").desc(), "o_orderkey")
+        .limit(100)
+    )
+    xk = top.agg(F.min("cents").alias("xk"))
+    terms = (
+        top.crossJoin(F.broadcast(xk))
+        .where(F.col("cents") > F.col("xk"))
+        .select(
+            F.floor(
+                F.log(
+                    F.col("cents").cast("double")
+                    / F.col("xk").cast("double")
+                )
+                * 1_000_000
+            ).cast("long").alias("t")
+        )
+    )
+    return terms.agg(
+        F.count(F.lit(1)).alias("n_tail"),
+        F.expr("SUM(t) div COUNT(1)").alias("gamma_micro"),
+        F.expr(
+            "CAST(1000000000000 div (SUM(t) div COUNT(1)) AS BIGINT)"
+        ).alias("alpha_micro"),
+    )
+
+
+def q205_seasonal_decomposition(spark, sf):
+    """Classical additive seasonal decomposition of daily revenue:
+    trend = centered 7-day moving average (full windows only),
+    seasonal = per-weekday mean of the detrended series, residual =
+    what's left — the explainability layer over q147's baseline and
+    q193's ANOVA. The moving average is an exact integer div over a
+    rows-window on the model-space day table; seasonal means and
+    residual variance assemble from exact integer sums (truncating div
+    mirrored into the oracle for negative detrended values)."""
+    orders = _t(spark, sf, "orders")
+    daily = orders.groupBy(
+        F.expr("datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')")
+        .alias("d")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast(DEC) * 100)
+        .cast("long").alias("c")
+    )
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    ma = daily.select(
+        "d", "c",
+        F.count(F.lit(1)).over(w7).alias("nw"),
+        F.sum("c").over(w7).alias("sw"),
+    ).where(F.col("nw") == 7).select(
+        "d", (F.col("c") - F.expr("sw div 7")).alias("det"),
+        F.expr("(d + 4) % 7").alias("dow"),
+    ).persist()
+    D38 = "decimal(38,0)"
+    seas = ma.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("det").alias("sdet"),
+        F.sum(F.col("det").cast(D38) * F.col("det").cast(D38)).alias("ssdet"),
+    ).select(
+        "dow", "n_days", "ssdet", "sdet",
+        F.expr(
+            "CASE WHEN sdet >= 0 THEN sdet div n_days"
+            " ELSE -((-sdet) div n_days) END"
+        ).alias("seasonal_cents"),
+    )
+    nn = F.col("n_days").cast(D38)
+    varnum = nn * F.col("ssdet") - F.col("sdet").cast(D38) * F.col("sdet").cast(D38)
+    return seas.select(
+        "dow", "n_days", "seasonal_cents",
+        F.floor(
+            varnum.cast("double") / (nn * (nn - 1)).cast("double")
+        ).cast("long").alias("resid_var_floor"),
+    )

@@ -481,6 +481,16 @@ SHUFFLE_BUDGET = {
     "q200_degree_assortativity": 3,
     # q201: day agg + pair-join rank + 1-row total broadcast
     "q201_theil_sen": 3,
+    # q202: persisted pair/unigram streams print under count margins +
+    # the margin joins; top-20 is a TakeOrdered
+    "q202_skipgram_pmi": 5,
+    # q203: persisted basket/test/case tables print under co-occurrence,
+    # top-3 window, membership semi-join, and the two 1-row counts
+    "q203_reco_precision": 6,
+    # q204: TakeOrdered top-100 + 1-row aggs — zero exchanges
+    "q204_hill_estimator": 0,
+    # q205: day agg + single-partition MA window + dow rollup
+    "q205_seasonal_decomposition": 3,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -534,7 +544,11 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 # q197: 16-row centroid codebook cross join (q47 pattern)
                 "q197_lloyd_iteration",
                 # q201: 1-row pair-total broadcast
-                "q201_theil_sen"}
+                "q201_theil_sen",
+                # q202-q204: 1-row token/pair totals, case/hit counts,
+                # and tail-cutoff scalar broadcasts
+                "q202_skipgram_pmi", "q203_reco_precision",
+                "q204_hill_estimator"}
 
 
 def test_no_headline_query_has_unpartitioned_ranked_window(spark):
