@@ -282,6 +282,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q203_reco_precision": Q.q203_reco_precision,
         "q204_hill_estimator": Q.q204_hill_estimator,
         "q205_seasonal_decomposition": Q.q205_seasonal_decomposition,
+        "q206_time_in_state": Q.q206_time_in_state,
+        "q207_lateness_audit": Q.q207_lateness_audit,
+        "q208_markov_stationary": Q.q208_markov_stationary,
+        "q209_modularity": Q.q209_modularity,
     }
 
 
@@ -480,11 +484,9 @@ def _pagerank_sql(iters: int = 4) -> str:
     )
 
 
-def _lpa_sql(iters: int = 3) -> str:
-    """Unrolled-CTE deterministic label propagation matching
-    queries.q146_label_propagation: per round each node takes the most
-    frequent neighbor label, smallest label on ties — integer counts +
-    a fixed tie-break, so the trajectory replays exactly."""
+def _lpa_ctes(iters: int = 3) -> str:
+    """CTE block for deterministic label propagation (final labels in
+    ``l{iters}``) — shared by q146 and the q209 modularity oracle."""
     ctes = [
         "b AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
         """e0 AS MATERIALIZED (
@@ -505,9 +507,49 @@ def _lpa_sql(iters: int = 3) -> str:
           SELECT node, lbl FROM n{k}
           QUALIFY ROW_NUMBER() OVER (PARTITION BY node
                                      ORDER BY n DESC, lbl) = 1)""")
+    return ",\n".join(ctes)
+
+
+def _lpa_sql(iters: int = 3) -> str:
+    """Unrolled-CTE deterministic label propagation matching
+    queries.q146_label_propagation: per round each node takes the most
+    frequent neighbor label, smallest label on ties — integer counts +
+    a fixed tie-break, so the trajectory replays exactly."""
+    return (
+        "WITH " + _lpa_ctes(iters)
+        + f"\nSELECT node, lbl FROM l{iters} ORDER BY node"
+    )
+
+
+def _stationary_sql(iters: int = 8) -> str:
+    """Unrolled integer power iteration matching q208_markov_stationary:
+    ppm transition matrix + ``iters`` truncating-div steps."""
+    ctes = [
+        """ev AS (SELECT user_id, event_id, event_type,
+                         epoch_us(ts) AS us FROM events)""",
+        """seq AS (SELECT event_type AS src,
+                          LEAD(event_type) OVER (PARTITION BY user_id
+                            ORDER BY us, event_id) AS dst
+                   FROM ev)""",
+        """trans AS MATERIALIZED (
+           SELECT src, dst,
+                  CAST(n * 1000000 // SUM(n) OVER (PARTITION BY src)
+                       AS BIGINT) AS p_ppm
+           FROM (SELECT src, dst, COUNT(*) AS n FROM seq
+                 WHERE dst IS NOT NULL GROUP BY 1, 2))""",
+        """d0 AS (SELECT DISTINCT src AS s,
+                   CAST(1000000 // (SELECT COUNT(DISTINCT src) FROM trans)
+                        AS BIGINT) AS d_ppm
+                  FROM trans)""",
+    ]
+    for k in range(iters):
+        ctes.append(f"""d{k + 1} AS MATERIALIZED (
+          SELECT dst AS s,
+                 CAST(SUM(d_ppm * p_ppm) // 1000000 AS BIGINT) AS d_ppm
+          FROM trans JOIN d{k} ON d{k}.s = trans.src GROUP BY 1)""")
     return (
         "WITH " + ",\n".join(ctes)
-        + f"\nSELECT node, lbl FROM l{iters} ORDER BY node"
+        + f"\nSELECT s AS event_type, d_ppm AS stationary_ppm FROM d{iters}"
     )
 
 
@@ -4660,5 +4702,65 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(CAST(n_days AS HUGEINT) * (n_days - 1)
                             AS DOUBLE)) AS BIGINT) AS resid_var_floor
             FROM seas
+        """,
+        "q206_time_in_state": """
+            WITH ev AS (
+              SELECT user_id, event_id, event_type,
+                     epoch_us(ts) AS us
+              FROM events),
+            iv AS (
+              SELECT event_type,
+                     LEAD(us) OVER (PARTITION BY user_id
+                                    ORDER BY us, event_id) - us AS dur
+              FROM ev),
+            per AS MATERIALIZED (
+              SELECT event_type, COUNT(*) AS n_intervals,
+                     CAST(SUM(dur) AS BIGINT) AS total_us
+              FROM iv WHERE dur IS NOT NULL GROUP BY 1),
+            tot AS (SELECT CAST(SUM(total_us) AS BIGINT) AS gt FROM per)
+            SELECT event_type, n_intervals, total_us,
+                   CAST(CAST(total_us AS HUGEINT) * 1000000 // gt
+                        AS BIGINT) AS share_ppm
+            FROM per, tot
+        """,
+        "q207_lateness_audit": """
+            WITH ev AS (
+              SELECT event_id, event_type, epoch_us(ts) AS us
+              FROM events),
+            late AS (
+              SELECT event_type,
+                     MAX(us) OVER (PARTITION BY event_type
+                       ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - us AS lateness
+              FROM ev)
+            SELECT event_type, COUNT(*) AS n_events,
+                   CAST(SUM(CASE WHEN lateness > 3600000000
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_late_1h,
+                   CAST(MAX(lateness) AS BIGINT) AS max_lateness_us
+            FROM late GROUP BY 1
+        """,
+        "q208_markov_stationary": _stationary_sql(8),
+        "q209_modularity": f"""
+            WITH {_lpa_ctes(3)},
+            labeled AS MATERIALIZED (
+              SELECT s.p1, s.p2, la.lbl AS la, lb.lbl AS lb
+              FROM sym s
+              JOIN l3 la ON la.node = s.p1
+              JOIN l3 lb ON lb.node = s.p2),
+            m2t AS (SELECT COUNT(*) AS m2 FROM labeled),
+            sin AS (SELECT COUNT(*) AS s_in FROM labeled
+                    WHERE la = lb),
+            degc AS (
+              SELECT COUNT(*) AS n_communities,
+                     SUM(CAST(dc AS HUGEINT) * dc) AS s_deg2
+              FROM (SELECT la, COUNT(*) AS dc FROM labeled GROUP BY 1))
+            SELECT n_communities, m2,
+                   CAST(floor(
+                     CAST(CAST(m2 AS HUGEINT) * s_in - s_deg2 AS DOUBLE)
+                     / CAST(CAST(m2 AS HUGEINT) * m2 AS DOUBLE)
+                     * 1000000) AS BIGINT) AS q_micro
+            FROM degc, m2t, sin
         """,
     }

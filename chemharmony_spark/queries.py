@@ -6521,3 +6521,176 @@ def q205_seasonal_decomposition(spark, sf):
             varnum.cast("double") / (nn * (nn - 1)).cast("double")
         ).cast("long").alias("resid_var_floor"),
     )
+
+
+def q206_time_in_state(spark, sf):
+    """Time-in-state accounting: treating each user's event stream as a
+    state machine (the state = last event's type), how much wall-clock
+    does the population spend in each state — the dwell-time rollup
+    behind session-quality and exposure metrics. ONE per-user window
+    (lead over the total (ts, event_id) order — deterministic under
+    timestamp ties) prices every interval; terminal events carry no
+    interval. Share normalizes by the 1-row grand total."""
+    ev = _events(spark, sf).select(
+        "user_id", "event_id", "event_type", F.expr("ts div 1000").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    iv = ev.select(
+        "event_type",
+        (F.lead("us").over(w) - F.col("us")).alias("dur"),
+    ).where(F.col("dur").isNotNull())
+    per = iv.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("dur").alias("total_us"),
+    )
+    tot = per.agg(F.sum("total_us").alias("gt"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "event_type", "n_intervals", "total_us",
+        F.expr(
+            "CAST(total_us AS DECIMAL(38,0)) * 1000000 div gt"
+        ).alias("share_ppm"),
+    )
+
+
+def q207_lateness_audit(spark, sf):
+    """Watermark lateness audit: replaying the stream in arrival order
+    (event_id), how far behind the running max event-time does each
+    event arrive — the batch measurement that justifies the streaming
+    layer's watermark delay (events later than the chosen bound get
+    dropped by q28's windows). Per-type running max over the arrival
+    order is one partitioned window (at scale: per (type, shard) maxima
+    merged — same expression); the rollup counts 1-hour violators
+    exactly."""
+    ev = _events(spark, sf).select(
+        "event_id", "event_type", F.expr("ts div 1000").alias("us")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    late = ev.select(
+        "event_type",
+        (F.max("us").over(w) - F.col("us")).alias("lateness"),
+    )
+    return late.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("lateness") > 3_600_000_000).cast("long"))
+        .alias("n_late_1h"),
+        F.max("lateness").alias("max_lateness_us"),
+    )
+
+
+def q208_markov_stationary(spark, sf):
+    """Stationary distribution of the q91 event-type Markov chain by 8
+    fixed power iterations in INTEGER ppm — where user behavior settles
+    long-run, with q112's integer-fixpoint discipline (truncating ppm
+    arithmetic drifts identically in both engines, so the trajectory
+    replays bit-for-bit). The transition matrix is |types|^2 (model
+    space): after the two count shuffles every iteration is a broadcast
+    join over 25 rows."""
+    ev = _events(spark, sf).select(
+        "user_id", "event_id", "event_type", F.expr("ts div 1000").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    trans = (
+        seq.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "src", "dst",
+            F.expr(
+                "n * 1000000 div SUM(n) OVER (PARTITION BY src)"
+            ).alias("p_ppm"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    states = trans.select(F.col("src").alias("s")).distinct()
+    nstates = states.count()
+    dist = states.select(
+        "s", F.lit(1_000_000 // nstates).cast("long").alias("d_ppm")
+    ).localCheckpoint(eager=False)
+    for _ in range(8):
+        dist = (
+            trans.join(
+                F.broadcast(dist.withColumnRenamed("s", "src")), "src"
+            )
+            .groupBy(F.col("dst").alias("s"))
+            .agg(
+                F.expr("SUM(d_ppm * p_ppm) div 1000000").alias("d_ppm")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return dist.select(F.col("s").alias("event_type"),
+                       F.col("d_ppm").alias("stationary_ppm"))
+
+
+def q209_modularity(spark, sf):
+    """Newman modularity of the q146 label-propagation communities on
+    the co-purchase graph — the one-number answer to "did LPA find real
+    structure?" (0 = random). Q = [m2 * sum_c(in_c) - sum_c(deg_c^2)]
+    / m2^2 stays INTEGER until the final divide: in-community edges
+    come from ONE labeled-edge pass (labels broadcast onto the
+    stationary edge table, the q112/q146 discipline), degrees from the
+    same edge scan, and the community rollups are model-space."""
+    li = _t(spark, sf, "lineitem")
+    e = _copurchase_edges(li).select("p1", "p2")
+    sym = (
+        e.unionByName(e.select(F.col("p2").alias("p1"),
+                               F.col("p1").alias("p2")))
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        sym.select(F.col("p1").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(3):
+        nb = sym.join(
+            F.broadcast(labels.withColumnRenamed("node", "p2")), "p2"
+        ).select(F.col("p1").alias("node"), "lbl")
+        cnt = nb.groupBy("node", "lbl").agg(F.count(F.lit(1)).alias("n"))
+        w = Window.partitionBy("node").orderBy(F.col("n").desc(), "lbl")
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", "lbl")
+            .localCheckpoint(eager=False)
+        )
+    labeled = (
+        sym.join(
+            F.broadcast(labels.withColumnRenamed("node", "p1")
+                        .withColumnRenamed("lbl", "la")), "p1"
+        )
+        .join(
+            F.broadcast(labels.withColumnRenamed("node", "p2")
+                        .withColumnRenamed("lbl", "lb")), "p2"
+        )
+        .persist()
+    )
+    m2 = labeled.agg(F.count(F.lit(1)).alias("m2"))
+    sum_in = labeled.where(F.col("la") == F.col("lb")).agg(
+        F.count(F.lit(1)).alias("s_in")
+    )
+    D38 = "decimal(38,0)"
+    degc = (
+        labeled.groupBy("la").agg(F.count(F.lit(1)).alias("dc"))
+        .agg(
+            F.count(F.lit(1)).alias("n_communities"),
+            F.sum(F.col("dc").cast(D38) * F.col("dc").cast(D38))
+            .alias("s_deg2"),
+        )
+    )
+    j = degc.crossJoin(F.broadcast(m2)).crossJoin(F.broadcast(sum_in))
+    num = (
+        F.col("m2").cast(D38) * F.col("s_in").cast(D38) - F.col("s_deg2")
+    ).cast("double")
+    den = (F.col("m2").cast(D38) * F.col("m2").cast(D38)).cast("double")
+    return j.select(
+        "n_communities", "m2",
+        F.floor(num / den * 1_000_000).cast("long").alias("q_micro"),
+    )

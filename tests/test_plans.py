@@ -491,6 +491,17 @@ SHUFFLE_BUDGET = {
     "q204_hill_estimator": 0,
     # q205: day agg + single-partition MA window + dow rollup
     "q205_seasonal_decomposition": 3,
+    # q206: per-user lead window + type rollup; rollup prints under the
+    # grand-total / share consumers
+    "q206_time_in_state": 5,
+    # q207: ONE per-type arrival-order window + rollup
+    "q207_lateness_audit": 1,
+    # q208: checkpointed transition matrix hides its two build shuffles;
+    # each of the 8 power iterations is a broadcast join over 25 rows
+    "q208_markov_stationary": 0,
+    # q209: labeled-edge joins (labels broadcast) + community rollups;
+    # LPA rounds are checkpointed
+    "q209_modularity": 4,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -548,7 +559,11 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 # q202-q204: 1-row token/pair totals, case/hit counts,
                 # and tail-cutoff scalar broadcasts
                 "q202_skipgram_pmi", "q203_reco_precision",
-                "q204_hill_estimator"}
+                "q204_hill_estimator",
+                # q206: 1-row grand-total broadcast
+                "q206_time_in_state",
+                # q209: 1-row m2 / in-community scalar broadcasts
+                "q209_modularity"}
 
 
 def test_no_headline_query_has_unpartitioned_ranked_window(spark):
