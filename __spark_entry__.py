@@ -286,6 +286,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q207_lateness_audit": Q.q207_lateness_audit,
         "q208_markov_stationary": Q.q208_markov_stationary,
         "q209_modularity": Q.q209_modularity,
+        "q210_golden_record": Q.q210_golden_record,
+        "q211_bloom_fpp": Q.q211_bloom_fpp,
+        "q212_revenue_recognition": Q.q212_revenue_recognition,
+        "q213_quantile_shift": Q.q213_quantile_shift,
     }
 
 
@@ -4762,5 +4766,171 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(CAST(m2 AS HUGEINT) * m2 AS DOUBLE)
                      * 1000000) AS BIGINT) AS q_micro
             FROM degc, m2t, sin
+        """,
+        "q210_golden_record": f"""
+            WITH RECURSIVE sig AS ({_SIG_SQL}),
+            cands AS (
+              SELECT DISTINCT l.id AS a, r.id AS b
+              FROM sig l JOIN sig r
+                ON l.band = r.band AND l.minhash = r.minhash
+               AND l.id < r.id),
+            words AS (
+              SELECT DISTINCT doc_id AS id, unnest(toks) AS word
+              FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)),
+            sizes AS (SELECT id, COUNT(*) AS nw FROM words GROUP BY id),
+            hits AS MATERIALIZED (
+              SELECT a, b FROM (
+                SELECT c.a, c.b, COUNT(*) AS n_inter
+                FROM cands c
+                JOIN words wa ON wa.id = c.a
+                JOIN words wb ON wb.id = c.b AND wb.word = wa.word
+                GROUP BY 1, 2) i
+              JOIN sizes sa ON sa.id = i.a
+              JOIN sizes sb ON sb.id = i.b
+              WHERE n_inter / (sa.nw + sb.nw - n_inter) >= 0.8),
+            sym AS MATERIALIZED (
+              SELECT a, b FROM hits
+              UNION SELECT b AS a, a AS b FROM hits),
+            nodes AS (SELECT DISTINCT a AS node FROM sym),
+            reach AS (
+              SELECT node, node AS peer FROM nodes
+              UNION
+              SELECT r.node, s.b AS peer
+              FROM reach r JOIN sym s ON r.peer = s.a),
+            comp AS (
+              SELECT node, MIN(peer) AS component FROM reach
+              GROUP BY node),
+            members AS MATERIALIZED (
+              SELECT component, d.doc_id, d.source, d.lang, d.n_chars
+              FROM comp JOIN documents d ON d.doc_id = comp.node),
+            best_src AS (
+              SELECT component, source AS canon_source FROM (
+                SELECT component, source,
+                       ROW_NUMBER() OVER (PARTITION BY component
+                         ORDER BY nsrc DESC, source) AS rn
+                FROM (SELECT component, source, COUNT(*) AS nsrc
+                      FROM members GROUP BY 1, 2))
+              WHERE rn = 1),
+            best_lang AS (
+              SELECT component, lang AS canon_lang FROM (
+                SELECT component, lang,
+                       ROW_NUMBER() OVER (PARTITION BY component
+                         ORDER BY nlang DESC, lang) AS rn
+                FROM (SELECT component, lang, COUNT(*) AS nlang
+                      FROM members GROUP BY 1, 2))
+              WHERE rn = 1),
+            rep AS (
+              SELECT component, doc_id AS rep_doc_id,
+                     n_chars AS max_chars FROM (
+                SELECT component, doc_id, n_chars,
+                       ROW_NUMBER() OVER (PARTITION BY component
+                         ORDER BY n_chars DESC, doc_id) AS rn
+                FROM members)
+              WHERE rn = 1),
+            sz AS (SELECT component, COUNT(*) AS n_members
+                   FROM members GROUP BY 1)
+            SELECT sz.component, n_members, canon_source, canon_lang,
+                   rep_doc_id, max_chars
+            FROM sz
+            JOIN best_src USING (component)
+            JOIN best_lang USING (component)
+            JOIN rep USING (component)
+            WHERE n_members >= 2
+        """,
+        "q211_bloom_fpp": f"""
+            WITH train AS (
+              SELECT p_partkey FROM part WHERE p_partkey % 4 != 0),
+            probe AS MATERIALIZED (
+              SELECT p_partkey FROM part WHERE p_partkey % 4 = 0),
+            bits AS MATERIALIZED (
+              SELECT DISTINCT unnest([
+                {_hex4("md5('b:' || CAST(p_partkey AS VARCHAR))", 1)} % 16384,
+                {_hex4("md5('b:' || CAST(p_partkey AS VARCHAR))", 5)} % 16384,
+                {_hex4("md5('b:' || CAST(p_partkey AS VARCHAR))", 9)} % 16384
+              ]) AS bit
+              FROM train),
+            probes AS (
+              SELECT p_partkey, unnest([
+                {_hex4("md5('b:' || CAST(p_partkey AS VARCHAR))", 1)} % 16384,
+                {_hex4("md5('b:' || CAST(p_partkey AS VARCHAR))", 5)} % 16384,
+                {_hex4("md5('b:' || CAST(p_partkey AS VARCHAR))", 9)} % 16384
+              ]) AS bit
+              FROM probe),
+            pos AS (
+              SELECT COUNT(*) AS n_fp FROM (
+                SELECT p_partkey FROM probes JOIN bits USING (bit)
+                GROUP BY p_partkey HAVING COUNT(*) = 3))
+            SELECT (SELECT COUNT(*) FROM bits) AS n_bits_set,
+                   (SELECT COUNT(*) FROM probe) AS n_probes,
+                   n_fp,
+                   CAST((SELECT COUNT(*) FROM bits) * 1000000 // 16384
+                        AS BIGINT) AS fill_ppm,
+                   CAST(n_fp * 1000000
+                        // (SELECT COUNT(*) FROM probe) AS BIGINT)
+                     AS fpp_ppm
+            FROM pos
+        """,
+        "q212_revenue_recognition": """
+            WITH li AS (
+              SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS cents,
+                     least(CAST(o_orderdate AS DATE),
+                           CAST(l_shipdate AS DATE)) AS od,
+                     least(abs(date_diff('day',
+                                   CAST(o_orderdate AS DATE),
+                                   CAST(l_shipdate AS DATE))) + 1,
+                           90) AS nd
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+            spread AS (
+              SELECT cents, nd, od, unnest(range(0, nd)) AS i FROM li),
+            alloc AS (
+              SELECT strftime(od + CAST(i AS INT), '%Y-%m') AS month,
+                     cents // nd
+                       + CASE WHEN i < cents % nd THEN 1 ELSE 0 END AS c
+              FROM spread)
+            SELECT month,
+                   CAST(SUM(c) AS BIGINT) AS recognized_cents,
+                   COUNT(*) AS n_day_slices
+            FROM alloc GROUP BY 1
+        """,
+        "q213_quantile_shift": """
+            WITH cust AS (
+              SELECT c_custkey, c_mktsegment AS seg FROM customer
+              WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+            obs AS (
+              SELECT seg,
+                     CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS cents
+              FROM orders JOIN cust ON o_custkey = c_custkey),
+            ranked AS (
+              SELECT seg, cents,
+                     ROW_NUMBER() OVER (PARTITION BY seg
+                                        ORDER BY cents) AS rn,
+                     COUNT(*) OVER (PARTITION BY seg) AS n
+              FROM obs),
+            per AS (
+              SELECT seg,
+                """ + ",\n                ".join(
+                    f"MAX(CASE WHEN rn = greatest(1, CAST(ceil("
+                    f"CAST({d / 10} AS DOUBLE) * n) AS BIGINT)) "
+                    f"THEN cents END) AS p{d * 10}"
+                    for d in range(1, 10)
+                ) + """
+              FROM ranked GROUP BY seg),
+            melted AS (
+              SELECT seg, u.decile AS decile, u.v AS v FROM (
+                SELECT seg, unnest([
+                """ + ",\n                ".join(
+                    f"{{'decile': {d * 10}, 'v': p{d * 10}}}"
+                    for d in range(1, 10)
+                ) + """
+                ]) AS u
+                FROM per))
+            SELECT a.decile,
+                   a.v AS building_cents,
+                   b.v AS machinery_cents,
+                   CAST(a.v - b.v AS BIGINT) AS shift_cents
+            FROM melted a JOIN melted b ON a.decile = b.decile
+            WHERE a.seg = 'BUILDING' AND b.seg = 'MACHINERY'
         """,
     }

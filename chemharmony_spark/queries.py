@@ -6694,3 +6694,214 @@ def q209_modularity(spark, sf):
         "n_communities", "m2",
         F.floor(num / den * 1_000_000).cast("long").alias("q_micro"),
     )
+
+
+def q210_golden_record(spark, sf):
+    """Survivorship / golden-record synthesis: collapse each verified
+    near-dup document cluster (the q69 pairs->components machinery) to
+    ONE canonical record with per-attribute survivorship rules — modal
+    source (ties: smallest), modal lang, max length, and the longest
+    member's doc_id as the text representative (ties: smallest id).
+    The MDM step after entity resolution that q93's keep-best (single
+    rule) doesn't cover. Cluster assignment comes from the bounded LSH
+    candidate path; every rule is one deterministic agg over the
+    cluster dimension (model-space: clusters are tiny)."""
+    from chemharmony_spark.operators.graph import connected_components
+
+    t = 0.8
+    docs = _t(spark, sf, "documents")
+    sig = DD.minhash_signatures(docs, "doc_id", "text").persist()
+    hits = (
+        DD.jaccard_pairs(docs, DD.lsh_candidate_pairs(sig),
+                         "doc_id", "text")
+        .where(F.col("jaccard") >= t)
+        .select("a", "b")
+        .persist()
+    )
+    comp = connected_components(hits, "a", "b")
+    members = docs.join(
+        comp.withColumnsRenamed({"node": "doc_id"}), "doc_id"
+    ).select("component", "doc_id", "source", "lang", "n_chars")
+    srcw = Window.partitionBy("component").orderBy(
+        F.col("nsrc").desc(), "source"
+    )
+    best_src = (
+        members.groupBy("component", "source")
+        .agg(F.count(F.lit(1)).alias("nsrc"))
+        .withColumn("rn", F.row_number().over(srcw))
+        .where(F.col("rn") == 1)
+        .select("component", F.col("source").alias("canon_source"))
+    )
+    lngw = Window.partitionBy("component").orderBy(
+        F.col("nlang").desc(), "lang"
+    )
+    best_lang = (
+        members.groupBy("component", "lang")
+        .agg(F.count(F.lit(1)).alias("nlang"))
+        .withColumn("rn", F.row_number().over(lngw))
+        .where(F.col("rn") == 1)
+        .select("component", F.col("lang").alias("canon_lang"))
+    )
+    repw = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    rep = (
+        members.withColumn("rn", F.row_number().over(repw))
+        .where(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("rep_doc_id"),
+            F.col("n_chars").alias("max_chars"),
+        )
+    )
+    size = members.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return (
+        size.join(best_src, "component")
+        .join(best_lang, "component")
+        .join(rep, "component")
+        .where(F.col("n_members") >= 2)
+    )
+
+
+def q211_bloom_fpp(spark, sf):
+    """Measured Bloom-filter false-positive rate: build a 16384-bit,
+    3-hash bloom over the train part keys (md5 bit positions — portable
+    everywhere), probe it with the DISJOINT probe keys, and report the
+    measured FP ppm next to the fill ratio — the engineering audit that
+    says whether q102's bloom-pruned join is actually saving I/O at the
+    chosen sizing. The bloom is a bit-position TABLE (model-space,
+    <= 16384 rows): build = one explode + distinct; probe = semi-join
+    per hash with an all-3-present conjunction via counting."""
+    part = _t(spark, sf, "part").select("p_partkey")
+    train = part.where(F.expr("p_partkey % 4 != 0"))
+    probe = part.where(F.expr("p_partkey % 4 = 0")).persist()
+
+    def hx(col, start):
+        h = F.md5(F.concat(F.lit("b:"), col.cast("string")))
+        v = F.lit(0)
+        for i in range(4):
+            c = F.substring(h, start + i, 1)
+            v = v * 16 + (F.instr(F.lit("0123456789abcdef"), c) - 1)
+        return v % 16384
+
+    key = F.col("p_partkey")
+    bits = (
+        train.select(
+            F.explode(
+                F.array(hx(key, 1), hx(key, 5), hx(key, 9))
+            ).alias("bit")
+        )
+        .distinct()
+        .persist()
+    )
+    probes = probe.select(
+        "p_partkey",
+        F.explode(
+            F.array(hx(key, 1), hx(key, 5), hx(key, 9))
+        ).alias("bit"),
+    )
+    pos = (
+        probes.join(F.broadcast(bits), "bit")
+        .groupBy("p_partkey")
+        .agg(F.count(F.lit(1)).alias("nhit"))
+        .where(F.col("nhit") == 3)
+        .agg(F.count(F.lit(1)).alias("n_fp"))
+    )
+    stats = bits.agg(F.count(F.lit(1)).alias("n_bits_set")).crossJoin(
+        F.broadcast(probe.agg(F.count(F.lit(1)).alias("n_probes")))
+    ).crossJoin(F.broadcast(pos))
+    return stats.select(
+        "n_bits_set", "n_probes", "n_fp",
+        F.expr("n_bits_set * 1000000 div 16384").alias("fill_ppm"),
+        F.expr("n_fp * 1000000 div n_probes").alias("fpp_ppm"),
+    )
+
+
+def q212_revenue_recognition(spark, sf):
+    """Daily revenue recognition: spread each lineitem's extended price
+    evenly (exact largest-remainder cents, earliest days first) across
+    its order<->ship service window (the ABSOLUTE span — this corpus
+    ships half its lines before booking, so the window is
+    [least(od,sd), greatest(od,sd)]), then roll up by calendar month —
+    the accrual-accounting transform (recognize over service, not at
+    booking) on top of q187's single-shot split. Recognition is capped
+    at 90 days (caps the explode at 90 slices/line — the unbounded span
+    multiplies the fact table by the full date range); allocation needs
+    NO window at all — base + (day_index < remainder) is closed-form
+    per row — so the only exchange is the month rollup."""
+    orders = _t(spark, sf, "orders").select(
+        "o_orderkey", F.expr("CAST(o_orderdate AS DATE)").alias("od0")
+    )
+    li = _t(spark, sf, "lineitem").join(
+        orders, F.col("l_orderkey") == F.col("o_orderkey")
+    ).select(
+        "l_orderkey", "l_linenumber",
+        (F.col("l_extendedprice").cast(DEC) * 100).cast("long")
+        .alias("cents"),
+        "od0",
+        F.expr("CAST(l_shipdate AS DATE)").alias("sd"),
+    ).select(
+        "*",
+        F.least("od0", "sd").alias("od"),
+        F.least(
+            F.abs(F.datediff("sd", "od0")) + 1, F.lit(90)
+        ).alias("nd"),
+    )
+    spread = li.select(
+        "cents", "nd", "od",
+        F.explode(F.sequence(F.lit(0), F.col("nd") - 1)).alias("i"),
+    )
+    alloc = spread.select(
+        F.date_format(
+            F.date_add(F.col("od"), F.col("i")), "yyyy-MM"
+        ).alias("month"),
+        (
+            F.expr("cents div nd")
+            + (F.col("i") < F.expr("cents % nd")).cast("long")
+        ).alias("c"),
+    )
+    return alloc.groupBy("month").agg(
+        F.sum("c").alias("recognized_cents"),
+        F.count(F.lit(1)).alias("n_day_slices"),
+    )
+
+
+def q213_quantile_shift(spark, sf):
+    """Decile-by-decile quantile shift between BUILDING and MACHINERY
+    order values — the effect-size profile that q184's U test (is there
+    a difference?) and q161's KS (max gap) don't show: WHERE in the
+    distribution the segments diverge. Both groups' nine deciles come
+    from ONE pass through the bucketed exact selector (q58 discipline —
+    no single-task ranked window); the shift is exact cents."""
+    from chemharmony_spark.operators.core import grouped_percentiles_disc
+
+    cust = _t(spark, sf, "customer").where(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    ).select("c_custkey", F.col("c_mktsegment").alias("seg"))
+    orders = _t(spark, sf, "orders")
+    obs = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select(
+        "seg",
+        (F.col("o_totalprice").cast(DEC) * 100).cast("long").alias("cents"),
+    )
+    per = grouped_percentiles_disc(
+        obs, ["seg"], "cents", [i / 10 for i in range(1, 10)]
+    )
+    stack = ", ".join(f"{d * 10}, p{d * 10}" for d in range(1, 10))
+    melted = per.selectExpr(
+        "seg", f"stack(9, {stack}) AS (decile, v)"
+    )
+    a = melted.where(F.col("seg") == "BUILDING").select(
+        "decile", F.col("v").alias("building_cents")
+    )
+    b = melted.where(F.col("seg") == "MACHINERY").select(
+        "decile", F.col("v").alias("machinery_cents")
+    )
+    return a.join(b, "decile").select(
+        "decile", "building_cents", "machinery_cents",
+        (F.col("building_cents") - F.col("machinery_cents"))
+        .alias("shift_cents"),
+    )

@@ -502,6 +502,16 @@ SHUFFLE_BUDGET = {
     # q209: labeled-edge joins (labels broadcast) + community rollups;
     # LPA rounds are checkpointed
     "q209_modularity": 4,
+    # q210: persisted near-dup pairs -> checkpointed components; the
+    # three survivorship rules + size re-aggregate the member dimension
+    "q210_golden_record": 6,
+    # q211: persisted bit table prints under build/probe/fill consumers
+    "q211_bloom_fpp": 5,
+    # q212: closed-form per-slice allocation; ONE month rollup
+    "q212_revenue_recognition": 1,
+    # q213: the bucketed selector's persisted subtrees print under the
+    # nine decile branches + melt/join (q174-style textual inflation)
+    "q213_quantile_shift": 15,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -563,7 +573,9 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 # q206: 1-row grand-total broadcast
                 "q206_time_in_state",
                 # q209: 1-row m2 / in-community scalar broadcasts
-                "q209_modularity"}
+                "q209_modularity",
+                # q211: 1-row bit/probe/fp count broadcasts
+                "q211_bloom_fpp"}
 
 
 def test_no_headline_query_has_unpartitioned_ranked_window(spark):
