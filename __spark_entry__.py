@@ -290,6 +290,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q211_bloom_fpp": Q.q211_bloom_fpp,
         "q212_revenue_recognition": Q.q212_revenue_recognition,
         "q213_quantile_shift": Q.q213_quantile_shift,
+        "q214_source_balancing": Q.q214_source_balancing,
+        "q215_peak_detection": Q.q215_peak_detection,
+        "q216_simpson_reversal": Q.q216_simpson_reversal,
     }
 
 
@@ -4932,5 +4935,137 @@ def oracle_sql() -> dict[str, str]:
                    CAST(a.v - b.v AS BIGINT) AS shift_cents
             FROM melted a JOIN melted b ON a.decile = b.decile
             WHERE a.seg = 'BUILDING' AND b.seg = 'MACHINERY'
+        """,
+        "q214_source_balancing": f"""
+            WITH docs AS (SELECT doc_id, source FROM documents),
+            per AS MATERIALIZED (
+              SELECT source, COUNT(*) AS n_docs FROM docs GROUP BY 1),
+            tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS nn,
+                           COUNT(*) AS k FROM per),
+            rates AS MATERIALIZED (
+              SELECT source, n_docs,
+                     least(1000000,
+                           (nn // k) * 1000000 // n_docs) AS keep_ppm
+              FROM per, tot),
+            kept AS (
+              SELECT source, COUNT(*) AS n_kept
+              FROM docs JOIN rates USING (source)
+              WHERE CAST({_hex4(
+                  "md5('s:' || CAST(doc_id AS VARCHAR))", 1)} AS BIGINT)
+                    * 1000000 < keep_ppm * 65536
+              GROUP BY 1)
+            SELECT source, n_docs,
+                   CAST(keep_ppm AS BIGINT) AS keep_ppm,
+                   CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept
+            FROM rates LEFT JOIN kept USING (source)
+        """,
+        "q215_peak_detection": """
+            WITH cnt AS MATERIALIZED (
+              SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+                     COUNT(*) AS n
+              FROM events GROUP BY 1, 2),
+            span AS (
+              SELECT event_type, MIN(h) AS h0, MAX(h) AS h1,
+                     CAST(SUM(n) AS BIGINT) AS tot,
+                     MAX(h) - MIN(h) + 1 AS nh
+              FROM cnt GROUP BY 1),
+            grid AS (
+              SELECT event_type, tot, nh,
+                     unnest(range(h0, h1 + 1)) AS h
+              FROM span),
+            filled AS (
+              SELECT g.event_type, g.tot, g.nh, g.h,
+                     COALESCE(c.n, 0) AS n
+              FROM grid g LEFT JOIN cnt c
+                ON c.event_type = g.event_type AND c.h = g.h),
+            sm AS (
+              SELECT event_type, h, tot, nh,
+                     COUNT(*) OVER w AS nw,
+                     CAST(SUM(n) OVER w * 1000000 AS BIGINT) AS sm3
+              FROM filled
+              WINDOW w AS (PARTITION BY event_type ORDER BY h
+                           ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)),
+            pk AS MATERIALIZED (
+              SELECT event_type, h, sm3 FROM (
+                SELECT event_type, h, sm3, tot, nh,
+                       LAG(sm3) OVER pw AS pv,
+                       LEAD(sm3) OVER pw AS nx
+                FROM sm WHERE nw = 3
+                WINDOW pw AS (PARTITION BY event_type ORDER BY h))
+              WHERE pv IS NOT NULL AND nx IS NOT NULL
+                AND sm3 > pv AND sm3 > nx
+                AND sm3 * nh > 6000000 * tot),
+            tops AS (
+              SELECT event_type, sm3 AS top_sm3, h AS top_h
+              FROM pk
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+                                         ORDER BY sm3 DESC, h) = 1),
+            cnts AS (SELECT event_type, COUNT(*) AS n_peaks
+                     FROM pk GROUP BY 1)
+            SELECT event_type, n_peaks,
+                   CAST(top_sm3 AS BIGINT) AS top_sm3,
+                   CAST(top_h AS BIGINT) AS top_h
+            FROM cnts JOIN tops USING (event_type)
+        """,
+        "q216_simpson_reversal": """
+            WITH cust AS (
+              SELECT c_custkey, c_nationkey,
+                     CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS bal
+              FROM customer),
+            spend AS (
+              SELECT o_custkey,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                          AS BIGINT) AS sp
+              FROM orders GROUP BY 1),
+            x AS (SELECT c_nationkey, bal, sp
+                  FROM cust JOIN spend ON c_custkey = o_custkey),
+            per AS MATERIALIZED (
+              SELECT * FROM (
+                SELECT c_nationkey, COUNT(*) AS n,
+                       CAST(SUM(bal) AS BIGINT) AS sx,
+                       CAST(SUM(sp) AS BIGINT) AS sy,
+                       SUM(CAST(bal AS HUGEINT) * sp) AS sxy,
+                       SUM(CAST(bal AS HUGEINT) * bal) AS sxx,
+                       SUM(CAST(sp AS HUGEINT) * sp) AS syy
+                FROM x GROUP BY 1)
+              WHERE n >= 3),
+            nat AS (
+              SELECT c_nationkey,
+                     CAST(floor(
+                       CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                       / (sqrt(CAST(n * sxx - CAST(sx AS HUGEINT) * sx
+                                    AS DOUBLE))
+                          * sqrt(CAST(n * syy - CAST(sy AS HUGEINT) * sy
+                                      AS DOUBLE)))
+                       * 1000000) AS BIGINT) AS rn
+              FROM per),
+            pooled AS (
+              SELECT CAST(floor(
+                       CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                       / (sqrt(CAST(n * sxx - CAST(sx AS HUGEINT) * sx
+                                    AS DOUBLE))
+                          * sqrt(CAST(n * syy - CAST(sy AS HUGEINT) * sy
+                                      AS DOUBLE)))
+                       * 1000000) AS BIGINT) AS overall_r_micro
+              FROM (
+                SELECT CAST(SUM(n) AS BIGINT) AS n,
+                       CAST(SUM(sx) AS BIGINT) AS sx,
+                       CAST(SUM(sy) AS BIGINT) AS sy,
+                       SUM(sxy) AS sxy, SUM(sxx) AS sxx,
+                       SUM(syy) AS syy
+                FROM per))
+            SELECT COUNT(*) AS n_nations,
+                   CAST(MIN(overall_r_micro) AS BIGINT)
+                     AS overall_r_micro,
+                   CAST(SUM(CASE WHEN rn > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_positive,
+                   CAST(SUM(CASE WHEN rn < 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_negative,
+                   CAST(SUM(CASE WHEN CAST(rn AS HUGEINT)
+                                      * overall_r_micro < 0
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_reversed
+            FROM nat, pooled
         """,
     }

@@ -6905,3 +6905,173 @@ def q213_quantile_shift(spark, sf):
         (F.col("building_cents") - F.col("machinery_cents"))
         .alias("shift_cents"),
     )
+
+
+def q214_source_balancing(spark, sf):
+    """Source-balancing sampler: compute each source's keep rate to
+    flatten the corpus toward a uniform per-source target (the CC-Net /
+    data-mixing move that stops one crawl from dominating a training
+    mix), then APPLY it with a deterministic md5 coin so the kept set
+    is reproducible on any engine or cluster. Rates are integer ppm
+    (target = N div k); the coin compares in cross-multiplied integer
+    space (hx * 1e6 < keep_ppm * 65536) so no float resolution is lost.
+    Two tiny aggs + one broadcast join back onto the scan."""
+    docs = _t(spark, sf, "documents").select("doc_id", "source")
+    per = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = per.agg(
+        F.sum("n_docs").alias("nn"), F.count(F.lit(1)).alias("k")
+    )
+    rates = per.crossJoin(F.broadcast(tot)).select(
+        "source", "n_docs",
+        F.least(
+            F.lit(1_000_000).cast("long"),
+            F.expr("(nn div k) * 1000000 div n_docs"),
+        ).alias("keep_ppm"),
+    )
+    h = F.md5(F.concat(F.lit("s:"), F.col("doc_id").cast("string")))
+    hx = F.lit(0)
+    for i in range(4):
+        c = F.substring(h, i + 1, 1)
+        hx = hx * 16 + (F.instr(F.lit("0123456789abcdef"), c) - 1)
+    kept = (
+        docs.join(F.broadcast(rates), "source")
+        .where(hx.cast("long") * 1_000_000
+               < F.col("keep_ppm") * 65_536)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .na.fill({"n_kept": 0})
+        .select("source", "n_docs", "keep_ppm", "n_kept")
+    )
+
+
+def q215_peak_detection(spark, sf):
+    """Peak detection on each type's smoothed hourly series: a 3-hour
+    moving average that rises strictly above both neighbors AND clears
+    2x the series mean — the alerting primitive between q139's CUSUM
+    (drift) and q194's Fano (dispersion): WHERE are the spikes, and the
+    biggest one. Grid/MA/neighbor windows all partition by type over
+    the model-space hourly table; mean thresholds broadcast; argmax
+    picks the earliest top peak via struct max."""
+    ev = _events(spark, sf).select(
+        "event_type", F.expr("(ts div 1000) div 3600000000").alias("h")
+    )
+    cnt = (
+        ev.groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    span = cnt.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1"),
+        F.sum("n").alias("tot"),
+        (F.max("h") - F.min("h") + 1).alias("nh"),
+    )
+    grid = span.select(
+        "event_type", "tot", "nh",
+        F.explode(F.sequence("h0", "h1")).alias("h"),
+    )
+    filled = grid.join(cnt, on=["event_type", "h"], how="left").na.fill(
+        {"n": 0}
+    )
+    w3 = (
+        Window.partitionBy("event_type").orderBy("h").rowsBetween(-1, 1)
+    )
+    sm = filled.select(
+        "event_type", "h", "tot", "nh",
+        F.count(F.lit(1)).over(w3).alias("nw"),
+        (F.sum("n").over(w3) * 1_000_000).alias("sm3"),
+    ).where(F.col("nw") == 3)
+    wl = Window.partitionBy("event_type").orderBy("h")
+    peaks = sm.select(
+        "event_type", "h", "sm3", "tot", "nh",
+        F.lag("sm3").over(wl).alias("pv"),
+        F.lead("sm3").over(wl).alias("nx"),
+    ).where(
+        F.col("pv").isNotNull() & F.col("nx").isNotNull()
+        & (F.col("sm3") > F.col("pv")) & (F.col("sm3") > F.col("nx"))
+        & (F.col("sm3") * F.col("nh") > 6_000_000 * F.col("tot"))
+    )
+    return peaks.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_peaks"),
+        F.max(
+            F.struct(
+                F.col("sm3").alias("s"), (-F.col("h")).alias("mh")
+            )
+        )["s"].alias("top_sm3"),
+        (-F.max(
+            F.struct(
+                F.col("sm3").alias("s"), (-F.col("h")).alias("mh")
+            )
+        )["mh"]).alias("top_h"),
+    )
+
+
+def q216_simpson_reversal(spark, sf):
+    """Simpson's-paradox audit: does the customer-level association
+    between account balance and lifetime spend FLIP sign inside nations
+    vs the pooled population — the aggregation-bias tripwire every
+    cross-segment metrics report needs. Per-nation Pearson r from exact
+    decimal(38,0) sufficient stats; the pooled r REUSES the same
+    per-nation sums (one extra 25-row rollup, not a second scan);
+    reversal = product of r signs < 0, counted in integers."""
+    cust = _t(spark, sf, "customer").select(
+        "c_custkey", "c_nationkey",
+        (F.col("c_acctbal").cast(DEC) * 100).cast("long").alias("bal"),
+    )
+    orders = _t(spark, sf, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(DEC) * 100)
+        .cast("long").alias("sp")
+    )
+    x = cust.join(spend, cust.c_custkey == spend.o_custkey).select(
+        "c_nationkey", "bal", "sp"
+    )
+    D38 = "decimal(38,0)"
+    per = x.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("bal").alias("sx"),
+        F.sum("sp").alias("sy"),
+        F.sum(F.col("bal").cast(D38) * F.col("sp").cast(D38)).alias("sxy"),
+        F.sum(F.col("bal").cast(D38) * F.col("bal").cast(D38)).alias("sxx"),
+        F.sum(F.col("sp").cast(D38) * F.col("sp").cast(D38)).alias("syy"),
+    ).where(F.col("n") >= 3).persist()
+
+    def r_micro(n, sx, sy, sxy, sxx, syy):
+        cov = n.cast(D38) * sxy - sx.cast(D38) * sy.cast(D38)
+        vx = n.cast(D38) * sxx - sx.cast(D38) * sx.cast(D38)
+        vy = n.cast(D38) * syy - sy.cast(D38) * sy.cast(D38)
+        return F.floor(
+            cov.cast("double")
+            / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double")))
+            * 1_000_000
+        ).cast("long")
+
+    nat = per.select(
+        "c_nationkey",
+        r_micro(F.col("n"), F.col("sx"), F.col("sy"),
+                F.col("sxy"), F.col("sxx"), F.col("syy")).alias("rn"),
+    )
+    pooled = per.agg(
+        F.sum("n").alias("n"),
+        F.sum("sx").alias("sx"), F.sum("sy").alias("sy"),
+        F.sum("sxy").alias("sxy"), F.sum("sxx").alias("sxx"),
+        F.sum("syy").alias("syy"),
+    ).select(
+        r_micro(F.col("n"), F.col("sx"), F.col("sy"),
+                F.col("sxy"), F.col("sxx"), F.col("syy"))
+        .alias("overall_r_micro")
+    )
+    return nat.crossJoin(F.broadcast(pooled)).agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.min("overall_r_micro").alias("overall_r_micro"),
+        F.sum((F.col("rn") > 0).cast("long")).alias("n_positive"),
+        F.sum((F.col("rn") < 0).cast("long")).alias("n_negative"),
+        F.sum(
+            (
+                F.col("rn").cast(D38) * F.col("overall_r_micro").cast(D38)
+                < 0
+            ).cast("long")
+        ).alias("n_reversed"),
+    )

@@ -512,6 +512,14 @@ SHUFFLE_BUDGET = {
     # q213: the bucketed selector's persisted subtrees print under the
     # nine decile branches + melt/join (q174-style textual inflation)
     "q213_quantile_shift": 15,
+    # q214: source histogram prints under rate/total/kept/outer-join
+    # consumers; the coin filter runs on the never-shuffled scan
+    "q214_source_balancing": 7,
+    # q215: (type, hour) agg + per-type grid/MA/neighbor window chain
+    "q215_peak_detection": 2,
+    # q216: persisted per-nation stats print under nation-r / pooled-r /
+    # final rollup consumers (customer agg + spend agg underneath)
+    "q216_simpson_reversal": 4,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -575,7 +583,11 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 # q209: 1-row m2 / in-community scalar broadcasts
                 "q209_modularity",
                 # q211: 1-row bit/probe/fp count broadcasts
-                "q211_bloom_fpp"}
+                "q211_bloom_fpp",
+                # q214: 1-row corpus-total broadcast
+                "q214_source_balancing",
+                # q216: 1-row pooled-correlation broadcast
+                "q216_simpson_reversal"}
 
 
 def test_no_headline_query_has_unpartitioned_ranked_window(spark):
