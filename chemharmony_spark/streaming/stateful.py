@@ -276,3 +276,79 @@ def stream_cusum(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+THROTTLE_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("event_type", StringType(), False),
+        StructField("n_raw", LongType(), True),
+        StructField("n_kept", LongType(), True),
+    ]
+)
+
+THROTTLE_STATE_SCHEMA = StructType(
+    [
+        StructField("last_us", LongType(), True),
+        StructField("kept", LongType(), True),
+        StructField("raw", LongType(), True),
+    ]
+)
+
+
+def _update_throttle(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    user_id, event_type = key
+    if state.exists:
+        last, kept, raw = state.get
+    else:
+        last, kept, raw = -(10 ** 18), 0, 0
+    pdf = pd.concat(list(pdfs)).sort_values("us")
+    for us in pdf["us"].tolist():
+        if us - last >= 300_000_000:
+            kept += 1
+            last = us
+    raw += len(pdf)
+    state.update((last, kept, raw))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "event_type": [event_type],
+            "n_raw": [raw],
+            "n_kept": [kept],
+        }
+    )
+
+
+def stream_throttle(
+    spark: SparkSession,
+    events_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming throttle dedup: keep an event only if >= 300 s have
+    passed since the LAST KEPT event of the same (user, type) — the
+    stateful twin of queries.q190_throttle_dedup's batch fold, carrying
+    (last_kept_us, kept, raw) across micro-batches. The semantics need
+    the previous KEPT time (not just the previous event), which rules
+    out dropDuplicatesWithinWatermark's fixed-bucket behavior — the
+    applyInPandasWithState escape hatch exists for exactly this."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA).option(
+        "pathGlobFilter", glob
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(max_files_per_trigger)
+        )
+    src = reader.parquet(events_dir).select(
+        "user_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    return src.groupBy("user_id", "event_type").applyInPandasWithState(
+        _update_throttle,
+        outputStructType=THROTTLE_OUT_SCHEMA,
+        stateStructType=THROTTLE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -558,3 +558,56 @@ def test_streaming_hopping_window_matches_batch(spark, sf_dir):
     s = sorted(map(tuple, streamed.collect()))
     b = sorted(map(tuple, q137_hopping_window(spark, sf_dir).collect()))
     assert s == b
+
+
+def test_streaming_throttle_matches_batch_across_batches(spark, sf_dir,
+                                                         tmp_path):
+    """stream_throttle: the (last_kept, kept) state folds FORWARD across
+    micro-batches — replaying the events in two time-ordered batches
+    reproduces the q190 batch fold's per-type raw/kept totals exactly
+    (the cross-batch case is the one a fixed-bucket dedup gets wrong:
+    a kept event near the batch boundary must still suppress
+    sub-300s followers arriving in the NEXT batch)."""
+    import os
+
+    from chemharmony_spark.queries import q190_throttle_dedup
+    from chemharmony_spark.streaming.stateful import stream_throttle
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    mid = ev.selectExpr(
+        "percentile_approx(unix_micros(CAST(ts AS TIMESTAMP)), 0.5) AS m"
+    ).collect()[0].m
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    for name, half in (
+        ("a_events.parquet",
+         ev.where(F.unix_micros(F.col("ts").cast("timestamp")) < mid)),
+        ("b_events.parquet",
+         ev.where(F.unix_micros(F.col("ts").cast("timestamp")) >= mid)),
+    ):
+        tmp = tmp_path / ("w_" + name)
+        half.coalesce(1).write.parquet(str(tmp))
+        part = next(tmp.glob("part-*.parquet"))
+        os.rename(part, stage / name)
+    os.utime(stage / "a_events.parquet", (1, 1))
+    os.utime(stage / "b_events.parquet", (2, 2))
+
+    streamed = run_stream_to_memory(
+        stream_throttle(spark, str(stage), glob="*_events.parquet",
+                        max_files_per_trigger=1),
+        "stream_throttle", mode="update",
+    )
+    final = streamed.groupBy("user_id", "event_type").agg(
+        F.max(F.struct("n_raw", "n_kept")).alias("f")
+    )
+    ours = {
+        r.event_type: (r.raw, r.kept)
+        for r in final.groupBy("event_type").agg(
+            F.sum("f.n_raw").alias("raw"), F.sum("f.n_kept").alias("kept")
+        ).collect()
+    }
+    batch = {r.event_type: (r.n_raw, r.n_kept)
+             for r in q190_throttle_dedup(spark, sf_dir).collect()}
+    assert ours == batch
+    # the split genuinely exercised cross-batch state
+    assert streamed.count() > final.count()
