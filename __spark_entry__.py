@@ -293,6 +293,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q214_source_balancing": Q.q214_source_balancing,
         "q215_peak_detection": Q.q215_peak_detection,
         "q216_simpson_reversal": Q.q216_simpson_reversal,
+        "q217_tfidf_keywords": Q.q217_tfidf_keywords,
+        "q218_outlier_ensemble": Q.q218_outlier_ensemble,
+        "q219_knee_point": Q.q219_knee_point,
+        "q220_range_bounds": Q.q220_range_bounds,
     }
 
 
@@ -5067,5 +5071,120 @@ def oracle_sql() -> dict[str, str]:
                                  THEN 1 ELSE 0 END) AS BIGINT)
                      AS n_reversed
             FROM nat, pooled
+        """,
+        "q217_tfidf_keywords": f"""
+            WITH tall AS MATERIALIZED (
+              SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+            dfx AS MATERIALIZED (
+              SELECT token, COUNT(*) AS df
+              FROM (SELECT DISTINCT doc_id, token FROM tall)
+              GROUP BY 1),
+            nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+            tf AS (
+              SELECT doc_id, token, COUNT(*) AS tf
+              FROM tall WHERE doc_id % 25 = 0 GROUP BY 1, 2),
+            scored AS (
+              SELECT doc_id, token,
+                     CAST(floor(tf * ln(CAST(n_docs AS DOUBLE) / df)
+                                * 1000000) AS BIGINT) AS tfidf_micro
+              FROM tf JOIN dfx USING (token), nd)
+            SELECT doc_id, rank, token, tfidf_micro FROM (
+              SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY tfidf_micro DESC, token) AS INT) AS rank
+              FROM scored)
+            WHERE rank <= 3
+        """,
+        "q218_outlier_ensemble": """
+            WITH per AS MATERIALIZED (
+              SELECT user_id, COUNT(*) AS m_events,
+                     CAST(SUM(c) AS BIGINT) AS m_spend,
+                     MAX(c) AS m_max
+              FROM (SELECT user_id,
+                           CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                AS BIGINT) AS c
+                    FROM events)
+              GROUP BY 1),
+            melted AS (
+              SELECT u.metric AS metric, u.v AS v FROM (
+                SELECT unnest([
+                  {'metric': 'events', 'v': m_events},
+                  {'metric': 'spend', 'v': m_spend},
+                  {'metric': 'maxv', 'v': m_max}]) AS u
+                FROM per)),
+            ranked AS (
+              SELECT metric, v,
+                     ROW_NUMBER() OVER (PARTITION BY metric
+                                        ORDER BY v) AS rn,
+                     COUNT(*) OVER (PARTITION BY metric) AS n
+              FROM melted),
+            b AS (
+              SELECT
+                MAX(CASE WHEN metric = 'events' AND rn = greatest(1,
+                  CAST(ceil(CAST(0.95 AS DOUBLE) * n) AS BIGINT))
+                  THEN v END) AS events,
+                MAX(CASE WHEN metric = 'spend' AND rn = greatest(1,
+                  CAST(ceil(CAST(0.95 AS DOUBLE) * n) AS BIGINT))
+                  THEN v END) AS spend,
+                MAX(CASE WHEN metric = 'maxv' AND rn = greatest(1,
+                  CAST(ceil(CAST(0.95 AS DOUBLE) * n) AS BIGINT))
+                  THEN v END) AS maxv
+              FROM ranked)
+            SELECT n_flags, COUNT(*) AS n_users FROM (
+              SELECT (CASE WHEN m_events > events THEN 1 ELSE 0 END
+                      + CASE WHEN m_spend > spend THEN 1 ELSE 0 END
+                      + CASE WHEN m_max > maxv THEN 1 ELSE 0 END)
+                       AS n_flags
+              FROM per, b)
+            GROUP BY 1
+        """,
+        "q219_knee_point": """
+            WITH spend AS (
+              SELECT o_custkey,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                          AS BIGINT) AS cents
+              FROM orders GROUP BY 1),
+            ranked AS MATERIALIZED (
+              SELECT cents,
+                     CAST(ROW_NUMBER() OVER (ORDER BY cents DESC,
+                                             o_custkey) AS BIGINT) AS i,
+                     CAST(SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum
+              FROM spend),
+            tot AS (SELECT MAX(i) AS n, MAX(cum) AS s FROM ranked),
+            d AS MATERIALIZED (
+              SELECT i, cum, n, s,
+                     abs(CAST(n AS HUGEINT) * cum
+                         - CAST(s AS HUGEINT) * i) AS dist
+              FROM ranked, tot),
+            best AS (SELECT MAX(dist) AS bd FROM d)
+            SELECT i AS knee_rank, n,
+                   CAST(CAST(cum AS HUGEINT) * 1000000 // s AS BIGINT)
+                     AS cum_share_ppm
+            FROM d, best
+            WHERE dist = bd
+            QUALIFY ROW_NUMBER() OVER (ORDER BY i) = 1
+        """,
+        "q220_range_bounds": """
+            WITH o AS MATERIALIZED (
+              SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS cents
+              FROM orders),
+            ranked AS (
+              SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rn,
+                     COUNT(*) OVER () AS n
+              FROM o),
+            sel AS (
+              SELECT greatest(1, CAST(ceil(CAST(k AS DOUBLE) / 32 * n)
+                                      AS BIGINT)) AS r
+              FROM (SELECT unnest(range(1, 32)) AS k),
+                   (SELECT COUNT(*) AS n FROM o)),
+            bvals AS (
+              SELECT list_sort(list(cents)) AS bs
+              FROM ranked JOIN sel ON rn = r)
+            SELECT bucket, COUNT(*) AS n_rows FROM (
+              SELECT len(list_filter(bs, x -> x < cents)) AS bucket
+              FROM o, bvals)
+            GROUP BY 1
         """,
     }

@@ -7075,3 +7075,168 @@ def q216_simpson_reversal(spark, sf):
             ).cast("long")
         ).alias("n_reversed"),
     )
+
+
+def q217_tfidf_keywords(spark, sf):
+    """Per-document keyword extraction: each sampled document's top-3
+    tokens by TF-IDF (q64's weights + a bounded per-doc window) — the
+    summarization/tagging primitive built from corpus statistics. The
+    document-frequency model comes from the FULL corpus (one distinct
+    + agg), while term frequencies are computed only for the sampled
+    docs (filter pushed to the scan); df broadcasts back, and the top-3
+    cut is a per-doc window bounded by the doc's vocabulary."""
+    docs = _t(spark, sf, "documents")
+    toks_all = docs.select(
+        "doc_id", F.explode(TX.tokens("text")).alias("token")
+    )
+    df_ = (
+        toks_all.distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    sample = docs.where(F.expr("doc_id % 25 = 0")).select(
+        "doc_id", F.explode(TX.tokens("text")).alias("token")
+    )
+    tf = sample.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id", "token",
+            F.floor(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df"))
+                * 1_000_000
+            ).cast("long").alias("tfidf_micro"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf_micro").desc(), "token"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "rank", "token", "tfidf_micro")
+    )
+
+
+def q218_outlier_ensemble(spark, sf):
+    """Ensemble outlier flagging: each user is scored against the p95
+    bound of THREE behavioral metrics (event count, total spend cents,
+    max single value) and the population histograms by flag count come
+    out — the multi-criteria review queue that single-metric z-scores
+    (q175) or MAD fences (q107) feed one column of. All three bounds
+    come from ONE melted pass through the bucketed exact selector
+    (q106's idiom); flags compare integers against the broadcast
+    bounds."""
+    ev = _events(spark, sf).select(
+        "user_id",
+        (F.col("value").cast(DEC) * 100).cast("long").alias("cents"),
+    )
+    per = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("m_events"),
+        F.sum("cents").alias("m_spend"),
+        F.max("cents").alias("m_max"),
+    ).persist()
+    melted = per.selectExpr(
+        "stack(3, 'events', m_events, 'spend', m_spend, 'maxv', m_max)"
+        " AS (metric, v)"
+    )
+    from chemharmony_spark.operators.core import grouped_percentiles_disc
+
+    bounds = grouped_percentiles_disc(melted, ["metric"], "v", [0.95])
+    b = bounds.groupBy().pivot("metric", ["events", "spend", "maxv"]).agg(
+        F.min("p95")
+    )
+    flagged = per.crossJoin(F.broadcast(b)).select(
+        (
+            (F.col("m_events") > F.col("events")).cast("int")
+            + (F.col("m_spend") > F.col("spend")).cast("int")
+            + (F.col("m_max") > F.col("maxv")).cast("int")
+        ).alias("n_flags")
+    )
+    return flagged.groupBy("n_flags").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+def q219_knee_point(spark, sf):
+    """Knee/elbow detection on the cumulative revenue-concentration
+    curve: the rank maximizing the distance to the chord from (0,0) to
+    (n, total) — the principled answer to "how many top customers
+    matter" that q174's fixed 80% threshold hard-codes. The curve is
+    customer-dimension-sized; distance is the exact integer cross
+    product |n*cum_i - S*i| in decimal(38,0), argmax tie-broken to the
+    smallest rank. At catalog scale the ranked cumsum swaps to q174's
+    bucketed chain — same closed form."""
+    orders = _t(spark, sf, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(DEC) * 100)
+        .cast("long").alias("cents")
+    )
+    w = Window.orderBy(F.col("cents").desc(), "o_custkey")
+    ranked = spend.select(
+        "cents",
+        F.row_number().over(w).cast("long").alias("i"),
+        F.sum("cents").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum"),
+    )
+    tot = ranked.agg(
+        F.max("i").alias("n"), F.max("cum").alias("s")
+    )
+    D38 = "decimal(38,0)"
+    d = ranked.crossJoin(F.broadcast(tot)).select(
+        "i", "cum", "n", "s",
+        F.abs(
+            F.col("n").cast(D38) * F.col("cum").cast(D38)
+            - F.col("s").cast(D38) * F.col("i").cast(D38)
+        ).alias("dist"),
+    )
+    best = d.agg(
+        F.max(F.struct(F.col("dist"), (-F.col("i")).alias("mi"))).alias("b")
+    )
+    return (
+        d.crossJoin(F.broadcast(best))
+        .where(
+            (F.col("dist") == F.col("b.dist"))
+            & (F.col("i") == -F.col("b.mi"))
+        )
+        .select(
+            F.col("i").alias("knee_rank"),
+            "n",
+            F.expr(
+                "CAST(CAST(cum AS DECIMAL(38,0)) * 1000000"
+                " div s AS BIGINT)"
+            ).alias("cum_share_ppm"),
+        )
+    )
+
+
+def q220_range_bounds(spark, sf):
+    """Range-partitioner planning: 31 exact quantile bounds over the
+    order-value distribution (one bucketed-selector pass — the engine's
+    own repartitionByRange samples instead; this is the deterministic
+    audit) and the verified per-bucket row counts after assignment via
+    the broadcast bounds array — the balance check that decides whether
+    a sort key needs salting before a 1000-executor range shuffle."""
+    from chemharmony_spark.operators.core import grouped_percentiles_disc
+
+    orders = _t(spark, sf, "orders").select(
+        (F.col("o_totalprice").cast(DEC) * 100).cast("long").alias("cents")
+    ).withColumn("g", F.lit(1))
+    qs = [i / 32 for i in range(1, 32)]
+    bounds = grouped_percentiles_disc(orders, ["g"], "cents", qs)
+    cols = [f"p{int(round(q * 100)):02d}" for q in qs]
+    arr = bounds.select(
+        F.array_sort(F.array(*[F.col(c) for c in cols])).alias("bs")
+    )
+    assigned = orders.crossJoin(F.broadcast(arr)).select(
+        F.size(F.filter("bs", lambda x: x < F.col("cents")))
+        .alias("bucket")
+    )
+    return assigned.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )

@@ -520,6 +520,16 @@ SHUFFLE_BUDGET = {
     # q216: persisted per-nation stats print under nation-r / pooled-r /
     # final rollup consumers (customer agg + spend agg underneath)
     "q216_simpson_reversal": 4,
+    # q217: full-corpus df model + sampled tf + per-doc top-3 window
+    "q217_tfidf_keywords": 5,
+    # q218: persisted per-user metrics print under the melted selector
+    # (bucketed chain) + flag-histogram consumers
+    "q218_outlier_ensemble": 10,
+    # q219: customer agg + ranked cumsum; persisted curve prints under
+    # total / argmax / final consumers
+    "q219_knee_point": 8,
+    # q220: selector chain branches per consumer + bucket assignment agg
+    "q220_range_bounds": 8,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -587,7 +597,11 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 # q214: 1-row corpus-total broadcast
                 "q214_source_balancing",
                 # q216: 1-row pooled-correlation broadcast
-                "q216_simpson_reversal"}
+                "q216_simpson_reversal",
+                # q217-q220: 1-row corpus-size / bound-pivot / argmax /
+                # bounds-array broadcasts
+                "q217_tfidf_keywords", "q218_outlier_ensemble",
+                "q219_knee_point", "q220_range_bounds"}
 
 
 def test_no_headline_query_has_unpartitioned_ranked_window(spark):
