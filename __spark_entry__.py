@@ -297,6 +297,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q218_outlier_ensemble": Q.q218_outlier_ensemble,
         "q219_knee_point": Q.q219_knee_point,
         "q220_range_bounds": Q.q220_range_bounds,
+        "q221_ess_weights": Q.q221_ess_weights,
+        "q222_audience_overlap": Q.q222_audience_overlap,
+        "q223_price_volume_decomposition": Q.q223_price_volume_decomposition,
     }
 
 
@@ -5186,5 +5189,104 @@ def oracle_sql() -> dict[str, str]:
               SELECT len(list_filter(bs, x -> x < cents)) AS bucket
               FROM o, bvals)
             GROUP BY 1
+        """,
+        "q221_ess_weights": """
+            WITH per AS MATERIALIZED (
+              SELECT source, COUNT(*) AS n_docs
+              FROM documents GROUP BY 1),
+            tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS nn,
+                           COUNT(*) AS k FROM per),
+            rates AS (
+              SELECT source, n_docs,
+                     least(1000000,
+                           (nn // k) * 1000000 // n_docs) AS w
+              FROM per, tot),
+            s AS (
+              SELECT CAST(SUM(n_docs) AS BIGINT) AS n,
+                     SUM(CAST(n_docs AS HUGEINT) * w) AS sw,
+                     SUM(CAST(n_docs AS HUGEINT) * w * w) AS sw2
+              FROM rates)
+            SELECT n,
+                   CAST(floor(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+                              / CAST(sw2 AS DOUBLE) * 1000000) AS BIGINT)
+                     AS ess_micro,
+                   CAST(floor(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+                              / CAST(sw2 AS DOUBLE) / CAST(n AS DOUBLE)
+                              * 1000000) AS BIGINT) AS ess_ratio_ppm
+            FROM s
+        """,
+        "q222_audience_overlap": """
+            WITH ud AS MATERIALIZED (
+              SELECT DISTINCT user_id,
+                              epoch_us(ts) // 86400000000 AS day
+              FROM events),
+            sizes AS MATERIALIZED (
+              SELECT day, COUNT(*) AS na FROM ud GROUP BY 1),
+            inter AS (
+              SELECT a.day AS day, COUNT(*) AS nboth
+              FROM ud a JOIN ud b
+                ON a.user_id = b.user_id AND a.day = b.day + 1
+              GROUP BY 1)
+            SELECT day, na, nb, nboth,
+                   CAST(nboth * 1000000 // (na + nb - nboth) AS BIGINT)
+                     AS jaccard_ppm
+            FROM inter
+            JOIN sizes USING (day)
+            JOIN (SELECT day + 1 AS day, na AS nb FROM sizes) p
+              USING (day)
+        """,
+        "q223_price_volume_decomposition": """
+            WITH li AS (
+              SELECT l_partkey,
+                     strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS m,
+                     CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS cents,
+                     CAST(l_quantity AS BIGINT) AS units
+              FROM lineitem
+              WHERE strftime(CAST(l_shipdate AS DATE), '%Y-%m')
+                    IN ('1995-03', '1995-04')),
+            per AS MATERIALIZED (
+              SELECT l_partkey, m,
+                     CAST(SUM(cents) AS BIGINT) AS v,
+                     CAST(SUM(units) AS BIGINT) AS q
+              FROM li GROUP BY 1, 2),
+            pb AS (
+              SELECT m1.l_partkey, v1, q1, v2, q2,
+                     v1 * 1000000 // q1 AS p1,
+                     v2 * 1000000 // q2 AS p2
+              FROM (SELECT l_partkey, v AS v1, q AS q1 FROM per
+                    WHERE m = '1995-03') m1
+              JOIN (SELECT l_partkey, v AS v2, q AS q2 FROM per
+                    WHERE m = '1995-04') m2 USING (l_partkey)),
+            eff AS (
+              SELECT COUNT(*) AS n_common_parts,
+                     SUM(CAST(q2 - q1 AS HUGEINT) * p1) AS vol_x,
+                     SUM(CAST(p2 - p1 AS HUGEINT) * q2) AS prc_x
+              FROM pb),
+            t AS (
+              SELECT CAST(SUM(CASE WHEN m = '1995-03' THEN v END)
+                          AS BIGINT) AS rev1,
+                     CAST(SUM(CASE WHEN m = '1995-04' THEN v END)
+                          AS BIGINT) AS rev2
+              FROM per)
+            SELECT n_common_parts, rev1, rev2,
+                   CASE WHEN vol_x >= 0
+                        THEN CAST(vol_x // 1000000 AS BIGINT)
+                        ELSE CAST(-((-vol_x) // 1000000) AS BIGINT)
+                   END AS volume_effect_cents,
+                   CASE WHEN prc_x >= 0
+                        THEN CAST(prc_x // 1000000 AS BIGINT)
+                        ELSE CAST(-((-prc_x) // 1000000) AS BIGINT)
+                   END AS price_effect_cents,
+                   rev2 - rev1
+                   - (CASE WHEN vol_x >= 0
+                           THEN CAST(vol_x // 1000000 AS BIGINT)
+                           ELSE CAST(-((-vol_x) // 1000000) AS BIGINT)
+                      END)
+                   - (CASE WHEN prc_x >= 0
+                           THEN CAST(prc_x // 1000000 AS BIGINT)
+                           ELSE CAST(-((-prc_x) // 1000000) AS BIGINT)
+                      END) AS mix_residual_cents
+            FROM eff, t
         """,
     }

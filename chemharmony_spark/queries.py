@@ -7240,3 +7240,146 @@ def q220_range_bounds(spark, sf):
     return assigned.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_rows")
     )
+
+
+def q221_ess_weights(spark, sf):
+    """Effective sample size of the importance-weighted corpus: applying
+    q214's source-balancing keep rates as document weights, ESS =
+    (sum w)^2 / sum w^2 — the diagnostics number that says how much
+    statistical power the reweighted mix actually retains (ESS/N -> 1
+    means balanced already; small means a few sources dominate). Two
+    tiny aggs; the quadratic sums stay in decimal(38,0) and divide to
+    IEEE double only once."""
+    docs = _t(spark, sf, "documents").select("doc_id", "source")
+    per = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = per.agg(
+        F.sum("n_docs").alias("nn"), F.count(F.lit(1)).alias("k")
+    )
+    rates = per.crossJoin(F.broadcast(tot)).select(
+        "source", "n_docs",
+        F.least(
+            F.lit(1_000_000).cast("long"),
+            F.expr("(nn div k) * 1000000 div n_docs"),
+        ).alias("w"),
+    )
+    D38 = "decimal(38,0)"
+    s = rates.agg(
+        F.sum("n_docs").alias("n"),
+        F.sum(F.col("n_docs").cast(D38) * F.col("w").cast(D38)).alias("sw"),
+        F.sum(
+            F.col("n_docs").cast(D38)
+            * F.col("w").cast(D38) * F.col("w").cast(D38)
+        ).alias("sw2"),
+    )
+    ess = (
+        F.col("sw").cast("double") * F.col("sw").cast("double")
+        / F.col("sw2").cast("double")
+    )
+    return s.select(
+        "n",
+        F.floor(ess * 1_000_000).cast("long").alias("ess_micro"),
+        F.floor(ess / F.col("n").cast("double") * 1_000_000)
+        .cast("long").alias("ess_ratio_ppm"),
+    )
+
+
+def q222_audience_overlap(spark, sf):
+    """Day-over-day audience overlap: the Jaccard similarity of each
+    day's active-user set with the previous day's — the continuity/
+    churn pulse underneath q176's DAU (same DAU can hide a fully
+    rotated audience). (user, day) dedup happens ONCE; the overlap is a
+    co-grouped self-join on (user, day+1); day sizes broadcast onto the
+    tiny day-level result."""
+    ud = _events(spark, sf).select(
+        "user_id", F.expr("(ts div 1000) div 86400000000").alias("day")
+    ).distinct().persist()
+    sizes = ud.groupBy("day").agg(F.count(F.lit(1)).alias("na"))
+    inter = (
+        ud.alias("a")
+        .join(
+            ud.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.day") == F.col("b.day") + 1),
+        )
+        .groupBy(F.col("a.day").alias("day"))
+        .agg(F.count(F.lit(1)).alias("nboth"))
+    )
+    prev = sizes.select(
+        (F.col("day") + 1).alias("day"), F.col("na").alias("nb")
+    )
+    return (
+        inter.join(F.broadcast(sizes), "day")
+        .join(F.broadcast(prev), "day")
+        .select(
+            "day", "na", "nb", "nboth",
+            F.expr("nboth * 1000000 div (na + nb - nboth)")
+            .alias("jaccard_ppm"),
+        )
+    )
+
+
+def q223_price_volume_decomposition(spark, sf):
+    """Price-volume-mix decomposition of the revenue change between two
+    shipping months (1995-03 -> 1995-04): per part present in both,
+    volume effect = (q2-q1)*p1 and price effect = (p2-p1)*q2, with the
+    new/discontinued parts' revenue reported as the mix remainder —
+    the canonical "why did revenue move" bridge. Per-part monthly
+    sums are exact cents/units (ONE fact shuffle); unit prices are
+    integer micro (truncating div, positive operands); effects
+    integer-multiply-accumulate in decimal(38,0)."""
+    li = _t(spark, sf, "lineitem").select(
+        "l_partkey",
+        F.date_format(F.expr("CAST(l_shipdate AS DATE)"), "yyyy-MM")
+        .alias("m"),
+        (F.col("l_extendedprice").cast(DEC) * 100).cast("long")
+        .alias("cents"),
+        F.col("l_quantity").cast("long").alias("units"),
+    ).where(F.col("m").isin("1995-03", "1995-04"))
+    per = li.groupBy("l_partkey", "m").agg(
+        F.sum("cents").alias("v"), F.sum("units").alias("q")
+    ).persist()
+    m1 = per.where(F.col("m") == "1995-03").select(
+        "l_partkey", F.col("v").alias("v1"), F.col("q").alias("q1")
+    )
+    m2 = per.where(F.col("m") == "1995-04").select(
+        "l_partkey", F.col("v").alias("v2"), F.col("q").alias("q2")
+    )
+    both = m1.join(m2, "l_partkey").select(
+        "*",
+        F.expr("v1 * 1000000 div q1").alias("p1"),
+        F.expr("v2 * 1000000 div q2").alias("p2"),
+    )
+    D38 = "decimal(38,0)"
+    eff = both.agg(
+        F.count(F.lit(1)).alias("n_common_parts"),
+        F.sum("v1").alias("rev1_common"),
+        F.sum("v2").alias("rev2_common"),
+        F.sum(
+            ((F.col("q2") - F.col("q1")).cast(D38) * F.col("p1").cast(D38))
+        ).alias("vol_x"),
+        F.sum(
+            ((F.col("p2") - F.col("p1")).cast(D38) * F.col("q2").cast(D38))
+        ).alias("prc_x"),
+    )
+    tot = per.groupBy("m").agg(F.sum("v").alias("rev"))
+    t1 = tot.where(F.col("m") == "1995-03").select(
+        F.col("rev").alias("rev1")
+    )
+    t2 = tot.where(F.col("m") == "1995-04").select(
+        F.col("rev").alias("rev2")
+    )
+    return (
+        eff.crossJoin(F.broadcast(t1)).crossJoin(F.broadcast(t2))
+        .select(
+            "n_common_parts", "rev1", "rev2",
+            F.expr("CAST(vol_x div 1000000 AS BIGINT)")
+            .alias("volume_effect_cents"),
+            F.expr("CAST(prc_x div 1000000 AS BIGINT)")
+            .alias("price_effect_cents"),
+            (
+                (F.col("rev2") - F.col("rev1"))
+                - F.expr("CAST(vol_x div 1000000 AS BIGINT)")
+                - F.expr("CAST(prc_x div 1000000 AS BIGINT)")
+            ).alias("mix_residual_cents"),
+        )
+    )

@@ -530,6 +530,13 @@ SHUFFLE_BUDGET = {
     "q219_knee_point": 8,
     # q220: selector chain branches per consumer + bucket assignment agg
     "q220_range_bounds": 8,
+    # q221: source histogram under rate/total/quadratic-sum consumers
+    "q221_ess_weights": 4,
+    # q222: (user, day) dedup once + co-grouped day+1 self-join + sizes
+    "q222_audience_overlap": 4,
+    # q223: persisted part-month sums print under common-part join /
+    # monthly totals consumers
+    "q223_price_volume_decomposition": 4,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -601,7 +608,10 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 # q217-q220: 1-row corpus-size / bound-pivot / argmax /
                 # bounds-array broadcasts
                 "q217_tfidf_keywords", "q218_outlier_ensemble",
-                "q219_knee_point", "q220_range_bounds"}
+                "q219_knee_point", "q220_range_bounds",
+                # q221/q223: 1-row corpus-total / monthly-total broadcasts
+                "q221_ess_weights",
+                "q223_price_volume_decomposition"}
 
 
 def test_no_headline_query_has_unpartitioned_ranked_window(spark):
