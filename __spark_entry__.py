@@ -300,6 +300,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q221_ess_weights": Q.q221_ess_weights,
         "q222_audience_overlap": Q.q222_audience_overlap,
         "q223_price_volume_decomposition": Q.q223_price_volume_decomposition,
+        "q224_backlog_curve": Q.q224_backlog_curve,
+        "q225_new_vs_returning": Q.q225_new_vs_returning,
+        "q226_power_analysis": Q.q226_power_analysis,
     }
 
 
@@ -5288,5 +5291,89 @@ def oracle_sql() -> dict[str, str]:
                            ELSE CAST(-((-prc_x) // 1000000) AS BIGINT)
                       END) AS mix_residual_cents
             FROM eff, t
+        """,
+        "q224_backlog_curve": """
+            WITH orders0 AS MATERIALIZED (
+              SELECT o_orderkey,
+                     date_diff('day', DATE '1970-01-01',
+                               CAST(o_orderdate AS DATE)) AS bd
+              FROM orders),
+            done AS (
+              SELECT greatest(cd, bd) AS cd FROM (
+                SELECT l_orderkey,
+                       MAX(date_diff('day', DATE '1970-01-01',
+                                     CAST(l_shipdate AS DATE))) AS cd
+                FROM lineitem GROUP BY 1) d
+              JOIN orders0 ON l_orderkey = o_orderkey),
+            booked AS (SELECT bd, COUNT(*) AS nb FROM orders0
+                       GROUP BY 1),
+            comp AS (SELECT cd, COUNT(*) AS nc FROM done GROUP BY 1),
+            span AS (
+              SELECT (SELECT MIN(bd) FROM booked) AS d0,
+                     greatest((SELECT MAX(bd) FROM booked),
+                              (SELECT MAX(cd) FROM comp)) AS d1),
+            grid AS (SELECT unnest(range(d0, d1 + 1)) AS day FROM span),
+            daily AS (
+              SELECT day, COALESCE(nb, 0) AS nb, COALESCE(nc, 0) AS nc
+              FROM grid
+              LEFT JOIN booked ON bd = day
+              LEFT JOIN comp ON cd = day),
+            curve AS MATERIALIZED (
+              SELECT day,
+                     CAST(SUM(nb) OVER w - SUM(nc) OVER w AS BIGINT)
+                       AS backlog
+              FROM daily
+              WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND CURRENT ROW)),
+            mx AS (SELECT MAX(backlog) AS peak FROM curve)
+            SELECT MIN(day) AS peak_day,
+                   CAST(MAX(peak) AS BIGINT) AS peak_backlog,
+                   COUNT(*) AS n_peak_days
+            FROM curve, mx WHERE backlog = peak
+        """,
+        "q225_new_vs_returning": """
+            WITH ud AS MATERIALIZED (
+              SELECT DISTINCT user_id,
+                              epoch_us(ts) // 86400000000 AS day
+              FROM events),
+            first AS (SELECT user_id, MIN(day) AS fd FROM ud
+                      GROUP BY 1),
+            tagged AS (
+              SELECT day,
+                     CASE WHEN day = fd THEN 1 ELSE 0 END AS is_new
+              FROM ud JOIN first USING (user_id))
+            SELECT day, COUNT(*) AS dau,
+                   CAST(SUM(is_new) AS BIGINT) AS n_new,
+                   CAST(COUNT(*) - SUM(is_new) AS BIGINT)
+                     AS n_returning,
+                   CAST(SUM(is_new) * 1000000 // COUNT(*) AS BIGINT)
+                     AS new_share_ppm
+            FROM tagged GROUP BY 1
+        """,
+        "q226_power_analysis": """
+            WITH base AS (
+              SELECT COUNT(*) AS n_events,
+                     CAST(SUM(CASE WHEN event_type = 'purchase'
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_purchase
+              FROM events),
+            p AS (
+              SELECT n_events, n_purchase,
+                     CAST(n_purchase AS DOUBLE)
+                       / CAST(n_events AS DOUBLE) AS p0
+              FROM base),
+            q AS (SELECT *, p0 * 1.05 AS p1 FROM p),
+            f AS (
+              SELECT *,
+                     1.959964 * sqrt(2.0 * p0 * (1.0 - p0))
+                     + 0.841621 * sqrt(p0 * (1.0 - p0)
+                                       + p1 * (1.0 - p1)) AS num
+              FROM q)
+            SELECT n_events, n_purchase,
+                   CAST(floor(p0 * 1000000) AS BIGINT) AS p0_ppm,
+                   CAST(ceil((num * num)
+                             / ((p1 - p0) * (p1 - p0))) AS BIGINT)
+                     AS n_per_arm
+            FROM f
         """,
     }

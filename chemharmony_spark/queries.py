@@ -7383,3 +7383,113 @@ def q223_price_volume_decomposition(spark, sf):
             ).alias("mix_residual_cents"),
         )
     )
+
+
+def q224_backlog_curve(spark, sf):
+    """Order backlog curve: cumulative orders booked minus cumulative
+    orders fully shipped per day, peak backlog and its first day — the
+    operations WIP read-out built from two event streams of the same
+    entity (the two-curve generalization of q192's single-curve
+    drawdown). Booked days come straight off orders; completion days
+    are a per-order MAX over lineitem (ONE fact shuffle); both daily
+    series align on a zero-filled grid and the running difference is
+    one window over the model-space day table."""
+    orders = _t(spark, sf, "orders").select(
+        "o_orderkey",
+        F.expr(
+            "datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')"
+        ).alias("bd"),
+    ).persist()
+    done = (
+        _t(spark, sf, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.max(
+                F.expr("datediff(CAST(l_shipdate AS DATE), DATE'1970-01-01')")
+            ).alias("cd")
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.greatest("cd", "bd").alias("cd"))
+    )
+    booked = orders.groupBy("bd").agg(F.count(F.lit(1)).alias("nb"))
+    comp = done.groupBy("cd").agg(F.count(F.lit(1)).alias("nc"))
+    span = booked.crossJoin(F.broadcast(comp.agg(F.max("cd").alias("d1")))).agg(
+        F.min("bd").alias("d0"), F.max("d1").alias("d1")
+    )
+    grid = span.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    daily = (
+        grid.join(booked, grid.day == booked.bd, "left")
+        .join(comp, grid.day == comp.cd, "left")
+        .select("day", F.coalesce("nb", F.lit(0)).alias("nb"),
+                F.coalesce("nc", F.lit(0)).alias("nc"))
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    curve = daily.select(
+        "day",
+        (F.sum("nb").over(w) - F.sum("nc").over(w)).alias("backlog"),
+    ).persist()
+    mx = curve.agg(F.max("backlog").alias("peak"))
+    return (
+        curve.crossJoin(F.broadcast(mx))
+        .where(F.col("backlog") == F.col("peak"))
+        .agg(
+            F.min("day").alias("peak_day"),
+            F.max("peak").alias("peak_backlog"),
+            F.count(F.lit(1)).alias("n_peak_days"),
+        )
+    )
+
+
+def q225_new_vs_returning(spark, sf):
+    """New-vs-returning split of each day's active users: a user's
+    first-seen day marks acquisition; every later active day is a
+    return — the growth-accounting lens on q176's DAU and q222's
+    overlap. First-seen is a per-user MIN (one agg) broadcast back
+    onto the deduped (user, day) activity; shares are integer ppm."""
+    ud = _events(spark, sf).select(
+        "user_id", F.expr("(ts div 1000) div 86400000000").alias("day")
+    ).distinct().persist()
+    first = ud.groupBy("user_id").agg(F.min("day").alias("fd"))
+    tagged = ud.join(F.broadcast(first), "user_id").select(
+        "day", (F.col("day") == F.col("fd")).cast("long").alias("is_new")
+    )
+    return tagged.groupBy("day").agg(
+        F.count(F.lit(1)).alias("dau"),
+        F.sum("is_new").alias("n_new"),
+        (F.count(F.lit(1)) - F.sum("is_new")).alias("n_returning"),
+        F.expr(
+            "SUM(is_new) * 1000000 div COUNT(1)"
+        ).alias("new_share_ppm"),
+    )
+
+
+def q226_power_analysis(spark, sf):
+    """Experiment power analysis from the measured baseline: with the
+    corpus's observed purchase-conversion share as p0, the per-arm
+    sample size needed to detect a +5% relative lift at alpha=.05 /
+    power=.80 (normal approximation, z constants as literals) — the
+    planning number q152's z-test consumes. The baseline is ONE 1-row
+    aggregate; the formula is a fixed IEEE chain both engines evaluate
+    identically from the same exact integers."""
+    ev = _events(spark, sf)
+    base = ev.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            (F.col("event_type") == "purchase").cast("long")
+        ).alias("n_purchase"),
+    )
+    p0 = F.col("n_purchase").cast("double") / F.col("n_events").cast("double")
+    p1 = p0 * 1.05
+    za, zb = 1.959964, 0.841621
+    num = (
+        za * F.sqrt(2.0 * p0 * (1.0 - p0))
+        + zb * F.sqrt(p0 * (1.0 - p0) + p1 * (1.0 - p1))
+    )
+    n_req = (num * num) / ((p1 - p0) * (p1 - p0))
+    return base.select(
+        "n_events", "n_purchase",
+        F.floor(p0 * 1_000_000).cast("long").alias("p0_ppm"),
+        F.ceil(n_req).cast("long").alias("n_per_arm"),
+    )

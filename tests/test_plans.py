@@ -537,6 +537,13 @@ SHUFFLE_BUDGET = {
     # q223: persisted part-month sums print under common-part join /
     # monthly totals consumers
     "q223_price_volume_decomposition": 4,
+    # q224: persisted order/curve tables print under completion join /
+    # booked-comp day aggs / span / peak consumers
+    "q224_backlog_curve": 9,
+    # q225: (user, day) dedup + first-seen agg + day rollup
+    "q225_new_vs_returning": 3,
+    # q226: ONE 1-row baseline aggregate
+    "q226_power_analysis": 1,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -611,7 +618,9 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 "q219_knee_point", "q220_range_bounds",
                 # q221/q223: 1-row corpus-total / monthly-total broadcasts
                 "q221_ess_weights",
-                "q223_price_volume_decomposition"}
+                "q223_price_volume_decomposition",
+                # q224: 1-row span / peak scalar broadcasts
+                "q224_backlog_curve"}
 
 
 def test_no_headline_query_has_unpartitioned_ranked_window(spark):
