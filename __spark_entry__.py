@@ -303,6 +303,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q224_backlog_curve": Q.q224_backlog_curve,
         "q225_new_vs_returning": Q.q225_new_vs_returning,
         "q226_power_analysis": Q.q226_power_analysis,
+        "q227_shingle_originality": Q.q227_shingle_originality,
+        "q228_milestone_timing": Q.q228_milestone_timing,
     }
 
 
@@ -5375,5 +5377,55 @@ def oracle_sql() -> dict[str, str]:
                              / ((p1 - p0) * (p1 - p0))) AS BIGINT)
                      AS n_per_arm
             FROM f
+        """,
+        "q227_shingle_originality": f"""
+            WITH t AS (SELECT source, {_TOKS} AS toks FROM documents),
+            sh AS (
+              SELECT source, unnest(
+                CASE WHEN len(toks) >= 5 THEN
+                  [md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                       || ' ' || toks[i+3] || ' ' || toks[i+4])
+                   for i in generate_series(1, len(toks) - 4)]
+                ELSE [] END) AS sh
+              FROM t),
+            ss AS MATERIALIZED (
+              SELECT DISTINCT source, sh FROM sh),
+            owners AS (
+              SELECT sh, COUNT(*) AS n_sources FROM ss GROUP BY 1)
+            SELECT source, COUNT(*) AS n_shingles,
+                   CAST(SUM(CASE WHEN n_sources = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_exclusive,
+                   CAST(SUM(CASE WHEN n_sources = 1 THEN 1 ELSE 0 END)
+                        * 1000000 // COUNT(*) AS BIGINT)
+                     AS originality_ppm
+            FROM ss JOIN owners USING (sh)
+            GROUP BY source
+        """,
+        "q228_milestone_timing": """
+            WITH daily AS (
+              SELECT date_diff('day', DATE '1970-01-01',
+                               CAST(o_orderdate AS DATE)) AS day,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                          AS BIGINT) AS cents
+              FROM orders GROUP BY 1),
+            curve AS MATERIALIZED (
+              SELECT day,
+                     CAST(SUM(cents) OVER (ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum
+              FROM daily),
+            tot AS (SELECT MAX(cum) AS total FROM curve),
+            k AS (
+              SELECT day, cum, total,
+                     unnest([1, 2, 3]) AS kq
+              FROM curve, tot),
+            crossed AS (
+              SELECT * FROM k
+              WHERE CAST(cum AS HUGEINT) * 4
+                    >= CAST(total AS HUGEINT) * kq)
+            SELECT CAST(kq * 25 AS INT) AS milestone_pct,
+                   MIN(day) AS first_day,
+                   CAST(MIN(total) AS BIGINT) AS total_cents
+            FROM crossed GROUP BY kq
         """,
     }

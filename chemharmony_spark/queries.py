@@ -7493,3 +7493,90 @@ def q226_power_analysis(spark, sf):
         F.floor(p0 * 1_000_000).cast("long").alias("p0_ppm"),
         F.ceil(n_req).cast("long").alias("n_per_arm"),
     )
+
+
+def q227_shingle_originality(spark, sf):
+    """Content originality per source: what fraction of a source's
+    distinct 5-token shingles appears in NO other source — the n-gram-
+    level exclusivity score that separates original content from
+    syndicated/boilerplate feeds (q166's vocabulary overlap says
+    sources share WORDS; this says whether they share PASSAGES).
+    Shingles become md5 fingerprints JVM-side in the row (portable to
+    any engine — at 100 TB switch to xxhash64 longs, same plan); ONE
+    (shingle, source) distinct + a shingle-level rollup counting
+    single-source shingles."""
+    docs = _t(spark, sf, "documents")
+    toks = TX.tokens("text")
+    sh = F.when(
+        F.size(toks) >= 5,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 4),
+            lambda i: F.md5(
+                F.concat_ws(
+                    " ",
+                    F.element_at(toks, i), F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2), F.element_at(toks, i + 3),
+                    F.element_at(toks, i + 4),
+                )
+            ),
+        ),
+    ).otherwise(F.array())
+    ss = (
+        docs.select("source", F.explode(sh).alias("sh"))
+        .distinct()
+        .persist()
+    )
+    owners = ss.groupBy("sh").agg(F.count(F.lit(1)).alias("n_sources"))
+    return (
+        ss.join(owners, "sh")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("n_sources") == 1).cast("long"))
+            .alias("n_exclusive"),
+        )
+        .select(
+            "source", "n_shingles", "n_exclusive",
+            F.expr("n_exclusive * 1000000 div n_shingles")
+            .alias("originality_ppm"),
+        )
+    )
+
+
+def q228_milestone_timing(spark, sf):
+    """Milestone timing on the cumulative revenue curve: the first day
+    cumulative revenue crosses 25/50/75% of the final total — the
+    time-axis inverse of q174's concentration question, and the
+    pacing read-out forecasting (q156) is judged against. One day agg,
+    one model-space cumsum, and a per-milestone MIN over the crossing
+    suffix (exact integer threshold compare: cum*4 >= total*k)."""
+    orders = _t(spark, sf, "orders")
+    daily = orders.groupBy(
+        F.expr("datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')")
+        .alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast(DEC) * 100)
+        .cast("long").alias("cents")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    curve = daily.select(
+        "day", F.sum("cents").over(w).alias("cum")
+    ).persist()
+    tot = curve.agg(F.max("cum").alias("total"))
+    k = curve.crossJoin(F.broadcast(tot)).select(
+        "day", "cum", "total",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("kq"),
+    )
+    D38 = "decimal(38,0)"
+    crossed = k.where(
+        F.col("cum").cast(D38) * 4 >= F.col("total").cast(D38) * F.col("kq")
+    )
+    return crossed.groupBy("kq").agg(
+        F.min("day").alias("first_day"),
+        F.min("total").alias("total_cents"),
+    ).select(
+        (F.col("kq") * 25).alias("milestone_pct"),
+        "first_day", "total_cents",
+    )

@@ -544,6 +544,11 @@ SHUFFLE_BUDGET = {
     "q225_new_vs_returning": 3,
     # q226: ONE 1-row baseline aggregate
     "q226_power_analysis": 1,
+    # q227: (shingle, source) distinct + owner rollup + source rollup
+    "q227_shingle_originality": 3,
+    # q228: day agg + model-space cumsum; curve prints under total /
+    # milestone consumers
+    "q228_milestone_timing": 4,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -620,7 +625,9 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 "q221_ess_weights",
                 "q223_price_volume_decomposition",
                 # q224: 1-row span / peak scalar broadcasts
-                "q224_backlog_curve"}
+                "q224_backlog_curve",
+                # q228: 1-row total broadcast
+                "q228_milestone_timing"}
 
 
 def test_no_headline_query_has_unpartitioned_ranked_window(spark):
