@@ -305,6 +305,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q226_power_analysis": Q.q226_power_analysis,
         "q227_shingle_originality": Q.q227_shingle_originality,
         "q228_milestone_timing": Q.q228_milestone_timing,
+        "q229_learning_curve": Q.q229_learning_curve,
+        "q230_silhouette": Q.q230_silhouette,
+        "q231_dedup_impact": Q.q231_dedup_impact,
     }
 
 
@@ -538,6 +541,73 @@ def _lpa_sql(iters: int = 3) -> str:
         "WITH " + _lpa_ctes(iters)
         + f"\nSELECT node, lbl FROM l{iters} ORDER BY node"
     )
+
+
+def _knn_curve_sql() -> str:
+    """Per-fraction 5-NN accuracy mirroring q229_learning_curve: the q38
+    cosine fold + vote/pick windows, repeated for the 25/50/100% modulo
+    train subsets and UNION ALL'd."""
+    parts = [
+        """e AS MATERIALIZED (
+           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+                  label
+           FROM embeddings)""",
+        """q AS (SELECT vec_id AS qid, v AS qv, label AS true_label
+                 FROM e WHERE vec_id < 50)""",
+    ]
+    finals = []
+    for pct, cond in ((25, "vec_id % 4 = 1"),
+                      (50, "vec_id % 4 IN (1, 2)"),
+                      (100, "TRUE")):
+        t = f"t{pct}"
+        parts.append(
+            f"""{t} AS MATERIALIZED (
+               SELECT vec_id, v, label FROM e
+               WHERE vec_id >= 50 AND ({cond}))"""
+        )
+        parts.append(
+            f"""s{pct} AS (
+               SELECT qid, true_label, {t}.vec_id AS nid,
+                      {t}.label AS nlabel,
+                      list_reduce(list_transform(list_zip(qv, v),
+                                                 x -> x[1] * x[2]),
+                                  (a, b) -> a + b)
+                      / (sqrt(list_reduce(list_transform(qv, x -> x * x),
+                                          (a, b) -> a + b))
+                         * sqrt(list_reduce(list_transform(v, x -> x * x),
+                                            (a, b) -> a + b))) AS sim
+               FROM q, {t})"""
+        )
+        parts.append(
+            f"""k{pct} AS (
+               SELECT qid, true_label, nlabel FROM s{pct}
+               QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY sim DESC, nid) <= 5)"""
+        )
+        parts.append(
+            f"""v{pct} AS (
+               SELECT qid, true_label, nlabel, COUNT(*) AS votes
+               FROM k{pct} GROUP BY 1, 2, 3)"""
+        )
+        parts.append(
+            f"""p{pct} AS (
+               SELECT qid, true_label, nlabel AS pred_label FROM v{pct}
+               QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY votes DESC, nlabel) = 1)"""
+        )
+        finals.append(
+            f"""SELECT {pct} AS frac_pct,
+                   (SELECT COUNT(*) FROM {t}) AS n_train,
+                   COUNT(*) AS n_queries,
+                   CAST(SUM(CASE WHEN pred_label = true_label
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_correct,
+                   CAST(SUM(CASE WHEN pred_label = true_label
+                                 THEN 1 ELSE 0 END) * 1000000
+                        // COUNT(*) AS BIGINT) AS acc_ppm
+            FROM p{pct}"""
+        )
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(finals)
 
 
 def _stationary_sql(iters: int = 8) -> str:
@@ -5427,5 +5497,107 @@ def oracle_sql() -> dict[str, str]:
                    MIN(day) AS first_day,
                    CAST(MIN(total) AS BIGINT) AS total_cents
             FROM crossed GROUP BY kq
+        """,
+        "q229_learning_curve": _knn_curve_sql(),
+        "q230_silhouette": """
+            WITH seeds AS (
+              SELECT embedding, md5(CAST(vec_id AS VARCHAR)) AS h
+              FROM embeddings ORDER BY h LIMIT 16),
+            cent AS MATERIALIZED (
+              SELECT ROW_NUMBER() OVER (ORDER BY h) AS cid,
+                     embedding AS cv
+              FROM seeds),
+            scored AS (
+              SELECT vec_id, cid,
+                     list_reduce(list_transform(
+                       list_zip(
+                         list_transform(embedding,
+                                        x -> CAST(x AS DOUBLE)),
+                         list_transform(cv, x -> CAST(x AS DOUBLE))),
+                       p -> (p[1] - p[2]) * (p[1] - p[2])),
+                       (a, b) -> a + b) AS d2
+              FROM embeddings, cent),
+            ranked AS MATERIALIZED (
+              SELECT vec_id, cid, d2,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY d2, cid) AS rn
+              FROM scored),
+            a AS (SELECT vec_id, cid AS cluster, sqrt(d2) AS da
+                  FROM ranked WHERE rn = 1),
+            b AS (SELECT vec_id, sqrt(d2) AS db
+                  FROM ranked WHERE rn = 2),
+            s AS (
+              SELECT cluster,
+                     CAST(floor((db - da) / greatest(da, db)
+                                * 1000000) AS BIGINT) AS s_micro
+              FROM a JOIN b USING (vec_id))
+            SELECT cluster, COUNT(*) AS n_members,
+                   CASE WHEN SUM(s_micro) >= 0
+                        THEN CAST(SUM(s_micro) // COUNT(*) AS BIGINT)
+                        ELSE CAST(-((-SUM(s_micro)) // COUNT(*))
+                                  AS BIGINT)
+                   END AS mean_sil_micro
+            FROM s GROUP BY 1
+        """,
+        "q231_dedup_impact": f"""
+            WITH RECURSIVE sig AS ({_SIG_SQL}),
+            cands AS (
+              SELECT DISTINCT l.id AS a, r.id AS b
+              FROM sig l JOIN sig r
+                ON l.band = r.band AND l.minhash = r.minhash
+               AND l.id < r.id),
+            words AS (
+              SELECT DISTINCT doc_id AS id, unnest(toks) AS word
+              FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)),
+            sizes AS (SELECT id, COUNT(*) AS nw FROM words GROUP BY id),
+            hits AS MATERIALIZED (
+              SELECT a, b FROM (
+                SELECT c.a, c.b, COUNT(*) AS n_inter
+                FROM cands c
+                JOIN words wa ON wa.id = c.a
+                JOIN words wb ON wb.id = c.b AND wb.word = wa.word
+                GROUP BY 1, 2) i
+              JOIN sizes sa ON sa.id = i.a
+              JOIN sizes sb ON sb.id = i.b
+              WHERE n_inter / (sa.nw + sb.nw - n_inter) >= 0.8),
+            sym AS MATERIALIZED (
+              SELECT a, b FROM hits
+              UNION SELECT b AS a, a AS b FROM hits),
+            nodes AS (SELECT DISTINCT a AS node FROM sym),
+            reach AS (
+              SELECT node, node AS peer FROM nodes
+              UNION
+              SELECT r.node, s.b AS peer
+              FROM reach r JOIN sym s ON r.peer = s.a),
+            comp AS (
+              SELECT node, MIN(peer) AS component FROM reach
+              GROUP BY node),
+            members AS (
+              SELECT component, d.doc_id, d.n_chars
+              FROM comp JOIN documents d ON d.doc_id = comp.node),
+            clusters AS (
+              SELECT component, COUNT(*) AS sz,
+                     CAST(SUM(n_chars) AS BIGINT) AS chars,
+                     MAX(n_chars) AS keep_chars
+              FROM members GROUP BY 1),
+            near AS (
+              SELECT COUNT(*) AS n_clusters,
+                     CAST(SUM(sz) AS BIGINT) AS n_clustered_docs,
+                     CAST(SUM(chars - keep_chars) AS BIGINT)
+                       AS chars_saved
+              FROM clusters),
+            nd AS (SELECT COUNT(*) AS n_docs,
+                          CAST(SUM(n_chars) AS BIGINT) AS total_chars
+                   FROM documents),
+            ex AS (SELECT COUNT(DISTINCT md5({_NORM})) AS n_exact_unique
+                   FROM documents)
+            SELECT n_docs, n_exact_unique, n_clusters,
+                   n_clustered_docs,
+                   CAST(n_docs - n_clustered_docs + n_clusters AS BIGINT)
+                     AS n_after_near_dedup,
+                   total_chars, chars_saved,
+                   CAST(chars_saved * 1000000 // total_chars AS BIGINT)
+                     AS saved_ppm
+            FROM nd, ex, near
         """,
     }

@@ -7580,3 +7580,179 @@ def q228_milestone_timing(spark, sf):
         (F.col("kq") * 25).alias("milestone_pct"),
         "first_day", "total_cents",
     )
+
+
+def q229_learning_curve(spark, sf):
+    """Label-spreading learning curve: q154's exact-cosine 5-NN
+    classifier evaluated at 25% / 50% / 100% of the labeled corpus
+    (modulo subsets — reproducible anywhere) — the accuracy-vs-data
+    read-out that says whether more labeling budget is worth it. Each
+    fraction reuses the q38 broadcast-queries plan (corpus side never
+    shuffles); the three runs are a driver loop over the same shape,
+    and accuracy rolls up in integer ppm."""
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 50)
+    truth = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    out = None
+    for pct, cond in (
+        (25, "vec_id % 4 = 1"),
+        (50, "vec_id % 4 IN (1, 2)"),
+        (100, "TRUE"),
+    ):
+        train = emb.where(F.col("vec_id") >= 50).where(F.expr(cond))
+        nn = SIM.cosine_topk(train, queries, k=5)
+        labeled = nn.join(
+            train.select(F.col("vec_id").alias("neighbor_id"),
+                         F.col("label").alias("nlabel")),
+            on="neighbor_id",
+        )
+        votes = labeled.groupBy("query_id", "nlabel").agg(
+            F.count(F.lit(1)).alias("votes")
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("votes").desc(), "nlabel"
+        )
+        pred = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("query_id", F.col("nlabel").alias("pred_label"))
+        )
+        acc = (
+            pred.join(F.broadcast(truth), on="query_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_queries"),
+                F.sum(
+                    (F.col("pred_label") == F.col("true_label"))
+                    .cast("long")
+                ).alias("n_correct"),
+            )
+            .crossJoin(
+                F.broadcast(train.agg(F.count(F.lit(1)).alias("n_train")))
+            )
+            .select(
+                F.lit(pct).alias("frac_pct"), "n_train",
+                "n_queries", "n_correct",
+                F.expr("n_correct * 1000000 div n_queries")
+                .alias("acc_ppm"),
+            )
+        )
+        out = acc if out is None else out.unionByName(acc)
+    return out
+
+
+def q230_silhouette(spark, sf):
+    """Simplified silhouette score per k-means cluster: a = distance to
+    the OWN centroid, b = the nearest OTHER centroid, s = (b - a) /
+    max(a, b) — the cluster-quality read-out on q197's Lloyd
+    assignment, computed from the SAME 16-distance table (no extra
+    corpus pass). Per-vector s is floor-micro'd BEFORE the per-cluster
+    mean, so the aggregation is integer-exact and order-free."""
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    seeds = (
+        emb.select(
+            "embedding", F.md5(F.col("vec_id").cast("string")).alias("h")
+        )
+        .orderBy("h")
+        .limit(16)
+    )
+    cent = seeds.select(
+        F.row_number().over(Window.orderBy("h")).alias("cid"),
+        F.col("embedding").alias("cv"),
+    )
+
+    def sqdist(a, b):
+        diffs = F.zip_with(
+            F.transform(a, lambda x: x.cast("double")),
+            F.transform(b, lambda x: x.cast("double")),
+            lambda x, y: (x - y) * (x - y),
+        )
+        return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cid",
+        sqdist(F.col("embedding"), F.col("cv")).alias("d2"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    ranked = scored.select(
+        "vec_id", "cid", "d2", F.row_number().over(w).alias("rn")
+    ).where(F.col("rn") <= 2)
+    a = ranked.where(F.col("rn") == 1).select(
+        "vec_id", F.col("cid").alias("cluster"),
+        F.sqrt("d2").alias("da"),
+    )
+    b = ranked.where(F.col("rn") == 2).select(
+        "vec_id", F.sqrt("d2").alias("db")
+    )
+    s = a.join(b, "vec_id").select(
+        "cluster",
+        F.floor(
+            (F.col("db") - F.col("da"))
+            / F.greatest("da", "db") * 1_000_000
+        ).cast("long").alias("s_micro"),
+    )
+    return s.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.expr(
+            "CASE WHEN SUM(s_micro) >= 0"
+            " THEN SUM(s_micro) div COUNT(1)"
+            " ELSE -((-SUM(s_micro)) div COUNT(1)) END"
+        ).alias("mean_sil_micro"),
+    )
+
+
+def q231_dedup_impact(spark, sf):
+    """Dedup impact report: ONE row quantifying what the exact +
+    near-dup pipeline would delete — raw docs, exact-unique fingerprints
+    (q30's md5), near-dup survivors (q36's verified clusters keep one
+    rep each), and the character volume saved — the
+    before-you-run-it sizing every 100 TB dedup job starts with. Counts
+    reuse the bounded LSH candidate machinery; the char savings reuses
+    q210's longest-representative rule."""
+    from chemharmony_spark.operators.graph import connected_components
+
+    docs = _t(spark, sf, "documents")
+    n_docs = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    exact = docs.select(TX.fingerprint("text").alias("fp")).agg(
+        F.count_distinct("fp").alias("n_exact_unique")
+    )
+    sig = DD.minhash_signatures(docs, "doc_id", "text").persist()
+    hits = (
+        DD.jaccard_pairs(docs, DD.lsh_candidate_pairs(sig),
+                         "doc_id", "text")
+        .where(F.col("jaccard") >= 0.8)
+        .select("a", "b")
+        .persist()
+    )
+    comp = connected_components(hits, "a", "b")
+    members = docs.join(
+        comp.withColumnsRenamed({"node": "doc_id"}), "doc_id"
+    ).select("component", "doc_id", "n_chars")
+    clusters = members.groupBy("component").agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.sum("n_chars").alias("chars"),
+        F.max("n_chars").alias("keep_chars"),
+    )
+    near = clusters.agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("sz").alias("n_clustered_docs"),
+        F.sum(F.col("chars") - F.col("keep_chars")).alias("chars_saved"),
+    )
+    return (
+        n_docs.crossJoin(F.broadcast(exact)).crossJoin(F.broadcast(near))
+        .select(
+            "n_docs", "n_exact_unique", "n_clusters",
+            "n_clustered_docs",
+            (
+                F.col("n_docs") - F.col("n_clustered_docs")
+                + F.col("n_clusters")
+            ).alias("n_after_near_dedup"),
+            "total_chars", "chars_saved",
+            F.expr("chars_saved * 1000000 div total_chars")
+            .alias("saved_ppm"),
+        )
+    )

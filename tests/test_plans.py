@@ -549,6 +549,12 @@ SHUFFLE_BUDGET = {
     # q228: day agg + model-space cumsum; curve prints under total /
     # milestone consumers
     "q228_milestone_timing": 4,
+    # q229: three q38-shaped runs (vote/pick windows per fraction)
+    "q229_learning_curve": 9,
+    # q230: 16-row codebook + per-vec rank window + cluster rollup
+    "q230_silhouette": 3,
+    # q231: fingerprint distinct + near-dup machinery + report rollups
+    "q231_dedup_impact": 5,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -627,7 +633,12 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 # q224: 1-row span / peak scalar broadcasts
                 "q224_backlog_curve",
                 # q228: 1-row total broadcast
-                "q228_milestone_timing"}
+                "q228_milestone_timing",
+                # q229/q230: q38-style broadcast-queries exact scoring +
+                # 16-row codebook cross joins
+                "q229_learning_curve", "q230_silhouette",
+                # q231: 1-row report-count broadcasts
+                "q231_dedup_impact"}
 
 
 def test_no_headline_query_has_unpartitioned_ranked_window(spark):

@@ -61,6 +61,13 @@ QUERIES = [
     "q145_percentile_cont",    # shared bucketed selector, interpolated
     "q146_label_propagation",  # 3 broadcast-label rounds, checkpointed
     "q150_interval_merge",     # running-max-end islands, one exchange
+    "q190_throttle_dedup",     # per-key sorted-array fold
+    "q195_sequential_patterns",  # co-partitioned (user, day) pair join
+    "q199_sorted_neighborhood",  # global-sort rank + 3n candidate join
+    "q202_skipgram_pmi",       # persisted pair stream + margin joins
+    "q209_modularity",         # LPA rounds + labeled-edge rollups
+    "q212_revenue_recognition",  # capped explode, closed-form allocation
+    "q224_backlog_curve",      # two-stream zero-filled grid + cumsum
 ]
 
 
