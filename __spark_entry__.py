@@ -308,6 +308,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q229_learning_curve": Q.q229_learning_curve,
         "q230_silhouette": Q.q230_silhouette,
         "q231_dedup_impact": Q.q231_dedup_impact,
+        "q232_ndcg": Q.q232_ndcg,
+        "q233_spearman": Q.q233_spearman,
     }
 
 
@@ -5599,5 +5601,78 @@ def oracle_sql() -> dict[str, str]:
                    CAST(chars_saved * 1000000 // total_chars AS BIGINT)
                      AS saved_ppm
             FROM nd, ex, near
+        """,
+        "q232_ndcg": """
+            WITH e AS MATERIALIZED (
+              SELECT vec_id,
+                     list_transform(embedding, x -> x::DOUBLE) AS v,
+                     label
+              FROM embeddings),
+            q AS (SELECT vec_id AS qid, v AS qv, label AS qlabel
+                  FROM e WHERE vec_id < 50),
+            t AS (SELECT vec_id, v, label FROM e WHERE vec_id >= 50),
+            scored AS (
+              SELECT qid, qlabel, t.vec_id AS nid, t.label AS nlabel,
+                     list_reduce(list_transform(list_zip(qv, v),
+                                                x -> x[1] * x[2]),
+                                 (a, b) -> a + b)
+                     / (sqrt(list_reduce(list_transform(qv, x -> x * x),
+                                         (a, b) -> a + b))
+                        * sqrt(list_reduce(list_transform(v, x -> x * x),
+                                           (a, b) -> a + b))) AS sim
+              FROM q, t),
+            topk AS (
+              SELECT qid, qlabel, nlabel,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY sim DESC, nid) AS BIGINT) AS rank
+              FROM scored
+              QUALIFY rank <= 5),
+            rel AS (
+              SELECT qid AS query_id, rank,
+                     CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END AS rel
+              FROM topk),
+            per AS (
+              SELECT query_id,
+                     CAST(SUM(rel) AS BIGINT) AS n_rel,
+                     SUM(CAST(rel AS DOUBLE)
+                         / ln(CAST(rank AS DOUBLE) + 1.0)) AS dcg
+              FROM rel GROUP BY 1)
+            SELECT query_id, n_rel,
+                   CAST(floor(dcg / list_reduce(
+                     list_transform(range(1, CAST(n_rel AS INT) + 1),
+                       i -> 1.0 / ln(CAST(i AS DOUBLE) + 1.0)),
+                     (a, b) -> a + b) * 1000000) AS BIGINT)
+                     AS ndcg_micro
+            FROM per WHERE n_rel > 0
+        """,
+        "q233_spearman": """
+            WITH cust AS (
+              SELECT c_custkey,
+                     CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS bal
+              FROM customer),
+            spend AS (
+              SELECT o_custkey,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                          AS BIGINT) AS sp
+              FROM orders GROUP BY 1),
+            x AS (SELECT c_custkey, bal, sp
+                  FROM cust JOIN spend ON c_custkey = o_custkey),
+            ranked AS (
+              SELECT CAST(ROW_NUMBER() OVER (ORDER BY bal, c_custkey)
+                          AS BIGINT) AS r1,
+                     CAST(ROW_NUMBER() OVER (ORDER BY sp, c_custkey)
+                          AS BIGINT) AS r2
+              FROM x),
+            s AS (
+              SELECT COUNT(*) AS n,
+                     SUM(CAST(r1 - r2 AS HUGEINT) * (r1 - r2)) AS sd2
+              FROM ranked)
+            SELECT n,
+                   CAST(floor((1.0 - CAST(6 * sd2 AS DOUBLE)
+                     / CAST(CAST(n AS HUGEINT)
+                            * (CAST(n AS HUGEINT) * n - 1) AS DOUBLE))
+                     * 1000000) AS BIGINT) AS rho_micro
+            FROM s
         """,
     }

@@ -7756,3 +7756,97 @@ def q231_dedup_impact(spark, sf):
             .alias("saved_ppm"),
         )
     )
+
+
+def q232_ndcg(spark, sf):
+    """Ranking-quality nDCG@5 for the label-match relevance of q154's
+    kNN retrieval: per query, DCG with 1/ln(rank+1) gains over the
+    binary neighbor-label relevance, normalized by the ideal ordering —
+    the retrieval-evaluation metric that position-blind accuracy
+    (q229) can't see. Gains use ln (engine-parity-safe, same ordering
+    as log2 up to a constant that normalization cancels); per-query
+    nDCG is a closed-form expression over the <= 5-row rank table, no
+    fold needed."""
+    emb = _t(spark, sf, "embeddings")
+    train = emb.where(F.col("vec_id") >= 50)
+    queries = emb.where(F.col("vec_id") < 50)
+    nn = SIM.cosine_topk(train, queries, k=5)
+    rel = (
+        nn.join(
+            train.select(F.col("vec_id").alias("neighbor_id"),
+                         F.col("label").alias("nlabel")),
+            on="neighbor_id",
+        )
+        .join(
+            F.broadcast(
+                queries.select(F.col("vec_id").alias("query_id"),
+                               F.col("label").alias("qlabel"))
+            ),
+            on="query_id",
+        )
+        .select(
+            "query_id", "rank",
+            (F.col("nlabel") == F.col("qlabel")).cast("long").alias("rel"),
+        )
+    )
+    per = rel.groupBy("query_id").agg(
+        F.sum("rel").alias("n_rel"),
+        F.sum(
+            F.col("rel").cast("double")
+            / F.log(F.col("rank").cast("double") + 1.0)
+        ).alias("dcg"),
+    )
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.col("n_rel").cast("int")),
+        F.lit(0.0),
+        lambda acc, i: acc + 1.0 / F.log(i.cast("double") + 1.0),
+    )
+    return per.where(F.col("n_rel") > 0).select(
+        "query_id", "n_rel",
+        F.floor(F.col("dcg") / idcg * 1_000_000)
+        .cast("long").alias("ndcg_micro"),
+    )
+
+
+def q233_spearman(spark, sf):
+    """Spearman rank correlation between customer account balance and
+    lifetime spend: rho = 1 - 6*sum(d^2)/(n(n^2-1)) over keyed-tiebreak
+    ranks — the monotone-association companion to q216's Pearson (rho
+    sees nonlinear-but-monotone structure Pearson dilutes). Both rank
+    windows ride the customer-dimension table (q26's salted two-phase
+    rank at 100x); d^2 sums stay decimal(38,0) and ONE divide closes
+    the formula."""
+    cust = _t(spark, sf, "customer").select(
+        "c_custkey",
+        (F.col("c_acctbal").cast(DEC) * 100).cast("long").alias("bal"),
+    )
+    orders = _t(spark, sf, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(DEC) * 100)
+        .cast("long").alias("sp")
+    )
+    x = cust.join(spend, cust.c_custkey == spend.o_custkey).select(
+        "c_custkey", "bal", "sp"
+    )
+    rx = Window.orderBy("bal", "c_custkey")
+    ry = Window.orderBy("sp", "c_custkey")
+    ranked = x.select(
+        F.row_number().over(rx).cast("long").alias("r1"),
+        F.row_number().over(ry).cast("long").alias("r2"),
+    )
+    D38 = "decimal(38,0)"
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.col("r1") - F.col("r2")).cast(D38)
+            * (F.col("r1") - F.col("r2")).cast(D38)
+        ).alias("sd2"),
+    )
+    nn = F.col("n").cast(D38)
+    rho = 1.0 - (6 * F.col("sd2")).cast("double") / (
+        nn * (nn * nn - 1)
+    ).cast("double")
+    return s.select(
+        "n",
+        F.floor(rho * 1_000_000).cast("long").alias("rho_micro"),
+    )

@@ -555,6 +555,10 @@ SHUFFLE_BUDGET = {
     "q230_silhouette": 3,
     # q231: fingerprint distinct + near-dup machinery + report rollups
     "q231_dedup_impact": 5,
+    # q232: q38 top-k + label joins; per-query nDCG is closed-form
+    "q232_ndcg": 1,
+    # q233: spend agg + model-space rank windows
+    "q233_spearman": 2,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -638,7 +642,9 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 # 16-row codebook cross joins
                 "q229_learning_curve", "q230_silhouette",
                 # q231: 1-row report-count broadcasts
-                "q231_dedup_impact"}
+                "q231_dedup_impact",
+                # q232: q38-style broadcast-queries exact scoring
+                "q232_ndcg"}
 
 
 def test_no_headline_query_has_unpartitioned_ranked_window(spark):
