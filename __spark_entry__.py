@@ -310,6 +310,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q231_dedup_impact": Q.q231_dedup_impact,
         "q232_ndcg": Q.q232_ndcg,
         "q233_spearman": Q.q233_spearman,
+        "q234_kendall_tau": Q.q234_kendall_tau,
+        "q235_cohens_kappa": Q.q235_cohens_kappa,
+        "q236_mutual_information": Q.q236_mutual_information,
     }
 
 
@@ -5674,5 +5677,91 @@ def oracle_sql() -> dict[str, str]:
                             * (CAST(n AS HUGEINT) * n - 1) AS DOUBLE))
                      * 1000000) AS BIGINT) AS rho_micro
             FROM s
+        """,
+        "q234_kendall_tau": """
+            WITH cust AS (
+              SELECT c_custkey,
+                     CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS bal
+              FROM customer),
+            spend AS (
+              SELECT o_custkey,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                          AS BIGINT) AS sp
+              FROM orders GROUP BY 1),
+            x AS MATERIALIZED (
+              SELECT c_custkey AS k, bal, sp
+              FROM cust JOIN spend ON c_custkey = o_custkey),
+            pairs AS (
+              SELECT CAST(sign(a.bal - b.bal) * sign(a.sp - b.sp)
+                          AS BIGINT) AS s
+              FROM x a JOIN x b ON b.k > a.k),
+            agg AS (
+              SELECT COUNT(*) AS n_pairs,
+                     CAST(SUM(CASE WHEN s > 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_concordant,
+                     CAST(SUM(CASE WHEN s < 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_discordant
+              FROM pairs)
+            SELECT n_pairs, n_concordant, n_discordant,
+                   CASE WHEN n_concordant >= n_discordant
+                        THEN CAST(CAST(n_concordant - n_discordant
+                                       AS HUGEINT) * 1000000 // n_pairs
+                                  AS BIGINT)
+                        ELSE CAST(-((CAST(n_discordant - n_concordant
+                                          AS HUGEINT) * 1000000)
+                                    // n_pairs) AS BIGINT)
+                   END AS tau_micro
+            FROM agg
+        """,
+        "q235_cohens_kappa": f"""
+            WITH {_LANGID_CTES},
+            cells AS MATERIALIZED (
+              SELECT d.lang, p.pred_lang, COUNT(*) AS n
+              FROM documents d JOIN lpred p ON d.doc_id = p.doc_id
+              GROUP BY 1, 2),
+            rows_ AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS r
+                      FROM cells GROUP BY 1),
+            cols_ AS (SELECT pred_lang, CAST(SUM(n) AS BIGINT) AS c
+                      FROM cells GROUP BY 1),
+            rc AS (
+              SELECT CAST(SUM(COALESCE(r, 0) * COALESCE(c, 0))
+                          AS HUGEINT) AS pe_num
+              FROM rows_ FULL JOIN cols_ ON lang = pred_lang),
+            tot AS (
+              SELECT CAST(SUM(n) AS BIGINT) AS nn,
+                     CAST(SUM(CASE WHEN lang = pred_lang THEN n
+                                   ELSE 0 END) AS BIGINT) AS diag
+              FROM cells)
+            SELECT nn AS n_docs, diag AS n_agree,
+                   CAST(floor(
+                     CAST(CAST(nn AS HUGEINT) * diag - pe_num AS DOUBLE)
+                     / CAST(CAST(nn AS HUGEINT) * nn - pe_num AS DOUBLE)
+                     * 1000000) AS BIGINT) AS kappa_micro
+            FROM tot, rc
+        """,
+        "q236_mutual_information": """
+            WITH cells AS MATERIALIZED (
+              SELECT o_orderstatus, o_orderpriority, COUNT(*) AS nab
+              FROM orders GROUP BY 1, 2),
+            ra AS (SELECT o_orderstatus, CAST(SUM(nab) AS BIGINT) AS na
+                   FROM cells GROUP BY 1),
+            rb AS (SELECT o_orderpriority,
+                          CAST(SUM(nab) AS BIGINT) AS nb
+                   FROM cells GROUP BY 1),
+            nn AS (SELECT CAST(SUM(nab) AS BIGINT) AS n FROM cells),
+            j AS (
+              SELECT nab, na, nb, n,
+                     CAST(floor(
+                       CAST(nab AS DOUBLE) / CAST(n AS DOUBLE)
+                       * ln(CAST(nab AS DOUBLE) * CAST(n AS DOUBLE)
+                            / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))
+                       * 1000000) AS BIGINT) AS term
+              FROM cells
+              JOIN ra USING (o_orderstatus)
+              JOIN rb USING (o_orderpriority), nn)
+            SELECT MIN(n) AS n_orders, COUNT(*) AS n_cells,
+                   CAST(SUM(term) AS BIGINT) AS mi_micro
+            FROM j
         """,
     }

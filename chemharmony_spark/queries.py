@@ -7850,3 +7850,131 @@ def q233_spearman(spark, sf):
         "n",
         F.floor(rho * 1_000_000).cast("long").alias("rho_micro"),
     )
+
+
+def q234_kendall_tau(spark, sf):
+    """Kendall tau-a between account balance and lifetime spend: the
+    concordant-minus-discordant pair count over all customer pairs —
+    the third association lens next to Pearson (q216) and Spearman
+    (q233), counting ORDER agreements directly so a handful of extreme
+    values can't move it at all. Signs are pure integer comparisons on
+    exact cents (value ties count as neither, deterministically); the
+    O(n^2) pair join rides the customer-dimension table (hash-sample
+    pairs at 100x, same closed form)."""
+    cust = _t(spark, sf, "customer").select(
+        "c_custkey",
+        (F.col("c_acctbal").cast(DEC) * 100).cast("long").alias("bal"),
+    )
+    orders = _t(spark, sf, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(DEC) * 100)
+        .cast("long").alias("sp")
+    )
+    x = cust.join(spend, cust.c_custkey == spend.o_custkey).select(
+        F.col("c_custkey").alias("k"), "bal", "sp"
+    ).persist()
+    a = x.withColumnsRenamed({"k": "ka", "bal": "ba", "sp": "sa"})
+    b = x.withColumnsRenamed({"k": "kb", "bal": "bb", "sp": "sb"})
+    pairs = a.join(b, F.col("kb") > F.col("ka")).select(
+        (
+            F.signum((F.col("ba") - F.col("bb")).cast("double"))
+            * F.signum((F.col("sa") - F.col("sb")).cast("double"))
+        ).cast("long").alias("s")
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum((F.col("s") > 0).cast("long")).alias("n_concordant"),
+        F.sum((F.col("s") < 0).cast("long")).alias("n_discordant"),
+    )
+    return agg.select(
+        "n_pairs", "n_concordant", "n_discordant",
+        F.expr(
+            "CAST(CAST((n_concordant - n_discordant) AS DECIMAL(38,0))"
+            " * 1000000 div n_pairs AS BIGINT)"
+        ).alias("tau_micro"),
+    )
+
+
+def q235_cohens_kappa(spark, sf):
+    """Cohen's kappa for the q32 language-ID heuristic against the
+    labeled lang column: chance-corrected agreement — the single
+    number q159's confusion matrix rolls up to, and the honest one
+    when classes are imbalanced (raw accuracy flatters majority-class
+    guessers). kappa = (N*diag - sum_k row_k*col_k) / (N^2 - sum_k
+    row_k*col_k) stays INTEGER until one final divide; everything
+    reduces from the persisted 25-cell matrix."""
+    docs = _t(spark, sf, "documents")
+    pred = TX.langid_scores(docs).select("doc_id", "pred_lang")
+    cells = (
+        docs.select("doc_id", "lang")
+        .join(pred, on="doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    rows_ = cells.groupBy("lang").agg(F.sum("n").alias("r"))
+    cols_ = cells.groupBy("pred_lang").agg(F.sum("n").alias("c"))
+    rc = (
+        rows_.join(
+            cols_, rows_.lang == cols_.pred_lang, "full"
+        )
+        .select(
+            (F.coalesce("r", F.lit(0)) * F.coalesce("c", F.lit(0)))
+            .alias("rxc")
+        )
+        .agg(F.sum("rxc").alias("pe_num"))
+    )
+    tot = cells.agg(
+        F.sum("n").alias("nn"),
+        F.sum(
+            F.when(F.col("lang") == F.col("pred_lang"), F.col("n"))
+            .otherwise(0)
+        ).alias("diag"),
+    )
+    D38 = "decimal(38,0)"
+    j = tot.crossJoin(F.broadcast(rc))
+    kappa = (
+        (F.col("nn").cast(D38) * F.col("diag").cast(D38)
+         - F.col("pe_num").cast(D38)).cast("double")
+        / (F.col("nn").cast(D38) * F.col("nn").cast(D38)
+           - F.col("pe_num").cast(D38)).cast("double")
+    )
+    return j.select(
+        F.col("nn").alias("n_docs"), F.col("diag").alias("n_agree"),
+        F.floor(kappa * 1_000_000).cast("long").alias("kappa_micro"),
+    )
+
+
+def q236_mutual_information(spark, sf):
+    """Mutual information between order status and order priority —
+    the information-theoretic dependence measure next to q92's
+    chi-square (MI is in nats and composes with the entropies q87
+    computes; chi-square is a test statistic). Each cell's
+    (n_ab/N)*ln(n_ab*N/(n_a*n_b)) term is floor-micro'd BEFORE the
+    rollup, so the sum is integer-exact and order-free; margins
+    broadcast onto the ~15-cell contingency table."""
+    orders = _t(spark, sf, "orders")
+    cells = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("nab")
+    ).persist()
+    ra = cells.groupBy("o_orderstatus").agg(F.sum("nab").alias("na"))
+    rb = cells.groupBy("o_orderpriority").agg(F.sum("nab").alias("nb"))
+    nn = cells.agg(F.sum("nab").alias("n"))
+    j = (
+        cells.join(F.broadcast(ra), "o_orderstatus")
+        .join(F.broadcast(rb), "o_orderpriority")
+        .crossJoin(F.broadcast(nn))
+    )
+    term = F.floor(
+        F.col("nab").cast("double") / F.col("n").cast("double")
+        * F.log(
+            F.col("nab").cast("double") * F.col("n").cast("double")
+            / (F.col("na").cast("double") * F.col("nb").cast("double"))
+        )
+        * 1_000_000
+    ).cast("long")
+    return j.agg(
+        F.min("n").alias("n_orders"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(term).alias("mi_micro"),
+    )

@@ -559,6 +559,12 @@ SHUFFLE_BUDGET = {
     "q232_ndcg": 1,
     # q233: spend agg + model-space rank windows
     "q233_spearman": 2,
+    # q234: spend agg + persisted dim pair join
+    "q234_kendall_tau": 2,
+    # q235: persisted confusion cells print under row/col/diag rollups
+    "q235_cohens_kappa": 5,
+    # q236: persisted contingency cells print under margin/total rollups
+    "q236_mutual_information": 5,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -644,7 +650,10 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 # q231: 1-row report-count broadcasts
                 "q231_dedup_impact",
                 # q232: q38-style broadcast-queries exact scoring
-                "q232_ndcg"}
+                "q232_ndcg",
+                # q234-q236: exact-pair baseline + 1-row margin broadcasts
+                "q234_kendall_tau", "q235_cohens_kappa",
+                "q236_mutual_information"}
 
 
 def test_no_headline_query_has_unpartitioned_ranked_window(spark):
