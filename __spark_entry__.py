@@ -313,6 +313,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q234_kendall_tau": Q.q234_kendall_tau,
         "q235_cohens_kappa": Q.q235_cohens_kappa,
         "q236_mutual_information": Q.q236_mutual_information,
+        "q237_littles_law": Q.q237_littles_law,
+        "q238_forecast_backtest": Q.q238_forecast_backtest,
+        "q239_threshold_sensitivity": Q.q239_threshold_sensitivity,
     }
 
 
@@ -5763,5 +5766,95 @@ def oracle_sql() -> dict[str, str]:
             SELECT MIN(n) AS n_orders, COUNT(*) AS n_cells,
                    CAST(SUM(term) AS BIGINT) AS mi_micro
             FROM j
+        """,
+        "q237_littles_law": """
+            WITH orders0 AS MATERIALIZED (
+              SELECT o_orderkey,
+                     date_diff('day', DATE '1970-01-01',
+                               CAST(o_orderdate AS DATE)) AS bd
+              FROM orders),
+            done AS MATERIALIZED (
+              SELECT bd, greatest(cd0, bd) AS cd FROM (
+                SELECT l_orderkey,
+                       MAX(date_diff('day', DATE '1970-01-01',
+                                     CAST(l_shipdate AS DATE))) AS cd0
+                FROM lineitem GROUP BY 1) d
+              JOIN orders0 ON l_orderkey = o_orderkey),
+            stats AS (
+              SELECT COUNT(*) AS n_orders,
+                     CAST(SUM(cd - bd) AS BIGINT) AS sum_cycle,
+                     MIN(bd) AS d0, MAX(cd) AS d1
+              FROM done)
+            SELECT n_orders,
+                   CAST(d1 - d0 + 1 AS BIGINT) AS n_days,
+                   CAST(n_orders * 1000000 // (d1 - d0 + 1) AS BIGINT)
+                     AS lambda_micro,
+                   CAST(sum_cycle * 1000000 // n_orders AS BIGINT)
+                     AS w_micro,
+                   CAST(sum_cycle * 1000000 // (d1 - d0 + 1) AS BIGINT)
+                     AS l_pred_micro
+            FROM stats
+        """,
+        "q238_forecast_backtest": """
+            WITH daily AS MATERIALIZED (
+              SELECT date_diff('day', DATE '1970-01-01',
+                               CAST(o_orderdate AS DATE)) AS day,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                          AS BIGINT) AS cents
+              FROM orders GROUP BY 1),
+            cutoff AS (SELECT MAX(day) - 27 AS cut FROM daily),
+            tagged AS MATERIALIZED (
+              SELECT day, cents, cut, (day + 4) % 7 AS dow
+              FROM daily, cutoff),
+            model AS (
+              SELECT dow,
+                     CASE WHEN SUM(cents) >= 0
+                          THEN CAST(SUM(cents) AS BIGINT) // COUNT(*)
+                          ELSE -((-CAST(SUM(cents) AS BIGINT))
+                                 // COUNT(*))
+                     END AS pred
+              FROM tagged WHERE day < cut GROUP BY 1),
+            holdout AS (
+              SELECT t.cents, m.pred
+              FROM tagged t JOIN model m USING (dow)
+              WHERE t.day >= t.cut)
+            SELECT COUNT(*) AS n_days_eval,
+                   CAST(SUM(cents) AS BIGINT) AS actual_cents,
+                   CAST(CAST(SUM(abs(cents - pred)) AS HUGEINT)
+                        * 1000000 // CAST(SUM(cents) AS BIGINT)
+                        AS BIGINT) AS wape_ppm
+            FROM holdout
+        """,
+        "q239_threshold_sensitivity": f"""
+            WITH sig AS ({_SIG_SQL}),
+            cands AS (
+              SELECT DISTINCT l.id AS a, r.id AS b
+              FROM sig l JOIN sig r
+                ON l.band = r.band AND l.minhash = r.minhash
+               AND l.id < r.id),
+            words AS (
+              SELECT DISTINCT doc_id AS id, unnest(toks) AS word
+              FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)),
+            sizes AS (SELECT id, COUNT(*) AS nw FROM words GROUP BY id),
+            pairs AS MATERIALIZED (
+              SELECT a, b,
+                     n_inter / (sa.nw + sb.nw - n_inter) AS jaccard
+              FROM (
+                SELECT c.a, c.b, COUNT(*) AS n_inter
+                FROM cands c
+                JOIN words wa ON wa.id = c.a
+                JOIN words wb ON wb.id = c.b AND wb.word = wa.word
+                GROUP BY 1, 2) i
+              JOIN sizes sa ON sa.id = i.a
+              JOIN sizes sb ON sb.id = i.b
+              WHERE n_inter / (sa.nw + sb.nw - n_inter) >= 0.7)
+            SELECT CAST(t * 100 AS INT) AS threshold_pct,
+                   CAST(SUM(CASE WHEN jaccard >= t THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_pairs,
+                   CAST(COUNT(DISTINCT CASE WHEN jaccard >= t
+                                            THEN a END) AS BIGINT)
+                     AS n_left_docs
+            FROM pairs, (SELECT unnest([0.7, 0.8, 0.9]) AS t)
+            GROUP BY 1
         """,
     }

@@ -7978,3 +7978,123 @@ def q236_mutual_information(spark, sf):
         F.count(F.lit(1)).alias("n_cells"),
         F.sum(term).alias("mi_micro"),
     )
+
+
+def q237_littles_law(spark, sf):
+    """Little's-law audit: does measured average WIP equal arrival rate
+    x average cycle time (L = lambda * W) on the order flow — the
+    queueing-theory invariant that validates q224's backlog curve and
+    q171's cycle times against each other (a mismatch means lost or
+    double-counted flow). All three quantities reduce to exact integer
+    sums over the same day-level tables; the divides happen once, in
+    micro units."""
+    orders = _t(spark, sf, "orders").select(
+        "o_orderkey",
+        F.expr(
+            "datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')"
+        ).alias("bd"),
+    ).persist()
+    done = (
+        _t(spark, sf, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.max(
+                F.expr("datediff(CAST(l_shipdate AS DATE), DATE'1970-01-01')")
+            ).alias("cd0")
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("bd", F.greatest("cd0", "bd").alias("cd"))
+        .persist()
+    )
+    stats = done.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("cd") - F.col("bd")).alias("sum_cycle"),
+        F.min("bd").alias("d0"),
+        F.max("cd").alias("d1"),
+    )
+    return stats.select(
+        "n_orders",
+        (F.col("d1") - F.col("d0") + 1).alias("n_days"),
+        F.expr(
+            "n_orders * 1000000 div (d1 - d0 + 1)"
+        ).alias("lambda_micro"),
+        F.expr("sum_cycle * 1000000 div n_orders").alias("w_micro"),
+        F.expr(
+            "sum_cycle * 1000000 div (d1 - d0 + 1)"
+        ).alias("l_pred_micro"),
+    )
+
+
+def q238_forecast_backtest(spark, sf):
+    """Forecast backtest: train q147's day-of-week mean model on all
+    days before the last 28, forecast the held-out 28, and score WAPE
+    (sum |err| / sum actual, integer exact) — the evaluation harness
+    that turns baselines (q147), trends (q156), and smoothers (q178)
+    into comparable numbers. Train means use the mirrored truncating
+    div; the holdout join broadcasts the 7-row model."""
+    orders = _t(spark, sf, "orders")
+    daily = orders.groupBy(
+        F.expr("datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')")
+        .alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast(DEC) * 100)
+        .cast("long").alias("cents")
+    ).persist()
+    cutoff = daily.agg((F.max("day") - 27).alias("cut"))
+    tagged = daily.crossJoin(F.broadcast(cutoff)).select(
+        "day", "cents", "cut", F.expr("(day + 4) % 7").alias("dow")
+    ).persist()
+    model = (
+        tagged.where(F.col("day") < F.col("cut"))
+        .groupBy("dow")
+        .agg(
+            F.expr(
+                "CASE WHEN SUM(cents) >= 0"
+                " THEN SUM(cents) div COUNT(1)"
+                " ELSE -((-SUM(cents)) div COUNT(1)) END"
+            ).alias("pred")
+        )
+    )
+    holdout = tagged.where(F.col("day") >= F.col("cut")).join(
+        F.broadcast(model), "dow"
+    )
+    return holdout.agg(
+        F.count(F.lit(1)).alias("n_days_eval"),
+        F.sum("cents").alias("actual_cents"),
+        F.sum(F.abs(F.col("cents") - F.col("pred"))).alias("abs_err_cents"),
+    ).select(
+        "n_days_eval", "actual_cents",
+        F.expr(
+            "CAST(CAST(abs_err_cents AS DECIMAL(38,0)) * 1000000"
+            " div actual_cents AS BIGINT)"
+        ).alias("wape_ppm"),
+    )
+
+
+def q239_threshold_sensitivity(spark, sf):
+    """Near-dup threshold sensitivity: verified pair counts and
+    affected-doc counts at Jaccard 0.7 / 0.8 / 0.9 from ONE pass of the
+    LSH->verify machinery — the tuning curve that picks q36's
+    production threshold (too low deletes originals, too high keeps
+    dups). The pair table computes once (persisted); the three
+    thresholds are conditional sums over it."""
+    docs = _t(spark, sf, "documents")
+    sig = DD.minhash_signatures(docs, "doc_id", "text").persist()
+    pairs = (
+        DD.jaccard_pairs(docs, DD.lsh_candidate_pairs(sig),
+                         "doc_id", "text")
+        .where(F.col("jaccard") >= 0.7)
+        .persist()
+    )
+    out = None
+    for t in (0.7, 0.8, 0.9):
+        hit = pairs.where(F.col("jaccard") >= t)
+        row = hit.agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.count_distinct("a").alias("n_left_docs"),
+        ).select(
+            F.lit(int(t * 100)).alias("threshold_pct"),
+            "n_pairs", "n_left_docs",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -565,6 +565,13 @@ SHUFFLE_BUDGET = {
     "q235_cohens_kappa": 5,
     # q236: persisted contingency cells print under margin/total rollups
     "q236_mutual_information": 5,
+    # q237: completion agg + 1-row flow stats
+    "q237_littles_law": 2,
+    # q238: day agg + persisted tagged table under model/holdout branches
+    "q238_forecast_backtest": 4,
+    # q239: persisted verified-pair table prints under the three
+    # threshold rollup branches
+    "q239_threshold_sensitivity": 10,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -653,7 +660,9 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 "q232_ndcg",
                 # q234-q236: exact-pair baseline + 1-row margin broadcasts
                 "q234_kendall_tau", "q235_cohens_kappa",
-                "q236_mutual_information"}
+                "q236_mutual_information",
+                # q238: 1-row cutoff broadcast
+                "q238_forecast_backtest"}
 
 
 def test_no_headline_query_has_unpartitioned_ranked_window(spark):
