@@ -316,6 +316,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q237_littles_law": Q.q237_littles_law,
         "q238_forecast_backtest": Q.q238_forecast_backtest,
         "q239_threshold_sensitivity": Q.q239_threshold_sensitivity,
+        "q240_weekly_median_trend": Q.q240_weekly_median_trend,
+        "q241_retention_halflife": Q.q241_retention_halflife,
     }
 
 
@@ -5856,5 +5858,73 @@ def oracle_sql() -> dict[str, str]:
                      AS n_left_docs
             FROM pairs, (SELECT unnest([0.7, 0.8, 0.9]) AS t)
             GROUP BY 1
+        """,
+        "q240_weekly_median_trend": """
+            WITH o AS MATERIALIZED (
+              SELECT date_diff('day', DATE '1970-01-01',
+                               CAST(o_orderdate AS DATE)) // 7 AS wk,
+                     CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS cents
+              FROM orders),
+            ranked AS (
+              SELECT wk, cents,
+                     ROW_NUMBER() OVER (PARTITION BY wk
+                                        ORDER BY cents) AS rn,
+                     COUNT(*) OVER (PARTITION BY wk) AS n
+              FROM o),
+            med AS (
+              SELECT wk,
+                     MAX(CASE WHEN rn = greatest(1,
+                       CAST(ceil(CAST(0.5 AS DOUBLE) * n) AS BIGINT))
+                       THEN cents END) AS median_cents
+              FROM ranked GROUP BY 1),
+            cnt AS (SELECT wk, COUNT(*) AS n_orders FROM o GROUP BY 1)
+            SELECT wk, n_orders, median_cents
+            FROM cnt JOIN med USING (wk)
+        """,
+        "q241_retention_halflife": """
+            WITH ev AS (
+              SELECT user_id, event_type, epoch_us(ts) AS us
+              FROM events),
+            cohorts AS (
+              SELECT user_id,
+                     CAST(floor(MIN(us) / 604800000000) AS BIGINT) AS cw
+              FROM ev WHERE event_type = 'signup' GROUP BY 1),
+            active AS (
+              SELECT user_id,
+                     CAST(floor(us / 604800000000) AS BIGINT) AS wk
+              FROM ev),
+            pooled AS MATERIALIZED (
+              SELECT o, COUNT(*) AS n FROM (
+                SELECT DISTINCT user_id, wk - cw AS o
+                FROM active JOIN cohorts USING (user_id)
+                WHERE wk >= cw)
+              GROUP BY 1),
+            base AS (SELECT n AS n0 FROM pooled WHERE o = 0),
+            pts AS (
+              SELECT CAST(o AS BIGINT) AS x,
+                     CAST(floor(ln(CAST(n AS DOUBLE)
+                                   / CAST(n0 AS DOUBLE)) * 1000000)
+                          AS BIGINT) AS y
+              FROM pooled, base WHERE o >= 1),
+            s AS (
+              SELECT COUNT(*) AS n_pts,
+                     CAST(SUM(x) AS BIGINT) AS sx,
+                     CAST(SUM(y) AS BIGINT) AS sy,
+                     SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                     SUM(CAST(x AS HUGEINT) * x) AS sxx
+              FROM pts),
+            f AS (
+              SELECT n_pts,
+                     CAST(n_pts * sxy - CAST(sx AS HUGEINT) * sy
+                          AS DOUBLE)
+                     / CAST(n_pts * sxx - CAST(sx AS HUGEINT) * sx
+                            AS DOUBLE) AS sl
+              FROM s)
+            SELECT n_pts,
+                   CAST(floor(sl) AS BIGINT) AS slope_micro_per_week,
+                   CAST(floor(-693147.180559945 / sl * 1000000)
+                        AS BIGINT) AS halflife_micro_weeks
+            FROM f
         """,
     }

@@ -8098,3 +8098,87 @@ def q239_threshold_sensitivity(spark, sf):
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def q240_weekly_median_trend(spark, sf):
+    """Weekly exact-median order value trend: the robust central
+    tendency per order week, through the q58 bucketed selector
+    partitioned by week (each week's distinct-value table is its own
+    selector group — no single-task ranked window at ANY number of
+    weeks). The monitoring series feeding q156's trend fit and q139's
+    change detection with a statistic outliers can't drag."""
+    from chemharmony_spark.operators.core import grouped_percentiles_disc
+
+    orders = _t(spark, sf, "orders").select(
+        F.expr(
+            "datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01') div 7"
+        ).alias("wk"),
+        (F.col("o_totalprice").cast(DEC) * 100).cast("long").alias("cents"),
+    )
+    med = grouped_percentiles_disc(orders, ["wk"], "cents", [0.5])
+    cnt = orders.groupBy("wk").agg(F.count(F.lit(1)).alias("n_orders"))
+    return cnt.join(med, "wk").select(
+        "wk", "n_orders", F.col("p50").alias("median_cents")
+    )
+
+
+def q241_retention_halflife(spark, sf):
+    """Retention half-life: fit ln(pooled retention rate) against week
+    offset (q181's integer-exact OLS on floor-micro'd logs) and report
+    the decay slope and implied half-life — the single number that
+    summarizes q60's whole retention triangle for cohort-quality
+    comparisons. Pooled offsets come from the same two shuffles as q60;
+    the fit runs over the tiny offset table."""
+    WEEK = 604_800_000_000
+    ev = _events(spark, sf).select(
+        "user_id", "event_type", F.expr("ts div 1000").alias("us")
+    )
+    cohorts = ev.where(F.col("event_type") == "signup").groupBy(
+        "user_id"
+    ).agg(F.floor(F.min("us") / WEEK).alias("cw"))
+    active = ev.select("user_id", F.floor(F.col("us") / WEEK).alias("wk"))
+    pooled = (
+        active.join(cohorts, on="user_id")
+        .where(F.col("wk") >= F.col("cw"))
+        .select("user_id", (F.col("wk") - F.col("cw")).alias("o"))
+        .distinct()
+        .groupBy("o")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    base = pooled.where(F.col("o") == 0).select(
+        F.col("n").alias("n0")
+    )
+    pts = (
+        pooled.where(F.col("o") >= 1)
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.col("o").cast("long").alias("x"),
+            F.floor(
+                F.log(
+                    F.col("n").cast("double") / F.col("n0").cast("double")
+                )
+                * 1_000_000
+            ).cast("long").alias("y"),
+        )
+    )
+    D18, D38 = "decimal(18,0)", "decimal(38,0)"
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n_pts"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast(D18) * F.col("y").cast(D18)).alias("sxy"),
+        F.sum(F.col("x").cast(D18) * F.col("x").cast(D18)).alias("sxx"),
+    )
+    slope = (
+        (F.col("n_pts").cast(D38) * F.col("sxy")
+         - F.col("sx").cast(D18) * F.col("sy").cast(D18)).cast("double")
+        / (F.col("n_pts").cast(D38) * F.col("sxx")
+           - F.col("sx").cast(D18) * F.col("sx").cast(D18)).cast("double")
+    )
+    return s.select(
+        "n_pts",
+        F.floor(slope).cast("long").alias("slope_micro_per_week"),
+        F.floor(-693147.180559945 / slope * 1_000_000)
+        .cast("long").alias("halflife_micro_weeks"),
+    )

@@ -572,6 +572,10 @@ SHUFFLE_BUDGET = {
     # q239: persisted verified-pair table prints under the three
     # threshold rollup branches
     "q239_threshold_sensitivity": 10,
+    # q240: the per-week bucketed selector chain + count branch
+    "q240_weekly_median_trend": 8,
+    # q241: persisted pooled offsets print under base/fit consumers
+    "q241_retention_halflife": 4,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -662,7 +666,9 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 "q234_kendall_tau", "q235_cohens_kappa",
                 "q236_mutual_information",
                 # q238: 1-row cutoff broadcast
-                "q238_forecast_backtest"}
+                "q238_forecast_backtest",
+                # q241: 1-row offset-zero base broadcast
+                "q241_retention_halflife"}
 
 
 def test_no_headline_query_has_unpartitioned_ranked_window(spark):
