@@ -318,6 +318,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q239_threshold_sensitivity": Q.q239_threshold_sensitivity,
         "q240_weekly_median_trend": Q.q240_weekly_median_trend,
         "q241_retention_halflife": Q.q241_retention_halflife,
+        "q242_cuped": Q.q242_cuped,
+        "q243_bootstrap_ci": Q.q243_bootstrap_ci,
     }
 
 
@@ -5926,5 +5928,88 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(-693147.180559945 / sl * 1000000)
                         AS BIGINT) AS halflife_micro_weeks
             FROM f
+        """,
+        "q242_cuped": """
+            WITH ev AS (
+              SELECT user_id,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       AS cents,
+                     epoch_us(ts) AS us
+              FROM events),
+            mid AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM ev),
+            per AS (
+              SELECT user_id,
+                     CAST(SUM(CASE WHEN us < mid THEN cents ELSE 0 END)
+                          AS BIGINT) AS x,
+                     CAST(SUM(CASE WHEN us >= mid THEN cents ELSE 0 END)
+                          AS BIGINT) AS y
+              FROM ev, mid GROUP BY 1),
+            s AS (
+              SELECT COUNT(*) AS n_users,
+                     CAST(SUM(x) AS BIGINT) AS sx,
+                     CAST(SUM(y) AS BIGINT) AS sy,
+                     SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                     SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                     SUM(CAST(y AS HUGEINT) * y) AS syy
+              FROM per),
+            f AS (
+              SELECT n_users,
+                     CAST(n_users * sxy - CAST(sx AS HUGEINT) * sy
+                          AS DOUBLE) AS cov,
+                     CAST(n_users * sxx - CAST(sx AS HUGEINT) * sx
+                          AS DOUBLE) AS vx,
+                     CAST(n_users * syy - CAST(sy AS HUGEINT) * sy
+                          AS DOUBLE) AS vy
+              FROM s),
+            g AS (
+              SELECT n_users, cov / vx AS theta,
+                     cov / sqrt(vx) / sqrt(vy) AS rho
+              FROM f)
+            SELECT n_users,
+                   CAST(floor(theta * 1000000) AS BIGINT)
+                     AS theta_micro,
+                   CAST(floor(rho * rho * 1000000) AS BIGINT)
+                     AS var_reduction_ppm
+            FROM g
+        """,
+        "q243_bootstrap_ci": f"""
+            WITH daily AS (
+              SELECT date_diff('day', DATE '1970-01-01',
+                               CAST(o_orderdate AS DATE)) AS day,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                          AS BIGINT) AS cents
+              FROM orders GROUP BY 1),
+            pos AS MATERIALIZED (
+              SELECT cents,
+                     CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT)
+                       AS p
+              FROM daily),
+            nt AS (SELECT COUNT(*) AS n FROM pos),
+            rr AS (SELECT unnest(range(1, 33)) AS r),
+            ii AS (SELECT r, n, unnest(range(1, n + 1)) AS i
+                   FROM rr, nt),
+            idx AS (
+              SELECT r,
+                     CAST({_hex4(
+                         "md5('b' || ':' || CAST(r AS VARCHAR)"
+                         " || ':' || CAST(i AS VARCHAR))", 1)}
+                          AS BIGINT) % n + 1 AS p
+              FROM ii),
+            means AS MATERIALIZED (
+              SELECT r, CAST(SUM(cents) AS BIGINT) // COUNT(*) AS m
+              FROM idx JOIN pos USING (p) GROUP BY r),
+            ranked AS (
+              SELECT m, ROW_NUMBER() OVER (ORDER BY m, r) AS rk
+              FROM means),
+            overall AS (
+              SELECT CAST(SUM(cents) AS BIGINT) // COUNT(*)
+                       AS mean_cents
+              FROM pos)
+            SELECT mean_cents,
+                   (SELECT CAST(m AS BIGINT) FROM ranked WHERE rk = 2)
+                     AS ci_lo_cents,
+                   (SELECT CAST(m AS BIGINT) FROM ranked WHERE rk = 31)
+                     AS ci_hi_cents
+            FROM overall
         """,
     }

@@ -8182,3 +8182,111 @@ def q241_retention_halflife(spark, sf):
         F.floor(-693147.180559945 / slope * 1_000_000)
         .cast("long").alias("halflife_micro_weeks"),
     )
+
+
+def q242_cuped(spark, sf):
+    """CUPED variance reduction for experiment metrics: using each
+    user's FIRST-half spend as the pre-period covariate for their
+    second-half metric, theta = cov(x,y)/var(x) and the achievable
+    variance reduction rho^2 = cov^2/(var_x*var_y) — the adjustment
+    that shrinks q226's required sample sizes by exactly that factor.
+    The half-split uses the fixed corpus midpoint (1-row broadcast);
+    sufficient statistics are ONE user agg + one decimal(38,0) rollup,
+    closed-form to the final doubles."""
+    ev = _events(spark, sf).select(
+        "user_id",
+        (F.col("value").cast(DEC) * 100).cast("long").alias("cents"),
+        F.expr("ts div 1000").alias("us"),
+    )
+    mid = ev.agg(
+        F.expr("(MIN(us) + MAX(us)) div 2").alias("mid")
+    )
+    per = ev.crossJoin(F.broadcast(mid)).groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("us") < F.col("mid"), F.col("cents")).otherwise(0)
+        ).alias("x"),
+        F.sum(
+            F.when(F.col("us") >= F.col("mid"), F.col("cents")).otherwise(0)
+        ).alias("y"),
+    )
+    D38 = "decimal(38,0)"
+    s = per.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast(D38) * F.col("y").cast(D38)).alias("sxy"),
+        F.sum(F.col("x").cast(D38) * F.col("x").cast(D38)).alias("sxx"),
+        F.sum(F.col("y").cast(D38) * F.col("y").cast(D38)).alias("syy"),
+    )
+    nn = F.col("n_users").cast(D38)
+    cov = nn * F.col("sxy") - F.col("sx").cast(D38) * F.col("sy").cast(D38)
+    vx = nn * F.col("sxx") - F.col("sx").cast(D38) * F.col("sx").cast(D38)
+    vy = nn * F.col("syy") - F.col("sy").cast(D38) * F.col("sy").cast(D38)
+    theta = cov.cast("double") / vx.cast("double")
+    rho2 = (
+        cov.cast("double") / F.sqrt(vx.cast("double"))
+        / F.sqrt(vy.cast("double"))
+    )
+    return s.select(
+        "n_users",
+        F.floor(theta * 1_000_000).cast("long").alias("theta_micro"),
+        F.floor(rho2 * rho2 * 1_000_000).cast("long")
+        .alias("var_reduction_ppm"),
+    )
+
+
+def q243_bootstrap_ci(spark, sf):
+    """Deterministic bootstrap CI for mean daily revenue: 32 resamples
+    drawn with an md5 coin over the day-position table (reproducible on
+    any engine — no RNG state), each resample's mean an exact integer,
+    the 2nd/31st order statistics as the ~90% interval — the
+    distribution-free uncertainty quantification none of the closed-form
+    tests (q152/q184/q193) provide. The day table is model-space; the
+    32x index expansion joins back on position (one co-keyed join);
+    resample means are 32 rows."""
+    orders = _t(spark, sf, "orders")
+    daily = orders.groupBy(
+        F.expr("datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')")
+        .alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast(DEC) * 100)
+        .cast("long").alias("cents")
+    )
+    pos = daily.select(
+        "cents",
+        F.row_number().over(Window.orderBy("day")).alias("p"),
+    ).persist()
+    nt = pos.agg(F.count(F.lit(1)).alias("n"))
+    h = F.md5(F.concat_ws(":", F.lit("b"), F.col("r"), F.col("i")))
+    hx = F.lit(0)
+    for k in range(4):
+        c = F.substring(h, k + 1, 1)
+        hx = hx * 16 + (F.instr(F.lit("0123456789abcdef"), c) - 1)
+    idx = nt.select(
+        "n", F.explode(F.sequence(F.lit(1), F.lit(32))).alias("r")
+    ).select(
+        "n", "r", F.explode(F.sequence(F.lit(1), F.col("n"))).alias("i")
+    ).select(
+        "r", (hx.cast("long") % F.col("n") + 1).alias("p")
+    )
+    means = (
+        idx.join(pos, "p")
+        .groupBy("r")
+        .agg(F.expr("SUM(cents) div COUNT(1)").alias("m"))
+    )
+    ranked = means.select(
+        "m", F.row_number().over(Window.orderBy("m", "r")).alias("rk")
+    )
+    overall = pos.agg(
+        F.expr("SUM(cents) div COUNT(1)").alias("mean_cents")
+    )
+    lo = ranked.where(F.col("rk") == 2).select(
+        F.col("m").alias("ci_lo_cents")
+    )
+    hi = ranked.where(F.col("rk") == 31).select(
+        F.col("m").alias("ci_hi_cents")
+    )
+    return (
+        overall.crossJoin(F.broadcast(lo)).crossJoin(F.broadcast(hi))
+        .select("mean_cents", "ci_lo_cents", "ci_hi_cents")
+    )

@@ -576,6 +576,11 @@ SHUFFLE_BUDGET = {
     "q240_weekly_median_trend": 8,
     # q241: persisted pooled offsets print under base/fit consumers
     "q241_retention_halflife": 4,
+    # q242: user agg + 1-row sufficient stats (midpoint broadcasts)
+    "q242_cuped": 3,
+    # q243: persisted day-position table prints under the 32-resample
+    # join / per-resample means / overall consumers
+    "q243_bootstrap_ci": 7,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -668,7 +673,9 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 # q238: 1-row cutoff broadcast
                 "q238_forecast_backtest",
                 # q241: 1-row offset-zero base broadcast
-                "q241_retention_halflife"}
+                "q241_retention_halflife",
+                # q242/q243: 1-row midpoint / count / CI-bound broadcasts
+                "q242_cuped", "q243_bootstrap_ci"}
 
 
 def test_no_headline_query_has_unpartitioned_ranked_window(spark):
