@@ -320,6 +320,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q241_retention_halflife": Q.q241_retention_halflife,
         "q242_cuped": Q.q242_cuped,
         "q243_bootstrap_ci": Q.q243_bootstrap_ci,
+        "q244_segment_migration": Q.q244_segment_migration,
+        "q245_calendar_anomalies": Q.q245_calendar_anomalies,
     }
 
 
@@ -6011,5 +6013,80 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT CAST(m AS BIGINT) FROM ranked WHERE rk = 31)
                      AS ci_hi_cents
             FROM overall
+        """,
+        "q244_segment_migration": """
+            WITH o AS (
+              SELECT o_custkey,
+                     year(CAST(o_orderdate AS DATE)) AS yr,
+                     CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS cents
+              FROM orders
+              WHERE year(CAST(o_orderdate AS DATE)) IN (1996, 1997)),
+            per AS MATERIALIZED (
+              SELECT o_custkey, yr, CAST(SUM(cents) AS BIGINT) AS sp
+              FROM o GROUP BY 1, 2),
+            ranked AS (
+              SELECT yr, sp,
+                     ROW_NUMBER() OVER (PARTITION BY yr ORDER BY sp)
+                       AS rn,
+                     COUNT(*) OVER (PARTITION BY yr) AS n
+              FROM per),
+            bounds AS (
+              SELECT yr,
+                     MAX(CASE WHEN rn = greatest(1, CAST(ceil(
+                       CAST(0.25 AS DOUBLE) * n) AS BIGINT))
+                       THEN sp END) AS p25,
+                     MAX(CASE WHEN rn = greatest(1, CAST(ceil(
+                       CAST(0.5 AS DOUBLE) * n) AS BIGINT))
+                       THEN sp END) AS p50,
+                     MAX(CASE WHEN rn = greatest(1, CAST(ceil(
+                       CAST(0.75 AS DOUBLE) * n) AS BIGINT))
+                       THEN sp END) AS p75
+              FROM ranked GROUP BY 1),
+            binned AS (
+              SELECT o_custkey, per.yr,
+                     (CASE WHEN sp > p25 THEN 1 ELSE 0 END
+                      + CASE WHEN sp > p50 THEN 1 ELSE 0 END
+                      + CASE WHEN sp > p75 THEN 1 ELSE 0 END + 1) AS q
+              FROM per JOIN bounds ON per.yr = bounds.yr)
+            SELECT a.q AS q_from, b.q AS q_to,
+                   COUNT(*) AS n_customers
+            FROM (SELECT o_custkey, q FROM binned WHERE yr = 1996) a
+            JOIN (SELECT o_custkey, q FROM binned WHERE yr = 1997) b
+              USING (o_custkey)
+            GROUP BY 1, 2
+        """,
+        "q245_calendar_anomalies": """
+            WITH daily AS MATERIALIZED (
+              SELECT day, cents, (day + 4) % 7 AS dow FROM (
+                SELECT date_diff('day', DATE '1970-01-01',
+                                 CAST(o_orderdate AS DATE)) AS day,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
+                                * 100) AS BIGINT) AS cents
+                FROM orders GROUP BY 1)),
+            base AS (
+              SELECT dow,
+                     CASE WHEN SUM(cents) >= 0
+                          THEN CAST(SUM(cents) AS BIGINT) // COUNT(*)
+                          ELSE -((-CAST(SUM(cents) AS BIGINT))
+                                 // COUNT(*))
+                     END AS expect
+              FROM daily GROUP BY 1),
+            dev AS (
+              SELECT day, daily.dow AS dow, cents, expect,
+                     CASE WHEN (cents - expect) >= 0
+                          THEN CAST(cents - expect AS HUGEINT) * 1000000
+                               // expect
+                          ELSE -((CAST(expect - cents AS HUGEINT)
+                                  * 1000000) // expect)
+                     END AS resid_ppm
+              FROM daily JOIN base ON daily.dow = base.dow)
+            SELECT strftime(DATE '1970-01-01'
+                            + CAST(day AS INT), '%Y-%m-%d') AS date,
+                   dow, cents, expect,
+                   CAST(resid_ppm AS BIGINT) AS resid_ppm
+            FROM dev
+            ORDER BY abs(resid_ppm) DESC, day
+            LIMIT 10
         """,
     }

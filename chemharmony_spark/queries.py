@@ -8290,3 +8290,88 @@ def q243_bootstrap_ci(spark, sf):
         overall.crossJoin(F.broadcast(lo)).crossJoin(F.broadcast(hi))
         .select("mean_cents", "ci_lo_cents", "ci_hi_cents")
     )
+
+
+def q244_segment_migration(spark, sf):
+    """Customer value-segment migration: quartile-bin every customer's
+    spend in two adjacent years and count the 4x4 transition matrix —
+    the upgrade/downgrade flow report behind retention economics (q130
+    says WHO returns; this says how their value class moved). Both
+    years' quartile bounds come from ONE melted pass through the
+    bucketed selector; binning is pure comparisons against the
+    broadcast bounds; the matrix is a 16-row agg."""
+    from chemharmony_spark.operators.core import grouped_percentiles_disc
+
+    orders = _t(spark, sf, "orders").select(
+        "o_custkey",
+        F.expr("year(CAST(o_orderdate AS DATE))").alias("yr"),
+        (F.col("o_totalprice").cast(DEC) * 100).cast("long").alias("cents"),
+    ).where(F.col("yr").isin(1996, 1997))
+    per = orders.groupBy("o_custkey", "yr").agg(
+        F.sum("cents").alias("sp")
+    ).persist()
+    bounds = grouped_percentiles_disc(
+        per, ["yr"], "sp", [0.25, 0.5, 0.75]
+    )
+    binned = per.join(F.broadcast(bounds), "yr").select(
+        "o_custkey", "yr",
+        (
+            (F.col("sp") > F.col("p25")).cast("int")
+            + (F.col("sp") > F.col("p50")).cast("int")
+            + (F.col("sp") > F.col("p75")).cast("int")
+            + 1
+        ).alias("q"),
+    )
+    a = binned.where(F.col("yr") == 1996).select(
+        "o_custkey", F.col("q").alias("q_from")
+    )
+    b = binned.where(F.col("yr") == 1997).select(
+        "o_custkey", F.col("q").alias("q_to")
+    )
+    return (
+        a.join(b, "o_custkey")
+        .groupBy("q_from", "q_to")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+def q245_calendar_anomalies(spark, sf):
+    """Calendar anomaly report: the 10 days whose revenue deviates most
+    from their weekday mean, in integer ppm residuals — q147's
+    seasonal-baseline idea pointed at the business calendar (holiday
+    spikes, outage troughs) with a deterministic top-k. Day-of-week
+    means use the mirrored truncating div; the ranking is a TakeOrdered
+    over the model-space day table."""
+    orders = _t(spark, sf, "orders")
+    daily = orders.groupBy(
+        F.expr("datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')")
+        .alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast(DEC) * 100)
+        .cast("long").alias("cents")
+    ).select("*", F.expr("(day + 4) % 7").alias("dow")).persist()
+    base = daily.groupBy("dow").agg(
+        F.expr(
+            "CASE WHEN SUM(cents) >= 0 THEN SUM(cents) div COUNT(1)"
+            " ELSE -((-SUM(cents)) div COUNT(1)) END"
+        ).alias("expect")
+    )
+    dev = daily.join(F.broadcast(base), "dow").select(
+        "day", "dow", "cents", "expect",
+        F.expr(
+            "CASE WHEN (cents - expect) >= 0"
+            " THEN CAST(cents - expect AS DECIMAL(38,0)) * 1000000"
+            "      div expect"
+            " ELSE -((CAST(expect - cents AS DECIMAL(38,0)) * 1000000)"
+            "        div expect) END"
+        ).alias("resid_ppm"),
+    )
+    return dev.orderBy(
+        F.abs(F.col("resid_ppm")).desc(), "day"
+    ).limit(10).select(
+        F.date_format(
+            F.expr("date_add(DATE'1970-01-01', CAST(day AS INT))"),
+            "yyyy-MM-dd",
+        ).alias("date"),
+        "dow", "cents", "expect", "resid_ppm",
+    )

@@ -581,6 +581,11 @@ SHUFFLE_BUDGET = {
     # q243: persisted day-position table prints under the 32-resample
     # join / per-resample means / overall consumers
     "q243_bootstrap_ci": 7,
+    # q244: persisted (cust, yr) spend prints under the melted selector
+    # chain + year-split join branches (q213-style textual inflation)
+    "q244_segment_migration": 15,
+    # q245: day agg + 7-row dow baseline; top-10 is a TakeOrdered
+    "q245_calendar_anomalies": 2,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
