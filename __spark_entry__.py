@@ -322,6 +322,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q243_bootstrap_ci": Q.q243_bootstrap_ci,
         "q244_segment_migration": Q.q244_segment_migration,
         "q245_calendar_anomalies": Q.q245_calendar_anomalies,
+        "q246_purchase_cadence": Q.q246_purchase_cadence,
+        "q247_inequality_trend": Q.q247_inequality_trend,
     }
 
 
@@ -6088,5 +6090,59 @@ def oracle_sql() -> dict[str, str]:
             FROM dev
             ORDER BY abs(resid_ppm) DESC, day
             LIMIT 10
+        """,
+        "q246_purchase_cadence": """
+            WITH ev AS (
+              SELECT user_id, event_id, epoch_us(ts) AS us
+              FROM events WHERE event_type = 'purchase'),
+            gaps AS MATERIALIZED (
+              SELECT CAST(floor((us - pl) / 86400000000.0 * 1000)
+                          AS BIGINT) AS gap_milli_days
+              FROM (SELECT us,
+                           LAG(us) OVER (PARTITION BY user_id
+                                         ORDER BY us, event_id) AS pl
+                    FROM ev)
+              WHERE pl IS NOT NULL),
+            ranked AS (
+              SELECT gap_milli_days,
+                     ROW_NUMBER() OVER (ORDER BY gap_milli_days) AS rn,
+                     COUNT(*) OVER () AS n
+              FROM gaps)
+            SELECT (SELECT COUNT(*) FROM gaps) AS n_intervals,
+                   MAX(CASE WHEN rn = greatest(1, CAST(ceil(
+                     CAST(0.25 AS DOUBLE) * n) AS BIGINT))
+                     THEN gap_milli_days END) AS p25_milli_days,
+                   MAX(CASE WHEN rn = greatest(1, CAST(ceil(
+                     CAST(0.5 AS DOUBLE) * n) AS BIGINT))
+                     THEN gap_milli_days END) AS p50_milli_days,
+                   MAX(CASE WHEN rn = greatest(1, CAST(ceil(
+                     CAST(0.75 AS DOUBLE) * n) AS BIGINT))
+                     THEN gap_milli_days END) AS p75_milli_days
+            FROM ranked
+        """,
+        "q247_inequality_trend": """
+            WITH spend AS (
+              SELECT year(CAST(o_orderdate AS DATE)) AS yr, o_custkey,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                          AS BIGINT) AS cents
+              FROM orders GROUP BY 1, 2),
+            ranked AS (
+              SELECT yr, cents,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY yr
+                       ORDER BY cents, o_custkey) AS BIGINT) AS i
+              FROM spend),
+            s AS (
+              SELECT yr, COUNT(*) AS n_customers,
+                     CAST(SUM(cents) AS BIGINT) AS sx,
+                     SUM(CAST(i AS HUGEINT) * cents) AS six
+              FROM ranked GROUP BY 1)
+            SELECT yr, n_customers,
+                   CAST(floor(
+                     CAST(2 * six - (CAST(n_customers AS HUGEINT) + 1)
+                          * CAST(sx AS HUGEINT) AS DOUBLE)
+                     / CAST(CAST(n_customers AS HUGEINT)
+                            * CAST(sx AS HUGEINT) AS DOUBLE)
+                     * 1000000) AS BIGINT) AS gini_ppm
+            FROM s
         """,
     }

@@ -8375,3 +8375,75 @@ def q245_calendar_anomalies(spark, sf):
         ).alias("date"),
         "dow", "cents", "expect", "resid_ppm",
     )
+
+
+def q246_purchase_cadence(spark, sf):
+    """Inter-purchase cadence: the exact p25/p50/p75 of the
+    days-between-consecutive-purchases distribution (pooled across
+    users) — the CRM rhythm metric that sets reorder-reminder timing
+    and churn thresholds (q133's gap filter asks "who went quiet";
+    this asks what NORMAL cadence is). ONE per-user lag window prices
+    the intervals; the pooled percentiles ride the bucketed exact
+    selector."""
+    from chemharmony_spark.operators.core import grouped_percentiles_disc
+
+    ev = _events(spark, sf).where(
+        F.col("event_type") == "purchase"
+    ).select(
+        "user_id", "event_id", F.expr("ts div 1000").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = ev.select(
+        (
+            (F.col("us") - F.lag("us").over(w)) / F.lit(86_400_000_000.0)
+        ).alias("gd")
+    ).where(F.col("gd").isNotNull()).select(
+        F.floor(F.col("gd") * 1000).cast("long").alias("gap_milli_days"),
+        F.lit(1).alias("g"),
+    )
+    per = grouped_percentiles_disc(
+        gaps, ["g"], "gap_milli_days", [0.25, 0.5, 0.75]
+    )
+    cnt = gaps.groupBy("g").agg(F.count(F.lit(1)).alias("n_intervals"))
+    return cnt.join(per, "g").select(
+        "n_intervals",
+        F.col("p25").alias("p25_milli_days"),
+        F.col("p50").alias("p50_milli_days"),
+        F.col("p75").alias("p75_milli_days"),
+    )
+
+
+def q247_inequality_trend(spark, sf):
+    """Revenue-inequality trend: the q183 Gini coefficient of customer
+    spend computed PER YEAR — is concentration rising (whale-dependence
+    risk) or falling? Same closed-form integer rank arithmetic, with
+    the rank window partitioned by year (independent selector groups,
+    parallel at any history length)."""
+    orders = _t(spark, sf, "orders")
+    spend = orders.groupBy(
+        F.expr("year(CAST(o_orderdate AS DATE))").alias("yr"),
+        "o_custkey",
+    ).agg(
+        F.sum(F.col("o_totalprice").cast(DEC) * 100)
+        .cast("long").alias("cents")
+    )
+    w = Window.partitionBy("yr").orderBy("cents", "o_custkey")
+    ranked = spend.select(
+        "yr", "cents",
+        F.row_number().over(w).cast("long").alias("i"),
+    )
+    D38 = "decimal(38,0)"
+    s = ranked.groupBy("yr").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").alias("sx"),
+        F.sum(F.col("i").cast(D38) * F.col("cents").cast(D38)).alias("six"),
+    )
+    num = (
+        2 * F.col("six")
+        - (F.col("n_customers").cast(D38) + 1) * F.col("sx").cast(D38)
+    ).cast("double")
+    den = (F.col("n_customers").cast(D38) * F.col("sx").cast(D38)).cast("double")
+    return s.select(
+        "yr", "n_customers",
+        F.floor(num / den * 1_000_000).cast("long").alias("gini_ppm"),
+    )

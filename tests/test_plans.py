@@ -586,6 +586,10 @@ SHUFFLE_BUDGET = {
     "q244_segment_migration": 15,
     # q245: day agg + 7-row dow baseline; top-10 is a TakeOrdered
     "q245_calendar_anomalies": 2,
+    # q246: per-user lag window + the pooled selector chain branches
+    "q246_purchase_cadence": 10,
+    # q247: (yr, cust) agg + per-year rank window + year rollup
+    "q247_inequality_trend": 2,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -680,7 +684,9 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 # q241: 1-row offset-zero base broadcast
                 "q241_retention_halflife",
                 # q242/q243: 1-row midpoint / count / CI-bound broadcasts
-                "q242_cuped", "q243_bootstrap_ci"}
+                "q242_cuped", "q243_bootstrap_ci",
+                # q246: 1-row interval-count broadcast
+                "q246_purchase_cadence"}
 
 
 def test_no_headline_query_has_unpartitioned_ranked_window(spark):
