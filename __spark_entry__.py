@@ -2990,38 +2990,38 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "q139_cusum_alarms": """
-            WITH seq AS (
-              SELECT user_id,
-                     list(struct_pack(us := epoch_us(ts), eid := event_id,
-                                      v := value)
-                          ORDER BY epoch_us(ts), event_id) AS sq,
-                     COUNT(*) AS n_events
-              FROM events GROUP BY 1),
-            folded AS (
-              SELECT user_id, n_events,
-                     list_reduce(
-                       list_transform(sq, e -> struct_pack(
-                         n := CASE WHEN greatest(0.0, e.v - 60.0) > 500.0
-                                   THEN 1 ELSE 0 END,
-                         s := CASE WHEN greatest(0.0, e.v - 60.0) > 500.0
-                                   THEN 0.0
-                                   ELSE greatest(0.0, e.v - 60.0) END,
-                         v := e.v)),
-                       (acc, x) -> struct_pack(
-                         n := acc.n
-                              + CASE WHEN greatest(0.0,
-                                           acc.s + (x.v - 60.0)) > 500.0
-                                     THEN 1 ELSE 0 END,
-                         s := CASE WHEN greatest(0.0,
-                                        acc.s + (x.v - 60.0)) > 500.0
-                                   THEN 0.0
-                                   ELSE greatest(0.0,
-                                        acc.s + (x.v - 60.0)) END,
-                         v := x.v)) AS st
-              FROM seq)
-            SELECT user_id, n_events, st.n AS n_alarms,
-                   CAST(floor(st.s * 1000000) AS BIGINT) AS final_s_micro
-            FROM folded
+            -- recursive CTE, NOT list_reduce: DuckDB 1.0.0 corrupts
+            -- STRUCT fold accumulators when the reduce vectorizes over a
+            -- full table (q190 precedent), and a scalar-encoded state
+            -- would truncate the double S each step. The walk advances
+            -- every user one event per iteration — exact IEEE doubles,
+            -- depth = max events per user.
+            WITH RECURSIVE e AS MATERIALIZED (
+              SELECT user_id, value AS v,
+                     row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id) AS i
+              FROM events),
+            n AS MATERIALIZED (
+              SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY 1),
+            walk AS (
+              SELECT user_id, 0 AS i, CAST(0.0 AS DOUBLE) AS s,
+                     0 AS n_alarms
+              FROM n
+              UNION ALL
+              SELECT w.user_id, w.i + 1,
+                     CASE WHEN greatest(0.0, w.s + (e.v - 60.0)) > 500.0
+                          THEN 0.0
+                          ELSE greatest(0.0, w.s + (e.v - 60.0)) END,
+                     w.n_alarms
+                       + CASE WHEN greatest(0.0, w.s + (e.v - 60.0)) > 500.0
+                              THEN 1 ELSE 0 END
+              FROM walk w JOIN e ON e.user_id = w.user_id
+                               AND e.i = w.i + 1)
+            SELECT w.user_id, n.n_events, w.n_alarms,
+                   CAST(floor(w.s * 1000000) AS BIGINT) AS final_s_micro
+            FROM walk w JOIN n ON n.user_id = w.user_id
+                              AND w.i = n.n_events
         """,
         "q140_jsd_source_similarity": f"""
             WITH sb AS MATERIALIZED (

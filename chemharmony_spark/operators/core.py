@@ -18,6 +18,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from chemharmony_spark.cache import registered_persist
+
 
 def recode(col: Column | str, mapping: Mapping[str, str],
            default: Column | str | None = None, lowercase: bool = False) -> Column:
@@ -347,10 +349,9 @@ def _grouped_value_cum(
     # full-data count aggregation — the same single-evaluation rule as
     # grouped_cumsum(materialize=True). MEMORY_AND_DISK, distinct-value
     # sized (the reduction is the point of step 1).
-    counts = (
+    counts = registered_persist(
         df.groupBy(*keys, value_col)
         .agg(F.count(F.lit(1)).alias("__pq_c"))
-        .persist()
     )
     rng = counts.groupBy(*keys).agg(
         F.min(value_col).alias("__pq_mn"), F.max(value_col).alias("__pq_mx")
@@ -577,22 +578,24 @@ def grouped_cumsum(
             # can't prove the two branches canonical-equal (pushed-filter
             # asymmetry). Use when upstream >> frame size — e.g. a fact
             # aggregation feeding a distinct-value cumsum.
-            run = run.persist()
-        # Bucket totals come from the WINDOWED frame (the running sum at
-        # the bucket's last order position — max_by, correct for negative
-        # values too), not from a second aggregation over ``df``: both
-        # consumers then share the identical (keys, bucket) exchange over
-        # the same child, so Catalyst's ReusedExchange evaluates the
-        # caller's upstream pipeline ONCE (the old formulation re-derived
-        # ``df`` — at 100 TB, a second pass over the fact aggregation —
-        # inside the offsets branch).
+            run = registered_persist(run)
+        # Bucket totals come from the WINDOWED frame, not from a second
+        # aggregation over ``df``: both consumers then share the identical
+        # (keys, bucket) exchange over the same child, so Catalyst's
+        # ReusedExchange evaluates the caller's upstream pipeline ONCE
+        # (the old formulation re-derived ``df`` — at 100 TB, a second
+        # pass over the fact aggregation — inside the offsets branch).
+        # The total is sum(value_col) over the frame's rows — exact even
+        # when order_col has ties at a bucket's max position (max_by on
+        # the running sum would pick an arbitrary tied row there, whose
+        # run is not necessarily the bucket total).
         w_off = (
             Window.partitionBy(*keys).orderBy("__cs_b")
             .rowsBetween(Window.unboundedPreceding, -1)
         )
         offsets = (
             run.groupBy(*keys, "__cs_b")
-            .agg(F.max_by("__cs_run", order_col).alias("__cs_tot"))
+            .agg(F.sum(value_col).alias("__cs_tot"))
             .withColumn(
                 "__cs_off", F.coalesce(F.sum("__cs_tot").over(w_off), F.lit(0))
             )

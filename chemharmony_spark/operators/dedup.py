@@ -25,6 +25,8 @@ from pyspark.sql import functions as F
 
 from chemharmony_spark.operators.text import fingerprint, tokens
 
+from chemharmony_spark.cache import registered_persist
+
 HEX = "0123456789abcdef"
 
 
@@ -151,15 +153,18 @@ def jaccard_pairs(df: DataFrame, candidates: DataFrame, id_col: str,
         if hash_tokens
         else (lambda w: w)
     )
-    # persisted: the token build (normalize + shingle + per-token md5)
-    # feeds BOTH broadcast sides; without the cache each side's
-    # BroadcastExchange re-derives it from the scan
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(
-            F.array_distinct(tokens(text_col)), hcol
-        ).alias("ws"),
-    ).where(F.size("ws") > 0).persist()
+    # persisted (registry-released, cache.release_caches): the token
+    # build (normalize + shingle + per-token md5) feeds BOTH broadcast
+    # sides; without the cache each side's BroadcastExchange re-derives
+    # it from the scan
+    toks = registered_persist(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.transform(
+                F.array_distinct(tokens(text_col)), hcol
+            ).alias("ws"),
+        ).where(F.size("ws") > 0)
+    )
     hint = F.broadcast if broadcast_docs else (lambda d: d)
     ta = hint(toks.select(F.col("id").alias("a"), F.col("ws").alias("wa")))
     tb = hint(toks.select(F.col("id").alias("b"), F.col("ws").alias("wb")))

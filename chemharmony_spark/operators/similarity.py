@@ -17,6 +17,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from chemharmony_spark.cache import registered_persist
+
 
 def _as_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
@@ -372,6 +374,40 @@ def _centroid_df(spark, cents: list[tuple[int, list[float]]]) -> DataFrame:
     return spark.createDataFrame(cents, "cell_id bigint, centroid array<double>")
 
 
+# Max total inlined centroid literals (k x dims) before assign_cells
+# switches from codegen folds to the broadcast-join plan: 64k doubles is
+# well inside codegen limits (64KB method split handles it) while a
+# 4096-cell x 768-dim codebook (3.1M literals) clearly is not.
+_INLINE_CELL_BUDGET = 65536
+
+
+def _assign_cells_join(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Broadcast cross-join + min_by argmin fallback for large codebooks.
+
+    k x row replication through a BroadcastNestedLoopJoin, then a hash
+    aggregation on ``id_col`` picks the nearest cell — the classic IVF
+    assignment shape. Distance arithmetic matches the inline fold
+    (zip_with/aggregate of (x-c)^2, ties break on cell_id via the struct
+    min) so both paths assign identically."""
+    vec = _as_double(F.col(vec_col))
+    cent = _as_double(F.col("centroid"))
+    d = F.aggregate(
+        F.zip_with(vec, cent, lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = corpus.join(F.broadcast(centroids)).withColumn("__d", d)
+    best = scored.groupBy(id_col).agg(
+        F.min(F.struct(F.col("__d"), F.col("cell_id"))).alias("__best")
+    ).select(id_col, F.col("__best.cell_id").alias("cell_id"))
+    return corpus.join(best, on=id_col)
+
+
 def assign_cells(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -389,11 +425,21 @@ def assign_cells(
 
     The per-component arithmetic — sequential ``zip_with``/``aggregate``
     fold of (x-c)² — is expression-identical to the previous join
-    formulation, so the DuckDB oracle that replays it stays bit-exact."""
+    formulation, so the DuckDB oracle that replays it stays bit-exact.
+
+    Guards: an empty codebook raises (array_min over an empty struct
+    array would yield null cell_ids instead of the old empty-join
+    output), and a codebook past ``_INLINE_CELL_BUDGET`` total literals
+    falls back to the broadcast-join + argmin formulation rather than
+    emitting a pathological codegen expression tree."""
     cents = sorted(
         (int(r["cell_id"]), [float(x) for x in r["centroid"]])
         for r in centroids.select("cell_id", "centroid").collect()
     )
+    if not cents:
+        raise ValueError("assign_cells: empty centroids codebook")
+    if sum(len(v) for _, v in cents) > _INLINE_CELL_BUDGET:
+        return _assign_cells_join(corpus, centroids, id_col, vec_col)
     vec = _as_double(F.col(vec_col))
 
     def sqdist(vals: list[float]) -> Column:
@@ -442,9 +488,9 @@ def cluster_pruned_pairs(
                                  id_col=id_col, vec_col=vec_col)
     # persist: the assignment (k × dims codegen folds over the corpus)
     # feeds BOTH sides of the self-join and would otherwise evaluate twice
-    assigned = assign_cells(
-        corpus, centroids, id_col=id_col, vec_col=vec_col
-    ).persist()
+    assigned = registered_persist(
+        assign_cells(corpus, centroids, id_col=id_col, vec_col=vec_col)
+    )
     left = assigned.select(
         F.col("cell_id"), F.col(id_col).alias("a"), F.col(vec_col).alias("__va")
     )

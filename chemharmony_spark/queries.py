@@ -3504,11 +3504,11 @@ def q139_cusum_alarms(spark, sf):
     Cross-engine determinism: the fold visits events in the same total
     (ts, event_id) order in both engines, so the double accumulation is
     the SAME IEEE sequence — no floor-micro needed until the final state
-    is rendered. The DuckDB replay seeds 2-arg list_reduce through
-    list_transform (first element = fold of the empty state), and packs
-    the alarm count BEFORE the new S: DuckDB 1.0.0 evaluates struct_pack
-    fields sequentially against a partially-updated accumulator, so each
-    field may only read acc fields not yet written."""
+    is rendered. The DuckDB replay is a RECURSIVE CTE walk (one event per
+    user per iteration), not list_reduce: DuckDB 1.0.0 silently corrupts
+    STRUCT fold accumulators when the reduce vectorizes over a full
+    table (q190 precedent), and a scalar-encoded accumulator would
+    truncate the double S at each step."""
     ev = _events(spark, sf).select(
         "user_id", "event_id", "value", F.expr("ts div 1000").alias("us")
     )

@@ -278,8 +278,21 @@ def stream_novel_docs(
     def admit(batch_df, epoch_id):
         sigs = minhash_signatures(batch_df, "doc_id", "text").persist()
         sess = batch_df.sparkSession
-        try:
-            index = sess.read.parquet(os.path.join(index_dir, "*"))
+        # Detect the no-index-yet case EXPLICITLY (first batch) instead of
+        # a bare except around the read: a transient IO error or corrupt
+        # index file must propagate and fail the batch, not silently admit
+        # everything unchecked and pollute the deduplicated corpus.
+        epochs = (
+            [
+                os.path.join(index_dir, d)
+                for d in os.listdir(index_dir)
+                if d.startswith("epoch=")
+            ]
+            if os.path.isdir(index_dir)
+            else []
+        )
+        if epochs:
+            index = sess.read.parquet(*epochs)
             hit_ids = (
                 sigs.join(
                     index.select("band", "minhash").distinct(),
@@ -290,7 +303,7 @@ def stream_novel_docs(
                 .distinct()
             )
             novel = batch_df.join(hit_ids, on="doc_id", how="left_anti")
-        except Exception:  # first batch: no index yet
+        else:  # first batch: no index yet
             novel = batch_df
         novel.write.mode("overwrite").parquet(
             os.path.join(admitted_dir, f"epoch={epoch_id}")
