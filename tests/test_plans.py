@@ -263,10 +263,13 @@ SHUFFLE_BUDGET = {
     "q121_calibration_bins": 1,
     # q122: base and delta each exchange once on the merge key
     "q122_merge_upsert": 2,
-    # q123: token explode/window for prefixes + candidate join + component
-    # rounds on the pair set + the final source agg; all post-candidate
-    # exchanges carry pairs/components, not the corpus
-    "q123_dedup_pipeline": 4,
+    # q123: token explode/window for prefixes + candidate join + the final
+    # source agg; the star-contraction component step's per-round
+    # exchanges hide behind localCheckpoints, but its read-off (root set
+    # via exceptAll + union + distinct + the label join) contributes the
+    # other four — all of them NODE-sized (one row per doc in a cluster),
+    # not corpus- or pair-sized
+    "q123_dedup_pipeline": 7,
     # q124: user_id window exchange + the handful-of-groups rollup
     "q124_last_touch_attribution": 2,
     # q125: ONE full-data exchange (per-value counts); the rest move the
