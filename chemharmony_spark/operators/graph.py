@@ -135,18 +135,31 @@ def connected_components_star(
         re_self = mins.select(F.col("u"), F.col("m").alias("v"))
         return re_smaller.union(re_self).where(F.col("u") != F.col("v")).distinct()
 
+    def _sig(ed: DataFrame) -> tuple:
+        # (count, hash-sum) set signature: both edge frames are DEDUPED
+        # (every round ends in .distinct()), so set equality reduces to
+        # equal cardinality + equal sum of per-row xxhash64 — one
+        # map-side-combined agg job, no shuffle of the edge set (the old
+        # exceptAll test re-shuffled both full frames every round).
+        # False-equal needs colliding 64-bit hash SUMS across two deduped
+        # sets of identical size — negligible (~2^-64) and only ever
+        # costs an early stop at an already-nearly-converged edge set.
+        r = ed.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal(38,0) accumulator: a BIGINT sum of 64-bit hashes
+            # overflows (ANSI mode throws) after a handful of rows
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (r["n"], r["h"])
+
+    sig = _sig(e)
     for _ in range(max_iter):
         new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        # fixed-point test: exact multiset equality of the (deduped) edge
-        # sets. Two anti-join counts on checkpointed frames; at extreme
-        # scale swap for a (count, sum(xxhash64)) signature comparison.
-        if (
-            new_e.count() == e.count()
-            and new_e.exceptAll(e).limit(1).count() == 0
-        ):
-            e = new_e
-            break
+        new_sig = _sig(new_e)
         e = new_e
+        if new_sig == sig:
+            break
+        sig = new_sig
 
     # read off components: after convergence edges form stars v -> root;
     # every non-root node appears as u exactly once, roots only as v

@@ -373,8 +373,11 @@ def lloyd_kmeans(
       BIGINT, so the cross-row summation is exact integer math (no
       order-dependent FP rounding); the new component is
       double(sum)/n/2^20, identical IEEE arithmetic on any engine. The agg
-      is ``groupBy(cell_id)`` over k groups × dims SUM columns —
-      map-side combinable, one narrow shuffle of k×dims longs.
+      is posexplode -> ``groupBy(cell_id, pos)`` — map-side partial
+      aggregation reduces every partition to k×dims rows before the
+      exchange (same shuffle volume as a k-group agg with dims SUM
+      columns, but a dims-independent expression tree: the wide-agg form
+      paid ~2s of Catalyst/codegen per iteration at dims=64).
 
     New centroids are **collected (k×dims scalars) and re-inlined as
     literals** each iteration — the harmonize invariant-scalar pattern —
@@ -385,39 +388,36 @@ def lloyd_kmeans(
     (standard Lloyd); seeds are the ``n_cells`` smallest-md5(id) corpus
     vectors (deterministic, engine-independent).
     """
-    if dims is None:
-        dims = len(corpus.select(vec_col).first()[0])
     seeds = _sampled_centroids(corpus, n_cells, id_col, vec_col).collect()
     cents: list[tuple[int, list[float]]] = [
         (int(r.cell_id), [float(x) for x in r.centroid]) for r in seeds
     ]
+    if dims is None:  # the seed vectors carry the dimensionality
+        dims = len(cents[0][1]) if cents else 0
     spark = corpus.sparkSession
     qd = float(quant)
     for _ in range(iters):
         assigned = assign_cells(corpus, _centroid_df(spark, cents),
                                 id_col=id_col, vec_col=vec_col)
-        sums = (
-            assigned.groupBy("cell_id")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                *[
-                    F.sum(
-                        (F.col(vec_col)[i].cast("double") * F.lit(qd))
-                        .cast("long")
-                    ).alias(f"s{i}")
-                    for i in range(dims)
-                ],
-            )
+        qi = F.transform(
+            _as_double(F.col(vec_col)), lambda x: (x * qd).cast("long")
+        )
+        rows = (
+            assigned.select("cell_id", F.posexplode(qi).alias("pos", "qv"))
+            .groupBy("cell_id", "pos")
+            .agg(F.sum("qv").alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()
         )
+        by_cell: dict[int, list] = {}
+        for r in rows:
+            acc = by_cell.setdefault(int(r["cell_id"]), [0] * (dims + 1))
+            acc[r["pos"]] = r["s"]
+            acc[dims] = r["n"]
         # float(s) first: double(sum)/n/2^20, the exact arithmetic the SQL
         # oracle performs (CAST(s AS DOUBLE) / n / quant)
         cents = sorted(
-            (
-                int(r["cell_id"]),
-                [float(r[f"s{i}"]) / r["n"] / qd for i in range(dims)],
-            )
-            for r in sums
+            (c, [float(acc[i]) / acc[dims] / qd for i in range(dims)])
+            for c, acc in by_cell.items()
         )
     return _centroid_df(spark, cents)
 
