@@ -324,6 +324,12 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q245_calendar_anomalies": Q.q245_calendar_anomalies,
         "q246_purchase_cadence": Q.q246_purchase_cadence,
         "q247_inequality_trend": Q.q247_inequality_trend,
+        "q248_hll_distinct": Q.q248_hll_distinct,
+        "q249_countmin_heavy": Q.q249_countmin_heavy,
+        "q250_interval_overlap_join": Q.q250_interval_overlap_join,
+        "q251_power_iteration": Q.q251_power_iteration,
+        "q252_mrr_waterfall": Q.q252_mrr_waterfall,
+        "q253_frame_sampling": Q.q253_frame_sampling,
     }
 
 
@@ -6144,5 +6150,199 @@ def oracle_sql() -> dict[str, str]:
                             * CAST(sx AS HUGEINT) AS DOUBLE)
                      * 1000000) AS BIGINT) AS gini_ppm
             FROM s
+        """,
+        "q248_hll_distinct": f"""
+            WITH h AS (
+              SELECT event_type,
+                     md5(CAST(user_id AS VARCHAR)) AS hh
+              FROM events),
+            br AS (
+              SELECT event_type,
+                     ({_HEXV.format(c='substr(hh, 1, 1)')} * 16
+                      + {_HEXV.format(c='substr(hh, 2, 1)')}) % 64 AS bucket,
+                     CAST(((((({_HEXV.format(c='substr(hh, 3, 1)')}) * 16
+                      + {_HEXV.format(c='substr(hh, 4, 1)')}) * 16
+                      + {_HEXV.format(c='substr(hh, 5, 1)')}) * 16
+                      + {_HEXV.format(c='substr(hh, 6, 1)')}) * 16
+                      + {_HEXV.format(c='substr(hh, 7, 1)')}) * 16
+                      + {_HEXV.format(c='substr(hh, 8, 1)')} AS BIGINT) AS v
+              FROM h),
+            pb AS (
+              SELECT event_type, bucket,
+                     MAX(CASE WHEN v = 0 THEN 25
+                              ELSE 25 - length(bin(v)) END) AS m
+              FROM br GROUP BY 1, 2),
+            z AS (
+              SELECT event_type,
+                     CAST(SUM(CAST(1 AS BIGINT) << (25 - m)) AS BIGINT)
+                       + (64 - COUNT(*)) * CAST(33554432 AS BIGINT) AS z
+              FROM pb GROUP BY 1),
+            ex AS (
+              SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+              FROM events GROUP BY 1)
+            SELECT ex.event_type, ex.n_exact,
+                   CAST(floor(0.709 * 4096.0 * 33554432.0
+                              / CAST(z.z AS DOUBLE) * 1000000) AS BIGINT)
+                     AS hll_est_micro
+            FROM ex JOIN z ON ex.event_type = z.event_type
+        """,
+        "q249_countmin_heavy": f"""
+            WITH rows_ AS (
+              SELECT r.range AS r,
+                     md5(concat(CAST(r.range AS VARCHAR), ':',
+                                CAST(user_id AS VARCHAR))) AS hh
+              FROM events, range(4) r),
+            sketch AS (
+              SELECT r,
+                     {_HEXV.format(c='substr(hh, 1, 1)')} * 16
+                       + {_HEXV.format(c='substr(hh, 2, 1)')} AS c,
+                     COUNT(*) AS cnt
+              FROM rows_ GROUP BY 1, 2),
+            users AS (
+              SELECT user_id, COUNT(*) AS n_true FROM events GROUP BY 1),
+            keys_ AS (
+              SELECT u.user_id, u.n_true, r.range AS r,
+                     md5(concat(CAST(r.range AS VARCHAR), ':',
+                                CAST(u.user_id AS VARCHAR))) AS hh
+              FROM users u, range(4) r),
+            est AS (
+              SELECT k.user_id,
+                     CAST(MIN(s.cnt) AS BIGINT) AS cm_est,
+                     CAST(MIN(k.n_true) AS BIGINT) AS n_true
+              FROM keys_ k JOIN sketch s
+                ON s.r = k.r
+               AND s.c = {_HEXV.format(c='substr(k.hh, 1, 1)')} * 16
+                         + {_HEXV.format(c='substr(k.hh, 2, 1)')}
+              GROUP BY 1)
+            SELECT user_id, cm_est, n_true, cm_est - n_true AS overcount
+            FROM est
+            ORDER BY cm_est DESC, user_id
+            LIMIT 20
+        """,
+        "q250_interval_overlap_join": """
+            WITH ends AS (
+              SELECT l_orderkey, MAX(epoch_us(l_shipdate)) AS end_us
+              FROM lineitem GROUP BY 1),
+            win AS (
+              SELECT o_orderkey, o_custkey,
+                     epoch_us(o_orderdate) AS start_us, end_us
+              FROM orders JOIN ends ON o_orderkey = l_orderkey),
+            ov AS (
+              SELECT a.o_custkey,
+                     least(a.end_us, b.end_us)
+                       - greatest(a.start_us, b.start_us) AS ov_us
+              FROM win a JOIN win b
+                ON a.o_custkey = b.o_custkey
+               AND a.o_orderkey < b.o_orderkey)
+            SELECT o_custkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_overlap_pairs,
+                   CAST(SUM(ov_us // 86400000000 + 1) AS BIGINT)
+                     AS total_overlap_days
+            FROM ov WHERE ov_us >= 0
+            GROUP BY 1
+        """,
+        "q251_power_iteration": """
+            WITH dv AS MATERIALIZED (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS l
+              FROM embeddings),
+            y1 AS (
+              SELECT vec_id, l,
+                     list_reduce(l, (a, b) -> a + b) AS y
+              FROM dv),
+            s1 AS MATERIALIZED (
+              SELECT e.pos AS pos, SUM(e.q) AS s FROM (
+                SELECT unnest(
+                         [struct_pack(pos := i - 1,
+                            q := CAST(trunc((y * l[i]) * 1048576.0) AS BIGINT))
+                          for i in generate_series(1, len(l))]) AS e
+                FROM y1)
+              GROUP BY 1),
+            m1 AS (SELECT MAX(abs(s)) AS m FROM s1),
+            v1 AS MATERIALIZED (
+              SELECT list(CAST(s AS DOUBLE) / CAST(m AS DOUBLE)
+                          ORDER BY pos) AS vl
+              FROM s1, m1),
+            y2 AS (
+              SELECT vec_id, l,
+                     list_reduce(
+                       [l[i] * vl[i] for i in generate_series(1, len(l))],
+                       (a, b) -> a + b) AS y
+              FROM dv, v1),
+            s2 AS MATERIALIZED (
+              SELECT e.pos AS pos, SUM(e.q) AS s FROM (
+                SELECT unnest(
+                         [struct_pack(pos := i - 1,
+                            q := CAST(trunc((y * l[i]) * 1048576.0) AS BIGINT))
+                          for i in generate_series(1, len(l))]) AS e
+                FROM y2)
+              GROUP BY 1),
+            m2 AS (SELECT MAX(abs(s)) AS m FROM s2)
+            SELECT CAST(e.pos AS INT) AS pos,
+                   CAST(floor(CAST(s AS DOUBLE) / CAST(m AS DOUBLE)
+                              * 1000000) AS BIGINT) AS v_micro
+            FROM (SELECT pos, s FROM s2) e, m2
+        """,
+        "q252_mrr_waterfall": """
+            WITH rev AS MATERIALIZED (
+              SELECT o_custkey,
+                     year(CAST(o_orderdate AS DATE)) * 12
+                       + month(CAST(o_orderdate AS DATE)) - 1 AS midx,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                          AS BIGINT) AS cents
+              FROM orders GROUP BY 1, 2),
+            bounds AS (
+              SELECT o_custkey, MIN(midx) AS mn, MAX(midx) AS mx
+              FROM rev GROUP BY 1),
+            spine AS (
+              SELECT o_custkey,
+                     unnest(generate_series(mn, mx)) AS midx
+              FROM bounds),
+            filled AS (
+              SELECT s.o_custkey, s.midx,
+                     COALESCE(r.cents, 0) AS cents
+              FROM spine s LEFT JOIN rev r
+                ON r.o_custkey = s.o_custkey AND r.midx = s.midx),
+            lagged AS (
+              SELECT midx, cents,
+                     lag(cents) OVER (PARTITION BY o_custkey
+                                      ORDER BY midx) AS prev
+              FROM filled),
+            cl AS (
+              SELECT midx,
+                     CASE WHEN prev IS NULL THEN cents ELSE 0 END AS nw,
+                     CASE WHEN prev = 0 AND cents > 0
+                          THEN cents ELSE 0 END AS rs,
+                     CASE WHEN prev > 0 AND cents > prev
+                          THEN cents - prev ELSE 0 END AS expn,
+                     CASE WHEN prev > cents AND cents > 0
+                          THEN prev - cents ELSE 0 END AS ctr,
+                     CASE WHEN prev > 0 AND cents = 0
+                          THEN prev ELSE 0 END AS ch
+              FROM lagged)
+            SELECT midx // 12 AS yr, midx % 12 + 1 AS mo,
+                   CAST(SUM(nw) AS BIGINT) AS new_cents,
+                   CAST(SUM(rs) AS BIGINT) AS resurrected_cents,
+                   CAST(SUM(expn) AS BIGINT) AS expansion_cents,
+                   CAST(SUM(ctr) AS BIGINT) AS contraction_cents,
+                   CAST(SUM(ch) AS BIGINT) AS churned_cents
+            FROM cl GROUP BY 1, 2
+        """,
+        "q253_frame_sampling": """
+            WITH d AS (
+              SELECT doc_id, source, text, length(text) AS len,
+                     greatest(length(text) // 4, 1) AS step
+              FROM documents),
+            fr AS (
+              SELECT source, CAST(j.range AS INT) AS frame_idx,
+                     substr(text, CAST(j.range * step + 1 AS BIGINT),
+                            CAST(step AS BIGINT)) AS frame
+              FROM d, range(4) j)
+            SELECT source, frame_idx,
+                   CAST(COUNT(*) AS BIGINT) AS n_frames,
+                   CAST(SUM(length(frame)) AS BIGINT) AS total_bytes,
+                   CAST(COUNT(DISTINCT md5(frame)) AS BIGINT)
+                     AS n_distinct_frames
+            FROM fr GROUP BY 1, 2
         """,
     }

@@ -8451,3 +8451,282 @@ def q247_inequality_trend(spark, sf):
         "yr", "n_customers",
         F.floor(num / den * 1_000_000).cast("long").alias("gini_ppm"),
     )
+
+
+def q248_hll_distinct(spark, sf):
+    """HyperLogLog distinct-user estimate per event type (Flajolet et al.
+    2007, public paper) next to the exact count — the sketch every
+    planning layer runs before an expensive exact distinct at 100 TB.
+    m = 64 buckets from the first 8 md5 bits of the user id; each bucket
+    keeps the max leading-zero rank of the next 24 bits; the harmonic
+    mean runs in INTEGERS (sum of 1<<(25-M_j), absent buckets at 1<<25),
+    so the only float op is the final alpha*m^2/Z division — bit-equal
+    in any IEEE engine, no pow()/ln() drift. Two shuffles, both
+    map-side combined: the (type, bucket) max-rank agg (<= 64 rows per
+    type survive each partition) and the exact distinct used for the
+    comparison column."""
+    ev = _events(spark, sf).select("event_type", "user_id")
+    h = F.md5(F.col("user_id").cast("string"))
+    hexv = lambda c: F.instr(F.lit("0123456789abcdef"), c) - 1  # noqa: E731
+    bucket = (
+        (hexv(F.substring(h, 1, 1)) * 16 + hexv(F.substring(h, 2, 1))) % 64
+    )
+    v = F.lit(0)
+    for i in range(3, 9):  # 24 bits from hex chars 3..8
+        v = v * 16 + hexv(F.substring(h, i, 1))
+    v = v.cast("long")
+    rho = F.when(v == 0, F.lit(25)).otherwise(25 - F.length(F.bin(v)))
+    per_bucket = (
+        ev.select("event_type", bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+    z = per_bucket.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 25 - m)")).alias("zp"),
+    ).select(
+        "event_type",
+        (
+            F.col("zp")
+            + (F.lit(64) - F.col("nb")) * F.lit(1 << 25).cast("long")
+        ).alias("z"),
+    )
+    est = F.lit(0.709) * F.lit(4096.0) * F.lit(33554432.0) / F.col("z").cast(
+        "double"
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return exact.join(z, "event_type").select(
+        "event_type",
+        "n_exact",
+        F.floor(est * 1_000_000).cast("long").alias("hll_est_micro"),
+    )
+
+
+def q249_countmin_heavy(spark, sf):
+    """Count-Min sketch (Cormode & Muthukrishnan 2005, public paper)
+    event-count estimates: d=4 rows x w=256 columns of md5-derived
+    counters, per-user estimate = min over the 4 counters, reported for
+    the top-20 estimated users beside the true count (the sketch can
+    only OVERcount). At 100 TB the sketch is the point: the counter
+    table is 1024 rows no matter the corpus (the 4x explode is map-side
+    combined down to <= 1024 partials per partition before the
+    exchange), and per-key estimation is a broadcast join against it.
+    Everything is integer-exact; the top-20 is a TakeOrdered on
+    (est desc, user_id)."""
+    ev = _events(spark, sf).select("user_id")
+    rows = ev.withColumn(
+        "r", F.explode(F.array(*[F.lit(r) for r in range(4)]))
+    )
+    h = F.md5(F.concat_ws(":", F.col("r"), F.col("user_id")))
+    hexv = lambda c: F.instr(F.lit("0123456789abcdef"), c) - 1  # noqa: E731
+    col_ = hexv(F.substring(h, 1, 1)) * 16 + hexv(F.substring(h, 2, 1))
+    sketch = (
+        rows.select("r", col_.alias("c"))
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    users = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_true"))
+    keys = users.withColumn(
+        "r", F.explode(F.array(*[F.lit(r) for r in range(4)]))
+    )
+    kh = F.md5(F.concat_ws(":", F.col("r"), F.col("user_id")))
+    kcol = hexv(F.substring(kh, 1, 1)) * 16 + hexv(F.substring(kh, 2, 1))
+    est = (
+        keys.select("user_id", "n_true", "r", kcol.alias("c"))
+        .join(F.broadcast(sketch), on=["r", "c"])
+        .groupBy("user_id")
+        .agg(F.min("cnt").alias("cm_est"), F.first("n_true").alias("n_true"))
+    )
+    return (
+        est.orderBy(F.col("cm_est").desc(), "user_id")
+        .limit(20)
+        .select(
+            "user_id", "cm_est", "n_true",
+            (F.col("cm_est") - F.col("n_true")).alias("overcount"),
+        )
+    )
+
+
+def q250_interval_overlap_join(spark, sf):
+    """Interval-overlap self-join: each order's fulfillment window is
+    [o_orderdate, max(l_shipdate)]; report, per customer, how many of
+    their order-window PAIRS overlap and for how many total calendar
+    days — the interval-join primitive (align transcripts to audio
+    segments, sessions to incidents) that q51's point-in-interval range
+    join does not cover. Plan: one orderkey join + agg builds the
+    window table, then a self equi-join on the customer key with the
+    overlap predicate as a post-join filter — per-customer groups are
+    bounded, so the quadratic stays inside tiny groups (the 100 TB
+    version buckets time into coarse bins and joins on (key, bin) to
+    bound group size; same output). Day arithmetic is integer micros
+    div 86400e6 — inclusive-touch convention (same-day windows overlap
+    1 day)."""
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey",
+        F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias("ship_us"),
+    )
+    ends = li.groupBy("l_orderkey").agg(F.max("ship_us").alias("end_us"))
+    ords = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("start_us"),
+    )
+    win = ords.join(ends, ords.o_orderkey == ends.l_orderkey).select(
+        "o_orderkey", "o_custkey", "start_us", "end_us"
+    )
+    a = win.select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderkey").alias("ka"),
+        F.col("start_us").alias("sa"), F.col("end_us").alias("ea"),
+    )
+    b = win.select(
+        F.col("o_custkey").alias("cust2"),
+        F.col("o_orderkey").alias("kb"),
+        F.col("start_us").alias("sb"), F.col("end_us").alias("eb"),
+    )
+    ov = (
+        a.join(b, (F.col("cust") == F.col("cust2")) & (F.col("ka") < F.col("kb")))
+        .withColumn(
+            "ov_us",
+            F.least("ea", "eb") - F.greatest("sa", "sb"),
+        )
+        .where(F.col("ov_us") >= 0)
+        .withColumn(
+            "ov_days", F.expr("ov_us div 86400000000") + F.lit(1).cast("long")
+        )
+    )
+    return ov.groupBy(F.col("cust").alias("o_custkey")).agg(
+        F.count(F.lit(1)).alias("n_overlap_pairs"),
+        F.sum("ov_days").alias("total_overlap_days"),
+    )
+
+
+def q251_power_iteration(spark, sf):
+    """Top principal direction of the embedding second-moment matrix via
+    TWO matrix-free power-iteration steps (v0 = all-ones): per step,
+    y_i = <x_i, v> (a fixed-order fold), the per-dimension accumulation
+    s_j = sum_i trunc(y_i * x_ij * 2^20) runs in INTEGERS (posexplode +
+    groupBy(pos), map-side combined, 64-row shuffle regardless of corpus
+    size), and v' = s / max|s| — one float division per dimension. The
+    same collect-and-reinline driver loop as lloyd_kmeans: iteration N+1
+    inlines iteration N's 64 scalars as literals, so no lineage growth
+    and the whole run is bit-reproducible in ANSI SQL (the DuckDB oracle
+    unrolls both steps as CTEs with identical fold order)."""
+    emb = _t(spark, sf, "embeddings")
+    dv = SIM._as_double(F.col("embedding"))
+    qd = float(1 << 20)
+    D38 = "decimal(38,0)"
+    dims = 64
+    v = [1.0] * dims
+
+    def step_frame(vlit):
+        y = F.aggregate(
+            F.zip_with(dv, vlit, lambda x, w: x * w), F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        ex = emb.select(y.alias("y"), F.posexplode(dv).alias("pos", "x"))
+        return ex.groupBy("pos").agg(
+            F.sum(
+                ((F.col("y") * F.col("x")) * F.lit(qd)).cast("long").cast(D38)
+            ).alias("s")
+        )
+
+    # iteration 1 collects v1 to the driver (64 scalars)
+    vlit = F.array(*[F.lit(x) for x in v])
+    rows = step_frame(vlit).collect()
+    s1 = {int(r["pos"]): int(r["s"]) for r in rows}
+    m1 = max(abs(x) for x in s1.values())
+    v = [float(s1[j]) / float(m1) for j in range(dims)]
+    # iteration 2 stays a DataFrame; normalization via a 64-row window
+    vlit = F.array(*[F.lit(x) for x in v])
+    s2 = step_frame(vlit)
+    w = Window.partitionBy(F.lit(1))
+    return s2.select(
+        "pos",
+        F.floor(
+            F.col("s").cast("double")
+            / F.max(F.abs(F.col("s")).cast("double")).over(w)
+            * 1_000_000
+        ).cast("long").alias("v_micro"),
+    )
+
+
+def q252_mrr_waterfall(spark, sf):
+    """Monthly recurring-revenue waterfall: per calendar month, how much
+    revenue was NEW (customer's first month), EXPANSION (grew vs last
+    month), CONTRACTION (shrank but stayed), CHURNED (went to zero) and
+    RESURRECTED (returned after a zero month) — the subscription-finance
+    decomposition of q101's net growth number. Each customer's month
+    spine is densified with sequence() between their first and last
+    active month, so zero months exist for the lag to see; one customer
+    window + a months-sized final agg; revenue in integer cents."""
+    orders = _t(spark, sf, "orders")
+    rev = orders.groupBy(
+        "o_custkey",
+        (
+            F.year(F.col("o_orderdate").cast("timestamp")) * 12
+            + F.month(F.col("o_orderdate").cast("timestamp")) - 1
+        ).alias("midx"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast(DEC) * 100).cast("long").alias("cents")
+    )
+    bounds = rev.groupBy("o_custkey").agg(
+        F.min("midx").alias("mn"), F.max("midx").alias("mx")
+    )
+    spine = bounds.select(
+        "o_custkey",
+        F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("midx"),
+    )
+    filled = spine.join(rev, ["o_custkey", "midx"], "left").select(
+        "o_custkey", "midx", F.coalesce("cents", F.lit(0)).alias("cents")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("midx")
+    lagged = filled.withColumn("prev", F.lag("cents").over(w))
+    c, p = F.col("cents"), F.col("prev")
+    z = F.lit(0).cast("long")
+    classified = lagged.select(
+        "midx",
+        F.when(p.isNull(), c).otherwise(z).alias("new_cents"),
+        F.when((p == 0) & (c > 0), c).otherwise(z).alias("resurrected_cents"),
+        F.when((p > 0) & (c > p), c - p).otherwise(z).alias("expansion_cents"),
+        F.when((p > c) & (c > 0), p - c).otherwise(z).alias("contraction_cents"),
+        F.when((p > 0) & (c == 0), p).otherwise(z).alias("churned_cents"),
+    )
+    return classified.groupBy("midx").agg(
+        F.sum("new_cents").alias("new_cents"),
+        F.sum("resurrected_cents").alias("resurrected_cents"),
+        F.sum("expansion_cents").alias("expansion_cents"),
+        F.sum("contraction_cents").alias("contraction_cents"),
+        F.sum("churned_cents").alias("churned_cents"),
+    ).select(
+        F.expr("midx div 12").alias("yr"),
+        (F.col("midx") % 12 + 1).alias("mo"),
+        "new_cents", "resurrected_cents", "expansion_cents",
+        "contraction_cents", "churned_cents",
+    )
+
+
+def q253_frame_sampling(spark, sf):
+    """Multimodal frame-sampling plumbing end-to-end: every document's
+    binary payload fans out to 4 deterministic frames through the
+    mapInPandas Arrow path (operators/multimodal.sample_frames — the
+    1 -> n_frames row-fanout shape of real video decode; the byte-slice
+    fallback stands in for the codec, SURVEY.md multimodal contract),
+    then rolls up per (source, frame_idx): frame count, total frame
+    bytes, distinct frame fingerprints. The oracle replays the slice
+    arithmetic (step = max(len//4, 1)) and md5 per frame in SQL — the
+    corpus is ASCII, so byte slices equal substr slices. The source
+    column rides a doc_id equi-join back onto the corpus (corpus-sized
+    on both sides, so a shuffle join — NOT a broadcast — is the 100 TB
+    shape); one final model-space agg."""
+    docs = _t(spark, sf, "documents")
+    frames = MM.sample_frames(
+        MM.attach_binary_payload(docs), n_frames=4
+    )
+    labeled = frames.join(docs.select("doc_id", "source"), on="doc_id")
+    return labeled.groupBy("source", "frame_idx").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum(F.length("frame")).alias("total_bytes"),
+        F.count_distinct(F.md5("frame")).alias("n_distinct_frames"),
+    )

@@ -593,6 +593,26 @@ SHUFFLE_BUDGET = {
     "q246_purchase_cadence": 10,
     # q247: (yr, cust) agg + per-year rank window + year rollup
     "q247_inequality_trend": 2,
+    # q248: (type,bucket) max-rank agg + type rollup, both map-side
+    # combined to <=64 rows/partition, plus the exact-distinct branch
+    # (expand + final) joined for the comparison column
+    "q248_hll_distinct": 4,
+    # q249: the true-count user agg + the 4x-explode sketch agg (map-side
+    # combined to <=1024 partials); estimation is a broadcast join and
+    # the top-20 a TakeOrdered — no further exchange
+    "q249_countmin_heavy": 2,
+    # q250: orderkey join + end_us agg share one exchange pair; the
+    # custkey self-join adds the third — per-customer groups bounded
+    "q250_interval_overlap_join": 3,
+    # q251: one 64-row (pos) agg per live iteration branch + the 1-row
+    # normalization window; all shuffle payloads are dims-sized
+    "q251_power_iteration": 2,
+    # q252: (cust, month) revenue agg + per-cust bounds/spine window +
+    # the months-sized final rollup
+    "q252_mrr_waterfall": 3,
+    # q253: the doc_id join back for source + the (source, frame_idx)
+    # distinct-fingerprint agg
+    "q253_frame_sampling": 2,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
