@@ -573,20 +573,44 @@ def cluster_pruned_pairs(
     )
 
 
+def _hyperplane_coef(plane: int, dim: int) -> float:
+    """Python twin of :func:`_hyperplane` — same ±1 from the parity of the
+    first hex char of md5('p<plane>:<dim>'), computed at PLAN-BUILD time so
+    the coefficients inline as plain float literals instead of 64 md5
+    expression nodes per plane (n_planes x dims md5 Columns made q40's
+    analysis+codegen the job: 39s for a 500-row corpus at sf0.01)."""
+    import hashlib
+
+    h = hashlib.md5(f"p{plane}:{dim}".encode()).hexdigest()
+    return float((int(h[0], 16) % 2) * 2 - 1)
+
+
 def signature_bits(vec_col: Column, n_planes: int, dims: int,
                    plane_offset: int = 0) -> Column:
     """LSH bucket id: concatenated signs of dots with n_planes hyperplanes.
-    ``plane_offset`` selects an independent plane family per hash table."""
+    ``plane_offset`` selects an independent plane family per hash table.
+
+    One transform lambda over a literal plane-matrix (the assign_cells
+    tree-shrinking pattern) + array_join, instead of n_planes copied fold
+    expressions — identical bit strings, n_planes x smaller plan."""
     arr = _as_double(vec_col)
-    bits = []
-    for p in range(plane_offset, plane_offset + n_planes):
-        coefs = F.array(*[F.lit(1.0) * _hyperplane(p, d) for d in range(dims)])
-        d_ = F.aggregate(
-            F.zip_with(arr, coefs, lambda x, y: x * y), F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(d_ >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+    planes = F.array(*[
+        F.array(*[
+            F.lit(_hyperplane_coef(p, d)) for d in range(dims)
+        ])
+        for p in range(plane_offset, plane_offset + n_planes)
+    ])
+    sig = F.transform(
+        planes,
+        lambda cf: F.when(
+            F.aggregate(
+                F.zip_with(arr, cf, lambda x, y: x * y), F.lit(0.0),
+                lambda acc, x: acc + x,
+            ) >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0")),
+    )
+    return F.array_join(sig, "")
 
 
 def _sampled_centroids(corpus: DataFrame, n_cells: int,
