@@ -330,6 +330,12 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q251_power_iteration": Q.q251_power_iteration,
         "q252_mrr_waterfall": Q.q252_mrr_waterfall,
         "q253_frame_sampling": Q.q253_frame_sampling,
+        "q254_l_diversity": Q.q254_l_diversity,
+        "q255_fifo_matching": Q.q255_fifo_matching,
+        "q256_holt_linear": Q.q256_holt_linear,
+        "q257_rolling_regression_slope": Q.q257_rolling_regression_slope,
+        "q258_mutual_nearest_neighbors": Q.q258_mutual_nearest_neighbors,
+        "q259_minibatch_assignment": Q.q259_minibatch_assignment,
     }
 
 
@@ -6344,5 +6350,177 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT md5(frame)) AS BIGINT)
                      AS n_distinct_frames
             FROM fr GROUP BY 1, 2
+        """,
+        "q254_l_diversity": """
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS k_size,
+                   CAST(COUNT(DISTINCT CAST(floor(c_acctbal / 1000.0)
+                                            AS BIGINT)) AS BIGINT)
+                     AS l_diversity,
+                   CASE WHEN COUNT(DISTINCT CAST(floor(c_acctbal / 1000.0)
+                                                 AS BIGINT)) < 3
+                        THEN 1 ELSE 0 END AS suppress
+            FROM customer GROUP BY 1, 2
+        """,
+        "q255_fifo_matching": """
+            WITH li AS MATERIALIZED (
+              SELECT l_partkey, l_returnflag,
+                     CAST(l_quantity AS BIGINT) AS qty,
+                     epoch_us(l_shipdate) AS us, l_orderkey, l_linenumber
+              FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+            lots AS (
+              SELECT l_partkey, l_returnflag,
+                     SUM(qty) OVER (PARTITION BY l_partkey, l_returnflag
+                                    ORDER BY us, l_orderkey, l_linenumber
+                                    ROWS UNBOUNDED PRECEDING) - qty AS lo,
+                     SUM(qty) OVER (PARTITION BY l_partkey, l_returnflag
+                                    ORDER BY us, l_orderkey, l_linenumber
+                                    ROWS UNBOUNDED PRECEDING) AS hi
+              FROM li),
+            matched AS (
+              SELECT s.l_partkey,
+                     least(s.hi, d.hi) - greatest(s.lo, d.lo) AS m
+              FROM lots s JOIN lots d
+                ON s.l_partkey = d.l_partkey
+               AND s.l_returnflag = 'R' AND d.l_returnflag = 'A'
+              WHERE least(s.hi, d.hi) - greatest(s.lo, d.lo) > 0),
+            per_part AS (
+              SELECT l_partkey, COUNT(*) AS n_match_pairs,
+                     SUM(m) AS matched_qty
+              FROM matched GROUP BY 1),
+            totals AS (
+              SELECT l_partkey,
+                     SUM(CASE WHEN l_returnflag = 'R' THEN qty ELSE 0 END)
+                       AS supply_qty,
+                     SUM(CASE WHEN l_returnflag = 'A' THEN qty ELSE 0 END)
+                       AS demand_qty
+              FROM li GROUP BY 1)
+            SELECT t.l_partkey,
+                   CAST(supply_qty AS BIGINT) AS supply_qty,
+                   CAST(demand_qty AS BIGINT) AS demand_qty,
+                   CAST(COALESCE(n_match_pairs, 0) AS BIGINT)
+                     AS n_match_pairs,
+                   CAST(COALESCE(matched_qty, 0) AS BIGINT) AS matched_qty,
+                   CAST(supply_qty - COALESCE(matched_qty, 0) AS BIGINT)
+                     AS leftover_supply,
+                   CAST(demand_qty - COALESCE(matched_qty, 0) AS BIGINT)
+                     AS unfilled_demand
+            FROM totals t LEFT JOIN per_part p ON t.l_partkey = p.l_partkey
+        """,
+        "q256_holt_linear": """
+            WITH RECURSIVE daily AS MATERIALIZED (
+              SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                     CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100)
+                          AS BIGINT) AS cents
+              FROM events GROUP BY 1, 2),
+            seq AS MATERIALIZED (
+              SELECT event_type, cents,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY day) AS i
+              FROM daily),
+            n AS MATERIALIZED (
+              SELECT event_type, COUNT(*) AS n_days FROM daily GROUP BY 1),
+            walk AS (
+              SELECT event_type, 0 AS i, CAST(0.0 AS DOUBLE) AS l,
+                     CAST(0.0 AS DOUBLE) AS b
+              FROM n
+              UNION ALL
+              SELECT w.event_type, w.i + 1,
+                     CASE WHEN w.i = 0 THEN CAST(s.cents AS DOUBLE) / 100.0
+                          WHEN w.i = 1 THEN CAST(s.cents AS DOUBLE) / 100.0
+                          ELSE 0.3 * (CAST(s.cents AS DOUBLE) / 100.0)
+                               + 0.7 * (w.l + w.b) END,
+                     CASE WHEN w.i = 0 THEN 0.0
+                          WHEN w.i = 1
+                          THEN CAST(s.cents AS DOUBLE) / 100.0 - w.l
+                          ELSE 0.1 * ((0.3 * (CAST(s.cents AS DOUBLE)
+                                              / 100.0)
+                                       + 0.7 * (w.l + w.b)) - w.l)
+                               + 0.9 * w.b END
+              FROM walk w JOIN seq s ON s.event_type = w.event_type
+                                    AND s.i = w.i + 1)
+            SELECT w.event_type, n.n_days,
+                   CAST(floor(w.l * 1000000) AS BIGINT) AS level_micro,
+                   CAST(floor(w.b * 1000000) AS BIGINT) AS trend_micro,
+                   CAST(floor((w.l + 7.0 * w.b) * 1000000) AS BIGINT)
+                     AS forecast7_micro
+            FROM walk w JOIN n ON n.event_type = w.event_type
+                              AND w.i = n.n_days
+        """,
+        "q257_rolling_regression_slope": """
+            WITH daily AS (
+              SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                     CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100)
+                          AS BIGINT) AS cents
+              FROM events GROUP BY 1, 2),
+            sums AS (
+              SELECT event_type, day,
+                     COUNT(*) OVER w AS n,
+                     SUM(CAST(day AS HUGEINT)) OVER w AS sx,
+                     SUM(CAST(cents AS HUGEINT)) OVER w AS sy,
+                     SUM(CAST(day AS HUGEINT) * cents) OVER w AS sxy,
+                     SUM(CAST(day AS HUGEINT) * day) OVER w AS sxx
+              FROM daily
+              WINDOW w AS (PARTITION BY event_type ORDER BY day
+                           RANGE BETWEEN 27 PRECEDING AND CURRENT ROW))
+            SELECT event_type, day, CAST(n AS BIGINT) AS n,
+                   CAST(floor(
+                     CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+                     / CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+                     * 1000000) AS BIGINT) AS slope_micro
+            FROM sums WHERE n >= 14
+        """,
+        "q258_mutual_nearest_neighbors": """
+            WITH dv AS MATERIALIZED (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS l
+              FROM embeddings),
+            nrm AS MATERIALIZED (
+              SELECT vec_id, l,
+                     sqrt(list_reduce(list_transform(l, x -> x * x),
+                                      (a, b) -> a + b)) AS nn
+              FROM dv),
+            pairs AS MATERIALIZED (
+              SELECT a.vec_id AS a, b.vec_id AS b,
+                     list_reduce(
+                       [a.l[i] * b.l[i]
+                        for i in generate_series(1, len(a.l))],
+                       (x, y) -> x + y) / (a.nn * b.nn) AS sim
+              FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id),
+            both_ AS (
+              SELECT a AS node, b AS nbr, sim FROM pairs
+              UNION ALL
+              SELECT b AS node, a AS nbr, sim FROM pairs),
+            best AS (
+              SELECT node, nbr AS best_nbr, sim FROM (
+                SELECT node, nbr, sim,
+                       row_number() OVER (PARTITION BY node
+                                          ORDER BY sim DESC, nbr) AS rn
+                FROM both_)
+              WHERE rn = 1)
+            SELECT f.node AS a, f.best_nbr AS b,
+                   CAST(floor(f.sim * 1000000) AS BIGINT) AS sim_micro
+            FROM best f JOIN best r
+              ON r.node = f.best_nbr AND r.best_nbr = f.node
+            WHERE f.node < f.best_nbr
+        """,
+        "q259_minibatch_assignment": """
+            WITH assigned AS (
+              SELECT source,
+                     (row_number() OVER (
+                        PARTITION BY source
+                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                      - 1) % 16 AS batch
+              FROM documents),
+            per_bs AS (
+              SELECT batch, source, COUNT(*) AS n
+              FROM assigned GROUP BY 1, 2)
+            SELECT batch,
+                   CAST(SUM(n) AS BIGINT) AS n_docs,
+                   CAST(COUNT(*) AS BIGINT) AS n_sources,
+                   CAST(floor(CAST(MAX(n) AS DOUBLE)
+                              / CAST(SUM(n) AS DOUBLE) * 1000000)
+                        AS BIGINT) AS max_source_share_ppm
+            FROM per_bs GROUP BY 1
         """,
     }

@@ -8730,3 +8730,249 @@ def q253_frame_sampling(spark, sf):
         F.sum(F.length("frame")).alias("total_bytes"),
         F.count_distinct(F.md5("frame")).alias("n_distinct_frames"),
     )
+
+
+def q254_l_diversity(spark, sf):
+    """l-diversity privacy audit (Machanavajjhala et al. 2007, public
+    paper): for every quasi-identifier group (nation, market segment),
+    the equivalence-class size k and the number of DISTINCT sensitive
+    values l (account-balance kilobuckets) — k-anonymity (q163) says a
+    group is big enough to hide in; this says its sensitive attribute
+    is varied enough that hiding helps. One (QI) agg with map-side
+    distinct collapse; groups failing l >= 3 are flagged for
+    suppression."""
+    cust = _t(spark, sf, "customer")
+    sens = F.floor(F.col("c_acctbal") / 1000.0).cast("long")
+    return (
+        cust.select("c_nationkey", "c_mktsegment", sens.alias("kb"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("k_size"),
+            F.count_distinct("kb").alias("l_diversity"),
+        )
+        .withColumn(
+            "suppress", F.when(F.col("l_diversity") < 3, 1).otherwise(0)
+        )
+    )
+
+
+def q255_fifo_matching(spark, sf):
+    """Distributed FIFO lot matching — the inventory/cost-basis op that
+    looks inherently sequential but is exactly a CUMSUM-RANGE
+    INTERSECTION join: per part, supply lots (returnflag R) and demand
+    lots (returnflag A) each get [cum_prev, cum) quantity intervals from
+    one running-sum window in FIFO (shipdate) order; a lot pair matches
+    where the intervals overlap, and the matched quantity IS the overlap
+    length. Two windows + one per-part equi-join (bounded groups; the
+    100 TB variant adds a coarse cum-range bin to the key). Integer
+    quantities end-to-end."""
+    li = _t(spark, sf, "lineitem").select(
+        "l_partkey", "l_returnflag",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias("us"),
+        "l_orderkey", "l_linenumber",
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        "us", "l_orderkey", "l_linenumber"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    def lots(flag, lo, hi):
+        side = li.where(F.col("l_returnflag") == flag)
+        return side.select(
+            "l_partkey",
+            (F.sum("qty").over(w) - F.col("qty")).alias(lo),
+            F.sum("qty").over(w).alias(hi),
+        )
+
+    supply = lots("R", "s_lo", "s_hi")
+    demand = lots("A", "d_lo", "d_hi").withColumnRenamed(
+        "l_partkey", "pk2"
+    )
+    matched = (
+        supply.join(demand, supply.l_partkey == demand.pk2)
+        .withColumn(
+            "m",
+            F.least("s_hi", "d_hi") - F.greatest("s_lo", "d_lo"),
+        )
+        .where(F.col("m") > 0)
+    )
+    per_part = matched.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_match_pairs"),
+        F.sum("m").alias("matched_qty"),
+    )
+    totals = (
+        li.where(F.col("l_returnflag").isin("R", "A"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.when(F.col("l_returnflag") == "R", F.col("qty"))
+                  .otherwise(0)).alias("supply_qty"),
+            F.sum(F.when(F.col("l_returnflag") == "A", F.col("qty"))
+                  .otherwise(0)).alias("demand_qty"),
+        )
+    )
+    return totals.join(per_part, "l_partkey", "left").select(
+        "l_partkey", "supply_qty", "demand_qty",
+        F.coalesce("n_match_pairs", F.lit(0)).alias("n_match_pairs"),
+        F.coalesce("matched_qty", F.lit(0)).alias("matched_qty"),
+        (F.col("supply_qty") - F.coalesce("matched_qty", F.lit(0)))
+        .alias("leftover_supply"),
+        (F.col("demand_qty") - F.coalesce("matched_qty", F.lit(0)))
+        .alias("unfilled_demand"),
+    )
+
+
+def q256_holt_linear(spark, sf):
+    """Holt double exponential smoothing (level + trend) over each event
+    type's daily revenue series, alpha=0.3 / beta=0.1, with a 7-step
+    linear forecast — the trend-aware upgrade of q178's EWMA. The state
+    recursion is data-dependent (no window function), so it runs as the
+    q139 fold idiom over the sorted day array: ONE event_type shuffle.
+    Daily totals are exact integer cents BEFORE the float recursion, so
+    both engines fold the same IEEE sequence; the DuckDB oracle walks a
+    recursive CTE (never a struct list_reduce)."""
+    ev = _events(spark, sf)
+    daily = ev.groupBy(
+        "event_type", F.expr("ts div 86400000000000").alias("day")
+    ).agg(
+        F.sum(F.col("value").cast(DEC) * 100).cast("long").alias("cents")
+    )
+    per = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "cents"))).alias("seq"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+
+    def step(acc, x):
+        y = x["cents"].cast("double") / F.lit(100.0)
+        first = acc["i"] == 0
+        second = acc["i"] == 1
+        nl = F.lit(0.3) * y + F.lit(0.7) * (acc["l"] + acc["b"])
+        nb = F.lit(0.1) * (nl - acc["l"]) + F.lit(0.9) * acc["b"]
+        return F.struct(
+            F.when(first, y).when(second, y).otherwise(nl).alias("l"),
+            F.when(first, F.lit(0.0))
+            .when(second, y - acc["l"]).otherwise(nb).alias("b"),
+            (acc["i"] + 1).alias("i"),
+        )
+
+    init = F.struct(
+        F.lit(0.0).alias("l"), F.lit(0.0).alias("b"), F.lit(0).alias("i")
+    )
+    st = F.aggregate("seq", init, step)
+    return per.select(
+        "event_type", "n_days",
+        F.floor(st["l"] * 1_000_000).cast("long").alias("level_micro"),
+        F.floor(st["b"] * 1_000_000).cast("long").alias("trend_micro"),
+        F.floor((st["l"] + F.lit(7.0) * st["b"]) * 1_000_000)
+        .cast("long").alias("forecast7_micro"),
+    )
+
+
+def q257_rolling_regression_slope(spark, sf):
+    """Rolling 28-day OLS trend: per event type and day, the regression
+    slope of daily revenue on the day index over the trailing 28-day
+    RANGE window — the local trend detector behind 'is this series
+    accelerating' alerts (q201's Theil-Sen is global; q156's forecast is
+    one split). The closed form n*Sxy - Sx*Sy / (n*Sxx - Sx^2) runs on
+    INTEGER window sums (cents x day-index products in decimal(38,0)),
+    one float divide per row. One event_type shuffle shared by all five
+    window sums; emitted where n >= 14."""
+    ev = _events(spark, sf)
+    daily = ev.groupBy(
+        "event_type", F.expr("ts div 86400000000000").alias("day")
+    ).agg(
+        F.sum(F.col("value").cast(DEC) * 100).cast("long").alias("cents")
+    )
+    D38 = "decimal(38,0)"
+    w = (
+        Window.partitionBy("event_type").orderBy("day")
+        .rangeBetween(-27, 0)
+    )
+    x = F.col("day").cast(D38)
+    y = F.col("cents").cast(D38)
+    sums = daily.select(
+        "event_type", "day",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(x).over(w).alias("sx"),
+        F.sum(y).over(w).alias("sy"),
+        F.sum(x * y).over(w).alias("sxy"),
+        F.sum(x * x).over(w).alias("sxx"),
+    ).where(F.col("n") >= 14)
+    num = (F.col("n").cast(D38) * F.col("sxy") - F.col("sx") * F.col("sy"))
+    den = (F.col("n").cast(D38) * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return sums.select(
+        "event_type", "day", "n",
+        F.floor(
+            num.cast("double") / den.cast("double") * 1_000_000
+        ).cast("long").alias("slope_micro"),
+    )
+
+
+def q258_mutual_nearest_neighbors(spark, sf):
+    """Mutual nearest neighbors over the embedding corpus: pairs (a, b)
+    where b is a's single best cosine neighbor AND a is b's — the
+    alignment primitive (translation mining, cross-dataset record
+    linkage) where one-directional top-1 is too noisy. All pair sims
+    come from the q46 triangle-block self-comparison (no cartesian
+    node); per-node argmax is ONE max-of-struct agg with ties broken
+    toward the smaller neighbor id; mutuality is a self-join of the
+    2-column best table on the reversed key."""
+    from chemharmony_spark.cache import registered_persist
+
+    emb = _t(spark, sf, "embeddings")
+    # persist: the n^2/2 triangle-block scoring feeds BOTH orientations of
+    # the union — without the cache the full pair comparison runs twice
+    pairs = registered_persist(SIM.all_pairs_cosine(emb, threshold=-1.0))
+    both = pairs.select(
+        F.col("a").alias("node"), F.col("b").alias("nbr"), "sim"
+    ).unionByName(
+        pairs.select(
+            F.col("b").alias("node"), F.col("a").alias("nbr"), "sim"
+        )
+    )
+    best = both.groupBy("node").agg(
+        F.max(F.struct(F.col("sim"), (-F.col("nbr")).alias("negn"))).alias("t")
+    ).select(
+        "node", (-F.col("t.negn")).alias("best_nbr"), F.col("t.sim").alias("sim")
+    )
+    fwd = best.select(
+        F.col("node").alias("a"), F.col("best_nbr").alias("b"), "sim"
+    ).where(F.col("a") < F.col("b"))
+    rev = best.select(
+        F.col("best_nbr").alias("a2"), F.col("node").alias("b2")
+    )
+    return (
+        fwd.join(rev, (fwd.a == rev.a2) & (fwd.b == rev.b2), "left_semi")
+        .select(
+            "a", "b",
+            F.floor(F.col("sim") * 1_000_000).cast("long").alias("sim_micro"),
+        )
+    )
+
+
+def q259_minibatch_assignment(spark, sf):
+    """Deterministic interleaved mini-batch sharding: within each source,
+    docs rank by (md5(doc_id), doc_id) and take batch = (rank-1) % 16 —
+    the round-robin shard assignment a training run replays identically
+    on any engine, with a per-batch BALANCE AUDIT (doc count, sources
+    present, largest single-source share in ppm). One source-partitioned
+    rank window + a 16-row final agg; at 100 TB the rank is the only
+    full shuffle and batches stay statistically interchangeable because
+    the hash order is content-independent."""
+    docs = _t(spark, sf, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    assigned = docs.select(
+        "source",
+        ((F.row_number().over(w) - 1) % 16).alias("batch"),
+    )
+    per_bs = assigned.groupBy("batch", "source").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return per_bs.groupBy("batch").agg(
+        F.sum("n").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_sources"),
+        F.floor(
+            F.max("n").cast("double") / F.sum("n").cast("double") * 1_000_000
+        ).cast("long").alias("max_source_share_ppm"),
+    )

@@ -613,6 +613,20 @@ SHUFFLE_BUDGET = {
     # q253: the doc_id join back for source + the (source, frame_idx)
     # distinct-fingerprint agg
     "q253_frame_sampling": 2,
+    # q254: one QI-group agg (distinct collapse is map-side partial)
+    "q254_l_diversity": 2,
+    # q255: the two FIFO cumsum windows share the part key; the lot join
+    # + totals rollup add the rest — groups bounded per part
+    "q255_fifo_matching": 3,
+    # q256: daily-cents agg + the event_type fold shuffle
+    "q256_holt_linear": 2,
+    # q257: daily agg + ONE event_type window shared by all five sums
+    "q257_rolling_regression_slope": 2,
+    # q258: triangle-block pair scoring persisted (prints per consumer);
+    # union + argmax agg + the mutuality self-join, all pair-/node-sized
+    "q258_mutual_nearest_neighbors": 6,
+    # q259: the source rank window + (batch, source) and batch rollups
+    "q259_minibatch_assignment": 3,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
