@@ -336,6 +336,11 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q257_rolling_regression_slope": Q.q257_rolling_regression_slope,
         "q258_mutual_nearest_neighbors": Q.q258_mutual_nearest_neighbors,
         "q259_minibatch_assignment": Q.q259_minibatch_assignment,
+        "q260_truncation_audit": Q.q260_truncation_audit,
+        "q261_neardup_diff_tokens": Q.q261_neardup_diff_tokens,
+        "q262_salted_skew_join": Q.q262_salted_skew_join,
+        "q263_bigram_coverage": Q.q263_bigram_coverage,
+        "q264_kadane_revenue_window": Q.q264_kadane_revenue_window,
     }
 
 
@@ -6522,5 +6527,133 @@ def oracle_sql() -> dict[str, str]:
                               / CAST(SUM(n) AS DOUBLE) * 1000000)
                         AS BIGINT) AS max_source_share_ppm
             FROM per_bs GROUP BY 1
+        """,
+        "q260_truncation_audit": f"""
+            WITH per AS (
+              SELECT source, len({_TOKS}) AS nt,
+                     least(len({_TOKS}), 128) AS kt,
+                     CASE WHEN len({_TOKS}) > 128 THEN 1 ELSE 0 END AS tr
+              FROM documents)
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(tr) AS BIGINT) AS n_truncated,
+                   CAST(SUM(nt) AS BIGINT) AS total_tokens,
+                   CAST(SUM(kt) AS BIGINT) AS kept_tokens,
+                   CAST(floor(CAST(SUM(nt) - SUM(kt) AS DOUBLE)
+                              / CAST(SUM(nt) AS DOUBLE) * 1000000)
+                        AS BIGINT) AS dropped_ppm
+            FROM per GROUP BY 1
+        """,
+        "q261_neardup_diff_tokens": f"""
+            WITH toks AS MATERIALIZED (
+              SELECT doc_id, list_distinct({_TOKS}) AS ws
+              FROM documents),
+            nonempty AS (SELECT * FROM toks WHERE len(ws) > 0),
+            pairs AS (
+              SELECT a.doc_id AS a, b.doc_id AS b, a.ws AS wa, b.ws AS wb,
+                     len(list_intersect(a.ws, b.ws)) AS ni,
+                     len(a.ws) AS na, len(b.ws) AS nb
+              FROM nonempty a JOIN nonempty b ON a.doc_id < b.doc_id),
+            verified AS (
+              SELECT a, b, wa, wb
+              FROM pairs
+              WHERE CAST(ni AS DOUBLE) / (na + nb - ni) >= 0.6),
+            sample AS (
+              SELECT wa, wb FROM verified
+              ORDER BY md5(concat(CAST(a AS VARCHAR), ':',
+                                  CAST(b AS VARCHAR))), a, b
+              LIMIT 1000),
+            diff AS (
+              SELECT unnest(list_concat(
+                       list_filter(wa, x -> NOT list_contains(wb, x)),
+                       list_filter(wb, x -> NOT list_contains(wa, x))))
+                       AS token
+              FROM sample)
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+            FROM diff GROUP BY 1
+            ORDER BY n DESC, token
+            LIMIT 20
+        """,
+        "q262_salted_skew_join": """
+            WITH dim AS (
+              SELECT user_id, user_id % 8 AS segment
+              FROM (SELECT user_id FROM events GROUP BY 1))
+            SELECT d.segment,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CAST(e.value AS DECIMAL(18,2)) * 100)
+                        AS BIGINT) AS cents
+            FROM events e JOIN dim d ON e.user_id = d.user_id
+            GROUP BY 1
+        """,
+        "q263_bigram_coverage": f"""
+            WITH t AS (
+              SELECT source,
+                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                       IN ('0','1','2','3','4','5','6','7') AS tr,
+                     {_TOKS} AS toks
+              FROM documents),
+            grams AS MATERIALIZED (
+              SELECT source, tr,
+                     unnest(CASE WHEN len(toks) >= 2 THEN
+                       [concat(toks[i], ' ', toks[i+1])
+                        for i in generate_series(1, len(toks) - 1)]
+                     ELSE [] END) AS g
+              FROM t),
+            train_vocab AS (SELECT DISTINCT g FROM grams WHERE tr),
+            test AS (
+              SELECT DISTINCT source, g FROM grams WHERE NOT tr),
+            tot AS (
+              SELECT source, COUNT(*) AS n_test_bigrams
+              FROM test GROUP BY 1),
+            cov AS (
+              SELECT source, COUNT(*) AS nc
+              FROM test SEMI JOIN train_vocab USING (g)
+              GROUP BY 1)
+            SELECT t.source, CAST(t.n_test_bigrams AS BIGINT)
+                     AS n_test_bigrams,
+                   CAST(floor(CAST(COALESCE(c.nc, 0) AS DOUBLE)
+                              / CAST(t.n_test_bigrams AS DOUBLE)
+                              * 1000000) AS BIGINT) AS covered_ppm
+            FROM tot t LEFT JOIN cov c ON t.source = c.source
+        """,
+        "q264_kadane_revenue_window": """
+            WITH RECURSIVE daily AS MATERIALIZED (
+              SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                     CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100)
+                          AS BIGINT) AS cents
+              FROM events GROUP BY 1, 2),
+            seq AS MATERIALIZED (
+              SELECT event_type, cents,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY day) AS i
+              FROM daily),
+            n AS MATERIALIZED (
+              SELECT event_type, COUNT(*) AS n_days,
+                     CAST(SUM(cents) AS HUGEINT) AS total
+              FROM daily GROUP BY 1),
+            walk AS (
+              SELECT event_type,
+                     0 AS i,
+                     CAST(-1000000000000000000 AS HUGEINT) AS cur,
+                     CAST(-1000000000000000000 AS HUGEINT) AS best
+              FROM n
+              UNION ALL
+              SELECT w.event_type, w.i + 1,
+                     greatest(CAST(s.cents AS HUGEINT) * n.n_days
+                                - n.total,
+                              w.cur + (CAST(s.cents AS HUGEINT) * n.n_days
+                                       - n.total)),
+                     greatest(w.best,
+                       greatest(CAST(s.cents AS HUGEINT) * n.n_days
+                                  - n.total,
+                                w.cur + (CAST(s.cents AS HUGEINT)
+                                         * n.n_days - n.total)))
+              FROM walk w
+              JOIN n ON n.event_type = w.event_type
+              JOIN seq s ON s.event_type = w.event_type
+                        AND s.i = w.i + 1)
+            SELECT w.event_type, n.n_days, CAST(w.best AS BIGINT) AS best_run_scaled
+            FROM walk w JOIN n ON n.event_type = w.event_type
+                              AND w.i = n.n_days
         """,
     }

@@ -8976,3 +8976,196 @@ def q259_minibatch_assignment(spark, sf):
             F.max("n").cast("double") / F.sum("n").cast("double") * 1_000_000
         ).cast("long").alias("max_source_share_ppm"),
     )
+
+
+def q260_truncation_audit(spark, sf):
+    """Sequence-length truncation audit: if every document is clipped to a
+    128-token context budget, how many tokens does each source lose?
+    Reports per source: docs, docs truncated, total vs kept tokens and
+    the dropped share in ppm — the pre-training sizing question q55's
+    chunker answers by splitting and this answers by measuring. Pure
+    narrow map (one tokens() pass, no explode) + one source-sized agg."""
+    docs = _t(spark, sf, "documents")
+    n_tok = F.size(TX.tokens("text"))
+    kept = F.least(n_tok, F.lit(128))
+    per = docs.select(
+        "source", n_tok.alias("nt"), kept.alias("kt"),
+        F.when(n_tok > 128, 1).otherwise(0).alias("tr"),
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tr").alias("n_truncated"),
+        F.sum("nt").alias("total_tokens"),
+        F.sum("kt").alias("kept_tokens"),
+        F.floor(
+            (F.sum("nt") - F.sum("kt")).cast("double")
+            / F.sum("nt").cast("double") * 1_000_000
+        ).cast("long").alias("dropped_ppm"),
+    )
+
+
+def q261_neardup_diff_tokens(spark, sf):
+    """Near-duplicate EDIT EXPLANATION: over a deterministic 1000-pair
+    sample of verified near-dups (Jaccard >= 0.6), which tokens most
+    often make up the symmetric difference — i.e. WHAT keeps changing
+    between near-copies (timestamps, ids, boilerplate variants)? The
+    dedup-debugging readout behind threshold tuning. Candidates come
+    from the exact-recall PPJoin prefix filter, the sample ranks pairs
+    by md5(a:b) (content-independent), diffs are array_except both ways
+    on the per-doc distinct token arrays (broadcast-joined once), and
+    the top-20 is a TakeOrdered on (n desc, token)."""
+    docs = _t(spark, sf, "documents")
+    cands = DD.prefix_filter_pairs(docs, "doc_id", "text", threshold=0.6)
+    verified = (
+        DD.jaccard_pairs(docs, cands, "doc_id", "text", hash_tokens=False)
+        .where(F.col("jaccard") >= 0.6)
+        .select("a", "b")
+    )
+    key = F.md5(F.concat_ws(":", F.col("a"), F.col("b")))
+    # TakeOrderedAndProject (per-partition top-k, merged on the driver) —
+    # never a single-partition global sort over the pair set
+    sample = (
+        verified.withColumn("k", key)
+        .orderBy("k", "a", "b").limit(1000).drop("k")
+    )
+    toks = docs.select(
+        F.col("doc_id"),
+        F.array_distinct(TX.tokens("text")).alias("ws"),
+    )
+    ta = F.broadcast(toks.select(F.col("doc_id").alias("a"),
+                                 F.col("ws").alias("wa")))
+    tb = F.broadcast(toks.select(F.col("doc_id").alias("b"),
+                                 F.col("ws").alias("wb")))
+    diff = (
+        sample.join(ta, "a").join(tb, "b")
+        .select(
+            F.explode(
+                F.concat(
+                    F.array_except("wa", "wb"), F.array_except("wb", "wa")
+                )
+            ).alias("token")
+        )
+    )
+    return (
+        diff.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(20)
+    )
+
+
+def q262_salted_skew_join(spark, sf):
+    """Skew-resistant salted join as a first-class queries() entry: the
+    fact side (events) joins a small per-user dimension through
+    operators/core.salted_join — the explicit-salting fallback for when
+    AQE can't split a hot key (documented in SCALE.md rule 2) — then
+    rolls revenue up by segment. Results are EXACTLY a plain join's (the
+    oracle is the plain SQL join); the only difference is the physical
+    key (user_id, salt), which spreads any single hot user over 16
+    tasks."""
+    from chemharmony_spark.operators.core import salted_join
+
+    ev = _events(spark, sf).select("user_id", "value")
+    dim = (
+        ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", (F.col("user_id") % 8).alias("segment"))
+    )
+    joined = salted_join(ev, dim, on=["user_id"], n_salts=16)
+    return joined.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").cast(DEC) * 100).cast("long").alias("cents"),
+    )
+
+
+def q263_bigram_coverage(spark, sf):
+    """Train/test bigram coverage: split docs 50/50 by the first md5 hex
+    of doc_id, build the global TRAIN distinct-bigram vocabulary, and
+    measure per source what share of its TEST docs' distinct bigrams the
+    train split covers (ppm) — the n-gram novelty check that says
+    whether a held-out slice is learnable from the train mix (q113 asks
+    the opposite: is test LEAKED into train?). One bigram explode per
+    split; coverage is a left-semi join against the train set (hash
+    join on the bigram key, map-side distinct collapse first)."""
+    docs = _t(spark, sf, "documents")
+    is_train = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+        *list("01234567")
+    )
+    toks = docs.select(
+        "source", is_train.alias("tr"), TX.tokens("text").alias("toks")
+    )
+    grams = toks.select(
+        "source", "tr",
+        F.explode(
+            F.when(
+                F.size("toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("toks", (i + 1).cast("int")),
+                        F.element_at("toks", (i + 2).cast("int")),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+    train_vocab = grams.where("tr").select("g").distinct()
+    test = grams.where(~F.col("tr")).select("source", "g").distinct()
+    covered = test.join(train_vocab, "g", "left_semi")
+    tot = test.groupBy("source").agg(F.count(F.lit(1)).alias("n_test_bigrams"))
+    cov = covered.groupBy("source").agg(F.count(F.lit(1)).alias("nc"))
+    return tot.join(cov, "source", "left").select(
+        "source", "n_test_bigrams",
+        F.floor(
+            F.coalesce("nc", F.lit(0)).cast("double")
+            / F.col("n_test_bigrams").cast("double") * 1_000_000
+        ).cast("long").alias("covered_ppm"),
+    )
+
+
+def q264_kadane_revenue_window(spark, sf):
+    """Best contiguous revenue run (maximum-subarray / Kadane) per event
+    type over the MEAN-CENTERED daily series: which stretch of
+    consecutive active days most outperformed the average — burst
+    detection with an exact integer answer (q215 finds single peak days;
+    this finds the best WINDOW). Centering uses day_cents * n - total
+    (scaled by n to stay integer); the data-dependent reset makes it a
+    fold, not a window function — the q139 idiom: one event_type
+    shuffle, recursive-CTE oracle, integer state end-to-end."""
+    ev = _events(spark, sf)
+    daily = ev.groupBy(
+        "event_type", F.expr("ts div 86400000000000").alias("day")
+    ).agg(
+        F.sum(F.col("value").cast(DEC) * 100).cast("long").alias("cents")
+    )
+    per = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "cents"))).alias("seq"),
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("cents").alias("total"),
+    )
+    D38 = "decimal(38,0)"
+
+    def step(acc, x):
+        # centered value scaled by n: x*n - total (exact integers)
+        v = (
+            x["cents"].cast(D38) * acc["n"].cast(D38) - acc["tot"].cast(D38)
+        )
+        cur = F.greatest(v, acc["cur"] + v)
+        return F.struct(
+            cur.alias("cur"),
+            F.greatest(acc["best"], cur).alias("best"),
+            acc["n"].alias("n"),
+            acc["tot"].alias("tot"),
+        )
+
+    neg = F.lit(-(10**18)).cast(D38)
+    init = F.struct(
+        neg.alias("cur"), neg.alias("best"),
+        F.col("n_days").alias("n"), F.col("total").alias("tot"),
+    )
+    st = F.aggregate("seq", init, step)
+    # best stays in the n-scaled integer unit (cents x n_days): exact in
+    # both engines, no decimal-division rounding convention to match
+    return per.select(
+        "event_type", "n_days",
+        st["best"].cast("long").alias("best_run_scaled"),
+    )

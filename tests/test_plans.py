@@ -627,6 +627,21 @@ SHUFFLE_BUDGET = {
     "q258_mutual_nearest_neighbors": 6,
     # q259: the source rank window + (batch, source) and batch rollups
     "q259_minibatch_assignment": 3,
+    # q260: one source agg over a narrow tokens() map — no explode
+    "q260_truncation_audit": 1,
+    # q261: prefix freq/window + candidate join + the sample
+    # TakeOrdered's partial exchange + the diff-token count; the
+    # persisted token table prints per consumer from a clean cache.
+    # Everything after the candidate join is sample-sized (1000 pairs)
+    "q261_neardup_diff_tokens": 6,
+    # q262: the dim derivation agg + the salted (user_id, salt) join —
+    # same exchanges a plain join would pay, keys just carry the salt
+    "q262_salted_skew_join": 2,
+    # q263: train-vocab distinct + test distinct + the semi join +
+    # per-source rollups; all post-explode frames are vocabulary-sized
+    "q263_bigram_coverage": 5,
+    # q264: daily-cents agg + the event_type fold shuffle
+    "q264_kadane_revenue_window": 2,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
