@@ -82,6 +82,7 @@ def connected_components_star(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 30,
+    broadcast_maps: bool = False,
 ) -> DataFrame:
     """-> (node, component) via alternating large-star/small-star rounds
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -99,6 +100,15 @@ def connected_components_star(
     round's edge set is localCheckpoint'ed so the plan stays flat. Same
     deterministic min-root contract as ``connected_components`` (and the
     same recursive-CTE oracle applies).
+
+    ``broadcast_maps=True`` broadcasts each round's node->min map into the
+    edge-rewrite join instead of shuffling the edge set onto it — the map
+    is NODE-sized (its groupBy is map-side combined to <= |V| partials per
+    partition) while the edges it rewrites are PAIR-sized, so on dense
+    near-dup graphs (7.1M edges over 4.8k nodes at sf0.1) this removes the
+    only edge-sized shuffles in each round. Leave False when the node
+    universe itself may not fit the broadcast budget (the default 100 TB
+    posture); results are identical either way.
     """
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -107,13 +117,15 @@ def connected_components_star(
         .localCheckpoint(eager=True)
     )
 
+    hint = F.broadcast if broadcast_maps else (lambda d: d)
+
     def _large_star(ed: DataFrame) -> DataFrame:
         sym = ed.union(ed.select(F.col("v").alias("u"), F.col("u").alias("v")))
         mins = sym.groupBy("u").agg(
             F.least(F.min("v"), F.first("u")).alias("m")
         )
         return (
-            sym.join(mins, "u")
+            sym.join(hint(mins), "u")
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
@@ -128,7 +140,7 @@ def connected_components_star(
         ).distinct()
         mins = d.groupBy("u").agg(F.min("v").alias("m"))
         re_smaller = (
-            d.join(mins, "u")
+            d.join(hint(mins), "u")
             .where(F.col("v") != F.col("m"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )

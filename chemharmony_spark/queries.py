@@ -2877,7 +2877,7 @@ def q123_dedup_pipeline(spark, sf):
         .where(F.col("jaccard") >= 0.6)
         .select(F.col("a").alias("src"), F.col("b").alias("dst"))
     )
-    comp = connected_components_star(pairs, "src", "dst")
+    comp = connected_components_star(pairs, "src", "dst", broadcast_maps=True)
     labeled = (
         docs.join(comp, docs.doc_id == comp.node, "left")
         .withColumn("component", F.coalesce("component", F.col("doc_id")))
