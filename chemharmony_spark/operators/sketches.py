@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -95,3 +95,58 @@ def approx_quantiles(df: DataFrame, keys: Sequence[str], value_col: str,
         for i, q in enumerate(quantiles)
     ]
     return out.select(*keys, *cols)
+
+
+def hll64_bucket_rho(key_col: Column | str) -> tuple[Column, Column]:
+    """Engine-portable 64-bucket HyperLogLog ingredients for one key:
+    (bucket, rho) from the md5 hex of the key — bucket is the first 8
+    bits mod 64, rho the leading-zero rank (+1) of the next 24 bits.
+    Pure integer/string arithmetic (no engine HLL state), so the sketch
+    is bit-reproducible in ANSI SQL and MERGEABLE: max(rho) per
+    (group, bucket) is the whole state, and maxima combine across
+    partitions, epochs, or engines. Used by q248 and the streaming
+    incremental twin (streaming/windows.stream_hll_index)."""
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    h = F.md5(c.cast("string"))
+
+    def hexv(ch: Column) -> Column:
+        return F.instr(F.lit("0123456789abcdef"), ch) - 1
+
+    bucket = (
+        (hexv(F.substring(h, 1, 1)) * 16 + hexv(F.substring(h, 2, 1))) % 64
+    )
+    v: Column = F.lit(0)
+    for i in range(3, 9):  # 24 bits from hex chars 3..8
+        v = v * 16 + hexv(F.substring(h, i, 1))
+    v = v.cast("long")
+    rho = F.when(v == 0, F.lit(25)).otherwise(25 - F.length(F.bin(v)))
+    return bucket, rho
+
+
+def hll64_estimate(bucket_maxima: DataFrame, group_cols: Sequence[str],
+                   m_col: str = "m") -> DataFrame:
+    """Estimate from merged 64-bucket maxima (one row per (group, bucket)
+    with ``m_col`` = max rho): integer harmonic sum (1 << (25 - m),
+    absent buckets at 1 << 25), then the single float alpha*m^2/Z
+    divide. Input maxima may come from any union of partial sketches —
+    merging is just max()."""
+    groups = list(group_cols)
+    z = bucket_maxima.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), 25 - {m_col})"))
+        .alias("zp"),
+    ).select(
+        *groups,
+        (
+            F.col("zp")
+            + (F.lit(64) - F.col("nb")) * F.lit(1 << 25).cast("long")
+        ).alias("z"),
+    )
+    est = (
+        F.lit(0.709) * F.lit(4096.0) * F.lit(33554432.0)
+        / F.col("z").cast("double")
+    )
+    return z.select(
+        *groups,
+        F.floor(est * 1_000_000).cast("long").alias("hll_est_micro"),
+    )

@@ -8465,42 +8465,23 @@ def q248_hll_distinct(spark, sf):
     map-side combined: the (type, bucket) max-rank agg (<= 64 rows per
     type survive each partition) and the exact distinct used for the
     comparison column."""
-    ev = _events(spark, sf).select("event_type", "user_id")
-    h = F.md5(F.col("user_id").cast("string"))
-    hexv = lambda c: F.instr(F.lit("0123456789abcdef"), c) - 1  # noqa: E731
-    bucket = (
-        (hexv(F.substring(h, 1, 1)) * 16 + hexv(F.substring(h, 2, 1))) % 64
+    from chemharmony_spark.operators.sketches import (
+        hll64_bucket_rho, hll64_estimate,
     )
-    v = F.lit(0)
-    for i in range(3, 9):  # 24 bits from hex chars 3..8
-        v = v * 16 + hexv(F.substring(h, i, 1))
-    v = v.cast("long")
-    rho = F.when(v == 0, F.lit(25)).otherwise(25 - F.length(F.bin(v)))
+
+    ev = _events(spark, sf).select("event_type", "user_id")
+    bucket, rho = hll64_bucket_rho("user_id")
     per_bucket = (
         ev.select("event_type", bucket.alias("bucket"), rho.alias("rho"))
         .groupBy("event_type", "bucket")
         .agg(F.max("rho").alias("m"))
     )
-    z = per_bucket.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("nb"),
-        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 25 - m)")).alias("zp"),
-    ).select(
-        "event_type",
-        (
-            F.col("zp")
-            + (F.lit(64) - F.col("nb")) * F.lit(1 << 25).cast("long")
-        ).alias("z"),
-    )
-    est = F.lit(0.709) * F.lit(4096.0) * F.lit(33554432.0) / F.col("z").cast(
-        "double"
-    )
+    est = hll64_estimate(per_bucket, ["event_type"])
     exact = ev.groupBy("event_type").agg(
         F.count_distinct("user_id").alias("n_exact")
     )
-    return exact.join(z, "event_type").select(
-        "event_type",
-        "n_exact",
-        F.floor(est * 1_000_000).cast("long").alias("hll_est_micro"),
+    return exact.join(est, "event_type").select(
+        "event_type", "n_exact", "hll_est_micro"
     )
 
 

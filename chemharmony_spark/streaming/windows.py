@@ -316,3 +316,70 @@ def stream_novel_docs(
         sigs.unpersist()
 
     run_stream_foreach_batch(src, admit, checkpoint_dir, mode="append")
+
+
+def stream_hll_index(
+    spark: SparkSession,
+    events_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    glob: str = "*.parquet",
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Incrementally maintained HyperLogLog sketch: each micro-batch folds
+    its events into 64-bucket max-rho partials (sketches.hll64_bucket_rho)
+    and appends them to ``index_dir`` under an epoch-keyed subdir — the
+    foreachBatch exactly-once contract (idempotent per epoch, same as
+    stream_novel_docs). Because HLL state MERGES BY MAX, the union of all
+    epochs' partials re-aggregated with max(m) is EXACTLY the batch
+    sketch over all data ever seen: no read-modify-write of prior state,
+    so batches never contend and replay is safe.
+
+    Read the estimate at any time with :func:`hll_estimate_from_index` —
+    parity with the batch q248 estimate is asserted in
+    tests/test_streaming.py."""
+    from chemharmony_spark.operators.sketches import hll64_bucket_rho
+
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .option("pathGlobFilter", glob)
+        .parquet(events_dir)
+    )
+
+    def fold(batch_df, epoch_id):
+        import os
+
+        bucket, rho = hll64_bucket_rho("user_id")
+        partial = (
+            batch_df.select(
+                "event_type", bucket.alias("bucket"), rho.alias("rho")
+            )
+            .groupBy("event_type", "bucket")
+            .agg(F.max("rho").alias("m"))
+        )
+        partial.write.mode("overwrite").parquet(
+            os.path.join(index_dir, f"epoch={epoch_id}")
+        )
+
+    run_stream_foreach_batch(src, fold, checkpoint_dir, mode="update")
+
+
+def hll_estimate_from_index(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Merge every epoch's HLL partials (max per (group, bucket)) and
+    produce the estimate — identical to running the batch sketch over the
+    union of all batches."""
+    import os
+
+    from chemharmony_spark.operators.sketches import hll64_estimate
+
+    epochs = [
+        os.path.join(index_dir, d)
+        for d in os.listdir(index_dir)
+        if d.startswith("epoch=")
+    ]
+    partials = spark.read.parquet(*epochs)
+    merged = partials.groupBy("event_type", "bucket").agg(
+        F.max("m").alias("m")
+    )
+    return hll64_estimate(merged, ["event_type"])

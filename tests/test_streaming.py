@@ -611,3 +611,42 @@ def test_streaming_throttle_matches_batch_across_batches(spark, sf_dir,
     assert ours == batch
     # the split genuinely exercised cross-batch state
     assert streamed.count() > final.count()
+
+
+def test_streaming_hll_sketch_matches_batch(spark, sf_dir, tmp_path):
+    """The incrementally maintained HLL index (per-epoch max-rho partials,
+    merged by max) yields EXACTLY the batch q248 estimate: HLL state is a
+    max-merge semilattice, so partial order/batching cannot change it."""
+    import os
+
+    from chemharmony_spark.queries import q248_hll_distinct
+    from chemharmony_spark.streaming.windows import (
+        hll_estimate_from_index, stream_hll_index,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    # three deterministic slices -> three micro-batches
+    for i in range(3):
+        half = ev.where(F.col("event_id") % 3 == i)
+        tmp = tmp_path / f"w_{i}"
+        half.coalesce(1).write.parquet(str(tmp))
+        part = next(tmp.glob("part-*.parquet"))
+        os.rename(part, stage / f"{i}_events.parquet")
+        os.utime(stage / f"{i}_events.parquet", (i + 1, i + 1))
+
+    stream_hll_index(
+        spark, str(stage), str(tmp_path / "index"), str(tmp_path / "ckpt"),
+        glob="*_events.parquet",
+    )
+    assert len(os.listdir(tmp_path / "index")) >= 2  # genuinely incremental
+    streamed = {
+        r.event_type: r.hll_est_micro
+        for r in hll_estimate_from_index(spark, str(tmp_path / "index")).collect()
+    }
+    batch = {
+        r.event_type: r.hll_est_micro
+        for r in q248_hll_distinct(spark, sf_dir).collect()
+    }
+    assert streamed == batch
