@@ -341,6 +341,11 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q262_salted_skew_join": Q.q262_salted_skew_join,
         "q263_bigram_coverage": Q.q263_bigram_coverage,
         "q264_kadane_revenue_window": Q.q264_kadane_revenue_window,
+        "q265_weighted_jaccard": Q.q265_weighted_jaccard,
+        "q266_lsh_cost_estimator": Q.q266_lsh_cost_estimator,
+        "q267_diff_in_diff": Q.q267_diff_in_diff,
+        "q268_compaction_planner": Q.q268_compaction_planner,
+        "q269_zorder_audit": Q.q269_zorder_audit,
     }
 
 
@@ -6655,5 +6660,163 @@ def oracle_sql() -> dict[str, str]:
             SELECT w.event_type, n.n_days, CAST(w.best AS BIGINT) AS best_run_scaled
             FROM walk w JOIN n ON n.event_type = w.event_type
                               AND w.i = n.n_days
+        """,
+        "q265_weighted_jaccard": f"""
+            WITH toksets AS MATERIALIZED (
+              SELECT doc_id, list_distinct({_TOKS}) AS ws, {_TOKS} AS toks
+              FROM documents),
+            nonempty AS (SELECT * FROM toksets WHERE len(ws) > 0),
+            verified AS (
+              SELECT a.doc_id AS a, b.doc_id AS b
+              FROM nonempty a JOIN nonempty b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+                    / (len(a.ws) + len(b.ws)
+                       - len(list_intersect(a.ws, b.ws))) >= 0.6),
+            counts AS MATERIALIZED (
+              SELECT doc_id,
+                     map_from_entries(
+                       list(struct_pack(k := tok, v := c))) AS m
+              FROM (
+                SELECT doc_id, tok, COUNT(*) AS c
+                FROM (SELECT doc_id, unnest(toks) AS tok FROM toksets)
+                GROUP BY 1, 2)
+              GROUP BY 1),
+            scored AS (
+              SELECT v.a, v.b,
+                     list_sum(list_transform(
+                       list_distinct(list_concat(map_keys(ca.m),
+                                                 map_keys(cb.m))),
+                       k -> least(
+                         COALESCE(list_extract(map_extract(ca.m, k), 1), 0),
+                         COALESCE(list_extract(map_extract(cb.m, k), 1), 0))
+                     )) AS smin,
+                     list_sum(list_transform(
+                       list_distinct(list_concat(map_keys(ca.m),
+                                                 map_keys(cb.m))),
+                       k -> greatest(
+                         COALESCE(list_extract(map_extract(ca.m, k), 1), 0),
+                         COALESCE(list_extract(map_extract(cb.m, k), 1), 0))
+                     )) AS smax
+              FROM verified v
+              JOIN counts ca ON ca.doc_id = v.a
+              JOIN counts cb ON cb.doc_id = v.b)
+            SELECT a, b, CAST(smin AS BIGINT) AS smin,
+                   CAST(smax AS BIGINT) AS smax,
+                   CAST(floor(CAST(smin AS DOUBLE) / CAST(smax AS DOUBLE)
+                              * 1000000) AS BIGINT) AS wj_ppm
+            FROM scored
+            ORDER BY wj_ppm DESC, a, b
+            LIMIT 20
+        """,
+        "q266_lsh_cost_estimator": f"""
+            WITH sig8 AS (
+              SELECT doc_id AS id, band,
+                     MIN(md5(band::VARCHAR || ':' || shingle)) AS minhash
+              FROM (
+                SELECT doc_id, unnest(shingles) AS shingle FROM (
+                  SELECT doc_id,
+                         CASE WHEN len(toks) >= 3
+                              THEN list_transform(range(1, len(toks) - 1),
+                                   i -> toks[i] || ' ' || toks[i+1]
+                                        || ' ' || toks[i+2])
+                              ELSE [] END AS shingles
+                  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents))),
+                (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS band)
+              GROUP BY doc_id, band),
+            sizes AS (
+              SELECT band, minhash, COUNT(*) AS nb
+              FROM sig8 GROUP BY 1, 2),
+            mass AS (
+              SELECT band,
+                     CAST(nb * (nb - 1) / 2 AS BIGINT) AS pairs
+              FROM sizes),
+            nd AS (SELECT COUNT(*) AS n FROM documents),
+            configs AS (SELECT unnest([2, 4, 8]) AS n_bands)
+            SELECT c.n_bands,
+                   CAST(SUM(m.pairs) AS BIGINT) AS est_candidate_pairs,
+                   CAST(floor(CAST(SUM(m.pairs) AS DOUBLE)
+                              / CAST(nd.n AS DOUBLE) * 1000)
+                        AS BIGINT) AS pairs_per_kdoc
+            FROM configs c
+            LEFT JOIN mass m ON m.band < c.n_bands, nd
+            GROUP BY c.n_bands, nd.n
+        """,
+        "q267_diff_in_diff": """
+            WITH cells AS (
+              SELECT substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                       IN ('0','1','2','3','4','5','6','7') AS treated,
+                     epoch_us(ts) // 86400000000 >= 19738 AS post,
+                     CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100)
+                          AS BIGINT) AS cents,
+                     COUNT(*) AS n
+              FROM events GROUP BY 1, 2),
+            flat AS (
+              SELECT concat(CASE WHEN treated THEN 't' ELSE 'c' END,
+                            CASE WHEN post THEN '_post' ELSE '_pre' END)
+                       AS cell,
+                     CAST(cents AS DOUBLE) / CAST(n AS DOUBLE) AS mean
+              FROM cells),
+            agg AS (
+              SELECT SUM(CASE WHEN cell = 't_pre' THEN mean END) AS t_pre,
+                     SUM(CASE WHEN cell = 't_post' THEN mean END) AS t_post,
+                     SUM(CASE WHEN cell = 'c_pre' THEN mean END) AS c_pre,
+                     SUM(CASE WHEN cell = 'c_post' THEN mean END) AS c_post
+              FROM flat)
+            SELECT CAST(floor(t_pre * 10000) AS BIGINT) AS t_pre_c100,
+                   CAST(floor(t_post * 10000) AS BIGINT) AS t_post_c100,
+                   CAST(floor(c_pre * 10000) AS BIGINT) AS c_pre_c100,
+                   CAST(floor(c_post * 10000) AS BIGINT) AS c_post_c100,
+                   CAST(floor(((t_post - t_pre) - (c_post - c_pre))
+                              * 10000) AS BIGINT) AS did_c100
+            FROM agg
+        """,
+        "q268_compaction_planner": """
+            WITH per AS (
+              SELECT source, COUNT(*) AS n_docs,
+                     CAST(SUM(octet_length(encode(text))) AS BIGINT)
+                       AS total_bytes
+              FROM documents GROUP BY 1)
+            SELECT source, n_docs, total_bytes,
+                   (total_bytes + 1048576 - 1) // 1048576 AS n_files,
+                   (n_docs + ((total_bytes + 1048576 - 1) // 1048576) - 1)
+                     // ((total_bytes + 1048576 - 1) // 1048576)
+                     AS rows_per_file
+            FROM per
+        """,
+        "q269_zorder_audit": """
+            WITH base AS (
+              SELECT user_id % 256 AS u,
+                     (epoch_us(ts) // 86400000000) % 256 AS d
+              FROM events),
+            zz AS (
+              SELECT u, d,
+                     ((u // 1) % 2) * 1 + ((u // 2) % 2) * 4
+                     + ((u // 4) % 2) * 16 + ((u // 8) % 2) * 64
+                     + ((u // 16) % 2) * 256 + ((u // 32) % 2) * 1024
+                     + ((u // 64) % 2) * 4096 + ((u // 128) % 2) * 16384
+                     + 2 * (((d // 1) % 2) * 1 + ((d // 2) % 2) * 4
+                     + ((d // 4) % 2) * 16 + ((d // 8) % 2) * 64
+                     + ((d // 16) % 2) * 256 + ((d // 32) % 2) * 1024
+                     + ((d // 64) % 2) * 4096 + ((d // 128) % 2) * 16384)
+                       AS z
+              FROM base)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN u BETWEEN 40 AND 80
+                                  AND d BETWEEN 18 AND 33
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_box,
+                   CAST(SUM(CASE WHEN z BETWEEN 1608 AND 6402
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_zrange,
+                   CAST(floor(
+                     CAST(SUM(CASE WHEN z BETWEEN 1608 AND 6402
+                                   THEN 1 ELSE 0 END)
+                          - SUM(CASE WHEN u BETWEEN 40 AND 80
+                                      AND d BETWEEN 18 AND 33
+                                     THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(greatest(SUM(CASE WHEN z BETWEEN 1608
+                                               AND 6402
+                                              THEN 1 ELSE 0 END), 1)
+                            AS DOUBLE)
+                     * 1000000) AS BIGINT) AS false_positive_ppm
+            FROM zz
         """,
     }

@@ -100,6 +100,8 @@ def main() -> None:
     # warm the JVM + parquet footer caches with one cheap action
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    from chemharmony_spark.cache import release_caches
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
@@ -111,6 +113,8 @@ def main() -> None:
             timings[name] = round(time.time() - t0, 3)
         except Exception as e:  # one bad query must never zero the whole run
             errors[name] = f"{type(e).__name__}: {e}"[:300]
+        finally:
+            release_caches()  # bound cache residency across queries
 
     # flagship: the harmonize job end-to-end (scan -> canonicalize ->
     # content ids -> re-key joins -> global aid -> invariant checks)

@@ -9150,3 +9150,219 @@ def q264_kadane_revenue_window(spark, sf):
         "event_type", "n_days",
         st["best"].cast("long").alias("best_run_scaled"),
     )
+
+
+def q265_weighted_jaccard(spark, sf):
+    """WEIGHTED (multiset) Jaccard for verified near-dup pairs: sum of
+    per-token min counts over sum of max counts — repeated-token-aware
+    similarity that set Jaccard (q36) flattens (a doc that repeats one
+    line 50x looks identical to one mentioning it once). Pair set =
+    PPJoin candidates verified at set-J >= 0.6; each doc's token-count
+    MAP is built once (one explode + two aggs) and broadcast into the
+    pair join; per pair, the min/max sums fold over the UNION of the two
+    key sets in exact integers. Top-20 by (weighted ppm desc, a, b)."""
+    docs = _t(spark, sf, "documents")
+    cands = DD.prefix_filter_pairs(docs, "doc_id", "text", threshold=0.6)
+    verified = (
+        DD.jaccard_pairs(docs, cands, "doc_id", "text")
+        .where(F.col("jaccard") >= 0.6)
+        .select("a", "b")
+    )
+    counts = (
+        docs.select(
+            "doc_id", F.explode(TX.tokens("text")).alias("tok")
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("tok", "c"))
+            ).alias("m")
+        )
+    )
+    ma = F.broadcast(counts.select(F.col("doc_id").alias("a"),
+                                   F.col("m").alias("ma")))
+    mb = F.broadcast(counts.select(F.col("doc_id").alias("b"),
+                                   F.col("m").alias("mb")))
+    keys = F.array_union(F.map_keys("ma"), F.map_keys("mb"))
+    zero = F.lit(0).cast("long")
+
+    def fold(pick):
+        return F.aggregate(
+            keys, zero,
+            lambda acc, k: acc + pick(
+                F.coalesce(F.element_at(F.col("ma"), k), F.lit(0)),
+                F.coalesce(F.element_at(F.col("mb"), k), F.lit(0)),
+            ).cast("long"),
+        )
+
+    scored = (
+        verified.join(ma, "a").join(mb, "b")
+        .withColumn("smin", fold(F.least))
+        .withColumn("smax", fold(F.greatest))
+        .withColumn(
+            "wj_ppm",
+            F.floor(
+                F.col("smin").cast("double") / F.col("smax").cast("double")
+                * 1_000_000
+            ).cast("long"),
+        )
+    )
+    return (
+        scored.select("a", "b", "smin", "smax", "wj_ppm")
+        .orderBy(F.col("wj_ppm").desc(), "a", "b")
+        .limit(20)
+    )
+
+
+def q266_lsh_cost_estimator(spark, sf):
+    """LSH band-configuration COST estimator: for B = 2/4/8 minhash
+    bands, the candidate-pair volume the band join would emit —
+    Σ n(n-1)/2 over every (band, bucket) — plus pairs-per-doc, the
+    number a planner compares against the exact-verify budget BEFORE
+    running the pipeline (q160 audits recall after the fact; this
+    prices the run). Signatures come from the shuffle-free q34 operator
+    with 8 bands; config B uses bands < B, so one signature pass prices
+    every config. Bucket counts are map-side combined; the rollup is
+    model-space."""
+    docs = _t(spark, sf, "documents")
+    sigs = DD.minhash_signatures(docs, "doc_id", "text", n_bands=8)
+    sizes = sigs.groupBy("band", "minhash").agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    pair_mass = sizes.select(
+        "band",
+        (F.col("nb") * (F.col("nb") - 1) / 2).cast("long").alias("pairs"),
+    )
+    n_docs = docs.count()
+    configs = spark.createDataFrame([(2,), (4,), (8,)], "n_bands int")
+    est = (
+        configs.join(
+            pair_mass, pair_mass.band < configs.n_bands, "left"
+        )
+        .groupBy("n_bands")
+        .agg(F.sum("pairs").alias("est_candidate_pairs"))
+    )
+    return est.select(
+        "n_bands", "est_candidate_pairs",
+        F.floor(
+            F.col("est_candidate_pairs").cast("double") / F.lit(float(n_docs))
+            * 1000
+        ).cast("long").alias("pairs_per_kdoc"),
+    )
+
+
+def q267_diff_in_diff(spark, sf):
+    """Difference-in-differences over the md5-assigned experiment (the
+    q152 assignment): mean event value for treated/control x pre/post
+    (split at 2024-01-16), DiD = (T_post - T_pre) - (C_post - C_pre) —
+    the causal-inference workhorse when treatment START is staggered in
+    time and a plain post-only compare is confounded by trend. Sums are
+    exact integer cents; the four cell means and the final DiD are the
+    only float ops, in a fixed order. ONE 4-group agg."""
+    ev = _events(spark, sf)
+    treated = F.substring(
+        F.md5(F.col("user_id").cast("string")), 1, 1
+    ).isin(*list("01234567"))
+    post = F.expr("ts div 86400000000000") >= F.lit(19738)  # 2024-01-16
+    cells = ev.groupBy(
+        treated.alias("treated"), post.alias("post")
+    ).agg(
+        F.sum(F.col("value").cast(DEC) * 100).cast("long").alias("cents"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    m = F.col("cents").cast("double") / F.col("n").cast("double")
+    flat = cells.select(
+        F.concat(
+            F.when(F.col("treated"), F.lit("t")).otherwise(F.lit("c")),
+            F.when(F.col("post"), F.lit("_post")).otherwise(F.lit("_pre")),
+        ).alias("cell"),
+        m.alias("mean"),
+    )
+    agg = flat.groupBy().agg(
+        F.sum(F.when(F.col("cell") == "t_pre", F.col("mean"))).alias("t_pre"),
+        F.sum(F.when(F.col("cell") == "t_post", F.col("mean"))).alias("t_post"),
+        F.sum(F.when(F.col("cell") == "c_pre", F.col("mean"))).alias("c_pre"),
+        F.sum(F.when(F.col("cell") == "c_post", F.col("mean"))).alias("c_post"),
+    )
+    micro = lambda c: F.floor(F.col(c) * 10_000).cast("long")  # noqa: E731
+    return agg.select(
+        micro("t_pre").alias("t_pre_c100"),
+        micro("t_post").alias("t_post_c100"),
+        micro("c_pre").alias("c_pre_c100"),
+        micro("c_post").alias("c_post_c100"),
+        F.floor(
+            ((F.col("t_post") - F.col("t_pre"))
+             - (F.col("c_post") - F.col("c_pre"))) * 10_000
+        ).cast("long").alias("did_c100"),
+    )
+
+
+def q268_compaction_planner(spark, sf):
+    """Small-files compaction planner: per source, total payload bytes
+    and the file count / rows-per-file a 1 MiB-target compaction should
+    produce — the table-maintenance math that keeps a 100 TB lake's
+    file count (and its scan-planning overhead) bounded. ONE source agg
+    on octet_length; everything else is integer ceiling arithmetic."""
+    docs = _t(spark, sf, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.octet_length("text")).alias("total_bytes"),
+    )
+    target = 1 << 20
+    # ceil(a/b) for positive ints: (a + b - 1) div b
+    n_files = F.expr(f"(total_bytes + {target} - 1) div {target}")
+    return per.withColumn("n_files", n_files).withColumn(
+        "rows_per_file", F.expr("(n_docs + n_files - 1) div n_files")
+    )
+
+
+def q269_zorder_audit(spark, sf):
+    """Z-order (Morton) layout audit: interleave the low 8 bits of
+    user_id and day into a z-value, then price the box query
+    user in [40, 80] x day in [19730, 19745] two ways — exact rows in
+    the box vs rows in the single covering z-range [z(lo,lo), z(hi,hi)]
+    (valid because bit-spreading is monotone per coordinate). The
+    false-positive ratio is the number a layout planner uses to decide
+    whether z-clustering the table would let range scans prune — the
+    data-layout complement to q102's bloom pruning. Pure integer bit
+    arithmetic (div/mod — no engine bit intrinsics), one pass + a
+    2-row agg."""
+    ev = _events(spark, sf).select(
+        (F.col("user_id") % 256).alias("u"),
+        F.expr("ts div 86400000000000").alias("day"),
+    ).withColumn("d", F.col("day") % 256)
+
+    def spread(col_name):
+        e = F.lit(0).cast("long")
+        for i in range(8):
+            e = e + F.expr(f"({col_name} div {2 ** i}) % 2") * F.lit(4 ** i)
+        return e
+
+    z = spread("u") + F.lit(2) * spread("d")
+    lo_u, hi_u, lo_d, hi_d = 40, 80, 19730 % 256, 19745 % 256
+
+    def z_of(u, d):
+        zu = sum(((u >> i) & 1) * 4 ** i for i in range(8))
+        zd = sum(((d >> i) & 1) * 4 ** i for i in range(8))
+        return zu + 2 * zd
+
+    zlo, zhi = z_of(lo_u, lo_d), z_of(hi_u, hi_d)
+    tagged = ev.select(
+        ((F.col("u") >= lo_u) & (F.col("u") <= hi_u)
+         & (F.col("d") >= lo_d) & (F.col("d") <= hi_d)).alias("in_box"),
+        ((z >= zlo) & (z <= zhi)).alias("in_zrange"),
+    )
+    return tagged.groupBy().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("in_box"), 1).otherwise(0)).alias("n_box"),
+        F.sum(F.when(F.col("in_zrange"), 1).otherwise(0)).alias("n_zrange"),
+    ).select(
+        "n_rows", "n_box", "n_zrange",
+        F.floor(
+            (F.col("n_zrange") - F.col("n_box")).cast("double")
+            / F.greatest(F.col("n_zrange"), F.lit(1)).cast("double")
+            * 1_000_000
+        ).cast("long").alias("false_positive_ppm"),
+    )

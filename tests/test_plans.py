@@ -642,6 +642,19 @@ SHUFFLE_BUDGET = {
     "q263_bigram_coverage": 5,
     # q264: daily-cents agg + the event_type fold shuffle
     "q264_kadane_revenue_window": 2,
+    # q265: prefix candidates + verify (broadcast) + the token-count map
+    # build (explode agg + doc agg, printed once per broadcast consumer
+    # from a clean cache) + the top-20 TakeOrdered partial; everything
+    # after the candidate join is pair- or vocabulary-sized
+    "q265_weighted_jaccard": 9,
+    # q266: the (band, bucket) count agg + the 3-config rollup
+    "q266_lsh_cost_estimator": 2,
+    # q267: one 4-cell agg + the 1-row flat rollup
+    "q267_diff_in_diff": 2,
+    # q268: one source agg; the planner math is per-row expressions
+    "q268_compaction_planner": 1,
+    # q269: one global 2-predicate count agg
+    "q269_zorder_audit": 1,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -650,6 +663,9 @@ SHUFFLE_BUDGET = {
 # scale path is q40/q47; q47 = 16-row centroid codebook cross join.
 BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 "q47_ann_ivf",
+                # q266: the 3-row band-config table broadcast against the
+                # model-space bucket-mass table (theta join by design)
+                "q266_lsh_cost_estimator",
                 # q59: the BNLJ is the final 1-row x 1-row x 1-row
                 # stage-count crossJoin — constant-sized by construction
                 "q59_funnel",

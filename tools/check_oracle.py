@@ -76,6 +76,8 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
         )
 
+    from chemharmony_spark.cache import release_caches
+
     n_pass = n_fail = n_weak = 0
     for name in names:
         t0 = time.time()
@@ -85,6 +87,10 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {exc}")
             n_fail += 1
             continue
+        finally:
+            # release operator-internal persists between queries so a full
+            # sweep's cache residency stays bounded (ADVICE r2)
+            release_caches()
         if name not in oracles:
             print(f"weak  {name}: rows={len(sdf)} (no oracle, rows-only check)")
             n_weak += 1
