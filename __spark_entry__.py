@@ -346,6 +346,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q267_diff_in_diff": Q.q267_diff_in_diff,
         "q268_compaction_planner": Q.q268_compaction_planner,
         "q269_zorder_audit": Q.q269_zorder_audit,
+        "q270_user_entropy": Q.q270_user_entropy,
+        "q271_fk_integrity_sweep": Q.q271_fk_integrity_sweep,
+        "q272_share_of_parent": Q.q272_share_of_parent,
+        "q273_dedup_bias_audit": Q.q273_dedup_bias_audit,
     }
 
 
@@ -6818,5 +6822,107 @@ def oracle_sql() -> dict[str, str]:
                             AS DOUBLE)
                      * 1000000) AS BIGINT) AS false_positive_ppm
             FROM zz
+        """,
+        "q270_user_entropy": """
+            WITH counts AS (
+              SELECT user_id, event_type, COUNT(*) AS c
+              FROM events GROUP BY 1, 2),
+            per AS (
+              SELECT user_id,
+                     list(struct_pack(t := event_type, c := c)
+                          ORDER BY event_type, c) AS seq,
+                     CAST(SUM(c) AS BIGINT) AS n_events
+              FROM counts GROUP BY 1)
+            SELECT user_id, n_events,
+                   CAST(floor(list_sum(list_transform(seq,
+                       x -> -(CAST(x.c AS DOUBLE)
+                              / CAST(n_events AS DOUBLE))
+                            * ln(CAST(x.c AS DOUBLE)
+                                 / CAST(n_events AS DOUBLE))))
+                     * 1000000) AS BIGINT) AS entropy_micro
+            FROM per
+        """,
+        "q271_fk_integrity_sweep": """
+            WITH rels AS (
+              SELECT 'li->orders' AS relationship,
+                     (SELECT COUNT(*) FROM lineitem) AS n_child,
+                     (SELECT COUNT(*) FROM lineitem l
+                      ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey)
+                       AS n_orphans
+              UNION ALL
+              SELECT 'li->part',
+                     (SELECT COUNT(*) FROM lineitem),
+                     (SELECT COUNT(*) FROM lineitem l
+                      ANTI JOIN part p ON l.l_partkey = p.p_partkey)
+              UNION ALL
+              SELECT 'li->supplier',
+                     (SELECT COUNT(*) FROM lineitem),
+                     (SELECT COUNT(*) FROM lineitem l
+                      ANTI JOIN supplier s ON l.l_suppkey = s.s_suppkey)
+              UNION ALL
+              SELECT 'ord->customer',
+                     (SELECT COUNT(*) FROM orders),
+                     (SELECT COUNT(*) FROM orders o
+                      ANTI JOIN customer c ON o.o_custkey = c.c_custkey)
+              UNION ALL
+              SELECT 'cust->nation',
+                     (SELECT COUNT(*) FROM customer),
+                     (SELECT COUNT(*) FROM customer c
+                      ANTI JOIN nation n ON c.c_nationkey = n.n_nationkey)
+              UNION ALL
+              SELECT 'nation->region',
+                     (SELECT COUNT(*) FROM nation),
+                     (SELECT COUNT(*) FROM nation n
+                      ANTI JOIN region r ON n.n_regionkey = r.r_regionkey))
+            SELECT relationship, CAST(n_child AS BIGINT) AS n_child,
+                   CAST(n_orphans AS BIGINT) AS n_orphans
+            FROM rels
+        """,
+        "q272_share_of_parent": """
+            WITH base AS (
+              SELECT r.r_name, n.n_name,
+                     CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100)
+                          AS BIGINT) AS cents
+              FROM orders o
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN nation n ON c.c_nationkey = n.n_nationkey
+              JOIN region r ON n.n_regionkey = r.r_regionkey
+              GROUP BY 1, 2)
+            SELECT r_name, n_name, cents,
+                   CAST(floor(CAST(cents AS DOUBLE)
+                     / CAST(SUM(cents) OVER (PARTITION BY r_name)
+                            AS DOUBLE) * 1000000) AS BIGINT)
+                     AS share_of_region_ppm,
+                   CAST(floor(CAST(SUM(cents) OVER (PARTITION BY r_name)
+                              AS DOUBLE)
+                     / CAST(SUM(cents) OVER () AS DOUBLE) * 1000000)
+                     AS BIGINT) AS region_share_ppm
+            FROM base
+        """,
+        "q273_dedup_bias_audit": """
+            WITH keepers AS (
+              SELECT MIN(doc_id) AS doc_id
+              FROM documents
+              GROUP BY md5(trim(regexp_replace(regexp_replace(
+                lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))),
+            flagged AS (
+              SELECT d.source, d.n_chars,
+                     CASE WHEN k.doc_id IS NULL THEN 0 ELSE 1 END AS kept
+              FROM documents d
+              LEFT JOIN keepers k ON d.doc_id = k.doc_id)
+            SELECT source,
+                   CAST(SUM(kept) AS BIGINT) AS n_kept,
+                   CAST(COUNT(*) - SUM(kept) AS BIGINT) AS n_removed,
+                   CAST(floor(
+                     CAST(SUM(CASE WHEN kept = 1 THEN n_chars END)
+                          AS DOUBLE)
+                     / CAST(SUM(kept) AS DOUBLE) * 1000) AS BIGINT)
+                     AS kept_mean_chars_milli,
+                   CAST(floor(
+                     CAST(SUM(CASE WHEN kept = 0 THEN n_chars END)
+                          AS DOUBLE)
+                     / CAST(greatest(COUNT(*) - SUM(kept), 1) AS DOUBLE)
+                     * 1000) AS BIGINT) AS removed_mean_chars_milli
+            FROM flagged GROUP BY 1
         """,
     }

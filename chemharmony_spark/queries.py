@@ -9366,3 +9366,139 @@ def q269_zorder_audit(spark, sf):
             * 1_000_000
         ).cast("long").alias("false_positive_ppm"),
     )
+
+
+def q270_user_entropy(spark, sf):
+    """Per-user behavioral entropy: Shannon entropy of each user's
+    event-type distribution (micro-floored) — the engagement-diversity
+    feature (one-note users vs explorers) that feeds churn models next
+    to q158's aggregates. Counts are exact from ONE (user, type) agg;
+    the per-user fold Σ -p·ln(p) runs over the type-count array in a
+    fixed sort order so the float sequence is engine-identical."""
+    ev = _events(spark, sf)
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_user = counts.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("event_type", "c"))).alias("seq"),
+        F.sum("c").alias("n_events"),
+    )
+    n = F.col("n_events").cast("double")
+    ent = F.aggregate(
+        "seq", F.lit(0.0),
+        lambda acc, x: acc - (x["c"].cast("double") / n)
+        * F.log(x["c"].cast("double") / n),
+    )
+    return per_user.select(
+        "user_id", "n_events",
+        F.floor(ent * 1_000_000).cast("long").alias("entropy_micro"),
+    )
+
+
+def q271_fk_integrity_sweep(spark, sf):
+    """Referential-integrity sweep over every TPC-H foreign key in ONE
+    result: child row count and orphan count (left-anti against the
+    parent key set) for lineitem->orders, lineitem->part,
+    lineitem->supplier, orders->customer, customer->nation,
+    nation->region — the cross-table complement of q110's single-table
+    contracts, and the first audit a 100 TB ingest runs after load.
+    Each anti-join broadcasts the parent KEY COLUMN (dimension parents)
+    or hash-joins on the key (fact parents); counts union into a
+    6-row report."""
+    def audit(child, ckey, parent, pkey, rel):
+        c = _t(spark, sf, child).select(F.col(ckey).alias("k"))
+        p = _t(spark, sf, parent).select(F.col(pkey).alias("k")).distinct()
+        orphans = (
+            c.join(p, "k", "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(rel).alias("relationship"), "n_orphans")
+        )
+        totals = c.agg(F.count(F.lit(1)).alias("n_child")).select(
+            F.lit(rel).alias("relationship"), "n_child"
+        )
+        return orphans, totals
+
+    rels = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey", "li->orders"),
+        ("lineitem", "l_partkey", "part", "p_partkey", "li->part"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey", "li->supplier"),
+        ("orders", "o_custkey", "customer", "c_custkey", "ord->customer"),
+        ("customer", "c_nationkey", "nation", "n_nationkey", "cust->nation"),
+        ("nation", "n_regionkey", "region", "r_regionkey", "nation->region"),
+    ]
+    orphan_frames, count_frames = zip(*[audit(*r) for r in rels])
+    orphans = orphan_frames[0]
+    for f in orphan_frames[1:]:
+        orphans = orphans.unionByName(f)
+    counts = count_frames[0]
+    for f in count_frames[1:]:
+        counts = counts.unionByName(f)
+    return counts.join(orphans, "relationship").select(
+        "relationship", "n_child", "n_orphans"
+    )
+
+
+def q272_share_of_parent(spark, sf):
+    """Hierarchical share-of-parent: each nation's revenue as ppm of its
+    region AND each region's as ppm of the grand total, from ONE
+    nation-level aggregation re-read by two model-space windows — the
+    'percent of parent' drilldown every BI layer builds on q117's
+    rollup. Integer cents until the two final divides."""
+    cust = _t(spark, sf, "customer")
+    nation = _t(spark, sf, "nation")
+    region = _t(spark, sf, "region")
+    orders = _t(spark, sf, "orders")
+    dim = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "r_name", "n_name")
+    )
+    base = (
+        orders.join(dim, orders.o_custkey == dim.c_custkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(_d("o_totalprice") * 100).cast("long").alias("cents"))
+    )
+    w_r = Window.partitionBy("r_name")
+    w_all = Window.partitionBy(F.lit(1))
+    return base.select(
+        "r_name", "n_name", "cents",
+        F.floor(
+            F.col("cents").cast("double")
+            / F.sum("cents").over(w_r).cast("double") * 1_000_000
+        ).cast("long").alias("share_of_region_ppm"),
+        F.floor(
+            F.sum("cents").over(w_r).cast("double")
+            / F.sum("cents").over(w_all).cast("double") * 1_000_000
+        ).cast("long").alias("region_share_ppm"),
+    )
+
+
+def q273_dedup_bias_audit(spark, sf):
+    """Dedup BIAS audit: does exact dedup (q30's fingerprint groups,
+    min-doc_id keeper) systematically discard different documents than
+    it keeps? Reports per source: docs kept/removed and mean n_chars of
+    each side (milli-precision) — the pipeline-QA check that dedup is
+    not silently skewing the corpus short or against one source. One
+    fingerprint shuffle + a broadcast keeper-set anti/semi split."""
+    docs = _t(spark, sf, "documents")
+    keepers = DD.exact_dedup_groups(docs, "doc_id", "text").select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    flagged = docs.join(
+        keepers.withColumn("__k", F.lit(1)), "doc_id", "left"
+    ).withColumn("kept", F.coalesce("__k", F.lit(0)))
+    return flagged.groupBy("source").agg(
+        F.sum("kept").alias("n_kept"),
+        (F.count(F.lit(1)) - F.sum("kept")).alias("n_removed"),
+        F.floor(
+            F.sum(F.when(F.col("kept") == 1, F.col("n_chars"))).cast("double")
+            / F.sum("kept").cast("double") * 1000
+        ).cast("long").alias("kept_mean_chars_milli"),
+        F.floor(
+            F.sum(F.when(F.col("kept") == 0, F.col("n_chars")))
+            .cast("double")
+            / F.greatest(
+                F.count(F.lit(1)) - F.sum("kept"), F.lit(1)
+            ).cast("double") * 1000
+        ).cast("long").alias("removed_mean_chars_milli"),
+    )

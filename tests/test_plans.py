@@ -655,6 +655,18 @@ SHUFFLE_BUDGET = {
     "q268_compaction_planner": 1,
     # q269: one global 2-predicate count agg
     "q269_zorder_audit": 1,
+    # q270: (user, type) count agg + the per-user fold agg
+    "q270_user_entropy": 2,
+    # q271: 6 relationships x (key anti-join + two 1-ROW count rollups)
+    # + the 6-row report join — every exchange past the anti-joins
+    # carries a single row; the anti-joins themselves move key columns
+    "q271_fk_integrity_sweep": 18,
+    # q272: one nation-level agg; both share windows ride the 25-row
+    # model-space table
+    "q272_share_of_parent": 2,
+    # q273: the fingerprint keeper agg + the per-source rollup (keeper
+    # set joins back broadcast)
+    "q273_dedup_bias_audit": 2,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
