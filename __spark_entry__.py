@@ -350,6 +350,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q271_fk_integrity_sweep": Q.q271_fk_integrity_sweep,
         "q272_share_of_parent": Q.q272_share_of_parent,
         "q273_dedup_bias_audit": Q.q273_dedup_bias_audit,
+        "q274_order_fill_rate": Q.q274_order_fill_rate,
+        "q275_oov_audit": Q.q275_oov_audit,
+        "q276_supplier_concentration": Q.q276_supplier_concentration,
+        "q277_result_fingerprint": Q.q277_result_fingerprint,
     }
 
 
@@ -6924,5 +6928,90 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(greatest(COUNT(*) - SUM(kept), 1) AS DOUBLE)
                      * 1000) AS BIGINT) AS removed_mean_chars_milli
             FROM flagged GROUP BY 1
+        """,
+        "q274_order_fill_rate": """
+            WITH fs AS (
+              SELECT l_orderkey, MIN(epoch_us(l_shipdate)) AS first_us
+              FROM lineitem GROUP BY 1),
+            j AS (
+              SELECT o_orderpriority,
+                     first_us - epoch_us(o_orderdate) AS lag_us
+              FROM orders JOIN fs ON o_orderkey = l_orderkey)
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CASE WHEN lag_us <= 604800000000
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_within_7d,
+                   CAST(floor(
+                     CAST(SUM(CASE WHEN lag_us <= 604800000000
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE) * 1000000) AS BIGINT)
+                     AS fill_rate_ppm,
+                   CAST(floor(
+                     (CAST(SUM(lag_us) AS DOUBLE)
+                      / CAST(COUNT(*) AS DOUBLE))
+                     / 86400000000.0 * 1000) AS BIGINT)
+                     AS mean_lag_milli_days
+            FROM j GROUP BY 1
+        """,
+        "q275_oov_audit": f"""
+            WITH per_src AS MATERIALIZED (
+              SELECT source, tok, COUNT(*) AS c
+              FROM (SELECT source, unnest({_TOKS}) AS tok FROM documents)
+              GROUP BY 1, 2),
+            vocab AS (
+              SELECT tok FROM (
+                SELECT tok, CAST(SUM(c) AS BIGINT) AS n
+                FROM per_src GROUP BY 1)
+              ORDER BY n DESC, tok LIMIT 1000),
+            flagged AS (
+              SELECT p.source, p.c,
+                     CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+              FROM per_src p LEFT JOIN vocab v ON p.tok = v.tok)
+            SELECT source,
+                   CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   CAST(SUM(CASE WHEN oov = 1 THEN c ELSE 0 END)
+                        AS BIGINT) AS n_oov,
+                   CAST(floor(
+                     CAST(SUM(CASE WHEN oov = 1 THEN c ELSE 0 END)
+                          AS DOUBLE)
+                     / CAST(SUM(c) AS DOUBLE) * 1000000) AS BIGINT)
+                     AS oov_ppm
+            FROM flagged GROUP BY 1
+        """,
+        "q276_supplier_concentration": """
+            WITH ps AS (
+              SELECT l_partkey, l_suppkey,
+                     CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+              FROM lineitem GROUP BY 1, 2),
+            per AS (
+              SELECT l_partkey, COUNT(*) AS n_suppliers,
+                     SUM(q) AS total_q, MAX(q) AS top_q
+              FROM ps GROUP BY 1)
+            SELECT l_partkey, CAST(n_suppliers AS BIGINT) AS n_suppliers,
+                   CAST(floor(CAST(top_q AS DOUBLE)
+                              / CAST(total_q AS DOUBLE) * 1000000)
+                        AS BIGINT) AS top_share_ppm,
+                   CASE WHEN n_suppliers = 1 THEN 1 ELSE 0 END
+                     AS single_source
+            FROM per
+        """,
+        "q277_result_fingerprint": """
+            WITH base AS (
+              SELECT r.r_name,
+                     CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100)
+                          AS BIGINT) AS cents
+              FROM orders o
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN nation n ON c.c_nationkey = n.n_nationkey
+              JOIN region r ON n.n_regionkey = r.r_regionkey
+              GROUP BY 1),
+            rendered AS (
+              SELECT concat(r_name, '=', CAST(cents AS VARCHAR)) AS row_
+              FROM base)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   md5(list_aggregate(list_sort(list(row_)), 'string_agg',
+                                      '|')) AS result_fingerprint
+            FROM rendered
         """,
     }

@@ -9502,3 +9502,135 @@ def q273_dedup_bias_audit(spark, sf):
             ).cast("double") * 1000
         ).cast("long").alias("removed_mean_chars_milli"),
     )
+
+
+def q274_order_fill_rate(spark, sf):
+    """Fulfillment SLA by order priority: share of orders whose FIRST
+    line shipped within 7 days of order date (ppm), plus the mean
+    first-ship lag in milli-days — the operations twin of q157's funnel
+    latency on the commerce tables. One orderkey agg (min ship date) +
+    one broadcast-friendly join + a priority-sized rollup; day math in
+    integer micros."""
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey",
+        F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias("ship_us"),
+    )
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min("ship_us").alias("first_us")
+    )
+    ords = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("ord_us"),
+    )
+    j = ords.join(first_ship, ords.o_orderkey == first_ship.l_orderkey)
+    lag_us = F.col("first_us") - F.col("ord_us")
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(
+            F.when(lag_us <= F.lit(7 * 86_400_000_000), 1).otherwise(0)
+        ).alias("n_within_7d"),
+        F.floor(
+            F.sum(F.when(lag_us <= F.lit(7 * 86_400_000_000), 1)
+                  .otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double") * 1_000_000
+        ).cast("long").alias("fill_rate_ppm"),
+        F.floor(
+            (F.sum(lag_us).cast("double")
+             / F.count(F.lit(1)).cast("double"))
+            / F.lit(86_400_000_000.0) * 1000
+        ).cast("long").alias("mean_lag_milli_days"),
+    )
+
+
+def q275_oov_audit(spark, sf):
+    """Out-of-vocabulary audit for tokenizer design: freeze the corpus
+    top-1000 tokens as the vocabulary, then measure each source's OOV
+    token rate (ppm, token OCCURRENCES not types) — the number that
+    decides whether a fixed vocab can serve every source or rare
+    sources need vocab expansion (q166 compares sources pairwise; this
+    scores them against one frozen vocab). One token-count agg feeds
+    both the TakeOrdered vocabulary and, via broadcast anti-join
+    semantics (left join + null test), the per-source OOV rollup."""
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(
+        "source", F.explode(TX.tokens("text")).alias("tok")
+    )
+    per_src = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    global_counts = per_src.groupBy("tok").agg(F.sum("c").alias("n"))
+    vocab = (
+        global_counts.orderBy(F.col("n").desc(), "tok").limit(1000)
+        .select("tok")
+    )
+    flagged = per_src.join(
+        F.broadcast(vocab.withColumn("__v", F.lit(1))), "tok", "left"
+    )
+    return flagged.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.when(F.col("__v").isNull(), F.col("c")).otherwise(0))
+        .alias("n_oov"),
+        F.floor(
+            F.sum(F.when(F.col("__v").isNull(), F.col("c")).otherwise(0))
+            .cast("double") / F.sum("c").cast("double") * 1_000_000
+        ).cast("long").alias("oov_ppm"),
+    )
+
+
+def q276_supplier_concentration(spark, sf):
+    """Per-part supply-concentration risk: supplier count, the largest
+    single supplier's quantity share (ppm), and a single-source flag —
+    q148's HHI says the MARKET is concentrated; procurement needs to
+    know WHICH parts are. One (part, supplier) agg, then a part-level
+    rollup via max-of-struct (no window, no second shuffle past the
+    partial combine)."""
+    li = _t(spark, sf, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("q")
+    )
+    per_part = ps.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("q").alias("total_q"),
+        F.max("q").alias("top_q"),
+    )
+    return per_part.select(
+        "l_partkey", "n_suppliers",
+        F.floor(
+            F.col("top_q").cast("double") / F.col("total_q").cast("double")
+            * 1_000_000
+        ).cast("long").alias("top_share_ppm"),
+        F.when(F.col("n_suppliers") == 1, 1).otherwise(0)
+        .alias("single_source"),
+    )
+
+
+def q277_result_fingerprint(spark, sf):
+    """Content-addressed RESULT fingerprint: the q03-style region
+    revenue rollup reduced to one md5 over its canonically-rendered,
+    sorted rows — the engine's content-id idiom (harmonize's
+    substance/property ids) applied to QUERY RESULTS, which is what a
+    result cache or a cross-engine regression gate keys on. Revenue
+    stays integer cents so the rendering is exact; the final fold is
+    one model-space collect_list over the 5-row rollup."""
+    cust = _t(spark, sf, "customer")
+    nation = _t(spark, sf, "nation")
+    region = _t(spark, sf, "region")
+    orders = _t(spark, sf, "orders")
+    base = (
+        orders.join(
+            cust, orders.o_custkey == cust.c_custkey
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.sum(_d("o_totalprice") * 100).cast("long").alias("cents"))
+    )
+    rendered = base.select(
+        F.concat_ws("=", "r_name", F.col("cents").cast("string")).alias("row")
+    )
+    return rendered.groupBy().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.md5(
+            F.concat_ws("|", F.array_sort(F.collect_list("row")))
+        ).alias("result_fingerprint"),
+    )

@@ -667,6 +667,15 @@ SHUFFLE_BUDGET = {
     # q273: the fingerprint keeper agg + the per-source rollup (keeper
     # set joins back broadcast)
     "q273_dedup_bias_audit": 2,
+    # q274: first-ship agg + orderkey join; priority rollup map-side
+    "q274_order_fill_rate": 2,
+    # q275: (source, token) agg feeds the vocab TakeOrdered (partial
+    # exchange) and the per-source rollup; vocab joins back broadcast
+    "q275_oov_audit": 4,
+    # q276: (part, supplier) agg + the part rollup riding its exchange
+    "q276_supplier_concentration": 2,
+    # q277: region rollup + the 1-row fingerprint fold
+    "q277_result_fingerprint": 2,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
