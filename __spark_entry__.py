@@ -354,6 +354,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q275_oov_audit": Q.q275_oov_audit,
         "q276_supplier_concentration": Q.q276_supplier_concentration,
         "q277_result_fingerprint": Q.q277_result_fingerprint,
+        "q278_qlm_dirichlet": Q.q278_qlm_dirichlet,
+        "q279_blocking_quality": Q.q279_blocking_quality,
+        "q280_changepoint_binseg": Q.q280_changepoint_binseg,
+        "q281_join_cardinality_estimate": Q.q281_join_cardinality_estimate,
     }
 
 
@@ -7013,5 +7017,158 @@ def oracle_sql() -> dict[str, str]:
                    md5(list_aggregate(list_sort(list(row_)), 'string_agg',
                                       '|')) AS result_fingerprint
             FROM rendered
+        """,
+        "q278_qlm_dirichlet": f"""
+            WITH tf AS MATERIALIZED (
+              SELECT doc_id, tok, COUNT(*) AS tf
+              FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+              GROUP BY 1, 2),
+            dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+                   FROM tf GROUP BY 1),
+            ctf AS MATERIALIZED (
+              SELECT tok, CAST(SUM(tf) AS BIGINT) AS ctf
+              FROM tf GROUP BY 1),
+            tot AS (SELECT CAST(SUM(ctf) AS BIGINT) AS t FROM ctf),
+            qt AS (SELECT tok, ctf FROM ctf ORDER BY ctf DESC, tok LIMIT 5),
+            q AS MATERIALIZED (
+              SELECT tok,
+                     1000.0 * (CAST(ctf AS DOUBLE) / CAST(t AS DOUBLE))
+                       AS mup
+              FROM qt, tot),
+            qs AS (SELECT CAST(SUM(CAST(floor(ln(mup) * 1000000) AS BIGINT))
+                        AS BIGINT) AS s_const FROM q),
+            adj AS (
+              SELECT doc_id,
+                     CAST(SUM(CAST(floor(
+                       ln((CAST(tf AS DOUBLE) + mup) / mup) * 1000000)
+                       AS BIGINT)) AS BIGINT) AS adj
+              FROM tf JOIN q ON tf.tok = q.tok GROUP BY 1)
+            SELECT dl.doc_id AS doc_id,
+                   s_const
+                   - 5 * CAST(floor(ln(CAST(dl AS DOUBLE) + 1000.0)
+                                    * 1000000) AS BIGINT)
+                   + COALESCE(adj, 0) AS score_micro
+            FROM dl CROSS JOIN qs LEFT JOIN adj ON dl.doc_id = adj.doc_id
+            ORDER BY score_micro DESC, dl.doc_id LIMIT 20
+        """,
+        "q279_blocking_quality": f"""
+            WITH keyed AS MATERIALIZED (
+              SELECT substr(array_to_string({_TOKS}, ' '), 1, 40) AS bag,
+                     n_chars // 100 AS blk
+              FROM documents),
+            t AS (SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS true_pairs
+                  FROM (SELECT COUNT(*) AS n FROM keyed GROUP BY bag)),
+            c AS (SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS cand_pairs
+                  FROM (SELECT COUNT(*) AS n FROM keyed GROUP BY blk)),
+            m AS (SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT)
+                    AS matched_pairs
+                  FROM (SELECT COUNT(*) AS n FROM keyed GROUP BY bag, blk)),
+            d AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM keyed)
+            SELECT n_docs, true_pairs, cand_pairs, matched_pairs,
+                   CAST(floor((1.0 - CAST(cand_pairs AS DOUBLE)
+                        / CAST(n_docs * (n_docs - 1) // 2 AS DOUBLE))
+                        * 1000000) AS BIGINT) AS reduction_ppm,
+                   CASE WHEN true_pairs > 0 THEN
+                     CAST(floor(CAST(matched_pairs AS DOUBLE)
+                          / CAST(true_pairs AS DOUBLE) * 1000000) AS BIGINT)
+                   END AS completeness_ppm
+            FROM d, t, c, m
+        """,
+        "q280_changepoint_binseg": """
+            WITH daily AS MATERIALIZED (
+              SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                     COUNT(*) AS y
+              FROM events GROUP BY 1, 2),
+            cur AS (
+              SELECT event_type, day,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                             ORDER BY day) AS BIGINT) AS i,
+                     CAST(SUM(y) OVER (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS sl,
+                     CAST(SUM(y) OVER (PARTITION BY event_type)
+                       AS BIGINT) AS s,
+                     CAST(COUNT(*) OVER (PARTITION BY event_type)
+                       AS BIGINT) AS n
+              FROM daily),
+            scored AS (
+              SELECT event_type, day, n,
+                     CAST(floor((CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE)
+                                   / CAST(i AS DOUBLE)
+                                 + CAST(s - sl AS DOUBLE)
+                                   * CAST(s - sl AS DOUBLE)
+                                   / CAST(n - i AS DOUBLE)
+                                 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                                   / CAST(n AS DOUBLE)) * 1000000)
+                       AS BIGINT) AS gain_micro,
+                     CAST(floor(CAST(sl AS DOUBLE) / CAST(i AS DOUBLE)
+                                * 1000000) AS BIGINT) AS left_mean_micro,
+                     CAST(floor(CAST(s - sl AS DOUBLE)
+                                / CAST(n - i AS DOUBLE)
+                                * 1000000) AS BIGINT) AS right_mean_micro
+              FROM cur WHERE i < n)
+            SELECT event_type, day AS split_day, n AS n_days,
+                   gain_micro, left_mean_micro, right_mean_micro
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                    ORDER BY gain_micro DESC, day) AS rn FROM scored)
+            WHERE rn = 1
+        """,
+        "q281_join_cardinality_estimate": """
+            WITH a1 AS (SELECT l_orderkey AS k, COUNT(*) AS nl
+                        FROM lineitem GROUP BY 1),
+            b1 AS (SELECT o_orderkey AS k, COUNT(*) AS nr
+                   FROM orders GROUP BY 1),
+            s1 AS (SELECT CAST(SUM(nl) AS BIGINT) AS n_left,
+                          CAST(COUNT(*) AS BIGINT) AS ndv_left FROM a1),
+            r1 AS (SELECT CAST(SUM(nr) AS BIGINT) AS n_right,
+                          CAST(COUNT(*) AS BIGINT) AS ndv_right FROM b1),
+            j1 AS (SELECT CAST(SUM(nl * nr) AS BIGINT) AS actual_rows
+                   FROM a1 JOIN b1 USING (k)),
+            p1 AS (SELECT 'lineitem_orders' AS join_name, n_left, n_right,
+                          ndv_left, ndv_right,
+                          n_left * n_right // greatest(ndv_left, ndv_right)
+                            AS est_rows,
+                          actual_rows
+                   FROM s1, r1, j1),
+            a2 AS (SELECT o_custkey AS k, COUNT(*) AS nl
+                   FROM orders GROUP BY 1),
+            b2 AS (SELECT c_custkey AS k, COUNT(*) AS nr
+                   FROM customer GROUP BY 1),
+            s2 AS (SELECT CAST(SUM(nl) AS BIGINT) AS n_left,
+                          CAST(COUNT(*) AS BIGINT) AS ndv_left FROM a2),
+            r2 AS (SELECT CAST(SUM(nr) AS BIGINT) AS n_right,
+                          CAST(COUNT(*) AS BIGINT) AS ndv_right FROM b2),
+            j2 AS (SELECT CAST(SUM(nl * nr) AS BIGINT) AS actual_rows
+                   FROM a2 JOIN b2 USING (k)),
+            p2 AS (SELECT 'orders_customer' AS join_name, n_left, n_right,
+                          ndv_left, ndv_right,
+                          n_left * n_right // greatest(ndv_left, ndv_right)
+                            AS est_rows,
+                          actual_rows
+                   FROM s2, r2, j2),
+            a3 AS (SELECT l_partkey AS k, COUNT(*) AS nl
+                   FROM lineitem GROUP BY 1),
+            b3 AS (SELECT p_partkey AS k, COUNT(*) AS nr
+                   FROM part GROUP BY 1),
+            s3 AS (SELECT CAST(SUM(nl) AS BIGINT) AS n_left,
+                          CAST(COUNT(*) AS BIGINT) AS ndv_left FROM a3),
+            r3 AS (SELECT CAST(SUM(nr) AS BIGINT) AS n_right,
+                          CAST(COUNT(*) AS BIGINT) AS ndv_right FROM b3),
+            j3 AS (SELECT CAST(SUM(nl * nr) AS BIGINT) AS actual_rows
+                   FROM a3 JOIN b3 USING (k)),
+            p3 AS (SELECT 'lineitem_part' AS join_name, n_left, n_right,
+                          ndv_left, ndv_right,
+                          n_left * n_right // greatest(ndv_left, ndv_right)
+                            AS est_rows,
+                          actual_rows
+                   FROM s3, r3, j3)
+            SELECT join_name, n_left, n_right, ndv_left, ndv_right,
+                   est_rows, actual_rows,
+                   CAST(floor(greatest(
+                     CAST(est_rows AS DOUBLE) / CAST(actual_rows AS DOUBLE),
+                     CAST(actual_rows AS DOUBLE) / CAST(est_rows AS DOUBLE))
+                     * 1000000) AS BIGINT) AS q_error_ppm
+            FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+                  UNION ALL SELECT * FROM p3)
         """,
     }

@@ -9634,3 +9634,280 @@ def q277_result_fingerprint(spark, sf):
             F.concat_ws("|", F.array_sort(F.collect_list("row")))
         ).alias("result_fingerprint"),
     )
+
+
+def q278_qlm_dirichlet(spark, sf):
+    """Query-likelihood retrieval with Dirichlet smoothing (mu=1000,
+    Zhai & Lafferty 2001) for the corpus's five highest collection-
+    frequency tokens — the language-model scoring complement of q134's
+    BM25 (tf-saturation) and q64's TF-IDF. Docs that MISS a query term
+    still pay the background-model penalty, handled algebraically so no
+    doc x term grid is ever built: score(d) = S_const - 5*ln(dl+mu) +
+    SUM over PRESENT terms ln((tf+mu*p_t)/(mu*p_t)), where p_t = ctf/T.
+
+    Shape: ONE (doc, token) tf aggregation feeds doc lengths, collection
+    term frequencies, and the present-term adjustments; the 5-term query
+    model and the 1-row S_const broadcast; only the tf->dl join is
+    corpus-keyed. Every ln() is floored to integer micros before any
+    sum, so accumulation is order-independent and DuckDB replays the
+    IEEE sequence bit-for-bit. Top-20 is a TakeOrdered."""
+    from chemharmony_spark.cache import registered_persist
+
+    docs = _t(spark, sf, "documents")
+    toks = docs.select("doc_id", F.explode(TX.tokens("text")).alias("token"))
+    tf = registered_persist(
+        toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    ctf = tf.groupBy("token").agg(F.sum("tf").alias("ctf"))
+    tot = ctf.agg(F.sum("ctf").alias("t"))
+    qterms = ctf.orderBy(F.col("ctf").desc(), "token").limit(5)
+    qmodel = qterms.crossJoin(F.broadcast(tot)).select(
+        "token",
+        (
+            F.lit(1000.0)
+            * (F.col("ctf").cast("double") / F.col("t").cast("double"))
+        ).alias("mup"),
+    )
+    qconst = qmodel.agg(
+        F.sum(F.floor(F.log("mup") * 1_000_000).cast("long")).alias("s_const")
+    )
+    adj = (
+        tf.join(F.broadcast(qmodel), on="token")
+        .select(
+            "doc_id",
+            F.floor(
+                F.log(
+                    (F.col("tf").cast("double") + F.col("mup")) / F.col("mup")
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("adj_micro"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("adj_micro").alias("adj"))
+    )
+    scored = (
+        dl.join(adj, on="doc_id", how="left")
+        .crossJoin(F.broadcast(qconst))
+        .select(
+            "doc_id",
+            (
+                F.col("s_const")
+                - F.lit(5)
+                * F.floor(
+                    F.log(F.col("dl").cast("double") + F.lit(1000.0))
+                    * 1_000_000
+                ).cast("long")
+                + F.coalesce(F.col("adj"), F.lit(0))
+            ).alias("score_micro"),
+        )
+    )
+    return scored.orderBy(F.col("score_micro").desc(), "doc_id").limit(20)
+
+
+def q279_blocking_quality(spark, sf):
+    """Blocking-scheme quality audit for entity resolution (Christen
+    2012): reduction ratio and pair completeness of the classic cheap
+    length block (n_chars DIV 100 bucket) against near-duplicate ground
+    truth (docs sharing the same 40-char normalized prefix — the
+    corpus's actual near-dup families). Length blocking misses family
+    members whose edits change the document's length bucket, so
+    completeness lands strictly between 0 and 1. Everything is
+    count-space: true/candidate/matched pair totals are SUM C(n,2) over
+    three group-size tables from ONE keyed scan — no pair is ever
+    materialized, which is the only blocking audit shape that works at
+    100 TB."""
+    from chemharmony_spark.cache import registered_persist
+
+    docs = _t(spark, sf, "documents")
+    keyed = registered_persist(
+        docs.select(
+            F.substring(
+                F.concat_ws(" ", TX.tokens("text")), 1, 40
+            ).alias("bag"),
+            F.expr("n_chars DIV 100").alias("blk"),
+        )
+    )
+    pair_sum = F.sum(F.expr("n * (n - 1) DIV 2")).cast("long")
+    true_p = (
+        keyed.groupBy("bag").agg(F.count(F.lit(1)).alias("n"))
+        .agg(pair_sum.alias("true_pairs"))
+    )
+    cand_p = (
+        keyed.groupBy("blk").agg(F.count(F.lit(1)).alias("n"))
+        .agg(pair_sum.alias("cand_pairs"))
+    )
+    match_p = (
+        keyed.groupBy("bag", "blk").agg(F.count(F.lit(1)).alias("n"))
+        .agg(pair_sum.alias("matched_pairs"))
+    )
+    n_docs = keyed.agg(F.count(F.lit(1)).alias("n_docs"))
+    out = (
+        n_docs.crossJoin(F.broadcast(true_p))
+        .crossJoin(F.broadcast(cand_p))
+        .crossJoin(F.broadcast(match_p))
+    )
+    total = F.expr("n_docs * (n_docs - 1) DIV 2")
+    return out.select(
+        "n_docs",
+        "true_pairs",
+        "cand_pairs",
+        "matched_pairs",
+        F.floor(
+            (
+                F.lit(1.0)
+                - F.col("cand_pairs").cast("double") / total.cast("double")
+            )
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("reduction_ppm"),
+        F.when(
+            F.col("true_pairs") > 0,
+            F.floor(
+                F.col("matched_pairs").cast("double")
+                / F.col("true_pairs").cast("double")
+                * 1_000_000
+            ).cast("long"),
+        ).alias("completeness_ppm"),
+    )
+
+
+def q280_changepoint_binseg(spark, sf):
+    """Single binary-segmentation changepoint per event type (the
+    recursion step of binary segmentation; Scott & Knott 1974): over
+    the daily event-count series, pick the split minimizing total SSE —
+    equivalently maximizing S_l^2/i + S_r^2/(n-i) - S^2/n from prefix
+    sums alone — the structural-break detector complementing q139's
+    known-target CUSUM and q215's local peaks. ONE (type, day) count
+    agg, then window cumsums over the model-space series (days per
+    type); argmax via rank over (gain desc, day asc). Counts stay
+    integer; the gain is one fixed double sequence floored to micros."""
+    ev = _events(spark, sf)
+    daily = ev.groupBy(
+        "event_type", F.expr("ts div 86400000000000").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    wall = Window.partitionBy("event_type")
+    cur = daily.select(
+        "event_type",
+        "day",
+        F.row_number().over(w).cast("long").alias("i"),
+        F.sum("y")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("sl"),
+        F.sum("y").over(wall).alias("s"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("n"),
+    ).filter(F.col("i") < F.col("n"))
+    sl_d = F.col("sl").cast("double")
+    sr_d = (F.col("s") - F.col("sl")).cast("double")
+    i_d = F.col("i").cast("double")
+    r_d = (F.col("n") - F.col("i")).cast("double")
+    s_d = F.col("s").cast("double")
+    n_d = F.col("n").cast("double")
+    scored = cur.select(
+        "event_type",
+        "day",
+        "n",
+        F.floor(
+            (sl_d * sl_d / i_d + sr_d * sr_d / r_d - s_d * s_d / n_d)
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("gain_micro"),
+        F.floor(sl_d / i_d * 1_000_000).cast("long").alias("left_mean_micro"),
+        F.floor(sr_d / r_d * 1_000_000).cast("long").alias("right_mean_micro"),
+    )
+    w2 = Window.partitionBy("event_type").orderBy(
+        F.col("gain_micro").desc(), "day"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("split_day"),
+            F.col("n").alias("n_days"),
+            "gain_micro",
+            "left_mean_micro",
+            "right_mean_micro",
+        )
+    )
+
+
+def q281_join_cardinality_estimate(spark, sf):
+    """Planner-style join-cardinality estimation audit: for the three
+    TPC-H FK joins, compare the textbook estimate |R||S|/max(ndv_R,
+    ndv_S) (System R; Selinger et al. 1979) against the exact join
+    cardinality, reported as a q-error. The exact cardinality is
+    computed WITHOUT running the join wide: each side collapses to a
+    per-key count table (one agg), the count tables join on the key
+    (the agg's hash partitioning is reused — no extra exchange), and
+    SUM(n_l * n_r) is the join size. At 100 TB the same shape holds —
+    key-count tables are ndv-sized, never row-sized."""
+
+    from chemharmony_spark.cache import registered_persist
+
+    def audit(left, lkey, right, rkey, name):
+        # each key-count table has two consumers (its 1-row stats agg and
+        # the exact-cardinality join); AQE stage reuse does not kick in
+        # across them, so persist — the tables are ndv-sized, not row-sized
+        a = registered_persist(
+            left.groupBy(F.col(lkey).alias("k")).agg(
+                F.count(F.lit(1)).alias("nl")
+            )
+        )
+        b = registered_persist(
+            right.groupBy(F.col(rkey).alias("k")).agg(
+                F.count(F.lit(1)).alias("nr")
+            )
+        )
+        stats_a = a.agg(
+            F.sum("nl").alias("n_left"), F.count(F.lit(1)).alias("ndv_left")
+        )
+        stats_b = b.agg(
+            F.sum("nr").alias("n_right"), F.count(F.lit(1)).alias("ndv_right")
+        )
+        actual = a.join(b, on="k").agg(
+            F.sum(F.col("nl") * F.col("nr")).alias("actual_rows")
+        )
+        qerr = F.greatest(
+            F.col("est_rows").cast("double")
+            / F.col("actual_rows").cast("double"),
+            F.col("actual_rows").cast("double")
+            / F.col("est_rows").cast("double"),
+        )
+        return (
+            stats_a.crossJoin(F.broadcast(stats_b))
+            .crossJoin(F.broadcast(actual))
+            .withColumn(
+                "est_rows",
+                F.expr("n_left * n_right DIV greatest(ndv_left, ndv_right)"),
+            )
+            .select(
+                F.lit(name).alias("join_name"),
+                "n_left",
+                "n_right",
+                "ndv_left",
+                "ndv_right",
+                "est_rows",
+                "actual_rows",
+                F.floor(qerr * 1_000_000).cast("long").alias("q_error_ppm"),
+            )
+        )
+
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    part = _t(spark, sf, "part")
+    return (
+        audit(li, "l_orderkey", orders, "o_orderkey", "lineitem_orders")
+        .unionByName(
+            audit(orders, "o_custkey", cust, "c_custkey", "orders_customer")
+        )
+        .unionByName(
+            audit(li, "l_partkey", part, "p_partkey", "lineitem_part")
+        )
+    )

@@ -676,6 +676,21 @@ SHUFFLE_BUDGET = {
     "q276_supplier_concentration": 2,
     # q277: region rollup + the 1-row fingerprint fold
     "q277_result_fingerprint": 2,
+    # q278: the persisted (doc, token) tf agg prints per consumer (dl,
+    # ctf, adjustments); + dl/ctf re-aggs, the per-doc adjustment agg,
+    # the doc-keyed dl join, and the top-20 TakeOrdered partial — the
+    # 5-term model and the 1-row S_const travel broadcast
+    "q278_qlm_dirichlet": 9,
+    # q279: three group-size aggs + their 1-row pair-sum rollups off ONE
+    # persisted keyed scan (printed per consumer); no pair materializes
+    "q279_blocking_quality": 7,
+    # q280: (type, day) count agg + the shared event_type window
+    # exchange (cumsums and the argmax rank ride the same partitioning)
+    "q280_changepoint_binseg": 2,
+    # q281: 3 FK audits x (two persisted key-count aggs, their 1-row
+    # stats rollups, and the count-table join's 1-row sum) — every
+    # exchange is ndv- or single-row-sized
+    "q281_join_cardinality_estimate": 15,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -775,7 +790,13 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 # q242/q243: 1-row midpoint / count / CI-bound broadcasts
                 "q242_cuped", "q243_bootstrap_ci",
                 # q246: 1-row interval-count broadcast
-                "q246_purchase_cadence"}
+                "q246_purchase_cadence",
+                # q278: 1-row S_const broadcast onto the scored docs
+                "q278_qlm_dirichlet",
+                # q279: 1-row pair-sum rollups cross-joined for the report
+                "q279_blocking_quality",
+                # q281: 1-row stats/actual rollups cross-joined per audit
+                "q281_join_cardinality_estimate"}
 
 
 def test_no_headline_query_has_unpartitioned_ranked_window(spark):
