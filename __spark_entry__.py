@@ -358,6 +358,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q279_blocking_quality": Q.q279_blocking_quality,
         "q280_changepoint_binseg": Q.q280_changepoint_binseg,
         "q281_join_cardinality_estimate": Q.q281_join_cardinality_estimate,
+        "q282_dawid_skene_step": Q.q282_dawid_skene_step,
+        "q283_rbo_rankings": Q.q283_rbo_rankings,
+        "q284_neyman_allocation": Q.q284_neyman_allocation,
+        "q285_source_minhash_union": Q.q285_source_minhash_union,
     }
 
 
@@ -370,6 +374,10 @@ _NORM = ("trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')
          " ' +', ' ', 'g'))")
 _TOKS = f"list_filter(string_split({_NORM}, ' '), x -> x != '')"
 _HEXV = "(instr('0123456789abcdef', {c}) - 1)"
+
+# RBO@50 geometric tail weights as a DuckDB list literal; repr() round-trips
+# each Python float to the identical IEEE double on parse
+_RBO_TAIL_SQL = "[" + ", ".join(repr(v) for v in Q._RBO_TAIL) + "]"
 
 
 _LANGID_CTES = f"""
@@ -7170,5 +7178,166 @@ def oracle_sql() -> dict[str, str]:
                      * 1000000) AS BIGINT) AS q_error_ppm
             FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2
                   UNION ALL SELECT * FROM p3)
+        """,
+        "q282_dawid_skene_step": """
+            WITH votes AS MATERIALIZED (
+              SELECT l_orderkey AS item, l_suppkey % 7 AS annotator,
+                     MIN(l_returnflag) AS label
+              FROM lineitem GROUP BY 1, 2),
+            mvc AS (SELECT item, label, COUNT(*) AS c
+                    FROM votes GROUP BY 1, 2),
+            mv AS MATERIALIZED (
+              SELECT item, label AS mv_label FROM (
+                SELECT item, label,
+                       ROW_NUMBER() OVER (PARTITION BY item
+                                          ORDER BY c DESC, label) AS rn
+                FROM mvc)
+              WHERE rn = 1),
+            rel AS MATERIALIZED (
+              SELECT annotator,
+                     CAST(floor(ln(
+                       (CAST(agree + 1 AS DOUBLE) / CAST(n + 2 AS DOUBLE))
+                       / (1.0 - CAST(agree + 1 AS DOUBLE)
+                                / CAST(n + 2 AS DOUBLE)))
+                       * 1000000) AS BIGINT) AS w_micro
+              FROM (SELECT annotator, COUNT(*) AS n,
+                           SUM(CASE WHEN v.label = m.mv_label
+                               THEN 1 ELSE 0 END) AS agree
+                    FROM votes v JOIN mv m USING (item) GROUP BY 1)),
+            sc AS (SELECT v.item, v.label, CAST(SUM(w_micro) AS BIGINT)
+                     AS score
+                   FROM votes v JOIN rel r ON v.annotator = r.annotator
+                   GROUP BY 1, 2),
+            ref AS (SELECT item, label AS refined_label FROM (
+                      SELECT item, label,
+                             ROW_NUMBER() OVER (PARTITION BY item
+                               ORDER BY score DESC, label) AS rn
+                      FROM sc)
+                    WHERE rn = 1)
+            SELECT mv_label, refined_label, CAST(COUNT(*) AS BIGINT)
+              AS n_items
+            FROM mv JOIN ref USING (item) GROUP BY 1, 2
+        """,
+        "q283_rbo_rankings": f"""
+            WITH rev AS MATERIALIZED (
+              SELECT year(l_shipdate) AS yr, l_partkey,
+                     CAST(floor(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(8,4))
+                          - CAST(l_discount AS DECIMAL(8,4)))
+                       * 100)) AS BIGINT) AS cents
+              FROM lineitem WHERE year(l_shipdate) IN (1995, 1996)
+              GROUP BY 1, 2),
+            a AS (SELECT l_partkey, rnk FROM (
+                    SELECT l_partkey,
+                           CAST(ROW_NUMBER() OVER (ORDER BY cents DESC,
+                             l_partkey) AS BIGINT) AS rnk
+                    FROM rev WHERE yr = 1995) WHERE rnk <= 50),
+            b AS (SELECT l_partkey, rnk FROM (
+                    SELECT l_partkey,
+                           CAST(ROW_NUMBER() OVER (ORDER BY cents DESC,
+                             l_partkey) AS BIGINT) AS rnk
+                    FROM rev WHERE yr = 1996) WHERE rnk <= 50),
+            j AS (SELECT greatest(a.rnk, b.rnk) AS m
+                  FROM a JOIN b USING (l_partkey))
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_joint,
+                   CAST(SUM(CAST(floor(
+                     list_extract({_RBO_TAIL_SQL}, CAST(m AS INT))
+                     * 1000000000) AS BIGINT)) AS BIGINT) AS rbo_nano
+            FROM j
+        """,
+        "q284_neyman_allocation": """
+            WITH sp AS (
+              SELECT o_custkey,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                          AS BIGINT) AS cents
+              FROM orders GROUP BY 1),
+            seg AS MATERIALIZED (
+              SELECT sp.o_custkey, c.c_mktsegment, sp.cents
+              FROM sp JOIN customer c ON sp.o_custkey = c.c_custkey),
+            mom AS (
+              SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_pop,
+                     CAST(SUM(cents) AS BIGINT) AS s,
+                     SUM(CAST(cents AS HUGEINT) * cents) AS ss
+              FROM seg GROUP BY 1),
+            wts AS MATERIALIZED (
+              SELECT c_mktsegment, n_pop,
+                     CAST(floor(sqrt(
+                       CAST(ss AS DOUBLE) / CAST(n_pop AS DOUBLE)
+                       - (CAST(s AS DOUBLE) / CAST(n_pop AS DOUBLE))
+                         * (CAST(s AS DOUBLE) / CAST(n_pop AS DOUBLE))))
+                       AS BIGINT) AS sd_floor,
+                     CAST(floor(CAST(n_pop AS DOUBLE) * sqrt(
+                       CAST(ss AS DOUBLE) / CAST(n_pop AS DOUBLE)
+                       - (CAST(s AS DOUBLE) / CAST(n_pop AS DOUBLE))
+                         * (CAST(s AS DOUBLE) / CAST(n_pop AS DOUBLE))))
+                       AS BIGINT) AS wi
+              FROM mom),
+            wtot AS (SELECT CAST(SUM(wi) AS BIGINT) AS w FROM wts),
+            alloc AS MATERIALIZED (
+              SELECT c_mktsegment, n_pop, sd_floor,
+                     least(1000 * wi // w, n_pop) AS alloc
+              FROM wts, wtot),
+            rk AS (
+              SELECT c_mktsegment, cents,
+                     ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                       ORDER BY md5(CAST(o_custkey AS VARCHAR)),
+                                o_custkey) AS rn
+              FROM seg),
+            st AS (
+              SELECT rk.c_mktsegment, CAST(COUNT(*) AS BIGINT)
+                       AS n_sampled,
+                     CAST(SUM(cents) // COUNT(*) AS BIGINT)
+                       AS sample_mean_cents
+              FROM rk JOIN alloc a ON rk.c_mktsegment = a.c_mktsegment
+              WHERE rn <= a.alloc GROUP BY 1)
+            SELECT a.c_mktsegment, n_pop, sd_floor,
+                   CAST(alloc AS BIGINT) AS alloc,
+                   COALESCE(n_sampled, 0) AS n_sampled, sample_mean_cents
+            FROM alloc a LEFT JOIN st ON a.c_mktsegment = st.c_mktsegment
+        """,
+        "q285_source_minhash_union": f"""
+            WITH srctok AS MATERIALIZED (
+              SELECT DISTINCT source, unnest({_TOKS}) AS token
+              FROM documents),
+            comp AS MATERIALIZED (
+              SELECT source, h,
+                     MIN(md5(CAST(h AS VARCHAR) || ':' || token)) AS mh
+              FROM (SELECT source, token, unnest(range(0, 64)) AS h
+                    FROM srctok)
+              GROUP BY 1, 2),
+            est AS (
+              SELECT a.source AS source_a, b.source AS source_b,
+                     SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END)
+                       AS n_agree
+              FROM comp a JOIN comp b
+                ON a.h = b.h AND a.source < b.source
+              GROUP BY 1, 2),
+            sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+                      FROM srctok GROUP BY 1),
+            inter AS (
+              SELECT x.source AS source_a, y.source AS source_b,
+                     CAST(COUNT(*) AS BIGINT) AS inter
+              FROM srctok x JOIN srctok y
+                ON x.token = y.token AND x.source < y.source
+              GROUP BY 1, 2),
+            grid AS (
+              SELECT sa.source AS source_a, sb.source AS source_b,
+                     sa.n AS na, sb.n AS nb
+              FROM sizes sa JOIN sizes sb ON sa.source < sb.source)
+            SELECT source_a, source_b, inter, est_ppm, exact_ppm,
+                   CAST(abs(est_ppm - exact_ppm) AS BIGINT) AS abs_err_ppm
+            FROM (
+              SELECT g.source_a, g.source_b,
+                     COALESCE(i.inter, 0) AS inter,
+                     CAST(floor(CAST(n_agree AS DOUBLE) / 64.0 * 1000000)
+                       AS BIGINT) AS est_ppm,
+                     CAST(floor(CAST(COALESCE(i.inter, 0) AS DOUBLE)
+                       / CAST(na + nb - COALESCE(i.inter, 0) AS DOUBLE)
+                       * 1000000) AS BIGINT) AS exact_ppm
+              FROM grid g
+              LEFT JOIN inter i ON g.source_a = i.source_a
+                                AND g.source_b = i.source_b
+              JOIN est e ON g.source_a = e.source_a
+                         AND g.source_b = e.source_b)
         """,
     }

@@ -9911,3 +9911,304 @@ def q281_join_cardinality_estimate(spark, sf):
             audit(li, "l_partkey", part, "p_partkey", "lineitem_part")
         )
     )
+
+
+# RBO geometric tail weights (Webber et al. 2010), p=0.9, depth 50:
+# _RBO_TAIL[m-1] = sum_{d=m}^{50} (1-p) * p^(d-1) / d — the total RBO@50
+# contribution of a joint element first covered at depth m. Computed once
+# in Python; both engines consume the same 50 float literals.
+_RBO_P = 0.9
+_RBO_TAIL = []
+for _m in range(1, 51):
+    _acc = 0.0
+    for _dd in range(_m, 51):
+        _acc += (1.0 - _RBO_P) * _RBO_P ** (_dd - 1) / _dd
+    _RBO_TAIL.append(_acc)
+del _m, _dd, _acc
+
+
+def q282_dawid_skene_step(spark, sf):
+    """One Dawid-Skene EM step for multi-annotator label aggregation
+    (Dawid & Skene 1979): treat each order as an item, supplier-id mod 7
+    as seven annotators, and l_returnflag as the cast vote. Round 0 is
+    q89's majority vote; this query then estimates each annotator's
+    reliability (Laplace-smoothed agreement with the majority), turns it
+    into a log-odds weight, and re-votes with weighted ballots — the
+    label-model upgrade every weak-supervision pipeline runs at scale.
+    Output is the 3x3 majority->refined confusion rollup.
+
+    Shape: votes collapse to one ballot per (item, annotator) in ONE
+    agg; majority and re-vote are (item, label) aggs + an item-keyed
+    rank window riding the same partitioning; the 7-row weight table
+    broadcasts. Weights are floored to integer micros before summation,
+    so ballots add order-independently."""
+    from chemharmony_spark.cache import registered_persist
+
+    li = _t(spark, sf, "lineitem")
+    votes = registered_persist(
+        li.groupBy(
+            F.col("l_orderkey").alias("item"),
+            (F.col("l_suppkey") % 7).alias("annotator"),
+        ).agg(F.min("l_returnflag").alias("label"))
+    )
+    wm = Window.partitionBy("item").orderBy(F.col("c").desc(), "label")
+    mv = (
+        votes.groupBy("item", "label")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") == 1)
+        .select("item", F.col("label").alias("mv_label"))
+    )
+    acc = (F.col("agree") + 1).cast("double") / (F.col("n") + 2).cast(
+        "double"
+    )
+    rel = (
+        votes.join(mv, on="item")
+        .groupBy("annotator")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("label") == F.col("mv_label"), 1).otherwise(0)
+            ).alias("agree"),
+        )
+        .select(
+            "annotator",
+            F.floor(F.log(acc / (F.lit(1.0) - acc)) * 1_000_000)
+            .cast("long")
+            .alias("w_micro"),
+        )
+    )
+    ws = Window.partitionBy("item").orderBy(F.col("score").desc(), "label")
+    refined = (
+        votes.join(F.broadcast(rel), on="annotator")
+        .groupBy("item", "label")
+        .agg(F.sum("w_micro").alias("score"))
+        .withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") == 1)
+        .select("item", F.col("label").alias("refined_label"))
+    )
+    return (
+        mv.join(refined, on="item")
+        .groupBy("mv_label", "refined_label")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+def q283_rbo_rankings(spark, sf):
+    """Rank-biased overlap (Webber, Moffat & Zobel 2010) between the
+    1995 and 1996 top-50 part-revenue rankings — the top-weighted,
+    non-conjoint rank-stability metric that q233/q234's full-list
+    correlations cannot express. Each part appearing in BOTH prefixes
+    contributes the closed-form geometric tail T[max(rank_a, rank_b)] =
+    SUM_{d>=m} (1-p)p^{d-1}/d, precomputed in Python as 50 shared float
+    literals (_RBO_TAIL), so RBO@50 is a SUM of per-part floored nanos —
+    order-independent and engine-identical. Each year's top-50 comes
+    from a TakeOrderedAndProject (never a global sort); the 50-row
+    frames then join and rank at constant size."""
+    li = _t(spark, sf, "lineitem")
+    disc = F.lit(1).cast("decimal(8,4)") - F.col("l_discount").cast(
+        "decimal(8,4)"
+    )
+    rev = (
+        li.filter(F.year("l_shipdate").isin(1995, 1996))
+        .groupBy(F.year("l_shipdate").alias("yr"), "l_partkey")
+        .agg(
+            F.floor(F.sum(_d("l_extendedprice") * disc * 100))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    tail = F.array(*[F.lit(v) for v in _RBO_TAIL])
+
+    def topk(yr):
+        t = (
+            rev.filter(F.col("yr") == yr)
+            .orderBy(F.col("cents").desc(), "l_partkey")
+            .limit(50)
+        )
+        w = Window.orderBy(F.col("cents").desc(), "l_partkey")
+        return t.select(
+            "l_partkey", F.row_number().over(w).cast("long").alias("rnk")
+        )
+
+    a = topk(1995).alias("a")
+    b = topk(1996).alias("b")
+    joint = a.join(b, on="l_partkey").select(
+        F.greatest(F.col("a.rnk"), F.col("b.rnk")).alias("m")
+    )
+    return joint.agg(
+        F.count(F.lit(1)).alias("n_joint"),
+        F.sum(
+            F.floor(
+                F.element_at(tail, F.col("m").cast("int")) * 1_000_000_000
+            ).cast("long")
+        ).alias("rbo_nano"),
+    )
+
+
+def q284_neyman_allocation(spark, sf):
+    """Neyman-allocated stratified sample design (Neyman 1934): split a
+    1000-unit sample budget across customer market segments
+    proportionally to N_h * S_h (stratum size x spend stddev) — the
+    minimum-variance allocation — then draw each stratum's quota by
+    deterministic md5 rank and report the realized sample means.
+    Stratum moments come from exact integer cent sums (sum of squares in
+    decimal(38,0)); sqrt runs once per stratum; the allocation itself is
+    integer arithmetic on floored weights so the budget split is
+    order-independent. The per-stratum draw is a rank window over the 5
+    segment partitions (customer-dimension model space; the bucketed
+    two-phase top-k is the 100 TB swap, as in q26)."""
+    from chemharmony_spark.cache import registered_persist
+
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(_d("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    seg = registered_persist(
+        spend.join(
+            cust.select(
+                F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+            ),
+            on="o_custkey",
+        )
+    )
+    mom = seg.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_pop"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias(
+            "ss"
+        ),
+    )
+    mean = F.col("s").cast("double") / F.col("n_pop").cast("double")
+    var = F.col("ss").cast("double") / F.col("n_pop").cast("double") - (
+        mean * mean
+    )
+    wts = mom.select(
+        "c_mktsegment",
+        "n_pop",
+        F.floor(F.sqrt(var)).cast("long").alias("sd_floor"),
+        F.floor(F.col("n_pop").cast("double") * F.sqrt(var))
+        .cast("long")
+        .alias("wi"),
+    )
+    wtot = wts.agg(F.sum("wi").alias("w"))
+    alloc = wts.crossJoin(F.broadcast(wtot)).select(
+        "c_mktsegment",
+        "n_pop",
+        "sd_floor",
+        F.least(F.expr("1000 * wi DIV w"), F.col("n_pop")).alias("alloc"),
+    )
+    wr = Window.partitionBy("c_mktsegment").orderBy(
+        F.md5(F.col("o_custkey").cast("string")), "o_custkey"
+    )
+    sampled = (
+        seg.withColumn("rn", F.row_number().over(wr).cast("long"))
+        .join(F.broadcast(alloc.select("c_mktsegment", "alloc")), on="c_mktsegment")
+        .filter(F.col("rn") <= F.col("alloc"))
+    )
+    stats = sampled.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.expr("SUM(cents) DIV COUNT(*)").alias("sample_mean_cents"),
+    )
+    return (
+        alloc.join(stats, on="c_mktsegment", how="left")
+        .select(
+            "c_mktsegment",
+            "n_pop",
+            "sd_floor",
+            "alloc",
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+            "sample_mean_cents",
+        )
+    )
+
+
+def q285_source_minhash_union(spark, sf):
+    """Mergeable per-source MinHash sketches: each source's 64-component
+    signature is the component-wise MIN over its distinct vocabulary —
+    exactly the union-merge property that makes MinHash a distributive
+    sketch (a 100 TB corpus folds per partition, then per source, with
+    no revisit; Broder 1997). Pairwise signature agreement estimates
+    vocabulary Jaccard; the exact Jaccard from the (source, token)
+    table joins alongside with the absolute estimation error, auditing
+    the sketch's accuracy at k=64. All joins are vocabulary- or
+    sketch-sized — the corpus is touched once."""
+    from chemharmony_spark.cache import registered_persist
+
+    docs = _t(spark, sf, "documents")
+    srctok = registered_persist(
+        docs.select(
+            "source", F.explode(TX.tokens("text")).alias("token")
+        ).distinct()
+    )
+    comp = srctok.select(
+        "source",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("h"),
+        "token",
+    ).groupBy("source", "h").agg(
+        F.min(
+            F.md5(F.concat_ws(":", F.col("h").cast("string"), "token"))
+        ).alias("mh")
+    )
+    est = (
+        comp.alias("a")
+        .join(comp.alias("b"), on="h")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("a.mh") == F.col("b.mh"), 1).otherwise(0)
+            ).alias("n_agree")
+        )
+    )
+    sizes = srctok.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        srctok.alias("x")
+        .join(srctok.alias("y"), on="token")
+        .filter(F.col("x.source") < F.col("y.source"))
+        .groupBy(
+            F.col("x.source").alias("source_a"),
+            F.col("y.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    grid = (
+        sizes.alias("sa")
+        .crossJoin(F.broadcast(sizes.alias("sb")))
+        .filter(F.col("sa.source") < F.col("sb.source"))
+        .select(
+            F.col("sa.source").alias("source_a"),
+            F.col("sb.source").alias("source_b"),
+            F.col("sa.n").alias("na"),
+            F.col("sb.n").alias("nb"),
+        )
+    )
+    inter_c = F.coalesce("inter", F.lit(0))
+    out = (
+        grid.join(inter, on=["source_a", "source_b"], how="left")
+        .join(est, on=["source_a", "source_b"])
+        .select(
+            "source_a",
+            "source_b",
+            inter_c.alias("inter"),
+            F.floor(
+                F.col("n_agree").cast("double") / F.lit(64.0) * 1_000_000
+            )
+            .cast("long")
+            .alias("est_ppm"),
+            F.floor(
+                inter_c.cast("double")
+                / (F.col("na") + F.col("nb") - inter_c).cast("double")
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("exact_ppm"),
+        )
+    )
+    return out.withColumn(
+        "abs_err_ppm", F.abs(F.col("est_ppm") - F.col("exact_ppm"))
+    )

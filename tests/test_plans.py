@@ -691,6 +691,21 @@ SHUFFLE_BUDGET = {
     # stats rollups, and the count-table join's 1-row sum) — every
     # exchange is ndv- or single-row-sized
     "q281_join_cardinality_estimate": 15,
+    # q282: persisted ballot agg (printed per consumer x3) + the
+    # majority/reliability/re-vote (item,label) aggs and item-keyed rank
+    # windows riding them + the confusion rollup; 7-row weights broadcast
+    "q282_dawid_skene_step": 9,
+    # q283: (yr, part) revenue agg + the two TakeOrdered partials riding
+    # one exchange pair; the 50-row rank/join stages are constant-sized
+    "q283_rbo_rankings": 2,
+    # q284: per-customer spend agg + persisted segment join (printed per
+    # consumer), the 5-row moment/weight rollups, and the sample-rank
+    # window + realized-stats agg
+    "q284_neyman_allocation": 8,
+    # q285: persisted (source, token) distinct (printed per consumer x3)
+    # + the 64-component sketch agg, pairwise agreement agg, exact
+    # intersection agg, and per-source size agg — all vocabulary-sized
+    "q285_source_minhash_union": 8,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -796,7 +811,12 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 # q279: 1-row pair-sum rollups cross-joined for the report
                 "q279_blocking_quality",
                 # q281: 1-row stats/actual rollups cross-joined per audit
-                "q281_join_cardinality_estimate"}
+                "q281_join_cardinality_estimate",
+                # q284: 1-row weight-total broadcast onto the 5 strata
+                "q284_neyman_allocation",
+                # q285: 20-row per-source size dim self-paired (a < b
+                # theta join by design — source-dimension model space)
+                "q285_source_minhash_union"}
 
 
 def test_no_headline_query_has_unpartitioned_ranked_window(spark):
