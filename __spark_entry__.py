@@ -362,6 +362,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q283_rbo_rankings": Q.q283_rbo_rankings,
         "q284_neyman_allocation": Q.q284_neyman_allocation,
         "q285_source_minhash_union": Q.q285_source_minhash_union,
+        "q286_markov_accuracy": Q.q286_markov_accuracy,
+        "q287_t_closeness": Q.q287_t_closeness,
+        "q288_sax_motifs": Q.q288_sax_motifs,
+        "q289_position_attribution": Q.q289_position_attribution,
     }
 
 
@@ -7339,5 +7343,166 @@ def oracle_sql() -> dict[str, str]:
                                 AND g.source_b = i.source_b
               JOIN est e ON g.source_a = e.source_a
                          AND g.source_b = e.source_b)
+        """,
+        "q286_markov_accuracy": """
+            WITH seq AS MATERIALIZED (
+              SELECT user_id, src, dst, i, n FROM (
+                SELECT user_id, event_type AS src,
+                       LEAD(event_type) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS dst,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS BIGINT) AS i,
+                       CAST(COUNT(*) OVER (PARTITION BY user_id)
+                         AS BIGINT) AS n
+                FROM events)
+              WHERE dst IS NOT NULL),
+            tc AS (SELECT src, dst, COUNT(*) AS c FROM seq
+                   WHERE i + 1 <= (7 * n) // 10 GROUP BY 1, 2),
+            pred AS (SELECT src, dst AS predicted FROM (
+                       SELECT src, dst,
+                              ROW_NUMBER() OVER (PARTITION BY src
+                                ORDER BY c DESC, dst) AS rn
+                       FROM tc) WHERE rn = 1)
+            SELECT s.src, CAST(COUNT(*) AS BIGINT) AS n_test,
+                   CAST(SUM(CASE WHEN s.dst = p.predicted
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+                   CAST(1000000 * CAST(SUM(CASE WHEN s.dst = p.predicted
+                        THEN 1 ELSE 0 END) AS BIGINT) // COUNT(*)
+                        AS BIGINT) AS acc_ppm
+            FROM seq s LEFT JOIN pred p ON s.src = p.src
+            WHERE s.i + 1 > (7 * s.n) // 10
+            GROUP BY 1
+        """,
+        "q287_t_closeness": """
+            WITH gc AS MATERIALIZED (
+              SELECT c.c_mktsegment, o.o_orderpriority, o.o_orderstatus,
+                     CAST(COUNT(*) AS BIGINT) AS c
+              FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+              GROUP BY 1, 2, 3),
+            groups AS (SELECT c_mktsegment, o_orderpriority,
+                              CAST(SUM(c) AS BIGINT) AS gn
+                       FROM gc GROUP BY 1, 2),
+            sg AS (SELECT o_orderstatus, CAST(SUM(c) AS BIGINT) AS sc
+                   FROM gc GROUP BY 1),
+            tot AS (SELECT CAST(SUM(sc) AS BIGINT) AS t FROM sg),
+            globd AS MATERIALIZED (
+              SELECT o_orderstatus,
+                     CAST(SUM(sc) OVER (ORDER BY o_orderstatus
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS DOUBLE) / CAST(t AS DOUBLE) AS cum_q
+              FROM sg, tot),
+            grid AS (
+              SELECT g.c_mktsegment, g.o_orderpriority, g.gn,
+                     d.o_orderstatus, d.cum_q,
+                     COALESCE(gc.c, 0) AS c0
+              FROM groups g CROSS JOIN globd d
+              LEFT JOIN gc ON gc.c_mktsegment = g.c_mktsegment
+                AND gc.o_orderpriority = g.o_orderpriority
+                AND gc.o_orderstatus = d.o_orderstatus),
+            terms AS (
+              SELECT c_mktsegment, o_orderpriority, gn,
+                     CAST(floor(abs(
+                       CAST(SUM(c0) OVER (PARTITION BY c_mktsegment,
+                           o_orderpriority ORDER BY o_orderstatus
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND
+                           CURRENT ROW) AS DOUBLE)
+                         / CAST(gn AS DOUBLE)
+                       - cum_q) * 1000000) AS BIGINT) AS term_micro
+              FROM grid)
+            SELECT c_mktsegment, o_orderpriority,
+                   MAX(gn) AS n_orders,
+                   CAST(SUM(term_micro) // (COUNT(*) - 1) AS BIGINT)
+                     AS t_close_micro,
+                   CASE WHEN CAST(SUM(term_micro) // (COUNT(*) - 1)
+                        AS BIGINT) > 200000 THEN 1 ELSE 0 END AS flagged
+            FROM terms GROUP BY 1, 2
+        """,
+        "q288_sax_motifs": """
+            WITH daily AS MATERIALIZED (
+              SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                     CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100)
+                          AS BIGINT) AS cents
+              FROM events GROUP BY 1, 2),
+            stats AS (
+              SELECT event_type, day, cents,
+                     CAST(SUM(cents) OVER (PARTITION BY event_type)
+                       AS BIGINT) AS s,
+                     SUM(CAST(cents AS HUGEINT) * cents)
+                       OVER (PARTITION BY event_type) AS ss,
+                     CAST(COUNT(*) OVER (PARTITION BY event_type)
+                       AS BIGINT) AS n
+              FROM daily),
+            symd AS MATERIALIZED (
+              SELECT event_type, day,
+                     CASE
+                       WHEN (CAST(cents AS DOUBLE)
+                             - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                            / sqrt(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+                              - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                                * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                            < -0.6745 THEN 'a'
+                       WHEN (CAST(cents AS DOUBLE)
+                             - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                            / sqrt(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+                              - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                                * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                            < 0.0 THEN 'b'
+                       WHEN (CAST(cents AS DOUBLE)
+                             - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                            / sqrt(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+                              - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                                * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                            < 0.6745 THEN 'c'
+                       ELSE 'd' END AS sym
+              FROM stats),
+            tri AS (
+              SELECT event_type,
+                     sym || LEAD(sym, 1) OVER (PARTITION BY event_type
+                       ORDER BY day)
+                         || LEAD(sym, 2) OVER (PARTITION BY event_type
+                       ORDER BY day) AS motif,
+                     LEAD(sym, 2) OVER (PARTITION BY event_type
+                       ORDER BY day) AS third
+              FROM symd),
+            cnt AS (SELECT event_type, motif, CAST(COUNT(*) AS BIGINT)
+                      AS n
+                    FROM tri WHERE third IS NOT NULL GROUP BY 1, 2)
+            SELECT event_type, motif, n, rank FROM (
+              SELECT event_type, motif, n,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY n DESC, motif) AS BIGINT) AS rank
+              FROM cnt)
+            WHERE rank <= 3
+        """,
+        "q289_position_attribution": """
+            WITH base AS MATERIALIZED (
+              SELECT user_id, ts, event_id, event_type,
+                     COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                       THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS seg
+              FROM events),
+            conv AS (
+              SELECT user_id, ts, event_id, event_type, seg,
+                     MAX(CASE WHEN event_type = 'purchase' THEN 1
+                         ELSE 0 END) OVER (PARTITION BY user_id, seg)
+                       AS has_purchase
+              FROM base),
+            pos AS (
+              SELECT event_type,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY user_id, seg
+                       ORDER BY ts, event_id) AS BIGINT) AS p,
+                     CAST(COUNT(*) OVER (PARTITION BY user_id, seg)
+                       AS BIGINT) AS m
+              FROM conv
+              WHERE has_purchase = 1 AND event_type <> 'purchase')
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_touches,
+                   CAST(SUM(CASE WHEN m = 1 THEN 1000000
+                                 WHEN m = 2 THEN 500000
+                                 WHEN p = 1 OR p = m THEN 400000
+                                 ELSE 200000 // (m - 2) END)
+                        AS BIGINT) AS credit_ppm
+            FROM pos GROUP BY 1
         """,
     }

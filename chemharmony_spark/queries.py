@@ -10212,3 +10212,255 @@ def q285_source_minhash_union(spark, sf):
     return out.withColumn(
         "abs_err_ppm", F.abs(F.col("est_ppm") - F.col("exact_ppm"))
     )
+
+
+def q286_markov_accuracy(spark, sf):
+    """First-order Markov next-event predictor BACKTEST: train q91's
+    transition matrix on the first 70% of each user's transitions
+    (leakage-free per-user temporal split, the q136 discipline), predict
+    each held-out transition as the argmax next state, and report
+    per-state accuracy — the eval harness that tells you whether the
+    q91 model is actually predictive before it gates traffic.
+
+    Shape: ONE user-keyed sequence window feeds both splits (persisted);
+    the trained argmax table is |states| rows and broadcasts; accuracy
+    is integer ppm via DIV. Unseen test states survive the left join
+    with a null prediction and score zero."""
+    from chemharmony_spark.cache import registered_persist
+
+    ev = _events(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wall = Window.partitionBy("user_id")
+    seq = registered_persist(
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+            F.row_number().over(w).cast("long").alias("i"),
+            F.count(F.lit(1)).over(wall).cast("long").alias("n"),
+        ).where(F.col("dst").isNotNull())
+    )
+    cut = F.expr("(7 * n) DIV 10")
+    tc = (
+        seq.where(F.col("i") + 1 <= cut)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wp = Window.partitionBy("src").orderBy(F.col("c").desc(), "dst")
+    pred = (
+        tc.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select("src", F.col("dst").alias("predicted"))
+    )
+    return (
+        seq.where(F.col("i") + 1 > cut)
+        .join(F.broadcast(pred), on="src", how="left")
+        .groupBy("src")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(
+                F.when(F.col("dst") == F.col("predicted"), 1).otherwise(0)
+            ).alias("n_correct"),
+        )
+        .withColumn("acc_ppm", F.expr("1000000 * n_correct DIV n_test"))
+    )
+
+
+def q287_t_closeness(spark, sf):
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) — the
+    distribution-distance privacy check that completes the q163
+    k-anonymity / q254 l-diversity suite: for each quasi-identifier
+    group (mktsegment x orderpriority), the Earth Mover's Distance
+    between the group's ordered order-status distribution and the
+    global one, EMD = SUM |cum_p - cum_q| / (k-1) over the ordered
+    categories. Groups above t=0.2 are flagged.
+
+    Shape: ONE (group, status) count agg feeds the group totals, the
+    3-row global distribution (broadcast), and the dense group x status
+    grid; cumsums ride model-space windows. Terms floor to micros
+    before the per-group SUM, division is integer DIV."""
+    from chemharmony_spark.cache import registered_persist
+
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    j = orders.join(
+        cust.select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment"),
+        on="o_custkey",
+    )
+    gc = registered_persist(
+        j.groupBy("c_mktsegment", "o_orderpriority", "o_orderstatus").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+    )
+    groups = gc.groupBy("c_mktsegment", "o_orderpriority").agg(
+        F.sum("c").alias("gn")
+    )
+    sg = gc.groupBy("o_orderstatus").agg(F.sum("c").alias("sc"))
+    tot = sg.agg(F.sum("sc").alias("t"))
+    ws = Window.orderBy("o_orderstatus")
+    globd = (
+        sg.withColumn(
+            "cum_sc",
+            F.sum("sc").over(
+                ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "o_orderstatus",
+            (
+                F.col("cum_sc").cast("double") / F.col("t").cast("double")
+            ).alias("cum_q"),
+        )
+    )
+    grid = (
+        groups.crossJoin(F.broadcast(globd))
+        .join(
+            gc, on=["c_mktsegment", "o_orderpriority", "o_orderstatus"],
+            how="left",
+        )
+        .withColumn("c0", F.coalesce("c", F.lit(0)))
+    )
+    wg = Window.partitionBy("c_mktsegment", "o_orderpriority").orderBy(
+        "o_orderstatus"
+    )
+    cum_p = (
+        F.sum("c0")
+        .over(wg.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        / F.col("gn").cast("double")
+    )
+    terms = grid.select(
+        "c_mktsegment",
+        "o_orderpriority",
+        "gn",
+        F.floor(F.abs(cum_p - F.col("cum_q")) * 1_000_000)
+        .cast("long")
+        .alias("term_micro"),
+    )
+    return (
+        terms.groupBy("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.max("gn").alias("n_orders"),
+            F.expr("SUM(term_micro) DIV (COUNT(*) - 1)").alias(
+                "t_close_micro"
+            ),
+        )
+        .withColumn(
+            "flagged",
+            F.when(F.col("t_close_micro") > 200000, 1).otherwise(0),
+        )
+    )
+
+
+def q288_sax_motifs(spark, sf):
+    """SAX symbolic motif mining (Lin, Keogh et al. 2003): z-normalize
+    each event type's daily revenue series, discretize into the 4-symbol
+    SAX alphabet at the standard Gaussian breakpoints (-0.6745, 0,
+    0.6745), and count 3-symbol motifs — the top-3 per type are the
+    series' recurring local shapes (symbolic, index-able structure that
+    raw floats can't give you). Daily totals are exact integer cents;
+    mean/std come from exact sums (squares in decimal(38,0)); each z is
+    ONE fixed double sequence so both engines land identical symbols.
+
+    Shape: one (type, day) agg; the moment/lead/trigram windows all ride
+    a single event_type exchange; motif counts + the top-3 rank are
+    model-space."""
+    ev = _events(spark, sf)
+    daily = ev.groupBy(
+        "event_type", F.expr("ts div 86400000000000").alias("day")
+    ).agg(F.sum(_d("value") * 100).cast("long").alias("cents"))
+    wall = Window.partitionBy("event_type")
+    w = Window.partitionBy("event_type").orderBy("day")
+    stats = daily.select(
+        "event_type",
+        "day",
+        "cents",
+        F.sum("cents").over(wall).alias("s"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents"))
+        .over(wall)
+        .alias("ss"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("n"),
+    )
+    mean = F.col("s").cast("double") / F.col("n").cast("double")
+    sd = F.sqrt(
+        F.col("ss").cast("double") / F.col("n").cast("double") - mean * mean
+    )
+    z = (F.col("cents").cast("double") - mean) / sd
+    sym = (
+        F.when(z < -0.6745, "a")
+        .when(z < 0.0, "b")
+        .when(z < 0.6745, "c")
+        .otherwise("d")
+    )
+    symd = stats.select("event_type", "day", sym.alias("sym"))
+    tri = symd.select(
+        "event_type",
+        F.concat_ws(
+            "", "sym", F.lead("sym", 1).over(w), F.lead("sym", 2).over(w)
+        ).alias("motif"),
+        F.lead("sym", 2).over(w).alias("third"),
+    ).where(F.col("third").isNotNull())
+    cnt = tri.groupBy("event_type", "motif").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("n").desc(), "motif"
+    )
+    return (
+        cnt.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("event_type", "motif", "n", "rank")
+    )
+
+
+def q289_position_attribution(spark, sf):
+    """U-shaped (position-based) multi-touch attribution — the 40/20/40
+    upgrade of q124's last-touch: each purchase closes a journey segment;
+    the segment's non-purchase touches split the credit 40% first, 40%
+    last, and 20% across the middle (integer ppm with DIV so ballots sum
+    order-independently; 1-touch journeys get 100%, 2-touch 50/50).
+
+    Shape: the journey segmentation is a running purchase-count window
+    (one user exchange); touch positions ride a (user, segment) window;
+    the rollup is |channels| rows. No self-joins, no per-journey
+    explode."""
+    ev = _events(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg_id = F.sum(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    base = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.coalesce(seg_id, F.lit(0)).alias("seg"),
+    )
+    wseg = Window.partitionBy("user_id", "seg")
+    conv = F.max(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    ).over(wseg)
+    touches = base.withColumn("conv", conv).where(
+        (F.col("conv") == 1) & (F.col("event_type") != "purchase")
+    )
+    wsego = Window.partitionBy("user_id", "seg").orderBy("ts", "event_id")
+    pos = touches.select(
+        "event_type",
+        F.row_number().over(wsego).cast("long").alias("p"),
+        F.count(F.lit(1)).over(wseg).cast("long").alias("m"),
+    )
+    credit = (
+        F.when(F.col("m") == 1, 1000000)
+        .when(F.col("m") == 2, 500000)
+        .when((F.col("p") == 1) | (F.col("p") == F.col("m")), 400000)
+        .otherwise(F.expr("200000 DIV (m - 2)"))
+    )
+    return (
+        pos.select("event_type", credit.alias("credit"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum("credit").alias("credit_ppm"),
+        )
+    )

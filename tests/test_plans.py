@@ -706,6 +706,20 @@ SHUFFLE_BUDGET = {
     # + the 64-component sketch agg, pairwise agreement agg, exact
     # intersection agg, and per-source size agg — all vocabulary-sized
     "q285_source_minhash_union": 8,
+    # q286: persisted user-sequence window (printed per split) + the
+    # train transition agg + its src argmax window + the test rollup
+    "q286_markov_accuracy": 4,
+    # q287: custkey join + persisted (group, status) agg (printed per
+    # consumer x3) + the group/global re-aggs and the 75-row grid
+    # cumsum window; the 3-row global cumsum is the unpartitioned-
+    # window exception (model space by construction)
+    "q287_t_closeness": 9,
+    # q288: (type, day) agg + ONE event_type exchange shared by the
+    # moment/lead/trigram windows, motif counts, and the top-3 rank
+    "q288_sax_motifs": 2,
+    # q289: ONE user exchange for the journey segmentation + the
+    # (user, seg) window exchange; the channel rollup is map-side
+    "q289_position_attribution": 2,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -816,7 +830,10 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 "q284_neyman_allocation",
                 # q285: 20-row per-source size dim self-paired (a < b
                 # theta join by design — source-dimension model space)
-                "q285_source_minhash_union"}
+                "q285_source_minhash_union",
+                # q287: 1-row global-total broadcast onto the 3-row
+                # status distribution + the 25x3 group/status grid
+                "q287_t_closeness"}
 
 
 def test_no_headline_query_has_unpartitioned_ranked_window(spark):
