@@ -366,6 +366,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q287_t_closeness": Q.q287_t_closeness,
         "q288_sax_motifs": Q.q288_sax_motifs,
         "q289_position_attribution": Q.q289_position_attribution,
+        "q290_eb_shrinkage": Q.q290_eb_shrinkage,
+        "q291_holt_winters": Q.q291_holt_winters,
+        "q292_hmm_forward": Q.q292_hmm_forward,
+        "q293_ecod_outliers": Q.q293_ecod_outliers,
     }
 
 
@@ -7504,5 +7508,312 @@ def oracle_sql() -> dict[str, str]:
                                  ELSE 200000 // (m - 2) END)
                         AS BIGINT) AS credit_ppm
             FROM pos GROUP BY 1
+        """,
+        "q290_eb_shrinkage": """
+            WITH per AS MATERIALIZED (
+              SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1
+                          ELSE 0 END) AS BIGINT) AS x
+              FROM lineitem GROUP BY 1),
+            mom AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                     CAST(SUM(CAST(floor(CAST(x AS DOUBLE)
+                       / CAST(n AS DOUBLE) * 1000000000) AS BIGINT))
+                       AS BIGINT) AS sr_nano,
+                     CAST(SUM(CAST(floor((CAST(x AS DOUBLE)
+                         / CAST(n AS DOUBLE))
+                       * (CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+                       * 1000000000) AS BIGINT)) AS BIGINT) AS srr_nano
+              FROM per),
+            prior AS (
+              SELECT (CAST(sr_nano AS DOUBLE) / CAST(k AS DOUBLE)
+                      / 1000000000.0)
+                     * ((CAST(sr_nano AS DOUBLE) / CAST(k AS DOUBLE)
+                         / 1000000000.0)
+                        * (1.0 - CAST(sr_nano AS DOUBLE)
+                           / CAST(k AS DOUBLE) / 1000000000.0)
+                        / (CAST(srr_nano AS DOUBLE) / CAST(k AS DOUBLE)
+                           / 1000000000.0
+                           - (CAST(sr_nano AS DOUBLE) / CAST(k AS DOUBLE)
+                              / 1000000000.0)
+                             * (CAST(sr_nano AS DOUBLE)
+                                / CAST(k AS DOUBLE) / 1000000000.0))
+                        - 1.0) AS alpha,
+                     (1.0 - CAST(sr_nano AS DOUBLE) / CAST(k AS DOUBLE)
+                      / 1000000000.0)
+                     * ((CAST(sr_nano AS DOUBLE) / CAST(k AS DOUBLE)
+                         / 1000000000.0)
+                        * (1.0 - CAST(sr_nano AS DOUBLE)
+                           / CAST(k AS DOUBLE) / 1000000000.0)
+                        / (CAST(srr_nano AS DOUBLE) / CAST(k AS DOUBLE)
+                           / 1000000000.0
+                           - (CAST(sr_nano AS DOUBLE) / CAST(k AS DOUBLE)
+                              / 1000000000.0)
+                             * (CAST(sr_nano AS DOUBLE)
+                                / CAST(k AS DOUBLE) / 1000000000.0))
+                        - 1.0) AS beta
+              FROM mom)
+            SELECT l_partkey, n, x,
+                   1000000 * x // n AS raw_ppm,
+                   CAST(floor((CAST(x AS DOUBLE) + alpha)
+                        / (CAST(n AS DOUBLE) + alpha + beta) * 1000000)
+                        AS BIGINT) AS shrunk_ppm
+            FROM per, prior
+        """,
+        "q291_holt_winters": """
+            WITH RECURSIVE daily AS MATERIALIZED (
+              SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                     CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100)
+                          AS BIGINT) AS cents
+              FROM events GROUP BY 1, 2),
+            seq AS MATERIALIZED (
+              SELECT event_type, cents,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY day) - 1 AS i
+              FROM daily),
+            n AS MATERIALIZED (
+              SELECT event_type, COUNT(*) AS n_days FROM daily GROUP BY 1),
+            walk AS (
+              SELECT event_type, 0 AS i,
+                     CAST(0.0 AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS b,
+                     CAST(0.0 AS DOUBLE) AS s0, CAST(0.0 AS DOUBLE) AS s1,
+                     CAST(0.0 AS DOUBLE) AS s2, CAST(0.0 AS DOUBLE) AS s3,
+                     CAST(0.0 AS DOUBLE) AS s4, CAST(0.0 AS DOUBLE) AS s5,
+                     CAST(0.0 AS DOUBLE) AS s6
+              FROM n
+              UNION ALL
+              SELECT w.event_type, w.i + 1,
+                     CASE WHEN w.i = 0 THEN CAST(s.cents AS DOUBLE) / 100.0
+                          ELSE 0.3 * (CAST(s.cents AS DOUBLE) / 100.0
+                                 - CASE w.i % 7 WHEN 0 THEN w.s0
+                                   WHEN 1 THEN w.s1 WHEN 2 THEN w.s2
+                                   WHEN 3 THEN w.s3 WHEN 4 THEN w.s4
+                                   WHEN 5 THEN w.s5 ELSE w.s6 END)
+                               + 0.7 * (w.l + w.b) END AS l,
+                     CASE WHEN w.i = 0 THEN CAST(0.0 AS DOUBLE)
+                          ELSE 0.05 * ((0.3 * (CAST(s.cents AS DOUBLE)
+                                 / 100.0
+                                 - CASE w.i % 7 WHEN 0 THEN w.s0
+                                   WHEN 1 THEN w.s1 WHEN 2 THEN w.s2
+                                   WHEN 3 THEN w.s3 WHEN 4 THEN w.s4
+                                   WHEN 5 THEN w.s5 ELSE w.s6 END)
+                               + 0.7 * (w.l + w.b)) - w.l)
+                               + 0.95 * w.b END AS b,
+                     CASE WHEN w.i % 7 = 0 THEN
+                       0.2 * (CAST(s.cents AS DOUBLE) / 100.0
+                         - (CASE WHEN w.i = 0
+                            THEN CAST(s.cents AS DOUBLE) / 100.0
+                            ELSE 0.3 * (CAST(s.cents AS DOUBLE) / 100.0
+                                   - CASE w.i % 7 WHEN 0 THEN w.s0
+                                     WHEN 1 THEN w.s1 WHEN 2 THEN w.s2
+                                     WHEN 3 THEN w.s3 WHEN 4 THEN w.s4
+                                     WHEN 5 THEN w.s5 ELSE w.s6 END)
+                                 + 0.7 * (w.l + w.b) END))
+                       + 0.8 * w.s0 ELSE w.s0 END AS s0,
+                     CASE WHEN w.i % 7 = 1 THEN
+                       0.2 * (CAST(s.cents AS DOUBLE) / 100.0
+                         - (CASE WHEN w.i = 0
+                            THEN CAST(s.cents AS DOUBLE) / 100.0
+                            ELSE 0.3 * (CAST(s.cents AS DOUBLE) / 100.0
+                                   - CASE w.i % 7 WHEN 0 THEN w.s0
+                                     WHEN 1 THEN w.s1 WHEN 2 THEN w.s2
+                                     WHEN 3 THEN w.s3 WHEN 4 THEN w.s4
+                                     WHEN 5 THEN w.s5 ELSE w.s6 END)
+                                 + 0.7 * (w.l + w.b) END))
+                       + 0.8 * w.s1 ELSE w.s1 END AS s1,
+                     CASE WHEN w.i % 7 = 2 THEN
+                       0.2 * (CAST(s.cents AS DOUBLE) / 100.0
+                         - (CASE WHEN w.i = 0
+                            THEN CAST(s.cents AS DOUBLE) / 100.0
+                            ELSE 0.3 * (CAST(s.cents AS DOUBLE) / 100.0
+                                   - CASE w.i % 7 WHEN 0 THEN w.s0
+                                     WHEN 1 THEN w.s1 WHEN 2 THEN w.s2
+                                     WHEN 3 THEN w.s3 WHEN 4 THEN w.s4
+                                     WHEN 5 THEN w.s5 ELSE w.s6 END)
+                                 + 0.7 * (w.l + w.b) END))
+                       + 0.8 * w.s2 ELSE w.s2 END AS s2,
+                     CASE WHEN w.i % 7 = 3 THEN
+                       0.2 * (CAST(s.cents AS DOUBLE) / 100.0
+                         - (CASE WHEN w.i = 0
+                            THEN CAST(s.cents AS DOUBLE) / 100.0
+                            ELSE 0.3 * (CAST(s.cents AS DOUBLE) / 100.0
+                                   - CASE w.i % 7 WHEN 0 THEN w.s0
+                                     WHEN 1 THEN w.s1 WHEN 2 THEN w.s2
+                                     WHEN 3 THEN w.s3 WHEN 4 THEN w.s4
+                                     WHEN 5 THEN w.s5 ELSE w.s6 END)
+                                 + 0.7 * (w.l + w.b) END))
+                       + 0.8 * w.s3 ELSE w.s3 END AS s3,
+                     CASE WHEN w.i % 7 = 4 THEN
+                       0.2 * (CAST(s.cents AS DOUBLE) / 100.0
+                         - (CASE WHEN w.i = 0
+                            THEN CAST(s.cents AS DOUBLE) / 100.0
+                            ELSE 0.3 * (CAST(s.cents AS DOUBLE) / 100.0
+                                   - CASE w.i % 7 WHEN 0 THEN w.s0
+                                     WHEN 1 THEN w.s1 WHEN 2 THEN w.s2
+                                     WHEN 3 THEN w.s3 WHEN 4 THEN w.s4
+                                     WHEN 5 THEN w.s5 ELSE w.s6 END)
+                                 + 0.7 * (w.l + w.b) END))
+                       + 0.8 * w.s4 ELSE w.s4 END AS s4,
+                     CASE WHEN w.i % 7 = 5 THEN
+                       0.2 * (CAST(s.cents AS DOUBLE) / 100.0
+                         - (CASE WHEN w.i = 0
+                            THEN CAST(s.cents AS DOUBLE) / 100.0
+                            ELSE 0.3 * (CAST(s.cents AS DOUBLE) / 100.0
+                                   - CASE w.i % 7 WHEN 0 THEN w.s0
+                                     WHEN 1 THEN w.s1 WHEN 2 THEN w.s2
+                                     WHEN 3 THEN w.s3 WHEN 4 THEN w.s4
+                                     WHEN 5 THEN w.s5 ELSE w.s6 END)
+                                 + 0.7 * (w.l + w.b) END))
+                       + 0.8 * w.s5 ELSE w.s5 END AS s5,
+                     CASE WHEN w.i % 7 = 6 THEN
+                       0.2 * (CAST(s.cents AS DOUBLE) / 100.0
+                         - (CASE WHEN w.i = 0
+                            THEN CAST(s.cents AS DOUBLE) / 100.0
+                            ELSE 0.3 * (CAST(s.cents AS DOUBLE) / 100.0
+                                   - CASE w.i % 7 WHEN 0 THEN w.s0
+                                     WHEN 1 THEN w.s1 WHEN 2 THEN w.s2
+                                     WHEN 3 THEN w.s3 WHEN 4 THEN w.s4
+                                     WHEN 5 THEN w.s5 ELSE w.s6 END)
+                                 + 0.7 * (w.l + w.b) END))
+                       + 0.8 * w.s6 ELSE w.s6 END AS s6
+              FROM walk w JOIN seq s
+                ON s.event_type = w.event_type AND s.i = w.i)
+            SELECT w.event_type, CAST(n.n_days AS BIGINT) AS n_days,
+                   CAST(floor(w.l * 1000000) AS BIGINT) AS level_micro,
+                   CAST(floor(w.b * 1000000) AS BIGINT) AS trend_micro,
+                   CAST(floor(w.s0 * 1000000) AS BIGINT) AS s0_micro,
+                   CAST(floor(w.s1 * 1000000) AS BIGINT) AS s1_micro,
+                   CAST(floor(w.s2 * 1000000) AS BIGINT) AS s2_micro,
+                   CAST(floor(w.s3 * 1000000) AS BIGINT) AS s3_micro,
+                   CAST(floor(w.s4 * 1000000) AS BIGINT) AS s4_micro,
+                   CAST(floor(w.s5 * 1000000) AS BIGINT) AS s5_micro,
+                   CAST(floor(w.s6 * 1000000) AS BIGINT) AS s6_micro
+            FROM walk w JOIN n ON w.event_type = n.event_type
+                              AND w.i = n.n_days
+        """,
+        "q292_hmm_forward": """
+            WITH RECURSIVE seq AS MATERIALIZED (
+              SELECT user_id, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) - 1 AS i
+              FROM events),
+            n AS MATERIALIZED (
+              SELECT user_id, COUNT(*) AS n_events
+              FROM events GROUP BY 1),
+            walk AS (
+              SELECT user_id, 0 AS i, CAST(0.0 AS DOUBLE) AS a0,
+                     CAST(0.0 AS DOUBLE) AS a1, CAST(0.0 AS DOUBLE) AS ll
+              FROM n
+              UNION ALL
+              SELECT w.user_id, w.i + 1,
+                     (CASE WHEN w.i = 0 THEN 0.5 *
+                        CAST(CASE s.event_type WHEN 'view' THEN 0.3
+                          WHEN 'click' THEN 0.3 WHEN 'purchase' THEN 0.1
+                          WHEN 'signup' THEN 0.15 WHEN 'error' THEN 0.15
+                          ELSE 0.01 END AS DOUBLE)
+                      ELSE (w.a0 * 0.9 + w.a1 * 0.2) *
+                        CAST(CASE s.event_type WHEN 'view' THEN 0.3
+                          WHEN 'click' THEN 0.3 WHEN 'purchase' THEN 0.1
+                          WHEN 'signup' THEN 0.15 WHEN 'error' THEN 0.15
+                          ELSE 0.01 END AS DOUBLE) END)
+                     / ((CASE WHEN w.i = 0 THEN 0.5 *
+                        CAST(CASE s.event_type WHEN 'view' THEN 0.3
+                          WHEN 'click' THEN 0.3 WHEN 'purchase' THEN 0.1
+                          WHEN 'signup' THEN 0.15 WHEN 'error' THEN 0.15
+                          ELSE 0.01 END AS DOUBLE)
+                      ELSE (w.a0 * 0.9 + w.a1 * 0.2) *
+                        CAST(CASE s.event_type WHEN 'view' THEN 0.3
+                          WHEN 'click' THEN 0.3 WHEN 'purchase' THEN 0.1
+                          WHEN 'signup' THEN 0.15 WHEN 'error' THEN 0.15
+                          ELSE 0.01 END AS DOUBLE) END)
+                      + (CASE WHEN w.i = 0 THEN 0.5 *
+                        CAST(CASE s.event_type WHEN 'view' THEN 0.1
+                          WHEN 'click' THEN 0.2 WHEN 'purchase' THEN 0.05
+                          WHEN 'signup' THEN 0.05 WHEN 'error' THEN 0.6
+                          ELSE 0.01 END AS DOUBLE)
+                      ELSE (w.a0 * 0.1 + w.a1 * 0.8) *
+                        CAST(CASE s.event_type WHEN 'view' THEN 0.1
+                          WHEN 'click' THEN 0.2 WHEN 'purchase' THEN 0.05
+                          WHEN 'signup' THEN 0.05 WHEN 'error' THEN 0.6
+                          ELSE 0.01 END AS DOUBLE) END)) AS a0,
+                     (CASE WHEN w.i = 0 THEN 0.5 *
+                        CAST(CASE s.event_type WHEN 'view' THEN 0.1
+                          WHEN 'click' THEN 0.2 WHEN 'purchase' THEN 0.05
+                          WHEN 'signup' THEN 0.05 WHEN 'error' THEN 0.6
+                          ELSE 0.01 END AS DOUBLE)
+                      ELSE (w.a0 * 0.1 + w.a1 * 0.8) *
+                        CAST(CASE s.event_type WHEN 'view' THEN 0.1
+                          WHEN 'click' THEN 0.2 WHEN 'purchase' THEN 0.05
+                          WHEN 'signup' THEN 0.05 WHEN 'error' THEN 0.6
+                          ELSE 0.01 END AS DOUBLE) END)
+                     / ((CASE WHEN w.i = 0 THEN 0.5 *
+                        CAST(CASE s.event_type WHEN 'view' THEN 0.3
+                          WHEN 'click' THEN 0.3 WHEN 'purchase' THEN 0.1
+                          WHEN 'signup' THEN 0.15 WHEN 'error' THEN 0.15
+                          ELSE 0.01 END AS DOUBLE)
+                      ELSE (w.a0 * 0.9 + w.a1 * 0.2) *
+                        CAST(CASE s.event_type WHEN 'view' THEN 0.3
+                          WHEN 'click' THEN 0.3 WHEN 'purchase' THEN 0.1
+                          WHEN 'signup' THEN 0.15 WHEN 'error' THEN 0.15
+                          ELSE 0.01 END AS DOUBLE) END)
+                      + (CASE WHEN w.i = 0 THEN 0.5 *
+                        CAST(CASE s.event_type WHEN 'view' THEN 0.1
+                          WHEN 'click' THEN 0.2 WHEN 'purchase' THEN 0.05
+                          WHEN 'signup' THEN 0.05 WHEN 'error' THEN 0.6
+                          ELSE 0.01 END AS DOUBLE)
+                      ELSE (w.a0 * 0.1 + w.a1 * 0.8) *
+                        CAST(CASE s.event_type WHEN 'view' THEN 0.1
+                          WHEN 'click' THEN 0.2 WHEN 'purchase' THEN 0.05
+                          WHEN 'signup' THEN 0.05 WHEN 'error' THEN 0.6
+                          ELSE 0.01 END AS DOUBLE) END)) AS a1,
+                     w.ll + ln(
+                       (CASE WHEN w.i = 0 THEN 0.5 *
+                        CAST(CASE s.event_type WHEN 'view' THEN 0.3
+                          WHEN 'click' THEN 0.3 WHEN 'purchase' THEN 0.1
+                          WHEN 'signup' THEN 0.15 WHEN 'error' THEN 0.15
+                          ELSE 0.01 END AS DOUBLE)
+                      ELSE (w.a0 * 0.9 + w.a1 * 0.2) *
+                        CAST(CASE s.event_type WHEN 'view' THEN 0.3
+                          WHEN 'click' THEN 0.3 WHEN 'purchase' THEN 0.1
+                          WHEN 'signup' THEN 0.15 WHEN 'error' THEN 0.15
+                          ELSE 0.01 END AS DOUBLE) END)
+                      + (CASE WHEN w.i = 0 THEN 0.5 *
+                        CAST(CASE s.event_type WHEN 'view' THEN 0.1
+                          WHEN 'click' THEN 0.2 WHEN 'purchase' THEN 0.05
+                          WHEN 'signup' THEN 0.05 WHEN 'error' THEN 0.6
+                          ELSE 0.01 END AS DOUBLE)
+                      ELSE (w.a0 * 0.1 + w.a1 * 0.8) *
+                        CAST(CASE s.event_type WHEN 'view' THEN 0.1
+                          WHEN 'click' THEN 0.2 WHEN 'purchase' THEN 0.05
+                          WHEN 'signup' THEN 0.05 WHEN 'error' THEN 0.6
+                          ELSE 0.01 END AS DOUBLE) END)) AS ll
+              FROM walk w JOIN seq s
+                ON s.user_id = w.user_id AND s.i = w.i)
+            SELECT w.user_id, CAST(n.n_events AS BIGINT) AS n_events,
+                   CAST(floor(w.ll * 1000000) AS BIGINT) AS ll_micro,
+                   CAST(floor(w.a1 * 1000000) AS BIGINT)
+                     AS p_bursty_micro
+            FROM walk w JOIN n ON w.user_id = n.user_id
+                              AND w.i = n.n_events
+        """,
+        "q293_ecod_outliers": """
+            WITH dims AS MATERIALIZED (
+              SELECT vec_id,
+                     generate_subscripts(embedding, 1) - 1 AS dim,
+                     unnest(embedding) AS val
+              FROM embeddings),
+            ranked AS (
+              SELECT vec_id,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY dim
+                       ORDER BY val, vec_id) AS BIGINT) AS r,
+                     CAST(COUNT(*) OVER (PARTITION BY dim) AS BIGINT) AS n
+              FROM dims)
+            SELECT vec_id,
+                   CAST(SUM(CAST(floor(greatest(
+                     -ln(CAST(r AS DOUBLE) / CAST(n AS DOUBLE)),
+                     -ln(CAST(n - r + 1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                     * 1000000) AS BIGINT)) AS BIGINT) AS ecod_micro
+            FROM ranked GROUP BY 1
+            ORDER BY ecod_micro DESC, vec_id LIMIT 20
         """,
     }

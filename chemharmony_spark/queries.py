@@ -10464,3 +10464,225 @@ def q289_position_attribution(spark, sf):
             F.sum("credit").alias("credit_ppm"),
         )
     )
+
+
+def q290_eb_shrinkage(spark, sf):
+    """Empirical-Bayes shrinkage of per-part return rates (beta-binomial,
+    method-of-moments prior — the James-Stein-style partial pooling every
+    marketplace quality score needs): raw rates x/n for thin parts are
+    noisy, so each is shrunk toward the corpus prior, (x + alpha) /
+    (n + alpha + beta), with (alpha, beta) fitted by MoM on the observed
+    rate distribution. Per-part rates floor to nanos BEFORE the moment
+    sums (order-independent accumulation); the 1-row prior broadcasts
+    back so the fact table is aggregated once and never rejoined wide."""
+    from chemharmony_spark.cache import registered_persist
+
+    li = _t(spark, sf, "lineitem")
+    per = registered_persist(
+        li.groupBy("l_partkey").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("x"),
+        )
+    )
+    rate = F.col("x").cast("double") / F.col("n").cast("double")
+    mom = per.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.floor(rate * 1_000_000_000).cast("long")).alias("sr_nano"),
+        F.sum(F.floor(rate * rate * 1_000_000_000).cast("long")).alias(
+            "srr_nano"
+        ),
+    )
+    kd = F.col("k").cast("double")
+    m = F.col("sr_nano").cast("double") / kd / 1000000000.0
+    v = F.col("srr_nano").cast("double") / kd / 1000000000.0 - m * m
+    c = m * (F.lit(1.0) - m) / v - F.lit(1.0)
+    prior = mom.select(
+        (m * c).alias("alpha"), ((F.lit(1.0) - m) * c).alias("beta")
+    )
+    shrunk = (F.col("x").cast("double") + F.col("alpha")) / (
+        F.col("n").cast("double") + F.col("alpha") + F.col("beta")
+    )
+    return per.crossJoin(F.broadcast(prior)).select(
+        "l_partkey",
+        "n",
+        "x",
+        F.expr("1000000 * x DIV n").alias("raw_ppm"),
+        F.floor(shrunk * 1_000_000).cast("long").alias("shrunk_ppm"),
+    )
+
+
+def q291_holt_winters(spark, sf):
+    """Additive Holt-Winters triple exponential smoothing (level + trend
+    + weekly seasonality, alpha=0.3 / beta=0.05 / gamma=0.2) over each
+    event type's daily revenue — the seasonal upgrade of q256's Holt.
+    The 9-slot state (l, b, s[7]) recursion is data-dependent, so it
+    runs as the q139/q256 fold idiom: ONE event_type shuffle, then
+    F.aggregate over the sorted day array with the seasonal slot updated
+    through an indexed transform. Daily totals are exact integer cents
+    before the float recursion; the DuckDB oracle walks a recursive CTE
+    carrying the seven slots as columns (never a struct list_reduce)."""
+    ev = _events(spark, sf)
+    daily = ev.groupBy(
+        "event_type", F.expr("ts div 86400000000000").alias("day")
+    ).agg(
+        F.sum(_d("value") * 100).cast("long").alias("cents")
+    )
+    per = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "cents"))).alias("seq"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+
+    def step(acc, x):
+        y = x["cents"].cast("double") / F.lit(100.0)
+        idx = acc["i"] % 7
+        sold = F.element_at(acc["s"], idx + 1)
+        first = acc["i"] == 0
+        nl = F.when(first, y).otherwise(
+            F.lit(0.3) * (y - sold) + F.lit(0.7) * (acc["l"] + acc["b"])
+        )
+        nb = F.when(first, F.lit(0.0)).otherwise(
+            F.lit(0.05) * (nl - acc["l"]) + F.lit(0.95) * acc["b"]
+        )
+        ns = F.lit(0.2) * (y - nl) + F.lit(0.8) * sold
+        news = F.transform(
+            acc["s"], lambda v, j: F.when(j == idx, ns).otherwise(v)
+        )
+        return F.struct(
+            nl.alias("l"),
+            nb.alias("b"),
+            news.alias("s"),
+            (acc["i"] + 1).alias("i"),
+        )
+
+    init = F.struct(
+        F.lit(0.0).alias("l"),
+        F.lit(0.0).alias("b"),
+        F.array_repeat(F.lit(0.0), 7).alias("s"),
+        F.lit(0).alias("i"),
+    )
+    st = F.aggregate("seq", init, step)
+    cols = [
+        F.floor(F.element_at(st["s"], k + 1) * 1_000_000)
+        .cast("long")
+        .alias(f"s{k}_micro")
+        for k in range(7)
+    ]
+    return per.select(
+        "event_type",
+        "n_days",
+        F.floor(st["l"] * 1_000_000).cast("long").alias("level_micro"),
+        F.floor(st["b"] * 1_000_000).cast("long").alias("trend_micro"),
+        *cols,
+    )
+
+
+# 2-state HMM scoring parameters (behavioral bot/burst detector):
+# transition A = [[0.9, 0.1], [0.2, 0.8]], prior pi = [0.5, 0.5],
+# per-event-type emission tables for the normal (E0) / bursty (E1) states.
+_HMM_E0 = {"view": 0.3, "click": 0.3, "purchase": 0.1,
+           "signup": 0.15, "error": 0.15}
+_HMM_E1 = {"view": 0.1, "click": 0.2, "purchase": 0.05,
+           "signup": 0.05, "error": 0.6}
+
+
+def q292_hmm_forward(spark, sf):
+    """HMM forward-algorithm sequence scoring (Rabiner 1989 tutorial):
+    score every user's event sequence under a fixed 2-state
+    (normal/bursty) hidden Markov model with per-step normalization —
+    the per-user log-likelihood plus the final posterior P(bursty) is
+    the classic behavioral anomaly feature a curation pipeline uses to
+    down-rank bot traffic. The alpha recursion is data-dependent, so it
+    runs as the q139/q256/q291 fold idiom: ONE user_id shuffle, then
+    F.aggregate over the time-sorted event array carrying (a0, a1,
+    loglik). Scaled alphas avoid underflow; every float op is one fixed
+    IEEE sequence the DuckDB recursive-CTE oracle replays exactly."""
+    ev = _events(spark, sf)
+    per = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("seq"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+    def emis(tcol, table):
+        c = None
+        for k, v in table.items():
+            c = (
+                F.when(tcol == k, F.lit(v))
+                if c is None
+                else c.when(tcol == k, F.lit(v))
+            )
+        return c.otherwise(F.lit(0.01))
+
+    def step(acc, x):
+        t = x["event_type"]
+        e0 = emis(t, _HMM_E0)
+        e1 = emis(t, _HMM_E1)
+        first = acc["i"] == 0
+        t0 = F.when(first, F.lit(0.5) * e0).otherwise(
+            (acc["a0"] * F.lit(0.9) + acc["a1"] * F.lit(0.2)) * e0
+        )
+        t1 = F.when(first, F.lit(0.5) * e1).otherwise(
+            (acc["a0"] * F.lit(0.1) + acc["a1"] * F.lit(0.8)) * e1
+        )
+        c = t0 + t1
+        return F.struct(
+            (t0 / c).alias("a0"),
+            (t1 / c).alias("a1"),
+            (acc["ll"] + F.log(c)).alias("ll"),
+            (acc["i"] + 1).alias("i"),
+        )
+
+    init = F.struct(
+        F.lit(0.0).alias("a0"),
+        F.lit(0.0).alias("a1"),
+        F.lit(0.0).alias("ll"),
+        F.lit(0).alias("i"),
+    )
+    st = F.aggregate("seq", init, step)
+    return per.select(
+        "user_id",
+        "n_events",
+        F.floor(st["ll"] * 1_000_000).cast("long").alias("ll_micro"),
+        F.floor(st["a1"] * 1_000_000).cast("long").alias("p_bursty_micro"),
+    )
+
+
+def q293_ecod_outliers(spark, sf):
+    """ECOD multivariate outlier scoring (Li et al., TKDE 2022):
+    parameter-free tail-probability outlier detection — per dimension,
+    each value's empirical-CDF tail term max(-ln F(x), -ln (1-F(x)+1/n))
+    sums across dimensions; big scores sit in some dimension's extreme
+    tail. The rank-based complement of q107's MAD and q218's ensemble.
+
+    Shape: posexplode to (vec, dim, val), ONE dim-partitioned rank
+    window (64 partitions of corpus size — the per-dim sort a 100 TB
+    run shards by dimension), per-dim terms floor to micros before the
+    per-vector SUM (order-independent), top-20 via TakeOrdered."""
+    emb = _t(spark, sf, "embeddings")
+    dims = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "val")
+    )
+    wd = Window.partitionBy("dim").orderBy("val", "vec_id")
+    wall = Window.partitionBy("dim")
+    ranked = dims.select(
+        "vec_id",
+        F.row_number().over(wd).cast("long").alias("r"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("n"),
+    )
+    lo = F.col("r").cast("double") / F.col("n").cast("double")
+    hi = (F.col("n") - F.col("r") + 1).cast("double") / F.col(
+        "n"
+    ).cast("double")
+    term = F.greatest(-F.log(lo), -F.log(hi))
+    return (
+        ranked.select(
+            "vec_id", F.floor(term * 1_000_000).cast("long").alias("t")
+        )
+        .groupBy("vec_id")
+        .agg(F.sum("t").alias("ecod_micro"))
+        .orderBy(F.col("ecod_micro").desc(), "vec_id")
+        .limit(20)
+    )

@@ -720,6 +720,17 @@ SHUFFLE_BUDGET = {
     # q289: ONE user exchange for the journey segmentation + the
     # (user, seg) window exchange; the channel rollup is map-side
     "q289_position_attribution": 2,
+    # q290: persisted per-part agg (printed per consumer) + the 1-row
+    # moment rollup; the prior broadcasts back — facts aggregate once
+    "q290_eb_shrinkage": 2,
+    # q291: daily-cents agg + the event_type fold shuffle (q256 idiom)
+    "q291_holt_winters": 2,
+    # q292: ONE user_id fold shuffle — the alpha recursion runs inside
+    # F.aggregate over each user's sorted event array
+    "q292_hmm_forward": 1,
+    # q293: the dim-partitioned rank window + the per-vector term sum;
+    # top-20 is a TakeOrdered partial
+    "q293_ecod_outliers": 2,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -833,7 +844,9 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 "q285_source_minhash_union",
                 # q287: 1-row global-total broadcast onto the 3-row
                 # status distribution + the 25x3 group/status grid
-                "q287_t_closeness"}
+                "q287_t_closeness",
+                # q290: 1-row MoM-prior broadcast onto the part table
+                "q290_eb_shrinkage"}
 
 
 def test_no_headline_query_has_unpartitioned_ranked_window(spark):
