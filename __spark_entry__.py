@@ -370,6 +370,12 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q291_holt_winters": Q.q291_holt_winters,
         "q292_hmm_forward": Q.q292_hmm_forward,
         "q293_ecod_outliers": Q.q293_ecod_outliers,
+        "q294_bm25_prf": Q.q294_bm25_prf,
+        "q295_absorbing_conversion": Q.q295_absorbing_conversion,
+        "q296_negative_sampling": Q.q296_negative_sampling,
+        "q297_bpe_first_merges": Q.q297_bpe_first_merges,
+        "q298_ransac_line": Q.q298_ransac_line,
+        "q299_nucleus_vocab": Q.q299_nucleus_vocab,
     }
 
 
@@ -7815,5 +7821,350 @@ def oracle_sql() -> dict[str, str]:
                      * 1000000) AS BIGINT)) AS BIGINT) AS ecod_micro
             FROM ranked GROUP BY 1
             ORDER BY ecod_micro DESC, vec_id LIMIT 20
+        """,
+        "q294_bm25_prf": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+            tf AS MATERIALIZED (
+              SELECT doc_id, token, COUNT(*) AS tf
+              FROM toks GROUP BY 1, 2),
+            dl AS MATERIALIZED (
+              SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+              FROM tf GROUP BY 1),
+            dfreq AS MATERIALIZED (
+              SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+            stats AS (SELECT COUNT(*) AS n_docs,
+                             CAST(SUM(dl) AS BIGINT) AS total_tokens
+                      FROM dl),
+            q1 AS MATERIALIZED (
+              SELECT token, df FROM dfreq
+              QUALIFY ROW_NUMBER() OVER (ORDER BY df DESC, token) <= 5),
+            s1 AS (
+              SELECT tf.doc_id,
+                     CAST(floor(
+                       ln(1.0 + ((CAST(n_docs - df AS DOUBLE) + 0.5)
+                                 / (CAST(df AS DOUBLE) + 0.5)))
+                       * ((CAST(tf AS DOUBLE) * 2.2)
+                          / (CAST(tf AS DOUBLE)
+                             + 1.2 * (0.25 + 0.75
+                                      * (CAST(dl * n_docs AS DOUBLE)
+                                         / total_tokens))))
+                       * 1000000) AS BIGINT) AS s_micro
+              FROM tf JOIN q1 USING (token) JOIN dl USING (doc_id), stats),
+            top10 AS MATERIALIZED (
+              SELECT doc_id FROM (
+                SELECT doc_id, CAST(SUM(s_micro) AS BIGINT) AS score_micro
+                FROM s1 GROUP BY doc_id)
+              QUALIFY ROW_NUMBER() OVER (ORDER BY score_micro DESC,
+                                         doc_id) <= 10),
+            fb AS MATERIALIZED (
+              SELECT token FROM (
+                SELECT tf.token,
+                       CAST(SUM(CAST(floor(CAST(tf AS DOUBLE)
+                         / CAST(dl AS DOUBLE) * 1000000) AS BIGINT))
+                         AS BIGINT) AS w_micro
+                FROM tf JOIN top10 USING (doc_id) JOIN dl USING (doc_id)
+                WHERE tf.token NOT IN (SELECT token FROM q1)
+                GROUP BY tf.token)
+              QUALIFY ROW_NUMBER() OVER (ORDER BY w_micro DESC,
+                                         token) <= 5),
+            q2 AS (
+              SELECT d.token, d.df
+              FROM dfreq d
+              JOIN (SELECT token FROM q1 UNION ALL SELECT token FROM fb) u
+                ON d.token = u.token),
+            s2 AS (
+              SELECT tf.doc_id,
+                     CAST(floor(
+                       ln(1.0 + ((CAST(n_docs - df AS DOUBLE) + 0.5)
+                                 / (CAST(df AS DOUBLE) + 0.5)))
+                       * ((CAST(tf AS DOUBLE) * 2.2)
+                          / (CAST(tf AS DOUBLE)
+                             + 1.2 * (0.25 + 0.75
+                                      * (CAST(dl * n_docs AS DOUBLE)
+                                         / total_tokens))))
+                       * 1000000) AS BIGINT) AS s_micro
+              FROM tf JOIN q2 USING (token) JOIN dl USING (doc_id), stats)
+            SELECT doc_id, COUNT(*) AS n_terms,
+                   CAST(SUM(s_micro) AS BIGINT) AS score_micro
+            FROM s2 GROUP BY doc_id
+            ORDER BY score_micro DESC, doc_id
+            LIMIT 20
+        """,
+        "q295_absorbing_conversion": """
+            WITH RECURSIVE seq AS MATERIALIZED (
+              SELECT event_type AS src,
+                     LEAD(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS dst
+              FROM events),
+            per AS MATERIALIZED (
+              SELECT src, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CASE WHEN dst = 'purchase' THEN 1 ELSE 0
+                          END) AS BIGINT) AS n_pur,
+                     CAST(SUM(CASE WHEN dst = 'click' THEN 1 ELSE 0
+                          END) AS BIGINT) AS n_0,
+                     CAST(SUM(CASE WHEN dst = 'error' THEN 1 ELSE 0
+                          END) AS BIGINT) AS n_1,
+                     CAST(SUM(CASE WHEN dst = 'signup' THEN 1 ELSE 0
+                          END) AS BIGINT) AS n_2,
+                     CAST(SUM(CASE WHEN dst = 'view' THEN 1 ELSE 0
+                          END) AS BIGINT) AS n_3
+              FROM seq WHERE src <> 'purchase' GROUP BY 1),
+            m AS MATERIALIZED (
+              SELECT
+                MAX(CASE WHEN src = 'click' THEN CAST(n_pur AS DOUBLE)
+                    / CAST(n AS DOUBLE) END) AS b0,
+                MAX(CASE WHEN src = 'click' THEN CAST(n_0 AS DOUBLE)
+                    / CAST(n AS DOUBLE) END) AS q00,
+                MAX(CASE WHEN src = 'click' THEN CAST(n_1 AS DOUBLE)
+                    / CAST(n AS DOUBLE) END) AS q01,
+                MAX(CASE WHEN src = 'click' THEN CAST(n_2 AS DOUBLE)
+                    / CAST(n AS DOUBLE) END) AS q02,
+                MAX(CASE WHEN src = 'click' THEN CAST(n_3 AS DOUBLE)
+                    / CAST(n AS DOUBLE) END) AS q03,
+                MAX(CASE WHEN src = 'error' THEN CAST(n_pur AS DOUBLE)
+                    / CAST(n AS DOUBLE) END) AS b1,
+                MAX(CASE WHEN src = 'error' THEN CAST(n_0 AS DOUBLE)
+                    / CAST(n AS DOUBLE) END) AS q10,
+                MAX(CASE WHEN src = 'error' THEN CAST(n_1 AS DOUBLE)
+                    / CAST(n AS DOUBLE) END) AS q11,
+                MAX(CASE WHEN src = 'error' THEN CAST(n_2 AS DOUBLE)
+                    / CAST(n AS DOUBLE) END) AS q12,
+                MAX(CASE WHEN src = 'error' THEN CAST(n_3 AS DOUBLE)
+                    / CAST(n AS DOUBLE) END) AS q13,
+                MAX(CASE WHEN src = 'signup' THEN CAST(n_pur AS DOUBLE)
+                    / CAST(n AS DOUBLE) END) AS b2,
+                MAX(CASE WHEN src = 'signup' THEN CAST(n_0 AS DOUBLE)
+                    / CAST(n AS DOUBLE) END) AS q20,
+                MAX(CASE WHEN src = 'signup' THEN CAST(n_1 AS DOUBLE)
+                    / CAST(n AS DOUBLE) END) AS q21,
+                MAX(CASE WHEN src = 'signup' THEN CAST(n_2 AS DOUBLE)
+                    / CAST(n AS DOUBLE) END) AS q22,
+                MAX(CASE WHEN src = 'signup' THEN CAST(n_3 AS DOUBLE)
+                    / CAST(n AS DOUBLE) END) AS q23,
+                MAX(CASE WHEN src = 'view' THEN CAST(n_pur AS DOUBLE)
+                    / CAST(n AS DOUBLE) END) AS b3,
+                MAX(CASE WHEN src = 'view' THEN CAST(n_0 AS DOUBLE)
+                    / CAST(n AS DOUBLE) END) AS q30,
+                MAX(CASE WHEN src = 'view' THEN CAST(n_1 AS DOUBLE)
+                    / CAST(n AS DOUBLE) END) AS q31,
+                MAX(CASE WHEN src = 'view' THEN CAST(n_2 AS DOUBLE)
+                    / CAST(n AS DOUBLE) END) AS q32,
+                MAX(CASE WHEN src = 'view' THEN CAST(n_3 AS DOUBLE)
+                    / CAST(n AS DOUBLE) END) AS q33
+              FROM per),
+            walk AS (
+              SELECT 0 AS i, CAST(0.0 AS DOUBLE) AS v0,
+                     CAST(0.0 AS DOUBLE) AS v1, CAST(0.0 AS DOUBLE) AS v2,
+                     CAST(0.0 AS DOUBLE) AS v3
+              UNION ALL
+              SELECT w.i + 1,
+                     m.b0 + (m.q00 * w.v0 + m.q01 * w.v1
+                             + m.q02 * w.v2 + m.q03 * w.v3) AS v0,
+                     m.b1 + (m.q10 * w.v0 + m.q11 * w.v1
+                             + m.q12 * w.v2 + m.q13 * w.v3) AS v1,
+                     m.b2 + (m.q20 * w.v0 + m.q21 * w.v1
+                             + m.q22 * w.v2 + m.q23 * w.v3) AS v2,
+                     m.b3 + (m.q30 * w.v0 + m.q31 * w.v1
+                             + m.q32 * w.v2 + m.q33 * w.v3) AS v3
+              FROM walk w, m WHERE w.i < 40)
+            SELECT src AS state, n,
+                   CAST(floor(CAST(n_pur AS DOUBLE) / CAST(n AS DOUBLE)
+                        * 1000000) AS BIGINT) AS direct_micro,
+                   CAST(floor(CASE src WHEN 'click' THEN v0
+                        WHEN 'error' THEN v1 WHEN 'signup' THEN v2
+                        ELSE v3 END * 1000000) AS BIGINT) AS conv_micro
+            FROM per, (SELECT v0, v1, v2, v3 FROM walk WHERE i = 40) f
+        """,
+        "q296_negative_sampling": f"""
+            WITH cnt AS (
+              SELECT tok AS token, COUNT(*) AS c
+              FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+              GROUP BY 1),
+            vocab AS (
+              SELECT token, CAST(c AS BIGINT) AS c FROM cnt
+              QUALIFY ROW_NUMBER() OVER (ORDER BY c DESC, token) <= 1000),
+            wv AS (
+              SELECT token, c,
+                     CAST(floor(sqrt(CAST(c AS DOUBLE))
+                          * sqrt(sqrt(CAST(c AS DOUBLE))) * 1000)
+                       AS BIGINT) AS wi
+              FROM vocab),
+            iv AS MATERIALIZED (
+              SELECT token, c, wi,
+                     CAST(SUM(wi) OVER (ORDER BY c DESC, token
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS hi
+              FROM wv),
+            iv2 AS (SELECT token, c, wi, hi, hi - wi AS lo FROM iv),
+            tot AS (SELECT CAST(MAX(hi) AS BIGINT) AS w_total FROM iv),
+            tr AS (
+              SELECT t, (h * w_total) // 4294967296 AS target, w_total
+              FROM (SELECT r.range AS t,
+                           (((instr('0123456789abcdef', substr(md5('neg:' || CAST(t AS VARCHAR)), 1, 1)) - 1) * 4096 + (instr('0123456789abcdef', substr(md5('neg:' || CAST(t AS VARCHAR)), 2, 1)) - 1) * 256 + (instr('0123456789abcdef', substr(md5('neg:' || CAST(t AS VARCHAR)), 3, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(md5('neg:' || CAST(t AS VARCHAR)), 4, 1)) - 1) * 1) * CAST(65536 AS BIGINT) + ((instr('0123456789abcdef', substr(md5('neg:' || CAST(t AS VARCHAR)), 5, 1)) - 1) * 4096 + (instr('0123456789abcdef', substr(md5('neg:' || CAST(t AS VARCHAR)), 6, 1)) - 1) * 256 + (instr('0123456789abcdef', substr(md5('neg:' || CAST(t AS VARCHAR)), 7, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(md5('neg:' || CAST(t AS VARCHAR)), 8, 1)) - 1) * 1)) AS h
+                    FROM range(10000) r), tot),
+            bt AS (SELECT t, (target * 256) // w_total AS bucket, target
+                   FROM tr),
+            ib AS (
+              SELECT token, lo, hi,
+                     unnest(generate_series((lo * 256) // w_total,
+                                            ((hi - 1) * 256) // w_total))
+                       AS bucket
+              FROM iv2, tot),
+            drawn AS (
+              SELECT token, CAST(COUNT(*) AS BIGINT) AS n_drawn
+              FROM bt JOIN ib ON bt.bucket = ib.bucket
+              WHERE bt.target >= ib.lo AND bt.target < ib.hi
+              GROUP BY 1)
+            SELECT token, c,
+                   (wi * 1000000) // w_total AS expected_ppm,
+                   COALESCE(n_drawn, 0) AS n_drawn,
+                   COALESCE(n_drawn, 0) * 100 AS drawn_ppm,
+                   CAST(abs(COALESCE(n_drawn, 0) * 100
+                        - (wi * 1000000) // w_total) AS BIGINT) AS dev_ppm
+            FROM iv2 LEFT JOIN drawn USING (token), tot
+            ORDER BY n_drawn DESC, token LIMIT 20
+        """,
+        "q297_bpe_first_merges": f"""
+            WITH wc AS (
+              SELECT tok AS token, COUNT(*) AS c
+              FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+              GROUP BY 1),
+            pairs AS (
+              SELECT c, substr(token, CAST(i AS INTEGER), 2) AS pair
+              FROM (SELECT token, c,
+                           unnest(generate_series(1, length(token) - 1))
+                             AS i
+                    FROM wc)
+              WHERE length(token) >= 2)
+            SELECT pair, CAST(SUM(c) AS BIGINT) AS n_occurrences,
+                   CAST(COUNT(*) AS BIGINT) AS n_positions
+            FROM pairs GROUP BY 1
+            ORDER BY n_occurrences DESC, pair LIMIT 20
+        """,
+        "q298_ransac_line": """
+            WITH daily AS MATERIALIZED (
+              SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                     CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100)
+                          AS BIGINT) AS cents
+              FROM events GROUP BY 1, 2),
+            ranked AS MATERIALIZED (
+              SELECT event_type, day, cents,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY day) AS BIGINT) AS i,
+                     CAST(COUNT(*) OVER (PARTITION BY event_type)
+                       AS BIGINT) AS n,
+                     CAST(SUM(cents) OVER (PARTITION BY event_type)
+                       AS BIGINT) AS s
+              FROM daily),
+            dims AS (SELECT event_type, MAX(n) AS n, MAX(s) AS s
+                     FROM ranked GROUP BY 1),
+            seeds AS (SELECT r.range AS k FROM range(20) r),
+            hsh AS (
+              SELECT k,
+                     ((instr('0123456789abcdef', substr(md5('ra:'
+                        || CAST(k AS VARCHAR)), 1, 1)) - 1) * 4096
+                      + (instr('0123456789abcdef', substr(md5('ra:'
+                        || CAST(k AS VARCHAR)), 2, 1)) - 1) * 256
+                      + (instr('0123456789abcdef', substr(md5('ra:'
+                        || CAST(k AS VARCHAR)), 3, 1)) - 1) * 16
+                      + (instr('0123456789abcdef', substr(md5('ra:'
+                        || CAST(k AS VARCHAR)), 4, 1)) - 1))
+                     * CAST(65536 AS BIGINT)
+                     + ((instr('0123456789abcdef', substr(md5('ra:'
+                        || CAST(k AS VARCHAR)), 5, 1)) - 1) * 4096
+                      + (instr('0123456789abcdef', substr(md5('ra:'
+                        || CAST(k AS VARCHAR)), 6, 1)) - 1) * 256
+                      + (instr('0123456789abcdef', substr(md5('ra:'
+                        || CAST(k AS VARCHAR)), 7, 1)) - 1) * 16
+                      + (instr('0123456789abcdef', substr(md5('ra:'
+                        || CAST(k AS VARCHAR)), 8, 1)) - 1)) AS h1,
+                     ((instr('0123456789abcdef', substr(md5('rb:'
+                        || CAST(k AS VARCHAR)), 1, 1)) - 1) * 4096
+                      + (instr('0123456789abcdef', substr(md5('rb:'
+                        || CAST(k AS VARCHAR)), 2, 1)) - 1) * 256
+                      + (instr('0123456789abcdef', substr(md5('rb:'
+                        || CAST(k AS VARCHAR)), 3, 1)) - 1) * 16
+                      + (instr('0123456789abcdef', substr(md5('rb:'
+                        || CAST(k AS VARCHAR)), 4, 1)) - 1))
+                     * CAST(65536 AS BIGINT)
+                     + ((instr('0123456789abcdef', substr(md5('rb:'
+                        || CAST(k AS VARCHAR)), 5, 1)) - 1) * 4096
+                      + (instr('0123456789abcdef', substr(md5('rb:'
+                        || CAST(k AS VARCHAR)), 6, 1)) - 1) * 256
+                      + (instr('0123456789abcdef', substr(md5('rb:'
+                        || CAST(k AS VARCHAR)), 7, 1)) - 1) * 16
+                      + (instr('0123456789abcdef', substr(md5('rb:'
+                        || CAST(k AS VARCHAR)), 8, 1)) - 1)) AS h2
+              FROM seeds),
+            cand AS (
+              SELECT d.event_type, h.k, d.n, d.s,
+                     h.h1 % d.n + 1 AS ia,
+                     CASE WHEN h.h2 % (d.n - 1) + 1 >= h.h1 % d.n + 1
+                          THEN h.h2 % (d.n - 1) + 2
+                          ELSE h.h2 % (d.n - 1) + 1 END AS ja
+              FROM dims d CROSS JOIN hsh h),
+            models AS (
+              SELECT c.event_type, c.k, c.n, c.s,
+                     CAST(p2.cents - p1.cents AS DOUBLE)
+                       / CAST(p2.day - p1.day AS DOUBLE) AS slope,
+                     CAST(p1.cents AS DOUBLE)
+                       - (CAST(p2.cents - p1.cents AS DOUBLE)
+                          / CAST(p2.day - p1.day AS DOUBLE))
+                         * CAST(p1.day AS DOUBLE) AS icept
+              FROM cand c
+              JOIN ranked p1 ON p1.event_type = c.event_type
+                            AND p1.i = c.ia
+              JOIN ranked p2 ON p2.event_type = c.event_type
+                            AND p2.i = c.ja),
+            scored AS (
+              SELECT m.event_type, m.k, m.slope, m.icept,
+                     CAST(SUM(CASE WHEN abs(CAST(r.cents AS DOUBLE)
+                            - (m.slope * CAST(r.day AS DOUBLE)
+                               + m.icept))
+                          <= 0.1 * abs(CAST(m.s AS DOUBLE)
+                                       / CAST(m.n AS DOUBLE))
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_inliers
+              FROM models m JOIN ranked r
+                ON r.event_type = m.event_type
+              GROUP BY 1, 2, 3, 4)
+            SELECT event_type, k, n_inliers,
+                   CAST(floor(slope * 1000000) AS BIGINT) AS slope_micro,
+                   CAST(floor(icept * 1000000) AS BIGINT) AS icept_micro
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                    ORDER BY n_inliers DESC, k) AS rn FROM scored)
+            WHERE rn = 1
+        """,
+        "q299_nucleus_vocab": f"""
+            WITH stc AS (
+              SELECT source, tok AS token, COUNT(*) AS c
+              FROM (SELECT source, unnest({_TOKS}) AS tok FROM documents)
+              GROUP BY 1, 2),
+            cum AS (
+              SELECT source, c,
+                     CAST(SUM(c) OVER (PARTITION BY source
+                       ORDER BY c DESC, token
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum,
+                     CAST(SUM(c) OVER (PARTITION BY source)
+                       AS BIGINT) AS total,
+                     CAST(COUNT(*) OVER (PARTITION BY source)
+                       AS BIGINT) AS vocab
+              FROM stc),
+            marked AS (
+              SELECT source, total, vocab,
+                     CASE WHEN (cum - c) * 10 < 9 * total THEN 1 ELSE 0
+                       END AS in_nuc,
+                     c * (CASE WHEN (cum - c) * 10 < 9 * total THEN 1
+                          ELSE 0 END) AS nuc_mass
+              FROM cum)
+            SELECT source, MAX(vocab) AS vocab_size,
+                   CAST(SUM(in_nuc) AS BIGINT) AS nucleus_size,
+                   MAX(total) AS n_tokens,
+                   CAST(SUM(in_nuc) AS BIGINT) * 1000000 // MAX(vocab)
+                     AS nucleus_share_ppm,
+                   CAST(SUM(nuc_mass) AS BIGINT) * 1000000 // MAX(total)
+                     AS mass_captured_ppm
+            FROM marked GROUP BY 1
         """,
     }

@@ -10686,3 +10686,517 @@ def q293_ecod_outliers(spark, sf):
         .orderBy(F.col("ecod_micro").desc(), "vec_id")
         .limit(20)
     )
+
+
+def q294_bm25_prf(spark, sf):
+    """BM25 with RM3-style pseudo-relevance feedback (Lavrenko & Croft
+    2001): run q134's 5-term BM25, take the top-10 docs as pseudo-
+    relevant, mine their 5 strongest expansion terms by length-
+    normalized tf mass (original terms anti-joined away), and rescore
+    the corpus with the expanded 10-term query — the two-pass retrieval
+    upgrade that lifts recall without a trained model.
+
+    Shape: the SAME persisted (doc, token) tf agg powers both passes;
+    query models (5 and 10 rows) and corpus stats broadcast; the only
+    corpus-keyed joins are tf->dl. Every score term floors to micros
+    pre-sum (q134 discipline); feedback weights floor per (term, doc)
+    before the term sum so mining is order-independent."""
+    from chemharmony_spark.cache import registered_persist
+
+    docs = _t(spark, sf, "documents")
+    toks = docs.select("doc_id", F.explode(TX.tokens("text")).alias("token"))
+    tf = registered_persist(
+        toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = registered_persist(
+        tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_tokens"),
+    )
+    q1 = dfreq.orderBy(F.col("df").desc(), "token").limit(5)
+
+    def bm25(qset):
+        x = (F.col("dl") * F.col("n_docs")).cast("double") / F.col(
+            "total_tokens"
+        )
+        denom = F.col("tf").cast("double") + 1.2 * (0.25 + 0.75 * x)
+        idf = F.log(
+            1.0
+            + (
+                ((F.col("n_docs") - F.col("df")).cast("double") + 0.5)
+                / (F.col("df").cast("double") + 0.5)
+            )
+        )
+        s = (
+            F.floor(
+                idf * ((F.col("tf").cast("double") * 2.2) / denom)
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("s_micro")
+        )
+        return (
+            tf.join(F.broadcast(qset), on="token")
+            .join(dl, on="doc_id")
+            .crossJoin(F.broadcast(stats))
+            .select("doc_id", s)
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_terms"),
+                F.sum("s_micro").alias("score_micro"),
+            )
+        )
+
+    top10 = (
+        bm25(q1)
+        .orderBy(F.col("score_micro").desc(), "doc_id")
+        .limit(10)
+        .select("doc_id")
+    )
+    fb = (
+        tf.join(F.broadcast(top10), on="doc_id")
+        .join(dl, on="doc_id")
+        .select(
+            "token",
+            F.floor(
+                F.col("tf").cast("double") / F.col("dl").cast("double")
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("w"),
+        )
+        .groupBy("token")
+        .agg(F.sum("w").alias("w_micro"))
+        .join(q1.select("token"), on="token", how="left_anti")
+        .orderBy(F.col("w_micro").desc(), "token")
+        .limit(5)
+    )
+    q2 = (
+        q1.select("token")
+        .unionByName(fb.select("token"))
+        .join(dfreq, on="token")
+    )
+    return bm25(q2).orderBy(F.col("score_micro").desc(), "doc_id").limit(20)
+
+
+def q295_absorbing_conversion(spark, sf):
+    """Absorbing-Markov-chain conversion probability per channel state
+    (the quantity behind Markov removal-effect attribution): with
+    'purchase' absorbing and sequence-end as the null absorber, the
+    eventual-conversion vector solves v = b + Qv; 40 Jacobi iterations
+    (spectral radius of Q < 1, so this converges geometrically) run
+    INSIDE one F.aggregate fold over the 4-row transition matrix
+    collected into a single model-space row — no driver loop, no
+    40-stage join chain. The DuckDB oracle walks the same 40 steps in a
+    recursive CTE over the MAX(CASE)-pivoted matrix.
+
+    Shape: ONE user-sequence window + ONE (src) agg; everything after
+    is constant-sized. Transition probabilities are exact-count
+    divisions, so both engines fold an identical IEEE sequence."""
+    from chemharmony_spark.cache import registered_persist
+
+    states = ["click", "error", "signup", "view"]
+    ev = _events(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    )
+    per = registered_persist(
+        seq.where(F.col("src") != "purchase")
+        .groupBy("src")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("dst") == "purchase", 1).otherwise(0)
+            ).alias("n_pur"),
+            *[
+                F.sum(F.when(F.col("dst") == s, 1).otherwise(0)).alias(
+                    f"n_{i}"
+                )
+                for i, s in enumerate(states)
+            ],
+        )
+    )
+    b = F.col("n_pur").cast("double") / F.col("n").cast("double")
+    qrow = F.array(
+        *[
+            F.col(f"n_{i}").cast("double") / F.col("n").cast("double")
+            for i in range(4)
+        ]
+    )
+    one = per.select(
+        "src", "n", b.alias("b"), qrow.alias("q")
+    ).agg(
+        F.array_sort(F.collect_list(F.struct("src", "n", "b", "q"))).alias(
+            "rows"
+        )
+    )
+
+    def iterate(acc, _x):
+        return F.transform(
+            F.col("rows"),
+            lambda r: r["b"]
+            + F.aggregate(
+                F.zip_with(r["q"], acc, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda a, t: a + t,
+            ),
+        )
+
+    v = F.aggregate(
+        F.sequence(F.lit(1), F.lit(40)),
+        F.array_repeat(F.lit(0.0), 4),
+        iterate,
+    )
+    zipped = F.zip_with(
+        F.col("rows"),
+        v,
+        lambda r, vv: F.struct(
+            r["src"].alias("state"),
+            r["n"].alias("n"),
+            r["b"].alias("b"),
+            vv.alias("v"),
+        ),
+    )
+    return one.select(F.explode(zipped).alias("z")).select(
+        F.col("z.state").alias("state"),
+        F.col("z.n").alias("n"),
+        F.floor(F.col("z.b") * 1_000_000).cast("long").alias("direct_micro"),
+        F.floor(F.col("z.v") * 1_000_000).cast("long").alias("conv_micro"),
+    )
+
+
+def q296_negative_sampling(spark, sf):
+    """word2vec-style negative-sampling draw audit: build the classic
+    unigram^0.75 proposal table over the top-1000 vocabulary (Mikolov
+    et al. 2013), draw 10,000 deterministic samples by md5-hash
+    uniforms against the cumulative-weight intervals, and report drawn
+    vs expected frequency per token. c^0.75 is computed as sqrt(c) *
+    sqrt(sqrt(c)) — sqrt is IEEE-correctly-rounded everywhere, unlike
+    pow — and weights quantize to integer milli BEFORE the cumsum, so
+    the whole interval table and every draw are pure integer
+    arithmetic.
+
+    Shape: the draw join is the q51 binned-range idiom — intervals
+    explode to the 256 coarse buckets they overlap and trials bucket-
+    join (never a trials x vocab theta join); the interval table is a
+    model-space cumsum. h * W stays within int64 here; at a W beyond
+    ~2^31 the target arithmetic swaps to decimal(38,0)."""
+    from chemharmony_spark.cache import registered_persist
+
+    docs = _t(spark, sf, "documents")
+    cnt = (
+        docs.select(F.explode(TX.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab = cnt.orderBy(F.col("c").desc(), "token").limit(1000)
+    cd = F.col("c").cast("double")
+    wv = vocab.select(
+        "token",
+        "c",
+        F.floor(F.sqrt(cd) * F.sqrt(F.sqrt(cd)) * 1000)
+        .cast("long")
+        .alias("wi"),
+    )
+    wcum = Window.orderBy(F.col("c").desc(), "token")
+    iv = registered_persist(
+        wv.select(
+            "token",
+            "c",
+            "wi",
+            F.sum("wi")
+            .over(
+                wcum.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            .alias("hi"),
+        ).withColumn("lo", F.col("hi") - F.col("wi"))
+    )
+    tot = iv.agg(F.max("hi").alias("w_total"))
+    trials = spark.range(10000).select(F.col("id").alias("t"))
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("neg:"), F.col("t").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    tr = (
+        trials.crossJoin(F.broadcast(tot))
+        .select("t", "w_total", h.alias("h"))
+        .select(
+            "t",
+            "w_total",
+            F.expr("h * w_total DIV 4294967296").alias("target"),
+        )
+    )
+    bt = tr.select(
+        "t", F.expr("target * 256 DIV w_total").alias("bucket"), "target"
+    )
+    ib = (
+        iv.crossJoin(F.broadcast(tot))
+        .select(
+            "token",
+            "lo",
+            "hi",
+            F.explode(
+                F.sequence(
+                    F.expr("lo * 256 DIV w_total"),
+                    F.expr("(hi - 1) * 256 DIV w_total"),
+                )
+            ).alias("bucket"),
+        )
+    )
+    drawn = (
+        bt.join(ib, on="bucket")
+        .where(
+            (F.col("target") >= F.col("lo"))
+            & (F.col("target") < F.col("hi"))
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_drawn"))
+    )
+    out = (
+        iv.join(drawn, on="token", how="left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "token",
+            "c",
+            F.expr("wi * 1000000 DIV w_total").alias("expected_ppm"),
+            F.coalesce("n_drawn", F.lit(0)).alias("n_drawn"),
+        )
+        .withColumn("drawn_ppm", F.col("n_drawn") * 100)
+        .withColumn(
+            "dev_ppm", F.abs(F.col("drawn_ppm") - F.col("expected_ppm"))
+        )
+    )
+    return out.orderBy(F.col("n_drawn").desc(), "token").limit(20)
+
+
+def q297_bpe_first_merges(spark, sf):
+    """BPE tokenizer-training step 1 (Sennrich et al. 2016): count every
+    adjacent character pair inside every token occurrence and rank the
+    top-20 merge candidates — the statistic the first merge of a
+    byte-pair-encoding vocabulary is chosen from, run corpus-wide. The
+    pair expansion is array-native (transform over a guarded sequence;
+    Spark's sequence(1,0) counts DOWN, so sub-2-char tokens gate to an
+    empty array exactly like operators/dedup.word_shingles), weighted by
+    the token-frequency table so each distinct token is scanned once,
+    not once per occurrence."""
+    docs = _t(spark, sf, "documents")
+    wc = (
+        docs.select(F.explode(TX.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.length("token")
+    pair_arr = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.col("token").substr(i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pairs = wc.select("c", F.explode(pair_arr).alias("pair"))
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("c").alias("n_occurrences"),
+            F.count(F.lit(1)).alias("n_positions"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "pair")
+        .limit(20)
+    )
+
+
+def q298_ransac_line(spark, sf):
+    """Deterministic RANSAC line fit (Fischler & Bolles 1981) per event
+    type over the daily-revenue series: 20 md5-seeded candidate models
+    (two distinct ranked points each), inliers counted at a 10%-of-mean
+    absolute residual threshold, best model by (inliers desc, seed asc)
+    — the high-breakdown alternative to q201's Theil-Sen when even the
+    pair-slope median is too expensive or the outlier fraction is
+    extreme.
+
+    Shape: the series is model-space (days per type); candidates join
+    points by RANK (two broadcast index joins), and inlier counting is
+    a bounded 20 x n_days join per type — never data x data. All float
+    ops are fixed-sequence doubles from exact integer cents."""
+    from chemharmony_spark.cache import registered_persist
+
+    ev = _events(spark, sf)
+    daily = ev.groupBy(
+        "event_type", F.expr("ts div 86400000000000").alias("day")
+    ).agg(F.sum(_d("value") * 100).cast("long").alias("cents"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    wall = Window.partitionBy("event_type")
+    ranked = registered_persist(
+        daily.select(
+            "event_type",
+            "day",
+            "cents",
+            F.row_number().over(w).cast("long").alias("i"),
+            F.count(F.lit(1)).over(wall).cast("long").alias("n"),
+            F.sum("cents").over(wall).alias("s"),
+        )
+    )
+    dims = ranked.groupBy("event_type").agg(
+        F.max("n").alias("n"), F.max("s").alias("s")
+    )
+    seeds = spark.range(20).select(F.col("id").alias("k"))
+    h1 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ra:"), F.col("k").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    h2 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("rb:"), F.col("k").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    cand = (
+        dims.crossJoin(F.broadcast(seeds))
+        .select(
+            "event_type",
+            "k",
+            "n",
+            "s",
+            (h1 % F.col("n") + 1).alias("ia"),
+            (h2 % (F.col("n") - 1) + 1).alias("jb"),
+        )
+        .withColumn(
+            "ja",
+            F.when(F.col("jb") >= F.col("ia"), F.col("jb") + 1).otherwise(
+                F.col("jb")
+            ),
+        )
+    )
+    p1 = ranked.select(
+        "event_type",
+        F.col("i").alias("ia"),
+        F.col("day").alias("x1"),
+        F.col("cents").alias("y1"),
+    )
+    p2 = ranked.select(
+        "event_type",
+        F.col("i").alias("ja"),
+        F.col("day").alias("x2"),
+        F.col("cents").alias("y2"),
+    )
+    models = (
+        cand.join(p1, on=["event_type", "ia"])
+        .join(p2, on=["event_type", "ja"])
+        .select(
+            "event_type",
+            "k",
+            "n",
+            "s",
+            (
+                (F.col("y2") - F.col("y1")).cast("double")
+                / (F.col("x2") - F.col("x1")).cast("double")
+            ).alias("slope"),
+            "x1",
+            "y1",
+        )
+        .withColumn(
+            "icept",
+            F.col("y1").cast("double")
+            - F.col("slope") * F.col("x1").cast("double"),
+        )
+    )
+    eps = (
+        F.lit(0.1)
+        * F.abs(F.col("s").cast("double") / F.col("n").cast("double"))
+    )
+    scored = (
+        models.join(
+            ranked.select("event_type", "day", "cents"), on="event_type"
+        )
+        .withColumn(
+            "resid",
+            F.abs(
+                F.col("cents").cast("double")
+                - (
+                    F.col("slope") * F.col("day").cast("double")
+                    + F.col("icept")
+                )
+            ),
+        )
+        .withColumn(
+            "inlier", F.when(F.col("resid") <= eps, 1).otherwise(0)
+        )
+        .groupBy("event_type", "k", "slope", "icept")
+        .agg(F.sum("inlier").alias("n_inliers"))
+    )
+    wbest = Window.partitionBy("event_type").orderBy(
+        F.col("n_inliers").desc(), "k"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "k",
+            "n_inliers",
+            F.floor(F.col("slope") * 1_000_000).cast("long").alias(
+                "slope_micro"
+            ),
+            F.floor(F.col("icept") * 1_000_000).cast("long").alias(
+                "icept_micro"
+            ),
+        )
+    )
+
+
+def q299_nucleus_vocab(spark, sf):
+    """Nucleus (top-p) vocabulary truncation audit per source: the
+    smallest frequency-ranked token prefix covering 90% of each source's
+    token mass — the tokenizer/coverage statistic behind top-p sampling
+    and vocabulary pruning decisions (a heavy-tailed source needs a far
+    larger nucleus than a templated one). Pure integer test: a token is
+    in the nucleus while its PREDECESSORS cover < 90% of the mass,
+    (cum - c) * 10 < 9 * total. ONE (source, token) agg; the ranked
+    cumsum rides a source-partitioned window over vocabulary-sized
+    data."""
+    docs = _t(spark, sf, "documents")
+    stc = docs.select(
+        "source", F.explode(TX.tokens("text")).alias("token")
+    ).groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("source").orderBy(F.col("c").desc(), "token")
+    wall = Window.partitionBy("source")
+    cum = stc.select(
+        "source",
+        "c",
+        F.sum("c")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+        F.sum("c").over(wall).alias("total"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("vocab"),
+    )
+    nuc = F.when(
+        (F.col("cum") - F.col("c")) * 10 < 9 * F.col("total"), 1
+    ).otherwise(0)
+    return (
+        cum.select("source", "total", "vocab", nuc.alias("in_nuc"),
+                   (F.col("c") * nuc).alias("nuc_mass"))
+        .groupBy("source")
+        .agg(
+            F.max("vocab").alias("vocab_size"),
+            F.sum("in_nuc").alias("nucleus_size"),
+            F.max("total").alias("n_tokens"),
+            F.expr(
+                "SUM(in_nuc) * 1000000 DIV MAX(vocab)"
+            ).alias("nucleus_share_ppm"),
+            F.expr(
+                "SUM(nuc_mass) * 1000000 DIV MAX(total)"
+            ).alias("mass_captured_ppm"),
+        )
+    )

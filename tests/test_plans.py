@@ -731,6 +731,25 @@ SHUFFLE_BUDGET = {
     # q293: the dim-partitioned rank window + the per-vector term sum;
     # top-20 is a TakeOrdered partial
     "q293_ecod_outliers": 2,
+    # q294: persisted tf/dl aggs (printed per consumer across both BM25
+    # passes + feedback mining) + the per-doc score aggs and the three
+    # TakeOrdered partials; query models and corpus stats broadcast
+    "q294_bm25_prf": 11,
+    # q295: ONE user-sequence window + the (src) transition agg + the
+    # 1-row matrix collect; the 40 Jacobi steps run inside one fold
+    "q295_absorbing_conversion": 3,
+    # q296: token-count agg + vocab TakeOrdered partial + the persisted
+    # interval cumsum (model-space) + the bucketed draw join + the
+    # per-token drawn agg + the report TakeOrdered
+    "q296_negative_sampling": 6,
+    # q297: token-frequency agg + the pair rollup's TakeOrdered partial
+    "q297_bpe_first_merges": 2,
+    # q298: daily agg + ONE event_type window exchange for the
+    # persisted ranked series + the inlier agg; candidates broadcast
+    "q298_ransac_line": 3,
+    # q299: (source, token) agg + the source-partitioned cumsum window
+    # riding one exchange with the rollup
+    "q299_nucleus_vocab": 2,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -846,7 +865,14 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 # status distribution + the 25x3 group/status grid
                 "q287_t_closeness",
                 # q290: 1-row MoM-prior broadcast onto the part table
-                "q290_eb_shrinkage"}
+                "q290_eb_shrinkage",
+                # q294: 1-row corpus-stats broadcasts (q134 pattern x2)
+                "q294_bm25_prf",
+                # q296: 1-row total-weight broadcast onto trials/intervals
+                "q296_negative_sampling",
+                # q298: 20-row seed dim broadcast onto the 5-row series
+                # dims (constant-sized by construction)
+                "q298_ransac_line"}
 
 
 def test_no_headline_query_has_unpartitioned_ranked_window(spark):
