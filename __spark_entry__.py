@@ -376,6 +376,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q297_bpe_first_merges": Q.q297_bpe_first_merges,
         "q298_ransac_line": Q.q298_ransac_line,
         "q299_nucleus_vocab": Q.q299_nucleus_vocab,
+        "q300_hll_set_algebra": Q.q300_hll_set_algebra,
+        "q301_embedding_homophily": Q.q301_embedding_homophily,
+        "q302_chi2_keywords": Q.q302_chi2_keywords,
     }
 
 
@@ -489,6 +492,43 @@ def _hex4(expr: str, start: int) -> str:
     ]
     return "(" + " + ".join(parts) + ")"
 
+
+# mutual-nearest-neighbor pair CTE chain (shared by q258 and the q301
+# homophily audit; mirrors the q258 triangle-block argmax pipeline)
+_MNN_CTES = """
+            dv AS MATERIALIZED (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS l
+              FROM embeddings),
+            nrm AS MATERIALIZED (
+              SELECT vec_id, l,
+                     sqrt(list_reduce(list_transform(l, x -> x * x),
+                                      (a, b) -> a + b)) AS nn
+              FROM dv),
+            pairs AS MATERIALIZED (
+              SELECT a.vec_id AS a, b.vec_id AS b,
+                     list_reduce(
+                       [a.l[i] * b.l[i]
+                        for i in generate_series(1, len(a.l))],
+                       (x, y) -> x + y) / (a.nn * b.nn) AS sim
+              FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id),
+            both_ AS (
+              SELECT a AS node, b AS nbr, sim FROM pairs
+              UNION ALL
+              SELECT b AS node, a AS nbr, sim FROM pairs),
+            best AS (
+              SELECT node, nbr AS best_nbr, sim FROM (
+                SELECT node, nbr, sim,
+                       row_number() OVER (PARTITION BY node
+                                          ORDER BY sim DESC, nbr) AS rn
+                FROM both_)
+              WHERE rn = 1),
+            mnn AS (
+              SELECT f.node AS a, f.best_nbr AS b, f.sim
+              FROM best f JOIN best r
+                ON r.node = f.best_nbr AND r.best_nbr = f.node
+              WHERE f.node < f.best_nbr)
+"""
 
 # winnowing-containment pair CTE chain (shared by q62 and the q69
 # cluster rollup; mirrors operators/text.py::winnowing_fingerprints with
@@ -6514,39 +6554,11 @@ def oracle_sql() -> dict[str, str]:
                      * 1000000) AS BIGINT) AS slope_micro
             FROM sums WHERE n >= 14
         """,
-        "q258_mutual_nearest_neighbors": """
-            WITH dv AS MATERIALIZED (
-              SELECT vec_id,
-                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS l
-              FROM embeddings),
-            nrm AS MATERIALIZED (
-              SELECT vec_id, l,
-                     sqrt(list_reduce(list_transform(l, x -> x * x),
-                                      (a, b) -> a + b)) AS nn
-              FROM dv),
-            pairs AS MATERIALIZED (
-              SELECT a.vec_id AS a, b.vec_id AS b,
-                     list_reduce(
-                       [a.l[i] * b.l[i]
-                        for i in generate_series(1, len(a.l))],
-                       (x, y) -> x + y) / (a.nn * b.nn) AS sim
-              FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id),
-            both_ AS (
-              SELECT a AS node, b AS nbr, sim FROM pairs
-              UNION ALL
-              SELECT b AS node, a AS nbr, sim FROM pairs),
-            best AS (
-              SELECT node, nbr AS best_nbr, sim FROM (
-                SELECT node, nbr, sim,
-                       row_number() OVER (PARTITION BY node
-                                          ORDER BY sim DESC, nbr) AS rn
-                FROM both_)
-              WHERE rn = 1)
-            SELECT f.node AS a, f.best_nbr AS b,
-                   CAST(floor(f.sim * 1000000) AS BIGINT) AS sim_micro
-            FROM best f JOIN best r
-              ON r.node = f.best_nbr AND r.best_nbr = f.node
-            WHERE f.node < f.best_nbr
+        "q258_mutual_nearest_neighbors": f"""
+            WITH {_MNN_CTES}
+            SELECT a, b,
+                   CAST(floor(sim * 1000000) AS BIGINT) AS sim_micro
+            FROM mnn
         """,
         "q259_minibatch_assignment": """
             WITH assigned AS (
@@ -8166,5 +8178,141 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(nuc_mass) AS BIGINT) * 1000000 // MAX(total)
                      AS mass_captured_ppm
             FROM marked GROUP BY 1
+        """,
+        "q300_hll_set_algebra": """
+            WITH h AS (
+              SELECT CASE WHEN event_type = 'purchase' THEN 'A'
+                     ELSE 'B' END AS s,
+                     user_id, md5(CAST(user_id AS VARCHAR)) AS hh
+              FROM events WHERE event_type IN ('purchase', 'error')),
+            br AS (
+              SELECT s, user_id,
+                     ((instr('0123456789abcdef', substr(hh, 1, 1)) - 1)
+                      * 16
+                      + (instr('0123456789abcdef', substr(hh, 2, 1)) - 1))
+                      % 64 AS bucket,
+                     CAST((((((instr('0123456789abcdef',
+                        substr(hh, 3, 1)) - 1) * 16
+                      + (instr('0123456789abcdef', substr(hh, 4, 1)) - 1))
+                        * 16
+                      + (instr('0123456789abcdef', substr(hh, 5, 1)) - 1))
+                        * 16
+                      + (instr('0123456789abcdef', substr(hh, 6, 1)) - 1))
+                        * 16
+                      + (instr('0123456789abcdef', substr(hh, 7, 1)) - 1))
+                        * 16
+                      + (instr('0123456789abcdef', substr(hh, 8, 1)) - 1)
+                      AS BIGINT) AS v
+              FROM h),
+            pb AS MATERIALIZED (
+              SELECT s, bucket,
+                     MAX(CASE WHEN v = 0 THEN 25
+                         ELSE 25 - length(bin(v)) END) AS m
+              FROM br GROUP BY 1, 2),
+            za AS (
+              SELECT s,
+                     CAST(SUM(CAST(1 AS BIGINT) << (25 - m)) AS BIGINT)
+                       + (64 - COUNT(*)) * CAST(33554432 AS BIGINT) AS z
+              FROM pb GROUP BY 1),
+            zu AS (
+              SELECT CAST(SUM(CAST(1 AS BIGINT) << (25 - m)) AS BIGINT)
+                       + (64 - COUNT(*)) * CAST(33554432 AS BIGINT) AS z
+              FROM (SELECT bucket, MAX(m) AS m FROM pb GROUP BY 1)),
+            est AS (
+              SELECT
+                MAX(CASE WHEN s = 'A' THEN
+                  CAST(floor(0.709 * 4096.0 * 33554432.0
+                       / CAST(z AS DOUBLE) * 1000000) AS BIGINT) END)
+                  AS est_a_micro,
+                MAX(CASE WHEN s = 'B' THEN
+                  CAST(floor(0.709 * 4096.0 * 33554432.0
+                       / CAST(z AS DOUBLE) * 1000000) AS BIGINT) END)
+                  AS est_b_micro
+              FROM za),
+            estu AS (
+              SELECT CAST(floor(0.709 * 4096.0 * 33554432.0
+                     / CAST(z AS DOUBLE) * 1000000) AS BIGINT)
+                     AS est_union_micro
+              FROM zu),
+            ex AS (
+              SELECT
+                MAX(CASE WHEN s = 'A' THEN n END) AS exact_a,
+                MAX(CASE WHEN s = 'B' THEN n END) AS exact_b
+              FROM (SELECT s, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                      AS n FROM h GROUP BY 1)),
+            exu AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                      AS exact_union FROM h)
+            SELECT est_a_micro, est_b_micro, est_union_micro,
+                   exact_a, exact_b, exact_union,
+                   est_a_micro + est_b_micro - est_union_micro
+                     AS est_inter_micro,
+                   exact_a + exact_b - exact_union AS exact_inter
+            FROM est, estu, ex, exu
+        """,
+        "q301_embedding_homophily": f"""
+            WITH {_MNN_CTES},
+            lab AS (SELECT vec_id, label FROM embeddings),
+            obs AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                     CAST(SUM(CASE WHEN la.label = lb.label THEN 1
+                          ELSE 0 END) AS BIGINT) AS n_same
+              FROM mnn JOIN lab la ON mnn.a = la.vec_id
+                       JOIN lab lb ON mnn.b = lb.vec_id),
+            marg AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS nl
+                     FROM lab GROUP BY 1),
+            base AS (
+              SELECT CAST(SUM(nl * (nl - 1)) AS BIGINT) * 1000000
+                       // (CAST(SUM(nl) AS BIGINT)
+                           * (CAST(SUM(nl) AS BIGINT) - 1))
+                       AS expected_ppm
+              FROM marg)
+            SELECT n_pairs, n_same,
+                   n_same * 1000000 // n_pairs AS observed_ppm,
+                   expected_ppm,
+                   n_same * 1000000 // n_pairs - expected_ppm AS lift_ppm
+            FROM obs, base
+        """,
+        "q302_chi2_keywords": f"""
+            WITH stc AS MATERIALIZED (
+              SELECT source, tok AS token, CAST(COUNT(*) AS BIGINT) AS a
+              FROM (SELECT source, unnest({_TOKS}) AS tok FROM documents)
+              GROUP BY 1, 2),
+            tok AS (SELECT token, CAST(SUM(a) AS BIGINT) AS ct
+                    FROM stc GROUP BY 1),
+            srcs AS (SELECT source, CAST(SUM(a) AS BIGINT) AS ns
+                     FROM stc GROUP BY 1),
+            tot AS (SELECT CAST(SUM(ns) AS BIGINT) AS nn FROM srcs),
+            cells AS (
+              SELECT stc.source, stc.token, stc.a, ct, ns, nn
+              FROM stc JOIN tok USING (token) JOIN srcs USING (source),
+                   tot
+              WHERE stc.a >= 5 AND stc.a * nn > ct * ns),
+            scored AS (
+              SELECT source, token, a,
+                     CAST(floor(
+                       CAST(nn AS DOUBLE)
+                       * ((CAST(a AS DOUBLE) * CAST(nn - ct - ns + a
+                             AS DOUBLE)
+                           - CAST(ct - a AS DOUBLE)
+                             * CAST(ns - a AS DOUBLE))
+                          * (CAST(a AS DOUBLE) * CAST(nn - ct - ns + a
+                               AS DOUBLE)
+                             - CAST(ct - a AS DOUBLE)
+                               * CAST(ns - a AS DOUBLE)))
+                       / ((CAST(a AS DOUBLE) + CAST(ct - a AS DOUBLE))
+                          * (CAST(ns - a AS DOUBLE)
+                             + CAST(nn - ct - ns + a AS DOUBLE))
+                          * (CAST(a AS DOUBLE) + CAST(ns - a AS DOUBLE))
+                          * (CAST(ct - a AS DOUBLE)
+                             + CAST(nn - ct - ns + a AS DOUBLE)))
+                       * 1000) AS BIGINT) AS chi2_milli
+              FROM cells)
+            SELECT source, token, a, chi2_milli, rank FROM (
+              SELECT source, token, a, chi2_milli,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY chi2_milli DESC, token) AS BIGINT)
+                       AS rank
+              FROM scored)
+            WHERE rank <= 5
         """,
     }

@@ -11200,3 +11200,186 @@ def q299_nucleus_vocab(spark, sf):
             ).alias("mass_captured_ppm"),
         )
     )
+
+
+def q300_hll_set_algebra(spark, sf):
+    """HyperLogLog SET ALGEBRA audit — the mergeability story q248's
+    single-set estimate doesn't show: sketch the purchase-user and
+    error-user sets separately, merge by per-bucket MAX for the union
+    estimate (the only operation a 100 TB fleet needs to combine
+    per-partition sketches), and derive the intersection by
+    inclusion-exclusion — each against its exact counterpart. The exact
+    intersection uses the same identity on exact counts, so no user-set
+    join ever runs. ONE (set, bucket) agg is the whole sketch state."""
+    from chemharmony_spark.cache import registered_persist
+    from chemharmony_spark.operators.sketches import (
+        hll64_bucket_rho,
+        hll64_estimate,
+    )
+
+    ev = _events(spark, sf)
+    sets = ev.where(F.col("event_type").isin("purchase", "error")).select(
+        F.when(F.col("event_type") == "purchase", "A")
+        .otherwise("B")
+        .alias("s"),
+        "user_id",
+    )
+    bucket, rho = hll64_bucket_rho("user_id")
+    pb = registered_persist(
+        sets.select("s", bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("s", "bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+    per = hll64_estimate(pb, ["s"])
+    un = hll64_estimate(
+        pb.groupBy("bucket")
+        .agg(F.max("m").alias("m"))
+        .withColumn("g", F.lit("U")),
+        ["g"],
+    )
+    est = (
+        per.groupBy()
+        .pivot("s", ["A", "B"])
+        .agg(F.max("hll_est_micro"))
+        .crossJoin(F.broadcast(un.select("hll_est_micro").alias("u")))
+        .select(
+            F.col("A").alias("est_a_micro"),
+            F.col("B").alias("est_b_micro"),
+            F.col("hll_est_micro").alias("est_union_micro"),
+        )
+    )
+    ex = sets.groupBy("s").agg(
+        F.count_distinct("user_id").alias("n")
+    )
+    exu = sets.agg(F.count_distinct("user_id").alias("n_union"))
+    exact = (
+        ex.groupBy()
+        .pivot("s", ["A", "B"])
+        .agg(F.max("n"))
+        .crossJoin(F.broadcast(exu))
+        .select(
+            F.col("A").alias("exact_a"),
+            F.col("B").alias("exact_b"),
+            F.col("n_union").alias("exact_union"),
+        )
+    )
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .withColumn(
+            "est_inter_micro",
+            F.col("est_a_micro")
+            + F.col("est_b_micro")
+            - F.col("est_union_micro"),
+        )
+        .withColumn(
+            "exact_inter",
+            F.col("exact_a") + F.col("exact_b") - F.col("exact_union"),
+        )
+    )
+
+
+def q301_embedding_homophily(spark, sf):
+    """Label homophily over the mutual-nearest-neighbor graph: do q258's
+    MNN pairs connect same-label vectors more often than label marginals
+    predict? Observed same-label share vs the exact no-homophily
+    baseline SUM n_l(n_l-1) / N(N-1) (both integer ppm) — the
+    embedding-quality audit (a lift near zero means the space ignores
+    the labels; near 10^6 - expected means it separates them)."""
+    mnn = q258_mutual_nearest_neighbors(spark, sf)
+    emb = _t(spark, sf, "embeddings").select("vec_id", "label")
+    la = emb.select(
+        F.col("vec_id").alias("a"), F.col("label").alias("la")
+    )
+    lb = emb.select(
+        F.col("vec_id").alias("b"), F.col("label").alias("lb")
+    )
+    obs = (
+        mnn.join(la, on="a")
+        .join(lb, on="b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                F.when(F.col("la") == F.col("lb"), 1).otherwise(0)
+            ).alias("n_same"),
+        )
+    )
+    marg = emb.groupBy("label").agg(F.count(F.lit(1)).alias("nl"))
+    base = marg.agg(
+        F.sum("nl").alias("n"),
+        F.sum(F.col("nl") * (F.col("nl") - 1)).alias("same_mass"),
+    ).select(
+        F.expr("same_mass * 1000000 DIV (n * (n - 1))").alias(
+            "expected_ppm"
+        )
+    )
+    return (
+        obs.crossJoin(F.broadcast(base))
+        .select(
+            "n_pairs",
+            "n_same",
+            F.expr("n_same * 1000000 DIV n_pairs").alias("observed_ppm"),
+            "expected_ppm",
+        )
+        .withColumn(
+            "lift_ppm", F.col("observed_ppm") - F.col("expected_ppm")
+        )
+    )
+
+
+def q302_chi2_keywords(spark, sf):
+    """Distinctive vocabulary per source via the chi-square test of
+    association on each (source, token) 2x2 contingency table — the
+    statistically-grounded alternative to q217's tf-idf keywords (chi2
+    corrects for both token and source size, so a merely-frequent token
+    can't fake distinctiveness). Positively-associated tokens with
+    count >= 5 rank per source; top-5 each.
+
+    Shape: ONE (source, token) agg; token totals re-agg (vocabulary-
+    sized, broadcast back), source totals and N are model-space. The
+    chi2 is one fixed double sequence from exact integer cells, floored
+    to milli before ranking."""
+    docs = _t(spark, sf, "documents")
+    stc = (
+        docs.select("source", F.explode(TX.tokens("text")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("a"))
+    )
+    from chemharmony_spark.cache import registered_persist
+
+    stc = registered_persist(stc)
+    tok = stc.groupBy("token").agg(F.sum("a").alias("ct"))
+    srcs = stc.groupBy("source").agg(F.sum("a").alias("ns"))
+    tot = srcs.agg(F.sum("ns").alias("nn"))
+    cells = (
+        stc.join(F.broadcast(tok), on="token")
+        .join(F.broadcast(srcs), on="source")
+        .crossJoin(F.broadcast(tot))
+        .where(
+            (F.col("a") >= 5)
+            & (F.col("a") * F.col("nn") > F.col("ct") * F.col("ns"))
+        )
+    )
+    a_d = F.col("a").cast("double")
+    b_d = (F.col("ct") - F.col("a")).cast("double")
+    c_d = (F.col("ns") - F.col("a")).cast("double")
+    d_d = (
+        F.col("nn") - F.col("ct") - F.col("ns") + F.col("a")
+    ).cast("double")
+    adbc = a_d * d_d - b_d * c_d
+    chi2 = (
+        F.col("nn").cast("double") * (adbc * adbc)
+        / ((a_d + b_d) * (c_d + d_d) * (a_d + c_d) * (b_d + d_d))
+    )
+    scored = cells.select(
+        "source",
+        "token",
+        "a",
+        F.floor(chi2 * 1000).cast("long").alias("chi2_milli"),
+    )
+    wr = Window.partitionBy("source").orderBy(
+        F.col("chi2_milli").desc(), "token"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= 5)
+    )

@@ -750,6 +750,17 @@ SHUFFLE_BUDGET = {
     # q299: (source, token) agg + the source-partitioned cumsum window
     # riding one exchange with the rollup
     "q299_nucleus_vocab": 2,
+    # q300: persisted (set, bucket) sketch agg (printed per consumer:
+    # per-set estimate + max-merged union) + the exact distinct expands
+    # and 1-row pivots — sketch state is 128 rows total
+    "q300_hll_set_algebra": 10,
+    # q301: q258's MNN pipeline (persisted pair scoring + argmax agg +
+    # mutuality semi-join) + the label joins and two 1-row rollups
+    "q301_embedding_homophily": 9,
+    # q302: persisted (source, token) agg (printed per consumer x3) +
+    # token/source/N re-aggs (broadcast back) + the per-source top-5
+    # rank riding the cells frame
+    "q302_chi2_keywords": 6,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -872,7 +883,13 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 "q296_negative_sampling",
                 # q298: 20-row seed dim broadcast onto the 5-row series
                 # dims (constant-sized by construction)
-                "q298_ransac_line"}
+                "q298_ransac_line",
+                # q300: 1-row pivoted estimate/exact frames cross-joined
+                "q300_hll_set_algebra",
+                # q301: 1-row observed x expected rollup crossJoin
+                "q301_embedding_homophily",
+                # q302: 1-row corpus-total broadcast onto the cells
+                "q302_chi2_keywords"}
 
 
 def test_no_headline_query_has_unpartitioned_ranked_window(spark):
