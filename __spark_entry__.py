@@ -379,6 +379,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q300_hll_set_algebra": Q.q300_hll_set_algebra,
         "q301_embedding_homophily": Q.q301_embedding_homophily,
         "q302_chi2_keywords": Q.q302_chi2_keywords,
+        "q303_woe_iv": Q.q303_woe_iv,
+        "q304_sort_key_advisor": Q.q304_sort_key_advisor,
+        "q305_ndv_correlation": Q.q305_ndv_correlation,
     }
 
 
@@ -8314,5 +8317,219 @@ def oracle_sql() -> dict[str, str]:
                        AS rank
               FROM scored)
             WHERE rank <= 5
+        """,
+        "q303_woe_iv": """
+            WITH base AS MATERIALIZED (
+              SELECT c.c_mktsegment, o.o_orderpriority,
+                     CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END
+                       AS bad
+              FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+            lv AS (
+              SELECT 'c_mktsegment' AS feature, c_mktsegment AS level,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(bad) AS BIGINT) AS n_bad
+              FROM base GROUP BY 2
+              UNION ALL
+              SELECT 'o_orderpriority', o_orderpriority,
+                     CAST(COUNT(*) AS BIGINT), CAST(SUM(bad) AS BIGINT)
+              FROM base GROUP BY 2),
+            tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt,
+                           CAST(SUM(bad) AS BIGINT) AS bt FROM base),
+            enr AS (
+              SELECT feature, level, n, n_bad,
+                     CAST(floor(ln(
+                       (CAST(n - n_bad AS DOUBLE)
+                        / CAST(nt - bt AS DOUBLE))
+                       / (CAST(n_bad AS DOUBLE) / CAST(bt AS DOUBLE)))
+                       * 1000000) AS BIGINT) AS woe_micro,
+                     CAST(floor(
+                       (CAST(n - n_bad AS DOUBLE)
+                        / CAST(nt - bt AS DOUBLE)
+                        - CAST(n_bad AS DOUBLE) / CAST(bt AS DOUBLE))
+                       * 1000000) AS BIGINT) AS share_diff_micro
+              FROM lv, tot)
+            SELECT feature, level, n, n_bad, woe_micro,
+                   CAST(SUM(share_diff_micro * woe_micro)
+                        OVER (PARTITION BY feature) AS BIGINT) AS iv_pico
+            FROM enr
+        """,
+        "q304_sort_key_advisor": """
+            WITH o AS MATERIALIZED (
+              SELECT o_orderkey, o_custkey,
+                     date_diff('day', DATE '1970-01-01',
+                               CAST(o_orderdate AS DATE)) AS od,
+                     CAST(o_totalprice AS DECIMAL(18,2)) AS op
+              FROM orders),
+            r1 AS (
+              SELECT od,
+                     CAST(ROW_NUMBER() OVER (ORDER BY od, o_orderkey)
+                       AS BIGINT) AS rn,
+                     CAST(COUNT(*) OVER () AS BIGINT) AS n
+              FROM o),
+            g1 AS (SELECT (rn - 1) * 64 // n AS rg, MIN(od) AS lo_od,
+                            MAX(od) AS hi_od
+                     FROM r1 GROUP BY 1),
+            p1 AS (SELECT 'o_orderdate' AS sort_key,
+                            CAST(COUNT(*) AS BIGINT) AS n_groups,
+                            CAST(SUM(CASE WHEN hi_od < date_diff('day',
+                                   DATE '1970-01-01', DATE '1995-01-01')
+                                 OR lo_od > date_diff('day',
+                                   DATE '1970-01-01', DATE '1995-12-31')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned
+                     FROM g1),
+            r2 AS (
+              SELECT od,
+                     CAST(ROW_NUMBER() OVER (ORDER BY o_custkey, o_orderkey)
+                       AS BIGINT) AS rn,
+                     CAST(COUNT(*) OVER () AS BIGINT) AS n
+              FROM o),
+            g2 AS (SELECT (rn - 1) * 64 // n AS rg, MIN(od) AS lo_od,
+                            MAX(od) AS hi_od
+                     FROM r2 GROUP BY 1),
+            p2 AS (SELECT 'o_custkey' AS sort_key,
+                            CAST(COUNT(*) AS BIGINT) AS n_groups,
+                            CAST(SUM(CASE WHEN hi_od < date_diff('day',
+                                   DATE '1970-01-01', DATE '1995-01-01')
+                                 OR lo_od > date_diff('day',
+                                   DATE '1970-01-01', DATE '1995-12-31')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned
+                     FROM g2),
+            r3 AS (
+              SELECT od,
+                     CAST(ROW_NUMBER() OVER (ORDER BY op, o_orderkey)
+                       AS BIGINT) AS rn,
+                     CAST(COUNT(*) OVER () AS BIGINT) AS n
+              FROM o),
+            g3 AS (SELECT (rn - 1) * 64 // n AS rg, MIN(od) AS lo_od,
+                            MAX(od) AS hi_od
+                     FROM r3 GROUP BY 1),
+            p3 AS (SELECT 'o_totalprice' AS sort_key,
+                            CAST(COUNT(*) AS BIGINT) AS n_groups,
+                            CAST(SUM(CASE WHEN hi_od < date_diff('day',
+                                   DATE '1970-01-01', DATE '1995-01-01')
+                                 OR lo_od > date_diff('day',
+                                   DATE '1970-01-01', DATE '1995-12-31')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned
+                     FROM g3)
+            SELECT sort_key, n_groups, n_pruned,
+                   n_pruned * 1000000 // n_groups AS pruned_ppm
+            FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+                  UNION ALL SELECT * FROM p3)
+        """,
+        "q305_ndv_correlation": """
+            WITH dp1 AS MATERIALIZED (
+              SELECT DISTINCT CAST(l_orderkey AS VARCHAR) || ':'
+                     || CAST(l_partkey AS VARCHAR) AS pk FROM lineitem),
+            e1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS ndv_pair
+                     FROM dp1),
+            z1 AS (
+              SELECT CAST(SUM(CAST(1 AS BIGINT) << (25 - m)) AS BIGINT)
+                       + (64 - COUNT(*)) * CAST(33554432 AS BIGINT) AS z
+              FROM (
+                SELECT bucket, MAX(CASE WHEN v = 0 THEN 25
+                           ELSE 25 - length(bin(v)) END) AS m
+                FROM (
+                  SELECT ((instr('0123456789abcdef', substr(hh, 1, 1)) - 1) * 16
+                          + (instr('0123456789abcdef', substr(hh, 2, 1)) - 1)) % 64 AS bucket,
+                         CAST(((((((instr('0123456789abcdef', substr(hh, 3, 1)) - 1) * 16
+                      + (instr('0123456789abcdef', substr(hh, 4, 1)) - 1)) * 16
+                      + (instr('0123456789abcdef', substr(hh, 5, 1)) - 1)) * 16
+                      + (instr('0123456789abcdef', substr(hh, 6, 1)) - 1)) * 16
+                      + (instr('0123456789abcdef', substr(hh, 7, 1)) - 1)) * 16
+                      + (instr('0123456789abcdef', substr(hh, 8, 1)) - 1)) AS BIGINT) AS v
+                  FROM (SELECT md5(pk) AS hh FROM dp1))
+                GROUP BY 1)),
+            s1 AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS ndv_a,
+                            CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS ndv_b,
+                            CAST(COUNT(*) AS BIGINT) AS n_rows
+                     FROM lineitem),
+            p1 AS (SELECT 'orderkey_partkey' AS pair, ndv_a, ndv_b, n_rows,
+                            ndv_pair,
+                            least(ndv_a * ndv_b, n_rows)
+                              AS independence_est,
+                            ndv_pair * 1000000
+                              // least(ndv_a * ndv_b, n_rows)
+                              AS correlation_ppm,
+                            CAST(floor(0.709 * 4096.0 * 33554432.0
+                                 / CAST(z AS DOUBLE) * 1000000) AS BIGINT)
+                              AS hll_est_micro
+                     FROM s1, e1, z1),
+            dp2 AS MATERIALIZED (
+              SELECT DISTINCT CAST(l_partkey AS VARCHAR) || ':'
+                     || CAST(l_suppkey AS VARCHAR) AS pk FROM lineitem),
+            e2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS ndv_pair
+                     FROM dp2),
+            z2 AS (
+              SELECT CAST(SUM(CAST(1 AS BIGINT) << (25 - m)) AS BIGINT)
+                       + (64 - COUNT(*)) * CAST(33554432 AS BIGINT) AS z
+              FROM (
+                SELECT bucket, MAX(CASE WHEN v = 0 THEN 25
+                           ELSE 25 - length(bin(v)) END) AS m
+                FROM (
+                  SELECT ((instr('0123456789abcdef', substr(hh, 1, 1)) - 1) * 16
+                          + (instr('0123456789abcdef', substr(hh, 2, 1)) - 1)) % 64 AS bucket,
+                         CAST(((((((instr('0123456789abcdef', substr(hh, 3, 1)) - 1) * 16
+                      + (instr('0123456789abcdef', substr(hh, 4, 1)) - 1)) * 16
+                      + (instr('0123456789abcdef', substr(hh, 5, 1)) - 1)) * 16
+                      + (instr('0123456789abcdef', substr(hh, 6, 1)) - 1)) * 16
+                      + (instr('0123456789abcdef', substr(hh, 7, 1)) - 1)) * 16
+                      + (instr('0123456789abcdef', substr(hh, 8, 1)) - 1)) AS BIGINT) AS v
+                  FROM (SELECT md5(pk) AS hh FROM dp2))
+                GROUP BY 1)),
+            s2 AS (SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS ndv_a,
+                            CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS ndv_b,
+                            CAST(COUNT(*) AS BIGINT) AS n_rows
+                     FROM lineitem),
+            p2 AS (SELECT 'partkey_suppkey' AS pair, ndv_a, ndv_b, n_rows,
+                            ndv_pair,
+                            least(ndv_a * ndv_b, n_rows)
+                              AS independence_est,
+                            ndv_pair * 1000000
+                              // least(ndv_a * ndv_b, n_rows)
+                              AS correlation_ppm,
+                            CAST(floor(0.709 * 4096.0 * 33554432.0
+                                 / CAST(z AS DOUBLE) * 1000000) AS BIGINT)
+                              AS hll_est_micro
+                     FROM s2, e2, z2),
+            dp3 AS MATERIALIZED (
+              SELECT DISTINCT CAST(l_returnflag AS VARCHAR) || ':'
+                     || CAST(l_linestatus AS VARCHAR) AS pk FROM lineitem),
+            e3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS ndv_pair
+                     FROM dp3),
+            z3 AS (
+              SELECT CAST(SUM(CAST(1 AS BIGINT) << (25 - m)) AS BIGINT)
+                       + (64 - COUNT(*)) * CAST(33554432 AS BIGINT) AS z
+              FROM (
+                SELECT bucket, MAX(CASE WHEN v = 0 THEN 25
+                           ELSE 25 - length(bin(v)) END) AS m
+                FROM (
+                  SELECT ((instr('0123456789abcdef', substr(hh, 1, 1)) - 1) * 16
+                          + (instr('0123456789abcdef', substr(hh, 2, 1)) - 1)) % 64 AS bucket,
+                         CAST(((((((instr('0123456789abcdef', substr(hh, 3, 1)) - 1) * 16
+                      + (instr('0123456789abcdef', substr(hh, 4, 1)) - 1)) * 16
+                      + (instr('0123456789abcdef', substr(hh, 5, 1)) - 1)) * 16
+                      + (instr('0123456789abcdef', substr(hh, 6, 1)) - 1)) * 16
+                      + (instr('0123456789abcdef', substr(hh, 7, 1)) - 1)) * 16
+                      + (instr('0123456789abcdef', substr(hh, 8, 1)) - 1)) AS BIGINT) AS v
+                  FROM (SELECT md5(pk) AS hh FROM dp3))
+                GROUP BY 1)),
+            s3 AS (SELECT CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS ndv_a,
+                            CAST(COUNT(DISTINCT l_linestatus) AS BIGINT) AS ndv_b,
+                            CAST(COUNT(*) AS BIGINT) AS n_rows
+                     FROM lineitem),
+            p3 AS (SELECT 'returnflag_linestatus' AS pair, ndv_a, ndv_b, n_rows,
+                            ndv_pair,
+                            least(ndv_a * ndv_b, n_rows)
+                              AS independence_est,
+                            ndv_pair * 1000000
+                              // least(ndv_a * ndv_b, n_rows)
+                              AS correlation_ppm,
+                            CAST(floor(0.709 * 4096.0 * 33554432.0
+                                 / CAST(z AS DOUBLE) * 1000000) AS BIGINT)
+                              AS hll_est_micro
+                     FROM s3, e3, z3)
+            SELECT * FROM p1
+            UNION ALL SELECT * FROM p2
+            UNION ALL SELECT * FROM p3
         """,
     }

@@ -11383,3 +11383,196 @@ def q302_chi2_keywords(spark, sf):
         scored.withColumn("rank", F.row_number().over(wr).cast("long"))
         .filter(F.col("rank") <= 5)
     )
+
+
+def q303_woe_iv(spark, sf):
+    """Weight-of-evidence encoding + information value per feature
+    (the credit-scoring / feature-selection standard): for each level of
+    two categorical features (customer segment, order priority), WOE =
+    ln((good_share)/(bad_share)) against the bad = returned-order
+    target, with the feature's IV = SUM (g-b)*WOE ranking its
+    predictive power. Shares are exact-count divisions; WOE floors to
+    micros and the IV contribution is computed from the SAME floored
+    WOE (so the per-feature window-sum is integer-exact).
+
+    Shape: one orders+customer join feeds both feature rollups (level
+    counts are model-space); global good/bad totals broadcast."""
+    from chemharmony_spark.cache import registered_persist
+
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    base = registered_persist(
+        orders.join(
+            cust.select(
+                F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+            ),
+            on="o_custkey",
+        ).select(
+            "c_mktsegment",
+            "o_orderpriority",
+            F.when(F.col("o_orderstatus") == "F", 1)
+            .otherwise(0)
+            .alias("bad"),
+        )
+    )
+
+    def feature(col):
+        return base.groupBy(F.col(col).alias("level")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("bad").alias("n_bad"),
+        ).select(F.lit(col).alias("feature"), "level", "n", "n_bad")
+
+    levels = feature("c_mktsegment").unionByName(
+        feature("o_orderpriority")
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).alias("nt"), F.sum("bad").alias("bt")
+    )
+    g_share = (
+        (F.col("n") - F.col("n_bad")).cast("double")
+        / (F.col("nt") - F.col("bt")).cast("double")
+    )
+    b_share = F.col("n_bad").cast("double") / F.col("bt").cast("double")
+    woe = F.floor(F.log(g_share / b_share) * 1_000_000).cast("long")
+    enriched = levels.crossJoin(F.broadcast(tot)).select(
+        "feature",
+        "level",
+        "n",
+        "n_bad",
+        woe.alias("woe_micro"),
+        F.floor((g_share - b_share) * 1_000_000).cast("long").alias(
+            "share_diff_micro"
+        ),
+    )
+    wiv = Window.partitionBy("feature")
+    return enriched.select(
+        "feature",
+        "level",
+        "n",
+        "n_bad",
+        "woe_micro",
+        F.sum(
+            F.col("share_diff_micro") * F.col("woe_micro")
+        ).over(wiv).alias("iv_pico"),
+    )
+
+
+def q304_sort_key_advisor(spark, sf):
+    """Physical sort-key advisor: for each candidate clustering key,
+    simulate a 64-row-group layout (rank the table by the key, split
+    into equal groups), collect per-group min/max of the predicate
+    column, and report how many groups a ship-year-1995 range scan
+    could PRUNE — the minmax-statistics complement of q269's Z-order
+    audit, and the number that decides ORDER BY in a compaction job.
+    The global rank is a simulation over the sampled table (at fleet
+    scale the same decision reads range-partitioner statistics; the
+    audit's output is identical).
+
+    Candidate keys: orderdate (wins for date predicates), custkey and
+    totalprice (control layouts that should prune ~nothing)."""
+    orders = _t(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr(
+            "datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')"
+        ).alias("od"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("op"),
+    )
+    lo = F.expr("datediff(DATE'1995-01-01', DATE'1970-01-01')")
+    hi = F.expr("datediff(DATE'1995-12-31', DATE'1970-01-01')")
+
+    def layout(key, name):
+        w = Window.orderBy(F.col(key), "o_orderkey")
+        wall = Window.partitionBy()
+        ranked = orders.select(
+            "od",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.count(F.lit(1)).over(wall).cast("long").alias("n"),
+        )
+        groups = ranked.groupBy(
+            F.expr("(rn - 1) * 64 DIV n").alias("rg")
+        ).agg(F.min("od").alias("lo_od"), F.max("od").alias("hi_od"))
+        return groups.agg(
+            F.lit(name).alias("sort_key"),
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum(
+                F.when((F.col("hi_od") < lo) | (F.col("lo_od") > hi), 1)
+                .otherwise(0)
+            ).alias("n_pruned"),
+        ).withColumn(
+            "pruned_ppm", F.expr("n_pruned * 1000000 DIV n_groups")
+        )
+
+    return (
+        layout("od", "o_orderdate")
+        .unionByName(layout("o_custkey", "o_custkey"))
+        .unionByName(layout("op", "o_totalprice"))
+    )
+
+
+def q305_ndv_correlation(spark, sf):
+    """Column-group correlation audit for the planner: for three
+    lineitem column pairs, exact composite NDV vs the independence
+    assumption min(ndv_a * ndv_b, n_rows) — the ratio every optimizer
+    needs before multiplying selectivities — plus the mergeable HLL
+    estimate of the composite NDV (the sketch a fleet would actually
+    compute) with its error. Correlated pairs (orderkey, partkey) sit
+    far below independence; independent-ish pairs sit near it.
+
+    Shape: per pair, ONE distinct-pair agg (exact NDV + per-bucket HLL
+    state off the same frame) and two single-column distinct aggs; all
+    1-row results union."""
+    from chemharmony_spark.cache import registered_persist
+    from chemharmony_spark.operators.sketches import (
+        hll64_bucket_rho,
+        hll64_estimate,
+    )
+
+    li = _t(spark, sf, "lineitem")
+
+    def audit(ca, cb, name):
+        pairkey = F.concat_ws(":", F.col(ca).cast("string"),
+                              F.col(cb).cast("string"))
+        dp = registered_persist(
+            li.select(pairkey.alias("pk")).distinct()
+        )
+        exact = dp.agg(F.count(F.lit(1)).alias("ndv_pair"))
+        bucket, rho = hll64_bucket_rho("pk")
+        est = hll64_estimate(
+            dp.select(bucket.alias("bucket"), rho.alias("rho"))
+            .groupBy("bucket")
+            .agg(F.max("rho").alias("m"))
+            .withColumn("g", F.lit(name)),
+            ["g"],
+        )
+        singles = li.agg(
+            F.count_distinct(ca).alias("ndv_a"),
+            F.count_distinct(cb).alias("ndv_b"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        return (
+            singles.crossJoin(F.broadcast(exact))
+            .crossJoin(F.broadcast(est.select("hll_est_micro")))
+            .select(
+                F.lit(name).alias("pair"),
+                "ndv_a",
+                "ndv_b",
+                "n_rows",
+                "ndv_pair",
+                F.expr("least(ndv_a * ndv_b, n_rows)").alias(
+                    "independence_est"
+                ),
+                F.expr(
+                    "ndv_pair * 1000000 DIV least(ndv_a * ndv_b, n_rows)"
+                ).alias("correlation_ppm"),
+                "hll_est_micro",
+            )
+        )
+
+    return (
+        audit("l_orderkey", "l_partkey", "orderkey_partkey")
+        .unionByName(audit("l_partkey", "l_suppkey", "partkey_suppkey"))
+        .unionByName(
+            audit("l_returnflag", "l_linestatus", "returnflag_linestatus")
+        )
+    )

@@ -761,6 +761,17 @@ SHUFFLE_BUDGET = {
     # token/source/N re-aggs (broadcast back) + the per-source top-5
     # rank riding the cells frame
     "q302_chi2_keywords": 6,
+    # q303: persisted target join (printed per consumer x3) + the two
+    # level rollups and the per-feature IV window over model-space rows
+    "q303_woe_iv": 4,
+    # q304: three rank-layout simulations, each ONE global window whose
+    # 64-group rollup and prune count ride the same exchange (the rank
+    # is the simulation — production reads range-partitioner stats)
+    "q304_sort_key_advisor": 3,
+    # q305: 3 pairs x (persisted distinct-pair agg printed per consumer
+    # x2, the HLL bucket agg, exact-count and single-column distinct
+    # expands) — sketch state is 64 rows per pair
+    "q305_ndv_correlation": 18,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -889,7 +900,11 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 # q301: 1-row observed x expected rollup crossJoin
                 "q301_embedding_homophily",
                 # q302: 1-row corpus-total broadcast onto the cells
-                "q302_chi2_keywords"}
+                "q302_chi2_keywords",
+                # q303: 1-row good/bad totals broadcast onto the levels
+                "q303_woe_iv",
+                # q305: 1-row exact/sketch/stats rollups cross-joined
+                "q305_ndv_correlation"}
 
 
 def test_no_headline_query_has_unpartitioned_ranked_window(spark):
