@@ -382,6 +382,12 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q303_woe_iv": Q.q303_woe_iv,
         "q304_sort_key_advisor": Q.q304_sort_key_advisor,
         "q305_ndv_correlation": Q.q305_ndv_correlation,
+        "q306_ktruss_support": Q.q306_ktruss_support,
+        "q307_heavy_hitter_churn": Q.q307_heavy_hitter_churn,
+        "q308_shuffle_cost_model": Q.q308_shuffle_cost_model,
+        "q309_loo_target_encoding": Q.q309_loo_target_encoding,
+        "q310_hard_negative_mining": Q.q310_hard_negative_mining,
+        "q311_markov_entropy_rate": Q.q311_markov_entropy_rate,
     }
 
 
@@ -8531,5 +8537,172 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM p1
             UNION ALL SELECT * FROM p2
             UNION ALL SELECT * FROM p3
+        """,
+        "q306_ktruss_support": """
+            WITH b AS (SELECT DISTINCT l_orderkey, l_partkey
+                       FROM lineitem),
+            edges AS MATERIALIZED (
+              SELECT a.l_partkey AS p1, c.l_partkey AS p2
+              FROM b a JOIN b c
+                ON a.l_orderkey = c.l_orderkey
+               AND a.l_partkey < c.l_partkey
+              GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+            tri AS (
+              SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+              FROM edges e1
+              JOIN edges e2 ON e1.p2 = e2.p1
+              WHERE EXISTS (SELECT 1 FROM edges e3
+                            WHERE e3.p1 = e1.p1 AND e3.p2 = e2.p2)),
+            credits AS (
+              SELECT p1, p2, CAST(COUNT(*) AS BIGINT) AS support
+              FROM (SELECT a AS p1, b AS p2 FROM tri
+                    UNION ALL SELECT b, c FROM tri
+                    UNION ALL SELECT a, c FROM tri)
+              GROUP BY 1, 2),
+            supported AS (
+              SELECT COALESCE(c.support, 0) AS s
+              FROM edges e LEFT JOIN credits c
+                ON e.p1 = c.p1 AND e.p2 = c.p2)
+            SELECT s, CAST(COUNT(*) AS BIGINT) AS n_edges,
+                   CAST(SUM(CASE WHEN s >= 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS in_3truss,
+                   CAST(SUM(CASE WHEN s >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS in_4truss
+            FROM supported GROUP BY 1
+        """,
+        "q307_heavy_hitter_churn": f"""
+            WITH cnt AS MATERIALIZED (
+              SELECT h, tok AS token, CAST(COUNT(*) AS BIGINT) AS c
+              FROM (
+                SELECT ((instr('0123456789abcdef',
+                          substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+                        * 16
+                        + (instr('0123456789abcdef',
+                          substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1))
+                        % 2 AS h,
+                       unnest({_TOKS}) AS tok
+                FROM documents)
+              GROUP BY 1, 2),
+            a AS (SELECT token, c AS c0,
+                         CAST(ROW_NUMBER() OVER (ORDER BY c DESC, token)
+                           AS BIGINT) AS r0
+                  FROM cnt WHERE h = 0
+                  QUALIFY r0 <= 20),
+            bb AS (SELECT token, c AS c1,
+                          CAST(ROW_NUMBER() OVER (ORDER BY c DESC, token)
+                            AS BIGINT) AS r1
+                   FROM cnt WHERE h = 1
+                   QUALIFY r1 <= 20)
+            SELECT COALESCE(a.token, bb.token) AS token,
+                   COALESCE(c0, 0) AS count_a,
+                   COALESCE(c1, 0) AS count_b,
+                   r0, r1,
+                   CASE WHEN r0 IS NULL THEN 'entered'
+                        WHEN r1 IS NULL THEN 'exited'
+                        ELSE 'stayed' END AS status,
+                   COALESCE(r0 - r1, 0) AS rank_delta
+            FROM a FULL OUTER JOIN bb ON a.token = bb.token
+        """,
+        "q308_shuffle_cost_model": """
+            WITH lk AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                               CAST(SUM(8 + 8) AS BIGINT) AS bytes
+                        FROM lineitem),
+            ok_ AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                           CAST(SUM(8 + strlen(
+                             CAST(o_orderdate AS VARCHAR))) AS BIGINT)
+                             AS bytes
+                    FROM orders),
+            oc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                          CAST(SUM(8 + 8) AS BIGINT) AS bytes
+                   FROM orders),
+            ck AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                          CAST(SUM(8 + strlen(
+                            CAST(c_mktsegment AS VARCHAR))) AS BIGINT)
+                            AS bytes
+                   FROM customer),
+            lp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                          CAST(SUM(8 + 8) AS BIGINT) AS bytes
+                   FROM lineitem),
+            pk AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                          CAST(SUM(8 + strlen(
+                            CAST(p_brand AS VARCHAR))) AS BIGINT)
+                            AS bytes
+                   FROM part),
+            rows_ AS (
+              SELECT 'lineitem_orders' AS join_name,
+                     lk.n_rows AS n_left, ok_.n_rows AS n_right,
+                     lk.bytes AS left_bytes, ok_.bytes AS right_bytes
+              FROM lk, ok_
+              UNION ALL
+              SELECT 'orders_customer', oc.n_rows, ck.n_rows,
+                     oc.bytes, ck.bytes
+              FROM oc, ck
+              UNION ALL
+              SELECT 'lineitem_part', lp.n_rows, pk.n_rows,
+                     lp.bytes, pk.bytes
+              FROM lp, pk)
+            SELECT join_name, n_left, n_right, left_bytes, right_bytes,
+                   CASE WHEN least(left_bytes, right_bytes) < 10485760
+                        THEN 'broadcast' ELSE 'shuffle' END AS strategy,
+                   CASE WHEN least(left_bytes, right_bytes) < 10485760
+                        THEN least(left_bytes, right_bytes)
+                        ELSE left_bytes + right_bytes END
+                     AS exchange_bytes
+            FROM rows_
+        """,
+        "q309_loo_target_encoding": """
+            WITH base AS MATERIALIZED (
+              SELECT c.c_mktsegment,
+                     CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END
+                       AS bad
+              FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+            lv AS (SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS nl,
+                          CAST(SUM(bad) AS BIGINT) AS bl
+                   FROM base GROUP BY 1),
+            tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt,
+                           CAST(SUM(bad) AS BIGINT) AS bt FROM base)
+            SELECT b.c_mktsegment, b.bad AS own_outcome,
+                   CAST(floor(
+                     (CAST(bl - b.bad AS DOUBLE)
+                      + 20.0 * (CAST(bt AS DOUBLE) / CAST(nt AS DOUBLE)))
+                     / (CAST(nl - 1 AS DOUBLE) + 20.0)
+                     * 1000000) AS BIGINT) AS enc_micro,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM base b JOIN lv ON b.c_mktsegment = lv.c_mktsegment, tot
+            GROUP BY 1, 2, 3
+        """,
+        "q310_hard_negative_mining": f"""
+            WITH {_MNN_CTES},
+            lab AS (SELECT vec_id, label FROM embeddings)
+            SELECT p.a, p.b, la.label AS la, lb.label AS lb,
+                   CAST(floor(p.sim * 1000000) AS BIGINT) AS sim_micro
+            FROM pairs p
+            JOIN lab la ON p.a = la.vec_id
+            JOIN lab lb ON p.b = lb.vec_id
+            WHERE la.label <> lb.label
+            ORDER BY sim_micro DESC, p.a, p.b LIMIT 20
+        """,
+        "q311_markov_entropy_rate": """
+            WITH seq AS (
+              SELECT src, dst FROM (
+                SELECT event_type AS src,
+                       LEAD(event_type) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS dst
+                FROM events)
+              WHERE dst IS NOT NULL),
+            tc AS MATERIALIZED (
+              SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS c
+              FROM seq GROUP BY 1, 2),
+            per_src AS (SELECT src, CAST(SUM(c) AS BIGINT) AS ns
+                        FROM tc GROUP BY 1),
+            tot AS (SELECT CAST(SUM(ns) AS BIGINT) AS nt FROM per_src)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+                   CAST(SUM(CAST(floor(
+                     (-((CAST(ns AS DOUBLE) / CAST(nt AS DOUBLE))
+                        * ((CAST(c AS DOUBLE) / CAST(ns AS DOUBLE))
+                           * ln(CAST(c AS DOUBLE) / CAST(ns AS DOUBLE)))))
+                     * 1000000000000) AS BIGINT)) AS BIGINT)
+                     AS entropy_rate_pico
+            FROM tc JOIN per_src USING (src), tot
         """,
     }

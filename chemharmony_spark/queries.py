@@ -11576,3 +11576,329 @@ def q305_ndv_correlation(spark, sf):
             audit("l_returnflag", "l_linestatus", "returnflag_linestatus")
         )
     )
+
+
+def q306_ktruss_support(spark, sf):
+    """Edge support / k-truss audit on the co-purchase graph: each
+    q105-style compact-forward triangle credits its three edges; an
+    edge's support (triangles containing it) decides k-truss
+    membership (k-truss <=> support >= k-2) — the cohesion filter that
+    prunes noisy co-occurrence edges before clustering, one level
+    stronger than q126's k-core (which only counts degree). Output is
+    the support histogram plus 3- and 4-truss edge counts — the first
+    peel round of the full iterative truss decomposition.
+
+    Shape: triangles enumerate once (oriented edges, no symmetry
+    blowup), explode to 3 edge credits each, ONE edge-keyed count agg,
+    then a left join back onto the persisted edge set so
+    support-0 edges stay in the histogram."""
+    from chemharmony_spark.cache import registered_persist
+
+    li = _t(spark, sf, "lineitem")
+    edges = registered_persist(
+        _copurchase_edges(li).select("p1", "p2")
+    )
+    wedge = edges.alias("e1").join(
+        F.broadcast(edges.alias("e2")), F.col("e1.p2") == F.col("e2.p1")
+    )
+    tri = wedge.join(
+        F.broadcast(edges.alias("e3")),
+        (F.col("e3.p1") == F.col("e1.p1"))
+        & (F.col("e3.p2") == F.col("e2.p2")),
+        "left_semi",
+    ).select(
+        F.col("e1.p1").alias("a"),
+        F.col("e1.p2").alias("b"),
+        F.col("e2.p2").alias("c"),
+    )
+    credits = (
+        tri.select(F.col("a").alias("p1"), F.col("b").alias("p2"))
+        .unionByName(
+            tri.select(F.col("b").alias("p1"), F.col("c").alias("p2"))
+        )
+        .unionByName(
+            tri.select(F.col("a").alias("p1"), F.col("c").alias("p2"))
+        )
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    supported = (
+        edges.join(credits, on=["p1", "p2"], how="left")
+        .withColumn("s", F.coalesce("support", F.lit(0)))
+    )
+    return supported.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum(F.when(F.col("s") >= 1, 1).otherwise(0)).alias(
+            "in_3truss"
+        ),
+        F.sum(F.when(F.col("s") >= 2, 1).otherwise(0)).alias(
+            "in_4truss"
+        ),
+    )
+
+
+def q307_heavy_hitter_churn(spark, sf):
+    """Heavy-hitter churn between two md5-split corpus halves: the
+    top-20 token lists of each half full-outer-join into an
+    entered/exited/rank-delta report — the sketch-monitoring primitive
+    that tells a streaming pipeline its hot-key set moved (feeding
+    q262's salting list) before a skew incident. Both rankings are
+    TakeOrdered prefixes off ONE (half, token) count agg; the churn
+    join is 40 rows."""
+    docs = _t(spark, sf, "documents")
+    half = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2),
+               16, 10)
+        % 2
+    ).cast("int")
+    cnt = (
+        docs.select(half.alias("h"),
+                    F.explode(TX.tokens("text")).alias("token"))
+        .groupBy("h", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from chemharmony_spark.cache import registered_persist
+
+    cnt = registered_persist(cnt)
+
+    def topk(hv):
+        t = (
+            cnt.filter(F.col("h") == hv)
+            .orderBy(F.col("c").desc(), "token")
+            .limit(20)
+        )
+        w = Window.orderBy(F.col("c").desc(), "token")
+        return t.select(
+            "token",
+            F.col("c").alias(f"c{hv}"),
+            F.row_number().over(w).cast("long").alias(f"r{hv}"),
+        )
+
+    a = topk(0)
+    b = topk(1)
+    return (
+        a.join(b, on="token", how="full_outer")
+        .select(
+            "token",
+            F.coalesce("c0", F.lit(0)).alias("count_a"),
+            F.coalesce("c1", F.lit(0)).alias("count_b"),
+            "r0",
+            "r1",
+            F.when(F.col("r0").isNull(), F.lit("entered"))
+            .when(F.col("r1").isNull(), F.lit("exited"))
+            .otherwise(F.lit("stayed"))
+            .alias("status"),
+            F.coalesce(
+                F.col("r0") - F.col("r1"), F.lit(0)
+            ).alias("rank_delta"),
+        )
+    )
+
+
+def q308_shuffle_cost_model(spark, sf):
+    """Join-strategy cost model audit: for the three TPC-H FK joins,
+    measure each side's EXACT shuffled byte volume (per-type column
+    widths: 8B numerics, octet-length strings/timestamps rendered at
+    their wire width) and report the broadcast-vs-shuffle decision a
+    10 MiB-threshold planner would take plus the total exchange bytes
+    each strategy moves — the arithmetic behind every broadcast hint in
+    this repo, made inspectable. One narrow agg per side; no join
+    actually runs."""
+
+    def side(df, cols, name):
+        width = None
+        for c, typ in cols:
+            w = (
+                F.lit(8)
+                if typ == "num"
+                else F.octet_length(F.col(c).cast("string"))
+            )
+            width = w if width is None else width + w
+        return df.select(width.alias("w")).agg(
+            F.lit(name).alias("rel"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("w").cast("long").alias("bytes"),
+        )
+
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    part = _t(spark, sf, "part")
+    sides = {
+        "lineitem_k": side(
+            li, [("l_orderkey", "num"), ("l_extendedprice", "num")],
+            "lineitem_k",
+        ),
+        "orders_k": side(
+            orders, [("o_orderkey", "num"), ("o_orderdate", "str")],
+            "orders_k",
+        ),
+        "orders_c": side(
+            orders, [("o_custkey", "num"), ("o_totalprice", "num")],
+            "orders_c",
+        ),
+        "customer_k": side(
+            cust, [("c_custkey", "num"), ("c_mktsegment", "str")],
+            "customer_k",
+        ),
+        "lineitem_p": side(
+            li, [("l_partkey", "num"), ("l_quantity", "num")],
+            "lineitem_p",
+        ),
+        "part_k": side(
+            part, [("p_partkey", "num"), ("p_brand", "str")], "part_k"
+        ),
+    }
+
+    def join_row(name, a, b):
+        left = sides[a].select(
+            F.col("n_rows").alias("n_left"), F.col("bytes").alias("bl")
+        )
+        right = sides[b].select(
+            F.col("n_rows").alias("n_right"), F.col("bytes").alias("br")
+        )
+        thresh = 10 * 1024 * 1024
+        return (
+            left.crossJoin(F.broadcast(right))
+            .select(
+                F.lit(name).alias("join_name"),
+                "n_left",
+                "n_right",
+                F.col("bl").alias("left_bytes"),
+                F.col("br").alias("right_bytes"),
+                F.when(
+                    F.least(F.col("bl"), F.col("br")) < thresh,
+                    F.lit("broadcast"),
+                )
+                .otherwise(F.lit("shuffle"))
+                .alias("strategy"),
+                F.when(
+                    F.least(F.col("bl"), F.col("br")) < thresh,
+                    F.least(F.col("bl"), F.col("br")),
+                )
+                .otherwise(F.col("bl") + F.col("br"))
+                .alias("exchange_bytes"),
+            )
+        )
+
+    return (
+        join_row("lineitem_orders", "lineitem_k", "orders_k")
+        .unionByName(join_row("orders_customer", "orders_c", "customer_k"))
+        .unionByName(join_row("lineitem_part", "lineitem_p", "part_k"))
+    )
+
+
+def q309_loo_target_encoding(spark, sf):
+    """Leave-one-out target encoding with prior smoothing (the Kaggle /
+    CatBoost-style categorical encoder, built leakage-free): each
+    order's segment encoding averages the OTHER orders' bad-rate in its
+    segment, shrunk toward the global prior with strength alpha=20 —
+    enc = (bad_level - own + alpha * prior) / (n_level - 1 + alpha).
+    Own-row exclusion is pure algebra on the level aggregates (no
+    self-join), so the encoder is one broadcast join over the fact
+    scan. Output audits the encoding: per (segment, own outcome), row
+    count and the exact encoding value in micros — demonstrating the
+    within-level spread LOO creates (the anti-leakage signature)."""
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    base = orders.join(
+        cust.select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment"),
+        on="o_custkey",
+    ).select(
+        "c_mktsegment",
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("bad"),
+    )
+    lv = base.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("nl"), F.sum("bad").alias("bl")
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).alias("nt"), F.sum("bad").alias("bt")
+    )
+    prior = F.col("bt").cast("double") / F.col("nt").cast("double")
+    enc = (
+        (F.col("bl") - F.col("bad")).cast("double")
+        + F.lit(20.0) * prior
+    ) / ((F.col("nl") - 1).cast("double") + F.lit(20.0))
+    return (
+        base.join(F.broadcast(lv), on="c_mktsegment")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(
+            "c_mktsegment",
+            F.col("bad").alias("own_outcome"),
+            F.floor(enc * 1_000_000).cast("long").alias("enc_micro"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def q310_hard_negative_mining(spark, sf):
+    """Hard-negative mining for embedding training: the top-20 most
+    similar CROSS-LABEL vector pairs — high-cosine pairs the label says
+    should be far apart are exactly the negatives a contrastive or
+    reranker training loop needs (and random negatives never surface).
+    Pair similarities come from the q46/q258 triangle-block scheme (no
+    cartesian); labels join on the vec dimension; top-20 is a
+    TakeOrdered."""
+    from chemharmony_spark.cache import registered_persist
+
+    emb = _t(spark, sf, "embeddings")
+    pairs = registered_persist(SIM.all_pairs_cosine(emb, threshold=-1.0))
+    lab = emb.select("vec_id", "label")
+    la = lab.select(F.col("vec_id").alias("a"), F.col("label").alias("la"))
+    lb = lab.select(F.col("vec_id").alias("b"), F.col("label").alias("lb"))
+    return (
+        pairs.join(la, on="a")
+        .join(lb, on="b")
+        .where(F.col("la") != F.col("lb"))
+        .select(
+            "a",
+            "b",
+            "la",
+            "lb",
+            F.floor(F.col("sim") * 1_000_000).cast("long").alias(
+                "sim_micro"
+            ),
+        )
+        .orderBy(F.col("sim_micro").desc(), "a", "b")
+        .limit(20)
+    )
+
+
+def q311_markov_entropy_rate(spark, sf):
+    """Entropy rate of the user-behavior Markov chain: H = -SUM_s
+    pi(s) SUM_d P(d|s) ln P(d|s), with pi the empirical source-state
+    distribution — the single predictability scalar over q91's
+    transition matrix (low H = scripted/bot-like traffic corpus, high H
+    = diverse organic behavior), the corpus-level counterpart of q270's
+    per-user entropy. All probabilities are exact-count divisions; each
+    (s,d) term floors to picos before the two-level sum so accumulation
+    is order-independent. ONE sequence window + ONE (s,d) agg."""
+    from chemharmony_spark.cache import registered_persist
+
+    ev = _events(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    tc = registered_persist(
+        seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_src = tc.groupBy("src").agg(F.sum("c").alias("ns"))
+    tot = per_src.agg(F.sum("ns").alias("nt"))
+    p_cond = F.col("c").cast("double") / F.col("ns").cast("double")
+    pi_s = F.col("ns").cast("double") / F.col("nt").cast("double")
+    term = (
+        F.floor(-(pi_s * (p_cond * F.log(p_cond))) * 1_000_000_000_000)
+        .cast("long")
+        .alias("term_pico")
+    )
+    terms = (
+        tc.join(F.broadcast(per_src), on="src")
+        .crossJoin(F.broadcast(tot))
+        .select("src", term)
+    )
+    return terms.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("term_pico").alias("entropy_rate_pico"),
+    )

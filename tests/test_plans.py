@@ -772,6 +772,27 @@ SHUFFLE_BUDGET = {
     # x2, the HLL bucket agg, exact-count and single-column distinct
     # expands) — sketch state is 64 rows per pair
     "q305_ndv_correlation": 18,
+    # q306: persisted oriented edge set (printed per triangle side +
+    # support join) + the basket agg feeding it + edge-credit count agg
+    # (6 in the full-inventory catalog context: q103/q105's earlier
+    # basket builds leave a cached subtree that prints one extra
+    # consumer here; 5 from a clean session)
+    "q306_ktruss_support": 6,
+    # q307: ONE (half, token) count agg persisted; both top-20s are
+    # TakeOrdered partials off it and the churn join is 40 rows
+    "q307_heavy_hitter_churn": 1,
+    # q308: six 1-row width/count rollups (one per join side) — no
+    # join of fact data ever executes
+    "q308_shuffle_cost_model": 6,
+    # q309: custkey join + level/total rollups; encoder applies as a
+    # broadcast join over the fact scan and one model-space agg
+    "q309_loo_target_encoding": 3,
+    # q310: the persisted triangle-block pair scoring + the top-20
+    # TakeOrdered partial; label joins broadcast
+    "q310_hard_negative_mining": 2,
+    # q311: ONE sequence window + persisted (s,d) agg (printed per
+    # consumer) + per-src/total re-aggs and the 1-row entropy sum
+    "q311_markov_entropy_rate": 6,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -904,7 +925,13 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 # q303: 1-row good/bad totals broadcast onto the levels
                 "q303_woe_iv",
                 # q305: 1-row exact/sketch/stats rollups cross-joined
-                "q305_ndv_correlation"}
+                "q305_ndv_correlation",
+                # q308: 1-row per-side byte rollups cross-joined
+                "q308_shuffle_cost_model",
+                # q309: 1-row global-prior broadcast onto the fact scan
+                "q309_loo_target_encoding",
+                # q311: 1-row total broadcast onto the transition terms
+                "q311_markov_entropy_rate"}
 
 
 def test_no_headline_query_has_unpartitioned_ranked_window(spark):
