@@ -388,6 +388,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q309_loo_target_encoding": Q.q309_loo_target_encoding,
         "q310_hard_negative_mining": Q.q310_hard_negative_mining,
         "q311_markov_entropy_rate": Q.q311_markov_entropy_rate,
+        "q312_fellegi_sunter": Q.q312_fellegi_sunter,
+        "q313_dedup_threshold_f1": Q.q313_dedup_threshold_f1,
+        "q314_late_data_impact": Q.q314_late_data_impact,
     }
 
 
@@ -8704,5 +8707,139 @@ def oracle_sql() -> dict[str, str]:
                      * 1000000000000) AS BIGINT)) AS BIGINT)
                      AS entropy_rate_pico
             FROM tc JOIN per_src USING (src), tot
+        """,
+        "q312_fellegi_sunter": f"""
+            WITH keyed AS MATERIALIZED (
+              SELECT doc_id, lang, source, n_chars // 100 AS cb,
+                     substr(array_to_string({_TOKS}, ' '), 1, 40) AS bag
+              FROM documents),
+            mp AS (
+              SELECT x.lang AS la, y.lang AS lb, x.source AS sa,
+                     y.source AS sb, x.cb AS ca, y.cb AS cbb
+              FROM keyed x JOIN keyed y
+                ON x.bag = y.bag AND x.doc_id < y.doc_id),
+            rk AS (
+              SELECT lang, source, cb,
+                     CAST(ROW_NUMBER() OVER (ORDER BY
+                       md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+                       AS r,
+                     CAST(COUNT(*) OVER () AS BIGINT) AS n
+              FROM keyed),
+            up AS (
+              SELECT l.lang AS la, r2.lang AS lb, l.source AS sa,
+                     r2.source AS sb, l.cb AS ca, r2.cb AS cbb
+              FROM (SELECT lang, source, cb, r AS k FROM rk
+                    WHERE r <= n // 2) l
+              JOIN (SELECT lang, source, cb, r - n // 2 AS k FROM rk
+                    WHERE r > n // 2) r2
+                ON l.k = r2.k),
+            ms AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CASE WHEN la = lb THEN 1 ELSE 0 END)
+                          AS BIGINT) AS ag_lang,
+                     CAST(SUM(CASE WHEN sa = sb THEN 1 ELSE 0 END)
+                          AS BIGINT) AS ag_source,
+                     CAST(SUM(CASE WHEN ca = cbb THEN 1 ELSE 0 END)
+                          AS BIGINT) AS ag_len
+              FROM mp),
+            us AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CASE WHEN la = lb THEN 1 ELSE 0 END)
+                          AS BIGINT) AS ag_lang,
+                     CAST(SUM(CASE WHEN sa = sb THEN 1 ELSE 0 END)
+                          AS BIGINT) AS ag_source,
+                     CAST(SUM(CASE WHEN ca = cbb THEN 1 ELSE 0 END)
+                          AS BIGINT) AS ag_len
+              FROM up)
+            SELECT 'lang' AS field,
+                     ms.n AS n_matches, us.n AS n_nonmatches,
+                     CAST(floor((CAST(ms.ag_lang + 1 AS DOUBLE) / CAST(ms.n + 2 AS DOUBLE)) * 1000000) AS BIGINT) AS m_ppm,
+                     CAST(floor((CAST(us.ag_lang + 1 AS DOUBLE) / CAST(us.n + 2 AS DOUBLE)) * 1000000) AS BIGINT) AS u_ppm,
+                     CAST(floor(ln((CAST(ms.ag_lang + 1 AS DOUBLE) / CAST(ms.n + 2 AS DOUBLE)) / (CAST(us.ag_lang + 1 AS DOUBLE) / CAST(us.n + 2 AS DOUBLE))) * 1000000) AS BIGINT)
+                       AS w_agree_micro,
+                     CAST(floor(ln((1.0 - (CAST(ms.ag_lang + 1 AS DOUBLE) / CAST(ms.n + 2 AS DOUBLE))) / (1.0 - (CAST(us.ag_lang + 1 AS DOUBLE) / CAST(us.n + 2 AS DOUBLE))))
+                          * 1000000) AS BIGINT) AS w_disagree_micro
+              FROM ms, us
+            UNION ALL SELECT 'source' AS field,
+                     ms.n AS n_matches, us.n AS n_nonmatches,
+                     CAST(floor((CAST(ms.ag_source + 1 AS DOUBLE) / CAST(ms.n + 2 AS DOUBLE)) * 1000000) AS BIGINT) AS m_ppm,
+                     CAST(floor((CAST(us.ag_source + 1 AS DOUBLE) / CAST(us.n + 2 AS DOUBLE)) * 1000000) AS BIGINT) AS u_ppm,
+                     CAST(floor(ln((CAST(ms.ag_source + 1 AS DOUBLE) / CAST(ms.n + 2 AS DOUBLE)) / (CAST(us.ag_source + 1 AS DOUBLE) / CAST(us.n + 2 AS DOUBLE))) * 1000000) AS BIGINT)
+                       AS w_agree_micro,
+                     CAST(floor(ln((1.0 - (CAST(ms.ag_source + 1 AS DOUBLE) / CAST(ms.n + 2 AS DOUBLE))) / (1.0 - (CAST(us.ag_source + 1 AS DOUBLE) / CAST(us.n + 2 AS DOUBLE))))
+                          * 1000000) AS BIGINT) AS w_disagree_micro
+              FROM ms, us
+            UNION ALL SELECT 'len_bucket' AS field,
+                     ms.n AS n_matches, us.n AS n_nonmatches,
+                     CAST(floor((CAST(ms.ag_len + 1 AS DOUBLE) / CAST(ms.n + 2 AS DOUBLE)) * 1000000) AS BIGINT) AS m_ppm,
+                     CAST(floor((CAST(us.ag_len + 1 AS DOUBLE) / CAST(us.n + 2 AS DOUBLE)) * 1000000) AS BIGINT) AS u_ppm,
+                     CAST(floor(ln((CAST(ms.ag_len + 1 AS DOUBLE) / CAST(ms.n + 2 AS DOUBLE)) / (CAST(us.ag_len + 1 AS DOUBLE) / CAST(us.n + 2 AS DOUBLE))) * 1000000) AS BIGINT)
+                       AS w_agree_micro,
+                     CAST(floor(ln((1.0 - (CAST(ms.ag_len + 1 AS DOUBLE) / CAST(ms.n + 2 AS DOUBLE))) / (1.0 - (CAST(us.ag_len + 1 AS DOUBLE) / CAST(us.n + 2 AS DOUBLE))))
+                          * 1000000) AS BIGINT) AS w_disagree_micro
+              FROM ms, us
+        """,
+        "q313_dedup_threshold_f1": f"""
+            WITH toks AS MATERIALIZED (
+              SELECT doc_id, list_distinct({_TOKS}) AS ws,
+                     substr(array_to_string({_TOKS}, ' '), 1, 40) AS bag
+              FROM documents),
+            pairs AS MATERIALIZED (
+              SELECT a.doc_id AS a, b.doc_id AS b,
+                     CAST(floor(
+                       CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+                       / CAST(len(a.ws) + len(b.ws)
+                              - len(list_intersect(a.ws, b.ws))
+                              AS DOUBLE) * 1000000) AS BIGINT) AS jm
+              FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+              WHERE len(a.ws) > 0 AND len(b.ws) > 0),
+            cand AS (SELECT * FROM pairs WHERE jm >= 500000),
+            truth AS MATERIALIZED (
+              SELECT x.doc_id AS a, y.doc_id AS b
+              FROM toks x JOIN toks y
+                ON x.bag = y.bag AND x.doc_id < y.doc_id),
+            lab AS (
+              SELECT p.jm, CASE WHEN t.a IS NULL THEN 0 ELSE 1 END AS t
+              FROM cand p LEFT JOIN truth t
+                ON p.a = t.a AND p.b = t.b),
+            nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM truth),
+            th AS (SELECT unnest([50, 60, 70, 80, 90])
+                     AS threshold_pct),
+            agg AS (
+              SELECT threshold_pct,
+                     CAST(SUM(CASE WHEN jm >= threshold_pct * 10000
+                          AND t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                     CAST(SUM(CASE WHEN jm >= threshold_pct * 10000
+                          AND t = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp
+              FROM th, lab GROUP BY 1)
+            SELECT CAST(threshold_pct AS INT) AS threshold_pct, tp, fp,
+                   nt - tp AS fn,
+                   CASE WHEN tp + fp > 0
+                        THEN tp * 1000000 // (tp + fp) ELSE 0 END
+                     AS precision_ppm,
+                   CASE WHEN nt > 0 THEN tp * 1000000 // nt ELSE 0 END
+                     AS recall_ppm,
+                   CASE WHEN 2 * tp + fp + (nt - tp) > 0
+                        THEN 2 * tp * 1000000
+                             // (2 * tp + fp + (nt - tp))
+                        ELSE 0 END AS f1_ppm
+            FROM agg, nt
+        """,
+        "q314_late_data_impact": """
+            WITH base AS (
+              SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+                     (((instr('0123456789abcdef', substr(md5('lag:' || CAST(event_id AS VARCHAR)), 1, 1)) - 1) * 4096 + (instr('0123456789abcdef', substr(md5('lag:' || CAST(event_id AS VARCHAR)), 2, 1)) - 1) * 256 + (instr('0123456789abcdef', substr(md5('lag:' || CAST(event_id AS VARCHAR)), 3, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(md5('lag:' || CAST(event_id AS VARCHAR)), 4, 1)) - 1) * 1) * CAST(65536 AS BIGINT) + ((instr('0123456789abcdef', substr(md5('lag:' || CAST(event_id AS VARCHAR)), 5, 1)) - 1) * 4096 + (instr('0123456789abcdef', substr(md5('lag:' || CAST(event_id AS VARCHAR)), 6, 1)) - 1) * 256 + (instr('0123456789abcdef', substr(md5('lag:' || CAST(event_id AS VARCHAR)), 7, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(md5('lag:' || CAST(event_id AS VARCHAR)), 8, 1)) - 1) * 1)) % 121 AS lag_s
+              FROM events)
+            SELECT event_type, hour, CAST(COUNT(*) AS BIGINT) AS n_all,
+                   CAST(SUM(CASE WHEN lag_s <= 60 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_on_time,
+                   CAST(COUNT(*) AS BIGINT)
+                     - CAST(SUM(CASE WHEN lag_s <= 60 THEN 1 ELSE 0
+                            END) AS BIGINT) AS n_late,
+                   (CAST(COUNT(*) AS BIGINT)
+                    - CAST(SUM(CASE WHEN lag_s <= 60 THEN 1 ELSE 0
+                           END) AS BIGINT)) * 1000000
+                     // CAST(COUNT(*) AS BIGINT) AS late_ppm
+            FROM base GROUP BY 1, 2
         """,
     }

@@ -11902,3 +11902,244 @@ def q311_markov_entropy_rate(spark, sf):
         F.count(F.lit(1)).alias("n_terms"),
         F.sum("term_pico").alias("entropy_rate_pico"),
     )
+
+
+def q312_fellegi_sunter(spark, sf):
+    """Fellegi-Sunter record-linkage weights (1969): estimate each
+    comparison field's m-probability (agreement among MATCHES — the
+    prefix-40 near-dup families) and u-probability (agreement among
+    NON-MATCHES — a deterministic md5 half-shift pairing), then the
+    field's agree/disagree log-odds weights that a linkage scorer sums
+    per candidate pair. Fields: lang, source, length bucket. Laplace
+    (+1/+2) smoothing keeps the logs finite; probabilities are exact-
+    count divisions floored to ppm/micros.
+
+    Shape: match pairs come from a self-join inside tiny truth groups;
+    non-match pairs from ONE rank window + a half-shift self-join; both
+    pair tables are corpus-row-bounded, never quadratic."""
+    from chemharmony_spark.cache import registered_persist
+
+    docs = _t(spark, sf, "documents")
+    keyed = registered_persist(
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.expr("n_chars DIV 100").alias("cb"),
+            F.substring(
+                F.concat_ws(" ", TX.tokens("text")), 1, 40
+            ).alias("bag"),
+        )
+    )
+    m_pairs = (
+        keyed.alias("x")
+        .join(keyed.alias("y"), on="bag")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.lang").alias("la"), F.col("y.lang").alias("lb"),
+            F.col("x.source").alias("sa"), F.col("y.source").alias("sb"),
+            F.col("x.cb").alias("ca"), F.col("y.cb").alias("cbb"),
+        )
+    )
+    w = Window.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    wall = Window.partitionBy()
+    ranked = keyed.select(
+        "lang", "source", "cb",
+        F.row_number().over(w).cast("long").alias("r"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("n"),
+    )
+    half = F.expr("n DIV 2")
+    left = ranked.where(F.col("r") <= half).select(
+        F.col("lang").alias("la"), F.col("source").alias("sa"),
+        F.col("cb").alias("ca"), F.col("r").alias("k"),
+    )
+    right = ranked.where(F.col("r") > half).select(
+        F.col("lang").alias("lb"), F.col("source").alias("sb"),
+        F.col("cb").alias("cbb"), (F.col("r") - half).alias("k"),
+    )
+    u_pairs = left.join(right, on="k")
+
+    def stats(pairs, kind):
+        return pairs.agg(
+            F.lit(kind).alias("kind"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("la") == F.col("lb"), 1).otherwise(0)
+            ).alias("ag_lang"),
+            F.sum(
+                F.when(F.col("sa") == F.col("sb"), 1).otherwise(0)
+            ).alias("ag_source"),
+            F.sum(
+                F.when(F.col("ca") == F.col("cbb"), 1).otherwise(0)
+            ).alias("ag_len"),
+        )
+
+    ms = stats(m_pairs, "m")
+    us = stats(u_pairs, "u")
+    rows = []
+    for field, col in [("lang", "ag_lang"), ("source", "ag_source"),
+                       ("len_bucket", "ag_len")]:
+        mm = ms.select(
+            F.lit(field).alias("field"),
+            F.col("n").alias("n_matches"),
+            (
+                (F.col(col) + 1).cast("double")
+                / (F.col("n") + 2).cast("double")
+            ).alias("m"),
+        )
+        uu = us.select(
+            F.col("n").alias("n_nonmatches"),
+            (
+                (F.col(col) + 1).cast("double")
+                / (F.col("n") + 2).cast("double")
+            ).alias("u"),
+        )
+        rows.append(
+            mm.crossJoin(F.broadcast(uu)).select(
+                "field",
+                "n_matches",
+                "n_nonmatches",
+                F.floor(F.col("m") * 1_000_000).cast("long").alias("m_ppm"),
+                F.floor(F.col("u") * 1_000_000).cast("long").alias("u_ppm"),
+                F.floor(F.log(F.col("m") / F.col("u")) * 1_000_000)
+                .cast("long")
+                .alias("w_agree_micro"),
+                F.floor(
+                    F.log(
+                        (F.lit(1.0) - F.col("m"))
+                        / (F.lit(1.0) - F.col("u"))
+                    )
+                    * 1_000_000
+                )
+                .cast("long")
+                .alias("w_disagree_micro"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def q313_dedup_threshold_f1(spark, sf):
+    """Dedup threshold operating curve: precision / recall / F1 of
+    Jaccard near-dup detection at five thresholds against the
+    prefix-40 near-dup truth — the tuning table that decides the
+    production threshold (and whose recall ceiling exposes truth pairs
+    the candidate generator never surfaces). ONE scored candidate-pair
+    table (PPJoin prefix filter at t=0.5 + exact verify) is labeled
+    against the truth set once; each threshold row is a conditional
+    re-aggregation of the same frame."""
+    from chemharmony_spark.cache import registered_persist
+
+    docs = _t(spark, sf, "documents")
+    cands = DD.prefix_filter_pairs(docs, "doc_id", "text", threshold=0.5)
+    scored = DD.jaccard_pairs(docs, cands, "doc_id", "text").select(
+        "a", "b",
+        F.floor(F.col("jaccard") * 1_000_000).cast("long").alias("jm"),
+    )
+    keyed = docs.select(
+        "doc_id",
+        F.substring(
+            F.concat_ws(" ", TX.tokens("text")), 1, 40
+        ).alias("bag"),
+    )
+    truth = registered_persist(
+        keyed.alias("x")
+        .join(keyed.alias("y"), on="bag")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b")
+        )
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).alias("nt"))
+    labeled = registered_persist(
+        scored.join(
+            truth.withColumn("is_true", F.lit(1)), on=["a", "b"],
+            how="left",
+        ).withColumn("t", F.coalesce("is_true", F.lit(0)))
+    )
+    rows = []
+    for pct in [50, 60, 70, 80, 90]:
+        thr = pct * 10_000
+        agg = labeled.agg(
+            F.lit(pct).alias("threshold_pct"),
+            F.sum(
+                F.when((F.col("jm") >= thr) & (F.col("t") == 1), 1)
+                .otherwise(0)
+            ).alias("tp"),
+            F.sum(
+                F.when((F.col("jm") >= thr) & (F.col("t") == 0), 1)
+                .otherwise(0)
+            ).alias("fp"),
+        )
+        rows.append(agg)
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return (
+        out.crossJoin(F.broadcast(n_truth))
+        .withColumn("fn", F.col("nt") - F.col("tp"))
+        .withColumn(
+            "precision_ppm",
+            F.when(
+                F.col("tp") + F.col("fp") > 0,
+                F.expr("tp * 1000000 DIV (tp + fp)"),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "recall_ppm",
+            F.when(
+                F.col("nt") > 0, F.expr("tp * 1000000 DIV nt")
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "f1_ppm",
+            F.when(
+                2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+                F.expr("2 * tp * 1000000 DIV (2 * tp + fp + fn)"),
+            ).otherwise(F.lit(0)),
+        )
+        .select(
+            "threshold_pct", "tp", "fp", "fn",
+            "precision_ppm", "recall_ppm", "f1_ppm",
+        )
+    )
+
+
+def q314_late_data_impact(spark, sf):
+    """Watermark-policy evaluation: replay the q28 hourly tumbling
+    counts under a synthetic arrival process (md5 jitter, 0-120 s) and
+    report what a 60-second watermark would have DROPPED per window —
+    the offline audit that justifies a streaming watermark before any
+    state is shed in production. One pass computes full vs on-time
+    counts; late share is integer ppm."""
+    ev = _events(spark, sf)
+    jitter = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("lag:"),
+                               F.col("event_id").cast("string"))), 1, 8
+            ),
+            16, 10,
+        ).cast("long")
+        % 121
+    )
+    base = ev.select(
+        "event_type",
+        F.expr("ts div 3600000000000").alias("hour"),
+        jitter.alias("lag_s"),
+    )
+    return (
+        base.groupBy("event_type", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_all"),
+            F.sum(
+                F.when(F.col("lag_s") <= 60, 1).otherwise(0)
+            ).alias("n_on_time"),
+        )
+        .withColumn("n_late", F.col("n_all") - F.col("n_on_time"))
+        .withColumn(
+            "late_ppm", F.expr("n_late * 1000000 DIV n_all")
+        )
+    )

@@ -793,6 +793,16 @@ SHUFFLE_BUDGET = {
     # q311: ONE sequence window + persisted (s,d) agg (printed per
     # consumer) + per-src/total re-aggs and the 1-row entropy sum
     "q311_markov_entropy_rate": 6,
+    # q312: persisted keyed scan (printed per consumer: truth self-join
+    # + rank pairing) + the global rank window + the two 1-row
+    # agreement rollups feeding three report rows
+    "q312_fellegi_sunter": 9,
+    # q313: the PPJoin candidate pipeline + verify (q82/q123 shape) +
+    # persisted truth/labeled frames (printed per threshold consumer);
+    # every threshold row re-aggregates the same labeled pair table
+    "q313_dedup_threshold_f1": 12,
+    # q314: ONE (type, hour) agg — the jitter is scan-stage arithmetic
+    "q314_late_data_impact": 1,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -931,7 +941,11 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 # q309: 1-row global-prior broadcast onto the fact scan
                 "q309_loo_target_encoding",
                 # q311: 1-row total broadcast onto the transition terms
-                "q311_markov_entropy_rate"}
+                "q311_markov_entropy_rate",
+                # q312: 1-row m/u agreement rollups cross-joined
+                "q312_fellegi_sunter",
+                # q313: 1-row truth-count broadcast onto threshold rows
+                "q313_dedup_threshold_f1"}
 
 
 def test_no_headline_query_has_unpartitioned_ranked_window(spark):
