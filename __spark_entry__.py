@@ -391,6 +391,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q312_fellegi_sunter": Q.q312_fellegi_sunter,
         "q313_dedup_threshold_f1": Q.q313_dedup_threshold_f1,
         "q314_late_data_impact": Q.q314_late_data_impact,
+        "q315_kcenter_seeds": Q.q315_kcenter_seeds,
+        "q316_ranker_agreement": Q.q316_ranker_agreement,
+        "q317_char_entropy_budget": Q.q317_char_entropy_budget,
     }
 
 
@@ -8841,5 +8844,191 @@ def oracle_sql() -> dict[str, str]:
                            END) AS BIGINT)) * 1000000
                      // CAST(COUNT(*) AS BIGINT) AS late_ppm
             FROM base GROUP BY 1, 2
+        """,
+        "q315_kcenter_seeds": """
+            WITH dv AS MATERIALIZED (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS l
+              FROM embeddings),
+            nrm AS MATERIALIZED (
+              SELECT vec_id, l,
+                     sqrt(list_reduce(list_transform(l, x -> x * x),
+                                      (a, b) -> a + b)) AS nn
+              FROM dv),
+            c1 AS (
+              SELECT vec_id AS c_id, l, nn, 1 AS round,
+                     CAST(0 AS BIGINT) AS dist_micro
+              FROM nrm ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+              LIMIT 1),
+            cs2 AS (
+              SELECT c_id, l, nn, round, dist_micro FROM c1),
+            d2 AS (
+              SELECT e.vec_id, MIN(CAST(floor((1.0 - list_reduce([e.l[i] * c.l[i] for i in generate_series(1, len(e.l))], (x, y) -> x + y) / (e.nn * c.nn)) * 1000000) AS BIGINT)) AS dmin
+              FROM nrm e, cs2 c GROUP BY 1),
+            p2 AS (SELECT vec_id, dmin FROM d2
+                     ORDER BY dmin DESC, vec_id LIMIT 1),
+            c2 AS (
+              SELECT n.vec_id AS c_id, n.l, n.nn, 2 AS round,
+                     p.dmin AS dist_micro
+              FROM nrm n JOIN p2 p ON n.vec_id = p.vec_id),
+            cs3 AS (
+              SELECT c_id, l, nn, round, dist_micro FROM c1
+              UNION ALL SELECT c_id, l, nn, round, dist_micro FROM c2),
+            d3 AS (
+              SELECT e.vec_id, MIN(CAST(floor((1.0 - list_reduce([e.l[i] * c.l[i] for i in generate_series(1, len(e.l))], (x, y) -> x + y) / (e.nn * c.nn)) * 1000000) AS BIGINT)) AS dmin
+              FROM nrm e, cs3 c GROUP BY 1),
+            p3 AS (SELECT vec_id, dmin FROM d3
+                     ORDER BY dmin DESC, vec_id LIMIT 1),
+            c3 AS (
+              SELECT n.vec_id AS c_id, n.l, n.nn, 3 AS round,
+                     p.dmin AS dist_micro
+              FROM nrm n JOIN p3 p ON n.vec_id = p.vec_id),
+            cs4 AS (
+              SELECT c_id, l, nn, round, dist_micro FROM c1
+              UNION ALL SELECT c_id, l, nn, round, dist_micro FROM c2
+              UNION ALL SELECT c_id, l, nn, round, dist_micro FROM c3),
+            d4 AS (
+              SELECT e.vec_id, MIN(CAST(floor((1.0 - list_reduce([e.l[i] * c.l[i] for i in generate_series(1, len(e.l))], (x, y) -> x + y) / (e.nn * c.nn)) * 1000000) AS BIGINT)) AS dmin
+              FROM nrm e, cs4 c GROUP BY 1),
+            p4 AS (SELECT vec_id, dmin FROM d4
+                     ORDER BY dmin DESC, vec_id LIMIT 1),
+            c4 AS (
+              SELECT n.vec_id AS c_id, n.l, n.nn, 4 AS round,
+                     p.dmin AS dist_micro
+              FROM nrm n JOIN p4 p ON n.vec_id = p.vec_id),
+            cs5 AS (
+              SELECT c_id, l, nn, round, dist_micro FROM c1
+              UNION ALL SELECT c_id, l, nn, round, dist_micro FROM c2
+              UNION ALL SELECT c_id, l, nn, round, dist_micro FROM c3
+              UNION ALL SELECT c_id, l, nn, round, dist_micro FROM c4),
+            d5 AS (
+              SELECT e.vec_id, MIN(CAST(floor((1.0 - list_reduce([e.l[i] * c.l[i] for i in generate_series(1, len(e.l))], (x, y) -> x + y) / (e.nn * c.nn)) * 1000000) AS BIGINT)) AS dmin
+              FROM nrm e, cs5 c GROUP BY 1),
+            p5 AS (SELECT vec_id, dmin FROM d5
+                     ORDER BY dmin DESC, vec_id LIMIT 1),
+            c5 AS (
+              SELECT n.vec_id AS c_id, n.l, n.nn, 5 AS round,
+                     p.dmin AS dist_micro
+              FROM nrm n JOIN p5 p ON n.vec_id = p.vec_id),
+            allc AS MATERIALIZED (
+              SELECT c_id, l, nn, round, dist_micro FROM c1
+              UNION ALL SELECT c_id, l, nn, round, dist_micro FROM c2
+              UNION ALL SELECT c_id, l, nn, round, dist_micro FROM c3
+              UNION ALL SELECT c_id, l, nn, round, dist_micro FROM c4
+              UNION ALL SELECT c_id, l, nn, round, dist_micro FROM c5),
+            rad AS (
+              SELECT CAST(MAX(dmin) AS BIGINT) AS radius_micro FROM (
+                SELECT e.vec_id, MIN(CAST(floor((1.0 - list_reduce([e.l[i] * c.l[i] for i in generate_series(1, len(e.l))], (x, y) -> x + y) / (e.nn * c.nn)) * 1000000) AS BIGINT)) AS dmin
+                FROM nrm e, allc c GROUP BY 1))
+            SELECT c_id, round, dist_micro, radius_micro
+            FROM allc, rad
+        """,
+        "q316_ranker_agreement": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+            tf AS MATERIALIZED (
+              SELECT doc_id, token, COUNT(*) AS tf
+              FROM toks GROUP BY 1, 2),
+            dl AS MATERIALIZED (
+              SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+              FROM tf GROUP BY 1),
+            dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+            stats AS (SELECT COUNT(*) AS n_docs,
+                             CAST(SUM(dl) AS BIGINT) AS total_tokens
+                      FROM dl),
+            qterms AS (
+              SELECT token, df FROM dfreq
+              QUALIFY ROW_NUMBER() OVER (ORDER BY df DESC, token) <= 5),
+            s134 AS (
+              SELECT tf.doc_id,
+                     CAST(floor(
+                       ln(1.0 + ((CAST(n_docs - df AS DOUBLE) + 0.5)
+                                 / (CAST(df AS DOUBLE) + 0.5)))
+                       * ((CAST(tf AS DOUBLE) * 2.2)
+                          / (CAST(tf AS DOUBLE)
+                             + 1.2 * (0.25 + 0.75
+                                      * (CAST(dl * n_docs AS DOUBLE)
+                                         / total_tokens))))
+                       * 1000000) AS BIGINT) AS s_micro
+              FROM tf JOIN qterms USING (token) JOIN dl USING (doc_id),
+                   stats),
+            a AS (
+              SELECT doc_id,
+                     CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC,
+                       doc_id) AS BIGINT) AS ra
+              FROM (SELECT doc_id, CAST(SUM(s_micro) AS BIGINT)
+                      AS score_micro
+                    FROM s134 GROUP BY doc_id)
+              QUALIFY ra <= 20),
+            ctf AS MATERIALIZED (
+              SELECT token AS tok, CAST(SUM(tf) AS BIGINT) AS ctf
+              FROM tf GROUP BY 1),
+            tot AS (SELECT CAST(SUM(ctf) AS BIGINT) AS t FROM ctf),
+            qt AS (SELECT tok, ctf FROM ctf ORDER BY ctf DESC, tok
+                   LIMIT 5),
+            q_ AS MATERIALIZED (
+              SELECT tok,
+                     1000.0 * (CAST(ctf AS DOUBLE) / CAST(t AS DOUBLE))
+                       AS mup
+              FROM qt, tot),
+            qs AS (SELECT CAST(SUM(CAST(floor(ln(mup) * 1000000)
+                        AS BIGINT)) AS BIGINT) AS s_const FROM q_),
+            adj AS (
+              SELECT doc_id,
+                     CAST(SUM(CAST(floor(
+                       ln((CAST(tf AS DOUBLE) + mup) / mup) * 1000000)
+                       AS BIGINT)) AS BIGINT) AS adj
+              FROM tf JOIN q_ ON tf.token = q_.tok GROUP BY 1),
+            b AS (
+              SELECT doc_id,
+                     CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC,
+                       doc_id) AS BIGINT) AS rb
+              FROM (
+                SELECT dl.doc_id AS doc_id,
+                       s_const
+                       - 5 * CAST(floor(ln(CAST(dl AS DOUBLE) + 1000.0)
+                                        * 1000000) AS BIGINT)
+                       + COALESCE(adj, 0) AS score_micro
+                FROM dl CROSS JOIN qs
+                LEFT JOIN adj ON dl.doc_id = adj.doc_id)
+              QUALIFY rb <= 20),
+            j AS (SELECT greatest(a.ra, b.rb) AS m
+                  FROM a JOIN b USING (doc_id))
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_joint,
+                   CAST(SUM(CAST(floor(
+                     list_extract({_RBO_TAIL_SQL}, CAST(m AS INT))
+                     * 1000000000) AS BIGINT)) AS BIGINT) AS rbo_nano
+            FROM j
+        """,
+        "q317_char_entropy_budget": """
+            WITH chars AS MATERIALIZED (
+              SELECT source, ch, CAST(COUNT(*) AS BIGINT) AS c
+              FROM (
+                SELECT source, substr(text, CAST(i AS INTEGER), 1) AS ch
+                FROM (SELECT source, text,
+                             unnest(generate_series(1, length(text)))
+                               AS i
+                      FROM documents))
+              WHERE ch <> '' GROUP BY 1, 2),
+            per_src AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n
+                        FROM chars GROUP BY 1),
+            nats AS (
+              SELECT source, MAX(n) AS n_chars,
+                     CAST(COUNT(*) AS BIGINT) AS alphabet,
+                     CAST(SUM(CAST(floor(
+                       (-((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                          * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))))
+                       * 1000000000000) AS BIGINT)) AS BIGINT)
+                       AS nats_pico
+              FROM chars JOIN per_src USING (source) GROUP BY 1)
+            SELECT source, n_chars, alphabet,
+                   CAST(floor(CAST(nats_pico AS DOUBLE)
+                        / 0.6931471805599453 / 1000000.0) AS BIGINT)
+                     AS bits_per_char_micro,
+                   CAST(floor(CAST(nats_pico AS DOUBLE)
+                        / 0.6931471805599453 / 1000000000000.0 / 8.0
+                        * CAST(n_chars AS DOUBLE)) AS BIGINT)
+                     AS min_bytes
+            FROM nats
         """,
     }

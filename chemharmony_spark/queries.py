@@ -12143,3 +12143,194 @@ def q314_late_data_impact(spark, sf):
             "late_ppm", F.expr("n_late * 1000000 DIV n_all")
         )
     )
+
+
+def q315_kcenter_seeds(spark, sf):
+    """Farthest-point (Gonzalez 1985) k-center seeding over the
+    embedding corpus, k=5: start from the md5-min vector, repeatedly
+    add the point farthest from the chosen set — the deterministic
+    diversity/coreset seeder (k-means++ without randomness) whose
+    final radius bounds the corpus's covering error. Each round is one
+    broadcast of the <=5-row center set + a corpus-wide min-distance
+    argmax (max-of-struct agg, no sort); the corpus never shuffles.
+    Distances use prep_cosine's per-vector norms, so each pairwise
+    cosine is one HOF fold. Output: the 5 seeds with the distance at
+    which each was added (round 1..5) plus the final covering radius.
+    """
+    from chemharmony_spark.cache import registered_persist
+    from chemharmony_spark.operators.similarity import prep_cosine
+
+    emb = registered_persist(
+        prep_cosine(
+            _t(spark, sf, "embeddings"), "embedding",
+            dv="v", n="nrm", keep=["vec_id"],
+        )
+    )
+
+    def cos(av, an, bv, bn):
+        dot = F.aggregate(
+            F.zip_with(av, bv, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, t: a + t,
+        )
+        return dot / (an * bn)
+
+    seed0 = (
+        emb.select(
+            "vec_id", "v", "nrm",
+            F.md5(F.col("vec_id").cast("string")).alias("h"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(1)
+        .select(
+            F.col("vec_id").alias("c_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cn"),
+            F.lit(1).alias("round"),
+            F.lit(0).cast("long").alias("dist_micro"),
+        )
+    )
+    centers = seed0
+    for rnd in range(2, 6):
+        dists = (
+            emb.crossJoin(F.broadcast(centers.select("c_id", "cv", "cn")))
+            .select(
+                "vec_id", "v", "nrm",
+                F.floor(
+                    (F.lit(1.0) - cos(F.col("v"), F.col("nrm"),
+                                      F.col("cv"), F.col("cn")))
+                    * 1_000_000
+                ).cast("long").alias("d"),
+            )
+            .groupBy("vec_id")
+            .agg(
+                F.min("d").alias("dmin"),
+                F.first("v").alias("v"),
+                F.first("nrm").alias("nrm"),
+            )
+        )
+        nxt = (
+            dists.select(
+                F.max(
+                    F.struct(
+                        F.col("dmin"), (-F.col("vec_id")).alias("nid"),
+                        F.col("vec_id"), F.col("v"), F.col("nrm"),
+                    )
+                ).alias("t")
+            )
+            .select(
+                F.col("t.vec_id").alias("c_id"),
+                F.col("t.v").alias("cv"),
+                F.col("t.nrm").alias("cn"),
+                F.lit(rnd).alias("round"),
+                F.col("t.dmin").alias("dist_micro"),
+            )
+        )
+        centers = centers.unionByName(nxt)
+    final_r = (
+        emb.crossJoin(F.broadcast(centers.select("cv", "cn")))
+        .select(
+            "vec_id",
+            F.floor(
+                (F.lit(1.0) - cos(F.col("v"), F.col("nrm"),
+                                  F.col("cv"), F.col("cn")))
+                * 1_000_000
+            ).cast("long").alias("d"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("d").alias("dmin"))
+        .agg(F.max("dmin").alias("radius_micro"))
+    )
+    return centers.select("c_id", "round", "dist_micro").crossJoin(
+        F.broadcast(final_r)
+    )
+
+
+def q316_ranker_agreement(spark, sf):
+    """Ranker agreement audit: RBO@20 (p=0.9 tails, q283's shared
+    literal weights truncated to depth 20) between the BM25 (q134) and
+    query-likelihood (q278) top-20 document rankings for the SAME query
+    terms — the retrieval-stack regression metric that catches a
+    scoring change silently reordering results even when top-k overlap
+    looks stable. Both rankings are TakeOrdered prefixes; the
+    agreement join is 20x20-bounded."""
+    a = q134_bm25_topk(spark, sf).select("doc_id", "score_micro")
+    b = q278_qlm_dirichlet(spark, sf)
+    wa = Window.orderBy(F.col("score_micro").desc(), "doc_id")
+    ra = a.select(
+        "doc_id", F.row_number().over(wa).cast("long").alias("ra")
+    )
+    rb = b.select(
+        "doc_id", F.row_number().over(wa).cast("long").alias("rb")
+    )
+    tail = F.array(*[F.lit(v) for v in _RBO_TAIL])
+    joint = ra.join(rb, on="doc_id").select(
+        F.greatest(F.col("ra"), F.col("rb")).alias("m")
+    )
+    return joint.agg(
+        F.count(F.lit(1)).alias("n_joint"),
+        F.sum(
+            F.floor(
+                F.element_at(tail, F.col("m").cast("int"))
+                * 1_000_000_000
+            ).cast("long")
+        ).alias("rbo_nano"),
+    )
+
+
+def q317_char_entropy_budget(spark, sf):
+    """Per-source character-entropy compression budget: Shannon's
+    H0 bound in bits/char from each source's character distribution —
+    the storage planner's floor for any entropy coder, and a
+    templated-ness signal (low H = repetitive/boilerplate source) next
+    to q87's token entropy and q270's behavioral entropy. ONE
+    (source, char) count agg off a per-doc char histogram fold (no
+    per-char explode: each doc contributes its 96-symbol counts);
+    bits = -SUM p ln p / ln 2 with per-char terms floored to picos."""
+    docs = _t(spark, sf, "documents")
+    chars = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.col("text"), "")).alias("ch"),
+        )
+        .where(F.col("ch") != "")
+        .groupBy("source", "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_src = chars.groupBy("source").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    term = (
+        F.floor(-(p * F.log(p)) * 1_000_000_000_000)
+        .cast("long")
+        .alias("term_pico")
+    )
+    nats = (
+        chars.join(F.broadcast(per_src), on="source")
+        .select("source", "n", term)
+        .groupBy("source")
+        .agg(
+            F.max("n").alias("n_chars"),
+            F.count(F.lit(1)).alias("alphabet"),
+            F.sum("term_pico").alias("nats_pico"),
+        )
+    )
+    ln2 = 0.6931471805599453
+    return nats.select(
+        "source",
+        "n_chars",
+        "alphabet",
+        F.floor(
+            F.col("nats_pico").cast("double") / F.lit(ln2) / 1_000_000.0
+        )
+        .cast("long")
+        .alias("bits_per_char_micro"),
+        F.floor(
+            F.col("nats_pico").cast("double")
+            / F.lit(ln2)
+            / 1_000_000_000_000.0
+            / 8.0
+            * F.col("n_chars").cast("double")
+        )
+        .cast("long")
+        .alias("min_bytes"),
+    )

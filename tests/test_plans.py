@@ -803,6 +803,19 @@ SHUFFLE_BUDGET = {
     "q313_dedup_threshold_f1": 12,
     # q314: ONE (type, hour) agg — the jitter is scan-stage arithmetic
     "q314_late_data_impact": 1,
+    # q315: 4 Gonzalez rounds x (per-vector min-dist agg + 1-row
+    # argmax) + the radius pass — EXECUTED exchanges ~12, all corpus-
+    # or single-row-sized; the textual count is dominated by the
+    # persisted prep frame and the growing center-union chain printing
+    # once per downstream consumer
+    "q315_kcenter_seeds": 62,
+    # q316: the q134 + q278 scoring pipelines off shared persisted
+    # tf/dl (printed per consumer) + two 20-row rank frames + the
+    # 1-row RBO fold
+    "q316_ranker_agreement": 13,
+    # q317: (source, char) agg + per-source re-agg (broadcast back) +
+    # the entropy rollup riding the source partitioning
+    "q317_char_entropy_budget": 4,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -945,7 +958,11 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 # q312: 1-row m/u agreement rollups cross-joined
                 "q312_fellegi_sunter",
                 # q313: 1-row truth-count broadcast onto threshold rows
-                "q313_dedup_threshold_f1"}
+                "q313_dedup_threshold_f1",
+                # q315: <=5-row center set + 1-row radius broadcasts
+                "q315_kcenter_seeds",
+                # q316: q134/q278's 1-row corpus-stats broadcasts
+                "q316_ranker_agreement"}
 
 
 def test_no_headline_query_has_unpartitioned_ranked_window(spark):
