@@ -394,6 +394,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q315_kcenter_seeds": Q.q315_kcenter_seeds,
         "q316_ranker_agreement": Q.q316_ranker_agreement,
         "q317_char_entropy_budget": Q.q317_char_entropy_budget,
+        "q318_wasserstein_drift": Q.q318_wasserstein_drift,
+        "q319_quantile_treatment_effect": Q.q319_quantile_treatment_effect,
+        "q320_heaps_law": Q.q320_heaps_law,
     }
 
 
@@ -9030,5 +9033,141 @@ def oracle_sql() -> dict[str, str]:
                         * CAST(n_chars AS DOUBLE)) AS BIGINT)
                      AS min_bytes
             FROM nats
+        """,
+        "q318_wasserstein_drift": """
+            WITH sv AS MATERIALIZED (
+              SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+              FROM documents GROUP BY 1, 2),
+            gv AS (SELECT v, CAST(SUM(c) AS BIGINT) AS gc
+                   FROM sv GROUP BY 1),
+            ng AS (SELECT CAST(SUM(gc) AS BIGINT) AS ng FROM gv),
+            ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ns
+                   FROM sv GROUP BY 1),
+            gcum AS (
+              SELECT v,
+                     CAST(SUM(gc) OVER (ORDER BY v ROWS BETWEEN
+                       UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                       AS gcum,
+                     LEAD(v) OVER (ORDER BY v) AS v_next
+              FROM gv),
+            grid AS (
+              SELECT ns.source, ns.ns, g.v, g.gcum, g.v_next,
+                     COALESCE(sv.c, 0) AS c0
+              FROM ns CROSS JOIN gcum g
+              LEFT JOIN sv ON sv.source = ns.source AND sv.v = g.v),
+            terms AS (
+              SELECT source, ns,
+                     CASE WHEN v_next IS NOT NULL THEN
+                       CAST(floor(abs(
+                         CAST(SUM(c0) OVER (PARTITION BY source
+                           ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS DOUBLE)
+                         / CAST(ns AS DOUBLE)
+                         - CAST(gcum AS DOUBLE) / CAST(ng AS DOUBLE))
+                         * CAST(v_next - v AS DOUBLE) * 1000000)
+                         AS BIGINT)
+                     ELSE 0 END AS t
+              FROM grid, ng)
+            SELECT source, MAX(ns) AS n_docs,
+                   CAST(SUM(t) AS BIGINT) AS w1_micro
+            FROM terms GROUP BY 1
+        """,
+        "q319_quantile_treatment_effect": """
+            WITH armed AS MATERIALIZED (
+              SELECT ((instr('0123456789abcdef',
+                        substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1))
+                        - 1) * 16
+                      + (instr('0123456789abcdef',
+                        substr(md5(CAST(o_orderkey AS VARCHAR)), 2, 1))
+                        - 1)) % 2 AS arm,
+                     CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS cents
+              FROM orders),
+            ranked AS (
+              SELECT arm, cents,
+                     ROW_NUMBER() OVER (PARTITION BY arm
+                                        ORDER BY cents) AS rn,
+                     COUNT(*) OVER (PARTITION BY arm) AS n
+              FROM armed),
+            qrow AS (
+              SELECT arm,
+                     MAX(CASE WHEN rn = greatest(1, CAST(ceil(CAST(0.1 AS DOUBLE) * n) AS BIGINT)) THEN cents END) AS p10,
+                     MAX(CASE WHEN rn = greatest(1, CAST(ceil(CAST(0.2 AS DOUBLE) * n) AS BIGINT)) THEN cents END) AS p20,
+                     MAX(CASE WHEN rn = greatest(1, CAST(ceil(CAST(0.3 AS DOUBLE) * n) AS BIGINT)) THEN cents END) AS p30,
+                     MAX(CASE WHEN rn = greatest(1, CAST(ceil(CAST(0.4 AS DOUBLE) * n) AS BIGINT)) THEN cents END) AS p40,
+                     MAX(CASE WHEN rn = greatest(1, CAST(ceil(CAST(0.5 AS DOUBLE) * n) AS BIGINT)) THEN cents END) AS p50,
+                     MAX(CASE WHEN rn = greatest(1, CAST(ceil(CAST(0.6 AS DOUBLE) * n) AS BIGINT)) THEN cents END) AS p60,
+                     MAX(CASE WHEN rn = greatest(1, CAST(ceil(CAST(0.7 AS DOUBLE) * n) AS BIGINT)) THEN cents END) AS p70,
+                     MAX(CASE WHEN rn = greatest(1, CAST(ceil(CAST(0.8 AS DOUBLE) * n) AS BIGINT)) THEN cents END) AS p80,
+                     MAX(CASE WHEN rn = greatest(1, CAST(ceil(CAST(0.9 AS DOUBLE) * n) AS BIGINT)) THEN cents END) AS p90
+              FROM ranked GROUP BY arm),
+            long AS (
+              SELECT arm, 'p10' AS decile, p10 AS q_cents FROM qrow
+              UNION ALL SELECT arm, 'p20' AS decile, p20 AS q_cents FROM qrow
+              UNION ALL SELECT arm, 'p30' AS decile, p30 AS q_cents FROM qrow
+              UNION ALL SELECT arm, 'p40' AS decile, p40 AS q_cents FROM qrow
+              UNION ALL SELECT arm, 'p50' AS decile, p50 AS q_cents FROM qrow
+              UNION ALL SELECT arm, 'p60' AS decile, p60 AS q_cents FROM qrow
+              UNION ALL SELECT arm, 'p70' AS decile, p70 AS q_cents FROM qrow
+              UNION ALL SELECT arm, 'p80' AS decile, p80 AS q_cents FROM qrow
+              UNION ALL SELECT arm, 'p90' AS decile, p90 AS q_cents FROM qrow)
+            SELECT a.decile, a.q_cents AS q_a_cents,
+                   b.q_cents AS q_b_cents,
+                   b.q_cents - a.q_cents AS qte_cents
+            FROM (SELECT decile, q_cents FROM long WHERE arm = 0) a
+            JOIN (SELECT decile, q_cents FROM long WHERE arm = 1) b
+              USING (decile)
+        """,
+        "q320_heaps_law": f"""
+            WITH toks AS MATERIALIZED (
+              SELECT doc_id // 50 AS batch, unnest({_TOKS}) AS token
+              FROM documents),
+            occ AS (SELECT batch, CAST(COUNT(*) AS BIGINT) AS n_occ
+                    FROM toks GROUP BY 1),
+            firsts AS (
+              SELECT fb, CAST(COUNT(*) AS BIGINT) AS n_new
+              FROM (SELECT token, MIN(batch) AS fb FROM toks GROUP BY 1)
+              GROUP BY 1),
+            series AS (
+              SELECT o.batch,
+                     CAST(SUM(o.n_occ) OVER (ORDER BY o.batch ROWS
+                       BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum_n,
+                     CAST(SUM(COALESCE(f.n_new, 0)) OVER (ORDER BY
+                       o.batch ROWS BETWEEN UNBOUNDED PRECEDING AND
+                       CURRENT ROW) AS BIGINT) AS cum_v
+              FROM occ o LEFT JOIN firsts f ON o.batch = f.fb),
+            pts AS (
+              SELECT cum_n, cum_v,
+                     CAST(floor(ln(CAST(cum_n AS DOUBLE)) * 1000000)
+                       AS BIGINT) AS x,
+                     CAST(floor(ln(CAST(cum_v AS DOUBLE)) * 1000000)
+                       AS BIGINT) AS y
+              FROM series),
+            s AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(x) AS BIGINT) AS sx,
+                     CAST(SUM(y) AS BIGINT) AS sy,
+                     CAST(SUM(x * y) AS BIGINT) AS sxy,
+                     CAST(SUM(x * x) AS BIGINT) AS sxx,
+                     CAST(MAX(cum_n) AS BIGINT) AS total_tokens,
+                     CAST(MAX(cum_v) AS BIGINT) AS vocab
+              FROM pts)
+            SELECT n AS n_batches, total_tokens, vocab,
+                   CAST(floor(
+                     (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * 1000000) AS BIGINT) AS heaps_exponent_micro,
+                   CAST(floor(
+                     (CAST(sy AS DOUBLE)
+                      - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                        * CAST(sx AS DOUBLE))
+                     / CAST(n AS DOUBLE)) AS BIGINT) AS icept_micro
+            FROM s
         """,
     }

@@ -12334,3 +12334,192 @@ def q317_char_entropy_budget(spark, sf):
         .cast("long")
         .alias("min_bytes"),
     )
+
+
+def q318_wasserstein_drift(spark, sf):
+    """Exact 1-D Wasserstein (earth-mover) distance between each
+    source's document-length distribution and the global one — the
+    drift metric ML monitoring prefers over q127's binned PSI (no
+    binning) and q161's KS (magnitude-aware, not just max gap):
+    W1 = SUM |F_s(v) - F_g(v)| * (v_next - v) over the global support.
+
+    Shape: ONE (source, value) count agg; the dense source x support
+    grid is model-space (sources x distinct lengths); cumsums ride a
+    source-partitioned window; per-step terms floor to micros before
+    the per-source SUM. The global-support cumsum is a model-space
+    unpartitioned window (distinct-value table, q219 convention)."""
+    from chemharmony_spark.cache import registered_persist
+
+    docs = _t(spark, sf, "documents")
+    sv = registered_persist(
+        docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+    )
+    gv = sv.groupBy("v").agg(F.sum("c").alias("gc"))
+    ng = gv.agg(F.sum("gc").alias("ng"))
+    ns = sv.groupBy("source").agg(F.sum("c").alias("ns"))
+    wg = Window.orderBy("v")
+    gcum = gv.select(
+        "v",
+        F.sum("gc")
+        .over(wg.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("gcum"),
+        F.lead("v").over(wg).alias("v_next"),
+    ).crossJoin(F.broadcast(ng))
+    grid = (
+        ns.crossJoin(F.broadcast(gcum))
+        .join(sv, on=["source", "v"], how="left")
+        .withColumn("c0", F.coalesce("c", F.lit(0)))
+    )
+    ws = Window.partitionBy("source").orderBy("v")
+    scum = F.sum("c0").over(
+        ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    diff = F.abs(
+        scum.cast("double") / F.col("ns").cast("double")
+        - F.col("gcum").cast("double") / F.col("ng").cast("double")
+    )
+    term = F.when(
+        F.col("v_next").isNotNull(),
+        F.floor(
+            diff * (F.col("v_next") - F.col("v")).cast("double")
+            * 1_000_000
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    return (
+        grid.select("source", "ns", term.alias("t"))
+        .groupBy("source")
+        .agg(F.max("ns").alias("n_docs"), F.sum("t").alias("w1_micro"))
+    )
+
+
+def q319_quantile_treatment_effect(spark, sf):
+    """Quantile treatment effects for an md5-split A/B experiment: the
+    per-decile difference between the arms' exact discrete order-value
+    quantiles — where q152's mean test hides WHICH part of the
+    distribution moved, QTE shows the whole profile (tail lifts vs
+    median shifts). Deciles come from the q58 bucket-distributed exact
+    selector (operators/core.grouped_percentiles_disc) on integer
+    cents, so both engines pick identical order statistics; the A/B
+    alignment join is 9 rows."""
+    from chemharmony_spark.operators.core import grouped_percentiles_disc
+
+    orders = _t(spark, sf, "orders")
+    armed = orders.select(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.col("o_orderkey").cast("string")), 1, 2
+                ),
+                16,
+                10,
+            )
+            % 2
+        ).cast("int").alias("arm"),
+        (F.col("o_totalprice").cast(DEC) * 100).cast("long").alias(
+            "cents"
+        ),
+    )
+    decs = [i / 10.0 for i in range(1, 10)]
+    names = [f"p{int(q * 100):02d}" for q in decs]
+    qs = grouped_percentiles_disc(armed, ["arm"], "cents", decs)
+    long = qs.unpivot(["arm"], names, "decile", "q_cents")
+    a = long.filter(F.col("arm") == 0).select(
+        "decile", F.col("q_cents").alias("q_a_cents")
+    )
+    b = long.filter(F.col("arm") == 1).select(
+        "decile", F.col("q_cents").alias("q_b_cents")
+    )
+    return (
+        a.join(b, on="decile")
+        .withColumn("qte_cents", F.col("q_b_cents") - F.col("q_a_cents"))
+    )
+
+
+def q320_heaps_law(spark, sf):
+    """Heaps'-law vocabulary-growth exponent: cumulative distinct
+    vocabulary V vs cumulative token count N over doc-id-ordered
+    batches, with the exponent beta fitted by OLS on (ln N, ln V) —
+    the sub-linearity constant that predicts how much NEW vocabulary
+    the next 10x of corpus will bring (tokenizer sizing, OOV
+    forecasting). Token first-occurrence batches come from ONE min-agg;
+    the batch series is model-space; per-batch ln terms floor to
+    micros before the OLS sums, so the fit is integer-exact until the
+    final closed-form division."""
+    from chemharmony_spark.cache import registered_persist
+
+    docs = _t(spark, sf, "documents")
+    toks = registered_persist(
+        docs.select(
+            F.expr("doc_id DIV 50").alias("batch"),
+            F.explode(TX.tokens("text")).alias("token"),
+        )
+    )
+    occ = toks.groupBy("batch").agg(F.count(F.lit(1)).alias("n_occ"))
+    firsts = (
+        toks.groupBy("token")
+        .agg(F.min("batch").alias("fb"))
+        .groupBy("fb")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    wb = Window.orderBy("batch")
+    series = (
+        occ.join(firsts, occ.batch == firsts.fb, "left")
+        .select(
+            "batch",
+            "n_occ",
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+        .select(
+            "batch",
+            F.sum("n_occ")
+            .over(
+                wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            .alias("cum_n"),
+            F.sum("n_new")
+            .over(
+                wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            .alias("cum_v"),
+        )
+    )
+    xp = F.floor(F.log(F.col("cum_n").cast("double")) * 1_000_000).cast(
+        "long"
+    )
+    yp = F.floor(F.log(F.col("cum_v").cast("double")) * 1_000_000).cast(
+        "long"
+    )
+    pts = series.select(
+        "cum_n", "cum_v", xp.alias("x"), yp.alias("y")
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.max("cum_n").alias("total_tokens"),
+        F.max("cum_v").alias("vocab"),
+    )
+    n_d = F.col("n").cast("double")
+    slope = (
+        n_d * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        n_d * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    icept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / n_d
+    return s.select(
+        F.col("n").alias("n_batches"),
+        "total_tokens",
+        "vocab",
+        F.floor(slope * 1_000_000).cast("long").alias(
+            "heaps_exponent_micro"
+        ),
+        F.floor(icept).cast("long").alias("icept_micro"),
+    )

@@ -816,6 +816,18 @@ SHUFFLE_BUDGET = {
     # q317: (source, char) agg + per-source re-agg (broadcast back) +
     # the entropy rollup riding the source partitioning
     "q317_char_entropy_budget": 4,
+    # q318: persisted (source, value) agg (printed per consumer x3) +
+    # the model-space global cumsum + the source-partitioned grid
+    # window and per-source rollup
+    "q318_wasserstein_drift": 6,
+    # q319: the q58 bucket-distributed decile selector per arm (its
+    # audited exchange chain moves distinct-value tables only) + the
+    # 9-row unpivot/align join
+    "q319_quantile_treatment_effect": 13,
+    # q320: persisted (batch, token) explode (printed per consumer) +
+    # occurrence and first-batch aggs + the model-space batch cumsum
+    # and 1-row OLS rollup
+    "q320_heaps_law": 4,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -962,7 +974,9 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 # q315: <=5-row center set + 1-row radius broadcasts
                 "q315_kcenter_seeds",
                 # q316: q134/q278's 1-row corpus-stats broadcasts
-                "q316_ranker_agreement"}
+                "q316_ranker_agreement",
+                # q318: 1-row global-total broadcast onto the grid
+                "q318_wasserstein_drift"}
 
 
 def test_no_headline_query_has_unpartitioned_ranked_window(spark):
