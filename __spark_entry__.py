@@ -397,6 +397,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q318_wasserstein_drift": Q.q318_wasserstein_drift,
         "q319_quantile_treatment_effect": Q.q319_quantile_treatment_effect,
         "q320_heaps_law": Q.q320_heaps_law,
+        "q321_mmr_rerank": Q.q321_mmr_rerank,
+        "q322_wilson_interval": Q.q322_wilson_interval,
+        "q323_srm_guardrail": Q.q323_srm_guardrail,
     }
 
 
@@ -9169,5 +9172,164 @@ def oracle_sql() -> dict[str, str]:
                         * CAST(sx AS DOUBLE))
                      / CAST(n AS DOUBLE)) AS BIGINT) AS icept_micro
             FROM s
+        """,
+        "q321_mmr_rerank": """
+            WITH dv AS MATERIALIZED (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS l
+              FROM embeddings),
+            nrm AS MATERIALIZED (
+              SELECT vec_id, l,
+                     sqrt(list_reduce(list_transform(l, x -> x * x),
+                                      (a, b) -> a + b)) AS nn
+              FROM dv),
+            qv AS (SELECT l AS qv, nn AS qn FROM nrm WHERE vec_id = 0),
+            cands AS MATERIALIZED (
+              SELECT vec_id, l, nn, rel_micro FROM (
+                SELECT e.vec_id, e.l, e.nn,
+                       CAST(floor(list_reduce([e.l[i] * q.qv[i] for i in generate_series(1, len(e.l))], (x, y) -> x + y) / (e.nn * q.qn) * 1000000)
+                         AS BIGINT) AS rel_micro
+                FROM nrm e CROSS JOIN qv q WHERE e.vec_id <> 0)
+              ORDER BY rel_micro DESC, vec_id LIMIT 20),
+            s1 AS (
+              SELECT vec_id, l, nn, rel_micro, 1 AS rank,
+                     7 * rel_micro AS mmr_decimicro
+              FROM cands ORDER BY rel_micro DESC, vec_id LIMIT 1),
+            sel2 AS (
+              SELECT vec_id, l, nn, rel_micro, rank, mmr_decimicro FROM s1),
+            m2 AS (
+              SELECT c.vec_id, c.rel_micro, MAX(CAST(floor(list_reduce([c.l[i] * s.l[i] for i in generate_series(1, len(c.l))], (x, y) -> x + y) / (c.nn * s.nn) * 1000000) AS BIGINT)) AS max_sim
+              FROM cands c CROSS JOIN sel2 s
+              WHERE c.vec_id NOT IN (SELECT vec_id FROM sel2)
+              GROUP BY 1, 2),
+            p2 AS (
+              SELECT vec_id, rel_micro,
+                     7 * rel_micro - 3 * max_sim AS mmr_decimicro
+              FROM m2 ORDER BY mmr_decimicro DESC, vec_id LIMIT 1),
+            s2 AS (
+              SELECT c.vec_id, c.l, c.nn, c.rel_micro, 2 AS rank,
+                     p2.mmr_decimicro
+              FROM cands c JOIN p2 USING (vec_id)),
+            sel3 AS (
+              SELECT vec_id, l, nn, rel_micro, rank, mmr_decimicro FROM s1
+              UNION ALL SELECT vec_id, l, nn, rel_micro, rank, mmr_decimicro FROM s2),
+            m3 AS (
+              SELECT c.vec_id, c.rel_micro, MAX(CAST(floor(list_reduce([c.l[i] * s.l[i] for i in generate_series(1, len(c.l))], (x, y) -> x + y) / (c.nn * s.nn) * 1000000) AS BIGINT)) AS max_sim
+              FROM cands c CROSS JOIN sel3 s
+              WHERE c.vec_id NOT IN (SELECT vec_id FROM sel3)
+              GROUP BY 1, 2),
+            p3 AS (
+              SELECT vec_id, rel_micro,
+                     7 * rel_micro - 3 * max_sim AS mmr_decimicro
+              FROM m3 ORDER BY mmr_decimicro DESC, vec_id LIMIT 1),
+            s3 AS (
+              SELECT c.vec_id, c.l, c.nn, c.rel_micro, 3 AS rank,
+                     p3.mmr_decimicro
+              FROM cands c JOIN p3 USING (vec_id)),
+            sel4 AS (
+              SELECT vec_id, l, nn, rel_micro, rank, mmr_decimicro FROM s1
+              UNION ALL SELECT vec_id, l, nn, rel_micro, rank, mmr_decimicro FROM s2
+              UNION ALL SELECT vec_id, l, nn, rel_micro, rank, mmr_decimicro FROM s3),
+            m4 AS (
+              SELECT c.vec_id, c.rel_micro, MAX(CAST(floor(list_reduce([c.l[i] * s.l[i] for i in generate_series(1, len(c.l))], (x, y) -> x + y) / (c.nn * s.nn) * 1000000) AS BIGINT)) AS max_sim
+              FROM cands c CROSS JOIN sel4 s
+              WHERE c.vec_id NOT IN (SELECT vec_id FROM sel4)
+              GROUP BY 1, 2),
+            p4 AS (
+              SELECT vec_id, rel_micro,
+                     7 * rel_micro - 3 * max_sim AS mmr_decimicro
+              FROM m4 ORDER BY mmr_decimicro DESC, vec_id LIMIT 1),
+            s4 AS (
+              SELECT c.vec_id, c.l, c.nn, c.rel_micro, 4 AS rank,
+                     p4.mmr_decimicro
+              FROM cands c JOIN p4 USING (vec_id)),
+            sel5 AS (
+              SELECT vec_id, l, nn, rel_micro, rank, mmr_decimicro FROM s1
+              UNION ALL SELECT vec_id, l, nn, rel_micro, rank, mmr_decimicro FROM s2
+              UNION ALL SELECT vec_id, l, nn, rel_micro, rank, mmr_decimicro FROM s3
+              UNION ALL SELECT vec_id, l, nn, rel_micro, rank, mmr_decimicro FROM s4),
+            m5 AS (
+              SELECT c.vec_id, c.rel_micro, MAX(CAST(floor(list_reduce([c.l[i] * s.l[i] for i in generate_series(1, len(c.l))], (x, y) -> x + y) / (c.nn * s.nn) * 1000000) AS BIGINT)) AS max_sim
+              FROM cands c CROSS JOIN sel5 s
+              WHERE c.vec_id NOT IN (SELECT vec_id FROM sel5)
+              GROUP BY 1, 2),
+            p5 AS (
+              SELECT vec_id, rel_micro,
+                     7 * rel_micro - 3 * max_sim AS mmr_decimicro
+              FROM m5 ORDER BY mmr_decimicro DESC, vec_id LIMIT 1),
+            s5 AS (
+              SELECT c.vec_id, c.l, c.nn, c.rel_micro, 5 AS rank,
+                     p5.mmr_decimicro
+              FROM cands c JOIN p5 USING (vec_id))
+            SELECT rank, vec_id, rel_micro, mmr_decimicro FROM s1
+            UNION ALL SELECT rank, vec_id, rel_micro, mmr_decimicro FROM s2
+            UNION ALL SELECT rank, vec_id, rel_micro, mmr_decimicro FROM s3
+            UNION ALL SELECT rank, vec_id, rel_micro, mmr_decimicro FROM s4
+            UNION ALL SELECT rank, vec_id, rel_micro, mmr_decimicro FROM s5
+        """,
+        "q322_wilson_interval": """
+            WITH agg AS (
+              SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CASE WHEN value > 50.0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS s
+              FROM events GROUP BY 1)
+            SELECT event_type, n, s,
+                   CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                        * 1000000) AS BIGINT) AS p_ppm,
+                   CAST(floor((
+                     (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                      + 1.96 * 1.96 / (2.0 * CAST(n AS DOUBLE)))
+                     / (1.0 + 1.96 * 1.96 / CAST(n AS DOUBLE))
+                     - 1.96 * sqrt(
+                         (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (1.0 - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                         / CAST(n AS DOUBLE)
+                         + 1.96 * 1.96 / (4.0 * CAST(n AS DOUBLE)
+                                          * CAST(n AS DOUBLE)))
+                       / (1.0 + 1.96 * 1.96 / CAST(n AS DOUBLE)))
+                     * 1000000) AS BIGINT) AS lo_micro,
+                   CAST(floor((
+                     (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                      + 1.96 * 1.96 / (2.0 * CAST(n AS DOUBLE)))
+                     / (1.0 + 1.96 * 1.96 / CAST(n AS DOUBLE))
+                     + 1.96 * sqrt(
+                         (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (1.0 - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                         / CAST(n AS DOUBLE)
+                         + 1.96 * 1.96 / (4.0 * CAST(n AS DOUBLE)
+                                          * CAST(n AS DOUBLE)))
+                       / (1.0 + 1.96 * 1.96 / CAST(n AS DOUBLE)))
+                     * 1000000) AS BIGINT) AS hi_micro
+            FROM agg
+        """,
+        "q323_srm_guardrail": """
+            WITH arms AS (
+              SELECT DISTINCT
+                     ((instr('0123456789abcdef',
+                        substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1)
+                      * 16
+                      + (instr('0123456789abcdef',
+                        substr(md5(CAST(user_id AS VARCHAR)), 2, 1)) - 1))
+                      % 2 AS arm,
+                     user_id
+              FROM events),
+            agg AS (
+              SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS na,
+                     CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS nb
+              FROM arms)
+            SELECT na, nb,
+                   CAST(floor(CAST(na - nb AS DOUBLE)
+                        * CAST(na - nb AS DOUBLE)
+                        / CAST(na + nb AS DOUBLE) * 1000000) AS BIGINT)
+                     AS chi2_micro,
+                   CASE WHEN CAST(na - nb AS DOUBLE)
+                        * CAST(na - nb AS DOUBLE)
+                        / CAST(na + nb AS DOUBLE)
+                        > 3.841458820694124 THEN 1 ELSE 0 END
+                     AS srm_flagged,
+                   abs(na - nb) * 1000000 // (na + nb) AS imbalance_ppm
+            FROM agg
         """,
     }

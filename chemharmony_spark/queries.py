@@ -12523,3 +12523,183 @@ def q320_heaps_law(spark, sf):
         ),
         F.floor(icept).cast("long").alias("icept_micro"),
     )
+
+
+def q321_mmr_rerank(spark, sf):
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    1998): take query vector 0's top-20 cosine candidates and pick 5
+    results that trade relevance against redundancy, score = 0.7*rel -
+    0.3*max_sim_to_already_selected — the diversified-retrieval second
+    stage after q38's pure-relevance top-k. Each of the 4 selection
+    rounds joins the 20-row candidate frame against the <=4-row
+    selected set (broadcast) and takes a 1-row argmax; the corpus is
+    touched once, by the initial scoring."""
+    from chemharmony_spark.cache import registered_persist
+    from chemharmony_spark.operators.similarity import prep_cosine
+
+    emb = registered_persist(
+        prep_cosine(
+            _t(spark, sf, "embeddings"), "embedding",
+            dv="v", n="nrm", keep=["vec_id"],
+        )
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+
+    def cos(av, an, bv, bn):
+        dot = F.aggregate(
+            F.zip_with(av, bv, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, t: a + t,
+        )
+        return dot / (an * bn)
+
+    cands = registered_persist(
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id", "v", "nrm",
+            F.floor(
+                cos(F.col("v"), F.col("nrm"), F.col("qv"), F.col("qn"))
+                * 1_000_000
+            ).cast("long").alias("rel_micro"),
+        )
+        .orderBy(F.col("rel_micro").desc(), "vec_id")
+        .limit(20)
+    )
+    # scores stay in "deci-micro" units (7*rel - 3*sim, no division):
+    # a truncating DIV on a possibly-negative combination would diverge
+    # from DuckDB's flooring // — so the scale is folded into the units
+    first = cands.orderBy(F.col("rel_micro").desc(), "vec_id").limit(
+        1
+    ).select(
+        "vec_id", "v", "nrm", "rel_micro",
+        F.lit(1).alias("rank"),
+        (F.lit(7) * F.col("rel_micro")).alias("mmr_decimicro"),
+    )
+    selected = first
+    for rnd in range(2, 6):
+        remaining = cands.join(
+            F.broadcast(selected.select("vec_id")), on="vec_id",
+            how="left_anti",
+        )
+        scored = (
+            remaining.crossJoin(
+                F.broadcast(
+                    selected.select(
+                        F.col("v").alias("sv"), F.col("nrm").alias("sn")
+                    )
+                )
+            )
+            .select(
+                "vec_id", "v", "nrm", "rel_micro",
+                F.floor(
+                    cos(F.col("v"), F.col("nrm"),
+                        F.col("sv"), F.col("sn")) * 1_000_000
+                ).cast("long").alias("sim_micro"),
+            )
+            .groupBy("vec_id")
+            .agg(
+                F.first("v").alias("v"),
+                F.first("nrm").alias("nrm"),
+                F.first("rel_micro").alias("rel_micro"),
+                F.max("sim_micro").alias("max_sim"),
+            )
+            .withColumn(
+                "mmr_decimicro",
+                F.lit(7) * F.col("rel_micro")
+                - F.lit(3) * F.col("max_sim"),
+            )
+        )
+        nxt = (
+            scored.orderBy(F.col("mmr_decimicro").desc(), "vec_id")
+            .limit(1)
+            .select(
+                "vec_id", "v", "nrm", "rel_micro",
+                F.lit(rnd).alias("rank"), "mmr_decimicro",
+            )
+        )
+        selected = selected.unionByName(nxt)
+    return selected.select(
+        "rank", "vec_id", "rel_micro", "mmr_decimicro"
+    )
+
+
+def q322_wilson_interval(spark, sf):
+    """Wilson-score 95% confidence intervals for per-type success rates
+    (success = event value above 50) — the proportion CI that behaves
+    at small n and extreme p where the naive normal interval fails,
+    and the engine-safe one (sqrt only; no erf/exp). z = 1.96 enters
+    as a shared literal; the interval arithmetic is one fixed double
+    sequence per type from exact counts."""
+    ev = _events(spark, sf)
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("value") > 50.0, 1).otherwise(0)).alias("s"),
+    )
+    z = F.lit(1.96)
+    n_d = F.col("n").cast("double")
+    p = F.col("s").cast("double") / n_d
+    denom = F.lit(1.0) + z * z / n_d
+    center = (p + z * z / (F.lit(2.0) * n_d)) / denom
+    halfw = (
+        z
+        * F.sqrt(
+            p * (F.lit(1.0) - p) / n_d
+            + z * z / (F.lit(4.0) * n_d * n_d)
+        )
+        / denom
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        "s",
+        F.floor(p * 1_000_000).cast("long").alias("p_ppm"),
+        F.floor((center - halfw) * 1_000_000).cast("long").alias(
+            "lo_micro"
+        ),
+        F.floor((center + halfw) * 1_000_000).cast("long").alias(
+            "hi_micro"
+        ),
+    )
+
+
+def q323_srm_guardrail(spark, sf):
+    """Sample-ratio-mismatch guardrail for an md5-split experiment: the
+    one-degree-of-freedom chi-square statistic (na-nb)^2/(na+nb) on
+    DISTINCT users per arm against the 3.841 critical value — the
+    first check any A/B readout must pass (a biased assignment hash
+    invalidates every downstream metric). Counts are exact distinct
+    users; the statistic is two float ops."""
+    ev = _events(spark, sf)
+    arms = ev.select(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.col("user_id").cast("string")), 1, 2
+                ),
+                16,
+                10,
+            )
+            % 2
+        ).cast("int").alias("arm"),
+        "user_id",
+    ).distinct()
+    agg = arms.groupBy().agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("nb"),
+    )
+    d = (F.col("na") - F.col("nb")).cast("double")
+    chi2 = d * d / (F.col("na") + F.col("nb")).cast("double")
+    return agg.select(
+        "na",
+        "nb",
+        F.floor(chi2 * 1_000_000).cast("long").alias("chi2_micro"),
+        F.when(chi2 > 3.841458820694124, 1).otherwise(0).alias(
+            "srm_flagged"
+        ),
+        F.expr(
+            "abs(na - nb) * 1000000 DIV (na + nb)"
+        ).alias("imbalance_ppm"),
+    )

@@ -828,6 +828,15 @@ SHUFFLE_BUDGET = {
     # occurrence and first-batch aggs + the model-space batch cumsum
     # and 1-row OLS rollup
     "q320_heaps_law": 4,
+    # q321: 4 MMR rounds x (20-row anti-join + redundancy agg + 1-row
+    # argmax) off the persisted 20-candidate frame — EXECUTED work is
+    # candidate-sized after the initial scoring pass; textual count is
+    # per-consumer reprints of the persisted frames (q315 pattern)
+    "q321_mmr_rerank": 40,
+    # q322: ONE (type) agg; the Wilson arithmetic is per-row expressions
+    "q322_wilson_interval": 1,
+    # q323: the distinct-arms collapse + the 1-row count rollup
+    "q323_srm_guardrail": 2,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -976,7 +985,10 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 # q316: q134/q278's 1-row corpus-stats broadcasts
                 "q316_ranker_agreement",
                 # q318: 1-row global-total broadcast onto the grid
-                "q318_wasserstein_drift"}
+                "q318_wasserstein_drift",
+                # q321: 1-row query-vector / <=4-row selected-set
+                # broadcasts onto the 20-row candidate frame
+                "q321_mmr_rerank"}
 
 
 def test_no_headline_query_has_unpartitioned_ranked_window(spark):
