@@ -400,6 +400,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q321_mmr_rerank": Q.q321_mmr_rerank,
         "q322_wilson_interval": Q.q322_wilson_interval,
         "q323_srm_guardrail": Q.q323_srm_guardrail,
+        "q324_topic_coherence": Q.q324_topic_coherence,
+        "q325_mix_shift_decomposition": Q.q325_mix_shift_decomposition,
+        "q326_chao1_richness": Q.q326_chao1_richness,
     }
 
 
@@ -9331,5 +9334,168 @@ def oracle_sql() -> dict[str, str]:
                      AS srm_flagged,
                    abs(na - nb) * 1000000 // (na + nb) AS imbalance_ppm
             FROM agg
+        """,
+        "q324_topic_coherence": f"""
+            WITH stc0 AS MATERIALIZED (
+              SELECT source, tok AS token, CAST(COUNT(*) AS BIGINT) AS a
+              FROM (SELECT source, unnest({_TOKS}) AS tok FROM documents)
+              GROUP BY 1, 2),
+            tok0 AS (SELECT token, CAST(SUM(a) AS BIGINT) AS ct
+                     FROM stc0 GROUP BY 1),
+            srcs0 AS (SELECT source, CAST(SUM(a) AS BIGINT) AS ns
+                      FROM stc0 GROUP BY 1),
+            tot0 AS (SELECT CAST(SUM(ns) AS BIGINT) AS nn FROM srcs0),
+            cells0 AS (
+              SELECT stc0.source, stc0.token, stc0.a, ct, ns, nn
+              FROM stc0 JOIN tok0 USING (token)
+                   JOIN srcs0 USING (source), tot0
+              WHERE stc0.a >= 5 AND stc0.a * nn > ct * ns),
+            scored0 AS (
+              SELECT source, token,
+                     CAST(floor(
+                       CAST(nn AS DOUBLE)
+                       * ((CAST(a AS DOUBLE) * CAST(nn - ct - ns + a
+                             AS DOUBLE)
+                           - CAST(ct - a AS DOUBLE)
+                             * CAST(ns - a AS DOUBLE))
+                          * (CAST(a AS DOUBLE) * CAST(nn - ct - ns + a
+                               AS DOUBLE)
+                             - CAST(ct - a AS DOUBLE)
+                               * CAST(ns - a AS DOUBLE)))
+                       / ((CAST(a AS DOUBLE) + CAST(ct - a AS DOUBLE))
+                          * (CAST(ns - a AS DOUBLE)
+                             + CAST(nn - ct - ns + a AS DOUBLE))
+                          * (CAST(a AS DOUBLE) + CAST(ns - a AS DOUBLE))
+                          * (CAST(ct - a AS DOUBLE)
+                             + CAST(nn - ct - ns + a AS DOUBLE)))
+                       * 1000) AS BIGINT) AS chi2_milli
+              FROM cells0),
+            kw AS MATERIALIZED (
+              SELECT source, token FROM (
+                SELECT source, token,
+                       ROW_NUMBER() OVER (PARTITION BY source
+                         ORDER BY chi2_milli DESC, token) AS rank
+                FROM scored0)
+              WHERE rank <= 5),
+            dt AS MATERIALIZED (
+              SELECT DISTINCT doc_id, tok AS token
+              FROM (SELECT doc_id, unnest({_TOKS}) AS tok
+                    FROM documents)
+              WHERE tok IN (SELECT DISTINCT token FROM kw)),
+            nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs
+                   FROM documents),
+            occ AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS nw
+                    FROM dt GROUP BY 1),
+            co AS (
+              SELECT a.token AS w1, b.token AS w2,
+                     CAST(COUNT(*) AS BIGINT) AS n12
+              FROM dt a JOIN dt b USING (doc_id)
+              WHERE a.token < b.token
+              GROUP BY 1, 2),
+            grid AS (
+              SELECT x.source, x.token AS w1, y.token AS w2
+              FROM kw x JOIN kw y USING (source)
+              WHERE x.token < y.token),
+            joined AS (
+              SELECT g.source, COALESCE(co.n12, 0) AS c12,
+                     o1.nw AS n1, o2.nw AS n2, nd.n_docs
+              FROM grid g
+              JOIN occ o1 ON g.w1 = o1.token
+              JOIN occ o2 ON g.w2 = o2.token
+              LEFT JOIN co ON g.w1 = co.w1 AND g.w2 = co.w2
+              CROSS JOIN nd),
+            terms AS (
+              SELECT source,
+                     CASE WHEN c12 = 0 THEN CAST(-1000000 AS BIGINT)
+                          ELSE CAST(floor(
+                            ln((CAST(c12 AS DOUBLE)
+                                * CAST(n_docs AS DOUBLE))
+                               / (CAST(n1 AS DOUBLE)
+                                  * CAST(n2 AS DOUBLE)))
+                            / (-ln(CAST(c12 AS DOUBLE)
+                                   / CAST(n_docs AS DOUBLE)))
+                            * 1000000) AS BIGINT) END AS t
+              FROM joined)
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CASE WHEN SUM(t) >= 0
+                        THEN CAST(SUM(t) AS BIGINT) // COUNT(*)
+                        ELSE -(CAST(-SUM(t) AS BIGINT) // COUNT(*))
+                   END AS mean_npmi_micro
+            FROM terms GROUP BY 1
+        """,
+        "q325_mix_shift_decomposition": """
+            WITH base AS (
+              SELECT c.c_mktsegment,
+                     CAST(year(CAST(o.o_orderdate AS DATE)) AS BIGINT)
+                       AS yr,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                          AS BIGINT) AS cents
+              FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+              WHERE year(CAST(o.o_orderdate AS DATE)) IN (1995, 1996)
+              GROUP BY 1, 2),
+            tot AS (SELECT yr, CAST(SUM(n) AS BIGINT) AS ny
+                    FROM base GROUP BY 1),
+            wide AS (
+              SELECT c_mktsegment,
+                     MAX(CASE WHEN yr = 1995 THEN n END) AS n1,
+                     MAX(CASE WHEN yr = 1995 THEN cents END) AS c1,
+                     MAX(CASE WHEN yr = 1995 THEN ny END) AS t1,
+                     MAX(CASE WHEN yr = 1996 THEN n END) AS n2,
+                     MAX(CASE WHEN yr = 1996 THEN cents END) AS c2,
+                     MAX(CASE WHEN yr = 1996 THEN ny END) AS t2
+              FROM base JOIN tot USING (yr)
+              GROUP BY 1)
+            SELECT c_mktsegment,
+                   CAST(floor(CAST(n1 AS DOUBLE) / CAST(t1 AS DOUBLE)
+                        * 1000000) AS BIGINT) AS w1_ppm,
+                   CAST(floor(CAST(n2 AS DOUBLE) / CAST(t2 AS DOUBLE)
+                        * 1000000) AS BIGINT) AS w2_ppm,
+                   CAST(floor(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                        * 1000) AS BIGINT) AS r1_millicents,
+                   CAST(floor(CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE)
+                        * 1000) AS BIGINT) AS r2_millicents,
+                   CAST(floor(CAST(n1 AS DOUBLE) / CAST(t1 AS DOUBLE)
+                        * (CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE)
+                           - CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                        * 1000) AS BIGINT) AS rate_effect_milli,
+                   CAST(floor((CAST(n2 AS DOUBLE) / CAST(t2 AS DOUBLE)
+                        - CAST(n1 AS DOUBLE) / CAST(t1 AS DOUBLE))
+                        * (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                        * 1000) AS BIGINT) AS mix_effect_milli,
+                   CAST(floor((CAST(n2 AS DOUBLE) / CAST(t2 AS DOUBLE)
+                        - CAST(n1 AS DOUBLE) / CAST(t1 AS DOUBLE))
+                        * (CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE)
+                           - CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                        * 1000) AS BIGINT) AS interaction_milli
+            FROM wide
+        """,
+        "q326_chao1_richness": f"""
+            WITH stc AS (
+              SELECT source, tok AS token, CAST(COUNT(*) AS BIGINT) AS c
+              FROM (SELECT source, unnest({_TOKS}) AS tok FROM documents)
+              GROUP BY 1, 2),
+            per AS (
+              SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab,
+                     CAST(SUM(c) AS BIGINT) AS n_tokens,
+                     CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS f1,
+                     CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS f2
+              FROM stc GROUP BY 1)
+            SELECT source, vocab, n_tokens, f1, f2,
+                   CAST(floor((CAST(vocab AS DOUBLE)
+                        + CASE WHEN f2 > 0
+                          THEN CAST(f1 AS DOUBLE) * CAST(f1 AS DOUBLE)
+                               / (2.0 * CAST(f2 AS DOUBLE))
+                          ELSE CAST(f1 AS DOUBLE)
+                               * (CAST(f1 AS DOUBLE) - 1.0)
+                               / (2.0 * (CAST(f2 AS DOUBLE) + 1.0))
+                          END)
+                        * 1000) AS BIGINT) AS chao1_milli,
+                   CAST(floor((1.0 - CAST(f1 AS DOUBLE)
+                        / CAST(n_tokens AS DOUBLE))
+                        * 1000000) AS BIGINT) AS coverage_ppm
+            FROM per
         """,
     }

@@ -12703,3 +12703,192 @@ def q323_srm_guardrail(spark, sf):
             "abs(na - nb) * 1000000 DIV (na + nb)"
         ).alias("imbalance_ppm"),
     )
+
+
+def q324_topic_coherence(spark, sf):
+    """NPMI topic coherence (Bouma 2009; the standard topic-model
+    eval) for each source's q302 chi-square keyword set: mean pairwise
+    normalized PMI of the 5 keywords over document co-occurrence — high
+    coherence means the distinctive vocabulary actually travels
+    together in documents (a real topic), not just a word list.
+    Zero-co-occurrence pairs take NPMI's limit value -1.
+
+    Shape: the keyword set is 5 x sources rows (broadcast); document
+    incidence is semi-joined down to keyword tokens BEFORE the per-doc
+    pair self-join, so co-occurrence counting is keyword-bounded, never
+    vocabulary-quadratic. ln-only float math, micro-floored terms."""
+    from chemharmony_spark.cache import registered_persist
+
+    kw = registered_persist(
+        q302_chi2_keywords(spark, sf).select("source", "token")
+    )
+    docs = _t(spark, sf, "documents")
+    dt = registered_persist(
+        docs.select(
+            "doc_id", F.explode(TX.tokens("text")).alias("token")
+        )
+        .join(F.broadcast(kw.select("token").distinct()), on="token")
+        .distinct()
+    )
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    occ = dt.groupBy("token").agg(F.count(F.lit(1)).alias("nw"))
+    co = (
+        dt.alias("a")
+        .join(dt.alias("b"), on="doc_id")
+        .where(F.col("a.token") < F.col("b.token"))
+        .groupBy(
+            F.col("a.token").alias("w1"), F.col("b.token").alias("w2")
+        )
+        .agg(F.count(F.lit(1)).alias("n12"))
+    )
+    grid = (
+        kw.alias("x")
+        .join(kw.alias("y"), on="source")
+        .where(F.col("x.token") < F.col("y.token"))
+        .select(
+            "source",
+            F.col("x.token").alias("w1"),
+            F.col("y.token").alias("w2"),
+        )
+    )
+    joined = (
+        grid.join(F.broadcast(occ.select(F.col("token").alias("w1"),
+                                         F.col("nw").alias("n1"))),
+                  on="w1")
+        .join(F.broadcast(occ.select(F.col("token").alias("w2"),
+                                     F.col("nw").alias("n2"))),
+              on="w2")
+        .join(F.broadcast(co), on=["w1", "w2"], how="left")
+        .crossJoin(F.broadcast(nd))
+        .withColumn("c12", F.coalesce("n12", F.lit(0)))
+    )
+    nd_d = F.col("n_docs").cast("double")
+    p12 = F.col("c12").cast("double") / nd_d
+    pmi = F.log(
+        (F.col("c12").cast("double") * nd_d)
+        / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+    )
+    npmi = F.when(F.col("c12") == 0, F.lit(-1.0)).otherwise(
+        pmi / -F.log(p12)
+    )
+    return (
+        joined.select(
+            "source",
+            F.floor(npmi * 1_000_000).cast("long").alias("t"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.expr("SUM(t) DIV COUNT(*)").alias("mean_npmi_micro"),
+        )
+    )
+
+
+def q325_mix_shift_decomposition(spark, sf):
+    """Mix-shift vs rate-shift decomposition of the 1995->1996 change
+    in revenue-per-order by customer segment — the metric-movement
+    explainer every growth review needs: delta = SUM w1*(r2-r1)
+    [within-segment rate effect] + SUM (w2-w1)*r1 [mix effect] +
+    SUM (w2-w1)*(r2-r1) [interaction], where w is the segment's order
+    share and r its revenue per order. One orders+customer join feeds
+    a single (segment, year) agg; per-year totals broadcast; every
+    term floors to micros from exact integer cents."""
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    base = (
+        orders.where(F.year("o_orderdate").isin(1995, 1996))
+        .join(
+            cust.select(
+                F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+            ),
+            on="o_custkey",
+        )
+        .groupBy("c_mktsegment", F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_d("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    tot = base.groupBy("yr").agg(F.sum("n").alias("ny"))
+    j = base.join(F.broadcast(tot), on="yr")
+    wide = (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.max(F.when(F.col("yr") == 1995, F.col("n"))).alias("n1"),
+            F.max(F.when(F.col("yr") == 1995, F.col("cents"))).alias(
+                "c1"
+            ),
+            F.max(F.when(F.col("yr") == 1995, F.col("ny"))).alias("t1"),
+            F.max(F.when(F.col("yr") == 1996, F.col("n"))).alias("n2"),
+            F.max(F.when(F.col("yr") == 1996, F.col("cents"))).alias(
+                "c2"
+            ),
+            F.max(F.when(F.col("yr") == 1996, F.col("ny"))).alias("t2"),
+        )
+    )
+    w1 = F.col("n1").cast("double") / F.col("t1").cast("double")
+    w2 = F.col("n2").cast("double") / F.col("t2").cast("double")
+    r1 = F.col("c1").cast("double") / F.col("n1").cast("double")
+    r2 = F.col("c2").cast("double") / F.col("n2").cast("double")
+    return wide.select(
+        "c_mktsegment",
+        F.floor(w1 * 1_000_000).cast("long").alias("w1_ppm"),
+        F.floor(w2 * 1_000_000).cast("long").alias("w2_ppm"),
+        F.floor(r1 * 1_000).cast("long").alias("r1_millicents"),
+        F.floor(r2 * 1_000).cast("long").alias("r2_millicents"),
+        F.floor(w1 * (r2 - r1) * 1_000).cast("long").alias(
+            "rate_effect_milli"
+        ),
+        F.floor((w2 - w1) * r1 * 1_000).cast("long").alias(
+            "mix_effect_milli"
+        ),
+        F.floor((w2 - w1) * (r2 - r1) * 1_000).cast("long").alias(
+            "interaction_milli"
+        ),
+    )
+
+
+def q326_chao1_richness(spark, sf):
+    """Chao1 vocabulary-richness estimator (Chao 1984) + Good-Turing
+    coverage per source: total vocabulary INCLUDING unseen types is
+    estimated as V + f1^2/(2 f2) from singleton/doubleton counts
+    (bias-corrected f1(f1-1)/(2(f2+1)) when f2 = 0), and
+    coverage as 1 - f1/N — the capture-recapture companions to q320's
+    Heaps extrapolation (how much vocabulary the sample missed, and how
+    much of the next document will be known types). ONE (source, token)
+    agg; everything after is frequency-of-frequency model space."""
+    docs = _t(spark, sf, "documents")
+    stc = docs.select(
+        "source", F.explode(TX.tokens("text")).alias("token")
+    ).groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    per = stc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).alias("f2"),
+    )
+    chao = F.col("vocab").cast("double") + F.when(
+        F.col("f2") > 0,
+        (F.col("f1").cast("double") * F.col("f1").cast("double"))
+        / (F.lit(2.0) * F.col("f2").cast("double")),
+    ).otherwise(
+        (
+            F.col("f1").cast("double")
+            * (F.col("f1").cast("double") - F.lit(1.0))
+        )
+        / (F.lit(2.0) * (F.col("f2").cast("double") + F.lit(1.0)))
+    )
+    coverage = F.lit(1.0) - F.col("f1").cast("double") / F.col(
+        "n_tokens"
+    ).cast("double")
+    return per.select(
+        "source",
+        "vocab",
+        "n_tokens",
+        "f1",
+        "f2",
+        F.floor(chao * 1_000).cast("long").alias("chao1_milli"),
+        F.floor(coverage * 1_000_000).cast("long").alias(
+            "coverage_ppm"
+        ),
+    )

@@ -837,6 +837,17 @@ SHUFFLE_BUDGET = {
     "q322_wilson_interval": 1,
     # q323: the distinct-arms collapse + the 1-row count rollup
     "q323_srm_guardrail": 2,
+    # q324: the q302 keyword sub-pipeline (persisted, reprinted per
+    # consumer) + the keyword-bounded doc-incidence distinct, its
+    # self-join co-occurrence agg and tiny occ/nd rollups — EXECUTED
+    # work past the keyword semi-join is 5*sources-token-bounded
+    "q324_topic_coherence": 13,
+    # q325: the orders+customer (segment, year) agg, the per-year
+    # rollup, the join-back and the segment pivot
+    "q325_mix_shift_decomposition": 4,
+    # q326: the (source, token) agg + the per-source freq-of-freq
+    # rollup; Chao1/coverage are per-row expressions
+    "q326_chao1_richness": 2,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -988,7 +999,10 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 "q318_wasserstein_drift",
                 # q321: 1-row query-vector / <=4-row selected-set
                 # broadcasts onto the 20-row candidate frame
-                "q321_mmr_rerank"}
+                "q321_mmr_rerank",
+                # q324: 1-row corpus doc-count broadcast onto the
+                # keyword-pair grid
+                "q324_topic_coherence"}
 
 
 def test_no_headline_query_has_unpartitioned_ranked_window(spark):
