@@ -403,6 +403,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q324_topic_coherence": Q.q324_topic_coherence,
         "q325_mix_shift_decomposition": Q.q325_mix_shift_decomposition,
         "q326_chao1_richness": Q.q326_chao1_richness,
+        "q327_mcnemar_model_compare": Q.q327_mcnemar_model_compare,
+        "q328_fleiss_kappa": Q.q328_fleiss_kappa,
+        "q329_log_odds_keywords": Q.q329_log_odds_keywords,
     }
 
 
@@ -9497,5 +9500,140 @@ def oracle_sql() -> dict[str, str]:
                         / CAST(n_tokens AS DOUBLE))
                         * 1000000) AS BIGINT) AS coverage_ppm
             FROM per
+        """,
+        "q327_mcnemar_model_compare": """
+            WITH cells AS (
+              SELECT CASE WHEN (CASE WHEN CAST(o_totalprice
+                                  AS DECIMAL(18,2)) > 150000
+                                THEN 1 ELSE 0 END)
+                          = (CASE WHEN o_orderstatus = 'F'
+                             THEN 1 ELSE 0 END) THEN 1 ELSE 0 END AS ar,
+                     CASE WHEN (CASE WHEN o_orderpriority IN
+                                  ('1-URGENT', '2-HIGH')
+                                THEN 1 ELSE 0 END)
+                          = (CASE WHEN o_orderstatus = 'F'
+                             THEN 1 ELSE 0 END) THEN 1 ELSE 0 END AS br
+              FROM orders),
+            agg AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(ar) AS BIGINT) AS a_right,
+                     CAST(SUM(br) AS BIGINT) AS b_right,
+                     CAST(SUM(CASE WHEN ar = 1 AND br = 0
+                              THEN 1 ELSE 0 END) AS BIGINT) AS b_cell,
+                     CAST(SUM(CASE WHEN ar = 0 AND br = 1
+                              THEN 1 ELSE 0 END) AS BIGINT) AS c_cell
+              FROM cells)
+            SELECT n, b_cell, c_cell,
+                   a_right * 1000000 // n AS acc_a_ppm,
+                   b_right * 1000000 // n AS acc_b_ppm,
+                   CAST(floor(
+                     (CAST(abs(b_cell - c_cell) AS DOUBLE) - 1.0)
+                     * (CAST(abs(b_cell - c_cell) AS DOUBLE) - 1.0)
+                     / CAST(b_cell + c_cell AS DOUBLE)
+                     * 1000000) AS BIGINT) AS chi2_micro,
+                   CASE WHEN (CAST(abs(b_cell - c_cell) AS DOUBLE) - 1.0)
+                        * (CAST(abs(b_cell - c_cell) AS DOUBLE) - 1.0)
+                        / CAST(b_cell + c_cell AS DOUBLE)
+                        > 3.841458820694124 THEN 1 ELSE 0 END
+                     AS significant
+            FROM agg
+        """,
+        "q328_fleiss_kappa": f"""
+            WITH votes AS (
+              SELECT (CASE WHEN n_chars >= 800 THEN 1 ELSE 0 END
+                      + CASE WHEN len({_TOKS}) >= 150 THEN 1 ELSE 0 END
+                      + CASE WHEN len(list_distinct({_TOKS})) * 2
+                             >= len({_TOKS}) THEN 1 ELSE 0 END) AS n1
+              FROM documents),
+            per AS (
+              SELECT n1, n1 * (n1 - 1) + (3 - n1) * (2 - n1) AS pairnum
+              FROM votes),
+            agg AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(n1) AS BIGINT) AS votes1,
+                     CAST(SUM(pairnum) AS BIGINT) AS pairsum
+              FROM per)
+            SELECT n_docs, votes1,
+                   CAST(floor(CAST(pairsum AS DOUBLE)
+                        / (CAST(n_docs AS DOUBLE) * 6.0)
+                        * 1000000) AS BIGINT) AS pbar_micro,
+                   CAST(floor(
+                     ((CAST(votes1 AS DOUBLE)
+                      / (CAST(n_docs AS DOUBLE) * 3.0))
+                     * (CAST(votes1 AS DOUBLE)
+                        / (CAST(n_docs AS DOUBLE) * 3.0))
+                     + (1.0 - CAST(votes1 AS DOUBLE)
+                        / (CAST(n_docs AS DOUBLE) * 3.0))
+                       * (1.0 - CAST(votes1 AS DOUBLE)
+                          / (CAST(n_docs AS DOUBLE) * 3.0)))
+                     * 1000000) AS BIGINT) AS pe_micro,
+                   CAST(floor(
+                     (CAST(pairsum AS DOUBLE)
+                      / (CAST(n_docs AS DOUBLE) * 6.0)
+                      - ((CAST(votes1 AS DOUBLE)
+                          / (CAST(n_docs AS DOUBLE) * 3.0))
+                         * (CAST(votes1 AS DOUBLE)
+                            / (CAST(n_docs AS DOUBLE) * 3.0))
+                         + (1.0 - CAST(votes1 AS DOUBLE)
+                            / (CAST(n_docs AS DOUBLE) * 3.0))
+                           * (1.0 - CAST(votes1 AS DOUBLE)
+                              / (CAST(n_docs AS DOUBLE) * 3.0))))
+                     / (1.0 - ((CAST(votes1 AS DOUBLE)
+                          / (CAST(n_docs AS DOUBLE) * 3.0))
+                         * (CAST(votes1 AS DOUBLE)
+                            / (CAST(n_docs AS DOUBLE) * 3.0))
+                         + (1.0 - CAST(votes1 AS DOUBLE)
+                            / (CAST(n_docs AS DOUBLE) * 3.0))
+                           * (1.0 - CAST(votes1 AS DOUBLE)
+                              / (CAST(n_docs AS DOUBLE) * 3.0))))
+                     * 1000000) AS BIGINT) AS kappa_micro
+            FROM agg
+        """,
+        "q329_log_odds_keywords": f"""
+            WITH stc AS MATERIALIZED (
+              SELECT source, tok AS token, CAST(COUNT(*) AS BIGINT) AS y
+              FROM (SELECT source, unnest({_TOKS}) AS tok FROM documents)
+              GROUP BY 1, 2),
+            tok AS (SELECT token, CAST(SUM(y) AS BIGINT) AS yw
+                    FROM stc GROUP BY 1),
+            srcs AS (SELECT source, CAST(SUM(y) AS BIGINT) AS ns
+                     FROM stc GROUP BY 1),
+            tot AS (SELECT CAST(SUM(ns) AS BIGINT) AS nn FROM srcs),
+            j AS (
+              SELECT stc.source, stc.token, stc.y, yw, ns, nn
+              FROM stc JOIN tok USING (token)
+                   JOIN srcs USING (source), tot
+              WHERE stc.y >= 5),
+            scored AS (
+              SELECT source, token, y,
+                     CAST(floor(
+                       (ln((CAST(y AS DOUBLE)
+                            + 1000.0 * CAST(yw AS DOUBLE)
+                              / CAST(nn AS DOUBLE))
+                           / (CAST(ns AS DOUBLE) + 1000.0
+                              - CAST(y AS DOUBLE)
+                              - 1000.0 * CAST(yw AS DOUBLE)
+                                / CAST(nn AS DOUBLE)))
+                        - ln((CAST(yw - y AS DOUBLE)
+                              + 1000.0 * CAST(yw AS DOUBLE)
+                                / CAST(nn AS DOUBLE))
+                             / (CAST(nn - ns AS DOUBLE) + 1000.0
+                                - CAST(yw - y AS DOUBLE)
+                                - 1000.0 * CAST(yw AS DOUBLE)
+                                  / CAST(nn AS DOUBLE))))
+                       / sqrt(1.0 / (CAST(y AS DOUBLE)
+                                     + 1000.0 * CAST(yw AS DOUBLE)
+                                       / CAST(nn AS DOUBLE))
+                              + 1.0 / (CAST(yw - y AS DOUBLE)
+                                       + 1000.0 * CAST(yw AS DOUBLE)
+                                         / CAST(nn AS DOUBLE)))
+                       * 1000000) AS BIGINT) AS z_micro
+              FROM j)
+            SELECT source, token, y, z_micro, rank FROM (
+              SELECT source, token, y, z_micro,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY z_micro DESC, token) AS BIGINT) AS rank
+              FROM scored)
+            WHERE rank <= 3
         """,
     }

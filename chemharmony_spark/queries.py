@@ -12892,3 +12892,150 @@ def q326_chao1_richness(spark, sf):
             "coverage_ppm"
         ),
     )
+
+
+def q327_mcnemar_model_compare(spark, sf):
+    """McNemar's paired test (continuity-corrected) comparing two rule
+    classifiers on the same orders — THE correct significance test for
+    "is model B actually better than model A on this eval set", because
+    it scores only the off-diagonal disagreement cells instead of
+    treating the two accuracy numbers as independent samples. Target:
+    order finalized ('F'); model A thresholds price, model B trusts
+    priority. chi2 = (|b-c|-1)^2/(b+c) vs the 3.841 critical value.
+
+    Shape: ONE global agg over per-row expressions — zero joins, one
+    1-row exchange; accuracies and the statistic are exact-count
+    arithmetic floored to micro."""
+    orders = _t(spark, sf, "orders")
+    y = (F.col("o_orderstatus") == "F").cast("int")
+    pa = (_d("o_totalprice") > 150000).cast("int")
+    pb = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("int")
+    agg = orders.select(
+        (pa == y).cast("int").alias("ar"),
+        (pb == y).cast("int").alias("br"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ar").alias("a_right"),
+        F.sum("br").alias("b_right"),
+        F.sum(
+            F.when((F.col("ar") == 1) & (F.col("br") == 0), 1).otherwise(0)
+        ).alias("b_cell"),
+        F.sum(
+            F.when((F.col("ar") == 0) & (F.col("br") == 1), 1).otherwise(0)
+        ).alias("c_cell"),
+    )
+    diff = F.abs(F.col("b_cell") - F.col("c_cell")).cast("double") - 1.0
+    chi2 = diff * diff / (F.col("b_cell") + F.col("c_cell")).cast("double")
+    return agg.select(
+        "n",
+        "b_cell",
+        "c_cell",
+        F.expr("a_right * 1000000 DIV n").alias("acc_a_ppm"),
+        F.expr("b_right * 1000000 DIV n").alias("acc_b_ppm"),
+        F.floor(chi2 * 1_000_000).cast("long").alias("chi2_micro"),
+        F.when(chi2 > 3.841458820694124, 1).otherwise(0).alias(
+            "significant"
+        ),
+    )
+
+
+def q328_fleiss_kappa(spark, sf):
+    """Fleiss' kappa over three deterministic quality raters on the
+    document corpus — the multi-rater chance-corrected agreement behind
+    every labeling-pipeline QA dashboard (q235's Cohen kappa only
+    handles two raters). Raters: length (n_chars >= 800), token budget
+    (>= 150 tokens), type-token ratio (distinct tokens >= half of
+    tokens). kappa = (Pbar - Pe)/(1 - Pe) with the standard
+    per-item pair-agreement mean and category-share chance term.
+
+    Shape: the three votes and the per-item agreement numerator are
+    per-row expressions over the scan; ONE 1-row global agg finishes —
+    zero joins, and the kappa algebra runs on exact integer sums."""
+    docs = _t(spark, sf, "documents")
+    toks = TX.tokens("text")
+    r1 = (F.col("n_chars") >= 800).cast("int")
+    r2 = (F.size(toks) >= 150).cast("int")
+    r3 = (F.size(F.array_distinct(toks)) * 2 >= F.size(toks)).cast("int")
+    n1 = (r1 + r2 + r3).alias("n1")
+    per = docs.select(
+        n1,
+        # sum_j n_ij (n_ij - 1) over the two categories, n = 3 raters
+        (
+            (r1 + r2 + r3) * (r1 + r2 + r3 - 1)
+            + (3 - r1 - r2 - r3) * (2 - r1 - r2 - r3)
+        ).alias("pairnum"),
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n1").alias("votes1"),
+        F.sum("pairnum").alias("pairsum"),
+    )
+    nd = F.col("n_docs").cast("double")
+    pbar = F.col("pairsum").cast("double") / (nd * 6.0)
+    p1 = F.col("votes1").cast("double") / (nd * 3.0)
+    pe = p1 * p1 + (1.0 - p1) * (1.0 - p1)
+    kappa = (pbar - pe) / (1.0 - pe)
+    return agg.select(
+        "n_docs",
+        "votes1",
+        F.floor(pbar * 1_000_000).cast("long").alias("pbar_micro"),
+        F.floor(pe * 1_000_000).cast("long").alias("pe_micro"),
+        F.floor(kappa * 1_000_000).cast("long").alias("kappa_micro"),
+    )
+
+
+def q329_log_odds_keywords(spark, sf):
+    """Monroe-Colaresi-Quinn "fightin' words" (2008): per-source
+    distinctive vocabulary by log-odds-ratio with an informative
+    Dirichlet prior, z-scored by the delta's variance — the
+    corpus-comparison standard that beats raw chi2 (q302) on rare-word
+    robustness because the corpus-wide prior shrinks low-count odds.
+    Prior scale a0 = 1000, a_w proportional to corpus frequency; top-3
+    tokens per source by z (count >= 5), ln/sqrt-only float math
+    floored to micro BEFORE ranking so the order is integer-exact.
+
+    Shape: ONE (source, token) agg (persisted — it feeds the token,
+    source, and grand-total rollups); vocabulary-sized token totals
+    broadcast back; the per-source ranking window partitions on source
+    over count-filtered candidates only."""
+    from chemharmony_spark.cache import registered_persist
+
+    docs = _t(spark, sf, "documents")
+    stc = registered_persist(
+        docs.select("source", F.explode(TX.tokens("text")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    tok = stc.groupBy("token").agg(F.sum("y").alias("yw"))
+    srcs = stc.groupBy("source").agg(F.sum("y").alias("ns"))
+    tot = srcs.agg(F.sum("ns").alias("nn"))
+    j = (
+        stc.where(F.col("y") >= 5)
+        .join(F.broadcast(tok), on="token")
+        .join(F.broadcast(srcs), on="source")
+        .crossJoin(F.broadcast(tot))
+    )
+    a0 = F.lit(1000.0)
+    aw = a0 * F.col("yw").cast("double") / F.col("nn").cast("double")
+    ysw = F.col("y").cast("double")
+    yrw = (F.col("yw") - F.col("y")).cast("double")
+    ns_d = F.col("ns").cast("double")
+    nr_d = (F.col("nn") - F.col("ns")).cast("double")
+    delta = F.log(
+        (ysw + aw) / (ns_d + a0 - ysw - aw)
+    ) - F.log((yrw + aw) / (nr_d + a0 - yrw - aw))
+    var = 1.0 / (ysw + aw) + 1.0 / (yrw + aw)
+    z = delta / F.sqrt(var)
+    scored = j.select(
+        "source",
+        "token",
+        "y",
+        F.floor(z * 1_000_000).cast("long").alias("z_micro"),
+    )
+    wr = Window.partitionBy("source").orderBy(
+        F.col("z_micro").desc(), "token"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= 3)
+    )

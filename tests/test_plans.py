@@ -848,6 +848,14 @@ SHUFFLE_BUDGET = {
     # q326: the (source, token) agg + the per-source freq-of-freq
     # rollup; Chao1/coverage are per-row expressions
     "q326_chao1_richness": 2,
+    # q327: ONE 1-row global agg over per-row classifier expressions
+    "q327_mcnemar_model_compare": 1,
+    # q328: ONE 1-row global agg over per-row rater expressions
+    "q328_fleiss_kappa": 1,
+    # q329: the persisted (source, token) agg (reprinted per consumer)
+    # + vocabulary/source/grand-total rollups + the count-filtered
+    # per-source ranking window
+    "q329_log_odds_keywords": 6,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -1002,7 +1010,10 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 "q321_mmr_rerank",
                 # q324: 1-row corpus doc-count broadcast onto the
                 # keyword-pair grid
-                "q324_topic_coherence"}
+                "q324_topic_coherence",
+                # q329: 1-row grand-total broadcast onto the
+                # (source, token) candidates
+                "q329_log_odds_keywords"}
 
 
 def test_no_headline_query_has_unpartitioned_ranked_window(spark):
