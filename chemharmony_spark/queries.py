@@ -2849,38 +2849,76 @@ def q122_merge_upsert(spark, sf):
 
 def q123_dedup_pipeline(spark, sf):
     """End-to-end near-duplicate REMOVAL — the full training-data dedup
-    pipeline in one query: PPJoin prefix-filtered candidates (EXACT recall
-    at t=0.6, no LSH bands to tune) -> exact Jaccard verify -> connected
-    components over surviving pairs -> keep-best representative per
-    cluster (max n_chars, tie min doc_id) -> per-source keep/remove
-    counts. The oracle replays it as brute-force Jaccard + recursive-CTE
-    transitive closure.
+    pipeline in one query: exact-set collapse (docs with IDENTICAL token
+    sets fold into one super-node — Jaccard is a pure set function, so
+    every pairwise decision depends only on the set) -> PPJoin
+    prefix-filtered candidates over representatives (EXACT recall at
+    t=0.6, no LSH bands to tune) -> exact Jaccard verify -> connected
+    components -> keep-best representative per cluster (max n_chars, tie
+    min doc_id) -> per-source keep/remove counts. The oracle replays it
+    as brute-force Jaccard + recursive-CTE transitive closure over ALL
+    docs — the collapse is invisible in the output because same-set docs
+    are Jaccard-1 co-members by definition and each group's min doc_id
+    IS its representative, so component ids (min doc of component) are
+    unchanged.
 
-    Scale shape: candidates touch rare-token prefixes only (bounded
-    groups); verify is codegen array_intersect on candidates only; the
-    component step is large-star/small-star contraction — near-dup
-    clusters are near-CLIQUES (7.1M edges over 4.8k nodes at sf0.1), and
-    star rounds SHRINK that edge set to one edge per non-root node after
-    round one, where min-label propagation re-joins the full 7M-edge
-    table every round (measured 10.4s -> 7.0s); the representative window
-    partitions on component id (high cardinality). No stage is
+    Scale shape: the collapse is the production exact-dedup-before-
+    near-dedup stage — it shrinks the quadratic pair volume by the
+    square of the dup ratio (5000 docs -> 3935 supernodes, 7.1M -> 4.4M
+    verified pairs at sf0.1) for one linear agg; candidates touch
+    rare-token prefixes only (bounded groups); verify is codegen
+    array_intersect on candidates only; the component step is
+    large-star/small-star WITH Boruvka pre-contraction (near-dup
+    clusters are near-CLIQUES, so one contraction round collapses the
+    pair-sized edge set to label pairs before any edge-sized
+    distinct/checkpoint — measured 10.1s -> ~2.5s); the representative
+    window partitions on component id (high cardinality). No stage is
     all-pairs."""
+    from chemharmony_spark.cache import registered_persist
     from chemharmony_spark.operators.graph import connected_components_star
 
     docs = _t(spark, sf, "documents")
+    # exact-set collapse: group docs by (sorted distinct token array)
+    # hash; the group's min doc_id represents it in the pairwise stage.
+    # member is doc-sized — it joins back on doc_id (co-partitioned with
+    # the component join), never broadcast (100 TB posture).
+    sets = docs.select(
+        "doc_id",
+        F.md5(
+            F.to_json(F.array_sort(F.array_distinct(TX.tokens("text"))))
+        ).alias("sh"),
+    )
+    member = registered_persist(
+        sets.select(
+            "doc_id",
+            F.min("doc_id")
+            .over(Window.partitionBy("sh"))
+            .alias("rep"),
+        )
+    )
+    rep_docs = docs.join(
+        member.where(F.col("doc_id") == F.col("rep")).select("doc_id"),
+        on="doc_id",
+        how="left_semi",
+    )
     # persist the candidate set: it feeds the verify join's probe side and
     # would otherwise be re-derived inside the component step's eager
     # checkpoint job with the whole prefix pipeline inlined
-    cands = DD.prefix_filter_pairs(docs, "doc_id", "text", threshold=0.6).persist()
+    cands = DD.prefix_filter_pairs(
+        rep_docs, "doc_id", "text", threshold=0.6
+    ).persist()
     pairs = (
-        DD.jaccard_pairs(docs, cands, "doc_id", "text")
+        DD.jaccard_pairs(rep_docs, cands, "doc_id", "text")
         .where(F.col("jaccard") >= 0.6)
         .select(F.col("a").alias("src"), F.col("b").alias("dst"))
     )
-    comp = connected_components_star(pairs, "src", "dst", broadcast_maps=True)
+    comp = connected_components_star(
+        pairs, "src", "dst", broadcast_maps=True, pre_contract=True
+    )
     labeled = (
-        docs.join(comp, docs.doc_id == comp.node, "left")
-        .withColumn("component", F.coalesce("component", F.col("doc_id")))
+        docs.join(member, on="doc_id")
+        .join(comp.withColumnRenamed("node", "rep"), on="rep", how="left")
+        .withColumn("component", F.coalesce("component", F.col("rep")))
         .select("doc_id", "source", "n_chars", "component")
     )
     w = Window.partitionBy("component").orderBy(

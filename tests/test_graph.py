@@ -66,14 +66,21 @@ def _check_star(spark, edges, max_iter=30):
     from chemharmony_spark.operators.graph import connected_components_star
 
     df = spark.createDataFrame(edges, "src long, dst long")
-    got = {r["node"]: r["component"]
-           for r in connected_components_star(df, max_iter=max_iter).collect()}
     want = _union_find(edges)
     comp_min: dict[int, int] = {}
     for n, r in want.items():
         comp_min[r] = min(comp_min.get(r, n), n)
     want_min = {n: comp_min[r] for n, r in want.items()}
-    assert got == want_min, (got, want_min)
+    # the Boruvka pre-contraction must be invisible: same partition AND
+    # same min-of-component ids on every graph shape
+    for pre in (False, True):
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components_star(
+                df, max_iter=max_iter, pre_contract=pre
+            ).collect()
+        }
+        assert got == want_min, (pre, got, want_min)
 
 
 def test_star_alg_chain_clique_isolated(spark):

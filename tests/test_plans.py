@@ -263,13 +263,15 @@ SHUFFLE_BUDGET = {
     "q121_calibration_bins": 1,
     # q122: base and delta each exchange once on the merge key
     "q122_merge_upsert": 2,
-    # q123: token explode/window for prefixes + candidate join + the final
-    # source agg; the star-contraction component step's per-round
-    # exchanges hide behind localCheckpoints, but its read-off (root set
-    # via exceptAll + union + distinct + the label join) contributes the
-    # other four — all of them NODE-sized (one row per doc in a cluster),
-    # not corpus- or pair-sized
-    "q123_dedup_pipeline": 7,
+    # q123: the exact-set collapse window + rep semi-join, token
+    # explode/window for prefixes + candidate join + the final source
+    # agg, plus the component step: the persisted verified-edge frame
+    # and Boruvka label map reprint their upstream exchanges per
+    # consumer (textual count, executed once), and the star loop's
+    # read-off (roots exceptAll + union + distinct + label compose)
+    # contributes node-sized exchanges only — nothing here is
+    # pair-sized except the one candidate-join shuffle
+    "q123_dedup_pipeline": 18,
     # q124: user_id window exchange + the handful-of-groups rollup
     "q124_last_touch_attribution": 2,
     # q125: ONE full-data exchange (per-value counts); the rest move the
