@@ -406,6 +406,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q327_mcnemar_model_compare": Q.q327_mcnemar_model_compare,
         "q328_fleiss_kappa": Q.q328_fleiss_kappa,
         "q329_log_odds_keywords": Q.q329_log_odds_keywords,
+        "q330_covariate_balance_smd": Q.q330_covariate_balance_smd,
+        "q331_ips_offpolicy": Q.q331_ips_offpolicy,
+        "q332_info_gain_screening": Q.q332_info_gain_screening,
     }
 
 
@@ -9635,5 +9638,205 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY z_micro DESC, token) AS BIGINT) AS rank
               FROM scored)
             WHERE rank <= 3
+        """,
+        "q330_covariate_balance_smd": """
+            WITH pu AS (
+              SELECT user_id,
+                     CAST(COUNT(*) AS BIGINT) AS c_events,
+                     CAST(SUM(CASE WHEN event_type = 'purchase'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS c_purch,
+                     CAST(SUM(CAST(floor(value * 1000000) AS BIGINT))
+                          AS BIGINT) AS c_value
+              FROM events GROUP BY 1),
+            pa AS (
+              SELECT ((instr('0123456789abcdef',
+                        substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1)
+                      * 16
+                      + (instr('0123456789abcdef',
+                        substr(md5(CAST(user_id AS VARCHAR)), 2, 1)) - 1))
+                      % 2 AS arm,
+                     c_events, c_purch, c_value
+              FROM pu),
+            arms AS (
+              SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+                     SUM(CAST(c_events AS HUGEINT)) AS s_events,
+                     SUM(CAST(c_events AS HUGEINT)
+                         * CAST(c_events AS HUGEINT)) AS q_events,
+                     SUM(CAST(c_purch AS HUGEINT)) AS s_purch,
+                     SUM(CAST(c_purch AS HUGEINT)
+                         * CAST(c_purch AS HUGEINT)) AS q_purch,
+                     SUM(CAST(c_value AS HUGEINT)) AS s_value,
+                     SUM(CAST(c_value AS HUGEINT)
+                         * CAST(c_value AS HUGEINT)) AS q_value
+              FROM pa GROUP BY 1),
+            one AS (
+              SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+                     MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+                     MAX(CASE WHEN arm = 0 THEN s_events END) AS s_e0,
+                     MAX(CASE WHEN arm = 1 THEN s_events END) AS s_e1,
+                     MAX(CASE WHEN arm = 0 THEN q_events END) AS q_e0,
+                     MAX(CASE WHEN arm = 1 THEN q_events END) AS q_e1,
+                     MAX(CASE WHEN arm = 0 THEN s_purch END) AS s_p0,
+                     MAX(CASE WHEN arm = 1 THEN s_purch END) AS s_p1,
+                     MAX(CASE WHEN arm = 0 THEN q_purch END) AS q_p0,
+                     MAX(CASE WHEN arm = 1 THEN q_purch END) AS q_p1,
+                     MAX(CASE WHEN arm = 0 THEN s_value END) AS s_v0,
+                     MAX(CASE WHEN arm = 1 THEN s_value END) AS s_v1,
+                     MAX(CASE WHEN arm = 0 THEN q_value END) AS q_v0,
+                     MAX(CASE WHEN arm = 1 THEN q_value END) AS q_v1
+              FROM arms),
+            stats AS (
+              SELECT 'events' AS covariate, n0, n1,
+                     CAST(s_e0 AS DOUBLE) AS sa, CAST(q_e0 AS DOUBLE) AS qa,
+                     CAST(s_e1 AS DOUBLE) AS sb, CAST(q_e1 AS DOUBLE) AS qb
+              FROM one
+              UNION ALL
+              SELECT 'purch', n0, n1,
+                     CAST(s_p0 AS DOUBLE), CAST(q_p0 AS DOUBLE),
+                     CAST(s_p1 AS DOUBLE), CAST(q_p1 AS DOUBLE)
+              FROM one
+              UNION ALL
+              SELECT 'value', n0, n1,
+                     CAST(s_v0 AS DOUBLE), CAST(q_v0 AS DOUBLE),
+                     CAST(s_v1 AS DOUBLE), CAST(q_v1 AS DOUBLE)
+              FROM one),
+            calc AS (
+              SELECT covariate, n0 AS n_a, n1 AS n_b,
+                     sa / CAST(n0 AS DOUBLE) AS ma,
+                     sb / CAST(n1 AS DOUBLE) AS mb,
+                     (qa - sa * sa / CAST(n0 AS DOUBLE))
+                       / (CAST(n0 AS DOUBLE) - 1.0) AS va,
+                     (qb - sb * sb / CAST(n1 AS DOUBLE))
+                       / (CAST(n1 AS DOUBLE) - 1.0) AS vb
+              FROM stats)
+            SELECT covariate, n_a, n_b,
+                   CAST(floor(ma * 1000000) AS BIGINT) AS mean_a_micro,
+                   CAST(floor(mb * 1000000) AS BIGINT) AS mean_b_micro,
+                   CAST(floor((ma - mb) / sqrt((va + vb) / 2.0)
+                        * 1000000) AS BIGINT) AS smd_micro,
+                   CASE WHEN abs((ma - mb) / sqrt((va + vb) / 2.0)) > 0.1
+                        THEN 1 ELSE 0 END AS imbalanced
+            FROM calc
+        """,
+        "q331_ips_offpolicy": """
+            WITH t AS (
+              SELECT CASE WHEN event_type =
+                          (CASE WHEN value > 50.0
+                           THEN 'click' ELSE 'view' END)
+                     THEN 1 ELSE 0 END AS m,
+                     25200 // (((instr('0123456789abcdef',
+                        substr(md5(CAST(event_id AS VARCHAR)), 1, 1)) - 1)
+                      * 16
+                      + (instr('0123456789abcdef',
+                        substr(md5(CAST(event_id AS VARCHAR)), 2, 1)) - 1))
+                      % 9 + 1) AS w,
+                     CAST(floor(value * 1000000) AS BIGINT) AS r
+              FROM events),
+            agg AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     SUM(CAST(m * w AS HUGEINT)) AS sw,
+                     SUM(CAST(m * w * r AS HUGEINT)) AS swr
+              FROM t)
+            SELECT n,
+                   CAST(sw AS BIGINT) AS sum_w_scaled,
+                   CAST(floor(CAST(swr AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * 25200.0)) AS BIGINT)
+                     AS ips_value_micro,
+                   CAST(floor(CAST(swr AS DOUBLE) / CAST(sw AS DOUBLE))
+                        AS BIGINT) AS snips_value_micro,
+                   CAST(floor(CAST(sw AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * 25200.0) * 1000000)
+                        AS BIGINT) AS eff_sample_ppm
+            FROM agg
+        """,
+        "q332_info_gain_screening": """
+            WITH base AS MATERIALIZED (
+              SELECT c.c_mktsegment, o.o_orderpriority,
+                     CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END
+                       AS bad
+              FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+            lv AS (
+              SELECT 'c_mktsegment' AS feature, c_mktsegment AS level,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(bad) AS BIGINT) AS n_bad
+              FROM base GROUP BY 2
+              UNION ALL
+              SELECT 'o_orderpriority', o_orderpriority,
+                     CAST(COUNT(*) AS BIGINT), CAST(SUM(bad) AS BIGINT)
+              FROM base GROUP BY 2),
+            tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt,
+                           CAST(SUM(bad) AS BIGINT) AS bt FROM base),
+            lw AS (
+              SELECT feature,
+                     CAST(floor(
+                       CAST(n AS DOUBLE) / CAST(nt AS DOUBLE)
+                       * (-(CASE WHEN CAST(n_bad AS DOUBLE)
+                                      / CAST(n AS DOUBLE) > 0.0
+                                 AND CAST(n_bad AS DOUBLE)
+                                      / CAST(n AS DOUBLE) < 1.0
+                            THEN (CAST(n_bad AS DOUBLE)
+                                  / CAST(n AS DOUBLE))
+                                 * ln(CAST(n_bad AS DOUBLE)
+                                      / CAST(n AS DOUBLE))
+                            ELSE 0.0 END
+                          + CASE WHEN 1.0 - CAST(n_bad AS DOUBLE)
+                                      / CAST(n AS DOUBLE) > 0.0
+                                 AND 1.0 - CAST(n_bad AS DOUBLE)
+                                      / CAST(n AS DOUBLE) < 1.0
+                            THEN (1.0 - CAST(n_bad AS DOUBLE)
+                                  / CAST(n AS DOUBLE))
+                                 * ln(1.0 - CAST(n_bad AS DOUBLE)
+                                      / CAST(n AS DOUBLE))
+                            ELSE 0.0 END))
+                       * 1000000000) AS BIGINT) AS w_nano,
+                     nt, bt
+              FROM lv, tot),
+            per AS (
+              SELECT feature, CAST(COUNT(*) AS BIGINT) AS n_levels,
+                     CAST(SUM(w_nano) AS BIGINT) AS cond_entropy_nano,
+                     MAX(nt) AS nt, MAX(bt) AS bt
+              FROM lw GROUP BY 1)
+            SELECT feature, n_levels,
+                   CAST(floor(
+                     (-(CASE WHEN CAST(bt AS DOUBLE)
+                                  / CAST(nt AS DOUBLE) > 0.0
+                             AND CAST(bt AS DOUBLE)
+                                  / CAST(nt AS DOUBLE) < 1.0
+                        THEN (CAST(bt AS DOUBLE) / CAST(nt AS DOUBLE))
+                             * ln(CAST(bt AS DOUBLE)
+                                  / CAST(nt AS DOUBLE))
+                        ELSE 0.0 END
+                      + CASE WHEN 1.0 - CAST(bt AS DOUBLE)
+                                  / CAST(nt AS DOUBLE) > 0.0
+                             AND 1.0 - CAST(bt AS DOUBLE)
+                                  / CAST(nt AS DOUBLE) < 1.0
+                        THEN (1.0 - CAST(bt AS DOUBLE)
+                              / CAST(nt AS DOUBLE))
+                             * ln(1.0 - CAST(bt AS DOUBLE)
+                                  / CAST(nt AS DOUBLE))
+                        ELSE 0.0 END))
+                     * 1000000000) AS BIGINT) AS entropy_nano,
+                   cond_entropy_nano,
+                   CAST(floor(
+                     (-(CASE WHEN CAST(bt AS DOUBLE)
+                                  / CAST(nt AS DOUBLE) > 0.0
+                             AND CAST(bt AS DOUBLE)
+                                  / CAST(nt AS DOUBLE) < 1.0
+                        THEN (CAST(bt AS DOUBLE) / CAST(nt AS DOUBLE))
+                             * ln(CAST(bt AS DOUBLE)
+                                  / CAST(nt AS DOUBLE))
+                        ELSE 0.0 END
+                      + CASE WHEN 1.0 - CAST(bt AS DOUBLE)
+                                  / CAST(nt AS DOUBLE) > 0.0
+                             AND 1.0 - CAST(bt AS DOUBLE)
+                                  / CAST(nt AS DOUBLE) < 1.0
+                        THEN (1.0 - CAST(bt AS DOUBLE)
+                              / CAST(nt AS DOUBLE))
+                             * ln(1.0 - CAST(bt AS DOUBLE)
+                                  / CAST(nt AS DOUBLE))
+                        ELSE 0.0 END))
+                     * 1000000000) AS BIGINT) - cond_entropy_nano
+                     AS info_gain_nano
+            FROM per
         """,
     }

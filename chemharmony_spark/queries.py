@@ -13077,3 +13077,238 @@ def q329_log_odds_keywords(spark, sf):
         scored.withColumn("rank", F.row_number().over(wr).cast("long"))
         .filter(F.col("rank") <= 3)
     )
+
+
+def q330_covariate_balance_smd(spark, sf):
+    """Standardized-mean-difference covariate balance check for the
+    md5-split experiment (q323's assignment): for each pre-treatment
+    user covariate — event count, purchase count, total value — the SMD
+    (mean_a - mean_b) / sqrt((var_a + var_b)/2), flagged at |SMD| >
+    0.1 (the Austin 2009 imbalance convention). The companion to the
+    SRM count check: equal arm SIZES can still hide a biased hash.
+
+    Exactness: event values floor to micro per event, so every per-user
+    covariate is an exact integer; arm-level sums and SUMS OF SQUARES
+    accumulate in decimal(38,0) (a bigint overflows on micro^2), and
+    the SMD doubles derive from those exact integers only — no
+    order-dependent float summation anywhere.
+
+    Shape: per-user agg (user-keyed, high cardinality), then a 2-row
+    arm rollup pivoted to one row; the three covariates unpivot from
+    that single row — model-space after the second agg."""
+    ev = _events(spark, sf)
+    arm = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 2),
+            16,
+            10,
+        )
+        % 2
+    ).cast("int")
+    per_user = (
+        ev.select(
+            "user_id",
+            F.floor(F.col("value") * 1_000_000)
+            .cast("long")
+            .alias("v_micro"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("is_p"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("c_events"),
+            F.sum("is_p").alias("c_purch"),
+            F.sum("v_micro").alias("c_value"),
+        )
+        .select(arm.alias("arm"), "c_events", "c_purch", "c_value")
+    )
+    d38 = "decimal(38,0)"
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            agg
+            for c in ("c_events", "c_purch", "c_value")
+            for agg in (
+                F.sum(F.col(c).cast(d38)).alias(f"s_{c}"),
+                # cast BEFORE squaring: micro-value sums square past
+                # bigint range (ANSI overflow), decimal(38,0) does not
+                F.sum(F.col(c).cast(d38) * F.col(c).cast(d38)).alias(
+                    f"q_{c}"
+                ),
+            )
+        ],
+    )
+    one = arms.groupBy().agg(
+        *[
+            F.max(F.when(F.col("arm") == a, F.col(c))).alias(f"{c}{a}")
+            for a in (0, 1)
+            for c in (
+                "n",
+                "s_c_events",
+                "q_c_events",
+                "s_c_purch",
+                "q_c_purch",
+                "s_c_value",
+                "q_c_value",
+            )
+        ]
+    )
+
+    def smd_row(feat):
+        rows = []
+        for a in (0, 1):
+            n = F.col(f"n{a}").cast("double")
+            s = F.col(f"s_c_{feat}{a}").cast("double")
+            q = F.col(f"q_c_{feat}{a}").cast("double")
+            mean = s / n
+            var = (q - s * s / n) / (n - 1.0)
+            rows.append((n, mean, var))
+        (na, ma, va), (nb, mb, vb) = rows
+        smd = (ma - mb) / F.sqrt((va + vb) / 2.0)
+        return one.select(
+            F.lit(feat).alias("covariate"),
+            F.col("n0").alias("n_a"),
+            F.col("n1").alias("n_b"),
+            F.floor(ma * 1_000_000).cast("long").alias("mean_a_micro"),
+            F.floor(mb * 1_000_000).cast("long").alias("mean_b_micro"),
+            F.floor(smd * 1_000_000).cast("long").alias("smd_micro"),
+            F.when(F.abs(smd) > 0.1, 1).otherwise(0).alias("imbalanced"),
+        )
+
+    return smd_row("events").unionAll(smd_row("purch")).unionAll(
+        smd_row("value")
+    )
+
+
+def q331_ips_offpolicy(spark, sf):
+    """Inverse-propensity-scored off-policy evaluation (Horvitz-Thompson
+    IPS + self-normalized SNIPS) of a candidate targeting policy on
+    logged bandit data — how every reranker/recommender change is
+    evaluated BEFORE an A/B test. Logged propensities are deterministic
+    md5 deciles p = k/10 (k in 1..9); the target policy picks 'click'
+    when value > 50 else 'view'; reward = event value.
+
+    Exactness: 1/p is made INTEGER by scaling with 2520 = lcm(1..9)
+    (w = 2520*10/k), rewards floor to micro, and both IPS sums
+    accumulate exactly in decimal(38,0); the estimates are two double
+    ops on those integers. Shape: ONE 1-row global agg — zero joins."""
+    ev = _events(spark, sf)
+    k = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 2),
+               16, 10)
+        % 9
+        + 1
+    ).cast("long")
+    w = (F.lit(25200) / k).cast("long")  # 2520 * 10 / k, exact integer
+    target = F.when(F.col("value") > 50.0, F.lit("click")).otherwise(
+        F.lit("view")
+    )
+    match = (F.col("event_type") == target).cast("long")
+    r_micro = F.floor(F.col("value") * 1_000_000).cast("long")
+    d38 = "decimal(38,0)"
+    agg = ev.select(
+        (match * w).alias("mw"),
+        (match * w * r_micro).alias("mwr"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("mw").cast(d38)).alias("sw"),
+        F.sum(F.col("mwr").cast(d38)).alias("swr"),
+    )
+    n_d = F.col("n").cast("double")
+    ips = F.col("swr").cast("double") / (n_d * 25200.0)
+    snips = F.col("swr").cast("double") / F.col("sw").cast("double")
+    return agg.select(
+        "n",
+        F.col("sw").cast("long").alias("sum_w_scaled"),
+        F.floor(ips).cast("long").alias("ips_value_micro"),
+        F.floor(snips).cast("long").alias("snips_value_micro"),
+        F.floor(
+            F.col("sw").cast("double") / (n_d * 25200.0) * 1_000_000
+        ).cast("long").alias("eff_sample_ppm"),
+    )
+
+
+def q332_info_gain_screening(spark, sf):
+    """Information-gain feature screening against the returned-order
+    target (the decision-tree-split / feature-selection primitive,
+    complementing q303's WOE/IV): IG(feature) = H(target) -
+    sum_level (n_l/N) H(target | level), natural-log entropies, with
+    0*ln(0) handled by CASE. Features: customer market segment and
+    order priority.
+
+    Shape: one orders+customer join feeds both level rollups (q303's
+    shape); global totals broadcast onto the handful of level rows;
+    everything after the two aggs is model-space."""
+    from chemharmony_spark.cache import registered_persist
+
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    base = registered_persist(
+        orders.join(
+            cust.select(
+                F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+            ),
+            on="o_custkey",
+        ).select(
+            "c_mktsegment",
+            "o_orderpriority",
+            F.when(F.col("o_orderstatus") == "F", 1)
+            .otherwise(0)
+            .alias("bad"),
+        )
+    )
+    lv = (
+        base.groupBy(F.col("c_mktsegment").alias("level"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("bad").alias("n_bad"),
+        )
+        .select(F.lit("c_mktsegment").alias("feature"), "level", "n",
+                "n_bad")
+        .unionAll(
+            base.groupBy(F.col("o_orderpriority").alias("level"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("bad").alias("n_bad"),
+            )
+            .select(F.lit("o_orderpriority").alias("feature"), "level",
+                    "n", "n_bad")
+        )
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).alias("nt"), F.sum("bad").alias("bt")
+    )
+
+    def ent(p):
+        # -(p ln p + (1-p) ln(1-p)) with 0 ln 0 = 0
+        term = lambda x: F.when(  # noqa: E731
+            (x > 0.0) & (x < 1.0), x * F.log(x)
+        ).otherwise(F.lit(0.0))
+        return -(term(p) + term(1.0 - p))
+
+    j = lv.crossJoin(F.broadcast(tot))
+    p_lv = F.col("n_bad").cast("double") / F.col("n").cast("double")
+    h_lv = ent(p_lv)
+    wsum = F.sum(
+        F.floor(
+            F.col("n").cast("double") / F.col("nt").cast("double")
+            * h_lv
+            * 1_000_000_000
+        ).cast("long")
+    )
+    per_feat = j.groupBy("feature").agg(
+        F.count(F.lit(1)).alias("n_levels"),
+        wsum.alias("cond_entropy_nano"),
+        F.max("nt").alias("nt"),
+        F.max("bt").alias("bt"),
+    )
+    p_t = F.col("bt").cast("double") / F.col("nt").cast("double")
+    h_t = F.floor(ent(p_t) * 1_000_000_000).cast("long")
+    return per_feat.select(
+        "feature",
+        "n_levels",
+        h_t.alias("entropy_nano"),
+        "cond_entropy_nano",
+        (h_t - F.col("cond_entropy_nano")).alias("info_gain_nano"),
+    )

@@ -858,6 +858,14 @@ SHUFFLE_BUDGET = {
     # + vocabulary/source/grand-total rollups + the count-filtered
     # per-source ranking window
     "q329_log_odds_keywords": 6,
+    # q330: the user-keyed covariate agg + 2-row arm rollup + 1-row
+    # pivot, reprinted per covariate branch of the 3-row unpivot union
+    "q330_covariate_balance_smd": 9,
+    # q331: ONE 1-row global agg over per-row policy expressions
+    "q331_ips_offpolicy": 1,
+    # q332: persisted orders+customer base (reprinted per feature
+    # branch) + the two level rollups + the 1-row total
+    "q332_info_gain_screening": 4,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -1015,7 +1023,10 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 "q324_topic_coherence",
                 # q329: 1-row grand-total broadcast onto the
                 # (source, token) candidates
-                "q329_log_odds_keywords"}
+                "q329_log_odds_keywords",
+                # q332: 1-row good/bad-total broadcast onto the
+                # handful of feature-level rows
+                "q332_info_gain_screening"}
 
 
 def test_no_headline_query_has_unpartitioned_ranked_window(spark):
