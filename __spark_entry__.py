@@ -409,6 +409,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q330_covariate_balance_smd": Q.q330_covariate_balance_smd,
         "q331_ips_offpolicy": Q.q331_ips_offpolicy,
         "q332_info_gain_screening": Q.q332_info_gain_screening,
+        "q333_brier_decomposition": Q.q333_brier_decomposition,
+        "q334_conformal_calibration": Q.q334_conformal_calibration,
+        "q335_map_at_k": Q.q335_map_at_k,
+        "q336_burrows_delta": Q.q336_burrows_delta,
     }
 
 
@@ -9838,5 +9842,177 @@ def oracle_sql() -> dict[str, str]:
                      * 1000000000) AS BIGINT) - cond_entropy_nano
                      AS info_gain_nano
             FROM per
+        """,
+        "q333_brier_decomposition": """
+            WITH b AS (
+              SELECT ((instr('0123456789abcdef',
+                        substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1))
+                        - 1) * 16
+                      + (instr('0123456789abcdef',
+                        substr(md5(CAST(o_orderkey AS VARCHAR)), 2, 1))
+                        - 1)) % 10 AS k,
+                     CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+              FROM orders),
+            bins AS (
+              SELECT k, CAST(COUNT(*) AS BIGINT) AS n_k,
+                     CAST(SUM(y) AS BIGINT) AS s_k
+              FROM b GROUP BY 1),
+            tot AS (SELECT CAST(SUM(n_k) AS BIGINT) AS n,
+                           CAST(SUM(s_k) AS BIGINT) AS s FROM bins),
+            terms AS (
+              SELECT n, s,
+                     CAST(floor(
+                       (CAST(n_k AS DOUBLE)
+                          * ((CAST(k AS DOUBLE) + 0.5) / 10.0)
+                          * ((CAST(k AS DOUBLE) + 0.5) / 10.0)
+                        - 2.0 * ((CAST(k AS DOUBLE) + 0.5) / 10.0)
+                          * CAST(s_k AS DOUBLE)
+                        + CAST(s_k AS DOUBLE))
+                       * 1000000000) AS BIGINT) AS bt,
+                     CAST(floor(
+                       CAST(n_k AS DOUBLE)
+                       * ((CAST(k AS DOUBLE) + 0.5) / 10.0
+                          - CAST(s_k AS DOUBLE) / CAST(n_k AS DOUBLE))
+                       * ((CAST(k AS DOUBLE) + 0.5) / 10.0
+                          - CAST(s_k AS DOUBLE) / CAST(n_k AS DOUBLE))
+                       * 1000000000) AS BIGINT) AS rt,
+                     CAST(floor(
+                       CAST(n_k AS DOUBLE)
+                       * (CAST(s_k AS DOUBLE) / CAST(n_k AS DOUBLE)
+                          - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(s_k AS DOUBLE) / CAST(n_k AS DOUBLE)
+                          - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                       * 1000000000) AS BIGINT) AS st
+              FROM bins, tot)
+            SELECT n, s,
+                   CAST(SUM(bt) AS BIGINT) // n AS brier_nano,
+                   CAST(SUM(rt) AS BIGINT) // n AS reliability_nano,
+                   CAST(SUM(st) AS BIGINT) // n AS resolution_nano,
+                   CAST(floor(
+                     CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                     * (1.0 - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                     * 1000000000) AS BIGINT) AS uncertainty_nano
+            FROM terms GROUP BY 1, 2
+        """,
+        "q334_conformal_calibration": """
+            WITH sc AS (
+              SELECT ((instr('0123456789abcdef',
+                        substr(md5(CAST(event_id AS VARCHAR)), 1, 1))
+                        - 1) * 16
+                      + (instr('0123456789abcdef',
+                        substr(md5(CAST(event_id AS VARCHAR)), 2, 1))
+                        - 1)) % 2 AS coin,
+                     CAST(floor(abs(value - 50.0) * 1000000) AS BIGINT)
+                       AS r
+              FROM events),
+            cal AS (SELECT r FROM sc WHERE coin = 0),
+            kk AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_cal,
+                     CAST(ceil(0.9 * CAST(COUNT(*) + 1 AS DOUBLE))
+                          AS BIGINT) AS k
+              FROM cal),
+            ranked AS (
+              SELECT r, ROW_NUMBER() OVER (ORDER BY r) AS rn FROM cal),
+            qh AS (
+              SELECT n_cal, k, r AS q_micro
+              FROM ranked, kk WHERE rn = k)
+            SELECT n_cal, k, q_micro,
+                   CAST(COUNT(*) AS BIGINT) AS n_test,
+                   CAST(SUM(CASE WHEN r <= q_micro THEN 1 ELSE 0 END)
+                        AS BIGINT) * 1000000
+                     // CAST(COUNT(*) AS BIGINT) AS coverage_ppm
+            FROM (SELECT r FROM sc WHERE coin = 1), qh
+            GROUP BY 1, 2, 3
+        """,
+        "q335_map_at_k": """
+            WITH e AS (
+              SELECT vec_id, label,
+                     list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings),
+            q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv
+                  FROM e WHERE vec_id < 5),
+            scored AS (
+              SELECT query_id, qlabel, e.vec_id AS neighbor_id,
+                     CASE WHEN e.label = qlabel THEN 1 ELSE 0 END AS rel,
+                     list_reduce(list_transform(list_zip(qv, v),
+                                                x -> x[1] * x[2]),
+                                 (a, b) -> a + b)
+                       / (sqrt(list_reduce(list_transform(qv,
+                                                          x -> x * x),
+                                           (a, b) -> a + b))
+                          * sqrt(list_reduce(list_transform(v,
+                                                            x -> x * x),
+                                             (a, b) -> a + b))) AS sim
+              FROM e, q WHERE e.vec_id != query_id),
+            ranked AS (
+              SELECT query_id, qlabel, rel,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id) AS rank
+              FROM scored),
+            top AS (
+              SELECT query_id, qlabel, rel, rank,
+                     SUM(rel) OVER (PARTITION BY query_id
+                       ORDER BY rank) AS cum
+              FROM ranked WHERE rank <= 10),
+            terms AS (
+              SELECT query_id, qlabel, rel,
+                     CASE WHEN rel = 1
+                          THEN CAST(floor(CAST(cum AS DOUBLE) / rank
+                                    * 1000000000) AS BIGINT)
+                          ELSE 0 END AS term
+              FROM top),
+            perq AS (
+              SELECT query_id, qlabel,
+                     CAST(SUM(rel) AS BIGINT) AS hits10,
+                     CAST(SUM(term) AS BIGINT) AS ap_num_nano
+              FROM terms GROUP BY 1, 2),
+            rc AS (SELECT label AS qlabel,
+                          CAST(COUNT(*) AS BIGINT) AS n_label
+                   FROM embeddings GROUP BY 1)
+            SELECT query_id, hits10, n_label - 1 AS r_total,
+                   ap_num_nano // least(n_label - 1, 10) AS ap_nano
+            FROM perq JOIN rc USING (qlabel)
+        """,
+        "q336_burrows_delta": f"""
+            WITH stc AS MATERIALIZED (
+              SELECT source, tok AS token, CAST(COUNT(*) AS BIGINT) AS y
+              FROM (SELECT source, unnest({_TOKS}) AS tok FROM documents)
+              GROUP BY 1, 2),
+            top AS (
+              SELECT token FROM (
+                SELECT token, CAST(SUM(y) AS BIGINT) AS ct
+                FROM stc GROUP BY 1)
+              ORDER BY ct DESC, token LIMIT 20),
+            srcs AS (SELECT source, CAST(SUM(y) AS BIGINT) AS ns
+                     FROM stc GROUP BY 1),
+            f AS MATERIALIZED (
+              SELECT s.source, t.token,
+                     COALESCE(stc.y, 0) * 1000000 // s.ns AS f_ppm
+              FROM srcs s CROSS JOIN top t
+              LEFT JOIN stc ON stc.source = s.source
+                           AND stc.token = t.token),
+            dist AS (
+              SELECT token, CAST(COUNT(*) AS BIGINT) AS ns_count,
+                     CAST(SUM(f_ppm) AS BIGINT) AS sf,
+                     CAST(SUM(f_ppm * f_ppm) AS BIGINT) AS qf
+              FROM f GROUP BY 1),
+            z AS (
+              SELECT source, token,
+                     (CAST(f_ppm AS DOUBLE)
+                      - CAST(sf AS DOUBLE) / CAST(ns_count AS DOUBLE))
+                     / sqrt((CAST(qf AS DOUBLE)
+                             - CAST(sf AS DOUBLE) * CAST(sf AS DOUBLE)
+                               / CAST(ns_count AS DOUBLE))
+                            / (CAST(ns_count AS DOUBLE) - 1.0)) AS z
+              FROM f JOIN dist USING (token)),
+            pairs AS (
+              SELECT a.source AS src_a, b.source AS src_b,
+                     CAST(floor(abs(a.z - b.z) * 1000000000) AS BIGINT)
+                       AS dz
+              FROM z a JOIN z b USING (token)
+              WHERE a.source < b.source)
+            SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(dz) AS BIGINT) // COUNT(*) AS delta_nano
+            FROM pairs GROUP BY 1, 2
         """,
     }

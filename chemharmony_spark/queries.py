@@ -13312,3 +13312,328 @@ def q332_info_gain_screening(spark, sf):
         "cond_entropy_nano",
         (h_t - F.col("cond_entropy_nano")).alias("info_gain_nano"),
     )
+
+
+def q333_brier_decomposition(spark, sf):
+    """Murphy decomposition of the Brier score (reliability - resolution
+    + uncertainty) for a 10-bin deterministic forecast of order
+    finalization — the forecast-quality triptych behind every
+    probabilistic-model scorecard (q121 gives the calibration curve;
+    this gives the scalar accounting). Forecast p = (k+0.5)/10 from an
+    md5 decile of the order key; all three terms derive from per-bin
+    INTEGER (n_k, s_k) counts — the row-level squared errors expand to
+    n_k p_k^2 - 2 p_k s_k + s_k, so no order-dependent float summation
+    exists; per-bin terms floor to nano before the 10-row integer sum.
+
+    Shape: one 10-group agg + a 1-row total broadcast back onto the
+    bins; everything after is model-space."""
+    orders = _t(spark, sf, "orders")
+    k = (
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2),
+            16,
+            10,
+        )
+        % 10
+    ).cast("long")
+    y = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    bins = orders.select(k.alias("k"), y.alias("y")).groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_k"), F.sum("y").alias("s_k")
+    )
+    tot = bins.agg(
+        F.sum("n_k").alias("n"), F.sum("s_k").alias("s")
+    )
+    j = bins.crossJoin(F.broadcast(tot))
+    p_k = (F.col("k").cast("double") + 0.5) / 10.0
+    nk = F.col("n_k").cast("double")
+    sk = F.col("s_k").cast("double")
+    ybar_k = sk / nk
+    ybar = F.col("s").cast("double") / F.col("n").cast("double")
+    brier_term = nk * p_k * p_k - 2.0 * p_k * sk + sk
+    rel_term = nk * (p_k - ybar_k) * (p_k - ybar_k)
+    res_term = nk * (ybar_k - ybar) * (ybar_k - ybar)
+    agg = j.select(
+        F.col("n"),
+        F.col("s"),
+        F.floor(brier_term * 1e9).cast("long").alias("bt"),
+        F.floor(rel_term * 1e9).cast("long").alias("rt"),
+        F.floor(res_term * 1e9).cast("long").alias("st"),
+    ).groupBy("n", "s").agg(
+        F.sum("bt").alias("b"),
+        F.sum("rt").alias("r"),
+        F.sum("st").alias("e"),
+    )
+    ybar2 = F.col("s").cast("double") / F.col("n").cast("double")
+    return agg.select(
+        "n",
+        "s",
+        F.expr("b DIV n").alias("brier_nano"),
+        F.expr("r DIV n").alias("reliability_nano"),
+        F.expr("e DIV n").alias("resolution_nano"),
+        F.floor(ybar2 * (1.0 - ybar2) * 1e9)
+        .cast("long")
+        .alias("uncertainty_nano"),
+    )
+
+
+def q334_conformal_calibration(spark, sf):
+    """Split-conformal prediction interval + empirical test coverage at
+    alpha = 0.1 — the distribution-free uncertainty wrapper every
+    deployed regressor should ship with: the ceil(0.9(n+1))-th smallest
+    calibration nonconformity |value - 50| becomes the radius q_hat,
+    and the guarantee says >= 90% of exchangeable test points land
+    within it. Split is an md5 event coin; the order statistic is EXACT
+    but distributed — a distinct-residual count table runs through the
+    bucketed global cumsum (monotone residual-range buckets), so no
+    unpartitioned ranked window ever sees row-level data.
+
+    Shape: two scans (cal counts, test coverage), the distinct-value
+    cumsum, and 1-row broadcasts of n_cal and q_hat."""
+    from chemharmony_spark.operators.core import global_cumsum
+
+    ev = _events(spark, sf)
+    coin = (
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 2),
+            16,
+            10,
+        )
+        % 2
+    ).cast("int")
+    r_micro = F.floor(F.abs(F.col("value") - 50.0) * 1_000_000).cast(
+        "long"
+    )
+    scored = ev.select(coin.alias("coin"), r_micro.alias("r"))
+    cal_counts = (
+        scored.where(F.col("coin") == 0)
+        .groupBy("r")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cum = global_cumsum(
+        cal_counts,
+        "r",
+        "cnt",
+        out_col="cum",
+        bucket=F.floor(F.col("r") / F.lit(5_000_000)),
+    )
+    n_cal = cal_counts.agg(F.sum("cnt").alias("n_cal"))
+    k = F.ceil(
+        0.9 * (F.col("n_cal") + F.lit(1)).cast("double")
+    ).cast("long")
+    q_hat = (
+        cum.crossJoin(F.broadcast(n_cal))
+        .withColumn("k", k)
+        .where(F.col("cum") >= F.col("k"))
+        .groupBy("n_cal", "k")
+        .agg(F.min("r").alias("q_micro"))
+    )
+    test = scored.where(F.col("coin") == 1)
+    return (
+        test.crossJoin(F.broadcast(q_hat))
+        .groupBy("n_cal", "k", "q_micro")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(
+                F.when(F.col("r") <= F.col("q_micro"), 1).otherwise(0)
+            ).alias("n_covered"),
+        )
+        .select(
+            "n_cal",
+            "k",
+            "q_micro",
+            "n_test",
+            F.expr("n_covered * 1000000 DIV n_test").alias(
+                "coverage_ppm"
+            ),
+        )
+    )
+
+
+def q335_map_at_k(spark, sf):
+    """Mean-average-precision@10 retrieval evaluation over the
+    embedding corpus (label match = relevant, query = vectors with
+    id < 5, exact cosine ranking) — the rank-sensitive companion to
+    q232's nDCG and q203's precision: AP integrates precision exactly
+    at the relevant ranks, so early misses hurt more. AP@10 =
+    sum_i rel_i * P@i / min(R, 10) with R the query's corpus-wide
+    relevant count (excluding itself); per-rank terms floor to nano
+    before the per-query integer sum, so no float accumulates.
+
+    Shape: q38's broadcast-queries scoring (corpus never shuffles for
+    the pairing), one per-query-partitioned rank window over the scored
+    rows, a broadcast per-label relevant-count map, and the per-query
+    rollup."""
+    emb = _t(spark, sf, "embeddings")
+    q = SIM.prep_cosine(
+        emb.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("qlabel"),
+            "embedding",
+        ),
+        "embedding",
+        dv="__qdv",
+        n="__qn",
+        keep=["query_id", "qlabel"],
+    )
+    c = SIM.prep_cosine(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("nlabel"),
+            "embedding",
+        ),
+        "embedding",
+        dv="__cdv",
+        n="__cn",
+        keep=["neighbor_id", "nlabel"],
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "sim",
+            SIM.cosine_pre(
+                F.col("__qdv"), F.col("__cdv"), F.col("__qn"), F.col("__cn")
+            ),
+        )
+        .select(
+            "query_id",
+            "qlabel",
+            "neighbor_id",
+            (F.col("nlabel") == F.col("qlabel")).cast("int").alias("rel"),
+            "sim",
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), "neighbor_id"
+    )
+    top = (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= 10)
+        .withColumn(
+            "cum",
+            F.sum("rel").over(
+                Window.partitionBy("query_id")
+                .orderBy("rank")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn(
+            "term",
+            F.when(
+                F.col("rel") == 1,
+                F.floor(
+                    F.col("cum").cast("double") / F.col("rank") * 1e9
+                ).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+    )
+    rel_counts = emb.groupBy(F.col("label").alias("qlabel")).agg(
+        F.count(F.lit(1)).alias("n_label")
+    )
+    per_q = (
+        top.groupBy("query_id", "qlabel")
+        .agg(
+            F.sum("rel").alias("hits10"),
+            F.sum("term").alias("ap_num_nano"),
+        )
+        .join(F.broadcast(rel_counts), on="qlabel")
+        .withColumn(
+            "r_total", F.col("n_label") - 1
+        )
+    )
+    return per_q.select(
+        "query_id",
+        "hits10",
+        "r_total",
+        F.expr(
+            "ap_num_nano DIV least(r_total, 10)"
+        ).alias("ap_nano"),
+    )
+
+
+def q336_burrows_delta(spark, sf):
+    """Burrows' Delta stylometric distance between every source pair
+    (Burrows 2002, the authorship-attribution standard): z-score each
+    source's relative frequency of the corpus's top-20 tokens against
+    the across-source distribution, Delta = mean |z_a - z_b| — the
+    lightweight "do these corpora read alike" matrix that complements
+    q140's distribution-level JSD. Relative frequencies are INTEGER
+    ppm (y * 1e6 DIV n_s), so across-source means/variances come from
+    exact integer sums; per-token |dz| floors to nano before the
+    20-term integer mean.
+
+    Shape: ONE (source, token) agg; top-20 tokens by global count via
+    sort+limit (no unpartitioned ranked window); the sources x top20
+    grid and all later steps are model-space."""
+    from chemharmony_spark.cache import registered_persist
+
+    docs = _t(spark, sf, "documents")
+    stc = registered_persist(
+        docs.select("source", F.explode(TX.tokens("text")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    top = (
+        stc.groupBy("token")
+        .agg(F.sum("y").alias("ct"))
+        .orderBy(F.col("ct").desc(), "token")
+        .limit(20)
+        .select("token")
+    )
+    srcs = stc.groupBy("source").agg(F.sum("y").alias("ns"))
+    grid = srcs.crossJoin(F.broadcast(top))
+    f = (
+        grid.join(stc, on=["source", "token"], how="left")
+        .select(
+            "source",
+            "token",
+            F.expr(
+                "coalesce(y, 0) * 1000000 DIV ns"
+            ).alias("f_ppm"),
+        )
+    )
+    f = registered_persist(f)
+    dist = f.groupBy("token").agg(
+        F.count(F.lit(1)).alias("ns_count"),
+        F.sum("f_ppm").alias("sf"),
+        F.sum(F.col("f_ppm") * F.col("f_ppm")).alias("qf"),
+    )
+    z = (
+        f.join(F.broadcast(dist), on="token")
+        .select(
+            "source",
+            "token",
+            (
+                (
+                    F.col("f_ppm").cast("double")
+                    - F.col("sf").cast("double")
+                    / F.col("ns_count").cast("double")
+                )
+                / F.sqrt(
+                    (
+                        F.col("qf").cast("double")
+                        - F.col("sf").cast("double")
+                        * F.col("sf").cast("double")
+                        / F.col("ns_count").cast("double")
+                    )
+                    / (F.col("ns_count").cast("double") - 1.0)
+                )
+            ).alias("z"),
+        )
+    )
+    pairs = (
+        z.alias("a")
+        .join(z.alias("b"), on="token")
+        .where(F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+            F.floor(F.abs(F.col("a.z") - F.col("b.z")) * 1e9)
+            .cast("long")
+            .alias("dz_nano"),
+        )
+    )
+    return pairs.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.expr("SUM(dz_nano) DIV COUNT(*)").alias("delta_nano"),
+    )

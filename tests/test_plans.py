@@ -866,6 +866,20 @@ SHUFFLE_BUDGET = {
     # q332: persisted orders+customer base (reprinted per feature
     # branch) + the two level rollups + the 1-row total
     "q332_info_gain_screening": 4,
+    # q333: the 10-bin agg (reprinted for its 1-row total) + the final
+    # (n, s)-keyed term rollup
+    "q333_brier_decomposition": 4,
+    # q334: calibration distinct-residual counts + the bucketed global
+    # cumsum chain + 1-row n_cal/q_hat rollups + the test coverage agg
+    "q334_conformal_calibration": 9,
+    # q335: the per-query rank window over broadcast-scored rows + the
+    # per-query rollup; relevant-count map broadcasts back
+    "q335_map_at_k": 2,
+    # q336: the persisted (source, token) agg (reprinted per consumer)
+    # + top-20 sort, source totals, freq-distribution rollup, the
+    # 20-token pair join and the pair rollup — all model-space after
+    # the first agg
+    "q336_burrows_delta": 8,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -1026,7 +1040,16 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 "q329_log_odds_keywords",
                 # q332: 1-row good/bad-total broadcast onto the
                 # handful of feature-level rows
-                "q332_info_gain_screening"}
+                "q332_info_gain_screening",
+                # q333: 1-row (n, s) total broadcast onto the 10 bins
+                "q333_brier_decomposition",
+                # q334: 1-row n_cal / q_hat broadcasts onto the cumsum
+                # and test scans
+                "q334_conformal_calibration",
+                # q335: q38's designed broadcast-queries scoring join
+                "q335_map_at_k",
+                # q336: 20-row top-token grid broadcast onto sources
+                "q336_burrows_delta"}
 
 
 def test_no_headline_query_has_unpartitioned_ranked_window(spark):
