@@ -413,6 +413,11 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q334_conformal_calibration": Q.q334_conformal_calibration,
         "q335_map_at_k": Q.q335_map_at_k,
         "q336_burrows_delta": Q.q336_burrows_delta,
+        "q337_cochran_armitage": Q.q337_cochran_armitage,
+        "q338_propensity_strata_ate": Q.q338_propensity_strata_ate,
+        "q339_jackknife_ratio_se": Q.q339_jackknife_ratio_se,
+        "q340_shapley_attribution": Q.q340_shapley_attribution,
+        "q341_logrank_test": Q.q341_logrank_test,
     }
 
 
@@ -10014,5 +10019,246 @@ def oracle_sql() -> dict[str, str]:
             SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_tokens,
                    CAST(SUM(dz) AS BIGINT) // COUNT(*) AS delta_nano
             FROM pairs GROUP BY 1, 2
+        """,
+        "q337_cochran_armitage": """
+            WITH agg AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS r,
+                     CAST(SUM(CAST(substr(o_orderpriority, 1, 1)
+                                   AS BIGINT)
+                              * CASE WHEN o_orderstatus = 'F'
+                                THEN 1 ELSE 0 END) AS BIGINT) AS sty,
+                     CAST(SUM(CAST(substr(o_orderpriority, 1, 1)
+                                   AS BIGINT)) AS BIGINT) AS st,
+                     CAST(SUM(CAST(substr(o_orderpriority, 1, 1)
+                                   AS BIGINT)
+                              * CAST(substr(o_orderpriority, 1, 1)
+                                     AS BIGINT)) AS BIGINT) AS stt
+              FROM orders)
+            SELECT n, r,
+                   CAST(floor((CAST(sty AS DOUBLE)
+                        - CAST(r AS DOUBLE) / CAST(n AS DOUBLE)
+                          * CAST(st AS DOUBLE)) * 1000000) AS BIGINT)
+                     AS t_stat_micro,
+                   CAST(floor((CAST(sty AS DOUBLE)
+                        - CAST(r AS DOUBLE) / CAST(n AS DOUBLE)
+                          * CAST(st AS DOUBLE))
+                        / sqrt(CAST(r AS DOUBLE) / CAST(n AS DOUBLE)
+                               * (1.0 - CAST(r AS DOUBLE)
+                                  / CAST(n AS DOUBLE))
+                               * (CAST(stt AS DOUBLE)
+                                  - CAST(st AS DOUBLE)
+                                    * CAST(st AS DOUBLE)
+                                    / CAST(n AS DOUBLE)))
+                        * 1000000) AS BIGINT) AS z_micro,
+                   CASE WHEN abs((CAST(sty AS DOUBLE)
+                        - CAST(r AS DOUBLE) / CAST(n AS DOUBLE)
+                          * CAST(st AS DOUBLE))
+                        / sqrt(CAST(r AS DOUBLE) / CAST(n AS DOUBLE)
+                               * (1.0 - CAST(r AS DOUBLE)
+                                  / CAST(n AS DOUBLE))
+                               * (CAST(stt AS DOUBLE)
+                                  - CAST(st AS DOUBLE)
+                                    * CAST(st AS DOUBLE)
+                                    / CAST(n AS DOUBLE))))
+                        > 1.959963984540054 THEN 1 ELSE 0 END
+                     AS trend_significant
+            FROM agg
+        """,
+        "q338_propensity_strata_ate": """
+            WITH cells AS (
+              SELECT (((instr('0123456789abcdef',
+                         substr(md5(CAST(o_orderkey AS VARCHAR)), 3, 1))
+                         - 1) * 16
+                       + (instr('0123456789abcdef',
+                         substr(md5(CAST(o_orderkey AS VARCHAR)), 4, 1))
+                         - 1)) % 100) // 20 AS stratum,
+                     ((instr('0123456789abcdef',
+                        substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1))
+                        - 1) * 16
+                      + (instr('0123456789abcdef',
+                        substr(md5(CAST(o_orderkey AS VARCHAR)), 2, 1))
+                        - 1)) % 2 AS t,
+                     CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+              FROM orders),
+            cagg AS (
+              SELECT stratum, t, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(y) AS BIGINT) AS s
+              FROM cells GROUP BY 1, 2),
+            strat AS (
+              SELECT stratum, CAST(SUM(n) AS BIGINT) AS n_k,
+                     MAX(CASE WHEN t = 1 THEN n END) AS n1,
+                     MAX(CASE WHEN t = 1 THEN s END) AS s1,
+                     MAX(CASE WHEN t = 0 THEN n END) AS n0,
+                     MAX(CASE WHEN t = 0 THEN s END) AS s0
+              FROM cagg GROUP BY 1),
+            tot AS (SELECT CAST(SUM(n_k) AS BIGINT) AS n_total
+                    FROM strat),
+            per AS (
+              SELECT stratum, n_k,
+                     CAST(floor(
+                       (CAST(n_k AS DOUBLE) / CAST(n_total AS DOUBLE))
+                       * (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                          - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                       * 1000000000) AS BIGINT) AS term_nano
+              FROM strat, tot)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+                   CAST(SUM(n_k) AS BIGINT) AS n_units,
+                   CAST(SUM(term_nano) AS BIGINT) AS ate_nano
+            FROM per
+        """,
+        "q339_jackknife_ratio_se": """
+            WITH buckets AS (
+              SELECT ((instr('0123456789abcdef',
+                        substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1))
+                        - 1) * 16
+                      + (instr('0123456789abcdef',
+                        substr(md5(CAST(o_orderkey AS VARCHAR)), 2, 1))
+                        - 1)) % 10 AS g,
+                     CAST(COUNT(*) AS BIGINT) AS c_i,
+                     CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                   * 100 AS BIGINT)) AS BIGINT) AS s_i
+              FROM orders GROUP BY 1),
+            tot AS (SELECT CAST(SUM(c_i) AS BIGINT) AS c,
+                           CAST(SUM(s_i) AS BIGINT) AS s FROM buckets),
+            loo AS (
+              SELECT g,
+                     CAST(floor(CAST(s - s_i AS DOUBLE)
+                          / CAST(c - c_i AS DOUBLE) * 1000000)
+                          AS BIGINT) AS theta_micro,
+                     c, s
+              FROM buckets, tot),
+            agg AS (
+              SELECT c, s, CAST(COUNT(*) AS BIGINT) AS n_groups,
+                     CAST(SUM(theta_micro) AS BIGINT) AS sum_theta,
+                     SUM(CAST(theta_micro AS HUGEINT)
+                         * CAST(theta_micro AS HUGEINT)) AS sum_theta_sq
+              FROM loo GROUP BY 1, 2)
+            SELECT n_groups,
+                   CAST(floor(CAST(s AS DOUBLE) / CAST(c AS DOUBLE)
+                        * 1000000) AS BIGINT) AS theta_micro_full,
+                   sum_theta // n_groups AS jk_mean_micro,
+                   CAST(floor(sqrt(
+                     (CAST(n_groups AS DOUBLE) - 1.0)
+                     / CAST(n_groups AS DOUBLE)
+                     * (CAST(sum_theta_sq AS DOUBLE)
+                        - CAST(sum_theta AS DOUBLE)
+                          * CAST(sum_theta AS DOUBLE)
+                          / CAST(n_groups AS DOUBLE))))
+                     AS BIGINT) AS jk_se_micro
+            FROM agg
+        """,
+        "q340_shapley_attribution": """
+            WITH pu AS (
+              SELECT user_id,
+                     list_sort(list(DISTINCT event_type)
+                               FILTER (WHERE event_type != 'purchase'))
+                       AS touchset,
+                     MAX(CASE WHEN event_type = 'purchase'
+                         THEN 1 ELSE 0 END) AS converted
+              FROM events GROUP BY 1),
+            sets AS (
+              SELECT touchset, CAST(len(touchset) AS BIGINT) AS set_size,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(converted) AS BIGINT) AS n_conv
+              FROM pu WHERE len(touchset) > 0
+              GROUP BY 1, 2),
+            credit AS (
+              SELECT unnest(touchset) AS channel, set_size, n, n_conv,
+                     n_conv * 1000000000 // (n * set_size) AS credit_nano
+              FROM sets)
+            SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_sets,
+                   CAST(SUM(n) AS BIGINT) AS n_users,
+                   CAST(SUM(n_conv) AS BIGINT) AS n_conversions,
+                   CAST(SUM(credit_nano) AS BIGINT) AS shapley_nano
+            FROM credit GROUP BY 1
+        """,
+        "q341_logrank_test": """
+            WITH pu AS (
+              SELECT user_id,
+                     ((instr('0123456789abcdef',
+                        substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1)
+                      * 16
+                      + (instr('0123456789abcdef',
+                        substr(md5(CAST(user_id AS VARCHAR)), 2, 1)) - 1))
+                      % 2 AS arm,
+                     MIN(epoch_us(ts)) AS t0,
+                     MIN(CASE WHEN event_type = 'error'
+                         THEN epoch_us(ts) END) AS td,
+                     MAX(epoch_us(ts)) AS tmax
+              FROM events GROUP BY 1, 2),
+            dur AS (
+              SELECT arm,
+                     CASE WHEN td IS NOT NULL
+                          THEN (td - t0) // 86400000000
+                          ELSE (tmax - t0) // 86400000000 END AS day,
+                     CASE WHEN td IS NOT NULL THEN 1 ELSE 0 END
+                       AS observed
+              FROM pu),
+            byarm AS (
+              SELECT arm, day, CAST(SUM(observed) AS BIGINT) AS d,
+                     CAST(COUNT(*) AS BIGINT) AS leaving
+              FROM dur GROUP BY 1, 2),
+            totals AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_arm
+                       FROM dur GROUP BY 1),
+            grid AS (SELECT DISTINCT day FROM byarm),
+            filled AS (
+              SELECT t.arm, g.day, t.n_arm,
+                     COALESCE(b.d, 0) AS d,
+                     COALESCE(b.leaving, 0) AS leaving
+              FROM grid g CROSS JOIN totals t
+              LEFT JOIN byarm b ON b.arm = t.arm AND b.day = g.day),
+            risk AS (
+              SELECT arm, day, d,
+                     n_arm - COALESCE(SUM(leaving) OVER (
+                       PARTITION BY arm ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS at_risk
+              FROM filled),
+            byday AS (
+              SELECT day,
+                     CAST(SUM(CASE WHEN arm = 1 THEN d END) AS BIGINT)
+                       AS d1,
+                     CAST(SUM(CASE WHEN arm = 1 THEN at_risk END)
+                          AS BIGINT) AS r1,
+                     CAST(SUM(d) AS BIGINT) AS dt,
+                     CAST(SUM(at_risk) AS BIGINT) AS nt
+              FROM risk GROUP BY 1),
+            terms AS (
+              SELECT COALESCE(d1, 0) AS o1,
+                     CAST(floor(CAST(dt AS DOUBLE)
+                          * CAST(COALESCE(r1, 0) AS DOUBLE)
+                          / CAST(nt AS DOUBLE) * 1000000000) AS BIGINT)
+                       AS e1_nano,
+                     CAST(floor(CAST(dt AS DOUBLE)
+                          * (CAST(COALESCE(r1, 0) AS DOUBLE)
+                             / CAST(nt AS DOUBLE))
+                          * (1.0 - CAST(COALESCE(r1, 0) AS DOUBLE)
+                             / CAST(nt AS DOUBLE))
+                          * (CAST(nt AS DOUBLE) - CAST(dt AS DOUBLE))
+                          / (CAST(nt AS DOUBLE) - 1.0)
+                          * 1000000000) AS BIGINT) AS v_nano
+              FROM byday WHERE dt > 0 AND nt > 1),
+            agg AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_death_days,
+                     CAST(SUM(o1) AS BIGINT) AS o1,
+                     CAST(SUM(e1_nano) AS BIGINT) AS e1_nano,
+                     CAST(SUM(v_nano) AS BIGINT) AS v_nano
+              FROM terms)
+            SELECT n_death_days, o1,
+                   e1_nano // 1000 AS e1_micro,
+                   CAST(floor(
+                     ((CAST(o1 AS DOUBLE) * 1000000000.0
+                       - CAST(e1_nano AS DOUBLE)) / 1000000000.0)
+                     / sqrt(CAST(v_nano AS DOUBLE) / 1000000000.0)
+                     * 1000000) AS BIGINT) AS z_micro,
+                   CASE WHEN abs(
+                     ((CAST(o1 AS DOUBLE) * 1000000000.0
+                       - CAST(e1_nano AS DOUBLE)) / 1000000000.0)
+                     / sqrt(CAST(v_nano AS DOUBLE) / 1000000000.0))
+                     > 1.959963984540054 THEN 1 ELSE 0 END
+                     AS significant
+            FROM agg
         """,
     }

@@ -13637,3 +13637,339 @@ def q336_burrows_delta(spark, sf):
         F.count(F.lit(1)).alias("n_tokens"),
         F.expr("SUM(dz_nano) DIV COUNT(*)").alias("delta_nano"),
     )
+
+
+def q337_cochran_armitage(spark, sf):
+    """Cochran-Armitage trend test: does the finalized-order rate move
+    MONOTONICALLY across the ordered priority levels (scores 1..5 from
+    the priority prefix digit)? The categorical chi-square (q92) only
+    says "differs somewhere"; this is the 1-df test for an ordered
+    dose-response, z = sum t_i (r_i - n_i pbar) / sqrt(pbar qbar
+    (sum t_i^2 n_i - (sum t_i n_i)^2 / N)). Every ingredient is a
+    per-row integer product, so the whole test is ONE 1-row global agg
+    over the scan — the level rollup cancels algebraically."""
+    orders = _t(spark, sf, "orders")
+    t = F.substring("o_orderpriority", 1, 1).cast("long")
+    y = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).cast("long")
+    agg = orders.select(t.alias("t"), y.alias("y")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("r"),
+        F.sum(F.col("t") * F.col("y")).alias("sty"),
+        F.sum("t").alias("st"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+    )
+    n_d = F.col("n").cast("double")
+    pbar = F.col("r").cast("double") / n_d
+    tstat = F.col("sty").cast("double") - pbar * F.col("st").cast("double")
+    var = (
+        pbar
+        * (1.0 - pbar)
+        * (
+            F.col("stt").cast("double")
+            - F.col("st").cast("double") * F.col("st").cast("double") / n_d
+        )
+    )
+    z = tstat / F.sqrt(var)
+    return agg.select(
+        "n",
+        "r",
+        F.floor(tstat * 1_000_000).cast("long").alias("t_stat_micro"),
+        F.floor(z * 1_000_000).cast("long").alias("z_micro"),
+        F.when(F.abs(z) > 1.959963984540054, 1).otherwise(0).alias(
+            "trend_significant"
+        ),
+    )
+
+
+def q338_propensity_strata_ate(spark, sf):
+    """Propensity-stratified average treatment effect (Rosenbaum-Rubin
+    subclassification): units stratify into 5 propensity-score bins
+    (deterministic md5 centile score), the per-stratum treated/control
+    outcome gap weights by stratum share, ATE = sum_k (n_k/N)
+    (ybar1k - ybar0k) — the observational-causal companion to q267's
+    DiD and q319's QTE. Outcome = order finalized; treatment = an
+    independent md5 coin (bytes 1-2; the score reads bytes 3-4).
+
+    Shape: ONE 10-cell (stratum, arm) agg over per-row hash
+    expressions, pivoted per stratum; per-stratum terms floor to nano
+    before the 5-row integer sum — no float accumulation."""
+    orders = _t(spark, sf, "orders")
+    h = F.md5(F.col("o_orderkey").cast("string"))
+    treat = (F.conv(F.substring(h, 1, 2), 16, 10) % 2).cast("int")
+    k2 = (F.conv(F.substring(h, 3, 2), 16, 10) % 100).cast("long")
+    y = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    cells = (
+        orders.select(k2.alias("k2"), treat.alias("t"), y.alias("y"))
+        .select(F.expr("k2 DIV 20").alias("stratum"), "t", "y")
+        .groupBy("stratum", "t")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("s"))
+    )
+    strat = cells.groupBy("stratum").agg(
+        F.sum("n").alias("n_k"),
+        F.max(F.when(F.col("t") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("t") == 1, F.col("s"))).alias("s1"),
+        F.max(F.when(F.col("t") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("t") == 0, F.col("s"))).alias("s0"),
+    )
+    tot = strat.agg(F.sum("n_k").alias("n_total"))
+    gap = (
+        F.col("s1").cast("double") / F.col("n1").cast("double")
+        - F.col("s0").cast("double") / F.col("n0").cast("double")
+    )
+    term = (
+        F.col("n_k").cast("double") / F.col("n_total").cast("double")
+    ) * gap
+    per = strat.crossJoin(F.broadcast(tot)).select(
+        "n_k",
+        F.floor(term * 1_000_000_000).cast("long").alias("term_nano"),
+    )
+    return per.groupBy().agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum("n_k").alias("n_units"),
+        F.sum("term_nano").alias("ate_nano"),
+    )
+
+
+def q339_jackknife_ratio_se(spark, sf):
+    """Delete-one-group jackknife standard error for a RATIO metric
+    (revenue cents per order) — the production variance estimator for
+    metrics that are not row means (ratios, per-user rates), where the
+    naive row-level CLT is simply wrong. Ten md5 buckets; each
+    leave-one-out estimate theta_(i) = (S - s_i)/(C - c_i) comes from
+    exact integer cents/counts and floors to micro; the jackknife
+    variance (g-1)/g * sum (theta_i - thetabar)^2 runs on those
+    integers (squares accumulate in decimal(38,0) — a micro-scaled
+    ratio squared overflows bigint).
+
+    Shape: one 10-group agg + a 1-row total broadcast back; the
+    variance rollup is 10 rows."""
+    orders = _t(spark, sf, "orders")
+    g = (
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2),
+            16,
+            10,
+        )
+        % 10
+    ).cast("int")
+    buckets = (
+        orders.select(
+            g.alias("g"),
+            (_d("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c_i"), F.sum("cents").alias("s_i"))
+    )
+    tot = buckets.agg(F.sum("c_i").alias("c"), F.sum("s_i").alias("s"))
+    loo = buckets.crossJoin(F.broadcast(tot)).select(
+        F.floor(
+            (F.col("s") - F.col("s_i")).cast("double")
+            / (F.col("c") - F.col("c_i")).cast("double")
+            * 1_000_000
+        ).cast("long").alias("theta_micro"),
+        "c",
+        "s",
+    )
+    d38 = "decimal(38,0)"
+    agg = loo.groupBy("c", "s").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("theta_micro").alias("sum_theta"),
+        F.sum(
+            F.col("theta_micro").cast(d38) * F.col("theta_micro").cast(d38)
+        ).alias("sum_theta_sq"),
+    )
+    gd = F.col("n_groups").cast("double")
+    ss = (
+        F.col("sum_theta_sq").cast("double")
+        - F.col("sum_theta").cast("double")
+        * F.col("sum_theta").cast("double")
+        / gd
+    )
+    se = F.sqrt((gd - 1.0) / gd * ss)
+    theta_full = F.floor(
+        F.col("s").cast("double") / F.col("c").cast("double") * 1_000_000
+    ).cast("long")
+    return agg.select(
+        "n_groups",
+        theta_full.alias("theta_micro_full"),
+        F.expr("sum_theta DIV n_groups").alias("jk_mean_micro"),
+        F.floor(se).cast("long").alias("jk_se_micro"),
+    )
+
+
+def q340_shapley_attribution(spark, sf):
+    """Order-free Shapley channel attribution (the Zhao et al. 2018
+    simplification used in ad-measurement practice): each user's
+    distinct non-purchase touchset is a coalition; a set's conversion
+    rate splits EQUALLY among its members (the Shapley value of the
+    symmetric sub-game on that set), so channel c earns
+    sum over touchsets S containing c of conv_rate(S)/|S| — nano-scaled
+    integer credits. Complements q124 (last-touch) and q289 (U-shaped):
+    same funnel, principled split.
+
+    Shape: one user-level collect agg, a <=2^4-row touchset rollup,
+    then an explode of set members — model-space after the first agg."""
+    ev = _events(spark, sf)
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.array_distinct(
+                    F.collect_list(
+                        F.when(
+                            F.col("event_type") != "purchase",
+                            F.col("event_type"),
+                        )
+                    )
+                )
+            ).alias("touchset"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted"),
+        )
+        .where(F.size("touchset") > 0)
+    )
+    sets = per_user.groupBy(
+        "touchset", F.size("touchset").cast("long").alias("set_size")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("converted").alias("n_conv"),
+    )
+    credit = sets.select(
+        F.explode("touchset").alias("channel"),
+        "set_size",
+        "n",
+        "n_conv",
+        F.expr("n_conv * 1000000000 DIV (n * set_size)").alias(
+            "credit_nano"
+        ),
+    )
+    return credit.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_sets"),
+        F.sum("n").alias("n_users"),
+        F.sum("n_conv").alias("n_conversions"),
+        F.sum("credit_nano").alias("shapley_nano"),
+    )
+
+
+def q341_logrank_test(spark, sf):
+    """Two-arm log-rank test on time-to-first-error (day granularity,
+    censoring at each user's own horizon) between the md5 experiment
+    arms — the survival-curve significance companion to q185's
+    Kaplan-Meier: z = (O1 - E1)/sqrt(V) with the hypergeometric
+    per-death-day expectation E1 = d_t r1_t / n_t and variance
+    d_t (r1_t/n_t)(1 - r1_t/n_t)(n_t - d_t)/(n_t - 1). Per-day terms
+    floor to nano before the integer sum (q185's discipline). The
+    at-risk counts come from a day-grid x arm frame (so an arm with no
+    exits on a death day still counts as at risk) with arm-partitioned
+    cumulative windows over the distinct-day table — model-space.
+
+    Shape: one user shuffle, (arm, day) rollups, the tiny grid fill,
+    and a 1-row rollup."""
+    ev = _events(spark, sf).select(
+        "user_id", "event_type", F.expr("ts div 1000").alias("us")
+    )
+    arm = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 2),
+            16,
+            10,
+        )
+        % 2
+    ).cast("int")
+    dur = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min("us").alias("t0"),
+            F.min(
+                F.when(F.col("event_type") == "error", F.col("us"))
+            ).alias("td"),
+            F.max("us").alias("tmax"),
+        )
+        .select(
+            arm.alias("arm"),
+            F.expr(
+                "CASE WHEN td IS NOT NULL THEN (td - t0) div 86400000000"
+                "     ELSE (tmax - t0) div 86400000000 END"
+            ).alias("day"),
+            F.col("td").isNotNull().cast("long").alias("observed"),
+        )
+    )
+    from chemharmony_spark.cache import registered_persist
+
+    dur = registered_persist(dur)
+    byarm = dur.groupBy("arm", "day").agg(
+        F.sum("observed").alias("d"),
+        F.count(F.lit(1)).alias("leaving"),
+    )
+    totals = dur.groupBy("arm").agg(F.count(F.lit(1)).alias("n_arm"))
+    grid = byarm.select("day").distinct()
+    filled = (
+        grid.crossJoin(F.broadcast(totals))
+        .join(byarm, on=["arm", "day"], how="left")
+        .select(
+            "arm",
+            "day",
+            "n_arm",
+            F.coalesce("d", F.lit(0)).alias("d"),
+            F.coalesce("leaving", F.lit(0)).alias("leaving"),
+        )
+    )
+    w_excl = (
+        Window.partitionBy("arm")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = filled.select(
+        "arm",
+        "day",
+        "d",
+        (
+            F.col("n_arm")
+            - F.coalesce(F.sum("leaving").over(w_excl), F.lit(0))
+        ).alias("at_risk"),
+    )
+    byday = risk.groupBy("day").agg(
+        F.sum(F.when(F.col("arm") == 1, F.col("d"))).alias("d1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("at_risk"))).alias("r1"),
+        F.sum("d").alias("dt"),
+        F.sum("at_risk").alias("nt"),
+    ).where((F.col("dt") > 0) & (F.col("nt") > 1))
+    dt_d = F.col("dt").cast("double")
+    r1_d = F.coalesce(F.col("r1"), F.lit(0)).cast("double")
+    nt_d = F.col("nt").cast("double")
+    e1 = dt_d * r1_d / nt_d
+    v = (
+        dt_d
+        * (r1_d / nt_d)
+        * (1.0 - r1_d / nt_d)
+        * (nt_d - dt_d)
+        / (nt_d - 1.0)
+    )
+    terms = byday.select(
+        F.coalesce(F.col("d1"), F.lit(0)).alias("o1"),
+        F.floor(e1 * 1_000_000_000).cast("long").alias("e1_nano"),
+        F.floor(v * 1_000_000_000).cast("long").alias("v_nano"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).alias("n_death_days"),
+        F.sum("o1").alias("o1"),
+        F.sum("e1_nano").alias("e1_nano"),
+        F.sum("v_nano").alias("v_nano"),
+    )
+    z = (
+        (
+            F.col("o1").cast("double") * 1_000_000_000.0
+            - F.col("e1_nano").cast("double")
+        )
+        / 1_000_000_000.0
+    ) / F.sqrt(F.col("v_nano").cast("double") / 1_000_000_000.0)
+    return agg.select(
+        "n_death_days",
+        "o1",
+        F.expr("e1_nano DIV 1000").alias("e1_micro"),
+        F.floor(z * 1_000_000).cast("long").alias("z_micro"),
+        F.when(F.abs(z) > 1.959963984540054, 1).otherwise(0).alias(
+            "significant"
+        ),
+    )

@@ -880,6 +880,21 @@ SHUFFLE_BUDGET = {
     # 20-token pair join and the pair rollup — all model-space after
     # the first agg
     "q336_burrows_delta": 8,
+    # q337: ONE 1-row global agg — the level rollup cancels
+    "q337_cochran_armitage": 1,
+    # q338: the 10-cell (stratum, arm) agg + stratum pivot + 1-row
+    # total + the final 1-row rollup
+    "q338_propensity_strata_ate": 6,
+    # q339: the 10-bucket agg (reprinted for its 1-row total) + the
+    # variance rollup
+    "q339_jackknife_ratio_se": 4,
+    # q340: the user touchset agg + the <=2^4-row set rollup + the
+    # channel rollup
+    "q340_shapley_attribution": 3,
+    # q341: the persisted per-user duration agg (reprinted per
+    # consumer) + (arm, day)/arm rollups, day grid, per-day combine
+    # and the 1-row test rollup — all model-space after the user agg
+    "q341_logrank_test": 7,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -1049,7 +1064,13 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 # q335: q38's designed broadcast-queries scoring join
                 "q335_map_at_k",
                 # q336: 20-row top-token grid broadcast onto sources
-                "q336_burrows_delta"}
+                "q336_burrows_delta",
+                # q338/q339: 1-row totals broadcast onto <=10 strata /
+                # buckets
+                "q338_propensity_strata_ate",
+                "q339_jackknife_ratio_se",
+                # q341: 2-row arm totals broadcast onto the day grid
+                "q341_logrank_test"}
 
 
 def test_no_headline_query_has_unpartitioned_ranked_window(spark):
