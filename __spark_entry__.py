@@ -418,6 +418,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q339_jackknife_ratio_se": Q.q339_jackknife_ratio_se,
         "q340_shapley_attribution": Q.q340_shapley_attribution,
         "q341_logrank_test": Q.q341_logrank_test,
+        "q342_chatterjee_xi": Q.q342_chatterjee_xi,
+        "q343_mantel_haenszel": Q.q343_mantel_haenszel,
+        "q344_theil_decomposition": Q.q344_theil_decomposition,
+        "q345_minhash_error_audit": Q.q345_minhash_error_audit,
     }
 
 
@@ -10260,5 +10264,182 @@ def oracle_sql() -> dict[str, str]:
                      > 1.959963984540054 THEN 1 ELSE 0 END
                      AS significant
             FROM agg
+        """,
+        "q342_chatterjee_xi": """
+            WITH r AS (
+              SELECT event_type, event_id, epoch_us(ts) AS us,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY value, event_id) AS r
+              FROM events),
+            l AS (
+              SELECT event_type, r,
+                     LAG(r) OVER (PARTITION BY event_type
+                       ORDER BY us, event_id) AS r_prev
+              FROM r),
+            per AS (
+              SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(abs(r - r_prev)) AS BIGINT) AS jump_sum
+              FROM l GROUP BY 1)
+            SELECT event_type, n, jump_sum,
+                   CAST(floor((1.0 - 3.0 * CAST(jump_sum AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0))
+                        * 1000000) AS BIGINT) AS xi_micro
+            FROM per
+        """,
+        "q343_mantel_haenszel": """
+            WITH cells AS (
+              SELECT r.r_name,
+                     ((instr('0123456789abcdef',
+                        substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1))
+                        - 1) * 16
+                      + (instr('0123456789abcdef',
+                        substr(md5(CAST(o_orderkey AS VARCHAR)), 2, 1))
+                        - 1)) % 2 AS e,
+                     CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+              FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                   JOIN nation n ON c.c_nationkey = n.n_nationkey
+                   JOIN region r ON n.n_regionkey = r.r_regionkey),
+            ag AS (
+              SELECT r_name,
+                     CAST(SUM(CASE WHEN e = 1 AND y = 1 THEN 1 ELSE 0
+                              END) AS BIGINT) AS a,
+                     CAST(SUM(CASE WHEN e = 1 AND y = 0 THEN 1 ELSE 0
+                              END) AS BIGINT) AS b,
+                     CAST(SUM(CASE WHEN e = 0 AND y = 1 THEN 1 ELSE 0
+                              END) AS BIGINT) AS c,
+                     CAST(SUM(CASE WHEN e = 0 AND y = 0 THEN 1 ELSE 0
+                              END) AS BIGINT) AS d
+              FROM cells GROUP BY 1),
+            terms AS (
+              SELECT CAST(floor(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                          / CAST(a + b + c + d AS DOUBLE)
+                          * 1000000000) AS BIGINT) AS num_nano,
+                     CAST(floor(CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+                          / CAST(a + b + c + d AS DOUBLE)
+                          * 1000000000) AS BIGINT) AS den_nano
+              FROM ag),
+            agg AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+                     CAST(SUM(num_nano) AS BIGINT) AS num_nano,
+                     CAST(SUM(den_nano) AS BIGINT) AS den_nano
+              FROM terms)
+            SELECT n_strata, num_nano, den_nano,
+                   CAST(floor(CAST(num_nano AS DOUBLE)
+                        / CAST(den_nano AS DOUBLE) * 1000000) AS BIGINT)
+                     AS or_micro,
+                   CAST(floor(ln(CAST(num_nano AS DOUBLE)
+                        / CAST(den_nano AS DOUBLE)) * 1000000)
+                        AS BIGINT) AS ln_or_micro
+            FROM agg
+        """,
+        "q344_theil_decomposition": """
+            WITH base AS MATERIALIZED (
+              SELECT c.c_mktsegment,
+                     CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS cents
+              FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+            seg AS (
+              SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_g,
+                     CAST(SUM(cents) AS BIGINT) AS s_g
+              FROM base GROUP BY 1),
+            tot AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+                           CAST(SUM(s_g) AS BIGINT) AS s FROM seg),
+            rws AS (
+              SELECT b.c_mktsegment, seg.n_g, seg.s_g,
+                     CAST(floor(
+                       (CAST(b.cents AS DOUBLE)
+                        / (CAST(seg.s_g AS DOUBLE)
+                           / CAST(seg.n_g AS DOUBLE)))
+                       * ln(CAST(b.cents AS DOUBLE)
+                            / (CAST(seg.s_g AS DOUBLE)
+                               / CAST(seg.n_g AS DOUBLE)))
+                       * 1000000000) AS BIGINT) AS t_nano
+              FROM base b JOIN seg USING (c_mktsegment)),
+            rg AS (
+              SELECT c_mktsegment, n_g, s_g,
+                     CAST(SUM(t_nano) AS BIGINT) AS tg_sum_nano
+              FROM rws GROUP BY 1, 2, 3)
+            SELECT c_mktsegment, n_g,
+                   CAST(floor(CAST(n_g AS DOUBLE) / CAST(n AS DOUBLE)
+                        * 1000000) AS BIGINT) AS share_ppm,
+                   CAST(floor((CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE))
+                        / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                        * 1000000) AS BIGINT) AS mean_ratio_ppm,
+                   CAST(floor(CAST(tg_sum_nano AS DOUBLE)
+                        / CAST(n_g AS DOUBLE)) AS BIGINT)
+                     AS theil_within_nano,
+                   CAST(floor(CAST(n_g AS DOUBLE) / CAST(n AS DOUBLE)
+                        * ((CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE))
+                           / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                        * ln((CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE))
+                             / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                        * 1000000000) AS BIGINT) AS between_term_nano,
+                   CAST(floor(CAST(n_g AS DOUBLE) / CAST(n AS DOUBLE)
+                        * ((CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE))
+                           / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                        * (CAST(tg_sum_nano AS DOUBLE)
+                           / CAST(n_g AS DOUBLE))) AS BIGINT)
+                     AS within_term_nano
+            FROM rg, tot
+        """,
+        "q345_minhash_error_audit": f"""
+            WITH sig4 AS MATERIALIZED ({_SIG_SQL}),
+            sig16 AS MATERIALIZED (
+              SELECT doc_id AS id, band,
+                     MIN(md5(band::VARCHAR || ':' || shingle)) AS minhash
+              FROM (
+                SELECT doc_id, unnest(shingles) AS shingle FROM (
+                  SELECT doc_id,
+                         CASE WHEN len(toks) >= 3
+                              THEN list_transform(range(1, len(toks) - 1),
+                                   i -> toks[i] || ' ' || toks[i+1]
+                                        || ' ' || toks[i+2])
+                              ELSE [] END AS shingles
+                  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents))),
+                (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11,
+                                12, 13, 14, 15]) AS band)
+              GROUP BY doc_id, band),
+            cands AS MATERIALIZED (
+              SELECT l.id AS a, r.id AS b
+              FROM sig4 l JOIN sig4 r
+                ON l.band = r.band AND l.minhash = r.minhash
+              WHERE l.id < r.id
+              GROUP BY 1, 2),
+            agr AS (
+              SELECT c.a, c.b,
+                     CAST(SUM(CASE WHEN sa.minhash = sb.minhash
+                              THEN 1 ELSE 0 END) AS BIGINT) AS agree
+              FROM cands c
+              JOIN sig16 sa ON sa.id = c.a
+              JOIN sig16 sb ON sb.id = c.b AND sb.band = sa.band
+              GROUP BY 1, 2),
+            sh AS (
+              SELECT doc_id, list_distinct(shingles) AS ss
+              FROM (
+                SELECT doc_id,
+                       CASE WHEN len(toks) >= 3
+                            THEN list_transform(range(1, len(toks) - 1),
+                                 i -> toks[i] || ' ' || toks[i+1]
+                                      || ' ' || toks[i+2])
+                            ELSE [] END AS shingles
+                FROM (SELECT doc_id, {_TOKS} AS toks FROM documents))
+              WHERE len(shingles) > 0),
+            exact AS (
+              SELECT agree,
+                     CAST(len(list_intersect(sa.ss, sb.ss)) AS BIGINT)
+                       * 1000000
+                       // (CAST(len(sa.ss) + len(sb.ss) AS BIGINT)
+                           - CAST(len(list_intersect(sa.ss, sb.ss))
+                                  AS BIGINT)) AS j_ppm
+              FROM agr
+              JOIN sh sa ON sa.doc_id = agr.a
+              JOIN sh sb ON sb.doc_id = agr.b)
+            SELECT agree, agree * 62500 AS est_ppm,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(j_ppm) AS BIGINT) // COUNT(*)
+                     AS mean_exact_ppm,
+                   CAST(SUM(abs(agree * 62500 - j_ppm)) AS BIGINT)
+                     // COUNT(*) AS mae_ppm
+            FROM exact GROUP BY 1, 2
         """,
     }

@@ -13973,3 +13973,266 @@ def q341_logrank_test(spark, sf):
             "significant"
         ),
     )
+
+
+def q342_chatterjee_xi(spark, sf):
+    """Chatterjee's xi rank correlation (Chatterjee 2020, JASA) of event
+    value against time, per event type — the modern dependence
+    coefficient that detects ANY functional relationship (not just
+    monotone like Spearman q233 / Kendall q234): xi = 1 -
+    3 sum|r_{i+1} - r_i| / (n^2 - 1), where r is the value's rank and i
+    runs in time order. Ranks and adjacent-rank jumps are pure integers
+    (row_number with event-id tie-breaks), so the statistic is exact
+    until one final float division.
+
+    Shape: one event_type-partitioned shuffle shared by the two windows
+    (rank-by-value, lag-in-time-order) + the per-type rollup."""
+    ev = _events(spark, sf)
+    w_rank = Window.partitionBy("event_type").orderBy("value", "event_id")
+    w_time = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    r = (
+        ev.select("event_type", "event_id", "ts", "value")
+        .withColumn("r", F.row_number().over(w_rank).cast("long"))
+        .withColumn("r_prev", F.lag("r").over(w_time))
+    )
+    per = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.abs(F.col("r") - F.col("r_prev"))).alias("jump_sum"),
+    )
+    n_d = F.col("n").cast("double")
+    xi = 1.0 - 3.0 * F.col("jump_sum").cast("double") / (n_d * n_d - 1.0)
+    return per.select(
+        "event_type",
+        "n",
+        "jump_sum",
+        F.floor(xi * 1_000_000).cast("long").alias("xi_micro"),
+    )
+
+
+def q343_mantel_haenszel(spark, sf):
+    """Mantel-Haenszel common odds ratio across region strata — the
+    confounder-adjusted 2x2 effect estimate (exposure = md5 order coin,
+    outcome = order finalized, strata = customer region): OR_MH =
+    sum_k (a_k d_k / n_k) / sum_k (b_k c_k / n_k). Per-stratum rational
+    terms floor to nano before the 5-row integer sums; ln(OR) is the
+    single transcendental at the end.
+
+    Shape: orders join customer (fact-sized, key-partitioned) with
+    nation/region broadcast; ONE (region, exposure, outcome) agg; the
+    pivot and MH algebra are 5-row model space."""
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    nation = _t(spark, sf, "nation")
+    region = _t(spark, sf, "region")
+    dim = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(F.col("c_custkey").alias("o_custkey"), "r_name")
+    exposed = (
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2),
+            16,
+            10,
+        )
+        % 2
+    ).cast("int")
+    bad = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    cells = (
+        orders.join(dim, on="o_custkey")
+        .select("r_name", exposed.alias("e"), bad.alias("y"))
+        .groupBy("r_name")
+        .agg(
+            F.sum(F.when((F.col("e") == 1) & (F.col("y") == 1), 1)
+                  .otherwise(0)).alias("a"),
+            F.sum(F.when((F.col("e") == 1) & (F.col("y") == 0), 1)
+                  .otherwise(0)).alias("b"),
+            F.sum(F.when((F.col("e") == 0) & (F.col("y") == 1), 1)
+                  .otherwise(0)).alias("c"),
+            F.sum(F.when((F.col("e") == 0) & (F.col("y") == 0), 1)
+                  .otherwise(0)).alias("d"),
+        )
+    )
+    nk = (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast(
+        "double"
+    )
+    num = F.col("a").cast("double") * F.col("d").cast("double") / nk
+    den = F.col("b").cast("double") * F.col("c").cast("double") / nk
+    terms = cells.select(
+        F.floor(num * 1_000_000_000).cast("long").alias("num_nano"),
+        F.floor(den * 1_000_000_000).cast("long").alias("den_nano"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum("num_nano").alias("num_nano"),
+        F.sum("den_nano").alias("den_nano"),
+    )
+    or_mh = F.col("num_nano").cast("double") / F.col("den_nano").cast(
+        "double"
+    )
+    return agg.select(
+        "n_strata",
+        "num_nano",
+        "den_nano",
+        F.floor(or_mh * 1_000_000).cast("long").alias("or_micro"),
+        F.floor(F.log(or_mh) * 1_000_000).cast("long").alias(
+            "ln_or_micro"
+        ),
+    )
+
+
+def q344_theil_decomposition(spark, sf):
+    """Theil T inequality index decomposed into between-segment and
+    within-segment components (the additive decomposition Gini q183
+    lacks): T = (1/N) sum (x/mu) ln(x/mu); T_between = sum_g (N_g/N)
+    (mu_g/mu) ln(mu_g/mu); within = T - between. Order cents are exact
+    integers; mu and mu_g are exact-integer ratios; every per-row ln
+    term floors to nano BEFORE its integer sum (no float
+    accumulation). Output per segment: population share, mean ratio,
+    within-group Theil, and the segment's between/within contributions
+    (their sums over segments are the decomposition).
+
+    Shape: one orders+customer join; per-segment sums (model-space),
+    the global 1-row broadcast back onto the scan for the row-level
+    terms, and per-segment rollups."""
+    from chemharmony_spark.cache import registered_persist
+
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    base = registered_persist(
+        orders.join(
+            cust.select(
+                F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+            ),
+            on="o_custkey",
+        ).select(
+            "c_mktsegment",
+            (_d("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    seg = base.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_g"), F.sum("cents").alias("s_g")
+    )
+    tot = seg.agg(F.sum("n_g").alias("n"), F.sum("s_g").alias("s"))
+    mu = F.col("s").cast("double") / F.col("n").cast("double")
+    mu_g = F.col("s_g").cast("double") / F.col("n_g").cast("double")
+    # row-level terms for the WITHIN component, against the segment mean
+    rows = (
+        base.join(F.broadcast(seg), on="c_mktsegment")
+        .select(
+            "c_mktsegment",
+            "n_g",
+            "s_g",
+            F.floor(
+                (F.col("cents").cast("double") / mu_g)
+                * F.log(F.col("cents").cast("double") / mu_g)
+                * 1_000_000_000
+            ).cast("long").alias("t_nano"),
+        )
+        .groupBy("c_mktsegment", "n_g", "s_g")
+        .agg(F.sum("t_nano").alias("tg_sum_nano"))
+    )
+    j = rows.crossJoin(F.broadcast(tot))
+    share = F.col("n_g").cast("double") / F.col("n").cast("double")
+    ratio = mu_g / mu
+    t_g = F.col("tg_sum_nano").cast("double") / F.col("n_g").cast(
+        "double"
+    )
+    return j.select(
+        "c_mktsegment",
+        "n_g",
+        F.floor(share * 1_000_000).cast("long").alias("share_ppm"),
+        F.floor(ratio * 1_000_000).cast("long").alias("mean_ratio_ppm"),
+        F.floor(t_g).cast("long").alias("theil_within_nano"),
+        F.floor(share * ratio * F.log(ratio) * 1_000_000_000)
+        .cast("long")
+        .alias("between_term_nano"),
+        F.floor(share * ratio * t_g).cast("long").alias(
+            "within_term_nano"
+        ),
+    )
+
+
+def q345_minhash_error_audit(spark, sf):
+    """MinHash estimator calibration audit: for every 4-band LSH
+    candidate pair, the 16-band minhash agreement share (the unbiased
+    Jaccard estimator, est = agree/16) is binned against the EXACT
+    shingle-set Jaccard — the measurement that tells you whether your
+    band budget is adequate BEFORE you trust the sketch at 100 TB
+    (complements q160's recall audit and q266's cost model: this one
+    audits the estimate's bias/MAE, not the candidate set). Both
+    estimate and truth are exact integers (agree counts; intersection
+    DIV union ppm).
+
+    Shape: signatures are scan-speed (array_min per band, no explode);
+    candidates bucket-join on 4-band sigs; the agreement join moves
+    candidates x 16 narrow rows; exact verify is array_intersect on
+    candidates only; final rollup is 17 bins."""
+    docs = _t(spark, sf, "documents")
+    from chemharmony_spark.cache import registered_persist
+    from chemharmony_spark.operators.dedup import word_shingles
+
+    cands = registered_persist(
+        DD.lsh_candidate_pairs(
+            DD.minhash_signatures(docs, "doc_id", "text", n_bands=4)
+        )
+    )
+    sig16 = registered_persist(
+        DD.minhash_signatures(docs, "doc_id", "text", n_bands=16)
+    )
+    agree = (
+        cands.join(
+            sig16.select(
+                F.col("id").alias("a"), "band", F.col("minhash").alias("ma")
+            ),
+            on="a",
+        )
+        .join(
+            sig16.select(
+                F.col("id").alias("b"), "band", F.col("minhash").alias("mb")
+            ),
+            on=["b", "band"],
+        )
+        .groupBy("a", "b")
+        .agg(
+            F.sum((F.col("ma") == F.col("mb")).cast("int")).alias("agree")
+        )
+    )
+    sh = docs.select(
+        "doc_id",
+        F.array_distinct(
+            word_shingles(TX.tokens("text"), 3)
+        ).alias("ss"),
+    ).where(F.size("ss") > 0)
+    exact = (
+        agree.join(
+            F.broadcast(sh.select(F.col("doc_id").alias("a"),
+                                  F.col("ss").alias("sa"))),
+            on="a",
+        )
+        .join(
+            F.broadcast(sh.select(F.col("doc_id").alias("b"),
+                                  F.col("ss").alias("sb"))),
+            on="b",
+        )
+        .select(
+            "agree",
+            F.size(F.array_intersect("sa", "sb")).alias("ni"),
+            (F.size("sa") + F.size("sb")).alias("ntot"),
+        )
+        .select(
+            "agree",
+            F.expr("ni * 1000000 DIV (ntot - ni)").alias("j_ppm"),
+        )
+    )
+    return (
+        exact.withColumn("est_ppm", F.col("agree") * 62500)
+        .groupBy("agree", "est_ppm")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.expr("SUM(j_ppm) DIV COUNT(*)").alias("mean_exact_ppm"),
+            F.expr(
+                "SUM(abs(agree * 62500 - j_ppm)) DIV COUNT(*)"
+            ).alias("mae_ppm"),
+        )
+    )

@@ -895,6 +895,18 @@ SHUFFLE_BUDGET = {
     # consumer) + (arm, day)/arm rollups, day grid, per-day combine
     # and the 1-row test rollup — all model-space after the user agg
     "q341_logrank_test": 7,
+    # q342: ONE event_type exchange shared by both windows + rollup
+    "q342_chatterjee_xi": 1,
+    # q343: the orders+customer join/agg + the 5-row test rollup
+    "q343_mantel_haenszel": 2,
+    # q344: persisted orders+customer base (reprinted per consumer) +
+    # segment rollup + row-term rollup + 1-row total
+    "q344_theil_decomposition": 4,
+    # q345: the 4-band bucket candidate join + the 16-band agreement
+    # rollup + the 17-bin calibration rollup (persisted frames reprint
+    # the candidate exchange per consumer); signatures and shingle
+    # sets are scan-speed narrow arrays (broadcast to the verify)
+    "q345_minhash_error_audit": 4,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -1070,7 +1082,9 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 "q338_propensity_strata_ate",
                 "q339_jackknife_ratio_se",
                 # q341: 2-row arm totals broadcast onto the day grid
-                "q341_logrank_test"}
+                "q341_logrank_test",
+                # q344: 1-row grand total broadcast onto 5 segments
+                "q344_theil_decomposition"}
 
 
 def test_no_headline_query_has_unpartitioned_ranked_window(spark):
