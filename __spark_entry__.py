@@ -422,6 +422,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q343_mantel_haenszel": Q.q343_mantel_haenszel,
         "q344_theil_decomposition": Q.q344_theil_decomposition,
         "q345_minhash_error_audit": Q.q345_minhash_error_audit,
+        "q346_fs_em_step": Q.q346_fs_em_step,
+        "q347_consistent_hash_moves": Q.q347_consistent_hash_moves,
+        "q348_ucb1_arms": Q.q348_ucb1_arms,
+        "q349_token_fertility": Q.q349_token_fertility,
     }
 
 
@@ -10441,5 +10445,187 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(abs(agree * 62500 - j_ppm)) AS BIGINT)
                      // COUNT(*) AS mae_ppm
             FROM exact GROUP BY 1, 2
+        """,
+        "q346_fs_em_step": """
+            WITH cust AS MATERIALIZED (
+              SELECT c_custkey, c_mktsegment, c_nationkey,
+                     CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents,
+                     c_custkey % 10 AS lastd
+              FROM customer),
+            pats AS (
+              SELECT CASE WHEN a.c_nationkey = b.c_nationkey
+                     THEN 1 ELSE 0 END AS a1,
+                     CASE WHEN abs(a.bal_cents - b.bal_cents) < 50000
+                     THEN 1 ELSE 0 END AS a2,
+                     CASE WHEN a.lastd = b.lastd THEN 1 ELSE 0 END AS a3,
+                     CAST(COUNT(*) AS BIGINT) AS n_g
+              FROM cust a JOIN cust b
+                ON a.c_mktsegment = b.c_mktsegment
+              WHERE a.c_custkey < b.c_custkey
+              GROUP BY 1, 2, 3),
+            g AS (
+              SELECT a1, a2, a3, n_g,
+                     CAST(floor(
+                       (0.1 * (CASE WHEN a1 = 1 THEN 0.9
+                               ELSE 1.0 - 0.9 END)
+                            * (CASE WHEN a2 = 1 THEN 0.9
+                               ELSE 1.0 - 0.9 END)
+                            * (CASE WHEN a3 = 1 THEN 0.9
+                               ELSE 1.0 - 0.9 END))
+                       / ((0.1 * (CASE WHEN a1 = 1 THEN 0.9
+                                  ELSE 1.0 - 0.9 END)
+                               * (CASE WHEN a2 = 1 THEN 0.9
+                                  ELSE 1.0 - 0.9 END)
+                               * (CASE WHEN a3 = 1 THEN 0.9
+                                  ELSE 1.0 - 0.9 END))
+                          + (0.9 * (CASE WHEN a1 = 1 THEN 0.1
+                                    ELSE 1.0 - 0.1 END)
+                                 * (CASE WHEN a2 = 1 THEN 0.1
+                                    ELSE 1.0 - 0.1 END)
+                                 * (CASE WHEN a3 = 1 THEN 0.1
+                                    ELSE 1.0 - 0.1 END)))
+                       * CAST(n_g AS DOUBLE) * 1000000000)
+                       AS BIGINT) AS gn_nano,
+                     CAST(floor(
+                       (1.0 - (0.1 * (CASE WHEN a1 = 1 THEN 0.9
+                                      ELSE 1.0 - 0.9 END)
+                                   * (CASE WHEN a2 = 1 THEN 0.9
+                                      ELSE 1.0 - 0.9 END)
+                                   * (CASE WHEN a3 = 1 THEN 0.9
+                                      ELSE 1.0 - 0.9 END))
+                          / ((0.1 * (CASE WHEN a1 = 1 THEN 0.9
+                                     ELSE 1.0 - 0.9 END)
+                                  * (CASE WHEN a2 = 1 THEN 0.9
+                                     ELSE 1.0 - 0.9 END)
+                                  * (CASE WHEN a3 = 1 THEN 0.9
+                                     ELSE 1.0 - 0.9 END))
+                             + (0.9 * (CASE WHEN a1 = 1 THEN 0.1
+                                       ELSE 1.0 - 0.1 END)
+                                    * (CASE WHEN a2 = 1 THEN 0.1
+                                       ELSE 1.0 - 0.1 END)
+                                    * (CASE WHEN a3 = 1 THEN 0.1
+                                       ELSE 1.0 - 0.1 END))))
+                       * CAST(n_g AS DOUBLE) * 1000000000)
+                       AS BIGINT) AS vn_nano
+              FROM pats),
+            agg AS (
+              SELECT CAST(SUM(n_g) AS BIGINT) AS n_pairs,
+                     CAST(SUM(gn_nano) AS BIGINT) AS gn,
+                     CAST(SUM(vn_nano) AS BIGINT) AS vn,
+                     CAST(SUM(CASE WHEN a1 = 1 THEN gn_nano ELSE 0 END)
+                          AS BIGINT) AS gn_a1,
+                     CAST(SUM(CASE WHEN a1 = 1 THEN vn_nano ELSE 0 END)
+                          AS BIGINT) AS vn_a1,
+                     CAST(SUM(CASE WHEN a2 = 1 THEN gn_nano ELSE 0 END)
+                          AS BIGINT) AS gn_a2,
+                     CAST(SUM(CASE WHEN a2 = 1 THEN vn_nano ELSE 0 END)
+                          AS BIGINT) AS vn_a2,
+                     CAST(SUM(CASE WHEN a3 = 1 THEN gn_nano ELSE 0 END)
+                          AS BIGINT) AS gn_a3,
+                     CAST(SUM(CASE WHEN a3 = 1 THEN vn_nano ELSE 0 END)
+                          AS BIGINT) AS vn_a3
+              FROM g)
+            SELECT 'a1' AS field, n_pairs,
+                   CAST(floor(CAST(gn_a1 AS DOUBLE) / CAST(gn AS DOUBLE)
+                        * 1000000) AS BIGINT) AS m_ppm,
+                   CAST(floor(CAST(vn_a1 AS DOUBLE) / CAST(vn AS DOUBLE)
+                        * 1000000) AS BIGINT) AS u_ppm,
+                   CAST(floor(CAST(gn AS DOUBLE)
+                        / (CAST(n_pairs AS DOUBLE) * 1000000000.0)
+                        * 1000000) AS BIGINT) AS p_match_ppm
+            FROM agg
+            UNION ALL
+            SELECT 'a2', n_pairs,
+                   CAST(floor(CAST(gn_a2 AS DOUBLE) / CAST(gn AS DOUBLE)
+                        * 1000000) AS BIGINT),
+                   CAST(floor(CAST(vn_a2 AS DOUBLE) / CAST(vn AS DOUBLE)
+                        * 1000000) AS BIGINT),
+                   CAST(floor(CAST(gn AS DOUBLE)
+                        / (CAST(n_pairs AS DOUBLE) * 1000000000.0)
+                        * 1000000) AS BIGINT)
+            FROM agg
+            UNION ALL
+            SELECT 'a3', n_pairs,
+                   CAST(floor(CAST(gn_a3 AS DOUBLE) / CAST(gn AS DOUBLE)
+                        * 1000000) AS BIGINT),
+                   CAST(floor(CAST(vn_a3 AS DOUBLE) / CAST(vn AS DOUBLE)
+                        * 1000000) AS BIGINT),
+                   CAST(floor(CAST(gn AS DOUBLE)
+                        / (CAST(n_pairs AS DOUBLE) * 1000000000.0)
+                        * 1000000) AS BIGINT)
+            FROM agg
+        """,
+        "q347_consistent_hash_moves": f"""
+            WITH vn AS (
+              SELECT n.node, v.vnode,
+                     md5('n' || CAST(n.node AS VARCHAR) || ':v'
+                         || CAST(v.vnode AS VARCHAR)) AS h
+              FROM (SELECT unnest(range(0, 9)) AS node) n,
+                   (SELECT unnest(range(0, 16)) AS vnode) v),
+            enc AS (
+              SELECT node,
+                     (({_hex4('h', 1)} * 65536 + {_hex4('h', 5)}) * 16
+                      + node) AS e
+              FROM vn),
+            r8 AS (SELECT list_sort(list(e)) AS ring8 FROM enc
+                   WHERE node < 8),
+            r9 AS (SELECT list_sort(list(e)) AS ring9 FROM enc),
+            keys AS (
+              SELECT ({_hex4("md5(CAST(o_orderkey AS VARCHAR))", 1)}
+                      * 65536
+                      + {_hex4("md5(CAST(o_orderkey AS VARCHAR))", 5)})
+                     * 16 AS pos
+              FROM orders),
+            asg AS (
+              SELECT (CASE WHEN len(list_filter(ring8, x -> x >= pos))
+                           > 0
+                      THEN list_min(list_filter(ring8, x -> x >= pos))
+                      ELSE list_min(ring8) END) % 16 AS from_node,
+                     (CASE WHEN len(list_filter(ring9, x -> x >= pos))
+                           > 0
+                      THEN list_min(list_filter(ring9, x -> x >= pos))
+                      ELSE list_min(ring9) END) % 16 AS to_node
+              FROM keys, r8, r9)
+            SELECT from_node, to_node, CAST(COUNT(*) AS BIGINT) AS n_keys
+            FROM asg GROUP BY 1, 2
+        """,
+        "q348_ucb1_arms": """
+            WITH arms AS (
+              SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(floor(value / 500.0 * 1000000)
+                                   AS BIGINT)) AS BIGINT) AS r_micro_sum
+              FROM events GROUP BY 1),
+            tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM arms)
+            SELECT event_type, n,
+                   CAST(floor(CAST(r_micro_sum AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * 1000000.0)
+                        * 1000000) AS BIGINT) AS mean_r_micro,
+                   CAST(floor(sqrt(2.0 * ln(CAST(n_total AS DOUBLE))
+                        / CAST(n AS DOUBLE)) * 1000000) AS BIGINT)
+                     AS bonus_micro,
+                   CAST(floor((CAST(r_micro_sum AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * 1000000.0)
+                        + sqrt(2.0 * ln(CAST(n_total AS DOUBLE))
+                               / CAST(n AS DOUBLE)))
+                        * 1000000) AS BIGINT) AS ucb_micro
+            FROM arms, tot
+        """,
+        "q349_token_fertility": f"""
+            WITH per AS (
+              SELECT lang, len({_TOKS}) AS nt,
+                     len(list_distinct({_TOKS})) AS nd,
+                     n_chars AS nc
+              FROM documents),
+            ag AS (
+              SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(nt) AS BIGINT) AS n_tokens,
+                     CAST(SUM(nd) AS BIGINT) AS n_distinct,
+                     CAST(SUM(nc) AS BIGINT) AS n_chars
+              FROM per GROUP BY 1)
+            SELECT lang, n_docs, n_tokens,
+                   n_tokens * 1000000 // n_docs AS tokens_per_doc_ppm,
+                   n_chars * 1000000 // n_tokens AS chars_per_token_ppm,
+                   n_distinct * 1000000 // n_tokens AS ttr_ppm
+            FROM ag
         """,
     }

@@ -14236,3 +14236,268 @@ def q345_minhash_error_audit(spark, sf):
             ).alias("mae_ppm"),
         )
     )
+
+
+def q346_fs_em_step(spark, sf):
+    """One EM iteration of unsupervised Fellegi-Sunter record-linkage
+    parameter estimation (the step that learns q312's m/u weights with
+    NO labeled truth): within market-segment blocks, every customer
+    pair's 3-bit agreement pattern (nation, acctbal-within-500,
+    custkey-last-digit) is counted; from the fixed init (p=0.1, m=0.9,
+    u=0.1) the E-step posterior gamma_g = p prod m^a (1-m)^(1-a) /
+    (... + (1-p) prod u^a (1-u)^(1-a)) re-weights the 8 pattern counts,
+    and the M-step re-estimates each field's m_k, u_k and the match
+    prior. Per-pattern weighted counts floor to nano before the 8-row
+    integer sums.
+
+    Shape: the pair join blocks on segment (bounded groups — the q199
+    blocking discipline); everything after the 8-row pattern agg is
+    model-space."""
+    cust = _t(spark, sf, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+        (F.col("c_custkey") % 10).alias("lastd"),
+    )
+    a = cust.alias("a")
+    b = cust.alias("b")
+    pats = (
+        a.join(b, on="c_mktsegment")
+        .where(F.col("a.c_custkey") < F.col("b.c_custkey"))
+        .select(
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            .cast("int")
+            .alias("a1"),
+            (
+                F.abs(F.col("a.bal_cents") - F.col("b.bal_cents"))
+                < 50000
+            ).cast("int").alias("a2"),
+            (F.col("a.lastd") == F.col("b.lastd")).cast("int").alias(
+                "a3"
+            ),
+        )
+        .groupBy("a1", "a2", "a3")
+        .agg(F.count(F.lit(1)).alias("n_g"))
+    )
+
+    def bern(p_col, bit):
+        return F.when(F.col(bit) == 1, F.lit(p_col)).otherwise(
+            F.lit(1.0) - F.lit(p_col)
+        )
+
+    w = F.lit(0.1) * bern(0.9, "a1") * bern(0.9, "a2") * bern(0.9, "a3")
+    v = F.lit(0.9) * bern(0.1, "a1") * bern(0.1, "a2") * bern(0.1, "a3")
+    gamma = w / (w + v)
+    g = pats.select(
+        "a1",
+        "a2",
+        "a3",
+        "n_g",
+        F.floor(gamma * F.col("n_g").cast("double") * 1e9)
+        .cast("long")
+        .alias("gn_nano"),
+        F.floor(
+            (1.0 - gamma) * F.col("n_g").cast("double") * 1e9
+        ).cast("long").alias("vn_nano"),
+    )
+    agg = g.agg(
+        F.sum("n_g").alias("n_pairs"),
+        F.sum("gn_nano").alias("gn"),
+        F.sum("vn_nano").alias("vn"),
+        *[
+            x
+            for k in ("a1", "a2", "a3")
+            for x in (
+                F.sum(
+                    F.when(F.col(k) == 1, F.col("gn_nano")).otherwise(0)
+                ).alias(f"gn_{k}"),
+                F.sum(
+                    F.when(F.col(k) == 1, F.col("vn_nano")).otherwise(0)
+                ).alias(f"vn_{k}"),
+            )
+        ],
+    )
+    rows = []
+    for k in ("a1", "a2", "a3"):
+        m_new = F.col(f"gn_{k}").cast("double") / F.col("gn").cast(
+            "double"
+        )
+        u_new = F.col(f"vn_{k}").cast("double") / F.col("vn").cast(
+            "double"
+        )
+        rows.append(
+            agg.select(
+                F.lit(k).alias("field"),
+                F.col("n_pairs"),
+                F.floor(m_new * 1_000_000).cast("long").alias("m_ppm"),
+                F.floor(u_new * 1_000_000).cast("long").alias("u_ppm"),
+                F.floor(
+                    F.col("gn").cast("double")
+                    / (F.col("n_pairs").cast("double") * 1e9)
+                    * 1_000_000
+                ).cast("long").alias("p_match_ppm"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+def q347_consistent_hash_moves(spark, sf):
+    """Consistent-hashing rebalance audit — the partition-placement
+    question behind every shard/cache-tier expansion: keys (order ids)
+    place on an md5 ring of 8 nodes x 16 vnodes; adding node 8 re-routes
+    ONLY the keys whose ring successor changes, and this query emits the
+    full (from_node, to_node, n_keys) transition matrix (diagonal =
+    stayed; off-diagonal sums to the moved share, ~1/9 by theory).
+    The 128/144-vnode rings fold to sorted encoded arrays (pos*16+node)
+    in ONE model-space agg each and broadcast; per-key assignment is a
+    pure array expression (filter >= keypos, min, wrap) — scan speed,
+    no key-sized join.
+
+    Shape: two tiny vnode aggs + the key scan + a <=81-cell rollup."""
+    orders = _t(spark, sf, "orders")
+
+    def ring(n_nodes):
+        nodes = (
+            spark.range(n_nodes)
+            .select(F.col("id").cast("int").alias("node"))
+            .crossJoin(
+                spark.range(16).select(
+                    F.col("id").cast("int").alias("vnode")
+                )
+            )
+        )
+        enc = nodes.select(
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                F.concat(F.lit("n"), F.col("node")),
+                                F.concat(F.lit("v"), F.col("vnode")),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                * 16
+                + F.col("node")
+            ).alias("e")
+        )
+        return enc.agg(F.array_sort(F.collect_list("e")).alias("ring"))
+
+    r8 = ring(8).withColumnRenamed("ring", "ring8")
+    r9 = ring(9).withColumnRenamed("ring", "ring9")
+    keypos = (
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        * 16
+    )
+
+    def assign(ring_col, pos):
+        ge = F.filter(F.col(ring_col), lambda x: x >= pos)
+        succ = F.when(
+            F.size(ge) > 0, F.array_min(ge)
+        ).otherwise(F.array_min(F.col(ring_col)))
+        return (succ % 16).cast("int")
+
+    keyed = (
+        orders.select(keypos.alias("pos"))
+        .crossJoin(F.broadcast(r8))
+        .crossJoin(F.broadcast(r9))
+        .select(
+            assign("ring8", F.col("pos")).alias("from_node"),
+            assign("ring9", F.col("pos")).alias("to_node"),
+        )
+    )
+    return keyed.groupBy("from_node", "to_node").agg(
+        F.count(F.lit(1)).alias("n_keys")
+    )
+
+
+def q348_ucb1_arms(spark, sf):
+    """UCB1 bandit indices over the event-type arms at the logged
+    horizon (Auer et al. 2002): index = mean normalized reward +
+    sqrt(2 ln N / n) — what an explore-exploit scheduler would pull
+    next, and the standard replay diagnostic for "has this arm been
+    explored enough". Rewards normalize to value/500; means come from
+    exact micro-floored integer sums; ln/sqrt are the only floats.
+
+    Shape: ONE per-arm agg + a 1-row horizon broadcast; the index is
+    5-row model space."""
+    ev = _events(spark, sf)
+    arms = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.floor(F.col("value") / 500.0 * 1_000_000).cast("long")
+        ).alias("r_micro_sum"),
+    )
+    tot = arms.agg(F.sum("n").alias("n_total"))
+    j = arms.crossJoin(F.broadcast(tot))
+    mean_r = F.col("r_micro_sum").cast("double") / (
+        F.col("n").cast("double") * 1e6
+    )
+    bonus = F.sqrt(
+        2.0 * F.log(F.col("n_total").cast("double"))
+        / F.col("n").cast("double")
+    )
+    ucb = mean_r + bonus
+    return j.select(
+        "event_type",
+        "n",
+        F.floor(mean_r * 1_000_000).cast("long").alias("mean_r_micro"),
+        F.floor(bonus * 1_000_000).cast("long").alias("bonus_micro"),
+        F.floor(ucb * 1_000_000).cast("long").alias("ucb_micro"),
+    )
+
+
+def q349_token_fertility(spark, sf):
+    """Tokenizer fertility profile per language — the table every
+    multilingual-pretraining budget review starts from: chars per
+    token, tokens per doc, and the type-token ratio by the `lang`
+    column (CJK text tokenizes into far fewer whitespace tokens per
+    char, so byte budgets skew). All per-row integer counts; ratios
+    are integer ppm DIVs.
+
+    Shape: per-row token stats on the scan, one (lang) agg."""
+    docs = _t(spark, sf, "documents")
+    toks = TX.tokens("text")
+    per = docs.select(
+        "lang",
+        F.size(toks).alias("nt"),
+        F.size(F.array_distinct(toks)).alias("nd"),
+        F.col("n_chars").alias("nc"),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("n_tokens"),
+            F.sum("nd").alias("n_distinct"),
+            F.sum("nc").alias("n_chars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.expr("n_tokens * 1000000 DIV n_docs").alias(
+                "tokens_per_doc_ppm"
+            ),
+            F.expr("n_chars * 1000000 DIV n_tokens").alias(
+                "chars_per_token_ppm"
+            ),
+            F.expr("n_distinct * 1000000 DIV n_tokens").alias(
+                "ttr_ppm"
+            ),
+        )
+    )

@@ -907,6 +907,17 @@ SHUFFLE_BUDGET = {
     # the candidate exchange per consumer); signatures and shingle
     # sets are scan-speed narrow arrays (broadcast to the verify)
     "q345_minhash_error_audit": 4,
+    # q346: the segment-blocked pair join + the 8-pattern agg + the
+    # 1-row EM rollup (reprinted per unionAll branch)
+    "q346_fs_em_step": 6,
+    # q347: two model-space vnode-ring aggs + the transition rollup;
+    # per-key assignment is a pure array expression on the scan
+    "q347_consistent_hash_moves": 3,
+    # q348: the per-arm agg (reprinted for its 1-row horizon total)
+    # + the final projection
+    "q348_ucb1_arms": 3,
+    # q349: ONE (lang) agg over per-row token stats
+    "q349_token_fertility": 1,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -1084,7 +1095,11 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 # q341: 2-row arm totals broadcast onto the day grid
                 "q341_logrank_test",
                 # q344: 1-row grand total broadcast onto 5 segments
-                "q344_theil_decomposition"}
+                "q344_theil_decomposition",
+                # q347: two 1-row ring-array broadcasts onto the scan
+                "q347_consistent_hash_moves",
+                # q348: 1-row horizon total broadcast onto 5 arms
+                "q348_ucb1_arms"}
 
 
 def test_no_headline_query_has_unpartitioned_ranked_window(spark):
