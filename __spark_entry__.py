@@ -426,6 +426,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q347_consistent_hash_moves": Q.q347_consistent_hash_moves,
         "q348_ucb1_arms": Q.q348_ucb1_arms,
         "q349_token_fertility": Q.q349_token_fertility,
+        "q350_threshold_percolation": Q.q350_threshold_percolation,
+        "q351_cdc_chunk_dedup": Q.q351_cdc_chunk_dedup,
+        "q352_hits_scores": Q.q352_hits_scores,
     }
 
 
@@ -10627,5 +10630,117 @@ def oracle_sql() -> dict[str, str]:
                    n_chars * 1000000 // n_tokens AS chars_per_token_ppm,
                    n_distinct * 1000000 // n_tokens AS ttr_ppm
             FROM ag
+        """,
+        "q350_threshold_percolation": f"""
+            WITH RECURSIVE words AS MATERIALIZED (
+              SELECT DISTINCT doc_id AS id, unnest(toks) AS word
+              FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)),
+            sizes AS (SELECT id, COUNT(*) AS nw FROM words GROUP BY id),
+            inter AS (
+              SELECT wa.id AS a, wb.id AS b,
+                     CAST(COUNT(*) AS BIGINT) AS ni
+              FROM words wa
+              JOIN words wb ON wb.word = wa.word AND wa.id < wb.id
+              GROUP BY 1, 2),
+            pairs AS MATERIALIZED (
+              SELECT a, b,
+                     ni * 1000000 // (sa.nw + sb.nw - ni) AS j_ppm
+              FROM inter
+              JOIN sizes sa ON sa.id = a
+              JOIN sizes sb ON sb.id = b
+              WHERE ni * 1000000 // (sa.nw + sb.nw - ni) >= 500000),
+            ths AS (SELECT unnest([500000, 700000, 900000]) AS th),
+            sym AS MATERIALIZED (
+              SELECT th, a, b FROM pairs, ths WHERE j_ppm >= th
+              UNION
+              SELECT th, b, a FROM pairs, ths WHERE j_ppm >= th),
+            nodes AS (SELECT DISTINCT th, a AS node FROM sym),
+            reach AS (
+              SELECT th, node, node AS peer FROM nodes
+              UNION
+              SELECT r.th, r.node, s.b AS peer
+              FROM reach r JOIN sym s ON s.th = r.th AND s.a = r.peer),
+            comps AS (SELECT th, node, MIN(peer) AS component
+                      FROM reach GROUP BY 1, 2),
+            cs AS (SELECT th, component, CAST(COUNT(*) AS BIGINT) AS sz
+                   FROM comps GROUP BY 1, 2),
+            est AS (
+              SELECT th, CAST(SUM(sz) AS BIGINT) AS n_nodes,
+                     CAST(COUNT(*) AS BIGINT) AS n_components,
+                     CAST(MAX(sz) AS BIGINT) AS max_component
+              FROM cs GROUP BY 1),
+            ecnt AS (
+              SELECT t.th, CAST(COUNT(*) AS BIGINT) AS n_edges
+              FROM ths t JOIN pairs p ON p.j_ppm >= t.th
+              GROUP BY 1)
+            SELECT CAST(e.th AS BIGINT) AS th_ppm, e.n_edges,
+                   s.n_nodes, s.n_components, s.max_component
+            FROM ecnt e JOIN est s ON s.th = e.th
+        """,
+        "q351_cdc_chunk_dedup": f"""
+            WITH toks AS MATERIALIZED (
+              SELECT doc_id, source, ord - 1 AS pos, tok,
+                     CASE WHEN (instr('0123456789abcdef',
+                                substr(md5(tok), 1, 1)) - 1) % 16 = 0
+                          THEN 1 ELSE 0 END AS bflag
+              FROM (SELECT doc_id, source, unnest({_TOKS}) AS tok,
+                           generate_subscripts({_TOKS}, 1) AS ord
+                    FROM documents)),
+            cid AS (
+              SELECT doc_id, source, pos, tok,
+                     COALESCE(SUM(bflag) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS chunk_id
+              FROM toks),
+            chunks AS MATERIALIZED (
+              SELECT doc_id, source, chunk_id,
+                     md5(string_agg(tok, ' ' ORDER BY pos)) AS chash,
+                     CAST(COUNT(*) AS BIGINT) AS n_tok
+              FROM cid GROUP BY 1, 2, 3),
+            occ AS (SELECT chash, CAST(COUNT(*) AS BIGINT) AS n_copies
+                    FROM chunks GROUP BY 1)
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+                   CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+                   CAST(SUM(CASE WHEN n_copies >= 2 THEN n_tok
+                            ELSE 0 END) AS BIGINT) AS dedupable_tokens,
+                   CAST(SUM(CASE WHEN n_copies >= 2 THEN n_tok
+                            ELSE 0 END) AS BIGINT) * 1000000
+                     // CAST(SUM(n_tok) AS BIGINT) AS dedupable_ppm
+            FROM chunks JOIN occ USING (chash) GROUP BY 1
+        """,
+        "q352_hits_scores": """
+            WITH edges AS MATERIALIZED (
+              SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+              FROM lineitem l JOIN orders o
+                ON l.l_orderkey = o.o_orderkey),
+            a1r AS (SELECT part,
+                           CAST(COUNT(*) AS BIGINT) * 1000000 AS score
+                    FROM edges GROUP BY 1),
+            a1 AS (SELECT part, score * 1000000
+                          // (SELECT MAX(score) FROM a1r) AS score
+                   FROM a1r),
+            h1r AS (SELECT cust, CAST(SUM(a1.score) AS BIGINT) AS score
+                    FROM edges JOIN a1 USING (part) GROUP BY 1),
+            h1 AS (SELECT cust, score * 1000000
+                          // (SELECT MAX(score) FROM h1r) AS score
+                   FROM h1r),
+            a2r AS (SELECT part, CAST(SUM(h1.score) AS BIGINT) AS score
+                    FROM edges JOIN h1 USING (cust) GROUP BY 1),
+            a2 AS (SELECT part, score * 1000000
+                          // (SELECT MAX(score) FROM a2r) AS score
+                   FROM a2r),
+            h2r AS (SELECT cust, CAST(SUM(a2.score) AS BIGINT) AS score
+                    FROM edges JOIN a2 USING (part) GROUP BY 1),
+            h2 AS (SELECT cust, score * 1000000
+                          // (SELECT MAX(score) FROM h2r) AS score
+                   FROM h2r)
+            SELECT * FROM (
+              SELECT 'hub' AS role, cust AS node_id, score
+              FROM h2 ORDER BY score DESC, cust LIMIT 10)
+            UNION ALL
+            SELECT * FROM (
+              SELECT 'authority' AS role, part AS node_id, score
+              FROM a2 ORDER BY score DESC, part LIMIT 10)
         """,
     }

@@ -14501,3 +14501,237 @@ def q349_token_fertility(spark, sf):
             ),
         )
     )
+
+
+def q350_threshold_percolation(spark, sf):
+    """Dedup-threshold percolation audit: at Jaccard thresholds 0.5 /
+    0.7 / 0.9, the near-dup graph's edge count, touched-node count,
+    component count and LARGEST-component size — the structural
+    collapse curve that q313's F1 sweep can't see (one giant
+    quasi-component at a loose threshold silently merges unrelated
+    docs into one "duplicate cluster" and deletes half the corpus).
+    One exact-recall candidate+verify pass at the loosest threshold
+    (integer j_ppm) feeds all three graphs; components run through the
+    Boruvka-pre-contracted star algorithm per threshold.
+
+    Shape: one PPJoin candidate join + verify (persisted), three
+    model-space CC runs over filtered edges, 3-row output."""
+    from chemharmony_spark.cache import registered_persist
+    from chemharmony_spark.operators.graph import connected_components_star
+
+    docs = _t(spark, sf, "documents")
+    cands = registered_persist(
+        DD.prefix_filter_pairs(docs, "doc_id", "text", threshold=0.5)
+    )
+    pairs = registered_persist(
+        DD.jaccard_pairs(docs, cands, "doc_id", "text")
+        .select(
+            "a",
+            "b",
+            F.expr("n_inter * 1000000 DIV (na + nb - n_inter)").alias(
+                "j_ppm"
+            ),
+        )
+        .where(F.col("j_ppm") >= 500000)
+    )
+    outs = []
+    for th in (500000, 700000, 900000):
+        e = pairs.where(F.col("j_ppm") >= th)
+        comp = connected_components_star(
+            e, "a", "b", broadcast_maps=True, pre_contract=True
+        )
+        sizes = comp.groupBy("component").agg(
+            F.count(F.lit(1)).alias("sz")
+        )
+        stats = e.agg(
+            F.count(F.lit(1)).alias("n_edges")
+        ).crossJoin(
+            sizes.agg(
+                F.sum("sz").alias("n_nodes"),
+                F.count(F.lit(1)).alias("n_components"),
+                F.max("sz").alias("max_component"),
+            )
+        ).select(
+            F.lit(th).alias("th_ppm"),
+            "n_edges",
+            "n_nodes",
+            "n_components",
+            "max_component",
+        )
+        outs.append(stats)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+def q351_cdc_chunk_dedup(spark, sf):
+    """Content-defined chunking dedup profile (the rsync/LBFS/backup-
+    dedup technique, token-level): a chunk boundary opens after any
+    token whose md5 low nibble is 0 (expected chunk ~16 tokens,
+    boundaries survive insertions/deletions unlike fixed windows);
+    chunks hash to md5 keys, and a chunk stored by 2+ docs is
+    DEDUPLICATABLE. Per source: total vs deduplicatable token mass —
+    the storage/training-byte saving CDC would deliver, complementing
+    q48's winnowing fingerprints (selection-based) with a partition of
+    the full stream.
+
+    Shape: posexplode + a doc-partitioned boundary cumsum (one
+    high-cardinality shuffle), the (doc, chunk) rollup, a chunk-hash
+    occurrence rollup broadcast back, and the per-source agg."""
+    docs = _t(spark, sf, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.posexplode(TX.tokens("text")).alias("pos", "token"),
+        )
+        .withColumn(
+            "bflag",
+            (
+                F.conv(F.substring(F.md5("token"), 1, 1), 16, 10) % 16
+                == 0
+            ).cast("int"),
+        )
+        .withColumn(
+            "chunk_id",
+            F.coalesce(
+                F.sum("bflag").over(
+                    Window.partitionBy("doc_id")
+                    .orderBy("pos")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+    )
+    chunks = toks.groupBy("doc_id", "source", "chunk_id").agg(
+        # collect_list order is nondeterministic — sort by pos before
+        # hashing the chunk text
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "token"))
+                ).getField("token"),
+            )
+        ).alias("chash"),
+        F.count(F.lit(1)).alias("n_tok"),
+    )
+    occ = chunks.groupBy("chash").agg(
+        F.count(F.lit(1)).alias("n_copies")
+    )
+    j = chunks.join(F.broadcast(occ), on="chash")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("n_copies") >= 2, F.col("n_tok")).otherwise(
+                    0
+                )
+            ).alias("dedupable_tokens"),
+        )
+        .select(
+            "source",
+            "n_chunks",
+            "n_tokens",
+            "dedupable_tokens",
+            F.expr(
+                "dedupable_tokens * 1000000 DIV n_tokens"
+            ).alias("dedupable_ppm"),
+        )
+    )
+
+
+def q352_hits_scores(spark, sf):
+    """HITS hubs & authorities (Kleinberg 1999) on the customer->part
+    purchase bipartite graph, two fixed iterations — the directed-graph
+    companion to q112's PageRank: hub customers buy the authoritative
+    parts, authoritative parts are bought by hub customers. All score
+    updates are INTEGER micro-units (sum over edges, rescale by the
+    max via DIV), exactly q112's quantized-iteration discipline, so the
+    trajectory is bit-identical in the unrolled-CTE oracle. Output:
+    top-10 hubs and top-10 authorities by final score (sort+limit, no
+    full-table rank window).
+
+    Shape: per iteration one edge-keyed agg + a broadcast score map
+    join; edges never rewrite; score tables are node-sized."""
+    from chemharmony_spark.cache import registered_persist
+
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    orders = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    edges = registered_persist(
+        li.join(
+            orders, li.l_orderkey == orders.o_orderkey
+        ).select(
+            F.col("o_custkey").alias("cust"),
+            F.col("l_partkey").alias("part"),
+        ).distinct()
+    )
+
+    def rescale(df, col):
+        # persist the raw score table: its max agg AND the rescaled join
+        # both consume it, and the next iteration's agg consumes the
+        # rescaled output — without the cache every rescale re-runs the
+        # whole upstream iteration chain once per consumer
+        df = registered_persist(df)
+        mx = df.agg(F.max(col).alias("__mx"))
+        return registered_persist(
+            df.crossJoin(F.broadcast(mx)).select(
+                df.columns[0],
+                F.expr(f"{col} * 1000000 DIV __mx").alias(col),
+            )
+        )
+
+    # h0 = 1e6 for every customer; a1_raw = sum of h over in-edges
+    a1 = rescale(
+        edges.groupBy("part").agg(
+            (F.count(F.lit(1)) * F.lit(1_000_000)).alias("score")
+        ),
+        "score",
+    )
+    h1 = rescale(
+        edges.join(
+            F.broadcast(a1.withColumnRenamed("score", "a")), on="part"
+        )
+        .groupBy("cust")
+        .agg(F.sum("a").alias("score")),
+        "score",
+    )
+    a2 = rescale(
+        edges.join(
+            F.broadcast(h1.withColumnRenamed("score", "h")), on="cust"
+        )
+        .groupBy("part")
+        .agg(F.sum("h").alias("score")),
+        "score",
+    )
+    h2 = rescale(
+        edges.join(
+            F.broadcast(a2.withColumnRenamed("score", "a")), on="part"
+        )
+        .groupBy("cust")
+        .agg(F.sum("a").alias("score")),
+        "score",
+    )
+    top_h = (
+        h2.orderBy(F.col("score").desc(), "cust")
+        .limit(10)
+        .select(
+            F.lit("hub").alias("role"),
+            F.col("cust").alias("node_id"),
+            "score",
+        )
+    )
+    top_a = (
+        a2.orderBy(F.col("score").desc(), "part")
+        .limit(10)
+        .select(
+            F.lit("authority").alias("role"),
+            F.col("part").alias("node_id"),
+            "score",
+        )
+    )
+    return top_h.unionAll(top_a)

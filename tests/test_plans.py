@@ -918,6 +918,17 @@ SHUFFLE_BUDGET = {
     "q348_ucb1_arms": 3,
     # q349: ONE (lang) agg over per-row token stats
     "q349_token_fertility": 1,
+    # q350: one candidate join + verify (persisted, reprinted per
+    # consumer) feeding THREE pre-contracted star-CC runs — textual
+    # count is the persisted subtree reprints; executed work is the
+    # single verify pass plus model-space component stats
+    "q350_threshold_percolation": 32,
+    # q351: the doc-partitioned boundary cumsum window + the
+    # (doc, chunk) rollup + chunk-occurrence rollup + source agg
+    "q351_cdc_chunk_dedup": 4,
+    # q352: edge distinct + 4 quantized HITS iterations (each one
+    # node-sized agg; persisted score tables reprint per consumer)
+    "q352_hits_scores": 9,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -1099,7 +1110,11 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 # q347: two 1-row ring-array broadcasts onto the scan
                 "q347_consistent_hash_moves",
                 # q348: 1-row horizon total broadcast onto 5 arms
-                "q348_ucb1_arms"}
+                "q348_ucb1_arms",
+                # q350: 1-row edge-count x component-stat combines
+                "q350_threshold_percolation",
+                # q352: 1-row max-score broadcasts per HITS rescale
+                "q352_hits_scores"}
 
 
 def test_no_headline_query_has_unpartitioned_ranked_window(spark):
