@@ -429,6 +429,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q350_threshold_percolation": Q.q350_threshold_percolation,
         "q351_cdc_chunk_dedup": Q.q351_cdc_chunk_dedup,
         "q352_hits_scores": Q.q352_hits_scores,
+        "q353_simhash_bit_balance": Q.q353_simhash_bit_balance,
+        "q354_coec_position_bias": Q.q354_coec_position_bias,
+        "q355_topk_stability": Q.q355_topk_stability,
     }
 
 
@@ -10742,5 +10745,80 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM (
               SELECT 'authority' AS role, part AS node_id, score
               FROM a2 ORDER BY score DESC, part LIMIT 10)
+        """,
+        "q353_simhash_bit_balance": f"""
+            WITH words AS (
+              SELECT DISTINCT doc_id, unnest(toks) AS word
+              FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)),
+            h AS (SELECT doc_id, {_hex4("md5(word)", 1)} AS h16
+                  FROM words),
+            bits AS (
+              SELECT doc_id, j,
+                     SUM(((h16 // CAST(power(2, j) AS BIGINT)) % 2)
+                         * 2 - 1) AS s
+              FROM h, (SELECT unnest(range(0, 16)) AS j)
+              GROUP BY doc_id, j),
+            perbit AS (
+              SELECT j AS bit, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CASE WHEN s > 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS ones
+              FROM bits GROUP BY 1)
+            SELECT CAST(bit AS BIGINT) AS bit, ones,
+                   ones * 1000000 // n AS ones_ppm,
+                   CAST(floor(
+                     (2.0 * CAST(ones AS DOUBLE) - CAST(n AS DOUBLE))
+                     / sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT)
+                     AS z_micro,
+                   CASE WHEN abs(
+                     (2.0 * CAST(ones AS DOUBLE) - CAST(n AS DOUBLE))
+                     / sqrt(CAST(n AS DOUBLE))) > 3.89
+                   THEN 1 ELSE 0 END AS skewed
+            FROM perbit
+        """,
+        "q354_coec_position_bias": """
+            WITH base AS MATERIALIZED (
+              SELECT least(CAST(ROW_NUMBER() OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id) AS BIGINT), 10)
+                       AS pos,
+                     CASE WHEN event_type = 'click' THEN 1 ELSE 0 END
+                       AS clicked,
+                     least(CAST(floor(value / 50.0) AS BIGINT), 9)
+                       AS item
+              FROM events),
+            pc AS (
+              SELECT pos,
+                     CAST(SUM(clicked) AS BIGINT) * 1000000
+                       // CAST(COUNT(*) AS BIGINT) AS ctr_ppm
+              FROM base GROUP BY 1)
+            SELECT item, CAST(COUNT(*) AS BIGINT) AS n_impressions,
+                   CAST(SUM(clicked) AS BIGINT) AS n_clicks,
+                   CAST(SUM(ctr_ppm) AS BIGINT) AS expected_clicks_ppm,
+                   CAST(SUM(clicked) AS BIGINT) * 1000000000000
+                     // CAST(SUM(ctr_ppm) AS BIGINT) AS coec_ppm
+            FROM base JOIN pc USING (pos) GROUP BY 1
+        """,
+        "q355_topk_stability": f"""
+            WITH tc AS MATERIALIZED (
+              SELECT ((instr('0123456789abcdef',
+                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+                      * 16
+                      + (instr('0123456789abcdef',
+                        substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1))
+                      % 2 AS half,
+                     tok AS token, CAST(COUNT(*) AS BIGINT) AS c
+              FROM (SELECT doc_id, unnest({_TOKS}) AS tok
+                    FROM documents)
+              GROUP BY 1, 2),
+            t0 AS (SELECT token FROM tc WHERE half = 0
+                   ORDER BY c DESC, token LIMIT 20),
+            t1 AS (SELECT token FROM tc WHERE half = 1
+                   ORDER BY c DESC, token LIMIT 20),
+            inter AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_common
+                      FROM t0 JOIN t1 USING (token))
+            SELECT 20 AS k, n_common,
+                   n_common * 1000000 // (40 - n_common) AS jaccard_ppm,
+                   n_common * 1000000 // 20 AS overlap_ppm
+            FROM inter
         """,
     }

@@ -14735,3 +14735,152 @@ def q352_hits_scores(spark, sf):
         )
     )
     return top_h.unionAll(top_a)
+
+
+def q353_simhash_bit_balance(spark, sf):
+    """SimHash signature-quality audit: per-bit ones-share and z-score
+    across the corpus — a healthy 16-bit SimHash has every bit near
+    50/50 (a skewed bit carries no Hamming information, silently
+    degrading q45's near-dup recall). z_j = (2*ones_j - n)/sqrt(n),
+    flagged at |z| > 3.89 (two-sided 1e-4). One agg computes all 16
+    conditional sums; the bit table is a 16-row unpivot of that single
+    row — zero explode, zero extra scans.
+
+    Shape: simhash16 is shuffle-free (array folds in codegen); ONE
+    1-row global agg + a model-space stack."""
+    docs = _t(spark, sf, "documents")
+    sigs = DD.simhash16(docs, "doc_id", "text")
+    agg = sigs.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(
+                (F.floor(F.col("simhash") / F.lit(2 ** j)) % 2)
+            ).alias(f"b{j}")
+            for j in range(16)
+        ],
+    )
+    stacked = agg.select(
+        "n",
+        F.expr(
+            "stack(16, "
+            + ", ".join(f"{j}, b{j}" for j in range(16))
+            + ") AS (bit, ones)"
+        ),
+    )
+    n_d = F.col("n").cast("double")
+    z = (2.0 * F.col("ones").cast("double") - n_d) / F.sqrt(n_d)
+    return stacked.select(
+        F.col("bit").cast("long").alias("bit"),
+        "ones",
+        F.expr("ones * 1000000 DIV n").alias("ones_ppm"),
+        F.floor(z * 1_000_000).cast("long").alias("z_micro"),
+        F.when(F.abs(z) > 3.89, 1).otherwise(0).alias("skewed"),
+    )
+
+
+def q354_coec_position_bias(spark, sf):
+    """COEC (clicks over expected clicks) position-bias correction —
+    the standard de-biasing for ranked-feed CTR: raw per-item CTR
+    rewards items shown early; COEC divides observed clicks by the sum
+    of the POSITION-level baseline CTRs at each impression, so an item
+    clicked despite late positions scores > 1e6 ppm. Positions are the
+    per-user rank of the event (capped at 10); items are value-decile
+    buckets. All ratios are exact-integer ppm.
+
+    Shape: one user-partitioned rank window, a position-CTR rollup
+    (<=10 rows, broadcast back), and the per-item agg."""
+    ev = _events(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.least(
+            F.row_number().over(w).cast("long"), F.lit(10)
+        ).alias("pos"),
+        (F.col("event_type") == "click").cast("long").alias("clicked"),
+        F.least(
+            F.floor(F.col("value") / 50.0).cast("long"), F.lit(9)
+        ).alias("item"),
+    )
+    from chemharmony_spark.cache import registered_persist
+
+    base = registered_persist(base)
+    pos_ctr = base.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n_imp"),
+        F.sum("clicked").alias("n_clk"),
+    ).select(
+        "pos",
+        F.expr("n_clk * 1000000 DIV n_imp").alias("ctr_ppm"),
+    )
+    j = base.join(F.broadcast(pos_ctr), on="pos")
+    return (
+        j.groupBy("item")
+        .agg(
+            F.count(F.lit(1)).alias("n_impressions"),
+            F.sum("clicked").alias("n_clicks"),
+            F.sum("ctr_ppm").alias("expected_clicks_ppm"),
+        )
+        .select(
+            "item",
+            "n_impressions",
+            "n_clicks",
+            "expected_clicks_ppm",
+            F.expr(
+                "n_clicks * 1000000000000 DIV expected_clicks_ppm"
+            ).alias("coec_ppm"),
+        )
+    )
+
+
+def q355_topk_stability(spark, sf):
+    """Half-sample stability of the top-20 heavy-hitter tokens — the
+    quick audit for "is this top-k real or sampling noise": split docs
+    by an md5 coin, take each half's top-20 tokens (sort+limit, no
+    global rank window), and report the overlap (|intersection| and
+    Jaccard of the two sets). Rock-stable corpora score near 1e6 ppm;
+    a low overlap means the head of the distribution is too flat to
+    trust a top-k cut (q63's heavy-hitter counts, audited).
+
+    Shape: one (half, token) agg; two 20-row sort+limits; the set
+    compare is a 40-row model-space join."""
+    docs = _t(spark, sf, "documents")
+    coin = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2),
+            16,
+            10,
+        )
+        % 2
+    ).cast("int")
+    tc = (
+        docs.select(coin.alias("half"),
+                    F.explode(TX.tokens("text")).alias("token"))
+        .groupBy("half", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from chemharmony_spark.cache import registered_persist
+
+    tc = registered_persist(tc)
+
+    def topk(h):
+        return (
+            tc.where(F.col("half") == h)
+            .orderBy(F.col("c").desc(), "token")
+            .limit(20)
+            .select("token")
+        )
+
+    t0 = topk(0)
+    t1 = topk(1)
+    inter = t0.join(t1, on="token", how="inner").agg(
+        F.count(F.lit(1)).alias("n_common")
+    )
+    return inter.select(
+        F.lit(20).alias("k"),
+        "n_common",
+        F.expr(
+            "n_common * 1000000 DIV (40 - n_common)"
+        ).alias("jaccard_ppm"),
+        F.expr("n_common * 1000000 DIV 20").alias("overlap_ppm"),
+    )

@@ -929,6 +929,13 @@ SHUFFLE_BUDGET = {
     # q352: edge distinct + 4 quantized HITS iterations (each one
     # node-sized agg; persisted score tables reprint per consumer)
     "q352_hits_scores": 9,
+    # q353: ONE 1-row agg of 16 conditional sums + model-space stack
+    "q353_simhash_bit_balance": 1,
+    # q354: the persisted user-rank window (reprinted per consumer) +
+    # the <=10-row position-CTR rollup + the item rollup
+    "q354_coec_position_bias": 3,
+    # q355: ONE (half, token) agg; top-20s are sort+limit model space
+    "q355_topk_stability": 1,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
