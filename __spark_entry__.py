@@ -432,6 +432,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q353_simhash_bit_balance": Q.q353_simhash_bit_balance,
         "q354_coec_position_bias": Q.q354_coec_position_bias,
         "q355_topk_stability": Q.q355_topk_stability,
+        "q356_quality_gate_funnel": Q.q356_quality_gate_funnel,
+        "q357_peeking_audit": Q.q357_peeking_audit,
     }
 
 
@@ -10820,5 +10822,89 @@ def oracle_sql() -> dict[str, str]:
                    n_common * 1000000 // (40 - n_common) AS jaccard_ppm,
                    n_common * 1000000 // 20 AS overlap_ppm
             FROM inter
+        """,
+        "q356_quality_gate_funnel": f"""
+            WITH v AS (
+              SELECT source,
+                     CASE WHEN n_chars < 200 THEN 'r1_too_short'
+                          WHEN len({_TOKS}) < 30 THEN 'r2_few_tokens'
+                          WHEN len(list_distinct({_TOKS})) * 10
+                               < len({_TOKS}) * 3
+                            THEN 'r3_repetitive'
+                          WHEN length(regexp_replace(text, '[^0-9]',
+                                                     '', 'g')) * 10
+                               > n_chars * 3
+                            THEN 'r4_numeric_heavy'
+                          ELSE 'kept' END AS verdict,
+                     CAST(len({_TOKS}) AS BIGINT) AS nt
+              FROM documents)
+            SELECT source, verdict, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(nt) AS BIGINT) AS n_tokens
+            FROM v GROUP BY 1, 2
+        """,
+        "q357_peeking_audit": """
+            WITH daily AS (
+              SELECT ((instr('0123456789abcdef',
+                        substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1)
+                      * 16
+                      + (instr('0123456789abcdef',
+                        substr(md5(CAST(user_id AS VARCHAR)), 2, 1)) - 1))
+                      % 2 AS arm,
+                     epoch_us(ts) // 86400000000 AS day,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CASE WHEN value > 50.0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS s
+              FROM events GROUP BY 1, 2),
+            cum AS (
+              SELECT arm, day,
+                     CAST(SUM(n) OVER (PARTITION BY arm ORDER BY day)
+                          AS BIGINT) AS cn,
+                     CAST(SUM(s) OVER (PARTITION BY arm ORDER BY day)
+                          AS BIGINT) AS cs
+              FROM daily),
+            byday AS (
+              SELECT day,
+                     MAX(CASE WHEN arm = 0 THEN cn END) AS n0,
+                     MAX(CASE WHEN arm = 0 THEN cs END) AS s0,
+                     MAX(CASE WHEN arm = 1 THEN cn END) AS n1,
+                     MAX(CASE WHEN arm = 1 THEN cs END) AS s1
+              FROM cum GROUP BY 1),
+            f AS (
+              SELECT * FROM byday
+              WHERE n0 IS NOT NULL AND n1 IS NOT NULL
+                AND s0 + s1 > 0 AND s0 + s1 < n0 + n1)
+            SELECT day, n0 + n1 AS n_total,
+                   CAST(floor(
+                     (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                      - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                     / sqrt((CAST(s0 + s1 AS DOUBLE)
+                             / CAST(n0 + n1 AS DOUBLE))
+                            * (1.0 - CAST(s0 + s1 AS DOUBLE)
+                               / CAST(n0 + n1 AS DOUBLE))
+                            * (1.0 / CAST(n0 AS DOUBLE)
+                               + 1.0 / CAST(n1 AS DOUBLE)))
+                     * 1000000) AS BIGINT) AS z_micro,
+                   CASE WHEN abs(
+                     (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                      - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                     / sqrt((CAST(s0 + s1 AS DOUBLE)
+                             / CAST(n0 + n1 AS DOUBLE))
+                            * (1.0 - CAST(s0 + s1 AS DOUBLE)
+                               / CAST(n0 + n1 AS DOUBLE))
+                            * (1.0 / CAST(n0 AS DOUBLE)
+                               + 1.0 / CAST(n1 AS DOUBLE))))
+                     > 1.959963984540054 THEN 1 ELSE 0 END
+                     AS naive_reject,
+                   CASE WHEN abs(
+                     (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                      - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                     / sqrt((CAST(s0 + s1 AS DOUBLE)
+                             / CAST(n0 + n1 AS DOUBLE))
+                            * (1.0 - CAST(s0 + s1 AS DOUBLE)
+                               / CAST(n0 + n1 AS DOUBLE))
+                            * (1.0 / CAST(n0 AS DOUBLE)
+                               + 1.0 / CAST(n1 AS DOUBLE))))
+                     > 2.413 THEN 1 ELSE 0 END AS pocock_reject
+            FROM f
         """,
     }

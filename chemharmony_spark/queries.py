@@ -14884,3 +14884,115 @@ def q355_topk_stability(spark, sf):
         ).alias("jaccard_ppm"),
         F.expr("n_common * 1000000 DIV 20").alias("overlap_ppm"),
     )
+
+
+def q356_quality_gate_funnel(spark, sf):
+    """Ordered quality-gate funnel over the document corpus — the
+    actual shape of a pretraining filter pipeline (each doc is charged
+    to the FIRST rule that drops it, so the funnel shows marginal rule
+    cost, not overlapping flag counts): (1) too short (< 200 chars),
+    (2) too few tokens (< 30), (3) repetitive (type-token ratio < 0.3),
+    (4) numeric-heavy (> 30% digit chars). Output: per (source,
+    verdict) doc and token counts, verdicts ordered r1..r4 / kept.
+
+    Shape: every rule is a per-row Column expression on the scan
+    (array sizes, regexp lengths — no joins, no explode); ONE
+    (source, verdict) agg."""
+    docs = _t(spark, sf, "documents")
+    toks = TX.tokens("text")
+    nt = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    digits = F.length(F.regexp_replace("text", "[^0-9]", ""))
+    verdict = (
+        F.when(F.col("n_chars") < 200, "r1_too_short")
+        .when(nt < 30, "r2_few_tokens")
+        .when(nd * 10 < nt * 3, "r3_repetitive")
+        .when(digits * 10 > F.col("n_chars") * 3, "r4_numeric_heavy")
+        .otherwise("kept")
+    )
+    return (
+        docs.select("source", verdict.alias("verdict"), nt.alias("nt"))
+        .groupBy("source", "verdict")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("n_tokens"),
+        )
+    )
+
+
+def q357_peeking_audit(spark, sf):
+    """Sequential-testing "peeking" audit: the md5-split experiment's
+    two-proportion z (conversion = value > 50) recomputed at every
+    DAILY interim look, flagging crossings of the naive fixed-sample
+    1.96 boundary vs the Pocock always-valid 2.413 (K~5) boundary —
+    the table that shows why peeking at 1.96 inflates false positives
+    and what a group-sequential boundary would have decided instead.
+    Cumulative counts are integer windows over the model-space
+    (arm, day) table; the z algebra runs per look on exact integers.
+
+    Shape: one (arm, day) agg, arm-partitioned cumulative windows,
+    a per-day pivot — all model-space after the first agg."""
+    ev = _events(spark, sf)
+    arm = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 2),
+            16,
+            10,
+        )
+        % 2
+    ).cast("int")
+    daily = (
+        ev.select(
+            arm.alias("arm"),
+            F.expr("(ts div 1000) div 86400000000").alias("day"),
+            (F.col("value") > 50.0).cast("long").alias("conv"),
+        )
+        .groupBy("arm", "day")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("conv").alias("s"))
+    )
+    w_cum = (
+        Window.partitionBy("arm")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = daily.select(
+        "arm",
+        "day",
+        F.sum("n").over(w_cum).alias("cn"),
+        F.sum("s").over(w_cum).alias("cs"),
+    )
+    byday = cum.groupBy("day").agg(
+        F.max(F.when(F.col("arm") == 0, F.col("cn"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("cs"))).alias("s0"),
+        F.max(F.when(F.col("arm") == 1, F.col("cn"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("cs"))).alias("s1"),
+    ).where(
+        F.col("n0").isNotNull()
+        & F.col("n1").isNotNull()
+        & (F.col("s0") + F.col("s1") > 0)
+        & (F.col("s0") + F.col("s1") < F.col("n0") + F.col("n1"))
+    )
+    p0 = F.col("s0").cast("double") / F.col("n0").cast("double")
+    p1 = F.col("s1").cast("double") / F.col("n1").cast("double")
+    pbar = (F.col("s0") + F.col("s1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    ).cast("double")
+    z = (p1 - p0) / F.sqrt(
+        pbar
+        * (1.0 - pbar)
+        * (
+            1.0 / F.col("n0").cast("double")
+            + 1.0 / F.col("n1").cast("double")
+        )
+    )
+    return byday.select(
+        "day",
+        (F.col("n0") + F.col("n1")).alias("n_total"),
+        F.floor(z * 1_000_000).cast("long").alias("z_micro"),
+        F.when(F.abs(z) > 1.959963984540054, 1).otherwise(0).alias(
+            "naive_reject"
+        ),
+        F.when(F.abs(z) > 2.413, 1).otherwise(0).alias(
+            "pocock_reject"
+        ),
+    )

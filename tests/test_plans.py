@@ -936,6 +936,10 @@ SHUFFLE_BUDGET = {
     "q354_coec_position_bias": 3,
     # q355: ONE (half, token) agg; top-20s are sort+limit model space
     "q355_topk_stability": 1,
+    # q356: ONE (source, verdict) agg over per-row rule expressions
+    "q356_quality_gate_funnel": 1,
+    # q357: the (arm, day) agg + cumulative windows + per-day pivot
+    "q357_peeking_audit": 3,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
