@@ -434,6 +434,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q355_topk_stability": Q.q355_topk_stability,
         "q356_quality_gate_funnel": Q.q356_quality_gate_funnel,
         "q357_peeking_audit": Q.q357_peeking_audit,
+        "q358_partition_advisor": Q.q358_partition_advisor,
+        "q359_auc_delong_ci": Q.q359_auc_delong_ci,
     }
 
 
@@ -10906,5 +10908,115 @@ def oracle_sql() -> dict[str, str]:
                                + 1.0 / CAST(n1 AS DOUBLE))))
                      > 2.413 THEN 1 ELSE 0 END AS pocock_reject
             FROM f
+        """,
+        "q358_partition_advisor": """
+            WITH p1 AS (SELECT event_type AS k,
+                               CAST(COUNT(*) AS BIGINT) AS n
+                        FROM events GROUP BY 1),
+            a1 AS (SELECT 'event_type' AS candidate,
+                          CAST(COUNT(*) AS BIGINT) AS ndv,
+                          CAST(SUM(n) AS BIGINT) AS n_rows,
+                          CAST(MAX(n) AS BIGINT) AS max_rows FROM p1),
+            p2 AS (SELECT epoch_us(ts) // 86400000000 AS k,
+                          CAST(COUNT(*) AS BIGINT) AS n
+                   FROM events GROUP BY 1),
+            a2 AS (SELECT 'event_day', CAST(COUNT(*) AS BIGINT),
+                          CAST(SUM(n) AS BIGINT),
+                          CAST(MAX(n) AS BIGINT) FROM p2),
+            p3 AS (SELECT user_id % 256 AS k,
+                          CAST(COUNT(*) AS BIGINT) AS n
+                   FROM events GROUP BY 1),
+            a3 AS (SELECT 'user_bucket_256', CAST(COUNT(*) AS BIGINT),
+                          CAST(SUM(n) AS BIGINT),
+                          CAST(MAX(n) AS BIGINT) FROM p3),
+            u AS (SELECT * FROM a1 UNION ALL SELECT * FROM a2
+                  UNION ALL SELECT * FROM a3)
+            SELECT candidate, ndv,
+                   max_rows * 1000000 // n_rows AS max_share_ppm,
+                   CASE WHEN ndv < 10 OR ndv > 10000
+                             OR max_rows * 1000000 // n_rows > 200000
+                        THEN 'rejected' ELSE 'viable' END AS verdict
+            FROM u
+        """,
+        "q359_auc_delong_ci": """
+            WITH vals AS MATERIALIZED (
+              SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS s,
+                     CAST(COUNT(*) AS BIGINT) AS cnt,
+                     CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS cpos
+              FROM orders GROUP BY 1),
+            cum AS (
+              SELECT s, cnt, cpos, cnt - cpos AS cneg,
+                     CAST(SUM(cnt) OVER w AS BIGINT) AS ca,
+                     CAST(SUM(cpos) OVER w AS BIGINT) AS cp,
+                     CAST(SUM(cnt - cpos) OVER w AS BIGINT) AS cn
+              FROM vals
+              WINDOW w AS (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)),
+            tot AS (SELECT CAST(SUM(cpos) AS BIGINT) AS n1,
+                           CAST(SUM(cnt - cpos) AS BIGINT) AS n0
+                    FROM vals),
+            base AS (
+              SELECT s, cpos, cneg, n1, n0,
+                     2 * (ca - cnt) + cnt + 1 AS ra2,
+                     2 * (cp - cpos) + cpos + 1 AS rp2,
+                     2 * (cn - cneg) + cneg + 1 AS rn2
+              FROM cum, tot),
+            aucv AS (
+              SELECT SUM(CAST(cpos AS HUGEINT)
+                         * CAST(ra2 - rp2 AS HUGEINT)) AS num2,
+                     MAX(n1) AS n1, MAX(n0) AS n0
+              FROM base),
+            a AS (SELECT CAST(num2 AS DOUBLE)
+                         / (2.0 * CAST(n1 AS DOUBLE)
+                            * CAST(n0 AS DOUBLE)) AS auc
+                  FROM aucv),
+            dev AS (
+              SELECT auc,
+                     CAST(floor(CAST(cpos AS DOUBLE)
+                          * (CAST(ra2 - rp2 AS DOUBLE)
+                             / (2.0 * CAST(n0 AS DOUBLE)) - auc)
+                          * (CAST(ra2 - rp2 AS DOUBLE)
+                             / (2.0 * CAST(n0 AS DOUBLE)) - auc)
+                          * 1000000000.0) AS BIGINT) AS d10_nano,
+                     CAST(floor(CAST(cneg AS DOUBLE)
+                          * (1.0 - CAST(ra2 - rn2 AS DOUBLE)
+                             / (2.0 * CAST(n1 AS DOUBLE)) - auc)
+                          * (1.0 - CAST(ra2 - rn2 AS DOUBLE)
+                             / (2.0 * CAST(n1 AS DOUBLE)) - auc)
+                          * 1000000000.0) AS BIGINT) AS d01_nano
+              FROM base, a),
+            ag AS (
+              SELECT auc, CAST(SUM(d10_nano) AS BIGINT) AS s10_nano,
+                     CAST(SUM(d01_nano) AS BIGINT) AS s01_nano
+              FROM dev GROUP BY 1)
+            SELECT n1, n0,
+                   CAST(floor(auc * 1000000) AS BIGINT) AS auc_micro,
+                   CAST(floor(sqrt(
+                     CAST(s10_nano AS DOUBLE) / 1000000000.0
+                       / (CAST(n1 AS DOUBLE) - 1.0)
+                       / CAST(n1 AS DOUBLE)
+                     + CAST(s01_nano AS DOUBLE) / 1000000000.0
+                       / (CAST(n0 AS DOUBLE) - 1.0)
+                       / CAST(n0 AS DOUBLE))
+                     * 1000000) AS BIGINT) AS se_micro,
+                   CAST(floor((auc - 1.959963984540054 * sqrt(
+                     CAST(s10_nano AS DOUBLE) / 1000000000.0
+                       / (CAST(n1 AS DOUBLE) - 1.0)
+                       / CAST(n1 AS DOUBLE)
+                     + CAST(s01_nano AS DOUBLE) / 1000000000.0
+                       / (CAST(n0 AS DOUBLE) - 1.0)
+                       / CAST(n0 AS DOUBLE)))
+                     * 1000000) AS BIGINT) AS lo_micro,
+                   CAST(floor((auc + 1.959963984540054 * sqrt(
+                     CAST(s10_nano AS DOUBLE) / 1000000000.0
+                       / (CAST(n1 AS DOUBLE) - 1.0)
+                       / CAST(n1 AS DOUBLE)
+                     + CAST(s01_nano AS DOUBLE) / 1000000000.0
+                       / (CAST(n0 AS DOUBLE) - 1.0)
+                       / CAST(n0 AS DOUBLE)))
+                     * 1000000) AS BIGINT) AS hi_micro
+            FROM ag, tot
         """,
     }

@@ -14996,3 +14996,225 @@ def q357_peeking_audit(spark, sf):
             "pocock_reject"
         ),
     )
+
+
+def q358_partition_advisor(spark, sf):
+    """Partition-column advisor for the events table — the layout
+    decision every 100 TB lakehouse gets wrong once: for each candidate
+    partition key (event_type, event day, user_id mod 256) report the
+    distinct-partition count, the largest partition's share, and a
+    verdict — REJECTED when cardinality leaves the [10, 10000] sweet
+    band (too few partitions = no pruning; too many = small-file
+    explosion) or one partition holds > 20% of rows (skew straggler).
+    Complements q304 (sort keys within files) and q268 (compaction).
+
+    Shape: three per-candidate (key) aggs over the scan, each reduced
+    map-side to candidate-cardinality rows, then a 3-row union of
+    model-space rollups."""
+    ev = _events(spark, sf)
+
+    def profile(name, key):
+        per = ev.select(key.alias("k")).groupBy("k").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        return per.agg(
+            F.lit(name).alias("candidate"),
+            F.count(F.lit(1)).alias("ndv"),
+            F.sum("n").alias("n_rows"),
+            F.max("n").alias("max_rows"),
+        ).select(
+            "candidate",
+            "ndv",
+            F.expr("max_rows * 1000000 DIV n_rows").alias(
+                "max_share_ppm"
+            ),
+            F.when(
+                (F.col("ndv") < 10)
+                | (F.col("ndv") > 10000)
+                | (F.expr("max_rows * 1000000 DIV n_rows") > 200000),
+                F.lit("rejected"),
+            ).otherwise(F.lit("viable")).alias("verdict"),
+        )
+
+    out = profile("event_type", F.col("event_type"))
+    out = out.unionAll(
+        profile("event_day", F.expr("(ts div 1000) div 86400000000"))
+    )
+    out = out.unionAll(
+        profile("user_bucket_256", F.col("user_id") % 256)
+    )
+    return out
+
+
+def q359_auc_delong_ci(spark, sf):
+    """AUC with a DeLong (1988) confidence interval — the missing error
+    bar on q120's point estimate, and the statistically correct one
+    (bootstrap-free, tie-aware): score = order cents, label = order
+    finalized. The whole computation lives on the DISTINCT-score table:
+    three bucketed cumsums give every score value its 2x-scaled
+    midranks (overall / within-positives / within-negatives), the
+    placement values V10/V01 follow per VALUE (weighted by that
+    value's label counts), and Var = s10/n1 + s01/n0 from nano-floored
+    squared deviations — no row-level rank window anywhere, so the
+    score distribution never funnels through one task.
+
+    Shape: one (score) count agg, three model-space cumsums over the
+    distinct-value table (monotone cents buckets), 1-row totals
+    broadcast back, one final rollup."""
+    orders = _t(spark, sf, "orders")
+    vals = (
+        orders.select(
+            (_d("o_totalprice") * 100).cast("long").alias("s"),
+            F.when(F.col("o_orderstatus") == "F", 1)
+            .otherwise(0)
+            .alias("y"),
+        )
+        .groupBy("s")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("y").alias("cpos"),
+        )
+        .withColumn("cneg", F.col("cnt") - F.col("cpos"))
+    )
+    # all THREE cumulative columns off ONE bucketed running-sum window
+    # (grouped_cumsum's decomposition, inlined so the distinct-value
+    # table shuffles once, not three times)
+    w_intra = (
+        Window.partitionBy("__b")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = vals.withColumn(
+        "__b", F.floor(F.col("s") / F.lit(1_000_000))
+    ).select(
+        "s",
+        "cnt",
+        "cpos",
+        "cneg",
+        "__b",
+        F.sum("cnt").over(w_intra).alias("ra"),
+        F.sum("cpos").over(w_intra).alias("rp"),
+        F.sum("cneg").over(w_intra).alias("rn"),
+    )
+    w_off = Window.orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        run.groupBy("__b")
+        .agg(
+            F.sum("cnt").alias("ta"),
+            F.sum("cpos").alias("tp"),
+            F.sum("cneg").alias("tn"),
+        )
+        .select(
+            "__b",
+            F.coalesce(F.sum("ta").over(w_off), F.lit(0)).alias("oa"),
+            F.coalesce(F.sum("tp").over(w_off), F.lit(0)).alias("op"),
+            F.coalesce(F.sum("tn").over(w_off), F.lit(0)).alias("on"),
+        )
+    )
+    cum = (
+        run.join(F.broadcast(offsets), on="__b")
+        .select(
+            "s",
+            "cnt",
+            "cpos",
+            "cneg",
+            (F.col("ra") + F.col("oa")).alias("ca"),
+            (F.col("rp") + F.col("op")).alias("cp"),
+            (F.col("rn") + F.col("on")).alias("cn"),
+        )
+    )
+    # 2x-scaled midranks: 2*(below + (cnt+1)/2) = 2*below + cnt + 1
+    r_all2 = 2 * (F.col("ca") - F.col("cnt")) + F.col("cnt") + 1
+    r_pos2 = 2 * (F.col("cp") - F.col("cpos")) + F.col("cpos") + 1
+    r_neg2 = 2 * (F.col("cn") - F.col("cneg")) + F.col("cneg") + 1
+    tot = vals.agg(
+        F.sum("cpos").alias("n1"), F.sum("cneg").alias("n0")
+    )
+    from chemharmony_spark.cache import registered_persist
+
+    # base feeds BOTH the AUC rollup and the deviation pass (which
+    # needs the AUC scalar back) — persist so the cumsum chain
+    # executes once
+    base = registered_persist(
+        cum.crossJoin(F.broadcast(tot)).select(
+            "s",
+            "cpos",
+            "cneg",
+            "n1",
+            "n0",
+            r_all2.alias("ra2"),
+            r_pos2.alias("rp2"),
+            r_neg2.alias("rn2"),
+        )
+    )
+    n1_d = F.col("n1").cast("double")
+    n0_d = F.col("n0").cast("double")
+    v10 = (F.col("ra2") - F.col("rp2")).cast("double") / (2.0 * n0_d)
+    v01 = 1.0 - (F.col("ra2") - F.col("rn2")).cast("double") / (
+        2.0 * n1_d
+    )
+    # AUC from the tie-aware rank-sum identity, exact integers to the end
+    auc_num = base.agg(
+        F.sum(
+            F.col("cpos").cast("decimal(38,0)")
+            * (F.col("ra2") - F.col("rp2")).cast("decimal(38,0)")
+        ).alias("num2"),
+        F.max("n1").alias("n1"),
+        F.max("n0").alias("n0"),
+    )
+    auc = F.col("num2").cast("double") / (
+        2.0 * F.col("n1").cast("double") * F.col("n0").cast("double")
+    )
+    dev = base.crossJoin(
+        F.broadcast(
+            auc_num.select(
+                auc.alias("auc"), F.col("n1"), F.col("n0")
+            ).withColumnRenamed("n1", "tn1").withColumnRenamed(
+                "n0", "tn0"
+            )
+        )
+    ).select(
+        F.col("cpos"),
+        F.col("cneg"),
+        F.col("auc"),
+        F.floor(
+            F.col("cpos").cast("double")
+            * (v10 - F.col("auc"))
+            * (v10 - F.col("auc"))
+            * 1e9
+        ).cast("long").alias("d10_nano"),
+        F.floor(
+            F.col("cneg").cast("double")
+            * (v01 - F.col("auc"))
+            * (v01 - F.col("auc"))
+            * 1e9
+        ).cast("long").alias("d01_nano"),
+    )
+    agg = dev.groupBy("auc").agg(
+        F.sum("d10_nano").alias("s10_nano"),
+        F.sum("d01_nano").alias("s01_nano"),
+    ).crossJoin(F.broadcast(tot))
+    var = (
+        F.col("s10_nano").cast("double")
+        / 1e9
+        / (n1_d - 1.0)
+        / n1_d
+        + F.col("s01_nano").cast("double") / 1e9 / (n0_d - 1.0) / n0_d
+    )
+    se = F.sqrt(var)
+    return agg.select(
+        "n1",
+        "n0",
+        F.floor(F.col("auc") * 1_000_000).cast("long").alias(
+            "auc_micro"
+        ),
+        F.floor(se * 1_000_000).cast("long").alias("se_micro"),
+        F.floor((F.col("auc") - 1.959963984540054 * se) * 1_000_000)
+        .cast("long")
+        .alias("lo_micro"),
+        F.floor((F.col("auc") + 1.959963984540054 * se) * 1_000_000)
+        .cast("long")
+        .alias("hi_micro"),
+    )

@@ -940,6 +940,12 @@ SHUFFLE_BUDGET = {
     "q356_quality_gate_funnel": 1,
     # q357: the (arm, day) agg + cumulative windows + per-day pivot
     "q357_peeking_audit": 3,
+    # q358: three per-candidate count aggs + their 1-row rollups
+    "q358_partition_advisor": 6,
+    # q359: the distinct-score agg + ONE bucketed 3-column cumsum
+    # window + offsets + the AUC/deviation rollups; the persisted base
+    # reprints its chain per consumer (executed once)
+    "q359_auc_delong_ci": 18,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -1125,7 +1131,10 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 # q350: 1-row edge-count x component-stat combines
                 "q350_threshold_percolation",
                 # q352: 1-row max-score broadcasts per HITS rescale
-                "q352_hits_scores"}
+                "q352_hits_scores",
+                # q359: 1-row n1/n0 totals + 1-row AUC scalar
+                # broadcasts onto the distinct-score table
+                "q359_auc_delong_ci"}
 
 
 def test_no_headline_query_has_unpartitioned_ranked_window(spark):
