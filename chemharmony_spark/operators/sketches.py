@@ -32,6 +32,22 @@ def approx_distinct(df: DataFrame, keys: Sequence[str], value_col: str,
     )
 
 
+def cm_bucket(item, row: int, width: int):
+    """Counter index of ``item`` in count-min hash row ``row``.
+
+    Shared by the batch sketch and the streaming epoch partials
+    (streaming/windows.stream_countmin_index) — the mergeable-state
+    contract requires bit-identical bucket functions on both paths."""
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"r{row}:"), item)), 1, 8),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(width),
+    )
+
+
 def countmin_counts(df: DataFrame, item_col: str, width: int = 1024,
                     depth: int = 4) -> DataFrame:
     """Count-min sketch estimates for every distinct item: ``depth``
@@ -49,16 +65,7 @@ def countmin_counts(df: DataFrame, item_col: str, width: int = 1024,
     item = F.col(item_col)
     buckets = df.select(
         item.alias("item"),
-        *[
-            F.pmod(
-                F.conv(
-                    F.substring(F.md5(F.concat(F.lit(f"r{r}:"), item)), 1, 8),
-                    16, 10,
-                ).cast("long"),
-                F.lit(width),
-            ).alias(f"b{r}")
-            for r in range(depth)
-        ],
+        *[cm_bucket(item, r, width).alias(f"b{r}") for r in range(depth)],
     )
     rows = None
     for r in range(depth):

@@ -383,3 +383,99 @@ def hll_estimate_from_index(spark: SparkSession, index_dir: str) -> DataFrame:
         F.max("m").alias("m")
     )
     return hll64_estimate(merged, ["event_type"])
+
+
+def stream_countmin_index(
+    spark: SparkSession,
+    events_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    item_col: str = "event_type",
+    width: int = 1024,
+    depth: int = 4,
+    glob: str = "*.parquet",
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Incrementally maintained count-min sketch: each micro-batch folds
+    its items into (row, bucket) counter partials and appends them under
+    an epoch-keyed subdir — the foreachBatch exactly-once contract
+    (idempotent per epoch, same as stream_hll_index). Count-min state
+    MERGES BY SUM over disjoint batches, so the union of all epochs'
+    partials re-aggregated with sum(c) is EXACTLY the batch sketch over
+    all data ever seen — no read-modify-write of prior state, batches
+    never contend, replay is safe. State is depth x width counters per
+    epoch, independent of item cardinality (the point at 100 TB).
+
+    Read estimates at any time with :func:`countmin_estimate_from_index`
+    — parity with the batch sketch is asserted in
+    tests/test_streaming.py."""
+    from chemharmony_spark.operators.sketches import cm_bucket
+
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .option("pathGlobFilter", glob)
+        .parquet(events_dir)
+    )
+
+    def fold(batch_df, epoch_id):
+        import os
+
+        item = F.col(item_col)
+        parts = None
+        for r in range(depth):
+            p = (
+                batch_df.select(cm_bucket(item, r, width).alias("bucket"))
+                .groupBy("bucket")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .select(F.lit(r).alias("row"), "bucket", "c")
+            )
+            parts = p if parts is None else parts.unionByName(p)
+        parts.write.mode("overwrite").parquet(
+            os.path.join(index_dir, f"epoch={epoch_id}")
+        )
+
+    run_stream_foreach_batch(src, fold, checkpoint_dir, mode="update")
+
+
+def countmin_estimate_from_index(
+    spark: SparkSession,
+    index_dir: str,
+    items: DataFrame,
+    item_col: str = "item",
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Merge every epoch's count-min partials (SUM per (row, bucket)) and
+    estimate each query item's count as the min over hash rows —
+    identical to running the batch sketch over the union of all batches."""
+    import os
+
+    from chemharmony_spark.operators.sketches import cm_bucket
+
+    epochs = [
+        os.path.join(index_dir, d)
+        for d in os.listdir(index_dir)
+        if d.startswith("epoch=")
+    ]
+    merged = (
+        spark.read.parquet(*epochs)
+        .groupBy("row", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    item = F.col(item_col)
+    est = items.select(
+        item.alias("item"),
+        *[cm_bucket(item, r, width).alias(f"b{r}") for r in range(depth)],
+    )
+    for r in range(depth):
+        sk = merged.where(F.col("row") == r).select(
+            F.col("bucket").alias(f"b{r}"), F.col("c").alias(f"c{r}")
+        )
+        est = est.join(F.broadcast(sk), on=f"b{r}", how="left")
+    counts = [
+        F.coalesce(F.col(f"c{r}"), F.lit(0)) for r in range(depth)
+    ]
+    return est.select(
+        "item", F.least(*counts).alias("cm_estimate")
+    )

@@ -650,3 +650,52 @@ def test_streaming_hll_sketch_matches_batch(spark, sf_dir, tmp_path):
         for r in q248_hll_distinct(spark, sf_dir).collect()
     }
     assert streamed == batch
+
+
+def test_streaming_countmin_sketch_matches_batch(spark, sf_dir, tmp_path):
+    """The incrementally maintained count-min index (per-epoch counter
+    partials, merged by SUM) yields EXACTLY the batch sketch estimates:
+    count-min state is additive over disjoint batches, so batching
+    cannot change it."""
+    import os
+
+    from chemharmony_spark.operators.sketches import countmin_counts
+    from chemharmony_spark.streaming.windows import (
+        countmin_estimate_from_index, stream_countmin_index,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    for i in range(3):
+        part_df = ev.where(F.col("event_id") % 3 == i)
+        tmp = tmp_path / f"w_{i}"
+        part_df.coalesce(1).write.parquet(str(tmp))
+        part = next(tmp.glob("part-*.parquet"))
+        os.rename(part, stage / f"{i}_events.parquet")
+        os.utime(stage / f"{i}_events.parquet", (i + 1, i + 1))
+
+    stream_countmin_index(
+        spark, str(stage), str(tmp_path / "index"), str(tmp_path / "ckpt"),
+        item_col="event_type", width=64, depth=4,
+        glob="*_events.parquet",
+    )
+    assert len(os.listdir(tmp_path / "index")) >= 2  # genuinely incremental
+    items = ev.select("event_type").distinct()
+    streamed = {
+        r.item: r.cm_estimate
+        for r in countmin_estimate_from_index(
+            spark, str(tmp_path / "index"), items,
+            item_col="event_type", width=64, depth=4,
+        ).collect()
+    }
+    batch = {
+        r.item: r.est_count
+        for r in countmin_counts(ev, "event_type", width=64, depth=4)
+        .collect()
+    }
+    assert streamed == batch
+    # width=64 forces collisions, so the sketch genuinely over-estimates
+    exact = {r.event_type: r["count"]
+             for r in ev.groupBy("event_type").count().collect()}
+    assert all(streamed[k] >= exact[k] for k in exact)
