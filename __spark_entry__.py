@@ -436,6 +436,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q357_peeking_audit": Q.q357_peeking_audit,
         "q358_partition_advisor": Q.q358_partition_advisor,
         "q359_auc_delong_ci": Q.q359_auc_delong_ci,
+        "q360_bernstein_bound": Q.q360_bernstein_bound,
+        "q361_kish_ess": Q.q361_kish_ess,
+        "q362_qini_uplift": Q.q362_qini_uplift,
     }
 
 
@@ -11018,5 +11021,116 @@ def oracle_sql() -> dict[str, str]:
                        / CAST(n0 AS DOUBLE)))
                      * 1000000) AS BIGINT) AS hi_micro
             FROM ag, tot
+        """,
+        "q360_bernstein_bound": """
+            WITH agg AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(floor(value / 500.0 * 1000000)
+                                   AS BIGINT)) AS BIGINT) AS s,
+                     SUM(CAST(CAST(floor(value / 500.0 * 1000000)
+                              AS BIGINT) AS HUGEINT)
+                         * CAST(CAST(floor(value / 500.0 * 1000000)
+                                AS BIGINT) AS HUGEINT)) AS q
+              FROM events),
+            calc AS (
+              SELECT n,
+                     CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
+                       AS mean,
+                     (CAST(q AS DOUBLE) / 1000000000000.0
+                      - (CAST(s AS DOUBLE) / 1000000.0)
+                        * (CAST(s AS DOUBLE) / 1000000.0)
+                        / CAST(n AS DOUBLE))
+                     / (CAST(n AS DOUBLE) - 1.0) AS var
+              FROM agg)
+            SELECT n,
+                   CAST(floor(mean * 1000000) AS BIGINT) AS mean_micro,
+                   CAST(floor(var * 1000000) AS BIGINT) AS var_micro,
+                   CAST(floor((sqrt(2.0 * var * ln(40.0)
+                        / CAST(n AS DOUBLE))
+                        + 7.0 * ln(40.0)
+                          / (3.0 * (CAST(n AS DOUBLE) - 1.0)))
+                        * 1000000) AS BIGINT) AS eb_radius_micro,
+                   CAST(floor(sqrt(ln(40.0) / (2.0 * CAST(n AS DOUBLE)))
+                        * 1000000) AS BIGINT)
+                     AS hoeffding_radius_micro,
+                   CASE WHEN sqrt(2.0 * var * ln(40.0)
+                          / CAST(n AS DOUBLE))
+                          + 7.0 * ln(40.0)
+                            / (3.0 * (CAST(n AS DOUBLE) - 1.0))
+                        < sqrt(ln(40.0) / (2.0 * CAST(n AS DOUBLE)))
+                        THEN 1 ELSE 0 END AS eb_tighter
+            FROM calc
+        """,
+        "q361_kish_ess": """
+            WITH t AS (
+              SELECT CASE WHEN event_type =
+                          (CASE WHEN value > 50.0
+                           THEN 'click' ELSE 'view' END)
+                     THEN 1 ELSE 0 END
+                     * (25200 // (((instr('0123456789abcdef',
+                        substr(md5(CAST(event_id AS VARCHAR)), 1, 1)) - 1)
+                      * 16
+                      + (instr('0123456789abcdef',
+                        substr(md5(CAST(event_id AS VARCHAR)), 2, 1)) - 1))
+                      % 9 + 1)) AS mw
+              FROM events),
+            agg AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     SUM(CAST(mw AS HUGEINT)) AS sw,
+                     SUM(CAST(mw AS HUGEINT) * CAST(mw AS HUGEINT))
+                       AS sww
+              FROM t)
+            SELECT n,
+                   CAST(floor(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+                        / CAST(sww AS DOUBLE) * 1000) AS BIGINT)
+                     AS ess_milli,
+                   CAST(floor(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+                        / CAST(sww AS DOUBLE) / CAST(n AS DOUBLE)
+                        * 1000000) AS BIGINT) AS ess_ratio_ppm
+            FROM agg
+        """,
+        "q362_qini_uplift": """
+            WITH cells AS (
+              SELECT (((instr('0123456789abcdef',
+                         substr(md5(CAST(o_orderkey AS VARCHAR)), 3, 1))
+                         - 1) * 16
+                       + (instr('0123456789abcdef',
+                         substr(md5(CAST(o_orderkey AS VARCHAR)), 4, 1))
+                         - 1)) % 100) // 10 AS decile,
+                     ((instr('0123456789abcdef',
+                        substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1))
+                        - 1) * 16
+                      + (instr('0123456789abcdef',
+                        substr(md5(CAST(o_orderkey AS VARCHAR)), 2, 1))
+                        - 1)) % 2 AS t,
+                     CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+              FROM orders),
+            dec AS (
+              SELECT decile,
+                     CAST(SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS nt,
+                     CAST(SUM(CASE WHEN t = 1 THEN y ELSE 0 END)
+                          AS BIGINT) AS yt,
+                     CAST(SUM(CASE WHEN t = 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS nc,
+                     CAST(SUM(CASE WHEN t = 0 THEN y ELSE 0 END)
+                          AS BIGINT) AS yc
+              FROM cells GROUP BY 1),
+            cum AS (
+              SELECT decile,
+                     CAST(SUM(nt) OVER w AS BIGINT) AS nt_cum,
+                     CAST(SUM(yt) OVER w AS BIGINT) AS yt_cum,
+                     CAST(SUM(nc) OVER w AS BIGINT) AS nc_cum,
+                     CAST(SUM(yc) OVER w AS BIGINT) AS yc_cum
+              FROM dec
+              WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND CURRENT ROW))
+            SELECT decile, nt_cum, nc_cum, yt_cum, yc_cum,
+                   CAST(floor((CAST(yt_cum AS DOUBLE)
+                        - CAST(yc_cum AS DOUBLE)
+                          * CAST(nt_cum AS DOUBLE)
+                          / CAST(nc_cum AS DOUBLE))
+                        * 1000) AS BIGINT) AS qini_milli
+            FROM cum
         """,
     }

@@ -15218,3 +15218,144 @@ def q359_auc_delong_ci(spark, sf):
         .cast("long")
         .alias("hi_micro"),
     )
+
+
+def q360_bernstein_bound(spark, sf):
+    """Empirical-Bernstein confidence radius (Maurer & Pontil 2009) for
+    the mean normalized event value vs the variance-blind Hoeffding
+    radius at delta = 0.05 — the bound that powers best-arm
+    identification and early stopping: when the metric variance is
+    small the EB radius sqrt(2 v ln(2/d)/n) + 7 ln(2/d)/(3(n-1)) beats
+    Hoeffding's sqrt(ln(2/d)/(2n)) by the variance ratio. Mean and
+    sample variance come from exact micro-floored integer sums
+    (squares in decimal(38,0)); ln/sqrt are the only floats.
+
+    Shape: ONE 1-row global agg."""
+    ev = _events(spark, sf)
+    r = F.floor(F.col("value") / 500.0 * 1_000_000).cast("long")
+    d38 = "decimal(38,0)"
+    agg = ev.select(r.alias("r")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r").alias("s"),
+        F.sum(F.col("r").cast(d38) * F.col("r").cast(d38)).alias("q"),
+    )
+    n_d = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / (n_d * 1e6)
+    var = (
+        F.col("q").cast("double") / 1e12
+        - (F.col("s").cast("double") / 1e6)
+        * (F.col("s").cast("double") / 1e6)
+        / n_d
+    ) / (n_d - 1.0)
+    ln2d = F.log(F.lit(40.0))  # ln(2/0.05)
+    eb = F.sqrt(2.0 * var * ln2d / n_d) + 7.0 * ln2d / (
+        3.0 * (n_d - 1.0)
+    )
+    hoeff = F.sqrt(ln2d / (2.0 * n_d))
+    return agg.select(
+        "n",
+        F.floor(mean * 1_000_000).cast("long").alias("mean_micro"),
+        F.floor(var * 1_000_000).cast("long").alias("var_micro"),
+        F.floor(eb * 1_000_000).cast("long").alias("eb_radius_micro"),
+        F.floor(hoeff * 1_000_000).cast("long").alias(
+            "hoeffding_radius_micro"
+        ),
+        F.when(eb < hoeff, 1).otherwise(0).alias("eb_tighter"),
+    )
+
+
+def q361_kish_ess(spark, sf):
+    """Kish effective sample size of the q331 inverse-propensity
+    weights — THE diagnostic for "is my off-policy estimate actually
+    supported by data": ESS = (sum w)^2 / sum w^2 collapses toward a
+    handful of rows when a few huge weights dominate. Weights are the
+    same lcm-scaled integers as q331 (match * 2520*10/k), so both sums
+    are exact (squares in decimal(38,0)).
+
+    Shape: ONE 1-row global agg."""
+    ev = _events(spark, sf)
+    k = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 2),
+               16, 10)
+        % 9
+        + 1
+    ).cast("long")
+    w = (F.lit(25200) / k).cast("long")
+    target = F.when(F.col("value") > 50.0, F.lit("click")).otherwise(
+        F.lit("view")
+    )
+    match = (F.col("event_type") == target).cast("long")
+    d38 = "decimal(38,0)"
+    agg = ev.select((match * w).alias("mw")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("mw").cast(d38)).alias("sw"),
+        F.sum(F.col("mw").cast(d38) * F.col("mw").cast(d38)).alias(
+            "sww"
+        ),
+    )
+    ess = (
+        F.col("sw").cast("double") * F.col("sw").cast("double")
+    ) / F.col("sww").cast("double")
+    return agg.select(
+        "n",
+        F.floor(ess * 1_000).cast("long").alias("ess_milli"),
+        F.floor(
+            ess / F.col("n").cast("double") * 1_000_000
+        ).cast("long").alias("ess_ratio_ppm"),
+    )
+
+
+def q362_qini_uplift(spark, sf):
+    """Qini uplift curve over model-score deciles — the uplift-modeling
+    evaluation standard (Radcliffe 2007): at each cumulative targeting
+    depth, incremental conversions = Yt - Yc * Nt/Nc, i.e. treated
+    conversions minus the control rate scaled to the treated count.
+    Treatment and score are independent md5 bytes (a null-model curve —
+    the harness an uplift model would plug its real scores into). All
+    cumulative counts are integer windows over the 10-decile table.
+
+    Shape: ONE (decile, arm) agg over per-row hash expressions; the
+    cumulative curve is a 10-row model-space window."""
+    orders = _t(spark, sf, "orders")
+    h = F.md5(F.col("o_orderkey").cast("string"))
+    treat = (F.conv(F.substring(h, 1, 2), 16, 10) % 2).cast("int")
+    dec = (
+        (F.conv(F.substring(h, 3, 2), 16, 10) % 100).cast("long")
+    )
+    y = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    cells = (
+        orders.select(
+            dec.alias("k2"), treat.alias("t"), y.alias("y")
+        )
+        .select(F.expr("k2 DIV 10").alias("decile"), "t", "y")
+        .groupBy("decile")
+        .agg(
+            F.sum(F.when(F.col("t") == 1, 1).otherwise(0)).alias("nt"),
+            F.sum(F.when(F.col("t") == 1, F.col("y")).otherwise(0))
+            .alias("yt"),
+            F.sum(F.when(F.col("t") == 0, 1).otherwise(0)).alias("nc"),
+            F.sum(F.when(F.col("t") == 0, F.col("y")).otherwise(0))
+            .alias("yc"),
+        )
+    )
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = cells.select(
+        "decile",
+        F.sum("nt").over(w).alias("nt_cum"),
+        F.sum("yt").over(w).alias("yt_cum"),
+        F.sum("nc").over(w).alias("nc_cum"),
+        F.sum("yc").over(w).alias("yc_cum"),
+    )
+    qini = F.col("yt_cum").cast("double") - F.col("yc_cum").cast(
+        "double"
+    ) * F.col("nt_cum").cast("double") / F.col("nc_cum").cast("double")
+    return cum.select(
+        "decile",
+        "nt_cum",
+        "nc_cum",
+        "yt_cum",
+        "yc_cum",
+        F.floor(qini * 1_000).cast("long").alias("qini_milli"),
+    )

@@ -946,6 +946,11 @@ SHUFFLE_BUDGET = {
     # window + offsets + the AUC/deviation rollups; the persisted base
     # reprints its chain per consumer (executed once)
     "q359_auc_delong_ci": 18,
+    # q360/q361: ONE 1-row global agg each
+    "q360_bernstein_bound": 1,
+    "q361_kish_ess": 1,
+    # q362: the 10-decile agg + the 10-row cumulative window
+    "q362_qini_uplift": 2,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
