@@ -439,6 +439,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q360_bernstein_bound": Q.q360_bernstein_bound,
         "q361_kish_ess": Q.q361_kish_ess,
         "q362_qini_uplift": Q.q362_qini_uplift,
+        "q363_feature_hash_collisions": Q.q363_feature_hash_collisions,
+        "q364_topical_outliers": Q.q364_topical_outliers,
     }
 
 
@@ -11132,5 +11134,87 @@ def oracle_sql() -> dict[str, str]:
                           / CAST(nc_cum AS DOUBLE))
                         * 1000) AS BIGINT) AS qini_milli
             FROM cum
+        """,
+        "q363_feature_hash_collisions": f"""
+            WITH vocab AS MATERIALIZED (
+              SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS c
+              FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+              GROUP BY 1),
+            hashed AS (
+              SELECT token, c,
+                     ({_hex4("md5(token)", 1)} * 65536
+                      + {_hex4("md5(token)", 5)}) AS h
+              FROM vocab),
+            pb1 AS (SELECT h % 1024 AS b,
+                           CAST(COUNT(*) AS BIGINT) AS n_tok,
+                           CAST(SUM(c) AS BIGINT) AS mass
+                    FROM hashed GROUP BY 1),
+            s1 AS (
+              SELECT CAST(1024 AS INT) AS dims,
+                     CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+                     CAST(COUNT(*) AS BIGINT) AS buckets_used,
+                     CAST(SUM(CASE WHEN n_tok >= 2 THEN n_tok
+                              ELSE 0 END) AS BIGINT) AS collided_tokens,
+                     CAST(SUM(mass) AS BIGINT) AS total_mass,
+                     CAST(SUM(CASE WHEN n_tok >= 2 THEN mass
+                              ELSE 0 END) AS BIGINT) AS collided_mass
+              FROM pb1),
+            pb2 AS (SELECT h % 16384 AS b,
+                           CAST(COUNT(*) AS BIGINT) AS n_tok,
+                           CAST(SUM(c) AS BIGINT) AS mass
+                    FROM hashed GROUP BY 1),
+            s2 AS (
+              SELECT CAST(16384 AS INT) AS dims,
+                     CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+                     CAST(COUNT(*) AS BIGINT) AS buckets_used,
+                     CAST(SUM(CASE WHEN n_tok >= 2 THEN n_tok
+                              ELSE 0 END) AS BIGINT) AS collided_tokens,
+                     CAST(SUM(mass) AS BIGINT) AS total_mass,
+                     CAST(SUM(CASE WHEN n_tok >= 2 THEN mass
+                              ELSE 0 END) AS BIGINT) AS collided_mass
+              FROM pb2),
+            u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+            SELECT dims, n_tokens, buckets_used, collided_tokens,
+                   collided_mass * 1000000 // total_mass
+                     AS collided_mass_ppm,
+                   n_tokens * 1000000 // dims AS load_factor_ppm
+            FROM u
+        """,
+        "q364_topical_outliers": f"""
+            WITH dt AS MATERIALIZED (
+              SELECT doc_id, source, tok AS token,
+                     CAST(COUNT(*) AS BIGINT) AS cd
+              FROM (SELECT doc_id, source, unnest({_TOKS}) AS tok
+                    FROM documents)
+              GROUP BY 1, 2, 3),
+            stc AS MATERIALIZED (
+              SELECT source, token, CAST(SUM(cd) AS BIGINT) AS cs
+              FROM dt GROUP BY 1, 2),
+            snorm AS (
+              SELECT source,
+                     SUM(CAST(cs AS HUGEINT) * CAST(cs AS HUGEINT))
+                       AS ns2
+              FROM stc GROUP BY 1),
+            pd AS (
+              SELECT doc_id, dt.source,
+                     SUM(CAST(cd AS HUGEINT) * CAST(cs AS HUGEINT))
+                       AS dot,
+                     SUM(CAST(cd AS HUGEINT) * CAST(cd AS HUGEINT))
+                       AS nd2
+              FROM dt JOIN stc USING (source, token)
+              GROUP BY 1, 2),
+            scored AS (
+              SELECT pd.source, doc_id,
+                     CAST(floor(CAST(dot AS DOUBLE)
+                          / (sqrt(CAST(nd2 AS DOUBLE))
+                             * sqrt(CAST(ns2 AS DOUBLE)))
+                          * 1000000) AS BIGINT) AS cos_micro
+              FROM pd JOIN snorm USING (source))
+            SELECT source, doc_id, cos_micro, rank FROM (
+              SELECT source, doc_id, cos_micro,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY cos_micro, doc_id) AS BIGINT) AS rank
+              FROM scored)
+            WHERE rank <= 5
         """,
     }

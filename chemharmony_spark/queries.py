@@ -15359,3 +15359,129 @@ def q362_qini_uplift(spark, sf):
         "yc_cum",
         F.floor(qini * 1_000).cast("long").alias("qini_milli"),
     )
+
+
+def q363_feature_hash_collisions(spark, sf):
+    """Feature-hashing (hashing-trick) collision audit at two bucket
+    widths (2^10, 2^14): how many vocabulary types share a bucket and —
+    the number that actually matters for model quality — how much
+    OCCURRENCE MASS sits in collided buckets, plus the load factor.
+    The table that picks the hashed-feature dimensionality before a
+    100 TB featurization pass (collisions are irreversible there).
+
+    Shape: one (token) count agg feeds both widths; per width one
+    bucket rollup + a 1-row summary — vocabulary-sized model space."""
+    from chemharmony_spark.cache import registered_persist
+
+    docs = _t(spark, sf, "documents")
+    vocab = registered_persist(
+        docs.select(F.explode(TX.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    outs = []
+    for dims in (1024, 16384):
+        bucket = F.pmod(
+            F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast(
+                "long"
+            ),
+            F.lit(dims),
+        )
+        per_bucket = (
+            vocab.select(bucket.alias("b"), "c")
+            .groupBy("b")
+            .agg(
+                F.count(F.lit(1)).alias("n_tok"),
+                F.sum("c").alias("mass"),
+            )
+        )
+        outs.append(
+            per_bucket.agg(
+                F.lit(dims).alias("dims"),
+                F.sum("n_tok").alias("n_tokens"),
+                F.count(F.lit(1)).alias("buckets_used"),
+                F.sum(
+                    F.when(F.col("n_tok") >= 2, F.col("n_tok"))
+                    .otherwise(0)
+                ).alias("collided_tokens"),
+                F.sum("mass").alias("total_mass"),
+                F.sum(
+                    F.when(F.col("n_tok") >= 2, F.col("mass"))
+                    .otherwise(0)
+                ).alias("collided_mass"),
+            ).select(
+                "dims",
+                "n_tokens",
+                "buckets_used",
+                "collided_tokens",
+                F.expr(
+                    "collided_mass * 1000000 DIV total_mass"
+                ).alias("collided_mass_ppm"),
+                F.expr("n_tokens * 1000000 DIV dims").alias(
+                    "load_factor_ppm"
+                ),
+            )
+        )
+    return outs[0].unionAll(outs[1])
+
+
+def q364_topical_outliers(spark, sf):
+    """Topical outlier detection: each document's cosine similarity to
+    its OWN source's token-count centroid, bottom-5 per source — the
+    sparse lexical twin of q57's embedding-centroid outliers (catches
+    mis-routed or off-topic docs before they poison a source-balanced
+    training mix). Doc vectors and centroids are exact integer count
+    vectors; the cosine is one double expression per doc, floored to
+    micro BEFORE the per-source ranking window.
+
+    Shape: one (doc, token) agg, a (source, token) centroid agg joined
+    back on the token key (vocabulary-bounded groups), per-doc rollup,
+    source norms broadcast, and the per-source bottom-5 window."""
+    from chemharmony_spark.cache import registered_persist
+
+    docs = _t(spark, sf, "documents")
+    dt = registered_persist(
+        docs.select(
+            "doc_id", "source", F.explode(TX.tokens("text")).alias(
+                "token"
+            )
+        )
+        .groupBy("doc_id", "source", "token")
+        .agg(F.count(F.lit(1)).alias("cd"))
+    )
+    stc = registered_persist(
+        dt.groupBy("source", "token").agg(F.sum("cd").alias("cs"))
+    )
+    snorm = stc.groupBy("source").agg(
+        F.sum(F.col("cs").cast("decimal(38,0)") * F.col("cs").cast(
+            "decimal(38,0)"
+        )).alias("ns2")
+    )
+    per_doc = (
+        dt.join(stc, on=["source", "token"])
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum(
+                F.col("cd").cast("decimal(38,0)")
+                * F.col("cs").cast("decimal(38,0)")
+            ).alias("dot"),
+            F.sum(
+                F.col("cd").cast("decimal(38,0)")
+                * F.col("cd").cast("decimal(38,0)")
+            ).alias("nd2"),
+        )
+    )
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("nd2").cast("double"))
+        * F.sqrt(F.col("ns2").cast("double"))
+    )
+    scored = per_doc.join(F.broadcast(snorm), on="source").select(
+        "source",
+        "doc_id",
+        F.floor(cos * 1_000_000).cast("long").alias("cos_micro"),
+    )
+    wr = Window.partitionBy("source").orderBy("cos_micro", "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .where(F.col("rank") <= 5)
+    )

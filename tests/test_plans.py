@@ -951,6 +951,13 @@ SHUFFLE_BUDGET = {
     "q361_kish_ess": 1,
     # q362: the 10-decile agg + the 10-row cumulative window
     "q362_qini_uplift": 2,
+    # q363: the persisted vocab agg (reprinted per width) + two
+    # bucket rollups and their 1-row summaries
+    "q363_feature_hash_collisions": 5,
+    # q364: the persisted (doc, token) agg (reprinted per consumer) +
+    # centroid rollup, per-doc dot rollup, and the per-source
+    # bottom-5 window; source norms broadcast
+    "q364_topical_outliers": 5,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
