@@ -441,6 +441,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q362_qini_uplift": Q.q362_qini_uplift,
         "q363_feature_hash_collisions": Q.q363_feature_hash_collisions,
         "q364_topical_outliers": Q.q364_topical_outliers,
+        "q365_pinball_loss": Q.q365_pinball_loss,
+        "q366_lincoln_petersen": Q.q366_lincoln_petersen,
     }
 
 
@@ -11216,5 +11218,80 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY cos_micro, doc_id) AS BIGINT) AS rank
               FROM scored)
             WHERE rank <= 5
+        """,
+        "q365_pinball_loss": """
+            WITH daily AS (
+              SELECT date_diff('day', DATE '1992-01-01',
+                               CAST(o_orderdate AS DATE)) AS day,
+                     CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                   * 100 AS BIGINT)) AS BIGINT) AS rev
+              FROM orders GROUP BY 1),
+            base AS (
+              SELECT day, rev,
+                     LAG(rev, 7) OVER (ORDER BY day) AS f50
+              FROM daily),
+            f AS (SELECT * FROM base WHERE f50 IS NOT NULL),
+            l10 AS (
+              SELECT CAST(floor(greatest(
+                       0.1 * CAST(rev - f50 * 8 / 10 AS DOUBLE),
+                       (0.1 - 1.0) * CAST(rev - f50 * 8 / 10 AS DOUBLE))
+                       / 1000.0) AS BIGINT) AS l FROM f),
+            l50 AS (
+              SELECT CAST(floor(greatest(
+                       0.5 * CAST(rev - f50 * 10 / 10 AS DOUBLE),
+                       (0.5 - 1.0) * CAST(rev - f50 * 10 / 10
+                                          AS DOUBLE))
+                       / 1000.0) AS BIGINT) AS l FROM f),
+            l90 AS (
+              SELECT CAST(floor(greatest(
+                       0.9 * CAST(rev - f50 * 12 / 10 AS DOUBLE),
+                       (0.9 - 1.0) * CAST(rev - f50 * 12 / 10
+                                          AS DOUBLE))
+                       / 1000.0) AS BIGINT) AS l FROM f)
+            SELECT 'p10' AS quantile, CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(SUM(l) AS BIGINT) // COUNT(*)
+                     AS pinball_millicents
+            FROM l10
+            UNION ALL
+            SELECT 'p50', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(l) AS BIGINT) // COUNT(*) FROM l50
+            UNION ALL
+            SELECT 'p90', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(l) AS BIGINT) // COUNT(*) FROM l90
+        """,
+        "q366_lincoln_petersen": """
+            WITH pu AS (
+              SELECT user_id,
+                     MAX(CASE WHEN ((instr('0123456789abcdef',
+                        substr(md5(CAST(event_id AS VARCHAR)), 1, 1))
+                        - 1) * 16
+                      + (instr('0123456789abcdef',
+                        substr(md5(CAST(event_id AS VARCHAR)), 2, 1))
+                        - 1)) % 2 = 0 THEN 1 ELSE 0 END) AS in1,
+                     MAX(CASE WHEN ((instr('0123456789abcdef',
+                        substr(md5(CAST(event_id AS VARCHAR)), 1, 1))
+                        - 1) * 16
+                      + (instr('0123456789abcdef',
+                        substr(md5(CAST(event_id AS VARCHAR)), 2, 1))
+                        - 1)) % 2 = 1 THEN 1 ELSE 0 END) AS in2
+              FROM events GROUP BY 1),
+            agg AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
+                     CAST(SUM(in1) AS BIGINT) AS n1,
+                     CAST(SUM(in2) AS BIGINT) AS n2,
+                     CAST(SUM(CASE WHEN in1 = 1 AND in2 = 1
+                              THEN 1 ELSE 0 END) AS BIGINT) AS m
+              FROM pu)
+            SELECT n_true, n1, n2, m,
+                   CAST(floor((CAST(n1 + 1 AS DOUBLE)
+                        * CAST(n2 + 1 AS DOUBLE)
+                        / CAST(m + 1 AS DOUBLE) - 1.0)
+                        * 1000) AS BIGINT) AS n_hat_milli,
+                   CAST(floor((CAST(n1 + 1 AS DOUBLE)
+                        * CAST(n2 + 1 AS DOUBLE)
+                        / CAST(m + 1 AS DOUBLE) - 1.0)
+                        / CAST(n_true AS DOUBLE) * 1000000) AS BIGINT)
+                     AS ratio_ppm
+            FROM agg
         """,
     }

@@ -15485,3 +15485,112 @@ def q364_topical_outliers(spark, sf):
         scored.withColumn("rank", F.row_number().over(wr).cast("long"))
         .where(F.col("rank") <= 5)
     )
+
+
+def q365_pinball_loss(spark, sf):
+    """Pinball (quantile) loss evaluation of a seasonal-naive
+    P10/P50/P90 daily-revenue forecast — the demand-forecasting scorer
+    that q238's point-error backtest can't replace (quantile forecasts
+    are graded asymmetrically: pinball_tau = mean(max(tau*(y-f),
+    (tau-1)*(y-f)))). Forecast = same-weekday value one week earlier
+    (lag-7 over the daily series); the P10/P90 variants scale it by
+    0.8x / 1.2x. Daily revenue is exact integer cents; each loss term
+    floors to milli before the integer mean.
+
+    Shape: one (day) agg (model-space daily series), a lag-7 window
+    over it, and a 1-row rollup per tau via a 3-row unpivot."""
+    orders = _t(spark, sf, "orders")
+    daily = (
+        orders.select(
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1992-01-01").cast("date")
+            ).alias("day"),
+            (_d("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    w = Window.orderBy("day")
+    base = daily.withColumn("f50", F.lag("rev", 7).over(w)).where(
+        F.col("f50").isNotNull()
+    )
+    outs = []
+    for name, tau, scale_num in (
+        ("p10", 0.1, 8),
+        ("p50", 0.5, 10),
+        ("p90", 0.9, 12),
+    ):
+        diff = (
+            F.col("rev") - F.col("f50") * scale_num / 10
+        ).cast("double")
+        loss = F.greatest(
+            F.lit(tau) * diff, (F.lit(tau) - 1.0) * diff
+        )
+        outs.append(
+            base.select(
+                F.floor(loss / 1000.0).cast("long").alias("l_milli")
+            ).agg(
+                F.lit(name).alias("quantile"),
+                F.count(F.lit(1)).alias("n_days"),
+                F.expr("SUM(l_milli) DIV COUNT(*)").alias(
+                    "pinball_millicents"
+                ),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+def q366_lincoln_petersen(spark, sf):
+    """Lincoln-Petersen capture-recapture estimate of the total user
+    population from two md5-split observation "surveys" (Chapman
+    bias-corrected variant): N_hat = (n1+1)(n2+1)/(m+1) - 1, where m
+    is the users seen in BOTH halves — the two-list companion to
+    q326's Chao1 (how many users exist beyond the ones any single
+    sample sees). Counts are exact distincts; the estimate is one
+    float expression, compared against the true observed total.
+
+    Shape: one per-user agg marking half membership, one 1-row
+    rollup."""
+    ev = _events(spark, sf)
+    half = (
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 2),
+            16,
+            10,
+        )
+        % 2
+    ).cast("int")
+    per_user = ev.select("user_id", half.alias("h")).groupBy(
+        "user_id"
+    ).agg(
+        F.max(F.when(F.col("h") == 0, 1).otherwise(0)).alias("in1"),
+        F.max(F.when(F.col("h") == 1, 1).otherwise(0)).alias("in2"),
+    )
+    agg = per_user.agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.sum("in1").alias("n1"),
+        F.sum("in2").alias("n2"),
+        F.sum(
+            F.when((F.col("in1") == 1) & (F.col("in2") == 1), 1)
+            .otherwise(0)
+        ).alias("m"),
+    )
+    nhat = (
+        (F.col("n1") + 1).cast("double")
+        * (F.col("n2") + 1).cast("double")
+        / (F.col("m") + 1).cast("double")
+        - 1.0
+    )
+    return agg.select(
+        "n_true",
+        "n1",
+        "n2",
+        "m",
+        F.floor(nhat * 1_000).cast("long").alias("n_hat_milli"),
+        F.floor(
+            nhat / F.col("n_true").cast("double") * 1_000_000
+        ).cast("long").alias("ratio_ppm"),
+    )

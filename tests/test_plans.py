@@ -958,6 +958,11 @@ SHUFFLE_BUDGET = {
     # centroid rollup, per-doc dot rollup, and the per-source
     # bottom-5 window; source norms broadcast
     "q364_topical_outliers": 5,
+    # q365: the daily agg + lag-7 window over the model-space series,
+    # reprinted per tau branch of the 3-row unpivot
+    "q365_pinball_loss": 6,
+    # q366: the per-user half-membership agg + the 1-row estimate
+    "q366_lincoln_petersen": 2,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
