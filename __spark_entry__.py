@@ -443,6 +443,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q364_topical_outliers": Q.q364_topical_outliers,
         "q365_pinball_loss": Q.q365_pinball_loss,
         "q366_lincoln_petersen": Q.q366_lincoln_petersen,
+        "q367_catalog_coverage": Q.q367_catalog_coverage,
+        "q368_positivity_overlap": Q.q368_positivity_overlap,
+        "q369_box_pierce": Q.q369_box_pierce,
     }
 
 
@@ -11293,5 +11296,167 @@ def oracle_sql() -> dict[str, str]:
                         / CAST(n_true AS DOUBLE) * 1000000) AS BIGINT)
                      AS ratio_ppm
             FROM agg
+        """,
+        "q367_catalog_coverage": """
+            WITH b AS MATERIALIZED (
+              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            sized AS (SELECT l_orderkey FROM b GROUP BY 1
+                      HAVING COUNT(*) >= 2),
+            bb AS MATERIALIZED (
+              SELECT b.l_orderkey, l_partkey FROM b
+              JOIN sized USING (l_orderkey)),
+            pairs AS (
+              SELECT x.l_partkey AS p1, y.l_partkey AS p2,
+                     COUNT(*) AS nij
+              FROM bb x JOIN bb y
+                ON x.l_orderkey = y.l_orderkey
+               AND x.l_partkey < y.l_partkey
+              GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+            freq AS (SELECT l_partkey AS item, COUNT(*) AS ni
+                     FROM bb GROUP BY 1),
+            sym AS (
+              SELECT p1, p2, nij FROM pairs
+              UNION ALL
+              SELECT p2 AS p1, p1 AS p2, nij FROM pairs),
+            scored AS (
+              SELECT s.p1 AS item, s.p2 AS neighbor,
+                     CAST(floor(
+                       CAST(nij AS DOUBLE)
+                       / sqrt(CAST(fa.ni AS DOUBLE) * fb.ni)
+                       * 1000000) AS BIGINT) AS sim_micro
+              FROM sym s
+              JOIN freq fa ON fa.item = s.p1
+              JOIN freq fb ON fb.item = s.p2),
+            recs AS MATERIALIZED (
+              SELECT neighbor AS item FROM (
+                SELECT item, neighbor,
+                       ROW_NUMBER() OVER (PARTITION BY item
+                         ORDER BY sim_micro DESC, neighbor) AS rank
+                FROM scored)
+              WHERE rank <= 5),
+            pop AS (SELECT l_partkey AS item,
+                           CAST(COUNT(*) AS BIGINT) AS n
+                    FROM lineitem GROUP BY 1),
+            catalog AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_catalog,
+                               CAST(SUM(n) AS BIGINT) AS n_purchases
+                        FROM pop),
+            cov AS (SELECT CAST(COUNT(DISTINCT item) AS BIGINT)
+                             AS n_recommended FROM recs),
+            nov AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_slots,
+                     CAST(SUM(CAST(floor(
+                       -ln(CAST(n AS DOUBLE)
+                           / CAST(n_purchases AS DOUBLE))
+                       * 1000000) AS BIGINT)) AS BIGINT) AS tsum
+              FROM recs JOIN pop USING (item), catalog)
+            SELECT n_catalog, n_recommended,
+                   n_recommended * 1000000 // n_catalog
+                     AS coverage_ppm,
+                   n_slots, tsum // n_slots AS novelty_micro
+            FROM cov, catalog, nov
+        """,
+        "q368_positivity_overlap": """
+            WITH cells AS (
+              SELECT (((instr('0123456789abcdef',
+                         substr(md5(CAST(o_orderkey AS VARCHAR)), 3, 1))
+                         - 1) * 16
+                       + (instr('0123456789abcdef',
+                         substr(md5(CAST(o_orderkey AS VARCHAR)), 4, 1))
+                         - 1)) % 100) // 20 AS stratum,
+                     ((instr('0123456789abcdef',
+                        substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1))
+                        - 1) * 16
+                      + (instr('0123456789abcdef',
+                        substr(md5(CAST(o_orderkey AS VARCHAR)), 2, 1))
+                        - 1)) % 2 AS t
+              FROM orders),
+            ag AS (
+              SELECT stratum, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(t) AS BIGINT) AS n_treated
+              FROM cells GROUP BY 1)
+            SELECT stratum, n, n_treated,
+                   n_treated * 1000000 // n AS treated_share_ppm,
+                   CASE WHEN n_treated * 1000000 // n < 100000
+                          OR n_treated * 1000000 // n > 900000
+                        THEN 1 ELSE 0 END AS overlap_violation
+            FROM ag
+        """,
+        "q369_box_pierce": """
+            WITH daily AS (
+              SELECT date_diff('day', DATE '1992-01-01',
+                               CAST(o_orderdate AS DATE)) AS day,
+                     CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                   * 100 AS BIGINT)) AS BIGINT) AS rev
+              FROM orders GROUP BY 1),
+            resid AS MATERIALIZED (
+              SELECT day, CAST(rev - f AS DOUBLE) / 100.0 AS e
+              FROM (SELECT day, rev, LAG(rev, 7) OVER (ORDER BY day)
+                      AS f FROM daily)
+              WHERE f IS NOT NULL),
+            stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                             CAST(SUM(CAST(floor(e) AS BIGINT))
+                                  AS BIGINT) AS se_floor
+                      FROM resid),
+            centered AS MATERIALIZED (
+              SELECT day,
+                     e - CAST(se_floor AS DOUBLE) / CAST(n AS DOUBLE)
+                       AS d
+              FROM resid, stats),
+            den AS (SELECT CAST(SUM(CAST(floor(d * d / 1000000.0)
+                                    AS BIGINT)) AS BIGINT) AS den_sum
+                    FROM centered),
+            n1 AS (SELECT 1 AS lag,
+                          CAST(SUM(CAST(floor(d * dl / 1000000.0)
+                                   AS BIGINT)) AS BIGINT) AS num_sum
+                   FROM (SELECT d, LAG(d, 1) OVER (ORDER BY day) AS dl
+                         FROM centered)
+                   WHERE dl IS NOT NULL),
+            n2 AS (SELECT 2,
+                          CAST(SUM(CAST(floor(d * dl / 1000000.0)
+                                   AS BIGINT)) AS BIGINT)
+                   FROM (SELECT d, LAG(d, 2) OVER (ORDER BY day) AS dl
+                         FROM centered)
+                   WHERE dl IS NOT NULL),
+            n3 AS (SELECT 3,
+                          CAST(SUM(CAST(floor(d * dl / 1000000.0)
+                                   AS BIGINT)) AS BIGINT)
+                   FROM (SELECT d, LAG(d, 3) OVER (ORDER BY day) AS dl
+                         FROM centered)
+                   WHERE dl IS NOT NULL),
+            n4 AS (SELECT 4,
+                          CAST(SUM(CAST(floor(d * dl / 1000000.0)
+                                   AS BIGINT)) AS BIGINT)
+                   FROM (SELECT d, LAG(d, 4) OVER (ORDER BY day) AS dl
+                         FROM centered)
+                   WHERE dl IS NOT NULL),
+            n5 AS (SELECT 5,
+                          CAST(SUM(CAST(floor(d * dl / 1000000.0)
+                                   AS BIGINT)) AS BIGINT)
+                   FROM (SELECT d, LAG(d, 5) OVER (ORDER BY day) AS dl
+                         FROM centered)
+                   WHERE dl IS NOT NULL),
+            nums AS (SELECT * FROM n1 UNION ALL SELECT * FROM n2
+                     UNION ALL SELECT * FROM n3 UNION ALL
+                     SELECT * FROM n4 UNION ALL SELECT * FROM n5),
+            per AS (
+              SELECT lag,
+                     CAST(floor(CAST(num_sum AS DOUBLE)
+                          / CAST(den_sum AS DOUBLE) * 1000000)
+                          AS BIGINT) AS r_micro,
+                     CAST(floor(CAST(n AS DOUBLE)
+                          * (CAST(num_sum AS DOUBLE)
+                             / CAST(den_sum AS DOUBLE))
+                          * (CAST(num_sum AS DOUBLE)
+                             / CAST(den_sum AS DOUBLE))
+                          * 1000000) AS BIGINT) AS q_term_micro
+              FROM nums, den, stats)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_lags,
+                   CAST(SUM(q_term_micro) AS BIGINT) AS q_stat_micro,
+                   CAST(MAX(CASE WHEN lag = 1 THEN r_micro END)
+                        AS BIGINT) AS r1_micro,
+                   CASE WHEN CAST(SUM(q_term_micro) AS BIGINT)
+                        > 11070498 THEN 1 ELSE 0 END
+                     AS residual_signal
+            FROM per
         """,
     }

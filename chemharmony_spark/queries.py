@@ -15594,3 +15594,202 @@ def q366_lincoln_petersen(spark, sf):
             nhat / F.col("n_true").cast("double") * 1_000_000
         ).cast("long").alias("ratio_ppm"),
     )
+
+
+def q367_catalog_coverage(spark, sf):
+    """Recommender catalog-coverage and novelty audit over q167's
+    item-item top-5 neighbor lists — the aggregate-health metrics that
+    accuracy numbers hide: coverage = share of the purchasable catalog
+    that appears in ANY recommendation list (low coverage = popularity
+    echo chamber), and novelty = mean -ln(popularity share) of the
+    recommended items (Vargas & Castells 2011) — higher means the
+    lists surface long-tail items. Popularity shares are exact integer
+    ratios; each -ln term floors to micro before the integer mean.
+
+    Shape: q167's bounded pipeline feeds a distinct-recommended
+    rollup; catalog size and purchase totals are dimension-sized aggs
+    broadcast into one final 1-row combine."""
+    from chemharmony_spark.cache import registered_persist
+
+    li = _t(spark, sf, "lineitem")
+    recs = registered_persist(
+        q167_item_similarity(spark, sf).select(
+            F.col("neighbor").alias("item")
+        )
+    )
+    rec_items = recs.distinct()
+    pop = _t(spark, sf, "lineitem").groupBy(
+        F.col("l_partkey").alias("item")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    catalog = pop.agg(
+        F.count(F.lit(1)).alias("n_catalog"),
+        F.sum("n").alias("n_purchases"),
+    )
+    cov = rec_items.agg(F.count(F.lit(1)).alias("n_recommended"))
+    nov = (
+        recs.join(pop, on="item")
+        .crossJoin(F.broadcast(catalog))
+        .select(
+            F.floor(
+                -F.log(
+                    F.col("n").cast("double")
+                    / F.col("n_purchases").cast("double")
+                )
+                * 1_000_000
+            ).cast("long").alias("t")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_slots"),
+            F.expr("SUM(t) DIV COUNT(*)").alias("novelty_micro"),
+        )
+    )
+    return (
+        cov.crossJoin(F.broadcast(catalog))
+        .crossJoin(F.broadcast(nov))
+        .select(
+            "n_catalog",
+            "n_recommended",
+            F.expr(
+                "n_recommended * 1000000 DIV n_catalog"
+            ).alias("coverage_ppm"),
+            "n_slots",
+            "novelty_micro",
+        )
+    )
+
+
+def q368_positivity_overlap(spark, sf):
+    """Positivity / overlap audit for the q338 propensity-stratified
+    design — the assumption check that must pass BEFORE any causal
+    estimate is read: per stratum, the treated share (flagged outside
+    [0.1, 0.9]) and the stratum's contribution to the overlap-violating
+    mass; a stratum missing an arm entirely is an automatic violation.
+    Exact integer counts; shares are ppm DIVs.
+
+    Shape: ONE (stratum, arm) agg pivoted per stratum (q338's shape);
+    the audit is 5-row model space."""
+    orders = _t(spark, sf, "orders")
+    h = F.md5(F.col("o_orderkey").cast("string"))
+    treat = (F.conv(F.substring(h, 1, 2), 16, 10) % 2).cast("int")
+    k2 = (F.conv(F.substring(h, 3, 2), 16, 10) % 100).cast("long")
+    cells = (
+        orders.select(k2.alias("k2"), treat.alias("t"))
+        .select(F.expr("k2 DIV 20").alias("stratum"), "t")
+        .groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("t").alias("n_treated"),
+        )
+    )
+    share = F.expr("n_treated * 1000000 DIV n")
+    return cells.select(
+        "stratum",
+        "n",
+        "n_treated",
+        share.alias("treated_share_ppm"),
+        F.when(
+            (share < 100000) | (share > 900000), 1
+        ).otherwise(0).alias("overlap_violation"),
+    )
+
+
+def q369_box_pierce(spark, sf):
+    """Box-Pierce portmanteau test on the lag-7 seasonal-naive
+    forecast residuals (q365's model): Q = n * sum_{k=1..5} r_k^2
+    against the chi-square(5) 11.07 critical value — "is there signal
+    left in the residuals" — the model-adequacy check that closes the
+    forecast-eval suite (q188 gives raw-series autocorrelation; this
+    tests the MODEL's leftovers). Residual products accumulate as
+    floored integer terms; each r_k is one double ratio.
+
+    Shape: the model-space daily series + lag windows (q365's shape);
+    the five autocorrelations are 5-row rollups off one self-aligned
+    frame."""
+    from chemharmony_spark.cache import registered_persist
+
+    orders = _t(spark, sf, "orders")
+    daily = (
+        orders.select(
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1992-01-01").cast("date")
+            ).alias("day"),
+            (_d("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    w = Window.orderBy("day")
+    resid = registered_persist(
+        daily.withColumn("f", F.lag("rev", 7).over(w))
+        .where(F.col("f").isNotNull())
+        .select(
+            "day",
+            # residuals in dollars (double) to keep squares in range;
+            # exact: both terms are integer cents / constant
+            ((F.col("rev") - F.col("f")).cast("double") / 100.0).alias(
+                "e"
+            ),
+        )
+    )
+    stats = resid.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("e")).cast("long")).alias("se_floor"),
+    )
+    # mean via the floored-integer sum (deterministic cross-engine)
+    mean = F.col("se_floor").cast("double") / F.col("n").cast("double")
+    centered = resid.crossJoin(F.broadcast(stats)).select(
+        "day",
+        (F.col("e") - mean).alias("d"),
+    )
+    centered = registered_persist(centered)
+    den = centered.select(
+        F.floor(F.col("d") * F.col("d") / 1e6).cast("long").alias("dd")
+    ).agg(F.sum("dd").alias("den_sum"))
+    outs = []
+    for k in range(1, 6):
+        num_k = (
+            centered.withColumn(
+                "dl", F.lag("d", k).over(Window.orderBy("day"))
+            )
+            .where(F.col("dl").isNotNull())
+            .select(
+                F.floor(F.col("d") * F.col("dl") / 1e6)
+                .cast("long")
+                .alias("nd")
+            )
+            .agg(
+                F.lit(k).alias("lag"),
+                F.sum("nd").alias("num_sum"),
+            )
+        )
+        outs.append(num_k)
+    nums = outs[0]
+    for o in outs[1:]:
+        nums = nums.unionAll(o)
+    j = nums.crossJoin(F.broadcast(den)).crossJoin(F.broadcast(stats))
+    r = F.col("num_sum").cast("double") / F.col("den_sum").cast(
+        "double"
+    )
+    per_lag = j.select(
+        "lag",
+        F.floor(r * 1_000_000).cast("long").alias("r_micro"),
+        (
+            F.floor(
+                F.col("n").cast("double") * r * r * 1_000_000
+            ).cast("long")
+        ).alias("q_term_micro"),
+    )
+    return per_lag.groupBy().agg(
+        F.count(F.lit(1)).alias("n_lags"),
+        F.sum("q_term_micro").alias("q_stat_micro"),
+        F.max(
+            F.when(F.col("lag") == 1, F.col("r_micro"))
+        ).alias("r1_micro"),
+    ).select(
+        "n_lags",
+        "q_stat_micro",
+        "r1_micro",
+        F.when(
+            F.col("q_stat_micro") > 11070498, 1
+        ).otherwise(0).alias("residual_signal"),
+    )

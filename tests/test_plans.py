@@ -963,6 +963,15 @@ SHUFFLE_BUDGET = {
     "q365_pinball_loss": 6,
     # q366: the per-user half-membership agg + the 1-row estimate
     "q366_lincoln_petersen": 2,
+    # q367: the q167 recsys pipeline (persisted rec list reprints per
+    # consumer) + popularity/catalog rollups + the 1-row combine
+    "q367_catalog_coverage": 14,
+    # q368: ONE (stratum) agg over per-row hash expressions
+    "q368_positivity_overlap": 1,
+    # q369: the model-space daily agg + lag-7 residual window, then
+    # per-lag windows over the persisted centered series (reprinted
+    # per lag branch) + the 5-row rollup
+    "q369_box_pierce": 10,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -1151,7 +1160,12 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 "q352_hits_scores",
                 # q359: 1-row n1/n0 totals + 1-row AUC scalar
                 # broadcasts onto the distinct-score table
-                "q359_auc_delong_ci"}
+                "q359_auc_delong_ci",
+                # q367: 1-row catalog/coverage/novelty combines
+                "q367_catalog_coverage",
+                # q369: 1-row residual-stats / denominator broadcasts
+                # onto the model-space daily series
+                "q369_box_pierce"}
 
 
 def test_no_headline_query_has_unpartitioned_ranked_window(spark):
