@@ -446,6 +446,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q367_catalog_coverage": Q.q367_catalog_coverage,
         "q368_positivity_overlap": Q.q368_positivity_overlap,
         "q369_box_pierce": Q.q369_box_pierce,
+        "q370_pr_auc": Q.q370_pr_auc,
+        "q371_hash_uniformity_ks": Q.q371_hash_uniformity_ks,
+        "q372_cramers_v": Q.q372_cramers_v,
     }
 
 
@@ -11458,5 +11461,99 @@ def oracle_sql() -> dict[str, str]:
                         > 11070498 THEN 1 ELSE 0 END
                      AS residual_signal
             FROM per
+        """,
+        "q370_pr_auc": """
+            WITH vals AS MATERIALIZED (
+              SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS s,
+                     CAST(COUNT(*) AS BIGINT) AS cnt,
+                     CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS cpos
+              FROM orders GROUP BY 1),
+            cum AS (
+              SELECT s, cnt, cpos,
+                     CAST(SUM(cnt) OVER w AS BIGINT) AS ca,
+                     CAST(SUM(cpos) OVER w AS BIGINT) AS cp
+              FROM vals
+              WINDOW w AS (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)),
+            tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+                           CAST(SUM(cpos) AS BIGINT) AS n1 FROM vals),
+            terms AS (
+              SELECT n, n1,
+                     CAST(floor(
+                       CAST(cpos AS DOUBLE) / CAST(n1 AS DOUBLE)
+                       * (CAST(n1 - (cp - cpos) AS DOUBLE)
+                          / CAST(n - (ca - cnt) AS DOUBLE))
+                       * 1000000000) AS BIGINT) AS t
+              FROM cum, tot)
+            SELECT n, n1, CAST(SUM(t) AS BIGINT) AS ap_nano,
+                   n1 * 1000000 // n AS baseline_ppm
+            FROM terms GROUP BY 1, 2
+        """,
+        "q371_hash_uniformity_ks": """
+            WITH bins AS (
+              SELECT ((instr('0123456789abcdef',
+                        substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1)
+                      * 16
+                      + (instr('0123456789abcdef',
+                        substr(md5(CAST(user_id AS VARCHAR)), 2, 1)) - 1))
+                       AS b,
+                     CAST(COUNT(*) AS BIGINT) AS c
+              FROM events GROUP BY 1),
+            cum AS (
+              SELECT b, CAST(SUM(c) OVER (ORDER BY b) AS BIGINT) AS cum
+              FROM bins),
+            tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM bins),
+            agg AS (
+              SELECT n,
+                     CAST(MAX(abs(cum * 256 - (b + 1) * n)) AS BIGINT)
+                       AS max_dev
+              FROM cum, tot GROUP BY 1)
+            SELECT n,
+                   CAST(floor(CAST(max_dev AS DOUBLE)
+                        / (256.0 * CAST(n AS DOUBLE)) * 1000000)
+                        AS BIGINT) AS d_micro,
+                   CAST(floor(1.36 / sqrt(CAST(n AS DOUBLE)) * 1000000)
+                        AS BIGINT) AS crit_micro,
+                   CASE WHEN CAST(max_dev AS DOUBLE)
+                        / (256.0 * CAST(n AS DOUBLE))
+                        > 1.36 / sqrt(CAST(n AS DOUBLE))
+                        THEN 1 ELSE 0 END AS non_uniform
+            FROM agg
+        """,
+        "q372_cramers_v": """
+            WITH cells AS MATERIALIZED (
+              SELECT c.c_mktsegment, o.o_orderpriority,
+                     CAST(COUNT(*) AS BIGINT) AS o
+              FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+              GROUP BY 1, 2),
+            rowm AS (SELECT c_mktsegment, CAST(SUM(o) AS BIGINT) AS rm
+                     FROM cells GROUP BY 1),
+            colm AS (SELECT o_orderpriority,
+                            CAST(SUM(o) AS BIGINT) AS cm
+                     FROM cells GROUP BY 1),
+            tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+            terms AS (
+              SELECT n,
+                     CAST(floor(
+                       (CAST(o AS DOUBLE)
+                        - CAST(rm AS DOUBLE) * CAST(cm AS DOUBLE)
+                          / CAST(n AS DOUBLE))
+                       * (CAST(o AS DOUBLE)
+                          - CAST(rm AS DOUBLE) * CAST(cm AS DOUBLE)
+                            / CAST(n AS DOUBLE))
+                       / (CAST(rm AS DOUBLE) * CAST(cm AS DOUBLE)
+                          / CAST(n AS DOUBLE))
+                       * 1000000000) AS BIGINT) AS t
+              FROM cells JOIN rowm USING (c_mktsegment)
+                   JOIN colm USING (o_orderpriority), tot)
+            SELECT n, CAST(COUNT(*) AS BIGINT) AS n_cells,
+                   CAST(SUM(t) AS BIGINT) // 1000 AS chi2_micro,
+                   CAST(floor(sqrt(
+                     CAST(SUM(t) AS DOUBLE) / 1000000000.0
+                     / (CAST(n AS DOUBLE) * 4.0)) * 1000000) AS BIGINT)
+                     AS cramers_v_micro
+            FROM terms GROUP BY 1
         """,
     }

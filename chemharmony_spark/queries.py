@@ -15793,3 +15793,201 @@ def q369_box_pierce(spark, sf):
             F.col("q_stat_micro") > 11070498, 1
         ).otherwise(0).alias("residual_signal"),
     )
+
+
+def q370_pr_auc(spark, sf):
+    """Average precision (PR-AUC, step interpolation) of order price as
+    a finalized-order classifier — the imbalanced-data companion to
+    q359's ROC CI (PR curves expose what ROC hides when positives are
+    rare): AP = sum over descending score thresholds of
+    (delta recall) * precision, which needs NO adjacent-row lag —
+    each distinct score contributes its own positives' recall mass
+    times the precision at its threshold, so the whole curve folds in
+    one pass over the distinct-score cumsum table (q359's skeleton,
+    same bucketed window, zero row-level ranking).
+
+    Shape: one (score) count agg, ONE bucketed cumsum window, a 1-row
+    totals broadcast, per-value nano-floored terms, 1-row rollup."""
+    orders = _t(spark, sf, "orders")
+    vals = (
+        orders.select(
+            (_d("o_totalprice") * 100).cast("long").alias("s"),
+            F.when(F.col("o_orderstatus") == "F", 1)
+            .otherwise(0)
+            .alias("y"),
+        )
+        .groupBy("s")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("y").alias("cpos"),
+        )
+    )
+    w_intra = (
+        Window.partitionBy("__b")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = vals.withColumn(
+        "__b", F.floor(F.col("s") / F.lit(1_000_000))
+    ).select(
+        "s",
+        "cnt",
+        "cpos",
+        "__b",
+        F.sum("cnt").over(w_intra).alias("ra"),
+        F.sum("cpos").over(w_intra).alias("rp"),
+    )
+    w_off = Window.orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        run.groupBy("__b")
+        .agg(F.sum("cnt").alias("ta"), F.sum("cpos").alias("tp"))
+        .select(
+            "__b",
+            F.coalesce(F.sum("ta").over(w_off), F.lit(0)).alias("oa"),
+            F.coalesce(F.sum("tp").over(w_off), F.lit(0)).alias("op"),
+        )
+    )
+    cum = run.join(F.broadcast(offsets), on="__b").select(
+        "s",
+        "cnt",
+        "cpos",
+        (F.col("ra") + F.col("oa")).alias("ca"),
+        (F.col("rp") + F.col("op")).alias("cp"),
+    )
+    tot = vals.agg(
+        F.sum("cnt").alias("n"), F.sum("cpos").alias("n1")
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    pos_ge = (F.col("n1") - (F.col("cp") - F.col("cpos"))).cast(
+        "double"
+    )
+    cnt_ge = (F.col("n") - (F.col("ca") - F.col("cnt"))).cast("double")
+    term = (
+        F.col("cpos").cast("double")
+        / F.col("n1").cast("double")
+        * (pos_ge / cnt_ge)
+    )
+    return (
+        j.select(
+            F.floor(term * 1_000_000_000).cast("long").alias("t"),
+            "n",
+            "n1",
+        )
+        .groupBy("n", "n1")
+        .agg(F.sum("t").alias("ap_nano"))
+        .select(
+            "n",
+            "n1",
+            "ap_nano",
+            F.expr("n1 * 1000000 DIV n").alias("baseline_ppm"),
+        )
+    )
+
+
+def q371_hash_uniformity_ks(spark, sf):
+    """Binned one-sample Kolmogorov-Smirnov test of the md5 assignment
+    hash against uniform — the hash-quality audit upstream of EVERY
+    md5-split experiment and sample in this engine (a lumpy first byte
+    biases q323/q330/q357 all at once): D = max_b |ecdf(b) - (b+1)/256|
+    over the 256 first-byte bins, compared to the 1.36/sqrt(n) 5%
+    critical value. D is exact integer arithmetic (|256*cum -
+    (b+1)*n| max), one double division at the end.
+
+    Shape: one 256-group agg + a model-space cumulative window."""
+    ev = _events(spark, sf)
+    b = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 2),
+            16,
+            10,
+        )
+    ).cast("long")
+    bins = ev.select(b.alias("b")).groupBy("b").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.withColumn("cum", F.sum("c").over(w))
+    tot = bins.agg(F.sum("c").alias("n"))
+    j = cum.crossJoin(F.broadcast(tot)).select(
+        F.abs(
+            F.col("cum") * 256 - (F.col("b") + 1) * F.col("n")
+        ).alias("dev"),
+        "n",
+    )
+    agg = j.groupBy("n").agg(F.max("dev").alias("max_dev"))
+    d = F.col("max_dev").cast("double") / (
+        256.0 * F.col("n").cast("double")
+    )
+    crit = 1.36 / F.sqrt(F.col("n").cast("double"))
+    return agg.select(
+        "n",
+        F.floor(d * 1_000_000).cast("long").alias("d_micro"),
+        F.floor(crit * 1_000_000).cast("long").alias("crit_micro"),
+        F.when(d > crit, 1).otherwise(0).alias("non_uniform"),
+    )
+
+
+def q372_cramers_v(spark, sf):
+    """Cramer's V effect size for the (market segment x order priority)
+    association — the missing magnitude behind q92's chi-square
+    significance (at 100 TB everything is "significant"; V says whether
+    the association MATTERS): V = sqrt(chi2 / (N * (min(r,c) - 1))).
+    Cell/margin counts are exact integers; per-cell chi2 terms floor
+    to nano before the 25-row integer sum.
+
+    Shape: one orders+customer join feeding a 25-cell agg; margins
+    re-agg from the cells and broadcast back; model-space algebra."""
+    from chemharmony_spark.cache import registered_persist
+
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    cells = registered_persist(
+        orders.join(
+            cust.select(
+                F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+            ),
+            on="o_custkey",
+        )
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    rowm = cells.groupBy("c_mktsegment").agg(F.sum("o").alias("rm"))
+    colm = cells.groupBy("o_orderpriority").agg(
+        F.sum("o").alias("cm")
+    )
+    tot = cells.agg(F.sum("o").alias("n"))
+    j = (
+        cells.join(F.broadcast(rowm), on="c_mktsegment")
+        .join(F.broadcast(colm), on="o_orderpriority")
+        .crossJoin(F.broadcast(tot))
+    )
+    exp = (
+        F.col("rm").cast("double")
+        * F.col("cm").cast("double")
+        / F.col("n").cast("double")
+    )
+    dev = F.col("o").cast("double") - exp
+    term = dev * dev / exp
+    agg = (
+        j.select(
+            "n",
+            F.floor(term * 1_000_000_000).cast("long").alias("t"),
+        )
+        .groupBy("n")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("t").alias("chi2_nano"),
+        )
+    )
+    chi2 = F.col("chi2_nano").cast("double") / 1e9
+    v = F.sqrt(
+        chi2 / (F.col("n").cast("double") * 4.0)
+    )
+    return agg.select(
+        "n",
+        "n_cells",
+        F.expr("chi2_nano DIV 1000").alias("chi2_micro"),
+        F.floor(v * 1_000_000).cast("long").alias("cramers_v_micro"),
+    )

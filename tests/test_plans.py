@@ -972,6 +972,15 @@ SHUFFLE_BUDGET = {
     # per-lag windows over the persisted centered series (reprinted
     # per lag branch) + the 5-row rollup
     "q369_box_pierce": 10,
+    # q370: q359's skeleton — distinct-score agg, bucketed cumsum
+    # (intra window + offset rollup), 1-row totals broadcast, rollup
+    "q370_pr_auc": 8,
+    # q371: the 256-bin agg + the model-space cumulative window +
+    # the 1-row rollup chain
+    "q371_hash_uniformity_ks": 4,
+    # q372: the persisted 25-cell contingency agg (reprinted per
+    # margin consumer) + row/col margin rollups + the 1-row combine
+    "q372_cramers_v": 5,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -1165,7 +1174,14 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 "q367_catalog_coverage",
                 # q369: 1-row residual-stats / denominator broadcasts
                 # onto the model-space daily series
-                "q369_box_pierce"}
+                "q369_box_pierce",
+                # q370: 1-row n/n1 totals broadcast onto the
+                # distinct-score table (q359 pattern)
+                "q370_pr_auc",
+                # q371: 1-row bin-total broadcast onto the 256 bins
+                "q371_hash_uniformity_ks",
+                # q372: 1-row grand-total broadcast onto the 25 cells
+                "q372_cramers_v"}
 
 
 def test_no_headline_query_has_unpartitioned_ranked_window(spark):
