@@ -449,6 +449,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q370_pr_auc": Q.q370_pr_auc,
         "q371_hash_uniformity_ks": Q.q371_hash_uniformity_ks,
         "q372_cramers_v": Q.q372_cramers_v,
+        "q373_kruskal_wallis": Q.q373_kruskal_wallis,
+        "q374_bh_fdr": Q.q374_bh_fdr,
+        "q375_page_hinkley": Q.q375_page_hinkley,
     }
 
 
@@ -11555,5 +11558,174 @@ def oracle_sql() -> dict[str, str]:
                      / (CAST(n AS DOUBLE) * 4.0)) * 1000000) AS BIGINT)
                      AS cramers_v_micro
             FROM terms GROUP BY 1
+        """,
+        "q373_kruskal_wallis": """
+            WITH obs AS (
+              SELECT c.c_mktsegment AS seg,
+                     CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS cents
+              FROM orders o JOIN customer c
+                ON o.o_custkey = c.c_custkey),
+            byval AS (
+              SELECT cents, CAST(COUNT(*) AS BIGINT) AS nv,
+                     CAST(SUM(CASE WHEN seg = 'AUTOMOBILE'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS g0,
+                     CAST(SUM(CASE WHEN seg = 'BUILDING'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS g1,
+                     CAST(SUM(CASE WHEN seg = 'FURNITURE'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS g2,
+                     CAST(SUM(CASE WHEN seg = 'HOUSEHOLD'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS g3,
+                     CAST(SUM(CASE WHEN seg = 'MACHINERY'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS g4
+              FROM obs GROUP BY 1),
+            ranked AS (
+              SELECT *,
+                     COALESCE(CAST(SUM(nv) OVER (ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS BIGINT), 0) AS cumb
+              FROM byval),
+            s AS (
+              SELECT CAST(SUM(nv) AS BIGINT) AS n,
+                     CAST(SUM(nv * nv * nv - nv) AS BIGINT) AS ties,
+                     CAST(SUM(g0) AS BIGINT) AS ng0,
+                     CAST(SUM(g1) AS BIGINT) AS ng1,
+                     CAST(SUM(g2) AS BIGINT) AS ng2,
+                     CAST(SUM(g3) AS BIGINT) AS ng3,
+                     CAST(SUM(g4) AS BIGINT) AS ng4,
+                     CAST(SUM(g0 * (2 * cumb + nv + 1)) AS BIGINT)
+                       AS r0,
+                     CAST(SUM(g1 * (2 * cumb + nv + 1)) AS BIGINT)
+                       AS r1,
+                     CAST(SUM(g2 * (2 * cumb + nv + 1)) AS BIGINT)
+                       AS r2,
+                     CAST(SUM(g3 * (2 * cumb + nv + 1)) AS BIGINT)
+                       AS r3,
+                     CAST(SUM(g4 * (2 * cumb + nv + 1)) AS BIGINT)
+                       AS r4
+              FROM ranked),
+            h AS (
+              SELECT n, ng0, ng1, ng2, ng3, ng4,
+                     (CAST(floor(3.0 * CAST(r0 AS DOUBLE)
+                        * CAST(r0 AS DOUBLE)
+                        / (CAST(ng0 AS DOUBLE) * CAST(n AS DOUBLE)
+                           * (CAST(n AS DOUBLE) + 1.0))
+                        * 1000000) AS BIGINT)
+                      + CAST(floor(3.0 * CAST(r1 AS DOUBLE)
+                        * CAST(r1 AS DOUBLE)
+                        / (CAST(ng1 AS DOUBLE) * CAST(n AS DOUBLE)
+                           * (CAST(n AS DOUBLE) + 1.0))
+                        * 1000000) AS BIGINT)
+                      + CAST(floor(3.0 * CAST(r2 AS DOUBLE)
+                        * CAST(r2 AS DOUBLE)
+                        / (CAST(ng2 AS DOUBLE) * CAST(n AS DOUBLE)
+                           * (CAST(n AS DOUBLE) + 1.0))
+                        * 1000000) AS BIGINT)
+                      + CAST(floor(3.0 * CAST(r3 AS DOUBLE)
+                        * CAST(r3 AS DOUBLE)
+                        / (CAST(ng3 AS DOUBLE) * CAST(n AS DOUBLE)
+                           * (CAST(n AS DOUBLE) + 1.0))
+                        * 1000000) AS BIGINT)
+                      + CAST(floor(3.0 * CAST(r4 AS DOUBLE)
+                        * CAST(r4 AS DOUBLE)
+                        / (CAST(ng4 AS DOUBLE) * CAST(n AS DOUBLE)
+                           * (CAST(n AS DOUBLE) + 1.0))
+                        * 1000000) AS BIGINT))
+                     - 3 * (n + 1) * 1000000 AS h_micro,
+                     1.0 - CAST(ties AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                          * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))
+                       AS c_corr
+              FROM s)
+            SELECT n,
+                   ng0 AS n_automobile, ng1 AS n_building,
+                   ng2 AS n_furniture, ng3 AS n_household,
+                   ng4 AS n_machinery,
+                   h_micro,
+                   CAST(floor(c_corr * 1000000) AS BIGINT) AS c_ppm,
+                   CAST(floor(CAST(h_micro AS DOUBLE) / c_corr)
+                        AS BIGINT) AS h_adj_micro,
+                   CASE WHEN floor(CAST(h_micro AS DOUBLE) / c_corr)
+                        > 9487729 THEN 1 ELSE 0 END AS significant
+            FROM h
+        """,
+        "q374_bh_fdr": """
+            WITH per AS (
+              SELECT n.n_name,
+                     CAST(COUNT(*) AS BIGINT) AS n_i,
+                     CAST(SUM(CASE WHEN o.o_orderstatus = 'F'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS x_i
+              FROM orders o
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN nation n ON c.c_nationkey = n.n_nationkey
+              GROUP BY 1),
+            tot AS (SELECT CAST(SUM(n_i) AS BIGINT) AS n,
+                           CAST(SUM(x_i) AS BIGINT) AS x FROM per),
+            scored AS (
+              SELECT n_name, n_i, x_i,
+                     CAST(floor(1000000.0 / (1.0 +
+                       (CAST(x_i AS DOUBLE) - CAST(n_i AS DOUBLE)
+                        * (CAST(x AS DOUBLE) / CAST(n AS DOUBLE)))
+                       * (CAST(x_i AS DOUBLE) - CAST(n_i AS DOUBLE)
+                          * (CAST(x AS DOUBLE) / CAST(n AS DOUBLE)))
+                       / (CAST(n_i AS DOUBLE)
+                          * (CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+                          * (1.0 - CAST(x AS DOUBLE)
+                                   / CAST(n AS DOUBLE)))))
+                       AS BIGINT) AS p_micro
+              FROM per, tot),
+            ranked AS (
+              SELECT n_name, n_i, x_i, p_micro,
+                     ROW_NUMBER() OVER (ORDER BY p_micro, n_name)
+                       AS rank
+              FROM scored),
+            k AS (
+              SELECT COALESCE(MAX(CASE WHEN p_micro * 25
+                       <= rank * 50000 THEN rank END), 0) AS k
+              FROM ranked)
+            SELECT n_name, n_i, x_i, p_micro, rank,
+                   CASE WHEN rank <= k THEN 1 ELSE 0 END AS rejected
+            FROM ranked, k
+        """,
+        "q375_page_hinkley": """
+            WITH daily AS (
+              SELECT date_diff('day', DATE '1992-01-01',
+                               CAST(o_orderdate AS DATE)) AS day,
+                     CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                   * 100 AS BIGINT)) AS BIGINT) AS rev
+              FROM orders GROUP BY 1),
+            pre AS (
+              SELECT day,
+                     CAST(rev AS DOUBLE) / 100.0 AS x,
+                     CAST(CAST(SUM(rev) OVER w AS BIGINT) AS DOUBLE)
+                       / 100.0 AS cx,
+                     CAST(COUNT(*) OVER w AS BIGINT) AS t
+              FROM daily
+              WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND CURRENT ROW)),
+            terms AS (
+              SELECT day,
+                     CAST(floor((x - cx / CAST(t AS DOUBLE))
+                          * 1000000) AS BIGINT) AS term
+              FROM pre),
+            m AS (
+              SELECT day,
+                     CAST(SUM(term) OVER w AS BIGINT) AS m
+              FROM terms
+              WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND CURRENT ROW)),
+            gapped AS (
+              SELECT day,
+                     m - CAST(MIN(m) OVER (ORDER BY day ROWS BETWEEN
+                       UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS gap
+              FROM m)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(SUM(CASE WHEN gap > 50000000000
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+                   MIN(CASE WHEN gap > 50000000000 THEN day END)
+                     AS first_alarm_day,
+                   CAST(MAX(gap) AS BIGINT) AS max_gap_micro
+            FROM gapped
         """,
     }

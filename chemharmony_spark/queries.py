@@ -15991,3 +15991,222 @@ def q372_cramers_v(spark, sf):
         F.expr("chi2_nano DIV 1000").alias("chi2_micro"),
         F.floor(v * 1_000_000).cast("long").alias("cramers_v_micro"),
     )
+
+
+def q373_kruskal_wallis(spark, sf):
+    """Kruskal-Wallis H test: do the FIVE market segments draw
+    different order-value distributions? The k-group generalization of
+    q184's two-sample Mann-Whitney (q193 ANOVA assumes normality; this
+    is the rank-based version that doesn't). Doubled midranks from the
+    tie-grouped distinct-value cumsum keep rank sums exact integers:
+    2*avgrank = 2*cum_before + nv + 1; H folds the five R_g^2/n_g terms
+    in micro-floored integers; the q-correction divides by
+    C = 1 - sum(nv^3-nv)/(N^3-N). Compared to the chi-square(4) 5%
+    critical value 9.4877.
+
+    Shape: ONE (value) agg with five conditional segment counts, ONE
+    cumulative window over the distinct-value table (orders of
+    magnitude smaller than facts; q58's bucketed cumsum at 100 TB),
+    then a 1-row rollup — pure model space."""
+    SEGS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+            "MACHINERY"]
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    orders = _t(spark, sf, "orders")
+    obs = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select(
+        "c_mktsegment",
+        (_d("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    byval = obs.groupBy("cents").agg(
+        F.count(F.lit(1)).alias("nv"),
+        *[
+            F.sum(
+                F.when(F.col("c_mktsegment") == s, 1).otherwise(0)
+            ).alias(f"n{i}")
+            for i, s in enumerate(SEGS)
+        ],
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = byval.withColumn(
+        "cumb", F.coalesce(F.sum("nv").over(w), F.lit(0))
+    )
+    D38 = "decimal(38,0)"
+    r2x2 = (2 * F.col("cumb") + F.col("nv") + 1).cast(D38)
+    s = ranked.agg(
+        F.sum("nv").alias("n"),
+        F.sum(
+            F.col("nv").cast(D38) * F.col("nv").cast(D38)
+            * F.col("nv").cast(D38)
+            - F.col("nv").cast(D38)
+        ).alias("ties"),
+        *[F.sum(f"n{i}").alias(f"ng{i}") for i in range(5)],
+        *[
+            F.sum(F.col(f"n{i}").cast(D38) * r2x2).alias(f"r2_{i}")
+            for i in range(5)
+        ],
+    )
+    nN = F.col("n").cast("double")
+    # per-group micro-floored contribution 12/4 * R2_g^2 / (n_g N (N+1))
+    terms = [
+        F.floor(
+            F.lit(3.0)
+            * F.col(f"r2_{i}").cast("double")
+            * F.col(f"r2_{i}").cast("double")
+            / (F.col(f"ng{i}").cast("double") * nN * (nN + 1.0))
+            * 1_000_000
+        ).cast("long")
+        for i in range(5)
+    ]
+    h_micro = sum(terms[1:], terms[0]) - (
+        3 * (F.col("n") + 1) * 1_000_000
+    )
+    c_corr = F.lit(1.0) - F.col("ties").cast("double") / (
+        nN * nN * nN - nN
+    )
+    h_adj = h_micro.cast("double") / c_corr
+    return s.select(
+        "n",
+        *[F.col(f"ng{i}").alias(f"n_{seg.lower()}") for i, seg in
+          enumerate(SEGS)],
+        h_micro.alias("h_micro"),
+        F.floor(c_corr * 1_000_000).cast("long").alias("c_ppm"),
+        F.floor(h_adj).cast("long").alias("h_adj_micro"),
+        F.when(F.floor(h_adj) > 9_487_729, 1).otherwise(0).alias(
+            "significant"
+        ),
+    )
+
+
+def q374_bh_fdr(spark, sf):
+    """Benjamini-Hochberg FDR control over the per-nation
+    finalized-order-rate tests — the multiple-comparisons layer the
+    per-segment tests (q152, q323) lack: 25 simultaneous hypotheses at
+    alpha=0.05 reject the largest k with p_(i) <= i*alpha/m. P-values
+    are the distribution-free Cantelli bound p = 1/(1 + z^2) (exp/erf
+    are banned in this engine's determinism rules; the bound is
+    conservative and strictly monotone in |z|, which is all BH's
+    step-up needs). Every comparison is integer: p_micro * m vs
+    rank * 50000.
+
+    Shape: one broadcast-dim join + one (nation) agg; the BH step-up
+    runs over the 25-row model-space table (rank window + 1-row max
+    crossing broadcast)."""
+    nation = _t(spark, sf, "nation").select("n_nationkey", "n_name")
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    orders = _t(spark, sf, "orders")
+    per = (
+        orders.join(
+            F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_i"),
+            F.sum(
+                F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+            ).alias("x_i"),
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("n_name", "n_i", "x_i")
+    )
+    tot = per.agg(
+        F.sum("n_i").alias("n"), F.sum("x_i").alias("x")
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    phat = F.col("x").cast("double") / F.col("n").cast("double")
+    num = F.col("x_i").cast("double") - F.col("n_i").cast("double") * phat
+    z2 = num * num / (
+        F.col("n_i").cast("double") * phat * (1.0 - phat)
+    )
+    scored = j.select(
+        "n_name",
+        "n_i",
+        "x_i",
+        F.floor(F.lit(1_000_000.0) / (1.0 + z2)).cast("long").alias(
+            "p_micro"
+        ),
+    )
+    wr = Window.orderBy("p_micro", "n_name")
+    ranked = scored.withColumn("rank", F.row_number().over(wr))
+    # step-up: k = max rank whose p_(i) <= i * alpha / m
+    # (m = 25 nations — fixed by the TPC-H dim, not a data-dependent count)
+    m = 25
+    flagged = ranked.withColumn(
+        "ok",
+        (F.col("p_micro") * F.lit(m)) <= (F.col("rank") * F.lit(50_000)),
+    )
+    k = flagged.agg(
+        F.coalesce(
+            F.max(F.when(F.col("ok"), F.col("rank"))), F.lit(0)
+        ).alias("k")
+    )
+    return (
+        flagged.crossJoin(F.broadcast(k))
+        .select(
+            "n_name",
+            "n_i",
+            "x_i",
+            "p_micro",
+            "rank",
+            F.when(F.col("rank") <= F.col("k"), 1).otherwise(0).alias(
+                "rejected"
+            ),
+        )
+    )
+
+
+def q375_page_hinkley(spark, sf):
+    """Page-Hinkley mean-shift detector on the daily revenue series —
+    the SEQUENTIAL drift monitor next to the retrospective ones (q280
+    binary segmentation, q127 PSI, q318 Wasserstein): m_t = sum_{s<=t}
+    (x_s - mean_s - delta) against its running minimum; alarm when the
+    gap exceeds lambda. mean_s is the expanding prefix mean, so the
+    statistic is streamable — this is the query you'd port to the
+    foreachBatch monitor. Per-day terms floor to micro before the
+    integer prefix sum (cross-engine order-independence); delta=0,
+    lambda=50000 dollars.
+
+    Shape: ONE (day) agg then three windows over the model-space daily
+    series (prefix count/sum, prefix sum of terms, prefix min)."""
+    orders = _t(spark, sf, "orders")
+    daily = (
+        orders.select(
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1992-01-01").cast("date")
+            ).alias("day"),
+            (_d("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    pre = daily.select(
+        "day",
+        (F.col("rev").cast("double") / 100.0).alias("x"),
+        (F.sum("rev").over(w).cast("double") / 100.0).alias("cx"),
+        F.count(F.lit(1)).over(w).alias("t"),
+    )
+    term = F.floor(
+        (F.col("x") - F.col("cx") / F.col("t").cast("double"))
+        * 1_000_000
+    ).cast("long")
+    mt = pre.select(
+        "day", term.alias("term")
+    ).withColumn("m", F.sum("term").over(w))
+    gapped = mt.withColumn(
+        "gap", F.col("m") - F.min("m").over(w)
+    )
+    LAMBDA = 50_000 * 1_000_000
+    return gapped.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.when(F.col("gap") > LAMBDA, 1).otherwise(0)).alias(
+            "n_alarms"
+        ),
+        F.min(
+            F.when(F.col("gap") > LAMBDA, F.col("day"))
+        ).alias("first_alarm_day"),
+        F.max("gap").alias("max_gap_micro"),
+    )

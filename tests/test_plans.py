@@ -981,6 +981,13 @@ SHUFFLE_BUDGET = {
     # q372: the persisted 25-cell contingency agg (reprinted per
     # margin consumer) + row/col margin rollups + the 1-row combine
     "q372_cramers_v": 5,
+    # q373: the distinct-value agg + the model-space cumsum window
+    "q373_kruskal_wallis": 2,
+    # q374: the per-nation agg + the 25-row rank window, totals and
+    # step-up crossing as 1-row broadcasts
+    "q374_bh_fdr": 8,
+    # q375: the daily agg + the model-space prefix windows
+    "q375_page_hinkley": 2,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -1181,7 +1188,10 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 # q371: 1-row bin-total broadcast onto the 256 bins
                 "q371_hash_uniformity_ks",
                 # q372: 1-row grand-total broadcast onto the 25 cells
-                "q372_cramers_v"}
+                "q372_cramers_v",
+                # q374: 1-row totals + 1-row BH-crossing broadcasts
+                # onto the 25-row per-nation table
+                "q374_bh_fdr"}
 
 
 def test_no_headline_query_has_unpartitioned_ranked_window(spark):
