@@ -122,7 +122,8 @@ def lsh_candidate_pairs(signatures: DataFrame,
 
 def jaccard_pairs(df: DataFrame, candidates: DataFrame, id_col: str,
                   text_col: str, broadcast_docs: bool = True,
-                  hash_tokens: bool = True) -> DataFrame:
+                  hash_tokens: bool = True,
+                  tokens_col: str | None = None) -> DataFrame:
     """Exact word-set Jaccard for candidate pairs.
 
     Array-native plan: each doc's distinct token set is one array column
@@ -147,7 +148,19 @@ def jaccard_pairs(df: DataFrame, candidates: DataFrame, id_col: str,
     60 bits (P ≈ |vocab|²/2^61 — negligible below ~1e8 tokens; pass
     ``hash_tokens=False`` to intersect raw strings for vocabularies past
     that).
+
+    ``tokens_col`` names a pre-built DISTINCT-token array column (hashed
+    or not — pass what the intersection should compare) used verbatim
+    instead of tokenizing+hashing ``text_col``: the shared-tokenization
+    fast path. The frame is used as-is, NOT re-persisted — the caller
+    owns the cache (it usually persisted the token table already for the
+    candidate stage).
     """
+    if tokens_col is not None:
+        toks = df.select(
+            F.col(id_col).alias("id"), F.col(tokens_col).alias("ws")
+        ).where(F.size("ws") > 0)
+        return _jaccard_from_tokens(toks, candidates, broadcast_docs)
     hcol = (
         (lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long"))
         if hash_tokens
@@ -165,6 +178,12 @@ def jaccard_pairs(df: DataFrame, candidates: DataFrame, id_col: str,
             ).alias("ws"),
         ).where(F.size("ws") > 0)
     )
+    return _jaccard_from_tokens(toks, candidates, broadcast_docs)
+
+
+def _jaccard_from_tokens(toks: DataFrame, candidates: DataFrame,
+                         broadcast_docs: bool) -> DataFrame:
+    """Candidate verify over a ready (id, ws) distinct-token-array frame."""
     hint = F.broadcast if broadcast_docs else (lambda d: d)
     ta = hint(toks.select(F.col("id").alias("a"), F.col("ws").alias("wa")))
     tb = hint(toks.select(F.col("id").alias("b"), F.col("ws").alias("wb")))
@@ -237,7 +256,8 @@ def simhash16(df: DataFrame, id_col: str, text_col: str,
 
 
 def prefix_filter_pairs(df: DataFrame, id_col: str, text_col: str,
-                        threshold: float = 0.6) -> DataFrame:
+                        threshold: float = 0.6,
+                        tokens_col: str | None = None) -> DataFrame:
     """PPJoin-style prefix-filtered candidates for Jaccard >= threshold
     (Xiao et al., "Efficient Similarity Joins for Near Duplicate
     Detection", WWW 2008 — public paper): order each doc's distinct tokens
@@ -268,13 +288,30 @@ def prefix_filter_pairs(df: DataFrame, id_col: str, text_col: str,
     At low thresholds (prefix ≈ (1-t)·|x| tokens) these two filters are
     the difference between a bounded candidate set and a quadratic one —
     measured 30x+ on the sf0.1 documents corpus at t=0.6.
+
+    ``tokens_col`` names a pre-built DISTINCT-token array column to use
+    instead of tokenizing ``text_col`` — the shared-tokenization fast
+    path for pipelines that already carry the arrays (q123 tokenizes its
+    corpus ONCE for collapse + candidates + verify). Any element type
+    works (the PPJoin prefix bound holds for ANY total token order, so
+    pre-hashed longs order differently than strings but verified pairs
+    are identical — and the self-join keys on longs instead of strings).
     """
     from pyspark.sql.window import Window
 
     t = float(threshold)
-    words = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(tokens(text_col))).alias("w"),
+    base = (
+        df.select(F.col(id_col).alias("id"), F.col(tokens_col).alias("ws"))
+        if tokens_col is not None
+        else df.select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(tokens(text_col)).alias("ws"),
+        )
+    )
+    # set size comes off the array BEFORE the explode — one window
+    # (frequency order), not two (the old per-id count window)
+    words = base.select(
+        "id", F.size("ws").alias("nw"), F.explode("ws").alias("w")
     )
     freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     ordered = words.join(F.broadcast(freq), on="w").withColumn(
@@ -282,7 +319,7 @@ def prefix_filter_pairs(df: DataFrame, id_col: str, text_col: str,
         F.row_number().over(
             Window.partitionBy("id").orderBy("df", "w")
         ),
-    ).withColumn("nw", F.count(F.lit(1)).over(Window.partitionBy("id")))
+    )
     prefix_len = F.col("nw") - F.ceil(F.lit(t) * F.col("nw")) + 1
     prefix = ordered.where(F.col("pos") <= prefix_len).select(
         "id", "w", "pos", "nw"

@@ -84,6 +84,7 @@ def connected_components_star(
     max_iter: int = 30,
     broadcast_maps: bool = False,
     pre_contract: bool = False,
+    driver_finish_cap: int = 0,
 ) -> DataFrame:
     """-> (node, component) via alternating large-star/small-star rounds
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -125,7 +126,15 @@ def connected_components_star(
     shuffles move label-pairs, not document-pairs (measured 10.1s ->
     ~2s on 7.1M edges / 4.8k nodes at sf0.1). The verified edge set is
     persisted here (it feeds the label agg and the rewrite), bounded by
-    the registered-cache release hook."""
+    the registered-cache release hook.
+
+    ``driver_finish_cap > 0`` finishes with a driver-side union-find when
+    the (contracted) edge count is at or below the cap — the remaining
+    label graph after contraction is cluster-sized, not row-sized, and a
+    distributed star round costs ~7 fixed-overhead jobs no matter how few
+    rows it moves. The cap is an explicit driver-memory bound (edges are
+    two ids each; 2M edges ~= 32 MB collected); 0 disables the path and
+    everything stays distributed."""
     hint = F.broadcast if broadcast_maps else (lambda d: d)
 
     raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
@@ -207,6 +216,63 @@ def connected_components_star(
         return (r["n"], r["h"])
 
     sig = _sig(e)
+    if driver_finish_cap and sig[0] <= driver_finish_cap:
+        # Size-gated driver finish: after (pre-)contraction the remaining
+        # graph has one node per CLUSTER-adjacency, not per row — on
+        # near-dup corpora that's thousands of label pairs where the
+        # input had millions of document pairs. Each distributed star
+        # round costs ~7 fixed-overhead jobs (two aggs, two distincts,
+        # two checkpoints, a signature read) regardless of size; below
+        # the cap a single collect + union-find replaces the whole loop
+        # (measured ~4s -> ~0.3s on 1.7k contracted edges at sf0.1).
+        # The cap bounds driver memory explicitly (2M edges ~= 32 MB);
+        # above it the O(log^2 n) loop below still handles any shape.
+        parent: dict = {}
+
+        def _find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        nodes = set()
+        for row in e.collect():
+            nodes.add(row[0])
+            nodes.add(row[1])
+            ra, rb = _find(row[0]), _find(row[1])
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        mapping = [(x, _find(x)) for x in nodes]
+        from pyspark.sql.types import StructField, StructType
+
+        utype = e.schema[0].dataType
+        spark = e.sparkSession
+        comp = spark.createDataFrame(
+            mapping,
+            StructType(
+                [
+                    StructField("node", utype, False),
+                    StructField("component", utype, False),
+                ]
+            ),
+        )
+        if lab is not None:
+            comp = (
+                lab.join(
+                    hint(comp.withColumnRenamed("node", "l")),
+                    on="l",
+                    how="left",
+                )
+                .select(
+                    F.col("u").alias("node"),
+                    F.coalesce("component", F.col("l")).alias("component"),
+                )
+            )
+        return comp
     for _ in range(max_iter):
         new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
         new_sig = _sig(new_e)

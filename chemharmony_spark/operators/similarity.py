@@ -41,7 +41,13 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def dot_pre(a: Column, b: Column) -> Column:
-    """Dot product over ALREADY-double arrays (see :func:`prep_cosine`)."""
+    """Dot product over ALREADY-double arrays (see :func:`prep_cosine`).
+
+    The zip_with/aggregate fold outperforms a GetArrayItem-unrolled
+    ``0.0 + a[0]*b[0] + ...`` sum by ~3x here (measured on the q46/q115
+    pair joins at sf0.1): the fold runs one specialized primitive-array
+    loop, while the unrolled tree pays per-element bounds/null checks
+    and gets duplicated into both the filter and the project."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
         lambda acc, x: acc + x,
@@ -426,6 +432,16 @@ def _centroid_df(spark, cents: list[tuple[int, list[float]]]) -> DataFrame:
     return spark.createDataFrame(cents, "cell_id bigint, centroid array<double>")
 
 
+def _sql_double(x: float) -> str:
+    """SQL double literal for a finite Python float. ``repr`` is the
+    shortest decimal that round-trips, and Spark's parser reads it back
+    to the identical IEEE bits — one parsed text replaces one py4j
+    round trip per F.lit(scalar)."""
+    if x != x or x in (float("inf"), float("-inf")):
+        raise ValueError(f"non-finite centroid component: {x}")
+    return repr(x) + "D"
+
+
 # Max total inlined centroid literals (k x dims) before assign_cells
 # switches from codegen folds to the broadcast-join plan: 64k doubles is
 # well inside codegen limits (64KB method split handles it) while a
@@ -498,14 +514,18 @@ def assign_cells(
     # per-job Catalyst/analysis cost ~8x (measured 0.8s -> 0.1s per assign
     # at k=8, dims=64) while evaluating the identical per-element
     # arithmetic (zip_with (x-c)^2 fold, seed 0.0, left-to-right).
-    codebook = F.array(
-        *[
-            F.struct(
-                F.array(*[F.lit(x) for x in v]).alias("c"),
-                F.lit(c).cast("bigint").alias("cell_id"),
-            )
+    # The matrix is rendered as ONE sql text parsed JVM-side: building it
+    # from k x dims F.lit() Columns costs a py4j round trip PER SCALAR
+    # (~2.5s of pure driver time at k=8, dims=64 — it dominated q115's
+    # wall clock); repr() doubles round-trip exactly through the SQL
+    # parser, so the literal values are bit-identical either way.
+    codebook = F.expr(
+        "array(" + ",".join(
+            "named_struct('c',array("
+            + ",".join(_sql_double(x) for x in v)
+            + f"),'cell_id',CAST({c} AS BIGINT))"
             for c, v in cents
-        ]
+        ) + ")"
     )
     scored = F.transform(
         codebook,
@@ -594,12 +614,16 @@ def signature_bits(vec_col: Column, n_planes: int, dims: int,
     tree-shrinking pattern) + array_join, instead of n_planes copied fold
     expressions — identical bit strings, n_planes x smaller plan."""
     arr = _as_double(vec_col)
-    planes = F.array(*[
-        F.array(*[
-            F.lit(_hyperplane_coef(p, d)) for d in range(dims)
-        ])
-        for p in range(plane_offset, plane_offset + n_planes)
-    ])
+    # one parsed sql literal matrix, not n_planes x dims F.lit() py4j
+    # round trips (see assign_cells / _sql_double)
+    planes = F.expr(
+        "array(" + ",".join(
+            "array(" + ",".join(
+                _sql_double(_hyperplane_coef(p, d)) for d in range(dims)
+            ) + ")"
+            for p in range(plane_offset, plane_offset + n_planes)
+        ) + ")"
+    )
     sig = F.transform(
         planes,
         lambda cf: F.when(

@@ -2878,15 +2878,30 @@ def q123_dedup_pipeline(spark, sf):
     from chemharmony_spark.operators.graph import connected_components_star
 
     docs = _t(spark, sf, "documents")
+    # ONE tokenize+hash pass over the corpus feeds all three set stages
+    # (collapse / candidates / verify) — the tokenizer (normalize + split)
+    # is the per-byte hot loop, so sharing it is the single biggest
+    # constant-factor win in the pipeline (measured ~2x at sf0.1). Tokens
+    # pre-hash to 60-bit longs (jaccard_pairs' own scheme; collision odds
+    # |vocab|^2/2^61 — negligible), so the prefix self-join keys on longs
+    # and the collapse hashes a long array instead of re-reading text.
+    h60 = lambda w: F.conv(  # noqa: E731
+        F.substring(F.md5(w), 1, 15), 16, 10
+    ).cast("long")
+    tok = registered_persist(
+        docs.select(
+            "doc_id",
+            F.transform(
+                F.array_distinct(TX.tokens("text")), h60
+            ).alias("ws"),
+        )
+    )
     # exact-set collapse: group docs by (sorted distinct token array)
     # hash; the group's min doc_id represents it in the pairwise stage.
     # member is doc-sized — it joins back on doc_id (co-partitioned with
     # the component join), never broadcast (100 TB posture).
-    sets = docs.select(
-        "doc_id",
-        F.md5(
-            F.to_json(F.array_sort(F.array_distinct(TX.tokens("text"))))
-        ).alias("sh"),
+    sets = tok.select(
+        "doc_id", F.md5(F.to_json(F.array_sort("ws"))).alias("sh")
     )
     member = registered_persist(
         sets.select(
@@ -2896,7 +2911,7 @@ def q123_dedup_pipeline(spark, sf):
             .alias("rep"),
         )
     )
-    rep_docs = docs.join(
+    rep_tok = tok.join(
         member.where(F.col("doc_id") == F.col("rep")).select("doc_id"),
         on="doc_id",
         how="left_semi",
@@ -2905,15 +2920,18 @@ def q123_dedup_pipeline(spark, sf):
     # would otherwise be re-derived inside the component step's eager
     # checkpoint job with the whole prefix pipeline inlined
     cands = DD.prefix_filter_pairs(
-        rep_docs, "doc_id", "text", threshold=0.6
+        rep_tok, "doc_id", "text", threshold=0.6, tokens_col="ws"
     ).persist()
     pairs = (
-        DD.jaccard_pairs(rep_docs, cands, "doc_id", "text")
+        DD.jaccard_pairs(
+            rep_tok, cands, "doc_id", "text", tokens_col="ws"
+        )
         .where(F.col("jaccard") >= 0.6)
         .select(F.col("a").alias("src"), F.col("b").alias("dst"))
     )
     comp = connected_components_star(
-        pairs, "src", "dst", broadcast_maps=True, pre_contract=True
+        pairs, "src", "dst", broadcast_maps=True, pre_contract=True,
+        driver_finish_cap=2_000_000,
     )
     labeled = (
         docs.join(member, on="doc_id")

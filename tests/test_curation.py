@@ -578,3 +578,52 @@ def test_cross_source_dups_symmetric_rollup(spark, sf_dir):
     assert sum(r.n_dup_pairs for r in rows) == n_hits
     for r in rows:
         assert r.src_a <= r.src_b
+
+
+def test_prefix_and_jaccard_tokens_col_parity(spark):
+    """The shared-tokenization fast path (tokens_col=) must produce the
+    SAME verified pairs as the text path — prefix selection may differ
+    (hashed longs order differently than strings; any total token order
+    is valid for PPJoin), but verify output is order-independent."""
+    from pyspark.sql import functions as F
+
+    from chemharmony_spark.operators.dedup import (
+        jaccard_pairs,
+        prefix_filter_pairs,
+    )
+    from chemharmony_spark.operators.text import tokens
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "a completely different document entirely here"),
+        (4, "the quick brown fox jumps over the lazy dog"),
+        (5, "quick brown fox jumps over lazy dog today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    h60 = lambda w: F.conv(  # noqa: E731
+        F.substring(F.md5(w), 1, 15), 16, 10
+    ).cast("long")
+    tok = df.select(
+        "doc_id",
+        F.transform(F.array_distinct(tokens("text")), h60).alias("ws"),
+    )
+
+    def verified(cands, source, **kw):
+        out = jaccard_pairs(source, cands, "doc_id", "text", **kw)
+        return {
+            (r.a, r.b)
+            for r in out.where(F.col("jaccard") >= 0.6).collect()
+        }
+
+    base = verified(
+        prefix_filter_pairs(df, "doc_id", "text", threshold=0.6), df
+    )
+    fast = verified(
+        prefix_filter_pairs(
+            tok, "doc_id", "text", threshold=0.6, tokens_col="ws"
+        ),
+        tok,
+        tokens_col="ws",
+    )
+    assert base == fast and len(base) >= 3

@@ -98,3 +98,27 @@ def test_star_cc_broadcast_maps_parity(spark):
     assert bcast.exceptAll(plain).count() == 0
     comps = {r.component for r in bcast.collect()}
     assert comps == {0, 100, 500}
+
+
+def test_star_cc_driver_finish_parity(spark):
+    from chemharmony_spark.operators.graph import connected_components_star
+
+    # chain (worst case for contraction: long diameter) + clique + pair
+    edges = [(i, i + 1) for i in range(0, 20)]
+    edges += [(100 + i, 100 + j) for i in range(5) for j in range(i + 1, 5)]
+    edges += [(500, 501)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    dist = connected_components_star(df, pre_contract=True,
+                                     broadcast_maps=True)
+    drv = connected_components_star(df, pre_contract=True,
+                                    broadcast_maps=True,
+                                    driver_finish_cap=1_000_000)
+    # driver finish without contraction too (gate applies to raw edges)
+    drv_plain = connected_components_star(df, driver_finish_cap=1_000_000)
+    want = {r.node: r.component for r in dist.collect()}
+    assert {r.node: r.component for r in drv.collect()} == want
+    assert {r.node: r.component for r in drv_plain.collect()} == want
+    assert set(want.values()) == {0, 100, 500}
+    # cap below the edge count -> the distributed loop must still run
+    small_cap = connected_components_star(df, driver_finish_cap=3)
+    assert {r.node: r.component for r in small_cap.collect()} == want
