@@ -143,8 +143,12 @@ def harmonize(
         .withColumn("aid", surrogate_aid())  # 80:83
     )
     if derive_smiles:  # 80:71-73: dedup-before-UDF then join back
+        # universe=raw scan: inchi survives rekey+distinct unchanged, so
+        # the broadcast mapping harvests distinct inchis from the cheap
+        # scan instead of re-executing the whole join/distinct pipeline
         acts = with_derived_column_deduped(
-            acts, "inchi", "smiles", inchi_to_smiles("inchi")
+            acts, "inchi", "smiles", inchi_to_smiles("inchi"),
+            universe=acts_raw,
         )
         # contract column order (smiles before aid, matching the reference
         # envelope; README.md:17-25)
