@@ -452,6 +452,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q373_kruskal_wallis": Q.q373_kruskal_wallis,
         "q374_bh_fdr": Q.q374_bh_fdr,
         "q375_page_hinkley": Q.q375_page_hinkley,
+        "q376_bradley_terry": Q.q376_bradley_terry,
+        "q377_yules_k": Q.q377_yules_k,
+        "q378_sprt": Q.q378_sprt,
     }
 
 
@@ -11727,5 +11730,117 @@ def oracle_sql() -> dict[str, str]:
                      AS first_alarm_day,
                    CAST(MAX(gap) AS BIGINT) AS max_gap_micro
             FROM gapped
+        """,
+        "q376_bradley_terry": """
+            WITH per AS (
+              SELECT l.l_orderkey AS ok, s.s_nationkey AS nk,
+                     CAST(SUM(CAST(CAST(l.l_extendedprice
+                                        AS DECIMAL(18,2)) * 100
+                                   AS BIGINT)) AS BIGINT) AS cents
+              FROM lineitem l JOIN supplier s
+                ON l.l_suppkey = s.s_suppkey
+              GROUP BY 1, 2),
+            games AS (
+              SELECT a.nk AS na, b.nk AS nb,
+                     CASE WHEN a.cents >= b.cents THEN 1 ELSE 0 END
+                       AS wa
+              FROM per a JOIN per b
+                ON a.ok = b.ok AND a.nk < b.nk),
+            pair AS MATERIALIZED (
+              SELECT na, nb, CAST(COUNT(*) AS BIGINT) AS n_g,
+                     CAST(SUM(wa) AS BIGINT) AS w_a
+              FROM games GROUP BY 1, 2),
+            tot AS MATERIALIZED (
+              SELECT nk, CAST(SUM(n_g) AS BIGINT) AS t_i,
+                     CAST(SUM(w) AS BIGINT) AS w_i
+              FROM (SELECT na AS nk, n_g, w_a AS w FROM pair
+                    UNION ALL
+                    SELECT nb AS nk, n_g, n_g - w_a AS w FROM pair)
+              GROUP BY 1),
+            w0 AS (
+              SELECT nk,
+                     (2.0 * (CAST(w_i AS DOUBLE) + 0.5))
+                       / (CAST(t_i AS DOUBLE) + 1.0) AS w0
+              FROM tot),
+            sym AS (
+              SELECT na AS nk, nb AS op, n_g FROM pair
+              UNION ALL
+              SELECT nb AS nk, na AS op, n_g FROM pair),
+            den AS (
+              SELECT s.nk,
+                     CAST(SUM(CAST(floor(CAST(s.n_g AS DOUBLE)
+                       / (wi.w0 + wj.w0) * 1000000000) AS BIGINT))
+                       AS BIGINT) AS d_nano
+              FROM sym s
+              JOIN w0 wi ON s.nk = wi.nk
+              JOIN w0 wj ON s.op = wj.nk
+              GROUP BY 1)
+            SELECT n.n_name, t.t_i AS games, t.w_i AS wins,
+                   CAST(floor(CAST(t.w_i AS DOUBLE)
+                        / (CAST(d.d_nano AS DOUBLE) / 1e9)
+                        * 1000000) AS BIGINT) AS w1_micro
+            FROM tot t
+            JOIN den d ON t.nk = d.nk
+            JOIN nation n ON t.nk = n.n_nationkey
+        """,
+        "q377_yules_k": f"""
+            WITH stc AS (
+              SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+              FROM (SELECT source, unnest({_TOKS}) AS w FROM documents)
+              GROUP BY 1, 2),
+            per AS (
+              SELECT source,
+                     CAST(COUNT(*) AS BIGINT) AS vocab,
+                     CAST(SUM(c) AS BIGINT) AS n_tokens,
+                     CAST(SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT))
+                          AS HUGEINT) AS sc2,
+                     CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS f1
+              FROM stc GROUP BY 1)
+            SELECT source, vocab, n_tokens, f1,
+                   CAST((CAST(10000000000 AS HUGEINT)
+                         * (sc2 - CAST(n_tokens AS HUGEINT)))
+                        // (CAST(n_tokens AS HUGEINT)
+                            * CAST(n_tokens AS HUGEINT))
+                        AS BIGINT) AS yules_k_micro,
+                   f1 * 1000000 // n_tokens AS hapax_ppm
+            FROM per
+        """,
+        "q378_sprt": """
+            WITH daily AS (
+              SELECT date_diff('day', DATE '1992-01-01',
+                               CAST(o_orderdate AS DATE)) AS day,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS x
+              FROM orders GROUP BY 1),
+            cum AS (
+              SELECT day,
+                     CAST(SUM(x) OVER w AS BIGINT) AS cx,
+                     CAST(SUM(n) OVER w AS BIGINT) AS cn
+              FROM daily
+              WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND CURRENT ROW)),
+            scored AS (
+              SELECT day,
+                     CAST(floor((CAST(cx AS DOUBLE) * ln(0.55 / 0.45)
+                       + CAST(cn - cx AS DOUBLE) * ln(0.45 / 0.55))
+                       * 1000000) AS BIGINT) AS llr_micro,
+                     CASE WHEN CAST(cx AS DOUBLE) * ln(0.55 / 0.45)
+                            + CAST(cn - cx AS DOUBLE) * ln(0.45 / 0.55)
+                            > ln(19.0) THEN 1
+                          WHEN CAST(cx AS DOUBLE) * ln(0.55 / 0.45)
+                            + CAST(cn - cx AS DOUBLE) * ln(0.45 / 0.55)
+                            < -ln(19.0) THEN -1
+                          ELSE 0 END AS hit
+              FROM cum)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+                   MIN(CASE WHEN hit = 1 THEN day END) AS first_h1_day,
+                   MIN(CASE WHEN hit = -1 THEN day END)
+                     AS first_h0_day,
+                   CAST(SUM(CASE WHEN hit <> 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_boundary_days,
+                   arg_max(llr_micro, day) AS final_llr_micro
+            FROM scored
         """,
     }

@@ -16228,3 +16228,239 @@ def q375_page_hinkley(spark, sf):
         ).alias("first_alarm_day"),
         F.max("gap").alias("max_gap_micro"),
     )
+
+
+def q376_bradley_terry(spark, sf):
+    """One smoothed Bradley-Terry minorization-maximization step over
+    supplier-NATION matchups — the preference-aggregation primitive
+    under RLHF reward models and LLM arena leaderboards (pairwise
+    comparisons -> per-player strengths): within each order, every pair
+    of supplying nations "plays" (winner = larger line-revenue total,
+    ties to the smaller nation key), and the MM update
+    w_i <- W_i / sum_j n_ij/(w_i + w_j) runs one step from the
+    Laplace-smoothed win-rate init w0_i = 2(W_i + 0.5)/(T_i + 1).
+    Per-opponent denominator terms floor to nano before the integer
+    per-nation sum (cross-engine order independence).
+
+    Shape: one broadcast supplier-dim join + one (order, nation) agg;
+    the within-order pair join keys on o_orderkey (groups are the <=7
+    nations an order touches); everything after the (a<b) pair agg is
+    25-nation model space with 1-row/25-row broadcasts."""
+    from chemharmony_spark.cache import registered_persist
+
+    li = _t(spark, sf, "lineitem")
+    supp = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    per = (
+        li.join(
+            F.broadcast(supp), li.l_suppkey == supp.s_suppkey
+        )
+        .groupBy("l_orderkey", "s_nationkey")
+        .agg(
+            F.sum((_d("l_extendedprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    a = per.select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("s_nationkey").alias("na"),
+        F.col("cents").alias("ca"),
+    )
+    b = per.select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("s_nationkey").alias("nb"),
+        F.col("cents").alias("cb"),
+    )
+    games = (
+        a.join(b, on="ok")
+        .where(F.col("na") < F.col("nb"))
+        .select(
+            "na",
+            "nb",
+            F.when(F.col("ca") >= F.col("cb"), 1)
+            .otherwise(0)
+            .alias("wa"),
+        )
+    )
+    pair = registered_persist(
+        games.groupBy("na", "nb").agg(
+            F.count(F.lit(1)).alias("n_g"),
+            F.sum("wa").alias("w_a"),
+        )
+    )
+    # per-nation totals: games T_i and wins W_i (both directions)
+    tot = registered_persist(
+        pair.select(
+            F.col("na").alias("nk"),
+            F.col("n_g"),
+            F.col("w_a").alias("w"),
+        )
+        .unionByName(
+            pair.select(
+                F.col("nb").alias("nk"),
+                F.col("n_g"),
+                (F.col("n_g") - F.col("w_a")).alias("w"),
+            )
+        )
+        .groupBy("nk")
+        .agg(F.sum("n_g").alias("t_i"), F.sum("w").alias("w_i"))
+    )
+    w0 = tot.select(
+        "nk",
+        (
+            (2.0 * (F.col("w_i").cast("double") + 0.5))
+            / (F.col("t_i").cast("double") + 1.0)
+        ).alias("w0"),
+    )
+    # MM denominator: sum_j n_ij / (w0_i + w0_j), per-term nano floor
+    sym = pair.select(
+        F.col("na").alias("nk"), F.col("nb").alias("op"), "n_g"
+    ).unionByName(
+        pair.select(
+            F.col("nb").alias("nk"), F.col("na").alias("op"), "n_g"
+        )
+    )
+    j = (
+        sym.join(F.broadcast(w0), on="nk")
+        .join(
+            F.broadcast(
+                w0.select(
+                    F.col("nk").alias("op"), F.col("w0").alias("w0_op")
+                )
+            ),
+            on="op",
+        )
+        .select(
+            "nk",
+            F.floor(
+                F.col("n_g").cast("double")
+                / (F.col("w0") + F.col("w0_op"))
+                * 1_000_000_000
+            )
+            .cast("long")
+            .alias("t"),
+        )
+    )
+    den = j.groupBy("nk").agg(F.sum("t").alias("d_nano"))
+    nation = _t(spark, sf, "nation").select("n_nationkey", "n_name")
+    out = (
+        tot.join(F.broadcast(den), on="nk")
+        .join(
+            F.broadcast(nation),
+            F.col("nk") == F.col("n_nationkey"),
+        )
+        .select(
+            "n_name",
+            F.col("t_i").alias("games"),
+            F.col("w_i").alias("wins"),
+            F.floor(
+                F.col("w_i").cast("double")
+                / (F.col("d_nano").cast("double") / 1e9)
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("w1_micro"),
+        )
+    )
+    return out
+
+
+def q377_yules_k(spark, sf):
+    """Yule's K lexical-richness characteristic per source (Yule 1944):
+    K = 10^4 * (sum_t c_t^2 - N) / N^2 over token frequencies — the
+    repetitiveness fingerprint that q189's type-token ratio misses (TTR
+    collapses with corpus size; K is length-stable), and a stylometry
+    companion to q336's Burrows Delta. Fully integer: the micro-scaled
+    K is (10^10 * (sum_c2 - N)) DIV N^2 in decimal(38,0)/HUGEINT, no
+    float anywhere; the hapax share f1/N joins it as the other classic
+    richness axis.
+
+    Shape: ONE (source, token) agg then a per-source rollup — pure
+    model space after the explode."""
+    docs = _t(spark, sf, "documents")
+    D38 = "decimal(38,0)"
+    stc = (
+        docs.select("source", F.explode(TX.tokens("text")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per = stc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.col("c").cast(D38) * F.col("c").cast(D38)).alias("sc2"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("f1"),
+    )
+    n38 = F.col("n_tokens").cast(D38)
+    k_micro = (
+        (F.lit(10_000_000_000).cast(D38) * (F.col("sc2") - n38))
+        / (n38 * n38)
+    ).cast("long")
+    return per.select(
+        "source",
+        "vocab",
+        "n_tokens",
+        "f1",
+        k_micro.alias("yules_k_micro"),
+        F.expr("f1 * 1000000 DIV n_tokens").alias("hapax_ppm"),
+    )
+
+
+def q378_sprt(spark, sf):
+    """Wald sequential probability ratio test walked over the daily
+    order stream: H0 p=0.45 vs H1 p=0.55 for the finalized-order rate,
+    LLR_t = x_t ln(p1/p0) + (t - x_t) ln((1-p1)/(1-p0)) against the
+    symmetric ln(19) boundaries (alpha = beta = 0.05) — the
+    always-valid sequential companion to q357's fixed-horizon peeking
+    audit (SPRT is THE test you may stop any day without inflating
+    error). Cumulative counts are exact integers off one model-space
+    window; each day's LLR is assembled from them in identical IEEE
+    ops both engines.
+
+    Shape: one (day) agg + one cumulative window + a 1-row rollup."""
+    orders = _t(spark, sf, "orders")
+    daily = (
+        orders.select(
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1992-01-01").cast("date")
+            ).alias("day"),
+            F.when(F.col("o_orderstatus") == "F", 1)
+            .otherwise(0)
+            .alias("y"),
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("x"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "day",
+        F.sum("x").over(w).alias("cx"),
+        F.sum("n").over(w).alias("cn"),
+    )
+    l1 = F.log(F.lit(0.55) / F.lit(0.45))
+    l0 = F.log(F.lit(0.45) / F.lit(0.55))
+    llr = (
+        F.col("cx").cast("double") * l1
+        + (F.col("cn") - F.col("cx")).cast("double") * l0
+    )
+    bound = F.log(F.lit(19.0))
+    scored = cum.select(
+        "day",
+        F.floor(llr * 1_000_000).cast("long").alias("llr_micro"),
+        F.when(llr > bound, 1)
+        .when(llr < -bound, -1)
+        .otherwise(0)
+        .alias("hit"),
+    )
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.min(F.when(F.col("hit") == 1, F.col("day"))).alias(
+            "first_h1_day"
+        ),
+        F.min(F.when(F.col("hit") == -1, F.col("day"))).alias(
+            "first_h0_day"
+        ),
+        F.sum(F.when(F.col("hit") != 0, 1).otherwise(0)).alias(
+            "n_boundary_days"
+        ),
+        F.max_by("llr_micro", "day").alias("final_llr_micro"),
+    )

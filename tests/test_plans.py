@@ -988,6 +988,14 @@ SHUFFLE_BUDGET = {
     "q374_bh_fdr": 8,
     # q375: the daily agg + the model-space prefix windows
     "q375_page_hinkley": 2,
+    # q376: the (order, nation) agg + the within-order pair join
+    # (persisted pair table reprints per consumer) + the per-nation
+    # totals/denominator rollups; nation dim + w0 maps broadcast
+    "q376_bradley_terry": 5,
+    # q377: ONE (source, token) agg + the per-source rollup
+    "q377_yules_k": 2,
+    # q378: the daily agg + the model-space cumulative window
+    "q378_sprt": 2,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
