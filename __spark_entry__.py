@@ -455,6 +455,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q376_bradley_terry": Q.q376_bradley_terry,
         "q377_yules_k": Q.q377_yules_k,
         "q378_sprt": Q.q378_sprt,
+        "q379_brown_forsythe": Q.q379_brown_forsythe,
+        "q380_fairness_gaps": Q.q380_fairness_gaps,
     }
 
 
@@ -11842,5 +11844,96 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_boundary_days,
                    arg_max(llr_micro, day) AS final_llr_micro
             FROM scored
+        """,
+        "q379_brown_forsythe": """
+            WITH obs AS MATERIALIZED (
+              SELECT c.c_mktsegment,
+                     CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS cents
+              FROM orders o JOIN customer c
+                ON o.o_custkey = c.c_custkey),
+            med AS (
+              SELECT c_mktsegment,
+                     CAST(median(cents) * 2 AS BIGINT) AS med2
+              FROM obs GROUP BY 1),
+            z AS (
+              SELECT obs.c_mktsegment,
+                     abs(2 * cents - med2) AS z2
+              FROM obs JOIN med USING (c_mktsegment)),
+            g AS (
+              SELECT c_mktsegment,
+                     CAST(COUNT(*) AS BIGINT) AS n_g,
+                     CAST(SUM(z2) AS BIGINT) AS s1,
+                     CAST(SUM(CAST(z2 AS HUGEINT) * CAST(z2 AS HUGEINT))
+                          AS HUGEINT) AS s2
+              FROM z GROUP BY 1),
+            tot AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+                           CAST(SUM(s1) AS BIGINT) AS s1_all FROM g),
+            terms AS (
+              SELECT n,
+                     CAST(floor(CAST(n_g AS DOUBLE)
+                       * (CAST(s1 AS DOUBLE) / CAST(n_g AS DOUBLE)
+                          - CAST(s1_all AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(s1 AS DOUBLE) / CAST(n_g AS DOUBLE)
+                          - CAST(s1_all AS DOUBLE) / CAST(n AS DOUBLE))
+                       / 1e6) AS BIGINT) AS bt,
+                     CAST(floor((CAST(s2 AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                         / CAST(n_g AS DOUBLE))
+                       / 1e6) AS BIGINT) AS wt
+              FROM g, tot),
+            s AS (
+              SELECT n, CAST(COUNT(*) AS BIGINT) AS k,
+                     CAST(SUM(bt) AS BIGINT) AS ssb_u,
+                     CAST(SUM(wt) AS BIGINT) AS ssw_u
+              FROM terms GROUP BY 1)
+            SELECT n, k, ssb_u, ssw_u,
+                   CAST(floor(CAST(ssb_u AS DOUBLE)
+                        * CAST(n - 5 AS DOUBLE)
+                        / (CAST(ssw_u AS DOUBLE) * 4.0)
+                        * 1000000) AS BIGINT) AS f_micro,
+                   CASE WHEN CAST(floor(CAST(ssb_u AS DOUBLE)
+                          * CAST(n - 5 AS DOUBLE)
+                          / (CAST(ssw_u AS DOUBLE) * 4.0)
+                          * 1000000) AS BIGINT) > 2371900
+                        THEN 1 ELSE 0 END AS heteroscedastic
+            FROM s
+        """,
+        "q380_fairness_gaps": """
+            WITH obs AS MATERIALIZED (
+              SELECT c.c_mktsegment,
+                     CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS cents,
+                     CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END
+                       AS y
+              FROM orders o JOIN customer c
+                ON o.o_custkey = c.c_custkey),
+            med AS (SELECT CAST(median(cents) * 2 AS BIGINT) AS med2
+                    FROM obs),
+            conf AS (
+              SELECT c_mktsegment,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CASE WHEN 2 * cents > med2
+                              THEN 1 ELSE 0 END) AS BIGINT) AS np,
+                     CAST(SUM(y) AS BIGINT) AS ny,
+                     CAST(SUM(CASE WHEN 2 * cents > med2
+                              THEN y ELSE 0 END) AS BIGINT) AS tp,
+                     CAST(SUM(CASE WHEN 2 * cents > med2
+                              THEN 1 - y ELSE 0 END) AS BIGINT) AS fp
+              FROM obs, med GROUP BY 1),
+            rates AS (
+              SELECT c_mktsegment,
+                     np * 1000000 // n AS ppr_ppm,
+                     tp * 1000000 // ny AS tpr_ppm,
+                     fp * 1000000 // (n - ny) AS fpr_ppm
+              FROM conf)
+            SELECT MAX(ppr_ppm) - MIN(ppr_ppm) AS dp_gap_ppm,
+                   MAX(tpr_ppm) - MIN(tpr_ppm) AS eo_tpr_gap_ppm,
+                   MAX(fpr_ppm) - MIN(fpr_ppm) AS eo_fpr_gap_ppm,
+                   MIN(ppr_ppm) * 1000000 // MAX(ppr_ppm)
+                     AS di_ratio_ppm,
+                   arg_min(c_mktsegment, ppr_ppm) AS least_favored,
+                   arg_max(c_mktsegment, ppr_ppm) AS most_favored
+            FROM rates
         """,
     }

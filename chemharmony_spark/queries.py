@@ -16464,3 +16464,145 @@ def q378_sprt(spark, sf):
         ),
         F.max_by("llr_micro", "day").alias("final_llr_micro"),
     )
+
+
+def q379_brown_forsythe(spark, sf):
+    """Brown-Forsythe robust variance-homogeneity test across the five
+    market segments: ANOVA on |x - median_g| — do segments differ in
+    order-value SPREAD, not just location? (q193 tests means and assumes
+    normality; q373 tests distributions; this isolates scale with the
+    median-centered variant that survives heavy tails.) Deviations use
+    doubled medians so they stay exact integers (2*median of cents is
+    integer for odd or even groups); SSB/SSW fold per-group micro-floored
+    terms; only the final F ratio divides in double against the
+    chi-ish F(4, inf) 5% critical value 2.3719.
+
+    Shape: one broadcast dim join + one (segment) median agg broadcast
+    back + one (segment) moment agg — 5-row model space after two
+    passes over orders."""
+    from chemharmony_spark.cache import registered_persist
+
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    orders = _t(spark, sf, "orders")
+    obs = registered_persist(
+        orders.join(
+            F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        ).select(
+            "c_mktsegment",
+            (_d("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    med = obs.groupBy("c_mktsegment").agg(
+        (F.median("cents") * 2).cast("long").alias("med2")
+    )
+    z = obs.join(F.broadcast(med), on="c_mktsegment").select(
+        "c_mktsegment",
+        F.abs(2 * F.col("cents") - F.col("med2")).alias("z2"),
+    )
+    D38 = "decimal(38,0)"
+    g = z.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum("z2").alias("s1"),
+        F.sum(F.col("z2").cast(D38) * F.col("z2").cast(D38)).alias("s2"),
+    )
+    tot = g.agg(
+        F.sum("n_g").alias("n"),
+        F.sum("s1").alias("s1_all"),
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    mg = F.col("s1").cast("double") / F.col("n_g").cast("double")
+    m = F.col("s1_all").cast("double") / F.col("n").cast("double")
+    # per-group micro-floored contributions (integer-summed across the
+    # 5 groups -> order-independent); deviations are in 2x-cents units
+    ssb_t = F.floor(
+        F.col("n_g").cast("double") * (mg - m) * (mg - m) / 1e6
+    ).cast("long")
+    ssw_t = F.floor(
+        (
+            F.col("s2").cast("double")
+            - F.col("s1").cast("double")
+            * F.col("s1").cast("double")
+            / F.col("n_g").cast("double")
+        )
+        / 1e6
+    ).cast("long")
+    s = j.select("n", ssb_t.alias("bt"), ssw_t.alias("wt")).groupBy(
+        "n"
+    ).agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("bt").alias("ssb_u"),
+        F.sum("wt").alias("ssw_u"),
+    )
+    f_stat = (
+        F.col("ssb_u").cast("double") * (F.col("n") - 5).cast("double")
+    ) / (F.col("ssw_u").cast("double") * 4.0)
+    return s.select(
+        "n",
+        "k",
+        "ssb_u",
+        "ssw_u",
+        F.floor(f_stat * 1_000_000).cast("long").alias("f_micro"),
+        F.when(F.floor(f_stat * 1_000_000) > 2_371_900, 1)
+        .otherwise(0)
+        .alias("heteroscedastic"),
+    )
+
+
+def q380_fairness_gaps(spark, sf):
+    """Group-fairness audit of a price-threshold classifier across the
+    five market segments: demographic-parity gap (max-min predicted-
+    positive rate), equalized-odds gaps (TPR and FPR spreads), and the
+    EEOC four-fifths disparate-impact ratio (min/max PPR) — the
+    governance layer a training-data pipeline runs before shipping a
+    model (q273 audits who dedup REMOVES; this audits what the model
+    would DO). Prediction = order value above the global median;
+    label = finalized status. All rates are exact-count ppm floors;
+    gap arithmetic is pure integer.
+
+    Shape: one broadcast dim join, a 1-row global-median broadcast,
+    ONE (segment) confusion agg, then a 1-row model-space rollup with
+    max_by/min_by witnesses."""
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    orders = _t(spark, sf, "orders")
+    obs = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select(
+        "c_mktsegment",
+        (_d("o_totalprice") * 100).cast("long").alias("cents"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    med = obs.agg((F.median("cents") * 2).cast("long").alias("med2"))
+    conf = (
+        obs.crossJoin(F.broadcast(med))
+        .select(
+            "c_mktsegment",
+            "y",
+            F.when(2 * F.col("cents") > F.col("med2"), 1)
+            .otherwise(0)
+            .alias("p"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("p").alias("np"),
+            F.sum("y").alias("ny"),
+            F.sum(F.col("p") * F.col("y")).alias("tp"),
+            F.sum(F.col("p") * (1 - F.col("y"))).alias("fp"),
+        )
+    )
+    rates = conf.select(
+        "c_mktsegment",
+        F.expr("np * 1000000 DIV n").alias("ppr_ppm"),
+        F.expr("tp * 1000000 DIV ny").alias("tpr_ppm"),
+        F.expr("fp * 1000000 DIV (n - ny)").alias("fpr_ppm"),
+    )
+    return rates.agg(
+        (F.max("ppr_ppm") - F.min("ppr_ppm")).alias("dp_gap_ppm"),
+        (F.max("tpr_ppm") - F.min("tpr_ppm")).alias("eo_tpr_gap_ppm"),
+        (F.max("fpr_ppm") - F.min("fpr_ppm")).alias("eo_fpr_gap_ppm"),
+        F.expr("min(ppr_ppm) * 1000000 DIV max(ppr_ppm)").alias(
+            "di_ratio_ppm"
+        ),
+        F.min_by("c_mktsegment", "ppr_ppm").alias("least_favored"),
+        F.max_by("c_mktsegment", "ppr_ppm").alias("most_favored"),
+    )

@@ -996,6 +996,11 @@ SHUFFLE_BUDGET = {
     "q377_yules_k": 2,
     # q378: the daily agg + the model-space cumulative window
     "q378_sprt": 2,
+    # q379: the persisted joined frame (reprinted per consumer) + the
+    # segment median agg + the segment moment agg + 1-row rollups
+    "q379_brown_forsythe": 6,
+    # q380: the segment confusion agg + 1-row median/rollup combines
+    "q380_fairness_gaps": 3,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -1199,7 +1204,11 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 "q372_cramers_v",
                 # q374: 1-row totals + 1-row BH-crossing broadcasts
                 # onto the 25-row per-nation table
-                "q374_bh_fdr"}
+                "q374_bh_fdr",
+                # q379: 1-row N/grand-sum broadcast onto the 5 groups
+                "q379_brown_forsythe",
+                # q380: 1-row global-median broadcast onto the scan
+                "q380_fairness_gaps"}
 
 
 def test_no_headline_query_has_unpartitioned_ranked_window(spark):
