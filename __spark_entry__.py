@@ -457,6 +457,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q378_sprt": Q.q378_sprt,
         "q379_brown_forsythe": Q.q379_brown_forsythe,
         "q380_fairness_gaps": Q.q380_fairness_gaps,
+        "q381_pacf": Q.q381_pacf,
+        "q382_cochrans_q": Q.q382_cochrans_q,
+        "q383_cliffs_delta": Q.q383_cliffs_delta,
     }
 
 
@@ -11935,5 +11938,147 @@ def oracle_sql() -> dict[str, str]:
                    arg_min(c_mktsegment, ppr_ppm) AS least_favored,
                    arg_max(c_mktsegment, ppr_ppm) AS most_favored
             FROM rates
+        """,
+        "q381_pacf": """
+            WITH daily AS (
+              SELECT date_diff('day', DATE '1992-01-01',
+                               CAST(o_orderdate AS DATE)) AS day,
+                     CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                   * 100 AS BIGINT)) AS BIGINT) AS rev
+              FROM orders GROUP BY 1),
+            base AS MATERIALIZED (
+              SELECT day, CAST(rev AS DOUBLE) / 100.0 AS e FROM daily),
+            stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                             CAST(SUM(CAST(floor(e) AS BIGINT))
+                                  AS BIGINT) AS se_floor
+                      FROM base),
+            centered AS MATERIALIZED (
+              SELECT day,
+                     e - CAST(se_floor AS DOUBLE) / CAST(n AS DOUBLE)
+                       AS d
+              FROM base, stats),
+            den AS (SELECT CAST(SUM(CAST(floor(d * d / 1000000.0)
+                                    AS BIGINT)) AS BIGINT) AS den_sum
+                    FROM centered),
+            n1 AS (SELECT CAST(SUM(CAST(floor(d * dl / 1000000.0)
+                                   AS BIGINT)) AS BIGINT) AS num1
+                   FROM (SELECT d, LAG(d, 1) OVER (ORDER BY day) AS dl
+                         FROM centered)
+                   WHERE dl IS NOT NULL),
+            n2 AS (SELECT CAST(SUM(CAST(floor(d * dl / 1000000.0)
+                                   AS BIGINT)) AS BIGINT) AS num2
+                   FROM (SELECT d, LAG(d, 2) OVER (ORDER BY day) AS dl
+                         FROM centered)
+                   WHERE dl IS NOT NULL),
+            n3 AS (SELECT CAST(SUM(CAST(floor(d * dl / 1000000.0)
+                                   AS BIGINT)) AS BIGINT) AS num3
+                   FROM (SELECT d, LAG(d, 3) OVER (ORDER BY day) AS dl
+                         FROM centered)
+                   WHERE dl IS NOT NULL),
+            r AS (
+              SELECT CAST(num1 AS DOUBLE) / CAST(den_sum AS DOUBLE)
+                       AS r1,
+                     CAST(num2 AS DOUBLE) / CAST(den_sum AS DOUBLE)
+                       AS r2,
+                     CAST(num3 AS DOUBLE) / CAST(den_sum AS DOUBLE)
+                       AS r3
+              FROM n1, n2, n3, den),
+            dl AS (
+              SELECT r1, r2, r3,
+                     (r2 - r1 * r1) / (1.0 - r1 * r1) AS p22,
+                     r1 * (1.0 - r2) / (1.0 - r1 * r1) AS p21
+              FROM r)
+            SELECT CAST(floor(r1 * 1000000) AS BIGINT) AS pacf1_micro,
+                   CAST(floor(p22 * 1000000) AS BIGINT) AS pacf2_micro,
+                   CAST(floor((r3 - p21 * r2 - p22 * r1)
+                        / (1.0 - p21 * r1 - p22 * r2) * 1000000)
+                        AS BIGINT) AS pacf3_micro
+            FROM dl
+        """,
+        "q382_cochrans_q": """
+            WITH per AS (
+              SELECT o_custkey,
+                     MAX(CASE WHEN year(CAST(o_orderdate AS DATE))
+                         = 1993 THEN 1 ELSE 0 END) AS x1993,
+                     MAX(CASE WHEN year(CAST(o_orderdate AS DATE))
+                         = 1994 THEN 1 ELSE 0 END) AS x1994,
+                     MAX(CASE WHEN year(CAST(o_orderdate AS DATE))
+                         = 1995 THEN 1 ELSE 0 END) AS x1995
+              FROM orders GROUP BY 1),
+            s AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_subjects,
+                     CAST(SUM(x1993) AS BIGINT) AS c1,
+                     CAST(SUM(x1994) AS BIGINT) AS c2,
+                     CAST(SUM(x1995) AS BIGINT) AS c3,
+                     CAST(SUM(x1993 + x1994 + x1995) AS BIGINT) AS sr,
+                     CAST(SUM((x1993 + x1994 + x1995)
+                              * (x1993 + x1994 + x1995)) AS BIGINT)
+                       AS sr2
+              FROM per)
+            SELECT n_subjects, c1, c2, c3,
+                   CAST(floor(CAST(2 * (3 * (c1*c1 + c2*c2 + c3*c3)
+                          - (c1 + c2 + c3) * (c1 + c2 + c3))
+                        AS DOUBLE)
+                        / CAST(3 * sr - sr2 AS DOUBLE)
+                        * 1000000) AS BIGINT) AS q_micro,
+                   CASE WHEN CAST(floor(CAST(2 * (3 * (c1*c1 + c2*c2
+                          + c3*c3) - (c1 + c2 + c3) * (c1 + c2 + c3))
+                        AS DOUBLE)
+                        / CAST(3 * sr - sr2 AS DOUBLE)
+                        * 1000000) AS BIGINT) > 5991465
+                        THEN 1 ELSE 0 END AS significant
+            FROM s
+        """,
+        "q383_cliffs_delta": """
+            WITH cust AS (
+              SELECT c_custkey,
+                     CASE WHEN c_mktsegment = 'BUILDING'
+                          THEN 1 ELSE 0 END AS g
+              FROM customer
+              WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+            obs AS (
+              SELECT g,
+                     CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT) AS cents
+              FROM orders o JOIN cust c ON o.o_custkey = c.c_custkey),
+            byval AS (
+              SELECT cents, CAST(SUM(g) AS BIGINT) AS n1v,
+                     CAST(COUNT(*) AS BIGINT) AS nv
+              FROM obs GROUP BY 1),
+            ranked AS (
+              SELECT n1v, nv,
+                     COALESCE(CAST(SUM(nv) OVER (ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS BIGINT), 0) AS cumb
+              FROM byval),
+            s AS (
+              SELECT CAST(SUM(n1v) AS BIGINT) AS n1,
+                     CAST(SUM(nv - n1v) AS BIGINT) AS n2,
+                     CAST(SUM(CAST(n1v AS HUGEINT)
+                          * (2 * cumb + nv + 1)) AS HUGEINT) AS r1x2
+              FROM ranked)
+            , f AS (
+              SELECT n1, n2,
+                     (CAST(r1x2 AS DOUBLE) - CAST(n1 AS DOUBLE)
+                      * (CAST(n1 AS DOUBLE) + 1.0)) AS u1x2
+              FROM s)
+            SELECT n1, n2,
+                   CAST(floor((u1x2 / (CAST(n1 AS DOUBLE)
+                        * CAST(n2 AS DOUBLE)) - 1.0) * 1000000)
+                        AS BIGINT) AS delta_micro,
+                   CAST(floor(u1x2 / (2.0 * CAST(n1 AS DOUBLE)
+                        * CAST(n2 AS DOUBLE)) * 1000000)
+                        AS BIGINT) AS a12_micro,
+                   CASE WHEN abs(u1x2 / (CAST(n1 AS DOUBLE)
+                          * CAST(n2 AS DOUBLE)) - 1.0) < 0.147
+                          THEN 'negligible'
+                        WHEN abs(u1x2 / (CAST(n1 AS DOUBLE)
+                          * CAST(n2 AS DOUBLE)) - 1.0) < 0.33
+                          THEN 'small'
+                        WHEN abs(u1x2 / (CAST(n1 AS DOUBLE)
+                          * CAST(n2 AS DOUBLE)) - 1.0) < 0.474
+                          THEN 'medium'
+                        ELSE 'large' END AS magnitude
+            FROM f
         """,
     }

@@ -16606,3 +16606,203 @@ def q380_fairness_gaps(spark, sf):
         F.min_by("c_mktsegment", "ppr_ppm").alias("least_favored"),
         F.max_by("c_mktsegment", "ppr_ppm").alias("most_favored"),
     )
+
+
+def q381_pacf(spark, sf):
+    """Partial autocorrelations of the daily revenue series at lags
+    1-3 via the Durbin-Levinson closed forms — the ORDER-selection
+    diagnostic q188's raw ACF can't give (ACF tails off under an AR
+    process; PACF cuts off at the true order): phi11 = r1,
+    phi22 = (r2 - r1^2)/(1 - r1^2), and phi33 from the level-2
+    coefficients. Autocovariance numerators/denominator accumulate as
+    micro-floored integer sums (q369's machinery); the DL recursion is
+    a handful of double ops on the 1-row stats.
+
+    Shape: one (day) agg, the centered persisted series, one lag
+    window + rollup per lag — all model space."""
+    from chemharmony_spark.cache import registered_persist
+
+    orders = _t(spark, sf, "orders")
+    daily = (
+        orders.select(
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1992-01-01").cast("date")
+            ).alias("day"),
+            (_d("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    base = registered_persist(
+        daily.select(
+            "day", (F.col("rev").cast("double") / 100.0).alias("e")
+        )
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("e")).cast("long")).alias("se_floor"),
+    )
+    mean = F.col("se_floor").cast("double") / F.col("n").cast("double")
+    centered = registered_persist(
+        base.crossJoin(F.broadcast(stats)).select(
+            "day", (F.col("e") - mean).alias("d")
+        )
+    )
+    den = centered.select(
+        F.floor(F.col("d") * F.col("d") / 1e6).cast("long").alias("dd")
+    ).agg(F.sum("dd").alias("den_sum"))
+    outs = []
+    for k in (1, 2, 3):
+        outs.append(
+            centered.withColumn(
+                "dl", F.lag("d", k).over(Window.orderBy("day"))
+            )
+            .where(F.col("dl").isNotNull())
+            .select(
+                F.floor(F.col("d") * F.col("dl") / 1e6)
+                .cast("long")
+                .alias("nu")
+            )
+            .agg(F.sum("nu").alias(f"num{k}"))
+        )
+    j = outs[0].crossJoin(F.broadcast(outs[1])).crossJoin(
+        F.broadcast(outs[2])
+    ).crossJoin(F.broadcast(den))
+    r1 = F.col("num1").cast("double") / F.col("den_sum").cast("double")
+    r2 = F.col("num2").cast("double") / F.col("den_sum").cast("double")
+    r3 = F.col("num3").cast("double") / F.col("den_sum").cast("double")
+    p22 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    p21 = r1 * (1.0 - r2) / (1.0 - r1 * r1)
+    p33 = (r3 - p21 * r2 - p22 * r1) / (1.0 - p21 * r1 - p22 * r2)
+    return j.select(
+        F.floor(r1 * 1_000_000).cast("long").alias("pacf1_micro"),
+        F.floor(p22 * 1_000_000).cast("long").alias("pacf2_micro"),
+        F.floor(p33 * 1_000_000).cast("long").alias("pacf3_micro"),
+    )
+
+
+def q382_cochrans_q(spark, sf):
+    """Cochran's Q test over three correlated binary outcomes per
+    customer — "did this customer order in 1993 / 1994 / 1995?" — the
+    k-treatment generalization of q327's McNemar (same subjects, k
+    matched binary measurements; ANOVA is wrong for binaries, chi2 is
+    wrong for matched): Q = (k-1)[k*sum C_j^2 - (sum C_j)^2] /
+    (k*sum R_i - sum R_i^2), chi-square(k-1) under H0. Every term is
+    an exact integer from one per-customer presence agg; compared to
+    the chi2(2) 5% critical value 5.9915.
+
+    Shape: ONE (customer) agg with three conditional presence maxes,
+    then a 1-row integer rollup."""
+    orders = _t(spark, sf, "orders")
+    per = (
+        orders.select(
+            "o_custkey",
+            F.year("o_orderdate").alias("yr"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            *[
+                F.max(
+                    F.when(F.col("yr") == y, 1).otherwise(0)
+                ).alias(f"x{y}")
+                for y in (1993, 1994, 1995)
+            ]
+        )
+    )
+    r = per.select(
+        (F.col("x1993") + F.col("x1994") + F.col("x1995")).alias("ri"),
+        "x1993", "x1994", "x1995",
+    )
+    s = r.agg(
+        F.count(F.lit(1)).alias("n_subjects"),
+        F.sum("x1993").alias("c1"),
+        F.sum("x1994").alias("c2"),
+        F.sum("x1995").alias("c3"),
+        F.sum("ri").alias("sr"),
+        F.sum(F.col("ri") * F.col("ri")).alias("sr2"),
+    )
+    num = 2 * (
+        3 * (F.col("c1") * F.col("c1") + F.col("c2") * F.col("c2")
+             + F.col("c3") * F.col("c3"))
+        - (F.col("c1") + F.col("c2") + F.col("c3"))
+        * (F.col("c1") + F.col("c2") + F.col("c3"))
+    )
+    den = 3 * F.col("sr") - F.col("sr2")
+    q = num.cast("double") / den.cast("double")
+    return s.select(
+        "n_subjects",
+        "c1",
+        "c2",
+        "c3",
+        F.floor(q * 1_000_000).cast("long").alias("q_micro"),
+        F.when(F.floor(q * 1_000_000) > 5_991_465, 1)
+        .otherwise(0)
+        .alias("significant"),
+    )
+
+
+def q383_cliffs_delta(spark, sf):
+    """Cliff's delta + Vargha-Delaney A12 ordinal effect sizes for
+    BUILDING vs MACHINERY order values — the MAGNITUDE companions to
+    q184's Mann-Whitney significance (at scale everything is
+    significant; delta says how OFTEN a random BUILDING order beats a
+    MACHINERY one): delta = P(X>Y) - P(X<Y) = 2U/(n1*n2) - 1 with
+    midrank ties, A12 = U/(n1*n2). U comes exact-integer from the
+    tie-grouped doubled rank sums (q184's skeleton); the standard
+    negligible/small/medium/large thresholds (0.147/0.33/0.474) label
+    the verdict.
+
+    Shape: q184's — one agg over distinct values, one model-space
+    cumsum window, a 1-row rollup."""
+    cust = _t(spark, sf, "customer").where(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    ).select(
+        "c_custkey",
+        (F.col("c_mktsegment") == "BUILDING").cast("long").alias("g"),
+    )
+    orders = _t(spark, sf, "orders")
+    obs = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select(
+        "g",
+        (_d("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    byval = obs.groupBy("cents").agg(
+        F.sum("g").alias("n1v"),
+        F.count(F.lit(1)).alias("nv"),
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = byval.select(
+        "n1v", "nv",
+        F.coalesce(F.sum("nv").over(w), F.lit(0)).alias("cumb"),
+    )
+    D38 = "decimal(38,0)"
+    s = ranked.agg(
+        F.sum("n1v").alias("n1"),
+        F.sum(F.col("nv") - F.col("n1v")).alias("n2"),
+        F.sum(
+            F.col("n1v").cast(D38)
+            * (2 * F.col("cumb") + F.col("nv") + 1).cast(D38)
+        ).alias("r1x2"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    # 2*U1 = 2*R1 - n1(n1+1); delta = U1/(n1 n2)*2 - 1, A12 = U1/(n1 n2)
+    u1x2 = (
+        F.col("r1x2").cast("double") - n1d * (n1d + 1.0)
+    )
+    delta = u1x2 / (n1d * n2d) - 1.0
+    a12 = u1x2 / (2.0 * n1d * n2d)
+    mag = (
+        F.when(F.abs(delta) < 0.147, "negligible")
+        .when(F.abs(delta) < 0.33, "small")
+        .when(F.abs(delta) < 0.474, "medium")
+        .otherwise("large")
+    )
+    return s.select(
+        "n1",
+        "n2",
+        F.floor(delta * 1_000_000).cast("long").alias("delta_micro"),
+        F.floor(a12 * 1_000_000).cast("long").alias("a12_micro"),
+        mag.alias("magnitude"),
+    )

@@ -1001,6 +1001,13 @@ SHUFFLE_BUDGET = {
     "q379_brown_forsythe": 6,
     # q380: the segment confusion agg + 1-row median/rollup combines
     "q380_fairness_gaps": 3,
+    # q381: the daily agg + persisted centered series (reprinted per
+    # lag branch) + the per-lag windows and 1-row combines
+    "q381_pacf": 6,
+    # q382: the per-customer presence agg + the 1-row rollup
+    "q382_cochrans_q": 2,
+    # q383: q184's distinct-value agg + model-space cumsum window
+    "q383_cliffs_delta": 2,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -1208,7 +1215,9 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 # q379: 1-row N/grand-sum broadcast onto the 5 groups
                 "q379_brown_forsythe",
                 # q380: 1-row global-median broadcast onto the scan
-                "q380_fairness_gaps"}
+                "q380_fairness_gaps",
+                # q381: 1-row lag-numerator/denominator combines
+                "q381_pacf"}
 
 
 def test_no_headline_query_has_unpartitioned_ranked_window(spark):
