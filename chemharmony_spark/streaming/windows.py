@@ -479,3 +479,133 @@ def countmin_estimate_from_index(
     return est.select(
         "item", F.least(*counts).alias("cm_estimate")
     )
+
+
+def stream_daily_index(
+    spark: SparkSession,
+    events_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    glob: str = "*.parquet",
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Incrementally maintained DAILY sufficient statistics: each
+    micro-batch folds its events into per-day (n, micro-floored value
+    sum) partials and appends them under an epoch-keyed subdir — the
+    same exactly-once contract as :func:`stream_hll_index`. Daily
+    counts and integer sums MERGE BY SUM over disjoint batches, so the
+    union of all epochs re-aggregated with sum() is EXACTLY the batch
+    daily table over all data ever seen — which makes the index the
+    state under ANY expanding-window monitor read off it
+    (:func:`page_hinkley_from_index` here; q375 is the batch twin of
+    the walk). State is one row per (epoch, day) — independent of
+    event volume."""
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .option("pathGlobFilter", glob)
+        .parquet(events_dir)
+    )
+
+    def fold(batch_df, epoch_id):
+        import os
+
+        partial = (
+            batch_df.select(
+                F.to_date(F.col("ts").cast("timestamp")).alias("day"),
+                F.floor(F.col("value") * 1_000_000)
+                .cast("long")
+                .alias("vmu"),
+            )
+            .groupBy("day")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("vmu").alias("s"),
+            )
+        )
+        partial.write.mode("overwrite").parquet(
+            os.path.join(index_dir, f"epoch={epoch_id}")
+        )
+
+    run_stream_foreach_batch(src, fold, checkpoint_dir, mode="update")
+
+
+def _ph_walk(daily: DataFrame, lam_micro: int) -> DataFrame:
+    """Page-Hinkley walk over a (day, x double) frame — q375's exact
+    machinery (expanding prefix mean, micro-floored per-day terms,
+    integer prefix sums) factored so the batch and index-readoff paths
+    share one implementation."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    pre = daily.select(
+        "day",
+        "x",
+        F.sum("x").over(w).alias("cx"),
+        F.count(F.lit(1)).over(w).alias("t"),
+    )
+    term = F.floor(
+        (F.col("x") - F.col("cx") / F.col("t").cast("double"))
+        * 1_000_000
+    ).cast("long")
+    mt = pre.select("day", term.alias("term")).withColumn(
+        "m", F.sum("term").over(w)
+    )
+    gapped = mt.withColumn("gap", F.col("m") - F.min("m").over(w))
+    return gapped.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(
+            F.when(F.col("gap") > lam_micro, 1).otherwise(0)
+        ).alias("n_alarms"),
+        F.min(
+            F.when(F.col("gap") > lam_micro, F.col("day"))
+        ).alias("first_alarm_day"),
+        F.max("gap").alias("max_gap_micro"),
+    )
+
+
+def page_hinkley_from_index(
+    spark: SparkSession, index_dir: str, lam_micro: int = 500_000_000
+) -> DataFrame:
+    """Merge every epoch's daily partials (sum per day) and run the
+    Page-Hinkley mean-shift walk over the merged series (x = daily
+    total value) — identical to computing the monitor in batch over
+    the union of all batches (parity asserted in
+    tests/test_streaming.py). The walk itself is model-space: one row
+    per distinct day, regardless of stream volume."""
+    import os
+
+    epochs = [
+        os.path.join(index_dir, d)
+        for d in os.listdir(index_dir)
+        if d.startswith("epoch=")
+    ]
+    partials = spark.read.parquet(*epochs)
+    daily = (
+        partials.groupBy("day")
+        .agg(F.sum("s").alias("s"))
+        .select(
+            "day", (F.col("s").cast("double") / 1e6).alias("x")
+        )
+    )
+    return _ph_walk(daily, lam_micro)
+
+
+def batch_page_hinkley_daily(
+    spark: SparkSession, events_dir: str, lam_micro: int = 500_000_000
+) -> DataFrame:
+    """Batch twin of the streamed monitor: the same daily series and
+    walk computed directly over the full events table."""
+    ev = spark.read.schema(EVENTS_SCHEMA).parquet(
+        f"{events_dir}/events.parquet"
+    )
+    daily = (
+        ev.select(
+            F.to_date(F.col("ts").cast("timestamp")).alias("day"),
+            F.floor(F.col("value") * 1_000_000).cast("long").alias("vmu"),
+        )
+        .groupBy("day")
+        .agg(F.sum("vmu").alias("s"))
+        .select("day", (F.col("s").cast("double") / 1e6).alias("x"))
+    )
+    return _ph_walk(daily, lam_micro)

@@ -699,3 +699,44 @@ def test_streaming_countmin_sketch_matches_batch(spark, sf_dir, tmp_path):
     exact = {r.event_type: r["count"]
              for r in ev.groupBy("event_type").count().collect()}
     assert all(streamed[k] >= exact[k] for k in exact)
+
+
+def test_streaming_page_hinkley_matches_batch(spark, sf_dir, tmp_path):
+    """The incrementally maintained daily index (per-epoch (day, n,
+    micro-sum) partials, merged by SUM) feeds a Page-Hinkley walk that
+    EXACTLY matches the batch monitor over the full table: daily
+    sufficient stats are additive over disjoint batches, and the walk
+    itself is a pure function of the merged series."""
+    import os
+
+    from chemharmony_spark.streaming.windows import (
+        batch_page_hinkley_daily,
+        page_hinkley_from_index,
+        stream_daily_index,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    for i in range(3):
+        part_df = ev.where(F.col("event_id") % 3 == i)
+        tmp = tmp_path / f"w_{i}"
+        part_df.coalesce(1).write.parquet(str(tmp))
+        part = next(tmp.glob("part-*.parquet"))
+        os.rename(part, stage / f"{i}_events.parquet")
+        os.utime(stage / f"{i}_events.parquet", (i + 1, i + 1))
+
+    stream_daily_index(
+        spark, str(stage), str(tmp_path / "index"), str(tmp_path / "ckpt"),
+        glob="*_events.parquet",
+    )
+    assert len(os.listdir(tmp_path / "index")) >= 2  # genuinely incremental
+    lam = 1_000_000  # low lambda so alarms actually fire on test data
+    streamed = page_hinkley_from_index(
+        spark, str(tmp_path / "index"), lam_micro=lam
+    ).collect()[0]
+    batch = batch_page_hinkley_daily(
+        spark, sf_dir, lam_micro=lam
+    ).collect()[0]
+    assert streamed.asDict() == batch.asDict()
+    assert streamed.n_days > 1
