@@ -460,6 +460,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q381_pacf": Q.q381_pacf,
         "q382_cochrans_q": Q.q382_cochrans_q,
         "q383_cliffs_delta": Q.q383_cliffs_delta,
+        "q384_runs_test": Q.q384_runs_test,
+        "q385_kupiec_pof": Q.q385_kupiec_pof,
+        "q386_hurst_rs": Q.q386_hurst_rs,
     }
 
 
@@ -12080,5 +12083,198 @@ def oracle_sql() -> dict[str, str]:
                           THEN 'medium'
                         ELSE 'large' END AS magnitude
             FROM f
+        """,
+        "q384_runs_test": """
+            WITH daily AS (
+              SELECT date_diff('day', DATE '1992-01-01',
+                               CAST(o_orderdate AS DATE)) AS day,
+                     CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                   * 100 AS BIGINT)) AS BIGINT) AS rev
+              FROM orders GROUP BY 1),
+            med AS (SELECT CAST(median(rev) * 2 AS BIGINT) AS med2
+                    FROM daily),
+            signed AS (
+              SELECT day,
+                     CASE WHEN 2 * rev > med2 THEN 1 ELSE 0 END AS s
+              FROM daily, med),
+            runs AS (
+              SELECT s,
+                     CASE WHEN LAG(s, 1) OVER (ORDER BY day) IS NULL
+                            OR LAG(s, 1) OVER (ORDER BY day) <> s
+                          THEN 1 ELSE 0 END AS new_run
+              FROM signed),
+            agg AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(s) AS BIGINT) AS n1,
+                     CAST(SUM(1 - s) AS BIGINT) AS n0,
+                     CAST(SUM(new_run) AS BIGINT) AS r
+              FROM runs)
+            SELECT n, n1, n0, r,
+                   CAST(floor((2.0 * CAST(n1 AS DOUBLE)
+                        * CAST(n0 AS DOUBLE) / CAST(n AS DOUBLE)
+                        + 1.0) * 1000000) AS BIGINT) AS er_micro,
+                   CAST(floor((CAST(r AS DOUBLE)
+                        - (2.0 * CAST(n1 AS DOUBLE)
+                           * CAST(n0 AS DOUBLE) / CAST(n AS DOUBLE)
+                           + 1.0))
+                        / sqrt(2.0 * CAST(n1 AS DOUBLE)
+                          * CAST(n0 AS DOUBLE)
+                          * (2.0 * CAST(n1 AS DOUBLE)
+                             * CAST(n0 AS DOUBLE) - CAST(n AS DOUBLE))
+                          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                             * (CAST(n AS DOUBLE) - 1.0)))
+                        * 1000000) AS BIGINT) AS z_micro,
+                   CASE WHEN abs((CAST(r AS DOUBLE)
+                          - (2.0 * CAST(n1 AS DOUBLE)
+                             * CAST(n0 AS DOUBLE) / CAST(n AS DOUBLE)
+                             + 1.0))
+                          / sqrt(2.0 * CAST(n1 AS DOUBLE)
+                            * CAST(n0 AS DOUBLE)
+                            * (2.0 * CAST(n1 AS DOUBLE)
+                               * CAST(n0 AS DOUBLE)
+                               - CAST(n AS DOUBLE))
+                            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                               * (CAST(n AS DOUBLE) - 1.0))))
+                          > 1.96
+                        THEN 1 ELSE 0 END AS nonrandom
+            FROM agg
+        """,
+        "q385_kupiec_pof": """
+            WITH daily AS MATERIALIZED (
+              SELECT date_diff('day', DATE '1992-01-01',
+                               CAST(o_orderdate AS DATE)) AS day,
+                     CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                   * 100 AS BIGINT)) AS BIGINT) AS rev
+              FROM orders GROUP BY 1),
+            ranked AS (
+              SELECT rev,
+                     ROW_NUMBER() OVER (ORDER BY rev, day) AS rk
+              FROM daily),
+            n_total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+                        FROM daily),
+            thr AS (
+              SELECT rev AS var_floor
+              FROM ranked, n_total
+              WHERE rk = CAST(ceil(0.05 * n) AS BIGINT)),
+            x AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CASE WHEN rev <= var_floor
+                              THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                     CAST(MIN(var_floor) AS BIGINT) AS var_floor
+              FROM daily, thr)
+            SELECT n, x, var_floor,
+                   CAST(floor(-2.0 * (
+                     (CAST(n AS DOUBLE) - CAST(x AS DOUBLE)) * ln(0.95)
+                     + CAST(x AS DOUBLE) * ln(0.05)
+                     - ((CAST(n AS DOUBLE) - CAST(x AS DOUBLE))
+                        * ln(1.0 - CAST(x AS DOUBLE)
+                             / CAST(n AS DOUBLE))
+                        + CAST(x AS DOUBLE) * ln(CAST(x AS DOUBLE)
+                             / CAST(n AS DOUBLE))))
+                     * 1000000) AS BIGINT) AS lr_micro,
+                   CASE WHEN CAST(floor(-2.0 * (
+                       (CAST(n AS DOUBLE) - CAST(x AS DOUBLE))
+                         * ln(0.95)
+                       + CAST(x AS DOUBLE) * ln(0.05)
+                       - ((CAST(n AS DOUBLE) - CAST(x AS DOUBLE))
+                          * ln(1.0 - CAST(x AS DOUBLE)
+                               / CAST(n AS DOUBLE))
+                          + CAST(x AS DOUBLE) * ln(CAST(x AS DOUBLE)
+                               / CAST(n AS DOUBLE))))
+                       * 1000000) AS BIGINT) > 3841459
+                        THEN 1 ELSE 0 END AS reject_model
+            FROM x
+        """,
+        "q386_hurst_rs": """
+            WITH daily AS MATERIALIZED (
+              SELECT date_diff('day', DATE '1992-01-01',
+                               CAST(o_orderdate AS DATE)) AS day,
+                     CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                   * 100 AS BIGINT)) AS BIGINT) AS rev
+              FROM orders GROUP BY 1),
+            pre16 AS (
+              SELECT day // 16 AS b, rev,
+                     CAST(SUM(rev) OVER w AS BIGINT) AS crev,
+                     CAST(COUNT(*) OVER w AS BIGINT) AS t
+              FROM daily
+              WINDOW w AS (PARTITION BY day // 16 ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)),
+            g16 AS (
+              SELECT b, CAST(COUNT(*) AS BIGINT) AS cnt,
+                     CAST(SUM(rev) AS BIGINT) AS s1,
+                     CAST(SUM(CAST(rev AS HUGEINT)
+                          * CAST(rev AS HUGEINT)) AS HUGEINT) AS s2
+              FROM pre16 GROUP BY 1),
+            pb16 AS (
+              SELECT p.b, g.cnt, g.s1, g.s2,
+                     CAST(g.s1 AS DOUBLE) / CAST(g.cnt AS DOUBLE)
+                       AS mu,
+                     MAX(CAST(p.crev AS DOUBLE) - CAST(p.t AS DOUBLE)
+                         * (CAST(g.s1 AS DOUBLE)
+                            / CAST(g.cnt AS DOUBLE))) AS mx,
+                     MIN(CAST(p.crev AS DOUBLE) - CAST(p.t AS DOUBLE)
+                         * (CAST(g.s1 AS DOUBLE)
+                            / CAST(g.cnt AS DOUBLE))) AS mn
+              FROM pre16 p JOIN g16 g ON p.b = g.b
+              WHERE g.cnt = 16
+              GROUP BY 1, 2, 3, 4, 5),
+            a16 AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS k16,
+                     CAST(SUM(CAST(floor((mx - mn) / 100.0
+                       / (sqrt(CAST(s2 AS DOUBLE)
+                               / CAST(cnt AS DOUBLE) - mu * mu)
+                          / 100.0)
+                       * 1000000) AS BIGINT)) AS BIGINT) AS srs16
+              FROM pb16),
+            pre64 AS (
+              SELECT day // 64 AS b, rev,
+                     CAST(SUM(rev) OVER w AS BIGINT) AS crev,
+                     CAST(COUNT(*) OVER w AS BIGINT) AS t
+              FROM daily
+              WINDOW w AS (PARTITION BY day // 64 ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)),
+            g64 AS (
+              SELECT b, CAST(COUNT(*) AS BIGINT) AS cnt,
+                     CAST(SUM(rev) AS BIGINT) AS s1,
+                     CAST(SUM(CAST(rev AS HUGEINT)
+                          * CAST(rev AS HUGEINT)) AS HUGEINT) AS s2
+              FROM pre64 GROUP BY 1),
+            pb64 AS (
+              SELECT p.b, g.cnt, g.s1, g.s2,
+                     CAST(g.s1 AS DOUBLE) / CAST(g.cnt AS DOUBLE)
+                       AS mu,
+                     MAX(CAST(p.crev AS DOUBLE) - CAST(p.t AS DOUBLE)
+                         * (CAST(g.s1 AS DOUBLE)
+                            / CAST(g.cnt AS DOUBLE))) AS mx,
+                     MIN(CAST(p.crev AS DOUBLE) - CAST(p.t AS DOUBLE)
+                         * (CAST(g.s1 AS DOUBLE)
+                            / CAST(g.cnt AS DOUBLE))) AS mn
+              FROM pre64 p JOIN g64 g ON p.b = g.b
+              WHERE g.cnt = 64
+              GROUP BY 1, 2, 3, 4, 5),
+            a64 AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS k64,
+                     CAST(SUM(CAST(floor((mx - mn) / 100.0
+                       / (sqrt(CAST(s2 AS DOUBLE)
+                               / CAST(cnt AS DOUBLE) - mu * mu)
+                          / 100.0)
+                       * 1000000) AS BIGINT)) AS BIGINT) AS srs64
+              FROM pb64)
+            SELECT k16, k64,
+                   CAST(floor(CAST(srs16 AS DOUBLE)
+                        / CAST(k16 AS DOUBLE)) AS BIGINT)
+                     AS rs16_micro,
+                   CAST(floor(CAST(srs64 AS DOUBLE)
+                        / CAST(k64 AS DOUBLE)) AS BIGINT)
+                     AS rs64_micro,
+                   CAST(floor(ln((CAST(srs64 AS DOUBLE)
+                          / CAST(k64 AS DOUBLE))
+                        / (CAST(srs16 AS DOUBLE)
+                           / CAST(k16 AS DOUBLE)))
+                        / ln(4.0) * 1000000) AS BIGINT)
+                     AS hurst_micro
+            FROM a16, a64
         """,
     }

@@ -16806,3 +16806,245 @@ def q383_cliffs_delta(spark, sf):
         F.floor(a12 * 1_000_000).cast("long").alias("a12_micro"),
         mag.alias("magnitude"),
     )
+
+
+def q384_runs_test(spark, sf):
+    """Wald-Wolfowitz runs test on the daily-revenue sign sequence
+    (above/below the global daily median): are high and low days
+    RANDOMLY interleaved, or do they clump (momentum) / alternate
+    (mean-reversion)? The distribution-free randomness check that
+    complements q188's ACF (which only sees linear dependence):
+    z = (R - E[R]) / sd(R) with E[R] = 2 n1 n0 / n + 1. Counts and run
+    boundaries are exact integers off one lag window; one sqrt at the
+    end. |z| > 1.96 flags non-randomness.
+
+    Shape: one (day) agg, a 1-row median broadcast, one model-space
+    lag window, a 1-row rollup."""
+    orders = _t(spark, sf, "orders")
+    daily = (
+        orders.select(
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1992-01-01").cast("date")
+            ).alias("day"),
+            (_d("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    med = daily.agg((F.median("rev") * 2).cast("long").alias("med2"))
+    signed = daily.crossJoin(F.broadcast(med)).select(
+        "day",
+        F.when(2 * F.col("rev") > F.col("med2"), 1).otherwise(0).alias(
+            "s"
+        ),
+    )
+    w = Window.orderBy("day")
+    runs = signed.select(
+        "s",
+        F.when(
+            F.lag("s", 1).over(w).isNull()
+            | (F.lag("s", 1).over(w) != F.col("s")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    agg = runs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("s").alias("n1"),
+        F.sum(1 - F.col("s")).alias("n0"),
+        F.sum("new_run").alias("r"),
+    )
+    nd = F.col("n").cast("double")
+    n1d = F.col("n1").cast("double")
+    n0d = F.col("n0").cast("double")
+    er = 2.0 * n1d * n0d / nd + 1.0
+    vr = (
+        2.0 * n1d * n0d * (2.0 * n1d * n0d - nd)
+        / (nd * nd * (nd - 1.0))
+    )
+    z = (F.col("r").cast("double") - er) / F.sqrt(vr)
+    return agg.select(
+        "n",
+        "n1",
+        "n0",
+        "r",
+        F.floor(er * 1_000_000).cast("long").alias("er_micro"),
+        F.floor(z * 1_000_000).cast("long").alias("z_micro"),
+        F.when(F.abs(z) > 1.96, 1).otherwise(0).alias("nonrandom"),
+    )
+
+
+def q385_kupiec_pof(spark, sf):
+    """Kupiec proportion-of-failures backtest of a 5% daily-revenue
+    VaR floor: the threshold is the exact 5th-percentile daily revenue
+    (discrete, position ceil(0.05 n) of the sorted series), exceptions
+    are days at or below it, and LR_pof = -2 [ln binom-likelihood at
+    p=0.05 - ln at p-hat] ~ chi-square(1) tests whether the exception
+    RATE matches the model's promise — the risk-calibration twin of
+    q334's conformal coverage (there: quantile validity on one split;
+    here: likelihood-ratio calibration of the rate itself). Counts are
+    integers; ln() only in the final 1-row statistic, vs 3.8415.
+
+    Shape: one (day) agg, one model-space rank window for the
+    threshold, a 1-row rollup."""
+    orders = _t(spark, sf, "orders")
+    daily = (
+        orders.select(
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1992-01-01").cast("date")
+            ).alias("day"),
+            (_d("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    from chemharmony_spark.cache import registered_persist
+
+    daily = registered_persist(daily)
+    w = Window.orderBy("rev", "day")
+    ranked = daily.select(
+        "rev", F.row_number().over(w).alias("rk")
+    )
+    n_total = daily.agg(F.count(F.lit(1)).alias("n"))
+    thr = (
+        ranked.crossJoin(F.broadcast(n_total))
+        .where(F.col("rk") == F.ceil(F.lit(0.05) * F.col("n")))
+        .select(F.col("rev").alias("var_floor"))
+    )
+    x = (
+        daily.crossJoin(F.broadcast(thr))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("rev") <= F.col("var_floor"), 1).otherwise(
+                    0
+                )
+            ).alias("x"),
+            F.min("var_floor").alias("var_floor"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    xd = F.col("x").cast("double")
+    ll0 = (nd - xd) * F.log(F.lit(0.95)) + xd * F.log(F.lit(0.05))
+    ll1 = (nd - xd) * F.log(1.0 - xd / nd) + xd * F.log(xd / nd)
+    lr = -2.0 * (ll0 - ll1)
+    return x.select(
+        "n",
+        "x",
+        "var_floor",
+        F.floor(lr * 1_000_000).cast("long").alias("lr_micro"),
+        F.when(F.floor(lr * 1_000_000) > 3_841_459, 1)
+        .otherwise(0)
+        .alias("reject_model"),
+    )
+
+
+def q386_hurst_rs(spark, sf):
+    """Two-scale rescaled-range Hurst exponent of the daily revenue
+    series: H = ln(RS_64 / RS_16) / ln(4) where RS_m is the mean over
+    complete m-day blocks of (range of cumulative mean-deviations) /
+    (population std) — long-memory vs mean-reversion diagnosis
+    (H ~ 0.5 random walk, > 0.5 trending, < 0.5 anti-persistent), the
+    fractal companion to q204's Hill tail index. Block sums are exact
+    integers; per-block R/S values floor to micro before the
+    integer-mean (order-independent); ln/sqrt only.
+
+    Shape: one (day) agg; per scale one within-block cumulative window
+    (partitioned by block id — distributed, never single-task) + one
+    block agg + a 1-row mean; a 1-row final combine."""
+    from chemharmony_spark.cache import registered_persist
+
+    orders = _t(spark, sf, "orders")
+    daily = registered_persist(
+        orders.select(
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1992-01-01").cast("date")
+            ).alias("day"),
+            (_d("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    D38 = "decimal(38,0)"
+
+    def rs_mean(m: int):
+        # day >= 0 (datediff from the corpus epoch), so DIV matches
+        # DuckDB // (they differ only on negatives)
+        blk = daily.select(
+            F.expr(f"day DIV {m}").alias("b"),
+            F.col("day").alias("d"),
+            "rev",
+        )
+        wb = (
+            Window.partitionBy("b")
+            .orderBy("d")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        pre = blk.select(
+            "b",
+            "rev",
+            F.sum("rev").over(wb).alias("crev"),
+            F.count(F.lit(1)).over(wb).alias("t"),
+        )
+        g = pre.groupBy("b").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("rev").alias("s1"),
+            F.sum(F.col("rev").cast(D38) * F.col("rev").cast(D38)).alias(
+                "s2"
+            ),
+        )
+        mu = g.select(
+            "b",
+            "cnt",
+            "s1",
+            "s2",
+            (F.col("s1").cast("double") / F.col("cnt").cast("double")).alias(
+                "mu"
+            ),
+        )
+        dev = pre.join(F.broadcast(mu), on="b").where(
+            F.col("cnt") == m
+        ).select(
+            "b",
+            "cnt",
+            "s1",
+            "s2",
+            "mu",
+            (
+                F.col("crev").cast("double")
+                - F.col("t").cast("double") * F.col("mu")
+            ).alias("dv"),
+        )
+        per_block = dev.groupBy("b", "cnt", "s1", "s2", "mu").agg(
+            F.max("dv").alias("mx"), F.min("dv").alias("mn")
+        )
+        # R in dollars; S = population std in dollars (sums in cents).
+        # W_m = 0 is in the walk (full-block deviations sum to ~0), so
+        # the pure range brackets zero by construction.
+        r = (F.col("mx") - F.col("mn")) / 100.0
+        s = (
+            F.sqrt(
+                F.col("s2").cast("double") / F.col("cnt").cast("double")
+                - F.col("mu") * F.col("mu")
+            )
+            / 100.0
+        )
+        return per_block.select(
+            F.floor(r / s * 1_000_000).cast("long").alias("rs")
+        ).agg(
+            F.count(F.lit(1)).alias(f"k{m}"),
+            F.sum("rs").alias(f"srs{m}"),
+        )
+    a16, a64 = rs_mean(16), rs_mean(64)
+    j = a16.crossJoin(F.broadcast(a64))
+    rs16 = F.col("srs16").cast("double") / F.col("k16").cast("double")
+    rs64 = F.col("srs64").cast("double") / F.col("k64").cast("double")
+    h = F.log(rs64 / rs16) / F.log(F.lit(4.0))
+    return j.select(
+        "k16",
+        "k64",
+        F.floor(rs16).cast("long").alias("rs16_micro"),
+        F.floor(rs64).cast("long").alias("rs64_micro"),
+        F.floor(h * 1_000_000).cast("long").alias("hurst_micro"),
+    )

@@ -1008,6 +1008,14 @@ SHUFFLE_BUDGET = {
     "q382_cochrans_q": 2,
     # q383: q184's distinct-value agg + model-space cumsum window
     "q383_cliffs_delta": 2,
+    # q384: the daily agg + median/lag model-space windows + rollup
+    "q384_runs_test": 4,
+    # q385: the persisted daily agg (reprinted per consumer) + the
+    # model-space rank window + 1-row threshold/rollup combines
+    "q385_kupiec_pof": 4,
+    # q386: the persisted daily agg (reprinted per scale) + per-scale
+    # block windows/aggs + 1-row scale combines
+    "q386_hurst_rs": 7,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -1217,7 +1225,13 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 # q380: 1-row global-median broadcast onto the scan
                 "q380_fairness_gaps",
                 # q381: 1-row lag-numerator/denominator combines
-                "q381_pacf"}
+                "q381_pacf",
+                # q384: 1-row daily-median broadcast onto the series
+                "q384_runs_test",
+                # q385: 1-row n / VaR-threshold broadcasts
+                "q385_kupiec_pof",
+                # q386: 1-row per-scale R/S means combined
+                "q386_hurst_rs"}
 
 
 def test_no_headline_query_has_unpartitioned_ranked_window(spark):
