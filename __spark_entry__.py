@@ -463,6 +463,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q384_runs_test": Q.q384_runs_test,
         "q385_kupiec_pof": Q.q385_kupiec_pof,
         "q386_hurst_rs": Q.q386_hurst_rs,
+        "q387_join_strategy_advisor": Q.q387_join_strategy_advisor,
+        "q388_price_elasticity": Q.q388_price_elasticity,
+        "q389_fisher_price_index": Q.q389_fisher_price_index,
     }
 
 
@@ -12276,5 +12279,166 @@ def oracle_sql() -> dict[str, str]:
                         / ln(4.0) * 1000000) AS BIGINT)
                      AS hurst_micro
             FROM a16, a64
+        """,
+        "q387_join_strategy_advisor": """
+            WITH st AS (
+              SELECT 'lineitem' AS t, CAST(COUNT(*) AS BIGINT) AS rows_,
+                     CAST(SUM(strlen(CAST(l_orderkey AS VARCHAR))
+                       + strlen(CAST(l_partkey AS VARCHAR))
+                       + strlen(CAST(l_suppkey AS VARCHAR))
+                       + strlen(CAST(CAST(l_extendedprice
+                           AS DECIMAL(18,2)) AS VARCHAR)))
+                       AS BIGINT) AS bytes_
+              FROM lineitem
+              UNION ALL
+              SELECT 'orders', CAST(COUNT(*) AS BIGINT),
+                     CAST(SUM(strlen(CAST(o_orderkey AS VARCHAR))
+                       + strlen(CAST(o_custkey AS VARCHAR))
+                       + strlen(CAST(CAST(o_totalprice
+                           AS DECIMAL(18,2)) AS VARCHAR)))
+                       AS BIGINT)
+              FROM orders
+              UNION ALL
+              SELECT 'customer', CAST(COUNT(*) AS BIGINT),
+                     CAST(SUM(strlen(CAST(c_custkey AS VARCHAR))
+                       + strlen(CAST(c_nationkey AS VARCHAR))
+                       + strlen(CAST(c_mktsegment AS VARCHAR)))
+                       AS BIGINT)
+              FROM customer
+              UNION ALL
+              SELECT 'part', CAST(COUNT(*) AS BIGINT),
+                     CAST(SUM(strlen(CAST(p_partkey AS VARCHAR))
+                       + strlen(CAST(p_type AS VARCHAR))
+                       + strlen(CAST(p_brand AS VARCHAR)))
+                       AS BIGINT)
+              FROM part
+              UNION ALL
+              SELECT 'supplier', CAST(COUNT(*) AS BIGINT),
+                     CAST(SUM(strlen(CAST(s_suppkey AS VARCHAR))
+                       + strlen(CAST(s_nationkey AS VARCHAR)))
+                       AS BIGINT)
+              FROM supplier
+              UNION ALL
+              SELECT 'nation', CAST(COUNT(*) AS BIGINT),
+                     CAST(SUM(strlen(CAST(n_nationkey AS VARCHAR))
+                       + strlen(CAST(n_name AS VARCHAR)))
+                       AS BIGINT)
+              FROM nation),
+            edges(big, small) AS (VALUES
+              ('lineitem', 'orders'), ('lineitem', 'part'),
+              ('lineitem', 'supplier'), ('orders', 'customer'),
+              ('customer', 'nation'))
+            SELECT l.t || ' JOIN ' || r.t AS join_edge,
+                   l.rows_ AS n_rows_big, r.rows_ AS n_rows_small,
+                   CASE WHEN least(l.bytes_, r.bytes_) < 10485760
+                        THEN 'broadcast' ELSE 'shuffle' END
+                     AS strategy,
+                   least(l.bytes_, r.bytes_) * 32
+                     AS broadcast_moved_bytes,
+                   l.bytes_ + r.bytes_ AS shuffle_moved_bytes,
+                   CASE WHEN least(l.bytes_, r.bytes_) < 10485760
+                        THEN l.bytes_ + r.bytes_
+                             - least(l.bytes_, r.bytes_) * 32
+                        ELSE 0 END AS savings_bytes
+            FROM edges e
+            JOIN st l ON l.t = e.big
+            JOIN st r ON r.t = e.small
+        """,
+        "q388_price_elasticity": """
+            WITH t AS (
+              SELECT p.p_brand,
+                     CAST(floor(ln(CAST(CAST(l.l_extendedprice
+                         AS DECIMAL(18,2)) AS DOUBLE)
+                       / CAST(l.l_quantity AS DOUBLE))
+                       * 1000000000) AS BIGINT) AS x,
+                     CAST(floor(ln(CAST(l.l_quantity AS DOUBLE))
+                       * 1000000000) AS BIGINT) AS y,
+                     CAST(floor(ln(CAST(CAST(l.l_extendedprice
+                         AS DECIMAL(18,2)) AS DOUBLE)
+                       / CAST(l.l_quantity AS DOUBLE))
+                       * ln(CAST(CAST(l.l_extendedprice
+                         AS DECIMAL(18,2)) AS DOUBLE)
+                       / CAST(l.l_quantity AS DOUBLE))
+                       * 1000000000) AS BIGINT) AS xx,
+                     CAST(floor(ln(CAST(CAST(l.l_extendedprice
+                         AS DECIMAL(18,2)) AS DOUBLE)
+                       / CAST(l.l_quantity AS DOUBLE))
+                       * ln(CAST(l.l_quantity AS DOUBLE))
+                       * 1000000000) AS BIGINT) AS xy
+              FROM lineitem l JOIN part p
+                ON l.l_partkey = p.p_partkey),
+            g AS (
+              SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+                     CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+                     CAST(SUM(CAST(xx AS HUGEINT)) AS HUGEINT) AS sxx,
+                     CAST(SUM(CAST(xy AS HUGEINT)) AS HUGEINT) AS sxy
+              FROM t GROUP BY 1),
+            f AS (
+              SELECT p_brand, n,
+                     (CAST(n AS DOUBLE)
+                        * (CAST(sxy AS DOUBLE) / 1e9)
+                      - (CAST(sx AS DOUBLE) / 1e9)
+                        * (CAST(sy AS DOUBLE) / 1e9))
+                     / (CAST(n AS DOUBLE)
+                          * (CAST(sxx AS DOUBLE) / 1e9)
+                        - (CAST(sx AS DOUBLE) / 1e9)
+                          * (CAST(sx AS DOUBLE) / 1e9)) AS slope
+              FROM g)
+            SELECT p_brand, n,
+                   CAST(floor(slope * 1000000) AS BIGINT)
+                     AS elasticity_micro,
+                   CASE WHEN CAST(floor(slope * 1000000) AS BIGINT)
+                        < -1000000 THEN 1 ELSE 0 END AS elastic
+            FROM f
+        """,
+        "q389_fisher_price_index": """
+            WITH per AS MATERIALIZED (
+              SELECT year(CAST(l_shipdate AS DATE)) AS yr, l_partkey,
+                     CAST(SUM(CAST(CAST(l_extendedprice
+                         AS DECIMAL(18,2)) * 100 AS BIGINT))
+                       AS BIGINT) AS spend,
+                     CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                       AS qty
+              FROM lineitem GROUP BY 1, 2),
+            base AS (
+              SELECT l_partkey, spend AS spend0, qty AS qty0
+              FROM per WHERE yr = 1995),
+            j AS (
+              SELECT p.yr,
+                     CAST(floor(CAST(p.spend AS DOUBLE)
+                       * CAST(b.qty0 AS DOUBLE)
+                       / CAST(p.qty AS DOUBLE) * 1000000) AS BIGINT)
+                       AS lnum,
+                     CAST(b.spend0 AS HUGEINT) * 1000000 AS lden,
+                     CAST(p.spend AS HUGEINT) * 1000000 AS pnum,
+                     CAST(floor(CAST(b.spend0 AS DOUBLE)
+                       * CAST(p.qty AS DOUBLE)
+                       / CAST(b.qty0 AS DOUBLE) * 1000000) AS BIGINT)
+                       AS pden
+              FROM per p JOIN base b ON p.l_partkey = b.l_partkey
+              WHERE p.yr <> 1995),
+            g AS (
+              SELECT yr, CAST(COUNT(*) AS BIGINT) AS n_parts,
+                     CAST(SUM(CAST(lnum AS HUGEINT)) AS HUGEINT)
+                       AS ln_,
+                     CAST(SUM(lden) AS HUGEINT) AS ld_,
+                     CAST(SUM(pnum) AS HUGEINT) AS pn_,
+                     CAST(SUM(CAST(pden AS HUGEINT)) AS HUGEINT)
+                       AS pd_
+              FROM j GROUP BY 1)
+            SELECT yr, n_parts,
+                   CAST(floor(CAST(ln_ AS DOUBLE)
+                        / CAST(ld_ AS DOUBLE) * 1000000) AS BIGINT)
+                     AS laspeyres_ppm,
+                   CAST(floor(CAST(pn_ AS DOUBLE)
+                        / CAST(pd_ AS DOUBLE) * 1000000) AS BIGINT)
+                     AS paasche_ppm,
+                   CAST(floor(sqrt((CAST(ln_ AS DOUBLE)
+                          / CAST(ld_ AS DOUBLE))
+                        * (CAST(pn_ AS DOUBLE)
+                           / CAST(pd_ AS DOUBLE))) * 1000000)
+                        AS BIGINT) AS fisher_ppm
+            FROM g
         """,
     }

@@ -17048,3 +17048,241 @@ def q386_hurst_rs(spark, sf):
         F.floor(rs64).cast("long").alias("rs64_micro"),
         F.floor(h * 1_000_000).cast("long").alias("hurst_micro"),
     )
+
+
+def q387_join_strategy_advisor(spark, sf):
+    """Broadcast-vs-shuffle join advisor over the five core TPC-H join
+    edges — the planner-heuristic audit next to q281 (cardinality
+    estimation), q308 (shuffle cost) and q358 (partition sizing): for
+    each join, measure both sides' EXACT row counts and byte widths
+    (sum of octet lengths of the join-relevant columns), then pick the
+    strategy Spark's own planner would want — broadcast when the
+    smaller side is under the 10 MB autoBroadcastJoinThreshold, else
+    shuffle both — and report the bytes each choice would move
+    (broadcast ships small x n_executors; shuffle ships both sides
+    once). Everything is an exact integer sum; the decision table is
+    5-row model space.
+
+    Shape: one stats agg per base table (6 scans, each a map-side
+    combined 1-row agg), then literal model-space assembly."""
+    EXECS = 32  # local[32] stand-in for the cluster fan-out
+    THRESH = 10 * 1024 * 1024
+
+    from chemharmony_spark.cache import registered_persist
+
+    def stats(name: str, key: str, payload: list[str]):
+        t = _t(spark, sf, name)
+        dts = dict(t.dtypes)
+        width = None
+        for c in [key, *payload]:
+            # doubles render engine-differently as strings; route them
+            # through DECIMAL(18,2) so both engines measure "12345.67"
+            col = (
+                _d(c) if dts[c] == "double" else F.col(c)
+            ).cast("string")
+            ln = F.octet_length(col)
+            width = ln if width is None else width + ln
+        # persisted: a table that sits on several join edges (lineitem
+        # is on three) must be profiled ONCE, not once per edge branch
+        return registered_persist(
+            t.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(width.cast("long")).alias("bytes"),
+            ).select(F.lit(name).alias("t"), "n_rows", "bytes")
+        )
+
+    s = {
+        "lineitem": stats("lineitem", "l_orderkey",
+                          ["l_partkey", "l_suppkey", "l_extendedprice"]),
+        "orders": stats("orders", "o_orderkey",
+                        ["o_custkey", "o_totalprice"]),
+        "customer": stats("customer", "c_custkey",
+                          ["c_nationkey", "c_mktsegment"]),
+        "part": stats("part", "p_partkey", ["p_type", "p_brand"]),
+        "supplier": stats("supplier", "s_suppkey", ["s_nationkey"]),
+        "nation": stats("nation", "n_nationkey", ["n_name"]),
+    }
+    EDGES = [
+        ("lineitem", "orders"),
+        ("lineitem", "part"),
+        ("lineitem", "supplier"),
+        ("orders", "customer"),
+        ("customer", "nation"),
+    ]
+    out = None
+    for big, small in EDGES:
+        l, r = s[big], s[small]
+        row = (
+            l.crossJoin(
+                F.broadcast(
+                    r.select(
+                        F.col("t").alias("t2"),
+                        F.col("n_rows").alias("n_rows_small"),
+                        F.col("bytes").alias("bytes2"),
+                    )
+                )
+            )
+            .select(
+                F.concat_ws(" JOIN ", "t", "t2").alias("join_edge"),
+                F.col("n_rows").alias("n_rows_big"),
+                "n_rows_small",
+                "bytes",
+                "bytes2",
+                F.least("bytes", "bytes2").alias("small_bytes"),
+            )
+            .select(
+                "join_edge",
+                "n_rows_big",
+                "n_rows_small",
+                F.when(F.col("small_bytes") < THRESH, "broadcast")
+                .otherwise("shuffle")
+                .alias("strategy"),
+                (F.col("small_bytes") * EXECS).alias(
+                    "broadcast_moved_bytes"
+                ),
+                (F.col("bytes") + F.col("bytes2")).alias(
+                    "shuffle_moved_bytes"
+                ),
+                F.when(
+                    F.col("small_bytes") < THRESH,
+                    F.col("bytes")
+                    + F.col("bytes2")
+                    - F.col("small_bytes") * EXECS,
+                )
+                .otherwise(0)
+                .alias("savings_bytes"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def q388_price_elasticity(spark, sf):
+    """Log-log own-price elasticity of demand per part brand: the OLS
+    slope of ln(quantity) on ln(unit price) over order lines — the
+    economics companion to q86's linear regression (elasticity is THE
+    quantity a pricing pipeline wants; the log-log slope reads
+    directly as % demand change per % price change). ln() values are
+    IEEE doubles, so each per-line term floors to nano before the
+    per-brand integer sums (order-independent), and the slope
+    assembles from five exact sums: b = (n Sxy - Sx Sy) /
+    (n Sxx - Sx^2).
+
+    Shape: one broadcast part-dim join + ONE (brand) agg of floored
+    moments — single shuffle, model space after."""
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part").select("p_partkey", "p_brand")
+    base = li.join(
+        F.broadcast(part), li.l_partkey == part.p_partkey
+    ).select(
+        "p_brand",
+        F.log(
+            _d("l_extendedprice").cast("double")
+            / F.col("l_quantity").cast("double")
+        ).alias("lp"),
+        F.log(F.col("l_quantity").cast("double")).alias("lq"),
+    )
+    t = base.select(
+        "p_brand",
+        F.floor(F.col("lp") * 1_000_000_000).cast("long").alias("x"),
+        F.floor(F.col("lq") * 1_000_000_000).cast("long").alias("y"),
+        F.floor(F.col("lp") * F.col("lp") * 1_000_000_000)
+        .cast("long")
+        .alias("xx"),
+        F.floor(F.col("lp") * F.col("lq") * 1_000_000_000)
+        .cast("long")
+        .alias("xy"),
+    )
+    D38 = "decimal(38,0)"
+    g = t.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(D38)).alias("sx"),
+        F.sum(F.col("y").cast(D38)).alias("sy"),
+        F.sum(F.col("xx").cast(D38)).alias("sxx"),
+        F.sum(F.col("xy").cast(D38)).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double") / 1e9
+    sy = F.col("sy").cast("double") / 1e9
+    sxx = F.col("sxx").cast("double") / 1e9
+    sxy = F.col("sxy").cast("double") / 1e9
+    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    return g.select(
+        "p_brand",
+        "n",
+        F.floor(slope * 1_000_000).cast("long").alias(
+            "elasticity_micro"
+        ),
+        F.when(F.floor(slope * 1_000_000) < -1_000_000, 1)
+        .otherwise(0)
+        .alias("elastic"),
+    )
+
+
+def q389_fisher_price_index(spark, sf):
+    """Chained Laspeyres / Paasche / Fisher price indexes of the part
+    basket by ship year (base 1995, the corpus epoch): L = sum(p_t q_0)/sum(p_0 q_0)
+    over parts traded in BOTH years, P the current-weighted twin, and
+    Fisher their geometric mean — the index-number layer over q223's
+    price-volume decomposition (L overstates inflation, P understates;
+    Fisher is the superlative compromise). Per-part year aggregates
+    are exact cents/quantity integers; the basket join is
+    part-to-part; one sqrt at the end.
+
+    Shape: one (year, part) agg, a self-join of each year against the
+    base year on partkey (shuffle on partkey), 5-row model space."""
+    li = _t(spark, sf, "lineitem")
+    per = (
+        li.select(
+            F.year("l_shipdate").alias("yr"),
+            "l_partkey",
+            (_d("l_extendedprice") * 100).cast("long").alias("cents"),
+            F.col("l_quantity").cast("long").alias("q"),
+        )
+        .groupBy("yr", "l_partkey")
+        .agg(F.sum("cents").alias("spend"), F.sum("q").alias("qty"))
+    )
+    from chemharmony_spark.cache import registered_persist
+
+    per = registered_persist(per)
+    base = per.where(F.col("yr") == 1995).select(
+        "l_partkey",
+        F.col("spend").alias("spend0"),
+        F.col("qty").alias("qty0"),
+    )
+    D38 = "decimal(38,0)"
+    j = per.where(F.col("yr") != 1995).join(base, on="l_partkey")
+    # unit prices are spend/qty rationals: p_t*q_0 = spend_t*qty_0/qty_t
+    # stays exact in decimal x/y products; floor to micro-cents terms
+    lnum = F.floor(
+        F.col("spend").cast("double")
+        * F.col("qty0").cast("double")
+        / F.col("qty").cast("double")
+        * 1_000_000
+    ).cast("long")
+    lden = (F.col("spend0").cast(D38) * F.lit(1_000_000).cast(D38))
+    pnum = (F.col("spend").cast(D38) * F.lit(1_000_000).cast(D38))
+    pden = F.floor(
+        F.col("spend0").cast("double")
+        * F.col("qty").cast("double")
+        / F.col("qty0").cast("double")
+        * 1_000_000
+    ).cast("long")
+    g = j.groupBy("yr").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(lnum).alias("ln_"),
+        F.sum(lden).alias("ld_"),
+        F.sum(pnum).alias("pn_"),
+        F.sum(pden).alias("pd_"),
+    )
+    lasp = F.col("ln_").cast("double") / F.col("ld_").cast("double")
+    paas = F.col("pn_").cast("double") / F.col("pd_").cast("double")
+    return g.select(
+        "yr",
+        "n_parts",
+        F.floor(lasp * 1_000_000).cast("long").alias("laspeyres_ppm"),
+        F.floor(paas * 1_000_000).cast("long").alias("paasche_ppm"),
+        F.floor(F.sqrt(lasp * paas) * 1_000_000)
+        .cast("long")
+        .alias("fisher_ppm"),
+    )

@@ -1016,6 +1016,14 @@ SHUFFLE_BUDGET = {
     # q386: the persisted daily agg (reprinted per scale) + per-scale
     # block windows/aggs + 1-row scale combines
     "q386_hurst_rs": 7,
+    # q387: six persisted 1-row table profiles (each one map-side
+    # combined agg; reprinted per edge branch)
+    "q387_join_strategy_advisor": 6,
+    # q388: ONE (brand) agg of floored log moments
+    "q388_price_elasticity": 1,
+    # q389: the persisted (year, part) agg (reprinted per consumer)
+    # + the basket self-join keyed on partkey + the year rollup
+    "q389_fisher_price_index": 2,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -1231,7 +1239,9 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 # q385: 1-row n / VaR-threshold broadcasts
                 "q385_kupiec_pof",
                 # q386: 1-row per-scale R/S means combined
-                "q386_hurst_rs"}
+                "q386_hurst_rs",
+                # q387: 1-row table profiles cross-joined per edge
+                "q387_join_strategy_advisor"}
 
 
 def test_no_headline_query_has_unpartitioned_ranked_window(spark):
