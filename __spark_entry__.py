@@ -466,6 +466,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q387_join_strategy_advisor": Q.q387_join_strategy_advisor,
         "q388_price_elasticity": Q.q388_price_elasticity,
         "q389_fisher_price_index": Q.q389_fisher_price_index,
+        "q390_kneser_ney_continuation": Q.q390_kneser_ney_continuation,
+        "q391_gumbel_block_maxima": Q.q391_gumbel_block_maxima,
+        "q392_session_timeout_sensitivity":
+            Q.q392_session_timeout_sensitivity,
     }
 
 
@@ -12440,5 +12444,107 @@ def oracle_sql() -> dict[str, str]:
                            / CAST(pd_ AS DOUBLE))) * 1000000)
                         AS BIGINT) AS fisher_ppm
             FROM g
+        """,
+        "q390_kneser_ney_continuation": f"""
+            WITH toks AS MATERIALIZED (
+              SELECT doc_id, pos - 1 AS pos, w
+              FROM (SELECT doc_id,
+                           generate_subscripts(arr, 1) AS pos,
+                           unnest(arr) AS w
+                    FROM (SELECT doc_id, {_TOKS} AS arr
+                          FROM documents))),
+            bigrams AS MATERIALIZED (
+              SELECT DISTINCT n.w AS prev, t.w
+              FROM toks t
+              JOIN (SELECT doc_id, pos + 1 AS pos, w FROM toks) n
+                ON t.doc_id = n.doc_id AND t.pos = n.pos),
+            cont AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_ctx
+                     FROM bigrams GROUP BY 1),
+            uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+                    FROM toks GROUP BY 1),
+            tot AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT)
+                            FROM bigrams) AS n_bi,
+                           (SELECT CAST(COUNT(*) AS BIGINT)
+                            FROM toks) AS n_tok),
+            ranked AS (
+              SELECT u.w, u.c, COALESCE(ct.n_ctx, 0) AS n_ctx,
+                     n_bi, n_tok,
+                     ROW_NUMBER() OVER (ORDER BY u.c DESC, u.w) AS rk
+              FROM uni u LEFT JOIN cont ct ON u.w = ct.w, tot)
+            SELECT w, c, n_ctx,
+                   c * 1000000 // n_tok AS mle_ppm,
+                   n_ctx * 1000000 // n_bi AS cont_ppm,
+                   (c * 1000000 // n_tok) - (n_ctx * 1000000 // n_bi)
+                     AS overweight_ppm
+            FROM ranked WHERE rk <= 20
+        """,
+        "q391_gumbel_block_maxima": """
+            WITH daily AS (
+              SELECT date_diff('day', DATE '1992-01-01',
+                               CAST(o_orderdate AS DATE)) AS day,
+                     CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                   * 100 AS BIGINT)) AS BIGINT) AS rev
+              FROM orders GROUP BY 1),
+            blocks AS (
+              SELECT day // 32 AS b, CAST(MAX(rev) AS BIGINT) AS mx,
+                     CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM daily GROUP BY 1),
+            s AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                     CAST(SUM(mx) AS BIGINT) AS s1,
+                     CAST(SUM(CAST(mx AS HUGEINT)
+                          * CAST(mx AS HUGEINT)) AS HUGEINT) AS s2
+              FROM blocks WHERE cnt = 32),
+            f AS (
+              SELECT k,
+                     CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE) / 100.0
+                       AS mean,
+                     sqrt((CAST(s2 AS DOUBLE) / CAST(k AS DOUBLE)
+                           / 10000.0
+                           - (CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE)
+                              / 100.0)
+                             * (CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE)
+                                / 100.0)) * 6.0)
+                       / 3.141592653589793 AS beta
+              FROM s)
+            SELECT k,
+                   CAST(floor(mean) AS BIGINT) AS mean_max_usd,
+                   CAST(floor(beta) AS BIGINT) AS beta_usd,
+                   CAST(floor(mean - 0.5772156649015329 * beta)
+                        AS BIGINT) AS mu_usd,
+                   CAST(floor(mean - 0.5772156649015329 * beta
+                        - beta * ln(-ln(1.0 - 1.0 / 100.0)))
+                        AS BIGINT) AS return_level_100_usd
+            FROM f
+        """,
+        "q392_session_timeout_sensitivity": """
+            WITH gaps AS (
+              SELECT user_id,
+                     epoch_ns(ts)
+                       - lag(epoch_ns(ts)) OVER (PARTITION BY user_id
+                                                 ORDER BY epoch_ns(ts))
+                       AS gap_ns
+              FROM events),
+            agg AS (
+              SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                       AS n_users,
+                     CAST(COUNT(*) AS BIGINT) AS n_events,
+                     CAST(SUM(CASE WHEN gap_ns > 5 * 60000000000
+                              THEN 1 ELSE 0 END) AS BIGINT) AS brk5,
+                     CAST(SUM(CASE WHEN gap_ns > 15 * 60000000000
+                              THEN 1 ELSE 0 END) AS BIGINT) AS brk15,
+                     CAST(SUM(CASE WHEN gap_ns > 30 * 60000000000
+                              THEN 1 ELSE 0 END) AS BIGINT) AS brk30,
+                     CAST(SUM(CASE WHEN gap_ns > 60 * 60000000000
+                              THEN 1 ELSE 0 END) AS BIGINT) AS brk60
+              FROM gaps)
+            SELECT n_users, n_events,
+                   n_users + brk5 AS sessions_5m,
+                   n_users + brk15 AS sessions_15m,
+                   n_users + brk30 AS sessions_30m,
+                   n_users + brk60 AS sessions_60m,
+                   ((n_users + brk15) - (n_users + brk60)) * 1000000
+                     // (n_users + brk30) AS sensitivity_ppm
+            FROM agg
         """,
     }

@@ -17286,3 +17286,155 @@ def q389_fisher_price_index(spark, sf):
         .cast("long")
         .alias("fisher_ppm"),
     )
+
+
+def q390_kneser_ney_continuation(spark, sf):
+    """Kneser-Ney continuation probabilities vs raw unigram MLE for the
+    top-20 corpus tokens: P_cont(w) = |{w' : bigram (w', w) seen}| /
+    |distinct bigrams| — the "how many CONTEXTS does this word
+    complete" reweighting that makes KN the strongest classical LM
+    smoother ("francisco" is frequent but only follows "san"; MLE
+    overweights it, continuation counts don't) — the missing piece
+    between q68's bigram LM and q278's Dirichlet smoothing. Counts are
+    exact integers from one bigram-distinct agg; ranks by MLE.
+
+    Shape: one posexplode + self-aligned bigram distinct, two
+    model-space aggs, a top-20 rank window."""
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(TX.tokens("text")).alias("pos", "w")
+    )
+    nxt = toks.select(
+        "doc_id", (F.col("pos") + 1).alias("pos"), F.col("w").alias("prev")
+    )
+    bigrams = (
+        toks.join(nxt, on=["doc_id", "pos"])
+        .select("prev", "w")
+        .distinct()
+    )
+    cont = bigrams.groupBy("w").agg(F.count(F.lit(1)).alias("n_ctx"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = bigrams.agg(F.count(F.lit(1)).alias("n_bi")).crossJoin(
+        F.broadcast(toks.agg(F.count(F.lit(1)).alias("n_tok")))
+    )
+    ranked = (
+        uni.join(cont, on="w", how="left")
+        .na.fill({"n_ctx": 0})
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("c").desc(), "w")
+            ),
+        )
+        .where(F.col("rk") <= 20)
+    )
+    return ranked.select(
+        "w",
+        "c",
+        "n_ctx",
+        F.expr("c * 1000000 DIV n_tok").alias("mle_ppm"),
+        F.expr("n_ctx * 1000000 DIV n_bi").alias("cont_ppm"),
+        F.expr(
+            "(c * 1000000 DIV n_tok) - (n_ctx * 1000000 DIV n_bi)"
+        ).alias("overweight_ppm"),
+    )
+
+
+def q391_gumbel_block_maxima(spark, sf):
+    """Gumbel extreme-value fit of 32-day block-maximum daily revenue
+    (method of moments: beta = s*sqrt(6)/pi, mu = mean - gamma*beta)
+    plus the implied 100-block return level mu - beta*ln(-ln(1-1/100))
+    — tail risk on the MAXIMUM side, the EVT companion to q204's Hill
+    index (heavy-tail exponent) and q385's VaR floor (5% quantile):
+    what daily revenue should we provision for once per hundred
+    blocks? Block maxima/moments are exact integers; the fit is a
+    handful of identical IEEE ops on a 1-row frame.
+
+    Shape: one (day) agg, one (block) max agg, a 1-row moment rollup
+    - everything past the first agg is model space."""
+    orders = _t(spark, sf, "orders")
+    daily = (
+        orders.select(
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1992-01-01").cast("date")
+            ).alias("day"),
+            (_d("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    blocks = (
+        daily.select(F.expr("day DIV 32").alias("b"), "rev")
+        .groupBy("b")
+        .agg(F.max("rev").alias("mx"), F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") == 32)
+    )
+    D38 = "decimal(38,0)"
+    s = blocks.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("mx").alias("s1"),
+        F.sum(F.col("mx").cast(D38) * F.col("mx").cast(D38)).alias("s2"),
+    )
+    kd = F.col("k").cast("double")
+    mean = F.col("s1").cast("double") / kd / 100.0
+    var = (
+        F.col("s2").cast("double") / kd / 10_000.0 - mean * mean
+    )
+    GAMMA = 0.5772156649015329
+    PI = 3.141592653589793
+    beta = F.sqrt(var * 6.0) / PI
+    mu = mean - GAMMA * beta
+    r100 = mu - beta * F.log(-F.log(F.lit(1.0) - 1.0 / 100.0))
+    return s.select(
+        "k",
+        F.floor(mean).cast("long").alias("mean_max_usd"),
+        F.floor(beta).cast("long").alias("beta_usd"),
+        F.floor(mu).cast("long").alias("mu_usd"),
+        F.floor(r100).cast("long").alias("return_level_100_usd"),
+    )
+
+
+def q392_session_timeout_sensitivity(spark, sf):
+    """Sessionization-timeout sensitivity in ONE pass: the session
+    count at gap thresholds {5, 15, 30, 60} minutes is
+    n_users + #(gaps > T) — a pure function of the per-user
+    inter-event gap distribution, so all four candidate configs price
+    from a single lag window instead of four sessionize runs. The
+    tuning companion to q29 (which commits to 30 min): where is the
+    knee, and how unstable is the session count around the chosen
+    timeout?
+
+    Shape: one (user) lag window over events + one 1-row conditional
+    rollup."""
+    ev = _events(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gaps = ev.select(
+        "user_id",
+        (F.col("ts") - F.lag("ts").over(w)).alias("gap_ns"),
+    )
+    MIN_NS = 60_000_000_000
+    agg = gaps.agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+        *[
+            F.sum(
+                F.when(F.col("gap_ns") > t * MIN_NS, 1).otherwise(0)
+            ).alias(f"brk{t}")
+            for t in (5, 15, 30, 60)
+        ],
+    )
+    out = agg.select(
+        "n_users",
+        "n_events",
+        *[
+            (F.col("n_users") + F.col(f"brk{t}")).alias(f"sessions_{t}m")
+            for t in (5, 15, 30, 60)
+        ],
+    )
+    return out.select(
+        "*",
+        F.expr(
+            "(sessions_15m - sessions_60m) * 1000000 DIV sessions_30m"
+        ).alias("sensitivity_ppm"),
+    )

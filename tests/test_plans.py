@@ -1024,6 +1024,13 @@ SHUFFLE_BUDGET = {
     # q389: the persisted (year, part) agg (reprinted per consumer)
     # + the basket self-join keyed on partkey + the year rollup
     "q389_fisher_price_index": 2,
+    # q390: the (doc, pos) bigram self-join + distinct + cont/uni
+    # aggs + 1-row totals + the top-20 rank window
+    "q390_kneser_ney_continuation": 6,
+    # q391: the daily agg + block-max agg + 1-row moments
+    "q391_gumbel_block_maxima": 3,
+    # q392: the per-user lag window + the 1-row conditional rollup
+    "q392_session_timeout_sensitivity": 2,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -1241,7 +1248,9 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 # q386: 1-row per-scale R/S means combined
                 "q386_hurst_rs",
                 # q387: 1-row table profiles cross-joined per edge
-                "q387_join_strategy_advisor"}
+                "q387_join_strategy_advisor",
+                # q390: 1-row bigram/token totals broadcast
+                "q390_kneser_ney_continuation"}
 
 
 def test_no_headline_query_has_unpartitioned_ranked_window(spark):
