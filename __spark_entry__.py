@@ -470,6 +470,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q391_gumbel_block_maxima": Q.q391_gumbel_block_maxima,
         "q392_session_timeout_sensitivity":
             Q.q392_session_timeout_sensitivity,
+        "q393_negbin_fit": Q.q393_negbin_fit,
+        "q394_taylors_law": Q.q394_taylors_law,
+        "q395_term_burstiness": Q.q395_term_burstiness,
     }
 
 
@@ -12546,5 +12549,113 @@ def oracle_sql() -> dict[str, str]:
                    ((n_users + brk15) - (n_users + brk60)) * 1000000
                      // (n_users + brk30) AS sensitivity_ppm
             FROM agg
+        """,
+        "q393_negbin_fit": """
+            WITH daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS day,
+                     CAST(COUNT(*) AS BIGINT) AS c
+              FROM events GROUP BY 1, 2),
+            g AS (
+              SELECT event_type,
+                     CAST(COUNT(*) AS BIGINT) AS n_days,
+                     CAST(SUM(c) AS BIGINT) AS s1,
+                     CAST(SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT))
+                          AS HUGEINT) AS s2
+              FROM daily GROUP BY 1),
+            f AS (
+              SELECT event_type, n_days,
+                     CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE) AS m,
+                     CAST(s2 AS DOUBLE) / CAST(n_days AS DOUBLE)
+                       - (CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE))
+                         * (CAST(s1 AS DOUBLE)
+                            / CAST(n_days AS DOUBLE)) AS var
+              FROM g)
+            SELECT event_type, n_days,
+                   CAST(floor(m * 1000000) AS BIGINT) AS mean_micro,
+                   CAST(floor(var * 1000000) AS BIGINT) AS var_micro,
+                   CASE WHEN var > m THEN 1 ELSE 0 END
+                     AS overdispersed,
+                   CASE WHEN var > m THEN CAST(floor(m * m
+                        / (var - m) * 1000000) AS BIGINT) END
+                     AS nb_r_micro,
+                   CASE WHEN var > m THEN CAST(floor(m / var
+                        * 1000000) AS BIGINT) END AS nb_p_micro
+            FROM f
+        """,
+        "q394_taylors_law": """
+            WITH daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS day,
+                     CAST(COUNT(*) AS BIGINT) AS c
+              FROM events GROUP BY 1, 2),
+            g AS (
+              SELECT event_type,
+                     CAST(COUNT(*) AS BIGINT) AS n_days,
+                     CAST(SUM(c) AS BIGINT) AS s1,
+                     CAST(SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT))
+                          AS HUGEINT) AS s2
+              FROM daily GROUP BY 1),
+            f AS (
+              SELECT CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE) AS m,
+                     CAST(s2 AS DOUBLE) / CAST(n_days AS DOUBLE)
+                       - (CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE))
+                         * (CAST(s1 AS DOUBLE)
+                            / CAST(n_days AS DOUBLE)) AS var
+              FROM g),
+            t AS (
+              SELECT CAST(floor(ln(m) * 1000000000) AS BIGINT) AS x,
+                     CAST(floor(ln(var) * 1000000000) AS BIGINT) AS y,
+                     CAST(floor(ln(m) * ln(m) * 1000000000)
+                          AS BIGINT) AS xx,
+                     CAST(floor(ln(m) * ln(var) * 1000000000)
+                          AS BIGINT) AS xy
+              FROM f WHERE var > 0),
+            s AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                     CAST(SUM(x) AS BIGINT) AS sx,
+                     CAST(SUM(y) AS BIGINT) AS sy,
+                     CAST(SUM(xx) AS BIGINT) AS sxx,
+                     CAST(SUM(xy) AS BIGINT) AS sxy
+              FROM t),
+            r AS (
+              SELECT k,
+                     (CAST(k AS DOUBLE)
+                        * (CAST(sxy AS DOUBLE) / 1e9)
+                      - (CAST(sx AS DOUBLE) / 1e9)
+                        * (CAST(sy AS DOUBLE) / 1e9))
+                     / (CAST(k AS DOUBLE)
+                          * (CAST(sxx AS DOUBLE) / 1e9)
+                        - (CAST(sx AS DOUBLE) / 1e9)
+                          * (CAST(sx AS DOUBLE) / 1e9)) AS b,
+                     CAST(sx AS DOUBLE) / 1e9 AS sxd,
+                     CAST(sy AS DOUBLE) / 1e9 AS syd
+              FROM s)
+            SELECT k,
+                   CAST(floor(b * 1000000) AS BIGINT) AS slope_micro,
+                   CAST(floor((syd - b * sxd) / CAST(k AS DOUBLE)
+                        * 1000000) AS BIGINT) AS intercept_micro,
+                   CASE WHEN CAST(floor(b * 1000000) AS BIGINT)
+                        > 1500000 THEN 1 ELSE 0 END AS bursty
+            FROM r
+        """,
+        "q395_term_burstiness": f"""
+            WITH dt AS (
+              SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+              FROM (SELECT doc_id, unnest({_TOKS}) AS w
+                    FROM documents)
+              GROUP BY 1, 2),
+            term AS (
+              SELECT w, CAST(COUNT(*) AS BIGINT) AS df,
+                     CAST(SUM(c) AS BIGINT) AS cf
+              FROM dt GROUP BY 1),
+            nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs
+                   FROM documents),
+            ranked AS (
+              SELECT w, df, cf, n_docs,
+                     ROW_NUMBER() OVER (ORDER BY df DESC, w) AS rk
+              FROM term, nd)
+            SELECT w, df, cf,
+                   cf * 1000000 // df AS burstiness_ppm,
+                   df * 1000000 // n_docs AS doc_rate_ppm
+            FROM ranked WHERE rk <= 20
         """,
     }

@@ -17438,3 +17438,153 @@ def q392_session_timeout_sensitivity(spark, sf):
             "(sessions_15m - sessions_60m) * 1000000 DIV sessions_30m"
         ).alias("sensitivity_ppm"),
     )
+
+
+def q393_negbin_fit(spark, sf):
+    """Method-of-moments negative-binomial fit of daily event counts
+    per event type: r = m^2/(s^2 - m), p = m/s^2 — the parametric
+    step past q194's Fano factor (Fano says "overdispersed"; NB says
+    HOW, with a generative model you can simulate loads from in
+    capacity planning). Daily counts and their squares are exact
+    integers; moments and the (r, p) map are identical IEEE ops; types
+    whose variance does not exceed the mean report Poisson-compatible
+    instead of a divergent r.
+
+    Shape: one (type, day) agg + one (type) moment rollup — model
+    space after the first shuffle."""
+    ev = _events(spark, sf)
+    daily = (
+        ev.select(
+            "event_type",
+            F.to_date(F.col("ts_ts")).alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    D38 = "decimal(38,0)"
+    g = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c").cast(D38) * F.col("c").cast(D38)).alias("s2"),
+    )
+    nd = F.col("n_days").cast("double")
+    m = F.col("s1").cast("double") / nd
+    var = F.col("s2").cast("double") / nd - m * m
+    over = var > m
+    r = m * m / (var - m)
+    p = m / var
+    return g.select(
+        "event_type",
+        "n_days",
+        F.floor(m * 1_000_000).cast("long").alias("mean_micro"),
+        F.floor(var * 1_000_000).cast("long").alias("var_micro"),
+        F.when(over, 1).otherwise(0).alias("overdispersed"),
+        F.when(over, F.floor(r * 1_000_000).cast("long")).alias(
+            "nb_r_micro"
+        ),
+        F.when(over, F.floor(p * 1_000_000).cast("long")).alias(
+            "nb_p_micro"
+        ),
+    )
+
+
+def q394_taylors_law(spark, sf):
+    """Taylor's power law across event types: the OLS slope of
+    ln(variance) on ln(mean) of daily counts — fluctuation scaling
+    (variance ~ mean^b) that tells a capacity planner whether load
+    noise grows like Poisson (b=1) or like multiplicative bursts
+    (b~2), one level above q393's per-type fit. Per-type moments are
+    exact integers; the regression runs over the tiny per-type table
+    with nano-floored log terms.
+
+    Shape: q393's two aggs + a 1-row regression rollup — pure model
+    space."""
+    ev = _events(spark, sf)
+    daily = (
+        ev.select(
+            "event_type", F.to_date(F.col("ts_ts")).alias("day")
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    D38 = "decimal(38,0)"
+    g = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c").cast(D38) * F.col("c").cast(D38)).alias("s2"),
+    )
+    nd = F.col("n_days").cast("double")
+    m = F.col("s1").cast("double") / nd
+    var = F.col("s2").cast("double") / nd - m * m
+    t = g.where(var > 0).select(
+        F.floor(F.log(m) * 1_000_000_000).cast("long").alias("x"),
+        F.floor(F.log(var) * 1_000_000_000).cast("long").alias("y"),
+        F.floor(F.log(m) * F.log(m) * 1_000_000_000)
+        .cast("long")
+        .alias("xx"),
+        F.floor(F.log(m) * F.log(var) * 1_000_000_000)
+        .cast("long")
+        .alias("xy"),
+    )
+    s = t.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("xx").alias("sxx"),
+        F.sum("xy").alias("sxy"),
+    )
+    kd = F.col("k").cast("double")
+    sx = F.col("sx").cast("double") / 1e9
+    sy = F.col("sy").cast("double") / 1e9
+    sxx = F.col("sxx").cast("double") / 1e9
+    sxy = F.col("sxy").cast("double") / 1e9
+    b = (kd * sxy - sx * sy) / (kd * sxx - sx * sx)
+    a = (sy - b * sx) / kd
+    return s.select(
+        "k",
+        F.floor(b * 1_000_000).cast("long").alias("slope_micro"),
+        F.floor(a * 1_000_000).cast("long").alias("intercept_micro"),
+        F.when(F.floor(b * 1_000_000) > 1_500_000, 1)
+        .otherwise(0)
+        .alias("bursty"),
+    )
+
+
+def q395_term_burstiness(spark, sf):
+    """Church-Gale term burstiness for the 20 highest-df corpus terms:
+    burstiness = cf/df (mean occurrences per CONTAINING document) next
+    to the per-document rate cf/N — content words clump ("burst")
+    inside the documents that use them while function words spread
+    evenly, a signal IDF alone misses (two terms with equal df can
+    differ 10x in cf/df). One (term) agg with exact counts.
+
+    Shape: one (doc, term) explode-agg + one (term) rollup + the
+    top-20 rank window — single heavy shuffle."""
+    docs = _t(spark, sf, "documents")
+    dt = (
+        docs.select(
+            "doc_id", F.explode(TX.tokens("text")).alias("w")
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    term = dt.groupBy("w").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("c").alias("cf"),
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    ranked = (
+        term.crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.col("df").desc(), "w")),
+        )
+        .where(F.col("rk") <= 20)
+    )
+    return ranked.select(
+        "w",
+        "df",
+        "cf",
+        F.expr("cf * 1000000 DIV df").alias("burstiness_ppm"),
+        F.expr("df * 1000000 DIV n_docs").alias("doc_rate_ppm"),
+    )

@@ -1031,6 +1031,12 @@ SHUFFLE_BUDGET = {
     "q391_gumbel_block_maxima": 3,
     # q392: the per-user lag window + the 1-row conditional rollup
     "q392_session_timeout_sensitivity": 2,
+    # q393/q394: the (type, day) agg + the per-type moment rollup
+    # (+ q394's 1-row regression rollup)
+    "q393_negbin_fit": 2,
+    "q394_taylors_law": 3,
+    # q395: the (doc, term) agg + term rollup + top-20 rank window
+    "q395_term_burstiness": 3,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -1250,7 +1256,9 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 # q387: 1-row table profiles cross-joined per edge
                 "q387_join_strategy_advisor",
                 # q390: 1-row bigram/token totals broadcast
-                "q390_kneser_ney_continuation"}
+                "q390_kneser_ney_continuation",
+                # q395: 1-row corpus-size broadcast onto the top-20
+                "q395_term_burstiness"}
 
 
 def test_no_headline_query_has_unpartitioned_ranked_window(spark):
