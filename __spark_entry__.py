@@ -473,6 +473,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q393_negbin_fit": Q.q393_negbin_fit,
         "q394_taylors_law": Q.q394_taylors_law,
         "q395_term_burstiness": Q.q395_term_burstiness,
+        "q396_v_measure": Q.q396_v_measure,
+        "q397_permutation_test": Q.q397_permutation_test,
     }
 
 
@@ -902,6 +904,69 @@ def _kmeans_oracle(dims: int = 64, n_cells: int = 8, iters: int = 2,
             ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id)
         WHERE sim >= {threshold}"""
     )
+
+
+def _q397_sql() -> str:
+    """64 md5-salted pseudo-permutations as conditional sums in ONE
+    aggregate — mirrors queries.q397_permutation_test expression for
+    expression (parity of the first md5 hex char selects the null
+    group)."""
+    n_perm = 64
+    cols = []
+    for i in range(n_perm):
+        g = (f"((instr('0123456789abcdef', substr(md5('p{i}:' || "
+             f"CAST(o_custkey AS VARCHAR)), 1, 1)) - 1) % 2)")
+        cols.append(
+            f"CAST(SUM(CASE WHEN {g} = 1 THEN cents END) AS BIGINT)"
+            f" AS s{i}"
+        )
+        cols.append(
+            f"CAST(SUM(CASE WHEN {g} = 1 THEN 1 ELSE 0 END)"
+            f" AS BIGINT) AS n{i}"
+        )
+    def dm(s1, n1):
+        return (
+            f"CAST(floor(abs(CAST({s1} AS DOUBLE)"
+            f" / CAST({n1} AS DOUBLE)"
+            f" - CAST(s_all - {s1} AS DOUBLE)"
+            f" / CAST(n_all - {n1} AS DOUBLE)) / 100.0 * 1000000)"
+            f" AS BIGINT)"
+        )
+    ge = " + ".join(
+        f"(CASE WHEN {dm(f's{i}', f'n{i}')} >= {dm('s_obs', 'n_obs')}"
+        f" THEN 1 ELSE 0 END)"
+        for i in range(n_perm)
+    )
+    wide_cols = ",\n                   ".join(cols)
+    return f"""
+        WITH cust AS (
+          SELECT c_custkey,
+                 CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+                   AS g
+          FROM customer
+          WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        obs AS (
+          SELECT g, o_custkey,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT) AS cents
+          FROM orders o JOIN cust c ON o.o_custkey = c.c_custkey),
+        wide AS (
+          SELECT CAST(SUM(CASE WHEN g = 1 THEN cents END) AS BIGINT)
+                   AS s_obs,
+                 CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_obs,
+                 CAST(SUM(cents) AS BIGINT) AS s_all,
+                 CAST(COUNT(*) AS BIGINT) AS n_all,
+                   {wide_cols}
+          FROM obs)
+        SELECT n_all AS n,
+               {dm('s_obs', 'n_obs')} AS obs_diff_micro,
+               ({ge}) AS n_null_ge,
+               CAST(floor((({ge}) + 1) * 1000000 / 65) AS BIGINT)
+                 AS p_micro
+        FROM wide
+    """
+
 
 
 def oracle_sql() -> dict[str, str]:
@@ -12658,4 +12723,42 @@ def oracle_sql() -> dict[str, str]:
                    df * 1000000 // n_docs AS doc_rate_ppm
             FROM ranked WHERE rk <= 20
         """,
+        "q396_v_measure": """
+            WITH cells AS MATERIALIZED (
+              SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+              FROM documents GROUP BY 1, 2),
+            rowm AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS rm
+                     FROM cells GROUP BY 1),
+            colm AS (SELECT source, CAST(SUM(o) AS BIGINT) AS cm
+                     FROM cells GROUP BY 1),
+            tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+            hl AS (SELECT CAST(SUM(CAST(floor(CAST(rm AS DOUBLE)
+                     * ln(CAST(rm AS DOUBLE) / CAST(n AS DOUBLE))
+                     / 1e3) AS BIGINT)) AS BIGINT) AS sl
+                   FROM rowm, tot),
+            hs AS (SELECT CAST(SUM(CAST(floor(CAST(cm AS DOUBLE)
+                     * ln(CAST(cm AS DOUBLE) / CAST(n AS DOUBLE))
+                     / 1e3) AS BIGINT)) AS BIGINT) AS ss
+                   FROM colm, tot),
+            hj AS (SELECT CAST(SUM(CAST(floor(CAST(o AS DOUBLE)
+                     * ln(CAST(o AS DOUBLE) / CAST(n AS DOUBLE))
+                     / 1e3) AS BIGINT)) AS BIGINT) AS sj
+                   FROM cells, tot),
+            f AS (
+              SELECT n,
+                     1.0 - (-CAST(sj AS DOUBLE) - -CAST(ss AS DOUBLE))
+                       / (-CAST(sl AS DOUBLE)) AS hom,
+                     1.0 - (-CAST(sj AS DOUBLE) - -CAST(sl AS DOUBLE))
+                       / (-CAST(ss AS DOUBLE)) AS com
+              FROM hl, hs, hj, tot)
+            SELECT n,
+                   CAST(floor(hom * 1000000) AS BIGINT)
+                     AS homogeneity_micro,
+                   CAST(floor(com * 1000000) AS BIGINT)
+                     AS completeness_micro,
+                   CAST(floor(2.0 * hom * com / (hom + com)
+                        * 1000000) AS BIGINT) AS v_measure_micro
+            FROM f
+        """,
+        "q397_permutation_test": _q397_sql(),
     }

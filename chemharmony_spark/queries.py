@@ -17588,3 +17588,147 @@ def q395_term_burstiness(spark, sf):
         F.expr("cf * 1000000 DIV df").alias("burstiness_ppm"),
         F.expr("df * 1000000 DIV n_docs").alias("doc_rate_ppm"),
     )
+
+
+def q396_v_measure(spark, sf):
+    """Homogeneity / completeness / V-measure of the documents'
+    source partition as a clustering of language labels — the
+    information-theoretic clustering scorecard (Rosenberg & Hirschberg
+    2007) that complements q230's geometric silhouette: homogeneity =
+    1 - H(lang|source)/H(lang), completeness = 1 - H(source|lang)/
+    H(source), V their harmonic mean. Every entropy term is
+    sum(n_ij * ln(...)) over the (lang x source) contingency — exact
+    counts, nano-floored per-cell terms, integer-summed.
+
+    Shape: ONE (lang, source) contingency agg; margins re-agg from
+    the cells — pure model space after one shuffle."""
+    from chemharmony_spark.cache import registered_persist
+
+    docs = _t(spark, sf, "documents")
+    cells = registered_persist(
+        docs.groupBy("lang", "source").agg(
+            F.count(F.lit(1)).alias("o")
+        )
+    )
+    rowm = cells.groupBy("lang").agg(F.sum("o").alias("rm"))
+    colm = cells.groupBy("source").agg(F.sum("o").alias("cm"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    nd = F.col("n").cast("double")
+
+    def ent_terms(df, cnt_col, label):
+        # sum of n_i * ln(n_i / n): nano-floored per group
+        j = df.crossJoin(F.broadcast(tot))
+        t = F.floor(
+            F.col(cnt_col).cast("double")
+            * F.log(F.col(cnt_col).cast("double") / nd)
+            / 1e3
+        ).cast("long")
+        return j.agg(F.sum(t).alias(label))
+
+    h_lang = ent_terms(rowm, "rm", "sl")
+    h_src = ent_terms(colm, "cm", "ss")
+    joint = ent_terms(cells, "o", "sj")
+    # H(lang|source) = H(joint) - H(source); all from the same sums
+    out = (
+        h_lang.crossJoin(F.broadcast(h_src))
+        .crossJoin(F.broadcast(joint))
+        .crossJoin(F.broadcast(tot))
+    )
+    # entropies in nats * n * 1e-3 units; ratios cancel the scale
+    hl = -F.col("sl").cast("double")
+    hs = -F.col("ss").cast("double")
+    hj = -F.col("sj").cast("double")
+    h_l_given_s = hj - hs
+    h_s_given_l = hj - hl
+    hom = 1.0 - h_l_given_s / hl
+    com = 1.0 - h_s_given_l / hs
+    v = 2.0 * hom * com / (hom + com)
+    return out.select(
+        "n",
+        F.floor(hom * 1_000_000).cast("long").alias(
+            "homogeneity_micro"
+        ),
+        F.floor(com * 1_000_000).cast("long").alias(
+            "completeness_micro"
+        ),
+        F.floor(v * 1_000_000).cast("long").alias("v_measure_micro"),
+    )
+
+
+def q397_permutation_test(spark, sf):
+    """Distribution-free permutation test of the BUILDING-vs-MACHINERY
+    mean order-value difference, with SIXTY-FOUR deterministic
+    md5-salted pseudo-random reassignments evaluated in ONE pass: null
+    diff s is computed under group = parity of md5(salt || custkey),
+    all 64 as conditional sums in a single aggregate (no explode, no
+    64 jobs) — the resampling pattern that scales to 100 TB because
+    permutations cost expressions, not passes. p = (1 + #null >=
+    observed) / 65, the standard add-one Monte Carlo estimate
+    (Davison & Hinkley). All sums are exact cents; diffs compare in
+    micro ints.
+
+    Shape: one broadcast dim join + ONE wide agg (65 conditional
+    sum/count pairs) + model-space assembly."""
+    N_PERM = 64
+    cust = _t(spark, sf, "customer").where(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    ).select(
+        "c_custkey",
+        (F.col("c_mktsegment") == "BUILDING").cast("int").alias("g"),
+    )
+    orders = _t(spark, sf, "orders")
+    obs = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select(
+        "g",
+        "o_custkey",
+        (_d("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    perm_g = [
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"p{i}:"), F.col("o_custkey"))),
+                1, 1,
+            ),
+            16, 10,
+        ).cast("int") % 2
+        for i in range(N_PERM)
+    ]
+    aggs = [
+        F.sum(F.when(F.col("g") == 1, F.col("cents"))).alias("s_obs"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("n_obs"),
+        F.sum("cents").alias("s_all"),
+        F.count(F.lit(1)).alias("n_all"),
+    ]
+    for i, pg in enumerate(perm_g):
+        aggs.append(
+            F.sum(F.when(pg == 1, F.col("cents"))).alias(f"s{i}")
+        )
+        aggs.append(
+            F.sum(F.when(pg == 1, 1).otherwise(0)).alias(f"n{i}")
+        )
+    wide = obs.agg(*aggs)
+
+    def diff_micro(s1, n1):
+        s1d, n1d = s1.cast("double"), n1.cast("double")
+        s0d = (F.col("s_all") - s1).cast("double")
+        n0d = (F.col("n_all") - n1).cast("double")
+        return F.floor(
+            F.abs(s1d / n1d - s0d / n0d) / 100.0 * 1_000_000
+        ).cast("long")
+    d_obs = diff_micro(F.col("s_obs"), F.col("n_obs"))
+    nulls = [
+        diff_micro(F.col(f"s{i}"), F.col(f"n{i}")) for i in range(N_PERM)
+    ]
+    ge = [
+        F.when(nd >= d_obs, 1).otherwise(0) for nd in nulls
+    ]
+    n_ge = sum(ge[1:], ge[0])
+    return wide.select(
+        F.col("n_all").alias("n"),
+        d_obs.alias("obs_diff_micro"),
+        n_ge.alias("n_null_ge"),
+        F.floor(
+            (n_ge + 1) * 1_000_000 / F.lit(N_PERM + 1)
+        ).cast("long").alias("p_micro"),
+    )

@@ -1037,6 +1037,11 @@ SHUFFLE_BUDGET = {
     "q394_taylors_law": 3,
     # q395: the (doc, term) agg + term rollup + top-20 rank window
     "q395_term_burstiness": 3,
+    # q396: the persisted contingency agg (reprinted per margin/
+    # entropy consumer) + margin rollups + 1-row entropy combines
+    "q396_v_measure": 10,
+    # q397: ONE wide agg (65 conditional sum/count pairs)
+    "q397_permutation_test": 1,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -1258,7 +1263,9 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 # q390: 1-row bigram/token totals broadcast
                 "q390_kneser_ney_continuation",
                 # q395: 1-row corpus-size broadcast onto the top-20
-                "q395_term_burstiness"}
+                "q395_term_burstiness",
+                # q396: 1-row grand-total/entropy-sum combines
+                "q396_v_measure"}
 
 
 def test_no_headline_query_has_unpartitioned_ranked_window(spark):
