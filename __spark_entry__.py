@@ -475,6 +475,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q395_term_burstiness": Q.q395_term_burstiness,
         "q396_v_measure": Q.q396_v_measure,
         "q397_permutation_test": Q.q397_permutation_test,
+        "q398_partial_correlation": Q.q398_partial_correlation,
+        "q399_weibull_fit": Q.q399_weibull_fit,
+        "q400_source_loo_value": Q.q400_source_loo_value,
     }
 
 
@@ -12761,4 +12764,147 @@ def oracle_sql() -> dict[str, str]:
             FROM f
         """,
         "q397_permutation_test": _q397_sql(),
+        "q398_partial_correlation": """
+            WITH t AS (
+              SELECT CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)
+                       AS x,
+                     CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT) AS y,
+                     CAST(l_quantity AS BIGINT) AS z
+              FROM lineitem),
+            mom AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+                     CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+                     CAST(SUM(CAST(z AS HUGEINT)) AS HUGEINT) AS sz,
+                     CAST(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT))
+                          AS HUGEINT) AS sxx,
+                     CAST(SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT))
+                          AS HUGEINT) AS syy,
+                     CAST(SUM(CAST(z AS HUGEINT) * CAST(z AS HUGEINT))
+                          AS HUGEINT) AS szz,
+                     CAST(SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT))
+                          AS HUGEINT) AS sxy,
+                     CAST(SUM(CAST(x AS HUGEINT) * CAST(z AS HUGEINT))
+                          AS HUGEINT) AS sxz,
+                     CAST(SUM(CAST(y AS HUGEINT) * CAST(z AS HUGEINT))
+                          AS HUGEINT) AS syz
+              FROM t),
+            r AS (
+              SELECT n,
+                     (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE)
+                                 * CAST(sy AS DOUBLE))) AS rxy,
+                     (CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
+                     / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+                               - CAST(sz AS DOUBLE)
+                                 * CAST(sz AS DOUBLE))) AS rxz,
+                     (CAST(n AS DOUBLE) * CAST(syz AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE))
+                     / sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                            * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+                               - CAST(sz AS DOUBLE)
+                                 * CAST(sz AS DOUBLE))) AS ryz
+              FROM mom)
+            SELECT n,
+                   CAST(floor(rxy * 1000000) AS BIGINT) AS r_xy_micro,
+                   CAST(floor(rxz * 1000000) AS BIGINT) AS r_xz_micro,
+                   CAST(floor(ryz * 1000000) AS BIGINT) AS r_yz_micro,
+                   CAST(floor((rxy - rxz * ryz)
+                        / sqrt((1.0 - rxz * rxz)
+                               * (1.0 - ryz * ryz)) * 1000000)
+                        AS BIGINT) AS partial_r_micro
+            FROM r
+        """,
+        "q399_weibull_fit": """
+            WITH byval AS (
+              SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT) AS cents,
+                     CAST(COUNT(*) AS BIGINT) AS nv
+              FROM orders GROUP BY 1),
+            cum AS (
+              SELECT cents, CAST(SUM(nv) OVER (ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS BIGINT) AS r
+              FROM byval),
+            tot AS (SELECT CAST(SUM(nv) AS BIGINT) AS n FROM byval),
+            t AS (
+              SELECT CAST(floor(ln(CAST(cents AS DOUBLE) / 100.0)
+                       * 1000000000) AS BIGINT) AS x,
+                     CAST(floor(ln(-ln(1.0 - (CAST(r AS DOUBLE) - 0.3)
+                       / (CAST(n AS DOUBLE) + 0.4)))
+                       * 1000000000) AS BIGINT) AS y,
+                     CAST(floor(ln(CAST(cents AS DOUBLE) / 100.0)
+                       * ln(CAST(cents AS DOUBLE) / 100.0)
+                       * 1000000000) AS BIGINT) AS xx,
+                     CAST(floor(ln(CAST(cents AS DOUBLE) / 100.0)
+                       * ln(-ln(1.0 - (CAST(r AS DOUBLE) - 0.3)
+                         / (CAST(n AS DOUBLE) + 0.4)))
+                       * 1000000000) AS BIGINT) AS xy
+              FROM cum, tot),
+            s AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                     CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+                     CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+                     CAST(SUM(CAST(xx AS HUGEINT)) AS HUGEINT) AS sxx,
+                     CAST(SUM(CAST(xy AS HUGEINT)) AS HUGEINT) AS sxy
+              FROM t),
+            f AS (
+              SELECT k,
+                     (CAST(k AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e9)
+                      - (CAST(sx AS DOUBLE) / 1e9)
+                        * (CAST(sy AS DOUBLE) / 1e9))
+                     / (CAST(k AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e9)
+                        - (CAST(sx AS DOUBLE) / 1e9)
+                          * (CAST(sx AS DOUBLE) / 1e9)) AS shape,
+                     CAST(sx AS DOUBLE) / 1e9 AS sxd,
+                     CAST(sy AS DOUBLE) / 1e9 AS syd
+              FROM s)
+            SELECT k,
+                   CAST(floor(shape * 1000000) AS BIGINT)
+                     AS shape_micro,
+                   CAST(floor(-((syd - shape * sxd)
+                        / CAST(k AS DOUBLE)) / shape * 1000000)
+                        AS BIGINT) AS ln_lambda_micro,
+                   CASE WHEN CAST(floor(shape * 1000000) AS BIGINT)
+                        > 1000000 THEN 1 ELSE 0 END
+                     AS wear_out_regime
+            FROM f
+        """,
+        "q400_source_loo_value": """
+            WITH per AS (
+              SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s,
+                     CAST(SUM(CAST(floor(
+                       length(regexp_replace(text,
+                         '[^a-zA-Z0-9 ]', '', 'g')) / length(text)
+                       * 1000000) AS BIGINT)) AS BIGINT) AS sum_s
+              FROM documents GROUP BY 1),
+            tot AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n,
+                           CAST(SUM(sum_s) AS BIGINT) AS sum_all
+                    FROM per)
+            SELECT source, n_s,
+                   CAST(floor(CAST(sum_all AS DOUBLE)
+                        / CAST(n AS DOUBLE)) AS BIGINT)
+                     AS mean_all_ppm,
+                   CAST(floor(CAST(sum_all - sum_s AS DOUBLE)
+                        / CAST(n - n_s AS DOUBLE)) AS BIGINT)
+                     AS mean_loo_ppm,
+                   CAST(floor(CAST(sum_all - sum_s AS DOUBLE)
+                        / CAST(n - n_s AS DOUBLE)
+                        - CAST(sum_all AS DOUBLE) / CAST(n AS DOUBLE))
+                        AS BIGINT) AS delta_ppm,
+                   CASE WHEN CAST(sum_all - sum_s AS DOUBLE)
+                          / CAST(n - n_s AS DOUBLE)
+                          > CAST(sum_all AS DOUBLE) / CAST(n AS DOUBLE)
+                        THEN 1 ELSE 0 END AS drags_quality
+            FROM per, tot
+        """,
     }

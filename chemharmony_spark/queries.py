@@ -17732,3 +17732,172 @@ def q397_permutation_test(spark, sf):
             (n_ge + 1) * 1_000_000 / F.lit(N_PERM + 1)
         ).cast("long").alias("p_micro"),
     )
+
+
+def q398_partial_correlation(spark, sf):
+    """Partial correlation of line discount and revenue CONTROLLING for
+    quantity: r_xy.z = (r_xy - r_xz r_yz) / sqrt((1-r_xz^2)(1-r_yz^2))
+    — does the discount-revenue association survive removing the
+    volume channel? (q233's Spearman sees the raw association only;
+    confounder control is the difference between reporting a
+    correlation and reporting a mechanism.) Discounts quantize to
+    exact basis points, money to cents, so every moment is an exact
+    decimal(38,0) sum; the three Pearson r's and the partial assemble
+    in identical IEEE ops on the 1-row moment frame.
+
+    Shape: ONE map-side-combined moment agg over lineitem — single
+    pass, no shuffle of facts at all (1-row result)."""
+    li = _t(spark, sf, "lineitem")
+    D38 = "decimal(38,0)"
+    x = F.floor(F.col("l_discount") * 10_000 + 0.5).cast("long")
+    y = (_d("l_extendedprice") * 100).cast("long")
+    z = F.col("l_quantity").cast("long")
+    t = li.select(x.alias("x"), y.alias("y"), z.alias("z"))
+    mom = t.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(D38)).alias("sx"),
+        F.sum(F.col("y").cast(D38)).alias("sy"),
+        F.sum(F.col("z").cast(D38)).alias("sz"),
+        F.sum(F.col("x").cast(D38) * F.col("x").cast(D38)).alias("sxx"),
+        F.sum(F.col("y").cast(D38) * F.col("y").cast(D38)).alias("syy"),
+        F.sum(F.col("z").cast(D38) * F.col("z").cast(D38)).alias("szz"),
+        F.sum(F.col("x").cast(D38) * F.col("y").cast(D38)).alias("sxy"),
+        F.sum(F.col("x").cast(D38) * F.col("z").cast(D38)).alias("sxz"),
+        F.sum(F.col("y").cast(D38) * F.col("z").cast(D38)).alias("syz"),
+    )
+    nd = F.col("n").cast("double")
+
+    def r(sab, sa, sb, saa, sbb):
+        num = nd * F.col(sab).cast("double") - F.col(sa).cast(
+            "double"
+        ) * F.col(sb).cast("double")
+        da = nd * F.col(saa).cast("double") - F.col(sa).cast(
+            "double"
+        ) * F.col(sa).cast("double")
+        db = nd * F.col(sbb).cast("double") - F.col(sb).cast(
+            "double"
+        ) * F.col(sb).cast("double")
+        return num / F.sqrt(da * db)
+    rxy = r("sxy", "sx", "sy", "sxx", "syy")
+    rxz = r("sxz", "sx", "sz", "sxx", "szz")
+    ryz = r("syz", "sy", "sz", "syy", "szz")
+    part = (rxy - rxz * ryz) / F.sqrt(
+        (1.0 - rxz * rxz) * (1.0 - ryz * ryz)
+    )
+    return mom.select(
+        "n",
+        F.floor(rxy * 1_000_000).cast("long").alias("r_xy_micro"),
+        F.floor(rxz * 1_000_000).cast("long").alias("r_xz_micro"),
+        F.floor(ryz * 1_000_000).cast("long").alias("r_yz_micro"),
+        F.floor(part * 1_000_000).cast("long").alias(
+            "partial_r_micro"
+        ),
+    )
+
+
+def q399_weibull_fit(spark, sf):
+    """Weibull shape/scale fit of the order-value distribution by
+    median-rank regression: regress ln(-ln(1 - F_i)) on ln(x_i) over
+    the DISTINCT-value CDF (F from Bernard's approximation
+    (r - 0.3)/(n + 0.4) at each distinct value's max rank) — slope =
+    shape k (k < 1 infant-mortality-like heavy head, k = 1
+    exponential, k > 1 wear-out), exp(-intercept/k)-free scale read
+    via lambda = exp(ln-scale)... which needs exp, so the SCALE is
+    reported in ln form (ln_lambda_micro) — still a complete,
+    comparable parameterization. The regression runs over the
+    distinct-value table with nano-floored terms; the largest value
+    (F = n/(n+0.4) ~ 1) stays finite under Bernard's shift.
+
+    Shape: one distinct-value count agg + the model-space cumulative
+    window + a 1-row regression rollup (q58's cumsum skeleton)."""
+    orders = _t(spark, sf, "orders")
+    byval = (
+        orders.select(
+            (_d("o_totalprice") * 100).cast("long").alias("cents")
+        )
+        .groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("nv"))
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    cum = byval.withColumn("r", F.sum("nv").over(w))
+    tot = byval.agg(F.sum("nv").alias("n"))
+    j = cum.crossJoin(F.broadcast(tot))
+    fi = (F.col("r").cast("double") - 0.3) / (
+        F.col("n").cast("double") + 0.4
+    )
+    lx = F.log(F.col("cents").cast("double") / 100.0)
+    ly = F.log(-F.log(1.0 - fi))
+    t = j.select(
+        F.floor(lx * 1_000_000_000).cast("long").alias("x"),
+        F.floor(ly * 1_000_000_000).cast("long").alias("y"),
+        F.floor(lx * lx * 1_000_000_000).cast("long").alias("xx"),
+        F.floor(lx * ly * 1_000_000_000).cast("long").alias("xy"),
+    )
+    D38 = "decimal(38,0)"
+    s = t.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("x").cast(D38)).alias("sx"),
+        F.sum(F.col("y").cast(D38)).alias("sy"),
+        F.sum(F.col("xx").cast(D38)).alias("sxx"),
+        F.sum(F.col("xy").cast(D38)).alias("sxy"),
+    )
+    kd = F.col("k").cast("double")
+    sx = F.col("sx").cast("double") / 1e9
+    sy = F.col("sy").cast("double") / 1e9
+    sxx = F.col("sxx").cast("double") / 1e9
+    sxy = F.col("sxy").cast("double") / 1e9
+    shape = (kd * sxy - sx * sy) / (kd * sxx - sx * sx)
+    intercept = (sy - shape * sx) / kd
+    ln_lambda = -intercept / shape
+    return s.select(
+        "k",
+        F.floor(shape * 1_000_000).cast("long").alias("shape_micro"),
+        F.floor(ln_lambda * 1_000_000).cast("long").alias(
+            "ln_lambda_micro"
+        ),
+        F.when(F.floor(shape * 1_000_000) > 1_000_000, 1)
+        .otherwise(0)
+        .alias("wear_out_regime"),
+    )
+
+
+def q400_source_loo_value(spark, sf):
+    """Leave-one-source-out corpus valuation: for each document
+    source, the change in corpus-mean quality score when that source
+    is REMOVED — delta_s = mean(all \\ s) - mean(all) — the
+    jackknife data-valuation signal (q340 Shapley-attributes a
+    conversion; this values SOURCES against a quality metric, the
+    cheap first pass before dropping a crawl). Quality is the q31
+    alnum-ratio proxy floored to ppm per doc, so group sums are exact
+    integers and every delta is a difference of two exact rationals
+    evaluated identically.
+
+    Shape: ONE (source) agg of per-doc integer scores + model-space
+    deltas off a 1-row broadcast total."""
+    docs = _t(spark, sf, "documents")
+    score = F.floor(TX.alnum_ratio("text") * 1_000_000).cast("long")
+    per = docs.select("source", score.alias("s")).groupBy(
+        "source"
+    ).agg(F.count(F.lit(1)).alias("n_s"), F.sum("s").alias("sum_s"))
+    tot = per.agg(
+        F.sum("n_s").alias("n"), F.sum("sum_s").alias("sum_all")
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    mean_all = F.col("sum_all").cast("double") / F.col("n").cast(
+        "double"
+    )
+    mean_loo = (F.col("sum_all") - F.col("sum_s")).cast("double") / (
+        F.col("n") - F.col("n_s")
+    ).cast("double")
+    return j.select(
+        "source",
+        "n_s",
+        F.floor(mean_all).cast("long").alias("mean_all_ppm"),
+        F.floor(mean_loo).cast("long").alias("mean_loo_ppm"),
+        F.floor(mean_loo - mean_all).cast("long").alias(
+            "delta_ppm"
+        ),
+        F.when(mean_loo > mean_all, 1).otherwise(0).alias(
+            "drags_quality"
+        ),
+    )

@@ -1042,6 +1042,13 @@ SHUFFLE_BUDGET = {
     "q396_v_measure": 10,
     # q397: ONE wide agg (65 conditional sum/count pairs)
     "q397_permutation_test": 1,
+    # q398: ONE map-side-combined moment agg (1-row result)
+    "q398_partial_correlation": 1,
+    # q399: the distinct-value agg + the model-space cumsum window
+    # + the 1-row regression rollup
+    "q399_weibull_fit": 4,
+    # q400: ONE (source) agg + the 1-row total broadcast
+    "q400_source_loo_value": 3,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -1265,7 +1272,11 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 # q395: 1-row corpus-size broadcast onto the top-20
                 "q395_term_burstiness",
                 # q396: 1-row grand-total/entropy-sum combines
-                "q396_v_measure"}
+                "q396_v_measure",
+                # q399: 1-row n broadcast onto the distinct values
+                "q399_weibull_fit",
+                # q400: 1-row corpus totals broadcast onto 20 sources
+                "q400_source_loo_value"}
 
 
 def test_no_headline_query_has_unpartitioned_ranked_window(spark):
