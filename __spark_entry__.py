@@ -478,6 +478,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q398_partial_correlation": Q.q398_partial_correlation,
         "q399_weibull_fit": Q.q399_weibull_fit,
         "q400_source_loo_value": Q.q400_source_loo_value,
+        "q401_youden_j": Q.q401_youden_j,
+        "q402_mcc": Q.q402_mcc,
+        "q403_stump_split": Q.q403_stump_split,
     }
 
 
@@ -12906,5 +12909,122 @@ def oracle_sql() -> dict[str, str]:
                           > CAST(sum_all AS DOUBLE) / CAST(n AS DOUBLE)
                         THEN 1 ELSE 0 END AS drags_quality
             FROM per, tot
+        """,
+        "q401_youden_j": """
+            WITH vals AS (
+              SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT) AS s,
+                     CAST(COUNT(*) AS BIGINT) AS cnt,
+                     CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS cpos
+              FROM orders GROUP BY 1),
+            cum AS (
+              SELECT s,
+                     COALESCE(CAST(SUM(cnt) OVER w AS BIGINT), 0)
+                       AS ca,
+                     COALESCE(CAST(SUM(cpos) OVER w AS BIGINT), 0)
+                       AS cp
+              FROM vals
+              WINDOW w AS (ORDER BY s ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND 1 PRECEDING)),
+            tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+                           CAST(SUM(cpos) AS BIGINT) AS n1
+                    FROM vals),
+            scored AS (
+              SELECT s, n, n1,
+                     CAST(floor((CAST(n1 - cp AS DOUBLE)
+                          / CAST(n1 AS DOUBLE)
+                        - CAST((n - n1) - (ca - cp) AS DOUBLE)
+                          / CAST(n - n1 AS DOUBLE)) * 1000000)
+                          AS BIGINT) AS j_micro
+              FROM cum, tot),
+            mx AS (SELECT MAX(j_micro) AS mx FROM scored)
+            SELECT n, n1,
+                   CAST(MIN(s) AS BIGINT) AS best_threshold_cents,
+                   CAST(MAX(j_micro) AS BIGINT) AS best_j_micro
+            FROM scored, mx
+            WHERE j_micro = mx
+            GROUP BY 1, 2
+        """,
+        "q402_mcc": """
+            WITH obs AS MATERIALIZED (
+              SELECT c.c_mktsegment,
+                     CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT) AS cents,
+                     CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END
+                       AS y
+              FROM orders o JOIN customer c
+                ON o.o_custkey = c.c_custkey),
+            med AS (SELECT CAST(median(cents) * 2 AS BIGINT) AS med2
+                    FROM obs),
+            conf AS (
+              SELECT c_mktsegment,
+                     CAST(SUM(CASE WHEN 2 * cents > med2
+                              THEN y ELSE 0 END) AS BIGINT) AS tp,
+                     CAST(SUM(CASE WHEN 2 * cents > med2
+                              THEN 1 - y ELSE 0 END) AS BIGINT) AS fp,
+                     CAST(SUM(CASE WHEN 2 * cents > med2
+                              THEN 0 ELSE y END) AS BIGINT) AS fn,
+                     CAST(SUM(CASE WHEN 2 * cents > med2
+                              THEN 0 ELSE 1 - y END) AS BIGINT) AS tn
+              FROM obs, med GROUP BY 1)
+            SELECT c_mktsegment, tp, fp, fn, tn,
+                   CAST(floor(CAST(CAST(tp AS HUGEINT)
+                          * CAST(tn AS HUGEINT)
+                        - CAST(fp AS HUGEINT) * CAST(fn AS HUGEINT)
+                        AS DOUBLE)
+                        / sqrt(CAST(tp + fp AS DOUBLE)
+                          * CAST(tp + fn AS DOUBLE)
+                          * CAST(tn + fp AS DOUBLE)
+                          * CAST(tn + fn AS DOUBLE))
+                        * 1000000) AS BIGINT) AS mcc_micro
+            FROM conf
+        """,
+        "q403_stump_split": """
+            WITH vals AS (
+              SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT) AS s,
+                     CAST(COUNT(*) AS BIGINT) AS cnt,
+                     CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS cpos
+              FROM orders GROUP BY 1),
+            cum AS (
+              SELECT s,
+                     CAST(SUM(cnt) OVER w AS BIGINT) AS ca,
+                     CAST(SUM(cpos) OVER w AS BIGINT) AS cp
+              FROM vals
+              WINDOW w AS (ORDER BY s ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND CURRENT ROW)),
+            tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+                           CAST(SUM(cpos) AS BIGINT) AS n1
+                    FROM vals),
+            scored AS (
+              SELECT s, n, n1,
+                     CAST(floor((2.0 * (CAST(n1 AS DOUBLE)
+                            / CAST(n AS DOUBLE))
+                          * (1.0 - CAST(n1 AS DOUBLE)
+                             / CAST(n AS DOUBLE))
+                        - (CAST(ca AS DOUBLE) / CAST(n AS DOUBLE)
+                           * (2.0 * (CAST(cp AS DOUBLE)
+                              / CAST(ca AS DOUBLE))
+                              * (1.0 - CAST(cp AS DOUBLE)
+                                 / CAST(ca AS DOUBLE)))
+                           + (CAST(n AS DOUBLE) - CAST(ca AS DOUBLE))
+                             / CAST(n AS DOUBLE)
+                             * (2.0 * (CAST(n1 - cp AS DOUBLE)
+                                / (CAST(n AS DOUBLE)
+                                   - CAST(ca AS DOUBLE)))
+                                * (1.0 - CAST(n1 - cp AS DOUBLE)
+                                   / (CAST(n AS DOUBLE)
+                                      - CAST(ca AS DOUBLE))))))
+                        * 1000000000) AS BIGINT) AS gain_nano
+              FROM cum, tot WHERE ca < n),
+            mx AS (SELECT MAX(gain_nano) AS mx FROM scored)
+            SELECT n, n1,
+                   CAST(MIN(s) AS BIGINT) AS best_split_cents,
+                   CAST(MAX(gain_nano) AS BIGINT) AS best_gain_nano
+            FROM scored, mx
+            WHERE gain_nano = mx
+            GROUP BY 1, 2
         """,
     }

@@ -17901,3 +17901,193 @@ def q400_source_loo_value(spark, sf):
             "drags_quality"
         ),
     )
+
+
+def q401_youden_j(spark, sf):
+    """Optimal decision threshold by Youden's J: sweep EVERY distinct
+    order-value threshold, J(t) = TPR(t) - FPR(t), and report the
+    argmax — the threshold-PICKING step that q359/q370 (AUC, PR-AUC)
+    deliberately avoid and q313 fixes by grid: the full sweep is just
+    the distinct-score cumsum table read once more (no grid, no
+    retrain). Counts are exact; the argmax orders by (J, threshold)
+    so ties break deterministically.
+
+    Shape: one distinct-value agg + ONE bucketed-free model-space
+    cumulative window + a 1-row max_by rollup."""
+    orders = _t(spark, sf, "orders")
+    vals = (
+        orders.select(
+            (_d("o_totalprice") * 100).cast("long").alias("s"),
+            F.when(F.col("o_orderstatus") == "F", 1)
+            .otherwise(0)
+            .alias("y"),
+        )
+        .groupBy("s")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("y").alias("cpos"),
+        )
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    cum = vals.select(
+        "s",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("ca"),
+        F.coalesce(F.sum("cpos").over(w), F.lit(0)).alias("cp"),
+    )
+    tot = vals.agg(
+        F.sum("cnt").alias("n"), F.sum("cpos").alias("n1")
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    # predict positive when score >= s: TP = n1 - cp, FP = (n-n1)-(ca-cp)
+    tpr = (F.col("n1") - F.col("cp")).cast("double") / F.col(
+        "n1"
+    ).cast("double")
+    fpr = (
+        (F.col("n") - F.col("n1")) - (F.col("ca") - F.col("cp"))
+    ).cast("double") / (F.col("n") - F.col("n1")).cast("double")
+    scored = j.select(
+        "s",
+        "n",
+        "n1",
+        F.floor((tpr - fpr) * 1_000_000).cast("long").alias("j_micro"),
+    )
+    return (
+        scored.withColumn(
+            "mx",
+            F.max("j_micro").over(Window.partitionBy("n", "n1")),
+        )
+        .where(F.col("j_micro") == F.col("mx"))
+        .groupBy("n", "n1")
+        .agg(
+            F.min("s").alias("best_threshold_cents"),
+            F.max("j_micro").alias("best_j_micro"),
+        )
+    )
+
+
+def q402_mcc(spark, sf):
+    """Matthews correlation coefficient of the median-price classifier
+    per market segment — the single-number confusion summary that
+    survives class imbalance where accuracy and even F1 mislead
+    (MCC = 0 for any trivial classifier): MCC = (TP*TN - FP*FN) /
+    sqrt((TP+FP)(TP+FN)(TN+FP)(TN+FN)). Confusion cells are exact
+    integers (q380's agg); products go through decimal(38,0) before
+    the one sqrt/divide.
+
+    Shape: q380's — one broadcast dim join, 1-row median broadcast,
+    ONE (segment) confusion agg, model-space algebra."""
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    orders = _t(spark, sf, "orders")
+    obs = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select(
+        "c_mktsegment",
+        (_d("o_totalprice") * 100).cast("long").alias("cents"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    med = obs.agg((F.median("cents") * 2).cast("long").alias("med2"))
+    conf = (
+        obs.crossJoin(F.broadcast(med))
+        .select(
+            "c_mktsegment",
+            "y",
+            F.when(2 * F.col("cents") > F.col("med2"), 1)
+            .otherwise(0)
+            .alias("p"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(F.col("p") * F.col("y")).alias("tp"),
+            F.sum(F.col("p") * (1 - F.col("y"))).alias("fp"),
+            F.sum((1 - F.col("p")) * F.col("y")).alias("fn"),
+            F.sum((1 - F.col("p")) * (1 - F.col("y"))).alias("tn"),
+        )
+    )
+    D38 = "decimal(38,0)"
+    num = (
+        F.col("tp").cast(D38) * F.col("tn").cast(D38)
+        - F.col("fp").cast(D38) * F.col("fn").cast(D38)
+    ).cast("double")
+    den = F.sqrt(
+        (F.col("tp") + F.col("fp")).cast("double")
+        * (F.col("tp") + F.col("fn")).cast("double")
+        * (F.col("tn") + F.col("fp")).cast("double")
+        * (F.col("tn") + F.col("fn")).cast("double")
+    )
+    return conf.select(
+        "c_mktsegment",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.floor(num / den * 1_000_000).cast("long").alias("mcc_micro"),
+    )
+
+
+def q403_stump_split(spark, sf):
+    """Decision-stump learning, distributed: find the order-value
+    split that maximizes Gini impurity decrease for the finalized-
+    status label — the inner loop of every tree/GBDT trainer expressed
+    as the distinct-value cumsum sweep (each candidate split's left/
+    right class counts are pure prefix sums, so the FULL exact sweep
+    costs one model-space window, the same trick XGBoost's exact mode
+    uses per feature). Gain terms floor to nano; argmax ties break on
+    the smaller threshold.
+
+    Shape: one distinct-value agg + one model-space cumulative window
+    + the 1-row argmax rollup."""
+    orders = _t(spark, sf, "orders")
+    vals = (
+        orders.select(
+            (_d("o_totalprice") * 100).cast("long").alias("s"),
+            F.when(F.col("o_orderstatus") == "F", 1)
+            .otherwise(0)
+            .alias("y"),
+        )
+        .groupBy("s")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("y").alias("cpos"),
+        )
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    cum = vals.select(
+        "s",
+        F.sum("cnt").over(w).alias("ca"),
+        F.sum("cpos").over(w).alias("cp"),
+    )
+    tot = vals.agg(
+        F.sum("cnt").alias("n"), F.sum("cpos").alias("n1")
+    )
+    j = cum.crossJoin(F.broadcast(tot)).where(
+        F.col("ca") < F.col("n")  # split must leave a non-empty right
+    )
+    nd = F.col("n").cast("double")
+    nl = F.col("ca").cast("double")
+    nr = nd - nl
+    pl = F.col("cp").cast("double") / nl
+    pr = (F.col("n1") - F.col("cp")).cast("double") / nr
+    p0 = F.col("n1").cast("double") / nd
+    gini_root = 2.0 * p0 * (1.0 - p0)
+    gain = gini_root - (
+        nl / nd * (2.0 * pl * (1.0 - pl))
+        + nr / nd * (2.0 * pr * (1.0 - pr))
+    )
+    scored = j.select(
+        "s",
+        "n",
+        "n1",
+        F.floor(gain * 1_000_000_000).cast("long").alias("gain_nano"),
+    )
+    return (
+        scored.withColumn(
+            "mx",
+            F.max("gain_nano").over(Window.partitionBy("n", "n1")),
+        )
+        .where(F.col("gain_nano") == F.col("mx"))
+        .groupBy("n", "n1")
+        .agg(
+            F.min("s").alias("best_split_cents"),
+            F.max("gain_nano").alias("best_gain_nano"),
+        )
+    )

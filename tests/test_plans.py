@@ -1049,6 +1049,12 @@ SHUFFLE_BUDGET = {
     "q399_weibull_fit": 4,
     # q400: ONE (source) agg + the 1-row total broadcast
     "q400_source_loo_value": 3,
+    # q401/q403: the distinct-value agg + the model-space cumsum and
+    # argmax windows + the 1-row rollup
+    "q401_youden_j": 4,
+    # q402: the segment confusion agg + the 1-row median broadcast
+    "q402_mcc": 2,
+    "q403_stump_split": 4,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -1276,7 +1282,11 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 # q399: 1-row n broadcast onto the distinct values
                 "q399_weibull_fit",
                 # q400: 1-row corpus totals broadcast onto 20 sources
-                "q400_source_loo_value"}
+                "q400_source_loo_value",
+                # q401/q403: 1-row totals broadcast onto the sweep
+                "q401_youden_j", "q403_stump_split",
+                # q402: 1-row global-median broadcast onto the scan
+                "q402_mcc"}
 
 
 def test_no_headline_query_has_unpartitioned_ranked_window(spark):
