@@ -481,6 +481,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q401_youden_j": Q.q401_youden_j,
         "q402_mcc": Q.q402_mcc,
         "q403_stump_split": Q.q403_stump_split,
+        "q404_friedman_test": Q.q404_friedman_test,
+        "q405_ipf_raking_step": Q.q405_ipf_raking_step,
+        "q406_ngram_novelty_decay": Q.q406_ngram_novelty_decay,
     }
 
 
@@ -13026,5 +13029,123 @@ def oracle_sql() -> dict[str, str]:
             FROM scored, mx
             WHERE gain_nano = mx
             GROUP BY 1, 2
+        """,
+        "q404_friedman_test": """
+            WITH cell AS (
+              SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m')
+                       AS m,
+                     c.c_mktsegment,
+                     CAST(SUM(CAST(CAST(o_totalprice
+                         AS DECIMAL(18,2)) * 100 AS BIGINT))
+                       AS BIGINT) AS rev
+              FROM orders o JOIN customer c
+                ON o.o_custkey = c.c_custkey
+              GROUP BY 1, 2),
+            r2 AS (
+              SELECT m, c_mktsegment,
+                     2 * RANK() OVER (PARTITION BY m ORDER BY rev)
+                       + CAST(COUNT(*) OVER (PARTITION BY m, rev)
+                              AS BIGINT) - 1 AS r2
+              FROM cell),
+            per_seg AS (
+              SELECT c_mktsegment,
+                     CAST(SUM(r2) AS BIGINT) AS r2_sum,
+                     CAST(COUNT(*) AS BIGINT) AS n_m
+              FROM r2 GROUP BY 1),
+            s AS (
+              SELECT CAST(MIN(n_m) AS BIGINT) AS n,
+                     CAST(COUNT(*) AS BIGINT) AS k,
+                     CAST(SUM(CAST(r2_sum AS HUGEINT)
+                          * CAST(r2_sum AS HUGEINT)) AS HUGEINT)
+                       AS sr2
+              FROM per_seg)
+            SELECT n, k,
+                   CAST(floor((12.0 * (CAST(sr2 AS DOUBLE) / 4.0)
+                        / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE)
+                           * (CAST(k AS DOUBLE) + 1.0))
+                        - 3.0 * CAST(n AS DOUBLE)
+                          * (CAST(k AS DOUBLE) + 1.0))
+                        * 1000000) AS BIGINT) AS chi2_micro,
+                   CASE WHEN CAST(floor((12.0
+                          * (CAST(sr2 AS DOUBLE) / 4.0)
+                          / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE)
+                             * (CAST(k AS DOUBLE) + 1.0))
+                          - 3.0 * CAST(n AS DOUBLE)
+                            * (CAST(k AS DOUBLE) + 1.0))
+                          * 1000000) AS BIGINT) > 9487729
+                        THEN 1 ELSE 0 END AS significant
+            FROM s
+        """,
+        "q405_ipf_raking_step": """
+            WITH cells AS MATERIALIZED (
+              SELECT c.c_mktsegment, o.o_orderpriority,
+                     CAST(COUNT(*) AS BIGINT) AS o
+              FROM orders o JOIN customer c
+                ON o.o_custkey = c.c_custkey
+              GROUP BY 1, 2),
+            rowm AS (SELECT c_mktsegment, CAST(SUM(o) AS BIGINT)
+                       AS rm FROM cells GROUP BY 1),
+            tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+                           CAST(COUNT(DISTINCT c_mktsegment)
+                                AS BIGINT) AS nr,
+                           CAST(COUNT(DISTINCT o_orderpriority)
+                                AS BIGINT) AS nc
+                    FROM cells),
+            stepped AS (
+              SELECT c.c_mktsegment, c.o_orderpriority, t.n, t.nc,
+                     CAST(c.o AS DOUBLE)
+                       * (CAST(t.n AS DOUBLE) / CAST(t.nr AS DOUBLE))
+                       / CAST(r.rm AS DOUBLE) AS w1
+              FROM cells c
+              JOIN rowm r ON c.c_mktsegment = r.c_mktsegment, tot t),
+            colm AS (
+              SELECT o_orderpriority,
+                     CAST(SUM(CAST(floor(w1 * 1000) AS BIGINT))
+                          AS BIGINT) AS cm_milli
+              FROM stepped GROUP BY 1)
+            SELECT s.c_mktsegment, s.o_orderpriority,
+                   CAST(floor(s.w1 * (CAST(s.n AS DOUBLE)
+                          / CAST(s.nc AS DOUBLE))
+                        / (CAST(c.cm_milli AS DOUBLE) / 1e3)
+                        * 1000) AS BIGINT) AS raked_count_milli
+            FROM stepped s
+            JOIN colm c ON s.o_orderpriority = c.o_orderpriority
+        """,
+        "q406_ngram_novelty_decay": f"""
+            WITH sh AS MATERIALIZED (
+              SELECT DISTINCT doc_id, g
+              FROM (
+                SELECT doc_id, unnest(
+                  CASE WHEN len(toks) >= 5 THEN
+                    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                     || ' ' || toks[i+3] || ' ' || toks[i+4]
+                     for i in generate_series(1, len(toks) - 4)]
+                  ELSE [] END) AS g
+                FROM (SELECT doc_id, {_TOKS} AS toks
+                      FROM documents))),
+            first AS (
+              SELECT g, CAST(MIN(doc_id) AS BIGINT) AS first_doc
+              FROM sh GROUP BY 1),
+            per_doc AS (
+              SELECT s.doc_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                     CAST(SUM(CASE WHEN f.first_doc < s.doc_id
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_seen
+              FROM sh s JOIN first f ON s.g = f.g
+              GROUP BY 1),
+            nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs
+                   FROM per_doc),
+            decile AS (
+              SELECT (ROW_NUMBER() OVER (ORDER BY doc_id) - 1) * 10
+                       // n_docs AS decile,
+                     n_shingles, n_seen
+              FROM per_doc, nd)
+            SELECT decile,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_shingles) AS BIGINT) AS shingles,
+                   CAST(SUM(n_seen) AS BIGINT) * 1000000
+                     // CAST(SUM(n_shingles) AS BIGINT)
+                     AS dup_share_ppm
+            FROM decile GROUP BY 1
         """,
     }

@@ -18091,3 +18091,218 @@ def q403_stump_split(spark, sf):
             F.max("gain_nano").alias("best_gain_nano"),
         )
     )
+
+
+def q404_friedman_test(spark, sf):
+    """Friedman test over (month x segment) revenue blocks: within
+    each month, rank the five market segments by revenue, then test
+    whether the rank profile is flat — the repeated-measures
+    complement to q373's Kruskal-Wallis (KW assumes independent
+    groups; months are shared blocks, so between-month level shifts
+    must be blocked out, exactly what ranking WITHIN month does).
+    Doubled midranks keep everything integer: chi2_F =
+    [12 Σ R_j² - 3 n² k (k+1)²] / [n k (k+1)] with R_j the per-segment
+    rank sums; compared to chi-square(4) 9.4877.
+
+    Shape: one broadcast dim join + one (month, segment) agg + a
+    per-month rank window over 5-row groups + the 5-row rollup."""
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    orders = _t(spark, sf, "orders")
+    cell = (
+        orders.join(
+            F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        )
+        .select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("m"),
+            "c_mktsegment",
+            (_d("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("m", "c_mktsegment")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    # doubled midranks within each month (ties in integer cents are
+    # essentially impossible but handled exactly anyway)
+    wm = Window.partitionBy("m").orderBy("rev")
+    r2 = (
+        cell.withColumn("rk_lo", F.rank().over(wm))
+        .withColumn(
+            "n_tie",
+            F.count(F.lit(1)).over(
+                Window.partitionBy("m", "rev")
+            ),
+        )
+        .select(
+            "m",
+            "c_mktsegment",
+            (2 * F.col("rk_lo") + F.col("n_tie") - 1).alias("r2"),
+        )
+    )
+    per_seg = r2.groupBy("c_mktsegment").agg(
+        F.sum("r2").alias("r2_sum"),
+        F.count(F.lit(1)).alias("n_m"),
+    )
+    D38 = "decimal(38,0)"
+    s = per_seg.agg(
+        F.min("n_m").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(
+            F.col("r2_sum").cast(D38) * F.col("r2_sum").cast(D38)
+        ).alias("sr2"),
+    )
+    nd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    # with doubled ranks: R_j = r2_sum/2 -> Σ R_j² = sr2/4
+    chi = (
+        12.0
+        * (F.col("sr2").cast("double") / 4.0)
+        / (nd * kd * (kd + 1.0))
+        - 3.0 * nd * (kd + 1.0)
+    )
+    return s.select(
+        "n",
+        "k",
+        F.floor(chi * 1_000_000).cast("long").alias("chi2_micro"),
+        F.when(F.floor(chi * 1_000_000) > 9_487_729, 1)
+        .otherwise(0)
+        .alias("significant"),
+    )
+
+
+def q405_ipf_raking_step(spark, sf):
+    """One iterative-proportional-fitting (raking) step of the
+    (segment x order-priority) contingency toward UNIFORM target
+    margins — the survey-weighting primitive under every panel
+    calibration (and the Sinkhorn step under optimal-transport
+    pipelines): row-scale each cell by target_row/actual_row, then
+    column-scale by target_col/new_col; report the post-step column
+    deviation that iteration 2 would shrink. Cell counts are exact;
+    the two scalings are double ratios floored to micro AFTER both
+    multiplications (one rounding site, mirrored).
+
+    Shape: ONE contingency agg + margin rollups (the q372 skeleton)
+    + model-space scaling."""
+    from chemharmony_spark.cache import registered_persist
+
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    orders = _t(spark, sf, "orders")
+    cells = registered_persist(
+        orders.join(
+            F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        )
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    rowm = cells.groupBy("c_mktsegment").agg(F.sum("o").alias("rm"))
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.count_distinct("c_mktsegment").alias("nr"),
+        F.count_distinct("o_orderpriority").alias("nc"),
+    )
+    j = cells.join(F.broadcast(rowm), on="c_mktsegment").crossJoin(
+        F.broadcast(tot)
+    )
+    # row step toward uniform row targets n/nr
+    w1 = (
+        F.col("o").cast("double")
+        * (
+            F.col("n").cast("double") / F.col("nr").cast("double")
+        )
+        / F.col("rm").cast("double")
+    )
+    stepped = j.select(
+        "c_mktsegment", "o_orderpriority", "n", "nc",
+        w1.alias("w1"),
+    )
+    colm = stepped.groupBy("o_orderpriority").agg(
+        F.sum(F.floor(F.col("w1") * 1_000).cast("long")).alias(
+            "cm_milli"
+        )
+    )
+    out = (
+        stepped.join(F.broadcast(colm), on="o_orderpriority")
+        .select(
+            "c_mktsegment",
+            "o_orderpriority",
+            (
+                F.col("w1")
+                * (
+                    F.col("n").cast("double")
+                    / F.col("nc").cast("double")
+                )
+                / (F.col("cm_milli").cast("double") / 1e3)
+            ).alias("w2"),
+        )
+    )
+    return out.select(
+        "c_mktsegment",
+        "o_orderpriority",
+        F.floor(F.col("w2") * 1_000).cast("long").alias(
+            "raked_count_milli"
+        ),
+    )
+
+
+def q406_ngram_novelty_decay(spark, sf):
+    """Corpus novelty decay: for each document (in doc_id ingestion
+    order), the share of its distinct 5-gram shingles ALREADY seen in
+    earlier documents — the diminishing-returns curve that tells a
+    data buyer when additional crawl stops adding information (the
+    corpus-level view of what q227's per-doc originality scores
+    locally). First-seen doc per shingle is one min() agg; per-doc
+    novelty is exact-integer; the report buckets docs into 10
+    ingestion deciles.
+
+    Shape: one (shingle) min-agg + one join back on shingle + one
+    (doc) agg + the decile rollup (ntile-free: decile from doc_id
+    rank over a model-space window)."""
+    from chemharmony_spark.cache import registered_persist
+
+    docs = _t(spark, sf, "documents")
+    sh = registered_persist(
+        docs.withColumn("__words", TX.tokens("text"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(DD.word_shingles(F.col("__words"), 5))
+            ).alias("g"),
+        )
+    )
+    first = sh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(first, on="g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") < F.col("doc_id"), 1)
+                .otherwise(0)
+            ).alias("n_seen"),
+        )
+    )
+    n_docs = per_doc.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.orderBy("doc_id")
+    decile = (
+        per_doc.crossJoin(F.broadcast(n_docs))
+        .withColumn("rk", F.row_number().over(w))
+        .select(
+            F.expr("(rk - 1) * 10 DIV n_docs").alias("decile"),
+            "n_shingles",
+            "n_seen",
+        )
+    )
+    return (
+        decile.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_shingles").alias("shingles"),
+            F.sum("n_seen").alias("seen"),
+        )
+        .select(
+            "decile",
+            "n_docs",
+            "shingles",
+            F.expr("seen * 1000000 DIV shingles").alias(
+                "dup_share_ppm"
+            ),
+        )
+    )

@@ -1055,6 +1055,16 @@ SHUFFLE_BUDGET = {
     # q402: the segment confusion agg + the 1-row median broadcast
     "q402_mcc": 2,
     "q403_stump_split": 4,
+    # q404: the (month, segment) agg + per-month rank windows + the
+    # per-segment rollup
+    "q404_friedman_test": 4,
+    # q405: the persisted contingency agg (reprinted per margin
+    # consumer) + margin rollups + the column re-normalization
+    "q405_ipf_raking_step": 8,
+    # q406: the persisted (doc, shingle) explode (reprinted per
+    # consumer) + first-seen agg + join back + per-doc agg + the
+    # model-space decile window
+    "q406_ngram_novelty_decay": 6,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -1286,7 +1296,11 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 # q401/q403: 1-row totals broadcast onto the sweep
                 "q401_youden_j", "q403_stump_split",
                 # q402: 1-row global-median broadcast onto the scan
-                "q402_mcc"}
+                "q402_mcc",
+                # q405: 1-row margin-target broadcast onto the cells
+                "q405_ipf_raking_step",
+                # q406: 1-row doc-count broadcast onto the deciles
+                "q406_ngram_novelty_decay"}
 
 
 def test_no_headline_query_has_unpartitioned_ranked_window(spark):
