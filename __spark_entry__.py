@@ -484,6 +484,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q404_friedman_test": Q.q404_friedman_test,
         "q405_ipf_raking_step": Q.q405_ipf_raking_step,
         "q406_ngram_novelty_decay": Q.q406_ngram_novelty_decay,
+        "q407_forecast_mase": Q.q407_forecast_mase,
+        "q408_two_way_anova": Q.q408_two_way_anova,
+        "q409_mann_kendall": Q.q409_mann_kendall,
     }
 
 
@@ -13147,5 +13150,181 @@ def oracle_sql() -> dict[str, str]:
                      // CAST(SUM(n_shingles) AS BIGINT)
                      AS dup_share_ppm
             FROM decile GROUP BY 1
+        """,
+        "q407_forecast_mase": """
+            WITH daily AS (
+              SELECT date_diff('day', DATE '1992-01-01',
+                               CAST(o_orderdate AS DATE)) AS day,
+                     CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                   * 100 AS BIGINT)) AS BIGINT) AS rev
+              FROM orders GROUP BY 1),
+            lagged AS (
+              SELECT day, rev,
+                     LAG(rev, 7) OVER (ORDER BY day) AS f7,
+                     LAG(rev, 1) OVER (ORDER BY day) AS f1
+              FROM daily),
+            agg AS (
+              SELECT CAST(SUM(CASE WHEN f7 IS NOT NULL
+                       THEN abs(rev - f7) END) AS BIGINT) AS sae7,
+                     CAST(SUM(CASE WHEN f7 IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n7,
+                     CAST(SUM(CASE WHEN f1 IS NOT NULL
+                       THEN abs(rev - f1) END) AS BIGINT) AS sae1,
+                     CAST(SUM(CASE WHEN f1 IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                     CAST(SUM(CASE WHEN f7 IS NOT NULL
+                       THEN CAST(floor(CAST(abs(rev - f7) AS DOUBLE)
+                         / (CAST(abs(rev) + abs(f7) AS DOUBLE) / 2.0)
+                         * 1000000) AS BIGINT) END) AS BIGINT)
+                       AS smape_sum
+              FROM lagged)
+            SELECT n7, n1,
+                   CAST(floor((CAST(sae7 AS DOUBLE)
+                          / CAST(n7 AS DOUBLE))
+                        / (CAST(sae1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                        * 1000000) AS BIGINT) AS mase_ppm,
+                   CAST(floor(CAST(smape_sum AS DOUBLE)
+                        / CAST(n7 AS DOUBLE)) AS BIGINT)
+                     AS smape_micro,
+                   CASE WHEN (CAST(sae7 AS DOUBLE)
+                          / CAST(n7 AS DOUBLE))
+                          / (CAST(sae1 AS DOUBLE)
+                             / CAST(n1 AS DOUBLE)) < 1.0
+                        THEN 1 ELSE 0 END AS beats_naive
+            FROM agg
+        """,
+        "q408_two_way_anova": """
+            WITH cells AS MATERIALIZED (
+              SELECT c.c_mktsegment AS a, o.o_orderpriority AS b,
+                     CAST(COUNT(*) AS BIGINT) AS n_ab,
+                     CAST(SUM(CAST(CAST(o.o_totalprice
+                         AS DECIMAL(18,2)) * 100 AS BIGINT))
+                       AS BIGINT) AS s_ab,
+                     CAST(SUM(CAST(CAST(CAST(o.o_totalprice
+                         AS DECIMAL(18,2)) * 100 AS BIGINT)
+                         AS HUGEINT)
+                       * CAST(CAST(CAST(o.o_totalprice
+                         AS DECIMAL(18,2)) * 100 AS BIGINT)
+                         AS HUGEINT)) AS HUGEINT) AS ss_ab
+              FROM orders o JOIN customer c
+                ON o.o_custkey = c.c_custkey
+              GROUP BY 1, 2),
+            am AS (SELECT a, CAST(SUM(n_ab) AS BIGINT) AS n_a,
+                          CAST(SUM(s_ab) AS BIGINT) AS s_a
+                   FROM cells GROUP BY 1),
+            bm AS (SELECT b, CAST(SUM(n_ab) AS BIGINT) AS n_b,
+                          CAST(SUM(s_ab) AS BIGINT) AS s_b
+                   FROM cells GROUP BY 1),
+            tot AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n,
+                           CAST(SUM(s_ab) AS BIGINT) AS s,
+                           CAST(SUM(ss_ab) AS HUGEINT) AS ss
+                    FROM cells),
+            terms AS (
+              SELECT n,
+                     CAST(floor(CAST(n_ab AS DOUBLE)
+                       * (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                            / 100.0
+                          - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                            / 100.0)
+                       * (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                            / 100.0
+                          - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                            / 100.0)) AS BIGINT) AS ta,
+                     CAST(floor(CAST(n_ab AS DOUBLE)
+                       * (CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                            / 100.0
+                          - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                            / 100.0)
+                       * (CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                            / 100.0
+                          - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                            / 100.0)) AS BIGINT) AS tb,
+                     CAST(floor(CAST(n_ab AS DOUBLE)
+                       * (CAST(s_ab AS DOUBLE) / CAST(n_ab AS DOUBLE)
+                            / 100.0
+                          - CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                            / 100.0
+                          - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                            / 100.0
+                          + CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                            / 100.0)
+                       * (CAST(s_ab AS DOUBLE) / CAST(n_ab AS DOUBLE)
+                            / 100.0
+                          - CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                            / 100.0
+                          - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                            / 100.0
+                          + CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                            / 100.0)) AS BIGINT) AS tab,
+                     CAST(floor(CAST(ss_ab AS DOUBLE) / 10000.0
+                       - CAST(n_ab AS DOUBLE)
+                         * (CAST(s_ab AS DOUBLE)
+                            / CAST(n_ab AS DOUBLE) / 100.0)
+                         * (CAST(s_ab AS DOUBLE)
+                            / CAST(n_ab AS DOUBLE) / 100.0))
+                       AS BIGINT) AS tw
+              FROM cells
+              JOIN am USING (a) JOIN bm USING (b), tot),
+            s2 AS (
+              SELECT n, CAST(COUNT(*) AS BIGINT) AS n_cells,
+                     CAST(SUM(ta) AS BIGINT) AS ss_a,
+                     CAST(SUM(tb) AS BIGINT) AS ss_b,
+                     CAST(SUM(tab) AS BIGINT) AS ss_ab_u,
+                     CAST(SUM(tw) AS BIGINT) AS ss_w
+              FROM terms GROUP BY 1)
+            SELECT n, n_cells, ss_a, ss_b, ss_ab_u,
+                   CAST(floor((CAST(ss_ab_u AS DOUBLE) / 16.0)
+                        / (CAST(ss_w AS DOUBLE)
+                           / CAST(n - 25 AS DOUBLE))
+                        * 1000000) AS BIGINT)
+                     AS f_interaction_micro,
+                   CASE WHEN CAST(floor((CAST(ss_ab_u AS DOUBLE)
+                          / 16.0)
+                          / (CAST(ss_w AS DOUBLE)
+                             / CAST(n - 25 AS DOUBLE))
+                          * 1000000) AS BIGINT) > 1644000
+                        THEN 1 ELSE 0 END
+                     AS interaction_significant
+            FROM s2
+        """,
+        "q409_mann_kendall": """
+            WITH weekly AS MATERIALIZED (
+              SELECT date_diff('day', DATE '1992-01-01',
+                               CAST(o_orderdate AS DATE)) // 7 AS wk,
+                     CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                   * 100 AS BIGINT)) AS BIGINT) AS rev
+              FROM orders GROUP BY 1),
+            s_stat AS (
+              SELECT CAST(SUM(CASE WHEN b.rev > a.rev THEN 1
+                                   WHEN b.rev < a.rev THEN -1
+                                   ELSE 0 END) AS BIGINT) AS s
+              FROM weekly a JOIN weekly b ON a.wk < b.wk),
+            ties AS (
+              SELECT CAST(SUM(t) AS BIGINT) AS n,
+                     CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+                       AS tie_term
+              FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t
+                    FROM weekly GROUP BY rev)),
+            f AS (
+              SELECT s, n, tie_term,
+                     (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+                      * (2.0 * CAST(n AS DOUBLE) + 5.0)
+                      - CAST(tie_term AS DOUBLE)) / 18.0 AS var
+              FROM s_stat, ties)
+            SELECT n, s,
+                   CAST(floor(var) AS BIGINT) AS var_floor,
+                   CAST(floor(CASE WHEN s > 0
+                          THEN (CAST(s AS DOUBLE) - 1.0) / sqrt(var)
+                        WHEN s < 0
+                          THEN (CAST(s AS DOUBLE) + 1.0) / sqrt(var)
+                        ELSE 0.0 END * 1000000) AS BIGINT)
+                     AS z_micro,
+                   CASE WHEN abs(CASE WHEN s > 0
+                          THEN (CAST(s AS DOUBLE) - 1.0) / sqrt(var)
+                        WHEN s < 0
+                          THEN (CAST(s AS DOUBLE) + 1.0) / sqrt(var)
+                        ELSE 0.0 END) > 1.96
+                        THEN 1 ELSE 0 END AS trend
+            FROM f
         """,
     }

@@ -18306,3 +18306,265 @@ def q406_ngram_novelty_decay(spark, sf):
             ),
         )
     )
+
+
+def q407_forecast_mase(spark, sf):
+    """MASE and sMAPE of the lag-7 seasonal-naive revenue forecast —
+    the SCALE-FREE accuracy metrics that make forecasts comparable
+    across series (q365's pinball loss is quantile-specific; MASE
+    divides model MAE by the in-sample lag-1 naive MAE, so values
+    < 1e6 ppm mean "beats the naive"): both numerators/denominators
+    are exact integer-cent sums; sMAPE's per-day ratios floor to
+    micro before the integer mean.
+
+    Shape: one (day) agg + two lag windows over the model-space
+    series + a 1-row combine."""
+    orders = _t(spark, sf, "orders")
+    daily = (
+        orders.select(
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1992-01-01").cast("date")
+            ).alias("day"),
+            (_d("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "day",
+        "rev",
+        F.lag("rev", 7).over(w).alias("f7"),
+        F.lag("rev", 1).over(w).alias("f1"),
+    )
+    smape_t = F.floor(
+        F.abs(F.col("rev") - F.col("f7")).cast("double")
+        / (
+            (F.abs(F.col("rev")) + F.abs(F.col("f7"))).cast("double")
+            / 2.0
+        )
+        * 1_000_000
+    ).cast("long")
+    agg = lagged.agg(
+        F.sum(
+            F.when(
+                F.col("f7").isNotNull(),
+                F.abs(F.col("rev") - F.col("f7")),
+            )
+        ).alias("sae7"),
+        F.sum(F.when(F.col("f7").isNotNull(), 1).otherwise(0)).alias(
+            "n7"
+        ),
+        F.sum(
+            F.when(
+                F.col("f1").isNotNull(),
+                F.abs(F.col("rev") - F.col("f1")),
+            )
+        ).alias("sae1"),
+        F.sum(F.when(F.col("f1").isNotNull(), 1).otherwise(0)).alias(
+            "n1"
+        ),
+        F.sum(
+            F.when(F.col("f7").isNotNull(), smape_t)
+        ).alias("smape_sum"),
+    )
+    mae7 = F.col("sae7").cast("double") / F.col("n7").cast("double")
+    mae1 = F.col("sae1").cast("double") / F.col("n1").cast("double")
+    return agg.select(
+        "n7",
+        "n1",
+        F.floor(mae7 / mae1 * 1_000_000).cast("long").alias(
+            "mase_ppm"
+        ),
+        F.floor(
+            F.col("smape_sum").cast("double")
+            / F.col("n7").cast("double")
+        )
+        .cast("long")
+        .alias("smape_micro"),
+        F.when(mae7 / mae1 < 1.0, 1).otherwise(0).alias(
+            "beats_naive"
+        ),
+    )
+
+
+def q408_two_way_anova(spark, sf):
+    """Two-way ANOVA (segment x order-priority on order value): main
+    effect and INTERACTION sums of squares from cell/margin means —
+    does priority modulate the segment effect? The factorial design
+    q193's one-way ANOVA can't see (and q216's Simpson check only
+    flags after the fact). Cell sums are exact cents; per-cell/margin
+    SS terms floor to micro before integer rollups; F_AB compares to
+    the F(16, inf) 5% critical value 1.644.
+
+    Shape: ONE (a, b) cell agg; margins re-agg from cells; everything
+    after is 25-cell model space."""
+    from chemharmony_spark.cache import registered_persist
+
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    orders = _t(spark, sf, "orders")
+    D38 = "decimal(38,0)"
+    cells = registered_persist(
+        orders.join(
+            F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        )
+        .select(
+            F.col("c_mktsegment").alias("a"),
+            F.col("o_orderpriority").alias("b"),
+            (_d("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("n_ab"),
+            F.sum("cents").alias("s_ab"),
+            F.sum(
+                F.col("cents").cast(D38) * F.col("cents").cast(D38)
+            ).alias("ss_ab"),
+        )
+    )
+    am = cells.groupBy("a").agg(
+        F.sum("n_ab").alias("n_a"), F.sum("s_ab").alias("s_a")
+    )
+    bm = cells.groupBy("b").agg(
+        F.sum("n_ab").alias("n_b"), F.sum("s_ab").alias("s_b")
+    )
+    tot = cells.agg(
+        F.sum("n_ab").alias("n"),
+        F.sum("s_ab").alias("s"),
+        F.sum("ss_ab").alias("ss"),
+    )
+    j = (
+        cells.join(F.broadcast(am), on="a")
+        .join(F.broadcast(bm), on="b")
+        .crossJoin(F.broadcast(tot))
+    )
+    # means in dollars (double) keep the squared terms in range
+    mu = F.col("s").cast("double") / F.col("n").cast("double") / 100.0
+    mu_a = (
+        F.col("s_a").cast("double") / F.col("n_a").cast("double") / 100.0
+    )
+    mu_b = (
+        F.col("s_b").cast("double") / F.col("n_b").cast("double") / 100.0
+    )
+    mu_ab = (
+        F.col("s_ab").cast("double")
+        / F.col("n_ab").cast("double")
+        / 100.0
+    )
+    nab = F.col("n_ab").cast("double")
+    # per-cell micro-floored SS contributions (A and B weighted by the
+    # cell so each margin term accumulates exactly once per its cells)
+    ss_ab_t = F.floor(
+        nab * (mu_ab - mu_a - mu_b + mu) * (mu_ab - mu_a - mu_b + mu)
+    ).cast("long")
+    ss_a_t = F.floor(nab * (mu_a - mu) * (mu_a - mu)).cast("long")
+    ss_b_t = F.floor(nab * (mu_b - mu) * (mu_b - mu)).cast("long")
+    # within-cell SS from raw second moments (cents^2 -> dollars^2)
+    ss_w_t = F.floor(
+        F.col("ss_ab").cast("double") / 10_000.0
+        - nab * mu_ab * mu_ab
+    ).cast("long")
+    s = j.select(
+        "n",
+        ss_a_t.alias("ta"),
+        ss_b_t.alias("tb"),
+        ss_ab_t.alias("tab"),
+        ss_w_t.alias("tw"),
+    ).groupBy("n").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("ta").alias("ss_a"),
+        F.sum("tb").alias("ss_b"),
+        F.sum("tab").alias("ss_ab_u"),
+        F.sum("tw").alias("ss_w"),
+    )
+    f_ab = (
+        F.col("ss_ab_u").cast("double") / 16.0
+    ) / (
+        F.col("ss_w").cast("double")
+        / (F.col("n") - 25).cast("double")
+    )
+    return s.select(
+        "n",
+        "n_cells",
+        "ss_a",
+        "ss_b",
+        "ss_ab_u",
+        F.floor(f_ab * 1_000_000).cast("long").alias(
+            "f_interaction_micro"
+        ),
+        F.when(F.floor(f_ab * 1_000_000) > 1_644_000, 1)
+        .otherwise(0)
+        .alias("interaction_significant"),
+    )
+
+
+def q409_mann_kendall(spark, sf):
+    """Mann-Kendall monotone-trend test on the WEEKLY revenue series:
+    S = sum over all time-ordered pairs of sign(x_j - x_i), with the
+    tie-corrected normal variance — the distribution-free trend TEST
+    completing q201's Theil-Sen slope (Sen gives the magnitude; MK
+    says whether a trend exists at all without assuming linearity or
+    normality). The weekly series is model space, so the exact
+    all-pairs sweep is a self-join of a few hundred rows — at 100 TB
+    the series length, not the fact volume, bounds this join. Counts
+    exact; one sqrt at the end.
+
+    Shape: one (week) agg + the model-space pair self-join + a 1-row
+    tie rollup."""
+    orders = _t(spark, sf, "orders")
+    weekly = (
+        orders.select(
+            F.expr(
+                "datediff(o_orderdate, DATE '1992-01-01') DIV 7"
+            ).alias("wk"),
+            (_d("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("wk")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    from chemharmony_spark.cache import registered_persist
+
+    weekly = registered_persist(weekly)
+    a = weekly.select(
+        F.col("wk").alias("wi"), F.col("rev").alias("xi")
+    )
+    b = weekly.select(
+        F.col("wk").alias("wj"), F.col("rev").alias("xj")
+    )
+    pairs = a.join(b, F.col("wi") < F.col("wj")).select(
+        F.when(F.col("xj") > F.col("xi"), 1)
+        .when(F.col("xj") < F.col("xi"), -1)
+        .otherwise(0)
+        .alias("sgn")
+    )
+    s_stat = pairs.agg(F.sum("sgn").alias("s"))
+    ties = (
+        weekly.groupBy("rev")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum("t").alias("n"),
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_term"),
+        )
+    )
+    j = s_stat.crossJoin(F.broadcast(ties))
+    nd = F.col("n").cast("double")
+    var = (
+        nd * (nd - 1.0) * (2.0 * nd + 5.0)
+        - F.col("tie_term").cast("double")
+    ) / 18.0
+    # continuity-corrected z
+    sd = F.col("s").cast("double")
+    z = (
+        F.when(F.col("s") > 0, (sd - 1.0) / F.sqrt(var))
+        .when(F.col("s") < 0, (sd + 1.0) / F.sqrt(var))
+        .otherwise(F.lit(0.0))
+    )
+    return j.select(
+        "n",
+        "s",
+        F.floor(var).cast("long").alias("var_floor"),
+        F.floor(z * 1_000_000).cast("long").alias("z_micro"),
+        F.when(F.abs(z) > 1.96, 1).otherwise(0).alias("trend"),
+    )

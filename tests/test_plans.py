@@ -1065,6 +1065,14 @@ SHUFFLE_BUDGET = {
     # consumer) + first-seen agg + join back + per-doc agg + the
     # model-space decile window
     "q406_ngram_novelty_decay": 6,
+    # q407: the daily agg + the model-space lag window
+    "q407_forecast_mase": 2,
+    # q408: the persisted 25-cell agg (reprinted per margin consumer)
+    # + margin rollups + the 1-row combine
+    "q408_two_way_anova": 5,
+    # q409: the persisted weekly agg (reprinted per consumer) + the
+    # model-space pair join + tie rollup
+    "q409_mann_kendall": 4,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -1300,7 +1308,12 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 # q405: 1-row margin-target broadcast onto the cells
                 "q405_ipf_raking_step",
                 # q406: 1-row doc-count broadcast onto the deciles
-                "q406_ngram_novelty_decay"}
+                "q406_ngram_novelty_decay",
+                # q408: 1-row grand totals broadcast onto 25 cells
+                "q408_two_way_anova",
+                # q409: the model-space weekly pair theta-join +
+                # 1-row S/tie combines
+                "q409_mann_kendall"}
 
 
 def test_no_headline_query_has_unpartitioned_ranked_window(spark):
