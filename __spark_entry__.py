@@ -487,6 +487,12 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q407_forecast_mase": Q.q407_forecast_mase,
         "q408_two_way_anova": Q.q408_two_way_anova,
         "q409_mann_kendall": Q.q409_mann_kendall,
+        "q410_jarque_bera": Q.q410_jarque_bera,
+        "q411_bowker_symmetry": Q.q411_bowker_symmetry,
+        "q412_haar_energy": Q.q412_haar_energy,
+        "q413_granger_lite": Q.q413_granger_lite,
+        "q414_mood_scale": Q.q414_mood_scale,
+        "q415_vif": Q.q415_vif,
     }
 
 
@@ -13326,5 +13332,371 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 0.0 END) > 1.96
                         THEN 1 ELSE 0 END AS trend
             FROM f
+        """,
+        "q410_jarque_bera": """
+            WITH t AS (
+              SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT) AS c
+              FROM orders),
+            mom AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(c AS HUGEINT)) AS HUGEINT) AS s1,
+                     CAST(SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT))
+                          AS HUGEINT) AS s2,
+                     CAST(SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)
+                          * CAST(c AS HUGEINT)) AS HUGEINT) AS s3,
+                     CAST(SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)
+                          * CAST(c AS HUGEINT) * CAST(c AS HUGEINT))
+                          AS HUGEINT) AS s4
+              FROM t),
+            f AS (
+              SELECT n,
+                     CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 1e2
+                       AS r1,
+                     CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) / 1e4
+                       AS r2,
+                     CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) / 1e6
+                       AS r3,
+                     CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) / 1e8
+                       AS r4
+              FROM mom),
+            g AS (
+              SELECT n,
+                     r2 - r1 * r1 AS m2,
+                     r3 - 3.0 * r1 * r2 + 2.0 * r1 * r1 * r1 AS m3,
+                     r4 - 4.0 * r1 * r3 + 6.0 * r1 * r1 * r2
+                       - 3.0 * r1 * r1 * r1 * r1 AS m4
+              FROM f),
+            h AS (
+              SELECT n,
+                     m3 / (m2 * sqrt(m2)) AS skew,
+                     m4 / (m2 * m2) - 3.0 AS kurt
+              FROM g)
+            SELECT n,
+                   CAST(floor(skew * 1000000) AS BIGINT)
+                     AS skew_micro,
+                   CAST(floor(kurt * 1000000) AS BIGINT)
+                     AS ex_kurtosis_micro,
+                   CAST(floor(CAST(n AS DOUBLE) / 6.0
+                        * (skew * skew + kurt * kurt / 4.0) * 1000)
+                        AS BIGINT) AS jb_milli,
+                   CASE WHEN CAST(n AS DOUBLE) / 6.0
+                          * (skew * skew + kurt * kurt / 4.0)
+                          > 5.991465 THEN 1 ELSE 0 END AS non_normal
+            FROM h
+        """,
+        "q411_bowker_symmetry": """
+            WITH per AS MATERIALIZED (
+              SELECT o_custkey,
+                     year(CAST(o_orderdate AS DATE)) AS yr,
+                     CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                   * 100 AS BIGINT)) AS BIGINT) AS sp
+              FROM orders
+              WHERE year(CAST(o_orderdate AS DATE)) IN (1996, 1997)
+              GROUP BY 1, 2),
+            ranked AS (
+              SELECT yr, sp,
+                     ROW_NUMBER() OVER (PARTITION BY yr ORDER BY sp)
+                       AS rnk,
+                     COUNT(*) OVER (PARTITION BY yr) AS n_yr
+              FROM per),
+            bounds AS (
+              SELECT yr,
+                     MAX(CASE WHEN rnk = CAST(ceil(0.25 * n_yr)
+                       AS BIGINT) THEN sp END) AS p25,
+                     MAX(CASE WHEN rnk = CAST(ceil(0.5 * n_yr)
+                       AS BIGINT) THEN sp END) AS p50,
+                     MAX(CASE WHEN rnk = CAST(ceil(0.75 * n_yr)
+                       AS BIGINT) THEN sp END) AS p75
+              FROM ranked GROUP BY 1),
+            binned AS (
+              SELECT p.o_custkey, p.yr,
+                     CASE WHEN p.sp > b.p25 THEN 1 ELSE 0 END
+                     + CASE WHEN p.sp > b.p50 THEN 1 ELSE 0 END
+                     + CASE WHEN p.sp > b.p75 THEN 1 ELSE 0 END
+                     + 1 AS q
+              FROM per p JOIN bounds b ON p.yr = b.yr),
+            mat AS MATERIALIZED (
+              SELECT a.q AS qf, b.q AS qt,
+                     CAST(COUNT(*) AS BIGINT) AS m
+              FROM (SELECT o_custkey, q FROM binned WHERE yr = 1996) a
+              JOIN (SELECT o_custkey, q FROM binned WHERE yr = 1997) b
+                ON a.o_custkey = b.o_custkey
+              GROUP BY 1, 2),
+            up AS (SELECT qf AS i, qt AS j, m AS n_ij FROM mat
+                   WHERE qf < qt),
+            dn AS (SELECT qt AS i, qf AS j, m AS n_ji FROM mat
+                   WHERE qf > qt),
+            pairs AS (
+              SELECT COALESCE(u.i, d.i) AS i, COALESCE(u.j, d.j) AS j,
+                     COALESCE(n_ij, 0) AS n_ij,
+                     COALESCE(n_ji, 0) AS n_ji
+              FROM up u FULL JOIN dn d ON u.i = d.i AND u.j = d.j),
+            st AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                     CAST(SUM(CAST(floor(CAST(n_ij - n_ji AS DOUBLE)
+                       * CAST(n_ij - n_ji AS DOUBLE)
+                       / CAST(n_ij + n_ji AS DOUBLE) * 1000000)
+                       AS BIGINT)) AS BIGINT) AS chi2_micro,
+                     CAST(SUM(n_ij + n_ji) AS BIGINT) AS n_movers
+              FROM pairs)
+            SELECT n_pairs, n_movers, chi2_micro,
+                   CASE WHEN chi2_micro > 12591587 THEN 1 ELSE 0 END
+                     AS asymmetric
+            FROM st
+        """,
+        "q412_haar_energy": """
+            WITH daily AS (
+              SELECT date_diff('day', DATE '1992-01-01',
+                               CAST(o_orderdate AS DATE)) AS day,
+                     CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                   * 100 AS BIGINT)) AS BIGINT) AS rev
+              FROM orders GROUP BY 1),
+            idx AS (
+              SELECT ROW_NUMBER() OVER (ORDER BY day) - 1 AS t, rev
+              FROM daily),
+            l1 AS MATERIALIZED (
+              SELECT t // 2 AS t,
+                     CAST(SUM(CASE WHEN t % 2 = 0 THEN rev
+                              ELSE 0 END) AS BIGINT)
+                     - CAST(SUM(CASE WHEN t % 2 = 1 THEN rev
+                              ELSE 0 END) AS BIGINT) AS d,
+                     CAST(SUM(rev) AS BIGINT) AS a
+              FROM idx GROUP BY t // 2
+              HAVING COUNT(*) = 2),
+            e1 AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n1,
+                     CAST(SUM(CAST(d AS HUGEINT) * CAST(d AS HUGEINT))
+                          AS HUGEINT) AS e1
+              FROM l1),
+            l2 AS (
+              SELECT t // 2 AS t,
+                     CAST(SUM(CASE WHEN t % 2 = 0 THEN a
+                              ELSE 0 END) AS BIGINT)
+                     - CAST(SUM(CASE WHEN t % 2 = 1 THEN a
+                              ELSE 0 END) AS BIGINT) AS d
+              FROM l1 GROUP BY t // 2
+              HAVING COUNT(*) = 2),
+            e2 AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n2,
+                     CAST(SUM(CAST(d AS HUGEINT) * CAST(d AS HUGEINT))
+                          AS HUGEINT) AS e2
+              FROM l2)
+            SELECT n1, n2,
+                   CAST(floor(CAST(e1 AS DOUBLE)
+                        / (CAST(e1 AS DOUBLE) + CAST(e2 AS DOUBLE))
+                        * 1000000) AS BIGINT) AS level1_share_ppm,
+                   CAST(floor(CAST(e2 AS DOUBLE)
+                        / (CAST(e1 AS DOUBLE) + CAST(e2 AS DOUBLE))
+                        * 1000000) AS BIGINT) AS level2_share_ppm
+            FROM e1, e2
+        """,
+        "q413_granger_lite": """
+            WITH daily AS (
+              SELECT date_diff('day', DATE '1992-01-01',
+                               CAST(o_orderdate AS DATE)) AS day,
+                     CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                   * 100 AS BIGINT)) AS BIGINT) AS rev,
+                     CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM orders GROUP BY 1),
+            rows_ AS (
+              SELECT CAST(floor(CAST(rev AS DOUBLE) / 100.0)
+                       AS BIGINT) AS y,
+                     CAST(floor(CAST(LAG(rev, 1) OVER (ORDER BY day)
+                       AS DOUBLE) / 100.0) AS BIGINT) AS x1,
+                     CAST(CAST(LAG(cnt, 1) OVER (ORDER BY day)
+                       AS DOUBLE) AS BIGINT) AS x2
+              FROM daily),
+            t AS (SELECT y, x1, x2 FROM rows_ WHERE x1 IS NOT NULL),
+            mom AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+                     CAST(SUM(CAST(x1 AS HUGEINT)) AS HUGEINT) AS s1,
+                     CAST(SUM(CAST(x2 AS HUGEINT)) AS HUGEINT) AS s2,
+                     CAST(SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT))
+                          AS HUGEINT) AS syy,
+                     CAST(SUM(CAST(x1 AS HUGEINT)
+                          * CAST(x1 AS HUGEINT)) AS HUGEINT) AS s11,
+                     CAST(SUM(CAST(x2 AS HUGEINT)
+                          * CAST(x2 AS HUGEINT)) AS HUGEINT) AS s22,
+                     CAST(SUM(CAST(x1 AS HUGEINT)
+                          * CAST(y AS HUGEINT)) AS HUGEINT) AS s1y,
+                     CAST(SUM(CAST(x2 AS HUGEINT)
+                          * CAST(y AS HUGEINT)) AS HUGEINT) AS s2y,
+                     CAST(SUM(CAST(x1 AS HUGEINT)
+                          * CAST(x2 AS HUGEINT)) AS HUGEINT) AS s12
+              FROM t),
+            cmom AS (
+              SELECT n,
+                     CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                       * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                       AS cyy,
+                     CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                       * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+                       AS c11,
+                     CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE)
+                       * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                       AS c22,
+                     CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE)
+                       * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                       AS c1y,
+                     CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE)
+                       * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                       AS c2y,
+                     CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                       * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                       AS c12
+              FROM mom),
+            fit AS (
+              SELECT n, cyy, c1y, c2y, c11, c22, c12,
+                     cyy - c1y * c1y / c11 AS rss_r,
+                     (c22 * c1y - c12 * c2y)
+                       / (c11 * c22 - c12 * c12) AS b1,
+                     (c11 * c2y - c12 * c1y)
+                       / (c11 * c22 - c12 * c12) AS b2
+              FROM cmom),
+            ff AS (
+              SELECT n, b2,
+                     (rss_r - (cyy - b1 * c1y - b2 * c2y))
+                       / ((cyy - b1 * c1y - b2 * c2y)
+                          / (CAST(n AS DOUBLE) - 3.0)) AS f_stat
+              FROM fit)
+            SELECT n,
+                   CAST(floor(b2 * 1000000) AS BIGINT)
+                     AS beta_cnt_micro,
+                   CAST(floor(f_stat * 1000000) AS BIGINT)
+                     AS f_micro,
+                   CASE WHEN CAST(floor(f_stat * 1000000) AS BIGINT)
+                        > 3841459 THEN 1 ELSE 0 END
+                     AS granger_signal
+            FROM ff
+        """,
+        "q414_mood_scale": """
+            WITH cust AS (
+              SELECT c_custkey,
+                     CASE WHEN c_mktsegment = 'BUILDING'
+                          THEN 1 ELSE 0 END AS g
+              FROM customer
+              WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+            obs AS (
+              SELECT g,
+                     CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT) AS cents
+              FROM orders o JOIN cust c ON o.o_custkey = c.c_custkey),
+            byval AS (
+              SELECT cents, CAST(SUM(g) AS BIGINT) AS n1v,
+                     CAST(COUNT(*) AS BIGINT) AS nv
+              FROM obs GROUP BY 1),
+            ranked AS (
+              SELECT n1v, nv,
+                     COALESCE(CAST(SUM(nv) OVER (ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS BIGINT), 0) AS cumb
+              FROM byval),
+            tot AS (SELECT CAST(SUM(nv) AS BIGINT) AS n FROM byval),
+            s AS (
+              SELECT n,
+                     CAST(SUM(n1v) AS BIGINT) AS n1,
+                     CAST(SUM(nv - n1v) AS BIGINT) AS n2,
+                     CAST(SUM(CAST(n1v AS HUGEINT)
+                          * CAST(2 * cumb + nv - n AS HUGEINT)
+                          * CAST(2 * cumb + nv - n AS HUGEINT))
+                          AS HUGEINT) AS m4x
+              FROM ranked, tot GROUP BY 1)
+            SELECT n, n1, n2,
+                   CAST(floor((CAST(m4x AS DOUBLE) / 4.0
+                        - CAST(n1 AS DOUBLE)
+                          * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                             - 1.0) / 12.0)
+                        / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                          * (CAST(n AS DOUBLE) + 1.0)
+                          * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                             - 4.0) / 180.0)
+                        * 1000000) AS BIGINT) AS z_micro,
+                   CASE WHEN abs((CAST(m4x AS DOUBLE) / 4.0
+                          - CAST(n1 AS DOUBLE)
+                            * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                               - 1.0) / 12.0)
+                          / sqrt(CAST(n1 AS DOUBLE)
+                            * CAST(n2 AS DOUBLE)
+                            * (CAST(n AS DOUBLE) + 1.0)
+                            * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                               - 4.0) / 180.0)) > 1.96
+                        THEN 1 ELSE 0 END AS scale_differs
+            FROM s
+        """,
+        "q415_vif": """
+            WITH t AS (
+              SELECT CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)
+                       AS x,
+                     CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT) AS y,
+                     CAST(l_quantity AS BIGINT) AS z
+              FROM lineitem),
+            mom AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+                     CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+                     CAST(SUM(CAST(z AS HUGEINT)) AS HUGEINT) AS sz,
+                     CAST(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT))
+                          AS HUGEINT) AS sxx,
+                     CAST(SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT))
+                          AS HUGEINT) AS syy,
+                     CAST(SUM(CAST(z AS HUGEINT) * CAST(z AS HUGEINT))
+                          AS HUGEINT) AS szz,
+                     CAST(SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT))
+                          AS HUGEINT) AS sxy,
+                     CAST(SUM(CAST(x AS HUGEINT) * CAST(z AS HUGEINT))
+                          AS HUGEINT) AS sxz,
+                     CAST(SUM(CAST(y AS HUGEINT) * CAST(z AS HUGEINT))
+                          AS HUGEINT) AS syz
+              FROM t),
+            cm AS (
+              SELECT n,
+                     CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                       * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+                       AS cxx,
+                     CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                       * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                       AS cyy,
+                     CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE)
+                       * CAST(sz AS DOUBLE) / CAST(n AS DOUBLE)
+                       AS czz,
+                     CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                       * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                       AS cxy,
+                     CAST(sxz AS DOUBLE) - CAST(sx AS DOUBLE)
+                       * CAST(sz AS DOUBLE) / CAST(n AS DOUBLE)
+                       AS cxz,
+                     CAST(syz AS DOUBLE) - CAST(sy AS DOUBLE)
+                       * CAST(sz AS DOUBLE) / CAST(n AS DOUBLE)
+                       AS cyz
+              FROM mom),
+            r AS (
+              SELECT n,
+                     (((czz * cxy - cyz * cxz)
+                         / (cyy * czz - cyz * cyz)) * cxy
+                      + ((cyy * cxz - cyz * cxy)
+                         / (cyy * czz - cyz * cyz)) * cxz) / cxx
+                       AS r2x,
+                     (((czz * cxy - cxz * cyz)
+                         / (cxx * czz - cxz * cxz)) * cxy
+                      + ((cxx * cyz - cxz * cxy)
+                         / (cxx * czz - cxz * cxz)) * cyz) / cyy
+                       AS r2y,
+                     (((cyy * cxz - cxy * cyz)
+                         / (cxx * cyy - cxy * cxy)) * cxz
+                      + ((cxx * cyz - cxy * cxz)
+                         / (cxx * cyy - cxy * cxy)) * cyz) / czz
+                       AS r2z
+              FROM cm)
+            SELECT n,
+                   CAST(floor(1.0 / (1.0 - r2x) * 1000000) AS BIGINT)
+                     AS vif_discount_micro,
+                   CAST(floor(1.0 / (1.0 - r2y) * 1000000) AS BIGINT)
+                     AS vif_price_micro,
+                   CAST(floor(1.0 / (1.0 - r2z) * 1000000) AS BIGINT)
+                     AS vif_quantity_micro
+            FROM r
         """,
     }

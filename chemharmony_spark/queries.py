@@ -18568,3 +18568,402 @@ def q409_mann_kendall(spark, sf):
         F.floor(z * 1_000_000).cast("long").alias("z_micro"),
         F.when(F.abs(z) > 1.96, 1).otherwise(0).alias("trend"),
     )
+
+
+def q410_jarque_bera(spark, sf):
+    """Jarque-Bera normality test on order values: JB = n/6 * (S^2 +
+    K^2/4) from exact raw moments — the moment-based normality check
+    that q161's KS distance doesn't give (JB localizes WHY: skewness
+    vs excess kurtosis), feeding every "can I use the z-test here"
+    decision upstream. Sums of cents^1..4 are exact decimal(38,0);
+    the central-moment conversion and the one ratio run in identical
+    IEEE doubles.
+
+    Shape: ONE map-side-combined moment agg (1-row result, zero
+    shuffles of facts)."""
+    orders = _t(spark, sf, "orders")
+    D38 = "decimal(38,0)"
+    c = (_d("o_totalprice") * 100).cast("long")
+    t = orders.select(c.alias("c"))
+    cd = F.col("c").cast(D38)
+    mom = t.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cd).alias("s1"),
+        F.sum(cd * cd).alias("s2"),
+        F.sum(cd * cd * cd).alias("s3"),
+        F.sum(cd * cd * cd * cd).alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    # work in dollars: divide each k-th raw moment by 100^k
+    r1 = F.col("s1").cast("double") / nd / 1e2
+    r2 = F.col("s2").cast("double") / nd / 1e4
+    r3 = F.col("s3").cast("double") / nd / 1e6
+    r4 = F.col("s4").cast("double") / nd / 1e8
+    m2 = r2 - r1 * r1
+    m3 = r3 - 3.0 * r1 * r2 + 2.0 * r1 * r1 * r1
+    m4 = (
+        r4
+        - 4.0 * r1 * r3
+        + 6.0 * r1 * r1 * r2
+        - 3.0 * r1 * r1 * r1 * r1
+    )
+    skew = m3 / (m2 * F.sqrt(m2))
+    kurt = m4 / (m2 * m2) - 3.0
+    jb = nd / 6.0 * (skew * skew + kurt * kurt / 4.0)
+    return mom.select(
+        "n",
+        F.floor(skew * 1_000_000).cast("long").alias("skew_micro"),
+        F.floor(kurt * 1_000_000).cast("long").alias(
+            "ex_kurtosis_micro"
+        ),
+        F.floor(jb * 1_000).cast("long").alias("jb_milli"),
+        F.when(jb > 5.991465, 1).otherwise(0).alias("non_normal"),
+    )
+
+
+def q411_bowker_symmetry(spark, sf):
+    """Bowker symmetry test on the 4x4 customer value-segment
+    migration matrix (1996 -> 1997 spend quartiles): chi2 =
+    sum_{i<j} (n_ij - n_ji)^2 / (n_ij + n_ji) against chi-square(6)
+    12.5916 — the k-category generalization of q327's McNemar that
+    asks whether upgrades and downgrades BALANCE (q244 reports the
+    flows; this tests their symmetry). Transition counts are exact;
+    the statistic folds over at most 6 cell pairs in micro-floored
+    integers.
+
+    Shape: q244's machinery (two-year quartile binning off the
+    bucketed selector) + the 16-row matrix + a self-join of the 6
+    upper-triangle pairs — model space after the per-customer aggs."""
+    from chemharmony_spark.operators.core import grouped_percentiles_disc
+
+    orders = _t(spark, sf, "orders").select(
+        "o_custkey",
+        F.expr("year(CAST(o_orderdate AS DATE))").alias("yr"),
+        (_d("o_totalprice") * 100).cast("long").alias("cents"),
+    ).where(F.col("yr").isin(1996, 1997))
+    from chemharmony_spark.cache import registered_persist
+
+    per = registered_persist(
+        orders.groupBy("o_custkey", "yr").agg(
+            F.sum("cents").alias("sp")
+        )
+    )
+    bounds = grouped_percentiles_disc(per, ["yr"], "sp", [0.25, 0.5, 0.75])
+    binned = per.join(F.broadcast(bounds), "yr").select(
+        "o_custkey", "yr",
+        (
+            (F.col("sp") > F.col("p25")).cast("int")
+            + (F.col("sp") > F.col("p50")).cast("int")
+            + (F.col("sp") > F.col("p75")).cast("int")
+            + 1
+        ).alias("q"),
+    )
+    a = binned.where(F.col("yr") == 1996).select(
+        "o_custkey", F.col("q").alias("qf")
+    )
+    b = binned.where(F.col("yr") == 1997).select(
+        "o_custkey", F.col("q").alias("qt")
+    )
+    mat = registered_persist(
+        a.join(b, "o_custkey").groupBy("qf", "qt").agg(
+            F.count(F.lit(1)).alias("m")
+        )
+    )
+    up = mat.where(F.col("qf") < F.col("qt")).select(
+        F.col("qf").alias("i"), F.col("qt").alias("j"),
+        F.col("m").alias("n_ij"),
+    )
+    dn = mat.where(F.col("qf") > F.col("qt")).select(
+        F.col("qt").alias("i"), F.col("qf").alias("j"),
+        F.col("m").alias("n_ji"),
+    )
+    pairs = up.join(dn, on=["i", "j"], how="full").na.fill(
+        {"n_ij": 0, "n_ji": 0}
+    )
+    term = F.floor(
+        (F.col("n_ij") - F.col("n_ji")).cast("double")
+        * (F.col("n_ij") - F.col("n_ji")).cast("double")
+        / (F.col("n_ij") + F.col("n_ji")).cast("double")
+        * 1_000_000
+    ).cast("long")
+    s = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(term).alias("chi2_micro"),
+        F.sum(F.col("n_ij") + F.col("n_ji")).alias("n_movers"),
+    )
+    return s.select(
+        "n_pairs",
+        "n_movers",
+        "chi2_micro",
+        F.when(F.col("chi2_micro") > 12_591_587, 1)
+        .otherwise(0)
+        .alias("asymmetric"),
+    )
+
+
+def q412_haar_energy(spark, sf):
+    """Two-level Haar wavelet energy decomposition of the daily
+    revenue series: level-1 details are adjacent-day differences,
+    level-2 details are differences of adjacent 2-day sums — WHERE
+    does the variance live, day-to-day jitter or 4-day swings? (q205
+    answers for fixed weekly seasonality; the wavelet split is
+    scale-localized and fully integer: every detail is a +/- sum of
+    cents, every energy an exact decimal sum of squares.)
+
+    Shape: one (day) agg + two pairing aggs keyed on position DIV 2
+    (model space; the position index comes from one ordered window)."""
+    orders = _t(spark, sf, "orders")
+    daily = (
+        orders.select(
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1992-01-01").cast("date")
+            ).alias("day"),
+            (_d("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    D38 = "decimal(38,0)"
+    w = Window.orderBy("day")
+    idx = daily.select(
+        (F.row_number().over(w) - 1).alias("t"), "rev"
+    )
+
+    def level(df, val):
+        paired = df.groupBy(F.expr("t DIV 2").alias("p")).agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(
+                F.when(F.col("t") % 2 == 0, F.col(val)).otherwise(0)
+            ).alias("ev"),
+            F.sum(
+                F.when(F.col("t") % 2 == 1, F.col(val)).otherwise(0)
+            ).alias("od"),
+        ).where(F.col("cnt") == 2)
+        return paired.select(
+            F.col("p").alias("t"),
+            (F.col("ev") - F.col("od")).alias("d"),
+            (F.col("ev") + F.col("od")).alias("a"),
+        )
+    l1 = level(idx, "rev")
+    from chemharmony_spark.cache import registered_persist
+
+    l1 = registered_persist(l1)
+    e1 = l1.agg(
+        F.count(F.lit(1)).alias("n1"),
+        F.sum(F.col("d").cast(D38) * F.col("d").cast(D38)).alias("e1"),
+    )
+    l2 = level(l1.select("t", F.col("a").alias("rev")), "rev")
+    e2 = l2.agg(
+        F.count(F.lit(1)).alias("n2"),
+        F.sum(F.col("d").cast(D38) * F.col("d").cast(D38)).alias("e2"),
+    )
+    j = e1.crossJoin(F.broadcast(e2))
+    tot = F.col("e1").cast("double") + F.col("e2").cast("double")
+    return j.select(
+        "n1",
+        "n2",
+        F.floor(
+            F.col("e1").cast("double") / tot * 1_000_000
+        ).cast("long").alias("level1_share_ppm"),
+        F.floor(
+            F.col("e2").cast("double") / tot * 1_000_000
+        ).cast("long").alias("level2_share_ppm"),
+    )
+
+
+def q413_granger_lite(spark, sf):
+    """One-lag Granger causality check: does yesterday's ORDER COUNT
+    improve today's revenue forecast beyond yesterday's revenue?
+    F = (RSS_restricted - RSS_full) / (RSS_full / (n-3)) comparing
+    rev_t ~ rev_{t-1} against rev_t ~ rev_{t-1} + cnt_{t-1}, solved
+    in closed form from centered moment sums (2x2 normal equations) —
+    the lead-lag screen q257's rolling slope can't answer (correlation
+    is symmetric; Granger is directional). Daily sums/counts are
+    exact integers; moments floor to unit terms before summation.
+
+    Shape: one (day) agg + one lag window + ONE moment agg + 1-row
+    algebra."""
+    orders = _t(spark, sf, "orders")
+    daily = (
+        orders.select(
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1992-01-01").cast("date")
+            ).alias("day"),
+            (_d("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(
+            F.sum("cents").alias("rev"), F.count(F.lit(1)).alias("cnt")
+        )
+    )
+    w = Window.orderBy("day")
+    rows = daily.select(
+        (F.col("rev").cast("double") / 100.0).alias("y"),
+        (F.lag("rev", 1).over(w).cast("double") / 100.0).alias("x1"),
+        F.lag("cnt", 1).over(w).cast("double").alias("x2"),
+    ).where(F.col("x1").isNotNull())
+    t = rows.select(
+        F.floor(F.col("y")).cast("long").alias("y"),
+        F.floor(F.col("x1")).cast("long").alias("x1"),
+        F.col("x2").cast("long").alias("x2"),
+    )
+    D38 = "decimal(38,0)"
+
+    def s(a, b=None):
+        ca = F.col(a).cast(D38)
+        return F.sum(ca if b is None else ca * F.col(b).cast(D38))
+    mom = t.agg(
+        F.count(F.lit(1)).alias("n"),
+        s("y").alias("sy"), s("x1").alias("s1"), s("x2").alias("s2"),
+        s("y", "y").alias("syy"), s("x1", "x1").alias("s11"),
+        s("x2", "x2").alias("s22"), s("x1", "y").alias("s1y"),
+        s("x2", "y").alias("s2y"), s("x1", "x2").alias("s12"),
+    )
+    nd = F.col("n").cast("double")
+
+    def c(sab, sa, sb):
+        return F.col(sab).cast("double") - F.col(sa).cast(
+            "double"
+        ) * F.col(sb).cast("double") / nd
+    cyy = c("syy", "sy", "sy")
+    c11 = c("s11", "s1", "s1")
+    c22 = c("s22", "s2", "s2")
+    c1y = c("s1y", "s1", "sy")
+    c2y = c("s2y", "s2", "sy")
+    c12 = c("s12", "s1", "s2")
+    rss_r = cyy - c1y * c1y / c11
+    det = c11 * c22 - c12 * c12
+    b1 = (c22 * c1y - c12 * c2y) / det
+    b2 = (c11 * c2y - c12 * c1y) / det
+    rss_u = cyy - b1 * c1y - b2 * c2y
+    f_stat = (rss_r - rss_u) / (rss_u / (nd - 3.0))
+    return mom.select(
+        "n",
+        F.floor(b2 * 1_000_000).cast("long").alias("beta_cnt_micro"),
+        F.floor(f_stat * 1_000_000).cast("long").alias("f_micro"),
+        F.when(F.floor(f_stat * 1_000_000) > 3_841_459, 1)
+        .otherwise(0)
+        .alias("granger_signal"),
+    )
+
+
+def q414_mood_scale(spark, sf):
+    """Mood squared-rank scale test for BUILDING vs MACHINERY order
+    values: M = sum over group 1 of (r_i - (n+1)/2)^2 — are the two
+    segments equally DISPERSED around the common center? The rank-
+    based scale complement to q184 (location) and q379 (variance via
+    medians): with doubled midranks, 4M = sum n1v * (2cumb + nv - n)^2
+    is EXACTLY integer per distinct value; the null moments
+    E[M] = n1(n^2-1)/12 and Var[M] = n1 n2 (n+1)(n^2-4)/180 assemble
+    in doubles for the final z.
+
+    Shape: q184's skeleton — distinct-value agg + model-space cumsum
+    window + 1-row rollup."""
+    cust = _t(spark, sf, "customer").where(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    ).select(
+        "c_custkey",
+        (F.col("c_mktsegment") == "BUILDING").cast("long").alias("g"),
+    )
+    orders = _t(spark, sf, "orders")
+    obs = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select(
+        "g", (_d("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    byval = obs.groupBy("cents").agg(
+        F.sum("g").alias("n1v"), F.count(F.lit(1)).alias("nv")
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = byval.select(
+        "n1v", "nv",
+        F.coalesce(F.sum("nv").over(w), F.lit(0)).alias("cumb"),
+    )
+    tot = byval.agg(F.sum("nv").alias("n"))
+    D38 = "decimal(38,0)"
+    jj = ranked.crossJoin(F.broadcast(tot))
+    dev2 = (2 * F.col("cumb") + F.col("nv") - F.col("n")).cast(D38)
+    s = jj.groupBy("n").agg(
+        F.sum("n1v").alias("n1"),
+        F.sum(F.col("nv") - F.col("n1v")).alias("n2"),
+        F.sum(F.col("n1v").cast(D38) * dev2 * dev2).alias("m4x"),
+    )
+    nd = F.col("n").cast("double")
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    m = F.col("m4x").cast("double") / 4.0
+    em = n1d * (nd * nd - 1.0) / 12.0
+    vm = (
+        n1d * n2d * (nd + 1.0) * (nd * nd - 4.0) / 180.0
+    )
+    z = (m - em) / F.sqrt(vm)
+    return s.select(
+        "n", "n1", "n2",
+        F.floor(z * 1_000_000).cast("long").alias("z_micro"),
+        F.when(F.abs(z) > 1.96, 1).otherwise(0).alias(
+            "scale_differs"
+        ),
+    )
+
+
+def q415_vif(spark, sf):
+    """Variance inflation factors for the three lineitem regressors
+    (discount bps, unit revenue cents, quantity): VIF_k = 1 /
+    (1 - R^2_k|others), with each R^2 from the 2-regressor closed
+    form — the multicollinearity screen that turns q398's pairwise
+    correlations into the diagnostic regression practice actually
+    uses (VIF > 5 means the coefficient is unstable). One exact
+    moment agg (q398's) feeds all three VIFs.
+
+    Shape: ONE map-side-combined moment agg + 1-row algebra."""
+    li = _t(spark, sf, "lineitem")
+    D38 = "decimal(38,0)"
+    x = F.floor(F.col("l_discount") * 10_000 + 0.5).cast("long")
+    y = (_d("l_extendedprice") * 100).cast("long")
+    z = F.col("l_quantity").cast("long")
+    t = li.select(x.alias("x"), y.alias("y"), z.alias("z"))
+    mom = t.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(D38)).alias("sx"),
+        F.sum(F.col("y").cast(D38)).alias("sy"),
+        F.sum(F.col("z").cast(D38)).alias("sz"),
+        F.sum(F.col("x").cast(D38) * F.col("x").cast(D38)).alias("sxx"),
+        F.sum(F.col("y").cast(D38) * F.col("y").cast(D38)).alias("syy"),
+        F.sum(F.col("z").cast(D38) * F.col("z").cast(D38)).alias("szz"),
+        F.sum(F.col("x").cast(D38) * F.col("y").cast(D38)).alias("sxy"),
+        F.sum(F.col("x").cast(D38) * F.col("z").cast(D38)).alias("sxz"),
+        F.sum(F.col("y").cast(D38) * F.col("z").cast(D38)).alias("syz"),
+    )
+    nd = F.col("n").cast("double")
+
+    def c(sab, sa, sb):
+        return F.col(sab).cast("double") - F.col(sa).cast(
+            "double"
+        ) * F.col(sb).cast("double") / nd
+    cxx, cyy, czz = c("sxx", "sx", "sx"), c("syy", "sy", "sy"), c(
+        "szz", "sz", "sz"
+    )
+    cxy, cxz, cyz = c("sxy", "sx", "sy"), c("sxz", "sx", "sz"), c(
+        "syz", "sy", "sz"
+    )
+
+    def r2_on_two(ctt, c1t, c2t, c11, c22, c12):
+        det = c11 * c22 - c12 * c12
+        b1 = (c22 * c1t - c12 * c2t) / det
+        b2 = (c11 * c2t - c12 * c1t) / det
+        return (b1 * c1t + b2 * c2t) / ctt
+    r2x = r2_on_two(cxx, cxy, cxz, cyy, czz, cyz)
+    r2y = r2_on_two(cyy, cxy, cyz, cxx, czz, cxz)
+    r2z = r2_on_two(czz, cxz, cyz, cxx, cyy, cxy)
+    return mom.select(
+        "n",
+        F.floor(1.0 / (1.0 - r2x) * 1_000_000).cast("long").alias(
+            "vif_discount_micro"
+        ),
+        F.floor(1.0 / (1.0 - r2y) * 1_000_000).cast("long").alias(
+            "vif_price_micro"
+        ),
+        F.floor(1.0 / (1.0 - r2z) * 1_000_000).cast("long").alias(
+            "vif_quantity_micro"
+        ),
+    )

@@ -1073,6 +1073,19 @@ SHUFFLE_BUDGET = {
     # q409: the persisted weekly agg (reprinted per consumer) + the
     # model-space pair join + tie rollup
     "q409_mann_kendall": 4,
+    # q410/q415: ONE map-side-combined moment agg each
+    "q410_jarque_bera": 1,
+    "q415_vif": 1,
+    # q411: the q244 machinery — persisted per-customer year aggs
+    # (reprinted per consumer), the bucketed percentile selector,
+    # binning joins, and the 16-cell matrix + pair fold
+    "q411_bowker_symmetry": 18,
+    # q412: the daily agg + position window + two pairing aggs
+    "q412_haar_energy": 5,
+    # q413: the daily agg + lag window + the 1-row moment rollup
+    "q413_granger_lite": 2,
+    # q414: q184's distinct-value agg + model-space cumsum window
+    "q414_mood_scale": 4,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -1311,6 +1324,10 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 "q406_ngram_novelty_decay",
                 # q408: 1-row grand totals broadcast onto 25 cells
                 "q408_two_way_anova",
+                # q412: 1-row per-level energy combines
+                "q412_haar_energy",
+                # q414: 1-row n broadcast onto the distinct values
+                "q414_mood_scale",
                 # q409: the model-space weekly pair theta-join +
                 # 1-row S/tie combines
                 "q409_mann_kendall"}
