@@ -493,6 +493,12 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q413_granger_lite": Q.q413_granger_lite,
         "q414_mood_scale": Q.q414_mood_scale,
         "q415_vif": Q.q415_vif,
+        "q416_durbin_watson": Q.q416_durbin_watson,
+        "q417_cooks_distance": Q.q417_cooks_distance,
+        "q418_krippendorff_binary": Q.q418_krippendorff_binary,
+        "q419_xbar_r_chart": Q.q419_xbar_r_chart,
+        "q420_holm_bonferroni": Q.q420_holm_bonferroni,
+        "q421_tail_dependence": Q.q421_tail_dependence,
     }
 
 
@@ -13698,5 +13704,277 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(1.0 / (1.0 - r2z) * 1000000) AS BIGINT)
                      AS vif_quantity_micro
             FROM r
+        """,
+        "q416_durbin_watson": """
+            WITH daily AS MATERIALIZED (
+              SELECT date_diff('day', DATE '1992-01-01',
+                               CAST(o_orderdate AS DATE)) AS day,
+                     CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                   * 100 AS BIGINT)) AS BIGINT) AS rev
+              FROM orders GROUP BY 1),
+            mom AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(day AS HUGEINT)) AS HUGEINT) AS sx,
+                     CAST(SUM(CAST(rev AS HUGEINT)) AS HUGEINT) AS sy,
+                     CAST(SUM(CAST(day AS HUGEINT)
+                          * CAST(day AS HUGEINT)) AS HUGEINT) AS sxx,
+                     CAST(SUM(CAST(day AS HUGEINT)
+                          * CAST(rev AS HUGEINT)) AS HUGEINT) AS sxy
+              FROM daily),
+            fit AS (
+              SELECT n,
+                     (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       AS b,
+                     CAST(sx AS DOUBLE) AS sxd,
+                     CAST(sy AS DOUBLE) AS syd
+              FROM mom),
+            resid AS (
+              SELECT day,
+                     CAST(floor((CAST(rev AS DOUBLE)
+                       - ((syd - b * sxd) / CAST(n AS DOUBLE)
+                          + b * CAST(day AS DOUBLE))) / 100.0)
+                       AS BIGINT) AS e
+              FROM daily, fit),
+            lagged AS (
+              SELECT e, LAG(e, 1) OVER (ORDER BY day) AS el
+              FROM resid),
+            agg AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CASE WHEN el IS NOT NULL THEN
+                       CAST(e - el AS HUGEINT)
+                       * CAST(e - el AS HUGEINT) END) AS HUGEINT)
+                       AS num,
+                     CAST(SUM(CAST(e AS HUGEINT)
+                          * CAST(e AS HUGEINT)) AS HUGEINT) AS den
+              FROM lagged)
+            SELECT n,
+                   CAST(floor(CAST(num AS DOUBLE)
+                        / CAST(den AS DOUBLE) * 1000000) AS BIGINT)
+                     AS dw_micro,
+                   CASE WHEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+                          < 1.5 THEN 'positive_autocorr'
+                        WHEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+                          > 2.5 THEN 'negative_autocorr'
+                        ELSE 'clean' END AS verdict
+            FROM agg
+        """,
+        "q417_cooks_distance": """
+            WITH daily AS MATERIALIZED (
+              SELECT date_diff('day', DATE '1992-01-01',
+                               CAST(o_orderdate AS DATE)) AS day,
+                     CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                   * 100 AS BIGINT)) AS BIGINT) AS rev
+              FROM orders GROUP BY 1),
+            mom AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(day AS HUGEINT)) AS HUGEINT) AS sx,
+                     CAST(SUM(CAST(rev AS HUGEINT)) AS HUGEINT) AS sy,
+                     CAST(SUM(CAST(day AS HUGEINT)
+                          * CAST(day AS HUGEINT)) AS HUGEINT) AS sxx,
+                     CAST(SUM(CAST(day AS HUGEINT)
+                          * CAST(rev AS HUGEINT)) AS HUGEINT) AS sxy,
+                     CAST(SUM(CAST(rev AS HUGEINT)
+                          * CAST(rev AS HUGEINT)) AS HUGEINT) AS syy
+              FROM daily),
+            fit AS (
+              SELECT n,
+                     CAST(n AS DOUBLE) AS nd,
+                     CAST(sx AS DOUBLE) AS sx,
+                     CAST(sy AS DOUBLE) AS sy,
+                     CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                       AS sxxc,
+                     CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                       AS syyc,
+                     (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       AS b
+              FROM mom),
+            scored AS (
+              SELECT day,
+                     CAST(rev AS DOUBLE)
+                       - ((sy - b * sx) / nd
+                          + b * CAST(day AS DOUBLE)) AS e,
+                     1.0 / nd + (CAST(day AS DOUBLE) - sx / nd)
+                       * (CAST(day AS DOUBLE) - sx / nd)
+                       / (sxxc / nd) AS h,
+                     ((syyc - b * b * sxxc) / nd) / (nd - 2.0) AS s2
+              FROM daily, fit),
+            ranked AS (
+              SELECT day,
+                     CAST(floor(e * e * h
+                       / (2.0 * s2 * (1.0 - h) * (1.0 - h))
+                       * 1000000000) AS BIGINT) AS d_nano
+              FROM scored)
+            SELECT ROW_NUMBER() OVER (ORDER BY d_nano DESC, day)
+                     AS rk,
+                   day, d_nano
+            FROM ranked
+            ORDER BY d_nano DESC, day LIMIT 5
+        """,
+        "q418_krippendorff_binary": """
+            WITH t AS (
+              SELECT CASE WHEN length(regexp_replace(text,
+                       '[^a-zA-Z0-9 ]', '', 'g')) / length(text)
+                       >= 0.8 THEN 1 ELSE 0 END AS a,
+                     CASE WHEN len(list_filter(string_split(
+                       regexp_replace(lower(CAST(text AS VARCHAR)),
+                         '[^a-z0-9]+', ' ', 'g'), ' '),
+                       x -> x != '')) >= 50 THEN 1 ELSE 0 END AS b
+              FROM documents),
+            agg AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(a) AS BIGINT) AS na1,
+                     CAST(SUM(b) AS BIGINT) AS nb1,
+                     CAST(SUM(CASE WHEN a <> b THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_dis
+              FROM t)
+            SELECT n, na1, nb1, n_dis,
+                   CAST(floor((1.0 - (CAST(n_dis AS DOUBLE)
+                          / CAST(n AS DOUBLE))
+                        / (2.0 * (2.0 * CAST(na1 + nb1 AS DOUBLE)
+                           * (2.0 * CAST(n AS DOUBLE)
+                              - CAST(na1 + nb1 AS DOUBLE))
+                           / (2.0 * CAST(n AS DOUBLE)
+                              * (2.0 * CAST(n AS DOUBLE) - 1.0)))))
+                        * 1000000) AS BIGINT) AS alpha_micro
+            FROM agg
+        """,
+        "q419_xbar_r_chart": """
+            WITH daily AS (
+              SELECT date_diff('day', DATE '1992-01-01',
+                               CAST(o_orderdate AS DATE)) AS day,
+                     CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                   * 100 AS BIGINT)) AS BIGINT) AS rev
+              FROM orders GROUP BY 1),
+            grp AS MATERIALIZED (
+              SELECT day // 7 AS wk,
+                     CAST(COUNT(*) AS BIGINT) AS cnt,
+                     CAST(SUM(rev) AS BIGINT) AS s,
+                     CAST(MAX(rev) - MIN(rev) AS BIGINT) AS r
+              FROM daily GROUP BY 1
+              HAVING COUNT(*) = 7),
+            lims AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                     CAST(SUM(s) AS BIGINT) AS ss,
+                     CAST(SUM(r) AS BIGINT) AS sr
+              FROM grp),
+            flagged AS (
+              SELECT wk,
+                     CAST(g.s AS DOUBLE) / 7.0 AS xbar,
+                     CAST(g.r AS DOUBLE) AS rr,
+                     CAST(ss AS DOUBLE) / (7.0 * CAST(k AS DOUBLE))
+                       + 0.419 * (CAST(sr AS DOUBLE)
+                                  / CAST(k AS DOUBLE)) AS ux,
+                     CAST(ss AS DOUBLE) / (7.0 * CAST(k AS DOUBLE))
+                       - 0.419 * (CAST(sr AS DOUBLE)
+                                  / CAST(k AS DOUBLE)) AS lx,
+                     1.924 * (CAST(sr AS DOUBLE) / CAST(k AS DOUBLE))
+                       AS ur,
+                     0.076 * (CAST(sr AS DOUBLE) / CAST(k AS DOUBLE))
+                       AS lr
+              FROM grp g, lims)
+            SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(SUM(CASE WHEN xbar > ux OR xbar < lx
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                     AS mean_breaches,
+                   CAST(SUM(CASE WHEN rr > ur OR rr < lr
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                     AS range_breaches,
+                   CAST(floor(MIN(ux)) AS BIGINT) AS ucl_x_floor,
+                   CAST(floor(MIN(ur)) AS BIGINT) AS ucl_r_floor
+            FROM flagged
+        """,
+        "q420_holm_bonferroni": """
+            WITH per AS (
+              SELECT n.n_name,
+                     CAST(COUNT(*) AS BIGINT) AS n_i,
+                     CAST(SUM(CASE WHEN o.o_orderstatus = 'F'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS x_i
+              FROM orders o
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN nation n ON c.c_nationkey = n.n_nationkey
+              GROUP BY 1),
+            tot AS (SELECT CAST(SUM(n_i) AS BIGINT) AS n,
+                           CAST(SUM(x_i) AS BIGINT) AS x FROM per),
+            scored AS (
+              SELECT n_name,
+                     CAST(floor(1000000.0 / (1.0 +
+                       (CAST(x_i AS DOUBLE) - CAST(n_i AS DOUBLE)
+                        * (CAST(x AS DOUBLE) / CAST(n AS DOUBLE)))
+                       * (CAST(x_i AS DOUBLE) - CAST(n_i AS DOUBLE)
+                          * (CAST(x AS DOUBLE) / CAST(n AS DOUBLE)))
+                       / (CAST(n_i AS DOUBLE)
+                          * (CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+                          * (1.0 - CAST(x AS DOUBLE)
+                                   / CAST(n AS DOUBLE)))))
+                       AS BIGINT) AS p_micro
+              FROM per, tot),
+            ranked AS (
+              SELECT n_name, p_micro,
+                     ROW_NUMBER() OVER (ORDER BY p_micro, n_name)
+                       AS rank
+              FROM scored),
+            flagged AS (
+              SELECT n_name, p_micro, rank,
+                     CASE WHEN p_micro * (25 - rank + 1) <= 50000
+                          THEN 1 ELSE 0 END AS ok
+              FROM ranked)
+            SELECT n_name, p_micro, rank,
+                   MIN(ok) OVER (ORDER BY p_micro, n_name
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS rejected
+            FROM flagged
+        """,
+        "q421_tail_dependence": """
+            WITH per AS MATERIALIZED (
+              SELECT l_orderkey,
+                     CAST(SUM(CAST(CAST(l_extendedprice
+                         AS DECIMAL(18,2)) * 100 AS BIGINT))
+                       AS BIGINT) AS cents,
+                     CAST(COUNT(*) AS BIGINT) AS n_lines
+              FROM lineitem GROUP BY 1),
+            nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM per),
+            tx95 AS (SELECT cents AS x95 FROM (
+                SELECT cents, ROW_NUMBER() OVER (ORDER BY cents,
+                  l_orderkey) AS rk FROM per), nt
+              WHERE rk = CAST(ceil(0.95 * n) AS BIGINT)),
+            ty95 AS (SELECT n_lines AS y95 FROM (
+                SELECT n_lines, ROW_NUMBER() OVER (ORDER BY n_lines,
+                  l_orderkey) AS rk FROM per), nt
+              WHERE rk = CAST(ceil(0.95 * n) AS BIGINT)),
+            tx99 AS (SELECT cents AS x99 FROM (
+                SELECT cents, ROW_NUMBER() OVER (ORDER BY cents,
+                  l_orderkey) AS rk FROM per), nt
+              WHERE rk = CAST(ceil(0.99 * n) AS BIGINT)),
+            ty99 AS (SELECT n_lines AS y99 FROM (
+                SELECT n_lines, ROW_NUMBER() OVER (ORDER BY n_lines,
+                  l_orderkey) AS rk FROM per), nt
+              WHERE rk = CAST(ceil(0.99 * n) AS BIGINT)),
+            agg AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CASE WHEN cents > x95 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS nx95,
+                     CAST(SUM(CASE WHEN cents > x95
+                              AND n_lines > y95 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS nxy95,
+                     CAST(SUM(CASE WHEN cents > x99 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS nx99,
+                     CAST(SUM(CASE WHEN cents > x99
+                              AND n_lines > y99 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS nxy99
+              FROM per, tx95, ty95, tx99, ty99)
+            SELECT n, nx95, nxy95,
+                   nxy95 * 1000000 // nx95 AS lambda95_ppm,
+                   nx99, nxy99,
+                   CASE WHEN nx99 > 0 THEN nxy99 * 1000000 // nx99
+                     END AS lambda99_ppm
+            FROM agg
         """,
     }

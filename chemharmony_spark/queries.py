@@ -18967,3 +18967,424 @@ def q415_vif(spark, sf):
             "vif_quantity_micro"
         ),
     )
+
+
+def q416_durbin_watson(spark, sf):
+    """Durbin-Watson statistic on the residuals of the daily-revenue
+    linear trend: DW = sum (e_t - e_{t-1})^2 / sum e_t^2 — the
+    first-order serial-correlation check every regression report
+    prints (q369's Box-Pierce tests a forecast's residuals at many
+    lags; DW is THE named single-lag diagnostic, ~2 means clean,
+    -> 0 positive, -> 4 negative autocorrelation). The trend fits by
+    exact integer moments; residual terms floor to unit before the
+    two integer sums.
+
+    Shape: one (day) agg + a 1-row OLS moment broadcast + one lag
+    window over the model-space residual series."""
+    from chemharmony_spark.cache import registered_persist
+
+    orders = _t(spark, sf, "orders")
+    daily = registered_persist(
+        orders.select(
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1992-01-01").cast("date")
+            ).alias("day"),
+            (_d("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    D38 = "decimal(38,0)"
+    mom = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("day").cast(D38)).alias("sx"),
+        F.sum(F.col("rev").cast(D38)).alias("sy"),
+        F.sum(F.col("day").cast(D38) * F.col("day").cast(D38)).alias(
+            "sxx"
+        ),
+        F.sum(F.col("day").cast(D38) * F.col("rev").cast(D38)).alias(
+            "sxy"
+        ),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    b = (nd * F.col("sxy").cast("double") - sx * sy) / (
+        nd * F.col("sxx").cast("double") - sx * sx
+    )
+    a = (sy - b * sx) / nd
+    resid = daily.crossJoin(F.broadcast(mom)).select(
+        "day",
+        F.floor(
+            (F.col("rev").cast("double")
+             - (a + b * F.col("day").cast("double")))
+            / 100.0
+        ).cast("long").alias("e"),
+    )
+    w = Window.orderBy("day")
+    lagged = resid.select(
+        "e", F.lag("e", 1).over(w).alias("el")
+    )
+    agg = lagged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(
+                F.col("el").isNotNull(),
+                (F.col("e") - F.col("el")).cast(D38)
+                * (F.col("e") - F.col("el")).cast(D38),
+            )
+        ).alias("num"),
+        F.sum(F.col("e").cast(D38) * F.col("e").cast(D38)).alias("den"),
+    )
+    dw = F.col("num").cast("double") / F.col("den").cast("double")
+    return agg.select(
+        "n",
+        F.floor(dw * 1_000_000).cast("long").alias("dw_micro"),
+        F.when(dw < 1.5, F.lit("positive_autocorr"))
+        .when(dw > 2.5, F.lit("negative_autocorr"))
+        .otherwise(F.lit("clean"))
+        .alias("verdict"),
+    )
+
+
+def q417_cooks_distance(spark, sf):
+    """Top-5 most INFLUENTIAL days of the daily-revenue trend fit by
+    Cook's distance: D_i = e_i^2 h_i / (2 s^2 (1 - h_i)^2) with
+    leverage h_i = 1/n + (x_i - xbar)^2 / Sxx — which observations,
+    if deleted, would move the regression the most (q107's MAD flags
+    outliers in y; Cook's flags the ones that also sit at leveraged
+    x). Closed-form simple-OLS ingredients from one exact moment agg;
+    ranked deterministically by (D, day).
+
+    Shape: one (day) agg + a 1-row moment broadcast + the model-space
+    top-5 rank window."""
+    from chemharmony_spark.cache import registered_persist
+
+    orders = _t(spark, sf, "orders")
+    daily = registered_persist(
+        orders.select(
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1992-01-01").cast("date")
+            ).alias("day"),
+            (_d("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    D38 = "decimal(38,0)"
+    mom = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("day").cast(D38)).alias("sx"),
+        F.sum(F.col("rev").cast(D38)).alias("sy"),
+        F.sum(F.col("day").cast(D38) * F.col("day").cast(D38)).alias(
+            "sxx"
+        ),
+        F.sum(F.col("day").cast(D38) * F.col("rev").cast(D38)).alias(
+            "sxy"
+        ),
+        F.sum(F.col("rev").cast(D38) * F.col("rev").cast(D38)).alias(
+            "syy"
+        ),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxxc = nd * F.col("sxx").cast("double") - sx * sx
+    b = (nd * F.col("sxy").cast("double") - sx * sy) / sxxc
+    a = (sy - b * sx) / nd
+    # SSE from moments: Syy_c - b^2 * Sxx_c (both centered, /n scale)
+    syyc = nd * F.col("syy").cast("double") - sy * sy
+    sse = (syyc - b * b * sxxc) / nd
+    s2 = sse / (nd - 2.0)
+    scored = daily.crossJoin(F.broadcast(mom)).select(
+        "day",
+        (
+            F.col("rev").cast("double")
+            - (a + b * F.col("day").cast("double"))
+        ).alias("e"),
+        (
+            1.0 / nd
+            + (F.col("day").cast("double") - sx / nd)
+            * (F.col("day").cast("double") - sx / nd)
+            / (sxxc / nd)
+        ).alias("h"),
+        s2.alias("s2"),
+    )
+    d = (
+        F.col("e") * F.col("e") * F.col("h")
+        / (2.0 * F.col("s2") * (1.0 - F.col("h")) * (1.0 - F.col("h")))
+    )
+    ranked = scored.select(
+        "day", F.floor(d * 1_000_000_000).cast("long").alias("d_nano")
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.col("d_nano").desc(), "day")
+        ),
+    )
+    return ranked.where(F.col("rk") <= 5).select("rk", "day", "d_nano")
+
+
+def q418_krippendorff_binary(spark, sf):
+    """Krippendorff's alpha (binary metric) between two independent
+    document-quality raters — the alnum-ratio gate and the length
+    gate: alpha = 1 - D_o/D_e where observed disagreement is the
+    cross-rater mismatch rate and expected disagreement comes from
+    the POOLED value distribution — the reliability coefficient that,
+    unlike q235's Cohen kappa, generalizes to missing data and many
+    raters (this is its 2-rater exact form; all counts integer).
+
+    Shape: ONE pass over documents (both ratings are row-local
+    expressions) + a 1-row rollup."""
+    docs = _t(spark, sf, "documents")
+    r1 = (TX.alnum_ratio("text") >= 0.8).cast("int")
+    r2 = (TX.token_count("text") >= 50).cast("int")
+    t = docs.select(r1.alias("a"), r2.alias("b"))
+    agg = t.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("a")).alias("na1"),
+        F.sum(F.col("b")).alias("nb1"),
+        F.sum(
+            F.when(F.col("a") != F.col("b"), 1).otherwise(0)
+        ).alias("n_dis"),
+    )
+    nd = F.col("n").cast("double")
+    # pooled ones across both raters; pairable values = 2n
+    ones = (F.col("na1") + F.col("nb1")).cast("double")
+    zeros = 2.0 * nd - ones
+    do = F.col("n_dis").cast("double") / nd
+    de = (
+        2.0 * ones * zeros / (2.0 * nd * (2.0 * nd - 1.0))
+    )
+    alpha = 1.0 - do / (2.0 * de)
+    return agg.select(
+        "n",
+        "na1",
+        "nb1",
+        "n_dis",
+        F.floor(alpha * 1_000_000).cast("long").alias("alpha_micro"),
+    )
+
+
+def q419_xbar_r_chart(spark, sf):
+    """X-bar / R control chart over weekly 7-day subgroups of daily
+    revenue: center lines and control limits from the classic n=7
+    constants (A2=0.419, D3=0.076, D4=1.924), then count the weeks
+    whose mean or range breaches them — Shewhart process control
+    beside the sequential monitors (q139 CUSUM reacts to small
+    drifts; control charts catch shifts AND dispersion blowups with
+    zero state). Subgroup sums/ranges are exact integers; limits are
+    a 1-row broadcast.
+
+    Shape: one (day) agg + one (week) subgroup agg + a 1-row limits
+    rollup + the flag pass — model space after the first shuffle."""
+    from chemharmony_spark.cache import registered_persist
+
+    orders = _t(spark, sf, "orders")
+    daily = (
+        orders.select(
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1992-01-01").cast("date")
+            ).alias("day"),
+            (_d("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    grp = registered_persist(
+        daily.groupBy(F.expr("day DIV 7").alias("wk")).agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("rev").alias("s"),
+            (F.max("rev") - F.min("rev")).alias("r"),
+        ).where(F.col("cnt") == 7)
+    )
+    lims = grp.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("s").alias("ss"),
+        F.sum("r").alias("sr"),
+    )
+    xbarbar = F.col("ss").cast("double") / (
+        7.0 * F.col("k").cast("double")
+    )
+    rbar = F.col("sr").cast("double") / F.col("k").cast("double")
+    ucl_x = xbarbar + 0.419 * rbar
+    lcl_x = xbarbar - 0.419 * rbar
+    ucl_r = 1.924 * rbar
+    lcl_r = 0.076 * rbar
+    flagged = grp.crossJoin(F.broadcast(lims)).select(
+        "wk",
+        (F.col("s").cast("double") / 7.0).alias("xbar"),
+        F.col("r").cast("double").alias("rr"),
+        ucl_x.alias("ux"), lcl_x.alias("lx"),
+        ucl_r.alias("ur"), lcl_r.alias("lr"),
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(
+            F.when(
+                (F.col("xbar") > F.col("ux"))
+                | (F.col("xbar") < F.col("lx")),
+                1,
+            ).otherwise(0)
+        ).alias("mean_breaches"),
+        F.sum(
+            F.when(
+                (F.col("rr") > F.col("ur"))
+                | (F.col("rr") < F.col("lr")),
+                1,
+            ).otherwise(0)
+        ).alias("range_breaches"),
+        F.floor(F.min("ux")).cast("long").alias("ucl_x_floor"),
+        F.floor(F.min("ur")).cast("long").alias("ucl_r_floor"),
+    )
+
+
+def q420_holm_bonferroni(spark, sf):
+    """Holm-Bonferroni step-DOWN over the q374 per-nation tests:
+    reject while p_(i) <= alpha/(m - i + 1) and STOP at the first
+    failure — the family-wise-error companion to q374's BH step-up
+    (BH controls the false-discovery RATE; Holm guarantees no more
+    than alpha chance of ANY false positive — the stricter contract a
+    launch decision wants). Same Cantelli p-values; the stop-at-first
+    -failure scan is a running MIN of the pass flag over the rank
+    order.
+
+    Shape: q374's per-nation agg + two model-space windows (rank,
+    prefix-min)."""
+    nation = _t(spark, sf, "nation").select("n_nationkey", "n_name")
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    orders = _t(spark, sf, "orders")
+    per = (
+        orders.join(
+            F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_i"),
+            F.sum(
+                F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+            ).alias("x_i"),
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("n_name", "n_i", "x_i")
+    )
+    tot = per.agg(F.sum("n_i").alias("n"), F.sum("x_i").alias("x"))
+    j = per.crossJoin(F.broadcast(tot))
+    phat = F.col("x").cast("double") / F.col("n").cast("double")
+    num = F.col("x_i").cast("double") - F.col("n_i").cast("double") * phat
+    z2 = num * num / (
+        F.col("n_i").cast("double") * phat * (1.0 - phat)
+    )
+    scored = j.select(
+        "n_name",
+        F.floor(F.lit(1_000_000.0) / (1.0 + z2)).cast("long").alias(
+            "p_micro"
+        ),
+    )
+    wr = Window.orderBy("p_micro", "n_name")
+    m = 25
+    ranked = scored.withColumn("rank", F.row_number().over(wr))
+    # pass_i: p_(i) * (m - i + 1) <= alpha * 1e6 (alpha = 0.05)
+    flagged = ranked.withColumn(
+        "ok",
+        (
+            F.col("p_micro") * (F.lit(m) - F.col("rank") + 1)
+            <= F.lit(50_000)
+        ).cast("int"),
+    )
+    run = flagged.withColumn(
+        "all_ok",
+        F.min("ok").over(
+            wr.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return run.select(
+        "n_name",
+        "p_micro",
+        "rank",
+        F.col("all_ok").alias("rejected"),
+    )
+
+
+def q421_tail_dependence(spark, sf):
+    """Empirical upper-tail dependence between order value and line
+    count: lambda_U(q) = P(Y > y_q | X > x_q) at q = 0.95 and 0.99 —
+    do big-ticket orders and many-line orders EXTREME together? The
+    copula-tail question q233's (global) Spearman rho can't answer:
+    two variables can be rho=0.5 correlated with independent tails or
+    rho=0.3 with locked tails; risk lives in the tails. Thresholds
+    are exact discrete quantiles (rank windows); the conditional
+    counts are one pass.
+
+    Shape: one per-order agg + two model-space rank thresholds
+    (1-row broadcasts) + ONE conditional rollup."""
+    from chemharmony_spark.cache import registered_persist
+
+    li = _t(spark, sf, "lineitem")
+    per = registered_persist(
+        li.groupBy("l_orderkey").agg(
+            F.sum((_d("l_extendedprice") * 100).cast("long")).alias(
+                "cents"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+    n_tot = per.agg(F.count(F.lit(1)).alias("n"))
+
+    def thresh(col, q, name):
+        w = Window.orderBy(F.col(col), "l_orderkey")
+        return (
+            per.select(
+                "l_orderkey", col, F.row_number().over(w).alias("rk")
+            )
+            .crossJoin(F.broadcast(n_tot))
+            .where(F.col("rk") == F.ceil(F.lit(q) * F.col("n")))
+            .select(F.col(col).alias(name))
+        )
+    tx95 = thresh("cents", 0.95, "x95")
+    ty95 = thresh("n_lines", 0.95, "y95")
+    tx99 = thresh("cents", 0.99, "x99")
+    ty99 = thresh("n_lines", 0.99, "y99")
+    j = (
+        per.crossJoin(F.broadcast(tx95))
+        .crossJoin(F.broadcast(ty95))
+        .crossJoin(F.broadcast(tx99))
+        .crossJoin(F.broadcast(ty99))
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("cents") > F.col("x95"), 1).otherwise(0)
+        ).alias("nx95"),
+        F.sum(
+            F.when(
+                (F.col("cents") > F.col("x95"))
+                & (F.col("n_lines") > F.col("y95")),
+                1,
+            ).otherwise(0)
+        ).alias("nxy95"),
+        F.sum(
+            F.when(F.col("cents") > F.col("x99"), 1).otherwise(0)
+        ).alias("nx99"),
+        F.sum(
+            F.when(
+                (F.col("cents") > F.col("x99"))
+                & (F.col("n_lines") > F.col("y99")),
+                1,
+            ).otherwise(0)
+        ).alias("nxy99"),
+    )
+    return agg.select(
+        "n",
+        "nx95",
+        "nxy95",
+        F.expr("nxy95 * 1000000 DIV nx95").alias("lambda95_ppm"),
+        "nx99",
+        "nxy99",
+        F.expr(
+            "CASE WHEN nx99 > 0 THEN nxy99 * 1000000 DIV nx99 END"
+        ).alias("lambda99_ppm"),
+    )

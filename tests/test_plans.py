@@ -1086,6 +1086,19 @@ SHUFFLE_BUDGET = {
     "q413_granger_lite": 2,
     # q414: q184's distinct-value agg + model-space cumsum window
     "q414_mood_scale": 4,
+    # q416/q417: the persisted daily agg (reprinted per consumer) +
+    # the 1-row OLS moments + the residual/leverage pass
+    "q416_durbin_watson": 3,
+    "q417_cooks_distance": 2,
+    # q418: ONE map-side-combined rating agg
+    "q418_krippendorff_binary": 1,
+    # q419: the daily agg + weekly subgroup agg + 1-row limits
+    "q419_xbar_r_chart": 4,
+    # q420: q374's per-nation agg + rank/prefix-min windows
+    "q420_holm_bonferroni": 4,
+    # q421: the persisted per-order agg (reprinted per threshold
+    # branch) + four rank-threshold windows + the 1-row rollup
+    "q421_tail_dependence": 10,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -1328,6 +1341,15 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 "q412_haar_energy",
                 # q414: 1-row n broadcast onto the distinct values
                 "q414_mood_scale",
+                # q416/q417: 1-row OLS-moment broadcast onto the
+                # daily series
+                "q416_durbin_watson", "q417_cooks_distance",
+                # q419: 1-row control-limit broadcast onto the weeks
+                "q419_xbar_r_chart",
+                # q420: 1-row totals broadcast onto 25 nations
+                "q420_holm_bonferroni",
+                # q421: 1-row quantile-threshold broadcasts
+                "q421_tail_dependence",
                 # q409: the model-space weekly pair theta-join +
                 # 1-row S/tie combines
                 "q409_mann_kendall"}
