@@ -499,6 +499,12 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q419_xbar_r_chart": Q.q419_xbar_r_chart,
         "q420_holm_bonferroni": Q.q420_holm_bonferroni,
         "q421_tail_dependence": Q.q421_tail_dependence,
+        "q422_pps_systematic": Q.q422_pps_systematic,
+        "q423_lognormal_fit": Q.q423_lognormal_fit,
+        "q424_abc_xyz": Q.q424_abc_xyz,
+        "q425_interrupted_ts": Q.q425_interrupted_ts,
+        "q426_icc_design_effect": Q.q426_icc_design_effect,
+        "q427_histogram_bin_advisor": Q.q427_histogram_bin_advisor,
     }
 
 
@@ -13976,5 +13982,323 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN nx99 > 0 THEN nxy99 * 1000000 // nx99
                      END AS lambda99_ppm
             FROM agg
+        """,
+        "q422_pps_systematic": """
+            WITH orders_v AS (
+              SELECT o_orderkey,
+                     CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT) AS cents
+              FROM orders),
+            cum AS (
+              SELECT o_orderkey, cents,
+                     CAST(SUM(cents) OVER (ORDER BY o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS BIGINT) AS cum
+              FROM orders_v),
+            tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS total
+                    FROM orders_v)
+            SELECT o_orderkey, cents,
+                   (40 * cum + total) // (2 * total)
+                   - (40 * (cum - cents) + total) // (2 * total)
+                     AS n_hits
+            FROM cum, tot
+            WHERE (40 * cum + total) // (2 * total)
+                  - (40 * (cum - cents) + total) // (2 * total) > 0
+            ORDER BY o_orderkey
+        """,
+        "q423_lognormal_fit": """
+            WITH vals AS MATERIALIZED (
+              SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT) AS cents
+              FROM orders),
+            t AS (
+              SELECT CAST(floor(ln(CAST(cents AS DOUBLE) / 100.0)
+                       * 1000000000) AS BIGINT) AS l,
+                     CAST(floor(ln(CAST(cents AS DOUBLE) / 100.0)
+                       * ln(CAST(cents AS DOUBLE) / 100.0)
+                       * 1000000000) AS BIGINT) AS ll,
+                     cents
+              FROM vals),
+            mom AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(l AS HUGEINT)) AS HUGEINT) AS sl,
+                     CAST(SUM(CAST(ll AS HUGEINT)) AS HUGEINT)
+                       AS sll,
+                     CAST(SUM(CAST(cents AS HUGEINT)) AS HUGEINT)
+                       AS sc
+              FROM t),
+            med AS (
+              SELECT cents AS med_cents FROM (
+                SELECT cents, ROW_NUMBER() OVER (ORDER BY cents)
+                  AS rk FROM vals),
+                (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vals)
+              WHERE rk = CAST(ceil(CAST(n AS DOUBLE) / 2) AS BIGINT)),
+            f AS (
+              SELECT n,
+                     CAST(sl AS DOUBLE) / 1e9 / CAST(n AS DOUBLE)
+                       AS mu,
+                     CAST(sll AS DOUBLE) / 1e9 / CAST(n AS DOUBLE)
+                       - (CAST(sl AS DOUBLE) / 1e9
+                          / CAST(n AS DOUBLE))
+                         * (CAST(sl AS DOUBLE) / 1e9
+                            / CAST(n AS DOUBLE)) AS var,
+                     ln(CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)
+                        / 100.0)
+                       - ln(CAST(med_cents AS DOUBLE) / 100.0) AS gap
+              FROM mom, med)
+            SELECT n,
+                   CAST(floor(mu * 1000000) AS BIGINT)
+                     AS mu_ln_micro,
+                   CAST(floor(sqrt(var) * 1000000) AS BIGINT)
+                     AS sigma_ln_micro,
+                   CAST(floor(gap * 1000000) AS BIGINT)
+                     AS ln_mean_med_gap_micro,
+                   CAST(floor(var / 2.0 * 1000000) AS BIGINT)
+                     AS half_sigma2_micro,
+                   CAST(floor(abs(gap - var / 2.0) * 1000000)
+                        AS BIGINT) AS lognormal_misfit_micro
+            FROM f
+        """,
+        "q424_abc_xyz": """
+            WITH rev AS MATERIALIZED (
+              SELECT l_partkey,
+                     CAST(SUM(CAST(CAST(l_extendedprice
+                         AS DECIMAL(18,2)) * 100 AS BIGINT))
+                       AS BIGINT) AS cents
+              FROM lineitem GROUP BY 1),
+            ranked AS (
+              SELECT l_partkey, cents,
+                     ROW_NUMBER() OVER (ORDER BY cents DESC,
+                       l_partkey) AS rk
+              FROM rev),
+            cum AS (
+              SELECT l_partkey,
+                     CAST(SUM(cents) OVER (ORDER BY rk
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS BIGINT) AS cum
+              FROM ranked),
+            tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS total
+                    FROM rev),
+            abc AS (
+              SELECT l_partkey,
+                     CASE WHEN cum * 100 <= total * 80 THEN 'A'
+                          WHEN cum * 100 <= total * 95 THEN 'B'
+                          ELSE 'C' END AS abc
+              FROM cum, tot),
+            monthly AS (
+              SELECT l_partkey,
+                     strftime(CAST(l_shipdate AS DATE), '%Y-%m')
+                       AS m,
+                     CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                       AS d
+              FROM lineitem GROUP BY 1, 2),
+            cv AS (
+              SELECT l_partkey,
+                     CAST(COUNT(*) AS BIGINT) AS k,
+                     CAST(SUM(d) AS BIGINT) AS s1,
+                     CAST(SUM(CAST(d AS HUGEINT)
+                          * CAST(d AS HUGEINT)) AS HUGEINT) AS s2
+              FROM monthly GROUP BY 1),
+            xyz AS (
+              SELECT l_partkey,
+                     CASE WHEN sqrt(CAST(s2 AS DOUBLE)
+                            / CAST(k AS DOUBLE)
+                            - (CAST(s1 AS DOUBLE)
+                               / CAST(k AS DOUBLE))
+                              * (CAST(s1 AS DOUBLE)
+                                 / CAST(k AS DOUBLE)))
+                            / (CAST(s1 AS DOUBLE)
+                               / CAST(k AS DOUBLE)) < 0.5 THEN 'X'
+                          WHEN sqrt(CAST(s2 AS DOUBLE)
+                            / CAST(k AS DOUBLE)
+                            - (CAST(s1 AS DOUBLE)
+                               / CAST(k AS DOUBLE))
+                              * (CAST(s1 AS DOUBLE)
+                                 / CAST(k AS DOUBLE)))
+                            / (CAST(s1 AS DOUBLE)
+                               / CAST(k AS DOUBLE)) < 1.0 THEN 'Y'
+                          ELSE 'Z' END AS xyz
+              FROM cv)
+            SELECT a.abc, x.xyz, CAST(COUNT(*) AS BIGINT) AS n_parts
+            FROM abc a JOIN xyz x ON a.l_partkey = x.l_partkey
+            GROUP BY 1, 2
+        """,
+        "q425_interrupted_ts": """
+            WITH daily AS MATERIALIZED (
+              SELECT date_diff('day', DATE '1992-01-01',
+                               CAST(o_orderdate AS DATE)) AS day,
+                     CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                   * 100 AS BIGINT)) AS BIGINT) AS rev
+              FROM orders GROUP BY 1),
+            brk AS (
+              SELECT day AS brk FROM (
+                SELECT day, ROW_NUMBER() OVER (ORDER BY day) AS rk
+                FROM daily),
+                (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily)
+              WHERE rk = CAST(ceil(CAST(n AS DOUBLE) / 2)
+                              AS BIGINT)),
+            mom AS (
+              SELECT CAST(MIN(brk) AS BIGINT) AS brk,
+                     CAST(SUM(CASE WHEN day < brk THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n0,
+                     CAST(SUM(CASE WHEN day < brk THEN
+                       CAST(day AS HUGEINT) END) AS HUGEINT) AS sx0,
+                     CAST(SUM(CASE WHEN day < brk THEN
+                       CAST(rev AS HUGEINT) END) AS HUGEINT) AS sy0,
+                     CAST(SUM(CASE WHEN day < brk THEN
+                       CAST(day AS HUGEINT) * CAST(day AS HUGEINT)
+                       END) AS HUGEINT) AS sxx0,
+                     CAST(SUM(CASE WHEN day < brk THEN
+                       CAST(day AS HUGEINT) * CAST(rev AS HUGEINT)
+                       END) AS HUGEINT) AS sxy0,
+                     CAST(SUM(CASE WHEN day >= brk THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n1,
+                     CAST(SUM(CASE WHEN day >= brk THEN
+                       CAST(day AS HUGEINT) END) AS HUGEINT) AS sx1,
+                     CAST(SUM(CASE WHEN day >= brk THEN
+                       CAST(rev AS HUGEINT) END) AS HUGEINT) AS sy1,
+                     CAST(SUM(CASE WHEN day >= brk THEN
+                       CAST(day AS HUGEINT) * CAST(day AS HUGEINT)
+                       END) AS HUGEINT) AS sxx1,
+                     CAST(SUM(CASE WHEN day >= brk THEN
+                       CAST(day AS HUGEINT) * CAST(rev AS HUGEINT)
+                       END) AS HUGEINT) AS sxy1
+              FROM daily, brk),
+            fit AS (
+              SELECT brk, n0, n1,
+                     (CAST(n0 AS DOUBLE) * CAST(sxy0 AS DOUBLE)
+                      - CAST(sx0 AS DOUBLE) * CAST(sy0 AS DOUBLE))
+                     / (CAST(n0 AS DOUBLE) * CAST(sxx0 AS DOUBLE)
+                        - CAST(sx0 AS DOUBLE) * CAST(sx0 AS DOUBLE))
+                       AS b0,
+                     CAST(sx0 AS DOUBLE) AS sx0d,
+                     CAST(sy0 AS DOUBLE) AS sy0d,
+                     (CAST(n1 AS DOUBLE) * CAST(sxy1 AS DOUBLE)
+                      - CAST(sx1 AS DOUBLE) * CAST(sy1 AS DOUBLE))
+                     / (CAST(n1 AS DOUBLE) * CAST(sxx1 AS DOUBLE)
+                        - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE))
+                       AS b1,
+                     CAST(sx1 AS DOUBLE) AS sx1d,
+                     CAST(sy1 AS DOUBLE) AS sy1d
+              FROM mom)
+            SELECT brk, n0, n1,
+                   CAST(floor(b0 * 1000) AS BIGINT)
+                     AS slope_pre_millicents,
+                   CAST(floor(b1 * 1000) AS BIGINT)
+                     AS slope_post_millicents,
+                   CAST(floor((b1 - b0) * 1000) AS BIGINT)
+                     AS slope_change_millicents,
+                   CAST(floor((((sy1d - b1 * sx1d)
+                          / CAST(n1 AS DOUBLE)
+                          + b1 * CAST(brk AS DOUBLE))
+                        - ((sy0d - b0 * sx0d) / CAST(n0 AS DOUBLE)
+                           + b0 * CAST(brk AS DOUBLE))) / 100.0)
+                        AS BIGINT) AS level_jump_usd
+            FROM fit
+        """,
+        "q426_icc_design_effect": """
+            WITH per AS (
+              SELECT o_custkey,
+                     CAST(COUNT(*) AS BIGINT) AS n_i,
+                     CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS x_i
+              FROM orders GROUP BY 1),
+            s AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                     CAST(SUM(n_i) AS BIGINT) AS n,
+                     CAST(SUM(x_i) AS BIGINT) AS x,
+                     CAST(SUM(CAST(n_i AS HUGEINT)
+                          * CAST(n_i AS HUGEINT)) AS HUGEINT) AS sn2,
+                     CAST(SUM(CAST(floor(CAST(x_i AS DOUBLE)
+                       * CAST(x_i AS DOUBLE) / CAST(n_i AS DOUBLE)
+                       * 1000000) AS BIGINT)) AS BIGINT) AS sxx_micro
+              FROM per),
+            f AS (
+              SELECT k, n,
+                     (CAST(sxx_micro AS DOUBLE) / 1e6
+                      - CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                        / CAST(n AS DOUBLE))
+                     / (CAST(k AS DOUBLE) - 1.0) AS msb,
+                     (CAST(x AS DOUBLE)
+                      - CAST(sxx_micro AS DOUBLE) / 1e6)
+                     / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))
+                       AS msw,
+                     (CAST(n AS DOUBLE) - CAST(sn2 AS DOUBLE)
+                        / CAST(n AS DOUBLE))
+                     / (CAST(k AS DOUBLE) - 1.0) AS n0
+              FROM s),
+            g AS (
+              SELECT k, n,
+                     (msb - msw) / (msb + (n0 - 1.0) * msw) AS icc
+              FROM f)
+            SELECT k, n,
+                   CAST(floor(icc * 1000000) AS BIGINT) AS icc_micro,
+                   CAST(floor((1.0 + (CAST(n AS DOUBLE)
+                          / CAST(k AS DOUBLE) - 1.0) * icc)
+                        * 1000000) AS BIGINT) AS deff_micro,
+                   CAST(floor(CAST(n AS DOUBLE)
+                        / (1.0 + (CAST(n AS DOUBLE)
+                           / CAST(k AS DOUBLE) - 1.0) * icc))
+                        AS BIGINT) AS effective_n
+            FROM g
+        """,
+        "q427_histogram_bin_advisor": """
+            WITH vals AS MATERIALIZED (
+              SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT) AS cents
+              FROM orders),
+            mom AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(cents AS HUGEINT)) AS HUGEINT)
+                       AS s1,
+                     CAST(SUM(CAST(cents AS HUGEINT)
+                          * CAST(cents AS HUGEINT)) AS HUGEINT)
+                       AS s2,
+                     CAST(MIN(cents) AS BIGINT) AS lo,
+                     CAST(MAX(cents) AS BIGINT) AS hi
+              FROM vals),
+            q1t AS (SELECT cents AS q1 FROM (
+                SELECT cents, ROW_NUMBER() OVER (ORDER BY cents)
+                  AS rk FROM vals),
+                (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vals)
+              WHERE rk = CAST(ceil(0.25 * n) AS BIGINT)),
+            q3t AS (SELECT cents AS q3 FROM (
+                SELECT cents, ROW_NUMBER() OVER (ORDER BY cents)
+                  AS rk FROM vals),
+                (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vals)
+              WHERE rk = CAST(ceil(0.75 * n) AS BIGINT)),
+            c0 AS (
+              SELECT n, s1, s2, lo, hi, q1, q3,
+                     sqrt(sqrt(CAST(n AS DOUBLE))) AS t
+              FROM mom, q1t, q3t),
+            c1 AS (SELECT *, (2.0 * t + CAST(n AS DOUBLE)
+                     / (t * t)) / 3.0 AS t1 FROM c0),
+            c2 AS (SELECT *, (2.0 * t1 + CAST(n AS DOUBLE)
+                     / (t1 * t1)) / 3.0 AS t2 FROM c1),
+            c3 AS (SELECT *, (2.0 * t2 + CAST(n AS DOUBLE)
+                     / (t2 * t2)) / 3.0 AS t3 FROM c2),
+            c4 AS (SELECT *, (2.0 * t3 + CAST(n AS DOUBLE)
+                     / (t3 * t3)) / 3.0 AS cbrt_n FROM c3),
+            f AS (
+              SELECT n,
+                     1.0 + ln(CAST(n AS DOUBLE)) / ln(2.0)
+                       AS sturges,
+                     CAST(hi - lo AS DOUBLE) AS rng,
+                     3.49 * sqrt(CAST(s2 AS DOUBLE)
+                       / CAST(n AS DOUBLE)
+                       - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                       / cbrt_n AS w_scott,
+                     2.0 * CAST(q3 - q1 AS DOUBLE) / cbrt_n AS w_fd
+              FROM c4)
+            SELECT n,
+                   CAST(floor(sturges) AS BIGINT) AS sturges_bins,
+                   CAST(floor(rng / w_scott) AS BIGINT)
+                     AS scott_bins,
+                   CAST(floor(rng / w_fd) AS BIGINT) AS fd_bins,
+                   CAST(floor(w_scott) AS BIGINT)
+                     AS scott_width_cents,
+                   CAST(floor(w_fd) AS BIGINT) AS fd_width_cents
+            FROM f
         """,
     }

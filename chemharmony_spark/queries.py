@@ -19388,3 +19388,428 @@ def q421_tail_dependence(spark, sf):
             "CASE WHEN nx99 > 0 THEN nxy99 * 1000000 DIV nx99 END"
         ).alias("lambda99_ppm"),
     )
+
+
+def q422_pps_systematic(spark, sf):
+    """Systematic probability-proportional-to-size sample of 20
+    orders: walk the revenue cumsum with a deterministic half-step
+    start and take the order where each of the 20 equally spaced
+    pointers lands — the SURVEY-sampling workhorse (Madow): inclusion
+    probability proportional to value with zero randomness needed
+    beyond the (fixed, auditable) start. Selection is pure integer
+    arithmetic on the cumulative cents: order o is hit iff
+    ceil((cum_before * 20 * 2 + total) / (2 * total)) increments
+    across its mass.
+
+    Shape: the q58 bucketed cumsum over per-order values + a
+    1-row total broadcast + ONE selection filter. Deterministic,
+    oracle-exact, no RNG."""
+    from chemharmony_spark.operators.core import grouped_cumsum
+
+    orders = _t(spark, sf, "orders").select(
+        "o_orderkey",
+        (_d("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    K = 20
+    cum = grouped_cumsum(
+        orders,
+        keys=(),
+        order_col="o_orderkey",
+        value_col="cents",
+        out_col="cum",
+        bucket=F.expr("o_orderkey DIV 131072"),
+    )
+    tot = orders.agg(F.sum("cents").alias("total"))
+    j = cum.crossJoin(F.broadcast(tot))
+    # pointer index reached by the end of this order vs before it:
+    # p(c) = (2*K*c + total) DIV (2*total) counts the pointers at
+    # (i + 0.5) * total / K <= c for i = 0..K-1 — PURE integer
+    # arithmetic (operands bounded by 2K * total ~ 1e14 << 2^63)
+    def pcount(c):
+        return F.expr(
+            f"({2 * K} * ({c}) + total) DIV (2 * total)"
+        )
+    hit = pcount("cum") - pcount("cum - cents")
+    return (
+        j.select("o_orderkey", "cents", hit.alias("n_hits"))
+        .where(F.col("n_hits") > 0)
+        .orderBy("o_orderkey")
+    )
+
+
+def q423_lognormal_fit(spark, sf):
+    """Lognormal method-of-moments fit of order values in LOG space
+    (mu, sigma of ln dollars) plus the lognormal CONSISTENCY check
+    mean/median = e^{sigma^2/2} ... reported in log form
+    (ln(mean) - ln(median) vs sigma^2/2, both sides computable
+    without exp) — the right-skew model for money amounts that
+    q410's JB only rejects normality FOR; together they say "not
+    normal, and lognormal fits THIS well". Log moments floor to nano
+    before integer sums; the medians come from the exact rank window.
+
+    Shape: one distinct-value agg + a model-space rank window for
+    the median + ONE moment agg."""
+    from chemharmony_spark.cache import registered_persist
+
+    orders = _t(spark, sf, "orders")
+    vals = registered_persist(
+        orders.select(
+            (_d("o_totalprice") * 100).cast("long").alias("cents")
+        )
+    )
+    lx = F.log(F.col("cents").cast("double") / 100.0)
+    t = vals.select(
+        F.floor(lx * 1_000_000_000).cast("long").alias("l"),
+        F.floor(lx * lx * 1_000_000_000).cast("long").alias("ll"),
+        "cents",
+    )
+    D38 = "decimal(38,0)"
+    mom = t.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l").cast(D38)).alias("sl"),
+        F.sum(F.col("ll").cast(D38)).alias("sll"),
+        F.sum(F.col("cents").cast(D38)).alias("sc"),
+    )
+    med = (
+        vals.select(
+            "cents",
+            F.row_number().over(
+                Window.orderBy("cents")
+            ).alias("rk"),
+        )
+        .crossJoin(F.broadcast(vals.agg(F.count(F.lit(1)).alias("n"))))
+        .where(F.col("rk") == F.ceil(F.col("n") / 2))
+        .select(F.col("cents").alias("med_cents"))
+    )
+    j = mom.crossJoin(F.broadcast(med))
+    nd = F.col("n").cast("double")
+    mu = F.col("sl").cast("double") / 1e9 / nd
+    var = F.col("sll").cast("double") / 1e9 / nd - mu * mu
+    ln_mean = F.log(
+        F.col("sc").cast("double") / nd / 100.0
+    )
+    ln_med = F.log(F.col("med_cents").cast("double") / 100.0)
+    gap = ln_mean - ln_med
+    return j.select(
+        "n",
+        F.floor(mu * 1_000_000).cast("long").alias("mu_ln_micro"),
+        F.floor(F.sqrt(var) * 1_000_000).cast("long").alias(
+            "sigma_ln_micro"
+        ),
+        F.floor(gap * 1_000_000).cast("long").alias(
+            "ln_mean_med_gap_micro"
+        ),
+        F.floor(var / 2.0 * 1_000_000).cast("long").alias(
+            "half_sigma2_micro"
+        ),
+        F.floor(
+            F.abs(gap - var / 2.0) * 1_000_000
+        ).cast("long").alias("lognormal_misfit_micro"),
+    )
+
+
+def q424_abc_xyz(spark, sf):
+    """ABC/XYZ inventory segmentation of parts: ABC classes from the
+    revenue Pareto cumshare (A: first 80%, B: next 15%, C: tail) and
+    XYZ from monthly demand variability (CV < 0.5 / < 1 / rest), then
+    the 3x3 class-count matrix — the planning segmentation behind
+    safety-stock policy (q174 gives the Pareto curve; this CROSSES it
+    with stability, which is what picks the policy). Revenue cumsums
+    run bucketed; CVs come from exact per-part monthly moments.
+
+    Shape: one (part) revenue agg + bucketed cumsum + one
+    (part, month) agg -> per-part moments + the 9-cell rollup."""
+    from chemharmony_spark.cache import registered_persist
+    from chemharmony_spark.operators.core import grouped_cumsum
+
+    li = _t(spark, sf, "lineitem")
+    rev = registered_persist(
+        li.groupBy("l_partkey").agg(
+            F.sum((_d("l_extendedprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    # Pareto order: by revenue desc, key asc — cumsum via md5 bucket
+    # of the RANK so the order matches the distinct-rank walk
+    w = Window.orderBy(F.col("cents").desc(), "l_partkey")
+    ranked = rev.select(
+        "l_partkey", "cents", F.row_number().over(w).alias("rk")
+    )
+    cum = grouped_cumsum(
+        ranked,
+        keys=(),
+        order_col="rk",
+        value_col="cents",
+        out_col="cum",
+        bucket=F.expr("rk DIV 4096"),
+    )
+    tot = rev.agg(F.sum("cents").alias("total"))
+    abc = cum.crossJoin(F.broadcast(tot)).select(
+        "l_partkey",
+        F.when(
+            F.col("cum") * 100 <= F.col("total") * 80, "A"
+        )
+        .when(F.col("cum") * 100 <= F.col("total") * 95, "B")
+        .otherwise("C")
+        .alias("abc"),
+    )
+    D38 = "decimal(38,0)"
+    monthly = (
+        li.select(
+            "l_partkey",
+            F.date_format("l_shipdate", "yyyy-MM").alias("m"),
+            F.col("l_quantity").cast("long").alias("q"),
+        )
+        .groupBy("l_partkey", "m")
+        .agg(F.sum("q").alias("d"))
+    )
+    cv = monthly.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("d").alias("s1"),
+        F.sum(F.col("d").cast(D38) * F.col("d").cast(D38)).alias("s2"),
+    )
+    kd = F.col("k").cast("double")
+    m = F.col("s1").cast("double") / kd
+    sd = F.sqrt(F.col("s2").cast("double") / kd - m * m)
+    xyz = cv.select(
+        "l_partkey",
+        F.when(sd / m < 0.5, "X")
+        .when(sd / m < 1.0, "Y")
+        .otherwise("Z")
+        .alias("xyz"),
+    )
+    return (
+        abc.join(xyz, on="l_partkey")
+        .groupBy("abc", "xyz")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+def q425_interrupted_ts(spark, sf):
+    """Interrupted time-series reading of the daily revenue stream
+    around the series midpoint: separate OLS trend fits BEFORE and
+    AFTER the break day, reporting the level jump at the break and
+    the slope change — the single-series causal-reading companion to
+    q267's diff-in-diff (no control group; identification comes from
+    the trend discontinuity). Both fits are closed-form from exact
+    integer moments; the break day is the median observed day (a
+    deterministic rank threshold, not a tuned knob).
+
+    Shape: one (day) agg + a rank-median broadcast + TWO conditional
+    moment sums folded in ONE agg + 1-row algebra."""
+    from chemharmony_spark.cache import registered_persist
+
+    orders = _t(spark, sf, "orders")
+    daily = registered_persist(
+        orders.select(
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1992-01-01").cast("date")
+            ).alias("day"),
+            (_d("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    brk = (
+        daily.select(
+            "day",
+            F.row_number().over(Window.orderBy("day")).alias("rk"),
+        )
+        .crossJoin(
+            F.broadcast(daily.agg(F.count(F.lit(1)).alias("n")))
+        )
+        .where(F.col("rk") == F.ceil(F.col("n") / 2))
+        .select(F.col("day").alias("brk"))
+    )
+    D38 = "decimal(38,0)"
+    j = daily.crossJoin(F.broadcast(brk))
+
+    def seg_mom(cond, tag):
+        dd = F.when(cond, F.col("day").cast(D38))
+        rr = F.when(cond, F.col("rev").cast(D38))
+        return [
+            F.sum(F.when(cond, 1).otherwise(0)).alias(f"n{tag}"),
+            F.sum(dd).alias(f"sx{tag}"),
+            F.sum(rr).alias(f"sy{tag}"),
+            F.sum(
+                F.when(
+                    cond,
+                    F.col("day").cast(D38) * F.col("day").cast(D38),
+                )
+            ).alias(f"sxx{tag}"),
+            F.sum(
+                F.when(
+                    cond,
+                    F.col("day").cast(D38) * F.col("rev").cast(D38),
+                )
+            ).alias(f"sxy{tag}"),
+        ]
+    pre = F.col("day") < F.col("brk")
+    mom = j.agg(
+        F.min("brk").alias("brk"),
+        *seg_mom(pre, "0"),
+        *seg_mom(~pre, "1"),
+    )
+
+    def fit(tag):
+        nd = F.col(f"n{tag}").cast("double")
+        sx = F.col(f"sx{tag}").cast("double")
+        sy = F.col(f"sy{tag}").cast("double")
+        b = (
+            nd * F.col(f"sxy{tag}").cast("double") - sx * sy
+        ) / (nd * F.col(f"sxx{tag}").cast("double") - sx * sx)
+        a = (sy - b * sx) / nd
+        return a, b
+    a0, b0 = fit("0")
+    a1, b1 = fit("1")
+    bd = F.col("brk").cast("double")
+    jump = (a1 + b1 * bd) - (a0 + b0 * bd)
+    return mom.select(
+        "brk",
+        F.col("n0"),
+        F.col("n1"),
+        F.floor(b0 * 1_000).cast("long").alias(
+            "slope_pre_millicents"
+        ),
+        F.floor(b1 * 1_000).cast("long").alias(
+            "slope_post_millicents"
+        ),
+        F.floor((b1 - b0) * 1_000).cast("long").alias(
+            "slope_change_millicents"
+        ),
+        F.floor(jump / 100.0).cast("long").alias("level_jump_usd"),
+    )
+
+
+def q426_icc_design_effect(spark, sf):
+    """Intraclass correlation of the finalized-order outcome within
+    customers + the Kish design effect DEFF = 1 + (m̄-1)ρ — the
+    cluster-randomization planning number (randomize by CUSTOMER and
+    your effective sample size shrinks by DEFF; q361's Kish ESS
+    weights by w, this one clusters by unit): one-way ANOVA
+    components on the binary outcome, all from exact per-customer
+    (n_i, x_i) sums.
+
+    Shape: ONE (customer) agg + ONE moment rollup — model space
+    after the first shuffle."""
+    orders = _t(spark, sf, "orders")
+    per = (
+        orders.select(
+            "o_custkey",
+            F.when(F.col("o_orderstatus") == "F", 1)
+            .otherwise(0)
+            .alias("y"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_i"), F.sum("y").alias("x_i"))
+    )
+    D38 = "decimal(38,0)"
+    s = per.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_i").alias("n"),
+        F.sum("x_i").alias("x"),
+        F.sum(F.col("n_i").cast(D38) * F.col("n_i").cast(D38)).alias(
+            "sn2"
+        ),
+        # between-cluster sum of x_i^2/n_i scaled: floor to micro
+        F.sum(
+            F.floor(
+                F.col("x_i").cast("double")
+                * F.col("x_i").cast("double")
+                / F.col("n_i").cast("double")
+                * 1_000_000
+            ).cast("long")
+        ).alias("sxx_micro"),
+    )
+    kd = F.col("k").cast("double")
+    nd = F.col("n").cast("double")
+    xd = F.col("x").cast("double")
+    # ANOVA on binary y: SST = x - x^2/n; SSB = sum(x_i^2/n_i) - x^2/n
+    ssb = F.col("sxx_micro").cast("double") / 1e6 - xd * xd / nd
+    ssw = xd - F.col("sxx_micro").cast("double") / 1e6
+    msb = ssb / (kd - 1.0)
+    # ANOVA estimator cluster-size correction n0
+    n0 = (nd - F.col("sn2").cast("double") / nd) / (kd - 1.0)
+    msw = ssw / (nd - kd)
+    icc = (msb - msw) / (msb + (n0 - 1.0) * msw)
+    mbar = nd / kd
+    deff = 1.0 + (mbar - 1.0) * icc
+    return s.select(
+        "k",
+        "n",
+        F.floor(icc * 1_000_000).cast("long").alias("icc_micro"),
+        F.floor(deff * 1_000_000).cast("long").alias("deff_micro"),
+        F.floor(nd / deff).cast("long").alias("effective_n"),
+    )
+
+
+def q427_histogram_bin_advisor(spark, sf):
+    """Histogram bin-count advisor: Sturges (1 + log2 n),
+    Scott (3.49 sd / n^(1/3) bin width), and Freedman-Diaconis
+    (2 IQR / n^(1/3)) recommendations for the order-value
+    distribution, from exact moments and exact rank quantiles —
+    the profiling helper that picks q84's bin count instead of
+    hardcoding it. The n^(1/3) factor is computed WITHOUT pow/exp/
+    libm-cbrt (all banned or per-engine-drifty): four Newton steps
+    t <- (2t + n/t^2)/3 from a sqrt(sqrt(n)) seed converge to machine
+    precision using only +,*,/ — the identical IEEE sequence on both
+    engines.
+
+    Shape: ONE moment agg + two rank-quantile broadcasts — model
+    space."""
+    from chemharmony_spark.cache import registered_persist
+
+    orders = _t(spark, sf, "orders")
+    vals = registered_persist(
+        orders.select(
+            (_d("o_totalprice") * 100).cast("long").alias("cents")
+        )
+    )
+    D38 = "decimal(38,0)"
+    mom = vals.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("cents").cast(D38)).alias("s1"),
+        F.sum(F.col("cents").cast(D38) * F.col("cents").cast(D38)).alias(
+            "s2"
+        ),
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+    )
+    n_tot = vals.agg(F.count(F.lit(1)).alias("n"))
+
+    def q_at(q, name):
+        w = Window.orderBy("cents")
+        return (
+            vals.select(
+                "cents", F.row_number().over(w).alias("rk")
+            )
+            .crossJoin(F.broadcast(n_tot))
+            .where(F.col("rk") == F.ceil(F.lit(q) * F.col("n")))
+            .select(F.col("cents").alias(name))
+        )
+    j = mom.crossJoin(F.broadcast(q_at(0.25, "q1"))).crossJoin(
+        F.broadcast(q_at(0.75, "q3"))
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / nd
+    sd = F.sqrt(F.col("s2").cast("double") / nd - mean * mean)
+    # cube root WITHOUT libm cbrt (per-engine last-ulp drift): four
+    # Newton steps t <- (2t + n/t^2)/3 from the sqrt(sqrt(n)) seed —
+    # plain +,*,/ only, so both engines walk identical IEEE ops
+    cbrt_n = F.sqrt(F.sqrt(nd))
+    for _ in range(4):
+        cbrt_n = (2.0 * cbrt_n + nd / (cbrt_n * cbrt_n)) / 3.0
+    rng = (F.col("hi") - F.col("lo")).cast("double")
+    iqr = (F.col("q3") - F.col("q1")).cast("double")
+    w_scott = 3.49 * sd / cbrt_n
+    w_fd = 2.0 * iqr / cbrt_n
+    sturges = 1.0 + F.log(nd) / F.log(F.lit(2.0))
+    return j.select(
+        "n",
+        F.floor(sturges).cast("long").alias("sturges_bins"),
+        F.floor(rng / w_scott).cast("long").alias("scott_bins"),
+        F.floor(rng / w_fd).cast("long").alias("fd_bins"),
+        F.floor(w_scott).cast("long").alias("scott_width_cents"),
+        F.floor(w_fd).cast("long").alias("fd_width_cents"),
+    )

@@ -1099,6 +1099,23 @@ SHUFFLE_BUDGET = {
     # q421: the persisted per-order agg (reprinted per threshold
     # branch) + four rank-threshold windows + the 1-row rollup
     "q421_tail_dependence": 10,
+    # q422: the bucketed cumsum (intra window + offsets) + the 1-row
+    # total broadcast
+    "q422_pps_systematic": 5,
+    # q423: the persisted value column (reprinted per consumer) +
+    # rank-median window + 1-row moments
+    "q423_lognormal_fit": 3,
+    # q424: the persisted revenue agg + Pareto rank/bucketed cumsum
+    # + the monthly demand agg + per-part CV + the 9-cell rollup
+    "q424_abc_xyz": 6,
+    # q425: the persisted daily agg + rank-median break + the 1-row
+    # two-segment moment rollup
+    "q425_interrupted_ts": 4,
+    # q426: the per-customer agg + the 1-row ANOVA rollup
+    "q426_icc_design_effect": 2,
+    # q427: the persisted values + two rank-quantile windows +
+    # 1-row moments
+    "q427_histogram_bin_advisor": 5,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -1350,6 +1367,12 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 "q420_holm_bonferroni",
                 # q421: 1-row quantile-threshold broadcasts
                 "q421_tail_dependence",
+                # q422/q424: 1-row Pareto/PPS total broadcasts
+                "q422_pps_systematic", "q424_abc_xyz",
+                # q423/q425/q427: 1-row median/quantile/moment
+                # broadcasts onto model-space frames
+                "q423_lognormal_fit", "q425_interrupted_ts",
+                "q427_histogram_bin_advisor",
                 # q409: the model-space weekly pair theta-join +
                 # 1-row S/tie combines
                 "q409_mann_kendall"}
