@@ -505,6 +505,12 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q425_interrupted_ts": Q.q425_interrupted_ts,
         "q426_icc_design_effect": Q.q426_icc_design_effect,
         "q427_histogram_bin_advisor": Q.q427_histogram_bin_advisor,
+        "q428_by_fdr": Q.q428_by_fdr,
+        "q429_gains_curve": Q.q429_gains_curve,
+        "q430_chow_test": Q.q430_chow_test,
+        "q431_distribution_overlap": Q.q431_distribution_overlap,
+        "q432_meta_fixed_effect": Q.q432_meta_fixed_effect,
+        "q433_dominant_period": Q.q433_dominant_period,
     }
 
 
@@ -934,6 +940,12 @@ def _kmeans_oracle(dims: int = 64, n_cells: int = 8, iters: int = 2,
             ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id)
         WHERE sim >= {threshold}"""
     )
+
+
+# BY-FDR harmonic constant: H_25 in nanos — the same driver-side Python
+# expression queries.q428_by_fdr evaluates, so both engines compare against
+# the identical integer literal
+_H25_NANO = int(sum(1.0 / i for i in range(1, 26)) * 1_000_000_000)
 
 
 def _q397_sql() -> str:
@@ -14300,5 +14312,333 @@ def oracle_sql() -> dict[str, str]:
                      AS scott_width_cents,
                    CAST(floor(w_fd) AS BIGINT) AS fd_width_cents
             FROM f
+        """,
+        "q428_by_fdr": f"""
+            WITH per AS (
+              SELECT n.n_name,
+                     CAST(COUNT(*) AS BIGINT) AS n_i,
+                     CAST(SUM(CASE WHEN o.o_orderstatus = 'F'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS x_i
+              FROM orders o
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN nation n ON c.c_nationkey = n.n_nationkey
+              GROUP BY 1),
+            tot AS (SELECT CAST(SUM(n_i) AS BIGINT) AS n,
+                           CAST(SUM(x_i) AS BIGINT) AS x FROM per),
+            scored AS (
+              SELECT n_name,
+                     CAST(floor(1000000.0 / (1.0 +
+                       (CAST(x_i AS DOUBLE) - CAST(n_i AS DOUBLE)
+                        * (CAST(x AS DOUBLE) / CAST(n AS DOUBLE)))
+                       * (CAST(x_i AS DOUBLE) - CAST(n_i AS DOUBLE)
+                          * (CAST(x AS DOUBLE) / CAST(n AS DOUBLE)))
+                       / (CAST(n_i AS DOUBLE)
+                          * (CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+                          * (1.0 - CAST(x AS DOUBLE)
+                                   / CAST(n AS DOUBLE)))))
+                       AS BIGINT) AS p_micro
+              FROM per, tot),
+            ranked AS (
+              SELECT n_name, p_micro,
+                     ROW_NUMBER() OVER (ORDER BY p_micro, n_name)
+                       AS rank
+              FROM scored),
+            flagged AS (
+              SELECT n_name, p_micro, rank,
+                     CASE WHEN CAST(p_micro AS HUGEINT) * 25
+                            * CAST({_H25_NANO} AS HUGEINT)
+                          <= CAST(rank AS HUGEINT) * 50000
+                            * CAST(1000000000 AS HUGEINT)
+                          THEN 1 ELSE 0 END AS ok
+              FROM ranked),
+            kk AS (SELECT COALESCE(MAX(CASE WHEN ok = 1 THEN rank
+                     END), 0) AS k FROM flagged)
+            SELECT n_name, p_micro, rank,
+                   CASE WHEN rank <= k THEN 1 ELSE 0 END AS rejected
+            FROM flagged, kk
+        """,
+        "q429_gains_curve": """
+            WITH vals AS (
+              SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT) AS s,
+                     CAST(COUNT(*) AS BIGINT) AS cnt,
+                     CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS cpos
+              FROM orders GROUP BY 1),
+            cum AS (
+              SELECT s, cnt, cpos,
+                     CAST(SUM(cnt) OVER w AS BIGINT) AS ca,
+                     CAST(SUM(cpos) OVER w AS BIGINT) AS cp
+              FROM vals
+              WINDOW w AS (ORDER BY s DESC ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND CURRENT ROW)),
+            tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+                           CAST(SUM(cpos) AS BIGINT) AS n1
+                    FROM vals),
+            j AS (
+              SELECT least(9, (ca - 1) * 10 // n) AS decile,
+                     ca, cp, n, n1
+              FROM cum, tot),
+            per AS (
+              SELECT decile, n, n1,
+                     CAST(MAX(ca) AS BIGINT) AS cum_n,
+                     CAST(MAX(cp) AS BIGINT) AS cum_pos
+              FROM j GROUP BY 1, 2, 3)
+            SELECT decile, cum_n, cum_pos,
+                   cum_pos * 1000000 // n1 AS gain_ppm,
+                   (cum_pos * 1000000 // n1)
+                     - (cum_n * 1000000 // n) AS lift_vs_random_ppm
+            FROM per
+        """,
+        "q430_chow_test": """
+            WITH daily AS MATERIALIZED (
+              SELECT date_diff('day', DATE '1992-01-01',
+                               CAST(o_orderdate AS DATE)) AS day,
+                     CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                   * 100 AS BIGINT)) AS BIGINT) AS rev
+              FROM orders GROUP BY 1),
+            brk AS (
+              SELECT day AS brk FROM (
+                SELECT day, ROW_NUMBER() OVER (ORDER BY day) AS rk
+                FROM daily),
+                (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily)
+              WHERE rk = CAST(ceil(CAST(n AS DOUBLE) / 2)
+                              AS BIGINT)),
+            j AS (
+              SELECT day, rev // 100 AS r, day < brk AS pre
+              FROM daily, brk),
+            agg AS (
+              SELECT
+                CAST(SUM(CASE WHEN pre THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n0,
+                CAST(SUM(CASE WHEN pre THEN CAST(day AS HUGEINT)
+                  END) AS HUGEINT) AS sx0,
+                CAST(SUM(CASE WHEN pre THEN CAST(r AS HUGEINT)
+                  END) AS HUGEINT) AS sy0,
+                CAST(SUM(CASE WHEN pre THEN CAST(day AS HUGEINT)
+                  * CAST(day AS HUGEINT) END) AS HUGEINT) AS sxx0,
+                CAST(SUM(CASE WHEN pre THEN CAST(day AS HUGEINT)
+                  * CAST(r AS HUGEINT) END) AS HUGEINT) AS sxy0,
+                CAST(SUM(CASE WHEN pre THEN CAST(r AS HUGEINT)
+                  * CAST(r AS HUGEINT) END) AS HUGEINT) AS syy0,
+                CAST(SUM(CASE WHEN NOT pre THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n1,
+                CAST(SUM(CASE WHEN NOT pre THEN CAST(day AS HUGEINT)
+                  END) AS HUGEINT) AS sx1,
+                CAST(SUM(CASE WHEN NOT pre THEN CAST(r AS HUGEINT)
+                  END) AS HUGEINT) AS sy1,
+                CAST(SUM(CASE WHEN NOT pre THEN CAST(day AS HUGEINT)
+                  * CAST(day AS HUGEINT) END) AS HUGEINT) AS sxx1,
+                CAST(SUM(CASE WHEN NOT pre THEN CAST(day AS HUGEINT)
+                  * CAST(r AS HUGEINT) END) AS HUGEINT) AS sxy1,
+                CAST(SUM(CASE WHEN NOT pre THEN CAST(r AS HUGEINT)
+                  * CAST(r AS HUGEINT) END) AS HUGEINT) AS syy1,
+                CAST(SUM(CASE WHEN TRUE THEN 1 ELSE 0 END) AS BIGINT)
+                  AS np,
+                CAST(SUM(CASE WHEN TRUE THEN CAST(day AS HUGEINT)
+                  END) AS HUGEINT) AS sxp,
+                CAST(SUM(CASE WHEN TRUE THEN CAST(r AS HUGEINT)
+                  END) AS HUGEINT) AS syp,
+                CAST(SUM(CASE WHEN TRUE THEN CAST(day AS HUGEINT)
+                  * CAST(day AS HUGEINT) END) AS HUGEINT) AS sxxp,
+                CAST(SUM(CASE WHEN TRUE THEN CAST(day AS HUGEINT)
+                  * CAST(r AS HUGEINT) END) AS HUGEINT) AS sxyp,
+                CAST(SUM(CASE WHEN TRUE THEN CAST(r AS HUGEINT)
+                  * CAST(r AS HUGEINT) END) AS HUGEINT) AS syyp
+              FROM j),
+            f AS (
+              SELECT np,
+                ((CAST(np AS DOUBLE) * CAST(syyp AS DOUBLE)
+                  - CAST(syp AS DOUBLE) * CAST(syp AS DOUBLE))
+                 - (CAST(np AS DOUBLE) * CAST(sxyp AS DOUBLE)
+                    - CAST(sxp AS DOUBLE) * CAST(syp AS DOUBLE))
+                   * (CAST(np AS DOUBLE) * CAST(sxyp AS DOUBLE)
+                      - CAST(sxp AS DOUBLE) * CAST(syp AS DOUBLE))
+                   / (CAST(np AS DOUBLE) * CAST(sxxp AS DOUBLE)
+                      - CAST(sxp AS DOUBLE) * CAST(sxp AS DOUBLE)))
+                / CAST(np AS DOUBLE) AS rp,
+                ((CAST(n0 AS DOUBLE) * CAST(syy0 AS DOUBLE)
+                  - CAST(sy0 AS DOUBLE) * CAST(sy0 AS DOUBLE))
+                 - (CAST(n0 AS DOUBLE) * CAST(sxy0 AS DOUBLE)
+                    - CAST(sx0 AS DOUBLE) * CAST(sy0 AS DOUBLE))
+                   * (CAST(n0 AS DOUBLE) * CAST(sxy0 AS DOUBLE)
+                      - CAST(sx0 AS DOUBLE) * CAST(sy0 AS DOUBLE))
+                   / (CAST(n0 AS DOUBLE) * CAST(sxx0 AS DOUBLE)
+                      - CAST(sx0 AS DOUBLE) * CAST(sx0 AS DOUBLE)))
+                / CAST(n0 AS DOUBLE) AS r0,
+                ((CAST(n1 AS DOUBLE) * CAST(syy1 AS DOUBLE)
+                  - CAST(sy1 AS DOUBLE) * CAST(sy1 AS DOUBLE))
+                 - (CAST(n1 AS DOUBLE) * CAST(sxy1 AS DOUBLE)
+                    - CAST(sx1 AS DOUBLE) * CAST(sy1 AS DOUBLE))
+                   * (CAST(n1 AS DOUBLE) * CAST(sxy1 AS DOUBLE)
+                      - CAST(sx1 AS DOUBLE) * CAST(sy1 AS DOUBLE))
+                   / (CAST(n1 AS DOUBLE) * CAST(sxx1 AS DOUBLE)
+                      - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE)))
+                / CAST(n1 AS DOUBLE) AS r1
+              FROM agg)
+            SELECT np AS n,
+                   CAST(floor(((rp - r0 - r1) / 2.0)
+                        / ((r0 + r1) / (CAST(np AS DOUBLE) - 4.0))
+                        * 1000000) AS BIGINT) AS f_micro,
+                   CASE WHEN CAST(floor(((rp - r0 - r1) / 2.0)
+                          / ((r0 + r1)
+                             / (CAST(np AS DOUBLE) - 4.0))
+                          * 1000000) AS BIGINT) > 2995732
+                        THEN 1 ELSE 0 END AS structural_break
+            FROM f
+        """,
+        "q431_distribution_overlap": """
+            WITH cust AS (
+              SELECT c_custkey,
+                     CASE WHEN c_mktsegment = 'BUILDING'
+                          THEN 1 ELSE 0 END AS g
+              FROM customer
+              WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+            obs AS (
+              SELECT g,
+                     CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT) AS cents
+              FROM orders o JOIN cust c ON o.o_custkey = c.c_custkey),
+            byval AS (
+              SELECT cents, CAST(SUM(g) AS BIGINT) AS n1v,
+                     CAST(COUNT(*) AS BIGINT) AS nv
+              FROM obs GROUP BY 1),
+            cum AS (
+              SELECT n1v, nv,
+                     CAST(SUM(nv) OVER (ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS BIGINT) AS ca
+              FROM byval),
+            tot AS (SELECT CAST(SUM(nv) AS BIGINT) AS n,
+                           CAST(SUM(n1v) AS BIGINT) AS n1
+                    FROM byval),
+            binned AS (
+              SELECT least(19, (ca - 1) * 20 // n) AS b,
+                     n1v, nv - n1v AS n0v, n, n1
+              FROM cum, tot),
+            per AS (
+              SELECT b, n, n1,
+                     CAST(SUM(n1v) AS BIGINT) AS c1,
+                     CAST(SUM(n0v) AS BIGINT) AS c0
+              FROM binned GROUP BY 1, 2, 3),
+            s AS (
+              SELECT n, n1, CAST(COUNT(*) AS BIGINT) AS n_bins,
+                     CAST(SUM(CAST(floor(abs(
+                       CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                       - CAST(c0 AS DOUBLE)
+                         / CAST(n - n1 AS DOUBLE)) * 1000000)
+                       AS BIGINT)) AS BIGINT) AS tv_sum_micro
+              FROM per GROUP BY 1, 2)
+            SELECT n, n1, n_bins, tv_sum_micro,
+                   1000000 - tv_sum_micro // 2 AS overlap_ppm
+            FROM s
+        """,
+        "q432_meta_fixed_effect": """
+            WITH per AS MATERIALIZED (
+              SELECT c.c_mktsegment,
+                     CAST(COUNT(*) AS BIGINT) AS n_i,
+                     CAST(SUM(CASE WHEN o.o_orderstatus = 'F'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS x_i
+              FROM orders o JOIN customer c
+                ON o.o_custkey = c.c_custkey
+              GROUP BY 1),
+            tot AS (SELECT CAST(SUM(n_i) AS BIGINT) AS n,
+                           CAST(SUM(x_i) AS BIGINT) AS x FROM per),
+            t AS (
+              SELECT
+                CAST(floor((CAST(n_i AS DOUBLE)
+                    / ((CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (1.0 - CAST(x AS DOUBLE)
+                                / CAST(n AS DOUBLE))))
+                  * (CAST(x_i AS DOUBLE) / CAST(n_i AS DOUBLE)
+                     - CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+                  * 1000) AS BIGINT) AS wd_milli,
+                CAST(floor((CAST(n_i AS DOUBLE)
+                    / ((CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (1.0 - CAST(x AS DOUBLE)
+                                / CAST(n AS DOUBLE))))
+                  * (CAST(x_i AS DOUBLE) / CAST(n_i AS DOUBLE)
+                     - CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(x_i AS DOUBLE) / CAST(n_i AS DOUBLE)
+                     - CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+                  * 1000000) AS BIGINT) AS wdd_micro,
+                CAST(floor(CAST(n_i AS DOUBLE)
+                    / ((CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (1.0 - CAST(x AS DOUBLE)
+                                / CAST(n AS DOUBLE)))) AS BIGINT)
+                  AS w_floor
+              FROM per, tot),
+            s AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                     CAST(SUM(wd_milli) AS BIGINT) AS swd,
+                     CAST(SUM(wdd_micro) AS BIGINT) AS swdd,
+                     CAST(SUM(w_floor) AS BIGINT) AS sw
+              FROM t),
+            f AS (
+              SELECT k,
+                     (CAST(swd AS DOUBLE) / 1e3)
+                       / CAST(sw AS DOUBLE) AS pooled,
+                     CAST(swdd AS DOUBLE) / 1e6
+                       - (CAST(swd AS DOUBLE) / 1e3)
+                         * (CAST(swd AS DOUBLE) / 1e3)
+                         / CAST(sw AS DOUBLE) AS q_stat
+              FROM s)
+            SELECT k,
+                   CAST(floor(pooled * 1000000) AS BIGINT)
+                     AS pooled_dev_micro,
+                   CAST(floor(q_stat * 1000000) AS BIGINT)
+                     AS q_micro,
+                   CAST(floor(greatest(0.0, (q_stat - 4.0) / q_stat)
+                        * 1000000) AS BIGINT) AS i2_micro,
+                   CASE WHEN CAST(floor(q_stat * 1000000) AS BIGINT)
+                        > 9487729 THEN 1 ELSE 0 END
+                     AS heterogeneous
+            FROM f
+        """,
+        "q433_dominant_period": """
+            WITH daily AS (
+              SELECT date_diff('day', DATE '1992-01-01',
+                               CAST(o_orderdate AS DATE)) AS day,
+                     CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                   * 100 AS BIGINT)) AS BIGINT) AS rev
+              FROM orders GROUP BY 1),
+            base AS MATERIALIZED (
+              SELECT day, CAST(rev AS DOUBLE) / 100.0 AS e
+              FROM daily),
+            stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                             CAST(SUM(CAST(floor(e) AS BIGINT))
+                                  AS BIGINT) AS se_floor
+                      FROM base),
+            centered AS MATERIALIZED (
+              SELECT day,
+                     e - CAST(se_floor AS DOUBLE) / CAST(n AS DOUBLE)
+                       AS d
+              FROM base, stats),
+            den AS (SELECT CAST(SUM(CAST(floor(d * d / 1000000.0)
+                                    AS BIGINT)) AS BIGINT) AS den_sum
+                    FROM centered),
+            lags AS (SELECT unnest(generate_series(2, 30)) AS lag),
+            lshift AS (
+              SELECT l.lag, c.day - l.lag AS day, c.d AS dl
+              FROM centered c, lags l),
+            joined AS (
+              SELECT s.lag,
+                     CAST(floor(c.d * s.dl / 1000000.0) AS BIGINT)
+                       AS nu
+              FROM centered c JOIN lshift s ON c.day = s.day),
+            per_lag AS (
+              SELECT lag, CAST(SUM(nu) AS BIGINT) AS num_sum
+              FROM joined GROUP BY 1),
+            scored AS (
+              SELECT lag,
+                     CAST(floor(CAST(num_sum AS DOUBLE)
+                          / CAST(den_sum AS DOUBLE) * 1000000)
+                          AS BIGINT) AS acf_micro
+              FROM per_lag, den)
+            SELECT ROW_NUMBER() OVER (ORDER BY acf_micro DESC, lag)
+                     AS rk,
+                   lag, acf_micro
+            FROM scored
+            ORDER BY acf_micro DESC, lag LIMIT 3
         """,
     }

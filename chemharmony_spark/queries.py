@@ -19813,3 +19813,449 @@ def q427_histogram_bin_advisor(spark, sf):
         F.floor(w_scott).cast("long").alias("scott_width_cents"),
         F.floor(w_fd).cast("long").alias("fd_width_cents"),
     )
+
+
+def q428_by_fdr(spark, sf):
+    """Benjamini-Yekutieli FDR step-up over the per-nation tests —
+    q374's BH is valid under independence/PRDS; BY divides the
+    threshold by the harmonic sum H_m = sum 1/i, staying valid under
+    ARBITRARY dependence (correlated metrics across nations are the
+    norm, not the exception). Thresholds compare as integers:
+    p_micro * m * H_m_scaled <= rank * alpha_scaled.
+
+    Shape: q374's agg + the 25-row model-space rank window."""
+    H_NANO = int(
+        sum(1.0 / i for i in range(1, 26)) * 1_000_000_000
+    )  # plan-time constant: H_25 in nanos, same literal both engines
+    nation = _t(spark, sf, "nation").select("n_nationkey", "n_name")
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    orders = _t(spark, sf, "orders")
+    per = (
+        orders.join(
+            F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_i"),
+            F.sum(
+                F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+            ).alias("x_i"),
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("n_name", "n_i", "x_i")
+    )
+    tot = per.agg(F.sum("n_i").alias("n"), F.sum("x_i").alias("x"))
+    j = per.crossJoin(F.broadcast(tot))
+    phat = F.col("x").cast("double") / F.col("n").cast("double")
+    num = F.col("x_i").cast("double") - F.col("n_i").cast("double") * phat
+    z2 = num * num / (
+        F.col("n_i").cast("double") * phat * (1.0 - phat)
+    )
+    scored = j.select(
+        "n_name",
+        F.floor(F.lit(1_000_000.0) / (1.0 + z2)).cast("long").alias(
+            "p_micro"
+        ),
+    )
+    wr = Window.orderBy("p_micro", "n_name")
+    m = 25
+    ranked = scored.withColumn("rank", F.row_number().over(wr))
+    # BY: p_(i) <= i * alpha / (m * H_m); integer compare in nanos
+    flagged = ranked.withColumn(
+        "ok",
+        (
+            F.col("p_micro").cast("decimal(38,0)")
+            * F.lit(m).cast("decimal(38,0)")
+            * F.lit(H_NANO).cast("decimal(38,0)")
+        )
+        <= (
+            F.col("rank").cast("decimal(38,0)")
+            * F.lit(50_000).cast("decimal(38,0)")
+            * F.lit(1_000_000_000).cast("decimal(38,0)")
+        ),
+    )
+    k = flagged.agg(
+        F.coalesce(
+            F.max(F.when(F.col("ok"), F.col("rank"))), F.lit(0)
+        ).alias("k")
+    )
+    return flagged.crossJoin(F.broadcast(k)).select(
+        "n_name",
+        "p_micro",
+        "rank",
+        F.when(F.col("rank") <= F.col("k"), 1).otherwise(0).alias(
+            "rejected"
+        ),
+    )
+
+
+def q429_gains_curve(spark, sf):
+    """Cumulative gains table: rank orders by value descending, cut
+    into population deciles, and report the cumulative share of
+    finalized orders captured — "the top 20% of the model's list
+    holds X% of the positives", THE business-facing view of ranking
+    power next to q370's scalar PR-AUC (and the classification twin
+    of q362's uplift deciles). Decile cuts come from the exact rank;
+    shares are integer ppm.
+
+    Shape: one model-space decile assignment off the distinct-value
+    cumsum (no per-row window over facts) + the 10-row cumulative
+    rollup."""
+    orders = _t(spark, sf, "orders")
+    vals = (
+        orders.select(
+            (_d("o_totalprice") * 100).cast("long").alias("s"),
+            F.when(F.col("o_orderstatus") == "F", 1)
+            .otherwise(0)
+            .alias("y"),
+        )
+        .groupBy("s")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("y").alias("cpos"),
+        )
+    )
+    w = Window.orderBy(F.col("s").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = vals.select(
+        "s",
+        "cnt",
+        "cpos",
+        F.sum("cnt").over(w).alias("ca"),
+        F.sum("cpos").over(w).alias("cp"),
+    )
+    tot = vals.agg(
+        F.sum("cnt").alias("n"), F.sum("cpos").alias("n1")
+    )
+    # assign each distinct value's MASS to the decile its cum count
+    # reaches; report at decile boundaries via the max cum per decile
+    j = cum.crossJoin(F.broadcast(tot)).select(
+        F.least(
+            F.lit(9),
+            F.expr("(ca - 1) * 10 DIV n"),
+        ).alias("decile"),
+        "ca",
+        "cp",
+        "n",
+        "n1",
+    )
+    per = j.groupBy("decile", "n", "n1").agg(
+        F.max("ca").alias("cum_n"), F.max("cp").alias("cum_pos")
+    )
+    return per.select(
+        "decile",
+        "cum_n",
+        "cum_pos",
+        F.expr("cum_pos * 1000000 DIV n1").alias("gain_ppm"),
+        F.expr(
+            "(cum_pos * 1000000 DIV n1) - (cum_n * 1000000 DIV n)"
+        ).alias("lift_vs_random_ppm"),
+    )
+
+
+def q430_chow_test(spark, sf):
+    """Chow structural-break F-test at q425's midpoint break:
+    F = ((RSS_pooled - RSS_1 - RSS_2) / 2) / ((RSS_1 + RSS_2) /
+    (n - 4)) — is the two-segment trend fit SIGNIFICANTLY better than
+    one line, or was q425's level/slope reading noise? All three RSS
+    come in closed form from the same exact conditional moments (one
+    agg); the F compares to the F(2, inf) 5% value 2.9957.
+
+    Shape: q425's — one (day) agg + rank-median break + ONE moment
+    agg + 1-row algebra."""
+    from chemharmony_spark.cache import registered_persist
+
+    orders = _t(spark, sf, "orders")
+    daily = registered_persist(
+        orders.select(
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1992-01-01").cast("date")
+            ).alias("day"),
+            (_d("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    brk = (
+        daily.select(
+            "day",
+            F.row_number().over(Window.orderBy("day")).alias("rk"),
+        )
+        .crossJoin(
+            F.broadcast(daily.agg(F.count(F.lit(1)).alias("n")))
+        )
+        .where(F.col("rk") == F.ceil(F.col("n") / 2))
+        .select(F.col("day").alias("brk"))
+    )
+    D38 = "decimal(38,0)"
+    j = daily.crossJoin(F.broadcast(brk)).select(
+        "day",
+        # revenue in whole dollars keeps x*y products inside double-
+        # exact integer range for the pooled moments
+        F.expr("rev DIV 100").alias("r"),
+        (F.col("day") < F.col("brk")).alias("pre"),
+    )
+
+    def mom(cond, tag):
+        return [
+            F.sum(F.when(cond, 1).otherwise(0)).alias(f"n{tag}"),
+            F.sum(F.when(cond, F.col("day").cast(D38))).alias(
+                f"sx{tag}"
+            ),
+            F.sum(F.when(cond, F.col("r").cast(D38))).alias(
+                f"sy{tag}"
+            ),
+            F.sum(
+                F.when(
+                    cond,
+                    F.col("day").cast(D38) * F.col("day").cast(D38),
+                )
+            ).alias(f"sxx{tag}"),
+            F.sum(
+                F.when(
+                    cond, F.col("day").cast(D38) * F.col("r").cast(D38)
+                )
+            ).alias(f"sxy{tag}"),
+            F.sum(
+                F.when(
+                    cond, F.col("r").cast(D38) * F.col("r").cast(D38)
+                )
+            ).alias(f"syy{tag}"),
+        ]
+    agg = j.agg(
+        *mom(F.col("pre"), "0"),
+        *mom(~F.col("pre"), "1"),
+        *mom(F.lit(True), "p"),
+    )
+
+    def rss(tag):
+        nd = F.col(f"n{tag}").cast("double")
+        sx = F.col(f"sx{tag}").cast("double")
+        sy = F.col(f"sy{tag}").cast("double")
+        sxxc = nd * F.col(f"sxx{tag}").cast("double") - sx * sx
+        syyc = nd * F.col(f"syy{tag}").cast("double") - sy * sy
+        sxyc = nd * F.col(f"sxy{tag}").cast("double") - sx * sy
+        return (syyc - sxyc * sxyc / sxxc) / nd
+    r0, r1, rp = rss("0"), rss("1"), rss("p")
+    nd = F.col("np").cast("double")
+    f_stat = ((rp - r0 - r1) / 2.0) / ((r0 + r1) / (nd - 4.0))
+    return agg.select(
+        F.col("np").alias("n"),
+        F.floor(f_stat * 1_000_000).cast("long").alias("f_micro"),
+        F.when(F.floor(f_stat * 1_000_000) > 2_995_732, 1)
+        .otherwise(0)
+        .alias("structural_break"),
+    )
+
+
+def q431_distribution_overlap(spark, sf):
+    """Overlap coefficient between BUILDING and MACHINERY order-value
+    distributions over 20 equal-mass bins of the POOLED distribution:
+    OVL = 1 - 0.5 * sum |p_i - q_i| — the "how much do they actually
+    share" number that q161's KS max-gap understates (KS sees the
+    single worst point; OVL integrates). Bin edges are exact pooled
+    vigintile ranks; per-bin masses are integer counts; the fold is
+    micro-floored.
+
+    Shape: the pooled distinct-value cumsum assigns bins in model
+    space; one (bin, group) rollup + the 20-row fold."""
+    cust = _t(spark, sf, "customer").where(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    ).select(
+        "c_custkey",
+        (F.col("c_mktsegment") == "BUILDING").cast("long").alias("g"),
+    )
+    orders = _t(spark, sf, "orders")
+    obs = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select(
+        "g", (_d("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    byval = obs.groupBy("cents").agg(
+        F.sum("g").alias("n1v"), F.count(F.lit(1)).alias("nv")
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    cum = byval.select(
+        "n1v",
+        "nv",
+        F.sum("nv").over(w).alias("ca"),
+    )
+    tot = byval.agg(
+        F.sum("nv").alias("n"), F.sum("n1v").alias("n1")
+    )
+    binned = cum.crossJoin(F.broadcast(tot)).select(
+        F.least(F.lit(19), F.expr("(ca - 1) * 20 DIV n")).alias("b"),
+        "n1v",
+        (F.col("nv") - F.col("n1v")).alias("n0v"),
+        "n",
+        "n1",
+    )
+    per = binned.groupBy("b", "n", "n1").agg(
+        F.sum("n1v").alias("c1"), F.sum("n0v").alias("c0")
+    )
+    term = F.floor(
+        F.abs(
+            F.col("c1").cast("double") / F.col("n1").cast("double")
+            - F.col("c0").cast("double")
+            / (F.col("n") - F.col("n1")).cast("double")
+        )
+        * 1_000_000
+    ).cast("long")
+    s = per.select("n", "n1", term.alias("t")).groupBy("n", "n1").agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum("t").alias("tv_sum_micro"),
+    )
+    return s.select(
+        "n",
+        "n1",
+        "n_bins",
+        F.col("tv_sum_micro"),
+        (F.lit(1_000_000) - F.expr("tv_sum_micro DIV 2")).alias(
+            "overlap_ppm"
+        ),
+    )
+
+
+def q432_meta_fixed_effect(spark, sf):
+    """Fixed-effect (inverse-variance) meta-analysis of the five
+    segments' finalized-rate deviations from the global rate, with
+    Cochran's Q heterogeneity and I^2 — the "should these strata even
+    be pooled" layer under q338/q343 (they pool assuming it's fine;
+    Q/I^2 TEST it): d_i = p_i - p, w_i = n_i / (p(1-p)), pooled =
+    sum w d / sum w, Q = sum w (d - pooled)^2 ~ chi2(4),
+    I^2 = max(0, (Q - df)/Q). Counts exact; per-stratum terms floor
+    to nano before 5-row integer sums.
+
+    Shape: ONE (segment) agg + a 1-row global broadcast + the 5-row
+    model-space fold."""
+    from chemharmony_spark.cache import registered_persist
+
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    orders = _t(spark, sf, "orders")
+    per = registered_persist(
+        orders.join(
+            F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_i"),
+            F.sum(
+                F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+            ).alias("x_i"),
+        )
+    )
+    tot = per.agg(F.sum("n_i").alias("n"), F.sum("x_i").alias("x"))
+    j = per.crossJoin(F.broadcast(tot))
+    p = F.col("x").cast("double") / F.col("n").cast("double")
+    d = F.col("x_i").cast("double") / F.col("n_i").cast("double") - p
+    wgt = F.col("n_i").cast("double") / (p * (1.0 - p))
+    t = j.select(
+        F.floor(wgt * d * 1_000).cast("long").alias("wd_milli"),
+        F.floor(wgt * d * d * 1_000_000).cast("long").alias(
+            "wdd_micro"
+        ),
+        F.floor(wgt).cast("long").alias("w_floor"),
+    )
+    s = t.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("wd_milli").alias("swd"),
+        F.sum("wdd_micro").alias("swdd"),
+        F.sum("w_floor").alias("sw"),
+    )
+    pooled = (
+        F.col("swd").cast("double") / 1e3
+    ) / F.col("sw").cast("double")
+    q_stat = (
+        F.col("swdd").cast("double") / 1e6
+        - (F.col("swd").cast("double") / 1e3)
+        * (F.col("swd").cast("double") / 1e3)
+        / F.col("sw").cast("double")
+    )
+    i2 = F.greatest(
+        F.lit(0.0), (q_stat - 4.0) / q_stat
+    )
+    return s.select(
+        "k",
+        F.floor(pooled * 1_000_000).cast("long").alias(
+            "pooled_dev_micro"
+        ),
+        F.floor(q_stat * 1_000_000).cast("long").alias("q_micro"),
+        F.floor(i2 * 1_000_000).cast("long").alias("i2_micro"),
+        F.when(F.floor(q_stat * 1_000_000) > 9_487_729, 1)
+        .otherwise(0)
+        .alias("heterogeneous"),
+    )
+
+
+def q433_dominant_period(spark, sf):
+    """Dominant seasonality period of the daily revenue series:
+    argmax over candidate lags 2..30 of the autocorrelation of the
+    CENTERED series — "is this weekly (7), biweekly (14), or
+    monthly-ish (28) data?" — the period DETECTOR that q147/q205
+    assume an answer to (both hardcode 7). All 29 lag numerators are
+    micro-floored integer sums off ONE self-aligned frame; the
+    argmax is a 29-row model-space sort.
+
+    Shape: one (day) agg + the persisted centered series + 29 lag
+    branches folded via one unioned rollup + the argmax."""
+    from chemharmony_spark.cache import registered_persist
+
+    orders = _t(spark, sf, "orders")
+    daily = (
+        orders.select(
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1992-01-01").cast("date")
+            ).alias("day"),
+            (_d("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    base = registered_persist(
+        daily.select(
+            "day", (F.col("rev").cast("double") / 100.0).alias("e")
+        )
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("e")).cast("long")).alias("se_floor"),
+    )
+    mean = F.col("se_floor").cast("double") / F.col("n").cast("double")
+    centered = registered_persist(
+        base.crossJoin(F.broadcast(stats)).select(
+            "day", (F.col("e") - mean).alias("d")
+        )
+    )
+    den = centered.select(
+        F.floor(F.col("d") * F.col("d") / 1e6).cast("long").alias("dd")
+    ).agg(F.sum("dd").alias("den_sum"))
+    # all 29 lags off ONE self-join on (day - lag) via an exploded
+    # lag dimension — a single shuffle instead of 29 windows
+    lags = spark.range(2, 31).select(F.col("id").alias("lag"))
+    left = centered.crossJoin(F.broadcast(lags)).select(
+        "lag", (F.col("day") - F.col("lag")).alias("day"), 
+        F.col("d").alias("dl"),
+    )
+    joined = centered.join(left, on="day").select(
+        "lag",
+        F.floor(F.col("d") * F.col("dl") / 1e6).cast("long").alias(
+            "nu"
+        ),
+    )
+    per_lag = joined.groupBy("lag").agg(F.sum("nu").alias("num_sum"))
+    scored = per_lag.crossJoin(F.broadcast(den)).select(
+        "lag",
+        F.floor(
+            F.col("num_sum").cast("double")
+            / F.col("den_sum").cast("double")
+            * 1_000_000
+        ).cast("long").alias("acf_micro"),
+    )
+    w = Window.orderBy(F.col("acf_micro").desc(), "lag")
+    return scored.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= 3
+    ).select("rk", "lag", "acf_micro")

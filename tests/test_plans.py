@@ -1116,6 +1116,21 @@ SHUFFLE_BUDGET = {
     # q427: the persisted values + two rank-quantile windows +
     # 1-row moments
     "q427_histogram_bin_advisor": 5,
+    # q428: q374's per-nation agg + rank window + 1-row crossing
+    "q428_by_fdr": 8,
+    # q429: the distinct-score agg + model-space desc cumsum + the
+    # 10-decile rollup
+    "q429_gains_curve": 4,
+    # q430: the persisted daily agg + rank-median break + the 1-row
+    # pooled/segment moment rollup
+    "q430_chow_test": 4,
+    # q431: the distinct-value agg + pooled cumsum + 20-bin rollup
+    "q431_distribution_overlap": 4,
+    # q432: the persisted segment agg + 1-row global + 5-row fold
+    "q432_meta_fixed_effect": 3,
+    # q433: the daily agg + persisted centered series (reprinted per
+    # consumer) + the exploded-lag self-join + per-lag rollup
+    "q433_dominant_period": 4,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -1373,6 +1388,11 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 # broadcasts onto model-space frames
                 "q423_lognormal_fit", "q425_interrupted_ts",
                 "q427_histogram_bin_advisor",
+                # q428-q433: 1-row totals/threshold/denominator
+                # broadcasts onto model-space frames
+                "q428_by_fdr", "q429_gains_curve", "q430_chow_test",
+                "q431_distribution_overlap",
+                "q432_meta_fixed_effect", "q433_dominant_period",
                 # q409: the model-space weekly pair theta-join +
                 # 1-row S/tie combines
                 "q409_mann_kendall"}
