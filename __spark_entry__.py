@@ -511,6 +511,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q431_distribution_overlap": Q.q431_distribution_overlap,
         "q432_meta_fixed_effect": Q.q432_meta_fixed_effect,
         "q433_dominant_period": Q.q433_dominant_period,
+        "q434_rake_keywords": Q.q434_rake_keywords,
+        "q435_weekday_strength": Q.q435_weekday_strength,
+        "q436_xcorr_peak": Q.q436_xcorr_peak,
+        "q437_calibration_slope": Q.q437_calibration_slope,
     }
 
 
@@ -14640,5 +14644,229 @@ def oracle_sql() -> dict[str, str]:
                    lag, acf_micro
             FROM scored
             ORDER BY acf_micro DESC, lag LIMIT 3
+        """,
+        "q434_rake_keywords": f"""
+            WITH toks AS (
+              SELECT doc_id, generate_subscripts(arr, 1) - 1 AS pos,
+                     unnest(arr) AS w
+              FROM (SELECT doc_id, {_TOKS} AS arr FROM documents)),
+            seg AS (
+              SELECT doc_id, pos, w,
+                     SUM(CASE WHEN w IN ('a', 'an', 'and', 'in', 'is', 'of', 'the', 'to') THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS pid
+              FROM toks),
+            kept AS (SELECT * FROM seg WHERE w NOT IN ('a', 'an', 'and', 'in', 'is', 'of', 'the', 'to')),
+            phrases AS MATERIALIZED (
+              SELECT doc_id, pid,
+                     string_agg(w, ' ' ORDER BY pos) AS phrase,
+                     CAST(COUNT(*) AS BIGINT) AS plen
+              FROM kept GROUP BY 1, 2),
+            words AS (
+              SELECT plen, unnest(string_split(phrase, ' ')) AS w
+              FROM phrases),
+            stats AS (
+              SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+                     CAST(SUM(plen) AS BIGINT) AS deg
+              FROM words GROUP BY 1),
+            wscore AS (
+              SELECT w, deg * 1000000 // freq AS ws_micro
+              FROM stats),
+            pw AS (
+              SELECT p.phrase, s.ws_micro
+              FROM (SELECT phrase,
+                           unnest(string_split(phrase, ' ')) AS w
+                    FROM phrases) p
+              JOIN wscore s ON p.w = s.w),
+            scored AS (
+              SELECT phrase,
+                     CAST(SUM(ws_micro) AS BIGINT) AS score_micro
+              FROM pw GROUP BY 1)
+            SELECT ROW_NUMBER() OVER (ORDER BY score_micro DESC,
+                     phrase) AS rk,
+                   phrase, score_micro
+            FROM scored
+            ORDER BY score_micro DESC, phrase LIMIT 10
+        """,
+        "q435_weekday_strength": """
+            WITH daily AS MATERIALIZED (
+              SELECT date_diff('day', DATE '1992-01-01',
+                               CAST(o_orderdate AS DATE)) AS day,
+                     CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                   * 100 AS BIGINT)) AS BIGINT) AS rev
+              FROM orders GROUP BY 1),
+            wd AS (
+              SELECT day % 7 AS dow,
+                     CAST(COUNT(*) AS BIGINT) AS n_d,
+                     CAST(SUM(rev) AS BIGINT) AS s_d
+              FROM daily GROUP BY 1),
+            tot AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(rev) AS BIGINT) AS s,
+                     CAST(SUM(CAST(rev AS HUGEINT)
+                          * CAST(rev AS HUGEINT)) AS HUGEINT) AS ss
+              FROM daily),
+            s2 AS (
+              SELECT n, s, ss,
+                     CAST(SUM(CAST(floor(CAST(n_d AS DOUBLE)
+                       * (CAST(s_d AS DOUBLE) / CAST(n_d AS DOUBLE)
+                            / 100.0
+                          - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                            / 100.0)
+                       * (CAST(s_d AS DOUBLE) / CAST(n_d AS DOUBLE)
+                            / 100.0
+                          - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                            / 100.0)) AS BIGINT)) AS BIGINT) AS ssb
+              FROM wd, tot GROUP BY 1, 2, 3)
+            SELECT n, ssb AS ssb_usd2,
+                   CAST(floor(CAST(ss AS DOUBLE) / 10000.0
+                        - CAST(n AS DOUBLE)
+                          * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                             / 100.0)
+                          * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                             / 100.0)) AS BIGINT) AS sst_usd2,
+                   CAST(floor(CAST(ssb AS DOUBLE)
+                        / (CAST(ss AS DOUBLE) / 10000.0
+                           - CAST(n AS DOUBLE)
+                             * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                                / 100.0)
+                             * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                                / 100.0)) * 1000000) AS BIGINT)
+                     AS weekday_strength_ppm
+            FROM s2
+        """,
+        "q436_xcorr_peak": """
+            WITH daily AS (
+              SELECT date_diff('day', DATE '1992-01-01',
+                               CAST(o_orderdate AS DATE)) AS day,
+                     CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                   * 100 AS BIGINT)) AS BIGINT) AS rev,
+                     CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM orders GROUP BY 1),
+            base AS MATERIALIZED (
+              SELECT day, CAST(rev AS DOUBLE) / 100.0 AS y,
+                     CAST(cnt AS DOUBLE) AS x
+              FROM daily),
+            stats AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(floor(y) AS BIGINT)) AS BIGINT)
+                       AS sy_floor,
+                     CAST(SUM(CAST(floor(x) AS BIGINT)) AS BIGINT)
+                       AS sx_floor
+              FROM base),
+            centered AS MATERIALIZED (
+              SELECT day,
+                     y - CAST(sy_floor AS DOUBLE) / CAST(n AS DOUBLE)
+                       AS dy,
+                     x - CAST(sx_floor AS DOUBLE) / CAST(n AS DOUBLE)
+                       AS dx
+              FROM base, stats),
+            dens AS (
+              SELECT CAST(SUM(CAST(floor(dy * dy / 1000.0)
+                       AS BIGINT)) AS BIGINT) AS dyy,
+                     CAST(SUM(CAST(floor(dx * dx * 1e6)
+                       AS BIGINT)) AS BIGINT) AS dxx
+              FROM centered),
+            lags AS (SELECT unnest(generate_series(-7, 7)) AS lag),
+            shifted AS (
+              SELECT l.lag, c.day - l.lag AS day, c.dx AS dxs
+              FROM centered c, lags l),
+            joined AS (
+              SELECT s.lag,
+                     CAST(floor(c.dy * s.dxs) AS BIGINT) AS nu
+              FROM centered c JOIN shifted s ON c.day = s.day),
+            per_lag AS (
+              SELECT lag, CAST(SUM(nu) AS BIGINT) AS num_sum
+              FROM joined GROUP BY 1),
+            scored AS (
+              SELECT lag,
+                     CAST(floor(CAST(num_sum AS DOUBLE)
+                          / (sqrt(CAST(dyy AS DOUBLE) * 1000.0)
+                             * sqrt(CAST(dxx AS DOUBLE) / 1e6))
+                          * 1000000) AS BIGINT) AS xcorr_micro
+              FROM per_lag, dens)
+            SELECT ROW_NUMBER() OVER (ORDER BY xcorr_micro DESC,
+                     lag) AS rk,
+                   lag, xcorr_micro
+            FROM scored
+            ORDER BY xcorr_micro DESC, lag LIMIT 3
+        """,
+        "q437_calibration_slope": """
+            WITH vals AS (
+              SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT) AS s,
+                     CAST(COUNT(*) AS BIGINT) AS cnt,
+                     CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS cpos
+              FROM orders GROUP BY 1),
+            cum AS (
+              SELECT s, cnt, cpos,
+                     CAST(SUM(cnt) OVER (ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS BIGINT) AS ca
+              FROM vals),
+            tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM vals),
+            binned AS (
+              SELECT least(9, (ca - 1) * 10 // n) AS b,
+                     cnt, cpos, ca
+              FROM cum, tot),
+            per AS (
+              SELECT b,
+                     CAST(SUM(cnt) AS BIGINT) AS n_b,
+                     CAST(SUM(cpos) AS BIGINT) AS x_b,
+                     CAST(SUM((2 * ca - cnt + 1) * cnt) AS BIGINT)
+                       AS rs2_sum
+              FROM binned GROUP BY 1),
+            t AS (
+              SELECT CAST(floor(CAST(rs2_sum AS DOUBLE)
+                       / (2.0 * CAST(n_b AS DOUBLE))
+                       / CAST(n AS DOUBLE) * 1000000000) AS BIGINT)
+                       AS x,
+                     CAST(floor(CAST(x_b AS DOUBLE)
+                       / CAST(n_b AS DOUBLE) * 1000000000) AS BIGINT)
+                       AS y,
+                     CAST(floor((CAST(rs2_sum AS DOUBLE)
+                       / (2.0 * CAST(n_b AS DOUBLE))
+                       / CAST(n AS DOUBLE))
+                       * (CAST(rs2_sum AS DOUBLE)
+                          / (2.0 * CAST(n_b AS DOUBLE))
+                          / CAST(n AS DOUBLE)) * 1000000000)
+                       AS BIGINT) AS xx,
+                     CAST(floor((CAST(rs2_sum AS DOUBLE)
+                       / (2.0 * CAST(n_b AS DOUBLE))
+                       / CAST(n AS DOUBLE))
+                       * (CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                       * 1000000000) AS BIGINT) AS xy
+              FROM per, tot),
+            agg AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                     CAST(SUM(x) AS BIGINT) AS sx,
+                     CAST(SUM(y) AS BIGINT) AS sy,
+                     CAST(SUM(xx) AS BIGINT) AS sxx,
+                     CAST(SUM(xy) AS BIGINT) AS sxy
+              FROM t),
+            f AS (
+              SELECT k,
+                     (CAST(k AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e9)
+                      - (CAST(sx AS DOUBLE) / 1e9)
+                        * (CAST(sy AS DOUBLE) / 1e9))
+                     / (CAST(k AS DOUBLE)
+                          * (CAST(sxx AS DOUBLE) / 1e9)
+                        - (CAST(sx AS DOUBLE) / 1e9)
+                          * (CAST(sx AS DOUBLE) / 1e9)) AS slope,
+                     CAST(sx AS DOUBLE) / 1e9 AS sxd,
+                     CAST(sy AS DOUBLE) / 1e9 AS syd
+              FROM agg)
+            SELECT k,
+                   CAST(floor(slope * 1000000) AS BIGINT)
+                     AS slope_micro,
+                   CAST(floor((syd - slope * sxd)
+                        / CAST(k AS DOUBLE) * 1000000) AS BIGINT)
+                     AS intercept_micro,
+                   CASE WHEN abs(CAST(floor(slope * 1000000)
+                          AS BIGINT) - 1000000) < 200000
+                        THEN 1 ELSE 0 END AS well_calibrated
+            FROM f
         """,
     }

@@ -20259,3 +20259,315 @@ def q433_dominant_period(spark, sf):
     return scored.withColumn("rk", F.row_number().over(w)).where(
         F.col("rk") <= 3
     ).select("rk", "lag", "acf_micro")
+
+
+def q434_rake_keywords(spark, sf):
+    """RAKE keyword extraction (Rose et al. 2010) over the corpus:
+    candidate phrases are maximal stopword-free token runs, each word
+    scores degree/frequency (degree = total length of phrases it
+    appears in), and a phrase scores the sum of its words — the
+    classic unsupervised keyphrase extractor, MULTI-WORD where q217's
+    TF-IDF keywords are unigram. Phrase segmentation is a per-doc
+    stopword-prefix-count window; word stats and phrase scores are
+    exact integers over micro-floored ratios; top-10 by (score,
+    phrase).
+
+    Shape: one posexplode + per-doc cumulative window (high-
+    cardinality partition key) + (phrase) and (word) aggs + the
+    model-space top-10."""
+    from chemharmony_spark.cache import registered_persist
+
+    docs = _t(spark, sf, "documents")
+    SW = list(TX.EN_STOPWORDS)
+    toks = docs.select(
+        "doc_id", F.posexplode(TX.tokens("text")).alias("pos", "w")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    seg = toks.withColumn(
+        "pid",
+        F.sum(
+            F.when(F.col("w").isin(SW), 1).otherwise(0)
+        ).over(wdoc),
+    ).where(~F.col("w").isin(SW))
+    phrases = registered_persist(
+        seg.groupBy("doc_id", "pid").agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("plen"),
+        )
+    )
+    words = phrases.select(
+        "plen", F.explode(F.split("phrase", " ")).alias("w")
+    )
+    stats = words.groupBy("w").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("plen").alias("deg"),
+    )
+    wscore = stats.select(
+        "w",
+        F.expr("deg * 1000000 DIV freq").alias("ws_micro"),
+    )
+    pw = phrases.select(
+        "phrase", F.explode(F.split("phrase", " ")).alias("w")
+    ).join(F.broadcast(wscore), on="w")
+    scored = (
+        pw.groupBy("phrase")
+        .agg(F.sum("ws_micro").alias("score_micro"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("score_micro").desc(), "phrase")
+            ),
+        )
+        .where(F.col("rk") <= 10)
+    )
+    return scored.select("rk", "phrase", "score_micro")
+
+
+def q435_weekday_strength(spark, sf):
+    """Weekday-seasonality strength of the revenue series: share of
+    daily variance explained by the day-of-week profile, F_s =
+    SSB_weekday / SST over the daily series — the scalar that says
+    whether q147's weekday baseline is even worth fitting (and the
+    fixed-period complement to q433's period detector). All sums of
+    squares fold from exact integer cents via the cells' exact means.
+
+    Shape: one (day) agg + one (weekday) rollup + a 1-row combine."""
+    from chemharmony_spark.cache import registered_persist
+
+    orders = _t(spark, sf, "orders")
+    daily = registered_persist(
+        orders.select(
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1992-01-01").cast("date")
+            ).alias("day"),
+            (_d("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    D38 = "decimal(38,0)"
+    wd = daily.select(
+        F.expr("day % 7").alias("dow"), "rev"
+    ).groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n_d"),
+        F.sum("rev").alias("s_d"),
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rev").alias("s"),
+        F.sum(F.col("rev").cast(D38) * F.col("rev").cast(D38)).alias(
+            "ss"
+        ),
+    )
+    j = wd.crossJoin(F.broadcast(tot))
+    nd = F.col("n").cast("double")
+    mu = F.col("s").cast("double") / nd / 100.0
+    mu_d = (
+        F.col("s_d").cast("double") / F.col("n_d").cast("double") / 100.0
+    )
+    ssb_t = F.floor(
+        F.col("n_d").cast("double") * (mu_d - mu) * (mu_d - mu)
+    ).cast("long")
+    s = j.select("n", "s", "ss", ssb_t.alias("bt")).groupBy(
+        "n", "s", "ss"
+    ).agg(F.sum("bt").alias("ssb"))
+    sst = (
+        F.col("ss").cast("double") / 10_000.0
+        - F.col("n").cast("double")
+        * (F.col("s").cast("double") / F.col("n").cast("double") / 100.0)
+        * (F.col("s").cast("double") / F.col("n").cast("double") / 100.0)
+    )
+    strength = F.col("ssb").cast("double") / sst
+    return s.select(
+        "n",
+        F.col("ssb").alias("ssb_usd2"),
+        F.floor(sst).cast("long").alias("sst_usd2"),
+        F.floor(strength * 1_000_000).cast("long").alias(
+            "weekday_strength_ppm"
+        ),
+    )
+
+
+def q436_xcorr_peak(spark, sf):
+    """Cross-correlation between daily ORDER COUNT and daily REVENUE
+    at lags -7..+7, reporting the peak lag — which series LEADS?
+    (q413's Granger tests one direction at one lag; the xcorr profile
+    locates the lag first.) Both series center against their floored-
+    integer means; per-day products floor to micro before the
+    per-lag integer sums; the 15-row profile sorts deterministically.
+
+    Shape: one (day) agg + the persisted centered frame + ONE
+    exploded-lag self-join (q433's pattern) + the model-space argmax."""
+    from chemharmony_spark.cache import registered_persist
+
+    orders = _t(spark, sf, "orders")
+    daily = (
+        orders.select(
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1992-01-01").cast("date")
+            ).alias("day"),
+            (_d("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(
+            F.sum("cents").alias("rev"), F.count(F.lit(1)).alias("cnt")
+        )
+    )
+    base = registered_persist(
+        daily.select(
+            "day",
+            (F.col("rev").cast("double") / 100.0).alias("y"),
+            F.col("cnt").cast("double").alias("x"),
+        )
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("y")).cast("long")).alias("sy_floor"),
+        F.sum(F.floor(F.col("x")).cast("long")).alias("sx_floor"),
+    )
+    my = F.col("sy_floor").cast("double") / F.col("n").cast("double")
+    mx = F.col("sx_floor").cast("double") / F.col("n").cast("double")
+    centered = registered_persist(
+        base.crossJoin(F.broadcast(stats)).select(
+            "day",
+            (F.col("y") - my).alias("dy"),
+            (F.col("x") - mx).alias("dx"),
+        )
+    )
+    # per-series scales: revenue deviations are thousands of dollars
+    # (floor /1e3 keeps resolution), count deviations are single
+    # digits (floor *1e6 keeps resolution; /1e3 would zero them out)
+    dens = centered.agg(
+        F.sum(
+            F.floor(F.col("dy") * F.col("dy") / 1e3).cast("long")
+        ).alias("dyy"),
+        F.sum(
+            F.floor(F.col("dx") * F.col("dx") * 1e6).cast("long")
+        ).alias("dxx"),
+    )
+    lags = spark.range(-7, 8).select(F.col("id").alias("lag"))
+    shifted = centered.crossJoin(F.broadcast(lags)).select(
+        "lag",
+        (F.col("day") - F.col("lag")).alias("day"),
+        F.col("dx").alias("dxs"),
+    )
+    joined = centered.join(shifted, on="day").select(
+        "lag",
+        F.floor(F.col("dy") * F.col("dxs")).cast("long").alias("nu"),
+    )
+    per_lag = joined.groupBy("lag").agg(F.sum("nu").alias("num_sum"))
+    # undo the per-series scales: dyy carries /1e3, dxx carries *1e6
+    scored = per_lag.crossJoin(F.broadcast(dens)).select(
+        "lag",
+        F.floor(
+            F.col("num_sum").cast("double")
+            / (
+                F.sqrt(F.col("dyy").cast("double") * 1_000.0)
+                * F.sqrt(F.col("dxx").cast("double") / 1e6)
+            )
+            * 1_000_000
+        ).cast("long").alias("xcorr_micro"),
+    )
+    w = Window.orderBy(F.col("xcorr_micro").desc(), "lag")
+    return scored.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= 3
+    ).select("rk", "lag", "xcorr_micro")
+
+
+def q437_calibration_slope(spark, sf):
+    """Calibration slope and intercept of the price-based
+    finalized-order score across its 10 score deciles: regress
+    observed rate on mean predicted rank-score per decile — slope 1
+    means calibrated, < 1 overconfident — the summary LINE over
+    q121's per-bin table (one number to alert on instead of ten).
+    Decile assignment reuses the distinct-score cumsum; the 10-point
+    OLS runs on exact integer sums with micro-floored products.
+
+    Shape: the q429 decile machinery + a 10-row model-space OLS."""
+    orders = _t(spark, sf, "orders")
+    vals = (
+        orders.select(
+            (_d("o_totalprice") * 100).cast("long").alias("s"),
+            F.when(F.col("o_orderstatus") == "F", 1)
+            .otherwise(0)
+            .alias("y"),
+        )
+        .groupBy("s")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("y").alias("cpos"),
+        )
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    cum = vals.select(
+        "s", "cnt", "cpos", F.sum("cnt").over(w).alias("ca")
+    )
+    tot = vals.agg(F.sum("cnt").alias("n"))
+    binned = cum.crossJoin(F.broadcast(tot)).select(
+        F.least(F.lit(9), F.expr("(ca - 1) * 10 DIV n")).alias("b"),
+        "cnt",
+        "cpos",
+        "ca",
+    )
+    per = binned.groupBy("b").agg(
+        F.sum("cnt").alias("n_b"),
+        F.sum("cpos").alias("x_b"),
+        # mean rank-score of the bin: average cumulative-count
+        # position; DOUBLED midpoints keep the sum exactly integer
+        # (2*mid = 2*ca - cnt + 1)
+        F.sum(
+            (2 * F.col("ca") - F.col("cnt") + 1) * F.col("cnt")
+        ).alias("rs2_sum"),
+    )
+    t = per.crossJoin(F.broadcast(tot)).select(
+        (
+            F.col("rs2_sum").cast("double")
+            / (2.0 * F.col("n_b").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("p_hat"),
+        (
+            F.col("x_b").cast("double") / F.col("n_b").cast("double")
+        ).alias("p_obs"),
+    )
+    tt = t.select(
+        F.floor(F.col("p_hat") * 1_000_000_000).cast("long").alias("x"),
+        F.floor(F.col("p_obs") * 1_000_000_000).cast("long").alias("y"),
+        F.floor(F.col("p_hat") * F.col("p_hat") * 1_000_000_000)
+        .cast("long")
+        .alias("xx"),
+        F.floor(F.col("p_hat") * F.col("p_obs") * 1_000_000_000)
+        .cast("long")
+        .alias("xy"),
+    )
+    s = tt.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("xx").alias("sxx"),
+        F.sum("xy").alias("sxy"),
+    )
+    kd = F.col("k").cast("double")
+    sx = F.col("sx").cast("double") / 1e9
+    sy = F.col("sy").cast("double") / 1e9
+    sxx = F.col("sxx").cast("double") / 1e9
+    sxy = F.col("sxy").cast("double") / 1e9
+    slope = (kd * sxy - sx * sy) / (kd * sxx - sx * sx)
+    inter = (sy - slope * sx) / kd
+    return s.select(
+        "k",
+        F.floor(slope * 1_000_000).cast("long").alias("slope_micro"),
+        F.floor(inter * 1_000_000).cast("long").alias(
+            "intercept_micro"
+        ),
+        F.when(
+            F.abs(F.floor(slope * 1_000_000) - 1_000_000) < 200_000, 1
+        ).otherwise(0).alias("well_calibrated"),
+    )

@@ -1131,6 +1131,15 @@ SHUFFLE_BUDGET = {
     # q433: the daily agg + persisted centered series (reprinted per
     # consumer) + the exploded-lag self-join + per-lag rollup
     "q433_dominant_period": 4,
+    # q434: the per-doc phrase-segmentation window + persisted phrase
+    # table (reprinted per word/score consumer) + word/phrase aggs
+    "q434_rake_keywords": 3,
+    # q435: the persisted daily agg + weekday rollup + 1-row combine
+    "q435_weekday_strength": 4,
+    # q436: q433's lag-join machinery on the bivariate series
+    "q436_xcorr_peak": 4,
+    # q437: the distinct-score agg + model-space cumsum + 10-bin OLS
+    "q437_calibration_slope": 6,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -1393,6 +1402,9 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 "q428_by_fdr", "q429_gains_curve", "q430_chow_test",
                 "q431_distribution_overlap",
                 "q432_meta_fixed_effect", "q433_dominant_period",
+                # q435-q437: 1-row totals/denominator broadcasts
+                "q435_weekday_strength", "q436_xcorr_peak",
+                "q437_calibration_slope",
                 # q409: the model-space weekly pair theta-join +
                 # 1-row S/tie combines
                 "q409_mann_kendall"}
