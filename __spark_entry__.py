@@ -515,6 +515,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q435_weekday_strength": Q.q435_weekday_strength,
         "q436_xcorr_peak": Q.q436_xcorr_peak,
         "q437_calibration_slope": Q.q437_calibration_slope,
+        "q438_msttr": Q.q438_msttr,
+        "q439_end_digit_bias": Q.q439_end_digit_bias,
+        "q440_interorder_burstiness": Q.q440_interorder_burstiness,
+        "q441_crk_concentration": Q.q441_crk_concentration,
     }
 
 
@@ -14868,5 +14872,117 @@ def oracle_sql() -> dict[str, str]:
                           AS BIGINT) - 1000000) < 200000
                         THEN 1 ELSE 0 END AS well_calibrated
             FROM f
+        """,
+        "q438_msttr": f"""
+            WITH toks AS (
+              SELECT source, doc_id,
+                     (generate_subscripts(arr, 1) - 1) // 100
+                       AS chunk,
+                     unnest(arr) AS w
+              FROM (SELECT source, doc_id, {_TOKS} AS arr
+                    FROM documents)),
+            per_chunk AS (
+              SELECT source, doc_id, chunk,
+                     CAST(COUNT(*) AS BIGINT) AS n_tok,
+                     CAST(COUNT(DISTINCT w) AS BIGINT) AS n_typ
+              FROM toks GROUP BY 1, 2, 3),
+            ttr AS (
+              SELECT source, n_typ * 1000000 // n_tok AS ttr_ppm
+              FROM per_chunk WHERE n_tok = 100)
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+                   CAST(SUM(ttr_ppm) AS BIGINT) // COUNT(*)
+                     AS msttr_ppm
+            FROM ttr GROUP BY 1
+        """,
+        "q439_end_digit_bias": """
+            WITH cells AS (
+              SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT) % 100 AS dd,
+                     CAST(COUNT(*) AS BIGINT) AS o
+              FROM orders GROUP BY 1),
+            tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+            s AS (
+              SELECT n, CAST(COUNT(*) AS BIGINT) AS n_cells,
+                     CAST(SUM(CAST(floor(
+                       (CAST(o AS DOUBLE) - CAST(n AS DOUBLE) / 100.0)
+                       * (CAST(o AS DOUBLE)
+                          - CAST(n AS DOUBLE) / 100.0)
+                       / (CAST(n AS DOUBLE) / 100.0) * 1000000)
+                       AS BIGINT)) AS BIGINT) AS chi2_micro
+              FROM cells, tot GROUP BY 1)
+            SELECT n, n_cells, chi2_micro,
+                   CASE WHEN chi2_micro > 123225221 THEN 1 ELSE 0 END
+                     AS biased
+            FROM s
+        """,
+        "q440_interorder_burstiness": """
+            WITH gaps AS (
+              SELECT o_custkey,
+                     day - LAG(day) OVER (PARTITION BY o_custkey
+                       ORDER BY day, o_orderkey) AS gap
+              FROM (SELECT o_custkey, o_orderkey,
+                           date_diff('day', DATE '1992-01-01',
+                                     CAST(o_orderdate AS DATE))
+                             AS day
+                    FROM orders)),
+            per AS (
+              SELECT c.c_mktsegment,
+                     CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                     CAST(SUM(gap) AS BIGINT) AS s1,
+                     CAST(SUM(CAST(gap AS HUGEINT)
+                          * CAST(gap AS HUGEINT)) AS HUGEINT) AS s2
+              FROM gaps g JOIN customer c
+                ON g.o_custkey = c.c_custkey
+              WHERE gap IS NOT NULL
+              GROUP BY 1)
+            SELECT c_mktsegment, n_gaps,
+                   CAST(floor(CAST(s1 AS DOUBLE)
+                        / CAST(n_gaps AS DOUBLE) * 1000) AS BIGINT)
+                     AS mean_gap_millidays,
+                   CAST(floor((sqrt(CAST(s2 AS DOUBLE)
+                          / CAST(n_gaps AS DOUBLE)
+                          - (CAST(s1 AS DOUBLE)
+                             / CAST(n_gaps AS DOUBLE))
+                            * (CAST(s1 AS DOUBLE)
+                               / CAST(n_gaps AS DOUBLE)))
+                        - CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                        / (sqrt(CAST(s2 AS DOUBLE)
+                            / CAST(n_gaps AS DOUBLE)
+                            - (CAST(s1 AS DOUBLE)
+                               / CAST(n_gaps AS DOUBLE))
+                              * (CAST(s1 AS DOUBLE)
+                                 / CAST(n_gaps AS DOUBLE)))
+                           + CAST(s1 AS DOUBLE)
+                             / CAST(n_gaps AS DOUBLE))
+                        * 1000000) AS BIGINT) AS burstiness_micro
+            FROM per
+        """,
+        "q441_crk_concentration": """
+            WITH per AS MATERIALIZED (
+              SELECT o_custkey,
+                     CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                   * 100 AS BIGINT)) AS BIGINT)
+                       AS cents
+              FROM orders GROUP BY 1),
+            tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS total
+                    FROM per),
+            top AS (
+              SELECT cents,
+                     ROW_NUMBER() OVER (ORDER BY cents DESC,
+                       o_custkey) AS rk
+              FROM per QUALIFY rk <= 8),
+            agg AS (
+              SELECT CAST(MIN(total) AS BIGINT) AS total,
+                     CAST(SUM(CASE WHEN rk <= 1 THEN cents END)
+                          AS BIGINT) AS c1,
+                     CAST(SUM(CASE WHEN rk <= 4 THEN cents END)
+                          AS BIGINT) AS c4,
+                     CAST(SUM(CASE WHEN rk <= 8 THEN cents END)
+                          AS BIGINT) AS c8
+              FROM top, tot)
+            SELECT c1 * 1000000 // total AS cr1_ppm,
+                   c4 * 1000000 // total AS cr4_ppm,
+                   c8 * 1000000 // total AS cr8_ppm
+            FROM agg
         """,
     }

@@ -20571,3 +20571,171 @@ def q437_calibration_slope(spark, sf):
             F.abs(F.floor(slope * 1_000_000) - 1_000_000) < 200_000, 1
         ).otherwise(0).alias("well_calibrated"),
     )
+
+
+def q438_msttr(spark, sf):
+    """Mean segmental type-token ratio (MSTTR-100) per source: TTR
+    averaged over NON-overlapping 100-token chunks — the length-
+    robust lexical-diversity measure (raw TTR collapses as documents
+    grow, which is why q189's per-doc TTR can't compare a tweet
+    corpus to a book corpus; fixed-size segments remove the length
+    confound; q377's Yule K is the frequency-moment alternative).
+    Chunk TTRs are exact integer ratios floored to ppm before the
+    per-source integer mean.
+
+    Shape: one posexplode + (doc, chunk, token) distinct agg + chunk
+    rollup + source mean — shuffles keyed on high-cardinality ids."""
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(
+        "source",
+        "doc_id",
+        F.posexplode(TX.tokens("text")).alias("pos", "w"),
+    ).select(
+        "source",
+        "doc_id",
+        F.expr("pos DIV 100").alias("chunk"),
+        "pos",
+        "w",
+    )
+    per_chunk = toks.groupBy("source", "doc_id", "chunk").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.count_distinct("w").alias("n_typ"),
+    ).where(F.col("n_tok") == 100)
+    ttr = per_chunk.select(
+        "source",
+        F.expr("n_typ * 1000000 DIV n_tok").alias("ttr_ppm"),
+    )
+    return ttr.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.expr("SUM(ttr_ppm) DIV COUNT(1)").alias("msttr_ppm"),
+    )
+
+
+def q439_end_digit_bias(spark, sf):
+    """Psychological-pricing audit: the distribution of the CENTS
+    end-digits of order totals vs uniform, chi-square over the 100
+    two-digit cells — the trailing-digit sibling of q153's Benford
+    leading-digit test (fraud and hand-keyed data clump on .00/.99;
+    machine-generated totals shouldn't). Counts exact; per-cell chi2
+    terms floor to micro before the 100-row sum; chi2(99) 5%
+    critical value 123.225.
+
+    Shape: ONE 100-group agg + the model-space fold."""
+    orders = _t(spark, sf, "orders")
+    cells = (
+        orders.select(
+            F.pmod(
+                (_d("o_totalprice") * 100).cast("long"), F.lit(100)
+            ).alias("dd")
+        )
+        .groupBy("dd")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    tot = cells.agg(F.sum("o").alias("n"))
+    j = cells.crossJoin(F.broadcast(tot))
+    exp = F.col("n").cast("double") / 100.0
+    dev = F.col("o").cast("double") - exp
+    term = F.floor(dev * dev / exp * 1_000_000).cast("long")
+    s = j.select("n", term.alias("t")).groupBy("n").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("t").alias("chi2_micro"),
+    )
+    return s.select(
+        "n",
+        "n_cells",
+        "chi2_micro",
+        F.when(F.col("chi2_micro") > 123_225_221, 1)
+        .otherwise(0)
+        .alias("biased"),
+    )
+
+
+def q440_interorder_burstiness(spark, sf):
+    """Goh-Barabasi burstiness of inter-order waiting times per
+    market segment: B = (sigma - mu) / (sigma + mu) over each
+    customer's order gaps, pooled by segment — B = -1 periodic, 0
+    Poisson, -> 1 bursty — the TEMPORAL clumping diagnostic (q194's
+    Fano measures count dispersion per window; B measures the gap
+    process itself, the quantity queueing capacity actually feels).
+    Gaps are exact day integers off one per-customer lag window;
+    segment moments are exact decimal sums.
+
+    Shape: one per-customer lag window (high-cardinality partition)
+    + ONE (segment) moment agg."""
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    orders = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    gaps = (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1992-01-01").cast("date")
+            ).alias("day"),
+        )
+        .withColumn("gap", F.col("day") - F.lag("day").over(w))
+        .where(F.col("gap").isNotNull())
+    )
+    D38 = "decimal(38,0)"
+    per = (
+        gaps.join(
+            F.broadcast(cust),
+            gaps.o_custkey == cust.c_custkey,
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("gap").alias("s1"),
+            F.sum(F.col("gap").cast(D38) * F.col("gap").cast(D38)).alias(
+                "s2"
+            ),
+        )
+    )
+    nd = F.col("n_gaps").cast("double")
+    mu = F.col("s1").cast("double") / nd
+    sd = F.sqrt(F.col("s2").cast("double") / nd - mu * mu)
+    b = (sd - mu) / (sd + mu)
+    return per.select(
+        "c_mktsegment",
+        "n_gaps",
+        F.floor(mu * 1_000).cast("long").alias("mean_gap_millidays"),
+        F.floor(b * 1_000_000).cast("long").alias("burstiness_micro"),
+    )
+
+
+def q441_crk_concentration(spark, sf):
+    """Market concentration ratios CR1 / CR4 / CR8 of customer spend
+    — the antitrust-style complement to q148's HHI (HHI squares every
+    share; CR-k reads directly as "the top k customers hold X%"):
+    top-k spend shares from the exact per-customer sums and ONE
+    model-space rank window over the (bounded) top slice.
+
+    Shape: one (customer) agg + a top-8 rank window (two-phase: the
+    global top-8 via per-partition pre-filter is the q26/q53 salted
+    pattern; at this k a direct orderBy-limit pushdown suffices) +
+    a 1-row combine."""
+    orders = _t(spark, sf, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        F.sum((_d("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    tot = per.agg(F.sum("cents").alias("total"))
+    top = (
+        per.select(
+            "cents",
+            F.row_number()
+            .over(Window.orderBy(F.col("cents").desc(), "o_custkey"))
+            .alias("rk"),
+        )
+        .where(F.col("rk") <= 8)
+    )
+    agg = top.crossJoin(F.broadcast(tot)).agg(
+        F.min("total").alias("total"),
+        F.sum(F.when(F.col("rk") <= 1, F.col("cents"))).alias("c1"),
+        F.sum(F.when(F.col("rk") <= 4, F.col("cents"))).alias("c4"),
+        F.sum(F.when(F.col("rk") <= 8, F.col("cents"))).alias("c8"),
+    )
+    return agg.select(
+        F.expr("c1 * 1000000 DIV total").alias("cr1_ppm"),
+        F.expr("c4 * 1000000 DIV total").alias("cr4_ppm"),
+        F.expr("c8 * 1000000 DIV total").alias("cr8_ppm"),
+    )

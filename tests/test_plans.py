@@ -1140,6 +1140,14 @@ SHUFFLE_BUDGET = {
     "q436_xcorr_peak": 4,
     # q437: the distinct-score agg + model-space cumsum + 10-bin OLS
     "q437_calibration_slope": 6,
+    # q438: the (doc, chunk, token) agg + chunk rollup + source mean
+    "q438_msttr": 3,
+    # q439: the 100-cell agg + 1-row total/fold combines
+    "q439_end_digit_bias": 4,
+    # q440: the per-customer lag window + the (segment) moment agg
+    "q440_interorder_burstiness": 2,
+    # q441: the per-customer agg + the top-8 rank window + 1-row
+    "q441_crk_concentration": 3,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -1405,6 +1413,8 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 # q435-q437: 1-row totals/denominator broadcasts
                 "q435_weekday_strength", "q436_xcorr_peak",
                 "q437_calibration_slope",
+                # q439/q441: 1-row total broadcasts
+                "q439_end_digit_bias", "q441_crk_concentration",
                 # q409: the model-space weekly pair theta-join +
                 # 1-row S/tie combines
                 "q409_mann_kendall"}
