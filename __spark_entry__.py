@@ -519,6 +519,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q439_end_digit_bias": Q.q439_end_digit_bias,
         "q440_interorder_burstiness": Q.q440_interorder_burstiness,
         "q441_crk_concentration": Q.q441_crk_concentration,
+        "q442_median_polish": Q.q442_median_polish,
+        "q443_theil_u2": Q.q443_theil_u2,
     }
 
 
@@ -14983,6 +14985,69 @@ def oracle_sql() -> dict[str, str]:
             SELECT c1 * 1000000 // total AS cr1_ppm,
                    c4 * 1000000 // total AS cr4_ppm,
                    c8 * 1000000 // total AS cr8_ppm
+            FROM agg
+        """,
+        "q442_median_polish": """
+            WITH cells AS MATERIALIZED (
+              SELECT c.c_mktsegment, o.o_orderpriority,
+                     CAST(SUM(CAST(CAST(o.o_totalprice
+                         AS DECIMAL(18,2)) * 100 AS BIGINT))
+                       AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) / 100.0 AS v
+              FROM orders o JOIN customer c
+                ON o.o_custkey = c.c_custkey
+              GROUP BY 1, 2),
+            rowmed AS (
+              SELECT c_mktsegment, median(v) AS rm
+              FROM cells GROUP BY 1),
+            step1 AS MATERIALIZED (
+              SELECT c.c_mktsegment, c.o_orderpriority,
+                     c.v - r.rm AS v1
+              FROM cells c JOIN rowmed r
+                ON c.c_mktsegment = r.c_mktsegment),
+            colmed AS (
+              SELECT o_orderpriority, median(v1) AS cm
+              FROM step1 GROUP BY 1),
+            resid AS (
+              SELECT CAST(floor((s.v1 - cm.cm) * 1000000) AS BIGINT)
+                       AS resid_micro
+              FROM step1 s JOIN colmed cm
+                ON s.o_orderpriority = cm.o_orderpriority)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+                   CAST(MAX(abs(resid_micro)) AS BIGINT)
+                     AS max_abs_resid_micro,
+                   CAST(SUM(abs(resid_micro)) AS BIGINT)
+                     AS sum_abs_resid_micro
+            FROM resid
+        """,
+        "q443_theil_u2": """
+            WITH daily AS (
+              SELECT date_diff('day', DATE '1992-01-01',
+                               CAST(o_orderdate AS DATE)) AS day,
+                     CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                   * 100 AS BIGINT)) AS BIGINT) AS rev
+              FROM orders GROUP BY 1),
+            lagged AS (
+              SELECT rev,
+                     LAG(rev, 7) OVER (ORDER BY day) AS f7,
+                     LAG(rev, 1) OVER (ORDER BY day) AS f1
+              FROM daily),
+            agg AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(rev - f7 AS HUGEINT)
+                          * CAST(rev - f7 AS HUGEINT)) AS HUGEINT)
+                       AS sse7,
+                     CAST(SUM(CAST(rev - f1 AS HUGEINT)
+                          * CAST(rev - f1 AS HUGEINT)) AS HUGEINT)
+                       AS sse1
+              FROM lagged WHERE f7 IS NOT NULL)
+            SELECT n,
+                   CAST(floor(sqrt(CAST(sse7 AS DOUBLE)
+                        / CAST(sse1 AS DOUBLE)) * 1000000) AS BIGINT)
+                     AS u2_micro,
+                   CASE WHEN sqrt(CAST(sse7 AS DOUBLE)
+                          / CAST(sse1 AS DOUBLE)) < 1.0
+                        THEN 1 ELSE 0 END AS beats_naive
             FROM agg
         """,
     }

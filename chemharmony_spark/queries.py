@@ -20739,3 +20739,119 @@ def q441_crk_concentration(spark, sf):
         F.expr("c4 * 1000000 DIV total").alias("cr4_ppm"),
         F.expr("c8 * 1000000 DIV total").alias("cr8_ppm"),
     )
+
+
+def q442_median_polish(spark, sf):
+    """One Tukey median-polish sweep of the (segment x priority) mean
+    order-value table: subtract row medians, then column medians, and
+    report the residual magnitude — the ROBUST two-way decomposition
+    next to q408's means-based ANOVA (a single weird cell drags means
+    but not medians; what survives the polish IS the interaction
+    signal). Cell means come from exact sums; the 5-value medians run
+    on the 25-row model table; residuals floor to micro for the
+    rollup.
+
+    Shape: ONE 25-cell agg; every later step is model space."""
+    from chemharmony_spark.cache import registered_persist
+
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    orders = _t(spark, sf, "orders")
+    cells = registered_persist(
+        orders.join(
+            F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        )
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_ab"),
+            F.sum((_d("o_totalprice") * 100).cast("long")).alias(
+                "s_ab"
+            ),
+        )
+        .select(
+            "c_mktsegment",
+            "o_orderpriority",
+            (
+                F.col("s_ab").cast("double")
+                / F.col("n_ab").cast("double")
+                / 100.0
+            ).alias("v"),
+        )
+    )
+    rowmed = cells.groupBy("c_mktsegment").agg(
+        F.median("v").alias("rm")
+    )
+    step1 = registered_persist(
+        cells.join(F.broadcast(rowmed), on="c_mktsegment").select(
+            "c_mktsegment",
+            "o_orderpriority",
+            (F.col("v") - F.col("rm")).alias("v1"),
+        )
+    )
+    colmed = step1.groupBy("o_orderpriority").agg(
+        F.median("v1").alias("cm")
+    )
+    resid = step1.join(F.broadcast(colmed), on="o_orderpriority").select(
+        "c_mktsegment",
+        "o_orderpriority",
+        F.floor((F.col("v1") - F.col("cm")) * 1_000_000)
+        .cast("long")
+        .alias("resid_micro"),
+    )
+    return resid.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.max(F.abs(F.col("resid_micro"))).alias(
+            "max_abs_resid_micro"
+        ),
+        F.sum(F.abs(F.col("resid_micro"))).alias(
+            "sum_abs_resid_micro"
+        ),
+    )
+
+
+def q443_theil_u2(spark, sf):
+    """Theil's U2 forecast-quality statistic for the lag-7 seasonal-
+    naive revenue model: U2 = RMSE(model) / RMSE(lag-1 naive) — the
+    squared-error twin of q407's MASE (RMSE punishes the big misses
+    a capacity planner cares about; MAE forgives them); U2 < 1 means
+    the model beats the no-change forecast even on spiky days. Sums
+    of squared integer-cent errors are exact decimal; one sqrt ratio
+    at the end.
+
+    Shape: one (day) agg + one lag window + a 1-row combine."""
+    orders = _t(spark, sf, "orders")
+    daily = (
+        orders.select(
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1992-01-01").cast("date")
+            ).alias("day"),
+            (_d("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    w = Window.orderBy("day")
+    D38 = "decimal(38,0)"
+    lagged = daily.select(
+        "rev",
+        F.lag("rev", 7).over(w).alias("f7"),
+        F.lag("rev", 1).over(w).alias("f1"),
+    ).where(F.col("f7").isNotNull())
+    agg = lagged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.col("rev") - F.col("f7")).cast(D38)
+            * (F.col("rev") - F.col("f7")).cast(D38)
+        ).alias("sse7"),
+        F.sum(
+            (F.col("rev") - F.col("f1")).cast(D38)
+            * (F.col("rev") - F.col("f1")).cast(D38)
+        ).alias("sse1"),
+    )
+    u2 = F.sqrt(
+        F.col("sse7").cast("double") / F.col("sse1").cast("double")
+    )
+    return agg.select(
+        "n",
+        F.floor(u2 * 1_000_000).cast("long").alias("u2_micro"),
+        F.when(u2 < 1.0, 1).otherwise(0).alias("beats_naive"),
+    )

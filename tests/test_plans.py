@@ -1148,6 +1148,11 @@ SHUFFLE_BUDGET = {
     "q440_interorder_burstiness": 2,
     # q441: the per-customer agg + the top-8 rank window + 1-row
     "q441_crk_concentration": 3,
+    # q442: the persisted 25-cell agg (reprinted per polish step) +
+    # row/column median rollups + the residual fold
+    "q442_median_polish": 4,
+    # q443: the daily agg + the model-space lag window
+    "q443_theil_u2": 2,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
