@@ -521,6 +521,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q441_crk_concentration": Q.q441_crk_concentration,
         "q442_median_polish": Q.q442_median_polish,
         "q443_theil_u2": Q.q443_theil_u2,
+        "q444_lorenz_asymmetry": Q.q444_lorenz_asymmetry,
+        "q445_hoover_index": Q.q445_hoover_index,
     }
 
 
@@ -15048,6 +15050,72 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN sqrt(CAST(sse7 AS DOUBLE)
                           / CAST(sse1 AS DOUBLE)) < 1.0
                         THEN 1 ELSE 0 END AS beats_naive
+            FROM agg
+        """,
+        "q444_lorenz_asymmetry": """
+            WITH per AS (
+              SELECT o_custkey,
+                     CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                   * 100 AS BIGINT)) AS BIGINT)
+                       AS cents
+              FROM orders GROUP BY 1),
+            tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                           CAST(SUM(cents) AS BIGINT) AS total
+                    FROM per),
+            agg AS (
+              SELECT CAST(MIN(k) AS BIGINT) AS k,
+                     CAST(MIN(total) AS BIGINT) AS total,
+                     CAST(SUM(CASE WHEN CAST(cents AS HUGEINT)
+                            * CAST(k AS HUGEINT)
+                            < CAST(total AS HUGEINT)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+                     CAST(SUM(CASE WHEN CAST(cents AS HUGEINT)
+                            * CAST(k AS HUGEINT)
+                            < CAST(total AS HUGEINT)
+                          THEN cents END) AS BIGINT) AS mass_below
+              FROM per, tot)
+            SELECT k, n_below,
+                   CAST(floor((CAST(n_below AS DOUBLE)
+                        / CAST(k AS DOUBLE)
+                        + CAST(mass_below AS DOUBLE)
+                          / CAST(total AS DOUBLE)) * 1000000)
+                        AS BIGINT) AS lorenz_asymmetry_micro,
+                   CASE WHEN CAST(n_below AS DOUBLE)
+                          / CAST(k AS DOUBLE)
+                          + CAST(mass_below AS DOUBLE)
+                            / CAST(total AS DOUBLE) > 1.0
+                          THEN 'whale_driven'
+                        WHEN CAST(n_below AS DOUBLE)
+                          / CAST(k AS DOUBLE)
+                          + CAST(mass_below AS DOUBLE)
+                            / CAST(total AS DOUBLE) < 1.0
+                          THEN 'long_tail_driven'
+                        ELSE 'symmetric' END AS regime
+            FROM agg
+        """,
+        "q445_hoover_index": """
+            WITH per AS (
+              SELECT o_custkey,
+                     CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                   * 100 AS BIGINT)) AS BIGINT)
+                       AS cents
+              FROM orders GROUP BY 1),
+            tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                           CAST(SUM(cents) AS BIGINT) AS total
+                    FROM per),
+            agg AS (
+              SELECT CAST(MIN(k) AS BIGINT) AS k,
+                     CAST(MIN(total) AS BIGINT) AS total,
+                     CAST(SUM(abs(CAST(cents AS HUGEINT)
+                          * CAST(k AS HUGEINT)
+                          - CAST(total AS HUGEINT))) AS HUGEINT)
+                       AS sdev_k
+              FROM per, tot)
+            SELECT k,
+                   CAST(floor(CAST(sdev_k AS DOUBLE)
+                        / (CAST(k AS DOUBLE) * 2.0
+                           * CAST(total AS DOUBLE)) * 1000000)
+                        AS BIGINT) AS hoover_ppm
             FROM agg
         """,
     }

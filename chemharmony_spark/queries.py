@@ -20855,3 +20855,91 @@ def q443_theil_u2(spark, sf):
         F.floor(u2 * 1_000_000).cast("long").alias("u2_micro"),
         F.when(u2 < 1.0, 1).otherwise(0).alias("beats_naive"),
     )
+
+
+def q444_lorenz_asymmetry(spark, sf):
+    """Lorenz asymmetry coefficient of customer spend: S = F(mu) +
+    L(mu) — the share of customers below the mean plus the share of
+    spend they hold — WHICH tail drives the inequality q183's Gini
+    only sizes (S < 1: many small accounts; S > 1: a few whales;
+    S = 1: symmetric Lorenz curve). Both terms are exact integer
+    ratios against a 1-row mean broadcast.
+
+    Shape: one (customer) agg + a 1-row total broadcast + ONE
+    conditional rollup."""
+    orders = _t(spark, sf, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        F.sum((_d("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).alias("k"), F.sum("cents").alias("total")
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    # below-mean test in exact integers: cents * k < total
+    below = (
+        F.col("cents").cast("decimal(38,0)")
+        * F.col("k").cast("decimal(38,0)")
+    ) < F.col("total").cast("decimal(38,0)")
+    agg = j.agg(
+        F.min("k").alias("k"),
+        F.min("total").alias("total"),
+        F.sum(F.when(below, 1).otherwise(0)).alias("n_below"),
+        F.sum(F.when(below, F.col("cents"))).alias("mass_below"),
+    )
+    s = (
+        F.col("n_below").cast("double") / F.col("k").cast("double")
+        + F.col("mass_below").cast("double")
+        / F.col("total").cast("double")
+    )
+    return agg.select(
+        "k",
+        "n_below",
+        F.floor(s * 1_000_000).cast("long").alias(
+            "lorenz_asymmetry_micro"
+        ),
+        F.when(s > 1.0, F.lit("whale_driven"))
+        .when(s < 1.0, F.lit("long_tail_driven"))
+        .otherwise(F.lit("symmetric"))
+        .alias("regime"),
+    )
+
+
+def q445_hoover_index(spark, sf):
+    """Hoover (Robin Hood) index of customer spend: half the relative
+    mean deviation, sum |x_i - mu| / (2 * sum x) — the share of all
+    spend that would have to MOVE to equalize accounts, the third
+    classic inequality measure beside q183's Gini and q344's Theil
+    (and the most operationally readable of the three). Deviations
+    use the k-scaled integer trick |k*x - total| so every term is
+    exact; one division at the end.
+
+    Shape: one (customer) agg + a 1-row total broadcast + ONE
+    integer rollup."""
+    orders = _t(spark, sf, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        F.sum((_d("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).alias("k"), F.sum("cents").alias("total")
+    )
+    D38 = "decimal(38,0)"
+    j = per.crossJoin(F.broadcast(tot))
+    dev = F.abs(
+        F.col("cents").cast(D38) * F.col("k").cast(D38)
+        - F.col("total").cast(D38)
+    )
+    agg = j.agg(
+        F.min("k").alias("k"),
+        F.min("total").alias("total"),
+        F.sum(dev).alias("sdev_k"),
+    )
+    # sum|x - mu| = sdev_k / k; hoover = that / (2 * total)
+    hoover = F.col("sdev_k").cast("double") / (
+        F.col("k").cast("double")
+        * 2.0
+        * F.col("total").cast("double")
+    )
+    return agg.select(
+        "k",
+        F.floor(hoover * 1_000_000).cast("long").alias("hoover_ppm"),
+    )

@@ -1153,6 +1153,9 @@ SHUFFLE_BUDGET = {
     "q442_median_polish": 4,
     # q443: the daily agg + the model-space lag window
     "q443_theil_u2": 2,
+    # q444/q445: the per-customer agg + 1-row total broadcast + fold
+    "q444_lorenz_asymmetry": 4,
+    "q445_hoover_index": 4,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -1420,6 +1423,8 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 "q437_calibration_slope",
                 # q439/q441: 1-row total broadcasts
                 "q439_end_digit_bias", "q441_crk_concentration",
+                # q444/q445: 1-row mean/total broadcasts
+                "q444_lorenz_asymmetry", "q445_hoover_index",
                 # q409: the model-space weekly pair theta-join +
                 # 1-row S/tie combines
                 "q409_mann_kendall"}
