@@ -523,6 +523,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q443_theil_u2": Q.q443_theil_u2,
         "q444_lorenz_asymmetry": Q.q444_lorenz_asymmetry,
         "q445_hoover_index": Q.q445_hoover_index,
+        "q446_atkinson2": Q.q446_atkinson2,
+        "q447_middle_band_share": Q.q447_middle_band_share,
     }
 
 
@@ -15116,6 +15118,60 @@ def oracle_sql() -> dict[str, str]:
                         / (CAST(k AS DOUBLE) * 2.0
                            * CAST(total AS DOUBLE)) * 1000000)
                         AS BIGINT) AS hoover_ppm
+            FROM agg
+        """,
+        "q446_atkinson2": """
+            WITH per AS (
+              SELECT o_custkey,
+                     CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                   * 100 AS BIGINT)) AS BIGINT)
+                       AS cents
+              FROM orders GROUP BY 1),
+            agg AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                     CAST(SUM(cents) AS BIGINT) AS total,
+                     CAST(SUM(CAST(floor(1e9
+                       / CAST(cents AS DOUBLE)) AS BIGINT))
+                       AS BIGINT) AS sinv_nano
+              FROM per)
+            SELECT k,
+                   CAST(floor(CAST(k AS DOUBLE)
+                        / (CAST(sinv_nano AS DOUBLE) / 1e9))
+                        AS BIGINT) AS harmonic_mean_cents,
+                   CAST(floor(CAST(total AS DOUBLE)
+                        / CAST(k AS DOUBLE)) AS BIGINT)
+                     AS mean_cents,
+                   CAST(floor((1.0 - (CAST(k AS DOUBLE)
+                          / (CAST(sinv_nano AS DOUBLE) / 1e9))
+                        / (CAST(total AS DOUBLE)
+                           / CAST(k AS DOUBLE))) * 1000000)
+                        AS BIGINT) AS atkinson2_micro
+            FROM agg
+        """,
+        "q447_middle_band_share": """
+            WITH per AS MATERIALIZED (
+              SELECT o_custkey,
+                     CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                   * 100 AS BIGINT)) AS BIGINT)
+                       AS cents
+              FROM orders GROUP BY 1),
+            med AS (
+              SELECT cents AS med FROM (
+                SELECT cents, ROW_NUMBER() OVER (ORDER BY cents,
+                  o_custkey) AS rk FROM per),
+                (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM per)
+              WHERE rk = CAST(ceil(CAST(k AS DOUBLE) / 2)
+                              AS BIGINT)),
+            agg AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                     CAST(MIN(med) AS BIGINT) AS median_cents,
+                     CAST(SUM(CASE WHEN 4 * cents >= 3 * med
+                              AND 4 * cents <= 5 * med
+                              THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_band
+              FROM per, med)
+            SELECT k, median_cents, n_band,
+                   n_band * 1000000 // k AS middle_share_ppm
             FROM agg
         """,
     }

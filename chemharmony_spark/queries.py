@@ -20943,3 +20943,90 @@ def q445_hoover_index(spark, sf):
         "k",
         F.floor(hoover * 1_000_000).cast("long").alias("hoover_ppm"),
     )
+
+
+def q446_atkinson2(spark, sf):
+    """Atkinson inequality index at aversion epsilon=2 — 1 minus the
+    harmonic/arithmetic mean ratio of customer spend — the WELFARE-
+    weighted member of the inequality suite (Gini q183 weights by
+    rank, Theil q344 by log share; Atkinson(2) is maximally sensitive
+    to the POOREST accounts, and epsilon=2 is the one exactly
+    computable without exp/ln of means): A2 = 1 - H/mu with
+    H = k / sum(1/x). Reciprocals floor to nano before the integer
+    sum; everything else is exact.
+
+    Shape: one (customer) agg + ONE 1-row rollup."""
+    orders = _t(spark, sf, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        F.sum((_d("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("cents").alias("total"),
+        F.sum(
+            F.floor(
+                F.lit(1e9) / F.col("cents").cast("double")
+            ).cast("long")
+        ).alias("sinv_nano"),
+    )
+    kd = F.col("k").cast("double")
+    mu = F.col("total").cast("double") / kd
+    h = kd / (F.col("sinv_nano").cast("double") / 1e9)
+    a2 = 1.0 - h / mu
+    return agg.select(
+        "k",
+        F.floor(h).cast("long").alias("harmonic_mean_cents"),
+        F.floor(mu).cast("long").alias("mean_cents"),
+        F.floor(a2 * 1_000_000).cast("long").alias("atkinson2_micro"),
+    )
+
+
+def q447_middle_band_share(spark, sf):
+    """Middle-band share: fraction of customers whose spend sits
+    within +/-25% of the median — the "how hollow is the middle"
+    distribution-shape number that summarizes polarization in one
+    ratio (the Lorenz/Gini family says how unequal; this says whether
+    the center emptied out). Median from the exact rank window; the
+    band test is pure integer comparisons (4*x vs 3*med, 4*x vs
+    5*med).
+
+    Shape: one (customer) agg + a 1-row rank-median broadcast + ONE
+    conditional rollup."""
+    from chemharmony_spark.cache import registered_persist
+
+    orders = _t(spark, sf, "orders")
+    per = registered_persist(
+        orders.groupBy("o_custkey").agg(
+            F.sum((_d("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    med = (
+        per.select(
+            "cents",
+            F.row_number()
+            .over(Window.orderBy("cents", "o_custkey"))
+            .alias("rk"),
+        )
+        .crossJoin(
+            F.broadcast(per.agg(F.count(F.lit(1)).alias("k")))
+        )
+        .where(F.col("rk") == F.ceil(F.col("k") / 2))
+        .select(F.col("cents").alias("med"))
+    )
+    j = per.crossJoin(F.broadcast(med))
+    in_band = (4 * F.col("cents") >= 3 * F.col("med")) & (
+        4 * F.col("cents") <= 5 * F.col("med")
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.min("med").alias("median_cents"),
+        F.sum(F.when(in_band, 1).otherwise(0)).alias("n_band"),
+    )
+    return agg.select(
+        "k",
+        "median_cents",
+        "n_band",
+        F.expr("n_band * 1000000 DIV k").alias("middle_share_ppm"),
+    )

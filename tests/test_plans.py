@@ -1156,6 +1156,11 @@ SHUFFLE_BUDGET = {
     # q444/q445: the per-customer agg + 1-row total broadcast + fold
     "q444_lorenz_asymmetry": 4,
     "q445_hoover_index": 4,
+    # q446: the per-customer agg + the 1-row rollup
+    "q446_atkinson2": 2,
+    # q447: the persisted per-customer agg (reprinted per consumer)
+    # + rank-median window + the 1-row band rollup
+    "q447_middle_band_share": 4,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -1425,6 +1430,8 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 "q439_end_digit_bias", "q441_crk_concentration",
                 # q444/q445: 1-row mean/total broadcasts
                 "q444_lorenz_asymmetry", "q445_hoover_index",
+                # q447: 1-row median broadcast onto the accounts
+                "q447_middle_band_share",
                 # q409: the model-space weekly pair theta-join +
                 # 1-row S/tie combines
                 "q409_mann_kendall"}
