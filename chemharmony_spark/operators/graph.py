@@ -132,9 +132,13 @@ def connected_components_star(
     the (contracted) edge count is at or below the cap — the remaining
     label graph after contraction is cluster-sized, not row-sized, and a
     distributed star round costs ~7 fixed-overhead jobs no matter how few
-    rows it moves. The cap is an explicit driver-memory bound (edges are
-    two ids each; 2M edges ~= 32 MB collected); 0 disables the path and
-    everything stays distributed."""
+    rows it moves. The cap is an explicit driver-memory bound — note the
+    REAL cost of a cap-sized collect: ``collect()`` materializes Python
+    Row objects (~150-300 bytes per 2-id edge, 10-20x the 16 raw bytes)
+    plus the union-find parent/nodes dicts (~100 bytes per distinct
+    node), so 2M edges is on the order of 0.5-1 GB of driver heap, not
+    the 32 MB the raw ids suggest. Size caps against that figure; 0
+    disables the path and everything stays distributed."""
     hint = F.broadcast if broadcast_maps else (lambda d: d)
 
     raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(

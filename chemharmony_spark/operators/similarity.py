@@ -455,13 +455,21 @@ def _assign_cells_join(
     id_col: str,
     vec_col: str,
 ) -> DataFrame:
-    """Broadcast cross-join + min_by argmin fallback for large codebooks.
+    """Broadcast cross-join + struct-min argmin fallback for large
+    codebooks.
 
     k x row replication through a BroadcastNestedLoopJoin, then a hash
-    aggregation on ``id_col`` picks the nearest cell — the classic IVF
-    assignment shape. Distance arithmetic matches the inline fold
-    (zip_with/aggregate of (x-c)^2, ties break on cell_id via the struct
-    min) so both paths assign identically."""
+    aggregation PER ROW picks the nearest cell — the classic IVF
+    assignment shape. The group key is an internal per-row id
+    (``monotonically_increasing_id``), NOT ``id_col``, so duplicate ids
+    in the corpus are each assigned independently — matching the inline
+    literal-codebook path exactly (which is a pure per-row map). The
+    corpus columns ride through the aggregation as ``first`` (every row
+    in a group IS the same source row), so no join back is needed and
+    the generated row id never crosses a lineage boundary. Distance
+    arithmetic matches the inline fold (zip_with/aggregate of (x-c)^2,
+    ties break on cell_id via the struct min) so both paths assign
+    identically."""
     vec = _as_double(F.col(vec_col))
     cent = _as_double(F.col("centroid"))
     d = F.aggregate(
@@ -469,11 +477,20 @@ def _assign_cells_join(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    scored = corpus.join(F.broadcast(centroids)).withColumn("__d", d)
-    best = scored.groupBy(id_col).agg(
-        F.min(F.struct(F.col("__d"), F.col("cell_id"))).alias("__best")
-    ).select(id_col, F.col("__best.cell_id").alias("cell_id"))
-    return corpus.join(best, on=id_col)
+    rid = "__assign_row"
+    scored = (
+        corpus.withColumn(rid, F.monotonically_increasing_id())
+        .join(F.broadcast(centroids))
+        .withColumn("__d", d)
+    )
+    return (
+        scored.groupBy(rid)
+        .agg(
+            F.min(F.struct(F.col("__d"), F.col("cell_id"))).alias("__best"),
+            *[F.first(c).alias(c) for c in corpus.columns],
+        )
+        .select(*corpus.columns, F.col("__best.cell_id").alias("cell_id"))
+    )
 
 
 def assign_cells(

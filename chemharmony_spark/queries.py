@@ -2919,9 +2919,11 @@ def q123_dedup_pipeline(spark, sf):
     # persist the candidate set: it feeds the verify join's probe side and
     # would otherwise be re-derived inside the component step's eager
     # checkpoint job with the whole prefix pipeline inlined
-    cands = DD.prefix_filter_pairs(
-        rep_tok, "doc_id", "text", threshold=0.6, tokens_col="ws"
-    ).persist()
+    cands = registered_persist(
+        DD.prefix_filter_pairs(
+            rep_tok, "doc_id", "text", threshold=0.6, tokens_col="ws"
+        )
+    )
     pairs = (
         DD.jaccard_pairs(
             rep_tok, cands, "doc_id", "text", tokens_col="ws"
@@ -9214,9 +9216,16 @@ def q265_weighted_jaccard(spark, sf):
     similarity that set Jaccard (q36) flattens (a doc that repeats one
     line 50x looks identical to one mentioning it once). Pair set =
     PPJoin candidates verified at set-J >= 0.6; each doc's token-count
-    MAP is built once (one explode + two aggs) and broadcast into the
-    pair join; per pair, the min/max sums fold over the UNION of the two
-    key sets in exact integers. Top-20 by (weighted ppm desc, a, b)."""
+    MAP is built once (one explode + two aggs, persisted for its two
+    consumers) and attached to the PAIR table with plain shuffled
+    equi-joins on a/b — the map table is CORPUS-sized (one row per
+    document), so broadcasting it would ship the whole corpus's
+    vocabulary to every executor at 100x scale; the verified-pair side
+    is the small side here, and the equi-join co-partitions on the pair
+    key. Per pair, the min/max sums fold over the UNION of the two key
+    sets in exact integers. Top-20 by (weighted ppm desc, a, b)."""
+    from chemharmony_spark.cache import registered_persist
+
     docs = _t(spark, sf, "documents")
     cands = DD.prefix_filter_pairs(docs, "doc_id", "text", threshold=0.6)
     verified = (
@@ -9224,7 +9233,7 @@ def q265_weighted_jaccard(spark, sf):
         .where(F.col("jaccard") >= 0.6)
         .select("a", "b")
     )
-    counts = (
+    counts = registered_persist(
         docs.select(
             "doc_id", F.explode(TX.tokens("text")).alias("tok")
         )
@@ -9237,10 +9246,8 @@ def q265_weighted_jaccard(spark, sf):
             ).alias("m")
         )
     )
-    ma = F.broadcast(counts.select(F.col("doc_id").alias("a"),
-                                   F.col("m").alias("ma")))
-    mb = F.broadcast(counts.select(F.col("doc_id").alias("b"),
-                                   F.col("m").alias("mb")))
+    ma = counts.select(F.col("doc_id").alias("a"), F.col("m").alias("ma"))
+    mb = counts.select(F.col("doc_id").alias("b"), F.col("m").alias("mb"))
     keys = F.array_union(F.map_keys("ma"), F.map_keys("mb"))
     zero = F.lit(0).cast("long")
 
@@ -20317,16 +20324,22 @@ def q434_rake_keywords(spark, sf):
     pw = phrases.select(
         "phrase", F.explode(F.split("phrase", " ")).alias("w")
     ).join(F.broadcast(wscore), on="w")
-    scored = (
+    # Top-10 via orderBy+limit (TakeOrderedAndProject: per-partition
+    # heaps merged on the driver), NOT row_number over a global window —
+    # the phrase-score table is CORPUS-sized, and an unpartitioned
+    # ranked window funnels it through one task at 100x. The rank column
+    # is then re-derived over the 10 surviving rows only.
+    top10 = (
         pw.groupBy("phrase")
         .agg(F.sum("ws_micro").alias("score_micro"))
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.orderBy(F.col("score_micro").desc(), "phrase")
-            ),
-        )
-        .where(F.col("rk") <= 10)
+        .orderBy(F.col("score_micro").desc(), "phrase")
+        .limit(10)
+    )
+    scored = top10.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.col("score_micro").desc(), "phrase")
+        ),
     )
     return scored.select("rk", "phrase", "score_micro")
 

@@ -38,6 +38,43 @@ EVENTS_SCHEMA = StructType(
 )
 
 
+def _index_epochs(spark: SparkSession, index_dir: str) -> list:
+    """Enumerate ``epoch=*`` subdirectories of ``index_dir`` through the
+    Hadoop FileSystem API, so the incremental indexes work on ANY
+    Spark-supported filesystem (s3a://, hdfs://, file:/) — ``os.listdir``
+    only sees the driver's local disk, which on an object-store
+    deployment silently reports "no index yet" every batch and disables
+    dedup entirely. Returns ``[]`` when the directory does not exist yet
+    (the legitimate first-batch case); every other IO error propagates
+    and fails the batch instead of admitting data unchecked."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(index_dir)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return []
+    return sorted(
+        st.getPath().toString()
+        for st in fs.listStatus(path)
+        if st.isDirectory() and st.getPath().getName().startswith("epoch=")
+    )
+
+
+def _read_index_epochs(
+    spark: SparkSession, index_dir: str, what: str
+) -> DataFrame:
+    """Read the union of all epoch partials, with an explicit error for
+    the not-yet-populated case (os.listdir would raise FileNotFoundError
+    on a missing local dir and spark.read.parquet() with zero paths gives
+    a confusing 'path not specified' — neither names the real problem)."""
+    epochs = _index_epochs(spark, index_dir)
+    if not epochs:
+        raise ValueError(
+            f"{what} index at {index_dir!r} has no epochs yet — run the "
+            "indexing stream (or its batch twin) before estimating"
+        )
+    return spark.read.parquet(*epochs)
+
+
 def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
     """readStream over events.parquet with the two time views every streaming
     plan consumes: ``ts`` re-derived as BIGINT ns since epoch and ``ts_ts``
@@ -281,16 +318,10 @@ def stream_novel_docs(
         # Detect the no-index-yet case EXPLICITLY (first batch) instead of
         # a bare except around the read: a transient IO error or corrupt
         # index file must propagate and fail the batch, not silently admit
-        # everything unchecked and pollute the deduplicated corpus.
-        epochs = (
-            [
-                os.path.join(index_dir, d)
-                for d in os.listdir(index_dir)
-                if d.startswith("epoch=")
-            ]
-            if os.path.isdir(index_dir)
-            else []
-        )
+        # everything unchecked and pollute the deduplicated corpus. The
+        # Hadoop FS listing (not os.listdir) keeps this working when
+        # index_dir is an object-store/HDFS path.
+        epochs = _index_epochs(sess, index_dir)
         if epochs:
             index = sess.read.parquet(*epochs)
             hit_ids = (
@@ -369,16 +400,9 @@ def hll_estimate_from_index(spark: SparkSession, index_dir: str) -> DataFrame:
     """Merge every epoch's HLL partials (max per (group, bucket)) and
     produce the estimate — identical to running the batch sketch over the
     union of all batches."""
-    import os
-
     from chemharmony_spark.operators.sketches import hll64_estimate
 
-    epochs = [
-        os.path.join(index_dir, d)
-        for d in os.listdir(index_dir)
-        if d.startswith("epoch=")
-    ]
-    partials = spark.read.parquet(*epochs)
+    partials = _read_index_epochs(spark, index_dir, "HLL")
     merged = partials.groupBy("event_type", "bucket").agg(
         F.max("m").alias("m")
     )
@@ -449,17 +473,10 @@ def countmin_estimate_from_index(
     """Merge every epoch's count-min partials (SUM per (row, bucket)) and
     estimate each query item's count as the min over hash rows —
     identical to running the batch sketch over the union of all batches."""
-    import os
-
     from chemharmony_spark.operators.sketches import cm_bucket
 
-    epochs = [
-        os.path.join(index_dir, d)
-        for d in os.listdir(index_dir)
-        if d.startswith("epoch=")
-    ]
     merged = (
-        spark.read.parquet(*epochs)
+        _read_index_epochs(spark, index_dir, "count-min")
         .groupBy("row", "bucket")
         .agg(F.sum("c").alias("c"))
     )
@@ -573,14 +590,7 @@ def page_hinkley_from_index(
     the union of all batches (parity asserted in
     tests/test_streaming.py). The walk itself is model-space: one row
     per distinct day, regardless of stream volume."""
-    import os
-
-    epochs = [
-        os.path.join(index_dir, d)
-        for d in os.listdir(index_dir)
-        if d.startswith("epoch=")
-    ]
-    partials = spark.read.parquet(*epochs)
+    partials = _read_index_epochs(spark, index_dir, "daily Page-Hinkley")
     daily = (
         partials.groupBy("day")
         .agg(F.sum("s").alias("s"))
