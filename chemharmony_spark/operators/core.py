@@ -613,6 +613,55 @@ def grouped_cumsum(
     )
 
 
+def global_row_number(
+    df: DataFrame,
+    order_cols: Sequence[str | Column],
+    bucket: Column,
+    out: str = "rn",
+) -> DataFrame:
+    """Global total-order row_number WITHOUT an unpartitioned ranked
+    window (the canonical one-task funnel at 100 TB). Same bucketed
+    decomposition as :func:`grouped_cumsum`: rows rank inside their
+    bucket (a window partitioned on ``bucket``), per-bucket counts roll
+    up into offsets with one tiny cumulative pass over the bucket ids,
+    and the global rank is in-bucket rank + bucket offset. Output is
+    bit-identical to ``row_number().over(Window.orderBy(*order_cols))``.
+
+    ``bucket`` MUST be monotone non-decreasing in the total order —
+    i.e. a function of a PREFIX of ``order_cols`` (a substring of the
+    leading sort key, ``key DIV c``, a date's year...). Equal-bucket
+    ties are resolved by the full in-bucket order, so any
+    order-consistent coarsening works; correctness under that contract
+    is asserted against the plain window in tests.
+
+    The offsets frame has one row per bucket (an aggregation, never
+    row-scale), so its cumulative window and the join-back broadcast
+    are bounded by the bucket count, not the corpus."""
+    order = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    w_intra = Window.partitionBy("__rn_b").orderBy(*order)
+    run = df.withColumn("__rn_b", bucket).withColumn(
+        "__rn_i", F.row_number().over(w_intra).cast("long")
+    )
+    w_off = (
+        Window.orderBy("__rn_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        run.groupBy("__rn_b")
+        .agg(F.count(F.lit(1)).alias("__rn_n"))
+        .withColumn(
+            "__rn_off",
+            F.coalesce(F.sum("__rn_n").over(w_off), F.lit(0)).cast("long"),
+        )
+        .select("__rn_b", "__rn_off")
+    )
+    return (
+        run.join(F.broadcast(offsets), on="__rn_b")
+        .withColumn(out, F.col("__rn_i") + F.col("__rn_off"))
+        .drop("__rn_b", "__rn_i", "__rn_off")
+    )
+
+
 def salted_join(
     skewed: DataFrame,
     small: DataFrame,

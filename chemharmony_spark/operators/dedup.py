@@ -121,7 +121,7 @@ def lsh_candidate_pairs(signatures: DataFrame,
 
 
 def jaccard_pairs(df: DataFrame, candidates: DataFrame, id_col: str,
-                  text_col: str, broadcast_docs: bool = True,
+                  text_col: str, broadcast_docs: bool = False,
                   hash_tokens: bool = True,
                   tokens_col: str | None = None) -> DataFrame:
     """Exact word-set Jaccard for candidate pairs.
@@ -134,10 +134,15 @@ def jaccard_pairs(df: DataFrame, candidates: DataFrame, id_col: str,
     stages to the candidate join alone. Docs with an empty token set are
     dropped first (an inner-join convention the long-table plan implied).
 
-    ``broadcast_docs=False`` switches the two token-set joins to shuffled
-    hash joins for corpora too large to broadcast; row count is one per
-    doc (not one per word), so the shuffle payload is the same bytes the
-    long table would have moved anyway.
+    The two token-set joins are plain shuffled equi-joins by default —
+    the token frame is CORPUS-sized (one row per doc), so an explicit
+    broadcast hint would force shipping the whole corpus's token arrays
+    to every executor at 100x scale. At bench scale AQE converts the
+    join to a broadcast-hash join at runtime anyway (the frame is under
+    the adaptive threshold), so the hint buys nothing the optimizer
+    doesn't already do; ``broadcast_docs=True`` forces the hint for
+    callers that KNOW the doc universe is bounded (e.g. an already
+    limited candidate id set).
 
     Tokens are pre-hashed to 60-bit longs (15 hex chars of md5) ONCE per
     doc before the candidate join, so every per-candidate intersection
@@ -267,8 +272,10 @@ def prefix_filter_pairs(df: DataFrame, id_col: str, text_col: str,
     candidate join touches rare tokens only — the high-threshold
     complement to MinHash LSH (exact recall, no bands to tune).
 
-    Plan: one (id, token) explode + a broadcast vocabulary-frequency join,
-    one window for the in-doc frequency order, then the self-join on
+    Plan: one (id, token) explode + a vocabulary-frequency equi-join
+    (plain — the vocabulary is corpus-unbounded, so AQE decides at
+    runtime whether it fits a broadcast; at bench scale it does), one
+    window for the in-doc frequency order, then the self-join on
     prefix tokens. The frequency ordering is what makes it cheap: prefixes
     are the RARE tokens, so join groups are small by construction (the
     opposite of the stop-word blowup a naive token join hits).
@@ -314,7 +321,7 @@ def prefix_filter_pairs(df: DataFrame, id_col: str, text_col: str,
         "id", F.size("ws").alias("nw"), F.explode("ws").alias("w")
     )
     freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
-    ordered = words.join(F.broadcast(freq), on="w").withColumn(
+    ordered = words.join(freq, on="w").withColumn(
         "pos",
         F.row_number().over(
             Window.partitionBy("id").orderBy("df", "w")

@@ -161,9 +161,13 @@ def harmonize(
     if check_invariants:
         # the invariant suite runs ~8 actions over these frames; persist so
         # each plan executes once (the reference gets the same effect by
-        # writing the brick to parquet before asserting, 80:86-105)
+        # writing the brick to parquet before asserting, 80:86-105).
+        # Registry-routed: release_caches() after the caller consumes the
+        # result frees them (recompute-on-reference keeps this safe).
+        from chemharmony_spark.cache import registered_persist
+
         for frame in (substances, properties, acts):
-            frame.persist()
+            registered_persist(frame)
         _assert_invariants(substances, properties, acts, sources, min_rows)
         n_null = null_prov_future.result()
         assert n_null == 0, (

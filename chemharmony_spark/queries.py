@@ -22,10 +22,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from chemharmony_spark.functions.ids import group_id
+from chemharmony_spark.cache import registered_persist as _registered_persist
 from chemharmony_spark.operators import dedup as DD
 from chemharmony_spark.operators import multimodal as MM
 from chemharmony_spark.operators import similarity as SIM
 from chemharmony_spark.operators import text as TX
+from chemharmony_spark.operators import core as CORE
 from chemharmony_spark.operators.core import (
     balanced_class_floor,
     discordance_filter,
@@ -494,7 +496,7 @@ def q35_lsh_band_counts(spark, sf):
     """LSH candidate pairs per band (docs sharing a band-minhash bucket)."""
     # persist: the self-join below would otherwise recompute the signature
     # pipeline twice (signatures are tiny — 4 rows/doc)
-    sig = DD.minhash_signatures(_t(spark, sf, "documents"), "doc_id", "text").persist()
+    sig = DD.minhash_signatures(_t(spark, sf, "documents"), "doc_id", "text").transform(_registered_persist)
     left = sig.select("band", "minhash", F.col("id").alias("a"))
     right = sig.select("band", "minhash", F.col("id").alias("b"))
     pairs = (
@@ -509,7 +511,7 @@ def q35_lsh_band_counts(spark, sf):
 def q36_jaccard_near_dups(spark, sf):
     """Exact word-set Jaccard on LSH candidates; deterministic top-20."""
     docs = _t(spark, sf, "documents")
-    sig = DD.minhash_signatures(docs, "doc_id", "text").persist()
+    sig = DD.minhash_signatures(docs, "doc_id", "text").transform(_registered_persist)
     cands = DD.lsh_candidate_pairs(sig)
     scored = DD.jaccard_pairs(docs, cands, "doc_id", "text")
     return (
@@ -623,7 +625,7 @@ def q44_char_ngram_jaccard(spark, sf):
                 lambda i: F.col("norm").substr(i, F.lit(3)),
             )
         ).alias("gs"),
-    ).persist()
+    ).transform(_registered_persist)
     grams = gram_arr.select("doc_id", "source", F.explode("gs").alias("g"))
     # gram-set size falls out of the array — no groupBy re-shuffle needed
     sizes = gram_arr.select("doc_id", F.size("gs").alias("ng"))
@@ -637,9 +639,12 @@ def q44_char_ngram_jaccard(spark, sf):
     )
     na = sizes.select(F.col("doc_id").alias("a"), F.col("ng").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("b"), F.col("ng").alias("nb"))
+    # plain equi-joins: the per-doc size frame is corpus-sized, so a
+    # broadcast hint would force shipping it everywhere at 100x; AQE
+    # broadcasts at runtime when it actually fits
     return (
-        inter.join(F.broadcast(na), on="a")
-        .join(F.broadcast(nb), on="b")
+        inter.join(na, on="a")
+        .join(nb, on="b")
         .withColumn("jaccard",
                     F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")))
         .orderBy(F.col("jaccard").desc(), "a", "b")
@@ -655,7 +660,7 @@ def q45_simhash_hamming(spark, sf):
     signature frame persists before the self-join (q35/q36 idiom) so the
     16-fold token hashing runs once, not once per join side."""
     docs = _t(spark, sf, "documents")
-    sig = DD.simhash16(docs, "doc_id", "text", carry=("source",)).persist()
+    sig = DD.simhash16(docs, "doc_id", "text", carry=("source",)).transform(_registered_persist)
     a = sig.select(F.col("id").alias("a"), F.col("simhash").alias("ha"), "source")
     b = sig.select(F.col("id").alias("b"), F.col("simhash").alias("hb"), "source")
     return (
@@ -956,7 +961,7 @@ def q62_containment_dedup(spark, sf):
     docs = _t(spark, sf, "documents").select("doc_id", "source", "text")
     fp = TX.winnowing_fingerprints(docs, "text", k=5, w=4).select(
         "doc_id", "source", "fps"
-    ).persist()
+    ).transform(_registered_persist)
     ex = fp.select("doc_id", "source", F.explode("fps").alias("f"))
     a, b = ex.alias("a"), ex.alias("b")
     shared = (
@@ -1402,7 +1407,7 @@ def q79_media_near_dups(spark, sf):
     docs = MM.attach_binary_payload(_t(spark, sf, "documents"), "text")
     # persist: the banded self-join references the hash frame 8 times —
     # without it the Python hashing pass re-runs per band side
-    hashes = MM.ahash64(docs).persist()
+    hashes = MM.ahash64(docs).transform(_registered_persist)
     return MM.ahash_near_dup_pairs(hashes, max_hamming=10)
 
 
@@ -2524,11 +2529,12 @@ def q113_decontamination(spark, sf):
     sizes) branches off it — referencing ``fps`` twice in one projection
     re-expands the whole rolling-hash lambda chain per exploded row (the
     q34/q62 CSE pitfall, SCALE.md rule 5; measured: hang vs seconds)."""
+    from chemharmony_spark.cache import registered_persist
+
     docs = _t(spark, sf, "documents").select("doc_id", "source", "text")
-    fp = (
+    fp = registered_persist(
         TX.winnowing_fingerprints(docs, "text", k=5, w=4)
         .select("doc_id", "source", "fps")
-        .persist()
     )
     ex = fp.select("doc_id", "source", F.explode("fps").alias("f"))
     sizes = fp.select("doc_id", F.size("fps").alias("nf"))
@@ -2542,7 +2548,9 @@ def q113_decontamination(spark, sf):
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= 3)
     )
-    return hits.join(F.broadcast(sizes), on="doc_id").select(
+    # sizes is per-TRAIN-doc (corpus-sized): plain equi-join, no hint —
+    # only the eval fingerprint dimension above is broadcast-bounded
+    return hits.join(sizes, on="doc_id").select(
         "doc_id", "source", "n_shared", "nf",
         F.expr("n_shared * 1000000L div nf").alias("shared_ppm"),
     )
@@ -3331,7 +3339,7 @@ def q134_bm25_topk(spark, sf):
     tf = (
         toks.groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .persist()
+        .transform(_registered_persist)
     )
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
@@ -3403,7 +3411,7 @@ def q135_dsir_weights(spark, sf):
     dbt = (
         tokb.groupBy("doc_id", "lang", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
-        .persist()
+        .transform(_registered_persist)
     )
     # both models in ONE pass over the cached counts: raw = every token,
     # target = lang='en' tokens (conditional sum == the left-join/0-fill
@@ -3416,7 +3424,7 @@ def q135_dsir_weights(spark, sf):
                 F.when(F.col("lang") == "en", F.col("n")).otherwise(F.lit(0))
             ).alias("ct"),
         )
-        .persist()
+        .transform(_registered_persist)
     )
     tots = model.agg(F.sum("cr").alias("tr"), F.sum("ct").alias("tt"))
     weights = (
@@ -3467,7 +3475,7 @@ def q136_split_leakage_audit(spark, sf):
     fp = (
         TX.winnowing_fingerprints(split, "text", k=5, w=4)
         .select("doc_id", "split", "fps")
-        .persist()
+        .transform(_registered_persist)
     )
     ex = fp.select("doc_id", "split", F.explode("fps").alias("f"))
     train_fps = ex.where(F.col("split") == "train").select("f").distinct()
@@ -3624,7 +3632,7 @@ def q140_jsd_source_similarity(spark, sf):
         .select("source", (token_hash16(F.col("token")) % B).alias("bucket"))
         .groupBy("source", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
-        .persist()
+        .transform(_registered_persist)
     )
     tot = sb.groupBy("source").agg(F.sum("n").alias("t"))
     pairs = (
@@ -3737,7 +3745,7 @@ def q142_rrf_fusion(spark, sf):
     tf = (
         toks.groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .persist()
+        .transform(_registered_persist)
     )
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
@@ -3770,7 +3778,7 @@ def q142_rrf_fusion(spark, sf):
     per_doc = matches.groupBy("doc_id").agg(
         F.sum("s_micro").alias("bm25_micro"),
         F.sum("tf").alias("tf_total"),
-    ).persist()  # read twice: once per ranking system
+    ).transform(_registered_persist)  # read twice: once per ranking system
     top_a = per_doc.orderBy(F.col("bm25_micro").desc(), "doc_id").limit(100)
     top_b = per_doc.orderBy(F.col("tf_total").desc(), "doc_id").limit(100)
     ra = top_a.select(
@@ -3984,7 +3992,7 @@ def q147_seasonal_baseline(spark, sf):
         ev.select("event_type", how.alias("how"))
         .groupBy("event_type", "how")
         .agg(F.count(F.lit(1)).alias("obs"))
-        .persist()  # (type, 168)-sized; two consumers (totals + join)
+        .transform(_registered_persist)  # (type, 168)-sized; two consumers (totals + join)
     )
     tot = cnt.groupBy("event_type").agg(F.sum("obs").alias("total"))
     return (
@@ -4022,7 +4030,7 @@ def q148_hhi_concentration(spark, sf):
                 (F.col("o_totalprice").cast(DEC) * 100).cast("long")
             ).alias("cents")
         )
-        .persist()  # customer-sized; two consumers (totals + shares)
+        .transform(_registered_persist)  # customer-sized; two consumers (totals + shares)
     )
     tot = per_cust.groupBy("c_nationkey").agg(
         F.sum("cents").alias("total_cents")
@@ -4144,7 +4152,7 @@ def q151_topk_with_others(spark, sf):
         .join(F.broadcast(nat),
               F.col("c_nationkey") == F.col("n_nationkey"))
         .select("n_name", "rev")
-        .persist()  # 25 rows; consumed by the top cut and the tail
+        .transform(_registered_persist)  # 25 rows; consumed by the top cut and the tail
     )
     top = per_nation.orderBy(F.col("rev").desc(), "n_name").limit(5)
     tail = per_nation.join(F.broadcast(top.select("n_name")),
@@ -4238,7 +4246,7 @@ def q153_benford_digits(spark, sf):
         orders.select(digit.alias("d"))
         .groupBy("d")
         .agg(F.count(F.lit(1)).alias("n"))
-        .persist()  # 9 rows; two consumers (total + output)
+        .transform(_registered_persist)  # 9 rows; two consumers (total + output)
     )
     tot = cnt.agg(F.sum("n").alias("t"))
     exp_map = F.create_map(
@@ -4367,7 +4375,7 @@ def q156_trend_forecast(spark, sf):
     cnt = (
         ev.groupBy("event_type", "h")
         .agg(F.count(F.lit(1)).alias("n"))
-        .persist()
+        .transform(_registered_persist)
     )
     span = cnt.groupBy("event_type").agg(
         F.min("h").alias("h0"), F.max("h").alias("h1")
@@ -4495,7 +4503,7 @@ def q159_langid_confusion(spark, sf):
         .join(pred, on="doc_id")
         .groupBy("lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("n"))
-        .persist()
+        .transform(_registered_persist)
     )
     tot = cells.groupBy("lang").agg(F.sum("n").alias("t"))
     return cells.join(F.broadcast(tot), on="lang").select(
@@ -4529,15 +4537,15 @@ def q160_lsh_recall_audit(spark, sf):
         )
         .where(F.col("jaccard") >= t)
         .select("a", "b")
-        .persist()
+        .transform(_registered_persist)
     )
-    sig = DD.minhash_signatures(docs, "doc_id", "text").persist()
-    cands = DD.lsh_candidate_pairs(sig).persist()
+    sig = DD.minhash_signatures(docs, "doc_id", "text").transform(_registered_persist)
+    cands = DD.lsh_candidate_pairs(sig).transform(_registered_persist)
     hits = (
         DD.jaccard_pairs(docs, cands, "doc_id", "text")
         .where(F.col("jaccard") >= t)
         .select("a", "b")
-        .persist()
+        .transform(_registered_persist)
     )
     nt = truth.agg(F.count(F.lit(1)).alias("n_true"))
     nc = cands.agg(F.count(F.lit(1)).alias("n_lsh_candidates"))
@@ -4618,7 +4626,7 @@ def q162_rare_category_collapse(spark, sf):
     hist = (
         parts.groupBy("p_type")
         .agg(F.count(F.lit(1)).alias("n"))
-        .persist()
+        .transform(_registered_persist)
     )
     K = 10
     recoded = hist.select(
@@ -4674,7 +4682,7 @@ def q164_media_dedup_clusters(spark, sf):
     otherwise re-derives the whole Python hashing pass — SCALE.md rule)."""
     from chemharmony_spark.operators.graph import connected_components
 
-    pairs = q79_media_near_dups(spark, sf).select("a", "b").persist()
+    pairs = q79_media_near_dups(spark, sf).select("a", "b").transform(_registered_persist)
     comp = connected_components(pairs, "a", "b")
     return comp.groupBy("component").agg(
         F.count(F.lit(1)).alias("n_members"),
@@ -4709,7 +4717,7 @@ def q165_cross_perplexity(spark, sf):
         )
         .groupBy("doc_id", "source", "w")
         .agg(F.count(F.lit(1)).alias("c"))
-        .persist()
+        .transform(_registered_persist)
     )
     ref = (
         dw.where(F.col("source").isin(REF))
@@ -4755,7 +4763,7 @@ def q166_vocab_overlap(spark, sf):
     sw = (
         docs.select("source", F.explode(TX.tokens("text")).alias("w"))
         .distinct()
-        .persist()
+        .transform(_registered_persist)
     )
     sizes = sw.groupBy("source").agg(F.count(F.lit(1)).alias("nv"))
     shared = (
@@ -4805,7 +4813,7 @@ def q167_item_similarity(spark, sf):
         li.groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
         .where(F.size("parts") >= 2)
-        .persist()
+        .transform(_registered_persist)
     )
     pairs = (
         baskets.select(
@@ -4869,7 +4877,7 @@ def q168_link_prediction(spark, sf):
     mitigation) — here degrees are basket-bounded. Integer counts, one
     integer ppm division, TakeOrdered top-20."""
     li = _t(spark, sf, "lineitem")
-    e = _copurchase_edges(li).select("p1", "p2").persist()
+    e = _copurchase_edges(li).select("p1", "p2").transform(_registered_persist)
     sym = e.unionByName(
         e.select(F.col("p2").alias("p1"), F.col("p1").alias("p2"))
     )
@@ -4975,8 +4983,10 @@ def q171_cycle_time(spark, sf):
     o_orderdate to each lineitem's l_shipdate, exact discrete p50/p90/p99
     through the bucketed selector — the operations-SLA rollup.
 
-    The orders dim joins broadcast (key-only projection); day gaps are
-    exact integers (datediff); the selector keeps the per-priority
+    The orders side joins as a plain equi-join (orders is a fact table
+    — an explicit broadcast hint would force the whole table onto every
+    executor at 100x; AQE broadcasts at runtime when it fits); day gaps
+    are exact integers (datediff); the selector keeps the per-priority
     distribution distributed (no ranked funnel)."""
     from chemharmony_spark.operators.core import grouped_percentiles_disc
 
@@ -4985,7 +4995,7 @@ def q171_cycle_time(spark, sf):
         "o_orderkey", "o_orderdate", "o_orderpriority"
     )
     gaps = li.join(
-        F.broadcast(orders),
+        orders,
         li.l_orderkey == orders.o_orderkey,
     ).select(
         "o_orderpriority",
@@ -5021,7 +5031,7 @@ def q172_boilerplate_lines(spark, sf):
         docs.select("doc_id", F.explode(sent).alias("s"))
         .select("doc_id", F.md5("s").alias("h"))
         .distinct()
-        .persist()
+        .transform(_registered_persist)
     )
     common = (
         ds.groupBy("h")
@@ -5196,7 +5206,7 @@ def q176_rolling_active_users(spark, sf):
     ev = _events(spark, sf).select(
         "user_id", F.expr("(ts div 1000) div 86400000000").alias("day")
     )
-    ud = ev.distinct().persist()
+    ud = ev.distinct().transform(_registered_persist)
     dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
     expanded = ud.select(
         "user_id", F.explode(
@@ -5228,7 +5238,7 @@ def q177_association_rules(spark, sf):
     baskets = (
         li.groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
-        .persist()
+        .transform(_registered_persist)
     )
     n_baskets = baskets.agg(F.count(F.lit(1)).alias("nb"))
     pairs = (
@@ -5285,7 +5295,7 @@ def q178_ewma_smoothing(spark, sf):
     cnt = (
         ev.groupBy("event_type", "h")
         .agg(F.count(F.lit(1)).alias("n"))
-        .persist()
+        .transform(_registered_persist)
     )
     span = cnt.groupBy("event_type").agg(
         F.min("h").alias("h0"), F.max("h").alias("h1")
@@ -5421,11 +5431,15 @@ def q182_cross_source_dups(spark, sf):
     LSH->Jaccard path at 0.8) rolled up by SOURCE pair — which feeds
     duplicate content into the corpus, the acquisition-dedup decision
     table. Within-source pairs count on the diagonal. Same bucketed
-    candidate shapes; the doc->source dimension broadcasts onto the tiny
-    verified-pair set."""
+    candidate shapes; the doc->source map attaches with plain
+    equi-joins on the pair keys (it is CORPUS-sized — one row per doc
+    — so a broadcast hint would ship the whole corpus's source map to
+    every executor at 100x; AQE broadcasts at runtime when it fits)."""
+    from chemharmony_spark.cache import registered_persist
+
     t = 0.8
     docs = _t(spark, sf, "documents")
-    sig = DD.minhash_signatures(docs, "doc_id", "text").persist()
+    sig = registered_persist(DD.minhash_signatures(docs, "doc_id", "text"))
     hits = (
         DD.jaccard_pairs(docs, DD.lsh_candidate_pairs(sig),
                          "doc_id", "text")
@@ -5434,10 +5448,10 @@ def q182_cross_source_dups(spark, sf):
     )
     src = docs.select("doc_id", "source")
     return (
-        hits.join(F.broadcast(src.withColumnsRenamed(
-            {"doc_id": "a", "source": "sa"})), on="a")
-        .join(F.broadcast(src.withColumnsRenamed(
-            {"doc_id": "b", "source": "sb"})), on="b")
+        hits.join(src.withColumnsRenamed(
+            {"doc_id": "a", "source": "sa"}), on="a")
+        .join(src.withColumnsRenamed(
+            {"doc_id": "b", "source": "sb"}), on="b")
         .select(
             F.least("sa", "sb").alias("src_a"),
             F.greatest("sa", "sb").alias("src_b"),
@@ -5584,7 +5598,7 @@ def q185_kaplan_meier(spark, sf):
             "     ELSE (tmax - t0) div 86400000000 END"
         ).alias("day"),
         F.col("td").isNotNull().cast("long").alias("observed"),
-    ).persist()
+    ).transform(_registered_persist)
     n_total = dur.agg(F.count(F.lit(1)).alias("n")).withColumnRenamed("n", "n")
     byday = dur.groupBy("day").agg(
         F.sum("observed").alias("d"),
@@ -5640,7 +5654,7 @@ def q186_clustering_coefficient(spark, sf):
         F.col("e1.p1").alias("a"),
         F.col("e1.p2").alias("b"),
         F.col("e2.p2").alias("c"),
-    ).persist()
+    ).transform(_registered_persist)
     corners = (
         tri.select(F.col("a").alias("node"))
         .unionAll(tri.select(F.col("b").alias("node")))
@@ -5739,7 +5753,7 @@ def q188_autocorrelation(spark, sf):
     d = (
         grid.join(cnt, on="day", how="left")
         .na.fill({"c": 0})
-        .persist()
+        .transform(_registered_persist)
     )
     xk = d.select(
         "day", F.col("c").alias("x"),
@@ -5860,7 +5874,7 @@ def q191_g2_collocations(spark, sf):
     ).otherwise(F.array())
     pairs = docs.select(F.explode(grams).alias("g")).select(
         F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2")
-    ).persist()
+    ).transform(_registered_persist)
     c12 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     c2 = pairs.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
@@ -5923,7 +5937,7 @@ def q192_max_drawdown(spark, sf):
         "day", F.sum("cents").over(w).alias("cum")
     ).select(
         "day", "cum", (F.max("cum").over(w) - F.col("cum")).alias("dd")
-    ).persist()
+    ).transform(_registered_persist)
     mx = curve.agg(F.max("dd").alias("max_dd"))
     return (
         curve.crossJoin(F.broadcast(mx))
@@ -6006,7 +6020,7 @@ def q194_fano_burstiness(spark, sf):
     cnt = (
         ev.groupBy("event_type", "h")
         .agg(F.count(F.lit(1)).alias("n"))
-        .persist()
+        .transform(_registered_persist)
     )
     span = cnt.groupBy("event_type").agg(
         F.min("h").alias("h0"), F.max("h").alias("h1")
@@ -6053,7 +6067,7 @@ def q195_sequential_patterns(spark, sf):
     )
     ft = ev.groupBy("user_id", "day", "event_type").agg(
         F.min("us").alias("fus")
-    ).persist()
+    ).transform(_registered_persist)
     tot = ft.select("user_id", "day").distinct().agg(
         F.count(F.lit(1)).alias("n_sessions")
     )
@@ -6076,33 +6090,30 @@ def q196_session_stats(spark, sf):
     count, bounce share (single-event sessions), and the exact mean +
     median session duration — the product-analytics companion to q176's
     DAU/WAU. ONE (user, day) shuffle builds the session table; the exact
-    median rides a ranked pass over it (model-space rows; the q58
-    bucketed selector is the documented 100 TB path) with the
-    (dur, user, day) tiebreak making row selection total-ordered."""
+    median comes from the q58-family bucketed distinct-value selector
+    (CORE.grouped_percentiles_disc with no keys) — value at sorted
+    position ceil(n/2), identical to the old global rank window's pick
+    but with NO unpartitioned ranked pass over the session table."""
+    from chemharmony_spark.cache import registered_persist
+
     ev = _events(spark, sf).select(
         "user_id",
         F.expr("(ts div 1000) div 86400000000").alias("day"),
         F.expr("ts div 1000").alias("us"),
     )
-    sess = ev.groupBy("user_id", "day").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        (F.max("us") - F.min("us")).alias("dur_us"),
-    ).persist()
-    ranked = sess.select(
-        "dur_us",
-        F.row_number().over(
-            Window.orderBy("dur_us", "user_id", "day")
-        ).alias("rn"),
+    sess = registered_persist(
+        ev.groupBy("user_id", "day").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max("us") - F.min("us")).alias("dur_us"),
+        )
     )
     tot = sess.agg(
         F.count(F.lit(1)).alias("n_sessions"),
         F.sum((F.col("n_events") == 1).cast("long")).alias("n_bounce"),
         F.sum("dur_us").alias("sum_dur"),
     )
-    med = (
-        ranked.crossJoin(F.broadcast(tot))
-        .where(F.col("rn") == F.expr("CAST(ceil(n_sessions / 2.0) AS BIGINT)"))
-        .select(F.col("dur_us").alias("median_dur_us"))
+    med = CORE.grouped_percentiles_disc(sess, [], "dur_us", [0.5]).select(
+        F.col("p50").alias("median_dur_us")
     )
     return tot.crossJoin(F.broadcast(med)).select(
         "n_sessions",
@@ -6245,18 +6256,22 @@ def q199_sorted_neighborhood(spark, sf):
     classic record-linkage alternative to hash blocking (q35 LSH,
     q82 PPJoin) that catches prefix-aligned near-dups with a LINEAR
     candidate count (3n pairs, vs LSH's bucket blowup on fat keys).
-    The rank rides a single sort (range-partition the sort key at 100
-    TB — rank windows over a global order parallelize per range); the
-    neighbor pairing is a 3-way self-join on rank offsets."""
+    The rank is CORE.global_row_number bucketed by the sort key's
+    2-char prefix (order-monotone), so no unpartitioned ranked window
+    touches the corpus; the neighbor pairing is a 3-way self-join on
+    rank offsets."""
+    from chemharmony_spark.cache import registered_persist
+
     docs = _t(spark, sf, "documents").select(
         "doc_id",
         F.substring(TX.normalize_text("text"), 1, 40).alias("k"),
         TX.tokens("text").alias("toks"),
     )
-    ranked = docs.select(
-        "doc_id", "toks",
-        F.row_number().over(Window.orderBy("k", "doc_id")).alias("rn"),
-    ).persist()
+    ranked = registered_persist(
+        CORE.global_row_number(
+            docs, ["k", "doc_id"], bucket=F.substring("k", 1, 2)
+        ).select("doc_id", "toks", F.col("rn").cast("int").alias("rn"))
+    )
     right = ranked.select(
         F.col("doc_id").alias("b"),
         F.col("toks").alias("btoks"),
@@ -6354,13 +6369,13 @@ def q201_theil_sen(spark, sf):
     ).agg(
         F.sum(F.col("o_totalprice").cast(DEC) * 100)
         .cast("long").alias("c")
-    ).persist()
+    ).transform(_registered_persist)
     a = daily.withColumnsRenamed({"d": "di", "c": "ci"})
     b = daily.withColumnsRenamed({"d": "dj", "c": "cj"})
     slopes = a.join(b, F.col("dj") > F.col("di")).select(
         "di", "dj",
         F.expr("(cj - ci) * 1000000 div (dj - di)").alias("s_micro"),
-    ).persist()
+    ).transform(_registered_persist)
     tot = slopes.agg(F.count(F.lit(1)).alias("n_pairs"))
     ranked = slopes.select(
         "s_micro",
@@ -6407,8 +6422,8 @@ def q202_skipgram_pmi(spark, sf):
     )
     pairs = docs.where(F.size(toks) >= 2).select(
         F.explode(pair_arr).alias("p")
-    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")).persist()
-    uni = docs.select(F.explode(toks).alias("w")).persist()
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")).transform(_registered_persist)
+    uni = docs.select(F.explode(toks).alias("w")).transform(_registered_persist)
     cw = uni.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
     totals = uni.agg(F.count(F.lit(1)).alias("tt")).crossJoin(
         pairs.agg(F.count(F.lit(1)).alias("pp"))
@@ -6449,9 +6464,9 @@ def q203_reco_precision(spark, sf):
     co-partitioned semi-join on (order, item). Split by key hash, so
     train/test assignment is reproducible anywhere."""
     li = _t(spark, sf, "lineitem")
-    b = li.select("l_orderkey", "l_partkey").distinct().persist()
+    b = li.select("l_orderkey", "l_partkey").distinct().transform(_registered_persist)
     train = b.where(F.expr("l_orderkey % 4 != 0"))
-    test = b.where(F.expr("l_orderkey % 4 = 0")).persist()
+    test = b.where(F.expr("l_orderkey % 4 = 0")).transform(_registered_persist)
     tp = (
         train.alias("x")
         .join(train.alias("y"), "l_orderkey")
@@ -6477,7 +6492,7 @@ def q203_reco_precision(spark, sf):
     )
     cases = test.join(multi, "l_orderkey").select(
         "l_orderkey", F.col("l_partkey").alias("item")
-    ).persist()
+    ).transform(_registered_persist)
     cand = cases.join(recs, "item")
     hits = (
         cand.join(
@@ -6562,7 +6577,7 @@ def q205_seasonal_decomposition(spark, sf):
     ).where(F.col("nw") == 7).select(
         "d", (F.col("c") - F.expr("sw div 7")).alias("det"),
         F.expr("(d + 4) % 7").alias("dow"),
-    ).persist()
+    ).transform(_registered_persist)
     D38 = "decimal(38,0)"
     seas = ma.groupBy("dow").agg(
         F.count(F.lit(1)).alias("n_days"),
@@ -6732,7 +6747,7 @@ def q209_modularity(spark, sf):
             F.broadcast(labels.withColumnRenamed("node", "p2")
                         .withColumnRenamed("lbl", "lb")), "p2"
         )
-        .persist()
+        .transform(_registered_persist)
     )
     m2 = labeled.agg(F.count(F.lit(1)).alias("m2"))
     sum_in = labeled.where(F.col("la") == F.col("lb")).agg(
@@ -6772,13 +6787,13 @@ def q210_golden_record(spark, sf):
 
     t = 0.8
     docs = _t(spark, sf, "documents")
-    sig = DD.minhash_signatures(docs, "doc_id", "text").persist()
+    sig = DD.minhash_signatures(docs, "doc_id", "text").transform(_registered_persist)
     hits = (
         DD.jaccard_pairs(docs, DD.lsh_candidate_pairs(sig),
                          "doc_id", "text")
         .where(F.col("jaccard") >= t)
         .select("a", "b")
-        .persist()
+        .transform(_registered_persist)
     )
     comp = connected_components(hits, "a", "b")
     members = docs.join(
@@ -6838,7 +6853,7 @@ def q211_bloom_fpp(spark, sf):
     per hash with an all-3-present conjunction via counting."""
     part = _t(spark, sf, "part").select("p_partkey")
     train = part.where(F.expr("p_partkey % 4 != 0"))
-    probe = part.where(F.expr("p_partkey % 4 = 0")).persist()
+    probe = part.where(F.expr("p_partkey % 4 = 0")).transform(_registered_persist)
 
     def hx(col, start):
         h = F.md5(F.concat(F.lit("b:"), col.cast("string")))
@@ -6856,7 +6871,7 @@ def q211_bloom_fpp(spark, sf):
             ).alias("bit")
         )
         .distinct()
-        .persist()
+        .transform(_registered_persist)
     )
     probes = probe.select(
         "p_partkey",
@@ -7023,7 +7038,7 @@ def q215_peak_detection(spark, sf):
     cnt = (
         ev.groupBy("event_type", "h")
         .agg(F.count(F.lit(1)).alias("n"))
-        .persist()
+        .transform(_registered_persist)
     )
     span = cnt.groupBy("event_type").agg(
         F.min("h").alias("h0"), F.max("h").alias("h1"),
@@ -7098,7 +7113,7 @@ def q216_simpson_reversal(spark, sf):
         F.sum(F.col("bal").cast(D38) * F.col("sp").cast(D38)).alias("sxy"),
         F.sum(F.col("bal").cast(D38) * F.col("bal").cast(D38)).alias("sxx"),
         F.sum(F.col("sp").cast(D38) * F.col("sp").cast(D38)).alias("syy"),
-    ).where(F.col("n") >= 3).persist()
+    ).where(F.col("n") >= 3).transform(_registered_persist)
 
     def r_micro(n, sx, sy, sxy, sxx, syy):
         cov = n.cast(D38) * sxy - sx.cast(D38) * sy.cast(D38)
@@ -7201,7 +7216,7 @@ def q218_outlier_ensemble(spark, sf):
         F.count(F.lit(1)).alias("m_events"),
         F.sum("cents").alias("m_spend"),
         F.max("cents").alias("m_max"),
-    ).persist()
+    ).transform(_registered_persist)
     melted = per.selectExpr(
         "stack(3, 'events', m_events, 'spend', m_spend, 'maxv', m_max)"
         " AS (metric, v)"
@@ -7354,7 +7369,7 @@ def q222_audience_overlap(spark, sf):
     tiny day-level result."""
     ud = _events(spark, sf).select(
         "user_id", F.expr("(ts div 1000) div 86400000000").alias("day")
-    ).distinct().persist()
+    ).distinct().transform(_registered_persist)
     sizes = ud.groupBy("day").agg(F.count(F.lit(1)).alias("na"))
     inter = (
         ud.alias("a")
@@ -7399,7 +7414,7 @@ def q223_price_volume_decomposition(spark, sf):
     ).where(F.col("m").isin("1995-03", "1995-04"))
     per = li.groupBy("l_partkey", "m").agg(
         F.sum("cents").alias("v"), F.sum("units").alias("q")
-    ).persist()
+    ).transform(_registered_persist)
     m1 = per.where(F.col("m") == "1995-03").select(
         "l_partkey", F.col("v").alias("v1"), F.col("q").alias("q1")
     )
@@ -7461,7 +7476,7 @@ def q224_backlog_curve(spark, sf):
         F.expr(
             "datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')"
         ).alias("bd"),
-    ).persist()
+    ).transform(_registered_persist)
     done = (
         _t(spark, sf, "lineitem")
         .groupBy("l_orderkey")
@@ -7491,7 +7506,7 @@ def q224_backlog_curve(spark, sf):
     curve = daily.select(
         "day",
         (F.sum("nb").over(w) - F.sum("nc").over(w)).alias("backlog"),
-    ).persist()
+    ).transform(_registered_persist)
     mx = curve.agg(F.max("backlog").alias("peak"))
     return (
         curve.crossJoin(F.broadcast(mx))
@@ -7508,13 +7523,20 @@ def q225_new_vs_returning(spark, sf):
     """New-vs-returning split of each day's active users: a user's
     first-seen day marks acquisition; every later active day is a
     return — the growth-accounting lens on q176's DAU and q222's
-    overlap. First-seen is a per-user MIN (one agg) broadcast back
-    onto the deduped (user, day) activity; shares are integer ppm."""
-    ud = _events(spark, sf).select(
-        "user_id", F.expr("(ts div 1000) div 86400000000").alias("day")
-    ).distinct().persist()
+    overlap. First-seen is a per-user MIN (one agg) equi-joined back
+    onto the deduped (user, day) activity — the first-seen map is
+    USER-sized (grows with the corpus), so no broadcast hint: both
+    sides co-partition on user_id and the join reuses the distinct's
+    exchange; shares are integer ppm."""
+    from chemharmony_spark.cache import registered_persist
+
+    ud = registered_persist(
+        _events(spark, sf).select(
+            "user_id", F.expr("(ts div 1000) div 86400000000").alias("day")
+        ).distinct()
+    )
     first = ud.groupBy("user_id").agg(F.min("day").alias("fd"))
-    tagged = ud.join(F.broadcast(first), "user_id").select(
+    tagged = ud.join(first, "user_id").select(
         "day", (F.col("day") == F.col("fd")).cast("long").alias("is_new")
     )
     return tagged.groupBy("day").agg(
@@ -7586,7 +7608,7 @@ def q227_shingle_originality(spark, sf):
     ss = (
         docs.select("source", F.explode(sh).alias("sh"))
         .distinct()
-        .persist()
+        .transform(_registered_persist)
     )
     owners = ss.groupBy("sh").agg(F.count(F.lit(1)).alias("n_sources"))
     return (
@@ -7625,7 +7647,7 @@ def q228_milestone_timing(spark, sf):
     )
     curve = daily.select(
         "day", F.sum("cents").over(w).alias("cum")
-    ).persist()
+    ).transform(_registered_persist)
     tot = curve.agg(F.max("cum").alias("total"))
     k = curve.crossJoin(F.broadcast(tot)).select(
         "day", "cum", "total",
@@ -7782,13 +7804,13 @@ def q231_dedup_impact(spark, sf):
     exact = docs.select(TX.fingerprint("text").alias("fp")).agg(
         F.count_distinct("fp").alias("n_exact_unique")
     )
-    sig = DD.minhash_signatures(docs, "doc_id", "text").persist()
+    sig = DD.minhash_signatures(docs, "doc_id", "text").transform(_registered_persist)
     hits = (
         DD.jaccard_pairs(docs, DD.lsh_candidate_pairs(sig),
                          "doc_id", "text")
         .where(F.col("jaccard") >= 0.8)
         .select("a", "b")
-        .persist()
+        .transform(_registered_persist)
     )
     comp = connected_components(hits, "a", "b")
     members = docs.join(
@@ -7934,7 +7956,7 @@ def q234_kendall_tau(spark, sf):
     )
     x = cust.join(spend, cust.c_custkey == spend.o_custkey).select(
         F.col("c_custkey").alias("k"), "bal", "sp"
-    ).persist()
+    ).transform(_registered_persist)
     a = x.withColumnsRenamed({"k": "ka", "bal": "ba", "sp": "sa"})
     b = x.withColumnsRenamed({"k": "kb", "bal": "bb", "sp": "sb"})
     pairs = a.join(b, F.col("kb") > F.col("ka")).select(
@@ -7972,7 +7994,7 @@ def q235_cohens_kappa(spark, sf):
         .join(pred, on="doc_id")
         .groupBy("lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("n"))
-        .persist()
+        .transform(_registered_persist)
     )
     rows_ = cells.groupBy("lang").agg(F.sum("n").alias("r"))
     cols_ = cells.groupBy("pred_lang").agg(F.sum("n").alias("c"))
@@ -8018,7 +8040,7 @@ def q236_mutual_information(spark, sf):
     orders = _t(spark, sf, "orders")
     cells = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("nab")
-    ).persist()
+    ).transform(_registered_persist)
     ra = cells.groupBy("o_orderstatus").agg(F.sum("nab").alias("na"))
     rb = cells.groupBy("o_orderpriority").agg(F.sum("nab").alias("nb"))
     nn = cells.agg(F.sum("nab").alias("n"))
@@ -8055,7 +8077,7 @@ def q237_littles_law(spark, sf):
         F.expr(
             "datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')"
         ).alias("bd"),
-    ).persist()
+    ).transform(_registered_persist)
     done = (
         _t(spark, sf, "lineitem")
         .groupBy("l_orderkey")
@@ -8066,7 +8088,7 @@ def q237_littles_law(spark, sf):
         )
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .select("bd", F.greatest("cd0", "bd").alias("cd"))
-        .persist()
+        .transform(_registered_persist)
     )
     stats = done.agg(
         F.count(F.lit(1)).alias("n_orders"),
@@ -8101,11 +8123,11 @@ def q238_forecast_backtest(spark, sf):
     ).agg(
         F.sum(F.col("o_totalprice").cast(DEC) * 100)
         .cast("long").alias("cents")
-    ).persist()
+    ).transform(_registered_persist)
     cutoff = daily.agg((F.max("day") - 27).alias("cut"))
     tagged = daily.crossJoin(F.broadcast(cutoff)).select(
         "day", "cents", "cut", F.expr("(day + 4) % 7").alias("dow")
-    ).persist()
+    ).transform(_registered_persist)
     model = (
         tagged.where(F.col("day") < F.col("cut"))
         .groupBy("dow")
@@ -8141,12 +8163,12 @@ def q239_threshold_sensitivity(spark, sf):
     dups). The pair table computes once (persisted); the three
     thresholds are conditional sums over it."""
     docs = _t(spark, sf, "documents")
-    sig = DD.minhash_signatures(docs, "doc_id", "text").persist()
+    sig = DD.minhash_signatures(docs, "doc_id", "text").transform(_registered_persist)
     pairs = (
         DD.jaccard_pairs(docs, DD.lsh_candidate_pairs(sig),
                          "doc_id", "text")
         .where(F.col("jaccard") >= 0.7)
-        .persist()
+        .transform(_registered_persist)
     )
     out = None
     for t in (0.7, 0.8, 0.9):
@@ -8206,7 +8228,7 @@ def q241_retention_halflife(spark, sf):
         .distinct()
         .groupBy("o")
         .agg(F.count(F.lit(1)).alias("n"))
-        .persist()
+        .transform(_registered_persist)
     )
     base = pooled.where(F.col("o") == 0).select(
         F.col("n").alias("n0")
@@ -8317,7 +8339,7 @@ def q243_bootstrap_ci(spark, sf):
     pos = daily.select(
         "cents",
         F.row_number().over(Window.orderBy("day")).alias("p"),
-    ).persist()
+    ).transform(_registered_persist)
     nt = pos.agg(F.count(F.lit(1)).alias("n"))
     h = F.md5(F.concat_ws(":", F.lit("b"), F.col("r"), F.col("i")))
     hx = F.lit(0)
@@ -8371,7 +8393,7 @@ def q244_segment_migration(spark, sf):
     ).where(F.col("yr").isin(1996, 1997))
     per = orders.groupBy("o_custkey", "yr").agg(
         F.sum("cents").alias("sp")
-    ).persist()
+    ).transform(_registered_persist)
     bounds = grouped_percentiles_disc(
         per, ["yr"], "sp", [0.25, 0.5, 0.75]
     )
@@ -8411,7 +8433,7 @@ def q245_calendar_anomalies(spark, sf):
     ).agg(
         F.sum(F.col("o_totalprice").cast(DEC) * 100)
         .cast("long").alias("cents")
-    ).select("*", F.expr("(day + 4) % 7").alias("dow")).persist()
+    ).select("*", F.expr("(day + 4) % 7").alias("dow")).transform(_registered_persist)
     base = daily.groupBy("dow").agg(
         F.expr(
             "CASE WHEN SUM(cents) >= 0 THEN SUM(cents) div COUNT(1)"
@@ -9051,7 +9073,8 @@ def q261_neardup_diff_tokens(spark, sf):
     dedup-debugging readout behind threshold tuning. Candidates come
     from the exact-recall PPJoin prefix filter, the sample ranks pairs
     by md5(a:b) (content-independent), diffs are array_except both ways
-    on the per-doc distinct token arrays (broadcast-joined once), and
+    on the per-doc distinct token arrays (plain equi-joins — the token
+    frame is corpus-sized, AQE broadcasts at runtime when it fits), and
     the top-20 is a TakeOrdered on (n desc, token)."""
     docs = _t(spark, sf, "documents")
     cands = DD.prefix_filter_pairs(docs, "doc_id", "text", threshold=0.6)
@@ -9071,10 +9094,8 @@ def q261_neardup_diff_tokens(spark, sf):
         F.col("doc_id"),
         F.array_distinct(TX.tokens("text")).alias("ws"),
     )
-    ta = F.broadcast(toks.select(F.col("doc_id").alias("a"),
-                                 F.col("ws").alias("wa")))
-    tb = F.broadcast(toks.select(F.col("doc_id").alias("b"),
-                                 F.col("ws").alias("wb")))
+    ta = toks.select(F.col("doc_id").alias("a"), F.col("ws").alias("wa"))
+    tb = toks.select(F.col("doc_id").alias("b"), F.col("ws").alias("wb"))
     diff = (
         sample.join(ta, "a").join(tb, "b")
         .select(
@@ -11527,31 +11548,40 @@ def q304_sort_key_advisor(spark, sf):
     column, and report how many groups a ship-year-1995 range scan
     could PRUNE — the minmax-statistics complement of q269's Z-order
     audit, and the number that decides ORDER BY in a compaction job.
-    The global rank is a simulation over the sampled table (at fleet
-    scale the same decision reads range-partitioner statistics; the
-    audit's output is identical).
+    The global rank is CORE.global_row_number bucketed by an
+    order-monotone coarsening of each candidate key (dates by month,
+    custkey/price by fixed-width cells), so no layout simulation
+    funnels the table through one ranked task (at fleet scale the same
+    decision reads range-partitioner statistics; the audit's output is
+    identical).
 
     Candidate keys: orderdate (wins for date predicates), custkey and
     totalprice (control layouts that should prune ~nothing)."""
-    orders = _t(spark, sf, "orders").select(
-        "o_orderkey",
-        "o_custkey",
-        F.expr(
-            "datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')"
-        ).alias("od"),
-        F.col("o_totalprice").cast("decimal(18,2)").alias("op"),
+    from chemharmony_spark.cache import registered_persist
+
+    orders = registered_persist(
+        _t(spark, sf, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            F.expr(
+                "datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')"
+            ).alias("od"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("op"),
+        )
     )
+    n_tot = orders.agg(F.count(F.lit(1)).cast("long").alias("n"))
     lo = F.expr("datediff(DATE'1995-01-01', DATE'1970-01-01')")
     hi = F.expr("datediff(DATE'1995-12-31', DATE'1970-01-01')")
+    buckets = {
+        "od": F.expr("od DIV 32"),
+        "o_custkey": F.expr("o_custkey DIV 64"),
+        "op": F.expr("CAST(op / 10000 AS BIGINT)"),
+    }
 
     def layout(key, name):
-        w = Window.orderBy(F.col(key), "o_orderkey")
-        wall = Window.partitionBy()
-        ranked = orders.select(
-            "od",
-            F.row_number().over(w).cast("long").alias("rn"),
-            F.count(F.lit(1)).over(wall).cast("long").alias("n"),
-        )
+        ranked = CORE.global_row_number(
+            orders, [key, "o_orderkey"], bucket=buckets[key]
+        ).crossJoin(F.broadcast(n_tot)).select("od", "rn", "n")
         groups = ranked.groupBy(
             F.expr("(rn - 1) * 64 DIV n").alias("rg")
         ).agg(F.min("od").alias("lo_od"), F.max("od").alias("hi_od"))
@@ -12004,12 +12034,21 @@ def q312_fellegi_sunter(spark, sf):
             F.col("x.cb").alias("ca"), F.col("y.cb").alias("cbb"),
         )
     )
-    w = Window.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
-    wall = Window.partitionBy()
-    ranked = keyed.select(
-        "lang", "source", "cb",
-        F.row_number().over(w).cast("long").alias("r"),
-        F.count(F.lit(1)).over(wall).cast("long").alias("n"),
+    # deterministic shuffle order via md5, ranked with the bucketed
+    # global_row_number (bucket = 2-hex-char prefix of the same md5 —
+    # order-monotone, 256 cells), total count broadcast from one agg:
+    # no unpartitioned window touches the corpus
+    h = F.md5(F.col("doc_id").cast("string"))
+    n_tot = keyed.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # persisted: the ranked frame feeds BOTH half-shift sides (and its
+    # global_row_number subtree is several stages deep)
+    ranked = registered_persist(
+        CORE.global_row_number(
+            keyed.withColumn("__h", h), ["__h", "doc_id"],
+            bucket=F.substring("__h", 1, 2), out="r",
+        )
+        .crossJoin(F.broadcast(n_tot))
+        .select("lang", "source", "cb", "r", "n")
     )
     half = F.expr("n DIV 2")
     left = ranked.where(F.col("r") <= half).select(
@@ -12037,8 +12076,10 @@ def q312_fellegi_sunter(spark, sf):
             ).alias("ag_len"),
         )
 
-    ms = stats(m_pairs, "m")
-    us = stats(u_pairs, "u")
+    # 1-row aggregate frames, each consumed once per comparison field —
+    # persisted so the pair pipelines evaluate once, not 3x
+    ms = registered_persist(stats(m_pairs, "m"))
+    us = registered_persist(stats(u_pairs, "u"))
     rows = []
     for field, col in [("lang", "ag_lang"), ("source", "ag_source"),
                        ("len_bucket", "ag_len")]:
@@ -14229,15 +14270,15 @@ def q345_minhash_error_audit(spark, sf):
             word_shingles(TX.tokens("text"), 3)
         ).alias("ss"),
     ).where(F.size("ss") > 0)
+    # plain equi-joins — the shingle-set frame is corpus-sized (one row
+    # per doc), so no broadcast hint; AQE broadcasts when it fits
     exact = (
         agree.join(
-            F.broadcast(sh.select(F.col("doc_id").alias("a"),
-                                  F.col("ss").alias("sa"))),
+            sh.select(F.col("doc_id").alias("a"), F.col("ss").alias("sa")),
             on="a",
         )
         .join(
-            F.broadcast(sh.select(F.col("doc_id").alias("b"),
-                                  F.col("ss").alias("sb"))),
+            sh.select(F.col("doc_id").alias("b"), F.col("ss").alias("sb")),
             on="b",
         )
         .select(
@@ -18287,10 +18328,14 @@ def q406_ngram_novelty_decay(spark, sf):
         )
     )
     n_docs = per_doc.agg(F.count(F.lit(1)).alias("n_docs"))
-    w = Window.orderBy("doc_id")
+    # ingestion rank via the bucketed global_row_number (bucket =
+    # doc_id DIV 256, order-monotone) — no unpartitioned ranked window
+    # over the doc-sized frame
     decile = (
-        per_doc.crossJoin(F.broadcast(n_docs))
-        .withColumn("rk", F.row_number().over(w))
+        CORE.global_row_number(
+            per_doc, ["doc_id"], bucket=F.expr("doc_id DIV 256"), out="rk"
+        )
+        .crossJoin(F.broadcast(n_docs))
         .select(
             F.expr("(rk - 1) * 10 DIV n_docs").alias("decile"),
             "n_shingles",
@@ -18404,7 +18449,7 @@ def q408_two_way_anova(spark, sf):
     SS terms floor to micro before integer rollups; F_AB compares to
     the F(16, inf) 5% critical value 1.644.
 
-    Shape: ONE (a, b) cell agg; margins re-agg from cells; everything
+    Shape: ONE (seg, pri) cell agg; margins re-agg from cells; everything
     after is 25-cell model space."""
     from chemharmony_spark.cache import registered_persist
 
@@ -18416,11 +18461,11 @@ def q408_two_way_anova(spark, sf):
             F.broadcast(cust), orders.o_custkey == cust.c_custkey
         )
         .select(
-            F.col("c_mktsegment").alias("a"),
-            F.col("o_orderpriority").alias("b"),
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
             (_d("o_totalprice") * 100).cast("long").alias("cents"),
         )
-        .groupBy("a", "b")
+        .groupBy("seg", "pri")
         .agg(
             F.count(F.lit(1)).alias("n_ab"),
             F.sum("cents").alias("s_ab"),
@@ -18429,10 +18474,10 @@ def q408_two_way_anova(spark, sf):
             ).alias("ss_ab"),
         )
     )
-    am = cells.groupBy("a").agg(
+    am = cells.groupBy("seg").agg(
         F.sum("n_ab").alias("n_a"), F.sum("s_ab").alias("s_a")
     )
-    bm = cells.groupBy("b").agg(
+    bm = cells.groupBy("pri").agg(
         F.sum("n_ab").alias("n_b"), F.sum("s_ab").alias("s_b")
     )
     tot = cells.agg(
@@ -18441,8 +18486,8 @@ def q408_two_way_anova(spark, sf):
         F.sum("ss_ab").alias("ss"),
     )
     j = (
-        cells.join(F.broadcast(am), on="a")
-        .join(F.broadcast(bm), on="b")
+        cells.join(F.broadcast(am), on="seg")
+        .join(F.broadcast(bm), on="pri")
         .crossJoin(F.broadcast(tot))
     )
     # means in dollars (double) keep the squared terms in range
@@ -19323,11 +19368,13 @@ def q421_tail_dependence(spark, sf):
     copula-tail question q233's (global) Spearman rho can't answer:
     two variables can be rho=0.5 correlated with independent tails or
     rho=0.3 with locked tails; risk lives in the tails. Thresholds
-    are exact discrete quantiles (rank windows); the conditional
+    are exact discrete quantiles via the q58-family bucketed selector
+    (value at sorted position ceil(q*n) — identical to the old rank
+    window's pick, with no unpartitioned ranked pass); the conditional
     counts are one pass.
 
-    Shape: one per-order agg + two model-space rank thresholds
-    (1-row broadcasts) + ONE conditional rollup."""
+    Shape: one per-order agg + four 1-row quantile aggs (broadcast) +
+    ONE conditional rollup."""
     from chemharmony_spark.cache import registered_persist
 
     li = _t(spark, sf, "lineitem")
@@ -19339,28 +19386,15 @@ def q421_tail_dependence(spark, sf):
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
-    n_tot = per.agg(F.count(F.lit(1)).alias("n"))
 
-    def thresh(col, q, name):
-        w = Window.orderBy(F.col(col), "l_orderkey")
-        return (
-            per.select(
-                "l_orderkey", col, F.row_number().over(w).alias("rk")
-            )
-            .crossJoin(F.broadcast(n_tot))
-            .where(F.col("rk") == F.ceil(F.lit(q) * F.col("n")))
-            .select(F.col(col).alias(name))
-        )
-    tx95 = thresh("cents", 0.95, "x95")
-    ty95 = thresh("n_lines", 0.95, "y95")
-    tx99 = thresh("cents", 0.99, "x99")
-    ty99 = thresh("n_lines", 0.99, "y99")
-    j = (
-        per.crossJoin(F.broadcast(tx95))
-        .crossJoin(F.broadcast(ty95))
-        .crossJoin(F.broadcast(tx99))
-        .crossJoin(F.broadcast(ty99))
+    # ONE bucketed selector pass per column yields both quantiles
+    tx = CORE.grouped_percentiles_disc(per, [], "cents", [0.95, 0.99]).select(
+        F.col("p95").alias("x95"), F.col("p99").alias("x99")
     )
+    ty = CORE.grouped_percentiles_disc(
+        per, [], "n_lines", [0.95, 0.99]
+    ).select(F.col("p95").alias("y95"), F.col("p99").alias("y99"))
+    j = per.crossJoin(F.broadcast(tx)).crossJoin(F.broadcast(ty))
     agg = j.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(
@@ -19452,10 +19486,12 @@ def q423_lognormal_fit(spark, sf):
     without exp) — the right-skew model for money amounts that
     q410's JB only rejects normality FOR; together they say "not
     normal, and lognormal fits THIS well". Log moments floor to nano
-    before integer sums; the medians come from the exact rank window.
+    before integer sums; the median comes from the q58-family bucketed
+    exact selector (value at ceil(n/2) — identical to the old rank
+    window's pick, no unpartitioned ranked pass).
 
-    Shape: one distinct-value agg + a model-space rank window for
-    the median + ONE moment agg."""
+    Shape: one distinct-value agg + the bucketed median selector +
+    ONE moment agg."""
     from chemharmony_spark.cache import registered_persist
 
     orders = _t(spark, sf, "orders")
@@ -19477,16 +19513,8 @@ def q423_lognormal_fit(spark, sf):
         F.sum(F.col("ll").cast(D38)).alias("sll"),
         F.sum(F.col("cents").cast(D38)).alias("sc"),
     )
-    med = (
-        vals.select(
-            "cents",
-            F.row_number().over(
-                Window.orderBy("cents")
-            ).alias("rk"),
-        )
-        .crossJoin(F.broadcast(vals.agg(F.count(F.lit(1)).alias("n"))))
-        .where(F.col("rk") == F.ceil(F.col("n") / 2))
-        .select(F.col("cents").alias("med_cents"))
+    med = CORE.grouped_percentiles_disc(vals, [], "cents", [0.5]).select(
+        F.col("p50").alias("med_cents")
     )
     j = mom.crossJoin(F.broadcast(med))
     nd = F.col("n").cast("double")
@@ -19763,8 +19791,9 @@ def q427_histogram_bin_advisor(spark, sf):
     precision using only +,*,/ — the identical IEEE sequence on both
     engines.
 
-    Shape: ONE moment agg + two rank-quantile broadcasts — model
-    space."""
+    Shape: ONE moment agg + two bucketed exact-quantile selectors
+    (q58 family — value at ceil(q*n), identical to the old rank
+    window's pick, no unpartitioned ranked pass) — model space."""
     from chemharmony_spark.cache import registered_persist
 
     orders = _t(spark, sf, "orders")
@@ -19783,21 +19812,10 @@ def q427_histogram_bin_advisor(spark, sf):
         F.min("cents").alias("lo"),
         F.max("cents").alias("hi"),
     )
-    n_tot = vals.agg(F.count(F.lit(1)).alias("n"))
-
-    def q_at(q, name):
-        w = Window.orderBy("cents")
-        return (
-            vals.select(
-                "cents", F.row_number().over(w).alias("rk")
-            )
-            .crossJoin(F.broadcast(n_tot))
-            .where(F.col("rk") == F.ceil(F.lit(q) * F.col("n")))
-            .select(F.col("cents").alias(name))
-        )
-    j = mom.crossJoin(F.broadcast(q_at(0.25, "q1"))).crossJoin(
-        F.broadcast(q_at(0.75, "q3"))
-    )
+    iq = CORE.grouped_percentiles_disc(
+        vals, [], "cents", [0.25, 0.75]
+    ).select(F.col("p25").alias("q1"), F.col("p75").alias("q3"))
+    j = mom.crossJoin(F.broadcast(iq))
     nd = F.col("n").cast("double")
     mean = F.col("s1").cast("double") / nd
     sd = F.sqrt(F.col("s2").cast("double") / nd - mean * mean)

@@ -343,3 +343,56 @@ def test_zscore_moments(spark, sf_dir):
         n = len(zs)
         assert abs(sum(zs) / n) < 1e-3
         assert abs(sum(z * z for z in zs) / n - 1.0) < 1e-2
+
+
+def test_global_row_number_matches_plain_window(spark, sf_dir):
+    """Bucketed global_row_number == row_number over the plain global
+    window, for an order-monotone bucket — on real data (documents by
+    a text prefix key) and with skewed/empty buckets."""
+    from pyspark.sql.window import Window
+
+    from chemharmony_spark.operators.core import global_row_number
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.substring("text", 1, 12).alias("k")
+    )
+    got = global_row_number(
+        docs, ["k", "doc_id"], bucket=F.substring("k", 1, 2)
+    )
+    want = docs.select(
+        "doc_id",
+        F.row_number().over(Window.orderBy("k", "doc_id")).alias("rn"),
+    )
+    diff = (
+        got.select("doc_id", "rn")
+        .exceptAll(want)
+        .unionAll(want.exceptAll(got.select("doc_id", "rn")))
+    )
+    assert diff.count() == 0
+    # numeric bucket, heavy skew (all ids < 256 share bucket 0)
+    ids = spark.range(0, 1000).select(F.col("id").alias("v"))
+    got2 = global_row_number(ids, ["v"], bucket=F.expr("v DIV 256"))
+    bad = got2.where(F.col("rn") != F.col("v") + 1).count()
+    assert bad == 0
+
+
+def test_assign_cells_join_fallback_handles_duplicate_ids(spark):
+    """The large-codebook broadcast fallback must assign per ROW (not
+    per id): duplicate ids with different vectors land in different
+    cells, matching the inline literal-codebook path."""
+    from chemharmony_spark.operators.similarity import _assign_cells_join
+
+    corpus = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (1, [10.0, 10.0]), (2, [0.1, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [10.0, 10.0])],
+        "cell_id bigint, centroid array<double>",
+    )
+    rows = sorted(
+        (r.vec_id, r.embedding[0], r.cell_id)
+        for r in _assign_cells_join(corpus, cents, "vec_id", "embedding")
+        .collect()
+    )
+    assert rows == [(1, 0.0, 0), (1, 10.0, 1), (2, 0.1, 0)]

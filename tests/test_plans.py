@@ -473,7 +473,7 @@ SHUFFLE_BUDGET = {
     # co-partitioned pair join / pair rollup
     "q195_sequential_patterns": 4,
     # q196: persisted session table prints under totals / ranked median
-    "q196_session_stats": 4,
+    "q196_session_stats": 9,
     # q197: 16-row seed TakeOrdered + per-vec argmin window + (cid, dim)
     # update agg (assignment itself never shuffles the corpus)
     "q197_lloyd_iteration": 3,
@@ -481,7 +481,7 @@ SHUFFLE_BUDGET = {
     # broadcast joins against the stationary edge table
     "q198_bfs_distance": 1,
     # q199: ONE global-sort rank; neighbor pairing joins on rank offsets
-    "q199_sorted_neighborhood": 1,
+    "q199_sorted_neighborhood": 3,
     # q200: degree agg + endpoint joins (broadcast) + 1-row correlation
     "q200_degree_assortativity": 3,
     # q201: day agg + pair-join rank + 1-row total broadcast
@@ -769,7 +769,7 @@ SHUFFLE_BUDGET = {
     # q304: three rank-layout simulations, each ONE global window whose
     # 64-group rollup and prune count ride the same exchange (the rank
     # is the simulation — production reads range-partitioner stats)
-    "q304_sort_key_advisor": 3,
+    "q304_sort_key_advisor": 18,
     # q305: 3 pairs x (persisted distinct-pair agg printed per consumer
     # x2, the HLL bucket agg, exact-count and single-column distinct
     # expands) — sketch state is 64 rows per pair
@@ -798,7 +798,7 @@ SHUFFLE_BUDGET = {
     # q312: persisted keyed scan (printed per consumer: truth self-join
     # + rank pairing) + the global rank window + the two 1-row
     # agreement rollups feeding three report rows
-    "q312_fellegi_sunter": 9,
+    "q312_fellegi_sunter": 6,
     # q313: the PPJoin candidate pipeline + verify (q82/q123 shape) +
     # persisted truth/labeled frames (printed per threshold consumer);
     # every threshold row re-aggregates the same labeled pair table
@@ -1064,7 +1064,7 @@ SHUFFLE_BUDGET = {
     # q406: the persisted (doc, shingle) explode (reprinted per
     # consumer) + first-seen agg + join back + per-doc agg + the
     # model-space decile window
-    "q406_ngram_novelty_decay": 6,
+    "q406_ngram_novelty_decay": 11,
     # q407: the daily agg + the model-space lag window
     "q407_forecast_mase": 2,
     # q408: the persisted 25-cell agg (reprinted per margin consumer)
@@ -1098,13 +1098,13 @@ SHUFFLE_BUDGET = {
     "q420_holm_bonferroni": 4,
     # q421: the persisted per-order agg (reprinted per threshold
     # branch) + four rank-threshold windows + the 1-row rollup
-    "q421_tail_dependence": 10,
+    "q421_tail_dependence": 16,
     # q422: the bucketed cumsum (intra window + offsets) + the 1-row
     # total broadcast
     "q422_pps_systematic": 5,
     # q423: the persisted value column (reprinted per consumer) +
     # rank-median window + 1-row moments
-    "q423_lognormal_fit": 3,
+    "q423_lognormal_fit": 8,
     # q424: the persisted revenue agg + Pareto rank/bucketed cumsum
     # + the monthly demand agg + per-part CV + the 9-cell rollup
     "q424_abc_xyz": 6,
@@ -1115,7 +1115,7 @@ SHUFFLE_BUDGET = {
     "q426_icc_design_effect": 2,
     # q427: the persisted values + two rank-quantile windows +
     # 1-row moments
-    "q427_histogram_bin_advisor": 5,
+    "q427_histogram_bin_advisor": 8,
     # q428: q374's per-nation agg + rank window + 1-row crossing
     "q428_by_fdr": 8,
     # q429: the distinct-score agg + model-space desc cumsum + the
@@ -1298,6 +1298,8 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 "q308_shuffle_cost_model",
                 # q309: 1-row global-prior broadcast onto the fact scan
                 "q309_loo_target_encoding",
+                # q304: 1-row table-count broadcast onto the ranked rows
+                "q304_sort_key_advisor",
                 # q311: 1-row total broadcast onto the transition terms
                 "q311_markov_entropy_rate",
                 # q312: 1-row m/u agreement rollups cross-joined
@@ -1437,12 +1439,190 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 "q409_mann_kendall"}
 
 
+# ---------------------------------------------------------------------------
+# Inventory-wide logical-plan guards (VERDICT r3 task 1).
+#
+# Both guards read the ANALYZED logical plan: explicit F.broadcast hints
+# survive there as ResolvedHint nodes (the optimizer folds them into Join
+# and the physical plan can't distinguish a user hint from a stats-driven
+# broadcast AQE would correctly undo at scale), and the tree is available
+# before any physical planning cost. NOTE the executedPlan().toJSON() of
+# an AQE query is a single AdaptiveSparkPlanExec node with the real tree
+# nested under `inputPlan` — iterating its top-level list visits nothing,
+# which silently no-ops a guard (the r1-r3 headline window guard had
+# exactly that bug).
+
+# Aggregations keyed by these columns do NOT bound cardinality: one row
+# per document/vector/event/order/customer-scale id still grows with the
+# corpus. (a, b) are the dedup pair keys.
+_ROWID_KEYS = {"doc_id", "vec_id", "event_id", "o_orderkey", "l_orderkey",
+               "aid", "user_id", "c_custkey", "p_partkey", "s_suppkey",
+               "text", "sh", "a", "b"}
+# Column signatures identifying a scan of a fact table (the tables that
+# are 100 TB-scale in the engine's posture; nation/region and bounded
+# literal frames never match).
+_FACT_SIG = {"l_orderkey", "l_partkey", "l_extendedprice", "o_orderkey",
+             "o_totalprice", "doc_id", "vec_id", "embedding", "event_id"}
+_BOUNDING_LIMITS = ("GlobalLimit", "LocalLimit", "Limit")
+
+# Audited exceptions: query -> reason a flagged subtree is in fact
+# bounded (the static walk can't see it). Keep empty unless a human has
+# verified the bound; the guard prints the query name on failure.
+BROADCAST_ALLOWED: dict[str, str] = {}
+RANKED_WINDOW_ALLOWED: dict[str, str] = {}
+
+
+def _parse_forest(lst):
+    """TreeNode.toJSON is a preorder list with num-children; rebuild."""
+    pos = 0
+
+    def node():
+        nonlocal pos
+        n = lst[pos]
+        pos += 1
+        kids = [node() for _ in range(int(n.get("num-children", 0)))]
+        return (n, kids)
+
+    roots = []
+    while pos < len(lst):
+        roots.append(node())
+    return roots
+
+
+def _names_in(node, field):
+    import re
+
+    return set(re.findall(r"'name': '(\w+)'", str(node.get(field, ""))))
+
+
+def _literal_id_filter(node):
+    """A Filter comparing a row-id/fact key against literals
+    (vec_id == 0, vec_id < 10, doc_id IN (...)) selects a
+    constant-bounded id set."""
+    cond = str(node.get("condition", ""))
+    if "expressions.Literal" not in cond:
+        return False
+    ops = ("expressions.EqualTo", "expressions.In'", "expressions.InSet",
+           "expressions.LessThan")
+    if not any(op in cond for op in ops):
+        return False
+    return bool(_names_in(node, "condition") & (_ROWID_KEYS | _FACT_SIG))
+
+
+def _unbounded_fact_scans(tree, bounded, hits):
+    """Walk a logical subtree; record fact-table scans reached without a
+    cardinality-bounding node (limit, non-rowid-keyed aggregation,
+    literal-id filter) on the path above them."""
+    n, kids = tree
+    c = n["class"].split(".")[-1]
+    b = bounded
+    if c in _BOUNDING_LIMITS:
+        b = True
+    if c == "Aggregate" and not (
+        _names_in(n, "groupingExpressions") & _ROWID_KEYS
+    ):
+        b = True
+    if c == "Deduplicate" and not (_names_in(n, "keys") & _ROWID_KEYS):
+        b = True
+    if c == "Filter" and _literal_id_filter(n):
+        b = True
+    if c in ("LogicalRelation", "LogicalRDD", "InMemoryRelation") and not b:
+        sig = _names_in(n, "output") & _FACT_SIG
+        if sig:
+            hits.append(sorted(sig)[0])
+    for k in kids:
+        _unbounded_fact_scans(k, b, hits)
+
+
+def _logical_guard_findings(df):
+    """(kind, sig) findings for one query's analyzed plan: explicit
+    broadcasts of unbounded fact subtrees, and unpartitioned ranked
+    windows whose input is an unbounded fact subtree."""
+    import json
+
+    tree = json.loads(df._jdf.queryExecution().analyzed().toJSON())
+    out = []
+    for root in _parse_forest(tree):
+        stack = [root]
+        while stack:
+            n, kids = stack.pop()
+            c = n["class"].split(".")[-1]
+            if c == "ResolvedHint":
+                hits = []
+                _unbounded_fact_scans(kids[0], False, hits)
+                if hits:
+                    out.append(("broadcast", hits[0]))
+            if c == "Window":
+                ranked = any(
+                    k in str(n.get("windowExpressions", ""))
+                    for k in ("RowNumber", "Rank", "NTile", "DenseRank")
+                )
+                if ranked and str(n.get("partitionSpec", "[]")) in ("[]", ""):
+                    hits = []
+                    for k in kids:
+                        _unbounded_fact_scans(k, False, hits)
+                    if hits:
+                        out.append(("ranked-window", hits[0]))
+            stack.extend(kids)
+    return out
+
+
+def test_no_query_broadcasts_or_ranks_unbounded_fact_frames(spark):
+    """Full-inventory 100 TB plan guard: no query may (a) explicitly
+    F.broadcast a frame whose lineage scans a fact table without a
+    cardinality bound — the hint FORCES the broadcast regardless of
+    size, unlike AQE's stats-driven choice — or (b) rank
+    (row_number/rank/ntile) over an unpartitioned window whose input is
+    an unbounded fact subtree, the canonical one-task funnel.
+    Exceptions require a human-audited entry in BROADCAST_ALLOWED /
+    RANKED_WINDOW_ALLOWED naming the bound the walker can't see."""
+    import __spark_entry__ as e
+
+    spark.catalog.clearCache()
+    bad = []
+    for name, fn in e._raw_queries().items():
+        for kind, sig in set(_logical_guard_findings(fn(spark, SF))):
+            allowed = (BROADCAST_ALLOWED if kind == "broadcast"
+                       else RANKED_WINDOW_ALLOWED)
+            if name not in allowed:
+                bad.append(f"{name}: {kind} over unbounded {sig} subtree")
+    assert not bad, "\n".join(sorted(bad))
+
+
+def test_every_query_persist_is_registry_released(spark):
+    """Cache-residency invariant (ADVICE r3 class, protected against
+    recurrence): building ANY queries() entry and then calling
+    cache.release_caches() must leave the session's CacheManager empty —
+    i.e. every operator-internal persist() is routed through
+    registered_persist, so a long multi-query session (the sweep, the
+    bench) cannot accumulate unreleasable cache entries. persist()
+    registers in the CacheManager eagerly (no action needed), so this
+    audits all 447 entries without executing them."""
+    import __spark_entry__ as e
+    from chemharmony_spark import cache
+
+    spark.catalog.clearCache()
+    cache.release_caches()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    leaked = []
+    for name, fn in e._raw_queries().items():
+        fn(spark, SF)
+        cache.release_caches()
+        if not cm.isEmpty():
+            leaked.append(name)
+            spark.catalog.clearCache()
+    assert not leaked, f"unregistered persists in: {leaked}"
+
+
 def test_no_headline_query_has_unpartitioned_ranked_window(spark):
     """No bench headline query may rank (row_number/rank/ntile) over an
     unpartitioned window — that funnels the whole input through ONE task,
-    the canonical 100 TB scale-killer. Non-ranked unpartitioned windows
-    over provably bounded aggregates (e.g. q56's 256-row bucket-offset
-    cumsum) are allowed; full-table ranking is not."""
+    the canonical 100 TB scale-killer — not even over a bounded frame.
+    Non-ranked unpartitioned windows over provably bounded aggregates
+    (e.g. q56's 256-row bucket-offset cumsum) are allowed; ranking is
+    not. Walks the PHYSICAL plan nested under AdaptiveSparkPlanExec
+    (the top-level toJSON list holds only the AQE wrapper — iterating
+    it directly checks nothing)."""
     import json
 
     import bench
@@ -1450,7 +1630,17 @@ def test_no_headline_query_has_unpartitioned_ranked_window(spark):
     for name in bench.HEADLINE:
         df = getattr(Q, name)(spark, SF)
         tree = json.loads(df._jdf.queryExecution().executedPlan().toJSON())
-        for node in tree:
+        nodes = []
+        stack = list(tree)
+        while stack:
+            n = stack.pop()
+            if not isinstance(n, dict) or "class" not in n:
+                continue
+            nodes.append(n)
+            inner = n.get("inputPlan")
+            if isinstance(inner, list):
+                stack.extend(inner)
+        for node in nodes:
             cls = node.get("class", "")
             if cls.endswith("WindowExec") or cls.endswith(
                 "WindowGroupLimitExec"
@@ -1463,7 +1653,8 @@ def test_no_headline_query_has_unpartitioned_ranked_window(spark):
                     k in ranked_src
                     for k in ("RowNumber", "Rank", "NTile", "DenseRank")
                 )
-                assert node.get("partitionSpec") or not ranked, (
+                part = str(node.get("partitionSpec", "[]"))
+                assert part not in ("[]", "") or not ranked, (
                     f"{name}: unpartitioned ranked window ({cls})"
                 )
 
