@@ -65,7 +65,11 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from chemharmony_spark.session import get_spark
 
-    spark = get_spark(app_name="check_oracle")
+    # sf0.01 rows fit in a handful of partitions; 32 reduce tasks per
+    # exchange is pure fixed overhead at this size (measured: the sweep's
+    # slow entries are Spark-side stage overhead, not DuckDB — q345's
+    # oracle is 0.6 s of its 8.6 s). AQE still coalesces below this.
+    spark = get_spark(app_name="check_oracle", shuffle_partitions=8)
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     names = args.names or list(qs)

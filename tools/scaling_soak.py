@@ -68,11 +68,23 @@ QUERIES = [
     "q209_modularity",         # LPA rounds + labeled-edge rollups
     "q212_revenue_recognition",  # capped explode, closed-form allocation
     "q224_backlog_curve",      # two-stream zero-filled grid + cumsum
+    # round-3/4 hot paths + this round's plan-shape fixes
+    "q115_semantic_cluster_dedup",  # literal-codebook assign + collapse
+    "q304_sort_key_advisor",   # r4: bucketed global_row_number x3 keys
+    "q312_fellegi_sunter",     # r4: bucketed md5-order rank + half-shift
+    "q350_threshold_percolation",  # PPJoin -> CC at 3 thresholds
+    "q434_rake_keywords",      # r4: TakeOrdered top-10 (was global rank)
+    # q265_weighted_jaccard is soaked from SOAK_SRC=sf0.01: its cost is
+    # verified-pairs x an O(L) map merge, and the sf0.1 near-dup corpus
+    # has 7M verified pairs (~2 min single-node base) — linearity is the
+    # claim under test, and it shows at any SF.
 ]
 
 
 def build(spark, k: int) -> tuple[str, str]:
     base, xk = f"{ROOT}/base", f"{ROOT}/x{k}"
+    if os.path.exists(f"{xk}/embeddings.parquet"):
+        return base, xk  # reuse a finished build (delete ROOT to force)
     if os.path.exists(ROOT):
         shutil.rmtree(ROOT)
     for name, keys, text in TABLES:
@@ -101,7 +113,9 @@ def build(spark, k: int) -> tuple[str, str]:
 
 
 def main() -> int:
+    # usage: scaling_soak.py [K] [query ...]  (queries default to QUERIES)
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    names = sys.argv[2:] or QUERIES
     spark = get_spark()
     import __spark_entry__ as e
 
@@ -110,12 +124,15 @@ def main() -> int:
     base, xk = build(spark, k)
     print("| query | t_base (s) | t_x%d (s) | ratio |" % k)
     print("|---|---|---|---|")
-    for name in QUERIES:
+    from chemharmony_spark.cache import release_caches
+
+    for name in names:
         times = []
         for d in (base, xk):
             t0 = time.time()
             qs[name](spark, d).count()
             times.append(time.time() - t0)
+            release_caches()  # bound cache residency across the soak
         tb, tk = times
         print(f"| {name} | {tb:.2f} | {tk:.2f} | {tk / tb:.1f}x |", flush=True)
     return 0
