@@ -525,6 +525,11 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q445_hoover_index": Q.q445_hoover_index,
         "q446_atkinson2": Q.q446_atkinson2,
         "q447_middle_band_share": Q.q447_middle_band_share,
+        "q448_mad_outliers": Q.q448_mad_outliers,
+        "q449_llr_collocations": Q.q449_llr_collocations,
+        "q450_ngram_overlap_decay": Q.q450_ngram_overlap_decay,
+        "q451_split_balance_audit": Q.q451_split_balance_audit,
+        "q452_vocab_overlap_matrix": Q.q452_vocab_overlap_matrix,
     }
 
 
@@ -15173,5 +15178,189 @@ def oracle_sql() -> dict[str, str]:
             SELECT k, median_cents, n_band,
                    n_band * 1000000 // k AS middle_share_ppm
             FROM agg
+        """,
+        "q448_mad_outliers": """
+            WITH per AS MATERIALIZED (
+              SELECT o_orderpriority AS priority,
+                     CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT) AS cents
+              FROM orders),
+            med AS (
+              SELECT cents AS med FROM (
+                SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rk
+                FROM per),
+                (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM per)
+              WHERE rk = CAST(ceil(CAST(k AS DOUBLE) / 2) AS BIGINT)),
+            dev AS MATERIALIZED (
+              SELECT priority, med, abs(cents - med) AS d
+              FROM per, med),
+            mad AS (
+              SELECT d AS mad FROM (
+                SELECT d, ROW_NUMBER() OVER (ORDER BY d) AS rk FROM dev),
+                (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM dev)
+              WHERE rk = CAST(ceil(CAST(k AS DOUBLE) / 2) AS BIGINT))
+            SELECT priority,
+                   CAST(MIN(med) AS BIGINT) AS median_cents,
+                   CAST(MIN(mad) AS BIGINT) AS mad_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN d * 10000 > mad * 44478
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_out,
+                   CAST(SUM(CASE WHEN d * 10000 > mad * 44478
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                     * 1000000 // CAST(COUNT(*) AS BIGINT) AS out_ppm
+            FROM dev, mad
+            GROUP BY priority
+        """,
+        "q449_llr_collocations": f"""
+            WITH t AS (SELECT {_TOKS} AS toks FROM documents),
+            bg AS MATERIALIZED (
+              SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM (
+                SELECT toks[i] AS w1, toks[i + 1] AS w2
+                FROM t, unnest(range(1, len(toks))) AS u(i)
+                WHERE len(toks) >= 2)
+              GROUP BY 1, 2),
+            m1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1
+                   FROM bg GROUP BY 1),
+            m2 AS (SELECT w2, CAST(SUM(c12) AS BIGINT) AS c2
+                   FROM bg GROUP BY 1),
+            nn AS (SELECT CAST(SUM(c12) AS BIGINT) AS nn FROM bg),
+            j AS (
+              SELECT bg.w1, bg.w2, bg.c12, m1.c1, m2.c2, nn.nn
+              FROM bg JOIN m1 USING (w1) JOIN m2 USING (w2), nn
+              WHERE bg.c12 >= 5),
+            s AS (
+              SELECT w1, w2, c12, c1, c2,
+                     2.0 * (
+                       (CASE WHEN c12 > 0 THEN CAST(c12 AS DOUBLE)
+                         * ln((CAST(c12 AS DOUBLE) * CAST(nn AS DOUBLE))
+                              / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE)))
+                        ELSE 0.0 END)
+                       + (CASE WHEN c1 - c12 > 0
+                          THEN CAST(c1 - c12 AS DOUBLE)
+                           * ln((CAST(c1 - c12 AS DOUBLE)
+                                 * CAST(nn AS DOUBLE))
+                                / (CAST(c1 AS DOUBLE)
+                                   * (CAST(nn AS DOUBLE)
+                                      - CAST(c2 AS DOUBLE))))
+                          ELSE 0.0 END)
+                       + (CASE WHEN c2 - c12 > 0
+                          THEN CAST(c2 - c12 AS DOUBLE)
+                           * ln((CAST(c2 - c12 AS DOUBLE)
+                                 * CAST(nn AS DOUBLE))
+                                / ((CAST(nn AS DOUBLE)
+                                    - CAST(c1 AS DOUBLE))
+                                   * CAST(c2 AS DOUBLE)))
+                          ELSE 0.0 END)
+                       + (CASE WHEN nn - c1 - c2 + c12 > 0
+                          THEN CAST(nn - c1 - c2 + c12 AS DOUBLE)
+                           * ln((CAST(nn - c1 - c2 + c12 AS DOUBLE)
+                                 * CAST(nn AS DOUBLE))
+                                / ((CAST(nn AS DOUBLE)
+                                    - CAST(c1 AS DOUBLE))
+                                   * (CAST(nn AS DOUBLE)
+                                      - CAST(c2 AS DOUBLE))))
+                          ELSE 0.0 END)
+                     ) AS llr
+              FROM j)
+            SELECT w1, w2, c12, c1, c2,
+                   CAST(floor(llr * 1000000) AS BIGINT) AS llr_micro
+            FROM s
+            ORDER BY llr_micro DESC, w1, w2
+            LIMIT 20
+        """,
+        "q450_ngram_overlap_decay": f"""
+            WITH d AS MATERIALIZED (
+              SELECT source, {_TOKS} AS toks FROM documents),
+            ev2 AS MATERIALIZED (
+              SELECT DISTINCT g FROM (
+                SELECT unnest(CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks) - 2 + 2), i -> toks[i] || ' ' || toks[i + 1]) ELSE [] END) AS g
+                FROM d WHERE source IN ('src0', 'src1'))),
+            tr2 AS MATERIALIZED (
+              SELECT DISTINCT g FROM (
+                SELECT unnest(CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks) - 2 + 2), i -> toks[i] || ' ' || toks[i + 1]) ELSE [] END) AS g
+                FROM d WHERE source NOT IN ('src0', 'src1'))),
+            ev3 AS MATERIALIZED (
+              SELECT DISTINCT g FROM (
+                SELECT unnest(CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 3 + 2), i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) ELSE [] END) AS g
+                FROM d WHERE source IN ('src0', 'src1'))),
+            tr3 AS MATERIALIZED (
+              SELECT DISTINCT g FROM (
+                SELECT unnest(CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 3 + 2), i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) ELSE [] END) AS g
+                FROM d WHERE source NOT IN ('src0', 'src1'))),
+            ev5 AS MATERIALIZED (
+              SELECT DISTINCT g FROM (
+                SELECT unnest(CASE WHEN len(toks) >= 5 THEN list_transform(range(1, len(toks) - 5 + 2), i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3] || ' ' || toks[i + 4]) ELSE [] END) AS g
+                FROM d WHERE source IN ('src0', 'src1'))),
+            tr5 AS MATERIALIZED (
+              SELECT DISTINCT g FROM (
+                SELECT unnest(CASE WHEN len(toks) >= 5 THEN list_transform(range(1, len(toks) - 5 + 2), i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3] || ' ' || toks[i + 4]) ELSE [] END) AS g
+                FROM d WHERE source NOT IN ('src0', 'src1'))),
+            rows_ AS (
+              SELECT 2 AS n,
+                     (SELECT CAST(COUNT(*) AS BIGINT) FROM ev2) AS n_eval,
+                     (SELECT CAST(COUNT(*) AS BIGINT)
+                      FROM ev2 WHERE g IN (SELECT g FROM tr2)) AS n_shared
+              UNION ALL
+              SELECT 3 AS n,
+                     (SELECT CAST(COUNT(*) AS BIGINT) FROM ev3) AS n_eval,
+                     (SELECT CAST(COUNT(*) AS BIGINT)
+                      FROM ev3 WHERE g IN (SELECT g FROM tr3)) AS n_shared
+              UNION ALL
+              SELECT 5 AS n,
+                     (SELECT CAST(COUNT(*) AS BIGINT) FROM ev5) AS n_eval,
+                     (SELECT CAST(COUNT(*) AS BIGINT)
+                      FROM ev5 WHERE g IN (SELECT g FROM tr5)) AS n_shared)
+            SELECT n, n_eval, n_shared,
+                   n_shared * 1000000 // n_eval AS shared_ppm
+            FROM rows_
+        """,
+        "q451_split_balance_audit": """
+            WITH cells AS MATERIALIZED (
+              SELECT CASE
+                       WHEN ((instr('0123456789abcdef',
+                               substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                      1, 1)) - 1) * 16
+                             + (instr('0123456789abcdef',
+                                 substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                        2, 1)) - 1)) % 10 < 8
+                       THEN 'train'
+                       WHEN ((instr('0123456789abcdef',
+                               substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                      1, 1)) - 1) * 16
+                             + (instr('0123456789abcdef',
+                                 substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                        2, 1)) - 1)) % 10 = 8
+                       THEN 'val' ELSE 'test' END AS split,
+                     o_orderpriority AS priority,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM orders GROUP BY 1, 2),
+            ns AS (SELECT split, CAST(SUM(n) AS BIGINT) AS n_s
+                   FROM cells GROUP BY 1),
+            np_ AS (SELECT priority, CAST(SUM(n) AS BIGINT) AS n_p
+                    FROM cells GROUP BY 1),
+            tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM cells)
+            SELECT split, priority, n,
+                   abs(n * nn - n_s * n_p) * 1000000 // (n_s * n_p)
+                     AS dev_ppm
+            FROM cells JOIN ns USING (split) JOIN np_ USING (priority), tot
+        """,
+        "q452_vocab_overlap_matrix": f"""
+            WITH st AS MATERIALIZED (
+              SELECT DISTINCT source, tok FROM (
+                SELECT source, unnest({_TOKS}) AS tok FROM documents)),
+            sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nv
+                      FROM st GROUP BY 1),
+            inter AS (
+              SELECT a.source AS sa, b.source AS sb,
+                     CAST(COUNT(*) AS BIGINT) AS n_inter
+              FROM st a JOIN st b
+                ON a.tok = b.tok AND a.source < b.source
+              GROUP BY 1, 2)
+            SELECT sa, sb, n_inter, x.nv AS na, y.nv AS nb,
+                   n_inter * 1000000 // (x.nv + y.nv - n_inter)
+                     AS jaccard_ppm
+            FROM inter
+            JOIN sizes x ON x.source = sa
+            JOIN sizes y ON y.source = sb
         """,
     }

@@ -9264,27 +9264,37 @@ def q265_weighted_jaccard(spark, sf):
         .agg(
             F.map_from_entries(
                 F.collect_list(F.struct("tok", "c"))
-            ).alias("m")
+            ).alias("m"),
+            F.sum("c").alias("tot"),
         )
     )
-    ma = counts.select(F.col("doc_id").alias("a"), F.col("m").alias("ma"))
-    mb = counts.select(F.col("doc_id").alias("b"), F.col("m").alias("mb"))
-    keys = F.array_union(F.map_keys("ma"), F.map_keys("mb"))
+    ma = counts.select(F.col("doc_id").alias("a"), F.col("m").alias("ma"),
+                       F.col("tot").alias("ta"))
+    mb = counts.select(F.col("doc_id").alias("b"), F.col("m").alias("mb"),
+                       F.col("tot").alias("tb"))
+    # smin folds ONE hash-merged map (map_zip_with unions the key sets in
+    # O(|ma|+|mb|)); the old per-key element_at fold linear-scanned the
+    # map per key — O(L^2) per pair, which the soak caught melting down
+    # at 7M verified pairs. smax needs no second fold: for shared keys
+    # max = ca + cb - min, for unshared max = own count, so summing over
+    # the union gives smax = ta + tb - smin exactly (integer identity).
     zero = F.lit(0).cast("long")
-
-    def fold(pick):
-        return F.aggregate(
-            keys, zero,
-            lambda acc, k: acc + pick(
-                F.coalesce(F.element_at(F.col("ma"), k), F.lit(0)),
-                F.coalesce(F.element_at(F.col("mb"), k), F.lit(0)),
-            ).cast("long"),
-        )
-
+    smin = F.aggregate(
+        F.map_values(
+            F.map_zip_with(
+                "ma", "mb",
+                lambda k, x, y: F.least(
+                    F.coalesce(x, F.lit(0)), F.coalesce(y, F.lit(0))
+                ).cast("long"),
+            )
+        ),
+        zero,
+        lambda acc, v: acc + v,
+    )
     scored = (
         verified.join(ma, "a").join(mb, "b")
-        .withColumn("smin", fold(F.least))
-        .withColumn("smax", fold(F.greatest))
+        .withColumn("smin", smin)
+        .withColumn("smax", F.col("ta") + F.col("tb") - F.col("smin"))
         .withColumn(
             "wj_ppm",
             F.floor(
@@ -21060,4 +21070,250 @@ def q447_middle_band_share(spark, sf):
         "median_cents",
         "n_band",
         F.expr("n_band * 1000000 DIV k").alias("middle_share_ppm"),
+    )
+
+
+def q448_mad_outliers(spark, sf):
+    """Robust outlier census of order values via MAD (median absolute
+    deviation): med = exact lower-median of cents, mad = exact
+    lower-median of |cents - med|, outlier iff |x - med| > 3 * 1.4826 *
+    mad — the breakdown-resistant alternative to q175's z-scores (one
+    fat-tailed order can't move the fence). The comparison stays in
+    exact integers (10000*|dev| > 44478*mad); per-priority rollup.
+
+    Shape: two q58-family bucketed selectors (no ranked window ever
+    touches the order table) + two 1-row broadcasts + ONE rollup."""
+    orders = _t(spark, sf, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        (_d("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    med = CORE.grouped_percentiles_disc(orders, [], "cents", [0.5]).select(
+        F.col("p50").alias("med")
+    )
+    dev = orders.crossJoin(F.broadcast(med)).select(
+        "priority", "med", F.abs(F.col("cents") - F.col("med")).alias("d")
+    )
+    mad = CORE.grouped_percentiles_disc(dev, [], "d", [0.5]).select(
+        F.col("p50").alias("mad")
+    )
+    flagged = dev.crossJoin(F.broadcast(mad)).select(
+        "priority", "med", "mad",
+        (F.col("d") * 10000 > F.col("mad") * 44478).cast("long").alias("o"),
+    )
+    return (
+        flagged.groupBy("priority", "med", "mad")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o").alias("n_out"))
+        .select(
+            "priority",
+            F.col("med").alias("median_cents"),
+            F.col("mad").alias("mad_cents"),
+            "n",
+            "n_out",
+            F.expr("n_out * 1000000 DIV n").alias("out_ppm"),
+        )
+    )
+
+
+def q449_llr_collocations(spark, sf):
+    """Dunning log-likelihood-ratio collocations (Dunning 1993,
+    "Accurate Methods for the Statistics of Surprise and Coincidence"):
+    the top-20 adjacent bigrams whose co-occurrence most exceeds
+    unigram independence under the 2x2 contingency LLR — the
+    collocation test that stays calibrated at low counts where q202's
+    PMI explodes. Margins come from the bigram table itself (row =
+    first-word count, col = second-word count, N = total bigrams); the
+    4-term 2*sum(k ln(kN/(row*col))) is one fixed-order double
+    expression, micro-floored; min support c12 >= 5.
+
+    Shape: one bigram explode + three vocab-scale aggs joined back as
+    plain equi-joins (AQE decides broadcasts) + TakeOrdered top-20."""
+    from chemharmony_spark.cache import registered_persist
+
+    docs = _t(spark, sf, "documents").select(TX.tokens("text").alias("toks"))
+    toks = F.col("toks")
+    bigram_arr = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("w1"),
+            F.element_at(toks, i + 1).alias("w2"),
+        ),
+    )
+    bg = registered_persist(
+        docs.where(F.size(toks) >= 2)
+        .select(F.explode(bigram_arr).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    c1 = bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    c2 = bg.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    nn = bg.agg(F.sum("c12").alias("nn"))
+    j = (
+        bg.where(F.col("c12") >= 5)
+        .join(c1, on="w1")
+        .join(c2, on="w2")
+        .crossJoin(F.broadcast(nn))
+    )
+    D = lambda c: F.col(c).cast("double")  # noqa: E731
+
+    def term(k, row, col):
+        return F.when(
+            k > 0, k.cast("double") * F.log(
+                (k.cast("double") * D("nn")) / (row * col)
+            )
+        ).otherwise(F.lit(0.0))
+
+    k11 = F.col("c12")
+    k12 = F.col("c1") - F.col("c12")
+    k21 = F.col("c2") - F.col("c12")
+    k22 = F.col("nn") - F.col("c1") - F.col("c2") + F.col("c12")
+    llr = 2.0 * (
+        term(k11, D("c1"), D("c2"))
+        + term(k12, D("c1"), D("nn") - D("c2"))
+        + term(k21, D("nn") - D("c1"), D("c2"))
+        + term(k22, D("nn") - D("c1"), D("nn") - D("c2"))
+    )
+    return (
+        j.select(
+            "w1", "w2", "c12", "c1", "c2",
+            F.floor(llr * 1_000_000).cast("long").alias("llr_micro"),
+        )
+        .orderBy(F.col("llr_micro").desc(), "w1", "w2")
+        .limit(20)
+    )
+
+
+def q450_ngram_overlap_decay(spark, sf):
+    """Contamination n-gram overlap DECAY: the share of the eval set's
+    (src0/src1, q113's convention) distinct n-grams that also occur in
+    the training split, for n = 2, 3, 5 — the curve that picks q113's
+    fingerprint length (overlap at small n is English; the n where it
+    plateaus above zero is real contamination). Exact set semantics,
+    integer ppm.
+
+    Shape: per n, two distinct-shingle aggs + one semi-join, all keyed
+    on the shingle (co-partitioned); 3-row union output."""
+    from chemharmony_spark.cache import registered_persist
+
+    docs = registered_persist(
+        _t(spark, sf, "documents").select(
+            "source", TX.tokens("text").alias("ws")
+        )
+    )
+    is_eval = F.col("source").isin("src0", "src1")
+
+    def side(pred, n):
+        return (
+            docs.where(pred)
+            .select(
+                F.explode(DD.word_shingles(F.col("ws"), n)).alias("g")
+            )
+            .distinct()
+        )
+
+    out = None
+    for n in (2, 3, 5):
+        ev = side(is_eval, n)
+        tr = side(~is_eval, n)
+        row = (
+            ev.join(tr, on="g", how="left_semi")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .crossJoin(
+                F.broadcast(ev.agg(F.count(F.lit(1)).alias("n_eval")))
+            )
+            .select(
+                F.lit(n).alias("n"),
+                "n_eval",
+                "n_shared",
+                F.expr("n_shared * 1000000 DIV n_eval").alias(
+                    "shared_ppm"
+                ),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def q451_split_balance_audit(spark, sf):
+    """Deterministic 80/10/10 train/val/test assignment (md5 hex-pair of
+    the order key, mod 10: <8 train, 8 val, 9 test) + the balance audit:
+    per (split, priority) cell, the ppm deviation from the independence
+    expectation n_split*n_priority/N — the check that a content-hash
+    split didn't correlate with a label. All integer arithmetic
+    (|n*N - n_s*n_p| * 1e6 / (n_s*n_p)); the audit is what a pipeline
+    runs before trusting a split column.
+
+    Shape: one cell agg + two margin re-aggs joined back (model-space:
+    3 splits x 5 priorities)."""
+    from chemharmony_spark.cache import registered_persist
+
+    hexv = lambda c: F.instr(F.lit("0123456789abcdef"), c) - 1  # noqa: E731
+    h = F.md5(F.col("o_orderkey").cast("string"))
+    d = (hexv(F.substring(h, 1, 1)) * 16 + hexv(F.substring(h, 2, 1))) % 10
+    cells = registered_persist(
+        _t(spark, sf, "orders")
+        .select(
+            F.when(d < 8, "train").when(d == 8, "val").otherwise("test")
+            .alias("split"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .groupBy("split", "priority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ns = cells.groupBy("split").agg(F.sum("n").alias("n_s"))
+    np_ = cells.groupBy("priority").agg(F.sum("n").alias("n_p"))
+    tot = cells.agg(F.sum("n").alias("nn"))
+    return (
+        cells.join(F.broadcast(ns), on="split")
+        .join(F.broadcast(np_), on="priority")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "split", "priority", "n",
+            F.expr(
+                "abs(n * nn - n_s * n_p) * 1000000 DIV (n_s * n_p)"
+            ).alias("dev_ppm"),
+        )
+    )
+
+
+def q452_vocab_overlap_matrix(spark, sf):
+    """Source-pair vocabulary overlap matrix: exact Jaccard of the
+    DISTINCT token sets of every source pair — corpus-composition at
+    the SET level (q? JS divergence compares distributions; this says
+    whether two feeds even share words, the cheap first look before
+    near-dup mining between feeds). Count-space: the pair join runs on
+    (token) with <= |sources| rows per token, so the blowup is bounded
+    by C(20,2) per token, never doc-quadratic.
+
+    Shape: one distinct (source, token) agg + one token-keyed self-join
+    + per-source size re-agg joined back; 190-row output."""
+    from chemharmony_spark.cache import registered_persist
+
+    st = registered_persist(
+        _t(spark, sf, "documents")
+        .select("source", F.explode(TX.tokens("text")).alias("tok"))
+        .distinct()
+    )
+    sizes = st.groupBy("source").agg(F.count(F.lit(1)).alias("nv"))
+    l = st.select(F.col("source").alias("sa"), "tok")
+    r = st.select(F.col("source").alias("sb"), "tok")
+    inter = (
+        l.join(r, on="tok")
+        .where(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.withColumnsRenamed(
+                {"source": "sa", "nv": "na"})), on="sa")
+        .join(
+            F.broadcast(sizes.withColumnsRenamed(
+                {"source": "sb", "nv": "nb"})), on="sb")
+        .select(
+            "sa", "sb", "n_inter", "na", "nb",
+            F.expr(
+                "n_inter * 1000000 DIV (na + nb - n_inter)"
+            ).alias("jaccard_ppm"),
+        )
     )

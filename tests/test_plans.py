@@ -1161,6 +1161,11 @@ SHUFFLE_BUDGET = {
     # q447: the persisted per-customer agg (reprinted per consumer)
     # + rank-median window + the 1-row band rollup
     "q447_middle_band_share": 4,
+    "q448_mad_outliers": 21,
+    "q449_llr_collocations": 4,
+    "q450_ngram_overlap_decay": 15,
+    "q451_split_balance_audit": 4,
+    "q452_vocab_overlap_matrix": 4,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -1434,6 +1439,14 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
                 "q444_lorenz_asymmetry", "q445_hoover_index",
                 # q447: 1-row median broadcast onto the accounts
                 "q447_middle_band_share",
+                # q448: 1-row median/MAD broadcasts onto the scan
+                "q448_mad_outliers",
+                # q449: 1-row bigram-total broadcast onto the vocab join
+                "q449_llr_collocations",
+                # q450: 1-row eval-gram-count broadcasts per n
+                "q450_ngram_overlap_decay",
+                # q451: 1-row grand-total broadcast onto 15 cells
+                "q451_split_balance_audit",
                 # q409: the model-space weekly pair theta-join +
                 # 1-row S/tie combines
                 "q409_mann_kendall"}
