@@ -740,3 +740,30 @@ def test_streaming_page_hinkley_matches_batch(spark, sf_dir, tmp_path):
     ).collect()[0]
     assert streamed.asDict() == batch.asDict()
     assert streamed.n_days > 1
+
+
+def test_index_epochs_uses_hadoop_fs(spark, tmp_path):
+    """ADVICE r3 (medium): epoch discovery must go through the Hadoop
+    FileSystem API so non-local index paths work; a missing dir is the
+    legitimate first-batch case ([]), anything else enumerates only
+    epoch=* subdirs, and the batch readers raise an explicit
+    'no epochs yet' instead of a confusing zero-path read."""
+    import pytest
+
+    from chemharmony_spark.streaming.windows import (
+        _index_epochs,
+        _read_index_epochs,
+    )
+
+    assert _index_epochs(spark, str(tmp_path / "missing")) == []
+    d = tmp_path / "idx"
+    (d / "epoch=0").mkdir(parents=True)
+    (d / "epoch=1").mkdir()
+    (d / "_spark_metadata").mkdir()
+    eps = _index_epochs(spark, str(d))
+    assert [e.rsplit("/", 1)[-1] for e in eps] == ["epoch=0", "epoch=1"]
+    # explicit file:/ URI resolves through the same FS API
+    eps_uri = _index_epochs(spark, "file://" + str(d))
+    assert [e.rsplit("/", 1)[-1] for e in eps_uri] == ["epoch=0", "epoch=1"]
+    with pytest.raises(ValueError, match="no epochs yet"):
+        _read_index_epochs(spark, str(tmp_path / "missing"), "HLL")
