@@ -530,6 +530,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q450_ngram_overlap_decay": Q.q450_ngram_overlap_decay,
         "q451_split_balance_audit": Q.q451_split_balance_audit,
         "q452_vocab_overlap_matrix": Q.q452_vocab_overlap_matrix,
+        "q453_int8_quantization_audit": Q.q453_int8_quantization_audit,
+        "q454_knn_hubness": Q.q454_knn_hubness,
     }
 
 
@@ -15362,5 +15364,67 @@ def oracle_sql() -> dict[str, str]:
             FROM inter
             JOIN sizes x ON x.source = sa
             JOIN sizes y ON y.source = sb
+        """,
+        "q453_int8_quantization_audit": """
+            WITH e AS (SELECT vec_id,
+                              list_transform(embedding, x -> x::DOUBLE) AS v
+                       FROM embeddings),
+            w AS (
+              SELECT vec_id, v,
+                     list_reduce(list_transform(v, x -> abs(x)),
+                                 (a, b) -> greatest(a, b)) AS m
+              FROM e),
+            s AS (
+              SELECT vec_id,
+                     m / 127.0 AS scale,
+                     list_reduce(list_transform(v,
+                       x -> (x - floor(x / (m / 127.0) + 0.5)
+                                 * (m / 127.0))
+                            * (x - floor(x / (m / 127.0) + 0.5)
+                                   * (m / 127.0))),
+                       (a, b) -> a + b) AS sse,
+                     list_reduce(list_transform(v,
+                       x -> abs(x - floor(x / (m / 127.0) + 0.5)
+                                    * (m / 127.0))),
+                       (a, b) -> greatest(a, b)) AS maxe
+              FROM w WHERE m > 0)
+            SELECT vec_id,
+                   CAST(floor(scale * 1000000000) AS BIGINT) AS scale_nano,
+                   CAST(floor(sse * 1000000000) AS BIGINT) AS sse_nano,
+                   CAST(floor(maxe * 1000000000) AS BIGINT)
+                     AS max_err_nano
+            FROM s
+        """,
+        "q454_knn_hubness": """
+            WITH e AS (SELECT vec_id,
+                              list_transform(embedding, x -> x::DOUBLE) AS v
+                       FROM embeddings),
+            s AS (
+              SELECT a.vec_id AS src, b.vec_id AS dst,
+                     CAST(floor(
+                       list_reduce(list_transform(list_zip(a.v, b.v),
+                                                   x -> x[1] * x[2]),
+                                   (p, q) -> p + q)
+                       / (sqrt(list_reduce(list_transform(a.v, x -> x * x),
+                                           (p, q) -> p + q))
+                          * sqrt(list_reduce(list_transform(b.v,
+                                                            x -> x * x),
+                                             (p, q) -> p + q)))
+                       * 1000000) AS BIGINT) AS sim_micro
+              FROM e a JOIN e b ON a.vec_id != b.vec_id),
+            top5 AS (
+              SELECT src, dst FROM (
+                SELECT src, dst,
+                       ROW_NUMBER() OVER (PARTITION BY src
+                         ORDER BY sim_micro DESC, dst) AS rk
+                FROM s)
+              WHERE rk <= 5),
+            indeg AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS in_deg
+                      FROM top5 GROUP BY 1),
+            alln AS (
+              SELECT e.vec_id, COALESCE(i.in_deg, 0) AS in_deg
+              FROM e LEFT JOIN indeg i ON i.dst = e.vec_id)
+            SELECT in_deg, CAST(COUNT(*) AS BIGINT) AS n_nodes
+            FROM alln GROUP BY 1
         """,
     }

@@ -21320,3 +21320,76 @@ def q452_vocab_overlap_matrix(spark, sf):
             ).alias("jaccard_ppm"),
         )
     )
+
+
+def q453_int8_quantization_audit(spark, sf):
+    """Per-vector symmetric int8 quantization audit: scale = max|x|/127,
+    q_i = floor(x_i/scale + 0.5) (round-half-up, engine-portable — no
+    banker's-rounding dependence), and the reconstruction error of
+    dequantize(q)*scale — the audit a vector store runs before deciding
+    int8 is safe for its embeddings (32-bit -> 8-bit is 4x memory and
+    memory-bandwidth on the ANN hot path). SSE and max-abs error fold
+    per vector in one fixed IEEE sequence and nano-floor to integers.
+
+    Shape: pure map over the embedding scan — zero shuffles beyond the
+    final ordering; at 100 TB this is scan-speed."""
+    emb = _t(spark, sf, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).withColumn(
+        "m",
+        F.aggregate(
+            "v", F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x))
+        ),
+    ).where(F.col("m") > 0)
+    scale = F.col("m") / 127.0
+    q = lambda x: F.floor(x / scale + 0.5)  # noqa: E731
+    err = lambda x: x - q(x) * scale  # noqa: E731
+    sse = F.aggregate(
+        "v", F.lit(0.0), lambda a, x: a + err(x) * err(x)
+    )
+    maxe = F.aggregate(
+        "v", F.lit(0.0), lambda a, x: F.greatest(a, F.abs(err(x)))
+    )
+    return base.select(
+        "vec_id",
+        F.floor(scale * 1000000000).cast("long").alias("scale_nano"),
+        F.floor(sse * 1000000000).cast("long").alias("sse_nano"),
+        F.floor(maxe * 1000000000).cast("long").alias("max_err_nano"),
+    )
+
+
+def q454_knn_hubness(spark, sf):
+    """k-NN graph hubness profile: build the exact top-5 cosine
+    neighbor graph and report the IN-degree histogram — the standard
+    diagnostic for the hubness pathology of high-dimensional embedding
+    spaces (a few points appear in everyone's neighbor list; retrieval
+    quality and dedup recall both degrade). Pairs come from the q46
+    triangle-block all-pairs operator (no cartesian node; |block|^2
+    work spread over B(B+1)/2 tasks); ranking keys are micro-floored
+    with a neighbor-id tiebreak so both engines pick identical top-5
+    sets; 0-in-degree nodes are kept via a left join from the node set.
+
+    At 100 TB the same audit runs on the ANN candidate graph (IVF/LSH)
+    instead of the exact one — the histogram shape is the diagnostic,
+    and the plan (pair stream -> per-src top-k window -> in-degree agg)
+    is unchanged."""
+    emb = _t(spark, sf, "embeddings")
+    pairs = SIM.all_pairs_cosine(emb, threshold=-1.0)
+    directed = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "sim"
+    ).unionByName(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"), "sim")
+    )
+    sm = directed.withColumn(
+        "sim_micro", F.floor(F.col("sim") * 1000000).cast("long")
+    )
+    w = Window.partitionBy("src").orderBy(F.col("sim_micro").desc(), "dst")
+    top5 = sm.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 5)
+    indeg = top5.groupBy("dst").agg(F.count(F.lit(1)).alias("in_deg"))
+    nodes = emb.select(F.col("vec_id").alias("dst"))
+    full = nodes.join(indeg, on="dst", how="left").select(
+        F.coalesce("in_deg", F.lit(0)).alias("in_deg")
+    )
+    return full.groupBy("in_deg").agg(F.count(F.lit(1)).alias("n_nodes"))

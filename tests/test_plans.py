@@ -1166,6 +1166,8 @@ SHUFFLE_BUDGET = {
     "q450_ngram_overlap_decay": 15,
     "q451_split_balance_audit": 4,
     "q452_vocab_overlap_matrix": 4,
+    "q453_int8_quantization_audit": 0,
+    "q454_knn_hubness": 8,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
