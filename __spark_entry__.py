@@ -532,6 +532,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q452_vocab_overlap_matrix": Q.q452_vocab_overlap_matrix,
         "q453_int8_quantization_audit": Q.q453_int8_quantization_audit,
         "q454_knn_hubness": Q.q454_knn_hubness,
+        # rows-only (no oracle): MLlib k-means|| codebook is not
+        # SQL-replayable; numeric bound asserted in tests instead
+        "q455_pq_distortion_audit": Q.q455_pq_distortion_audit,
     }
 
 

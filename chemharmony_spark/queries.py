@@ -21393,3 +21393,78 @@ def q454_knn_hubness(spark, sf):
         F.coalesce("in_deg", F.lit(0)).alias("in_deg")
     )
     return full.groupBy("in_deg").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+def q455_pq_distortion_audit(spark, sf):
+    """Product-quantization distortion audit: train the PQ codebook
+    (operators/similarity.pq_compress — 8 subspaces x 16 codes over the
+    64-dim embeddings, 32x compression), reconstruct every vector, and
+    report per-subspace reconstruction SSE plus the share of vectors
+    whose sub-code is each subspace's modal code (codebook balance —
+    a collapsed subspace means wasted bits). NO DuckDB oracle: the
+    codebook comes from MLlib KMeans (k-means|| init is not
+    SQL-replayable), so the driver records the rows-only check; the
+    numeric contract is asserted in tests/test_similarity.py's
+    reconstruction-error bound instead.
+
+    Shape: training is 8 subspace fits over sub-vector projections;
+    assignment/reconstruction are broadcast-codebook joins; the audit
+    rollup is 8 rows."""
+    from chemharmony_spark.operators.similarity import (
+        pq_compress,
+        pq_reconstruct,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    codes, codebook = pq_compress(emb, n_subspaces=8, n_codes=16, dims=64)
+    codes = _registered_persist(codes)
+    sub_len = 8
+    recon = pq_reconstruct(codes, codebook)
+    joined = emb.select(
+        F.col("vec_id").alias("id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).join(recon, on="id")
+    per_sub = joined.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("subspace"),
+                    F.aggregate(
+                        F.zip_with(
+                            F.slice("v", s * sub_len + 1, sub_len),
+                            F.slice("approx", s * sub_len + 1, sub_len),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("sse"),
+                )
+                for s in range(8)
+            ])
+        ).alias("e"),
+    ).select("id", F.col("e.subspace").alias("subspace"),
+             F.col("e.sse").alias("sse"))
+    code_use = (
+        codes.select(F.posexplode("codes").alias("subspace", "code"))
+        .groupBy("subspace", "code")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("subspace")
+        .agg(
+            F.max("n").alias("modal_n"),
+            F.sum("n").alias("n_vec"),
+            F.count(F.lit(1)).alias("codes_used"),
+        )
+    )
+    sse_sub = per_sub.groupBy("subspace").agg(
+        F.floor(F.sum(F.floor(F.col("sse") * 1_000_000_000)) / 1000)
+        .cast("long")
+        .alias("sse_micro_total"),
+    )
+    return (
+        sse_sub.join(code_use, on="subspace")
+        .select(
+            "subspace", "sse_micro_total", "codes_used",
+            F.expr("modal_n * 1000000 DIV n_vec").alias("modal_share_ppm"),
+        )
+    )

@@ -1168,6 +1168,7 @@ SHUFFLE_BUDGET = {
     "q452_vocab_overlap_matrix": 4,
     "q453_int8_quantization_audit": 0,
     "q454_knn_hubness": 8,
+    "q455_pq_distortion_audit": 11,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
