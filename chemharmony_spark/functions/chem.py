@@ -64,15 +64,19 @@ def smiles_to_inchi(smiles: pd.Series) -> pd.Series:
 
 def with_derived_column_deduped(
     df: DataFrame, src_col: str, out_col: str, udf_col: Column,
-    broadcast: bool = True, universe: DataFrame | None = None,
+    broadcast: bool | None = None, universe: DataFrame | None = None,
 ) -> DataFrame:
     """Apply an expensive scalar UDF over *distinct* inputs, then join back.
 
-    reference idiom: 80_harmonize.py:72-73. Pass ``broadcast=False`` when the
-    distinct input set is itself fact-scale (e.g. 1e8+ distinct structures) —
-    a forced broadcast hint at that size OOMs the executors; without the hint
-    Catalyst/AQE picks a shuffled join and can still broadcast if the map
-    turns out small at runtime.
+    reference idiom: 80_harmonize.py:72-73. ``broadcast`` controls the
+    join-back hint on the mapping side: ``None`` (default) size-gates it —
+    the hint is attached only when Catalyst estimates the mapping under
+    autoBroadcastJoinThreshold (hints.size_gated_broadcast), else the join
+    is left unhinted and AQE decides from runtime statistics. This matters
+    because the distinct input set GROWS WITH THE DATA (1e8+ distinct
+    structures at 100×) — a forced hint at that size OOMs the executors.
+    ``True`` forces the hint (only for provably-bounded inputs);
+    ``False`` never hints.
 
     ``universe``: optional cheaper frame to harvest the distinct inputs
     from. The mapping side re-executes its input plan from scratch (it is
@@ -86,11 +90,15 @@ def with_derived_column_deduped(
     activities scan — inchi is untouched by rekey/distinct — measured
     ~2x on harmonize_e2e at sf0.1).
     """
+    from chemharmony_spark.hints import size_gated_broadcast
+
     mapping = (
         (universe if universe is not None else df)
         .select(src_col).where(F.col(src_col).isNotNull()).distinct()
         .withColumn(out_col, udf_col)
     )
-    if broadcast:
+    if broadcast is None:
+        mapping = size_gated_broadcast(mapping)
+    elif broadcast:
         mapping = F.broadcast(mapping)
     return df.join(mapping, on=src_col, how="left")

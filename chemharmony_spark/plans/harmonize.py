@@ -18,9 +18,16 @@ Dataflow (per 80_harmonize.py):
 
 Scale design: the two re-key joins shuffle activities on (source, sid) then
 (source, pid). The id maps are dimension-sized relative to activities
-(1e6/1e3 vs 1e7+ rows) -> broadcast them, turning both joins into map-side
-hash joins with zero shuffle of the fact table. At 100 TB, if the substance
-map outgrows broadcast, pre-bucket both sides by sid instead.
+(1e6/1e3 vs 1e7+ rows) but their cardinality GROWS WITH THE DATA
+(substances >1e6 at reference production scale, 80_harmonize.py:96 —
+multi-GB at 100×), so the broadcast is size-gated, never forced:
+``rekey_strategy='auto'`` attaches a hint only when Catalyst's plan
+estimate clears autoBroadcastJoinThreshold (hints.size_gated_broadcast),
+else leaves the join unhinted for AQE to pick from runtime statistics;
+``rekey_strategy='bucket'`` is the explicit 100×-scale path — shuffle-hash
+joins with the map as build side, no sort, no broadcast build at all. At
+rest, writing staging bucketed by (source, sid) (writers.write_parquet
+bucket_by) removes even the map-side exchange.
 """
 
 from __future__ import annotations
@@ -32,6 +39,7 @@ from pyspark.sql import functions as F
 
 from chemharmony_spark.functions.chem import inchi_to_smiles, with_derived_column_deduped
 from chemharmony_spark.functions.ids import surrogate_aid
+from chemharmony_spark.hints import size_gated_broadcast
 from chemharmony_spark.functions.json_payload import canonicalize_json_udf
 from chemharmony_spark.sources.readers import read_staging_glob
 
@@ -66,6 +74,7 @@ def harmonize(
     check_invariants: bool = True,
     min_rows: tuple[int, int, int] = (0, 0, 0),
     early_activity_distinct: bool = False,
+    rekey_strategy: str = "auto",
 ) -> HarmonizeResult:
     """Run the harmonize plan; returns the three brick DataFrames (lazy,
     unless ``scratch_dir`` is given — then dims are checkpointed like the
@@ -73,7 +82,17 @@ def harmonize(
 
     ``min_rows``: (substances, properties, activities) floors — the
     reference's production values are (1e6, 1e3, 1e7) (80:96-98).
+
+    ``rekey_strategy``: how the (source, sid/pid) -> global-id re-key joins
+    execute. ``'auto'`` (default): size-gated broadcast hint — attached only
+    when Catalyst estimates the map under autoBroadcastJoinThreshold, else
+    unhinted (AQE decides from runtime stats). ``'bucket'``: the pre-bucket
+    path for corpora whose id maps outgrow broadcast — shuffle-hash joins
+    with the map as build side (no sort, no broadcast build); pair with
+    staging written bucketed by (source, sid) to drop the map-side exchange.
     """
+    if rekey_strategy not in ("auto", "bucket"):
+        raise ValueError(f"rekey_strategy must be 'auto' or 'bucket', got {rekey_strategy!r}")
     props = _harmonize_dim(
         spark, f"{staging_root}/*/properties.parquet", sources, "pid", "newpid"
     )
@@ -117,11 +136,20 @@ def harmonize(
     # re-key: local (source, sid/pid) -> global md5 ids (80:76-78).
     sid_map = subs.select("source", F.col("sid").alias("__localsid"), "newsid").distinct()
     pid_map = props.select("source", F.col("pid").alias("__localpid"), "newpid").distinct()
+    if rekey_strategy == "bucket":
+        # pre-bucket path: both joins are shuffle-hash with the map as the
+        # build side — no sort of the fact table, no broadcast build, works
+        # at any map cardinality. Staging written bucketed by (source, sid)
+        # removes the map-side exchange entirely.
+        sid_map, pid_map = sid_map.hint("shuffle_hash"), pid_map.hint("shuffle_hash")
+    else:  # 'auto': hint only if Catalyst's estimate clears the threshold
+        sid_map = size_gated_broadcast(sid_map)
+        pid_map = size_gated_broadcast(pid_map)
     acts = (
         acts.withColumnRenamed("sid", "__localsid")
         .withColumnRenamed("pid", "__localpid")
-        .join(F.broadcast(sid_map), on=["source", "__localsid"], how="inner")
-        .join(F.broadcast(pid_map), on=["source", "__localpid"], how="inner")
+        .join(sid_map, on=["source", "__localsid"], how="inner")
+        .join(pid_map, on=["source", "__localpid"], how="inner")
         .drop("__localsid", "__localpid")
         .withColumnRenamed("newsid", "sid")
         .withColumnRenamed("newpid", "pid")

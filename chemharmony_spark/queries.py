@@ -23,6 +23,7 @@ from pyspark.sql.window import Window
 
 from chemharmony_spark.functions.ids import group_id
 from chemharmony_spark.cache import registered_persist as _registered_persist
+from chemharmony_spark.hints import size_gated_broadcast
 from chemharmony_spark.operators import dedup as DD
 from chemharmony_spark.operators import multimodal as MM
 from chemharmony_spark.operators import similarity as SIM
@@ -107,7 +108,7 @@ def q02_top_orders(spark, sf):
     disc = F.lit(1).cast("decimal(8,4)") - F.col("l_discount").cast("decimal(8,4)")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(size_gated_broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(F.sum(_d("l_extendedprice") * disc).cast("double").alias("revenue"))
         .select(
@@ -131,8 +132,8 @@ def q03_region_revenue(spark, sf):
     disc = F.lit(1).cast("decimal(8,4)") - F.col("l_discount").cast("decimal(8,4)")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+        .join(size_gated_broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(size_gated_broadcast(cust.select("c_custkey", "c_nationkey")),
               (orders.o_custkey == F.col("c_custkey"))
               & (supp.s_nationkey == F.col("c_nationkey")))
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
@@ -309,7 +310,7 @@ def q20_grid_negatives(spark, sf):
     cust = _t(spark, sf, "customer")
     nation = _t(spark, sf, "nation")
     observed = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(size_gated_broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name", "o_orderstatus")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -568,9 +569,11 @@ def q41_harmonize_shape(spark, sf):
             .otherwise("negative").alias("value"),
         )
         .distinct()
-        .join(F.broadcast(cust.select("c_custkey", "sid")),
+        # size-gated, not forced: the id maps scale with the data (the
+        # harmonize re-key posture — see plans/harmonize.py docstring)
+        .join(size_gated_broadcast(cust.select("c_custkey", "sid")),
               F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(part.select("p_partkey", "pid")),
+        .join(size_gated_broadcast(part.select("p_partkey", "pid")),
               F.col("l_partkey") == F.col("p_partkey"))
         .select(
             "sid", "pid", "value",
@@ -784,7 +787,7 @@ def q53_grouped_topk(spark, sf):
     nat = _t(spark, sf, "nation").select("n_nationkey", "n_name")
     orders = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
     with_nation = orders.join(
-        F.broadcast(cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)),
+        size_gated_broadcast(cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)),
         orders.o_custkey == F.col("c_custkey"),
     )
     top = grouped_topk(
@@ -3249,7 +3252,7 @@ def q131_weighted_median(spark, sf):
 
     li = _t(spark, sf, "lineitem")
     part = _t(spark, sf, "part").select("p_partkey", "p_brand")
-    fact = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+    fact = li.join(size_gated_broadcast(part), li.l_partkey == part.p_partkey).select(
         "p_brand",
         F.col("l_extendedprice").alias("v"),
         F.col("l_quantity").cast("long").alias("wt"),
@@ -4025,7 +4028,7 @@ def q148_hhi_concentration(spark, sf):
     nat = _t(spark, sf, "nation").select("n_nationkey", "n_name")
     orders = _t(spark, sf, "orders").select("o_custkey", "o_totalprice")
     per_cust = (
-        orders.join(F.broadcast(cust),
+        orders.join(size_gated_broadcast(cust),
                     orders.o_custkey == cust.c_custkey)
         .groupBy("c_nationkey", "c_custkey")
         .agg(
@@ -4148,7 +4151,7 @@ def q151_topk_with_others(spark, sf):
     cust = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
     nat = _t(spark, sf, "nation").select("n_nationkey", "n_name")
     per_nation = (
-        orders.join(F.broadcast(cust),
+        orders.join(size_gated_broadcast(cust),
                     orders.o_custkey == cust.c_custkey)
         .groupBy("c_nationkey")
         .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("rev"))
@@ -5527,7 +5530,7 @@ def q184_mann_whitney(spark, sf):
     )
     orders = _t(spark, sf, "orders")
     obs = orders.join(
-        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        size_gated_broadcast(cust), orders.o_custkey == cust.c_custkey
     ).select(
         "g",
         (F.col("o_totalprice").cast(DEC) * 100).cast("long").alias("cents"),
@@ -6962,7 +6965,7 @@ def q213_quantile_shift(spark, sf):
     ).select("c_custkey", F.col("c_mktsegment").alias("seg"))
     orders = _t(spark, sf, "orders")
     obs = orders.join(
-        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        size_gated_broadcast(cust), orders.o_custkey == cust.c_custkey
     ).select(
         "seg",
         (F.col("o_totalprice").cast(DEC) * 100).cast("long").alias("cents"),
@@ -7899,10 +7902,13 @@ def q233_spearman(spark, sf):
     """Spearman rank correlation between customer account balance and
     lifetime spend: rho = 1 - 6*sum(d^2)/(n(n^2-1)) over keyed-tiebreak
     ranks — the monotone-association companion to q216's Pearson (rho
-    sees nonlinear-but-monotone structure Pearson dilutes). Both rank
-    windows ride the customer-dimension table (q26's salted two-phase
-    rank at 100x); d^2 sums stay decimal(38,0) and ONE divide closes
-    the formula."""
+    sees nonlinear-but-monotone structure Pearson dilutes). Both ranks
+    are CORE.global_row_number with order-monotone buckets (balance
+    cents DIV 20k after a +1e5 shift; spend cents DIV 2^22 —
+    per-customer spend is SF-invariant, so the fixed granularity stays
+    balanced at any scale): no unpartitioned ranked window touches the
+    customer-scale frame. d^2 sums stay decimal(38,0) and ONE divide
+    closes the formula."""
     cust = _t(spark, sf, "customer").select(
         "c_custkey",
         (F.col("c_acctbal").cast(DEC) * 100).cast("long").alias("bal"),
@@ -7912,15 +7918,22 @@ def q233_spearman(spark, sf):
         F.sum(F.col("o_totalprice").cast(DEC) * 100)
         .cast("long").alias("sp")
     )
+    # persisted: both ranks (and each rank's offsets branch) read the
+    # joined frame — without the cache the spend agg would execute 4x
     x = cust.join(spend, cust.c_custkey == spend.o_custkey).select(
         "c_custkey", "bal", "sp"
-    )
-    rx = Window.orderBy("bal", "c_custkey")
-    ry = Window.orderBy("sp", "c_custkey")
-    ranked = x.select(
-        F.row_number().over(rx).cast("long").alias("r1"),
-        F.row_number().over(ry).cast("long").alias("r2"),
-    )
+    ).transform(_registered_persist)
+    ranked = CORE.global_row_number(
+        CORE.global_row_number(
+            x, ["bal", "c_custkey"],
+            bucket=F.floor((F.col("bal") + F.lit(100_000)) / F.lit(20_000)),
+            out="r1",
+        ),
+        ["sp", "c_custkey"],
+        bucket=F.floor(F.col("sp") / F.lit(1 << 22)),
+        out="r2",
+    ).select(F.col("r1").cast("long").alias("r1"),
+             F.col("r2").cast("long").alias("r2"))
     D38 = "decimal(38,0)"
     s = ranked.agg(
         F.count(F.lit(1)).alias("n"),
@@ -16092,7 +16105,7 @@ def q373_kruskal_wallis(spark, sf):
     cust = _t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
     orders = _t(spark, sf, "orders")
     obs = orders.join(
-        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        size_gated_broadcast(cust), orders.o_custkey == cust.c_custkey
     ).select(
         "c_mktsegment",
         (_d("o_totalprice") * 100).cast("long").alias("cents"),
@@ -16176,7 +16189,7 @@ def q374_bh_fdr(spark, sf):
     orders = _t(spark, sf, "orders")
     per = (
         orders.join(
-            F.broadcast(cust), orders.o_custkey == cust.c_custkey
+            size_gated_broadcast(cust), orders.o_custkey == cust.c_custkey
         )
         .groupBy("c_nationkey")
         .agg(
@@ -16313,7 +16326,7 @@ def q376_bradley_terry(spark, sf):
     supp = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
     per = (
         li.join(
-            F.broadcast(supp), li.l_suppkey == supp.s_suppkey
+            size_gated_broadcast(supp), li.l_suppkey == supp.s_suppkey
         )
         .groupBy("l_orderkey", "s_nationkey")
         .agg(
@@ -16547,7 +16560,7 @@ def q379_brown_forsythe(spark, sf):
     orders = _t(spark, sf, "orders")
     obs = registered_persist(
         orders.join(
-            F.broadcast(cust), orders.o_custkey == cust.c_custkey
+            size_gated_broadcast(cust), orders.o_custkey == cust.c_custkey
         ).select(
             "c_mktsegment",
             (_d("o_totalprice") * 100).cast("long").alias("cents"),
@@ -16626,7 +16639,7 @@ def q380_fairness_gaps(spark, sf):
     cust = _t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
     orders = _t(spark, sf, "orders")
     obs = orders.join(
-        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        size_gated_broadcast(cust), orders.o_custkey == cust.c_custkey
     ).select(
         "c_mktsegment",
         (_d("o_totalprice") * 100).cast("long").alias("cents"),
@@ -16823,7 +16836,7 @@ def q383_cliffs_delta(spark, sf):
     )
     orders = _t(spark, sf, "orders")
     obs = orders.join(
-        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        size_gated_broadcast(cust), orders.o_custkey == cust.c_custkey
     ).select(
         "g",
         (_d("o_totalprice") * 100).cast("long").alias("cents"),
@@ -17234,7 +17247,7 @@ def q388_price_elasticity(spark, sf):
     li = _t(spark, sf, "lineitem")
     part = _t(spark, sf, "part").select("p_partkey", "p_brand")
     base = li.join(
-        F.broadcast(part), li.l_partkey == part.p_partkey
+        size_gated_broadcast(part), li.l_partkey == part.p_partkey
     ).select(
         "p_brand",
         F.log(
@@ -17739,7 +17752,7 @@ def q397_permutation_test(spark, sf):
     )
     orders = _t(spark, sf, "orders")
     obs = orders.join(
-        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        size_gated_broadcast(cust), orders.o_custkey == cust.c_custkey
     ).select(
         "g",
         "o_custkey",
@@ -18040,7 +18053,7 @@ def q402_mcc(spark, sf):
     cust = _t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
     orders = _t(spark, sf, "orders")
     obs = orders.join(
-        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        size_gated_broadcast(cust), orders.o_custkey == cust.c_custkey
     ).select(
         "c_mktsegment",
         (_d("o_totalprice") * 100).cast("long").alias("cents"),
@@ -18171,7 +18184,7 @@ def q404_friedman_test(spark, sf):
     orders = _t(spark, sf, "orders")
     cell = (
         orders.join(
-            F.broadcast(cust), orders.o_custkey == cust.c_custkey
+            size_gated_broadcast(cust), orders.o_custkey == cust.c_custkey
         )
         .select(
             F.date_format("o_orderdate", "yyyy-MM").alias("m"),
@@ -18248,7 +18261,7 @@ def q405_ipf_raking_step(spark, sf):
     orders = _t(spark, sf, "orders")
     cells = registered_persist(
         orders.join(
-            F.broadcast(cust), orders.o_custkey == cust.c_custkey
+            size_gated_broadcast(cust), orders.o_custkey == cust.c_custkey
         )
         .groupBy("c_mktsegment", "o_orderpriority")
         .agg(F.count(F.lit(1)).alias("o"))
@@ -18471,7 +18484,7 @@ def q408_two_way_anova(spark, sf):
     D38 = "decimal(38,0)"
     cells = registered_persist(
         orders.join(
-            F.broadcast(cust), orders.o_custkey == cust.c_custkey
+            size_gated_broadcast(cust), orders.o_custkey == cust.c_custkey
         )
         .select(
             F.col("c_mktsegment").alias("seg"),
@@ -18932,7 +18945,7 @@ def q414_mood_scale(spark, sf):
     )
     orders = _t(spark, sf, "orders")
     obs = orders.join(
-        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        size_gated_broadcast(cust), orders.o_custkey == cust.c_custkey
     ).select(
         "g", (_d("o_totalprice") * 100).cast("long").alias("cents")
     )
@@ -19321,7 +19334,7 @@ def q420_holm_bonferroni(spark, sf):
     orders = _t(spark, sf, "orders")
     per = (
         orders.join(
-            F.broadcast(cust), orders.o_custkey == cust.c_custkey
+            size_gated_broadcast(cust), orders.o_custkey == cust.c_custkey
         )
         .groupBy("c_nationkey")
         .agg(
@@ -19870,7 +19883,7 @@ def q428_by_fdr(spark, sf):
     orders = _t(spark, sf, "orders")
     per = (
         orders.join(
-            F.broadcast(cust), orders.o_custkey == cust.c_custkey
+            size_gated_broadcast(cust), orders.o_custkey == cust.c_custkey
         )
         .groupBy("c_nationkey")
         .agg(
@@ -20109,7 +20122,7 @@ def q431_distribution_overlap(spark, sf):
     )
     orders = _t(spark, sf, "orders")
     obs = orders.join(
-        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        size_gated_broadcast(cust), orders.o_custkey == cust.c_custkey
     ).select(
         "g", (_d("o_totalprice") * 100).cast("long").alias("cents")
     )
@@ -20176,7 +20189,7 @@ def q432_meta_fixed_effect(spark, sf):
     orders = _t(spark, sf, "orders")
     per = registered_persist(
         orders.join(
-            F.broadcast(cust), orders.o_custkey == cust.c_custkey
+            size_gated_broadcast(cust), orders.o_custkey == cust.c_custkey
         )
         .groupBy("c_mktsegment")
         .agg(
@@ -20723,7 +20736,7 @@ def q440_interorder_burstiness(spark, sf):
     D38 = "decimal(38,0)"
     per = (
         gaps.join(
-            F.broadcast(cust),
+            size_gated_broadcast(cust),
             gaps.o_custkey == cust.c_custkey,
         )
         .groupBy("c_mktsegment")
@@ -20802,7 +20815,7 @@ def q442_median_polish(spark, sf):
     orders = _t(spark, sf, "orders")
     cells = registered_persist(
         orders.join(
-            F.broadcast(cust), orders.o_custkey == cust.c_custkey
+            size_gated_broadcast(cust), orders.o_custkey == cust.c_custkey
         )
         .groupBy("c_mktsegment", "o_orderpriority")
         .agg(
