@@ -15345,7 +15345,8 @@ def oracle_sql() -> dict[str, str]:
                     FROM cells GROUP BY 1),
             tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM cells)
             SELECT split, priority, n,
-                   abs(n * nn - n_s * n_p) * 1000000 // (n_s * n_p)
+                   CAST(abs(CAST(n AS HUGEINT) * nn - CAST(n_s AS HUGEINT) * n_p)
+                        * 1000000 // (CAST(n_s AS HUGEINT) * n_p) AS BIGINT)
                      AS dev_ppm
             FROM cells JOIN ns USING (split) JOIN np_ USING (priority), tot
         """,

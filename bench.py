@@ -123,8 +123,10 @@ def main() -> None:
                 qs[name](spark, sf_dir).count()
                 dt = time.time() - t0
                 best = dt if best is None else min(best, dt)
+                # record inside the loop: if run 2 dies, run 1's valid
+                # timing survives (reported alongside the error)
+                timings[name] = round(best, 3)
                 release_caches()  # bound cache residency across runs
-            timings[name] = round(best, 3)
         except Exception as e:  # one bad query must never zero the whole run
             errors[name] = f"{type(e).__name__}: {e}"[:300]
         finally:
@@ -141,11 +143,11 @@ def main() -> None:
             res = harmonize(spark, staging_root, sources)
             n_acts = res.activities.count()
             dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
             assert n_acts > 0
+            best = dt if best is None else min(best, dt)
+            timings["harmonize_e2e"] = round(best, 3)  # survives a run-2 failure
             res.unpersist()
             release_caches()
-        timings["harmonize_e2e"] = round(best, 3)
     except Exception as e:
         errors["harmonize_e2e"] = f"{type(e).__name__}: {e}"[:300]
 

@@ -618,6 +618,7 @@ def global_row_number(
     order_cols: Sequence[str | Column],
     bucket: Column,
     out: str = "rn",
+    validate: bool = False,
 ) -> DataFrame:
     """Global total-order row_number WITHOUT an unpartitioned ranked
     window (the canonical one-task funnel at 100 TB). Same bucketed
@@ -636,12 +637,35 @@ def global_row_number(
 
     The offsets frame has one row per bucket (an aggregation, never
     row-scale), so its cumulative window and the join-back broadcast
-    are bounded by the bucket count, not the corpus."""
+    are bounded by the bucket count, not the corpus.
+
+    ``validate=True`` runs one bucket-count-scale action checking the
+    contract the result silently depends on: per-bucket [min, max]
+    ranges of the LEADING order key must not overlap across buckets in
+    bucket order (assumes ``bucket`` is a function of ``order_cols[0]``,
+    which every in-repo caller satisfies); a non-monotone bucket raises
+    instead of silently producing wrong global ranks. Debug-priced —
+    one extra aggregation over ``df`` — so off by default."""
     order = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     w_intra = Window.partitionBy("__rn_b").orderBy(*order)
     run = df.withColumn("__rn_b", bucket).withColumn(
         "__rn_i", F.row_number().over(w_intra).cast("long")
     )
+    if validate:
+        spans = (
+            run.groupBy("__rn_b")
+            .agg(F.min(order[0]).alias("lo"), F.max(order[0]).alias("hi"))
+            .orderBy("__rn_b")
+            .collect()
+        )
+        for prev, cur in zip(spans, spans[1:]):
+            if prev.hi is None or cur.lo is None or prev.hi >= cur.lo:
+                raise ValueError(
+                    "global_row_number: bucket is not order-monotone — "
+                    f"bucket {prev['__rn_b']} spans up to {prev.hi!r} but "
+                    f"bucket {cur['__rn_b']} starts at {cur.lo!r}; ranks "
+                    "would interleave across buckets"
+                )
     w_off = (
         Window.orderBy("__rn_b")
         .rowsBetween(Window.unboundedPreceding, -1)

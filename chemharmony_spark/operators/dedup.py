@@ -142,7 +142,9 @@ def jaccard_pairs(df: DataFrame, candidates: DataFrame, id_col: str,
     the adaptive threshold), so the hint buys nothing the optimizer
     doesn't already do; ``broadcast_docs=True`` forces the hint for
     callers that KNOW the doc universe is bounded (e.g. an already
-    limited candidate id set).
+    limited candidate id set). NOTE: the default flipped True -> False
+    in round 4 — external callers relying on the old forced hint now
+    get the AQE-decided join (same results, safer plan).
 
     Tokens are pre-hashed to 64-bit longs (``xxhash64`` — one JVM hash
     per token; the md5-hex + base-conversion this replaced cost ~1.6x
@@ -173,9 +175,8 @@ def jaccard_pairs(df: DataFrame, candidates: DataFrame, id_col: str,
     # used as a higher-order-function argument
     hcol = (lambda w: F.xxhash64(w)) if hash_tokens else (lambda w: w)
     # persisted (registry-released, cache.release_caches): the token
-    # build (normalize + shingle + per-token md5) feeds BOTH broadcast
-    # sides; without the cache each side's BroadcastExchange re-derives
-    # it from the scan
+    # build (normalize + shingle + per-token xxhash64) feeds BOTH join
+    # sides; without the cache each side re-derives it from the scan
     toks = registered_persist(
         df.select(
             F.col(id_col).alias("id"),

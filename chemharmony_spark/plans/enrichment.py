@@ -35,6 +35,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from chemharmony_spark.sources.readers import read_parquet_cache_if_exists
+
 # closed category list, mirroring the *role* of the reference's
 # src/resources/property_categories.txt (values are engine-specific)
 DEFAULT_CATEGORIES = (
@@ -118,12 +120,10 @@ def assign_categories(
     category whitelisting, and the parquet cache all wrap it. The default
     ``fake_category_client`` keeps the pipeline deterministic offline.
     """
-    try:
-        cache = spark.read.parquet(cache_path)
-        have_cache = True
-    except Exception:  # first run: no cache yet
-        cache = None
-        have_cache = False
+    # missing path = first run; real IO errors raise (never silently
+    # re-bill the whole cache — see read_parquet_cache_if_exists)
+    cache = read_parquet_cache_if_exists(spark, cache_path)
+    have_cache = cache is not None
 
     props = properties.select("pid", "data").distinct()
     misses = (
@@ -162,7 +162,7 @@ def assign_categories(
     table = full.join(props.select("pid"), on="pid", how="left_semi")
     return EnrichmentResult(
         table=table,
-        n_cache_hits=len(props.collect()) - len(miss_rows) if have_cache else 0,
+        n_cache_hits=props.count() - len(miss_rows) if have_cache else 0,
         n_model_calls=len(miss_rows),
     )
 
@@ -196,12 +196,8 @@ def assign_titles(
     ``(prompt, taken_titles) -> title`` callable; swap in a real API call
     and the cache/uniqueness/retry machinery is unchanged.
     """
-    try:
-        cache = spark.read.parquet(cache_path)
-        have_cache = True
-    except Exception:
-        cache = None
-        have_cache = False
+    cache = read_parquet_cache_if_exists(spark, cache_path)
+    have_cache = cache is not None
 
     props = properties.select("pid", "data").distinct()
     taken: set[str] = set()

@@ -45,6 +45,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from chemharmony_spark.sources.readers import read_parquet_cache_if_exists
+
 MIN_DISTANCE = 3  # reference helper/magentic_label.py:12
 
 
@@ -121,12 +123,10 @@ def magentic_labels(
     Levenshtein >= MIN_DISTANCE from every other — the reference's global
     invariant (:42-48), here also enforced against the cache across runs.
     """
-    try:
-        cache = spark.read.parquet(cache_path)
-        have_cache = True
-    except Exception:  # first run
-        cache = None
-        have_cache = False
+    # missing path = first run; real IO errors raise (never silently
+    # re-bill the labeling corpus — see read_parquet_cache_if_exists)
+    cache = read_parquet_cache_if_exists(spark, cache_path)
+    have_cache = cache is not None
 
     props = properties.select("pid", "data").distinct()
     if have_cache:

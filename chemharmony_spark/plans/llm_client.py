@@ -81,7 +81,9 @@ class HttpChatClient:
     messages shape (content[0].text)."""
 
     url: str
-    api_key: str = ""
+    # repr=False: the auto-generated dataclass repr would otherwise leak
+    # the bearer key into tracebacks/logs that print the client
+    api_key: str = field(default="", repr=False)
     model: str = "gpt-4"
     system: Optional[str] = None
     temperature: float = 0.0

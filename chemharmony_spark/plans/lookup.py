@@ -14,6 +14,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from chemharmony_spark.sources.readers import read_parquet_cache_if_exists
+
 
 def cached_lookup(
     spark: SparkSession,
@@ -30,12 +32,14 @@ def cached_lookup(
     calls (matching the reference's 0.3 s PUG throttle, 07:24) and appended
     to the cache."""
     wanted = keys.select(key_col).where(keys[key_col].isNotNull()).distinct()
-    try:
-        cache = spark.read.parquet(cache_path)
-        misses = wanted.join(cache.select(key_col), on=key_col, how="left_anti")
-    except Exception:
-        cache = None
-        misses = wanted
+    # missing path = first run; real IO errors raise (never silently
+    # re-fetch the whole cache — see read_parquet_cache_if_exists)
+    cache = read_parquet_cache_if_exists(spark, cache_path)
+    misses = (
+        wanted.join(cache.select(key_col), on=key_col, how="left_anti")
+        if cache is not None
+        else wanted
+    )
 
     miss_keys = sorted(r[key_col] for r in misses.collect())
     rows = []

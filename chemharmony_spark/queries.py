@@ -21285,8 +21285,14 @@ def q451_split_balance_audit(spark, sf):
         .crossJoin(F.broadcast(tot))
         .select(
             "split", "priority", "n",
+            # operands cast to decimal(38,0) BEFORE the multiplies: at
+            # 1e8+ orders n*nn*1e6 exceeds int64, where Spark (non-ANSI)
+            # wraps silently while DuckDB raises — D38 keeps both exact
+            # (q205/q216/q423 pattern); DIV of decimals returns BIGINT
             F.expr(
-                "abs(n * nn - n_s * n_p) * 1000000 DIV (n_s * n_p)"
+                "abs(CAST(n AS DECIMAL(38,0)) * CAST(nn AS DECIMAL(38,0))"
+                " - CAST(n_s AS DECIMAL(38,0)) * CAST(n_p AS DECIMAL(38,0)))"
+                " * 1000000 DIV (CAST(n_s AS DECIMAL(38,0)) * CAST(n_p AS DECIMAL(38,0)))"
             ).alias("dev_ppm"),
         )
     )

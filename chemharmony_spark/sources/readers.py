@@ -22,6 +22,23 @@ def read_parquet(spark: SparkSession, path: str, schema: StructType | None = Non
     return r.parquet(path)
 
 
+def read_parquet_cache_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
+    """Cache-read discipline for the enrichment/lookup/labeler caches: a
+    MISSING path is the legitimate 'no cache yet' first run -> ``None``;
+    every other failure (transient object-store/HDFS error, corrupt footer)
+    RAISES instead of silently pretending the cache is empty — for the LLM
+    category cache that silent fallback would re-fetch (and re-bill) the
+    entire ~52k-call corpus (reference dvc.lock:328-332). Existence goes
+    through the Hadoop FileSystem API so it is correct on s3a://, hdfs://
+    and file:/ alike (same pattern as streaming/windows._index_epochs)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return None
+    return spark.read.parquet(path)
+
+
 def read_staging_glob(spark: SparkSession, glob: str, sources: Sequence[str]) -> DataFrame:
     """S2: recursive glob scan + provenance column derived from the file path.
 

@@ -368,3 +368,40 @@ def test_enrichment_qa_checks(spark):
     assert check_titles_unique(titles).ok
     bad = titles.union(spark.createDataFrame([("p3", "t1", "{}")], titles.schema))
     assert not check_titles_unique(bad).ok
+
+
+def test_cache_reads_distinguish_missing_from_broken(spark, tmp_path):
+    """VERDICT r4 task 2: a MISSING cache path is the legitimate first
+    run (empty-cache behavior); a BROKEN cache (corrupt file where the
+    path exists) must RAISE, not silently re-fetch the whole corpus —
+    re-billing a ~52k-entry LLM cache on a transient IO error is the
+    production failure this guards."""
+    import pytest
+
+    from chemharmony_spark.plans.enrichment import assign_categories, assign_titles
+    from chemharmony_spark.plans.labeler import magentic_labels
+    from chemharmony_spark.plans.lookup import cached_lookup
+    from chemharmony_spark.sources.readers import read_parquet_cache_if_exists
+
+    # missing -> None (no exception), all four consumers take the
+    # first-run path (exercised by test_enrichment_cache_and_anti_join)
+    assert read_parquet_cache_if_exists(spark, str(tmp_path / "nope")) is None
+
+    # corrupt-on-disk -> raise from every consumer
+    broken = tmp_path / "broken_cache"
+    broken.mkdir()
+    (broken / "part-00000.parquet").write_bytes(b"this is not parquet")
+    props = spark.createDataFrame(
+        [("p1", '{"assay":"a1"}')], "pid string, data string"
+    )
+    with pytest.raises(Exception, match="(?i)parquet|footer|magic"):
+        read_parquet_cache_if_exists(spark, str(broken)).collect()
+    with pytest.raises(Exception, match="(?i)parquet|footer|magic"):
+        assign_categories(spark, props, str(broken))
+    with pytest.raises(Exception, match="(?i)parquet|footer|magic"):
+        assign_titles(spark, props, str(broken))
+    with pytest.raises(Exception, match="(?i)parquet|footer|magic"):
+        magentic_labels(spark, props, str(broken))
+    keys = spark.createDataFrame([("k1",)], "key string")
+    with pytest.raises(Exception, match="(?i)parquet|footer|magic"):
+        cached_lookup(spark, keys, str(broken), fetch=lambda k: "v")

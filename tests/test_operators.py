@@ -376,6 +376,26 @@ def test_global_row_number_matches_plain_window(spark, sf_dir):
     assert bad == 0
 
 
+def test_global_row_number_validate_rejects_non_monotone_bucket(spark):
+    """validate=True (ADVICE r4): a bucket that interleaves order-key
+    ranges (v % 3 is NOT a function of a prefix of the order) must fail
+    loudly instead of silently producing wrong global ranks; a monotone
+    bucket passes validation and still matches the plain ranking."""
+    import pytest
+
+    from chemharmony_spark.operators.core import global_row_number
+
+    ids = spark.range(0, 300).select(F.col("id").alias("v"))
+    with pytest.raises(ValueError, match="not order-monotone"):
+        global_row_number(
+            ids, ["v"], bucket=F.expr("v % 3"), validate=True
+        ).count()
+    ok = global_row_number(
+        ids, ["v"], bucket=F.expr("v DIV 64"), validate=True
+    )
+    assert ok.where(F.col("rn") != F.col("v") + 1).count() == 0
+
+
 def test_assign_cells_join_fallback_handles_duplicate_ids(spark):
     """The large-codebook broadcast fallback must assign per ROW (not
     per id): duplicate ids with different vectors land in different
