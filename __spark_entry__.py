@@ -532,8 +532,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q452_vocab_overlap_matrix": Q.q452_vocab_overlap_matrix,
         "q453_int8_quantization_audit": Q.q453_int8_quantization_audit,
         "q454_knn_hubness": Q.q454_knn_hubness,
-        # rows-only (no oracle): MLlib k-means|| codebook is not
-        # SQL-replayable; numeric bound asserted in tests instead
         "q455_pq_distortion_audit": Q.q455_pq_distortion_audit,
     }
 
@@ -907,6 +905,84 @@ def _stationary_sql(iters: int = 8) -> str:
     return (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT s AS event_type, d_ppm AS stationary_ppm FROM d{iters}"
+    )
+
+
+def _pq_oracle(dims=64, n_subspaces=8, n_codes=16, iters=2, quant=1 << 20):
+    """Mirror similarity.pq_compress(trainer='lloyd') + the q455 audit in
+    DuckDB: md5-sampled seeds, per-iteration (argmin by squared-L2 fold
+    with (d2, code) tie-break; integer-quantized exact mean update),
+    final assignment d2 doubles as the per-subspace reconstruction SSE
+    (identical IEEE fold to the Spark zip_with over reconstructed
+    slices)."""
+    sub_len = dims // n_subspaces
+    qd = repr(float(quant))
+    dist = ("list_reduce(list_transform(list_zip(t.sub, c.cent), "
+            "p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b)")
+
+    def arms(src, out):
+        return " UNION ALL ".join(
+            f"SELECT vec_id, {s} AS subspace,"
+            f" (v)[{s * sub_len + 1}:{(s + 1) * sub_len}] AS {out} FROM {src}"
+            for s in range(n_subspaces)
+        )
+
+    def assign(cb):
+        return (
+            f"SELECT vec_id, subspace, sub, code, d2 FROM ("
+            f" SELECT t.vec_id, t.subspace, t.sub, c.code, {dist} AS d2,"
+            f" ROW_NUMBER() OVER (PARTITION BY t.vec_id, t.subspace"
+            f" ORDER BY {dist}, c.code) AS rn"
+            f" FROM subs t JOIN {cb} c ON t.subspace = c.subspace)"
+            f" WHERE rn = 1"
+        )
+
+    sums = ", ".join(
+        f"SUM(CAST(trunc(sub[{i + 1}] * {qd}) AS BIGINT)) AS s{i}"
+        for i in range(sub_len)
+    )
+    comps = ", ".join(
+        f"CAST(s{i} AS DOUBLE) / n / {qd}" for i in range(sub_len)
+    )
+    ctes = [
+        "e AS MATERIALIZED (SELECT vec_id,"
+        " list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)",
+        f"sd AS (SELECT vec_id, v FROM e"
+        f" ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {n_codes})",
+        f"subs AS MATERIALIZED ({arms('e', 'sub')})",
+        f"c0 AS (SELECT subspace, CAST(vec_id AS INT) AS code,"
+        f" sub AS cent FROM ({arms('sd', 'sub')}))",
+    ]
+    for it in range(1, iters + 1):
+        ctes.append(f"a{it} AS ({assign(f'c{it - 1}')})")
+        ctes.append(
+            f"u{it} AS (SELECT subspace, code, COUNT(*) AS n, {sums}"
+            f" FROM a{it} GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"c{it} AS (SELECT subspace, code, [{comps}] AS cent FROM u{it})"
+        )
+    ctes.append(f"af AS MATERIALIZED ({assign(f'c{iters}')})")
+    ctes.append(
+        "sse AS (SELECT subspace,"
+        " CAST(floor(CAST(CAST(SUM(CAST(floor(d2 * 1000000000.0) AS BIGINT))"
+        " AS BIGINT) AS DOUBLE) / 1000) AS BIGINT) AS sse_micro_total"
+        " FROM af GROUP BY 1)"
+    )
+    ctes.append(
+        "use_ AS (SELECT subspace, code, CAST(COUNT(*) AS BIGINT) AS cnt"
+        " FROM af GROUP BY 1, 2)"
+    )
+    ctes.append(
+        "cu AS (SELECT subspace, MAX(cnt) AS modal_n,"
+        " CAST(SUM(cnt) AS BIGINT) AS n_vec,"
+        " CAST(COUNT(*) AS BIGINT) AS codes_used FROM use_ GROUP BY 1)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT subspace, sse_micro_total, codes_used,"
+          " CAST(modal_n * 1000000 // n_vec AS BIGINT) AS modal_share_ppm"
+          " FROM sse JOIN cu USING (subspace)"
     )
 
 
@@ -15431,4 +15507,5 @@ def oracle_sql() -> dict[str, str]:
             SELECT in_deg, CAST(COUNT(*) AS BIGINT) AS n_nodes
             FROM alln GROUP BY 1
         """,
+        "q455_pq_distortion_audit": _pq_oracle(),
     }

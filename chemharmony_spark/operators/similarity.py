@@ -157,6 +157,9 @@ def pq_compress(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    trainer: str = "lloyd",
+    iters: int = 2,
+    quant: int = 1 << 20,
 ) -> tuple[DataFrame, DataFrame]:
     """Product quantization (Jégou et al. 2011, TPAMI — public paper):
     split each vector into ``n_subspaces`` contiguous sub-vectors, k-means
@@ -165,33 +168,30 @@ def pq_compress(
     embeddings the codebook (n_subspaces x n_codes x dims/n_subspaces
     floats) broadcasts everywhere while the corpus carries only codes.
 
+    ``trainer='lloyd'`` (default) trains all subspaces simultaneously with
+    the same deterministic integer-quantized Lloyd arithmetic as
+    :func:`lloyd_kmeans` (md5-sampled seeds, quantized exact component
+    sums, (d2, code) argmin tie-break) — every step is replayable in ANSI
+    SQL, which is what makes q455's DuckDB oracle possible; codes are the
+    seed vector ids, not dense 0..k-1, and empty cells drop out, so the
+    codebook may hold fewer than n_subspaces x n_codes rows.
+    ``trainer='mllib'`` keeps the pyspark.ml KMeans (k-means|| init) path
+    — typically a hair better distortion, NOT SQL-replayable.
+
     Returns (codes_df[id, codes array<int>], codebook_df[subspace, code,
     centroid array<double>]). Assignment is a broadcast cross-join of each
     sub-vector against its subspace's centroids — argmin via the same
     sorted-struct trick the engine uses for langid. Reconstruction error
-    is bounded in tests/test_similarity.py.
+    is bounded in tests/test_similarity.py. Training cost at 100 TB: the
+    lloyd path is 1 + iters full-corpus passes with a k x dims-bounded
+    shuffle each (train on a sample and pass the codebook to assign-only
+    flows when even that is too much).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     sub_len = dims // n_subspaces
     spark = corpus.sparkSession
     base = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    cb_rows = []
-    for s in range(n_subspaces):
-        sub = base.select(
-            array_to_vector(
-                F.slice(_as_double(F.col("v")), s * sub_len + 1, sub_len)
-            ).alias("features")
-        )
-        model = KMeans(k=n_codes, seed=seed + s, featuresCol="features").fit(sub)
-        for c, center in enumerate(model.clusterCenters()):
-            cb_rows.append((s, c, [float(x) for x in center]))
-    codebook = spark.createDataFrame(
-        cb_rows, "subspace int, code int, centroid array<double>"
-    )
 
-    # assign: explode subspaces, broadcast-join the codebook, pick argmin
+    # (id, subspace, sub-vector) — shared by lloyd training and assignment
     subs = base.select(
         "id",
         F.explode(
@@ -211,12 +211,92 @@ def pq_compress(
         lambda acc, x: acc + x,
     )
     w = Window.partitionBy("id", "subspace").orderBy(F.col("d2"), F.col("code"))
-    assigned = (
-        subs.join(F.broadcast(codebook), on="subspace")
-        .withColumn("d2", dist2)
-        .withColumn("r", F.row_number().over(w))
-        .where(F.col("r") == 1)
-    )
+
+    def _cb_df(cents: dict[int, list[tuple[int, list[float]]]]) -> DataFrame:
+        return spark.createDataFrame(
+            [(s, c, cent) for s in range(n_subspaces) for c, cent in cents[s]],
+            "subspace int, code int, centroid array<double>",
+        )
+
+    def _assign(cb: DataFrame) -> DataFrame:
+        return (
+            subs.join(F.broadcast(cb), on="subspace")
+            .withColumn("d2", dist2)
+            .withColumn("r", F.row_number().over(w))
+            .where(F.col("r") == 1)
+        )
+
+    if trainer == "mllib":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        cb_rows = []
+        for s in range(n_subspaces):
+            sub = base.select(
+                array_to_vector(
+                    F.slice(_as_double(F.col("v")), s * sub_len + 1, sub_len)
+                ).alias("features")
+            )
+            model = KMeans(k=n_codes, seed=seed + s, featuresCol="features").fit(sub)
+            for c, center in enumerate(model.clusterCenters()):
+                cb_rows.append((s, c, [float(x) for x in center]))
+        codebook = spark.createDataFrame(
+            cb_rows, "subspace int, code int, centroid array<double>"
+        )
+    elif trainer == "lloyd":
+        # seeds: the n_codes smallest-md5(id) corpus vectors, sliced per
+        # subspace on the driver (ONE TakeOrdered job for all subspaces)
+        seed_rows = (
+            base.select(
+                "id", _as_double(F.col("v")).alias("vd"),
+                F.md5(F.col("id").cast("string")).alias("h"),
+            )
+            .orderBy("h").limit(n_codes).collect()
+        )
+        cents = {
+            s: sorted(
+                (int(r.id),
+                 [float(x) for x in r.vd[s * sub_len:(s + 1) * sub_len]])
+                for r in seed_rows
+            )
+            for s in range(n_subspaces)
+        }
+        qd = float(quant)
+        for _ in range(iters):
+            # one corpus pass updates EVERY subspace: assignment keyed by
+            # (subspace, code), quantized component sums collapse to at
+            # most n_subspaces x n_codes x sub_len rows before collect —
+            # the lloyd_kmeans arithmetic exactly (truncate-toward-zero
+            # quantization, double(sum)/n/quant means)
+            qi = F.transform(
+                F.col("sub"), lambda x: (x * F.lit(qd)).cast("long")
+            )
+            rows = (
+                _assign(_cb_df(cents))
+                .select("subspace", "code", F.posexplode(qi).alias("pos", "qv"))
+                .groupBy("subspace", "code", "pos")
+                .agg(F.sum("qv").alias("sq"), F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            acc: dict[tuple[int, int], list] = {}
+            for r in rows:
+                a = acc.setdefault(
+                    (int(r["subspace"]), int(r["code"])), [0] * (sub_len + 1)
+                )
+                a[r["pos"]] = r["sq"]
+                a[sub_len] = r["n"]
+            cents = {
+                s: sorted(
+                    (c, [float(a[i]) / a[sub_len] / qd for i in range(sub_len)])
+                    for (ss, c), a in acc.items() if ss == s
+                )
+                for s in range(n_subspaces)
+            }
+        codebook = _cb_df(cents)
+    else:
+        raise ValueError(f"trainer must be 'lloyd' or 'mllib', got {trainer!r}")
+
+    assigned = _assign(codebook)
     codes = assigned.groupBy("id").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("subspace", "code"))),

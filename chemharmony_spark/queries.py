@@ -21420,11 +21420,13 @@ def q455_pq_distortion_audit(spark, sf):
     64-dim embeddings, 32x compression), reconstruct every vector, and
     report per-subspace reconstruction SSE plus the share of vectors
     whose sub-code is each subspace's modal code (codebook balance —
-    a collapsed subspace means wasted bits). NO DuckDB oracle: the
-    codebook comes from MLlib KMeans (k-means|| init is not
-    SQL-replayable), so the driver records the rows-only check; the
-    numeric contract is asserted in tests/test_similarity.py's
-    reconstruction-error bound instead.
+    a collapsed subspace means wasted bits). The codebook is the
+    deterministic integer-quantized Lloyd trainer (pq_compress
+    trainer='lloyd' — the q115 arithmetic), so the ENTIRE
+    train->compress->reconstruct->audit flow is replayed by the DuckDB
+    oracle (__spark_entry__._pq_oracle) and hash-checked; the
+    reconstruction-error bound is additionally asserted in
+    tests/test_similarity.py.
 
     Shape: training is 8 subspace fits over sub-vector projections;
     assignment/reconstruction are broadcast-codebook joins; the audit
