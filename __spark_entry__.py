@@ -1465,7 +1465,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT p, list_transform(range(64), d ->
                        ((({_HEXV.format(c="substr(md5('p' || p || ':' || d), 1, 1)")})
                          % 2) * 2 - 1)::DOUBLE) AS coefs
-              FROM (SELECT unnest(range(16)) AS p)),
+              FROM (SELECT unnest(range(64)) AS p)),
             sigs AS (
               SELECT vec_id, p // 4 AS tbl,
                      string_agg(CASE WHEN dotp >= 0 THEN '1' ELSE '0' END,
@@ -1706,13 +1706,13 @@ def oracle_sql() -> dict[str, str]:
                 SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
                                              ORDER BY csim DESC, cell_id) AS crank
                 FROM csims)
-              WHERE crank <= 2),
+              WHERE crank <= 3),
             query_cells AS (
               SELECT vec_id AS query_id, cell_id FROM (
                 SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
                                              ORDER BY csim DESC, cell_id) AS crank
                 FROM csims WHERE vec_id < 10)
-              WHERE crank <= 3),
+              WHERE crank <= 6),
             cand AS (
               SELECT DISTINCT query_id, neighbor_id
               FROM corpus_cells JOIN query_cells USING (cell_id)

@@ -766,8 +766,45 @@ def kmeans_centroids(corpus: DataFrame, n_cells: int = 16, seed: int = 42,
     return spark.createDataFrame(rows, "cell_id int, centroid array<double>")
 
 
+# ANN defaults, tuned to >=0.8 recall@5 on the sf0.01 fixture (the full
+# recall-vs-cost grid is in SCALE.md §"ANN recall vs candidate cost"):
+# LSH 4 planes x 16 tables -> 0.85; IVF probe=6/assign=3 -> 0.92.
+LSH_N_PLANES = 4
+LSH_N_TABLES = 16
+IVF_N_PROBE = 6
+IVF_CORPUS_ASSIGN = 3
+
+
+def lsh_params_for_recall(target_recall: float = 0.85,
+                          n_planes: int = LSH_N_PLANES,
+                          assumed_sim: float = 0.45,
+                          safety: float = 1.5) -> tuple[int, int]:
+    """Derive (n_planes, n_tables) for a target recall from the standard
+    random-hyperplane collision model (Charikar 2002, STOC — public):
+    P(two vectors at cosine s share one plane's sign) = 1 - arccos(s)/pi,
+    so P(same bucket in one b-plane table) = p^b and recall over L
+    independent tables is 1 - (1 - p^b)^L. ``assumed_sim`` is the design
+    point (the weakest neighbor you still want found); ``safety``
+    multiplies L because real neighbor-similarity distributions have a
+    tail below the design point (x1.5 reproduces the measured sf0.01
+    grid: the formula alone says L=10 for 0.85 @ s=0.45, measurement
+    needed 16). Pick n_planes from corpus size first
+    (~log2(N / target_bucket_rows)); tables then buy recall at linear
+    candidate cost."""
+    import math
+
+    p = 1.0 - math.acos(assumed_sim) / math.pi
+    p_table = p ** n_planes
+    if not 0 < target_recall < 1 or p_table <= 0:
+        raise ValueError("need 0 < target_recall < 1 and a hit probability")
+    tables = math.ceil(safety * math.log(1 - target_recall)
+                       / math.log(1 - p_table))
+    return n_planes, max(1, tables)
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
-             n_cells: int = 16, n_probe: int = 3, corpus_assign: int = 1,
+             n_cells: int = 16, n_probe: int = IVF_N_PROBE,
+             corpus_assign: int = IVF_CORPUS_ASSIGN,
              centroids: DataFrame | None = None,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """IVF-flat approximate top-k: partition the corpus into inverted-file
@@ -783,10 +820,12 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     ``corpus_assign`` > 1 replicates each corpus vector into its R nearest
     cells (multi-assignment): recall rises sharply for R× storage while
     per-query probe cost stays proportional to n_probe·R/n_cells of the
-    corpus. Measured on the sf0.01 embeddings with trained centroids
-    (k=5, n_cells=16): R=1/probe=3 -> 0.61 recall, R=2/probe=3 -> 0.77,
-    R=2/probe=5 -> 0.90. The dedup below already collapses a pair found
-    via two shared cells.
+    corpus. Measured recall@5 on the sf0.01 embeddings (n_cells=16,
+    sampled centroids): R=1/probe=3 -> 0.49, R=2/probe=5 -> 0.77,
+    R=3/probe=6 -> 0.92 (the tuned default); trained centroids
+    (``centroids=kmeans_centroids(...)`` or :func:`lloyd_kmeans`) reach
+    0.90 already at R=2/probe=5. Full grid in SCALE.md. The dedup below
+    already collapses a pair found via two shared cells.
     """
     if centroids is None:
         centroids = _sampled_centroids(corpus, n_cells, id_col, vec_col)
@@ -838,11 +877,15 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
 
 def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
-                    n_planes: int = 4, n_tables: int = 4, dims: int = 64,
+                    n_planes: int = LSH_N_PLANES, n_tables: int = LSH_N_TABLES,
+                    dims: int = 64,
                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Approximate top-k: compare only vectors sharing a query's LSH bucket
     in ANY of ``n_tables`` independent hash tables (standard L-tables LSH —
-    more tables buy recall with linear extra candidate cost).
+    more tables buy recall with linear extra candidate cost). Defaults are
+    tuned to 0.85 recall@5 on the sf0.01 fixture (was 4x4 = 0.38 before
+    round 5); size them for other corpora with
+    :func:`lsh_params_for_recall` + the SCALE.md grid.
 
     At scale the table buckets become partition keys (write the corpus
     partitioned by (table, bucket) once; every query then touches L
