@@ -950,7 +950,7 @@ def _pq_oracle(dims=64, n_subspaces=8, n_codes=16, iters=2, quant=1 << 20):
         f"sd AS (SELECT vec_id, v FROM e"
         f" ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {n_codes})",
         f"subs AS MATERIALIZED ({arms('e', 'sub')})",
-        f"c0 AS (SELECT subspace, CAST(vec_id AS INT) AS code,"
+        f"c0 AS (SELECT subspace, CAST(vec_id AS BIGINT) AS code,"
         f" sub AS cent FROM ({arms('sd', 'sub')}))",
     ]
     for it in range(1, iters + 1):

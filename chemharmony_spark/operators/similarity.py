@@ -178,8 +178,10 @@ def pq_compress(
     ``trainer='mllib'`` keeps the pyspark.ml KMeans (k-means|| init) path
     — typically a hair better distortion, NOT SQL-replayable.
 
-    Returns (codes_df[id, codes array<int>], codebook_df[subspace, code,
-    centroid array<double>]). Assignment is a broadcast cross-join of each
+    Returns (codes_df[id, codes array<bigint>], codebook_df[subspace, code,
+    centroid array<double>]) — codes are bigint because lloyd codes are
+    seed CORPUS IDS (an int32 code column overflowed on the 8x soak's
+    offset replica ids). Assignment is a broadcast cross-join of each
     sub-vector against its subspace's centroids — argmin via the same
     sorted-struct trick the engine uses for langid. Reconstruction error
     is bounded in tests/test_similarity.py. Training cost at 100 TB: the
@@ -215,7 +217,7 @@ def pq_compress(
     def _cb_df(cents: dict[int, list[tuple[int, list[float]]]]) -> DataFrame:
         return spark.createDataFrame(
             [(s, c, cent) for s in range(n_subspaces) for c, cent in cents[s]],
-            "subspace int, code int, centroid array<double>",
+            "subspace int, code bigint, centroid array<double>",
         )
 
     def _assign(cb: DataFrame) -> DataFrame:
@@ -241,7 +243,7 @@ def pq_compress(
             for c, center in enumerate(model.clusterCenters()):
                 cb_rows.append((s, c, [float(x) for x in center]))
         codebook = spark.createDataFrame(
-            cb_rows, "subspace int, code int, centroid array<double>"
+            cb_rows, "subspace int, code bigint, centroid array<double>"
         )
     elif trainer == "lloyd":
         # seeds: the n_codes smallest-md5(id) corpus vectors, sliced per

@@ -79,18 +79,22 @@ def test_harmonize_auto_rekey_hints_small_maps(spark, staging_fixture):
 
 def test_harmonize_bucket_strategy_matches_auto(spark, staging_fixture, tiny_threshold):
     """The pre-bucket path: no broadcast hint in the analyzed plan, no
-    BroadcastHashJoin for the re-key joins in the executed plan (they run
-    as shuffle-hash), and the brick is row-identical to the auto path."""
+    BroadcastHashJoin for the re-key joins in the physical plan (they run
+    as shuffle-hash), and the brick is row-identical to the auto path.
+    Cache cleared first and the plan read PRE-execution: a cached subtree
+    left by another test otherwise substitutes into the plan
+    (TableCacheQueryStage) and hides the join operators."""
+    spark.catalog.clearCache()
     bucket = harmonize(spark, staging_fixture, SOURCES, check_invariants=False,
                        rekey_strategy="bucket")
     assert "broadcast" not in str(
         bucket.activities._jdf.queryExecution().analyzed().toString()
     ).lower()
+    physical = bucket.activities._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in physical
     rows_b = sorted(map(tuple, bucket.activities.collect()))
     auto = harmonize(spark, staging_fixture, SOURCES, check_invariants=False)
     assert rows_b == sorted(map(tuple, auto.activities.collect()))
-    physical = bucket.activities._jdf.queryExecution().executedPlan().toString()
-    assert "ShuffledHashJoin" in physical
 
 
 def test_harmonize_rejects_unknown_strategy(spark, staging_fixture):

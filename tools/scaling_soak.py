@@ -74,6 +74,17 @@ QUERIES = [
     "q312_fellegi_sunter",     # r4: bucketed md5-order rank + half-shift
     "q350_threshold_percolation",  # PPJoin -> CC at 3 thresholds
     "q434_rake_keywords",      # r4: TakeOrdered top-10 (was global rank)
+    # round-4 additions (r4 verdict task 4: no soak rows existed)
+    "q448_mad_outliers",       # grouped percentile selectors x2 passes
+    "q449_llr_collocations",   # bigram agg + margin joins
+    "q450_ngram_overlap_decay",  # n-gram explode + eval-dim broadcast
+    "q451_split_balance_audit",  # cell agg + margin re-aggs
+    "q452_vocab_overlap_matrix",  # token-keyed source-pair join
+    "q453_int8_quantization_audit",  # scan-stage arithmetic only
+    "q454_knn_hubness",        # DECLARED-quadratic exact top-5 feed
+    "q455_pq_distortion_audit",  # lloyd train + assign + audit
+    "q258_mutual_nearest_neighbors",  # DECLARED-quadratic exact kNN graph
+    "q310_hard_negative_mining",  # DECLARED-quadratic exact pairs
     # q265_weighted_jaccard is soaked from SOAK_SRC=sf0.01: its cost is
     # verified-pairs x an O(L) map merge, and the sf0.1 near-dup corpus
     # has 7M verified pairs (~2 min single-node base) — linearity is the
