@@ -27,7 +27,9 @@ else leaves the join unhinted for AQE to pick from runtime statistics;
 ``rekey_strategy='bucket'`` is the explicit 100×-scale path — shuffle-hash
 joins with the map as build side, no sort, no broadcast build at all. At
 rest, writing staging bucketed by (source, sid) (writers.write_parquet
-bucket_by) removes even the map-side exchange.
+bucket_by) removes even the map-side exchange — proven zero-Exchange on
+the exact composite-key re-key shape in
+tests/test_bucketing.py::test_harmonize_rekey_shape_cobucketed_composite_key.
 """
 
 from __future__ import annotations

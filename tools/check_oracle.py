@@ -93,6 +93,13 @@ def _run_sharded(names: list[str], sf: str, jobs: int) -> int:
                 n_pass += ln.startswith("pass ")
                 n_fail += ln.startswith("FAIL ")
                 n_weak += ln.startswith("weak ")
+    # a crashed shard (OOM, JVM death) must not silently shrink the gate:
+    # every requested query needs exactly one result line
+    missing = len(names) - (n_pass + n_fail + n_weak)
+    if missing:
+        print(f"FAIL  <sharding>: {missing} queries produced no result "
+              f"(a shard died — rerun with --jobs 1 to localize)")
+        n_fail += missing
     print(f"\n{n_pass} pass, {n_weak} rows-only, {n_fail} fail")
     return 1 if n_fail else 0
 
