@@ -34,6 +34,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from chemharmony_spark.hints import size_gated_broadcast
+
 from chemharmony_spark.functions.chem import smiles_to_inchi, with_derived_column_deduped
 from chemharmony_spark.functions.ids import content_id, group_id
 from chemharmony_spark.operators.core import (
@@ -419,13 +421,13 @@ def integrate_relational(
     )
     labeled = (
         pod.where(F.lower(F.col("pod_type")) == pod_type)
-        .join(F.broadcast(studies), on="study_id")
+        .join(size_gated_broadcast(studies), on="study_id")
         .withColumn(
             "value",
             F.when(F.col("dose_level") < F.col("max_dose_level"), "positive")
             .otherwise("negative"),
         )
-        .join(F.broadcast(chemical), on="chemical_id")
+        .join(size_gated_broadcast(chemical), on="chemical_id")
     )
     subs = (
         labeled.select("dsstox_substance_id", "casrn", "preferred_name")

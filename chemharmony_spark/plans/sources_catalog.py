@@ -27,6 +27,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from chemharmony_spark.hints import size_gated_broadcast
+
 from chemharmony_spark.functions.chem import (
     smiles_to_inchi,
     with_derived_column_deduped,
@@ -85,7 +87,7 @@ def _build_toxvaldb(spark, t):
         (F.col("toxval_numeric_qualifier") == "=") & (F.col("qa_status") == 1)
     )
     raw = raw.join(
-        F.broadcast(t["comptox"].select("dtxsid", "inchi").distinct()),
+        size_gated_broadcast(t["comptox"].select("dtxsid", "inchi").distinct()),
         on="dtxsid",
     ).where(F.col("inchi").isNotNull())
     return integrate_measurements(
@@ -270,7 +272,7 @@ def _build_toxcast(spark, t):
     (:46-47); inchi from comptox (:14-16)."""
     tox = t["invitrodb"].withColumnRenamed("dsstox_substance_id", "dtxsid")
     tox = tox.join(
-        F.broadcast(t["comptox"].select("dtxsid", "inchi").distinct()),
+        size_gated_broadcast(t["comptox"].select("dtxsid", "inchi").distinct()),
         on="dtxsid",
     )
     tox = tox.where(F.col("hitc") != -1)
@@ -480,7 +482,7 @@ def _build_ice(spark, t):
     for p in parts[1:]:
         iceb = iceb.unionByName(p, allowMissingColumns=True)
     iceb = iceb.withColumnRenamed("DTXSID", "dtxsid").join(
-        F.broadcast(t["comptox"].select("dtxsid", "inchi").distinct()),
+        size_gated_broadcast(t["comptox"].select("dtxsid", "inchi").distinct()),
         on="dtxsid",
     ).where(F.col("inchi").isNotNull())
     keyed = (
@@ -546,7 +548,7 @@ def _build_ctdbase(spark, t):
     for p in parts[1:]:
         ixns = ixns.unionByName(p)
     chem = t["chemicals"].where(F.col("inchi").isNotNull())
-    joined = ixns.join(F.broadcast(chem), on="ChemicalID")
+    joined = ixns.join(size_gated_broadcast(chem), on="ChemicalID")
     keyed = (
         joined.withColumn("sid", F.md5(F.col("inchi")))
         .withColumn("pid", F.md5(F.concat_ws("|", *CTD_PROPERTY_COLS)))
