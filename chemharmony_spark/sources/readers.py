@@ -55,7 +55,20 @@ def read_staging_glob(spark: SparkSession, glob: str, sources: Sequence[str]) ->
     source_col = F.try_element_at(
         F.filter(segs, lambda s: F.array_contains(src_array, s)), F.lit(-1)
     )
-    return spark.read.parquet(glob).withColumn("source", source_col)
+    # expand the glob through the Hadoop FileSystem FIRST (works on s3a://,
+    # hdfs://, file:/): passing the literal pattern to spark.read makes
+    # FileStreamSink probe "<dir>/*/x.parquet" for streaming metadata and
+    # WARN-log a full FileNotFoundException stack per table — noise that
+    # buried real errors in the bench/driver logs. An empty expansion is a
+    # misconfigured staging root; fail with the pattern, not a Spark stack.
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(glob)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    statuses = fs.globStatus(p)
+    paths = [st.getPath().toString() for st in statuses] if statuses else []
+    if not paths:
+        raise FileNotFoundError(f"staging glob matched no files: {glob}")
+    return spark.read.parquet(*paths).withColumn("source", source_col)
 
 
 def read_tsv(spark: SparkSession, path: str, header: bool = True) -> DataFrame:
