@@ -659,7 +659,10 @@ def global_row_number(
             .collect()
         )
         for prev, cur in zip(spans, spans[1:]):
-            if prev.hi is None or cur.lo is None or prev.hi >= cur.lo:
+            # an all-NULL span is the NULLS-FIRST bucket (NULL order keys
+            # bucket to NULL under any function-of-the-key); only
+            # non-NULL range overlaps indicate a broken bucket
+            if prev.hi is not None and cur.lo is not None and prev.hi >= cur.lo:
                 raise ValueError(
                     "global_row_number: bucket is not order-monotone — "
                     f"bucket {prev['__rn_b']} spans up to {prev.hi!r} but "
@@ -677,12 +680,17 @@ def global_row_number(
             "__rn_off",
             F.coalesce(F.sum("__rn_n").over(w_off), F.lit(0)).cast("long"),
         )
-        .select("__rn_b", "__rn_off")
+        .select(F.col("__rn_b").alias("__rn_bo"), "__rn_off")
     )
+    # eqNullSafe join-back: a NULL leading key buckets to NULL, and those
+    # rows rank FIRST (both the offsets window and the plain global window
+    # order NULLS FIRST) — a plain equi-join would silently DROP them and
+    # shift every later rank by their count
     return (
-        run.join(F.broadcast(offsets), on="__rn_b")
+        run.join(F.broadcast(offsets),
+                 F.col("__rn_b").eqNullSafe(F.col("__rn_bo")))
         .withColumn(out, F.col("__rn_i") + F.col("__rn_off"))
-        .drop("__rn_b", "__rn_i", "__rn_off")
+        .drop("__rn_b", "__rn_bo", "__rn_i", "__rn_off")
     )
 
 

@@ -795,10 +795,16 @@ def lsh_params_for_recall(target_recall: float = 0.85,
     candidate cost."""
     import math
 
+    if not 0 < target_recall < 1:
+        raise ValueError(f"target_recall must be in (0, 1), got {target_recall}")
+    if not -1 < assumed_sim < 1:
+        # s = +-1 means exact duplicates/negations — every/no plane agrees,
+        # the collision model degenerates; use exact dedup instead
+        raise ValueError(f"assumed_sim must be in (-1, 1), got {assumed_sim}")
     p = 1.0 - math.acos(assumed_sim) / math.pi
     p_table = p ** n_planes
-    if not 0 < target_recall < 1 or p_table <= 0:
-        raise ValueError("need 0 < target_recall < 1 and a hit probability")
+    if not 0 < p_table < 1:
+        raise ValueError(f"degenerate per-table hit probability {p_table}")
     tables = math.ceil(safety * math.log(1 - target_recall)
                        / math.log(1 - p_table))
     return n_planes, max(1, tables)

@@ -22,19 +22,41 @@ def read_parquet(spark: SparkSession, path: str, schema: StructType | None = Non
     return r.parquet(path)
 
 
+def hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` through the JVM Hadoop API — the one
+    way to ask 'does this exist / what's in it' that is correct on
+    s3a://, hdfs:// and file:/ alike (os.* only sees the driver's local
+    disk). Shared by the cache reads, the staging glob expansion, and
+    streaming's epoch discovery."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+
+
 def read_parquet_cache_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
     """Cache-read discipline for the enrichment/lookup/labeler caches: a
     MISSING path is the legitimate 'no cache yet' first run -> ``None``;
     every other failure (transient object-store/HDFS error, corrupt footer)
     RAISES instead of silently pretending the cache is empty — for the LLM
     category cache that silent fallback would re-fetch (and re-bill) the
-    entire ~52k-call corpus (reference dvc.lock:328-332). Existence goes
-    through the Hadoop FileSystem API so it is correct on s3a://, hdfs://
-    and file:/ alike (same pattern as streaming/windows._index_epochs)."""
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    entire ~52k-call corpus (reference dvc.lock:328-332).
+
+    A directory that exists but holds NO data files (only ``_temporary`` /
+    ``_SUCCESS`` droppings from a crashed first write) also counts as 'no
+    cache yet' — without that, one crashed first run would wedge the
+    pipeline on 'Unable to infer schema' forever. Hidden-prefixed files
+    are exactly what Spark's own reader skips, so the states agree."""
+    fs, p = hadoop_fs(spark, path)
     if not fs.exists(p):
+        return None
+    it = fs.listFiles(p, True)
+    has_data = False
+    while it.hasNext():
+        name = it.next().getPath().getName()
+        if not name.startswith(("_", ".")):
+            has_data = True
+            break
+    if not has_data:
         return None
     return spark.read.parquet(path)
 
@@ -61,14 +83,35 @@ def read_staging_glob(spark: SparkSession, glob: str, sources: Sequence[str]) ->
     # WARN-log a full FileNotFoundException stack per table — noise that
     # buried real errors in the bench/driver logs. An empty expansion is a
     # misconfigured staging root; fail with the pattern, not a Spark stack.
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(glob)
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs, p = hadoop_fs(spark, glob)
     statuses = fs.globStatus(p)
     paths = [st.getPath().toString() for st in statuses] if statuses else []
     if not paths:
         raise FileNotFoundError(f"staging glob matched no files: {glob}")
     return spark.read.parquet(*paths).withColumn("source", source_col)
+
+
+# the reference brick envelope per table (README §brick; harmonize.py
+# enforces this order on the frames it RETURNS — partitionBy('source')
+# writes then move 'source' to the end of the read-back schema, so brick
+# READS restore it here)
+_BRICK_ENVELOPE = {
+    "substances": ["sid", "source", "data"],
+    "properties": ["pid", "source", "data"],
+    "activities": ["inchi", "sid", "pid", "source", "value",
+                   "binary_value", "numvalue", "smiles", "aid"],
+}
+
+
+def read_brick(spark: SparkSession, brick_dir: str, name: str) -> DataFrame:
+    """Read one CLI-written harmonized brick table with the documented
+    envelope column order restored (Spark appends hive-partition columns
+    last on read; positional consumers and schema diffs against the
+    reference brick need the contract order back)."""
+    df = spark.read.parquet(f"{brick_dir}/{name}.parquet")
+    want = [c for c in _BRICK_ENVELOPE[name] if c in df.columns]
+    extra = [c for c in df.columns if c not in want]
+    return df.select(*want, *extra)
 
 
 def read_tsv(spark: SparkSession, path: str, header: bool = True) -> DataFrame:

@@ -47,9 +47,9 @@ def _index_epochs(spark: SparkSession, index_dir: str) -> list:
     dedup entirely. Returns ``[]`` when the directory does not exist yet
     (the legitimate first-batch case); every other IO error propagates
     and fails the batch instead of admitting data unchecked."""
-    jvm = spark._jvm
-    path = jvm.org.apache.hadoop.fs.Path(index_dir)
-    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    from chemharmony_spark.sources.readers import hadoop_fs
+
+    fs, path = hadoop_fs(spark, index_dir)
     if not fs.exists(path):
         return []
     return sorted(

@@ -387,6 +387,14 @@ def test_cache_reads_distinguish_missing_from_broken(spark, tmp_path):
     # first-run path (exercised by test_enrichment_cache_and_anti_join)
     assert read_parquet_cache_if_exists(spark, str(tmp_path / "nope")) is None
 
+    # a crashed FIRST write leaves the dir with only _temporary/_SUCCESS
+    # droppings — still 'no cache yet', NOT a permanent wedge on
+    # 'Unable to infer schema'
+    wreck = tmp_path / "wrecked_cache"
+    (wreck / "_temporary" / "0").mkdir(parents=True)
+    (wreck / "_SUCCESS").write_bytes(b"")
+    assert read_parquet_cache_if_exists(spark, str(wreck)) is None
+
     # corrupt-on-disk -> raise from every consumer
     broken = tmp_path / "broken_cache"
     broken.mkdir()

@@ -396,6 +396,35 @@ def test_global_row_number_validate_rejects_non_monotone_bucket(spark):
     assert ok.where(F.col("rn") != F.col("v") + 1).count() == 0
 
 
+def test_global_row_number_keeps_null_order_keys(spark):
+    """NULL leading keys bucket to NULL and must rank FIRST (matching the
+    plain window's NULLS FIRST), not silently vanish in the offsets
+    join-back — the pre-r5 equi-join dropped them and shifted every
+    later rank. validate=True must accept the legitimate NULL bucket."""
+    from pyspark.sql.window import Window
+
+    from chemharmony_spark.operators.core import global_row_number
+
+    ids = spark.range(0, 100).select(
+        F.when(F.col("id") % 10 == 0, None)
+        .otherwise(F.col("id")).alias("v"),
+        F.col("id").alias("tie"),
+    )
+    got = global_row_number(
+        ids, ["v", "tie"], bucket=F.expr("v DIV 16"), validate=True
+    )
+    want = ids.select(
+        "tie",
+        F.row_number().over(Window.orderBy("v", "tie")).alias("rn"),
+    )
+    diff = (
+        got.select("tie", "rn").exceptAll(want)
+        .unionAll(want.exceptAll(got.select("tie", "rn")))
+    )
+    assert got.count() == 100  # nothing dropped
+    assert diff.count() == 0  # bit-identical ranks incl. the NULL bucket
+
+
 def test_assign_cells_join_fallback_handles_duplicate_ids(spark):
     """The large-codebook broadcast fallback must assign per ROW (not
     per id): duplicate ids with different vectors land in different

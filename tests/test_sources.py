@@ -128,9 +128,7 @@ def test_cli_handlers(spark, sf_dir, tmp_path, capsys):
     # the directory, so no data from the other source is even opened)
     pruned = acts.where(F.col("source") == "sA")
     plan = pruned._jdf.queryExecution().executedPlan().toString()
-    assert "partition filters: [isnotnull(source" in plan.lower() or (
-        "PartitionFilters: [isnotnull(source" in plan
-    ), plan
+    assert "PartitionFilters: [isnotnull(source" in plan, plan
     scan = [ln for ln in plan.splitlines() if "FileScan" in ln]
     assert scan, plan
     # runtime proof: only sA's partition file is ever opened — every
@@ -142,6 +140,18 @@ def test_cli_handlers(spark, sf_dir, tmp_path, capsys):
     }
     assert touched and all("source=sA" in f for f in touched)
     assert pruned.count() == 1
+    # read_brick restores the documented envelope order (a partitioned
+    # read otherwise appends 'source' last)
+    from chemharmony_spark.sources.readers import read_brick
+
+    brick_acts = read_brick(spark, str(tmp_path / "brick"), "activities")
+    assert brick_acts.columns == [
+        "inchi", "sid", "pid", "source", "value", "binary_value",
+        "smiles", "aid",
+    ]
+    assert read_brick(spark, str(tmp_path / "brick"), "substances").columns == [
+        "sid", "source", "data",
+    ]
 
 
 def test_orc_roundtrip_with_pushdown(spark, tmp_path):

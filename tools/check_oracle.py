@@ -74,8 +74,12 @@ def _run_sharded(names: list[str], sf: str, jobs: int) -> int:
 
     shards = [names[i::jobs] for i in range(jobs)]
     env = dict(os.environ)
-    env["SPARK_GRAFT_CPUS"] = str(max(4, 32 // jobs))
-    env["SPARK_DRIVER_MEMORY"] = f"{max(6, 48 // jobs)}g"
+    # split the HOST's budget across shards, honouring any caller-set
+    # bounds instead of assuming the 32-CPU/128 GB grading box
+    host_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    env["SPARK_GRAFT_CPUS"] = str(max(2, host_cpus // jobs))
+    if "SPARK_DRIVER_MEMORY" not in os.environ:
+        env["SPARK_DRIVER_MEMORY"] = f"{max(4, 48 // jobs)}g"
     procs = [
         subprocess.Popen(
             [sys.executable, __file__, *shard, "--sf", sf, "--jobs", "1"],
