@@ -647,9 +647,25 @@ def global_row_number(
     instead of silently producing wrong global ranks. Debug-priced —
     one extra aggregation over ``df`` — so off by default."""
     order = [F.col(c) if isinstance(c, str) else c for c in order_cols]
-    w_intra = Window.partitionBy("__rn_b").orderBy(*order)
-    run = df.withColumn("__rn_b", bucket).withColumn(
-        "__rn_i", F.row_number().over(w_intra).cast("long")
+    # the join-back key is a NON-NULL string encoding of the bucket
+    # ("\x00" for the NULLS-FIRST bucket, "v"+cast otherwise): a NULL
+    # leading key buckets to NULL and must rank first, but (a) a plain
+    # equi-join would DROP those rows, and (b) an eqNullSafe condition is
+    # treated as non-equi by Catalyst's size estimator — it inflated this
+    # operator's estimate ~18,000x and silently flipped downstream joins
+    # from broadcast to sort-merge. The ORIGINAL bucket still drives the
+    # offsets ordering (asc_nulls_first), so ranks stay bit-identical to
+    # the plain window.
+    w_intra = Window.partitionBy("__rn_k").orderBy(*order)
+    run = (
+        df.withColumn("__rn_b", bucket)
+        .withColumn(
+            "__rn_k",
+            F.when(F.col("__rn_b").isNull(), F.lit("\x00")).otherwise(
+                F.concat(F.lit("v"), F.col("__rn_b").cast("string"))
+            ),
+        )
+        .withColumn("__rn_i", F.row_number().over(w_intra).cast("long"))
     )
     if validate:
         spans = (
@@ -670,27 +686,25 @@ def global_row_number(
                     "would interleave across buckets"
                 )
     w_off = (
-        Window.orderBy("__rn_b")
+        Window.orderBy(F.col("__rn_ord").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = (
-        run.groupBy("__rn_b")
-        .agg(F.count(F.lit(1)).alias("__rn_n"))
+        run.groupBy("__rn_k")
+        # min(__rn_b) IS the bucket (constant within a group; the NULL
+        # group yields NULL) — it orders the cumulative pass exactly as
+        # the raw bucket would, nulls first
+        .agg(F.count(F.lit(1)).alias("__rn_n"), F.min("__rn_b").alias("__rn_ord"))
         .withColumn(
             "__rn_off",
             F.coalesce(F.sum("__rn_n").over(w_off), F.lit(0)).cast("long"),
         )
-        .select(F.col("__rn_b").alias("__rn_bo"), "__rn_off")
+        .select("__rn_k", "__rn_off")
     )
-    # eqNullSafe join-back: a NULL leading key buckets to NULL, and those
-    # rows rank FIRST (both the offsets window and the plain global window
-    # order NULLS FIRST) — a plain equi-join would silently DROP them and
-    # shift every later rank by their count
     return (
-        run.join(F.broadcast(offsets),
-                 F.col("__rn_b").eqNullSafe(F.col("__rn_bo")))
+        run.join(F.broadcast(offsets), on="__rn_k")
         .withColumn(out, F.col("__rn_i") + F.col("__rn_off"))
-        .drop("__rn_b", "__rn_bo", "__rn_i", "__rn_off")
+        .drop("__rn_b", "__rn_k", "__rn_i", "__rn_off")
     )
 
 
