@@ -124,3 +124,37 @@ def test_all_pairs_cosine_equals_brute_force(spark, vecs):
         .collect()
     }
     assert got == want  # exact: same fold arithmetic, every pair exactly once
+
+
+# values with explicit None holes and duplicates; granularity sweeps the
+# bucket count from 1 bucket (degenerate) past one-row-per-bucket
+nullable_rows_st = st.lists(
+    st.one_of(st.none(), st.integers(min_value=-40, max_value=40)),
+    min_size=1,
+    max_size=50,
+)
+
+
+@SLOW
+@given(vals=nullable_rows_st, gran=st.sampled_from([1, 3, 7, 100]))
+def test_global_row_number_equals_plain_window(spark, vals, gran):
+    """For ANY int column with NULL holes and ANY monotone granularity,
+    the bucketed decomposition must be bit-identical to
+    row_number().over(Window.orderBy(v, tie)) — including the NULLS FIRST
+    placement of NULL keys (the r5 join-back regression class)."""
+    from pyspark.sql.window import Window
+
+    from chemharmony_spark.operators.core import global_row_number
+
+    rows = [(v, i) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "v int, tie int")
+    # shift keeps the DIV operand non-negative -> trunc == floor (monotone)
+    got = global_row_number(
+        df, ["v", "tie"], bucket=F.expr(f"(v + 40) DIV {gran}"),
+        validate=True,
+    )
+    want = df.select(
+        "tie", F.row_number().over(Window.orderBy("v", "tie")).alias("rn")
+    )
+    assert sorted((r.tie, r.rn) for r in got.select("tie", "rn").collect()) \
+        == sorted((r.tie, r.rn) for r in want.collect())
