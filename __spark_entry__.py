@@ -2300,7 +2300,7 @@ def oracle_sql() -> dict[str, str]:
                          + {_hex4("md5('ws:' || CAST(o_orderkey AS VARCHAR))", 5)}
                          + 1) / 4294967297.0)
                        / o_totalprice AS es_key
-              FROM orders)
+              FROM orders WHERE o_totalprice > 0)
             SELECT o_orderpriority, o_orderkey, o_totalprice,
                    CAST(ROW_NUMBER() OVER (
                      PARTITION BY o_orderpriority

@@ -294,7 +294,13 @@ def weighted_sample(
     ln only — no pow — so the key is bit-identical cross-engine (pow
     implementations differ in final ulps; ln is correctly rounded
     everywhere). One window shuffle via grouped_topk.
+
+    Rows with NULL or non-positive weight are EXCLUDED (zero selection
+    probability): E-S is defined for w > 0, and without the filter a
+    negative weight flips ln(u)/w positive — outranking every valid row
+    and getting picked deterministically in every sample.
     """
+    df = df.where(F.col(weight_col) > 0)
     h = F.conv(
         F.substring(
             F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
@@ -344,6 +350,13 @@ def _grouped_value_cum(
     is identical to ranking every row; only the physical shape changes.
     """
     keys = list(keys)
+    # NULL values are IGNORED, matching SQL percentile_disc/cont and
+    # median: without this filter NULL rows inflate __pq_n and bucket
+    # into the top cell (least() skips its NULL operand), silently
+    # shifting every rank. A group whose values are ALL NULL emits no
+    # row (SQL would emit a NULL percentile — callers joining back see
+    # the same absence either way).
+    df = df.where(F.col(value_col).isNotNull())
     # persisted: three consumers (min/max range agg, the in-bucket window,
     # the per-bucket subtotal agg) would otherwise each re-run the
     # full-data count aggregation — the same single-evaluation rule as
@@ -724,8 +737,22 @@ def salted_join(
     single shuffle block, or on engines/paths without AQE. Results are
     identical to a plain join (verified in tests); cost is n_salts x
     duplication of the small side.
+
+    Only skewed-side-preserving modes are accepted: under right/full
+    outer joins every UNMATCHED small-side row would surface once per
+    salt replica (n_salts null-padded copies instead of one), and
+    right_semi/right_anti ask a question about the replicated side —
+    both silently violate the identical-results contract.
     """
     keys = list(on)
+    if how not in ("inner", "left", "left_outer", "leftouter",
+                   "left_semi", "leftsemi", "semi",
+                   "left_anti", "leftanti", "anti", "cross"):
+        raise ValueError(
+            f"salted_join: how={how!r} would emit unmatched small-side "
+            f"rows once per salt replica; use a plain join for "
+            f"right/full-outer semantics"
+        )
     salt = F.pmod(F.hash(F.rand(seed=0).cast("string")), F.lit(n_salts))
     left = skewed.withColumn("__salt", salt)
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("__salt")

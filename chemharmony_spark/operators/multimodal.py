@@ -301,20 +301,32 @@ def ahash64(df: DataFrame, id_col: str = "doc_id",
 
 
 def ahash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 6) -> DataFrame:
-    """Near-duplicate media pairs by aHash Hamming distance: band the 64
-    bits into 4x16-bit keys (a pair within ``max_hamming`` <= 15 bits must
-    agree on at least one band — pigeonhole), equi-join per band, then one
-    exact xor+bit_count filter. Same candidate-then-verify shape as the
-    SimHash text path; never an all-pairs comparison."""
+    """Near-duplicate media pairs by aHash Hamming distance, COMPLETE for
+    the given radius: the 64 bits split into ``max_hamming + 1`` bands
+    (np.array_split widths) — a pair differing in at most ``max_hamming``
+    bits can dirty at most that many bands, so at least one band key
+    matches exactly (pigeonhole needs d+1 bands; the pre-r5 fixed 4x16
+    banding silently dropped pairs at distance 4+ whose diffs spread
+    across all four bands). Band equi-joins propose, one exact
+    xor+bit_count filter verifies — never an all-pairs comparison, but
+    note the trade: wider radii mean narrower bands (64/(d+1) bits) and
+    fatter candidate buckets; keep max_hamming small at corpus scale."""
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    n_bands = max_hamming + 1
+    base, rem = divmod(64, n_bands)
+    widths = [base + 1 if b < rem else base for b in range(n_bands)]
+    starts = [sum(widths[:b]) for b in range(n_bands)]
     h = hashes.select(F.col("doc_id").alias("id"), "ahash")
     bands = [
-        F.shiftrightunsigned(F.col("ahash"), 16 * b).bitwiseAND(F.lit(0xFFFF))
+        F.shiftrightunsigned(F.col("ahash"), 64 - starts[b] - widths[b])
+        .bitwiseAND(F.lit((1 << widths[b]) - 1))
         .alias(f"band{b}")
-        for b in range(4)
+        for b in range(n_bands)
     ]
     banded = h.select("id", "ahash", *bands)
     cand = None
-    for b in range(4):
+    for b in range(n_bands):
         l = banded.select(F.col("id").alias("a"), F.col("ahash").alias("ha"),
                           F.col(f"band{b}").alias("k"))
         r = banded.select(F.col("id").alias("b"), F.col("ahash").alias("hb"),

@@ -363,14 +363,6 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
-def _hyperplane(plane: int, dim: int) -> F.Column:
-    """Deterministic pseudo-random ±1 coefficient for (plane, dim): parity of
-    the first hex char of md5('p<plane>:<dim>')."""
-    h = F.md5(F.lit(f"p{plane}:{dim}"))
-    v = F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - 1
-    return (v % 2) * 2 - 1
-
-
 def all_pairs_cosine(
     corpus: DataFrame,
     threshold: float,
@@ -693,7 +685,7 @@ def cluster_pruned_pairs(
 
 
 def _hyperplane_coef(plane: int, dim: int) -> float:
-    """Python twin of :func:`_hyperplane` — same ±1 from the parity of the
+    """Deterministic ±1 hyperplane coefficient from the parity of the
     first hex char of md5('p<plane>:<dim>'), computed at PLAN-BUILD time so
     the coefficients inline as plain float literals instead of 64 md5
     expression nodes per plane (n_planes x dims md5 Columns made q40's
@@ -899,6 +891,19 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     partitioned by (table, bucket) once; every query then touches L
     partitions — partition pruning does the candidate selection for free).
     """
+    # fail loudly on a dims mismatch: zip_with null-pads the shorter
+    # array, every dot fold goes NULL, every sign bit reads '0', and ALL
+    # vectors silently land in one bucket — the "scale path" becomes a
+    # full cross product with no error. One first()-row probe at plan
+    # build catches it for the cost of a trivial job.
+    probe = corpus.select(F.size(vec_col).alias("d")).first()
+    if probe is not None and probe["d"] != dims:
+        raise ValueError(
+            f"lsh_bucket_topk: dims={dims} but {vec_col!r} arrays have "
+            f"{probe['d']} elements — signatures would degenerate to one "
+            f"bucket; pass dims={probe['d']}"
+        )
+
     def with_buckets(df, id_alias, dv_alias, n_alias):
         keep = [F.col(id_col).alias(id_alias)]
         for t in range(n_tables):
@@ -908,7 +913,12 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             keep.append(sig.alias(f"b{t}"))
         return prep_cosine(df, vec_col, dv=dv_alias, n=n_alias, keep=keep)
 
-    c = with_buckets(corpus, "neighbor_id", "__cdv", "__cn")
+    # persisted (registry-released): the corpus prep feeds one union
+    # branch per table plus the rerank join — without the cache the scan,
+    # double-cast, norm fold and all signatures recompute n_tables+1 times
+    c = registered_persist(
+        with_buckets(corpus, "neighbor_id", "__cdv", "__cn")
+    )
     q = with_buckets(queries, "query_id", "__qdv", "__qn")
     # candidates: same bucket in any table -> union + dedup, then one exact
     # rerank per distinct (query, neighbor) pair

@@ -62,11 +62,15 @@ def countmin_counts(df: DataFrame, item_col: str, width: int = 1024,
     estimation whose state is independent of vocabulary size. Exact
     counterpart: q63 heavy hitters.
     """
+    from chemharmony_spark.cache import registered_persist
+
     item = F.col(item_col)
-    buckets = df.select(
+    # persisted (registry-released): depth sketch-row aggs + the distinct
+    # items pass each consume this frame — one scan instead of depth+1
+    buckets = registered_persist(df.select(
         item.alias("item"),
         *[cm_bucket(item, r, width).alias(f"b{r}") for r in range(depth)],
-    )
+    ))
     rows = None
     for r in range(depth):
         row = buckets.groupBy(F.col(f"b{r}").alias("bucket")).agg(

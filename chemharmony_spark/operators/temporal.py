@@ -205,16 +205,28 @@ def range_join(
     if how not in ("inner", "left"):
         raise ValueError(f"range_join: how must be 'inner' or 'left', got {how!r}")
 
-    p_bin = (F.col(point_col) / F.lit(bin_width)).cast("long")
+    # floor (not a truncating cast) so FRACTIONAL and NEGATIVE domains bin
+    # correctly: cast("long") truncates toward zero (wrong bin for
+    # negative values), and the old integer-only "(end - 1)" last-bin
+    # trick dropped true matches for fractional bounds (interval
+    # [10.0, 30.5) never produced bin 3, losing point 30.2)
+    w = F.lit(bin_width)
+    p_bin = F.floor(F.col(point_col) / w)
     binned_points = points.withColumn("__bin", p_bin)
-    # end is exclusive: the last overlapped bin is the one containing end-1
+    # end is exclusive: the last overlapped bin holds the largest x < end —
+    # floor(end/w) - 1 exactly on a bin boundary, floor(end/w) otherwise
+    last_bin = F.floor(F.col(end_col) / w) - F.when(
+        F.col(end_col) % w == 0, F.lit(1)
+    ).otherwise(F.lit(0))
     iv = intervals.withColumn(
         "__bin",
         F.explode(
-            F.sequence(
-                (F.col(start_col) / F.lit(bin_width)).cast("long"),
-                ((F.col(end_col) - 1) / F.lit(bin_width)).cast("long"),
-            )
+            # empty intervals (start >= end) overlap nothing; without the
+            # guard sequence() would count DOWN and fabricate bins
+            F.when(
+                F.col(start_col) < F.col(end_col),
+                F.sequence(F.floor(F.col(start_col) / w), last_bin),
+            ).otherwise(F.array().cast("array<bigint>"))
         ),
     )
     contained = (F.col(start_col) <= F.col(point_col)) & (

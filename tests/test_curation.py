@@ -627,3 +627,28 @@ def test_prefix_and_jaccard_tokens_col_parity(spark):
         tokens_col="ws",
     )
     assert base == fast and len(base) >= 3
+
+
+def test_percentile_family_ignores_null_values(spark):
+    """SQL percentile semantics: NULL values neither count toward n nor
+    occupy a rank slot (pre-fix they bucketed into the top cell and
+    shifted every rank)."""
+    from chemharmony_spark.operators.core import (
+        grouped_percentile_cont,
+        grouped_percentiles_disc,
+    )
+
+    df = spark.createDataFrame(
+        [("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 4.0), ("g", None),
+         ("allnull", None)],
+        "k string, v double",
+    )
+    got = grouped_percentiles_disc(df, ["k"], "v", [0.5]).collect()
+    assert len(got) == 1 and got[0]["k"] == "g"  # all-NULL group: no row
+    # n=4 (NULL ignored): ceil(0.5*4)=2 -> value 2.0; with the NULL
+    # counted it would be ceil(0.5*5)=3 -> 3.0... but worse, the NULL
+    # inflates cum so the pre-fix answer drifted with data layout
+    assert got[0]["p50"] == 2.0
+    cont = grouped_percentile_cont(df, ["k"], "v", [("p50", 1, 2)]).collect()
+    assert len(cont) == 1 and cont[0]["k"] == "g"
+    assert cont[0]["p50"] == 2.5  # interpolated over 4 non-null values

@@ -143,3 +143,29 @@ def test_media_dedup_clusters_partition_pairs(spark, sf_dir):
         "a", "b").collect()}
     for p in pairs:
         assert comp[p.a] == comp[p.b]
+
+
+def test_ahash_banding_complete_for_spread_diffs(spark):
+    """Adversarial recall case the 4x16 banding missed: two hashes
+    differing in exactly 4 bits, one per 16-bit quadrant (bits 0, 16,
+    32, 48) — every old band key differed, so the pair silently vanished
+    despite hamming=4 <= max_hamming=6. With d+1 bands it must appear,
+    and the exact filter must still reject distance > max_hamming."""
+    from chemharmony_spark.operators.multimodal import ahash_near_dup_pairs
+
+    base = 0x0123_4567_89AB_CDEF
+    spread4 = base ^ ((1 << 0) | (1 << 16) | (1 << 32) | (1 << 48))
+    spread8 = base ^ sum(1 << (8 * i) for i in range(8))  # hamming 8
+
+    def signed(v):
+        return v - (1 << 64) if v >= 1 << 63 else v
+
+    hashes = spark.createDataFrame(
+        [(1, signed(base)), (2, signed(spread4)), (3, signed(spread8))],
+        "doc_id long, ahash long",
+    )
+    got = {(r.a, r.b): r.hamming
+           for r in ahash_near_dup_pairs(hashes, max_hamming=6).collect()}
+    assert got[(1, 2)] == 4          # found despite spread diffs
+    assert (1, 3) not in got         # hamming 8 > 6 rejected exactly
+    assert got[(2, 3)] == 4          # spread4 vs spread8 differ in 4 bits

@@ -552,3 +552,35 @@ def test_cohort_ltv_monotone_cumulative(spark, sf_dir):
         cums = [c for _, c in cells]
         assert all(a <= b for a, b in zip(cums, cums[1:]))
         assert cums[-1] == totals[cohort]
+
+
+def test_range_join_fractional_and_negative_domains(spark):
+    """Pre-r5 the bins came from truncating casts + an integer-only
+    (end-1) trick: fractional bounds lost true matches (point 30.2 in
+    [10.0, 30.5) vanished) and negative values binned toward zero.
+    Brute-force cross-check over a grid of fractional/negative/empty
+    intervals and several bin widths."""
+    pts = [(float(p) / 4,) for p in range(-60, 61, 3)]
+    ivs = [
+        (10.0, 30.5), (-12.25, -1.5), (-5.0, 5.0), (7.5, 7.5),  # empty
+        (29.9, 30.0), (-0.25, 0.25),
+    ]
+    points = spark.createDataFrame(pts, "p double")
+    intervals = spark.createDataFrame(ivs, "s double, e double")
+    want = sorted(
+        (p[0], s, e) for p in pts for (s, e) in ivs if s <= p[0] < e
+    )
+    for width in (1, 4, 10):
+        got = sorted(
+            (r.p, r.s, r.e)
+            for r in range_join(points, intervals, on=None, point_col="p",
+                                start_col="s", end_col="e",
+                                bin_width=width).collect()
+        )
+        assert got == want, f"bin_width={width}"
+    # left mode: every point appears exactly once when unmatched
+    left = range_join(points, intervals, on=None, point_col="p",
+                      start_col="s", end_col="e", bin_width=4, how="left")
+    assert left.where(F.col("s").isNull()).count() == len(pts) - len(
+        {p for p, _, _ in want}
+    )
