@@ -1288,7 +1288,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q24_group_id_md5": """
             SELECT l_returnflag, l_linestatus,
-                   md5(concat_ws(chr(31), l_returnflag, l_linestatus)) AS gid
+                   md5(concat_ws(chr(31), COALESCE(l_returnflag, ''),
+                                  COALESCE(l_linestatus, ''))) AS gid
             FROM (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem)
         """,
         "q25_content_id_json": """
@@ -1303,7 +1304,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT l_returnflag, l_orderkey, l_linenumber,
                      ROW_NUMBER() OVER (
                        PARTITION BY l_returnflag
-                       ORDER BY md5(concat_ws('|', l_orderkey, l_linenumber))) AS rn
+                       ORDER BY md5(concat_ws('|', COALESCE(l_orderkey::VARCHAR, ''),
+                                    COALESCE(l_linenumber::VARCHAR, '')))) AS rn
               FROM lineitem)
             WHERE rn <= 5
         """,

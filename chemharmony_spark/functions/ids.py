@@ -36,11 +36,17 @@ def content_id(*cols: Column | str) -> Column:
 def group_id(*key_cols: Column | str, sep: str = "\x1f") -> Column:
     """md5 over the concatenation of key columns with an unambiguous separator.
 
-    Null-safe: nulls render as the empty string (matches SQL
-    ``concat_ws`` semantics, so a DuckDB oracle reproduces it exactly).
+    Null-safe by EXPLICIT coalesce-to-'': ``concat_ws`` alone SKIPS null
+    arguments entirely (no separator emitted — in Spark AND DuckDB), so
+    ('a', NULL, 'b') and ('a', 'b', NULL) would collide to the same id,
+    silently merging distinct key tuples (aid derivation uses a nullable
+    inchi). Coalescing first keeps every position's separator, making
+    the rendering positional-unambiguous; oracles mirror the COALESCE.
     """
     cols = [F.col(c) if isinstance(c, str) else c for c in key_cols]
-    return F.md5(F.concat_ws(sep, *[c.cast("string") for c in cols]))
+    return F.md5(F.concat_ws(
+        sep, *[F.coalesce(c.cast("string"), F.lit("")) for c in cols]
+    ))
 
 
 def surrogate_aid(sid: Column | str = "sid", pid: Column | str = "pid",

@@ -400,7 +400,11 @@ def q26_stratified_sample(spark, sf):
         li,
         strata=["l_returnflag"],
         n_per_stratum=5,
-        order_by=F.md5(F.concat_ws("|", F.col("l_orderkey"), F.col("l_linenumber"))),
+        order_by=F.md5(F.concat_ws(
+            "|",
+            F.coalesce(F.col("l_orderkey").cast("string"), F.lit("")),
+            F.coalesce(F.col("l_linenumber").cast("string"), F.lit("")),
+        )),
     ).select("l_returnflag", "l_orderkey", "l_linenumber")
 
 

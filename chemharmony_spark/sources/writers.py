@@ -53,25 +53,38 @@ def compact_parquet(spark, path: str, target_file_bytes: int = 128 * 1024 * 1024
     listing, no data pass), round-robins into ceil(bytes/target) files,
     and rewrites. Returns the output file count. In-place compaction
     (out_path=None) writes to a sibling temp dir then swaps, so a crashed
-    compaction never destroys the input."""
-    import math
-    import shutil
-    import tempfile
-    import os
+    compaction never destroys the input.
 
+    All listing/rename runs through the Hadoop FileSystem API — the old
+    os.walk/os.rename version only saw the driver's local disk, so on
+    s3a://hdfs:// it sized the input at 0 bytes (one giant output file)
+    and crashed on the rename. Small-files streams live on object stores;
+    this helper has to too."""
+    import math
+
+    from chemharmony_spark.sources.readers import hadoop_fs
+
+    fs, p = hadoop_fs(spark, path)
     total = 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            if f.endswith(".parquet"):
-                total += os.path.getsize(os.path.join(root, f))
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        st = it.next()
+        if st.getPath().getName().endswith(".parquet"):
+            total += st.getLen()
     n_out = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(path)
     in_place = out_path is None
-    dest = tempfile.mkdtemp(prefix="compact_") if in_place else out_path
+    dest = path.rstrip("/") + ".compact_new" if in_place else out_path
     df.repartition(n_out).write.mode("overwrite").parquet(dest)
     if in_place:
-        swap = path.rstrip("/") + ".compact_old"
-        os.rename(path, swap)
-        shutil.move(dest, path)
-        shutil.rmtree(swap)
+        jvm_path = fs.makeQualified(p)
+        swap = hadoop_fs(spark, path.rstrip("/") + ".compact_old")[1]
+        dest_p = hadoop_fs(spark, dest)[1]
+        if not fs.rename(jvm_path, swap):
+            raise IOError(f"compact_parquet: rename {path} -> {swap} failed")
+        if not fs.rename(dest_p, jvm_path):
+            # restore the input before surfacing the failure
+            fs.rename(swap, jvm_path)
+            raise IOError(f"compact_parquet: swap-in of {dest} failed")
+        fs.delete(swap, True)
     return n_out

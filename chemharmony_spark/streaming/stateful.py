@@ -42,10 +42,35 @@ PROFILE_SCHEMA = StructType(
 STATE_SCHEMA = StructType(
     [
         StructField("n", LongType(), True),
+        StructField("n_vals", LongType(), True),  # non-null values seen
         StructField("total_cents", LongType(), True),  # exact integer cents
         StructField("types_csv", StringType(), True),
     ]
 )
+
+
+def _fold_profile_pdf(pdf: pd.DataFrame, n: int, n_vals: int,
+                      total_cents: int, types: set) -> tuple[int, int, int]:
+    """One micro-batch pdf into the profile accumulators, with EXACTLY the
+    batch twin's null/rounding semantics: n counts every row (count(*));
+    values round HALF-UP away from zero like Spark F.round — pandas
+    .round() is half-to-even and diverged on half-cent inputs; NULL
+    values contribute nothing (F.sum skips them; n_vals tracks whether
+    ANY value was seen so an all-null user reports total_value NULL like
+    the batch sum); NULL event types are dropped (collect_set skips
+    them — and None in the set crashed sorted())."""
+    import numpy as np
+
+    n += len(pdf)
+    v = pdf["value"].dropna()
+    n_vals += len(v)
+    if len(v):
+        s100 = v.to_numpy(dtype="float64") * 100.0
+        total_cents += int(
+            (np.sign(s100) * np.floor(np.abs(s100) + 0.5)).sum()
+        )
+    types.update(pdf["event_type"].dropna().unique().tolist())
+    return n, n_vals, total_cents
 
 
 def _update_profile(
@@ -53,23 +78,21 @@ def _update_profile(
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
     if state.exists:
-        n, total_cents, types_csv = state.get
+        n, n_vals, total_cents, types_csv = state.get
         types = set(types_csv.split(",")) if types_csv else set()
     else:
-        n, total_cents, types = 0, 0, set()
+        n, n_vals, total_cents, types = 0, 0, 0, set()
     for pdf in pdfs:
-        n += len(pdf)
-        # per-row integer cents keep the sum exact and order-free (and
-        # identical to the batch twin's round-then-sum)
-        total_cents += int(pdf["value"].mul(100).round().sum())
-        types.update(pdf["event_type"].unique().tolist())
+        n, n_vals, total_cents = _fold_profile_pdf(
+            pdf, n, n_vals, total_cents, types
+        )
     types_csv = ",".join(sorted(types))
-    state.update((n, total_cents, types_csv))
+    state.update((n, n_vals, total_cents, types_csv))
     yield pd.DataFrame(
         {
             "user_id": [user_id],
             "n_events": [n],
-            "total_value": [total_cents / 100.0],
+            "total_value": [total_cents / 100.0 if n_vals else None],
             "n_event_types": [len(types)],
             "event_types": [types_csv],
         }
@@ -149,21 +172,21 @@ class ProfileProcessor(StatefulProcessor):
     def handleInputRows(self, key, rows, timerValues):
         (user_id,) = key
         if self._state.exists():
-            n, total_cents, types_csv = self._state.get()
+            n, n_vals, total_cents, types_csv = self._state.get()
             types = set(types_csv.split(",")) if types_csv else set()
         else:
-            n, total_cents, types = 0, 0, set()
+            n, n_vals, total_cents, types = 0, 0, 0, set()
         for pdf in rows:
-            n += len(pdf)
-            total_cents += int(pdf["value"].mul(100).round().sum())
-            types.update(pdf["event_type"].unique().tolist())
+            n, n_vals, total_cents = _fold_profile_pdf(
+                pdf, n, n_vals, total_cents, types
+            )
         types_csv = ",".join(sorted(types))
-        self._state.update((n, total_cents, types_csv))
+        self._state.update((n, n_vals, total_cents, types_csv))
         yield pd.DataFrame(
             {
                 "user_id": [user_id],
                 "n_events": [n],
-                "total_value": [total_cents / 100.0],
+                "total_value": [total_cents / 100.0 if n_vals else None],
                 "n_event_types": [len(types)],
                 "event_types": [types_csv],
             }

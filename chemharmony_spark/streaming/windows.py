@@ -38,7 +38,8 @@ EVENTS_SCHEMA = StructType(
 )
 
 
-def _index_epochs(spark: SparkSession, index_dir: str) -> list:
+def _index_epochs(spark: SparkSession, index_dir: str,
+                  before_epoch: int | None = None) -> list:
     """Enumerate ``epoch=*`` subdirectories of ``index_dir`` through the
     Hadoop FileSystem API, so the incremental indexes work on ANY
     Spark-supported filesystem (s3a://, hdfs://, file:/) — ``os.listdir``
@@ -46,16 +47,32 @@ def _index_epochs(spark: SparkSession, index_dir: str) -> list:
     deployment silently reports "no index yet" every batch and disables
     dedup entirely. Returns ``[]`` when the directory does not exist yet
     (the legitimate first-batch case); every other IO error propagates
-    and fails the batch instead of admitting data unchecked."""
+    and fails the batch instead of admitting data unchecked.
+
+    ``before_epoch``: REQUIRED for replay-idempotent consumers — only
+    epochs strictly below it are listed. A replayed foreachBatch
+    otherwise sees its own crashed-run output (the current epoch's
+    partially written index), collides every document with itself, and
+    rewrites the epoch EMPTY — permanent data loss on recovery."""
     from chemharmony_spark.sources.readers import hadoop_fs
 
     fs, path = hadoop_fs(spark, index_dir)
     if not fs.exists(path):
         return []
+
+    def _keep(name: str) -> bool:
+        if not name.startswith("epoch="):
+            return False
+        if before_epoch is None:
+            return True
+        try:
+            return int(name.split("=", 1)[1]) < before_epoch
+        except ValueError:
+            return True
     return sorted(
         st.getPath().toString()
         for st in fs.listStatus(path)
-        if st.isDirectory() and st.getPath().getName().startswith("epoch=")
+        if st.isDirectory() and _keep(st.getPath().getName())
     )
 
 
@@ -320,8 +337,10 @@ def stream_novel_docs(
         # index file must propagate and fail the batch, not silently admit
         # everything unchecked and pollute the deduplicated corpus. The
         # Hadoop FS listing (not os.listdir) keeps this working when
-        # index_dir is an object-store/HDFS path.
-        epochs = _index_epochs(sess, index_dir)
+        # index_dir is an object-store/HDFS path. before_epoch=epoch_id:
+        # a REPLAYED batch must not see its own crashed-run index output,
+        # or every doc collides with itself and the epoch rewrites empty.
+        epochs = _index_epochs(sess, index_dir, before_epoch=epoch_id)
         if epochs:
             index = sess.read.parquet(*epochs)
             hit_ids = (
@@ -336,15 +355,23 @@ def stream_novel_docs(
             novel = batch_df.join(hit_ids, on="doc_id", how="left_anti")
         else:  # first batch: no index yet
             novel = batch_df
-        novel.write.mode("overwrite").parquet(
-            os.path.join(admitted_dir, f"epoch={epoch_id}")
-        )
-        sigs.join(
-            novel.select(F.col("doc_id").alias("id")), on="id", how="left_semi"
-        ).write.mode("overwrite").parquet(
-            os.path.join(index_dir, f"epoch={epoch_id}")
-        )
-        sigs.unpersist()
+        # persisted: the admitted write AND the index semi-join both
+        # consume novel — without the cache the index read + anti-join
+        # re-run for the second write every micro-batch
+        novel = novel.persist()
+        try:
+            novel.write.mode("overwrite").parquet(
+                os.path.join(admitted_dir, f"epoch={epoch_id}")
+            )
+            sigs.join(
+                novel.select(F.col("doc_id").alias("id")),
+                on="id", how="left_semi",
+            ).write.mode("overwrite").parquet(
+                os.path.join(index_dir, f"epoch={epoch_id}")
+            )
+        finally:
+            novel.unpersist()
+            sigs.unpersist()
 
     run_stream_foreach_batch(src, admit, checkpoint_dir, mode="append")
 
@@ -446,15 +473,27 @@ def stream_countmin_index(
         import os
 
         item = F.col(item_col)
-        parts = None
-        for r in range(depth):
-            p = (
-                batch_df.select(cm_bucket(item, r, width).alias("bucket"))
-                .groupBy("bucket")
-                .agg(F.count(F.lit(1)).alias("c"))
-                .select(F.lit(r).alias("row"), "bucket", "c")
-            )
-            parts = p if parts is None else parts.unionByName(p)
+        # ONE scan computes every hash row's bucket, then unpivots —
+        # the per-row groupBy loop re-read the micro-batch depth times
+        # (the pattern operators/sketches.countmin_counts fixed with a
+        # persist; here the unpivot avoids even the cache)
+        wide = batch_df.select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        cm_bucket(item, r, width).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ])
+            ).alias("e")
+        )
+        parts = (
+            wide.select(F.col("e.row").alias("row"),
+                        F.col("e.bucket").alias("bucket"))
+            .groupBy("row", "bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
         parts.write.mode("overwrite").parquet(
             os.path.join(index_dir, f"epoch={epoch_id}")
         )

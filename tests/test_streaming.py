@@ -767,3 +767,56 @@ def test_index_epochs_uses_hadoop_fs(spark, tmp_path):
     assert [e.rsplit("/", 1)[-1] for e in eps_uri] == ["epoch=0", "epoch=1"]
     with pytest.raises(ValueError, match="no epochs yet"):
         _read_index_epochs(spark, str(tmp_path / "missing"), "HLL")
+    # replay idempotency (r5): a REPLAYED foreachBatch must not list its
+    # own crashed-run epoch — before_epoch bounds the listing strictly
+    (d / "epoch=2").mkdir()
+    replay = _index_epochs(spark, str(d), before_epoch=2)
+    assert [e.rsplit("/", 1)[-1] for e in replay] == ["epoch=0", "epoch=1"]
+    assert _index_epochs(spark, str(d), before_epoch=0) == []
+
+
+def test_profile_parity_null_values_and_half_cents(spark, tmp_path):
+    """Stream/batch profile parity on the edges the r5 review exposed:
+    NULL event_type (crashed sorted()), NULL values (pandas sum() said
+    0.0 where the batch twin says NULL), and exact half-cent values
+    (pandas .round() is half-to-even, F.round is HALF-UP)."""
+    import pandas as pd
+
+    from chemharmony_spark.streaming.stateful import (
+        batch_user_profiles,
+        stream_user_profiles,
+    )
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    pd.DataFrame({
+        "event_id": [1, 2, 3, 4, 5],
+        "user_id": [1, 1, 2, 2, 3],
+        "event_type": ["click", None, "buy", "buy", None],
+        # 0.125 -> 12.5 cents: HALF-UP says 13, banker's said 12
+        "value": [0.125, None, None, None, 2.375],
+        "ts": pd.to_datetime(["2024-01-01"] * 5).astype("datetime64[us]"),
+    }).to_parquet(d / "events.parquet")
+    q = (
+        stream_user_profiles(spark, str(d))
+        .writeStream.format("memory").queryName("prof_edge")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.user_id: (r.n_events, r.total_value, r.n_event_types, r.event_types)
+        for r in spark.sql(
+            "select * from prof_edge"
+        ).collect()
+    }
+    want = {
+        r.user_id: (r.n_events, r.total_value, r.n_event_types, r.event_types)
+        for r in batch_user_profiles(spark, str(d)).collect()
+    }
+    assert got == want
+    assert want[1] == (2, 0.13, 1, "click")   # HALF-UP, null type dropped
+    assert want[2][1] is None                  # all-null values -> NULL sum
+    assert want[3][3] == ""                    # no types at all
