@@ -63,7 +63,6 @@ def _payload(*cols: str) -> F.Column:
 
 def integrate_wide_labels(
     df: DataFrame,
-    compound_id: str,
     smiles_col: str,
     label_cols: list[str],
     substance_meta: list[str] | None = None,
@@ -75,6 +74,17 @@ def integrate_wide_labels(
     Spark-first upgrade: the per-label union *loop* of the reference
     (15_integrate_sider.py:68-70 stacks 27 frames) is a single ``unpivot`` —
     one narrow operator instead of k plan branches.
+
+    sid is attached to each row BEFORE the unpivot, so activities carry
+    their exact substance identity (smiles + inchi + meta): the previous
+    join-back on inchi alone fanned out whenever two distinct SMILES
+    canonicalized to the same InChI (real RDKit does this for salts /
+    tautomers), cross-attributing one compound's labels to another's sid.
+
+    Label cells that don't parse as a number (e.g. 'NA', '?', '' from a
+    schemaless CSV read) are DROPPED — only 0 maps to negative and
+    numeric non-zero to positive; junk must not silently become a
+    positive activity.
     """
     substance_meta = substance_meta or []
     df = df.where(F.col(smiles_col).isNotNull())
@@ -82,14 +92,12 @@ def integrate_wide_labels(
         df, smiles_col, "inchi", smiles_to_inchi(smiles_col)
     )
     df = df.where(F.col("inchi").isNotNull())
+    # row-level substance identity, BEFORE the unpivot: no join-back
+    df = df.withColumn(
+        "data", _payload(smiles_col, "inchi", *substance_meta)
+    ).withColumn("sid", F.md5(F.col("data")))
 
-    subs = (
-        df.select(smiles_col, "inchi", *substance_meta)
-        .distinct()
-        .withColumn("data", _payload(smiles_col, "inchi", *substance_meta))
-        .withColumn("sid", F.md5(F.col("data")))
-        .select("sid", "data", "inchi")
-    )
+    subs = df.select("sid", "data").distinct()
 
     raw_rows = [{"label": c, **(property_meta or {}).get(c, {})} for c in label_cols]
     keys = sorted({k for r in raw_rows for k in r})
@@ -102,19 +110,23 @@ def integrate_wide_labels(
     )
 
     long = melt(
-        df.select(smiles_col, "inchi", *label_cols),
-        ids=[smiles_col, "inchi"],
+        df.select("sid", "inchi", *label_cols),
+        ids=["sid", "inchi"],
         value_cols=label_cols,
         var_name="label",
         value_name="raw",
     )
     acts = (
-        long.withColumn(
+        # try_cast: junk label cells ('NA', '?', '') drop out explicitly
+        # under ANSI and non-ANSI alike (a plain cast throws under ANSI
+        # and silently yielded otherwise()='positive' without it)
+        long.where(F.col("raw").try_cast("double").isNotNull())
+        .withColumn(
             "value",
-            F.when(F.col("raw").cast("double") == 0, "negative").otherwise("positive"),
+            F.when(F.col("raw").try_cast("double") == 0, "negative")
+            .otherwise("positive"),
         )
         .join(F.broadcast(props.select("label", "pid")), on="label")
-        .join(subs.select("sid", "inchi").distinct(), on="inchi")
         .select(
             "sid", "pid", "inchi", "value",
             group_id("sid", "pid", "inchi", "value").alias("aid"),
@@ -177,7 +189,7 @@ def integrate_long_keyvalue(
             "value",
         )
         .join(subs.select("cid", "sid", "inchi"), on="cid")
-        .join(F.broadcast(props.select("prop_key", "pid")), on="prop_key")
+        .join(size_gated_broadcast(props.select("prop_key", "pid")), on="prop_key")
         .select(
             "sid", "pid", "inchi", "value",
             group_id("sid", "pid", "inchi", "value").alias("aid"),
@@ -305,7 +317,12 @@ def integrate_wide_measurements(
             "sid", "pid", F.col(inchi_col).alias("inchi"),
             "value", "metric", "numvalue",
         )
-        .withColumn("aid", group_id("sid", "pid", "inchi", "value", "metric"))
+        # numvalue participates: replicate measurements (two Ki readings
+        # mapping to the same label) must not collide to one aid — the
+        # integrate_relational recipe
+        .withColumn("aid",
+                    group_id("sid", "pid", "inchi", "value", "metric",
+                             "numvalue"))
         .distinct()
     )
     return StagingTables(

@@ -75,7 +75,9 @@ class HttpChatClient:
     Retries ``max_retries`` times on retryable statuses / transport
     errors with exponential backoff (base 2, capped, decorrelated by a
     deterministic per-attempt fraction — no RNG, reproducible tests),
-    honours Retry-After when present, and raises ``LLMClientError`` when
+    honours a ``retry_after`` field in the JSON error body when present
+    (the bare (status, body) transport cannot see HTTP headers), and
+    raises ``LLMClientError`` when
     attempts are exhausted. Response parsing accepts both the
     chat-completions shape (choices[0].message.content) and the
     messages shape (content[0].text)."""
@@ -151,7 +153,8 @@ class HttpChatClient:
                 status, resp = transport(self.url, self._headers(), body)
             except (OSError, urllib.error.URLError) as e:
                 last = f"transport error: {e}"
-                self.sleep(self._delay(attempt, None))
+                if attempt + 1 < self.max_retries:  # no dead sleep pre-raise
+                    self.sleep(self._delay(attempt, None))
                 continue
             if status == 200:
                 return self.parse_response(resp)
@@ -163,7 +166,11 @@ class HttpChatClient:
                 retry_after = float(json.loads(resp).get("retry_after"))
             except Exception:
                 pass
-            self.sleep(self._delay(attempt, retry_after))
+            # the final failed attempt raises immediately: sleeping the
+            # backoff (up to backoff_cap, x8 enrichment workers) before
+            # an exception nobody retries is pure dead wall-time
+            if attempt + 1 < self.max_retries:
+                self.sleep(self._delay(attempt, retry_after))
         raise LLMClientError(
             f"exhausted {self.max_retries} attempts; last: {last}"
         )

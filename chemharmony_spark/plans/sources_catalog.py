@@ -80,6 +80,20 @@ TOXVALDB_PROPERTY_COLS = [
 TOXVALDB_MIN_GROUP = 500  # 01_integrate_toxvaldb.R:24 (n() > 500)
 
 
+def _comptox_inchi(t):
+    """The shared comptox dtxsid -> inchi mapping, ONE inchi per dtxsid:
+    conflicting mappings (salts/stereo variants under one dtxsid) are
+    DROPPED entirely — the pubchem keep-unique idiom (09:28-29). Without
+    this, a double-mapped dtxsid duplicates every joined activity AND
+    gives one local sid two payloads, which harmonize's re-key then fans
+    out into both global substances."""
+    from chemharmony_spark.operators.core import keep_unique_keys
+
+    return keep_unique_keys(
+        t["comptox"].select("dtxsid", "inchi").distinct(), "dtxsid"
+    )
+
+
 def _build_toxvaldb(spark, t):
     """01_integrate_toxvaldb.R: keep qualifier '=' + qa_status 1 rows
     (:20), join comptox for inchi (:12), drop null inchi."""
@@ -87,7 +101,7 @@ def _build_toxvaldb(spark, t):
         (F.col("toxval_numeric_qualifier") == "=") & (F.col("qa_status") == 1)
     )
     raw = raw.join(
-        size_gated_broadcast(t["comptox"].select("dtxsid", "inchi").distinct()),
+        size_gated_broadcast(_comptox_inchi(t)),
         on="dtxsid",
     ).where(F.col("inchi").isNotNull())
     return integrate_measurements(
@@ -150,7 +164,7 @@ def _build_chembl(spark, t):
     acts = (
         t["activities"]
         .join(cmp, on="molregno")
-        .join(F.broadcast(ass), on="assay_id")
+        .join(size_gated_broadcast(ass), on="assay_id")
     )
     return integrate_outcomes(
         acts,
@@ -227,7 +241,7 @@ def _build_tox21(spark, t):
 
     keyed = (
         expanded.withColumn(
-            "pid", F.md5(F.concat_ws("|", *TOX21_PROPERTY_COLS))
+            "pid", group_id(*TOX21_PROPERTY_COLS, sep="|")
         )
         .withColumn("sid", F.md5(F.col("SMILES")))
     )
@@ -235,9 +249,17 @@ def _build_tox21(spark, t):
     keyed = balanced_class_floor(
         keyed, ["pid"], "value", floor=TOX21_CLASS_FLOOR
     )  # :50-51
+    # sid <-> data bijection (harmonize invariant): sid keys on SMILES
+    # alone, so per-sid meta (CAS/SAMPLE_NAME vary across replicate rows
+    # of one compound) is collapsed deterministically (min) before the
+    # payload — two payloads under one sid would fan the re-key join out
     subs = (
-        keyed.select("sid", "SMILES", "CAS", "SAMPLE_NAME", "inchi")
-        .distinct()
+        keyed.groupBy("sid").agg(
+            F.min("CAS").alias("CAS"),
+            F.min("SAMPLE_NAME").alias("SAMPLE_NAME"),
+            F.min("SMILES").alias("SMILES"),
+            F.min("inchi").alias("inchi"),
+        )
         .withColumn(
             "data", F.to_json(F.struct("CAS", "SAMPLE_NAME", "SMILES", "inchi"))
         )
@@ -272,7 +294,7 @@ def _build_toxcast(spark, t):
     (:46-47); inchi from comptox (:14-16)."""
     tox = t["invitrodb"].withColumnRenamed("dsstox_substance_id", "dtxsid")
     tox = tox.join(
-        size_gated_broadcast(t["comptox"].select("dtxsid", "inchi").distinct()),
+        size_gated_broadcast(_comptox_inchi(t)),
         on="dtxsid",
     )
     tox = tox.where(F.col("hitc") != -1)
@@ -286,7 +308,7 @@ def _build_toxcast(spark, t):
     )
     keyed = (
         med.withColumn("sid", F.md5(F.col("dtxsid")))
-        .withColumn("pid", F.md5(F.concat_ws("|", "aeid", "aenm")))
+        .withColumn("pid", group_id("aeid", "aenm", sep="|"))
     )
     keyed = balanced_class_floor(keyed, ["pid"], "value",
                                  floor=TOXCAST_CLASS_FLOOR)
@@ -332,7 +354,7 @@ def _build_reach(spark, t):
     ).where(F.col("inchi").isNotNull())
     keyed = (
         one_smiles.withColumn("sid", F.md5(F.col("ecnumber")))
-        .withColumn("pid", F.md5(F.concat_ws("|", "hazard", "description")))
+        .withColumn("pid", group_id("hazard", "description", sep="|"))
     )
     keyed = balanced_class_floor(keyed, ["pid"], "value",
                                  floor=REACH_CLASS_FLOOR)
@@ -482,12 +504,12 @@ def _build_ice(spark, t):
     for p in parts[1:]:
         iceb = iceb.unionByName(p, allowMissingColumns=True)
     iceb = iceb.withColumnRenamed("DTXSID", "dtxsid").join(
-        size_gated_broadcast(t["comptox"].select("dtxsid", "inchi").distinct()),
+        size_gated_broadcast(_comptox_inchi(t)),
         on="dtxsid",
     ).where(F.col("inchi").isNotNull())
     keyed = (
         iceb.withColumn("sid", F.md5(F.col("dtxsid")))
-        .withColumn("pid", F.md5(F.concat_ws("|", "Assay", "Endpoint", "Units")))
+        .withColumn("pid", group_id("Assay", "Endpoint", "Units", sep="|"))
         .withColumnRenamed("Response", "value")
     )
     keyed = balanced_class_floor(keyed, ["pid"], "value", floor=ICE_CLASS_FLOOR)
@@ -551,11 +573,17 @@ def _build_ctdbase(spark, t):
     joined = ixns.join(size_gated_broadcast(chem), on="ChemicalID")
     keyed = (
         joined.withColumn("sid", F.md5(F.col("inchi")))
-        .withColumn("pid", F.md5(F.concat_ws("|", *CTD_PROPERTY_COLS)))
+        .withColumn("pid", group_id(*CTD_PROPERTY_COLS, sep="|"))
     )
+    # sid keys on inchi alone; chemical meta (two ChemicalIDs can share
+    # an InChI) collapses deterministically so sid <-> data stays 1:1
     subs = (
-        keyed.select("sid", "inchi", "ChemicalName", "ChemicalID", "CasRN")
-        .distinct()
+        keyed.groupBy("sid").agg(
+            F.min("CasRN").alias("CasRN"),
+            F.min("ChemicalID").alias("ChemicalID"),
+            F.min("ChemicalName").alias("ChemicalName"),
+            F.min("inchi").alias("inchi"),
+        )
         .withColumn(
             "data",
             F.to_json(F.struct("CasRN", "ChemicalID", "ChemicalName", "inchi")),
@@ -765,7 +793,6 @@ def _wide_labels_builder(label_cols, smiles_col="smiles", meta=None,
         ]
         return integrate_wide_labels(
             df,
-            compound_id=smiles_col,
             smiles_col=smiles_col,
             label_cols=cols,
             substance_meta=substance_meta or [],

@@ -88,7 +88,16 @@ def read_staging_glob(spark: SparkSession, glob: str, sources: Sequence[str]) ->
     paths = [st.getPath().toString() for st in statuses] if statuses else []
     if not paths:
         raise FileNotFoundError(f"staging glob matched no files: {glob}")
-    return spark.read.parquet(*paths).withColumn("source", source_col)
+    # mergeSchema: per-source staging schemas legitimately differ (only
+    # bindingdb-shaped sources write numvalue/metric) — without the merge
+    # Spark infers from ONE sampled footer, so whether those columns
+    # exist in the scan varies with file ordering, and harmonize's
+    # 'if "numvalue" in acts.columns' silently drops the measurement
+    # column on unlucky runs
+    return (
+        spark.read.option("mergeSchema", "true").parquet(*paths)
+        .withColumn("source", source_col)
+    )
 
 
 # the reference brick envelope per table (README §brick; harmonize.py

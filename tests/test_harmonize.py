@@ -77,3 +77,31 @@ def test_harmonize_is_idempotent(spark, staging_fixture):
     assert sorted(map(tuple, r1.activities.collect())) == sorted(
         map(tuple, r2.activities.collect())
     )
+
+
+def test_heterogeneous_staging_schemas_keep_numvalue(spark, tmp_path):
+    """Per-source staging schemas legitimately differ (only
+    measurement-shaped sources write numvalue); without mergeSchema the
+    scan inferred from ONE sampled footer and the brick's numvalue column
+    survived or vanished depending on file ordering (r5 review)."""
+    import json as _json
+
+    import pandas as pd
+
+    root = tmp_path / "stage"
+    for src, extra in (("srcA", False), ("srcB", True)):
+        d = root / src
+        d.mkdir(parents=True)
+        pd.DataFrame({"sid": [f"{src}-s"], "data": [_json.dumps({"n": src})]}
+                     ).to_parquet(d / "substances.parquet")
+        pd.DataFrame({"pid": [f"{src}-p"], "data": [_json.dumps({"a": 1})]}
+                     ).to_parquet(d / "properties.parquet")
+        acts = {"aid": [f"{src}-a"], "sid": [f"{src}-s"], "pid": [f"{src}-p"],
+                "inchi": ["InChI=1S/H2O/h1H2"], "value": ["positive"]}
+        if extra:
+            acts["numvalue"] = [42.5]
+        pd.DataFrame(acts).to_parquet(d / "activities.parquet")
+    res = harmonize(spark, str(root), ["srcA", "srcB"], derive_smiles=False)
+    assert "numvalue" in res.activities.columns
+    vals = {r.source: r.numvalue for r in res.activities.collect()}
+    assert vals["srcB"] == 42.5 and vals["srcA"] is None

@@ -46,7 +46,7 @@ def test_wide_labels_moleculenet_shape(spark):
         "cid string, smiles string, tox int, bbb int",
     )
     res = integrate_wide_labels(
-        df, compound_id="cid", smiles_col="smiles", label_cols=["tox", "bbb"],
+        df, smiles_col="smiles", label_cols=["tox", "bbb"],
         property_meta={"tox": {"desc": "toxicity"}, "bbb": {"desc": "barrier"}},
     )
     _check_contract(res)
@@ -57,7 +57,7 @@ def test_wide_labels_moleculenet_shape(spark):
     assert len(acts) == 2 + 1 + 1
     # determinism across runs
     res2 = integrate_wide_labels(
-        df, compound_id="cid", smiles_col="smiles", label_cols=["tox", "bbb"],
+        df, smiles_col="smiles", label_cols=["tox", "bbb"],
         property_meta={"tox": {"desc": "toxicity"}, "bbb": {"desc": "barrier"}},
     )
     assert sorted(map(tuple, acts)) == sorted(map(tuple, res2.activities.collect()))
@@ -413,3 +413,31 @@ def test_cache_reads_distinguish_missing_from_broken(spark, tmp_path):
     keys = spark.createDataFrame([("k1",)], "key string")
     with pytest.raises(Exception, match="(?i)parquet|footer|magic"):
         cached_lookup(spark, keys, str(broken), fetch=lambda k: "v")
+
+
+def test_wide_labels_no_fanout_on_shared_inchi(spark):
+    """r5 review repro: two substance rows with the same SMILES (hence
+    same stub InChI) but different meta produce two sids; the old
+    join-back on inchi alone cross-attributed the label to BOTH sids per
+    row (3 activities from 2 rows). Row-level sid attachment keeps
+    exactly one activity per (row, label), each under its own sid."""
+    df = spark.createDataFrame(
+        [("CCO", "ethanol", 1), ("CCO", "alcohol", 1)],
+        "smiles string, name string, tox int",
+    )
+    res = integrate_wide_labels(
+        df, smiles_col="smiles", label_cols=["tox"],
+        substance_meta=["name"],
+    )
+    acts = res.activities.collect()
+    assert res.substances.count() == 2
+    assert len(acts) == 2
+    assert len({r.sid for r in acts}) == 2  # one activity per substance
+    # junk label cells are dropped, not silently positive
+    junk = spark.createDataFrame(
+        [("CCO", "NA"), ("CCN", "1"), ("CCC", "")],
+        "smiles string, tox string",
+    )
+    jres = integrate_wide_labels(junk, smiles_col="smiles", label_cols=["tox"])
+    jacts = jres.activities.collect()
+    assert len(jacts) == 1 and jacts[0].value == "positive"

@@ -97,7 +97,9 @@ def test_exhaustion_raises_with_last_error():
     c, calls, sleeps = _client([(503, b"{}")], max_retries=3)
     with pytest.raises(LLMClientError, match="exhausted 3 attempts"):
         c("p")
-    assert len(calls) == 3 and len(sleeps) == 3
+    # r5: the FINAL failed attempt raises immediately — only the two
+    # inter-attempt backoffs sleep, never a dead pre-raise one
+    assert len(calls) == 3 and len(sleeps) == 2
 
 
 def test_transport_errors_are_retried():
