@@ -11893,7 +11893,7 @@ def oracle_sql() -> dict[str, str]:
                            CAST(SUM(x_i) AS BIGINT) AS x FROM per),
             scored AS (
               SELECT n_name, n_i, x_i,
-                     CAST(floor(1000000.0 / (1.0 +
+                     CAST(least(1000000.0, floor(2000000.0 / (1.0 +
                        (CAST(x_i AS DOUBLE) - CAST(n_i AS DOUBLE)
                         * (CAST(x AS DOUBLE) / CAST(n AS DOUBLE)))
                        * (CAST(x_i AS DOUBLE) - CAST(n_i AS DOUBLE)
@@ -11901,7 +11901,7 @@ def oracle_sql() -> dict[str, str]:
                        / (CAST(n_i AS DOUBLE)
                           * (CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
                           * (1.0 - CAST(x AS DOUBLE)
-                                   / CAST(n AS DOUBLE)))))
+                                   / CAST(n AS DOUBLE))))))
                        AS BIGINT) AS p_micro
               FROM per, tot),
             ranked AS (
@@ -13958,11 +13958,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT n, na1, nb1, n_dis,
                    CAST(floor((1.0 - (CAST(n_dis AS DOUBLE)
                           / CAST(n AS DOUBLE))
-                        / (2.0 * (2.0 * CAST(na1 + nb1 AS DOUBLE)
+                        / (2.0 * CAST(na1 + nb1 AS DOUBLE)
                            * (2.0 * CAST(n AS DOUBLE)
                               - CAST(na1 + nb1 AS DOUBLE))
                            / (2.0 * CAST(n AS DOUBLE)
-                              * (2.0 * CAST(n AS DOUBLE) - 1.0)))))
+                              * (2.0 * CAST(n AS DOUBLE) - 1.0))))
                         * 1000000) AS BIGINT) AS alpha_micro
             FROM agg
         """,
@@ -14025,7 +14025,7 @@ def oracle_sql() -> dict[str, str]:
                            CAST(SUM(x_i) AS BIGINT) AS x FROM per),
             scored AS (
               SELECT n_name,
-                     CAST(floor(1000000.0 / (1.0 +
+                     CAST(least(1000000.0, floor(2000000.0 / (1.0 +
                        (CAST(x_i AS DOUBLE) - CAST(n_i AS DOUBLE)
                         * (CAST(x AS DOUBLE) / CAST(n AS DOUBLE)))
                        * (CAST(x_i AS DOUBLE) - CAST(n_i AS DOUBLE)
@@ -14033,7 +14033,7 @@ def oracle_sql() -> dict[str, str]:
                        / (CAST(n_i AS DOUBLE)
                           * (CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
                           * (1.0 - CAST(x AS DOUBLE)
-                                   / CAST(n AS DOUBLE)))))
+                                   / CAST(n AS DOUBLE))))))
                        AS BIGINT) AS p_micro
               FROM per, tot),
             ranked AS (
@@ -14429,7 +14429,7 @@ def oracle_sql() -> dict[str, str]:
                            CAST(SUM(x_i) AS BIGINT) AS x FROM per),
             scored AS (
               SELECT n_name,
-                     CAST(floor(1000000.0 / (1.0 +
+                     CAST(least(1000000.0, floor(2000000.0 / (1.0 +
                        (CAST(x_i AS DOUBLE) - CAST(n_i AS DOUBLE)
                         * (CAST(x AS DOUBLE) / CAST(n AS DOUBLE)))
                        * (CAST(x_i AS DOUBLE) - CAST(n_i AS DOUBLE)
@@ -14437,7 +14437,7 @@ def oracle_sql() -> dict[str, str]:
                        / (CAST(n_i AS DOUBLE)
                           * (CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
                           * (1.0 - CAST(x AS DOUBLE)
-                                   / CAST(n AS DOUBLE)))))
+                                   / CAST(n AS DOUBLE))))))
                        AS BIGINT) AS p_micro
               FROM per, tot),
             ranked AS (

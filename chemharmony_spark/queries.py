@@ -16179,7 +16179,7 @@ def q374_bh_fdr(spark, sf):
     finalized-order-rate tests — the multiple-comparisons layer the
     per-segment tests (q152, q323) lack: 25 simultaneous hypotheses at
     alpha=0.05 reject the largest k with p_(i) <= i*alpha/m. P-values
-    are the distribution-free Cantelli bound p = 1/(1 + z^2) (exp/erf
+    are the distribution-free two-sided bound p = min(1, 2/(1+z^2)) (exp/erf
     are banned in this engine's determinism rules; the bound is
     conservative and strictly monotone in |z|, which is all BH's
     step-up needs). Every comparison is integer: p_micro * m vs
@@ -16221,9 +16221,15 @@ def q374_bh_fdr(spark, sf):
         "n_name",
         "n_i",
         "x_i",
-        F.floor(F.lit(1_000_000.0) / (1.0 + z2)).cast("long").alias(
-            "p_micro"
-        ),
+        # TWO-SIDED distribution-free bound: the statistic is a squared
+        # deviation, so the tail is min(1, 2/(1+z^2)) — the one-sided
+        # Cantelli 1/(1+z^2) was anti-conservative by up to 2x and the
+        # step procedures rejected at twice the nominal error budget
+        # (r5 review; rankings were unaffected, flags were)
+        F.least(
+            F.lit(1_000_000),
+            F.floor(F.lit(2_000_000.0) / (1.0 + z2)).cast("long"),
+        ).alias("p_micro"),
     )
     wr = Window.orderBy("p_micro", "n_name")
     ranked = scored.withColumn("rank", F.row_number().over(wr))
@@ -19238,7 +19244,12 @@ def q418_krippendorff_binary(spark, sf):
     de = (
         2.0 * ones * zeros / (2.0 * nd * (2.0 * nd - 1.0))
     )
-    alpha = 1.0 - do / (2.0 * de)
+    # alpha = 1 - D_o/D_e exactly: D_e's coincidence-matrix form above
+    # ALREADY contains the factor 2 (ordered (0,1)+(1,0) pairs); the
+    # former extra /2 halved the disagreement ratio, reporting chance-
+    # level raters as alpha ~ +0.5 instead of ~0 (r5 review; oracle
+    # carried the same mirrored error)
+    alpha = 1.0 - do / de
     return agg.select(
         "n",
         "na1",
@@ -19362,9 +19373,15 @@ def q420_holm_bonferroni(spark, sf):
     )
     scored = j.select(
         "n_name",
-        F.floor(F.lit(1_000_000.0) / (1.0 + z2)).cast("long").alias(
-            "p_micro"
-        ),
+        # TWO-SIDED distribution-free bound: the statistic is a squared
+        # deviation, so the tail is min(1, 2/(1+z^2)) — the one-sided
+        # Cantelli 1/(1+z^2) was anti-conservative by up to 2x and the
+        # step procedures rejected at twice the nominal error budget
+        # (r5 review; rankings were unaffected, flags were)
+        F.least(
+            F.lit(1_000_000),
+            F.floor(F.lit(2_000_000.0) / (1.0 + z2)).cast("long"),
+        ).alias("p_micro"),
     )
     wr = Window.orderBy("p_micro", "n_name")
     m = 25
@@ -19911,9 +19928,15 @@ def q428_by_fdr(spark, sf):
     )
     scored = j.select(
         "n_name",
-        F.floor(F.lit(1_000_000.0) / (1.0 + z2)).cast("long").alias(
-            "p_micro"
-        ),
+        # TWO-SIDED distribution-free bound: the statistic is a squared
+        # deviation, so the tail is min(1, 2/(1+z^2)) — the one-sided
+        # Cantelli 1/(1+z^2) was anti-conservative by up to 2x and the
+        # step procedures rejected at twice the nominal error budget
+        # (r5 review; rankings were unaffected, flags were)
+        F.least(
+            F.lit(1_000_000),
+            F.floor(F.lit(2_000_000.0) / (1.0 + z2)).cast("long"),
+        ).alias("p_micro"),
     )
     wr = Window.orderBy("p_micro", "n_name")
     m = 25
