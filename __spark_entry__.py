@@ -541,8 +541,10 @@ _DISC = "(CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))"
 _REV = f"CAST(SUM(CAST(l_extendedprice AS {_DEC}) * {_DISC}) AS DOUBLE)"
 
 # shared text-normalization fragments (must mirror operators/text.py exactly)
-_NORM = ("trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),"
-         " ' +', ' ', 'g'))")
+# explicit [ \t\n\r] whitespace class, mirroring operators/text.py
+# normalize_text exactly (regex \\s differs between Java and RE2 on \\x0B)
+_NORM = ("trim(regexp_replace(regexp_replace(lower(text),"
+         " '[^a-z0-9 \t\n\r]', '', 'g'), '[ \t\n\r]+', ' ', 'g'))")
 _TOKS = f"list_filter(string_split({_NORM}, ' '), x -> x != '')"
 _HEXV = "(instr('0123456789abcdef', {c}) - 1)"
 
@@ -570,7 +572,10 @@ _LANGID_CTES = f"""
               SELECT doc_id, lang, score
               FROM scores UNPIVOT (score FOR lang IN (de, en, es, fr, zh))),
             lpred AS (
-              SELECT doc_id, lang AS pred_lang, score AS pred_score FROM longf
+              SELECT doc_id,
+                     CASE WHEN score > 0 THEN lang ELSE 'und' END
+                       AS pred_lang,
+                     score AS pred_score FROM longf
               QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
                                          ORDER BY score DESC, lang) = 1)
 """
@@ -698,9 +703,13 @@ _CONTAIN_CTES = f"""
               FROM g),
             m AS MATERIALIZED (
               SELECT doc_id, source,
-                     list_sort(list_distinct(
-                       list_transform(range(1, len(hashes) - 4 + 2),
-                         j -> list_aggregate(hashes[j:j+3], 'min')))) AS fps
+                     CASE WHEN len(hashes) >= 4 THEN
+                       list_sort(list_distinct(
+                         list_transform(range(1, len(hashes) - 4 + 2),
+                           j -> list_aggregate(hashes[j:j+3], 'min'))))
+                     WHEN len(hashes) >= 1 THEN
+                       [list_aggregate(hashes, 'min')]
+                     ELSE [] END AS fps
               FROM h),
             ex AS MATERIALIZED (SELECT doc_id, source, unnest(fps) AS f FROM m),
             shared AS (
@@ -1356,8 +1365,9 @@ def oracle_sql() -> dict[str, str]:
             FROM (
               SELECT doc_id, {_TOKS} AS toks, len({_TOKS}) AS n_tokens,
                      length(text) AS n_chars_obs,
-                     length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
-                       / length(text) AS alnum_ratio,
+                     CASE WHEN length(text) > 0 THEN
+                       length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+                         / length(text) END AS alnum_ratio,
                      CAST(len(regexp_extract_all(
                        text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))
                        AS INTEGER) AS n_bpe_tokens
@@ -1596,9 +1606,13 @@ def oracle_sql() -> dict[str, str]:
               FROM g),
             m AS (
               SELECT doc_id,
-                     list_sort(list_distinct(
-                       list_transform(range(1, len(hashes) - 4 + 2),
-                         j -> list_aggregate(hashes[j:j+3], 'min')))) AS fps
+                     CASE WHEN len(hashes) >= 4 THEN
+                       list_sort(list_distinct(
+                         list_transform(range(1, len(hashes) - 4 + 2),
+                           j -> list_aggregate(hashes[j:j+3], 'min'))))
+                     WHEN len(hashes) >= 1 THEN
+                       [list_aggregate(hashes, 'min')]
+                     ELSE [] END AS fps
               FROM h)
             SELECT doc_id, CAST(len(fps) AS INTEGER) AS n_fp,
                    fps[1] AS min_fp, fps[len(fps)] AS max_fp
@@ -1616,8 +1630,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, text, {_TOKS} AS toks,
                      len({_TOKS}) AS n_tokens,
                      length(text) AS n_chars_obs,
-                     length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
-                       / length(text) AS alnum_ratio
+                     CASE WHEN length(text) > 0 THEN
+                       length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+                         / length(text) END AS alnum_ratio
               FROM kept),
             curated AS (
               SELECT * FROM feats
@@ -1636,7 +1651,9 @@ def oracle_sql() -> dict[str, str]:
                   + list_contains(toks,'le')::INT + list_contains(toks,'bu')::INT AS zh
               FROM curated),
             pred AS (
-              SELECT doc_id, lang AS pred_lang
+              SELECT doc_id,
+                     CASE WHEN score > 0 THEN lang ELSE 'und' END
+                       AS pred_lang
               FROM scores UNPIVOT (score FOR lang IN (de, en, es, fr, zh))
               QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
                                          ORDER BY score DESC, lang) = 1)
@@ -2877,9 +2894,13 @@ def oracle_sql() -> dict[str, str]:
               FROM g),
             m AS MATERIALIZED (
               SELECT doc_id, source,
-                     list_sort(list_distinct(
-                       list_transform(range(1, len(hashes) - 4 + 2),
-                         j -> list_aggregate(hashes[j:j+3], 'min')))) AS fps
+                     CASE WHEN len(hashes) >= 4 THEN
+                       list_sort(list_distinct(
+                         list_transform(range(1, len(hashes) - 4 + 2),
+                           j -> list_aggregate(hashes[j:j+3], 'min'))))
+                     WHEN len(hashes) >= 1 THEN
+                       [list_aggregate(hashes, 'min')]
+                     ELSE [] END AS fps
               FROM h),
             ex AS MATERIALIZED (
               SELECT doc_id, source, CAST(len(fps) AS BIGINT) AS nf,
@@ -3345,9 +3366,13 @@ def oracle_sql() -> dict[str, str]:
               FROM g),
             m AS MATERIALIZED (
               SELECT doc_id, split,
-                     list_sort(list_distinct(
-                       list_transform(range(1, len(hashes) - 4 + 2),
-                         j -> list_aggregate(hashes[j:j+3], 'min')))) AS fps
+                     CASE WHEN len(hashes) >= 4 THEN
+                       list_sort(list_distinct(
+                         list_transform(range(1, len(hashes) - 4 + 2),
+                           j -> list_aggregate(hashes[j:j+3], 'min'))))
+                     WHEN len(hashes) >= 1 THEN
+                       [list_aggregate(hashes, 'min')]
+                     ELSE [] END AS fps
               FROM h),
             ex AS MATERIALIZED (
               SELECT doc_id, split, unnest(fps) AS f FROM m),
@@ -13023,10 +13048,11 @@ def oracle_sql() -> dict[str, str]:
         "q400_source_loo_value": """
             WITH per AS (
               SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s,
-                     CAST(SUM(CAST(floor(
+                     CAST(SUM(CASE WHEN length(text) > 0 THEN
+                       CAST(floor(
                        length(regexp_replace(text,
                          '[^a-zA-Z0-9 ]', '', 'g')) / length(text)
-                       * 1000000) AS BIGINT)) AS BIGINT) AS sum_s
+                       * 1000000) AS BIGINT) END) AS BIGINT) AS sum_s
               FROM documents GROUP BY 1),
             tot AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n,
                            CAST(SUM(sum_s) AS BIGINT) AS sum_all
@@ -13940,7 +13966,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q418_krippendorff_binary": """
             WITH t AS (
-              SELECT CASE WHEN length(regexp_replace(text,
+              SELECT CASE WHEN length(text) > 0
+                            AND length(regexp_replace(text,
                        '[^a-zA-Z0-9 ]', '', 'g')) / length(text)
                        >= 0.8 THEN 1 ELSE 0 END AS a,
                      CASE WHEN len(list_filter(string_split(

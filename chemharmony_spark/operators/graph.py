@@ -74,6 +74,15 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # label propagation moves one hop per round: a component whose
+        # diameter exceeds max_iter would otherwise return PARTIAL labels
+        # (same component, different ids) with no signal at all
+        raise RuntimeError(
+            f"connected_components: not converged after {max_iter} rounds "
+            f"({changed} labels still changing) — raise max_iter or use "
+            "connected_components_star (doubling hops per round)"
+        )
     return labels.select("node", F.col("label").alias("component"))
 
 
@@ -141,9 +150,23 @@ def connected_components_star(
     disables the path and everything stays distributed."""
     hint = F.broadcast if broadcast_maps else (lambda d: d)
 
-    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
-        F.col(src) != F.col(dst)
+    # self-loops carry no connectivity but DO declare the node exists:
+    # filter them out of the star machinery (whose rounds drop u == v
+    # edges anyway) but remember the nodes, and append any not otherwise
+    # labeled as singletons at read-off — connected_components keeps such
+    # nodes and the two variants advertise the same contract
+    all_edges = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    selfies = (
+        all_edges.where(F.col("u") == F.col("v"))
+        .select(F.col("u").alias("node")).distinct()
     )
+    raw = all_edges.where(F.col("u") != F.col("v"))
+
+    def _with_selfloop_singletons(comp: DataFrame) -> DataFrame:
+        lone = selfies.join(comp, on="node", how="left_anti")
+        return comp.unionByName(
+            lone.select("node", F.col("node").alias("component"))
+        )
     lab = None
     if pre_contract:
         from chemharmony_spark.cache import registered_persist
@@ -276,7 +299,7 @@ def connected_components_star(
                     F.coalesce("component", F.col("l")).alias("component"),
                 )
             )
-        return comp
+        return _with_selfloop_singletons(comp)
     for _ in range(max_iter):
         new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
         new_sig = _sig(new_e)
@@ -308,4 +331,4 @@ def connected_components_star(
                 F.coalesce("component", F.col("l")).alias("component"),
             )
         )
-    return comp
+    return _with_selfloop_singletons(comp)

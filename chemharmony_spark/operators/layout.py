@@ -45,6 +45,11 @@ def scale_to_bits(col: Column | str, lo: float, hi: float,
     Bounds come from stats the caller already has (or a cheap agg)."""
     c = F.col(col) if isinstance(col, str) else col
     span = float(hi) - float(lo)
+    if span == 0.0:
+        # constant column (min == max after filtering): every row keys to
+        # 0 — the unguarded division crashed the whole z-order write with
+        # DIVIDE_BY_ZERO under Spark 4's default ANSI mode
+        return F.lit(0).cast("long")
     scaled = ((c.cast("double") - float(lo)) / span) * ((1 << bits) - 1)
     return F.least(
         F.lit((1 << bits) - 1),

@@ -26,11 +26,16 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 
 def normalize_text(col: Column | str) -> Column:
-    """Lowercase, strip non-alphanumerics (keep spaces), collapse whitespace."""
+    """Lowercase, strip non-alphanumerics (keep ALL whitespace), collapse
+    whitespace runs to single spaces. The whitespace class is the explicit
+    [ \t\n\r] (not regex \\s — Java and RE2 disagree on \\x0B, and the
+    DuckDB oracles must replay this byte-for-byte): the pre-r5 version
+    DELETED newlines/tabs, gluing tokens across line breaks ('a\nb' ->
+    'ab') and corrupting every downstream token-based signal."""
     c = F.col(col) if isinstance(col, str) else col
     c = F.lower(c)
-    c = F.regexp_replace(c, "[^a-z0-9 ]", "")
-    c = F.regexp_replace(c, " +", " ")
+    c = F.regexp_replace(c, "[^a-z0-9 \t\n\r]", "")
+    c = F.regexp_replace(c, "[ \t\n\r]+", " ")
     return F.trim(c)
 
 
@@ -45,10 +50,12 @@ def token_count(col: Column | str) -> Column:
 
 def alnum_ratio(col: Column | str) -> Column:
     """Fraction of characters that are alphanumeric-or-space — a cheap
-    quality signal (high punctuation/noise ratio -> low score)."""
+    quality signal (high punctuation/noise ratio -> low score). NULL for
+    the empty string (under Spark 4's default ANSI mode the unguarded
+    division crashed the whole job on the first empty document)."""
     c = F.col(col) if isinstance(col, str) else col
     clean_len = F.length(F.regexp_replace(c, "[^a-zA-Z0-9 ]", ""))
-    return clean_len / F.length(c)
+    return F.when(F.length(c) > 0, clean_len / F.length(c))
 
 
 # BPE-ish pre-tokenization pattern: letter runs, digit runs, single other
@@ -106,13 +113,17 @@ def winnowing_fingerprints(df: DataFrame, text_col: str, out_col: str = "fps",
     ).otherwise(empty)
     hcol = F.col("__winnow_hashes")
     n_windows = F.size(hcol) - (w - 1)
+    # short-document fallback (standard winnowing choice): with 1..w-1
+    # gram hashes there is no full window, but an EMPTY fingerprint set
+    # would make byte-identical short documents invisible to the
+    # exploded-fingerprint join — take the min of what exists instead
     mins = F.when(
         n_windows >= 1,
         F.transform(
             F.sequence(F.lit(1), n_windows),
             lambda j: F.array_min(F.slice(hcol, j, w)),
         ),
-    ).otherwise(empty)
+    ).when(F.size(hcol) >= 1, F.array(F.array_min(hcol))).otherwise(empty)
     return (
         df.withColumn("__winnow_norm", normalize_text(text_col))
         .withColumn("__winnow_hashes", hashes)
@@ -230,7 +241,12 @@ def repetition_features(df: DataFrame, text_col: str = "text",
 
     Adds: ``n_tokens``, ``n_ngrams``, ``n_distinct_ngrams``,
     ``top_ngram_count`` (occurrences of the modal n-gram),
-    ``top_ngram_frac`` (= top_ngram_count / n_ngrams),
+    ``top_ngram_frac`` (= top_ngram_count / n_ngrams — an n-gram COUNT
+    fraction, this engine's convention),
+    ``top_ngram_char_frac`` (= top_ngram_count * len(top n-gram) /
+    normalized characters — Table A1's actual CHARACTER-fraction
+    definition; use THIS column with the paper's thresholds, the count
+    fraction doesn't transfer),
     ``dup_ngram_frac`` (fraction of n-gram slots that are repeats),
     ``unique_token_ratio``.
 
@@ -252,7 +268,8 @@ def repetition_features(df: DataFrame, text_col: str = "text",
     ).otherwise(F.array().cast("array<string>"))
     sg = F.col("__rep_sorted")
     acc0 = F.struct(
-        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        F.lit("").alias("prev"), F.lit(0).alias("run"),
+        F.lit(0).alias("best"), F.lit("").alias("bestg"),
     )
 
     def _merge(acc: Column, x: Column) -> Column:
@@ -260,12 +277,22 @@ def repetition_features(df: DataFrame, text_col: str = "text",
         return F.struct(
             x.alias("prev"), run.alias("run"),
             F.greatest(acc["best"], run).alias("best"),
+            # first-sorted gram wins ties (deterministic): only a strictly
+            # longer run replaces the champion
+            F.when(run > acc["best"], x).otherwise(acc["bestg"]).alias("bestg"),
         )
 
-    top_count = F.aggregate(sg, acc0, _merge, lambda acc: acc["best"])
+    top = F.aggregate(sg, acc0, _merge)
+    top_count = top["best"]
+    top_gram = top["bestg"]
     n_grams = F.size(sg)
+    n_chars = F.length(F.col("__rep_norm"))
     return (
-        df.withColumn("__rep_toks", tokens(text_col))
+        df.withColumn("__rep_norm", normalize_text(text_col))
+        .withColumn(
+            "__rep_toks",
+            F.filter(F.split(F.col("__rep_norm"), " "), lambda x: x != ""),
+        )
         .withColumn("__rep_sorted", F.array_sort(grams))
         .withColumn("n_tokens", n_tok)
         .withColumn("n_ngrams", n_grams)
@@ -276,6 +303,10 @@ def repetition_features(df: DataFrame, text_col: str = "text",
             F.when(n_grams > 0, top_count / n_grams),
         )
         .withColumn(
+            "top_ngram_char_frac",
+            F.when(n_chars > 0, top_count * F.length(top_gram) / n_chars),
+        )
+        .withColumn(
             "dup_ngram_frac",
             F.when(n_grams > 0, (n_grams - F.col("n_distinct_ngrams")) / n_grams),
         )
@@ -283,7 +314,7 @@ def repetition_features(df: DataFrame, text_col: str = "text",
             "unique_token_ratio",
             F.when(n_tok > 0, F.size(F.array_distinct(toks)) / n_tok),
         )
-        .drop("__rep_toks", "__rep_sorted")
+        .drop("__rep_norm", "__rep_toks", "__rep_sorted")
     )
 
 
@@ -358,7 +389,12 @@ def langid_scores(df: DataFrame, text_col: str = "text",
         ]
     )
     best = F.array_sort(pairs)[0]
-    out = scored.withColumn("pred_lang", best["lang"]).withColumn(
-        "pred_score", -best["neg"]
-    )
+    # abstain when NO marker of ANY language matched: the argmax would
+    # otherwise confidently emit the lexicographically first language
+    # ('de') for Chinese/Russian/emoji/empty docs whose characters the
+    # normalization strips entirely
+    out = scored.withColumn(
+        "pred_lang",
+        F.when(-best["neg"] > 0, best["lang"]).otherwise(F.lit("und")),
+    ).withColumn("pred_score", -best["neg"])
     return out.drop("__toks", *[f"__score_{lang}" for lang in score_cols])

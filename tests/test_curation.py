@@ -652,3 +652,70 @@ def test_percentile_family_ignores_null_values(spark):
     cont = grouped_percentile_cont(df, ["k"], "v", [("p50", 1, 2)]).collect()
     assert len(cont) == 1 and cont[0]["k"] == "g"
     assert cont[0]["p50"] == 2.5  # interpolated over 4 non-null values
+
+
+def test_text_ops_r5_edge_semantics(spark):
+    """r5 review batch: newline/tab tokenization, empty-string alnum,
+    langid abstain, winnowing short-doc fallback, Gopher char-fraction."""
+    from chemharmony_spark.operators.text import (
+        alnum_ratio,
+        langid_scores,
+        repetition_features,
+        token_count,
+        winnowing_fingerprints,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello\nworld foo\tbar"), (2, ""), (3, "the\nand of is"),
+         (4, "!!! ???"), (5, "abcdef"), (6, "abcdef"),
+         (7, "spam spam spam spam ok")],
+        "doc_id long, text string",
+    )
+    # newlines/tabs are token separators, not deleted
+    tc = {r.doc_id: r.n for r in df.select(
+        "doc_id", token_count("text").alias("n")).collect()}
+    assert tc[1] == 4 and tc[3] == 4
+    # empty text: NULL ratio, not a DIVIDE_BY_ZERO crash under ANSI
+    ar = {r.doc_id: r.a for r in df.select(
+        "doc_id", alnum_ratio("text").alias("a")).collect()}
+    assert ar[2] is None and ar[1] is not None
+    # abstain: zero-marker docs are 'und', never the alphabetically
+    # first language; full-stopword English stays 'en'
+    lang = {r.doc_id: r.pred_lang for r in langid_scores(df).collect()}
+    assert lang[3] == "en" and lang[4] == "und" and lang[2] == "und"
+    # identical short docs share a fingerprint (old code: empty sets)
+    fps = {r.doc_id: r.fps for r in
+           winnowing_fingerprints(df, "text").collect()}
+    assert fps[5] and fps[5] == fps[6]
+    # char fraction: 'spam spam' bigram occurs 3x, len 9; norm len 22
+    rep = {r.doc_id: r for r in repetition_features(df).collect()}
+    r7 = rep[7]
+    assert r7.top_ngram_count == 3
+    assert abs(r7.top_ngram_char_frac - 3 * 9 / 22) < 1e-12
+
+
+def test_connected_components_selfloop_and_convergence_parity(spark):
+    """r5 review: self-loop-only nodes are singletons in BOTH CC variants
+    (star dropped them); min-label raises on non-convergence instead of
+    returning partial labels."""
+    import pytest
+
+    from chemharmony_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 7), (4, 5), (3, 3)], "src long, dst long"
+    )
+    want = sorted(map(tuple, connected_components(edges).collect()))
+    assert (7, 7) in want
+    for kw in ({}, {"pre_contract": True}, {"driver_finish_cap": 100}):
+        got = sorted(map(tuple,
+                         connected_components_star(edges, **kw).collect()))
+        assert got == want, kw
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="not converged"):
+        connected_components(chain, max_iter=5)
