@@ -94,6 +94,7 @@ def connected_components_star(
     broadcast_maps: bool = False,
     pre_contract: bool = False,
     driver_finish_cap: int = 0,
+    self_loops: str = "singletons",
 ) -> DataFrame:
     """-> (node, component) via alternating large-star/small-star rounds
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -147,7 +148,24 @@ def connected_components_star(
     plus the union-find parent/nodes dicts (~100 bytes per distinct
     node), so 2M edges is on the order of 0.5-1 GB of driver heap, not
     the 32 MB the raw ids suggest. Size caps against that figure; 0
-    disables the path and everything stays distributed."""
+    disables the path and everything stays distributed.
+
+    ``self_loops``: what a ``u == u`` edge means. ``'singletons'``
+    (default): it declares the node exists — such nodes come back as
+    their own component even when no real edge touches them (same
+    contract as :func:`connected_components`). This costs ONE extra pass
+    over the edge frame (the self-loop scan) plus an anti-join at
+    read-off — if ``edges`` is an expensive unpersisted pipeline, that
+    pass re-executes it, so persist the edges or use ``'absent'``.
+    ``'absent'``: the caller guarantees no self-loops exist (e.g. pairs
+    built with a strict ``a < b`` join condition — every near-dup
+    candidate generator in operators/dedup.py emits that shape); the
+    scan and anti-join are skipped entirely, restoring the minimal
+    plan. Any self-loop present anyway is silently dropped."""
+    if self_loops not in ("singletons", "absent"):
+        raise ValueError(
+            f"self_loops must be 'singletons' or 'absent', got {self_loops!r}"
+        )
     hint = F.broadcast if broadcast_maps else (lambda d: d)
 
     # self-loops carry no connectivity but DO declare the node exists:
@@ -156,17 +174,22 @@ def connected_components_star(
     # labeled as singletons at read-off — connected_components keeps such
     # nodes and the two variants advertise the same contract
     all_edges = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    selfies = (
-        all_edges.where(F.col("u") == F.col("v"))
-        .select(F.col("u").alias("node")).distinct()
-    )
     raw = all_edges.where(F.col("u") != F.col("v"))
-
-    def _with_selfloop_singletons(comp: DataFrame) -> DataFrame:
-        lone = selfies.join(comp, on="node", how="left_anti")
-        return comp.unionByName(
-            lone.select("node", F.col("node").alias("component"))
+    if self_loops == "singletons":
+        selfies = (
+            all_edges.where(F.col("u") == F.col("v"))
+            .select(F.col("u").alias("node")).distinct()
         )
+
+        def _with_selfloop_singletons(comp: DataFrame) -> DataFrame:
+            lone = selfies.join(comp, on="node", how="left_anti")
+            return comp.unionByName(
+                lone.select("node", F.col("node").alias("component"))
+            )
+    else:  # 'absent': caller-guaranteed a < b pairs — zero-overhead path
+
+        def _with_selfloop_singletons(comp: DataFrame) -> DataFrame:
+            return comp
     lab = None
     if pre_contract:
         from chemharmony_spark.cache import registered_persist

@@ -2952,6 +2952,10 @@ def q123_dedup_pipeline(spark, sf):
     comp = connected_components_star(
         pairs, "src", "dst", broadcast_maps=True, pre_contract=True,
         driver_finish_cap=2_000_000,
+        # pairs are strict a < b (PPJoin emits canonicalized pairs), so
+        # the self-loop singleton pass would only re-execute the whole
+        # unpersisted verify pipeline for nothing
+        self_loops="absent",
     )
     labeled = (
         docs.join(member, on="doc_id")
@@ -14634,7 +14638,9 @@ def q350_threshold_percolation(spark, sf):
     for th in (500000, 700000, 900000):
         e = pairs.where(F.col("j_ppm") >= th)
         comp = connected_components_star(
-            e, "a", "b", broadcast_maps=True, pre_contract=True
+            e, "a", "b", broadcast_maps=True, pre_contract=True,
+            # a < b canonicalized pairs: no self-loops by construction
+            self_loops="absent",
         )
         sizes = comp.groupBy("component").agg(
             F.count(F.lit(1)).alias("sz")

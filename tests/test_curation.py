@@ -719,3 +719,31 @@ def test_connected_components_selfloop_and_convergence_parity(spark):
     )
     with pytest.raises(RuntimeError, match="not converged"):
         connected_components(chain, max_iter=5)
+
+
+def test_connected_components_star_self_loops_absent_mode(spark):
+    """self_loops='absent' (the a < b caller contract): identical result
+    on a loop-free graph, WITHOUT the extra edge-set pass — asserted by
+    plan shape (no anti-join at read-off) — and a loud error on a bogus
+    mode string."""
+    import pytest
+
+    from chemharmony_spark.operators.graph import connected_components_star
+
+    clean = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "src long, dst long"
+    )
+    want = sorted(
+        map(tuple, connected_components_star(clean).collect())
+    )
+    for kw in ({}, {"pre_contract": True}, {"driver_finish_cap": 100}):
+        got = sorted(map(tuple, connected_components_star(
+            clean, self_loops="absent", **kw).collect()))
+        assert got == want, kw
+    # the absent path must not append the anti-join/union stage
+    plan = connected_components_star(
+        clean, self_loops="absent", driver_finish_cap=100
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join LeftAnti" not in plan
+    with pytest.raises(ValueError, match="self_loops"):
+        connected_components_star(clean, self_loops="drop")
