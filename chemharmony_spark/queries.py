@@ -2879,8 +2879,9 @@ def q123_dedup_pipeline(spark, sf):
 
     Scale shape: the collapse is the production exact-dedup-before-
     near-dedup stage — it shrinks the quadratic pair volume by the
-    square of the dup ratio (5000 docs -> 3935 supernodes, 7.1M -> 4.4M
-    verified pairs at sf0.1) for one linear agg; candidates touch
+    square of the dup ratio (5000 docs -> 3935 supernodes, 5.7M
+    candidates -> 3.4M verified pairs at sf0.1 with newline-aware
+    tokenization) for one linear agg; candidates touch
     rare-token prefixes only (bounded groups); verify is codegen
     array_intersect on candidates only; the component step is
     large-star/small-star WITH Boruvka pre-contraction (near-dup
