@@ -14642,6 +14642,11 @@ def q350_threshold_percolation(spark, sf):
             e, "a", "b", broadcast_maps=True, pre_contract=True,
             # a < b canonicalized pairs: no self-loops by construction
             self_loops="absent",
+            # near-dup clusters contract to label-pairs in the Boruvka
+            # round; below the cap a single union-find replaces ~7
+            # fixed-overhead jobs PER THRESHOLD (x3 here) — same exact
+            # result, same driver-memory bound as q123
+            driver_finish_cap=2_000_000,
         )
         sizes = comp.groupBy("component").agg(
             F.count(F.lit(1)).alias("sz")
