@@ -22,7 +22,8 @@ def cmd_harmonize(spark, args) -> int:
 
     sources = [s for s in args.sources.split(",") if s]
     res = harmonize(spark, args.staging, sources,
-                    scratch_dir=args.scratch or None)
+                    scratch_dir=args.scratch or None,
+                    rekey_strategy=args.rekey)
     # partitioned by source (SURVEY §4): the per-source access pattern
     # dominates QA and re-integration reads (reference tests.py:18-30,
     # 80_harmonize.py:99) — a source-filtered read then touches exactly
@@ -66,6 +67,12 @@ def build_parser() -> argparse.ArgumentParser:
     h.add_argument("--sources", required=True, help="comma-separated names")
     h.add_argument("--out", required=True)
     h.add_argument("--scratch", default="")
+    h.add_argument(
+        "--rekey", choices=("auto", "bucket"), default="auto",
+        help="re-key join strategy: auto = size-gated broadcast hint; "
+             "bucket = shuffle-hash build (the 100x-scale path for id "
+             "maps that outgrow any broadcast)",
+    )
     h.set_defaults(fn=cmd_harmonize)
 
     q = sub.add_parser("query", help="run one oracle query")

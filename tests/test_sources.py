@@ -152,6 +152,18 @@ def test_cli_handlers(spark, sf_dir, tmp_path, capsys):
     assert read_brick(spark, str(tmp_path / "brick"), "substances").columns == [
         "sid", "source", "data",
     ]
+    # the 100x-scale re-key path is selectable from the CLI and writes
+    # the identical brick (shuffle-hash build instead of broadcast hint)
+    args = parser.parse_args([
+        "harmonize", "--staging", str(staging), "--sources", "sA,sB",
+        "--out", str(tmp_path / "brick_bucket"), "--rekey", "bucket",
+    ])
+    assert args.rekey == "bucket"
+    assert args.fn(spark, args) == 0
+    a2 = read_brick(spark, str(tmp_path / "brick_bucket"), "activities")
+    assert sorted(map(tuple, a2.collect())) == sorted(
+        map(tuple, brick_acts.collect())
+    )
 
 
 def test_orc_roundtrip_with_pushdown(spark, tmp_path):
