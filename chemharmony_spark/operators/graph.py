@@ -174,6 +174,14 @@ def connected_components_star(
     # labeled as singletons at read-off — connected_components keeps such
     # nodes and the two variants advertise the same contract
     all_edges = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if pre_contract and self_loops == "singletons":
+        # the contraction path persists the edge frame anyway (it feeds
+        # the label agg AND the rewrite); persisting BEFORE the self-loop
+        # split lets the singleton scan read the cache instead of
+        # re-executing a possibly-expensive caller pipeline
+        from chemharmony_spark.cache import registered_persist
+
+        all_edges = registered_persist(all_edges)
     raw = all_edges.where(F.col("u") != F.col("v"))
     if self_loops == "singletons":
         selfies = (
@@ -194,7 +202,11 @@ def connected_components_star(
     if pre_contract:
         from chemharmony_spark.cache import registered_persist
 
-        raw = registered_persist(raw)
+        if self_loops != "singletons":
+            # in singleton mode all_edges is already persisted above and
+            # raw is a cheap filter over that cache — a second pair-sized
+            # cache of near-identical rows would only evict useful blocks
+            raw = registered_persist(raw)
         sym = raw.union(
             raw.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
