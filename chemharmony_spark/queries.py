@@ -1153,7 +1153,15 @@ def q69_dedup_clusters(spark, sf):
     closure over the identical pair set."""
     from chemharmony_spark.operators.graph import connected_components
 
-    pairs = q62_containment_dedup(spark, sf).select("da", "db")
+    # persisted before CC: the symmetrization union inside
+    # connected_components reads the edge frame twice, which would
+    # otherwise execute the whole q62 winnowing pipeline twice
+    # (the SCALE.md rule q164/q210 already follow)
+    pairs = (
+        q62_containment_dedup(spark, sf)
+        .select("da", "db")
+        .transform(_registered_persist)
+    )
     comp = connected_components(pairs, "da", "db")
     return comp.groupBy("component").agg(
         F.count(F.lit(1)).alias("n_members"),
@@ -3197,7 +3205,11 @@ def q129_entity_resolution(spark, sf):
     from chemharmony_spark.operators.graph import connected_components
 
     part = _t(spark, sf, "part").select("p_partkey", "p_name")
-    pairs = DD.edit_distance_pairs(part, "p_partkey", "p_name", max_dist=2)
+    # persisted before CC: the symmetrization union reads the edge frame
+    # twice — without the cache the banded Levenshtein join runs twice
+    pairs = DD.edit_distance_pairs(
+        part, "p_partkey", "p_name", max_dist=2
+    ).transform(_registered_persist)
     comp = connected_components(
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")),
         "src", "dst",
