@@ -1420,8 +1420,9 @@ def q79_media_near_dups(spark, sf):
     is pigeonhole-complete for the threshold, so the oracle's all-pairs
     formulation yields the identical pair set."""
     docs = MM.attach_binary_payload(_t(spark, sf, "documents"), "text")
-    # persist: the banded self-join references the hash frame 8 times —
-    # without it the Python hashing pass re-runs per band side
+    # persist: the banded self-join references the hash frame twice per
+    # band (2 * (max_hamming + 1) = 22 branches here) — without it the
+    # Python hashing pass re-runs per band side
     hashes = MM.ahash64(docs).transform(_registered_persist)
     return MM.ahash_near_dup_pairs(hashes, max_hamming=10)
 
