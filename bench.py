@@ -131,6 +131,13 @@ def main() -> None:
             errors[name] = f"{type(e).__name__}: {e}"[:300]
         finally:
             release_caches()
+            # localCheckpoint blocks (the CC loop's lineage cuts) are only
+            # freed when the driver-side references are garbage-collected
+            # and the ContextCleaner runs; force the Python side so one
+            # query's checkpoint residue can't inflate the next timing
+            import gc
+
+            gc.collect()
 
     # flagship: the harmonize job end-to-end (scan -> canonicalize ->
     # content ids -> re-key joins -> global aid -> invariant checks)
