@@ -4375,7 +4375,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT p1, p2, nij,
                    CAST(nij * 1000000 // nb AS BIGINT) AS support_ppm,
                    CAST(nij * 1000000 // fa.ni AS BIGINT) AS conf_ppm,
-                   CAST(nij * nb * 1000000 // (fa.ni * fb.ni) AS BIGINT)
+                   -- HUGEINT: the three-count product overflows BIGINT at
+                   -- scale (mirrors the Spark side's DECIMAL(38,0))
+                   CAST(CAST(nij AS HUGEINT) * nb * 1000000
+                        // (CAST(fa.ni AS HUGEINT) * fb.ni) AS BIGINT)
                      AS lift_ppm
             FROM pairs
             JOIN freq fa ON fa.item = p1
@@ -4640,7 +4643,7 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT p2 FROM edges),
             deg AS (SELECT node, COUNT(*) AS deg FROM ends GROUP BY 1)
             SELECT deg.node, deg, COALESCE(n_tri, 0) AS n_tri,
-                   CAST(2 * COALESCE(n_tri, 0) * 1000000
+                   CAST(2 * CAST(COALESCE(n_tri, 0) AS HUGEINT) * 1000000
                         // (deg * (deg - 1)) AS BIGINT) AS coeff_ppm
             FROM deg LEFT JOIN ntri ON deg.node = ntri.node
             WHERE deg >= 2
@@ -6221,10 +6224,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(d1 - d0 + 1 AS BIGINT) AS n_days,
                    CAST(n_orders * 1000000 // (d1 - d0 + 1) AS BIGINT)
                      AS lambda_micro,
-                   CAST(sum_cycle * 1000000 // n_orders AS BIGINT)
-                     AS w_micro,
-                   CAST(sum_cycle * 1000000 // (d1 - d0 + 1) AS BIGINT)
-                     AS l_pred_micro
+                   CAST(CAST(sum_cycle AS HUGEINT) * 1000000
+                        // n_orders AS BIGINT) AS w_micro,
+                   CAST(CAST(sum_cycle AS HUGEINT) * 1000000
+                        // (d1 - d0 + 1) AS BIGINT) AS l_pred_micro
             FROM stats
         """,
         "q238_forecast_backtest": """
@@ -9131,13 +9134,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(threshold_pct AS INT) AS threshold_pct, tp, fp,
                    nt - tp AS fn,
                    CASE WHEN tp + fp > 0
-                        THEN tp * 1000000 // (tp + fp) ELSE 0 END
+                        THEN CAST(CAST(tp AS HUGEINT) * 1000000
+                                  // (tp + fp) AS BIGINT) ELSE 0 END
                      AS precision_ppm,
-                   CASE WHEN nt > 0 THEN tp * 1000000 // nt ELSE 0 END
+                   CASE WHEN nt > 0
+                        THEN CAST(CAST(tp AS HUGEINT) * 1000000
+                                  // nt AS BIGINT) ELSE 0 END
                      AS recall_ppm,
                    CASE WHEN 2 * tp + fp + (nt - tp) > 0
-                        THEN 2 * tp * 1000000
-                             // (2 * tp + fp + (nt - tp))
+                        THEN CAST(2 * CAST(tp AS HUGEINT) * 1000000
+                                  // (2 * tp + fp + (nt - tp)) AS BIGINT)
                         ELSE 0 END AS f1_ppm
             FROM agg, nt
         """,
@@ -10455,7 +10461,9 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY 1, 2),
             credit AS (
               SELECT unnest(touchset) AS channel, set_size, n, n_conv,
-                     n_conv * 1000000000 // (n * set_size) AS credit_nano
+                     CAST(CAST(n_conv AS HUGEINT) * 1000000000
+                          // (CAST(n AS HUGEINT) * set_size) AS BIGINT)
+                       AS credit_nano
               FROM sets)
             SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_sets,
                    CAST(SUM(n) AS BIGINT) AS n_users,
@@ -11069,8 +11077,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT item, CAST(COUNT(*) AS BIGINT) AS n_impressions,
                    CAST(SUM(clicked) AS BIGINT) AS n_clicks,
                    CAST(SUM(ctr_ppm) AS BIGINT) AS expected_clicks_ppm,
-                   CAST(SUM(clicked) AS BIGINT) * 1000000000000
-                     // CAST(SUM(ctr_ppm) AS BIGINT) AS coec_ppm
+                   CAST(CAST(SUM(clicked) AS HUGEINT) * 1000000000000
+                        // CAST(SUM(ctr_ppm) AS HUGEINT) AS BIGINT)
+                     AS coec_ppm
             FROM base JOIN pc USING (pos) GROUP BY 1
         """,
         "q355_topk_stability": f"""

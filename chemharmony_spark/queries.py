@@ -5297,7 +5297,14 @@ def q177_association_rules(spark, sf):
             "p1", "p2", "nij",
             F.expr("nij * 1000000L div nb").alias("support_ppm"),
             F.expr("nij * 1000000L div ni").alias("conf_ppm"),
-            F.expr("nij * nb * 1000000L div (ni * nj)").alias("lift_ppm"),
+            # lift multiplies THREE counts before the divide — decimal(38,0)
+            # operands keep it exact where BIGINT overflows at large scale
+            # (q451's D38/HUGEINT pattern; DIV of decimals returns BIGINT)
+            F.expr(
+                "CAST(nij AS DECIMAL(38,0)) * CAST(nb AS DECIMAL(38,0))"
+                " * 1000000 DIV (CAST(ni AS DECIMAL(38,0))"
+                " * CAST(nj AS DECIMAL(38,0)))"
+            ).alias("lift_ppm"),
         )
         .orderBy(F.col("lift_ppm").desc(), "p1", "p2")
         .limit(20)
@@ -5700,8 +5707,12 @@ def q186_clustering_coefficient(spark, sf):
         .na.fill({"n_tri": 0})
         .select(
             "node", "deg", "n_tri",
-            F.expr("2 * n_tri * 1000000 div (deg * (deg - 1))")
-            .alias("coeff_ppm"),
+            # D38: a hub's n_tri approaches deg^2/2, so * 1e6 wraps
+            # BIGINT at production degree; deg*(deg-1) itself still fits
+            F.expr(
+                "2 * CAST(n_tri AS DECIMAL(38,0)) * 1000000"
+                " DIV (deg * (deg - 1))"
+            ).alias("coeff_ppm"),
         )
     )
 
@@ -8140,9 +8151,13 @@ def q237_littles_law(spark, sf):
         F.expr(
             "n_orders * 1000000 div (d1 - d0 + 1)"
         ).alias("lambda_micro"),
-        F.expr("sum_cycle * 1000000 div n_orders").alias("w_micro"),
+        # D38: sum_cycle is a SUM of per-order durations — order-count x
+        # mean-days — so * 1e6 wraps BIGINT well before n_orders does
         F.expr(
-            "sum_cycle * 1000000 div (d1 - d0 + 1)"
+            "CAST(sum_cycle AS DECIMAL(38,0)) * 1000000 DIV n_orders"
+        ).alias("w_micro"),
+        F.expr(
+            "CAST(sum_cycle AS DECIMAL(38,0)) * 1000000 DIV (d1 - d0 + 1)"
         ).alias("l_pred_micro"),
     )
 
@@ -12236,20 +12251,26 @@ def q313_dedup_threshold_f1(spark, sf):
             "precision_ppm",
             F.when(
                 F.col("tp") + F.col("fp") > 0,
-                F.expr("tp * 1000000 DIV (tp + fp)"),
+                # D38: tp/fp are PAIR counts — quadratic in corpus
+                # size, so * 1e6 wraps BIGINT at production scale
+                F.expr("CAST(tp AS DECIMAL(38,0)) * 1000000 DIV (tp + fp)"),
             ).otherwise(F.lit(0)),
         )
         .withColumn(
             "recall_ppm",
             F.when(
-                F.col("nt") > 0, F.expr("tp * 1000000 DIV nt")
+                F.col("nt") > 0,
+                F.expr("CAST(tp AS DECIMAL(38,0)) * 1000000 DIV nt"),
             ).otherwise(F.lit(0)),
         )
         .withColumn(
             "f1_ppm",
             F.when(
                 2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
-                F.expr("2 * tp * 1000000 DIV (2 * tp + fp + fn)"),
+                F.expr(
+                    "2 * CAST(tp AS DECIMAL(38,0)) * 1000000"
+                    " DIV (2 * tp + fp + fn)"
+                ),
             ).otherwise(F.lit(0)),
         )
         .select(
@@ -13954,9 +13975,12 @@ def q340_shapley_attribution(spark, sf):
         "set_size",
         "n",
         "n_conv",
-        F.expr("n_conv * 1000000000 DIV (n * set_size)").alias(
-            "credit_nano"
-        ),
+        # D38 operand: n_conv * 1e9 wraps BIGINT past ~9.2e9 conversions
+        # per touchset group (q451 pattern; decimal DIV returns BIGINT)
+        F.expr(
+            "CAST(n_conv AS DECIMAL(38,0)) * 1000000000"
+            " DIV (CAST(n AS DECIMAL(38,0)) * set_size)"
+        ).alias("credit_nano"),
     )
     return credit.groupBy("channel").agg(
         F.count(F.lit(1)).alias("n_sets"),
@@ -14947,8 +14971,11 @@ def q354_coec_position_bias(spark, sf):
             "n_impressions",
             "n_clicks",
             "expected_clicks_ppm",
+            # D38 operand: n_clicks * 1e12 wraps BIGINT past ~9.2e6
+            # clicks per item — reachable at modest production scale
             F.expr(
-                "n_clicks * 1000000000000 DIV expected_clicks_ppm"
+                "CAST(n_clicks AS DECIMAL(38,0)) * 1000000000000"
+                " DIV expected_clicks_ppm"
             ).alias("coec_ppm"),
         )
     )
