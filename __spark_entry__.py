@@ -7487,11 +7487,12 @@ def oracle_sql() -> dict[str, str]:
                           CAST(COUNT(*) AS BIGINT) AS ndv_left FROM a1),
             r1 AS (SELECT CAST(SUM(nr) AS BIGINT) AS n_right,
                           CAST(COUNT(*) AS BIGINT) AS ndv_right FROM b1),
-            j1 AS (SELECT CAST(SUM(nl * nr) AS BIGINT) AS actual_rows
+            j1 AS (SELECT CAST(SUM(CAST(nl AS HUGEINT) * nr) AS BIGINT) AS actual_rows
                    FROM a1 JOIN b1 USING (k)),
             p1 AS (SELECT 'lineitem_orders' AS join_name, n_left, n_right,
                           ndv_left, ndv_right,
-                          n_left * n_right // greatest(ndv_left, ndv_right)
+                          CAST(CAST(n_left AS HUGEINT) * n_right
+                               // greatest(ndv_left, ndv_right) AS BIGINT)
                             AS est_rows,
                           actual_rows
                    FROM s1, r1, j1),
@@ -7503,11 +7504,12 @@ def oracle_sql() -> dict[str, str]:
                           CAST(COUNT(*) AS BIGINT) AS ndv_left FROM a2),
             r2 AS (SELECT CAST(SUM(nr) AS BIGINT) AS n_right,
                           CAST(COUNT(*) AS BIGINT) AS ndv_right FROM b2),
-            j2 AS (SELECT CAST(SUM(nl * nr) AS BIGINT) AS actual_rows
+            j2 AS (SELECT CAST(SUM(CAST(nl AS HUGEINT) * nr) AS BIGINT) AS actual_rows
                    FROM a2 JOIN b2 USING (k)),
             p2 AS (SELECT 'orders_customer' AS join_name, n_left, n_right,
                           ndv_left, ndv_right,
-                          n_left * n_right // greatest(ndv_left, ndv_right)
+                          CAST(CAST(n_left AS HUGEINT) * n_right
+                               // greatest(ndv_left, ndv_right) AS BIGINT)
                             AS est_rows,
                           actual_rows
                    FROM s2, r2, j2),
@@ -7519,11 +7521,12 @@ def oracle_sql() -> dict[str, str]:
                           CAST(COUNT(*) AS BIGINT) AS ndv_left FROM a3),
             r3 AS (SELECT CAST(SUM(nr) AS BIGINT) AS n_right,
                           CAST(COUNT(*) AS BIGINT) AS ndv_right FROM b3),
-            j3 AS (SELECT CAST(SUM(nl * nr) AS BIGINT) AS actual_rows
+            j3 AS (SELECT CAST(SUM(CAST(nl AS HUGEINT) * nr) AS BIGINT) AS actual_rows
                    FROM a3 JOIN b3 USING (k)),
             p3 AS (SELECT 'lineitem_part' AS join_name, n_left, n_right,
                           ndv_left, ndv_right,
-                          n_left * n_right // greatest(ndv_left, ndv_right)
+                          CAST(CAST(n_left AS HUGEINT) * n_right
+                               // greatest(ndv_left, ndv_right) AS BIGINT)
                             AS est_rows,
                           actual_rows
                    FROM s3, r3, j3)
@@ -9464,8 +9467,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT CAST(COUNT(*) AS BIGINT) AS n,
                      CAST(SUM(x) AS BIGINT) AS sx,
                      CAST(SUM(y) AS BIGINT) AS sy,
-                     CAST(SUM(x * y) AS BIGINT) AS sxy,
-                     CAST(SUM(x * x) AS BIGINT) AS sxx,
+                     CAST(SUM(CAST(x AS HUGEINT) * y) AS BIGINT) AS sxy,
+                     CAST(SUM(CAST(x AS HUGEINT) * x) AS BIGINT) AS sxx,
                      CAST(MAX(cum_n) AS BIGINT) AS total_tokens,
                      CAST(MAX(cum_v) AS BIGINT) AS vocab
               FROM pts)

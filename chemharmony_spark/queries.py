@@ -10018,7 +10018,12 @@ def q281_join_cardinality_estimate(spark, sf):
             F.sum("nr").alias("n_right"), F.count(F.lit(1)).alias("ndv_right")
         )
         actual = a.join(b, on="k").agg(
-            F.sum(F.col("nl") * F.col("nr")).alias("actual_rows")
+            # D38: the true join cardinality is exactly what blows up on
+            # skewed keys — the moment this advisor matters most is the
+            # moment per-key nl*nr products would wrap BIGINT
+            F.sum(
+                F.col("nl").cast("decimal(38,0)") * F.col("nr")
+            ).alias("actual_rows")
         )
         qerr = F.greatest(
             F.col("est_rows").cast("double")
@@ -10031,7 +10036,12 @@ def q281_join_cardinality_estimate(spark, sf):
             .crossJoin(F.broadcast(actual))
             .withColumn(
                 "est_rows",
-                F.expr("n_left * n_right DIV greatest(ndv_left, ndv_right)"),
+                # D38 product: n_left * n_right is count x count — wraps
+                # BIGINT at data scale; result fits BIGINT after the DIV
+                F.expr(
+                    "CAST(CAST(n_left AS DECIMAL(38,0)) * n_right"
+                    " DIV greatest(ndv_left, ndv_right) AS BIGINT)"
+                ),
             )
             .select(
                 F.lit(name).alias("join_name"),
@@ -10040,7 +10050,9 @@ def q281_join_cardinality_estimate(spark, sf):
                 "ndv_left",
                 "ndv_right",
                 "est_rows",
-                "actual_rows",
+                # exact D38 sum internally; BIGINT at the contract edge
+                # (in-range exact, loud ANSI error beyond — never wrapped)
+                F.col("actual_rows").cast("long").alias("actual_rows"),
                 F.floor(qerr * 1_000_000).cast("long").alias("q_error_ppm"),
             )
         )
@@ -12671,8 +12683,10 @@ def q320_heaps_law(spark, sf):
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        # D38 products: x,y are micro-scaled logs (~3e7), so x*y is
+        # ~1e15 per point — the sum wraps BIGINT past ~1e4 points
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
         F.max("cum_n").alias("total_tokens"),
         F.max("cum_v").alias("vocab"),
     )
