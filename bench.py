@@ -10,16 +10,36 @@ was observed at 13.8 s then 5.8 s within one session. Best-of-2 reports
 steady-state engine throughput, the quantity that actually compares
 across rounds. (Rounds 1-3 were single-shot; their totals carry that
 noise.)
+
+Drift control (since round 6; r5 verdict task 2 — the r5 bench read as a
+1.87x regression that a matched-condition A/B disproved: the HOST had
+drifted, not the code):
+  * every run records ``calibration_sec`` — best-of-3 of a FIXED tiny
+    reference plan (an 8M-row modular groupBy that never changes across
+    rounds) measured before and after the query loop — plus
+    ``load_avg`` (os.getloadavg) at both points. Cross-round totals are
+    only comparable after dividing by the calibration ratio; a
+    calibration shift marks the round's numbers as host drift, not a
+    code regression (methodology in SCALE.md §"bench drift control").
+  * ``--ab BASE_REF`` runs the definitive same-host comparison: head
+    and a named git tree interleaved IN ONE PROCESS (same JVM, same
+    session, alternating head/base runs per query, best-of-2 each
+    side), reporting per-query ratios. Module identity is swapped via
+    sys.path + a sys.modules purge between runs; the base tree comes
+    from a detached git worktree under /tmp.
 """
 
 from __future__ import annotations
 
+import gc
 import json
 import os
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 
 HEADLINE = [
     "q01_pricing_summary",
@@ -48,6 +68,29 @@ HEADLINE = [
     "q134_bm25_topk",
     "q139_cusum_alarms",
 ]
+
+
+def _calibrate(spark) -> float:
+    """Best-of-3 of a FIXED reference plan: 8M-row modular groupBy.
+    The plan never changes across rounds, so its wall time measures the
+    HOST (scheduler pressure, page cache, CPU contention), not the repo.
+    Divide round totals by the calibration ratio before comparing."""
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(0, 8_000_000, 1, 16).selectExpr(
+            "id % 9973 AS k"
+        ).groupBy("k").count().count()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
+
+
+def _load_avg() -> list[float]:
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except OSError:  # platform without getloadavg
+        return []
 
 
 def _prepare_staging(spark, sf_dir: str, root: str) -> list[str]:
@@ -95,25 +138,50 @@ def _prepare_staging(spark, sf_dir: str, root: str) -> list[str]:
     return sources
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+def _prepare_bucketed_staging(spark, staging_root: str, sources: list[str],
+                              sf: float) -> dict[str, str]:
+    """Register the staging area as catalog tables bucketed on the re-key
+    keys (activities/substances by (source, sid), properties by
+    (source, pid)) — the at-rest layout of harmonize's designated 100 TB
+    path (plans/harmonize.py ``staging_tables``). Built once per sf."""
+    from pyspark.sql import functions as F
 
-    import __spark_entry__ as entrymod
-    from chemharmony_spark.plans.harmonize import harmonize
-    from chemharmony_spark.session import get_spark
+    from chemharmony_spark.sources.writers import write_parquet
 
-    spark = get_spark(app_name="bench")
-    qs = entrymod.queries()
+    tag = str(sf).replace(".", "_").replace("-", "m")
+    names = {
+        "activities": f"bench_acts_b_{tag}",
+        "substances": f"bench_subs_b_{tag}",
+        "properties": f"bench_props_b_{tag}",
+    }
+    buckets = {
+        "activities": ["source", "sid"],
+        "substances": ["source", "sid"],
+        "properties": ["source", "pid"],
+    }
+    root = f"{staging_root}_bucketed"
+    if all(
+        spark.catalog.tableExists(t) and os.path.isdir(f"{root}/{t}")
+        for t in names.values()
+    ):
+        return names
+    for kind, table in names.items():
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        df = None
+        for src in sources:
+            part = spark.read.parquet(
+                f"{staging_root}/{src}/{kind}.parquet"
+            ).withColumn("source", F.lit(src))
+            df = part if df is None else df.unionByName(part)
+        write_parquet(df, f"{root}/{table}",
+                      bucket_by=(32, buckets[kind]), table_name=table)
+    return names
 
-    # warm the JVM + parquet footer caches with one cheap action
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
-    from chemharmony_spark.cache import release_caches
-
-    timings: dict[str, float] = {}
-    errors: dict[str, str] = {}
+def _bench_queries(spark, qs, sf_dir, release_caches,
+                   timings: dict, errors: dict, prefix: str = "") -> None:
     for name in HEADLINE:
+        key = prefix + name
         best = None
         try:
             for _ in range(2):  # best-of-2: see module docstring
@@ -125,38 +193,93 @@ def main() -> None:
                 best = dt if best is None else min(best, dt)
                 # record inside the loop: if run 2 dies, run 1's valid
                 # timing survives (reported alongside the error)
-                timings[name] = round(best, 3)
+                timings[key] = round(best, 3)
                 release_caches()  # bound cache residency across runs
         except Exception as e:  # one bad query must never zero the whole run
-            errors[name] = f"{type(e).__name__}: {e}"[:300]
+            errors[key] = f"{type(e).__name__}: {e}"[:300]
         finally:
             release_caches()
             # localCheckpoint blocks (the CC loop's lineage cuts) are only
             # freed when the driver-side references are garbage-collected
             # and the ContextCleaner runs; force the Python side so one
             # query's checkpoint residue can't inflate the next timing
-            import gc
-
             gc.collect()
 
-    # flagship: the harmonize job end-to-end (scan -> canonicalize ->
-    # content ids -> re-key joins -> global aid -> invariant checks)
+
+def _bench_harmonize(spark, harmonize, release_caches, staging_root, sources,
+                     timings: dict, errors: dict, key: str,
+                     **harmonize_kwargs) -> None:
     try:
-        staging_root = f"/tmp/chemharmony_bench_staging_sf{sf}"
-        sources = _prepare_staging(spark, sf_dir, staging_root)
         best = None
         for _ in range(2):  # best-of-2, same as the headline queries
             t0 = time.time()
-            res = harmonize(spark, staging_root, sources)
+            res = harmonize(spark, staging_root, sources, **harmonize_kwargs)
             n_acts = res.activities.count()
             dt = time.time() - t0
             assert n_acts > 0
             best = dt if best is None else min(best, dt)
-            timings["harmonize_e2e"] = round(best, 3)  # survives a run-2 failure
+            timings[key] = round(best, 3)  # survives a run-2 failure
             res.unpersist()
             release_caches()
     except Exception as e:
-        errors["harmonize_e2e"] = f"{type(e).__name__}: {e}"[:300]
+        errors[key] = f"{type(e).__name__}: {e}"[:300]
+    finally:
+        release_caches()
+        gc.collect()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    import __spark_entry__ as entrymod
+    from chemharmony_spark.cache import release_caches
+    from chemharmony_spark.plans.harmonize import harmonize
+    from chemharmony_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    qs = entrymod.queries()
+
+    # warm the JVM + parquet footer caches with one cheap action
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    load_before, cal_before = _load_avg(), _calibrate(spark)
+
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    _bench_queries(spark, qs, sf_dir, release_caches, timings, errors)
+
+    # flagship: the harmonize job end-to-end (scan -> canonicalize ->
+    # content ids -> re-key joins -> global aid -> invariant checks)
+    staging_root = f"/tmp/chemharmony_bench_staging_sf{sf}"
+    try:
+        sources = _prepare_staging(spark, sf_dir, staging_root)
+    except Exception as e:
+        sources = None
+        errors["harmonize_e2e"] = f"staging prep {type(e).__name__}: {e}"[:300]
+    if sources:
+        _bench_harmonize(spark, harmonize, release_caches, staging_root,
+                         sources, timings, errors, "harmonize_e2e")
+        # the designated 100x path: bucketed staging tables +
+        # rekey_strategy='bucket' — the sid re-key join reads the fact
+        # side straight off the bucketed scan (zero fact-side exchange,
+        # proven in tests/test_bucketing.py e2e)
+        try:
+            tables = _prepare_bucketed_staging(spark, staging_root,
+                                               sources, sf)
+        except Exception as e:
+            tables = None
+            errors["harmonize_e2e_bucket"] = (
+                f"bucket prep {type(e).__name__}: {e}"[:300]
+            )
+        if tables:
+            _bench_harmonize(
+                spark, harmonize, release_caches, staging_root, sources,
+                timings, errors, "harmonize_e2e_bucket",
+                rekey_strategy="bucket", staging_tables=tables,
+            )
+
+    cal_after, load_after = _calibrate(spark), _load_avg()
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -165,6 +288,117 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "calibration_sec": {"before": cal_before, "after": cal_after},
+        "load_avg": {"before": load_before, "after": load_after},
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
+
+
+# ---------------------------------------------------------------------------
+# --ab BASE_REF: interleaved same-process A/B against a named git tree.
+
+
+def _activate_tree(root: str):
+    """Make ``root`` the import source for the engine package: purge every
+    chemharmony_spark*/__spark_entry__ module and put ``root`` at the front
+    of sys.path. Returns (queries_dict, harmonize_fn, release_caches_fn)."""
+    for mod in [m for m in sys.modules
+                if m == "__spark_entry__"
+                or m.split(".")[0] == "chemharmony_spark"]:
+        del sys.modules[mod]
+    sys.path[:] = [p for p in sys.path if p not in (REPO, root)]
+    sys.path.insert(0, root)
+    import __spark_entry__ as entrymod
+    from chemharmony_spark.cache import release_caches
+    from chemharmony_spark.plans.harmonize import harmonize
+
+    return entrymod.queries(), harmonize, release_caches
+
+
+def _base_worktree(ref: str) -> str:
+    sha = subprocess.run(
+        ["git", "-C", REPO, "rev-parse", "--short", ref],
+        check=True, capture_output=True, text=True,
+    ).stdout.strip()
+    path = f"/tmp/bench_ab_{sha}"
+    if not os.path.isdir(path):
+        subprocess.run(
+            ["git", "-C", REPO, "worktree", "add", "--detach", path, sha],
+            check=True, capture_output=True, text=True,
+        )
+    return path
+
+
+def main_ab(base_ref: str) -> None:
+    """Interleaved A/B: for each headline query (+ harmonize_e2e), run
+    head and the base tree back-to-back in ONE process/session —
+    best-of-2 per side, base interleaved between head runs so host
+    drift hits both sides equally. Prints one JSON line with per-query
+    {head, base, ratio} (ratio < 1 = head faster)."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    base_root = _base_worktree(base_ref)
+
+    trees = {"head": REPO, "base": base_root}
+    # session config must be identical for both sides: take head's
+    sys.path.insert(0, REPO)
+    from chemharmony_spark.session import get_spark
+
+    spark = get_spark(app_name="bench-ab")
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    load_before, cal_before = _load_avg(), _calibrate(spark)
+
+    staging_root = f"/tmp/chemharmony_bench_staging_sf{sf}"
+    sources = _prepare_staging(spark, sf_dir, staging_root)
+
+    results: dict[str, dict] = {}
+    errors: dict[str, str] = {}
+    names = HEADLINE + ["harmonize_e2e"]
+    for name in names:
+        per_side: dict[str, float] = {}
+        # interleave: head, base, head, base — drift lands on both sides
+        for rep in range(2):
+            for side, root in trees.items():
+                try:
+                    qs, harmonize, release_caches = _activate_tree(root)
+                    t0 = time.time()
+                    if name == "harmonize_e2e":
+                        res = harmonize(spark, staging_root, sources)
+                        assert res.activities.count() > 0
+                        res.unpersist()
+                    else:
+                        qs[name](spark, sf_dir).count()
+                    dt = time.time() - t0
+                    key = side
+                    per_side[key] = min(per_side.get(key, dt), dt)
+                    release_caches()
+                except Exception as e:
+                    errors[f"{name}/{side}"] = (
+                        f"{type(e).__name__}: {e}"[:300]
+                    )
+                finally:
+                    # belt-and-braces: if a run died before its tree's
+                    # release_caches ran, drop everything so the residue
+                    # can't inflate the other side's next measurement
+                    spark.catalog.clearCache()
+                    gc.collect()
+        if "head" in per_side and "base" in per_side:
+            results[name] = {
+                "head": round(per_side["head"], 3),
+                "base": round(per_side["base"], 3),
+                "ratio": round(per_side["head"] / per_side["base"], 3),
+            }
+    cal_after, load_after = _calibrate(spark), _load_avg()
+    out = {
+        "metric": "ab_headline_ratio",
+        "base_ref": base_ref,
+        "base_tree": base_root,
+        "queries": results,
+        "sf": sf,
+        "calibration_sec": {"before": cal_before, "after": cal_after},
+        "load_avg": {"before": load_before, "after": load_after},
     }
     if errors:
         out["errors"] = errors
@@ -172,4 +406,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--ab":
+        main_ab(sys.argv[2])
+    else:
+        main()

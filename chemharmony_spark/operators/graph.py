@@ -118,9 +118,16 @@ def connected_components_star(
     is NODE-sized (its groupBy is map-side combined to <= |V| partials per
     partition) while the edges it rewrites are PAIR-sized, so on dense
     near-dup graphs (7.1M edges over 4.8k nodes at sf0.1) this removes the
-    only edge-sized shuffles in each round. Leave False when the node
-    universe itself may not fit the broadcast budget (the default 100 TB
-    posture); results are identical either way.
+    only edge-sized shuffles in each round. The hint is SIZE-GATED
+    (hints.size_gated_broadcast): it attaches only when Catalyst's plan
+    estimate for the map clears the session's autoBroadcastJoinThreshold
+    (stats propagate through localCheckpoint, so in-loop maps gate on
+    real numbers), else the join is left unhinted and AQE picks the
+    strategy from runtime shuffle statistics — a node universe that
+    grows past the broadcast budget (exact-set representatives over a
+    100 TB corpus) degrades to shuffle instead of forcing an executor
+    OOM. Results are identical either way; leave False to skip even the
+    gated hint.
 
     ``pre_contract=True`` prepends ONE Boruvka-style contraction round:
     every node relabels to the minimum of its closed neighborhood (a
@@ -166,7 +173,11 @@ def connected_components_star(
         raise ValueError(
             f"self_loops must be 'singletons' or 'absent', got {self_loops!r}"
         )
-    hint = F.broadcast if broadcast_maps else (lambda d: d)
+    if broadcast_maps:
+        from chemharmony_spark.hints import size_gated_broadcast as hint
+    else:
+        def hint(d: DataFrame) -> DataFrame:
+            return d
 
     # self-loops carry no connectivity but DO declare the node exists:
     # filter them out of the star machinery (whose rounds drop u == v

@@ -59,9 +59,16 @@ class HarmonizeResult:
 
 
 def _harmonize_dim(spark: SparkSession, glob: str, sources: list[str],
-                   local_id: str, global_id: str) -> DataFrame:
-    """Steps 1-3 for one dim table: provenance, distinct, canonical md5 id."""
-    dim = read_staging_glob(spark, glob, sources).select(local_id, "data", "source")
+                   local_id: str, global_id: str,
+                   table: str | None = None) -> DataFrame:
+    """Steps 1-3 for one dim table: provenance, distinct, canonical md5 id.
+
+    ``table``: read a catalog table (which already carries its ``source``
+    column — the bucketed-staging path) instead of the provenance glob."""
+    if table is not None:
+        dim = spark.table(table).select(local_id, "data", "source")
+    else:
+        dim = read_staging_glob(spark, glob, sources).select(local_id, "data", "source")
     dim = dim.distinct()
     dim = dim.withColumn("data", canonicalize_json_udf("data"))
     return dim.withColumn(global_id, F.md5(F.col("data")))
@@ -77,6 +84,7 @@ def harmonize(
     min_rows: tuple[int, int, int] = (0, 0, 0),
     early_activity_distinct: bool = False,
     rekey_strategy: str = "auto",
+    staging_tables: dict[str, str] | None = None,
 ) -> HarmonizeResult:
     """Run the harmonize plan; returns the three brick DataFrames (lazy,
     unless ``scratch_dir`` is given — then dims are checkpointed like the
@@ -92,14 +100,27 @@ def harmonize(
     path for corpora whose id maps outgrow broadcast — shuffle-hash joins
     with the map as build side (no sort, no broadcast build); pair with
     staging written bucketed by (source, sid) to drop the map-side exchange.
+
+    ``staging_tables``: {'substances': name, 'properties': name,
+    'activities': name} catalog tables to read INSTEAD of the provenance
+    glob — the at-rest completion of ``rekey_strategy='bucket'``. Each
+    table must already carry its ``source`` column (the glob derives it
+    from the path; a saved table stores it). Write activities bucketed by
+    (source, sid) (writers.write_parquet bucket_by) and the sid re-key
+    join reads the fact side with ZERO exchanges — the bucketed scan's
+    output partitioning satisfies the join's required distribution
+    (proven end-to-end in tests/test_bucketing.py).
     """
     if rekey_strategy not in ("auto", "bucket"):
         raise ValueError(f"rekey_strategy must be 'auto' or 'bucket', got {rekey_strategy!r}")
+    tables = staging_tables or {}
     props = _harmonize_dim(
-        spark, f"{staging_root}/*/properties.parquet", sources, "pid", "newpid"
+        spark, f"{staging_root}/*/properties.parquet", sources, "pid", "newpid",
+        table=tables.get("properties"),
     )
     subs = _harmonize_dim(
-        spark, f"{staging_root}/*/substances.parquet", sources, "sid", "newsid"
+        spark, f"{staging_root}/*/substances.parquet", sources, "sid", "newsid",
+        table=tables.get("substances"),
     )
 
     if scratch_dir:  # checkpoint: truncate lineage before fan-out reuse
@@ -108,7 +129,12 @@ def harmonize(
         props = spark.read.parquet(f"{scratch_dir}/properties")
         subs = spark.read.parquet(f"{scratch_dir}/substances")
 
-    acts_raw = read_staging_glob(spark, f"{staging_root}/*/activities.parquet", sources)
+    if "activities" in tables:
+        acts_raw = spark.table(tables["activities"])
+    else:
+        acts_raw = read_staging_glob(
+            spark, f"{staging_root}/*/activities.parquet", sources
+        )
     null_prov_future = None
     if check_invariants:
         # must be checked on the raw scan, BEFORE the inner re-key joins: a

@@ -10050,8 +10050,14 @@ def q281_join_cardinality_estimate(spark, sf):
                 "ndv_left",
                 "ndv_right",
                 "est_rows",
-                # exact D38 sum internally; BIGINT at the contract edge
-                # (in-range exact, loud ANSI error beyond — never wrapped)
+                # exact D38 sum internally; BIGINT at the contract edge.
+                # Under ANSI mode (the Spark 4 default this engine
+                # assumes; no session conf overrides it) an
+                # out-of-range cast errors loudly — never wraps; a
+                # non-ANSI deployment would instead return NULL here
+                # silently, so keep spark.sql.ansi.enabled=true (or
+                # swap to try_cast + an explicit range check) if that
+                # default is ever relaxed.
                 F.col("actual_rows").cast("long").alias("actual_rows"),
                 F.floor(qerr * 1_000_000).cast("long").alias("q_error_ppm"),
             )

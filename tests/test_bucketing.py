@@ -49,6 +49,108 @@ def test_cobucketed_join_has_no_shuffle(spark, warehouse):
         spark.sql("DROP TABLE IF EXISTS subs_b")
 
 
+def _streamed_subtree(plan: str, *needles: str) -> list[str]:
+    """Lines of the FIRST (streamed) child subtree of the first plan node
+    whose line contains ALL ``needles``. In TreeNode.toString a node's
+    children print with their ':-'/'+-' markers at the column where the
+    parent's own text starts; the streamed subtree is everything from the
+    ':-' child up to the '+-' sibling at that column."""
+    lines = plan.splitlines()
+    idx, col = next(
+        (i, line.find(needles[0]))
+        for i, line in enumerate(lines)
+        if all(n in line for n in needles)
+    )
+    out = []
+    for line in lines[idx + 1:]:
+        if len(line) > col and line[col:col + 2] == "+-":
+            break
+        out.append(line)
+    return out
+
+
+def test_harmonize_e2e_bucketed_staging_fact_side_zero_exchange(spark, warehouse):
+    """r5 verdict task 5: the designated 100 TB harmonize path, END TO END.
+    Staging written as catalog tables bucketed on the composite re-key key
+    (activities by (source, sid)), harmonize(staging_tables=...,
+    rekey_strategy='bucket') — the sid re-key join must read the fact side
+    STRAIGHT OFF the bucketed scan: no Exchange anywhere in its streamed
+    subtree, with broadcasts disabled so bucketing alone must carry it.
+    Rows must match the glob-staging auto path exactly."""
+    from pyspark.sql import functions as F2
+
+    from chemharmony_spark.plans.harmonize import harmonize
+
+    subs = spark.range(0, 50).select(
+        F2.concat(F2.lit("src"), (F2.col("id") % 2).cast("string")).alias("source"),
+        F2.col("id").cast("string").alias("sid"),
+        F2.to_json(F2.struct(F2.col("id").alias("x"))).alias("data"),
+    )
+    props = spark.range(0, 20).select(
+        F2.concat(F2.lit("src"), (F2.col("id") % 2).cast("string")).alias("source"),
+        F2.col("id").cast("string").alias("pid"),
+        F2.to_json(F2.struct(F2.col("id").alias("y"))).alias("data"),
+    )
+    acts = spark.range(0, 500).select(
+        F2.concat(F2.lit("src"), (F2.col("id") % 2).cast("string")).alias("source"),
+        (F2.col("id") % 50).cast("string").alias("sid"),
+        (F2.col("id") % 20).cast("string").alias("pid"),
+        F2.concat(F2.lit("InChI=1S/C"), (F2.col("id") % 20).cast("string")).alias("inchi"),
+        F2.when(F2.col("id") % 3 == 0, "positive").otherwise("negative").alias("value"),
+    )
+    for n in ("e2e_acts", "e2e_subs", "e2e_props"):
+        spark.sql(f"DROP TABLE IF EXISTS {n}")
+    write_parquet(acts, f"{warehouse}/e2e_acts",
+                  bucket_by=(8, ["source", "sid"]), table_name="e2e_acts")
+    write_parquet(subs, f"{warehouse}/e2e_subs",
+                  bucket_by=(8, ["source", "sid"]), table_name="e2e_subs")
+    write_parquet(props, f"{warehouse}/e2e_props",
+                  bucket_by=(8, ["source", "pid"]), table_name="e2e_props")
+    # glob-staging mirror for row parity (source column comes from the path)
+    glob_root = f"{warehouse}/e2e_glob"
+    for src in ("src0", "src1"):
+        for name, df in (("substances", subs), ("properties", props),
+                         ("activities", acts)):
+            df.where(F2.col("source") == src).drop("source").write.mode(
+                "overwrite"
+            ).parquet(f"{glob_root}/{src}/{name}.parquet")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        res = harmonize(
+            spark, "/nonexistent", ["src0", "src1"], check_invariants=False,
+            rekey_strategy="bucket",
+            staging_tables={"substances": "e2e_subs",
+                            "properties": "e2e_props",
+                            "activities": "e2e_acts"},
+        )
+        plan = res.activities._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan and "e2e_acts" in plan
+        fact_side = _streamed_subtree(plan, "ShuffledHashJoin", "__localsid#")
+        assert any("e2e_acts" in line for line in fact_side), (
+            "sid re-key join's streamed side is not the activities scan:\n"
+            + plan
+        )
+        assert not any("Exchange" in line for line in fact_side), (
+            "bucketed fact side still shuffles into the sid re-key join:\n"
+            + plan
+        )
+        got = sorted(
+            map(tuple, res.activities.drop("aid", "smiles").collect())
+        )
+        auto = harmonize(spark, glob_root, ["src0", "src1"],
+                         check_invariants=False)
+        want = sorted(
+            map(tuple, auto.activities.drop("aid", "smiles").collect())
+        )
+        assert got == want
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024)
+        )
+        for n in ("e2e_acts", "e2e_subs", "e2e_props"):
+            spark.sql(f"DROP TABLE IF EXISTS {n}")
+
+
 def test_harmonize_rekey_shape_cobucketed_composite_key(spark, warehouse):
     """The at-rest completion of harmonize's rekey_strategy='bucket'
     (plans/harmonize.py docstring): staging activities and the sid map

@@ -108,6 +108,59 @@ def test_star_alg_long_chain_logarithmic_rounds(spark):
     _check_star(spark, edges, max_iter=10)
 
 
+def test_star_broadcast_maps_is_size_gated(spark):
+    """r5 verdict task 1: broadcast_maps must route through the size gate.
+    With the threshold disabled (the 'node map too big' stand-in — the
+    same conf a corpus-scale label map would fail), broadcast_maps=True
+    must attach ZERO hints anywhere in the returned plan (the in-loop
+    maps use the same gate), yet produce identical components. Under the
+    normal threshold the tiny test maps clear the gate and the compose
+    hint appears — the win is kept, only the forced-OOM path is closed."""
+    from chemharmony_spark.operators.graph import connected_components_star
+
+    edges = [(10, 11), (11, 12), (12, 13), (1, 2), (2, 3), (1, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long").localCheckpoint()
+    want = {
+        r["node"]: r["component"]
+        for r in connected_components_star(df, pre_contract=True).collect()
+    }
+
+    def hints(frame) -> int:
+        return str(
+            frame._jdf.queryExecution().analyzed().toString()
+        ).count("ResolvedHint")
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        gated = connected_components_star(
+            df, broadcast_maps=True, pre_contract=True
+        )
+        assert hints(gated) == 0, "gate must not force a broadcast"
+        assert {r["node"]: r["component"] for r in gated.collect()} == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    hinted = connected_components_star(
+        df, broadcast_maps=True, pre_contract=True
+    )
+    assert {r["node"]: r["component"] for r in hinted.collect()} == want
+    # "small maps keep the win": the exact in-loop shape the operator
+    # hints — a groupBy("u") label map over a checkpointed edge frame —
+    # carries propagated stats, so the gate still attaches the hint
+    # under the normal threshold. (The returned compose frame contains
+    # an exceptAll whose stats are unknown; the gate declines there by
+    # design and AQE broadcasts it from runtime statistics instead.)
+    from pyspark.sql import functions as F
+
+    from chemharmony_spark.hints import size_gated_broadcast
+
+    ck = df.select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    ).localCheckpoint()
+    mins = ck.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    assert hints(size_gated_broadcast(mins).alias("x")) == 1
+
+
 def test_label_propagation_deterministic_and_connected(spark, sf_dir):
     """LPA invariants: every node keeps a label that exists among the
     graph's node ids; a node and its labelmates are in the same connected

@@ -1477,7 +1477,12 @@ BNLJ_ALLOWED = {"q20_grid_negatives", "q38_cosine_topk",
 # staging ids (substances >1e6 at reference production scale).
 _ROWID_KEYS = {"doc_id", "vec_id", "event_id", "o_orderkey", "l_orderkey",
                "aid", "user_id", "c_custkey", "p_partkey", "s_suppkey",
-               "text", "sh", "a", "b", "sid", "pid", "inchi"}
+               "text", "sh", "a", "b", "sid", "pid", "inchi",
+               # CC node/edge keys (operators/graph.py): a groupBy("u")
+               # label map has one row per NODE — corpus-scale on dedup
+               # graphs, not a bounding aggregation (r5 verdict: the
+               # unconditional broadcast_maps hint slipped this set)
+               "u", "v", "node", "component"}
 # Column signatures identifying a scan of a data-scale table (anything
 # whose row count grows with SF — facts AND the customer/part/supplier
 # "dims" (150k/200k/10k x SF) AND harmonize staging ids; nation/region and
@@ -1485,7 +1490,10 @@ _ROWID_KEYS = {"doc_id", "vec_id", "event_id", "o_orderkey", "l_orderkey",
 # frames must not slip the heuristic.
 _FACT_SIG = {"l_orderkey", "l_partkey", "l_extendedprice", "o_orderkey",
              "o_totalprice", "doc_id", "vec_id", "embedding", "event_id",
-             "c_custkey", "p_partkey", "s_suppkey", "sid", "pid", "inchi"}
+             "c_custkey", "p_partkey", "s_suppkey", "sid", "pid", "inchi",
+             # checkpointed CC edge frames surface as LogicalRDD(u, v) —
+             # node-pair-scale scans, grown from the corpus
+             "u", "v"}
 _BOUNDING_LIMITS = ("GlobalLimit", "LocalLimit", "Limit")
 
 # Audited exceptions: query -> reason a flagged subtree is in fact
