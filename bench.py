@@ -70,6 +70,16 @@ HEADLINE = [
 ]
 
 
+def _selected(names: list[str]) -> list[str]:
+    """$SPARK_GRAFT_BENCH_ONLY: comma-separated query names to restrict a
+    run to (debugging/targeted A/B); unset = the full headline list."""
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if not only:
+        return names
+    want = {w.strip() for w in only.split(",") if w.strip()}
+    return [n for n in names if n in want]
+
+
 def _calibrate(spark) -> float:
     """Best-of-3 of a FIXED reference plan: 8M-row modular groupBy.
     The plan never changes across rounds, so its wall time measures the
@@ -180,7 +190,7 @@ def _prepare_bucketed_staging(spark, staging_root: str, sources: list[str],
 
 def _bench_queries(spark, qs, sf_dir, release_caches,
                    timings: dict, errors: dict, prefix: str = "") -> None:
-    for name in HEADLINE:
+    for name in _selected(HEADLINE):
         key = prefix + name
         best = None
         try:
@@ -355,7 +365,7 @@ def main_ab(base_ref: str) -> None:
 
     results: dict[str, dict] = {}
     errors: dict[str, str] = {}
-    names = HEADLINE + ["harmonize_e2e"]
+    names = _selected(HEADLINE + ["harmonize_e2e"])
     for name in names:
         per_side: dict[str, float] = {}
         # interleave: head, base, head, base — drift lands on both sides

@@ -728,6 +728,42 @@ def signature_bits(vec_col: Column, n_planes: int, dims: int,
     return F.array_join(sig, "")
 
 
+def signature_bits_multi(vec_col: Column, n_planes: int, dims: int,
+                         n_tables: int) -> Column:
+    """All ``n_tables`` LSH bucket ids at once: array of the per-table
+    :func:`signature_bits` strings (table t uses plane family
+    ``t * n_planes``..). ONE nested literal plane tensor + one outer
+    transform instead of n_tables separate expression trees — bit-for-bit
+    identical output, but Catalyst parses/analyzes a single literal, which
+    cut q40's cold first-run from ~12.5 s to ~4 s at sf0.01 (the corpus
+    there is 500 rows; plan analysis WAS the job)."""
+    arr = _as_double(vec_col)
+    lit = "array(" + ",".join(
+        "array(" + ",".join(
+            "array(" + ",".join(
+                _sql_double(_hyperplane_coef(t * n_planes + p, d))
+                for d in range(dims)
+            ) + ")" for p in range(n_planes)
+        ) + ")" for t in range(n_tables)
+    ) + ")"
+    return F.transform(
+        F.expr(lit),
+        lambda table: F.array_join(
+            F.transform(
+                table,
+                lambda cf: F.when(
+                    F.aggregate(
+                        F.zip_with(arr, cf, lambda x, y: x * y),
+                        F.lit(0.0), lambda acc, x: acc + x,
+                    ) >= 0,
+                    F.lit("1"),
+                ).otherwise(F.lit("0")),
+            ),
+            "",
+        ),
+    )
+
+
 def _sampled_centroids(corpus: DataFrame, n_cells: int,
                        id_col: str, vec_col: str) -> DataFrame:
     """Deterministic corpus-sample codebook: the n_cells vectors with the
@@ -905,31 +941,34 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         )
 
     def with_buckets(df, id_alias, dv_alias, n_alias):
-        keep = [F.col(id_col).alias(id_alias)]
-        for t in range(n_tables):
-            sig = signature_bits(
-                F.col(vec_col), n_planes, dims, plane_offset=t * n_planes
-            )
-            keep.append(sig.alias(f"b{t}"))
+        sigs = signature_bits_multi(F.col(vec_col), n_planes, dims, n_tables)
+        keep = [F.col(id_col).alias(id_alias), sigs.alias("__sigs")]
         return prep_cosine(df, vec_col, dv=dv_alias, n=n_alias, keep=keep)
 
-    # persisted (registry-released): the corpus prep feeds one union
-    # branch per table plus the rerank join — without the cache the scan,
-    # double-cast, norm fold and all signatures recompute n_tables+1 times
-    c = registered_persist(
-        with_buckets(corpus, "neighbor_id", "__cdv", "__cn")
-    )
+    # candidates: same bucket in the same table, for ANY table — ONE
+    # equi-join on (table_idx, bucket) over the posexploded signature
+    # arrays. (Through round 5 this was n_tables separate join branches
+    # union'd — on a bounded query set that is n_tables broadcast joins,
+    # n_tables cache scans and a union-of-16 plan; at sf0.01 the fixed
+    # per-stage overhead dominated and q40 was the sweep's slowest entry.
+    # The explode is pipelined straight into the broadcast-join filter —
+    # generate -> BHJ in one codegen stage — so the 16x row expansion
+    # never materializes or shuffles; only bucket-matching candidates
+    # survive to the dedup exchange, exactly as before.)
+    c = with_buckets(corpus, "neighbor_id", "__cdv", "__cn")
     q = with_buckets(queries, "query_id", "__qdv", "__qn")
-    # candidates: same bucket in any table -> union + dedup, then one exact
-    # rerank per distinct (query, neighbor) pair
-    cand = None
-    for t in range(n_tables):
-        ct = c.select("neighbor_id", "__cdv", "__cn",
-                      F.col(f"b{t}").alias("bucket"))
-        qt = q.select("query_id", F.col(f"b{t}").alias("bucket"))
-        pairs = ct.join(F.broadcast(qt), on="bucket").drop("bucket")
-        cand = pairs if cand is None else cand.unionByName(pairs)
-    cand = cand.dropDuplicates(["query_id", "neighbor_id"])
+    c_kv = c.select(
+        "neighbor_id", "__cdv", "__cn",
+        F.posexplode("__sigs").alias("__tbl", "__bucket"),
+    )
+    q_kv = q.select(
+        "query_id", F.posexplode("__sigs").alias("__tbl", "__bucket")
+    )
+    cand = (
+        c_kv.join(F.broadcast(q_kv), on=["__tbl", "__bucket"])
+        .drop("__tbl", "__bucket")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
     scored = (
         cand.join(F.broadcast(q.select("query_id", "__qdv", "__qn")),
                   on="query_id")
