@@ -170,21 +170,30 @@ def _prepare_bucketed_staging(spark, staging_root: str, sources: list[str],
         "properties": ["source", "pid"],
     }
     root = f"{staging_root}_bucketed"
-    if all(
+    if not all(
         spark.catalog.tableExists(t) and os.path.isdir(f"{root}/{t}")
         for t in names.values()
     ):
-        return names
-    for kind, table in names.items():
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
-        df = None
-        for src in sources:
-            part = spark.read.parquet(
-                f"{staging_root}/{src}/{kind}.parquet"
-            ).withColumn("source", F.lit(src))
-            df = part if df is None else df.unionByName(part)
-        write_parquet(df, f"{root}/{table}",
-                      bucket_by=(32, buckets[kind]), table_name=table)
+        for kind, table in names.items():
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+            df = None
+            for src in sources:
+                part = spark.read.parquet(
+                    f"{staging_root}/{src}/{kind}.parquet"
+                ).withColumn("source", F.lit(src))
+                df = part if df is None else df.unionByName(part)
+            write_parquet(df, f"{root}/{table}",
+                          bucket_by=(32, buckets[kind]), table_name=table)
+    # warm pass: touch every column of every bucketed table once. A
+    # freshly WRITTEN parquet table reads ~2x slow on its first pass
+    # (cold page cache); without this the bucket entry's best-of-2 can
+    # record first-epoch IO instead of engine time (measured 8.4 s
+    # cold vs 5.0 s warm at sf0.1 — SCALE.md "bucketed harmonize").
+    # A bare count() only reads footers, so force real column IO.
+    for table in names.values():
+        t = spark.table(table)
+        t.agg(*[F.min(F.length(F.col(c).cast("string"))).alias(c)
+                for c in t.columns]).collect()
     return names
 
 

@@ -52,6 +52,7 @@ QUERIES = [
     "q30_dedup_exact",         # fingerprint groupBy
     "q34_minhash_signatures",  # zero-shuffle signature scan
     "q36_jaccard_near_dups",   # LSH candidates + verify
+    "q40_ann_lsh",             # r6: single posexplode candidate join
     "q58_grouped_percentiles", # bucketed exact selector
     "q76_resample_forward_fill",
     "q104_funnel",             # single-pass state machine
