@@ -70,14 +70,21 @@ HEADLINE = [
 ]
 
 
-def _selected(names: list[str]) -> list[str]:
+def _selected(names: list[str], extras_from=None) -> list[str]:
     """$SPARK_GRAFT_BENCH_ONLY: comma-separated query names to restrict a
-    run to (debugging/targeted A/B); unset = the full headline list."""
+    run to (debugging/targeted A/B); unset = the full headline list.
+    ``extras_from``: a container of additionally-selectable names (the
+    full queries() inventory) so a targeted run can time a non-headline
+    query too."""
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
     if not only:
         return names
     want = {w.strip() for w in only.split(",") if w.strip()}
-    return [n for n in names if n in want]
+    out = [n for n in names if n in want]
+    if extras_from is not None:
+        out += [w for w in sorted(want)
+                if w not in names and w in extras_from]
+    return out
 
 
 def _calibrate(spark) -> float:
@@ -199,7 +206,7 @@ def _prepare_bucketed_staging(spark, staging_root: str, sources: list[str],
 
 def _bench_queries(spark, qs, sf_dir, release_caches,
                    timings: dict, errors: dict, prefix: str = "") -> None:
-    for name in _selected(HEADLINE):
+    for name in _selected(HEADLINE, extras_from=qs):
         key = prefix + name
         best = None
         try:
@@ -269,16 +276,22 @@ def main() -> None:
     _bench_queries(spark, qs, sf_dir, release_caches, timings, errors)
 
     # flagship: the harmonize job end-to-end (scan -> canonicalize ->
-    # content ids -> re-key joins -> global aid -> invariant checks)
+    # content ids -> re-key joins -> global aid -> invariant checks).
+    # Both entries honour SPARK_GRAFT_BENCH_ONLY like the headline list.
+    hm_wanted = _selected(["harmonize_e2e", "harmonize_e2e_bucket"])
     staging_root = f"/tmp/chemharmony_bench_staging_sf{sf}"
-    try:
-        sources = _prepare_staging(spark, sf_dir, staging_root)
-    except Exception as e:
-        sources = None
-        errors["harmonize_e2e"] = f"staging prep {type(e).__name__}: {e}"[:300]
-    if sources:
+    sources = None
+    if hm_wanted:
+        try:
+            sources = _prepare_staging(spark, sf_dir, staging_root)
+        except Exception as e:
+            msg = f"staging prep {type(e).__name__}: {e}"[:300]
+            for key in hm_wanted:  # both entries depend on this prep
+                errors[key] = msg
+    if sources and "harmonize_e2e" in hm_wanted:
         _bench_harmonize(spark, harmonize, release_caches, staging_root,
                          sources, timings, errors, "harmonize_e2e")
+    if sources and "harmonize_e2e_bucket" in hm_wanted:
         # the designated 100x path: bucketed staging tables +
         # rekey_strategy='bucket' — the sid re-key join reads the fact
         # side straight off the bucketed scan (zero fact-side exchange,
@@ -374,7 +387,11 @@ def main_ab(base_ref: str) -> None:
 
     results: dict[str, dict] = {}
     errors: dict[str, str] = {}
-    names = _selected(HEADLINE + ["harmonize_e2e"])
+    # head's inventory defines the selectable extras; a base tree that
+    # lacks a selected query records a per-side KeyError instead of
+    # aborting the run
+    head_qs, _, _ = _activate_tree(REPO)
+    names = _selected(HEADLINE + ["harmonize_e2e"], extras_from=head_qs)
     for name in names:
         per_side: dict[str, float] = {}
         # interleave: head, base, head, base — drift lands on both sides

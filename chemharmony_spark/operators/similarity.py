@@ -696,47 +696,18 @@ def _hyperplane_coef(plane: int, dim: int) -> float:
     return float((int(h[0], 16) % 2) * 2 - 1)
 
 
-def signature_bits(vec_col: Column, n_planes: int, dims: int,
-                   plane_offset: int = 0) -> Column:
-    """LSH bucket id: concatenated signs of dots with n_planes hyperplanes.
-    ``plane_offset`` selects an independent plane family per hash table.
-
-    One transform lambda over a literal plane-matrix (the assign_cells
-    tree-shrinking pattern) + array_join, instead of n_planes copied fold
-    expressions — identical bit strings, n_planes x smaller plan."""
-    arr = _as_double(vec_col)
-    # one parsed sql literal matrix, not n_planes x dims F.lit() py4j
-    # round trips (see assign_cells / _sql_double)
-    planes = F.expr(
-        "array(" + ",".join(
-            "array(" + ",".join(
-                _sql_double(_hyperplane_coef(p, d)) for d in range(dims)
-            ) + ")"
-            for p in range(plane_offset, plane_offset + n_planes)
-        ) + ")"
-    )
-    sig = F.transform(
-        planes,
-        lambda cf: F.when(
-            F.aggregate(
-                F.zip_with(arr, cf, lambda x, y: x * y), F.lit(0.0),
-                lambda acc, x: acc + x,
-            ) >= 0,
-            F.lit("1"),
-        ).otherwise(F.lit("0")),
-    )
-    return F.array_join(sig, "")
-
-
 def signature_bits_multi(vec_col: Column, n_planes: int, dims: int,
                          n_tables: int) -> Column:
-    """All ``n_tables`` LSH bucket ids at once: array of the per-table
-    :func:`signature_bits` strings (table t uses plane family
-    ``t * n_planes``..). ONE nested literal plane tensor + one outer
-    transform instead of n_tables separate expression trees — bit-for-bit
-    identical output, but Catalyst parses/analyzes a single literal, which
-    cut q40's cold first-run from ~12.5 s to ~4 s at sf0.01 (the corpus
-    there is 500 rows; plan analysis WAS the job)."""
+    """All ``n_tables`` LSH bucket ids at once: per-table strings of
+    concatenated sign bits of dots with ``n_planes`` random hyperplanes
+    (table t uses the independent plane family starting at
+    ``t * n_planes``; coefficients from :func:`_hyperplane_coef`). ONE
+    nested literal plane tensor + one outer transform instead of
+    n_tables separate expression trees — bit-for-bit identical output to
+    building each table's signature separately, but Catalyst
+    parses/analyzes a single literal, which cut q40's cold first-run
+    from ~12.5 s to ~4 s at sf0.01 (the corpus there is 500 rows; plan
+    analysis WAS the job)."""
     arr = _as_double(vec_col)
     lit = "array(" + ",".join(
         "array(" + ",".join(

@@ -113,6 +113,16 @@ def harmonize(
     """
     if rekey_strategy not in ("auto", "bucket"):
         raise ValueError(f"rekey_strategy must be 'auto' or 'bucket', got {rekey_strategy!r}")
+    if staging_tables:
+        unknown = set(staging_tables) - {"substances", "properties", "activities"}
+        if unknown:
+            # a typo'd key would otherwise silently fall back to the glob
+            # path for that table — losing the bucketed zero-exchange
+            # property with no error
+            raise ValueError(
+                f"staging_tables has unknown keys {sorted(unknown)}; "
+                "expected a subset of {'substances', 'properties', 'activities'}"
+            )
     tables = staging_tables or {}
     props = _harmonize_dim(
         spark, f"{staging_root}/*/properties.parquet", sources, "pid", "newpid",

@@ -114,6 +114,7 @@ def test_harmonize_e2e_bucketed_staging_fact_side_zero_exchange(spark, warehouse
             df.where(F2.col("source") == src).drop("source").write.mode(
                 "overwrite"
             ).parquet(f"{glob_root}/{src}/{name}.parquet")
+    prev_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         res = harmonize(
@@ -144,9 +145,7 @@ def test_harmonize_e2e_bucketed_staging_fact_side_zero_exchange(spark, warehouse
         )
         assert got == want
     finally:
-        spark.conf.set(
-            "spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024)
-        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thr)
         for n in ("e2e_acts", "e2e_subs", "e2e_props"):
             spark.sql(f"DROP TABLE IF EXISTS {n}")
 
