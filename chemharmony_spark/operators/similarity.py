@@ -468,16 +468,36 @@ def lloyd_kmeans(
     (standard Lloyd); seeds are the ``n_cells`` smallest-md5(id) corpus
     vectors (deterministic, engine-independent).
     """
+    return _centroid_df(
+        corpus.sparkSession,
+        _lloyd_rows(corpus, n_cells, iters, dims, quant, id_col, vec_col),
+    )
+
+
+def _lloyd_rows(
+    corpus: DataFrame,
+    n_cells: int,
+    iters: int,
+    dims: int | None,
+    quant: int,
+    id_col: str,
+    vec_col: str,
+) -> list[tuple[int, list[float]]]:
+    """:func:`lloyd_kmeans`'s training loop, returning the codebook as the
+    driver-side row list it already holds — internal callers
+    (cluster_pruned_pairs) feed it straight to assign_cells without a
+    createDataFrame/collect round trip."""
     seeds = _sampled_centroids(corpus, n_cells, id_col, vec_col).collect()
     cents: list[tuple[int, list[float]]] = [
         (int(r.cell_id), [float(x) for x in r.centroid]) for r in seeds
     ]
     if dims is None:  # the seed vectors carry the dimensionality
         dims = len(cents[0][1]) if cents else 0
-    spark = corpus.sparkSession
     qd = float(quant)
     for _ in range(iters):
-        assigned = assign_cells(corpus, _centroid_df(spark, cents),
+        # pass the driver-side codebook straight through — no
+        # createDataFrame/collect round trip per iteration
+        assigned = assign_cells(corpus, cents,
                                 id_col=id_col, vec_col=vec_col)
         qi = F.transform(
             _as_double(F.col(vec_col)), lambda x: (x * qd).cast("long")
@@ -499,7 +519,7 @@ def lloyd_kmeans(
             (c, [float(acc[i]) / acc[dims] / qd for i in range(dims)])
             for c, acc in by_cell.items()
         )
-    return _centroid_df(spark, cents)
+    return cents
 
 
 def _centroid_df(spark, cents: list[tuple[int, list[float]]]) -> DataFrame:
@@ -590,15 +610,29 @@ def assign_cells(
     array would yield null cell_ids instead of the old empty-join
     output), and a codebook past ``_INLINE_CELL_BUDGET`` total literals
     falls back to the broadcast-join + argmin formulation rather than
-    emitting a pathological codegen expression tree."""
-    cents = sorted(
-        (int(r["cell_id"]), [float(x) for x in r["centroid"]])
-        for r in centroids.select("cell_id", "centroid").collect()
-    )
+    emitting a pathological codegen expression tree.
+
+    ``centroids`` may be the (cell_id, centroid) DataFrame or an
+    already-collected sequence of ``(cell_id, [components])`` rows —
+    lloyd_kmeans holds the codebook driver-side between iterations, and
+    round-tripping it through createDataFrame + collect cost one fixed-
+    overhead Spark job per call for nothing."""
+    if isinstance(centroids, DataFrame):
+        rows = centroids.select("cell_id", "centroid").collect()
+        cents = sorted(
+            (int(r["cell_id"]), [float(x) for x in r["centroid"]])
+            for r in rows
+        )
+    else:
+        cents = sorted(
+            (int(c), [float(x) for x in v]) for c, v in centroids
+        )
     if not cents:
         raise ValueError("assign_cells: empty centroids codebook")
     if sum(len(v) for _, v in cents) > _INLINE_CELL_BUDGET:
-        return _assign_cells_join(corpus, centroids, id_col, vec_col)
+        cdf = (centroids if isinstance(centroids, DataFrame)
+               else _centroid_df(corpus.sparkSession, cents))
+        return _assign_cells_join(corpus, cdf, id_col, vec_col)
     vec = _as_double(F.col(vec_col))
     # ONE literal array-of-structs + ONE transform lambda, not k copied
     # fold expressions: the scoring tree is k x smaller, which cuts the
@@ -652,8 +686,11 @@ def cluster_pruned_pairs(
     sub-block a hot cell with all_pairs_cosine's triangle scheme, or raise
     n_cells. Output is canonicalized (a < b) and deterministic."""
     if centroids is None:
-        centroids = lloyd_kmeans(corpus, n_cells=n_cells, iters=iters,
-                                 id_col=id_col, vec_col=vec_col)
+        # the rows variant keeps the trained codebook driver-side; the
+        # assign below inlines it as literals either way
+        centroids = _lloyd_rows(corpus, n_cells=n_cells, iters=iters,
+                                dims=None, quant=1 << 20,
+                                id_col=id_col, vec_col=vec_col)
     # persist: the assignment + cosine prep (double cast, norm — computed
     # per VECTOR here so the per-pair work is one dot fold) feeds BOTH
     # sides of the self-join and would otherwise evaluate twice
