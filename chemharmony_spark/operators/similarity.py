@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from chemharmony_spark.cache import registered_persist
+from chemharmony_spark.hints import size_gated_broadcast
 
 
 def _as_double(arr: Column) -> Column:
@@ -900,6 +901,13 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     corpus_cells = assign(corpus, "neighbor_id", "__cdv", "__cn",
                           corpus_assign)
     query_cells = assign(queries, "query_id", "__qdv", "__qn", n_probe)
+    # query_cells stays a FORCED broadcast deliberately: it is |Q| x
+    # n_probe rows by construction and ``queries`` is a probe set by
+    # contract (corpus-sized "queries" belong in cluster_pruned_pairs /
+    # all_pairs_cosine). A size gate would mis-decline here — the frame
+    # sits behind a rank window whose Catalyst estimate is unknown — and
+    # needlessly shuffle the corpus-sized cell table at small scale
+    # (measured: q47 2 -> 5 exchanges at sf0.001 for zero benefit).
     scored = (
         corpus_cells.join(F.broadcast(query_cells), on="cell_id")
         .where(F.col("neighbor_id") != F.col("query_id"))
@@ -972,13 +980,16 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     q_kv = q.select(
         "query_id", F.posexplode("__sigs").alias("__tbl", "__bucket")
     )
+    # size-gated (same posture as ivf_topk): small probe sets keep the
+    # broadcast, corpus-sized query frames degrade to shuffle joins on
+    # (table, bucket) / query_id instead of forcing an OOM
     cand = (
-        c_kv.join(F.broadcast(q_kv), on=["__tbl", "__bucket"])
+        c_kv.join(size_gated_broadcast(q_kv), on=["__tbl", "__bucket"])
         .drop("__tbl", "__bucket")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = (
-        cand.join(F.broadcast(q.select("query_id", "__qdv", "__qn")),
+        cand.join(size_gated_broadcast(q.select("query_id", "__qdv", "__qn")),
                   on="query_id")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
