@@ -206,6 +206,50 @@ def test_lloyd_kmeans_deterministic_and_partitioning(spark, sf_dir):
     assert sse(c1) < sse(seeds)
 
 
+def test_assign_cells_list_and_dataframe_codebooks_agree(spark, sf_dir):
+    """r6: assign_cells accepts the driver-side (cell_id, components) row
+    list as well as the DataFrame codebook (the Lloyd loop passes its own
+    list through to skip a createDataFrame/collect round trip per
+    iteration) — both forms must assign identically."""
+    from chemharmony_spark.operators.similarity import assign_cells, lloyd_kmeans
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cdf = lloyd_kmeans(emb, n_cells=4, iters=1)
+    rows = [(int(r.cell_id), [float(x) for x in r.centroid])
+            for r in cdf.collect()]
+    via_df = sorted(
+        (r.vec_id, r.cell_id)
+        for r in assign_cells(emb, cdf).select("vec_id", "cell_id").collect()
+    )
+    via_list = sorted(
+        (r.vec_id, r.cell_id)
+        for r in assign_cells(emb, rows).select("vec_id", "cell_id").collect()
+    )
+    assert via_df == via_list
+
+
+def test_lsh_gate_declined_path_matches_broadcast_path(spark, sf_dir):
+    """r6: lsh_bucket_topk's query-side broadcasts are size-gated. With the
+    threshold disabled (the 'corpus-sized queries' stand-in) the gate
+    attaches nothing and the candidate joins run as shuffle joins — the
+    top-k output must be identical to the hinted plan's."""
+    from chemharmony_spark.operators.similarity import lsh_bucket_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+    want = sorted(map(tuple, lsh_bucket_topk(emb, queries, k=5).collect()))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        res = lsh_bucket_topk(emb, queries, k=5)
+        assert "ResolvedHint" not in str(
+            res._jdf.queryExecution().analyzed().toString()
+        )
+        assert sorted(map(tuple, res.collect())) == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_cluster_pruned_pairs_subset_of_exact(spark, sf_dir):
     from chemharmony_spark.operators.similarity import (
         all_pairs_cosine,
