@@ -250,6 +250,43 @@ def test_lsh_gate_declined_path_matches_broadcast_path(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_lsh_multiprobe_recall_with_fewer_candidates(spark, sf_dir):
+    """r6: multi-probe (n_probe_bits=1) with more planes must hold the 0.8
+    recall floor — the scale win is fewer candidate pairs at equal recall
+    (measured 0.86 recall / -32% candidates vs the 4x16 default at
+    sf0.01; SCALE.md grid), and the probe expansion is query-side only."""
+    from chemharmony_spark.operators.similarity import cosine_topk, lsh_bucket_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 20)
+    exact = cosine_topk(emb, queries, k=5).collect()
+    approx = lsh_bucket_topk(emb, queries, k=5, n_planes=8, n_tables=16,
+                             n_probe_bits=1).collect()
+    es, as_ = {}, {}
+    for r in exact:
+        es.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in approx:
+        as_.setdefault(r.query_id, set()).add(r.neighbor_id)
+    total = sum(len(v) for v in es.values())
+    hits = sum(len(v & as_.get(q, set())) for q, v in es.items())
+    assert hits / total > 0.8, f"multi-probe recall below floor: {hits / total}"
+    # determinism
+    approx2 = lsh_bucket_topk(emb, queries, k=5, n_planes=8, n_tables=16,
+                              n_probe_bits=1).collect()
+    assert sorted(map(tuple, approx)) == sorted(map(tuple, approx2))
+    # the collision model accounts for the probe ball: at equal target
+    # recall, probe-1 needs fewer tables than probe-0 for the same planes
+    from chemharmony_spark.operators.similarity import lsh_params_for_recall
+
+    _, t0 = lsh_params_for_recall(0.85, n_planes=8)
+    _, t1 = lsh_params_for_recall(0.85, n_planes=8, n_probe_bits=1)
+    assert t1 < t0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_probe_bits"):
+        lsh_bucket_topk(emb, queries, k=5, n_probe_bits=2)
+
+
 def test_cluster_pruned_pairs_subset_of_exact(spark, sf_dir):
     from chemharmony_spark.operators.similarity import (
         all_pairs_cosine,
