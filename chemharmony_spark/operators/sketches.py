@@ -55,28 +55,34 @@ def countmin_counts(df: DataFrame, item_col: str, width: int = 1024,
     an item's counters across rows (always an over-estimate; error <=
     2N/width with prob 1 - 2^-depth).
 
-    Dataflow: one groupBy per hash row over bucket ids (state = depth x
-    width counters TOTAL, vs one counter per distinct item for the exact
-    count) — the sketch rows union into one skinny table that broadcasts
-    back onto the distinct items. The point at 100 TB: heavy-hitter
-    estimation whose state is independent of vocabulary size. Exact
-    counterpart: q63 heavy hitters.
+    Dataflow: ONE posexplode + (row, bucket) groupBy builds all depth
+    sketch rows in a single map-side-combined agg (state = depth x width
+    counters TOTAL, vs one counter per distinct item for the exact
+    count; through round 5 this was depth separate aggs union'd — depth
+    scans of the persisted frame and depth stages of fixed overhead for
+    identical output, the q40 union-branch anti-pattern). The skinny
+    sketch table broadcasts back onto the distinct items. The point at
+    100 TB: heavy-hitter estimation whose state is independent of
+    vocabulary size. Exact counterpart: q63 heavy hitters.
     """
     from chemharmony_spark.cache import registered_persist
 
     item = F.col(item_col)
-    # persisted (registry-released): depth sketch-row aggs + the distinct
-    # items pass each consume this frame — one scan instead of depth+1
+    # persisted (registry-released): the sketch agg + the distinct items
+    # pass each consume this frame — one scan instead of two
     buckets = registered_persist(df.select(
         item.alias("item"),
         *[cm_bucket(item, r, width).alias(f"b{r}") for r in range(depth)],
     ))
-    rows = None
-    for r in range(depth):
-        row = buckets.groupBy(F.col(f"b{r}").alias("bucket")).agg(
-            F.count(F.lit(1)).alias("c")
-        ).select(F.lit(r).alias("row"), "bucket", "c")
-        rows = row if rows is None else rows.unionByName(row)
+    rows = (
+        buckets.select(
+            F.posexplode(
+                F.array(*[F.col(f"b{r}") for r in range(depth)])
+            ).alias("row", "bucket")
+        )
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
     items = buckets.select(
         "item", *[F.col(f"b{r}") for r in range(depth)]
     ).distinct()
