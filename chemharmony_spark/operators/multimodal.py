@@ -324,15 +324,25 @@ def ahash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 6) -> DataFrame:
         .alias(f"band{b}")
         for b in range(n_bands)
     ]
-    banded = h.select("id", "ahash", *bands)
-    cand = None
-    for b in range(n_bands):
-        l = banded.select(F.col("id").alias("a"), F.col("ahash").alias("ha"),
-                          F.col(f"band{b}").alias("k"))
-        r = banded.select(F.col("id").alias("b"), F.col("ahash").alias("hb"),
-                          F.col(f"band{b}").alias("k"))
-        p = l.join(r, on="k").where(F.col("a") < F.col("b")).drop("k")
-        cand = p if cand is None else cand.unionByName(p)
+    # ONE (band_idx, band_key) self-equi-join over the posexploded band
+    # array — pairs propose iff the SAME band matches, exactly as the
+    # per-band joins did, but in one stage (through round 5 this was
+    # n_bands separate self-joins union'd: same shuffled bytes spread
+    # over n_bands stages of fixed overhead — the q40 union-branch
+    # anti-pattern)
+    kv = h.select(
+        "id", "ahash",
+        F.posexplode(F.array(*bands)).alias("bi", "k"),
+    )
+    left = kv.select(F.col("id").alias("a"), F.col("ahash").alias("ha"),
+                     "bi", "k")
+    right = kv.select(F.col("id").alias("b"), F.col("ahash").alias("hb"),
+                      "bi", "k")
+    cand = (
+        left.join(right, on=["bi", "k"])
+        .where(F.col("a") < F.col("b"))
+        .drop("bi", "k")
+    )
     return (
         cand.dropDuplicates(["a", "b"])
         .withColumn(
