@@ -300,7 +300,8 @@ def ahash64(df: DataFrame, id_col: str = "doc_id",
     return df.select(id_col, payload_col).mapInPandas(batches, AHASH_SCHEMA)
 
 
-def ahash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 6) -> DataFrame:
+def ahash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 6,
+                         max_bucket_size: int | None = None) -> DataFrame:
     """Near-duplicate media pairs by aHash Hamming distance, COMPLETE for
     the given radius: the 64 bits split into ``max_hamming + 1`` bands
     (np.array_split widths) — a pair differing in at most ``max_hamming``
@@ -310,7 +311,20 @@ def ahash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 6) -> DataFrame:
     across all four bands). Band equi-joins propose, one exact
     xor+bit_count filter verifies — never an all-pairs comparison, but
     note the trade: wider radii mean narrower bands (64/(d+1) bits) and
-    fatter candidate buckets; keep max_hamming small at corpus scale."""
+    fatter candidate buckets; keep max_hamming small at corpus scale.
+
+    ``max_bucket_size`` drops band buckets larger than the cap before
+    pairing — the same guard lsh_candidate_pairs carries, and media
+    corpora NEED it more: web crawls hold thousands of byte-identical
+    logos/blank images whose shared hash makes one bucket quadratic
+    (the K=16 soak measured identical-hash buckets alone producing
+    178k pairs; SCALE.md "aHash soak adjudication"). Capping trades
+    pigeonhole COMPLETENESS for boundedness: pairs inside a dropped
+    bucket are missed unless another band proposes them — run exact
+    dedup (collapse identical ahash values to one representative,
+    q123's exact-set idiom) BEFORE this operator and the cap then only
+    ever drops non-discriminative bands. Default None keeps the exact
+    pigeonhole contract (oracles q79/q164 replay it)."""
     if not 0 <= max_hamming <= 63:
         raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
     n_bands = max_hamming + 1
@@ -334,6 +348,10 @@ def ahash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 6) -> DataFrame:
         "id", "ahash",
         F.posexplode(F.array(*bands)).alias("bi", "k"),
     )
+    if max_bucket_size is not None:
+        sizes = kv.groupBy("bi", "k").count()
+        keep = sizes.where(F.col("count") <= max_bucket_size).select("bi", "k")
+        kv = kv.join(keep, on=["bi", "k"], how="left_semi")
     left = kv.select(F.col("id").alias("a"), F.col("ahash").alias("ha"),
                      "bi", "k")
     right = kv.select(F.col("id").alias("b"), F.col("ahash").alias("hb"),

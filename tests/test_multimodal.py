@@ -169,3 +169,28 @@ def test_ahash_banding_complete_for_spread_diffs(spark):
     assert got[(1, 2)] == 4          # found despite spread diffs
     assert (1, 3) not in got         # hamming 8 > 6 rejected exactly
     assert got[(2, 3)] == 4          # spread4 vs spread8 differ in 4 bits
+
+
+def test_ahash_bucket_cap_bounds_fat_buckets(spark):
+    """r6: max_bucket_size drops band buckets past the cap before pairing
+    (the lsh_candidate_pairs guard, ported — web-crawl media holds
+    thousands of identical logos whose shared hash is one quadratic
+    bucket). A clone family larger than the cap must vanish from the
+    capped output while a small family's pairs survive unchanged."""
+    from chemharmony_spark.operators.multimodal import ahash_near_dup_pairs
+
+    def signed(v):
+        return v - (1 << 64) if v >= 1 << 63 else v
+
+    # 20 byte-identical "logos" (one fat bucket per band) + one small pair
+    fat = [(i, signed(0xDEAD_BEEF_DEAD_BEEF)) for i in range(20)]
+    small = [(100, signed(0x0123_4567_89AB_CDEF)),
+             (101, signed(0x0123_4567_89AB_CDEE))]  # hamming 1
+    hashes = spark.createDataFrame(fat + small, "doc_id long, ahash long")
+    uncapped = ahash_near_dup_pairs(hashes, max_hamming=4).collect()
+    capped = ahash_near_dup_pairs(
+        hashes, max_hamming=4, max_bucket_size=10
+    ).collect()
+    assert len(uncapped) == 20 * 19 // 2 + 1
+    got = {(r.a, r.b) for r in capped}
+    assert got == {(100, 101)}, got
