@@ -94,6 +94,20 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def cap_buckets(df: DataFrame, keys: list[str],
+                max_bucket_size: int | None) -> DataFrame:
+    """Drop rows whose bucket (the ``keys`` group) holds more than
+    ``max_bucket_size`` rows — the shared fat-bucket guard for every
+    banded candidate generator (a bucket of n rows proposes n(n-1)/2
+    pairs; an over-shared key is non-discriminative, the LSH analogue of
+    a stop word). ``None`` disables the cap."""
+    if max_bucket_size is None:
+        return df
+    sizes = df.groupBy(*keys).count()
+    keep = sizes.where(F.col("count") <= max_bucket_size).select(*keys)
+    return df.join(keep, on=keys, how="left_semi")
+
+
 def lsh_candidate_pairs(signatures: DataFrame,
                         max_bucket_size: int | None = None) -> DataFrame:
     """Docs sharing any (band, minhash) bucket -> distinct candidate pairs
@@ -106,10 +120,7 @@ def lsh_candidate_pairs(signatures: DataFrame,
     synthetic 100k near-dup corpus: uncapped -> 17.8M candidate pairs;
     without a cap the downstream exact Jaccard dominates the job.
     """
-    if max_bucket_size is not None:
-        sizes = signatures.groupBy("band", "minhash").count()
-        keep = sizes.where(F.col("count") <= max_bucket_size).select("band", "minhash")
-        signatures = signatures.join(keep, on=["band", "minhash"], how="left_semi")
+    signatures = cap_buckets(signatures, ["band", "minhash"], max_bucket_size)
     left = signatures.select("band", "minhash", F.col("id").alias("a"))
     right = signatures.select("band", "minhash", F.col("id").alias("b"))
     return (

@@ -348,10 +348,9 @@ def ahash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 6,
         "id", "ahash",
         F.posexplode(F.array(*bands)).alias("bi", "k"),
     )
-    if max_bucket_size is not None:
-        sizes = kv.groupBy("bi", "k").count()
-        keep = sizes.where(F.col("count") <= max_bucket_size).select("bi", "k")
-        kv = kv.join(keep, on=["bi", "k"], how="left_semi")
+    from chemharmony_spark.operators.dedup import cap_buckets
+
+    kv = cap_buckets(kv, ["bi", "k"], max_bucket_size)
     left = kv.select(F.col("id").alias("a"), F.col("ahash").alias("ha"),
                      "bi", "k")
     right = kv.select(F.col("id").alias("b"), F.col("ahash").alias("hb"),

@@ -20,7 +20,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from chemharmony_spark.cache import registered_persist
-from chemharmony_spark.hints import size_gated_broadcast
 
 
 def _as_double(arr: Column) -> Column:
@@ -477,12 +476,12 @@ def lloyd_kmeans(
 
 def _lloyd_rows(
     corpus: DataFrame,
-    n_cells: int,
-    iters: int,
-    dims: int | None,
-    quant: int,
-    id_col: str,
-    vec_col: str,
+    n_cells: int = 8,
+    iters: int = 2,
+    dims: int | None = None,
+    quant: int = 1 << 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
 ) -> list[tuple[int, list[float]]]:
     """:func:`lloyd_kmeans`'s training loop, returning the codebook as the
     driver-side row list it already holds — internal callers
@@ -590,7 +589,7 @@ def _assign_cells_join(
 
 def assign_cells(
     corpus: DataFrame,
-    centroids: DataFrame,
+    centroids: DataFrame | Sequence[tuple[int, Sequence[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -690,7 +689,6 @@ def cluster_pruned_pairs(
         # the rows variant keeps the trained codebook driver-side; the
         # assign below inlines it as literals either way
         centroids = _lloyd_rows(corpus, n_cells=n_cells, iters=iters,
-                                dims=None, quant=1 << 20,
                                 id_col=id_col, vec_col=vec_col)
     # persist: the assignment + cosine prep (double cast, norm — computed
     # per VECTOR here so the per-pair work is one dot fold) feeds BOTH
@@ -839,6 +837,9 @@ def lsh_params_for_recall(target_recall: float = 0.85,
         # s = +-1 means exact duplicates/negations — every/no plane agrees,
         # the collision model degenerates; use exact dedup instead
         raise ValueError(f"assumed_sim must be in (-1, 1), got {assumed_sim}")
+    if n_probe_bits not in (0, 1):
+        # keep the model in lockstep with lsh_bucket_topk's support
+        raise ValueError(f"n_probe_bits must be 0 or 1, got {n_probe_bits}")
     p = 1.0 - math.acos(assumed_sim) / math.pi
     p_table = p ** n_planes
     if n_probe_bits:
@@ -1026,16 +1027,23 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         q_kv = q.select(
             "query_id", F.posexplode("__sigs").alias("__tbl", "__bucket")
         )
-    # size-gated (same posture as ivf_topk): small probe sets keep the
-    # broadcast, corpus-sized query frames degrade to shuffle joins on
-    # (table, bucket) / query_id instead of forcing an OOM
+    # the query side stays a FORCED broadcast deliberately (the ivf_topk
+    # posture): ``queries`` is a probe set by contract — corpus-sized
+    # "queries" belong in all_pairs_cosine / cluster_pruned_pairs. A size
+    # gate mis-declines here: without CBO a Filter-derived probe set
+    # inherits the CORPUS's size estimate, the hint vanishes at exactly
+    # the scale it matters, and the 16x-posexploded corpus side would
+    # materialize into shuffle files before AQE could convert the join
+    # back — defeating the generate->BHJ pipelining this operator is
+    # built around. (The gate also re-optimizes the inlined hyperplane
+    # tensor per call — the plan-analysis cost the r6 rewrite removed.)
     cand = (
-        c_kv.join(size_gated_broadcast(q_kv), on=["__tbl", "__bucket"])
+        c_kv.join(F.broadcast(q_kv), on=["__tbl", "__bucket"])
         .drop("__tbl", "__bucket")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = (
-        cand.join(size_gated_broadcast(q.select("query_id", "__qdv", "__qn")),
+        cand.join(F.broadcast(q.select("query_id", "__qdv", "__qn")),
                   on="query_id")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(

@@ -228,11 +228,16 @@ def test_assign_cells_list_and_dataframe_codebooks_agree(spark, sf_dir):
     assert via_df == via_list
 
 
-def test_lsh_gate_declined_path_matches_broadcast_path(spark, sf_dir):
-    """r6: lsh_bucket_topk's query-side broadcasts are size-gated. With the
-    threshold disabled (the 'corpus-sized queries' stand-in) the gate
-    attaches nothing and the candidate joins run as shuffle joins — the
-    top-k output must be identical to the hinted plan's."""
+def test_lsh_query_broadcast_is_forced_probe_set_contract(spark, sf_dir):
+    """r6 (revised after review): the query-side broadcasts in
+    lsh_bucket_topk are deliberately FORCED, not size-gated — without CBO
+    a Filter-derived probe set inherits the CORPUS's size estimate, so a
+    gate would mis-decline at exactly the scale it matters and the
+    posexploded corpus side would materialize into shuffle files
+    (operator docstring spells out the probe-set contract; ivf_topk
+    documents the same posture). Pin the hints so a future 'cleanup'
+    can't silently regress the plan: both candidate and rerank joins
+    carry ResolvedHint even with the session threshold disabled."""
     from chemharmony_spark.operators.similarity import lsh_bucket_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -242,9 +247,9 @@ def test_lsh_gate_declined_path_matches_broadcast_path(spark, sf_dir):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         res = lsh_bucket_topk(emb, queries, k=5)
-        assert "ResolvedHint" not in str(
+        assert str(
             res._jdf.queryExecution().analyzed().toString()
-        )
+        ).count("ResolvedHint") >= 2
         assert sorted(map(tuple, res.collect())) == want
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
