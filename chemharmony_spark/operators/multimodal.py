@@ -301,7 +301,8 @@ def ahash64(df: DataFrame, id_col: str = "doc_id",
 
 
 def ahash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 6,
-                         max_bucket_size: int | None = None) -> DataFrame:
+                         max_bucket_size: int | None = None,
+                         collapse_identical: bool = False) -> DataFrame:
     """Near-duplicate media pairs by aHash Hamming distance, COMPLETE for
     the given radius: the 64 bits split into ``max_hamming + 1`` bands
     (np.array_split widths) — a pair differing in at most ``max_hamming``
@@ -320,11 +321,23 @@ def ahash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 6,
     (the K=16 soak measured identical-hash buckets alone producing
     178k pairs; SCALE.md "aHash soak adjudication"). Capping trades
     pigeonhole COMPLETENESS for boundedness: pairs inside a dropped
-    bucket are missed unless another band proposes them — run exact
-    dedup (collapse identical ahash values to one representative,
-    q123's exact-set idiom) BEFORE this operator and the cap then only
-    ever drops non-discriminative bands. Default None keeps the exact
-    pigeonhole contract (oracles q79/q164 replay it)."""
+    bucket are missed unless another band proposes them — pass
+    ``collapse_identical=True`` (below) and the cap then only ever
+    drops non-discriminative bands. Default None keeps the exact
+    pigeonhole contract (oracles q79/q164 replay it).
+
+    ``collapse_identical=True`` makes the exact-dedup-first idiom an
+    operator guarantee instead of caller discipline (q123's exact-set
+    collapse, applied here): equal-ahash docs fold to one min-id
+    representative BEFORE banding, the candidate join runs over
+    distinct hashes only (so byte-identical web media can never make a
+    band bucket quadratic), and the pairs expand back afterwards —
+    identical-hash families via a members self-equi-join on ahash
+    (hamming 0, true output), cross-family pairs via two member joins
+    on (ha, hb). Output is IDENTICAL to the uncollapsed run when
+    ``max_bucket_size`` is None (parity-tested); with a cap it is
+    strictly safer, since capping can then only drop buckets that are
+    fat from many *distinct* hashes sharing one band key."""
     if not 0 <= max_hamming <= 63:
         raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
     n_bands = max_hamming + 1
@@ -332,6 +345,9 @@ def ahash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 6,
     widths = [base + 1 if b < rem else base for b in range(n_bands)]
     starts = [sum(widths[:b]) for b in range(n_bands)]
     h = hashes.select(F.col("doc_id").alias("id"), "ahash")
+    members = h
+    if collapse_identical:
+        h = h.groupBy("ahash").agg(F.min("id").alias("id"))
     bands = [
         F.shiftrightunsigned(F.col("ahash"), 64 - starts[b] - widths[b])
         .bitwiseAND(F.lit((1 << widths[b]) - 1))
@@ -360,12 +376,35 @@ def ahash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 6,
         .where(F.col("a") < F.col("b"))
         .drop("bi", "k")
     )
-    return (
+    verified = (
         cand.dropDuplicates(["a", "b"])
         .withColumn(
             "hamming",
             F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))),
         )
         .where(F.col("hamming") <= max_hamming)
-        .select("a", "b", "hamming")
     )
+    if not collapse_identical:
+        return verified.select("a", "b", "hamming")
+    # Expand representative pairs back to member pairs. Rep pairs always
+    # span DISTINCT hashes (groupBy folded equal ones), so hamming >= 1
+    # there and the hamming-0 intra-family pairs below never overlap.
+    ma = members.select(F.col("id").alias("ma"), F.col("ahash").alias("ha"))
+    mb = members.select(F.col("id").alias("mb"), F.col("ahash").alias("hb"))
+    cross = (
+        verified.select("ha", "hb", "hamming")
+        .join(ma, "ha")
+        .join(mb, "hb")
+        .select(
+            F.least("ma", "mb").alias("a"),
+            F.greatest("ma", "mb").alias("b"),
+            "hamming",
+        )
+    )
+    intra = (
+        members.select(F.col("id").alias("a"), "ahash")
+        .join(members.select(F.col("id").alias("b"), "ahash"), "ahash")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", F.lit(0).cast("integer").alias("hamming"))
+    )
+    return cross.unionByName(intra)

@@ -74,7 +74,13 @@ def countmin_counts(df: DataFrame, item_col: str, width: int = 1024,
         item.alias("item"),
         *[cm_bucket(item, r, width).alias(f"b{r}") for r in range(depth)],
     ))
-    rows = (
+    # persisted too (r7 ADVICE): the depth `where(row == r)` broadcasts
+    # below each re-ran the full depth x N explode+agg otherwise — the
+    # filter on the GENERATED `row` column cannot push below the
+    # posexplode, and the differing predicates defeat ReuseExchange, so
+    # without the cache the 'one agg instead of depth' claim only held
+    # at plan-declaration time. State is depth x width counters — tiny.
+    rows = registered_persist(
         buckets.select(
             F.posexplode(
                 F.array(*[F.col(f"b{r}") for r in range(depth)])

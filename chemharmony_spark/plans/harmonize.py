@@ -257,27 +257,37 @@ def _assert_invariants(substances, properties, activities, sources, min_rows):
     """
     from concurrent.futures import ThreadPoolExecutor
 
+    # the dim source check matters most on the staging_tables path: a
+    # catalog table STORES its source column (the glob derives it from
+    # declared dirs), so an undeclared/NULL value would otherwise flow
+    # silently into the output bricks — only activities were checked
+    # through r6. Same one-pass agg, no extra action.
+    def _bad_src():
+        return F.sum(
+            F.when(
+                F.col("source").isNull()
+                | ~F.col("source").isin(list(sources)), 1
+            ).otherwise(0)
+        ).alias("bad_src")
+
     def _s():
-        return substances.agg(F.count(F.lit(1)).alias("n")).collect()[0]
+        return substances.agg(
+            F.count(F.lit(1)).alias("n"), _bad_src()
+        ).collect()[0]
 
     def _p():
         return properties.agg(
             F.count(F.lit(1)).alias("n"),
             F.countDistinct("pid").alias("n_pid"),
             F.countDistinct("pid", "data").alias("n_pd"),
+            _bad_src(),
         ).collect()[0]
 
     def _a():
+        # every source ∈ declared list (80:100-101); NULL = staged file
+        # whose path matched no declared source — equally fatal
         return activities.agg(
-            F.count(F.lit(1)).alias("n"),
-            # every source ∈ declared list (80:100-101); NULL = staged file
-            # whose path matched no declared source — equally fatal
-            F.sum(
-                F.when(
-                    F.col("source").isNull()
-                    | ~F.col("source").isin(list(sources)), 1
-                ).otherwise(0)
-            ).alias("bad_src"),
+            F.count(F.lit(1)).alias("n"), _bad_src()
         ).collect()[0]
 
     def _ri():
@@ -303,6 +313,12 @@ def _assert_invariants(substances, properties, activities, sources, min_rows):
     assert a.n > min_rows[2], f"activities {a.n} <= floor {min_rows[2]}"
     assert a.bad_src == 0, (
         f"{a.bad_src} activities with undeclared/unresolvable sources"
+    )
+    assert s.bad_src == 0, (
+        f"{s.bad_src} substances with undeclared/unresolvable sources"
+    )
+    assert p.bad_src == 0, (
+        f"{p.bad_src} properties with undeclared/unresolvable sources"
     )
     # pid <-> data bijection: one canonical payload per pid (80:104-105)
     assert p.n_pid == p.n_pd, "pid collision: same pid maps to different data"

@@ -64,6 +64,13 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # --- correctness: overflow must error, never silently NULL ---
+        # The engine's BIGINT contract-edge casts (see queries.py D38 notes)
+        # assume ANSI arithmetic. Spark 4 defaults to ANSI on, but a Spark 3.x
+        # or conf-overridden deployment would silently NULL on overflow — the
+        # worst failure mode for a correctness-first engine — so pin it here
+        # rather than rely on the deployment default.
+        .config("spark.sql.ansi.enabled", "true")
         # --- IO ---
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.parquet.filterPushdown", "true")

@@ -150,6 +150,47 @@ def test_harmonize_e2e_bucketed_staging_fact_side_zero_exchange(spark, warehouse
             spark.sql(f"DROP TABLE IF EXISTS {n}")
 
 
+def test_harmonize_staging_tables_undeclared_source_aborts(spark, warehouse):
+    """r7 ADVICE: a catalog table STORES its source column, so an
+    undeclared value used to flow silently into the substances brick
+    (the glob path derives source from declared dirs and NULLs loudly).
+    The dim invariants must now abort like the activities one does."""
+    from pyspark.sql import functions as F2
+
+    from chemharmony_spark.plans.harmonize import harmonize
+
+    subs = spark.createDataFrame(
+        [("src0", "s1", '{"x": 1}'), ("rogue", "s2", '{"x": 2}')],
+        "source string, sid string, data string",
+    )
+    props = spark.createDataFrame(
+        [("src0", "p1", '{"y": 1}')], "source string, pid string, data string"
+    )
+    acts = spark.createDataFrame(
+        [("src0", "s1", "p1", "InChI=1S/C", "positive")],
+        "source string, sid string, pid string, inchi string, value string",
+    )
+    for n in ("prov_subs", "prov_props", "prov_acts"):
+        spark.sql(f"DROP TABLE IF EXISTS {n}")
+    write_parquet(subs, f"{warehouse}/prov_subs",
+                  bucket_by=(2, ["source", "sid"]), table_name="prov_subs")
+    write_parquet(props, f"{warehouse}/prov_props",
+                  bucket_by=(2, ["source", "pid"]), table_name="prov_props")
+    write_parquet(acts, f"{warehouse}/prov_acts",
+                  bucket_by=(2, ["source", "sid"]), table_name="prov_acts")
+    try:
+        with pytest.raises(AssertionError, match="substances with undeclared"):
+            harmonize(
+                spark, "/nonexistent", ["src0"], check_invariants=True,
+                staging_tables={"substances": "prov_subs",
+                                "properties": "prov_props",
+                                "activities": "prov_acts"},
+            )
+    finally:
+        for n in ("prov_subs", "prov_props", "prov_acts"):
+            spark.sql(f"DROP TABLE IF EXISTS {n}")
+
+
 def test_harmonize_rekey_shape_cobucketed_composite_key(spark, warehouse):
     """The at-rest completion of harmonize's rekey_strategy='bucket'
     (plans/harmonize.py docstring): staging activities and the sid map

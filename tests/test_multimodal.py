@@ -194,3 +194,50 @@ def test_ahash_bucket_cap_bounds_fat_buckets(spark):
     assert len(uncapped) == 20 * 19 // 2 + 1
     got = {(r.a, r.b) for r in capped}
     assert got == {(100, 101)}, got
+
+
+def test_ahash_collapse_identical_parity_and_cap_safety(spark):
+    """r7 (VERDICT next-round 2): collapse_identical=True is the
+    exact-dedup-first idiom as an operator option, not docstring prose.
+
+    Parity: on a corpus with identical-hash families, the collapsed run
+    must emit the EXACT same (a, b, hamming) set as the uncollapsed run
+    when max_bucket_size is None. Safety: with a cap that would have
+    nuked the identical family's bucket (the previous test's case), the
+    collapsed run keeps every intra-family pair — the family is one
+    representative in the banded join, so only buckets fat from many
+    DISTINCT hashes can ever be dropped."""
+    from chemharmony_spark.operators.multimodal import ahash_near_dup_pairs
+
+    def signed(v):
+        return v - (1 << 64) if v >= 1 << 63 else v
+
+    # Two identical-hash families (sizes 20 and 3), a cross-family-adjacent
+    # loner (hamming 1 from family A), and a far-away hash (unmatched).
+    fam_a = [(i, signed(0xDEAD_BEEF_DEAD_BEEF)) for i in range(20)]
+    fam_b = [(50 + i, signed(0x0123_4567_89AB_CDEF)) for i in range(3)]
+    loner = [(100, signed(0xDEAD_BEEF_DEAD_BEEE))]  # hamming 1 vs fam_a
+    far = [(200, signed(0xFFFF_0000_FFFF_0000))]
+    hashes = spark.createDataFrame(
+        fam_a + fam_b + loner + far, "doc_id long, ahash long"
+    )
+
+    plain = {(r.a, r.b, r.hamming)
+             for r in ahash_near_dup_pairs(hashes, max_hamming=4).collect()}
+    collapsed = {(r.a, r.b, r.hamming)
+                 for r in ahash_near_dup_pairs(
+                     hashes, max_hamming=4, collapse_identical=True
+                 ).collect()}
+    assert collapsed == plain
+    # 20C2 + 3C2 intra pairs + 20 loner-to-fam_a cross pairs
+    assert len(plain) == 190 + 3 + 20
+
+    capped = {(r.a, r.b, r.hamming)
+              for r in ahash_near_dup_pairs(
+                  hashes, max_hamming=4, max_bucket_size=10,
+                  collapse_identical=True,
+              ).collect()}
+    # The cap sees one row per distinct hash per band (4 hashes), so no
+    # bucket exceeds 10: the collapsed+capped run loses NOTHING here,
+    # while the uncollapsed+capped run (previous test) lost fam_a whole.
+    assert capped == plain

@@ -72,3 +72,36 @@ def test_countmin_overestimates_within_bound(spark):
         assert est[item] - t <= bound, (item, est[item], t, bound)
     # the top heavy hitter is unambiguous
     assert max(est, key=est.get) == "item01"
+
+
+def test_countmin_broadcasts_read_cached_rows_not_reexploded(spark):
+    """r7 ADVICE: the depth `rows.where(row == r)` broadcast sides used to
+    re-run the full depth x N posexplode+agg each (the filter on the
+    generated `row` column can't push below Generate, and the differing
+    predicates defeat ReuseExchange). With `rows` persisted, every
+    BroadcastExchange must read straight off the cache: no Generate and
+    no shuffle between the exchange and its InMemoryTableScan."""
+    from chemharmony_spark.operators.sketches import countmin_counts
+
+    df = spark.range(2_000).select((F.col("id") % 17).cast("string").alias("w"))
+    est = countmin_counts(df, "w", width=64, depth=4)
+    est.collect()
+    # scan the whole tree (AQE prints final + initial plans, and the
+    # persisted rows frame nests its own adaptive plan inside its
+    # InMemoryRelation): EVERY BroadcastExchange, wherever printed, must
+    # read a cache scan before any Generate/shuffle appears below it
+    lines = est._jdf.queryExecution().executedPlan().toString().splitlines()
+    n_bcast = 0
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" not in line:
+            continue
+        n_bcast += 1
+        for sub in lines[i + 1:]:
+            if "InMemoryTableScan" in sub:
+                break
+            assert "Generate" not in sub and "Exchange hashpartitioning" not in sub, (
+                "a count-min broadcast re-runs the explode/agg instead of "
+                "reading the persisted rows cache:\n" + "\n".join(lines)
+            )
+    # 4 in the final plan + up to 4 in the printed initial plan
+    assert n_bcast >= 4, f"expected one broadcast per depth row, saw {n_bcast}"
