@@ -100,6 +100,15 @@ def harmonize(
     path for corpora whose id maps outgrow broadcast — shuffle-hash joins
     with the map as build side (no sort, no broadcast build); pair with
     staging written bucketed by (source, sid) to drop the map-side exchange.
+    ``'bucket2'``: ``'bucket'`` plus the sid-rekeyed intermediate is
+    MATERIALIZED as a catalog table bucketed by (source, pid) (requires
+    ``scratch_dir``), so the pid re-key join ALSO reads its fact side with
+    zero exchanges — the fact table never enters an in-flight shuffle in
+    either re-key. The trade is one full write+read of the fact bytes for
+    one avoided shuffle of the same bytes; measured at sf0.1 it does NOT
+    pay on a single node (SCALE.md "bucketed harmonize"), but the path
+    exists for deployments where the intermediate is reused downstream or
+    shuffle capacity, not IO, is the binding constraint.
 
     ``staging_tables``: {'substances': name, 'properties': name,
     'activities': name} catalog tables to read INSTEAD of the provenance
@@ -111,8 +120,16 @@ def harmonize(
     output partitioning satisfies the join's required distribution
     (proven end-to-end in tests/test_bucketing.py).
     """
-    if rekey_strategy not in ("auto", "bucket"):
-        raise ValueError(f"rekey_strategy must be 'auto' or 'bucket', got {rekey_strategy!r}")
+    if rekey_strategy not in ("auto", "bucket", "bucket2"):
+        raise ValueError(
+            f"rekey_strategy must be 'auto', 'bucket' or 'bucket2', "
+            f"got {rekey_strategy!r}"
+        )
+    if rekey_strategy == "bucket2" and not scratch_dir:
+        raise ValueError(
+            "rekey_strategy='bucket2' materializes the sid-rekeyed "
+            "intermediate and needs scratch_dir"
+        )
     if staging_tables:
         unknown = set(staging_tables) - {"substances", "properties", "activities"}
         if unknown:
@@ -174,7 +191,7 @@ def harmonize(
     # re-key: local (source, sid/pid) -> global md5 ids (80:76-78).
     sid_map = subs.select("source", F.col("sid").alias("__localsid"), "newsid").distinct()
     pid_map = props.select("source", F.col("pid").alias("__localpid"), "newpid").distinct()
-    if rekey_strategy == "bucket":
+    if rekey_strategy in ("bucket", "bucket2"):
         # pre-bucket path: both joins are shuffle-hash with the map as the
         # build side — no sort of the fact table, no broadcast build, works
         # at any map cardinality. Staging written bucketed by (source, sid)
@@ -187,8 +204,34 @@ def harmonize(
         acts.withColumnRenamed("sid", "__localsid")
         .withColumnRenamed("pid", "__localpid")
         .join(sid_map, on=["source", "__localsid"], how="inner")
-        .join(pid_map, on=["source", "__localpid"], how="inner")
-        .drop("__localsid", "__localpid")
+        .drop("__localsid")
+    )
+    if rekey_strategy == "bucket2":
+        # materialize the sid-rekeyed fact bucketed on the PID re-key key:
+        # the read-back scan's output partitioning satisfies the pid
+        # join's required distribution, so the fact side never enters an
+        # in-flight exchange in EITHER re-key (proven in
+        # tests/test_bucketing.py::test_harmonize_bucket2_both_rekey_joins_zero_fact_exchange).
+        # The bucketed write itself needs no shuffle (each task fans its
+        # rows into per-bucket files). Table name is scratch-dir-scoped so
+        # concurrent harmonize runs with separate scratch dirs don't race.
+        import hashlib as _hashlib
+
+        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        tbl = "__harmonize_b2_" + _hashlib.md5(
+            scratch_dir.encode()
+        ).hexdigest()[:10]
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        (
+            acts.write.mode("overwrite")
+            .bucketBy(n_buckets, "source", "__localpid")
+            .option("path", f"{scratch_dir}/bucket2_sid_rekeyed")
+            .saveAsTable(tbl)
+        )
+        acts = spark.table(tbl)
+    acts = (
+        acts.join(pid_map, on=["source", "__localpid"], how="inner")
+        .drop("__localpid")
         .withColumnRenamed("newsid", "sid")
         .withColumnRenamed("newpid", "pid")
     )

@@ -150,6 +150,84 @@ def test_harmonize_e2e_bucketed_staging_fact_side_zero_exchange(spark, warehouse
             spark.sql(f"DROP TABLE IF EXISTS {n}")
 
 
+def test_harmonize_bucket2_pid_rekey_zero_fact_exchange(spark, warehouse, tmp_path):
+    """r7 (VERDICT next-round 5): rekey_strategy='bucket2' materializes the
+    sid-rekeyed fact bucketed by (source, pid), so the SECOND re-key join
+    also reads its fact side with zero exchanges (the sid join's zero
+    fact-side exchange is proven by the e2e test above — bucket2 shares
+    that exact subplan up to the write). Rows must match the auto path."""
+    from pyspark.sql import functions as F2
+
+    from chemharmony_spark.plans.harmonize import harmonize
+
+    subs = spark.range(0, 50).select(
+        F2.concat(F2.lit("src"), (F2.col("id") % 2).cast("string")).alias("source"),
+        F2.col("id").cast("string").alias("sid"),
+        F2.to_json(F2.struct(F2.col("id").alias("x"))).alias("data"),
+    )
+    props = spark.range(0, 20).select(
+        F2.concat(F2.lit("src"), (F2.col("id") % 2).cast("string")).alias("source"),
+        F2.col("id").cast("string").alias("pid"),
+        F2.to_json(F2.struct(F2.col("id").alias("y"))).alias("data"),
+    )
+    acts = spark.range(0, 500).select(
+        F2.concat(F2.lit("src"), (F2.col("id") % 2).cast("string")).alias("source"),
+        (F2.col("id") % 50).cast("string").alias("sid"),
+        (F2.col("id") % 20).cast("string").alias("pid"),
+        F2.concat(F2.lit("InChI=1S/C"), (F2.col("id") % 20).cast("string")).alias("inchi"),
+        F2.when(F2.col("id") % 3 == 0, "positive").otherwise("negative").alias("value"),
+    )
+    for n in ("b2_acts", "b2_subs", "b2_props"):
+        spark.sql(f"DROP TABLE IF EXISTS {n}")
+    write_parquet(acts, f"{warehouse}/b2_acts",
+                  bucket_by=(8, ["source", "sid"]), table_name="b2_acts")
+    write_parquet(subs, f"{warehouse}/b2_subs",
+                  bucket_by=(8, ["source", "sid"]), table_name="b2_subs")
+    write_parquet(props, f"{warehouse}/b2_props",
+                  bucket_by=(8, ["source", "pid"]), table_name="b2_props")
+    glob_root = f"{warehouse}/b2_glob"
+    for src in ("src0", "src1"):
+        for name, df in (("substances", subs), ("properties", props),
+                         ("activities", acts)):
+            df.where(F2.col("source") == src).drop("source").write.mode(
+                "overwrite"
+            ).parquet(f"{glob_root}/{src}/{name}.parquet")
+    prev_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        res = harmonize(
+            spark, "/nonexistent", ["src0", "src1"], check_invariants=False,
+            rekey_strategy="bucket2", scratch_dir=str(tmp_path / "b2_scratch"),
+            staging_tables={"substances": "b2_subs",
+                            "properties": "b2_props",
+                            "activities": "b2_acts"},
+        )
+        plan = res.activities._jdf.queryExecution().executedPlan().toString()
+        # the pid re-key join streams the bucketed intermediate directly
+        fact_side = _streamed_subtree(plan, "ShuffledHashJoin", "__localpid#")
+        assert any("__harmonize_b2_" in line for line in fact_side), (
+            "pid re-key join's streamed side is not the materialized "
+            "intermediate:\n" + plan
+        )
+        assert not any("Exchange" in line for line in fact_side), (
+            "bucket2 fact side still shuffles into the pid re-key join:\n"
+            + plan
+        )
+        got = sorted(
+            map(tuple, res.activities.drop("aid", "smiles").collect())
+        )
+        auto = harmonize(spark, glob_root, ["src0", "src1"],
+                         check_invariants=False)
+        want = sorted(
+            map(tuple, auto.activities.drop("aid", "smiles").collect())
+        )
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thr)
+        for n in ("b2_acts", "b2_subs", "b2_props"):
+            spark.sql(f"DROP TABLE IF EXISTS {n}")
+
+
 def test_harmonize_staging_tables_undeclared_source_aborts(spark, warehouse):
     """r7 ADVICE: a catalog table STORES its source column, so an
     undeclared value used to flow silently into the substances brick

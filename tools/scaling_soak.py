@@ -11,11 +11,22 @@ therefore the ENGINE's fault, not output growth).
 Usage: python tools/scaling_soak.py [K]
 Prints one markdown table row per query: t_base, t_xK, ratio (ratio ≈ K or
 below = linear or better; local[32] hides cluster network costs, but a
-shuffle/plan that blows up quadratically shows up here regardless).
+shuffle/plan that blows up quadratically shows up here regardless), then
+ONE JSON line with the full results + drift controls.
+
+Drift control (since round 7; r6 verdict task 3 — the r6 soak single-shot
+ratios for q115/q123 read above r5's purely from host drift, and only a
+hand A/B could adjudicate it): each scale is timed BEST-OF-2 with the
+base/xK runs INTERLEAVED (base, xK, base, xK) so host drift lands on both
+sides of the ratio equally, and every query carries a calibration sample
+(bench.py's fixed reference plan) — a query whose sample reads >20% above
+the session best was measured under contention; trust its ratio, not its
+absolute times.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import sys
@@ -28,7 +39,19 @@ from pyspark.sql import functions as F  # noqa: E402
 from chemharmony_spark.session import get_spark  # noqa: E402
 
 SRC = os.environ.get("SOAK_SRC", "/root/testdata/sf0.1")
-ROOT = "/tmp/spark_soak"
+# SOAK_PAYLOAD_SALT=1: media-modality variant (r6 verdict task 7). The
+# standard token-prefix salt keeps token VOCABULARIES disjoint but barely
+# moves aHash's 64 byte-pool cells, so payload-hashing queries (q79/q164)
+# see replicas of the same doc as REAL near-dups and their output grows
+# quadratically-ish with K (SCALE.md "aHash soak adjudication"). This mode
+# additionally PREPENDS an r-dependent ~72-byte block to every document's
+# text (the payload is its utf-8 bytes), shifting every pooled cell, so
+# cross-replica payloads stop colliding and output scales linearly.
+# Builds ONLY the documents table, under a separate root — use it only
+# for payload-hashing queries (the prepended block is shared within a
+# replica, which would inflate token-overlap queries' true output).
+PAYLOAD_SALT = os.environ.get("SOAK_PAYLOAD_SALT") == "1"
+ROOT = "/tmp/spark_soak_psalt" if PAYLOAD_SALT else "/tmp/spark_soak"
 OFF = 1_000_000_000
 
 # (table, [key columns to offset], text column to replica-salt or None)
@@ -99,7 +122,8 @@ def build(spark, k: int) -> tuple[str, str]:
         return base, xk  # reuse a finished build (delete ROOT to force)
     if os.path.exists(ROOT):
         shutil.rmtree(ROOT)
-    for name, keys, text in TABLES:
+    tables = [t for t in TABLES if t[0] == "documents"] if PAYLOAD_SALT else TABLES
+    for name, keys, text in tables:
         df = spark.read.parquet(f"{SRC}/{name}.parquet")
         df.write.parquet(f"{base}/{name}.parquet")
         # nation/region are fixed dims (25/5 rows) shared by all replicas;
@@ -116,6 +140,14 @@ def build(spark, k: int) -> tuple[str, str]:
                     text,
                     F.regexp_replace(F.col(text), r"(^|\s)(\S)", f"$1r{i}z$2"),
                 )
+            if text is not None and PAYLOAD_SALT and i > 0:
+                # disjoint payload BYTES per replica: shift every aHash
+                # byte-pool cell (see PAYLOAD_SALT note above)
+                r = r.withColumn(
+                    text,
+                    F.concat(F.repeat(F.lit(f"r{i}y"), 24), F.lit(" "),
+                             F.col(text)),
+                )
             parts.append(r)
         out = parts[0]
         for p in parts[1:]:
@@ -130,23 +162,52 @@ def main() -> int:
     names = sys.argv[2:] or QUERIES
     spark = get_spark()
     import __spark_entry__ as e
+    from bench import CAL_DRIFT_FACTOR, _calibrate, _load_avg
 
     qs = e.queries()
     print(f"building base + x{k} replicas from {SRC} ...", flush=True)
     base, xk = build(spark, k)
-    print("| query | t_base (s) | t_x%d (s) | ratio |" % k)
-    print("|---|---|---|---|")
+    load_before, cal_before = _load_avg(), _calibrate(spark)
+    print("| query | t_base (s) | t_x%d (s) | ratio | cal (s) |" % k)
+    print("|---|---|---|---|---|")
     from chemharmony_spark.cache import release_caches
 
+    results: dict[str, dict] = {}
+    cals: dict[str, float] = {}
     for name in names:
-        times = []
-        for d in (base, xk):
-            t0 = time.time()
-            qs[name](spark, d).count()
-            times.append(time.time() - t0)
-            release_caches()  # bound cache residency across the soak
-        tb, tk = times
-        print(f"| {name} | {tb:.2f} | {tk:.2f} | {tk / tb:.1f}x |", flush=True)
+        best = {base: None, xk: None}
+        # interleaved best-of-2: base, xK, base, xK — host drift lands on
+        # both sides of the ratio (the r6 soak single-shotted each scale,
+        # so a load spike during one side faked a scaling regression)
+        for _ in range(2):
+            for d in (base, xk):
+                t0 = time.time()
+                qs[name](spark, d).count()
+                dt = time.time() - t0
+                best[d] = dt if best[d] is None else min(best[d], dt)
+                release_caches()  # bound cache residency across the soak
+        cals[name] = _calibrate(spark, reps=2)
+        tb, tk = best[base], best[xk]
+        results[name] = {
+            "t_base": round(tb, 2), f"t_x{k}": round(tk, 2),
+            "ratio": round(tk / tb, 2), "cal_sec": cals[name],
+        }
+        print(f"| {name} | {tb:.2f} | {tk:.2f} | {tk / tb:.1f}x "
+              f"| {cals[name]:.2f} |", flush=True)
+    cal_after, load_after = _calibrate(spark), _load_avg()
+    best_cal = min([cal_before, cal_after] + list(cals.values()))
+    flagged = sorted(
+        n for n, c in cals.items() if c > CAL_DRIFT_FACTOR * best_cal
+    )
+    print(json.dumps({
+        "metric": "soak_scaling_ratio",
+        "k": k,
+        "src": SRC,
+        "queries": results,
+        "calibration_sec": {"before": cal_before, "after": cal_after},
+        "load_avg": {"before": load_before, "after": load_after},
+        "load_flagged": flagged,
+    }), flush=True)
     return 0
 
 
