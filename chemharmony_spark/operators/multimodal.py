@@ -302,7 +302,8 @@ def ahash64(df: DataFrame, id_col: str = "doc_id",
 
 def ahash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 6,
                          max_bucket_size: int | None = None,
-                         collapse_identical: bool = False) -> DataFrame:
+                         collapse_identical: bool = False,
+                         probe_bits: int = 0) -> DataFrame:
     """Near-duplicate media pairs by aHash Hamming distance, COMPLETE for
     the given radius: the 64 bits split into ``max_hamming + 1`` bands
     (np.array_split widths) — a pair differing in at most ``max_hamming``
@@ -337,10 +338,28 @@ def ahash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 6,
     on (ha, hb). Output is IDENTICAL to the uncollapsed run when
     ``max_bucket_size`` is None (parity-tested); with a cap it is
     strictly safer, since capping can then only drop buckets that are
-    fat from many *distinct* hashes sharing one band key."""
+    fat from many *distinct* hashes sharing one band key.
+
+    ``probe_bits=1`` switches candidate generation to HmSearch-style
+    1-bit variant probing (Zhang et al., "HmSearch: an efficient Hamming
+    distance query processing algorithm", SSDBM 2013 — public paper):
+    ceil((d+1)/2) WIDE bands instead of d+1 narrow ones (pigeonhole: if
+    every band differed by >= 2 bits the total would exceed d, so some
+    band differs by <= 1 bit), with the probe side exploding each band
+    key into itself + its single-bit flips and joining against the exact
+    keys. Output is IDENTICAL to the default (complete for the radius +
+    same exact verify; parity-tested); the win is selectivity at WIDE
+    radii, where d+1 narrow bands saturate: at d=10 the default's 11
+    bands carry ~5.8 bits (<= ~56 distinct keys — every bucket is fat by
+    construction, measured quadratic in SCALE.md's payload-disjoint
+    soak), while probing uses 6 bands of ~10.7 bits (~1,700 keys) at the
+    cost of ~(64/m)x more probe-side rows — ~5-6x fewer candidate pairs.
+    Default 0 keeps the exact plan the oracles replay."""
     if not 0 <= max_hamming <= 63:
         raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
-    n_bands = max_hamming + 1
+    if probe_bits not in (0, 1):
+        raise ValueError(f"probe_bits must be 0 or 1, got {probe_bits}")
+    n_bands = max_hamming + 1 if probe_bits == 0 else (max_hamming + 2) // 2
     base, rem = divmod(64, n_bands)
     widths = [base + 1 if b < rem else base for b in range(n_bands)]
     starts = [sum(widths[:b]) for b in range(n_bands)]
@@ -348,29 +367,49 @@ def ahash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 6,
     members = h
     if collapse_identical:
         h = h.groupBy("ahash").agg(F.min("id").alias("id"))
-    bands = [
-        F.shiftrightunsigned(F.col("ahash"), 64 - starts[b] - widths[b])
-        .bitwiseAND(F.lit((1 << widths[b]) - 1))
-        .alias(f"band{b}")
-        for b in range(n_bands)
-    ]
+
+    def band(b):
+        return F.shiftrightunsigned(
+            F.col("ahash"), 64 - starts[b] - widths[b]
+        ).bitwiseAND(F.lit((1 << widths[b]) - 1))
+
     # ONE (band_idx, band_key) self-equi-join over the posexploded band
-    # array — pairs propose iff the SAME band matches, exactly as the
-    # per-band joins did, but in one stage (through round 5 this was
-    # n_bands separate self-joins union'd: same shuffled bytes spread
-    # over n_bands stages of fixed overhead — the q40 union-branch
-    # anti-pattern)
+    # array — pairs propose iff the SAME band matches (<= probe_bits
+    # apart), exactly as per-band joins would, but in one stage (through
+    # round 5 this was n_bands separate self-joins union'd: same shuffled
+    # bytes spread over n_bands stages of fixed overhead — the q40
+    # union-branch anti-pattern)
     kv = h.select(
         "id", "ahash",
-        F.posexplode(F.array(*bands)).alias("bi", "k"),
+        F.posexplode(F.array(*[band(b).alias(f"band{b}")
+                               for b in range(n_bands)])).alias("bi", "k"),
     )
     from chemharmony_spark.operators.dedup import cap_buckets
 
     kv = cap_buckets(kv, ["bi", "k"], max_bucket_size)
     left = kv.select(F.col("id").alias("a"), F.col("ahash").alias("ha"),
                      "bi", "k")
-    right = kv.select(F.col("id").alias("b"), F.col("ahash").alias("hb"),
-                      "bi", "k")
+    if probe_bits == 0:
+        right = kv.select(F.col("id").alias("b"), F.col("ahash").alias("hb"),
+                          "bi", "k")
+    else:
+        # probe side: each band key + its single-bit flips. A band pair
+        # <= 1 bit apart matches in BOTH directions (x-exact vs
+        # y-variant and y-exact vs x-variant), so the a < b filter below
+        # loses nothing.
+        variants = []
+        for b in range(n_bands):
+            variants.append(F.struct(F.lit(b).alias("bi"),
+                                     band(b).alias("k")))
+            variants.extend(
+                F.struct(F.lit(b).alias("bi"),
+                         band(b).bitwiseXOR(F.lit(j1)).alias("k"))
+                for j1 in (1 << j for j in range(widths[b]))
+            )
+        right = h.select(
+            F.col("id").alias("b"), F.col("ahash").alias("hb"),
+            F.explode(F.array(*variants)).alias("e"),
+        ).select("b", "hb", F.col("e.bi").alias("bi"), F.col("e.k").alias("k"))
     cand = (
         left.join(right, on=["bi", "k"])
         .where(F.col("a") < F.col("b"))

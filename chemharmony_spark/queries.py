@@ -1418,13 +1418,22 @@ def q79_media_near_dups(spark, sf):
     (multimodal.ahash64), so DuckDB reproduces every bit from the same
     bytes. Banded candidate join + exact Hamming filter; the band scheme
     is pigeonhole-complete for the threshold, so the oracle's all-pairs
-    formulation yields the identical pair set."""
+    formulation yields the identical pair set.
+
+    r7: candidate generation switched to probe_bits=1 (HmSearch 1-bit
+    variant probing, 6 wide bands) + collapse_identical — SAME output
+    (parity-tested at several radii), but radius 10 stops being
+    quadratic-by-construction: the default's 11 bands carry ~5.8 bits
+    and saturate at corpus scale (552.8 s at 16x sf0.1 on disjoint
+    payloads), the probe plan's ~10.7-bit keys cut that to 59.4 s
+    (SCALE.md r7 media soak)."""
     docs = MM.attach_binary_payload(_t(spark, sf, "documents"), "text")
-    # persist: the banded self-join references the hash frame twice per
-    # band (2 * (max_hamming + 1) = 22 branches here) — without it the
-    # Python hashing pass re-runs per band side
+    # persist: the banded self-join references the hash frame twice
+    # (exact + probe side) — without it the Python hashing pass re-runs
+    # per side
     hashes = MM.ahash64(docs).transform(_registered_persist)
-    return MM.ahash_near_dup_pairs(hashes, max_hamming=10)
+    return MM.ahash_near_dup_pairs(hashes, max_hamming=10, probe_bits=1,
+                                   collapse_identical=True)
 
 
 def q80_corpus_splits(spark, sf):
@@ -10051,13 +10060,13 @@ def q281_join_cardinality_estimate(spark, sf):
                 "ndv_right",
                 "est_rows",
                 # exact D38 sum internally; BIGINT at the contract edge.
-                # Under ANSI mode (the Spark 4 default this engine
-                # assumes; no session conf overrides it) an
-                # out-of-range cast errors loudly — never wraps; a
-                # non-ANSI deployment would instead return NULL here
-                # silently, so keep spark.sql.ansi.enabled=true (or
-                # swap to try_cast + an explicit range check) if that
-                # default is ever relaxed.
+                # Under ANSI mode an out-of-range cast errors loudly —
+                # never wraps; a non-ANSI deployment would instead
+                # return NULL here silently. Since r7 the session
+                # factory PINS spark.sql.ansi.enabled=true
+                # (session.py::get_spark; asserted by
+                # tests/test_session.py), so this contract no longer
+                # rests on the Spark 4 deployment default.
                 F.col("actual_rows").cast("long").alias("actual_rows"),
                 F.floor(qerr * 1_000_000).cast("long").alias("q_error_ppm"),
             )

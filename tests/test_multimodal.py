@@ -241,3 +241,47 @@ def test_ahash_collapse_identical_parity_and_cap_safety(spark):
     # bucket exceeds 10: the collapsed+capped run loses NOTHING here,
     # while the uncollapsed+capped run (previous test) lost fam_a whole.
     assert capped == plain
+
+
+def test_ahash_probe_banding_parity(spark):
+    """r7: probe_bits=1 (HmSearch-style 1-bit variant probing over
+    ceil((d+1)/2) wide bands) must emit the EXACT same pairs as the
+    default d+1-band pigeonhole plan at any radius — it is a candidate
+    -generation strategy, not a semantics change. Clustered corpus with
+    perturbations straddling the radius, composed with
+    collapse_identical."""
+    import random
+
+    from chemharmony_spark.operators.multimodal import ahash_near_dup_pairs
+
+    random.seed(7)
+
+    def signed(v):
+        return v - (1 << 64) if v >= 1 << 63 else v
+
+    rows, i = [], 0
+    for _ in range(25):
+        seed = random.getrandbits(64)
+        rows.append((i, signed(seed)))
+        i += 1
+        for _ in range(4):
+            v = seed
+            for _ in range(random.randint(0, 14)):
+                v ^= 1 << random.randrange(64)
+            rows.append((i, signed(v)))
+            i += 1
+    hashes = spark.createDataFrame(rows, "doc_id long, ahash long")
+    for d in (4, 10):
+        exact = {(r.a, r.b, r.hamming)
+                 for r in ahash_near_dup_pairs(hashes, max_hamming=d).collect()}
+        probe = {(r.a, r.b, r.hamming)
+                 for r in ahash_near_dup_pairs(
+                     hashes, max_hamming=d, probe_bits=1
+                 ).collect()}
+        assert probe == exact, f"probe parity broke at d={d}"
+        probe_c = {(r.a, r.b, r.hamming)
+                   for r in ahash_near_dup_pairs(
+                       hashes, max_hamming=d, probe_bits=1,
+                       collapse_identical=True,
+                   ).collect()}
+        assert probe_c == exact, f"probe+collapse parity broke at d={d}"
