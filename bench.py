@@ -24,10 +24,10 @@ drifted, not the code):
   * (since round 7) drift signals are ACTED on, not just recorded: a
     cheap calibration sample lands after every entry
     (``per_query_calibration_sec``); entries whose sample reads >20%
-    above the session's best were timed under host contention and are
-    re-run once (keeping the per-query min); entries still drifted
-    after the re-run are listed in ``load_flagged`` — treat those
-    timings as host noise, not engine throughput.
+    above the session's MEDIAN sample were timed under host contention
+    and are re-run once (keeping the per-query min); entries still
+    drifted after the re-run are listed in ``load_flagged`` — treat
+    those timings as host noise, not engine throughput.
   * ``--ab BASE_REF`` runs the definitive same-host comparison: head
     and a named git tree interleaved IN ONE PROCESS (same JVM, same
     session, alternating head/base runs per query, best-of-2 each
@@ -109,11 +109,22 @@ def _calibrate(spark, reps: int = 3) -> float:
         best = dt if best is None else min(best, dt)
     return round(best, 3)
 
-# a per-query calibration sample > this multiple of the session's best
+# a per-query calibration sample > this multiple of the session's MEDIAN
 # sample marks that query's timing as host-contaminated (r7: bench must
 # ACT on its drift signals, not just record them — BENCH_r06 ran under
-# load 5.2 -> 16.2 and its totals misled without reading SCALE.md)
+# load 5.2 -> 16.2 and its totals misled without reading SCALE.md).
+# Median, not min: the ~0.3 s reference plan carries ~±20% sample noise
+# of its own, so one outlier-LOW sample would flag half the run (the
+# first full r7 run flagged 15/28 entries against min). Localized spikes
+# flag against the median; GLOBAL contamination shows in the
+# before/after calibration fields instead.
 CAL_DRIFT_FACTOR = 1.2
+
+
+def _median(vals: list[float]) -> float:
+    s = sorted(vals)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
 def _load_avg() -> list[float]:
@@ -361,18 +372,18 @@ def main() -> None:
 
     # --- act on the drift signals (r6 verdict task 4) ---------------------
     # a query whose adjacent calibration sample reads >20% above the
-    # session's best sample was timed under host contention: re-run it
+    # session's median sample was timed under host contention: re-run it
     # ONCE (headline queries only; the harmonize entries are prep-heavy,
     # they get marked, not re-run) and keep the per-query minimum.
-    best_cal = min([cal_before] + list(cals.values())) if cals else cal_before
+    ref_cal = _median([cal_before] + list(cals.values())) if cals else cal_before
     flagged = sorted(
-        k for k, c in cals.items() if c > CAL_DRIFT_FACTOR * best_cal
+        k for k, c in cals.items() if c > CAL_DRIFT_FACTOR * ref_cal
     )
     rerun = [k for k in flagged if k in qs and k in timings]
     if rerun:
         print(
             f"bench: host drift flagged {len(flagged)} entries "
-            f"(cal > {CAL_DRIFT_FACTOR}x session best {best_cal}s); "
+            f"(cal > {CAL_DRIFT_FACTOR}x session median {ref_cal}s); "
             f"re-running {len(rerun)} once: {', '.join(rerun)}",
             file=sys.stderr, flush=True,
         )
@@ -385,7 +396,7 @@ def main() -> None:
     # an entry stays flagged only if its best calibration sample is still
     # drifted after any re-run — the honest "don't trust this number" mark
     load_flagged = sorted(
-        k for k, c in cals.items() if c > CAL_DRIFT_FACTOR * best_cal
+        k for k, c in cals.items() if c > CAL_DRIFT_FACTOR * ref_cal
     )
     if load_flagged:
         print(

@@ -135,8 +135,13 @@ SHUFFLE_BUDGET = {
     "q77_edit_distance_rerank": 1,
     # q78: one hash-agg over the extracted calendar keys
     "q78_calendar_rollup": 1,
-    # q79: persisted hash frame -> banded joins broadcast; one dedup shuffle
-    "q79_media_near_dups": 1,
+    # q79 (re-audited r7, probe_bits=1 + collapse_identical): candidate
+    # joins broadcast; the 3 exchanges are (1) the candidate (a,b)
+    # dedup, (2) the collapse groupBy(ahash) — 16-byte rows, the thing
+    # that BOUNDS the banded join at corpus scale, (3) the intra-family
+    # expansion self-join on ahash (true output). None scans the corpus
+    # twice; the Python hashing pass still runs once off the persist.
+    "q79_media_near_dups": 3,
     # q80: count_distinct expands to two agg exchanges over 3 groups
     "q80_corpus_splits": 2,
     # q81: bucket-distributed p05/p95 bounds (all exchanges past the count

@@ -20,8 +20,8 @@ hand A/B could adjudicate it): each scale is timed BEST-OF-2 with the
 base/xK runs INTERLEAVED (base, xK, base, xK) so host drift lands on both
 sides of the ratio equally, and every query carries a calibration sample
 (bench.py's fixed reference plan) — a query whose sample reads >20% above
-the session best was measured under contention; trust its ratio, not its
-absolute times.
+the session median was measured under contention; trust its ratio, not
+its absolute times.
 """
 
 from __future__ import annotations
@@ -162,7 +162,7 @@ def main() -> int:
     names = sys.argv[2:] or QUERIES
     spark = get_spark()
     import __spark_entry__ as e
-    from bench import CAL_DRIFT_FACTOR, _calibrate, _load_avg
+    from bench import CAL_DRIFT_FACTOR, _calibrate, _load_avg, _median
 
     qs = e.queries()
     print(f"building base + x{k} replicas from {SRC} ...", flush=True)
@@ -195,9 +195,11 @@ def main() -> int:
         print(f"| {name} | {tb:.2f} | {tk:.2f} | {tk / tb:.1f}x "
               f"| {cals[name]:.2f} |", flush=True)
     cal_after, load_after = _calibrate(spark), _load_avg()
-    best_cal = min([cal_before, cal_after] + list(cals.values()))
+    # median baseline, like bench.py: the ~0.3 s reference plan has ~±20%
+    # sample noise, so one outlier-low sample must not flag the whole run
+    ref_cal = _median([cal_before, cal_after] + list(cals.values()))
     flagged = sorted(
-        n for n, c in cals.items() if c > CAL_DRIFT_FACTOR * best_cal
+        n for n, c in cals.items() if c > CAL_DRIFT_FACTOR * ref_cal
     )
     print(json.dumps({
         "metric": "soak_scaling_ratio",
