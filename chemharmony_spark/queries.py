@@ -665,7 +665,15 @@ def q45_simhash_hamming(spark, sf):
     signatures are within Hamming distance 6 (bitwise xor + popcount —
     the cheap pre-filter that precedes exact Jaccard at scale). The
     signature frame persists before the self-join (q35/q36 idiom) so the
-    16-fold token hashing runs once, not once per join side."""
+    16-fold token hashing runs once, not once per join side.
+
+    DECLARED quadratic within each source group, and irreducibly so: at
+    16 bits / radius 6, ~23% of RANDOM signature pairs are true output
+    (sum C(16,k)/2^16 for k<=6), so candidates ~= output and no banding
+    scheme can be sub-quadratic (contrast ahash_near_dup_pairs, whose
+    64-bit/radius-10 regime r7's probe banding makes corpus-viable).
+    The scale contract is the source grouping: per-group sizes must be
+    pre-filter-sized, or use the 64-bit path."""
     docs = _t(spark, sf, "documents")
     sig = DD.simhash16(docs, "doc_id", "text", carry=("source",)).transform(_registered_persist)
     a = sig.select(F.col("id").alias("a"), F.col("simhash").alias("ha"), "source")
