@@ -221,11 +221,18 @@ def connected_components_star(
         sym = raw.union(
             raw.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        lab = registered_persist(
-            sym.groupBy("u").agg(
-                F.least(F.min("v"), F.first("u")).alias("l")
-            )
-        )
+        # localCheckpoint, not persist (r7): lab is NODE-sized, and it is
+        # the one CC frame whose lineage survives into every CONSUMER's
+        # final plan (the label->component composition at read-off). A
+        # lazy persist leaves the whole upstream pair pipeline visible in
+        # downstream plans (inflating their audited shuffle counts with
+        # exchanges that execute zero times once the cache fills) and
+        # makes the size-gated broadcast hint below gate on ESTIMATES;
+        # the eager checkpoint truncates lineage like every other CC
+        # round cut and gives the gate the exact materialized size.
+        lab = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("l")
+        ).localCheckpoint(eager=True)
         raw = (
             raw.join(
                 hint(lab.select(F.col("u").alias("__cu"),

@@ -3219,8 +3219,13 @@ def q129_entity_resolution(spark, sf):
 
     Scale: candidate volume is Σ|length band|·(2d+1); components run on
     the (sparse) match-pair set; the canonical window partitions on
-    cluster id. Unmatched records pass through as their own entity."""
-    from chemharmony_spark.operators.graph import connected_components
+    cluster id. Unmatched records pass through as their own entity.
+
+    r7: CC runs the q123/q350 production idiom (Boruvka pre-contraction
+    + size-gated broadcast maps + capped driver finish) — identical
+    min-of-component labels, ~7 fixed-overhead jobs per star round
+    avoided on the cluster-sized contracted graph."""
+    from chemharmony_spark.operators.graph import connected_components_star
 
     part = _t(spark, sf, "part").select("p_partkey", "p_name")
     # persisted before CC: the symmetrization union reads the edge frame
@@ -3228,9 +3233,10 @@ def q129_entity_resolution(spark, sf):
     pairs = DD.edit_distance_pairs(
         part, "p_partkey", "p_name", max_dist=2
     ).transform(_registered_persist)
-    comp = connected_components(
-        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")),
-        "src", "dst",
+    comp = connected_components_star(
+        pairs, "a", "b", broadcast_maps=True, pre_contract=True,
+        self_loops="absent",  # edit_distance_pairs canonicalizes a < b
+        driver_finish_cap=2_000_000,
     )
     labeled = (
         part.join(comp, part.p_partkey == comp.node, "left")
@@ -4724,11 +4730,18 @@ def q164_media_dedup_clusters(spark, sf):
     pipeline, proving the pairs->clusters machinery is modality-neutral.
 
     The pair frame is persisted before CC (its eager localCheckpoint
-    otherwise re-derives the whole Python hashing pass — SCALE.md rule)."""
-    from chemharmony_spark.operators.graph import connected_components
+    otherwise re-derives the whole Python hashing pass — SCALE.md rule).
+    r7: CC runs the q123/q350 production idiom (pre-contraction +
+    size-gated broadcast maps + capped driver finish) — same labels,
+    no per-round fixed overhead on the cluster-sized graph."""
+    from chemharmony_spark.operators.graph import connected_components_star
 
     pairs = q79_media_near_dups(spark, sf).select("a", "b").transform(_registered_persist)
-    comp = connected_components(pairs, "a", "b")
+    comp = connected_components_star(
+        pairs, "a", "b", broadcast_maps=True, pre_contract=True,
+        self_loops="absent",  # q79 emits a < b pairs
+        driver_finish_cap=2_000_000,
+    )
     return comp.groupBy("component").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.md5(
@@ -6839,7 +6852,7 @@ def q210_golden_record(spark, sf):
     rule) doesn't cover. Cluster assignment comes from the bounded LSH
     candidate path; every rule is one deterministic agg over the
     cluster dimension (model-space: clusters are tiny)."""
-    from chemharmony_spark.operators.graph import connected_components
+    from chemharmony_spark.operators.graph import connected_components_star
 
     t = 0.8
     docs = _t(spark, sf, "documents")
@@ -6851,10 +6864,18 @@ def q210_golden_record(spark, sf):
         .select("a", "b")
         .transform(_registered_persist)
     )
-    comp = connected_components(hits, "a", "b")
+    comp = connected_components_star(
+        hits, "a", "b", broadcast_maps=True, pre_contract=True,
+        self_loops="absent",  # lsh_candidate_pairs emits a < b
+        driver_finish_cap=2_000_000,
+    )
+    # persisted: four survivorship consumers (modal source, modal lang,
+    # longest rep, size) each re-derive this join otherwise
     members = docs.join(
         comp.withColumnsRenamed({"node": "doc_id"}), "doc_id"
-    ).select("component", "doc_id", "source", "lang", "n_chars")
+    ).select(
+        "component", "doc_id", "source", "lang", "n_chars"
+    ).transform(_registered_persist)
     srcw = Window.partitionBy("component").orderBy(
         F.col("nsrc").desc(), "source"
     )
@@ -7850,7 +7871,7 @@ def q231_dedup_impact(spark, sf):
     before-you-run-it sizing every 100 TB dedup job starts with. Counts
     reuse the bounded LSH candidate machinery; the char savings reuses
     q210's longest-representative rule."""
-    from chemharmony_spark.operators.graph import connected_components
+    from chemharmony_spark.operators.graph import connected_components_star
 
     docs = _t(spark, sf, "documents")
     n_docs = docs.agg(
@@ -7868,7 +7889,11 @@ def q231_dedup_impact(spark, sf):
         .select("a", "b")
         .transform(_registered_persist)
     )
-    comp = connected_components(hits, "a", "b")
+    comp = connected_components_star(
+        hits, "a", "b", broadcast_maps=True, pre_contract=True,
+        self_loops="absent",  # lsh_candidate_pairs emits a < b
+        driver_finish_cap=2_000_000,
+    )
     members = docs.join(
         comp.withColumnsRenamed({"node": "doc_id"}), "doc_id"
     ).select("component", "doc_id", "n_chars")

@@ -276,7 +276,9 @@ SHUFFLE_BUDGET = {
     # read-off (roots exceptAll + union + distinct + label compose)
     # contributes node-sized exchanges only — nothing here is
     # pair-sized except the one candidate-join shuffle
-    "q123_dedup_pipeline": 18,
+    # (re-audited r7: the star CC's lab map is now localCheckpoint'ed,
+    # truncating the lineage that used to reprint under every consumer)
+    "q123_dedup_pipeline": 8,
     # q124: user_id window exchange + the handful-of-groups rollup
     "q124_last_touch_attribution": 2,
     # q125: ONE full-data exchange (per-value counts); the rest move the
@@ -292,9 +294,14 @@ SHUFFLE_BUDGET = {
     "q127_psi_drift": 2,
     # q128: single map-side-combined per-year agg
     "q128_model_metrics": 1,
-    # q129: length-band candidate join + component rounds + canonical
-    # window/agg over the entity table (post-checkpoint plan)
-    "q129_entity_resolution": 3,
+    # q129 (re-audited r7, star+pre-contract+driver-finish CC): plain
+    # CC hid its shuffles behind per-round localCheckpoints; the star
+    # idiom's lineage stays in the plan, adding the NODE-sized Boruvka
+    # label agg, the label->component composition join, and their
+    # persisted-scan requirements to the pre-existing candidate join +
+    # canonical window + entity agg. All additions are node/cluster
+    #-sized, never pair-sized; wall time halved (5.8 -> 2.9 s solo).
+    "q129_entity_resolution": 5,
     # q130: (user, day) dedup agg (the full-data exchange) + cohort-min
     # window + (cohort, age) rollup over the per-user-day table
     "q130_cohort_retention": 3,
@@ -394,9 +401,10 @@ SHUFFLE_BUDGET = {
     "q162_rare_category_collapse": 2,
     # q163: quasi-identifier group count + the 1-row report agg
     "q163_k_anonymity": 2,
-    # q164: final rollup over checkpointed component labels (q69 shape);
-    # the aHash pair derivation executes during CC construction
-    "q164_media_dedup_clusters": 1,
+    # q164 (re-audited r7, star+pre-contract CC): the component rollup
+    # plus the node-sized label->component composition join; the aHash
+    # pair derivation still executes once during CC construction
+    "q164_media_dedup_clusters": 3,
     # q165: persisted (doc, word) counts print under the ref-model /
     # vocab / term / per-doc consumers (1-row totals via BNLJ broadcast)
     "q165_cross_perplexity": 12,
@@ -512,9 +520,11 @@ SHUFFLE_BUDGET = {
     # q209: labeled-edge joins (labels broadcast) + community rollups;
     # LPA rounds are checkpointed
     "q209_modularity": 4,
-    # q210: persisted near-dup pairs -> checkpointed components; the
-    # three survivorship rules + size re-aggregate the member dimension
-    "q210_golden_record": 6,
+    # q210 (re-audited r7, star+pre-contract CC + persisted members):
+    # near-dup machinery behind caches/checkpoints; the label
+    # composition + four survivorship aggs over the member dimension —
+    # node/cluster-sized exchanges only; wall 13.5 -> 5.1 s solo
+    "q210_golden_record": 8,
     # q211: persisted bit table prints under build/probe/fill consumers
     "q211_bloom_fpp": 5,
     # q212: closed-form per-slice allocation; ONE month rollup
@@ -563,8 +573,9 @@ SHUFFLE_BUDGET = {
     "q229_learning_curve": 9,
     # q230: 16-row codebook + per-vec rank window + cluster rollup
     "q230_silhouette": 3,
-    # q231: fingerprint distinct + near-dup machinery + report rollups
-    "q231_dedup_impact": 5,
+    # q231 (re-audited r7, star+pre-contract CC): fingerprint distinct
+    # + near-dup machinery + label composition + report rollups
+    "q231_dedup_impact": 7,
     # q232: q38 top-k + label joins; per-query nDCG is closed-form
     "q232_ndcg": 1,
     # q233: spend agg (persisted; cached subtree prints per consumer) +
@@ -930,7 +941,8 @@ SHUFFLE_BUDGET = {
     # consumer) feeding THREE pre-contracted star-CC runs — textual
     # count is the persisted subtree reprints; executed work is the
     # single verify pass plus model-space component stats
-    "q350_threshold_percolation": 32,
+    # (re-audited r7: lab checkpoint truncates the reprints)
+    "q350_threshold_percolation": 21,
     # q351: the doc-partitioned boundary cumsum window + the
     # (doc, chunk) rollup + chunk-occurrence rollup + source agg
     "q351_cdc_chunk_dedup": 4,
