@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import gc
 import json
+import statistics
 import os
 import subprocess
 import sys
@@ -119,12 +120,6 @@ def _calibrate(spark, reps: int = 3) -> float:
 # flag against the median; GLOBAL contamination shows in the
 # before/after calibration fields instead.
 CAL_DRIFT_FACTOR = 1.2
-
-
-def _median(vals: list[float]) -> float:
-    s = sorted(vals)
-    n = len(s)
-    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
 def _load_avg() -> list[float]:
@@ -366,7 +361,7 @@ def main() -> None:
                 spark, harmonize, release_caches, staging_root, sources,
                 timings, errors, "harmonize_e2e_bucket2",
                 rekey_strategy="bucket2", staging_tables=tables,
-                scratch_dir=f"{staging_root}_b2_scratch",
+                bucket2_dir=f"{staging_root}_b2_scratch",
                 cals=cals,
             )
 
@@ -375,7 +370,8 @@ def main() -> None:
     # session's median sample was timed under host contention: re-run it
     # ONCE (headline queries only; the harmonize entries are prep-heavy,
     # they get marked, not re-run) and keep the per-query minimum.
-    ref_cal = _median([cal_before] + list(cals.values())) if cals else cal_before
+    ref_cal = (statistics.median([cal_before] + list(cals.values()))
+               if cals else cal_before)
     flagged = sorted(
         k for k, c in cals.items() if c > CAL_DRIFT_FACTOR * ref_cal
     )

@@ -216,7 +216,15 @@ def connected_components_star(
         if self_loops != "singletons":
             # in singleton mode all_edges is already persisted above and
             # raw is a cheap filter over that cache — a second pair-sized
-            # cache of near-identical rows would only evict useful blocks
+            # cache of near-identical rows would only evict useful blocks.
+            # In 'absent' mode the persist is LOAD-BEARING, not defensive:
+            # contraction reads the edge frame ~3 times (label agg via
+            # sym, the rewrite join, the final distinct), and callers
+            # like q123 deliberately pass the UNPERSISTED verify pipeline
+            # (removing this persist was tried in r7 and measured q123 at
+            # 1.38x — the verify join re-executed per read; reverted).
+            # Callers that persist upstream pay one modest duplicate
+            # cache for that simpler contract.
             raw = registered_persist(raw)
         sym = raw.union(
             raw.select(F.col("v").alias("u"), F.col("u").alias("v"))

@@ -368,10 +368,18 @@ def ahash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 6,
     if collapse_identical:
         h = h.groupBy("ahash").agg(F.min("id").alias("id"))
 
+    def _lit64(v: int):
+        # two's-complement wrap into a signed Spark LongType literal:
+        # (1 << 64) - 1 and 1 << 63 are unrepresentable as unsigned
+        # python ints passed to F.lit (NumberFormatException at plan
+        # build) — the n_bands == 1 regimes (max_hamming 0, or <= 1
+        # with probing) hit both
+        return F.lit(v - (1 << 64) if v >= 1 << 63 else v)
+
     def band(b):
         return F.shiftrightunsigned(
             F.col("ahash"), 64 - starts[b] - widths[b]
-        ).bitwiseAND(F.lit((1 << widths[b]) - 1))
+        ).bitwiseAND(_lit64((1 << widths[b]) - 1))
 
     # ONE (band_idx, band_key) self-equi-join over the posexploded band
     # array — pairs propose iff the SAME band matches (<= probe_bits
@@ -403,7 +411,7 @@ def ahash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 6,
                                      band(b).alias("k")))
             variants.extend(
                 F.struct(F.lit(b).alias("bi"),
-                         band(b).bitwiseXOR(F.lit(j1)).alias("k"))
+                         band(b).bitwiseXOR(_lit64(j1)).alias("k"))
                 for j1 in (1 << j for j in range(widths[b]))
             )
         right = h.select(

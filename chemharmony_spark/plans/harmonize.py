@@ -85,6 +85,7 @@ def harmonize(
     early_activity_distinct: bool = False,
     rekey_strategy: str = "auto",
     staging_tables: dict[str, str] | None = None,
+    bucket2_dir: str | None = None,
 ) -> HarmonizeResult:
     """Run the harmonize plan; returns the three brick DataFrames (lazy,
     unless ``scratch_dir`` is given — then dims are checkpointed like the
@@ -102,13 +103,16 @@ def harmonize(
     staging written bucketed by (source, sid) to drop the map-side exchange.
     ``'bucket2'``: ``'bucket'`` plus the sid-rekeyed intermediate is
     MATERIALIZED as a catalog table bucketed by (source, pid) (requires
-    ``scratch_dir``), so the pid re-key join ALSO reads its fact side with
-    zero exchanges — the fact table never enters an in-flight shuffle in
-    either re-key. The trade is one full write+read of the fact bytes for
-    one avoided shuffle of the same bytes; measured at sf0.1 it does NOT
-    pay on a single node (SCALE.md "bucketed harmonize"), but the path
-    exists for deployments where the intermediate is reused downstream or
-    shuffle capacity, not IO, is the binding constraint.
+    ``bucket2_dir`` — deliberately NOT ``scratch_dir``, which is the
+    orthogonal dim-checkpoint knob and would confound any bucket-vs-
+    bucket2 measurement), so the pid re-key join ALSO reads its fact
+    side with zero exchanges — the fact table never enters an in-flight
+    shuffle in either re-key. The trade is one full write+read of the
+    fact bytes for one avoided shuffle of the same bytes; measured at
+    sf0.1 it does NOT pay on a single node (SCALE.md "bucketed
+    harmonize"), but the path exists for deployments where the
+    intermediate is reused downstream or shuffle capacity, not IO, is
+    the binding constraint.
 
     ``staging_tables``: {'substances': name, 'properties': name,
     'activities': name} catalog tables to read INSTEAD of the provenance
@@ -125,10 +129,10 @@ def harmonize(
             f"rekey_strategy must be 'auto', 'bucket' or 'bucket2', "
             f"got {rekey_strategy!r}"
         )
-    if rekey_strategy == "bucket2" and not scratch_dir:
+    if rekey_strategy == "bucket2" and not bucket2_dir:
         raise ValueError(
             "rekey_strategy='bucket2' materializes the sid-rekeyed "
-            "intermediate and needs scratch_dir"
+            "intermediate and needs bucket2_dir"
         )
     if staging_tables:
         unknown = set(staging_tables) - {"substances", "properties", "activities"}
@@ -210,22 +214,24 @@ def harmonize(
         # materialize the sid-rekeyed fact bucketed on the PID re-key key:
         # the read-back scan's output partitioning satisfies the pid
         # join's required distribution, so the fact side never enters an
-        # in-flight exchange in EITHER re-key (proven in
-        # tests/test_bucketing.py::test_harmonize_bucket2_both_rekey_joins_zero_fact_exchange).
+        # in-flight exchange in either re-key — the pid side is proven in
+        # tests/test_bucketing.py::test_harmonize_bucket2_pid_rekey_zero_fact_exchange,
+        # the sid side by the 'bucket' e2e test (bucket2 shares that
+        # subplan up to this write).
         # The bucketed write itself needs no shuffle (each task fans its
-        # rows into per-bucket files). Table name is scratch-dir-scoped so
-        # concurrent harmonize runs with separate scratch dirs don't race.
+        # rows into per-bucket files). Table name is bucket2_dir-scoped
+        # so concurrent harmonize runs with separate dirs don't race.
         import hashlib as _hashlib
 
         n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
         tbl = "__harmonize_b2_" + _hashlib.md5(
-            scratch_dir.encode()
+            bucket2_dir.encode()
         ).hexdigest()[:10]
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         (
             acts.write.mode("overwrite")
             .bucketBy(n_buckets, "source", "__localpid")
-            .option("path", f"{scratch_dir}/bucket2_sid_rekeyed")
+            .option("path", f"{bucket2_dir}/bucket2_sid_rekeyed")
             .saveAsTable(tbl)
         )
         acts = spark.table(tbl)

@@ -197,7 +197,7 @@ def test_harmonize_bucket2_pid_rekey_zero_fact_exchange(spark, warehouse, tmp_pa
     try:
         res = harmonize(
             spark, "/nonexistent", ["src0", "src1"], check_invariants=False,
-            rekey_strategy="bucket2", scratch_dir=str(tmp_path / "b2_scratch"),
+            rekey_strategy="bucket2", bucket2_dir=str(tmp_path / "b2_scratch"),
             staging_tables={"substances": "b2_subs",
                             "properties": "b2_props",
                             "activities": "b2_acts"},

@@ -285,3 +285,29 @@ def test_ahash_probe_banding_parity(spark):
                        collapse_identical=True,
                    ).collect()}
         assert probe_c == exact, f"probe+collapse parity broke at d={d}"
+
+
+def test_ahash_pairs_single_band_radii(spark):
+    """r7 review fix: n_bands == 1 regimes (max_hamming=0, or <=1 with
+    probing) make the band the full 64 bits — the mask (1<<64)-1 and the
+    bit-63 flip literal must wrap into signed longs instead of crashing
+    plan build with NumberFormatException."""
+    from chemharmony_spark.operators.multimodal import ahash_near_dup_pairs
+
+    def signed(v):
+        return v - (1 << 64) if v >= 1 << 63 else v
+
+    # two identical, one 1-bit-off IN BIT 63, one far away
+    h0 = 0x8123_4567_89AB_CDEF
+    hashes = spark.createDataFrame(
+        [(1, signed(h0)), (2, signed(h0)),
+         (3, signed(h0 ^ (1 << 63))), (4, signed(0x0000_FFFF_0000_00FF))],
+        "doc_id long, ahash long",
+    )
+    for probe in (0, 1):
+        got0 = {(r.a, r.b) for r in ahash_near_dup_pairs(
+            hashes, max_hamming=0, probe_bits=probe).collect()}
+        assert got0 == {(1, 2)}, (probe, got0)
+    got1 = {(r.a, r.b): r.hamming for r in ahash_near_dup_pairs(
+        hashes, max_hamming=1, probe_bits=1).collect()}
+    assert got1 == {(1, 2): 0, (1, 3): 1, (2, 3): 1}, got1

@@ -118,7 +118,11 @@ QUERIES = [
 
 def build(spark, k: int) -> tuple[str, str]:
     base, xk = f"{ROOT}/base", f"{ROOT}/x{k}"
-    if os.path.exists(f"{xk}/embeddings.parquet"):
+    # the sentinel is the LAST table each mode writes (payload-salt mode
+    # builds only documents — checking embeddings there would rmtree and
+    # rebuild the full 16x replicas on every invocation)
+    sentinel = "documents" if PAYLOAD_SALT else "embeddings"
+    if os.path.exists(f"{xk}/{sentinel}.parquet"):
         return base, xk  # reuse a finished build (delete ROOT to force)
     if os.path.exists(ROOT):
         shutil.rmtree(ROOT)
@@ -162,7 +166,7 @@ def main() -> int:
     names = sys.argv[2:] or QUERIES
     spark = get_spark()
     import __spark_entry__ as e
-    from bench import CAL_DRIFT_FACTOR, _calibrate, _load_avg, _median
+    from bench import CAL_DRIFT_FACTOR, _calibrate, _load_avg
 
     qs = e.queries()
     print(f"building base + x{k} replicas from {SRC} ...", flush=True)
@@ -197,7 +201,11 @@ def main() -> int:
     cal_after, load_after = _calibrate(spark), _load_avg()
     # median baseline, like bench.py: the ~0.3 s reference plan has ~±20%
     # sample noise, so one outlier-low sample must not flag the whole run
-    ref_cal = _median([cal_before, cal_after] + list(cals.values()))
+    import statistics
+
+    ref_cal = statistics.median(
+        [cal_before, cal_after] + list(cals.values())
+    )
     flagged = sorted(
         n for n, c in cals.items() if c > CAL_DRIFT_FACTOR * ref_cal
     )
