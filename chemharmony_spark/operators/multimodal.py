@@ -303,7 +303,7 @@ def ahash64(df: DataFrame, id_col: str = "doc_id",
 def ahash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 6,
                          max_bucket_size: int | None = None,
                          collapse_identical: bool = False,
-                         probe_bits: int = 0) -> DataFrame:
+                         probe_bits: int | None = None) -> DataFrame:
     """Near-duplicate media pairs by aHash Hamming distance, COMPLETE for
     the given radius: the 64 bits split into ``max_hamming + 1`` bands
     (np.array_split widths) — a pair differing in at most ``max_hamming``
@@ -325,7 +325,12 @@ def ahash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 6,
     bucket are missed unless another band proposes them — pass
     ``collapse_identical=True`` (below) and the cap then only ever
     drops non-discriminative bands. Default None keeps the exact
-    pigeonhole contract (oracles q79/q164 replay it).
+    pigeonhole contract (oracles q79/q164 replay it). With
+    ``probe_bits=1`` the cap applies to BOTH sides of the candidate
+    join — the exact keys and the probed (1-bit-neighborhood) keys —
+    so the per-key candidate bound stays cap^2 (r8; previously the
+    probe side was uncapped and a fat neighborhood could reach
+    cap x |bucket|).
 
     ``collapse_identical=True`` makes the exact-dedup-first idiom an
     operator guarantee instead of caller discipline (q123's exact-set
@@ -354,13 +359,42 @@ def ahash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 6,
     construction, measured quadratic in SCALE.md's payload-disjoint
     soak), while probing uses 6 bands of ~10.7 bits (~1,700 keys) at the
     cost of ~(64/m)x more probe-side rows — ~5-6x fewer candidate pairs.
-    Default 0 keeps the exact plan the oracles replay."""
+
+    ``probe_bits`` DEFAULTS by radius (r8, turning SCALE.md's prose
+    guidance into code): ``None`` resolves to 1 when ``max_hamming >= 8``
+    — the regime where d+1 narrow bands are fat-by-construction (the
+    payload-disjoint soak measured the d=10 default plan at 118.9x per
+    16x data; probing held 12.2x with identical output) — and 0 below
+    it, where narrow bands still carry >= 8 discriminative bits and the
+    simpler plan wins. Pass 0 or 1 explicitly to pin a strategy (the
+    oracles pin theirs). Independently of the chosen strategy, a band
+    layout whose keys carry < 8 bits (< 256 distinct keys — every
+    corpus-scale bucket is fat no matter the data) raises a
+    ``UserWarning`` naming the saturation; with probing that fires only
+    at radius >= 16, matching the measured saturation wall."""
     if not 0 <= max_hamming <= 63:
         raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
-    if probe_bits not in (0, 1):
+    if probe_bits not in (None, 0, 1):
         raise ValueError(f"probe_bits must be 0 or 1, got {probe_bits}")
+    if probe_bits is None:
+        probe_bits = 1 if max_hamming >= 8 else 0
     n_bands = max_hamming + 1 if probe_bits == 0 else (max_hamming + 2) // 2
     base, rem = divmod(64, n_bands)
+    if base < 8:  # < 256 distinct keys per band: saturated by construction
+        import warnings
+
+        warnings.warn(
+            f"ahash_near_dup_pairs: {n_bands} bands over 64 bits leave only "
+            f"{base}-bit band keys (<= {1 << (base + (1 if rem else 0))} "
+            f"distinct values) — every band bucket is fat by construction "
+            f"at corpus scale and candidate generation degrades toward "
+            f"all-pairs (measured 118.9x per 16x data at max_hamming=10 "
+            f"with probe_bits=0; SCALE.md r7 media soak). Use probe_bits=1 "
+            f"and/or a smaller max_hamming (radius <= 4-6 recommended; "
+            f"probing saturates too at radius >= ~16).",
+            UserWarning,
+            stacklevel=2,
+        )
     widths = [base + 1 if b < rem else base for b in range(n_bands)]
     starts = [sum(widths[:b]) for b in range(n_bands)]
     h = hashes.select(F.col("doc_id").alias("id"), "ahash")
@@ -418,6 +452,15 @@ def ahash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 6,
             F.col("id").alias("b"), F.col("ahash").alias("hb"),
             F.explode(F.array(*variants)).alias("e"),
         ).select("b", "hb", F.col("e.bi").alias("bi"), F.col("e.k").alias("k"))
+        # cap the probe side too: a probe bucket for key (bi, k) holds the
+        # exact-key members PLUS every 1-bit neighbor's members, so capping
+        # only the exact side would bound pairs per key at cap x |probe
+        # bucket| — unbounded on a fat neighborhood. Symmetric capping
+        # restores the cap^2 per-key bound the docstring promises (at the
+        # price of dropping keys whose NEIGHBORHOOD is fat even when the
+        # exact bucket is small — capping is already a recall trade, and
+        # collapse_identical keeps it bounded to non-discriminative bands).
+        right = cap_buckets(right, ["bi", "k"], max_bucket_size)
     cand = (
         left.join(right, on=["bi", "k"])
         .where(F.col("a") < F.col("b"))

@@ -46,6 +46,26 @@ from chemharmony_spark.functions.json_payload import canonicalize_json_udf
 from chemharmony_spark.sources.readers import read_staging_glob
 
 
+# per-process bucket2 invocation counter: combined with the pid it makes
+# every bucket2 materialization's table name + data path unique, so re-
+# invoking with the same bucket2_dir can never clobber a table an earlier
+# run's unconsumed lazy result still reads
+import itertools as _it
+
+_B2_COUNTER = _it.count()
+
+
+def _bucket2_n_buckets(spark) -> int:
+    """Bucket count for the bucket2 materialization: the session's shuffle
+    partitioning, falling back to defaultParallelism when the conf is
+    non-numeric (managed platforms expose values like "auto"; crashing the
+    bucket2 path before its write helps nobody)."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
+
+
 @dataclass
 class HarmonizeResult:
     substances: DataFrame
@@ -219,19 +239,27 @@ def harmonize(
         # the sid side by the 'bucket' e2e test (bucket2 shares that
         # subplan up to this write).
         # The bucketed write itself needs no shuffle (each task fans its
-        # rows into per-bucket files). Table name is bucket2_dir-scoped
-        # so concurrent harmonize runs with separate dirs don't race.
+        # rows into per-bucket files). Table name and data subpath carry a
+        # per-invocation nonce ON TOP of the bucket2_dir scope: dir-scoping
+        # keeps concurrent runs with separate dirs from racing, and the
+        # nonce keeps a LATER run with the SAME dir from dropping/
+        # overwriting a table an earlier (still-lazy, unconsumed) result
+        # frame reads — each invocation owns its table for its lifetime.
+        # Stale tables from prior invocations pile up under bucket2_dir;
+        # the caller owns that dir's lifecycle (delete it to reclaim).
         import hashlib as _hashlib
+        import os as _os
 
-        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        n_buckets = _bucket2_n_buckets(spark)
+        nonce = f"{_os.getpid()}_{next(_B2_COUNTER)}"
         tbl = "__harmonize_b2_" + _hashlib.md5(
             bucket2_dir.encode()
-        ).hexdigest()[:10]
+        ).hexdigest()[:10] + f"_{nonce}"
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         (
             acts.write.mode("overwrite")
             .bucketBy(n_buckets, "source", "__localpid")
-            .option("path", f"{bucket2_dir}/bucket2_sid_rekeyed")
+            .option("path", f"{bucket2_dir}/bucket2_sid_rekeyed_{nonce}")
             .saveAsTable(tbl)
         )
         acts = spark.table(tbl)

@@ -305,3 +305,82 @@ def test_harmonize_rekey_shape_cobucketed_composite_key(spark, warehouse):
         )
         spark.sql("DROP TABLE IF EXISTS acts_ck")
         spark.sql("DROP TABLE IF EXISTS sidmap_ck")
+
+
+def _tiny_glob_staging(spark, root: str) -> None:
+    from pyspark.sql import functions as F2
+
+    subs = spark.range(0, 20).select(
+        F2.col("id").cast("string").alias("sid"),
+        F2.to_json(F2.struct(F2.col("id").alias("x"))).alias("data"),
+    )
+    props = spark.range(0, 5).select(
+        F2.col("id").cast("string").alias("pid"),
+        F2.to_json(F2.struct(F2.col("id").alias("y"))).alias("data"),
+    )
+    acts = spark.range(0, 100).select(
+        (F2.col("id") % 20).cast("string").alias("sid"),
+        (F2.col("id") % 5).cast("string").alias("pid"),
+        F2.concat(F2.lit("InChI=1S/C"), (F2.col("id") % 5).cast("string")).alias("inchi"),
+        F2.when(F2.col("id") % 3 == 0, "positive").otherwise("negative").alias("value"),
+    )
+    for name, df in (("substances", subs), ("properties", props),
+                     ("activities", acts)):
+        df.write.mode("overwrite").parquet(f"{root}/src0/{name}.parquet")
+
+
+def test_harmonize_bucket2_reinvocation_keeps_earlier_result_live(
+    spark, tmp_path
+):
+    """r8 ADVICE: bucket2 returns a LAZY frame reading its materialized
+    table; re-invoking with the SAME bucket2_dir must not drop/overwrite
+    that table while the earlier result is unconsumed. The per-invocation
+    nonce in the table name + data subpath makes each run's
+    materialization private — the first result must still collect
+    correctly AFTER the second run writes."""
+    import os
+
+    from chemharmony_spark.plans.harmonize import harmonize
+
+    glob_root = str(tmp_path / "staging")
+    _tiny_glob_staging(spark, glob_root)
+    b2_dir = str(tmp_path / "b2_shared")
+    res1 = harmonize(spark, glob_root, ["src0"], check_invariants=False,
+                     rekey_strategy="bucket2", bucket2_dir=b2_dir)
+    res2 = harmonize(spark, glob_root, ["src0"], check_invariants=False,
+                     rekey_strategy="bucket2", bucket2_dir=b2_dir)
+    # two distinct materializations exist under the shared dir
+    subdirs = [d for d in os.listdir(b2_dir)
+               if d.startswith("bucket2_sid_rekeyed")]
+    assert len(subdirs) == 2, subdirs
+    # the EARLIER result is consumed LAST and must still read its own data
+    n2 = res2.activities.count()
+    n1 = res1.activities.count()
+    assert n1 == n2 > 0
+
+
+def test_bucket2_n_buckets_falls_back_on_non_numeric_conf(spark):
+    """r8 ADVICE: managed platforms can expose non-numeric
+    spark.sql.shuffle.partitions (e.g. "auto"); the bucket2 path must
+    degrade to defaultParallelism instead of crashing before its write."""
+    from chemharmony_spark.plans.harmonize import _bucket2_n_buckets
+
+    class _FakeConf:
+        def __init__(self, value):
+            self._v = value
+
+        def get(self, key):
+            return self._v
+
+    class _FakeSpark:
+        def __init__(self, value, parallelism):
+            self.conf = _FakeConf(value)
+            self.sparkContext = type(
+                "SC", (), {"defaultParallelism": parallelism}
+            )()
+
+    assert _bucket2_n_buckets(_FakeSpark("64", 8)) == 64
+    assert _bucket2_n_buckets(_FakeSpark("auto", 8)) == 8
+    assert _bucket2_n_buckets(_FakeSpark(None, 8)) == 8
+    # and the real session resolves to a positive int
+    assert _bucket2_n_buckets(spark) > 0

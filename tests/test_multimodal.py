@@ -272,8 +272,11 @@ def test_ahash_probe_banding_parity(spark):
             i += 1
     hashes = spark.createDataFrame(rows, "doc_id long, ahash long")
     for d in (4, 10):
+        # pin probe_bits=0: since r8 the DEFAULT at d >= 8 is the probe
+        # plan, and parity needs the narrow-band plan as the reference
         exact = {(r.a, r.b, r.hamming)
-                 for r in ahash_near_dup_pairs(hashes, max_hamming=d).collect()}
+                 for r in ahash_near_dup_pairs(
+                     hashes, max_hamming=d, probe_bits=0).collect()}
         probe = {(r.a, r.b, r.hamming)
                  for r in ahash_near_dup_pairs(
                      hashes, max_hamming=d, probe_bits=1
@@ -311,3 +314,83 @@ def test_ahash_pairs_single_band_radii(spark):
     got1 = {(r.a, r.b): r.hamming for r in ahash_near_dup_pairs(
         hashes, max_hamming=1, probe_bits=1).collect()}
     assert got1 == {(1, 2): 0, (1, 3): 1, (2, 3): 1}, got1
+
+
+def test_ahash_probe_default_and_saturation_warning(spark):
+    """r8 (verdict task 2): the radius-saturation guidance is now code.
+    (a) probe_bits=None resolves to the probe plan at max_hamming >= 8 —
+    the default call shape at d=10 builds the SAME plan as an explicit
+    probe_bits=1 call (the measured-118.9x narrow-band plan is no longer
+    one copy-paste away); (b) layouts whose band keys carry < 8 bits
+    (< 256 distinct values) raise a UserWarning naming the saturation —
+    explicit probe_bits=0 at d=10 (5-bit keys), and probing itself at
+    d >= 16; (c) sane layouts stay silent."""
+    import warnings
+
+    from chemharmony_spark.operators.multimodal import ahash_near_dup_pairs
+
+    hashes = spark.createDataFrame(
+        [(1, 7), (2, 7), (3, 6)], "doc_id long, ahash long"
+    )
+
+    def analyzed(df):
+        import re
+
+        # strip per-call expression ids (#123) so structurally identical
+        # plans compare equal
+        return re.sub(r"#\d+", "#", df._jdf.queryExecution().analyzed().toString())
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any warning -> test failure
+        default_plan = analyzed(ahash_near_dup_pairs(hashes, max_hamming=10))
+        probe_plan = analyzed(
+            ahash_near_dup_pairs(hashes, max_hamming=10, probe_bits=1)
+        )
+        # below the threshold the default stays the narrow-band plan
+        low_default = analyzed(ahash_near_dup_pairs(hashes, max_hamming=4))
+        low_narrow = analyzed(
+            ahash_near_dup_pairs(hashes, max_hamming=4, probe_bits=0)
+        )
+    assert default_plan == probe_plan, "d=10 default is not the probe plan"
+    assert low_default == low_narrow, "d=4 default is not the narrow plan"
+
+    for kwargs in ({"max_hamming": 10, "probe_bits": 0},
+                   {"max_hamming": 16, "probe_bits": 1},
+                   {"max_hamming": 16}):
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            ahash_near_dup_pairs(hashes, **kwargs)
+        assert any(
+            "fat by construction" in str(w.message) for w in caught
+        ), f"no saturation warning for {kwargs}"
+
+
+def test_ahash_probe_side_cap_is_symmetric(spark):
+    """r8 (ADVICE): with probe_bits=1, max_bucket_size caps BOTH the exact
+    keys and the probed keys, restoring the cap^2 per-key bound. Two
+    4-member identical-hash families one bit apart: each EXACT bucket (4)
+    is under cap=5, but each probe bucket (own members + the neighbor
+    family via 1-bit flips = 8) exceeds it — the symmetric cap drops the
+    key and all pairs with it. collapse_identical (the documented
+    recommendation alongside capping) folds each family to one
+    representative, so nothing is fat and the full pair set survives."""
+    from chemharmony_spark.operators.multimodal import ahash_near_dup_pairs
+
+    a_hash, b_hash = 1 << 20, (1 << 20) ^ 1
+    rows = [(i, a_hash) for i in range(4)] + [(i + 4, b_hash) for i in range(4)]
+    hashes = spark.createDataFrame(rows, "doc_id long, ahash long")
+
+    full = {(r.a, r.b) for r in ahash_near_dup_pairs(
+        hashes, max_hamming=1, probe_bits=1).collect()}
+    assert len(full) == 28  # 8C2: all pairs within hamming 1
+
+    capped = ahash_near_dup_pairs(
+        hashes, max_hamming=1, probe_bits=1, max_bucket_size=5
+    ).count()
+    assert capped == 0  # probe buckets (8 > 5) dropped on both keys
+
+    collapsed = {(r.a, r.b) for r in ahash_near_dup_pairs(
+        hashes, max_hamming=1, probe_bits=1, max_bucket_size=5,
+        collapse_identical=True,
+    ).collect()}
+    assert collapsed == full  # distinct-hash buckets are tiny; zero loss
