@@ -194,8 +194,25 @@ def _prepare_harmonize_bucket(spark, data_dir: str, tag: float) -> None:
     _HB_PREPARED[data_dir] = (sources, tables)
 
 
+def _harmonize_bucket2_runner(spark, data_dir: str):
+    """bucket2 variant of the soak entry: same staging/tables, but the
+    sid-rekeyed fact is materialized bucketed by (source, pid) — the
+    recorded-negative-at-bench-scale path; its soak ratio quantifies
+    whether the extra write+read SCALES like the shuffle it replaces."""
+    sources, tables = _HB_PREPARED[data_dir]
+    from chemharmony_spark.plans.harmonize import harmonize
+
+    res = harmonize(spark, f"{data_dir}_hstage", sources,
+                    rekey_strategy="bucket2",
+                    bucket2_dir=f"{data_dir}_b2_scratch",
+                    staging_tables=tables)
+    return res.activities
+
+
 SPECIAL = {"harmonize_bucket": (_prepare_harmonize_bucket,
-                                _harmonize_bucket_runner)}
+                                _harmonize_bucket_runner),
+           "harmonize_bucket2": (_prepare_harmonize_bucket,
+                                 _harmonize_bucket2_runner)}
 
 
 def main() -> int:
