@@ -158,3 +158,60 @@ def test_global_row_number_equals_plain_window(spark, vals, gran):
     )
     assert sorted((r.tie, r.rn) for r in got.select("tie", "rn").collect()) \
         == sorted((r.tie, r.rn) for r in want.collect())
+
+
+@st.composite
+def _hash_clouds(draw):
+    """Clustered 64-bit hash clouds: a few random seeds, each with up to
+    4 variants perturbed by 0-14 random bit flips — shaped so pairs land
+    on BOTH sides of any radius in [0, 12], including duplicates
+    (0 flips) and diffs straddling band boundaries."""
+    rnd = draw(st.randoms(use_true_random=False))
+    out = []
+    for _ in range(draw(st.integers(min_value=1, max_value=3))):
+        seed = rnd.getrandbits(64)
+        out.append(seed)
+        for _ in range(draw(st.integers(min_value=0, max_value=4))):
+            v = seed
+            for _ in range(rnd.randint(0, 14)):
+                v ^= 1 << rnd.randrange(64)
+            out.append(v)
+    return out
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(cloud=_hash_clouds(), d=st.integers(min_value=0, max_value=12))
+def test_ahash_banding_strategies_equal_brute_force(spark, cloud, d):
+    """For ANY clustered hash cloud and ANY radius in [0, 12], BOTH
+    candidate-generation strategies (d+1 narrow pigeonhole bands and
+    HmSearch 1-bit probe banding) must emit exactly the brute-force
+    Hamming pair set — with and without collapse_identical. The fixed
+    -seed parity test pins two radii; this pins the algebra (r8: the
+    probe plan became the default at d >= 8, so its completeness proof
+    carries production weight)."""
+    import warnings
+
+    from chemharmony_spark.operators.multimodal import ahash_near_dup_pairs
+
+    def signed(v):
+        return v - (1 << 64) if v >= 1 << 63 else v
+
+    rows = [(i, signed(v)) for i, v in enumerate(cloud)]
+    want = {
+        (a, b, bin(cloud[a] ^ cloud[b]).count("1"))
+        for a in range(len(cloud)) for b in range(a + 1, len(cloud))
+        if bin(cloud[a] ^ cloud[b]).count("1") <= d
+    }
+    hashes = spark.createDataFrame(rows, "doc_id long, ahash long")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # saturated layouts warn by design
+        for probe in (0, 1):
+            for collapse in (False, True):
+                got = {(r.a, r.b, r.hamming)
+                       for r in ahash_near_dup_pairs(
+                           hashes, max_hamming=d, probe_bits=probe,
+                           collapse_identical=collapse).collect()}
+                assert got == want, (
+                    f"probe_bits={probe} collapse={collapse} d={d}"
+                )
