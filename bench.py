@@ -279,6 +279,10 @@ def _bench_harmonize(spark, harmonize, release_caches, staging_root, sources,
             best = dt if best is None else min(best, dt)
             timings[key] = round(best, 3)  # survives a run-2 failure
             res.unpersist()
+            # reclaim the bucket2 materialization (no-op otherwise):
+            # without this each bucket2 run leaks a nonce'd table + a
+            # full fact copy under the scratch dir (r8 ADVICE)
+            res.drop_bucket2()
             release_caches()
     except Exception as e:
         errors[key] = f"{type(e).__name__}: {e}"[:300]

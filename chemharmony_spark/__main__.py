@@ -41,6 +41,10 @@ def cmd_harmonize(spark, args) -> int:
         write_parquet(df, f"{args.out}/{name}.parquet",
                       partition_by=["source"])
         print(f"wrote {args.out}/{name}.parquet (partitioned by source)")
+    # the brick is written — the result is fully consumed, so reclaim the
+    # bucket2 materialization (no-op for auto/bucket) instead of leaking a
+    # nonce'd catalog table + data dir per invocation (r9)
+    res.drop_bucket2()
     return 0
 
 

@@ -71,11 +71,105 @@ class HarmonizeResult:
     substances: DataFrame
     properties: DataFrame
     activities: DataFrame
+    # set only by rekey_strategy='bucket2': the nonce'd catalog table the
+    # activities frame reads, and its data directory. Tracked so the caller
+    # can reclaim them (drop_bucket2) once the result is consumed — without
+    # this every bucket2 invocation leaks a metastore entry + a data dir
+    # for the session's lifetime (r8 ADVICE).
+    bucket2_table: str | None = None
+    bucket2_path: str | None = None
 
     def unpersist(self) -> None:
-        """Release the caches taken out for the invariant suite."""
+        """Release the caches taken out for the invariant suite. Frames stay
+        usable (recompute-on-reference); the bucket2 materialization, which
+        a recompute of ``activities`` would re-read, is NOT touched here —
+        call :meth:`drop_bucket2` when the result is fully consumed."""
         for frame in (self.substances, self.properties, self.activities):
             frame.unpersist()
+
+    def drop_bucket2(self) -> None:
+        """Reclaim the bucket2 materialization: drop the nonce'd catalog
+        table and delete its data directory. AFTER this the ``activities``
+        frame can no longer be recomputed (its scan reads the dropped
+        table) — call only once the result is fully consumed. No-op for
+        non-bucket2 results; idempotent."""
+        if not self.bucket2_table:
+            return
+        import shutil as _shutil
+
+        self.activities.sparkSession.sql(
+            f"DROP TABLE IF EXISTS {self.bucket2_table}"
+        )
+        if self.bucket2_path:
+            _shutil.rmtree(self.bucket2_path, ignore_errors=True)
+        self.bucket2_table = self.bucket2_path = None
+
+
+def harmonize_bucket2_gc(spark: SparkSession,
+                         bucket2_dir: str | None = None) -> list[str]:
+    """Garbage-collect stale bucket2 materializations (r8 verdict task 3).
+
+    Each ``rekey_strategy='bucket2'`` invocation owns a nonce'd catalog
+    table (``__harmonize_b2_<dirhash>_<pid>_<seq>``) for its result's
+    lifetime — correct (nothing may drop a table a lazy frame still
+    reads), but a long-lived session invoking bucket2 in a loop
+    accumulates tables and data dirs. This opt-in helper drops the
+    tables (and deletes their data dirs) that provably cannot be read
+    anymore:
+
+    * the owning PROCESS is dead (nonce pid no longer exists — no lazy
+      frame from that process can survive it), or
+    * the DATA DIR is already gone (the documented manual cleanup —
+      deleting bucket2_dir — leaves dangling catalog entries behind;
+      any read would fail regardless, r8 ADVICE).
+
+    Tables owned by the CURRENT process with live data are never touched
+    — this process's unconsumed results stay safe; use
+    :meth:`HarmonizeResult.drop_bucket2` for those. ``bucket2_dir``
+    restricts the sweep to tables created for that dir (matched by the
+    dir-hash prefix in the name); default sweeps every ``__harmonize_b2_``
+    table in the current catalog/database. Returns the dropped names.
+    """
+    import hashlib as _hashlib
+    import os as _os
+    import shutil as _shutil
+
+    prefix = "__harmonize_b2_"
+    if bucket2_dir:
+        prefix += _hashlib.md5(bucket2_dir.encode()).hexdigest()[:10] + "_"
+    dropped: list[str] = []
+    for t in spark.catalog.listTables():
+        if not t.name.startswith(prefix):
+            continue
+        parts = t.name.rsplit("_", 2)  # ..._<pid>_<seq>
+        try:
+            pid = int(parts[-2])
+        except (IndexError, ValueError):
+            continue  # not a nonce'd name we minted; leave it
+        try:
+            _os.kill(pid, 0)
+            alive = True
+        except ProcessLookupError:
+            alive = False
+        except PermissionError:  # exists, owned by another user
+            alive = True
+        # location from the catalog, normalized to a local path
+        loc = spark.sql(
+            f"DESCRIBE FORMATTED {t.name}"
+        ).where("col_name = 'Location'").collect()
+        path = loc[0].data_type if loc else None
+        if path and path.startswith("file:"):
+            path = path[5:]
+        path_gone = path is not None and not _os.path.isdir(path)
+        if alive and not path_gone:
+            # provably-readable (owner may hold a lazy frame) — includes
+            # every live table of the CURRENT process (own pid is alive)
+            continue
+        spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+        if path:
+            _shutil.rmtree(path, ignore_errors=True)
+        dropped.append(t.name)
+    return dropped
 
 
 def _harmonize_dim(spark: SparkSession, glob: str, sources: list[str],
@@ -245,8 +339,11 @@ def harmonize(
         # nonce keeps a LATER run with the SAME dir from dropping/
         # overwriting a table an earlier (still-lazy, unconsumed) result
         # frame reads — each invocation owns its table for its lifetime.
-        # Stale tables from prior invocations pile up under bucket2_dir;
-        # the caller owns that dir's lifecycle (delete it to reclaim).
+        # Lifecycle (r9): the result tracks its table + data path —
+        # HarmonizeResult.drop_bucket2() reclaims them once consumed, and
+        # harmonize_bucket2_gc() sweeps materializations whose owning
+        # process died or whose data dir was deleted out from under the
+        # catalog entry.
         import hashlib as _hashlib
         import os as _os
 
@@ -255,14 +352,17 @@ def harmonize(
         tbl = "__harmonize_b2_" + _hashlib.md5(
             bucket2_dir.encode()
         ).hexdigest()[:10] + f"_{nonce}"
+        b2_path = f"{bucket2_dir}/bucket2_sid_rekeyed_{nonce}"
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         (
             acts.write.mode("overwrite")
             .bucketBy(n_buckets, "source", "__localpid")
-            .option("path", f"{bucket2_dir}/bucket2_sid_rekeyed_{nonce}")
+            .option("path", b2_path)
             .saveAsTable(tbl)
         )
         acts = spark.table(tbl)
+    else:
+        tbl = b2_path = None
     acts = (
         acts.join(pid_map, on=["source", "__localpid"], how="inner")
         .drop("__localpid")
@@ -318,7 +418,9 @@ def harmonize(
             f"(staging dir not in declared sources {sources})"
         )
 
-    return HarmonizeResult(substances=substances, properties=properties, activities=acts)
+    return HarmonizeResult(substances=substances, properties=properties,
+                           activities=acts, bucket2_table=tbl,
+                           bucket2_path=b2_path)
 
 
 def _assert_invariants(substances, properties, activities, sources, min_rows):

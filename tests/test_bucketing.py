@@ -384,3 +384,95 @@ def test_bucket2_n_buckets_falls_back_on_non_numeric_conf(spark):
     assert _bucket2_n_buckets(_FakeSpark(None, 8)) == 8
     # and the real session resolves to a positive int
     assert _bucket2_n_buckets(spark) > 0
+
+
+def test_harmonize_result_drop_bucket2_reclaims_table_and_path(
+    spark, tmp_path
+):
+    """r9 (r8 verdict task 3 / ADVICE): the result TRACKS its bucket2
+    materialization and drop_bucket2() reclaims both the catalog table and
+    the data dir once the result is consumed — idempotently, and as a
+    no-op on non-bucket2 results."""
+    import os
+
+    from chemharmony_spark.plans.harmonize import harmonize
+
+    glob_root = str(tmp_path / "staging")
+    _tiny_glob_staging(spark, glob_root)
+    res = harmonize(spark, glob_root, ["src0"], check_invariants=False,
+                    rekey_strategy="bucket2",
+                    bucket2_dir=str(tmp_path / "b2"))
+    assert res.bucket2_table and res.bucket2_table.startswith("__harmonize_b2_")
+    assert res.bucket2_path and os.path.isdir(res.bucket2_path)
+    assert spark.catalog.tableExists(res.bucket2_table)
+    assert res.activities.count() > 0  # consume, then reclaim
+    tbl, path = res.bucket2_table, res.bucket2_path
+    res.drop_bucket2()
+    assert not spark.catalog.tableExists(tbl)
+    assert not os.path.exists(path)
+    assert res.bucket2_table is None and res.bucket2_path is None
+    res.drop_bucket2()  # idempotent
+
+    auto = harmonize(spark, glob_root, ["src0"], check_invariants=False)
+    assert auto.bucket2_table is None
+    auto.drop_bucket2()  # no-op on the auto path
+
+
+def _dead_pid() -> int:
+    import os
+
+    pid = 4194000  # near the default pid_max ceiling; scan down to a hole
+    while os.path.exists(f"/proc/{pid}"):
+        pid -= 1
+    return pid
+
+
+def test_harmonize_bucket2_gc_drops_dead_and_dangling_only(spark, tmp_path):
+    """r8 verdict task 3: harmonize_bucket2_gc sweeps materializations
+    whose owning pid is dead or whose data dir is gone, and REFUSES to
+    touch the current process's live tables (an unconsumed lazy result
+    may still read them)."""
+    import hashlib
+    import os
+    import shutil
+
+    from chemharmony_spark.plans.harmonize import (
+        harmonize,
+        harmonize_bucket2_gc,
+    )
+
+    glob_root = str(tmp_path / "staging")
+    _tiny_glob_staging(spark, glob_root)
+    b2_dir = str(tmp_path / "b2")
+    live = harmonize(spark, glob_root, ["src0"], check_invariants=False,
+                     rekey_strategy="bucket2", bucket2_dir=b2_dir)
+    # a stale table from a DEAD process: same dir-hash prefix, dead pid
+    prefix = hashlib.md5(b2_dir.encode()).hexdigest()[:10]
+    stale_tbl = f"__harmonize_b2_{prefix}_{_dead_pid()}_0"
+    stale_path = f"{b2_dir}/bucket2_sid_rekeyed_stale"
+    spark.sql(f"DROP TABLE IF EXISTS {stale_tbl}")
+    spark.range(3).write.option("path", stale_path).saveAsTable(stale_tbl)
+    # a DANGLING table from THIS process: catalog entry whose data dir the
+    # caller already rmtree'd (the documented manual cleanup)
+    dang = harmonize(spark, glob_root, ["src0"], check_invariants=False,
+                     rekey_strategy="bucket2", bucket2_dir=b2_dir)
+    shutil.rmtree(dang.bucket2_path)
+
+    dropped = harmonize_bucket2_gc(spark, b2_dir)
+    assert sorted(dropped) == sorted([stale_tbl, dang.bucket2_table])
+    assert not spark.catalog.tableExists(stale_tbl)
+    assert not os.path.exists(stale_path)
+    assert not spark.catalog.tableExists(dang.bucket2_table)
+    # the live table survives (this process could still read it) ...
+    assert spark.catalog.tableExists(live.bucket2_table)
+    assert live.activities.count() > 0
+    # ... and a dir-scoped sweep ignores tables of OTHER bucket2 dirs
+    other = harmonize(spark, glob_root, ["src0"], check_invariants=False,
+                      rekey_strategy="bucket2",
+                      bucket2_dir=str(tmp_path / "b2_other"))
+    shutil.rmtree(other.bucket2_path)
+    assert harmonize_bucket2_gc(spark, b2_dir) == []
+    assert spark.catalog.tableExists(other.bucket2_table)
+    # the unscoped sweep picks the dangling other-dir table up
+    assert other.bucket2_table in harmonize_bucket2_gc(spark)
+    live.drop_bucket2()

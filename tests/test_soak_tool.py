@@ -37,9 +37,22 @@ def test_soak_harmonize_entries_prepare_and_run(spark, sf_dir, tmp_path,
         n_bucket = run_b(spark, data_dir).count()
         n_bucket2 = run_b2(spark, data_dir).count()
         assert n_bucket == n_bucket2 > 0  # same harmonize, different re-key
+        # r9 (r8 ADVICE): the bucket2 runner tracks its materialization and
+        # the post-entry cleanup hook reclaims scratch dir + catalog table
+        assert len(soak._B2_LIVE) == 1
+        b2_tbl = soak._B2_LIVE[0][0].bucket2_table
+        scratch = f"{data_dir}_b2_scratch"
+        import os
+
+        assert os.path.isdir(scratch) and spark.catalog.tableExists(b2_tbl)
+        soak.SPECIAL_CLEANUP["harmonize_bucket2"](spark)
+        assert not soak._B2_LIVE
+        assert not os.path.exists(scratch)
+        assert not spark.catalog.tableExists(b2_tbl)
     finally:
         from chemharmony_spark.cache import release_caches
 
         release_caches()
+        soak.SPECIAL_CLEANUP["harmonize_bucket2"](spark)
         for t in tables.values():
             spark.sql(f"DROP TABLE IF EXISTS {t}")
