@@ -28,6 +28,15 @@ drifted, not the code):
     and are re-run once (keeping the per-query min); entries still
     drifted after the re-run are listed in ``load_flagged`` — treat
     those timings as host noise, not engine throughput.
+  * (since round 9) drift control is IO-AWARE: the CPU calibration plan
+    cannot see page-cache/writeback stalls (BENCH_r08 recorded the
+    harmonize entries 1.8-2.3x inflated with ``load_flagged: []`` —
+    proven phantom by an idle-host rerun), so every entry also records
+    ``per_query_io_probe_sec`` — a timed cache-dropped sequential read
+    of a fixed ~128 MB file on the same volume. Entries whose probe
+    reads >2.5x the session median are re-run once (headline) or marked
+    in ``io_flagged``; the IO-heavy harmonize family additionally
+    sync-and-settles the writeback backlog before each timed run.
   * ``--ab BASE_REF`` runs the definitive same-host comparison: head
     and a named git tree interleaved IN ONE PROCESS (same JVM, same
     session, alternating head/base runs per query, best-of-2 each
@@ -120,6 +129,98 @@ def _calibrate(spark, reps: int = 3) -> float:
 # flag against the median; GLOBAL contamination shows in the
 # before/after calibration fields instead.
 CAL_DRIFT_FACTOR = 1.2
+
+# ---------------------------------------------------------------------------
+# IO drift control (round 9; r8 verdict task 1). The CPU-bound calibration
+# plan above is BLIND to page-cache/writeback stalls: BENCH_r08 recorded
+# the harmonize entries 1.8-2.3x inflated with load_flagged=[] — proven
+# phantom by an idle-host rerun — because multi-GB prep writes were still
+# draining to the shared /tmp volume while the entries timed. The IO probe
+# is a timed sequential read of a FIXED ~128 MB file on that same volume
+# with its page cache dropped first (posix_fadvise DONTNEED), so the read
+# hits the device and contention/writeback shows up directly: measured on
+# this host, idle probes read 0.05-0.09 s while a concurrent multi-GB
+# writeback spikes them to 1.7 s (20x+). Flagging threshold 2.5x the
+# session median: safely above the ~1.7x worst idle spread (after one
+# discarded warm-up probe), far below the 20x contention signature.
+
+IO_PROBE_MB = int(os.environ.get("SPARK_GRAFT_IO_PROBE_MB", "128"))
+IO_PROBE_PATH = os.environ.get(
+    "SPARK_GRAFT_IO_PROBE_FILE", f"/tmp/spark_graft_io_probe_{IO_PROBE_MB}.bin"
+)
+IO_DRIFT_FACTOR = 2.5
+
+
+def _ensure_io_probe_file(path: str = None, mb: int = None) -> str:
+    """Build the probe file once (random bytes, so fs-level compression
+    can't shrink the read); reused across sessions/rounds — the CONTENT
+    never matters, only that the same bytes are re-read every time."""
+    path, mb = path or IO_PROBE_PATH, mb or IO_PROBE_MB
+    want = mb << 20
+    if not (os.path.isfile(path) and os.path.getsize(path) == want):
+        chunk = os.urandom(4 << 20)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            for _ in range(max(1, want // len(chunk))):
+                f.write(chunk)
+        os.replace(tmp, path)
+        os.sync()
+    return path
+
+
+def _io_probe(path: str = None) -> float:
+    """One timed full sequential read of the probe file, page cache dropped
+    first so the read reaches the device. Single-shot by design: best-of-N
+    would HIDE intermittent writeback stalls (measured: two 0.06 s probes
+    then a 1.69 s one under the same dd load), and the point is to catch
+    what the host did to the ADJACENT query timing, not the probe's own
+    steady state."""
+    path = path or IO_PROBE_PATH
+    if not os.path.isfile(path):
+        _ensure_io_probe_file(path)
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        fadvise = getattr(os, "posix_fadvise", None)
+        if fadvise is not None:  # non-POSIX fallback: timed (cached) read
+            fadvise(fd, 0, 0, os.POSIX_FADV_DONTNEED)
+        t0 = time.time()
+        while os.read(fd, 1 << 20):
+            pass
+        return round(time.time() - t0, 3)
+    finally:
+        os.close(fd)
+
+
+def _io_flags(probes: dict[str, float], ref: float,
+              factor: float = IO_DRIFT_FACTOR) -> list[str]:
+    """Entries whose adjacent IO probe read > ``factor`` x the session
+    reference (median of all samples): timed while the volume was
+    contended — treat their timings as host noise."""
+    return sorted(k for k, v in probes.items() if v > factor * ref)
+
+
+def _settle_io(max_wait_sec: float = 30.0,
+               dirty_floor_kb: int = 64 * 1024) -> float:
+    """Sync-and-settle: flush dirty pages and wait until the kernel's
+    Dirty+Writeback backlog drains under ``dirty_floor_kb`` (or the
+    timeout), so multi-GB prep writes stop contaminating the NEXT timed
+    entry (the BENCH_r08 harmonize phantom). Returns seconds waited."""
+    t0 = time.time()
+    os.sync()
+    while time.time() - t0 < max_wait_sec:
+        try:
+            with open("/proc/meminfo") as f:
+                backlog = sum(
+                    int(line.split()[1])
+                    for line in f
+                    if line.startswith(("Dirty:", "Writeback:"))
+                )
+        except OSError:  # no /proc: the sync() was all we can do
+            break
+        if backlog < dirty_floor_kb:
+            break
+        time.sleep(0.2)
+    return round(time.time() - t0, 3)
 
 
 def _load_avg() -> list[float]:
@@ -254,7 +355,7 @@ def _time_query(spark, qs, name, sf_dir, release_caches,
 
 def _bench_queries(spark, qs, sf_dir, release_caches,
                    timings: dict, errors: dict, cals: dict,
-                   prefix: str = "") -> None:
+                   ios: dict | None = None, prefix: str = "") -> None:
     for name in _selected(HEADLINE, extras_from=qs):
         key = prefix + name
         _time_query(spark, qs, name, sf_dir, release_caches,
@@ -262,15 +363,23 @@ def _bench_queries(spark, qs, sf_dir, release_caches,
         # one cheap fixed-plan sample right after the timing: attributes
         # host contention to the specific entries it landed on
         cals[key] = _calibrate(spark, reps=2)
+        if ios is not None:  # r9: the CPU sample is blind to IO stalls
+            ios[key] = _io_probe()
 
 
 def _bench_harmonize(spark, harmonize, release_caches, staging_root, sources,
                      timings: dict, errors: dict, key: str,
-                     cals: dict | None = None,
+                     cals: dict | None = None, ios: dict | None = None,
                      **harmonize_kwargs) -> None:
     try:
         best = None
         for _ in range(2):  # best-of-2, same as the headline queries
+            # the harmonize family is the IO-heavy tail of the run: its
+            # prep (staging synth, bucketed tables) and run 1's own
+            # writes (bucket2 materialization) leave GBs of dirty pages
+            # — drain the writeback backlog before EACH timed run so
+            # they can't stall it (the BENCH_r08 phantom)
+            _settle_io()
             t0 = time.time()
             res = harmonize(spark, staging_root, sources, **harmonize_kwargs)
             n_acts = res.activities.count()
@@ -291,6 +400,8 @@ def _bench_harmonize(spark, harmonize, release_caches, staging_root, sources,
         gc.collect()
         if cals is not None:
             cals[key] = _calibrate(spark, reps=2)
+        if ios is not None:
+            ios[key] = _io_probe()
 
 
 def main() -> None:
@@ -308,12 +419,17 @@ def main() -> None:
     # warm the JVM + parquet footer caches with one cheap action
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    _ensure_io_probe_file()
+    _io_probe()  # discard: the session's first probe reads ~2-3x steady
     load_before, cal_before = _load_avg(), _calibrate(spark)
+    io_before = _io_probe()
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     cals: dict[str, float] = {}
-    _bench_queries(spark, qs, sf_dir, release_caches, timings, errors, cals)
+    ios: dict[str, float] = {}
+    _bench_queries(spark, qs, sf_dir, release_caches, timings, errors, cals,
+                   ios=ios)
 
     # flagship: the harmonize job end-to-end (scan -> canonicalize ->
     # content ids -> re-key joins -> global aid -> invariant checks).
@@ -333,7 +449,7 @@ def main() -> None:
     if sources and "harmonize_e2e" in hm_wanted:
         _bench_harmonize(spark, harmonize, release_caches, staging_root,
                          sources, timings, errors, "harmonize_e2e",
-                         cals=cals)
+                         cals=cals, ios=ios)
     bucket_entries = [k for k in ("harmonize_e2e_bucket",
                                   "harmonize_e2e_bucket2") if k in hm_wanted]
     if sources and bucket_entries:
@@ -358,7 +474,7 @@ def main() -> None:
                 spark, harmonize, release_caches, staging_root, sources,
                 timings, errors, "harmonize_e2e_bucket",
                 rekey_strategy="bucket", staging_tables=tables,
-                cals=cals,
+                cals=cals, ios=ios,
             )
         if tables and "harmonize_e2e_bucket2" in bucket_entries:
             _bench_harmonize(
@@ -366,7 +482,7 @@ def main() -> None:
                 timings, errors, "harmonize_e2e_bucket2",
                 rekey_strategy="bucket2", staging_tables=tables,
                 bucket2_dir=f"{staging_root}_b2_scratch",
-                cals=cals,
+                cals=cals, ios=ios,
             )
 
     # --- act on the drift signals (r6 verdict task 4) ---------------------
@@ -376,14 +492,18 @@ def main() -> None:
     # they get marked, not re-run) and keep the per-query minimum.
     ref_cal = (statistics.median([cal_before] + list(cals.values()))
                if cals else cal_before)
+    ref_io = (statistics.median([io_before] + list(ios.values()))
+              if ios else io_before)
     flagged = sorted(
-        k for k, c in cals.items() if c > CAL_DRIFT_FACTOR * ref_cal
+        set(k for k, c in cals.items() if c > CAL_DRIFT_FACTOR * ref_cal)
+        | set(_io_flags(ios, ref_io))
     )
     rerun = [k for k in flagged if k in qs and k in timings]
     if rerun:
         print(
             f"bench: host drift flagged {len(flagged)} entries "
-            f"(cal > {CAL_DRIFT_FACTOR}x session median {ref_cal}s); "
+            f"(cal > {CAL_DRIFT_FACTOR}x median {ref_cal}s, or io probe "
+            f"> {IO_DRIFT_FACTOR}x median {ref_io}s); "
             f"re-running {len(rerun)} once: {', '.join(rerun)}",
             file=sys.stderr, flush=True,
         )
@@ -391,17 +511,24 @@ def main() -> None:
             _time_query(spark, qs, key, sf_dir, release_caches,
                         timings, errors, key, runs=1)
             cals[key] = min(cals[key], _calibrate(spark, reps=2))
+            ios[key] = min(ios[key], _io_probe())
 
     cal_after, load_after = _calibrate(spark), _load_avg()
-    # an entry stays flagged only if its best calibration sample is still
-    # drifted after any re-run — the honest "don't trust this number" mark
+    io_after = _io_probe()
+    # an entry stays flagged only if its best calibration/IO sample is
+    # still drifted after any re-run — the honest "don't trust this
+    # number" mark. The two signals stay SEPARATE in the record: cal
+    # catches CPU/scheduler pressure, the io probe catches the page-
+    # cache/writeback stalls cal is blind to (the BENCH_r08 phantom).
     load_flagged = sorted(
         k for k, c in cals.items() if c > CAL_DRIFT_FACTOR * ref_cal
     )
-    if load_flagged:
+    io_flagged = _io_flags(ios, ref_io)
+    if load_flagged or io_flagged:
         print(
             "bench: entries still host-contaminated after re-run: "
-            + ", ".join(load_flagged), file=sys.stderr, flush=True,
+            + ", ".join(sorted(set(load_flagged) | set(io_flagged))),
+            file=sys.stderr, flush=True,
         )
 
     total = round(sum(timings.values()), 3)
@@ -415,6 +542,9 @@ def main() -> None:
         "load_avg": {"before": load_before, "after": load_after},
         "per_query_calibration_sec": cals,
         "load_flagged": load_flagged,
+        "io_probe_sec": {"before": io_before, "after": io_after},
+        "per_query_io_probe_sec": ios,
+        "io_flagged": io_flagged,
     }
     if errors:
         out["errors"] = errors

@@ -323,14 +323,20 @@ def ahash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 6,
     178k pairs; SCALE.md "aHash soak adjudication"). Capping trades
     pigeonhole COMPLETENESS for boundedness: pairs inside a dropped
     bucket are missed unless another band proposes them — pass
-    ``collapse_identical=True`` (below) and the cap then only ever
-    drops non-discriminative bands. Default None keeps the exact
-    pigeonhole contract (oracles q79/q164 replay it). With
-    ``probe_bits=1`` the cap applies to BOTH sides of the candidate
-    join — the exact keys and the probed (1-bit-neighborhood) keys —
-    so the per-key candidate bound stays cap^2 (r8; previously the
-    probe side was uncapped and a fat neighborhood could reach
-    cap x |bucket|).
+    ``collapse_identical=True`` (below) and, with ``probe_bits=0``, the
+    cap then only ever drops non-discriminative bands. Default None
+    keeps the exact pigeonhole contract (oracles q79/q164 replay it).
+    With ``probe_bits=1`` the cap applies to BOTH sides of the
+    candidate join — the exact keys and the probed (1-bit-neighborhood)
+    keys — so the per-key candidate bound stays cap^2 (r8 behavior
+    change; previously the probe side was uncapped and a fat
+    neighborhood could reach cap x |bucket|, but pair sets the old
+    one-sided cap emitted can now be dropped — see CHANGELOG.md). The
+    collapse_identical guarantee is correspondingly WEAKER under
+    probing: a key whose 1-bit NEIGHBORHOOD is fat can be dropped from
+    the probe side even when every individual band bucket is small and
+    discriminative, so collapse+cap+probing is still a recall trade,
+    not a free bound.
 
     ``collapse_identical=True`` makes the exact-dedup-first idiom an
     operator guarantee instead of caller discipline (q123's exact-set
@@ -375,7 +381,9 @@ def ahash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 6,
     if not 0 <= max_hamming <= 63:
         raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
     if probe_bits not in (None, 0, 1):
-        raise ValueError(f"probe_bits must be 0 or 1, got {probe_bits}")
+        raise ValueError(
+            f"probe_bits must be None, 0 or 1, got {probe_bits}"
+        )
     if probe_bits is None:
         probe_bits = 1 if max_hamming >= 8 else 0
     n_bands = max_hamming + 1 if probe_bits == 0 else (max_hamming + 2) // 2

@@ -22,6 +22,15 @@ sides of the ratio equally, and every query carries a calibration sample
 (bench.py's fixed reference plan) — a query whose sample reads >20% above
 the session median was measured under contention; trust its ratio, not
 its absolute times.
+
+IO drift control (since round 9; r8 verdict task 1): the CPU calibration
+sample is blind to page-cache/writeback stalls on the shared /tmp volume
+(SCALE.md's variance note: x16 absolutes swung ~3x run-to-run), so every
+query now also carries an IO probe sample (bench._io_probe: a timed
+cache-dropped read of a fixed ~128 MB file; >2.5x the session median =
+io_flagged), the replica build sync-and-settles before the first timed
+entry, and the IO-heavy harmonize SPECIAL entries settle the writeback
+backlog before EACH timed run.
 """
 
 from __future__ import annotations
@@ -243,20 +252,36 @@ def main() -> int:
     names = sys.argv[2:] or QUERIES
     spark = get_spark()
     import __spark_entry__ as e
-    from bench import CAL_DRIFT_FACTOR, _calibrate, _load_avg
+    from bench import (
+        CAL_DRIFT_FACTOR,
+        _calibrate,
+        _ensure_io_probe_file,
+        _io_flags,
+        _io_probe,
+        _load_avg,
+        _settle_io,
+    )
 
     qs = dict(e.queries())
     for name, (_prep, runner) in SPECIAL.items():
         qs[name] = runner
     print(f"building base + x{k} replicas from {SRC} ...", flush=True)
     base, xk = build(spark, k)
+    # the replica build just wrote GBs — drain the writeback backlog so
+    # it can't stall the first timed entries (r9, the BENCH_r08 phantom),
+    # and warm the IO probe (a session's first probe reads ~2-3x steady)
+    _ensure_io_probe_file()
+    _settle_io()
+    _io_probe()
     load_before, cal_before = _load_avg(), _calibrate(spark)
+    io_before = _io_probe()
     print("| query | t_base (s) | t_x%d (s) | ratio | cal (s) |" % k)
     print("|---|---|---|---|---|")
     from chemharmony_spark.cache import release_caches
 
     results: dict[str, dict] = {}
     cals: dict[str, float] = {}
+    ios: dict[str, float] = {}
     for name in names:
         if name in SPECIAL:  # untimed fixture prep (staging + tables)
             for tag, d in ((9101.0, base), (9102.0, xk)):
@@ -267,6 +292,12 @@ def main() -> int:
         # so a load spike during one side faked a scaling regression)
         for _ in range(2):
             for d in (base, xk):
+                if name in SPECIAL:
+                    # the harmonize entries are IO-heavy and their prep +
+                    # prior iterations leave dirty pages: settle before
+                    # EACH timed run (r9; x16 absolutes used to swing ~3x
+                    # on this host's shared /tmp — SCALE.md variance note)
+                    _settle_io()
                 t0 = time.time()
                 qs[name](spark, d).count()
                 dt = time.time() - t0
@@ -275,20 +306,26 @@ def main() -> int:
         if name in SPECIAL_CLEANUP:  # untimed: reclaim scratch/tables
             SPECIAL_CLEANUP[name](spark)
         cals[name] = _calibrate(spark, reps=2)
+        ios[name] = _io_probe()
         tb, tk = best[base], best[xk]
         results[name] = {
             "t_base": round(tb, 2), f"t_x{k}": round(tk, 2),
             "ratio": round(tk / tb, 2), "cal_sec": cals[name],
+            "io_probe_sec": ios[name],
         }
         print(f"| {name} | {tb:.2f} | {tk:.2f} | {tk / tb:.1f}x "
               f"| {cals[name]:.2f} |", flush=True)
     cal_after, load_after = _calibrate(spark), _load_avg()
+    io_after = _io_probe()
     # median baseline, like bench.py: the ~0.3 s reference plan has ~±20%
     # sample noise, so one outlier-low sample must not flag the whole run
     import statistics
 
     ref_cal = statistics.median(
         [cal_before, cal_after] + list(cals.values())
+    )
+    ref_io = statistics.median(
+        [io_before, io_after] + list(ios.values())
     )
     flagged = sorted(
         n for n, c in cals.items() if c > CAL_DRIFT_FACTOR * ref_cal
@@ -301,6 +338,8 @@ def main() -> int:
         "calibration_sec": {"before": cal_before, "after": cal_after},
         "load_avg": {"before": load_before, "after": load_after},
         "load_flagged": flagged,
+        "io_probe_sec": {"before": io_before, "after": io_after},
+        "io_flagged": _io_flags(ios, ref_io),
     }), flush=True)
     return 0
 
