@@ -199,6 +199,25 @@ def _io_flags(probes: dict[str, float], ref: float,
     return sorted(k for k, v in probes.items() if v > factor * ref)
 
 
+def _drop_page_cache() -> bool:
+    """Best-effort page-cache drop (sync + /proc/sys/vm/drop_caches=3;
+    needs root). Returns whether it worked. Used by the soak's
+    SOAK_COLD=1 mode: dropping the cache before EVERY timed run pins the
+    IO state, so multi-GB entries become reproducible — and cold reads
+    are the 100 TB-relevant regime anyway (a cluster-scale fact table
+    never fits page cache; warm-cache timings model only the local
+    fixture). Not used by bench's standard protocol: the round-over-
+    round trajectory stays comparable on the warm regime it was built
+    on."""
+    try:
+        os.sync()
+        with open("/proc/sys/vm/drop_caches", "w") as f:
+            f.write("3\n")
+        return True
+    except OSError:
+        return False
+
+
 def _settle_io(max_wait_sec: float = 30.0,
                dirty_floor_kb: int = 64 * 1024) -> float:
     """Sync-and-settle: flush dirty pages and wait until the kernel's

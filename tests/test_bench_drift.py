@@ -127,3 +127,16 @@ def test_io_loaded_run_flags_the_loaded_entries(tmp_path):
 
     ref = statistics.median(probes.values())
     assert "harmonize_e2e_bucket" in _io_flags(probes, ref), probes
+
+
+def test_drop_page_cache_reports_capability():
+    """SOAK_COLD=1's primitive: returns True only when the drop actually
+    happened (root + /proc/sys/vm/drop_caches); as root, a dropped cache
+    must make a just-written file's re-read hit the device (measurably
+    slower than a warm re-read of the same bytes)."""
+    from bench import _drop_page_cache
+
+    ok = _drop_page_cache()
+    assert isinstance(ok, bool)
+    if os.geteuid() == 0 and os.path.exists("/proc/sys/vm/drop_caches"):
+        assert ok

@@ -61,6 +61,16 @@ SRC = os.environ.get("SOAK_SRC", "/root/testdata/sf0.1")
 # replica, which would inflate token-overlap queries' true output).
 PAYLOAD_SALT = os.environ.get("SOAK_PAYLOAD_SALT") == "1"
 ROOT = "/tmp/spark_soak_psalt" if PAYLOAD_SALT else "/tmp/spark_soak"
+# SOAK_COLD=1 (r9): drop the OS page cache before EVERY timed run, so
+# each run starts from the same (cold) IO state. Rationale: the r8/r9
+# paired harmonize soaks showed ~2x swings on the x16 absolutes with
+# BOTH drift probes clean — page-cache residency of the multi-GB replica
+# set, not host contention. Cold mode removes that run-state freedom —
+# and cold reads are the 100 TB-relevant regime regardless (a cluster-
+# scale fact table never fits page cache; warm timings only model the
+# local fixture). Needs root for /proc/sys/vm/drop_caches; the JSON
+# records whether the drop actually worked.
+COLD = os.environ.get("SOAK_COLD") == "1"
 OFF = 1_000_000_000
 
 # (table, [key columns to offset], text column to replica-salt or None)
@@ -255,6 +265,7 @@ def main() -> int:
     from bench import (
         CAL_DRIFT_FACTOR,
         _calibrate,
+        _drop_page_cache,
         _ensure_io_probe_file,
         _io_flags,
         _io_probe,
@@ -286,10 +297,25 @@ def main() -> int:
         if name in SPECIAL:  # untimed fixture prep (staging + tables)
             for tag, d in ((9101.0, base), (9102.0, xk)):
                 SPECIAL[name][0](spark, d, tag)
+            # untimed warm-up run per scale (r9): the first execution of
+            # a multi-second plan family in a session carries 3-6 s of
+            # one-time JVM cost (whole-stage-codegen compilation, JIT) —
+            # measured [9.5, 3.14] s for the SAME cold base-scale run
+            # back-to-back. One-time costs don't scale with data, so
+            # they contaminate the t_xK/t_base ratio; amortizing them
+            # out before timing is what makes the ratio measure the
+            # ENGINE's scaling. Headline queries keep the no-warm-up
+            # protocol (sub-second plans; comparability with the r2-r8
+            # soak tables).
+            for d in (base, xk):
+                qs[name](spark, d).count()
+                release_caches()
         best = {base: None, xk: None}
+        raw = {base: [], xk: []}  # per-run times: within-session spread
         # interleaved best-of-2: base, xK, base, xK — host drift lands on
         # both sides of the ratio (the r6 soak single-shotted each scale,
         # so a load spike during one side faked a scaling regression)
+        cold_ok = True
         for _ in range(2):
             for d in (base, xk):
                 if name in SPECIAL:
@@ -298,10 +324,14 @@ def main() -> int:
                     # EACH timed run (r9; x16 absolutes used to swing ~3x
                     # on this host's shared /tmp — SCALE.md variance note)
                     _settle_io()
+                if COLD:  # pin the IO state: every run starts cold
+                    _settle_io()
+                    cold_ok = _drop_page_cache() and cold_ok
                 t0 = time.time()
                 qs[name](spark, d).count()
                 dt = time.time() - t0
                 best[d] = dt if best[d] is None else min(best[d], dt)
+                raw[d].append(round(dt, 2))
                 release_caches()  # bound cache residency across the soak
         if name in SPECIAL_CLEANUP:  # untimed: reclaim scratch/tables
             SPECIAL_CLEANUP[name](spark)
@@ -312,7 +342,13 @@ def main() -> int:
             "t_base": round(tb, 2), f"t_x{k}": round(tk, 2),
             "ratio": round(tk / tb, 2), "cal_sec": cals[name],
             "io_probe_sec": ios[name],
+            # raw per-run times (best-of-2 inputs): a wide spread between
+            # the two runs of ONE scale localizes variance INSIDE the
+            # session (JVM/GC state), where no host probe can see it
+            "runs": {"base": raw[base], f"x{k}": raw[xk]},
         }
+        if COLD:
+            results[name]["cold"] = cold_ok  # False = drop_caches failed
         print(f"| {name} | {tb:.2f} | {tk:.2f} | {tk / tb:.1f}x "
               f"| {cals[name]:.2f} |", flush=True)
     cal_after, load_after = _calibrate(spark), _load_avg()
@@ -334,12 +370,17 @@ def main() -> int:
         "metric": "soak_scaling_ratio",
         "k": k,
         "src": SRC,
+        "cold": COLD,
         "queries": results,
         "calibration_sec": {"before": cal_before, "after": cal_after},
         "load_avg": {"before": load_before, "after": load_after},
         "load_flagged": flagged,
         "io_probe_sec": {"before": io_before, "after": io_after},
-        "io_flagged": _io_flags(ios, ref_io),
+        # under SOAK_COLD the per-entry probes read the probe FILE cold
+        # too (its pages were just dropped with everything else), so a
+        # high sample is the intended state, not contention — io
+        # flagging is only meaningful on the warm protocol
+        "io_flagged": [] if COLD else _io_flags(ios, ref_io),
     }), flush=True)
     return 0
 
