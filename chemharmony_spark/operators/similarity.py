@@ -413,19 +413,24 @@ def all_pairs_cosine(
         F.col("__blk") == F.col("bj2"),
     ).select("p2", F.col(id_col).alias("__b"),
              F.col("__dv").alias("__vb"), F.col("__n").alias("__nb"))
+    # threshold predicate written INTO the join condition after the cheap
+    # orientation conjunct — same conjunct-order rationale (and measured
+    # win) as cluster_pruned_pairs: a separate .where(sim >= t) gets
+    # pushed in FRONT of the cheap predicate and the O(dims) fold then
+    # runs on pairs the orientation check would have dropped for free.
+    sim = cosine_pre(F.col("__va"), F.col("__vb"),
+                     F.col("__na"), F.col("__nb"))
     return (
-        left.join(right, F.col("p") == F.col("p2"))
-        .where((F.col("bi") != F.col("bj")) | (F.col("__a") < F.col("__b")))
-        .withColumn(
-            "sim",
-            cosine_pre(F.col("__va"), F.col("__vb"),
-                       F.col("__na"), F.col("__nb")),
+        left.join(
+            right,
+            (F.col("p") == F.col("p2"))
+            & ((F.col("bi") != F.col("bj")) | (F.col("__a") < F.col("__b")))
+            & (sim >= threshold),
         )
-        .where(F.col("sim") >= threshold)
         .select(
             F.least("__a", "__b").alias("a"),
             F.greatest("__a", "__b").alias("b"),
-            "sim",
+            sim.alias("sim"),
         )
     )
 
@@ -707,16 +712,25 @@ def cluster_pruned_pairs(
         F.col("cell_id").alias("cell_id2"), F.col(id_col).alias("b"),
         F.col("__dv").alias("__vb"), F.col("__n").alias("__nb"),
     )
+    # The threshold predicate is part of the JOIN CONDITION, written
+    # AFTER the cheap a < b conjunct. Written as a separate .where(), the
+    # optimizer pushes it into the join anyway but PREPENDS it, so the
+    # O(dims) cosine fold ran for every ORDERED same-cell pair before
+    # a < b could drop half of them (And short-circuits left-to-right and
+    # Catalyst preserves the written conjunct order). Measured at sf0.1:
+    # 2.8s -> 1.3s on the pair join, identical 11121-row output (r9 opt).
+    # Survivors re-evaluate the identical expression in the projection —
+    # bit-identical, and survivor counts are tiny next to candidates.
+    sim = cosine_pre(F.col("__va"), F.col("__vb"),
+                     F.col("__na"), F.col("__nb"))
     return (
-        left.join(right, (F.col("cell_id") == F.col("cell_id2"))
-                  & (F.col("a") < F.col("b")))
-        .withColumn(
-            "sim",
-            cosine_pre(F.col("__va"), F.col("__vb"),
-                       F.col("__na"), F.col("__nb")),
+        left.join(
+            right,
+            (F.col("cell_id") == F.col("cell_id2"))
+            & (F.col("a") < F.col("b"))
+            & (sim >= threshold),
         )
-        .where(F.col("sim") >= threshold)
-        .select("cell_id", "a", "b", "sim")
+        .select("cell_id", "a", "b", sim.alias("sim"))
     )
 
 
