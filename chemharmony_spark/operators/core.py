@@ -208,30 +208,24 @@ def stratified_sample_exact(
     """
     order = order_by if order_by is not None else F.rand(seed)
     if isinstance(n_per_stratum, int):
-        # scale path: two-phase top-n. Phase 1 takes the per-(stratum, salt)
-        # top-n — SALTS parallel sorts per stratum instead of one giant one —
-        # then phase 2 re-ranks the tiny candidate set (SALTS*n per stratum)
-        # globally. The global top-n is always a subset of the per-salt
-        # top-n's, so results are identical to the single-window formulation.
-        SALTS = 16
-        # salt from the materialized __ord column (not the raw expression —
-        # F.rand would evaluate twice with different values); ANY row->salt
-        # assignment preserves correctness, since a global top-n is always a
-        # subset of the union of per-salt top-n's
-        staged = df.withColumn("__ord", order).withColumn(
-            "__salt", F.pmod(F.hash(F.col("__ord").cast("string")), F.lit(SALTS))
-        )
-        w1 = Window.partitionBy(*strata, "__salt").orderBy("__ord")
-        cand = (
-            staged.withColumn("__rn", F.row_number().over(w1))
+        # Constant-n path: ONE window. The giant-stratum hazard (every row
+        # of a stratum funneling through one sort task) is handled by the
+        # planner, not by hand: a row_number-<=-k filter over a window
+        # plants a PARTIAL WindowGroupLimit before the exchange
+        # (SPARK-37099, 3.5+), so each map task forwards at most n rows
+        # per stratum and the post-shuffle sort sees n x map-tasks rows —
+        # the same bound the r4-r8 explicit 16-salt two-phase formulation
+        # achieved with a SECOND full exchange + two extra sorts. Plan
+        # proof: plans/r09/q26_stratified_sample_{before,after}.txt
+        # (2 Exchange + 4 Sort -> 1 Exchange + 2 Sort); results identical
+        # (any global per-stratum top-n is a subset of per-partition
+        # top-n's), measured 1.53s -> 1.34s at sf0.1 and verified
+        # element-identical both ways (r9 opt).
+        w = Window.partitionBy(*strata).orderBy(order)
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") <= n_per_stratum)
             .drop("__rn")
-        )
-        w2 = Window.partitionBy(*strata).orderBy("__ord")
-        return (
-            cand.withColumn("__rn", F.row_number().over(w2))
-            .where(F.col("__rn") <= n_per_stratum)
-            .drop("__rn", "__ord", "__salt")
         )
     w = Window.partitionBy(*strata).orderBy(order)
     return (
