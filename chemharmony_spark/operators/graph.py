@@ -349,9 +349,18 @@ def connected_components_star(
             ),
         )
         if lab is not None:
+            # UNCONDITIONAL broadcast, not the size-gated hint: the mapping
+            # frame is RDD-backed (createDataFrame of driver rows), so
+            # Catalyst reports defaultSizeInBytes and the gate can never
+            # pass — the composition join then ran as a SortMergeJoin with
+            # two exchanges unless AQE rescued it at runtime (observed in
+            # plans/r09/q123_dedup_pipeline_before.txt). The broadcast is
+            # provably bounded: the mapping was JUST collected driver-side
+            # under driver_finish_cap, so shipping it back is no larger
+            # than the collect the caller already accepted.
             comp = (
                 lab.join(
-                    hint(comp.withColumnRenamed("node", "l")),
+                    F.broadcast(comp.withColumnRenamed("node", "l")),
                     on="l",
                     how="left",
                 )
