@@ -59,7 +59,9 @@ SHUFFLE_BUDGET = {
     "q19_intersect_except": 2, "q20_grid_negatives": 4,
     "q21_semi_anti_join": 2, "q22_left_join_histogram": 2,
     "q23_full_outer_consistency": 2, "q24_group_id_md5": 1,
-    "q25_content_id_json": 0, "q26_stratified_sample": 2,
+    # q26 (r9): single WindowGroupLimit-bounded window — the manual
+    # salt pre-pass and its second exchange are gone
+    "q25_content_id_json": 0, "q26_stratified_sample": 1,
     "q27_json_extract": 1, "q28_tumbling_window": 1, "q29_sessionize": 1,
     "q30_dedup_exact": 1, "q31_text_quality": 0, "q32_langid": 0,
     "q33_fingerprint_rollup": 2, "q34_minhash_signatures": 0,
@@ -277,8 +279,10 @@ SHUFFLE_BUDGET = {
     # contributes node-sized exchanges only — nothing here is
     # pair-sized except the one candidate-join shuffle
     # (re-audited r7: the star CC's lab map is now localCheckpoint'ed,
-    # truncating the lineage that used to reprint under every consumer)
-    "q123_dedup_pipeline": 8,
+    # truncating the lineage that used to reprint under every consumer;
+    # r9: the driver-finish mapping broadcasts unconditionally, so its
+    # label-composition join no longer exchanges either side)
+    "q123_dedup_pipeline": 6,
     # q124: user_id window exchange + the handful-of-groups rollup
     "q124_last_touch_attribution": 2,
     # q125: ONE full-data exchange (per-value counts); the rest move the
@@ -301,7 +305,8 @@ SHUFFLE_BUDGET = {
     # persisted-scan requirements to the pre-existing candidate join +
     # canonical window + entity agg. All additions are node/cluster
     #-sized, never pair-sized; wall time halved (5.8 -> 2.9 s solo).
-    "q129_entity_resolution": 5,
+    # r9: -2, the driver-finish mapping join broadcasts unconditionally
+    "q129_entity_resolution": 3,
     # q130: (user, day) dedup agg (the full-data exchange) + cohort-min
     # window + (cohort, age) rollup over the per-user-day table
     "q130_cohort_retention": 3,
@@ -404,7 +409,8 @@ SHUFFLE_BUDGET = {
     # q164 (re-audited r7, star+pre-contract CC): the component rollup
     # plus the node-sized label->component composition join; the aHash
     # pair derivation still executes once during CC construction
-    "q164_media_dedup_clusters": 3,
+    # r9: -2, the driver-finish mapping join broadcasts unconditionally
+    "q164_media_dedup_clusters": 1,
     # q165: persisted (doc, word) counts print under the ref-model /
     # vocab / term / per-doc consumers (1-row totals via BNLJ broadcast)
     "q165_cross_perplexity": 12,
@@ -524,7 +530,8 @@ SHUFFLE_BUDGET = {
     # near-dup machinery behind caches/checkpoints; the label
     # composition + four survivorship aggs over the member dimension —
     # node/cluster-sized exchanges only; wall 13.5 -> 5.1 s solo
-    "q210_golden_record": 8,
+    # r9: -2, the driver-finish mapping join broadcasts unconditionally
+    "q210_golden_record": 6,
     # q211: persisted bit table prints under build/probe/fill consumers
     "q211_bloom_fpp": 5,
     # q212: closed-form per-slice allocation; ONE month rollup
@@ -575,7 +582,8 @@ SHUFFLE_BUDGET = {
     "q230_silhouette": 3,
     # q231 (re-audited r7, star+pre-contract CC): fingerprint distinct
     # + near-dup machinery + label composition + report rollups
-    "q231_dedup_impact": 7,
+    # r9: -2, the driver-finish mapping join broadcasts unconditionally
+    "q231_dedup_impact": 5,
     # q232: q38 top-k + label joins; per-query nDCG is closed-form
     "q232_ndcg": 1,
     # q233: spend agg (persisted; cached subtree prints per consumer) +
