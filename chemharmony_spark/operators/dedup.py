@@ -227,15 +227,20 @@ def _hex_char_value(c: Column) -> Column:
 
 
 def token_hash16(word: Column) -> Column:
-    """16-bit hash of a token: first 4 hex chars of md5, engine-portable
-    (no bit intrinsics — pure char arithmetic reproducible in ANSI SQL)."""
-    h = F.md5(word)
-    return (
-        _hex_char_value(F.substring(h, 1, 1)) * 4096
-        + _hex_char_value(F.substring(h, 2, 1)) * 256
-        + _hex_char_value(F.substring(h, 3, 1)) * 16
-        + _hex_char_value(F.substring(h, 4, 1))
-    )
+    """16-bit hash of a token: value of the first 4 hex chars of md5 —
+    the engine-portable contract (the DuckDB oracle reproduces the same
+    value with pure ANSI char arithmetic).
+
+    r9: computed as one ``conv(substring(md5, 1, 4), 16, 10)`` instead of
+    four per-char ``instr`` lookups. Same value for every input (md5
+    output is always lowercase hex; property-checked against the old
+    expression over the full corpus token set), but md5 is evaluated
+    ONCE instead of four times — this runs inside higher-order-function
+    lambdas (simhash16, winnowing), which are interpreted with no
+    common-subexpression elimination across the four references, so the
+    old form paid 4x the md5 cost (measured: the simhash hash transform
+    dropped 1.10 s -> 0.71 s at sf0.1)."""
+    return F.conv(F.substring(F.md5(word), 1, 4), 16, 10).cast("int")
 
 
 def simhash16(df: DataFrame, id_col: str, text_col: str,
