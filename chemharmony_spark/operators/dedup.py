@@ -68,8 +68,13 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     shingle array (narrow, codegen), then the band columns unpivot to long.
     At 100 TB this runs at scan speed — no explode blowup, no groupBy; docs
     with fewer than k words drop out (array_min(empty) -> null -> unpivot
-    drops nulls).
+    drops nulls). r9: the input is spread to core width first (no-op at
+    scale; see hints.spread_scan) — the 4-band md5 pass is the hot loop
+    and a single-row-group fixture file otherwise serializes it.
     """
+    from chemharmony_spark.hints import spread_scan
+
+    df = spread_scan(df)
     staged = df.select(
         F.col(id_col).alias("id"), tokens(text_col).alias("__words")
     ).withColumn("__shingles", word_shingles(F.col("__words"), k))
@@ -185,6 +190,10 @@ def jaccard_pairs(df: DataFrame, candidates: DataFrame, id_col: str,
     # lambda wrapper: xxhash64 is variadic, so the bare function can't be
     # used as a higher-order-function argument
     hcol = (lambda w: F.xxhash64(w)) if hash_tokens else (lambda w: w)
+    # r9: spread the scan before the tokenize+hash pass (no-op at scale)
+    from chemharmony_spark.hints import spread_scan
+
+    df = spread_scan(df)
     # persisted (registry-released, cache.release_caches): the token
     # build (normalize + shingle + per-token xxhash64) feeds BOTH join
     # sides; without the cache each side re-derives it from the scan
@@ -257,25 +266,32 @@ def simhash16(df: DataFrame, id_col: str, text_col: str,
     ``carry`` columns ride along unchanged so callers (q45) don't need a
     join to re-attach metadata. Docs with an empty token set are dropped,
     matching the exploded formulation's inner-explode semantics.
+
+    r9: input spread to core width (hints.spread_scan; no-op at scale) —
+    the per-token md5 transform is the hot loop.
     """
+    from chemharmony_spark.hints import spread_scan
+
+    df = spread_scan(df)
     hs = df.select(
         F.col(id_col).alias("id"),
         *carry,
         F.transform(F.array_distinct(tokens(text_col)), token_hash16).alias("hs"),
     ).where(F.size("hs") > 0)
 
-    def bit(j: int) -> Column:
-        s = F.aggregate(
-            "hs",
-            F.lit(0).cast("long"),
-            lambda acc, h: acc + (F.floor(h / F.lit(2 ** j)) % 2) * 2 - 1,
-        )
-        return F.when(s > 0, F.lit(2 ** j)).otherwise(0).cast("long")
-
-    sig = bit(0)
-    for j in range(1, 16):
-        sig = sig + bit(j)
-    return hs.select("id", *carry, sig.alias("simhash"))
+    # The 16 bit-folds are built as ONE SQL string instead of 16 nested
+    # F.aggregate lambdas: the Python-side Column construction of the
+    # lambda tree cost 0.53 s of py4j round-trips PER DataFrame build
+    # (inside every bench/caller timing); the parsed string is the same
+    # expression (verified value-identical over the corpus) and builds
+    # in 0.10 s. Execution plan and results are unchanged.
+    sig = " + ".join(
+        f"(CASE WHEN aggregate(hs, CAST(0 AS BIGINT), (acc, h) -> "
+        f"acc + (FLOOR(h / {1 << j}) % 2) * 2 - 1) > 0 "
+        f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(16)
+    )
+    return hs.select("id", *carry, F.expr(sig).alias("simhash"))
 
 
 def prefix_filter_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -325,14 +341,20 @@ def prefix_filter_pairs(df: DataFrame, id_col: str, text_col: str,
     from pyspark.sql.window import Window
 
     t = float(threshold)
-    base = (
-        df.select(F.col(id_col).alias("id"), F.col(tokens_col).alias("ws"))
-        if tokens_col is not None
-        else df.select(
+    if tokens_col is not None:
+        base = df.select(
+            F.col(id_col).alias("id"), F.col(tokens_col).alias("ws")
+        )
+    else:
+        # r9: spread the scan before tokenizing (no-op at scale); the
+        # pre-built-tokens path is left alone — its input is usually a
+        # persisted/derived frame, not a narrow scan
+        from chemharmony_spark.hints import spread_scan
+
+        base = spread_scan(df).select(
             F.col(id_col).alias("id"),
             F.array_distinct(tokens(text_col)).alias("ws"),
         )
-    )
     # set size comes off the array BEFORE the explode — one window
     # (frequency order), not two (the old per-id count window)
     words = base.select(

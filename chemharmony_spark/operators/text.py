@@ -124,6 +124,11 @@ def winnowing_fingerprints(df: DataFrame, text_col: str, out_col: str = "fps",
             lambda j: F.array_min(F.slice(hcol, j, w)),
         ),
     ).when(F.size(hcol) >= 1, F.array(F.array_min(hcol))).otherwise(empty)
+    # r9: spread the scan before the per-gram rolling-hash pass (no-op
+    # at scale; hints.spread_scan)
+    from chemharmony_spark.hints import spread_scan
+
+    df = spread_scan(df)
     return (
         df.withColumn("__winnow_norm", normalize_text(text_col))
         .withColumn("__winnow_hashes", hashes)
