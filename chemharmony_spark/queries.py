@@ -4633,7 +4633,9 @@ def q160_lsh_recall_audit(spark, sf):
                                          threshold=t),
             "doc_id", "text",
         )
-        .where(F.col("jaccard") >= t)
+        # r9: exact integer form of jaccard >= t=0.8 (one array_intersect
+        # per pair; provably the same pair set — see q123's rewrite note)
+.where(9 * F.col("n_inter") >= 4 * (F.col("na") + F.col("nb")))
         .select("a", "b")
         .transform(_registered_persist)
     )
@@ -4641,7 +4643,9 @@ def q160_lsh_recall_audit(spark, sf):
     cands = DD.lsh_candidate_pairs(sig).transform(_registered_persist)
     hits = (
         DD.jaccard_pairs(docs, cands, "doc_id", "text")
-        .where(F.col("jaccard") >= t)
+        # r9: exact integer form of jaccard >= t=0.8 (one array_intersect
+        # per pair; provably the same pair set — see q123's rewrite note)
+.where(9 * F.col("n_inter") >= 4 * (F.col("na") + F.col("nb")))
         .select("a", "b")
         .transform(_registered_persist)
     )
@@ -5555,7 +5559,9 @@ def q182_cross_source_dups(spark, sf):
     hits = (
         DD.jaccard_pairs(docs, DD.lsh_candidate_pairs(sig),
                          "doc_id", "text")
-        .where(F.col("jaccard") >= t)
+        # r9: exact integer form of jaccard >= t=0.8 (one array_intersect
+        # per pair; provably the same pair set — see q123's rewrite note)
+.where(9 * F.col("n_inter") >= 4 * (F.col("na") + F.col("nb")))
         .select("a", "b")
     )
     src = docs.select("doc_id", "source")
@@ -6907,7 +6913,9 @@ def q210_golden_record(spark, sf):
     hits = (
         DD.jaccard_pairs(docs, DD.lsh_candidate_pairs(sig),
                          "doc_id", "text")
-        .where(F.col("jaccard") >= t)
+        # r9: exact integer form of jaccard >= t=0.8 (one array_intersect
+        # per pair; provably the same pair set — see q123's rewrite note)
+.where(9 * F.col("n_inter") >= 4 * (F.col("na") + F.col("nb")))
         .select("a", "b")
         .transform(_registered_persist)
     )
@@ -7932,7 +7940,9 @@ def q231_dedup_impact(spark, sf):
     hits = (
         DD.jaccard_pairs(docs, DD.lsh_candidate_pairs(sig),
                          "doc_id", "text")
-        .where(F.col("jaccard") >= 0.8)
+        # r9: exact integer form of jaccard >= 0.8 (one array_intersect
+        # per pair; provably the same pair set — see q123's rewrite note)
+.where(9 * F.col("n_inter") >= 4 * (F.col("na") + F.col("nb")))
         .select("a", "b")
         .transform(_registered_persist)
     )
@@ -8309,7 +8319,9 @@ def q239_threshold_sensitivity(spark, sf):
     pairs = (
         DD.jaccard_pairs(docs, DD.lsh_candidate_pairs(sig),
                          "doc_id", "text")
-        .where(F.col("jaccard") >= 0.7)
+        # r9: exact integer form of jaccard >= 0.7 (one array_intersect
+        # per pair; provably the same pair set — see q123's rewrite note)
+.where(17 * F.col("n_inter") >= 7 * (F.col("na") + F.col("nb")))
         .transform(_registered_persist)
     )
     out = None
@@ -9222,7 +9234,9 @@ def q261_neardup_diff_tokens(spark, sf):
     cands = DD.prefix_filter_pairs(docs, "doc_id", "text", threshold=0.6)
     verified = (
         DD.jaccard_pairs(docs, cands, "doc_id", "text", hash_tokens=False)
-        .where(F.col("jaccard") >= 0.6)
+        # r9: exact integer form of jaccard >= 0.6 (one array_intersect
+        # per pair; provably the same pair set — see q123's rewrite note)
+.where(8 * F.col("n_inter") >= 3 * (F.col("na") + F.col("nb")))
         .select("a", "b")
     )
     key = F.md5(F.concat_ws(":", F.col("a"), F.col("b")))
@@ -9393,7 +9407,9 @@ def q265_weighted_jaccard(spark, sf):
     cands = DD.prefix_filter_pairs(docs, "doc_id", "text", threshold=0.6)
     verified = (
         DD.jaccard_pairs(docs, cands, "doc_id", "text")
-        .where(F.col("jaccard") >= 0.6)
+        # r9: exact integer form of jaccard >= 0.6 (one array_intersect
+        # per pair; provably the same pair set — see q123's rewrite note)
+.where(8 * F.col("n_inter") >= 3 * (F.col("na") + F.col("nb")))
         .select("a", "b")
     )
     counts = registered_persist(
