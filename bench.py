@@ -249,6 +249,40 @@ def _load_avg() -> list[float]:
         return []
 
 
+# r10 (r9 verdict task 3): sustained host load must not be able to poison
+# the official record the way it did BENCH_r09's 32-core leg (load 13-21
+# for the whole run; the single unconditioned re-run could not beat it).
+# Flagged entries are now retried in bounded PASSES: each pass first waits
+# — bounded — for the host to re-enter the session's idle band (one fresh
+# calibration sample AND one fresh IO probe both under their flag
+# thresholds), then re-runs every flagged entry once and re-samples. If
+# the band is never reached the loop stops and the flags STAND — the
+# explicit per-entry invalid markers (load_flagged / io_flagged) are the
+# record's honest "don't trust this number"; timings are never silently
+# replaced by loaded re-runs.
+DRIFT_MAX_RETRIES = int(os.environ.get("SPARK_GRAFT_DRIFT_RETRIES", "2"))
+DRIFT_IDLE_WAIT_SEC = float(os.environ.get("SPARK_GRAFT_DRIFT_WAIT", "45"))
+
+
+def _wait_for_idle_band(ref_cal: float, ref_io: float,
+                        calibrate, probe,
+                        max_wait_sec: float = DRIFT_IDLE_WAIT_SEC,
+                        settle=_settle_io) -> tuple[bool, float, float]:
+    """Wait (bounded) until one fresh calibration sample and one fresh IO
+    probe BOTH read inside the session's idle band (the same thresholds
+    that flag entries). Returns (in_band, last_cal, last_io).
+    ``calibrate``/``probe``/``settle`` are injectable for unit tests."""
+    t0 = time.time()
+    while True:
+        settle(max_wait_sec=5.0)
+        c, i = calibrate(), probe()
+        if c <= CAL_DRIFT_FACTOR * ref_cal and i <= IO_DRIFT_FACTOR * ref_io:
+            return True, c, i
+        if time.time() - t0 >= max_wait_sec:
+            return False, c, i
+        time.sleep(1.0)
+
+
 def _prepare_staging(spark, sf_dir: str, root: str) -> list[str]:
     """Synthesize a two-source staging area from the TPC-H tables (customer
     payloads as substances, part payloads as properties, lineitem x orders as
@@ -378,7 +412,8 @@ def _time_query(spark, qs, name, sf_dir, release_caches,
 
 def _bench_queries(spark, qs, sf_dir, release_caches,
                    timings: dict, errors: dict, cals: dict,
-                   ios: dict | None = None, prefix: str = "") -> None:
+                   ios: dict | None = None, prefix: str = "",
+                   loads: dict | None = None) -> None:
     for name in _selected(HEADLINE, extras_from=qs):
         key = prefix + name
         _time_query(spark, qs, name, sf_dir, release_caches,
@@ -388,16 +423,20 @@ def _bench_queries(spark, qs, sf_dir, release_caches,
         cals[key] = _calibrate(spark, reps=2)
         if ios is not None:  # r9: the CPU sample is blind to IO stalls
             ios[key] = _io_probe()
+        if loads is not None:  # r10: per-entry load_avg — a contaminated
+            loads[key] = _load_avg()  # leg is detectable from the JSON alone
 
 
 def _bench_harmonize(spark, harmonize, release_caches, staging_root, sources,
                      timings: dict, errors: dict, key: str,
                      cals: dict | None = None, ios: dict | None = None,
+                     runs: int = 2, loads: dict | None = None,
                      **harmonize_kwargs) -> None:
     try:
-        best = None
+        # a prior timing survives (min) so drift re-runs can only improve
+        best = timings.get(key)
         spark.sparkContext.setJobDescription(f"bench:{key}")
-        for _ in range(2):  # best-of-2, same as the headline queries
+        for _ in range(runs):  # best-of-2, same as the headline queries
             # the harmonize family is the IO-heavy tail of the run: its
             # prep (staging synth, bucketed tables) and run 1's own
             # writes (bucket2 materialization) leave GBs of dirty pages
@@ -423,10 +462,14 @@ def _bench_harmonize(spark, harmonize, release_caches, staging_root, sources,
         spark.sparkContext.setJobDescription(None)
         release_caches()
         gc.collect()
-        if cals is not None:
-            cals[key] = _calibrate(spark, reps=2)
+        if cals is not None:  # min-merge: a retry's sample can only improve
+            c = _calibrate(spark, reps=2)
+            cals[key] = min(cals.get(key, c), c)
         if ios is not None:
-            ios[key] = _io_probe()
+            i = _io_probe()
+            ios[key] = min(ios.get(key, i), i)
+        if loads is not None:
+            loads[key] = _load_avg()
 
 
 def main() -> None:
@@ -453,8 +496,13 @@ def main() -> None:
     errors: dict[str, str] = {}
     cals: dict[str, float] = {}
     ios: dict[str, float] = {}
+    loads: dict[str, list] = {}
+    # r10: re-runnable closures for the harmonize entries so the drift
+    # retry loop can re-time them too (r9 excluded them and BENCH_r09's
+    # flagged harmonize timings entered the record inflated)
+    hm_runners: dict[str, object] = {}
     _bench_queries(spark, qs, sf_dir, release_caches, timings, errors, cals,
-                   ios=ios)
+                   ios=ios, loads=loads)
 
     # flagship: the harmonize job end-to-end (scan -> canonicalize ->
     # content ids -> re-key joins -> global aid -> invariant checks).
@@ -472,9 +520,11 @@ def main() -> None:
             for key in hm_wanted:  # both entries depend on this prep
                 errors[key] = msg
     if sources and "harmonize_e2e" in hm_wanted:
-        _bench_harmonize(spark, harmonize, release_caches, staging_root,
-                         sources, timings, errors, "harmonize_e2e",
-                         cals=cals, ios=ios)
+        hm_runners["harmonize_e2e"] = lambda runs=2: _bench_harmonize(
+            spark, harmonize, release_caches, staging_root, sources,
+            timings, errors, "harmonize_e2e", cals=cals, ios=ios,
+            loads=loads, runs=runs)
+        hm_runners["harmonize_e2e"]()
     bucket_entries = [k for k in ("harmonize_e2e_bucket",
                                   "harmonize_e2e_bucket2") if k in hm_wanted]
     if sources and bucket_entries:
@@ -495,48 +545,77 @@ def main() -> None:
             for key in bucket_entries:
                 errors[key] = msg
         if tables and "harmonize_e2e_bucket" in bucket_entries:
-            _bench_harmonize(
+            hm_runners["harmonize_e2e_bucket"] = lambda runs=2: _bench_harmonize(
                 spark, harmonize, release_caches, staging_root, sources,
                 timings, errors, "harmonize_e2e_bucket",
                 rekey_strategy="bucket", staging_tables=tables,
-                cals=cals, ios=ios,
+                cals=cals, ios=ios, loads=loads, runs=runs,
             )
+            hm_runners["harmonize_e2e_bucket"]()
         if tables and "harmonize_e2e_bucket2" in bucket_entries:
-            _bench_harmonize(
+            hm_runners["harmonize_e2e_bucket2"] = lambda runs=2: _bench_harmonize(
                 spark, harmonize, release_caches, staging_root, sources,
                 timings, errors, "harmonize_e2e_bucket2",
                 rekey_strategy="bucket2", staging_tables=tables,
                 bucket2_dir=f"{staging_root}_b2_scratch",
-                cals=cals, ios=ios,
+                cals=cals, ios=ios, loads=loads, runs=runs,
             )
+            hm_runners["harmonize_e2e_bucket2"]()
 
-    # --- act on the drift signals (r6 verdict task 4) ---------------------
+    # --- act on the drift signals (r6 verdict task 4; bounded retry loop
+    # r10, r9 verdict task 3) -------------------------------------------
     # a query whose adjacent calibration sample reads >20% above the
-    # session's median sample was timed under host contention: re-run it
-    # ONCE (headline queries only; the harmonize entries are prep-heavy,
-    # they get marked, not re-run) and keep the per-query minimum.
+    # session's median sample (or whose IO probe reads >2.5x the median)
+    # was timed under host contention. Up to DRIFT_MAX_RETRIES passes:
+    # wait (bounded) for the host to re-enter the idle band, then re-run
+    # every flagged entry once (headline AND harmonize — the harmonize
+    # prep is cached, so a re-run times only the job) keeping per-entry
+    # minima. If the band is never reached the flags STAND as the
+    # explicit invalid markers — a loaded host can delay the record or
+    # mark it, never silently inflate it.
     ref_cal = (statistics.median([cal_before] + list(cals.values()))
                if cals else cal_before)
     ref_io = (statistics.median([io_before] + list(ios.values()))
               if ios else io_before)
-    flagged = sorted(
-        set(k for k, c in cals.items() if c > CAL_DRIFT_FACTOR * ref_cal)
-        | set(_io_flags(ios, ref_io))
-    )
-    rerun = [k for k in flagged if k in qs and k in timings]
-    if rerun:
+    drift_reruns: dict[str, int] = {}
+    for attempt in range(DRIFT_MAX_RETRIES):
+        flagged = sorted(
+            set(k for k, c in cals.items() if c > CAL_DRIFT_FACTOR * ref_cal)
+            | set(_io_flags(ios, ref_io))
+        )
+        rerun = [k for k in flagged
+                 if k in timings and (k in qs or k in hm_runners)]
+        if not rerun:
+            break
+        in_band, c, i = _wait_for_idle_band(
+            ref_cal, ref_io,
+            calibrate=lambda: _calibrate(spark, reps=1), probe=_io_probe)
+        if not in_band:
+            print(
+                f"bench: host still outside idle band after "
+                f"{DRIFT_IDLE_WAIT_SEC:.0f}s (cal {c}s vs ref {ref_cal}s, "
+                f"io {i}s vs ref {ref_io}s) — keeping drift flags on: "
+                + ", ".join(rerun),
+                file=sys.stderr, flush=True,
+            )
+            break
         print(
-            f"bench: host drift flagged {len(flagged)} entries "
+            f"bench: drift retry pass {attempt + 1}/{DRIFT_MAX_RETRIES} "
             f"(cal > {CAL_DRIFT_FACTOR}x median {ref_cal}s, or io probe "
-            f"> {IO_DRIFT_FACTOR}x median {ref_io}s); "
-            f"re-running {len(rerun)} once: {', '.join(rerun)}",
+            f"> {IO_DRIFT_FACTOR}x median {ref_io}s); re-running: "
+            + ", ".join(rerun),
             file=sys.stderr, flush=True,
         )
         for key in rerun:
-            _time_query(spark, qs, key, sf_dir, release_caches,
-                        timings, errors, key, runs=1)
-            cals[key] = min(cals[key], _calibrate(spark, reps=2))
-            ios[key] = min(ios[key], _io_probe())
+            drift_reruns[key] = drift_reruns.get(key, 0) + 1
+            if key in qs:
+                _time_query(spark, qs, key, sf_dir, release_caches,
+                            timings, errors, key, runs=1)
+                cals[key] = min(cals[key], _calibrate(spark, reps=2))
+                ios[key] = min(ios[key], _io_probe())
+                loads[key] = _load_avg()
+            else:
+                hm_runners[key](runs=1)
 
     cal_after, load_after = _calibrate(spark), _load_avg()
     io_after = _io_probe()
@@ -570,6 +649,11 @@ def main() -> None:
         "io_probe_sec": {"before": io_before, "after": io_after},
         "per_query_io_probe_sec": ios,
         "io_flagged": io_flagged,
+        # r10 additions (contract additions only): per-entry load_avg so a
+        # contaminated leg is machine-detectable from the JSON alone, and
+        # the retry count behind each entry's final (min) timing
+        "per_query_load_avg": loads,
+        "drift_reruns": drift_reruns,
     }
     if errors:
         out["errors"] = errors

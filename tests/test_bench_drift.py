@@ -140,3 +140,37 @@ def test_drop_page_cache_reports_capability():
     assert isinstance(ok, bool)
     if os.geteuid() == 0 and os.path.exists("/proc/sys/vm/drop_caches"):
         assert ok
+
+
+def test_wait_for_idle_band_returns_when_idle_and_bounds_when_not():
+    """r10 (r9 verdict task 3): the retry loop's gate. With samples inside
+    the band it returns immediately; with samples that can never enter the
+    band it returns (False, ...) within the bound instead of hanging —
+    the flags then stand as the explicit invalid markers."""
+    from bench import CAL_DRIFT_FACTOR, _wait_for_idle_band
+
+    no_settle = lambda max_wait_sec=0: 0.0
+    # idle host: first samples are inside the band -> immediate True
+    ok, c, i = _wait_for_idle_band(
+        0.3, 0.06, calibrate=lambda: 0.3, probe=lambda: 0.06,
+        max_wait_sec=5.0, settle=no_settle)
+    assert ok and c == 0.3 and i == 0.06
+    # sustained contention: calibration 3x the reference, never in band
+    t0 = time.time()
+    ok, c, i = _wait_for_idle_band(
+        0.3, 0.06, calibrate=lambda: 0.9, probe=lambda: 0.06,
+        max_wait_sec=2.0, settle=no_settle)
+    assert not ok and c == 0.9
+    assert time.time() - t0 < 10.0  # bounded, with slack for the sleeps
+    # the band uses the SAME thresholds that flag entries
+    assert CAL_DRIFT_FACTOR == 1.2
+
+
+def test_drift_retry_loop_contract_fields_exist():
+    """The retry knobs are part of the record's contract: bounded passes,
+    bounded idle wait, and both default on (a zero retry budget would
+    silently restore the r9 behavior of recording loaded timings)."""
+    from bench import DRIFT_IDLE_WAIT_SEC, DRIFT_MAX_RETRIES
+
+    assert DRIFT_MAX_RETRIES >= 1
+    assert 0 < DRIFT_IDLE_WAIT_SEC <= 600

@@ -53,6 +53,10 @@ def main() -> None:
     outdir.mkdir(parents=True, exist_ok=True)
 
     names = list(bench.HEADLINE)
+    # r10: explicitly-requested NON-headline queries dump too (any
+    # queries() entry), so plan evidence for touched operators outside
+    # the bench list (e.g. q53_grouped_topk) lands in plans/<tag>/
+    names += sorted(n for n in only if n in qs and n not in names)
     for name in names:
         if only and name not in only:
             continue
