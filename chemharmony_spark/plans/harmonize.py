@@ -302,9 +302,10 @@ def harmonize(
     # shuffle (-2 s at sf0.1). Enable for staging areas with heavy duplicate
     # ratios, where early dedup shrinks the join input.
     acts = acts_raw.distinct() if early_activity_distinct else acts_raw
-    acts = acts.withColumn(
-        "binary_value", F.when(F.col("value") == "positive", 1).otherwise(0)
-    )
+    # binary_value is derived AFTER the final dedup shuffle (see below,
+    # r10) — deriving it here carried 4 redundant bytes/row through both
+    # re-key joins, the bucket2 materialization write+read, and the
+    # distinct exchange.
 
     # re-key: local (source, sid/pid) -> global md5 ids (80:76-78).
     sid_map = subs.select("source", F.col("sid").alias("__localsid"), "newsid").distinct()
@@ -371,18 +372,29 @@ def harmonize(
     )
 
     keep = ["sid", "pid", "source", "inchi", "value", "binary_value"]
+    narrow = ["sid", "pid", "source", "inchi", "value"]
     if "numvalue" in acts.columns:
         keep.append("numvalue")
+        narrow.append("numvalue")
     # the dedup shuffle runs on the narrow columns only: aid is derived
     # AFTER distinct (md5 of a subset of the distinct key — deterministic,
     # so distinct-then-derive ≡ the reference's derive-then-distinct,
-    # 80:83-84), and smiles joins AFTER distinct (pure function of inchi,
-    # so it can't split groups). Keeps ~60 bytes/row of derived strings out
-    # of the biggest exchange, and the smiles broadcast build no longer
-    # gates the shuffle map stage.
+    # 80:83-84), binary_value is derived AFTER distinct too (r10: a pure
+    # function of value, which IS in the distinct key, so the groups are
+    # unchanged — this drops it from the re-key joins, the bucket2
+    # write+read and this exchange; guide §2.3 "narrower types"), and
+    # smiles joins AFTER distinct (pure function of inchi, so it can't
+    # split groups). Keeps ~60 bytes/row of derived strings out of the
+    # biggest exchange, and the smiles broadcast build no longer gates
+    # the shuffle map stage.
     acts = (
-        acts.select(*keep)
+        acts.select(*narrow)
         .distinct()
+        .withColumn(
+            "binary_value",
+            F.when(F.col("value") == "positive", 1).otherwise(0),
+        )
+        .select(*keep)  # contract column order (binary_value before numvalue)
         .withColumn("aid", surrogate_aid())  # 80:83
     )
     if derive_smiles:  # 80:71-73: dedup-before-UDF then join back
