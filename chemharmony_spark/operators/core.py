@@ -220,26 +220,23 @@ def stratified_sample_exact(
 
         df = spread_scan(df)
     order = order_by if order_by is not None else F.rand(seed)
-    if isinstance(n_per_stratum, int):
-        # Constant-n path: ONE window. The giant-stratum hazard (every row
-        # of a stratum funneling through one sort task) is handled by the
-        # planner, not by hand: a row_number-<=-k filter over a window
-        # plants a PARTIAL WindowGroupLimit before the exchange
-        # (SPARK-37099, 3.5+), so each map task forwards at most n rows
-        # per stratum and the post-shuffle sort sees n x map-tasks rows —
-        # the same bound the r4-r8 explicit 16-salt two-phase formulation
-        # achieved with a SECOND full exchange + two extra sorts. Plan
-        # proof: plans/r09/q26_stratified_sample_{before,after}.txt
-        # (2 Exchange + 4 Sort -> 1 Exchange + 2 Sort); results identical
-        # (any global per-stratum top-n is a subset of per-partition
-        # top-n's), measured 1.53s -> 1.34s at sf0.1 and verified
-        # element-identical both ways (r9 opt).
-        w = Window.partitionBy(*strata).orderBy(order)
-        return (
-            df.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") <= n_per_stratum)
-            .drop("__rn")
-        )
+    # ONE window for both the constant-n and per-row-Column forms (r10:
+    # the two branches became character-identical when r9 removed the
+    # constant-n salt pre-pass — collapsed). The giant-stratum hazard
+    # (every row of a stratum funneling through one sort task) is handled
+    # by the planner, not by hand: a row_number-<=-k filter over a window
+    # plants a PARTIAL WindowGroupLimit before the exchange (SPARK-37099,
+    # 3.5+), so each map task forwards at most n rows per stratum and the
+    # post-shuffle sort sees n x map-tasks rows — the same bound the
+    # r4-r8 explicit 16-salt two-phase formulation achieved with a SECOND
+    # full exchange + two extra sorts. Plan proof:
+    # plans/r09/q26_stratified_sample_{before,after}.txt (2 Exchange +
+    # 4 Sort -> 1 Exchange + 2 Sort); results identical (any global
+    # per-stratum top-n is a subset of per-partition top-n's), measured
+    # 1.53s -> 1.34s at sf0.1 and verified element-identical both ways
+    # (r9 opt). (For the Column form the planner keeps the full window —
+    # WindowGroupLimit needs a literal limit — which is the pre-r9
+    # behavior for that form, unchanged.)
     w = Window.partitionBy(*strata).orderBy(order)
     return (
         df.withColumn("__rn", F.row_number().over(w))
@@ -478,23 +475,23 @@ def grouped_topk(
     results.
 
     ``two_phase=True`` is the low-cardinality-group scale path: a window
-    partitioned only by a handful of groups funnels the whole table through
-    |groups| tasks. Phase 1 takes top-k within (group, input-partition) —
-    the partition id acts as a free salt, so the heavy pass spreads over
-    |groups| x |partitions| tasks; any row of the true global top-k is
-    necessarily in the top-k of its own partition, so phase 2 (the plain
-    window over <= |partitions| x k survivors per group) is exact. Same
-    output as one-phase, verified in tests.
+    partitioned only by a handful of groups would otherwise funnel the
+    whole table through |groups| tasks. r10: the manual phase-1 pre-pass
+    (top-k within (group, spark_partition_id) — the partition id as a
+    free salt) duplicated what the planner now provides for free: a
+    ``row_number() <= k`` filter over a window plants a PARTIAL
+    WindowGroupLimit before the exchange (SPARK-37099, 3.5+), so each
+    map task already forwards at most k rows per group and the
+    post-shuffle sort sees k x map-tasks rows — the same bound phase 1
+    achieved with a SECOND full exchange and two extra sorts (the same
+    redundancy removed from stratified_sample_exact in r9; plan proof
+    plans/r10/q53_grouped_topk_{before,after}.txt: 2 Exchange + 4 Sort
+    -> 1 Exchange + 2 Sort). The flag is retained as an accepted no-op
+    for API compatibility; output is identical either way (any global
+    per-group top-k row is necessarily in its own map partition's
+    top-k), verified element-wise in tests.
     """
     order = [F.col(c) if isinstance(c, str) else c for c in order_cols]
-    if two_phase:
-        w1 = Window.partitionBy(*group_cols, "__tk_salt").orderBy(*order)
-        df = (
-            df.withColumn("__tk_salt", F.spark_partition_id())
-            .withColumn("__tk_r", F.row_number().over(w1))
-            .where(F.col("__tk_r") <= k)
-            .drop("__tk_salt", "__tk_r")
-        )
     w = Window.partitionBy(*group_cols).orderBy(*order)
     return df.withColumn(rank_col, F.row_number().over(w)).where(
         F.col(rank_col) <= k

@@ -87,8 +87,10 @@ SHUFFLE_BUDGET = {
     "q49_corpus_curation": 2, "q50_asof_join": 1, "q51_range_join": 1,
     # q52/q55: pure per-row array arithmetic — zero shuffles
     "q52_repetition_filters": 0, "q55_doc_chunking": 0,
-    # q53: two-phase top-k = salted pre-window + exact final window
-    "q53_grouped_topk": 2,
+    # q53 (r10): two-phase top-k collapsed to the single
+    # WindowGroupLimit-bounded window (SPARK-37099) — the salted
+    # pre-window and its second exchange are gone (same fix as q26 r9)
+    "q53_grouped_topk": 1,
     # q54: one Expand+agg pass covers all rollup grouping sets
     "q54_rollup": 1,
     # q56: ONE full-data shuffle (per-bucket window); +3 tiny offset-table
