@@ -231,6 +231,47 @@ def _jaccard_from_tokens(toks: DataFrame, candidates: DataFrame,
     )
 
 
+def jaccard_ge(threshold: float, n_inter: Column | str = "n_inter",
+               na: Column | str = "na", nb: Column | str = "nb") -> Column:
+    """Exact integer-form predicate for ``jaccard >= threshold`` over the
+    (n_inter, na, nb) columns jaccard_pairs emits — evaluates the
+    ``array_intersect`` ONCE per pair instead of twice (numerator and
+    denominator of the ratio form; HOF lambdas get no CSE).
+
+    Derivation: with p/q = threshold as an exact rational,
+    ``n/(na+nb-n) >= p/q  <=>  (q+p)*n >= p*(na+nb)`` (the denominator
+    ``na+nb-n >= max(na,nb)`` is positive whenever ``na+nb > 0``), so the
+    predicate is ``(na+nb > 0) AND ((q+p)*n >= p*(na+nb))``. The guard
+    makes the rewrite unconditionally equivalent to the ratio form —
+    for ``na = nb = 0`` the ratio is NULL (row filtered), and so is the
+    guarded form — rather than relying on candidate generators never
+    emitting empty-set pairs (r9 verdict hygiene item).
+
+    The rational is recovered from the float with
+    ``Fraction.limit_denominator(1000)``: every threshold in use is a
+    short decimal (0.6 -> 3/5, 0.7 -> 7/10, 0.8 -> 4/5), and the binary
+    double sits within ~1e-16 of it, far under the 1/2000-ish resolution
+    of denominators <= 1000, so the snap is exact. Equivalence of the
+    integer form to ``>= double(threshold)`` additionally needs the
+    minimum spacing of candidate jaccard rationals near p/q —
+    ``1/(q*(na+nb-n))`` — to exceed |p/q - double|: holds for set sizes
+    up to ~1e12 at these thresholds (the r9-verified half-ulp argument),
+    far past any document's token count.
+
+    Deriving the coefficients from the SAME ``threshold`` variable the
+    candidate generator uses keeps the two in sync — the r9 hand-written
+    ``8*n >= 3*(na+nb)`` literals desynced silently if ``t`` was edited.
+    """
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(1000)
+    p, q = frac.numerator, frac.denominator
+    n = F.col(n_inter) if isinstance(n_inter, str) else n_inter
+    a = F.col(na) if isinstance(na, str) else na
+    b = F.col(nb) if isinstance(nb, str) else nb
+    return ((a + b) > F.lit(0)) & ((q + p) * n >= p * (a + b))
+
+
 def _hex_char_value(c: Column) -> Column:
     return F.instr(F.lit(HEX), c) - 1
 

@@ -3003,16 +3003,13 @@ def q123_dedup_pipeline(spark, sf):
         DD.jaccard_pairs(
             rep_tok, cands, "doc_id", "text", tokens_col="ws"
         )
-        # r9: jaccard >= 0.6 rewritten to the exact integer form
-        # 8*n_inter >= 3*(na+nb)  [n/(na+nb-n) >= 3/5  <=>  8n >= 3(na+nb)]
-        # so the collapsed filter evaluates array_intersect ONCE per pair
-        # instead of twice (numerator + denominator of the double ratio).
-        # Exactly the same pair set: the nearest double to 3/5 is BELOW
-        # it, and no rational n/(na+nb-n) with set sizes < ~1e8 can fall
-        # inside the half-ulp gap (min spacing of such rationals near 0.6
-        # is 1/(5*(na+nb-n)) >> ulp(0.6)); verified pair-count-identical
-        # (3,429,990) at sf0.1 and oracle hash-green.
-        .where(8 * F.col("n_inter") >= 3 * (F.col("na") + F.col("nb")))
+        # r9/r10: jaccard >= 0.6 as the exact integer form (one
+        # array_intersect per pair instead of two; identical pair set,
+        # verified pair-count-identical (3,429,990) at sf0.1 and oracle
+        # hash-green) — via DD.jaccard_ge, which derives the coefficients
+        # from the threshold and guards na+nb > 0 (see its docstring for
+        # the exactness argument)
+        .where(DD.jaccard_ge(0.6))
         .select(F.col("a").alias("src"), F.col("b").alias("dst"))
     )
     comp = connected_components_star(
@@ -4633,9 +4630,10 @@ def q160_lsh_recall_audit(spark, sf):
                                          threshold=t),
             "doc_id", "text",
         )
-        # r9: exact integer form of jaccard >= t=0.8 (one array_intersect
-        # per pair; provably the same pair set — see q123's rewrite note)
-.where(9 * F.col("n_inter") >= 4 * (F.col("na") + F.col("nb")))
+        # r9/r10: exact integer form of jaccard >= t (one array_intersect
+        # per pair, na+nb>0 guarded; coefficients derived from the SAME t
+        # the candidate generator uses — DD.jaccard_ge docstring)
+        .where(DD.jaccard_ge(t))
         .select("a", "b")
         .transform(_registered_persist)
     )
@@ -4643,9 +4641,10 @@ def q160_lsh_recall_audit(spark, sf):
     cands = DD.lsh_candidate_pairs(sig).transform(_registered_persist)
     hits = (
         DD.jaccard_pairs(docs, cands, "doc_id", "text")
-        # r9: exact integer form of jaccard >= t=0.8 (one array_intersect
-        # per pair; provably the same pair set — see q123's rewrite note)
-.where(9 * F.col("n_inter") >= 4 * (F.col("na") + F.col("nb")))
+        # r9/r10: exact integer form of jaccard >= t (one array_intersect
+        # per pair, na+nb>0 guarded; coefficients derived from the SAME t
+        # the candidate generator uses — DD.jaccard_ge docstring)
+        .where(DD.jaccard_ge(t))
         .select("a", "b")
         .transform(_registered_persist)
     )
@@ -5559,9 +5558,10 @@ def q182_cross_source_dups(spark, sf):
     hits = (
         DD.jaccard_pairs(docs, DD.lsh_candidate_pairs(sig),
                          "doc_id", "text")
-        # r9: exact integer form of jaccard >= t=0.8 (one array_intersect
-        # per pair; provably the same pair set — see q123's rewrite note)
-.where(9 * F.col("n_inter") >= 4 * (F.col("na") + F.col("nb")))
+        # r9/r10: exact integer form of jaccard >= t (one array_intersect
+        # per pair, na+nb>0 guarded; coefficients derived from the SAME t
+        # the candidate generator uses — DD.jaccard_ge docstring)
+        .where(DD.jaccard_ge(t))
         .select("a", "b")
     )
     src = docs.select("doc_id", "source")
@@ -6913,9 +6913,10 @@ def q210_golden_record(spark, sf):
     hits = (
         DD.jaccard_pairs(docs, DD.lsh_candidate_pairs(sig),
                          "doc_id", "text")
-        # r9: exact integer form of jaccard >= t=0.8 (one array_intersect
-        # per pair; provably the same pair set — see q123's rewrite note)
-.where(9 * F.col("n_inter") >= 4 * (F.col("na") + F.col("nb")))
+        # r9/r10: exact integer form of jaccard >= t (one array_intersect
+        # per pair, na+nb>0 guarded; coefficients derived from the SAME t
+        # the candidate generator uses — DD.jaccard_ge docstring)
+        .where(DD.jaccard_ge(t))
         .select("a", "b")
         .transform(_registered_persist)
     )
@@ -7940,9 +7941,9 @@ def q231_dedup_impact(spark, sf):
     hits = (
         DD.jaccard_pairs(docs, DD.lsh_candidate_pairs(sig),
                          "doc_id", "text")
-        # r9: exact integer form of jaccard >= 0.8 (one array_intersect
-        # per pair; provably the same pair set — see q123's rewrite note)
-.where(9 * F.col("n_inter") >= 4 * (F.col("na") + F.col("nb")))
+        # r9/r10: exact integer form of jaccard >= 0.8 (one
+        # array_intersect per pair, na+nb>0 guarded — DD.jaccard_ge)
+        .where(DD.jaccard_ge(0.8))
         .select("a", "b")
         .transform(_registered_persist)
     )
@@ -8319,9 +8320,9 @@ def q239_threshold_sensitivity(spark, sf):
     pairs = (
         DD.jaccard_pairs(docs, DD.lsh_candidate_pairs(sig),
                          "doc_id", "text")
-        # r9: exact integer form of jaccard >= 0.7 (one array_intersect
-        # per pair; provably the same pair set — see q123's rewrite note)
-.where(17 * F.col("n_inter") >= 7 * (F.col("na") + F.col("nb")))
+        # r9/r10: exact integer form of jaccard >= 0.7 (one
+        # array_intersect per pair, na+nb>0 guarded — DD.jaccard_ge)
+        .where(DD.jaccard_ge(0.7))
         .transform(_registered_persist)
     )
     out = None
@@ -9234,9 +9235,9 @@ def q261_neardup_diff_tokens(spark, sf):
     cands = DD.prefix_filter_pairs(docs, "doc_id", "text", threshold=0.6)
     verified = (
         DD.jaccard_pairs(docs, cands, "doc_id", "text", hash_tokens=False)
-        # r9: exact integer form of jaccard >= 0.6 (one array_intersect
-        # per pair; provably the same pair set — see q123's rewrite note)
-.where(8 * F.col("n_inter") >= 3 * (F.col("na") + F.col("nb")))
+        # r9/r10: exact integer form of jaccard >= 0.6 (one
+        # array_intersect per pair, na+nb>0 guarded — DD.jaccard_ge)
+        .where(DD.jaccard_ge(0.6))
         .select("a", "b")
     )
     key = F.md5(F.concat_ws(":", F.col("a"), F.col("b")))
@@ -9407,9 +9408,9 @@ def q265_weighted_jaccard(spark, sf):
     cands = DD.prefix_filter_pairs(docs, "doc_id", "text", threshold=0.6)
     verified = (
         DD.jaccard_pairs(docs, cands, "doc_id", "text")
-        # r9: exact integer form of jaccard >= 0.6 (one array_intersect
-        # per pair; provably the same pair set — see q123's rewrite note)
-.where(8 * F.col("n_inter") >= 3 * (F.col("na") + F.col("nb")))
+        # r9/r10: exact integer form of jaccard >= 0.6 (one
+        # array_intersect per pair, na+nb>0 guarded — DD.jaccard_ge)
+        .where(DD.jaccard_ge(0.6))
         .select("a", "b")
     )
     counts = registered_persist(

@@ -747,3 +747,41 @@ def test_connected_components_star_self_loops_absent_mode(spark):
     assert "Join LeftAnti" not in plan
     with pytest.raises(ValueError, match="self_loops"):
         connected_components_star(clean, self_loops="drop")
+
+
+def test_jaccard_ge_matches_ratio_form_and_guards_empty_sets(spark):
+    """r10 (r9 verdict hygiene): the integer-form threshold helper must be
+    unconditionally equivalent to the ratio form — including the
+    na=nb=0 corner the hand-written r9 literals got wrong (ratio NULL ->
+    row dropped; unguarded integer form 0>=0 -> row kept) — and must
+    derive the audited coefficients from the float thresholds."""
+    from fractions import Fraction
+
+    from chemharmony_spark.operators.dedup import jaccard_ge
+
+    # the audited coefficient pairs: t -> ((q+p), p)
+    for t, qp, p in ((0.6, 8, 3), (0.7, 17, 7), (0.8, 9, 4), (0.9, 19, 9)):
+        frac = Fraction(t).limit_denominator(1000)
+        assert (frac.denominator + frac.numerator, frac.numerator) == (qp, p)
+
+    rows = []
+    # exhaustive small grid incl. the empty-set corner
+    for na in range(0, 7):
+        for nb in range(0, 7):
+            for n in range(0, min(na, nb) + 1):
+                rows.append((n, na, nb))
+    df = spark.createDataFrame(rows, "n_inter int, na int, nb int")
+    for t in (0.6, 0.7, 0.8):
+        got = sorted(map(tuple, df.where(jaccard_ge(t)).collect()))
+        # reference semantics computed exactly in Python rationals: the
+        # union-empty pair has an undefined (NULL) jaccard -> dropped.
+        # (Under ANSI mode the in-engine ratio form would ERROR on that
+        # pair — one more reason the guarded integer form is the one
+        # that belongs in the engine.)
+        want = sorted(
+            (n, na, nb) for (n, na, nb) in rows
+            if na + nb > 0 and Fraction(n, na + nb - n) >= Fraction(t).limit_denominator(1000)
+        )
+        assert got == want, t
+    # the guard: the (0,0,0) pair is dropped, as the ratio form drops it
+    assert df.where(jaccard_ge(0.6)).where("na = 0 and nb = 0").count() == 0
