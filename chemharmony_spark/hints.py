@@ -52,6 +52,36 @@ def plan_size_bytes(df: DataFrame) -> int:
     return size if isinstance(size, int) else int(size.toString())
 
 
+# logical nodes a narrow scan-shaped plan may contain: relations plus
+# per-row operators (project/filter/generate). Anything else — joins,
+# aggregates, windows, sorts, repartitions, unions, CTEs — either plans
+# an exchange (whose .rdd conversion would run jobs under AQE) or feeds
+# from one; spread_scan skips those inputs (see its docstring).
+_NARROW_NODES = frozenset({
+    "Relation", "LogicalRelation", "LogicalRDD", "InMemoryRelation",
+    "Project", "Filter", "Generate", "SubqueryAlias", "LocalRelation",
+    "OneRowRelation", "Range",
+})
+
+
+def _narrow_scan_shape(df: DataFrame) -> bool:
+    """True when ``df``'s optimized logical plan contains only narrow
+    scan-shaped nodes (whitelist above) — the precondition for probing
+    partitions via ``.rdd`` without materializing AQE query stages."""
+    import re
+
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        return False
+    for ln in plan.splitlines():
+        t = ln.lstrip(" +:-")
+        m = re.match(r"[A-Za-z]+", t)
+        if m and m.group(0) not in _NARROW_NODES:
+            return False
+    return True
+
+
 def spread_scan(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
     """Round-robin repartition a NARROW input up to the session's default
     parallelism — only when the planner gives it fewer partitions AND its
@@ -82,11 +112,22 @@ def spread_scan(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
     input; sortBeforeRepartition keeps retries consistent). Callers in
     this package apply it only to passes whose outputs are
     per-row/set-valued, and every consumer query is oracle-checked.
-    The partition probe is driver-side planning only (no job); on the
-    memoized scan handles it amortizes to ~0.
+
+    r10 (r9 advice): the ``.rdd`` partition probe is driver-side-only
+    for NARROW plans, but under AQE converting a shuffle-containing
+    DataFrame to an RDD materializes its query stages — i.e. RUNS Spark
+    jobs at DataFrame-build time. The public operators that call this
+    (jaccard_pairs, minhash_signatures, simhash16, winnowing) accept
+    arbitrary frames, so the probe is now gated on the optimized logical
+    plan being shuffle-free scan shape (projections/filters/generators
+    over relations); anything wider skips the spread — a conservative
+    no-op, since such plans already received a shuffle's parallelism.
+    On the memoized scan handles the probe amortizes to ~0.
     """
     spark = df.sparkSession
     want = min_parallelism or spark.sparkContext.defaultParallelism
+    if not _narrow_scan_shape(df):
+        return df
     try:
         have = df.rdd.getNumPartitions()
     except Exception:  # unplannable input (streaming, etc.) — leave as-is

@@ -53,8 +53,17 @@ DEC = "decimal(18,2)"
 # read per query). Keyed on the path's mtime so a rewritten fixture gets
 # a fresh read, and on id(spark) — safe against id reuse because the
 # cached DataFrame strongly references its session, pinning the id for
-# the lifetime of the entry.
+# the lifetime of the entry. r10 (r9 verdict hygiene): superseded
+# entries (same session+path, older mtime) are evicted on insert and the
+# memo is bounded (FIFO past _SCAN_MEMO_MAX), so a long-lived service
+# embedding queries() can no longer grow it -- or pin dead sessions --
+# without bound. Caveat: the handle snapshots the directory's file
+# listing, and the mtime key only sees DIRECTORY mtime -- an in-place
+# rewrite of an existing data file that adds/removes nothing returns the
+# stale listing; rewrite fixtures by replacing the directory (what every
+# writer in this repo does) or bump its mtime.
 _SCAN_MEMO: dict[tuple, DataFrame] = {}
+_SCAN_MEMO_MAX = 256
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -68,6 +77,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (id(spark), path, mtime)
     df = _SCAN_MEMO.get(key)
     if df is None:
+        for stale in [k for k in _SCAN_MEMO
+                      if k[0] == key[0] and k[1] == path]:
+            del _SCAN_MEMO[stale]  # a new mtime supersedes the old handle
+        while len(_SCAN_MEMO) >= _SCAN_MEMO_MAX:  # FIFO bound
+            del _SCAN_MEMO[next(iter(_SCAN_MEMO))]
         df = _SCAN_MEMO[key] = spark.read.parquet(path)
     return df
 

@@ -129,3 +129,30 @@ def test_derived_column_dedup_gate_modes(spark):
     assert _broadcast_hint_count(never) == 0
     out = {r.inchi: r.smiles for r in gated.collect()}
     assert out["InChI=1S/0"] is not None and out[None] is None
+
+
+def test_spread_scan_probe_gated_on_narrow_plans(spark, tmp_path):
+    """r10 (r9 advice): under AQE, .rdd on a shuffle-containing frame
+    materializes query stages (runs jobs) at DataFrame-build time, so
+    spread_scan must only probe narrow scan-shaped inputs. The gate must
+    pass every shape the in-tree call sites feed it (scan, projection,
+    filter, generate) and reject shuffle-bearing shapes (aggregate,
+    join, repartition) — where spread_scan returns the frame unchanged."""
+    from pyspark.sql import functions as F
+
+    from chemharmony_spark.hints import _narrow_scan_shape, spread_scan
+
+    spark.range(10).selectExpr("id", "id % 3 AS k").write.mode(
+        "overwrite").parquet(str(tmp_path / "t.parquet"))
+    scan = spark.read.parquet(str(tmp_path / "t.parquet"))
+    assert _narrow_scan_shape(scan)
+    assert _narrow_scan_shape(scan.select("id"))
+    assert _narrow_scan_shape(scan.where("id > 2").select(
+        F.explode(F.array("id", "k")).alias("v")))
+    agg = scan.groupBy("k").count()
+    join = scan.join(scan.selectExpr("id AS id2"), scan.id == F.col("id2"))
+    rep = scan.repartition(4)
+    for wide in (agg, join, rep):
+        assert not _narrow_scan_shape(wide)
+        # gate off -> identity, and building it ran no probe job
+        assert spread_scan(wide) is wide

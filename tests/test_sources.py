@@ -287,3 +287,45 @@ def test_binary_file_scan_globs_and_reads_content(spark, tmp_path):
     )
     hashed = ahash64(keyed).collect()
     assert len(hashed) == 3 and all(r.ahash is not None for r in hashed)
+
+
+def test_scan_memo_evicts_stale_and_stays_bounded(spark, tmp_path):
+    """r10 (r9 verdict hygiene): the queries._t scan-handle memo must
+    return the SAME lazy handle for an unchanged (session, path, mtime),
+    evict the superseded handle when the fixture's mtime moves, and stay
+    under its FIFO bound instead of growing per distinct path forever."""
+    import os
+    import time as _time
+
+    from chemharmony_spark import queries as Q
+
+    d = tmp_path / "memo_sf"
+    d.mkdir()
+    spark.range(3).write.parquet(str(d / "t0.parquet"))
+    before = {k: v for k, v in Q._SCAN_MEMO.items()}
+    df1 = Q._t(spark, str(d), "t0")
+    assert Q._t(spark, str(d), "t0") is df1  # same handle, no re-read
+    # bump the directory mtime: the stale handle must be EVICTED (not
+    # just shadowed) - the memo may hold at most one entry for the path
+    _time.sleep(0.05)
+    os.utime(str(d / "t0.parquet"))
+    df2 = Q._t(spark, str(d), "t0")
+    assert df2 is not df1
+    path_keys = [k for k in Q._SCAN_MEMO
+                 if k[0] == id(spark) and k[1] == f"{d}/t0.parquet"]
+    assert len(path_keys) == 1
+    # FIFO bound: distinct paths never grow the memo past _SCAN_MEMO_MAX
+    # (bound shrunk for the test; the eviction reads the module global)
+    real_max = Q._SCAN_MEMO_MAX
+    try:
+        Q._SCAN_MEMO_MAX = 4
+        one = spark.range(1)
+        for i in range(1, 8):
+            one.write.mode("overwrite").parquet(str(d / f"t{i}.parquet"))
+            Q._t(spark, str(d), f"t{i}")
+        assert len(Q._SCAN_MEMO) <= 4
+    finally:
+        Q._SCAN_MEMO_MAX = real_max
+    # restore: drop the test's entries so later tests see a clean memo
+    for k in [k for k in Q._SCAN_MEMO if k not in before]:
+        del Q._SCAN_MEMO[k]
