@@ -48,12 +48,13 @@ def test_q34_minhash_no_shuffle_before_unpivot(spark):
 # Every query's audited shuffle budget (sf0.001 plans). A new plan may
 # shuffle LESS, never more — raising a number here needs a SCALE.md entry
 # explaining why the extra exchange is unavoidable.
-# r9 NOTE: budgets for the dedup/text/similarity token-pass consumers
-# include the hints.spread_scan round-robin exchanges (one per spread
-# operator instance in the plan). The spread is SCALE-GATED: it fires
-# only when the scan yields fewer partitions than cores AND the input
-# is estimated small, so these exchanges exist at test SF and vanish at
-# production scale — the budget audits the test-SF plan as executed.
+# r10 NOTE (supersedes the r9 note): round-robin exchanges are no
+# longer budgeted (see count_shuffles) — the hints.spread_scan width
+# restorers exist only at test SF, and counting their per-consumer
+# reprints forced 27 budgets loose enough to hide a genuine hash-
+# exchange regression. Budgets below are exact upper bounds on the
+# KEYED (hash/range) exchanges of the executed test-SF plan,
+# re-tightened to observed counts in r10 (67 entries).
 SHUFFLE_BUDGET = {
     "q01_pricing_summary": 1, "q02_top_orders": 1, "q03_region_revenue": 1,
     "q04_filter_predicates": 1, "q05_recode": 1, "q06_regex_strip_cast": 1,
@@ -66,24 +67,23 @@ SHUFFLE_BUDGET = {
     "q21_semi_anti_join": 2, "q22_left_join_histogram": 2,
     "q23_full_outer_consistency": 2, "q24_group_id_md5": 1,
     # q26 (r9): single WindowGroupLimit-bounded window — the manual
-    # salt pre-pass and its second exchange are gone; +1 for the
-    # scale-gated spread_scan round-robin (fires only on narrow small
-    # scans — a no-op exchange at production scale, present at test SF)
-    "q25_content_id_json": 0, "q26_stratified_sample": 2,
+    # salt pre-pass and its second exchange are gone (the spread_scan
+    # round-robin on its input is not budgeted, see count_shuffles)
+    "q25_content_id_json": 0, "q26_stratified_sample": 1,
     "q27_json_extract": 1, "q28_tumbling_window": 1, "q29_sessionize": 1,
     "q30_dedup_exact": 1, "q31_text_quality": 0, "q32_langid": 0,
-    "q33_fingerprint_rollup": 2, "q34_minhash_signatures": 1,
-    "q35_lsh_band_counts": 4, "q36_jaccard_near_dups": 4, "q37_simhash": 1,
+    "q33_fingerprint_rollup": 2, "q34_minhash_signatures": 0,
+    "q35_lsh_band_counts": 2, "q36_jaccard_near_dups": 1, "q37_simhash": 0,
     "q38_cosine_topk": 1, "q39_multimodal_meta": 0, "q40_ann_lsh": 2,
     "q41_harmonize_shape": 2, "q42_median_binarize": 2,
     "q43_balanced_class_floor": 4, "q44_char_ngram_jaccard": 1,
-    "q45_simhash_hamming": 2,
+    "q45_simhash_hamming": 0,
     # q46: triangle-block-distributed exact all-pairs — the 2 exchanges are
     # the block-pair equi-join's two sides (n·B replicated rows each);
     # replaces the old 0-shuffle broadcast cartesian, which was a
     # single-executor scale-killer (SCALE.md "q46 rewrite")
     "q46_embedding_near_dups": 2,
-    "q47_ann_ivf": 3, "q48_winnowing_fingerprints": 1,
+    "q47_ann_ivf": 3, "q48_winnowing_fingerprints": 0,
     "q49_corpus_curation": 2, "q50_asof_join": 1, "q51_range_join": 1,
     # q52/q55: pure per-row array arithmetic — zero shuffles
     "q52_repetition_filters": 0, "q55_doc_chunking": 0,
@@ -105,7 +105,7 @@ SHUFFLE_BUDGET = {
     # windows + final per-type agg). Replaces the old single-exchange plan
     # whose window funneled each event_type through one task (SCALE.md
     # "percentile rewrite")
-    "q58_grouped_percentiles": 8,
+    "q58_grouped_percentiles": 7,
     # q59: 3 per-stage user_id aggs + 3 one-row final counts (+2 AQE-local)
     "q59_funnel": 8,
     # q60: cohort agg + join + distinct-count expand
@@ -114,11 +114,11 @@ SHUFFLE_BUDGET = {
     "q61_pii_redaction": 0,
     # q62: persisted fingerprint frame -> one pair-count shuffle; size
     # lookups join back via broadcast
-    "q62_containment_dedup": 2,
+    "q62_containment_dedup": 1,
     # q63: wordcount agg (map-side combine) + vocabulary-sized window
     "q63_heavy_hitters": 2,
     # q64: tf agg (recomputed for the df branch) + df agg + 1-row N
-    "q64_tfidf": 6,
+    "q64_tfidf": 4,
     # q65: decorrelated per-part avg agg + 1-row final agg (no BNLJ —
     # Catalyst rewrote the correlated scalar subquery into a join)
     "q65_small_quantity_revenue": 2,
@@ -144,7 +144,7 @@ SHUFFLE_BUDGET = {
     # span agg, grid join, and the forward-fill window
     "q76_resample_forward_fill": 2,
     # q77: candidate-pair dedup shuffle; norm lookups broadcast back
-    "q77_edit_distance_rerank": 3,
+    "q77_edit_distance_rerank": 1,
     # q78: one hash-agg over the extracted calendar keys
     "q78_calendar_rollup": 1,
     # q79 (re-audited r7, probe_bits=1 + collapse_identical): candidate
@@ -159,9 +159,9 @@ SHUFFLE_BUDGET = {
     # q81: bucket-distributed p05/p95 bounds (all exchanges past the count
     # agg move the distinct-value table); bounds broadcast back (facts
     # unshuffled) — SCALE.md "percentile rewrite"
-    "q81_winsorize": 9,
+    "q81_winsorize": 8,
     # q82: words explode + freq agg + in-doc order window + candidate dedup
-    "q82_prefix_filter_join": 9,
+    "q82_prefix_filter_join": 4,
     # q83: one per-group selection window (E-S keys computed in the scan)
     "q83_weighted_sample": 1,
     # q84: binning in the scan stage; one (type, bucket) hash agg
@@ -193,7 +193,7 @@ SHUFFLE_BUDGET = {
     # q95: bucket-distributed decile bounds (exchanges past the count agg
     # move the distinct-value table); facts take the broadcast join
     # un-shuffled — SCALE.md "percentile rewrite"
-    "q95_quantile_binning": 8,
+    "q95_quantile_binning": 7,
     # q96: min/max scalar agg + two argmax windows (different filters, so
     # no exchange reuse) + the final user_id join
     "q96_snapshot_diff": 4,
@@ -225,7 +225,7 @@ SHUFFLE_BUDGET = {
     # metric-value table); bounds/max-date are 1-row broadcasts. Replaces
     # the single-partition three-row_number ranked stage (SCALE.md
     # "percentile rewrite")
-    "q106_rfm_segments": 19,
+    "q106_rfm_segments": 12,
     # q107: med/mad run as separate bucket-distributed selector jobs whose
     # 5-row results inline as map literals (harmonize invariant-scalar
     # pattern); the RETURNED fact plan's only exchange is the presentation
@@ -235,7 +235,7 @@ SHUFFLE_BUDGET = {
     # p50/p99 selector over the key dimension (no single-partition ranked
     # pass); top-10 is TakeOrdered, stats a 1-row broadcast — SCALE.md
     # "percentile rewrite"
-    "q108_skew_profile": 15,
+    "q108_skew_profile": 11,
     # q109: (order,part) distinct + marginal agg (appearing as TWO
     # broadcast subplans, m1/m2 — identical exchanges, deduped by
     # ReuseExchange at runtime) + basket/pair aggs + presentation sort;
@@ -253,19 +253,18 @@ SHUFFLE_BUDGET = {
     # q113: per-doc overlap agg (matching rows only) + the final
     # presentation exchange; eval fingerprints + sizes broadcast off the
     # persisted fingerprint frame
-    "q113_decontamination": 4,
+    "q113_decontamination": 2,
     # q114: (source, bucket) cumsum window + map-side-combined bucket
     # offsets + their per-source offset window (tiny)
     "q114_mixture_sample": 3,
     # q115: literal-inlined centroid assignment is shuffle-free (pure map
-    # over the scan); the in-cell pair join broadcasts at test scale —
-    # allow 2 for the non-broadcast SMJ (both sides exchange on cell_id),
-    # +1 for the scale-gated spread_scan round-robin on the corpus scan
-    # (r9; no-op at production scale, present at test SF)
-    "q115_semantic_cluster_dedup": 3,
+    # over the scan); the in-cell pair join broadcasts at test SF, so no
+    # keyed exchange remains (the spread_scan round-robin on the corpus
+    # scan is not budgeted — count_shuffles)
+    "q115_semantic_cluster_dedup": 0,
     # q116: length-band self equi-join (broadcast at test scale; 2 when
     # both sides shuffle on the band key)
-    "q116_edit_distance_join": 2,
+    "q116_edit_distance_join": 0,
     # q117: ONE Expand+hash-agg exchange produces all rollup levels
     "q117_rollup_revenue": 1,
     # q118: ONE full-data exchange (per-price max); the other four move
@@ -277,7 +276,7 @@ SHUFFLE_BUDGET = {
     # q120/q125/q131 (the materialize=True cumsum callers): ONE real
     # full-data exchange (the fact agg, now cached and executed once);
     # the rest move the distinct-value table.
-    "q120_group_auc": 6,
+    "q120_group_auc": 5,
     # q121: single 10-group hash agg, map-side combined
     "q121_calibration_bins": 1,
     # q122: base and delta each exchange once on the merge key
@@ -294,13 +293,13 @@ SHUFFLE_BUDGET = {
     # truncating the lineage that used to reprint under every consumer;
     # r9: the driver-finish mapping broadcasts unconditionally, so its
     # label-composition join no longer exchanges either side)
-    "q123_dedup_pipeline": 8,
+    "q123_dedup_pipeline": 6,
     # q124: user_id window exchange + the handful-of-groups rollup
     "q124_last_touch_attribution": 2,
     # q125: ONE full-data exchange (per-value counts); the rest move the
     # distinct-value table through the bucketed cumsum + total window;
     # the (value, pct) map broadcasts back onto the un-shuffled scan
-    "q125_quantile_normalize": 6,
+    "q125_quantile_normalize": 5,
     # q126: the final degree agg — per-round exchanges are behind the
     # round's localCheckpoint (each round = degree agg + two broadcast
     # semi joins, audited in the docstring, not visible in the final plan)
@@ -326,7 +325,7 @@ SHUFFLE_BUDGET = {
     # remaining five move the distinct-value table through the bucketed
     # cumsum (bucket agg, offset window, in-bucket window, join prep,
     # brand-total window)
-    "q131_weighted_median": 6,
+    "q131_weighted_median": 5,
     # q132: (type, hour) count agg + the 24-rows-per-group pick window
     "q132_grouped_mode": 2,
     # q133: one lead window on the user_id exchange
@@ -335,14 +334,14 @@ SHUFFLE_BUDGET = {
     # consumers (dl / dfreq / scored) but executes once; the tf->dl join
     # runs keyed on doc_id (both sides corpus-sized at 100 TB); query
     # terms + corpus stats broadcast; top-20 is a TakeOrdered
-    "q134_bm25_topk": 8,
+    "q134_bm25_topk": 5,
     # q135: persisted (doc, bucket) counts (prints per consumer) + the
     # 1024-row model agg + its 1-row totals + the final per-doc sum;
     # the weight table broadcasts back
-    "q135_dsir_weights": 7,
+    "q135_dsir_weights": 4,
     # q136: fingerprints are zero-shuffle; distinct train fps + the
     # fp-keyed eval join + per-doc distinct + per-split aggs
-    "q136_split_leakage_audit": 5,
+    "q136_split_leakage_audit": 4,
     # q137: ONE (window, type) hash agg over the 4x window expansion
     "q137_hopping_window": 1,
     # q138: ONE (type, hour) hash agg; open/close are struct-min/max
@@ -352,14 +351,14 @@ SHUFFLE_BUDGET = {
     "q139_cusum_alarms": 1,
     # q140: ONE corpus-side (source, bucket) count (prints per consumer);
     # everything after is model-space broadcast joins + the 45-row agg
-    "q140_jsd_source_similarity": 6,
+    "q140_jsd_source_similarity": 3,
     # q141: lag + run-cumsum + per-run agg + lead all ride ONE user_id
     # exchange (Catalyst reuses the window partitioning for the agg)
     "q141_scd2_intervals": 1,
     # q142: TWO persisted frames (tf, per_doc) print their subtrees under
     # every consumer — textual count 16, executed exchanges ~6 (q134's
     # chain + one per-doc agg); both rankings are 100-row TakeOrdereds
-    "q142_rrf_fusion": 16,
+    "q142_rrf_fusion": 5,
     # q143: span agg + the union'd grid/event window sort share the
     # user_id key — two executed exchanges
     "q143_interpolation_resample": 2,
@@ -367,28 +366,28 @@ SHUFFLE_BUDGET = {
     "q144_cumulative_distinct": 2,
     # q145: the q58 selector shape (persisted counts print per consumer)
     # + two extra prints for the second bracketing-rank consumer
-    "q145_percentile_cont": 10,
+    "q145_percentile_cont": 7,
     # q146: per-round count agg is the only exchange visible past the
     # lazy localCheckpoint (q112's lineage discipline)
     "q146_label_propagation": 1,
     # q147: persisted (type, how) count (prints under both consumers) +
     # the 168-row totals re-agg
-    "q147_seasonal_baseline": 3,
+    "q147_seasonal_baseline": 2,
     # q148: persisted (nation, customer) cents agg (prints twice) +
     # nation totals + the share^2 sum
-    "q148_hhi_concentration": 4,
+    "q148_hhi_concentration": 3,
     # q149: ONE (label, dim) agg over the posexplode
     "q149_embedding_moments": 1,
     # q150: three windows + two aggs all ride one user_id exchange
     "q150_interval_merge": 1,
     # q151: one fact agg; the persisted 25-row nation table prints under
     # the top cut and the OTHER tail
-    "q151_topk_with_others": 4,
+    "q151_topk_with_others": 2,
     # q152: user-level conversion agg + the 2-row arm rollup (prints per
     # arm filter branch); the 1-row arm frames cross via broadcast
     "q152_ab_test": 4,
     # q153: persisted 9-row digit counts (prints twice) + 1-row total
-    "q153_benford_digits": 3,
+    "q153_benford_digits": 2,
     # q154: ONE top-k window shuffle (corpus never moves; queries/labels
     # broadcast; votes/pick run on the |Q| x 5 result)
     "q154_knn_classify": 1,
@@ -397,19 +396,19 @@ SHUFFLE_BUDGET = {
     "q155_degree_powerlaw": 7,
     # q156: persisted (type, hour) counts (prints under span/series) +
     # the per-type fit agg
-    "q156_trend_forecast": 3,
+    "q156_trend_forecast": 2,
     # q157: the funnel-latency chain prints under every consumer of the
     # selector's persisted count table — 18 textual, ~4 executed (view
     # agg, purchase join agg, selector count, selector windows)
-    "q157_funnel_latency": 18,
+    "q157_funnel_latency": 9,
     # q158: one user agg (count_distinct expands to a second exchange)
     "q158_user_features": 2,
     # q159: doc_id label join + persisted cell counts + 5-row totals
-    "q159_langid_confusion": 3,
+    "q159_langid_confusion": 2,
     # q160: four persisted pipelines (truth/sig/cands/hits) print their
     # subtrees under every 1-row count consumer — 16 textual; executed
     # work is the q82 + q36 pipelines once each
-    "q160_lsh_recall_audit": 23,
+    "q160_lsh_recall_audit": 12,
     # q161: one fact agg + TWO chained bucketed cumsums over the
     # distinct-value table (each: bucket window + offset chain) — 17
     # textual, the distinct-value frames print per consumer
@@ -425,27 +424,27 @@ SHUFFLE_BUDGET = {
     "q164_media_dedup_clusters": 1,
     # q165: persisted (doc, word) counts print under the ref-model /
     # vocab / term / per-doc consumers (1-row totals via BNLJ broadcast)
-    "q165_cross_perplexity": 12,
+    "q165_cross_perplexity": 8,
     # q166: persisted (source, word) distinct + the word-keyed pair join
     # + sizes re-agg
-    "q166_vocab_overlap": 7,
+    "q166_vocab_overlap": 4,
     # q167: persisted baskets print under pair/freq branches; pair agg,
     # freq re-agg, sym union agg, per-item pick window
-    "q167_item_similarity": 9,
+    "q167_item_similarity": 6,
     # q168: the persisted edge table prints under sym's union branches x
     # (deg, wedge-left, wedge-right, anti-join) — 21 textual; executed:
     # edge derivation once + wedge agg + anti + TakeOrdered
-    "q168_link_prediction": 21,
+    "q168_link_prediction": 5,
     # q169: pure column/array expressions at scan speed
     "q169_readability": 0,
     # q170: one (user, cents) lag window
     "q170_duplicate_payments": 1,
     # q171: the q58 selector over (priority, day-gap) — broadcast dim join
     # feeds it, selector exchanges move the distinct-value table
-    "q171_cycle_time": 10,
+    "q171_cycle_time": 7,
     # q172: persisted (doc, sentence-hash) distinct prints under the
     # common-set / per-doc / boilerplate consumers
-    "q172_boilerplate_lines": 6,
+    "q172_boilerplate_lines": 4,
     # q173: ONE user_id fold shuffle + the 1-row rollup
     "q173_window_funnel": 2,
     # q174: per-customer agg + bucketed global cumsum chain; branches
@@ -455,13 +454,13 @@ SHUFFLE_BUDGET = {
     "q175_zscore_normalize": 1,
     # q176: persisted (user, day) dedup prints under DAU/expansion; WAU
     # count_distinct expands; final day join
-    "q176_rolling_active_users": 5,
+    "q176_rolling_active_users": 4,
     # q177: persisted baskets print under pair/freq/total branches
-    "q177_association_rules": 8,
+    "q177_association_rules": 6,
     # q178: persisted hourly counts + span re-agg + per-type series agg
-    "q178_ewma_smoothing": 3,
+    "q178_ewma_smoothing": 2,
     # q179: bucket-size agg + the 4-row band rollup (signatures zero-shuffle)
-    "q179_lsh_bucket_skew": 3,
+    "q179_lsh_bucket_skew": 2,
     # q180: user cohort agg + (cohort, age) agg + tiny cohort window
     "q180_cohort_ltv": 3,
     # q181: ONE wordcount shuffle; ranking confined to the 1000-row
@@ -469,17 +468,17 @@ SHUFFLE_BUDGET = {
     "q181_zipf_fit": 1,
     # q182: persisted signatures feed candidates; verified pairs roll up
     # with broadcast source dims
-    "q182_cross_source_dups": 5,
+    "q182_cross_source_dups": 2,
     # q183: customer spend agg + per-nation rank window + nation rollup
-    "q183_gini_index": 3,
+    "q183_gini_index": 2,
     # q184: order-value agg + distinct-value cumsum + 1-row final agg
-    "q184_mann_whitney": 3,
+    "q184_mann_whitney": 2,
     # q185: persisted per-user durations print under day agg / total /
     # horizon consumers; day-level windows ride the tiny distinct-day set
-    "q185_kaplan_meier": 6,
+    "q185_kaplan_meier": 5,
     # q186: persisted triangle corners re-agg + degree agg (edges reused
     # from the q105 compact-forward plan, probes broadcast)
-    "q186_clustering_coefficient": 8,
+    "q186_clustering_coefficient": 2,
     # q187: broadcast order dim; all three windows share ONE orderkey
     # exchange
     "q187_proration": 1,
@@ -615,7 +614,7 @@ SHUFFLE_BUDGET = {
     "q238_forecast_backtest": 4,
     # q239: persisted verified-pair table prints under the three
     # threshold rollup branches
-    "q239_threshold_sensitivity": 20,
+    "q239_threshold_sensitivity": 10,
     # q240: the per-week bucketed selector chain + count branch
     "q240_weekly_median_trend": 8,
     # q241: persisted pooled offsets print under base/fit consumers
@@ -667,14 +666,14 @@ SHUFFLE_BUDGET = {
     # union + argmax agg + the mutuality self-join, all pair-/node-sized
     "q258_mutual_nearest_neighbors": 6,
     # q259: the source rank window + (batch, source) and batch rollups
-    "q259_minibatch_assignment": 3,
+    "q259_minibatch_assignment": 2,
     # q260: one source agg over a narrow tokens() map — no explode
     "q260_truncation_audit": 1,
     # q261: prefix freq/window + candidate join + the sample
     # TakeOrdered's partial exchange + the diff-token count; the
     # persisted token table prints per consumer from a clean cache.
     # Everything after the candidate join is sample-sized (1000 pairs)
-    "q261_neardup_diff_tokens": 10,
+    "q261_neardup_diff_tokens": 5,
     # q262: the dim derivation agg + the salted (user_id, salt) join —
     # same exchanges a plain join would pay, keys just carry the salt
     "q262_salted_skew_join": 2,
@@ -687,9 +686,9 @@ SHUFFLE_BUDGET = {
     # build (explode agg + doc agg, printed once per broadcast consumer
     # from a clean cache) + the top-20 TakeOrdered partial; everything
     # after the candidate join is pair- or vocabulary-sized
-    "q265_weighted_jaccard": 12,
+    "q265_weighted_jaccard": 6,
     # q266: the (band, bucket) count agg + the 3-config rollup
-    "q266_lsh_cost_estimator": 3,
+    "q266_lsh_cost_estimator": 2,
     # q267: one 4-cell agg + the 1-row flat rollup
     "q267_diff_in_diff": 2,
     # q268: one source agg; the planner math is per-row expressions
@@ -721,7 +720,7 @@ SHUFFLE_BUDGET = {
     # ctf, adjustments); + dl/ctf re-aggs, the per-doc adjustment agg,
     # the doc-keyed dl join, and the top-20 TakeOrdered partial — the
     # 5-term model and the 1-row S_const travel broadcast
-    "q278_qlm_dirichlet": 10,
+    "q278_qlm_dirichlet": 9,
     # q279: three group-size aggs + their 1-row pair-sum rollups off ONE
     # persisted keyed scan (printed per consumer); no pair materializes
     "q279_blocking_quality": 7,
@@ -775,7 +774,7 @@ SHUFFLE_BUDGET = {
     # q294: persisted tf/dl aggs (printed per consumer across both BM25
     # passes + feedback mining) + the per-doc score aggs and the three
     # TakeOrdered partials; query models and corpus stats broadcast
-    "q294_bm25_prf": 12,
+    "q294_bm25_prf": 11,
     # q295: ONE user-sequence window + the (src) transition agg + the
     # 1-row matrix collect; the 40 Jacobi steps run inside one fold
     "q295_absorbing_conversion": 3,
@@ -841,7 +840,7 @@ SHUFFLE_BUDGET = {
     # q313: the PPJoin candidate pipeline + verify (q82/q123 shape) +
     # persisted truth/labeled frames (printed per threshold consumer);
     # every threshold row re-aggregates the same labeled pair table
-    "q313_dedup_threshold_f1": 18,
+    "q313_dedup_threshold_f1": 12,
     # q314: ONE (type, hour) agg — the jitter is scan-stage arithmetic
     "q314_late_data_impact": 1,
     # q315: 4 Gonzalez rounds x (per-vector min-dist agg + 1-row
@@ -853,7 +852,7 @@ SHUFFLE_BUDGET = {
     # q316: the q134 + q278 scoring pipelines off shared persisted
     # tf/dl (printed per consumer) + two 20-row rank frames + the
     # 1-row RBO fold
-    "q316_ranker_agreement": 13,
+    "q316_ranker_agreement": 12,
     # q317: (source, char) agg + per-source re-agg (broadcast back) +
     # the entropy rollup riding the source partitioning
     "q317_char_entropy_budget": 4,
@@ -945,7 +944,7 @@ SHUFFLE_BUDGET = {
     # rollup + the 17-bin calibration rollup (persisted frames reprint
     # the candidate exchange per consumer); signatures and shingle
     # sets are scan-speed narrow arrays (broadcast to the verify)
-    "q345_minhash_error_audit": 10,
+    "q345_minhash_error_audit": 4,
     # q346: the segment-blocked pair join + the 8-pattern agg + the
     # 1-row EM rollup (reprinted per unionAll branch)
     "q346_fs_em_step": 6,
@@ -962,7 +961,7 @@ SHUFFLE_BUDGET = {
     # count is the persisted subtree reprints; executed work is the
     # single verify pass plus model-space component stats
     # (re-audited r7: lab checkpoint truncates the reprints)
-    "q350_threshold_percolation": 23,
+    "q350_threshold_percolation": 15,
     # q351: the doc-partitioned boundary cumsum window + the
     # (doc, chunk) rollup + chunk-occurrence rollup + source agg
     "q351_cdc_chunk_dedup": 4,
@@ -970,7 +969,7 @@ SHUFFLE_BUDGET = {
     # node-sized agg; persisted score tables reprint per consumer)
     "q352_hits_scores": 9,
     # q353: ONE 1-row agg of 16 conditional sums + model-space stack
-    "q353_simhash_bit_balance": 2,
+    "q353_simhash_bit_balance": 1,
     # q354: the persisted user-rank window (reprinted per consumer) +
     # the <=10-row position-CTR rollup + the item rollup
     "q354_coec_position_bias": 3,
@@ -985,7 +984,7 @@ SHUFFLE_BUDGET = {
     # q359: the distinct-score agg + ONE bucketed 3-column cumsum
     # window + offsets + the AUC/deviation rollups; the persisted base
     # reprints its chain per consumer (executed once)
-    "q359_auc_delong_ci": 18,
+    "q359_auc_delong_ci": 11,
     # q360/q361: ONE 1-row global agg each
     "q360_bernstein_bound": 1,
     "q361_kish_ess": 1,
@@ -1005,7 +1004,7 @@ SHUFFLE_BUDGET = {
     "q366_lincoln_petersen": 2,
     # q367: the q167 recsys pipeline (persisted rec list reprints per
     # consumer) + popularity/catalog rollups + the 1-row combine
-    "q367_catalog_coverage": 14,
+    "q367_catalog_coverage": 13,
     # q368: ONE (stratum) agg over per-row hash expressions
     "q368_positivity_overlap": 1,
     # q369: the model-space daily agg + lag-7 residual window, then
@@ -1208,7 +1207,7 @@ SHUFFLE_BUDGET = {
     "q452_vocab_overlap_matrix": 4,
     "q453_int8_quantization_audit": 0,
     "q454_knn_hubness": 8,
-    "q455_pq_distortion_audit": 11,
+    "q455_pq_distortion_audit": 6,
 }
 
 # Queries where a BroadcastNestedLoopJoin is the DESIGNED plan (small side
@@ -1769,16 +1768,30 @@ def test_every_query_plan_within_scale_budget(spark):
     spark.catalog.clearCache()
 
     def count_shuffles(plan: str) -> int:
-        """Distinct physical (non-broadcast) exchanges. A persisted
-        frame's cached subtree prints once per consumer, so a textual
-        count double-bills exchanges that execute once — dedup by
-        plan_id (same id == same physical node)."""
+        """Distinct physical (non-broadcast) HASH/RANGE exchanges. A
+        persisted frame's cached subtree prints once per consumer, so a
+        textual count double-bills exchanges that execute once — dedup
+        by plan_id (same id == same physical node).
+
+        r10 (r9 advice): RoundRobinPartitioning exchanges are EXCLUDED
+        from the budgeted count. They come from hints.spread_scan (a
+        scale-gated width-restoring repartition that exists only at test
+        SF and vanishes at production scale) and from the explicit
+        file-sizing repartitions in layout ops; counting them forced 27
+        budgets up by the spread-reprint count of every persisted-
+        subtree consumer (q239 10->20, q313 12->18, ...), leaving room
+        for a genuine +N hash-exchange regression to hide inside the
+        slack. Excluding them keeps every budget an EXACT bound on the
+        exchanges that shuffle data by key — the kind a regression
+        adds — at the cost of not auditing round-robin spreads (which
+        the spread gate in hints.py bounds structurally)."""
         ids, anon = set(), 0
         for ln in plan.splitlines():
             t = ln.strip(" +:-*")
             if (t.startswith("Exchange")
                     and "BroadcastExchange" not in t
-                    and "ReusedExchange" not in t):
+                    and "ReusedExchange" not in t
+                    and "roundrobinpartitioning" not in t.lower()):
                 m = re.search(r"plan_id=(\d+)", t)
                 if m:
                     ids.add(m.group(1))
